@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-diff ("delta") operators — the analytical core of the reference
+  * pipeline (reference: agency-delta.go:126-246). Given two full snapshots of
+  * a keyed table (the reference keys `Agency_Data` on `pid` and snapshots
+  * weekly into `importdate` partitions), compute:
+  *
+  *  - '''updated''': rows whose key exists in both snapshots but at least one
+  *    compared attribute changed (reference "change" query,
+  *    agency-delta.go:126-201 — inner self-join on the key + OR-disjunction
+  *    of 33 column inequalities).
+  *  - '''added''': rows whose key is new in the newest snapshot (reference
+  *    "new" query, agency-delta.go:203-246 — written there as
+  *    LEFT JOIN + IS NULL; as literally written it returns 0 rows, see
+  *    SURVEY.md §2.2 R4 — we implement the documented intent as an
+  *    anti-join).
+  *  - '''removed''': the symmetric complement (not in the reference; natural
+  *    extension).
+  *
+  * All operators are pure `DataFrame => DataFrame` — no I/O — so Catalyst
+  * sees one declarative plan: partition-pruned scans on each side, a single
+  * shuffle on the key (or none, if both snapshots are bucketed by the key),
+  * and the change predicate evaluated inside whole-stage codegen.
+  *
+  * Scale notes (100 TB): the join is an equi-join on the snapshot key, so
+  * Spark plans a sort-merge join with both sides hash-partitioned by key;
+  * AQE handles skewed keys. Because each side is exactly one `importdate`
+  * partition, partition pruning keeps the scan at 1/N of the table. For a
+  * standing deployment, bucket both snapshots by the key to eliminate the
+  * shuffle entirely.
+  */
+object SnapshotDelta {
+
+  /** NULL semantics of the change predicate (SURVEY.md §2.2 R3). */
+  sealed trait ChangeMode
+  /** Athena/ANSI parity: `a != b` is three-valued, so NULL→value and
+    * value→NULL transitions are NOT detected (reference behavior,
+    * agency-delta.go:168-200).
+    */
+  case object Legacy extends ChangeMode
+  /** Null-safe: `NOT (a <=> b)` — NULL transitions count as changes. */
+  case object NullSafe extends ChangeMode
+
+  /** OR-disjunction of per-column inequalities between two sides of a
+    * self-join (reference: agency-delta.go:168-200).
+    */
+  def changePredicate(attrs: Seq[String], leftAlias: String,
+                      rightAlias: String, mode: ChangeMode): Column = {
+    require(attrs.nonEmpty, "change predicate needs at least one attribute")
+    attrs.map { c =>
+      val l = col(s"$leftAlias.$c")
+      val r = col(s"$rightAlias.$c")
+      mode match {
+        case Legacy   => l =!= r
+        case NullSafe => !(l <=> r)
+      }
+    }.reduce(_ || _)
+  }
+
+  /** Rows present in both snapshots (matched on `key`) where any attribute in
+    * `attrs` differs; result carries the newest-side columns, like the
+    * reference SELECT list (agency-delta.go:127-160).
+    */
+  def updated(newest: DataFrame, previous: DataFrame, key: String,
+              attrs: Seq[String], mode: ChangeMode = Legacy): DataFrame = {
+    val n = newest.alias("n")
+    val p = previous.alias("p")
+    n.join(p, col(s"n.$key") === col(s"p.$key"), "inner")
+      .where(changePredicate(attrs, "n", "p", mode))
+      .select(newest.columns.map(c => col(s"n.$c")): _*)
+  }
+
+  /** Rows whose key appears only in the newest snapshot — the documented
+    * intent of the reference "new" query (Readme.md:13, "record didn't
+    * exists in previous"). Anti-join: no row payload needed from the
+    * previous side, so Spark can plan a broadcast/shuffled hash anti-join
+    * over just the key column (column pruning drops the other 33).
+    */
+  def added(newest: DataFrame, previous: DataFrame, key: String): DataFrame =
+    newest.join(previous.select(key), Seq(key), "left_anti")
+
+  /** Rows whose key disappeared in the newest snapshot (extension). */
+  def removed(newest: DataFrame, previous: DataFrame, key: String): DataFrame =
+    previous.join(newest.select(key), Seq(key), "left_anti")
+
+  /** Bug-compatible literal mode of the reference "new" query
+    * (agency-delta.go:239-245): the LEFT JOIN lacks the partition filter in
+    * the ON clause and then filters `n2.importdate = previous` in WHERE,
+    * which collapses the outer join and makes `n2.pid IS NULL`
+    * unsatisfiable — the query provably returns 0 rows. Kept for oracle
+    * diffing; schema matches `added`.
+    */
+  def addedLiteral(newest: DataFrame): DataFrame =
+    newest.where(lit(false))
+
+  /** Top-2 partition-value selection (reference: GetDeltaPartitions,
+    * agency-delta.go:97-124 — list, `sort.Strings`, take last two; error if
+    * fewer than 2). Lexicographic max ≡ chronological for ISO dates.
+    * Metadata-scale only (weekly partitions), so a driver-side sort mirrors
+    * the reference exactly.
+    */
+  def partitionPair(values: Seq[String]): (String, String) = {
+    val sorted = values.distinct.sorted
+    if (sorted.size < 2)
+      throw new IllegalStateException("Not enough partitions to run delta")
+    (sorted(sorted.size - 1), sorted(sorted.size - 2))
+  }
+}

@@ -1,0 +1,409 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Broad relational-operator coverage (SURVEY.md §2.4 — the categories the
+  * engine grows beyond the reference's two queries). Every query is paired
+  * with an equivalent DuckDB oracle.
+  *
+  * Float determinism: raw `sum(double)` is order-dependent, so any money
+  * aggregation goes through exact decimal arithmetic
+  * (`cast → DECIMAL(18,2) → sum → cast DOUBLE`) in BOTH engines — the result
+  * is bit-identical regardless of partitioning or merge order. This is also
+  * the right call at 100 TB: partial aggregation (map-side combine) stays
+  * enabled because decimal sums are associative.
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent money sum: decimal in, double out. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation ----
+    "agg_sum_groupby" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    "agg_count_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))),
+
+    "agg_min_max" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          min("o_orderdate").as("first_date"),
+          max("o_orderdate").as("last_date"))),
+
+    "agg_avg_decimal" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          (sum(col("o_totalprice").cast(DecimalType(18, 2))) /
+           count(lit(1)).cast(DecimalType(18, 0)))
+            .cast(DecimalType(18, 6)).cast("double").as("avg_price"))),
+
+    "agg_pivot_conditional" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))),
+
+    // ---- grouping sets ----
+    "agg_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
+
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    // ---- joins ----
+    // dimension chain: small tables broadcast (region 5, nation 25 rows)
+    "join_dim_chain" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat  = broadcast(t(s, dir, "nation"))
+      val reg  = broadcast(t(s, dir, "region"))
+      cust
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // the big fact-fact join: lineitem x orders, shuffle on orderkey
+    "join_fact_fact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o  = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "join_left_outer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val o    = t(s, dir, "orders")
+      cust.join(o, cust("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val big  = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val o    = t(s, dir, "orders")
+      cust.join(o, cust("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // non-equi (range) join: price-band lookup, broadcast nested loop
+    "join_range_band" -> ((s, dir) => {
+      val bands = s.createDataFrame(Seq(
+        ("band0", 0.0, 500.0), ("band1", 500.0, 1000.0),
+        ("band2", 1000.0, 1500.0), ("band3", 1500.0, 100000.0)))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "part")
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+    }),
+
+    // ---- window functions ----
+    "window_rank_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    }),
+
+    "window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .withColumn("order_seq",
+          row_number().over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+        .select("o_custkey", "o_orderkey", "order_seq", "running_spend")
+    }),
+
+    "window_lag_diff" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice") - col("prev_price")).as("price_delta"))
+    }),
+
+    // ---- sort / limit ----
+    "sort_limit_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // ---- set operations ----
+    "set_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .union(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .distinct()
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    }),
+
+    // ---- subqueries ----
+    "subquery_scalar" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // exact decimal threshold => identical comparison in both engines
+      val thresh = o.agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * lit(2) /
+         count(lit(1)).cast(DecimalType(18, 0)))
+          .cast(DecimalType(18, 6)).as("thresh"))
+      o.crossJoin(thresh)
+        .filter(col("o_totalprice").cast(DecimalType(18, 6)) > col("thresh"))
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // ---- scalar functions ----
+    "func_string" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).cast("long").as("name_len"),
+          concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"),
+          col("c_name").like("%1%").as("has_one"),
+          regexp_replace(col("c_name"), "[0-9]", "x").as("masked"))),
+
+    "func_math" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("floor_price"),
+          ceil(col("o_totalprice")).cast("long").as("ceil_price"),
+          abs(col("o_custkey") - lit(1000)).as("abs_diff"),
+          sqrt(col("o_totalprice")).as("sqrt_price"),
+          (col("o_orderkey") % 7).as("mod7"))),
+
+    "func_date" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("qtr_start"),
+          datediff(lit("1999-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_eoc"))),
+
+    "func_conditional" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") >= 300000.0, "large")
+            .when(col("o_totalprice") >= 100000.0, "medium")
+            .otherwise("small").as("size_class"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")), lit("NOT_P")).as("status_np"))),
+
+    // ---- distinct / projection ----
+    "distinct_projection" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "agg_sum_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "agg_min_max" ->
+      """SELECT o_orderpriority, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "agg_avg_decimal" ->
+      """SELECT o_orderstatus,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) / CAST(count(*) AS DECIMAL(18,0)) AS DECIMAL(18,6)) AS DOUBLE) AS avg_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "agg_pivot_conditional" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "join_dim_chain" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "join_fact_fact" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_cust
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_range_band" ->
+      """SELECT band, count(*) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part
+        |JOIN (VALUES ('band0', 0.0, 500.0), ('band1', 500.0, 1000.0),
+        |             ('band2', 1000.0, 1500.0), ('band3', 1500.0, 100000.0))
+        |  AS bands(band, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band""".stripMargin,
+    "window_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS order_seq,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "window_lag_diff" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice - lag(o_totalprice, 1) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS price_delta
+        |FROM orders""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "set_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) >
+        |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 2 / CAST(count(*) AS DECIMAL(18,0)) AS DECIMAL(18,6)) FROM orders)""".stripMargin,
+    "func_string" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  c_mktsegment || '#' || c_name AS tagged,
+        |  c_name LIKE '%1%' AS has_one,
+        |  regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked
+        |FROM customer""".stripMargin,
+    "func_math" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+        |  abs(o_custkey - 1000) AS abs_diff,
+        |  sqrt(o_totalprice) AS sqrt_price,
+        |  o_orderkey % 7 AS mod7
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "func_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-12-31') AS BIGINT) AS days_to_eoc
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
+    "func_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice >= 300000.0 THEN 'large'
+        |       WHEN o_totalprice >= 100000.0 THEN 'medium'
+        |       ELSE 'small' END AS size_class,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np
+        |FROM orders""".stripMargin,
+    "distinct_projection" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+  )
+}
