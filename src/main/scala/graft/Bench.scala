@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main (driver contract). Emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * A warmup pass (count of a small table + first query) runs before the
+  * timed pass so JVM/codegen/parquet-footer warmup isn't attributed to
+  * whichever query happens to execute first. Failures are NOT swallowed:
+  * a failed query is timed, reported in "errors", and forces rc != 0
+  * semantics visible in the JSON so a regression can't bench as "fast".
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,37 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: JIT + codegen + parquet footer caches. Errors ignored here —
+    // they will re-surface (and be reported) in the timed pass.
+    try {
+      Tables(spark, sfDir, "orders").count()
+      SparkEntry.queries.headOption.foreach { case (_, fn) =>
+        fn(spark, sfDir).count()
+      }
+    } catch { case _: Throwable => () }
+
+    var errors = List.empty[String]
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        errors ::= s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.reverse.map(jq).mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -70,7 +70,7 @@ object SnapshotDelta {
     val p = previous.alias("p")
     n.join(p, col(s"n.$key") === col(s"p.$key"), "inner")
       .where(changePredicate(attrs, "n", "p", mode))
-      .select(newest.columns.map(c => col(s"n.$c")): _*)
+      .select(newest.columns.toIndexedSeq.map(c => col(s"n.$c")): _*)
   }
 
   /** Rows whose key appears only in the newest snapshot — the documented

@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.SnapshotDelta
+import graft.sources.AgencyLake
 
 /** Reference-parity delta queries (SURVEY.md §2.2 R1-R5), oracle-checked.
   *
   * The reference diffs two weekly `importdate` partitions of
   * `abr_weekly_agency_data` keyed on `pid` (agency-delta.go:126-246). The
   * driver testdata has no multi-snapshot table, so we derive two
-  * deterministic snapshots from `orders` — the derivation is mirrored
-  * verbatim in the DuckDB oracle SQL:
+  * deterministic snapshots from `orders`, materialize them as a real
+  * `importdate=`-partitioned table ([[graft.sources.AgencyLake]]), and run
+  * every delta over partition-pruned scans of that table. The derivation
+  * is mirrored verbatim in the DuckDB oracle SQL:
   *
   *  - `previous` = orders with `o_orderkey % 13 <> 0`
   *  - `newest`   = orders with `o_orderkey % 17 <> 0`, with perturbations:
@@ -64,30 +67,58 @@ object DeltaQueries {
       |  FROM orders WHERE o_orderkey % 17 <> 0
       |)""".stripMargin
 
+  /** The two snapshots read back from the real `importdate=`-partitioned
+    * lake (graft.sources.AgencyLake) — each read is partition-pruned to a
+    * single directory, exactly like the reference's
+    * `WHERE importdate = '<x>'` over the Hive layout
+    * (agency-delta.go:165-166). The snapshot *contents* are byte-identical
+    * to the `previous`/`newest` derivations above, so the DuckDB oracle
+    * CTEs below stay valid.
+    */
+  private def lakePair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // Partition-pair selection from FS metadata (reference R5/S8):
+    // lexicographic top-2 of the partition values, never a data scan.
+    val (newestPart, prevPart) =
+      SnapshotDelta.partitionPair(AgencyLake.partitionValues(s, dir))
+    (AgencyLake.snapshot(s, dir, newestPart),
+     AgencyLake.snapshot(s, dir, prevPart))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R2+R3 legacy mode: inner self-join + OR of !=, NULL transitions invisible
-    "delta_updated" -> ((s, dir) =>
-      SnapshotDelta.updated(newest(s, dir), previous(s, dir), key, compareAttrs,
-        SnapshotDelta.Legacy)),
+    "delta_updated" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      SnapshotDelta.updated(n, p, key, compareAttrs, SnapshotDelta.Legacy)
+    }),
     // R3 null-safe mode: NULL transitions detected
-    "delta_updated_nullsafe" -> ((s, dir) =>
-      SnapshotDelta.updated(newest(s, dir), previous(s, dir), key, compareAttrs,
-        SnapshotDelta.NullSafe)),
+    "delta_updated_nullsafe" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      SnapshotDelta.updated(n, p, key, compareAttrs, SnapshotDelta.NullSafe)
+    }),
     // R4 intent: anti-join
-    "delta_added" -> ((s, dir) =>
-      SnapshotDelta.added(newest(s, dir), previous(s, dir), key)),
+    "delta_added" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      SnapshotDelta.added(n, p, key)
+    }),
+    // R4 literal: the reference "new" query as written provably returns 0
+    // rows (SURVEY §2.2 R4) — bug-compat mode, oracle-checked empty.
+    "delta_added_literal" -> ((s, dir) =>
+      SnapshotDelta.addedLiteral(lakePair(s, dir)._1)),
     // extension: symmetric complement
-    "delta_removed" -> ((s, dir) =>
-      SnapshotDelta.removed(newest(s, dir), previous(s, dir), key)),
-    // R5: top-2 partition-value selection, expressed over derived month
-    // "partitions" of orders (reference: agency-delta.go:97-124)
-    "delta_partition_pair" -> ((s, dir) =>
-      Tables(s, dir, "orders")
-        .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
-          .as("importdate"))
-        .distinct()
-        .orderBy(col("importdate").desc)
-        .limit(2)),
+    "delta_removed" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      SnapshotDelta.removed(n, p, key)
+    }),
+    // R5+S8: top-2 partition-value selection over partition *metadata*
+    // (directory listing + driver-side sort, mirroring GetDeltaPartitions,
+    // agency-delta.go:97-124) — at 100 TB this reads N directory names,
+    // not the data.
+    "delta_partition_pair" -> ((s, dir) => {
+      val (newestPart, prevPart) =
+        SnapshotDelta.partitionPair(AgencyLake.partitionValues(s, dir))
+      s.createDataFrame(Seq(Tuple1(newestPart), Tuple1(prevPart)))
+        .toDF("importdate")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -111,12 +142,16 @@ object DeltaQueries {
       s"""$snapshotCte
          |SELECT n.* FROM newest n
          |WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.o_orderkey = n.o_orderkey)""".stripMargin,
+    "delta_added_literal" ->
+      s"""$snapshotCte
+         |SELECT n.* FROM newest n WHERE 1 = 0""".stripMargin,
     "delta_removed" ->
       s"""$snapshotCte
          |SELECT p.* FROM prev p
          |WHERE NOT EXISTS (SELECT 1 FROM newest n WHERE n.o_orderkey = p.o_orderkey)""".stripMargin,
+    // the lake has exactly two snapshot partitions (AgencyLake.ensure);
+    // pins the metadata-listing result to the expected pair, newest first
     "delta_partition_pair" ->
-      """SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS importdate
-        |FROM orders ORDER BY importdate DESC LIMIT 2""".stripMargin,
+      """SELECT * FROM (VALUES ('2024-01-15'), ('2024-01-08')) AS t(importdate)""".stripMargin,
   )
 }

@@ -32,7 +32,9 @@ object RelationalQueries {
     // ---- aggregation ----
     "agg_sum_groupby" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        // tz-independent literal: resolved under spark.sql.session.timeZone
+        // (UTC), matching DuckDB's naive TIMESTAMP — not the JVM default TZ.
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -126,10 +128,13 @@ object RelationalQueries {
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
 
+    // anti-join against *filtered* orders so the result is non-empty at the
+    // test scale (every customer has some order, not every customer has a
+    // big one) — an empty result would make the oracle check vacuous.
     "join_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val o    = t(s, dir, "orders")
-      cust.join(o, cust("c_custkey") === o("o_custkey"), "left_anti")
+      val big  = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
 
@@ -208,10 +213,11 @@ object RelationalQueries {
     // ---- subqueries ----
     "subquery_scalar" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      // exact decimal threshold => identical comparison in both engines
+      // exact decimal threshold => identical comparison in both engines;
+      // 1.5x avg (as 3x/2) keeps the result non-empty at test scale
       val thresh = o.agg(
-        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * lit(2) /
-         count(lit(1)).cast(DecimalType(18, 0)))
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * lit(3) /
+         (count(lit(1)) * lit(2)).cast(DecimalType(18, 0)))
           .cast(DecimalType(18, 6)).as("thresh"))
       o.crossJoin(thresh)
         .filter(col("o_totalprice").cast(DecimalType(18, 6)) > col("thresh"))
@@ -325,7 +331,8 @@ object RelationalQueries {
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
     "join_range_band" ->
       """SELECT band, count(*) AS n_parts,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -372,7 +379,7 @@ object RelationalQueries {
     "subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,6)) >
-        |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 2 / CAST(count(*) AS DECIMAL(18,0)) AS DECIMAL(18,6)) FROM orders)""".stripMargin,
+        |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 3 / CAST(count(*) * 2 AS DECIMAL(18,0)) AS DECIMAL(18,6)) FROM orders)""".stripMargin,
     "func_string" ->
       """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
         |  CAST(length(c_name) AS BIGINT) AS name_len,

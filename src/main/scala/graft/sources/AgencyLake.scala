@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.DeltaQueries
+
+/** A real Hive-partitioned snapshot table, mirroring the reference's lake
+  * layout `DATA/<Dataset>/importdate=<yyyy-MM-dd>/` (reference:
+  * load.go:19-21). The reference's delta queries diff two *partitions* of
+  * `abr_weekly_agency_data` with partition pruning
+  * (agency-delta.go:165-166); round 1 simulated that with modulus filters
+  * over a flat parquet — this materializes the same two snapshots as actual
+  * `importdate=` partitions so the delta queries execute partition-pruned
+  * scans (verify: `PartitionFilters` non-empty in the executed plan).
+  *
+  * Scale notes (100 TB): the table is written `partitionBy("importdate")`
+  * so each weekly snapshot is an independent prune-able unit — a delta over
+  * two weeks touches 2/N of the data no matter how much history
+  * accumulates. Snapshots stay multi-file (never coalesced); only small
+  * delta outputs get the single-file treatment (SURVEY §7.4.3).
+  */
+object AgencyLake {
+
+  /** Bump when the snapshot derivation changes — keys the materialized
+    * path so stale lakes from older code are never reused.
+    */
+  private val DerivationVersion = 2
+
+  val previousDate = "2024-01-08"
+  val newestDate   = "2024-01-15"
+
+  /** Root of the materialized table for a given source sf dir. */
+  def tableRoot(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-lake-v$DerivationVersion-$key/agency_snapshots"
+  }
+
+  /** Materialize the two-snapshot partitioned table (idempotent; at most
+    * once per path — `_SUCCESS` is the completion marker). Returns root.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = tableRoot(sfDir)
+    val fs = FileSystem.get(
+      new java.net.URI(s"file://$root"),
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      val prev = DeltaQueries.previous(spark, sfDir)
+        .withColumn("importdate", lit(previousDate))
+      val newer = DeltaQueries.newest(spark, sfDir)
+        .withColumn("importdate", lit(newestDate))
+      prev.unionByName(newer)
+        .write.mode("overwrite")
+        .partitionBy("importdate")
+        .parquet(root)
+    }
+    root
+  }
+
+  /** One snapshot = one partition, read with a partition-value filter so
+    * Catalyst prunes to a single `importdate=` directory (reference S5,
+    * agency-delta.go:165-166). `importdate` is dropped so the snapshot
+    * schema equals the logical table schema.
+    */
+  def snapshot(spark: SparkSession, sfDir: String, importdate: String): DataFrame =
+    spark.read.parquet(ensure(spark, sfDir))
+      .where(col("importdate") === lit(importdate))
+      .drop("importdate")
+
+  /** Partition values via *metadata* listing — directory names, never a
+    * data scan (reference S8: GetDeltaPartitions lists common prefixes and
+    * splits on '=', agency-delta.go:97-124). At 100 TB this reads N
+    * directory entries, not N billion rows.
+    */
+  def partitionValues(spark: SparkSession, sfDir: String): Seq[String] = {
+    val root = ensure(spark, sfDir)
+    val fs = FileSystem.get(
+      new java.net.URI(s"file://$root"),
+      spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.contains("="))
+      .map(_.split("=", 2))
+      .collect { case Array("importdate", v) => v }
+  }
+}
