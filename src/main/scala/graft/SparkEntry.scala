@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DeltaQueries.queries ++
-    RelationalQueries.queries
+    RelationalQueries.queries ++
+    IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     DeltaQueries.oracleSql ++
-    RelationalQueries.oracleSql
+    RelationalQueries.oracleSql ++
+    IngestQueries.oracleSql
 }

@@ -1,0 +1,119 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.sources.{LakeIngest, SingleFileCsv}
+
+/** Oracle-gated coverage of the ingestion path (SURVEY §2.1 S3+S4+S6):
+  * staging files named `VIC<yymmdd>_ABR_Agency_Data.txt` are derived
+  * deterministically from `orders`, classified via the 8-regex registry,
+  * loaded into a gzip CSV `importdate=`-partitioned lake, registered as a
+  * partitioned table with `MSCK REPAIR TABLE`, and read back through
+  * partition-pruned scans.
+  *
+  * The staged text is all-string with explicit, engine-portable formatting
+  * (bigint/decimal/timestamp rendered the same way by Spark and DuckDB),
+  * so the DuckDB oracle can reproduce the round-trip from `orders` alone.
+  */
+object IngestQueries {
+
+  private val DerivationVersion = 1
+
+  val cols: Seq[String] = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  private val prevDate   = "2024-01-08"
+  private val newestDate = "2024-01-15"
+
+  private def workRoot(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-ingest-v$DerivationVersion-$key"
+  }
+
+  /** Orders snapshot as all-string columns with portable rendering. */
+  private def asStaged(df: DataFrame): DataFrame =
+    df.select(
+      col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).cast("string")
+        .as("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .as("o_orderdate"),
+      col("o_orderpriority"))
+
+  /** Write the two staging files (once per sfDir), run ingestion, register
+    * the table, recover partitions. Idempotent: keyed by a marker file.
+    * Returns the registered table name.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = workRoot(sfDir)
+    val staging = s"$root/staging"
+    val lake = s"$root/lake"
+    val marker = Paths.get(root, "_INGESTED")
+    val table = "abr_weekly_agency_data_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!Files.exists(marker)) {
+      val orders = Tables(spark, sfDir, "orders")
+      // previous week: orders with key % 13 <> 0; newest week: all orders
+      SingleFileCsv.write(
+        asStaged(orders.filter(col("o_orderkey") % 13 =!= 0)),
+        staging, s"VIC240108_ABR_Agency_Data.txt",
+        header = false, delimiter = "|")
+      SingleFileCsv.write(
+        asStaged(orders),
+        staging, s"VIC240115_ABR_Agency_Data.txt",
+        header = false, delimiter = "|")
+      // decoys the classifier must skip (reference iterates matches only)
+      Files.writeString(Paths.get(staging, "README.txt"), "not a dataset")
+      Files.writeString(
+        Paths.get(staging, "VIC249999_ABR_Agency_Data.txt"), "bad date")
+      val loaded = LakeIngest.ingest(
+        spark, staging, lake, Map("Agency_Data" -> cols))
+      require(loaded.map(_.importdate).sorted == Seq(prevDate, newestDate),
+        s"unexpected ingest outcome: $loaded")
+      Files.createDirectories(Paths.get(root))
+      Files.writeString(marker, loaded.mkString("\n"))
+    }
+    if (!spark.catalog.tableExists(table))
+      LakeIngest.registerTable(spark, table, lake, "Agency_Data", cols)
+    table
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3+S4+S5+S6 end-to-end: classified staging text -> gzip partitioned
+    // lake -> MSCK-registered table -> partition-pruned scan of one week.
+    "ingest_agency_scan" -> ((s, dir) => {
+      val table = ensure(s, dir)
+      s.table(table)
+        .where(col("importdate") === lit(newestDate))
+        .drop("importdate")
+    }),
+    // S6+S8: partition values from catalog metadata after MSCK — proves
+    // discovery registered exactly the partitions the ingest created.
+    "ingest_partitions" -> ((s, dir) => {
+      val table = ensure(s, dir)
+      val vals = LakeIngest.partitionValues(s, table).sorted
+      s.createDataFrame(vals.map(Tuple1(_))).toDF("importdate")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ingest_agency_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |  o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
+    "ingest_partitions" ->
+      "SELECT * FROM (VALUES ('2024-01-08'), ('2024-01-15')) AS t(importdate)",
+  )
+}
