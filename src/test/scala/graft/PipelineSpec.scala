@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.pipeline.{AbrSchemas, Pipeline}
+
+/** End-to-end pipeline test (SURVEY §5.4): a staging dir of synthetic
+  * `VIC<yymmdd>_ABR_Agency_Data.txt` files → full run → assert lake
+  * layout, single-file delta CSV names + contents, hook execution,
+  * cleanup; plus the kill-switch abort path and the not-enough-partitions
+  * log-and-continue path.
+  */
+class PipelineSpec extends SparkSpec {
+
+  /** A 34-column pipe-delimited Agency_Data row: pid + 33 attrs, where
+    * attr values default to "v<i>" and can be overridden per column name.
+    */
+  private def row(pid: String, over: Map[String, String] = Map.empty): String =
+    (pid +: AbrSchemas.agencyCompareAttrs.zipWithIndex.map { case (c, i) =>
+      over.getOrElse(c, s"v$i")
+    }).mkString("|")
+
+  private def freshDirs(): (Path, Path) = {
+    val base = Files.createTempDirectory("graft-pipe")
+    val staging = Files.createDirectory(base.resolve("staging"))
+    val lake = base.resolve("lake")
+    (staging, lake)
+  }
+
+  private def write(dir: Path, name: String, rows: Seq[String]): Unit =
+    Files.writeString(dir.resolve(name), rows.mkString("\n"))
+
+  private def dropAgencyTable(): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${Pipeline.tableName("Agency_Data")}")
+
+  test("full run: staging files -> partitioned lake -> delta CSVs " +
+       "with the reference's exact paths, names, and rows") {
+    dropAgencyTable()
+    val (staging, lake) = freshDirs()
+    // previous week: p1 unchanged, p2 will change, p3 will be removed
+    write(staging, "VIC240108_ABR_Agency_Data.txt",
+      Seq(row("p1"), row("p2"), row("p3")))
+    // newest week: p2 changed org_nm, p4 added
+    write(staging, "VIC240115_ABR_Agency_Data.txt",
+      Seq(row("p1"), row("p2", Map("org_nm" -> "CHANGED")), row("p4")))
+    write(staging, "notes.txt", Seq("decoy - must be ignored"))
+
+    val log = new Pipeline.RunLog()
+    val cfg = Pipeline.Config(staging.toString, lake.toString)
+    val loaded = Pipeline.run(spark, cfg, log)
+
+    assert(loaded.map(_.importdate).sorted == Seq("2024-01-08", "2024-01-15"))
+    // lake layout (reference load.go:19-21), gzip files inside
+    val p1 = lake.resolve("DATA/Agency_Data/importdate=2024-01-08")
+    val p2 = lake.resolve("DATA/Agency_Data/importdate=2024-01-15")
+    assert(Files.isDirectory(p1) && Files.isDirectory(p2))
+    assert(Files.list(p2).iterator().asScala.exists(_.toString.endsWith(".csv.gz")))
+
+    // delta output contract (agency-delta.go:35,40; Readme.md:14-17)
+    val upd = lake.resolve(
+      "DELTA/UPDATED/Agency_Data/importdate=2024-01-15/Agency_Data_updated.csv")
+    val add = lake.resolve(
+      "DELTA/ADDED/Agency_Data/importdate=2024-01-15/Agency_Data_added.csv")
+    assert(Files.exists(upd), s"missing $upd")
+    assert(Files.exists(add), s"missing $add")
+
+    val updLines = Files.readAllLines(upd).asScala
+    assert(updLines.head.startsWith("pid,abn,"), "header row expected")
+    assert(updLines.tail.map(_.takeWhile(_ != ',')) == Seq("p2"))
+    assert(updLines.tail.head.contains("CHANGED"))
+
+    val addLines = Files.readAllLines(add).asScala
+    assert(addLines.tail.map(_.takeWhile(_ != ',')) == Seq("p4"))
+
+    // staging cleaned up for loaded files only (reference S10)
+    assert(!Files.exists(staging.resolve("VIC240115_ABR_Agency_Data.txt")))
+    assert(Files.exists(staging.resolve("notes.txt")))
+    dropAgencyTable()
+  }
+
+  test("kill-switch: content 'disabled' aborts before any load " +
+       "(abr-etl.go:59-78); other content does not") {
+    dropAgencyTable()
+    val (staging, lake) = freshDirs()
+    write(staging, "VIC240115_ABR_Agency_Data.txt", Seq(row("p1")))
+    Files.createDirectories(lake)
+    Files.writeString(lake.resolve("disabled"), "disabled")
+
+    val cfg = Pipeline.Config(staging.toString, lake.toString)
+    intercept[Pipeline.DisabledException](Pipeline.run(spark, cfg))
+    assert(!Files.exists(lake.resolve("DATA")), "nothing may be loaded")
+    assert(Files.exists(staging.resolve("VIC240115_ABR_Agency_Data.txt")))
+
+    // a flag with other content is ignored (reference compares the body)
+    Files.writeString(lake.resolve("disabled"), "enabled")
+    val loaded = Pipeline.run(spark, cfg)
+    assert(loaded.size == 1)
+    dropAgencyTable()
+  }
+
+  test("single partition: delta hook logs 'Not enough partitions' and " +
+       "continues (agency-delta.go:24-27,123)") {
+    dropAgencyTable()
+    val (staging, lake) = freshDirs()
+    write(staging, "VIC240115_ABR_Agency_Data.txt", Seq(row("p1")))
+    val log = new Pipeline.RunLog()
+    Pipeline.run(spark, Pipeline.Config(staging.toString, lake.toString), log)
+    assert(log.events.contains("Not enough partitions to run delta"))
+    assert(!Files.exists(lake.resolve("DELTA")))
+    assert(log.events.contains("ABR ETL Process complete"))
+    dropAgencyTable()
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.SnapshotDelta
+import graft.operators.SnapshotDelta.{Legacy, NullSafe}
+
+/** Unit coverage of the delta core (SURVEY §5.2): the change-predicate
+  * NULL matrix, a fixture with known added/removed/updated rows, and
+  * partition-pair selection edge cases.
+  */
+class SnapshotDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (String, String, String)*): DataFrame =
+    rows.toDF("pid", "a", "b")
+
+  // fixture: pid1 unchanged, pid2 value-change, pid3 value->NULL,
+  // pid4 NULL->value, pid5 NULL==NULL, pid6 added, pid7 removed
+  private val prev = snap(
+    ("p1", "x", "1"), ("p2", "x", "1"), ("p3", "x", "1"),
+    ("p4", null, "1"), ("p5", null, "1"), ("p7", "x", "1"))
+  private val newer = snap(
+    ("p1", "x", "1"), ("p2", "y", "1"), ("p3", null, "1"),
+    ("p4", "x", "1"), ("p5", null, "1"), ("p6", "x", "1"))
+
+  private def updatedPids(mode: SnapshotDelta.ChangeMode): Set[String] =
+    SnapshotDelta.updated(newer, prev, "pid", Seq("a", "b"), mode)
+      .select("pid").as[String].collect().toSet
+
+  test("legacy mode detects value changes but NOT null transitions " +
+       "(3-valued !=, reference parity agency-delta.go:168-200)") {
+    assert(updatedPids(Legacy) == Set("p2"))
+  }
+
+  test("null-safe mode detects value changes AND null transitions") {
+    assert(updatedPids(NullSafe) == Set("p2", "p3", "p4"))
+  }
+
+  test("null == null is never a change in either mode") {
+    assert(!updatedPids(Legacy).contains("p5"))
+    assert(!updatedPids(NullSafe).contains("p5"))
+  }
+
+  test("added = keys new in newest (anti-join intent, Readme.md:13)") {
+    val pids = SnapshotDelta.added(newer, prev, "pid")
+      .select("pid").as[String].collect().toSet
+    assert(pids == Set("p6"))
+  }
+
+  test("removed = keys absent from newest") {
+    val pids = SnapshotDelta.removed(newer, prev, "pid")
+      .select("pid").as[String].collect().toSet
+    assert(pids == Set("p7"))
+  }
+
+  test("addedLiteral (bug-compat mode of the reference 'new' query) " +
+       "returns 0 rows with the newest schema") {
+    val lit = SnapshotDelta.addedLiteral(newer)
+    assert(lit.count() == 0)
+    assert(lit.columns.toSeq == newer.columns.toSeq)
+  }
+
+  test("partitionPair picks the two newest values, newest first") {
+    assert(SnapshotDelta.partitionPair(
+      Seq("2024-01-01", "2024-01-15", "2024-01-08")) ==
+      ("2024-01-15", "2024-01-08"))
+  }
+
+  test("partitionPair error parity with agency-delta.go:123 for 0/1 values") {
+    for (vals <- Seq(Seq.empty[String], Seq("2024-01-01"))) {
+      val e = intercept[IllegalStateException](
+        SnapshotDelta.partitionPair(vals))
+      assert(e.getMessage == "Not enough partitions to run delta")
+    }
+  }
+
+  test("partitionPair dedups values (a re-listed partition is not a pair)") {
+    val e = intercept[IllegalStateException](
+      SnapshotDelta.partitionPair(Seq("2024-01-01", "2024-01-01")))
+    assert(e.getMessage == "Not enough partitions to run delta")
+  }
+}
