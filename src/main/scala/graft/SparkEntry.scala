@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DeltaQueries.queries ++
     RelationalQueries.queries ++
-    IngestQueries.queries
+    IngestQueries.queries ++
+    DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     DeltaQueries.oracleSql ++
     RelationalQueries.oracleSql ++
-    IngestQueries.oracleSql
+    IngestQueries.oracleSql ++
+    DedupQueries.oracleSql
 }

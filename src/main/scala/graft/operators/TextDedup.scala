@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text deduplication operators for large-corpus pipelines: exact
+  * (normalize → hash → keep-first), MinHash+LSH banded near-dup (shingle →
+  * min-wise signature → band buckets → in-bucket candidate pairs → exact
+  * Jaccard verify), and SimHash bucketing.
+  *
+  * Everything is Column algebra over built-in functions (md5, split,
+  * transform, slice) so the whole path stays inside whole-stage codegen —
+  * no UDFs, no driver-side loops.
+  *
+  * Scale notes (100 TB): the cost shape is what matters —
+  *  - exact dedup: one shuffle on the 128-bit content hash; at any scale
+  *    this is the groupBy-hash pattern with map-side partial aggregation.
+  *  - MinHash: shingle explode (×~tokens per doc) feeds a single groupBy
+  *    on doc id computing all signature mins in one pass; buckets shuffle
+  *    on (band, bandKey); candidate pairs come ONLY from same-bucket
+  *    self-joins — never an all-pairs cartesian. Bucket skew (a degenerate
+  *    band key collecting millions of docs) is the known hazard: AQE skew
+  *    join handles moderate skew, and a bucket-size cap filter is the
+  *    standard guard.
+  *  - min-wise hashing uses the lexicographic min of `md5(seed | shingle)`
+  *    hex strings — engine-portable (any ANSI engine reproduces it), which
+  *    is what makes the whole near-dup path differentially testable.
+  */
+object TextDedup {
+
+  /** Whitespace-collapse + lowercase normalization. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Distinct word n-gram shingles per id: (id, shingle). Documents with
+    * fewer than `n` tokens yield no shingles (guarded — Spark's
+    * `sequence` would otherwise count downward for negative spans).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 3): DataFrame = {
+    df.select(col(idCol).as("doc_id"),
+        split(normalize(col(textCol)), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"
+      )).as("shingle"))
+      .distinct()
+  }
+
+  /** Min-wise signature: for each of `numHashes` seeded hash functions,
+    * the minimum of `md5('<prefix><i>|' || shingle)` over the doc's
+    * shingles. One groupBy computes every component (columns m0..m{k-1}).
+    */
+  def minhashSignature(sh: DataFrame, numHashes: Int = 8,
+                       seedPrefix: String = "mh"): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(md5(concat(lit(s"${seedPrefix}0|"), col("shingle")))).as("m0"),
+      (1 until numHashes).map(i =>
+        min(md5(concat(lit(s"$seedPrefix$i|"), col("shingle")))).as(s"m$i")): _*)
+
+  /** Band the signature: `bands` × `rowsPerBand` layout, band key =
+    * md5 of the band's concatenated components. Output (doc_id, band, key).
+    */
+  def bandBuckets(sig: DataFrame, bands: Int = 4,
+                  rowsPerBand: Int = 2): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Distinct candidate pairs (id1 < id2) sharing any bucket. The join is
+    * keyed on (band, key) — candidates only ever meet inside a bucket.
+    */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets of candidate pairs. Intersection
+    * via a shingle-keyed join (bounded by candidate count × shared
+    * shingles — never all-pairs), sizes via per-doc counts.
+    */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.alias("sa")
+    val b = sh.alias("sb")
+    val inter = pairs.alias("p")
+      .join(a, col("p.id1") === col("sa.doc_id"))
+      .join(b, col("p.id2") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("sz", "sz2"), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** 16-bit SimHash per doc from its shingle set: each shingle hashes to a
+    * 60-bit integer (first 15 hex chars of md5); per bit position the
+    * ±1 votes are summed and the sign becomes the bit. Ties (sum == 0)
+    * count as 1 — fixed so the result is engine-portable.
+    */
+  def simhash16(sh: DataFrame): DataFrame = {
+    val v = expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+    val votes = sh.select(col("doc_id"), v.as("v"))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr(s"(shiftright(v, 0) & 1) * 2 - 1")).as("b0"),
+        (1 until 16).map(j =>
+          sum(expr(s"(shiftright(v, $j) & 1) * 2 - 1")).as(s"b$j")): _*)
+    val simhash = (0 until 16)
+      .map(j => expr(s"if(b$j >= 0, ${1 << j}, 0)"))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity operators over an embedding column
+  * (`array<float>`): deterministic sequential-fold dot/cosine (so results
+  * are bit-identical across engines and runs — no partial-aggregation
+  * reorder), random-hyperplane LSH signatures for bucketed ANN, and
+  * brute-force cosine as the verifiable baseline.
+  *
+  * Scale notes (100 TB): brute-force top-k is O(|Q|·|C|) — only ever used
+  * with a bounded query set broadcast against the candidate corpus (one
+  * scan of the big side, no shuffle of it). The scale path is the LSH
+  * signature: one narrow map computes an 8-bit bucket per vector, the
+  * bucket join meets candidates only within a bucket, and the exact
+  * cosine re-rank touches candidate pairs only. All expression-level —
+  * `zip_with`/`aggregate` fold inside codegen, no UDFs.
+  */
+object VectorSim {
+
+  /** `array<float>` → `array<double>` (exact widening). */
+  def toDoubleArray(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  /** Sequential left-fold dot product — deterministic element order, so
+    * engine-portable bit-for-bit (unlike a shuffled SUM of products).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Hyperplane `p` as a pseudo-random ±[0,1] vector of dimension
+    * matching `v`, derived from md5 — no RNG state, any engine
+    * reproduces it: component d = (int(md5('hp<p>_<d>')[0:4], 16) % 1001
+    * - 500) / 500.
+    */
+  def hyperplane(p: Int, v: Column): Column =
+    transform(sequence(lit(0), size(v) - 1), d =>
+      (conv(substring(md5(concat(lit(s"hp${p}_"), d.cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 1001 - 500) / 500.0)
+
+  /** 8-bit LSH signature: bit p = (v · hyperplane_p >= 0). Buckets
+    * vectors so near-neighbors (small angle) tend to share signatures.
+    */
+  def lshSignature(v: Column, planes: Int = 8): Column =
+    (0 until planes)
+      .map(p => when(dot(v, hyperplane(p, v)) >= 0, 1 << p).otherwise(0))
+      .reduce(_ + _)
+}

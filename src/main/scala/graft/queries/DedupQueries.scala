@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{TextDedup, VectorSim}
+
+/** Deduplication over the `documents` and `embeddings` corpora — the
+  * training-data-pipeline operator family: exact content dedup, MinHash
+  * banded LSH near-dup, SimHash bucketing, blocked n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * The driver fixtures contain no duplicates, so each query derives a
+  * corpus with injected duplicates (exact copies / prepended-token
+  * near-copies / perturbed vectors) — the same derivation is mirrored in
+  * the DuckDB oracle, making even the LSH paths hash-checkable: every
+  * hash is md5-based and every float reduction is a sequential fold, so
+  * both engines compute bit-identical buckets, pairs, and scores.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** documents ∪ exact copies of every doc_id % 3 == 0 (ids offset 1e5). */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies ('xdup ' prepended) of doc_id % 5 == 0. */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("xdup "), col("text")).as("text")))
+  }
+
+  /** Sampled corpus with metadata for blocked pairwise comparison. */
+  private def corpusNgram(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .filter(col("doc_id") % 10 === 0)
+    d.unionByName(
+      d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("xdup "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** embeddings ∪ perturbed copies (first component +0.05) of
+    * vec_id % 7 == 0, widened to array<double>.
+    */
+  private def corpusVec(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+      .select(col("vec_id"),
+        VectorSim.toDoubleArray(col("embedding")).as("e"))
+    e.unionByName(
+      e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("e"), 1) + 0.05),
+            slice(col("e"), lit(2), size(col("e")) - 1)).as("e")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: normalize -> md5 -> one shuffle on the content hash;
+    // keep-first = min id per group. group_size = 2 marks injected dups.
+    "doc_dedup_exact" -> ((s, dir) =>
+      corpusExact(s, dir)
+        .select(col("doc_id"), md5(TextDedup.normalize(col("text"))).as("h"))
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
+        .select("keep_id", "group_size", "h")),
+
+    // MinHash near-dup: shingle -> 8-component min-wise signature ->
+    // 4 banded buckets -> in-bucket candidate pairs -> exact Jaccard
+    // verify. No all-pairs stage anywhere.
+    "doc_dedup_minhash" -> ((s, dir) => {
+      val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text")
+      val pairs = TextDedup.candidatePairs(
+        TextDedup.bandBuckets(TextDedup.minhashSignature(sh)))
+      TextDedup.jaccardVerify(pairs, sh).where(col("jaccard") >= 0.6)
+    }),
+
+    // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
+    // buckets with >1 doc are dup candidates (no pair explosion).
+    "doc_dedup_simhash" -> ((s, dir) => {
+      val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text")
+      TextDedup.simhash16(sh)
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .where(col("n_docs") > 1)
+        .select(col("simhash").cast("long").as("simhash"),
+          col("n_docs"), col("min_doc"))
+    }),
+
+    // blocked n-gram Jaccard: candidate pairs meet only inside a
+    // (lang, source, length-bucket) block — the classic blocking guard
+    // against quadratic comparison.
+    "doc_dedup_ngram" -> ((s, dir) => {
+      val c = corpusNgram(s, dir)
+        .withColumn("blk", expr("n_chars div 100"))
+      val a = c.alias("a")
+      val b = c.alias("b")
+      val pairs = a.join(b,
+          col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      val sh = TextDedup.shingles(c, "doc_id", "text")
+      TextDedup.jaccardVerify(pairs, sh).where(col("jaccard") >= 0.5)
+    }),
+
+    // embedding near-dup: 8-hyperplane LSH signature buckets, exact
+    // cosine re-rank of in-bucket pairs only.
+    "emb_dedup_cosine" -> ((s, dir) => {
+      val c = corpusVec(s, dir)
+        .withColumn("sig", VectorSim.lshSignature(col("e")))
+      val a = c.alias("a")
+      val b = c.alias("b")
+      a.join(b, col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          VectorSim.cosine(col("a.e"), col("b.e")).as("cos"))
+        .where(col("cos") >= 0.99)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
+    }),
+  )
+
+  /** Shared oracle fragments (kept in lockstep with the Spark corpora). */
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private def shinglesCte(corpus: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM $corpus
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingle
+       |    FROM toks WHERE len(t) >= 3) q
+       |)""".stripMargin
+
+  private val jaccardSql =
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.id1, p.id2, count(*) AS n
+      |  FROM pairs p
+      |  JOIN sh sa ON sa.doc_id = p.id1
+      |  JOIN sh sb ON sb.doc_id = p.id2 AND sb.shingle = sa.shingle
+      |  GROUP BY p.id1, p.id2)
+      |SELECT i.id1, i.id2,
+      |  CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE) AS jaccard
+      |FROM inter i
+      |JOIN sizes s1 ON s1.doc_id = i.id1
+      |JOIN sizes s2 ON s2.doc_id = i.id2""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "doc_dedup_exact" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+         |)
+         |SELECT min(doc_id) AS keep_id, count(*) AS group_size, h
+         |FROM (SELECT doc_id, md5($normSql) AS h FROM corpus) q
+         |GROUP BY h""".stripMargin,
+
+    "doc_dedup_minhash" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
+         |), ${shinglesCte("corpus")},
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(i => s"min(md5('mh$i|' || shingle)) AS m$i").mkString(",\n    ")}
+         |  FROM sh GROUP BY doc_id
+         |), buckets AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS key FROM sig")
+             .mkString("\n  UNION ALL ")}
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM buckets a
+         |  JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), $jaccardSql
+         |WHERE CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE) >= 0.6""".stripMargin,
+
+    "doc_dedup_simhash" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
+         |), ${shinglesCte("corpus")},
+         |votes AS (
+         |  SELECT doc_id,
+         |    ${(0 until 16).map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")}
+         |  FROM (SELECT doc_id,
+         |          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS v
+         |        FROM sh) q
+         |  GROUP BY doc_id)
+         |SELECT CAST(simhash AS BIGINT) AS simhash, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc
+         |FROM (SELECT doc_id,
+         |        ${(0 until 16).map(j => s"(CASE WHEN b$j >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS simhash
+         |      FROM votes) q
+         |GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+
+    "doc_dedup_ngram" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), corpus AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'xdup ' || text, lang, source, n_chars FROM base
+         |), blocked AS (
+         |  SELECT doc_id, text, lang, source, n_chars // 100 AS blk FROM corpus
+         |), pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM blocked a
+         |  JOIN blocked b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.blk = b.blk AND a.doc_id < b.doc_id
+         |), ${shinglesCte("corpus")},
+         |$jaccardSql
+         |WHERE CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE) >= 0.5""".stripMargin,
+
+    "emb_dedup_cosine" -> {
+      val planes = (0 until 8).map(p =>
+        s"[(CAST('0x' || substr(md5('hp${p}_' || CAST(d AS VARCHAR)), 1, 4) AS BIGINT) % 1001 - 500)/500.0 FOR d IN range(0, 64)] AS h$p")
+        .mkString(",\n    ")
+      def dotSql(a: String, b: String) =
+        s"list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)])"
+      val sigSql = (0 until 8).map(p =>
+        s"(CASE WHEN ${dotSql("e", s"h$p")} >= 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
+         |      [CAST(x AS DOUBLE) FOR x IN embedding[2:len(embedding)]])
+         |  FROM embeddings WHERE vec_id % 7 = 0
+         |), hp AS (
+         |  SELECT
+         |    $planes
+         |), sigs AS (
+         |  SELECT vec_id, e, $sigSql AS sig FROM corpus CROSS JOIN hp
+         |)
+         |SELECT id1, id2, round(cos, 4) AS cos4 FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    ${dotSql("a.e", "b.e")} /
+         |      (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cos
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id) q
+         |WHERE cos >= 0.99""".stripMargin
+    },
+  )
+}

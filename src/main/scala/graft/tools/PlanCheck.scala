@@ -34,6 +34,10 @@ object PlanCheck {
         val parts = seg.findAllIn(l).mkString(", ")
         println("  scan: " + (if (parts.nonEmpty) parts else l.trim.take(180)))
       }
+      plan.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Cartesian"))
+        .foreach(l => println("  join: " +
+          l.dropWhile(c => !c.isLetter).takeWhile(_ != ',').take(120)))
     }
     spark.stop()
   }
