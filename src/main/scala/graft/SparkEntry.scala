@@ -24,7 +24,9 @@ object SparkEntry {
     DeltaQueries.queries ++
     RelationalQueries.queries ++
     IngestQueries.queries ++
-    DedupQueries.queries
+    DedupQueries.queries ++
+    SimilarityQueries.queries ++
+    TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +35,7 @@ object SparkEntry {
     DeltaQueries.oracleSql ++
     RelationalQueries.oracleSql ++
     IngestQueries.oracleSql ++
-    DedupQueries.oracleSql
+    DedupQueries.oracleSql ++
+    SimilarityQueries.oracleSql ++
+    TextQueries.oracleSql
 }

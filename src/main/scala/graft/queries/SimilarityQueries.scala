@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.VectorSim
+
+/** Similarity search over the `embeddings` table: brute-force cosine
+  * top-k as the verifiable baseline, and a hyperplane-LSH bucketed
+  * variant as the scale path.
+  *
+  * The query set is bounded (`vec_id % 20 == 0`) and broadcast; the
+  * candidate corpus is scanned once with no shuffle of the big side in
+  * the brute path. Ranking is on `round(cos, 6)` with the candidate id as
+  * tiebreak, so the top-k is deterministic and engine-portable (the
+  * cosine itself is a sequential fold — see
+  * [[graft.operators.VectorSim]]).
+  *
+  * Scale notes (100 TB): brute-force is O(|Q|·|C|) — viable only because
+  * |Q| is bounded; the ANN path buckets the corpus by an 8-bit LSH
+  * signature first, so each query meets ~1/256 of the corpus, and the
+  * exact re-rank touches bucket-mates only. More planes / multi-probe
+  * widen recall without changing the plan shape.
+  */
+object SimilarityQueries {
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), VectorSim.toDoubleArray(col("embedding")).as("e"))
+
+  private def querySet(b: DataFrame): DataFrame =
+    b.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+
+  private def topk(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cand_id"), col("rank"),
+        col("cos6"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // baseline: every query vector against the full corpus, one pass
+    "sim_topk_brute" -> ((s, dir) => {
+      val b = base(s, dir)
+      val pairs = b.crossJoin(broadcast(querySet(b)))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(VectorSim.cosine(col("qe"), col("e")), 6).as("cos6"))
+      topk(pairs, 5)
+    }),
+
+    // scale path: signature buckets first; candidates = bucket-mates
+    "sim_topk_ann" -> ((s, dir) => {
+      val b = base(s, dir)
+        .withColumn("sig", VectorSim.lshSignature(col("e")))
+      val q = querySet(b.select(col("vec_id"), col("e")))
+        .join(b.select(col("vec_id").as("qid"), col("sig").as("qsig")), "qid")
+      val pairs = b.join(broadcast(q),
+          col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(VectorSim.cosine(col("qe"), col("e")), 6).as("cos6"))
+      topk(pairs, 5)
+    }),
+  )
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)])"
+
+  def oracleSql: Map[String, String] = {
+    val cos = (a: String, b: String) =>
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    val sigExpr = (0 until 8).map(p =>
+      s"(CASE WHEN ${dotSql("e", s"h$p")} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val planes = (0 until 8).map(p =>
+      s"[(CAST('0x' || substr(md5('hp${p}_' || CAST(d AS VARCHAR)), 1, 4) AS BIGINT) % 1001 - 500)/500.0 FOR d IN range(0, 64)] AS h$p")
+      .mkString(",\n    ")
+    Map(
+      "sim_topk_brute" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), q AS (
+           |  SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id % 20 = 0
+           |), pairs AS (
+           |  SELECT q.qid, b.vec_id AS cand_id,
+           |    round(${cos("q.qe", "b.e")}, 6) AS cos6
+           |  FROM q JOIN base b ON b.vec_id <> q.qid
+           |)
+           |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
+           |FROM (SELECT qid, cand_id, cos6,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
+           |      FROM pairs) t
+           |WHERE rn <= 5""".stripMargin,
+
+      "sim_topk_ann" ->
+        s"""WITH hp AS (
+           |  SELECT
+           |    $planes
+           |), base AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), sigs AS (
+           |  SELECT vec_id, e, $sigExpr AS sig FROM base CROSS JOIN hp
+           |), q AS (
+           |  SELECT vec_id AS qid, e AS qe, sig FROM sigs WHERE vec_id % 20 = 0
+           |), pairs AS (
+           |  SELECT q.qid, b.vec_id AS cand_id,
+           |    round(${cos("q.qe", "b.e")}, 6) AS cos6
+           |  FROM q JOIN sigs b ON b.sig = q.sig AND b.vec_id <> q.qid
+           |)
+           |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
+           |FROM (SELECT qid, cand_id, cos6,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
+           |      FROM pairs) t
+           |WHERE rn <= 5""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextDedup
+
+/** Text analysis over the `documents` table plus the `events` JSON
+  * query — the remaining training-data-pipeline operator family: token
+  * counting (whitespace + BPE-ish regex), quality scoring, language-ID
+  * by marker-token voting, positional document fingerprinting, and
+  * semi-structured extraction. Everything is narrow per-row expression
+  * work (one scan, no shuffle except final aggregates) — exactly the
+  * shape that scales linearly to 100 TB.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** BPE-ish pre-tokenization: word runs or single non-word-non-space. */
+  private val bpeRegex = "[a-z0-9]+|[^a-z0-9 ]"
+
+  /** Marker stopwords per language for the voting lang-ID heuristic. */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"),
+    "es" -> Seq("el", "los", "una"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace tokens, BPE-ish pieces, actual chars —
+    // and the n_chars metadata-vs-reality check a pipeline validates on
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(bpeRegex), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        (length(col("text")) === col("n_chars")).as("n_chars_ok"))),
+
+    // quality scoring: length, mean token length, stopword ratio,
+    // distinct-token ratio; a composite keep/drop flag
+    "text_quality" -> ((s, dir) => {
+      val toks = split(TextDedup.normalize(col("text")), " ")
+      val nToks = size(toks).cast("double")
+      val stop = array(lit("the"), lit("a"), lit("of"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(length(col("text")).cast("double") / nToks, 6)
+          .as("mean_tok_len"),
+        round(size(array_intersect(toks, stop)).cast("double") / nToks, 6)
+          .as("stopword_kinds_ratio"),
+        round(size(array_distinct(toks)).cast("double") / nToks, 6)
+          .as("distinct_ratio"),
+        (nToks >= 10 && length(col("text")) >= 50).as("keep"))
+    }),
+
+    // language-ID: marker-token votes per language, argmax with a
+    // deterministic tie-break (struct sort: vote desc, then language
+    // name desc); confusion counts against the labeled lang
+    "text_langid" -> ((s, dir) => {
+      val toks = split(TextDedup.normalize(col("text")), " ")
+      val votes = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+        struct(
+          size(array_intersect(toks, array(ms.map(lit): _*))).as("v"),
+          lit(lang).as("l"))
+      }
+      val guessed = sort_array(array(votes: _*), asc = false)
+        .getItem(0).getField("l")
+      docs(s, dir)
+        .select(col("lang"), guessed.as("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // positional fingerprint: order-sensitive but addition-order-free —
+    // sum of (token-hash % 1000003) * position over all tokens, mod 1e9+7;
+    // pure integer math, so engine-portable and shuffle-safe
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(TextDedup.normalize(col("text")), " "))
+            .as(Seq("pos", "tok")))
+        .select(col("doc_id"),
+          ((conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+            % 1000003) * (col("pos") + 1)).as("term"))
+        .groupBy("doc_id")
+        .agg((sum("term") % 1000000007L).as("fingerprint"))),
+
+    // semi-structured extraction from the events props JSON
+    "events_json" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          // exact decimal sum, then one double division — deterministic
+          // under any aggregation order (same trick as agg_avg_decimal)
+          round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double") / count(lit(1)), 6).as("avg_value"))),
+
+    // array function coverage: distinct/sort/first over token arrays
+    "func_array" -> ((s, dir) => {
+      val toks = split(TextDedup.normalize(col("text")), " ")
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        sort_array(toks).getItem(0).as("first_tok"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = {
+    val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val toksSql = s"string_split($normSql, ' ')"
+    Map(
+      "text_tokens" ->
+        s"""SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(lower(text), '$bpeRegex')) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+           |  length(text) = n_chars AS n_chars_ok
+           |FROM documents""".stripMargin,
+
+      "text_quality" ->
+        s"""SELECT doc_id,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  round(CAST(length(text) AS DOUBLE) / len(t), 6) AS mean_tok_len,
+           |  round(CAST(len(list_intersect(list_distinct(t), ['the','a','of'])) AS DOUBLE) / len(t), 6) AS stopword_kinds_ratio,
+           |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_ratio,
+           |  len(t) >= 10 AND length(text) >= 50 AS keep
+           |FROM (SELECT doc_id, text, $toksSql AS t FROM documents) q""".stripMargin,
+
+      "text_langid" -> {
+        val voteStructs = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          s"{'v': len(list_intersect(list_distinct(t), [${ms.map(m => s"'$m'").mkString(",")}])), 'l': '$lang'}"
+        }.mkString(", ")
+        s"""SELECT lang, guessed, count(*) AS n FROM (
+           |  SELECT lang,
+           |    list_reverse_sort([$voteStructs])[1].l AS guessed
+           |  FROM (SELECT lang, $toksSql AS t FROM documents) q1) q2
+           |GROUP BY lang, guessed""".stripMargin
+      },
+
+      "text_fingerprint" ->
+        s"""SELECT doc_id, CAST(sum(term) % 1000000007 AS BIGINT) AS fingerprint FROM (
+           |  SELECT doc_id,
+           |    (CAST('0x' || substr(md5(t[i]), 1, 12) AS BIGINT) % 1000003) * i AS term
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents) q1,
+           |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) q2
+           |) q GROUP BY doc_id""".stripMargin,
+
+      "events_json" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+          |FROM events GROUP BY event_type""".stripMargin,
+
+      "func_array" ->
+        s"""SELECT doc_id,
+           |  CAST(len(t) AS BIGINT) AS n_toks,
+           |  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+           |  list_sort(t)[1] AS first_tok
+           |FROM (SELECT doc_id, $toksSql AS t FROM documents) q""".stripMargin,
+    )
+  }
+}
