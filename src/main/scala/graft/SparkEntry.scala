@@ -26,7 +26,9 @@ object SparkEntry {
     IngestQueries.queries ++
     DedupQueries.queries ++
     SimilarityQueries.queries ++
-    TextQueries.queries
+    TextQueries.queries ++
+    MultimodalQueries.queries ++
+    TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +39,7 @@ object SparkEntry {
     IngestQueries.oracleSql ++
     DedupQueries.oracleSql ++
     SimilarityQueries.oracleSql ++
-    TextQueries.oracleSql
+    TextQueries.oracleSql ++
+    MultimodalQueries.oracleSql ++
+    TemporalQueries.oracleSql
 }

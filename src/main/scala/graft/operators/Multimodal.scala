@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) travels as an
+  * opaque `binary` column with a typed metadata struct beside it, and
+  * decode / feature-extraction runs as *batched* partition-local
+  * transforms — the Spark-side shape a real pipeline needs (schema,
+  * partitioning, batch size), with the actual codec behind a stub.
+  *
+  * ==== STUB BOUNDARY ====
+  * This container has no image/audio libraries. `decodeBatch` is a
+  * deterministic fake that reads "header" bytes off the payload; a real
+  * deployment swaps ONLY its body for a vectorized decoder (JNI/FFI),
+  * keeping the schema, the `mapPartitions` batching, and the plan shape
+  * unchanged. That batching is the point: per-batch amortized codec
+  * setup, bounded memory per task, no driver involvement.
+  *
+  * Scale notes (100 TB): payloads never shuffle — decode is a narrow map
+  * over the scan; only the small extracted-metadata rows flow onward into
+  * joins/aggregations. Partition sizing is controlled by the source
+  * `maxPartitionBytes`, not row count, because rows are megabytes.
+  */
+object Multimodal {
+
+  /** An opaque media row: id + raw bytes (+ declared kind). */
+  final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+
+  /** Typed metadata extracted by "decode". */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+                             height: Long, mode: String)
+
+  /** Deterministic fake decode of one batch — the stub body a real codec
+    * replaces. "Header" fields are read off the first payload bytes;
+    * n_bytes reports the full (virtual) media length.
+    */
+  private def decodeBatch(batch: Seq[(MediaRow, Long)]): Seq[MediaMeta] =
+    batch.map { case (row, fullLen) =>
+      val b = row.payload
+      MediaMeta(
+        doc_id = row.doc_id,
+        n_bytes = fullLen,
+        width = b(0) & 0xff,
+        height = b(1) & 0xff,
+        mode = if (((b(2) & 0xff) % 2) == 0) "rgb" else "gray")
+    }
+
+  /** Decode a media DataFrame (doc_id, kind, payload, full_len) into
+    * typed metadata, `batchSize` rows at a time within each partition.
+    */
+  def decode(media: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("kind"), col("payload"),
+        col("full_len").cast("long"))
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, kind, p, len) => (MediaRow(id, kind, p), len) }
+          .grouped(batchSize)
+          .flatMap(decodeBatch)
+      }
+  }
+
+  /** Synthesize an opaque payload column for the fixtures: the md5 bytes
+    * of the text stand in for a media header; `n_chars` plays the full
+    * media length. Deterministic, so the decode output is
+    * oracle-checkable from `documents` alone.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("image").as("kind"),
+      unhex(md5(col("text"))).as("payload"),
+      col("n_chars").as("full_len"))
+}

@@ -109,6 +109,18 @@ object DeltaQueries {
       val (n, p) = lakePair(s, dir)
       SnapshotDelta.removed(n, p, key)
     }),
+    // R6: the optional dup-key data-quality check — the reference
+    // assumes pid unique per partition (a dup fans out the self-join);
+    // this surfaces per-partition row/key/dup counts so the assumption
+    // is checked, not trusted. One groupBy per partition, no join.
+    "delta_dq_dupkeys" -> ((s, dir) => {
+      val root = AgencyLake.ensure(s, dir)
+      s.read.parquet(root)
+        .groupBy("importdate")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(key)).as("n_keys"),
+          (count(lit(1)) - countDistinct(col(key))).as("n_dup_keys"))
+    }),
     // R5+S8: top-2 partition-value selection over partition *metadata*
     // (directory listing + driver-side sort, mirroring GetDeltaPartitions,
     // agency-delta.go:97-124) — at 100 TB this reads N directory names,
@@ -149,6 +161,16 @@ object DeltaQueries {
       s"""$snapshotCte
          |SELECT p.* FROM prev p
          |WHERE NOT EXISTS (SELECT 1 FROM newest n WHERE n.o_orderkey = p.o_orderkey)""".stripMargin,
+    "delta_dq_dupkeys" ->
+      s"""$snapshotCte
+         |SELECT '2024-01-08' AS importdate, count(*) AS n_rows,
+         |  count(DISTINCT o_orderkey) AS n_keys,
+         |  count(*) - count(DISTINCT o_orderkey) AS n_dup_keys
+         |FROM prev
+         |UNION ALL
+         |SELECT '2024-01-15', count(*), count(DISTINCT o_orderkey),
+         |  count(*) - count(DISTINCT o_orderkey)
+         |FROM newest""".stripMargin,
     // the lake has exactly two snapshot partitions (AgencyLake.ensure);
     // pins the metadata-listing result to the expected pair, newest first
     "delta_partition_pair" ->

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.AsofJoin
+
+/** Temporal operators over the `events` stream table: as-of join
+  * (composed union+carry-forward — see [[graft.operators.AsofJoin]]) and
+  * a Structured Streaming tumbling-window aggregation executed with
+  * `Trigger.AvailableNow` (batch-as-stream), both oracle-checked —
+  * DuckDB's native ASOF JOIN and a batch `date_trunc` reproduce them.
+  */
+object TemporalQueries {
+
+  /** Events with ts truncated to milliseconds (engine-portable boundary
+    * — sub-ms digits differ between Spark's µs timestamps and DuckDB's
+    * ns) and, per (user, ms), only the max event_id kept, so the as-of
+    * pick is unique on both engines.
+    */
+  private def dedupedEvents(s: SparkSession, dir: String,
+                            eventType: String): DataFrame =
+    Tables(s, dir, "events")
+      .where(col("event_type") === eventType)
+      .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
+      .groupBy("user_id", "ts_ms")
+      .agg(max("event_id").as("event_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of: for each purchase, the user's most recent signup at-or-
+    // before it — one shuffle (window), no range explosion
+    "join_asof" -> ((s, dir) => {
+      val purchases = dedupedEvents(s, dir, "purchase")
+        .select(col("user_id"), col("ts_ms").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val signups = dedupedEvents(s, dir, "signup")
+        .select(col("user_id"), col("ts_ms").as("s_ts"),
+          col("event_id").as("signup_id"))
+      AsofJoin.asofJoin(
+          purchases, signups, key = "user_id",
+          leftTime = "p_ts", rightTime = "s_ts",
+          rightId = "signup_id", carried = Seq("signup_id"))
+        .select(col("purchase_id"), col("asof_signup_id").as("signup_id"))
+    }),
+
+    // Structured Streaming: tumbling 1-hour counts per event type,
+    // executed as a stream over the parquet with Trigger.AvailableNow
+    // into a memory sink, then read back as the result
+    "stream_events_window" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val qn = "stream_events_window_sink"
+      s.streams.active.filter(_.name == qn).foreach(_.stop())
+      val q = s.readStream.schema(schema)
+        // file stream sources take a directory; select just the events
+        // file out of the fixture dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("count").as("n"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, date_trunc('millisecond', ts) AS t,
+        |    max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), su AS (
+        |  SELECT user_id, date_trunc('millisecond', ts) AS t,
+        |    max(event_id) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+        |)
+        |SELECT p.purchase_id, su.signup_id
+        |FROM p ASOF JOIN su
+        |  ON p.user_id = su.user_id AND p.t >= su.t""".stripMargin,
+    "stream_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
+}

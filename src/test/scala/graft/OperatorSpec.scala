@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{AsofJoin, Multimodal, TextDedup, VectorSim}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage of the composed operators: as-of join edge cases,
+  * multimodal decode, and dedup helpers.
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left row; " +
+       "ties resolve to the right row (inclusive <=)") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L) // no prior right row -> dropped
+    ).toDF("user_id", "lt", "left_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L),
+      (1L, ts("2024-01-01 12:00:00"), 11L), // equal ts: counts (inclusive)
+      (2L, ts("2024-01-01 09:30:00"), 20L)
+    ).toDF("user_id", "rt", "right_id")
+    val out = AsofJoin.asofJoin(left, right, "user_id", "lt", "rt",
+        "right_id", Seq("right_id"))
+      .select("left_id", "asof_right_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 10L), (101L, 11L)))
+  }
+
+  test("asofJoin equal-time right rows: the max right id wins (determinism)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
+      .toDF("user_id", "lt", "left_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L),
+      (1L, ts("2024-01-01 10:00:00"), 12L),
+      (1L, ts("2024-01-01 10:00:00"), 11L)
+    ).toDF("user_id", "rt", "right_id")
+    val out = AsofJoin.asofJoin(left, right, "user_id", "lt", "rt",
+        "right_id", Seq("right_id"))
+      .select("asof_right_id").as[Long].collect().toSeq
+    assert(out == Seq(12L))
+  }
+
+  test("multimodal decode extracts header fields and full length; " +
+       "batch size smaller than the partition exercises batching") {
+    val media = Seq(
+      (1L, "image", Array[Byte](10, 20, 4, 9), 1000L),
+      (2L, "image", Array[Byte](-1, 0, 3, 9), 7L) // -1 -> unsigned 255
+    ).toDF("doc_id", "kind", "payload", "full_len")
+    val metas = Multimodal.decode(media, batchSize = 1)
+      .collect().sortBy(_.doc_id)
+    assert(metas(0) == Multimodal.MediaMeta(1L, 1000L, 10L, 20L, "rgb"))
+    assert(metas(1) == Multimodal.MediaMeta(2L, 7L, 255L, 0L, "gray"))
+  }
+
+  test("shingles: fewer tokens than n yields no shingles, not a blowup") {
+    val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = TextDedup.shingles(df, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((2L, "a b c"), (2L, "b c d")))
+  }
+
+  test("cosine fold is exact on known vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(2.0, 0.0), Array(1.0, 0.0)))
+      .toDF("a", "b")
+    val out = df.select(VectorSim.cosine(col("a"), col("b"))).as[Double]
+      .collect().toSeq
+    assert(out == Seq(0.0, 1.0))
+  }
+}
