@@ -32,31 +32,43 @@ object TextDedup {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Distinct word n-gram shingles per id: (id, shingle). Documents with
-    * fewer than `n` tokens yield no shingles (guarded — Spark's
-    * `sequence` would otherwise count downward for negative spans).
+  /** Word n-gram shingles per id: (id, shingle). `dedup = true` gives set
+    * semantics (needed for Jaccard); false keeps one row per occurrence
+    * (frequency weights, one less shuffle). Documents with fewer than `n`
+    * tokens yield no shingles (guarded — Spark's `sequence` would
+    * otherwise count downward for negative spans).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String,
-               n: Int = 3): DataFrame = {
-    df.select(col(idCol).as("doc_id"),
+               n: Int = 3, dedup: Boolean = true): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("doc_id"),
         split(normalize(col(textCol)), " ").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"
       )).as("shingle"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
   }
 
-  /** Min-wise signature: for each of `numHashes` seeded hash functions,
-    * the minimum of `md5('<prefix><i>|' || shingle)` over the doc's
-    * shingles. One groupBy computes every component (columns m0..m{k-1}).
+  /** Min-wise signature: ONE md5 per shingle, sliced into `numHashes`
+    * 4-hex-char (16-bit) components; each component's per-doc minimum is
+    * one signature entry. Slicing a single digest instead of hashing
+    * `numHashes` times is the standard economy variant — the rare extra
+    * band collisions it admits are removed by the exact-Jaccard verify
+    * stage. One groupBy computes every component (columns m0..m{k-1});
+    * duplicate shingles don't affect a min, so either shingle stream
+    * (dedup'd or not) yields the same signature.
     */
   def minhashSignature(sh: DataFrame, numHashes: Int = 8,
-                       seedPrefix: String = "mh"): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(md5(concat(lit(s"${seedPrefix}0|"), col("shingle")))).as("m0"),
-      (1 until numHashes).map(i =>
-        min(md5(concat(lit(s"$seedPrefix$i|"), col("shingle")))).as(s"m$i")): _*)
+                       seedPrefix: String = "mh"): DataFrame = {
+    require(numHashes <= 8, "32 hex chars / 4 per slice = max 8 components")
+    val h = md5(concat(lit(s"$seedPrefix|"), col("shingle")))
+    sh.select(col("doc_id"), h.as("h"))
+      .groupBy("doc_id").agg(
+        min(substring(col("h"), 1, 4)).as("m0"),
+        (1 until numHashes).map(i =>
+          min(substring(col("h"), 4 * i + 1, 4)).as(s"m$i")): _*)
+  }
 
   /** Band the signature: `bands` × `rowsPerBand` layout, band key =
     * md5 of the band's concatenated components. Output (doc_id, band, key).
@@ -109,7 +121,9 @@ object TextDedup {
           .as("jaccard"))
   }
 
-  /** 16-bit SimHash per doc from its shingle set: each shingle hashes to a
+  /** 16-bit SimHash per doc from its shingle stream (frequency-weighted:
+    * pass a non-dedup'd stream so repeated shingles vote repeatedly —
+    * the classic form, and one less shuffle): each shingle hashes to a
     * 60-bit integer (first 15 hex chars of md5); per bit position the
     * ±1 votes are summed and the sign becomes the bit. Ties (sum == 0)
     * count as 1 — fixed so the result is engine-portable.

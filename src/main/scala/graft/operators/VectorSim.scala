@@ -34,21 +34,31 @@ object VectorSim {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Hyperplane `p` as a pseudo-random ±[0,1] vector of dimension
-    * matching `v`, derived from md5 — no RNG state, any engine
-    * reproduces it: component d = (int(md5('hp<p>_<d>')[0:4], 16) % 1001
-    * - 500) / 500.
+  /** Hyperplane `p` as a pseudo-random ±[0,1] vector, derived from md5 —
+    * no RNG state, any engine reproduces it: component d =
+    * (int(md5('hp<p>_<d>')[0:4], 16) % 1001 - 500) / 500.
+    *
+    * Computed once driver-side and embedded as an array literal: deriving
+    * it per row would cost planes×dim md5 calls per vector (the dominant
+    * cost of the whole signature at scale). The Scala md5 here and the
+    * SQL `md5()` agree byte-for-byte, so oracles can re-derive it.
     */
-  def hyperplane(p: Int, v: Column): Column =
-    transform(sequence(lit(0), size(v) - 1), d =>
-      (conv(substring(md5(concat(lit(s"hp${p}_"), d.cast("string"))), 1, 4), 16, 10)
-        .cast("long") % 1001 - 500) / 500.0)
+  def hyperplaneValues(p: Int, dim: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = digest.digest(s"hp${p}_$d".getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 1001 - 500) / 500.0
+    }
+  }
 
   /** 8-bit LSH signature: bit p = (v · hyperplane_p >= 0). Buckets
     * vectors so near-neighbors (small angle) tend to share signatures.
     */
-  def lshSignature(v: Column, planes: Int = 8): Column =
+  def lshSignature(v: Column, planes: Int = 8, dim: Int = 64): Column =
     (0 until planes)
-      .map(p => when(dot(v, hyperplane(p, v)) >= 0, 1 << p).otherwise(0))
+      .map(p => when(
+        dot(v, typedLit(hyperplaneValues(p, dim))) >= 0, 1 << p)
+        .otherwise(0))
       .reduce(_ + _)
 }

@@ -91,7 +91,8 @@ object DedupQueries {
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
     // buckets with >1 doc are dup candidates (no pair explosion).
     "doc_dedup_simhash" -> ((s, dir) => {
-      val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text")
+      val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text",
+        dedup = false)
       TextDedup.simhash16(sh)
         .groupBy("simhash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
@@ -121,14 +122,18 @@ object DedupQueries {
     // embedding near-dup: 8-hyperplane LSH signature buckets, exact
     // cosine re-rank of in-bucket pairs only.
     "emb_dedup_cosine" -> ((s, dir) => {
+      // norm precomputed once per vector: each in-bucket pair costs one
+      // dot-product fold, not three (bit-identical factoring)
       val c = corpusVec(s, dir)
         .withColumn("sig", VectorSim.lshSignature(col("e")))
+        .withColumn("nrm", VectorSim.norm(col("e")))
       val a = c.alias("a")
       val b = c.alias("b")
       a.join(b, col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          VectorSim.cosine(col("a.e"), col("b.e")).as("cos"))
+          (VectorSim.dot(col("a.e"), col("b.e")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
         .where(col("cos") >= 0.99)
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
     }),
@@ -138,15 +143,17 @@ object DedupQueries {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-  private def shinglesCte(corpus: String): String =
+  private def shinglesCte(corpus: String, dedup: Boolean = true): String = {
+    val distinct = if (dedup) "DISTINCT " else ""
     s"""toks AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t FROM $corpus
        |), sh AS (
-       |  SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT ${distinct}doc_id, shingle FROM (
        |    SELECT doc_id,
        |      unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingle
        |    FROM toks WHERE len(t) >= 3) q
        |)""".stripMargin
+  }
 
   private val jaccardSql =
     """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -181,8 +188,9 @@ object DedupQueries {
          |), ${shinglesCte("corpus")},
          |sig AS (
          |  SELECT doc_id,
-         |    ${(0 until 8).map(i => s"min(md5('mh$i|' || shingle)) AS m$i").mkString(",\n    ")}
-         |  FROM sh GROUP BY doc_id
+         |    ${(0 until 8).map(i => s"min(substr(h, ${4 * i + 1}, 4)) AS m$i").mkString(",\n    ")}
+         |  FROM (SELECT doc_id, md5('mh|' || shingle) AS h FROM sh) hs
+         |  GROUP BY doc_id
          |), buckets AS (
          |  ${(0 until 4).map(b =>
              s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS key FROM sig")
@@ -199,7 +207,7 @@ object DedupQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
-         |), ${shinglesCte("corpus")},
+         |), ${shinglesCte("corpus", dedup = false)},
          |votes AS (
          |  SELECT doc_id,
          |    ${(0 until 16).map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")}

@@ -26,13 +26,20 @@ import graft.operators.VectorSim
   */
 object SimilarityQueries {
 
+  /** Corpus with the vector norm precomputed ONCE per row — each top-k
+    * pair then costs a single dot-product fold instead of three (norms
+    * are the dominant per-pair cost otherwise; same IEEE arithmetic, so
+    * the factored form is bit-identical to dot/(sqrt·sqrt) inline).
+    */
   private def base(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), VectorSim.toDoubleArray(col("embedding")).as("e"))
+      .withColumn("nrm", VectorSim.norm(col("e")))
 
   private def querySet(b: DataFrame): DataFrame =
     b.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
 
   private def topk(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("cand_id"))
@@ -50,7 +57,8 @@ object SimilarityQueries {
       val pairs = b.crossJoin(broadcast(querySet(b)))
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),
-          round(VectorSim.cosine(col("qe"), col("e")), 6).as("cos6"))
+          round(VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm")), 6).as("cos6"))
       topk(pairs, 5)
     }),
 
@@ -58,12 +66,13 @@ object SimilarityQueries {
     "sim_topk_ann" -> ((s, dir) => {
       val b = base(s, dir)
         .withColumn("sig", VectorSim.lshSignature(col("e")))
-      val q = querySet(b.select(col("vec_id"), col("e")))
+      val q = querySet(b.select(col("vec_id"), col("e"), col("nrm")))
         .join(b.select(col("vec_id").as("qid"), col("sig").as("qsig")), "qid")
       val pairs = b.join(broadcast(q),
           col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),
-          round(VectorSim.cosine(col("qe"), col("e")), 6).as("cos6"))
+          round(VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm")), 6).as("cos6"))
       topk(pairs, 5)
     }),
   )

@@ -64,6 +64,16 @@ class OperatorSpec extends SparkSpec {
     assert(sh == Set((2L, "a b c"), (2L, "b c d")))
   }
 
+  test("driver-side hyperplane values match the SQL md5 derivation " +
+       "(the oracle recomputes them via SQL)") {
+    val sqlVals = spark.sql(
+      """SELECT transform(sequence(0, 63), d ->
+        |  cast((cast(conv(substring(md5(concat('hp3_', cast(d as string))), 1, 4), 16, 10) as bigint)
+        |   % 1001 - 500) / 500.0 as double))""".stripMargin)
+      .as[Seq[Double]].head()
+    assert(sqlVals == VectorSim.hyperplaneValues(3, 64))
+  }
+
   test("cosine fold is exact on known vectors") {
     val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(2.0, 0.0), Array(1.0, 0.0)))
       .toDF("a", "b")
