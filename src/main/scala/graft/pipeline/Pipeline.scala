@@ -39,6 +39,10 @@ object Pipeline {
   final case class Config(
       stagingDir: String,
       lakeRoot: String,
+      /** weekly archive to unpack into stagingDir before ingest
+        * (reference S2; the SFTP download S1 stays outside the engine).
+        */
+      zipFile: Option[String] = None,
       schemas: Map[String, Seq[String]] =
         Map("Agency_Data" -> AbrSchemas.agencyColumns),
       delimiter: String = "|",
@@ -84,8 +88,10 @@ object Pipeline {
           log: RunLog = new RunLog()): Seq[LakeIngest.Ingested] = {
     log("Starting ABR ETL Process")
     checkDisabled(spark, cfg, log)
-    // extract (SFTP download + unzip) is environment I/O outside the
-    // engine (SURVEY S1/S2): the pipeline starts at the staging dir.
+    cfg.zipFile.foreach { z =>
+      val names = Extract.unzip(z, cfg.stagingDir)
+      log(s"Extracted ${names.size} files from $z")
+    }
     val loaded = LakeIngest.ingest(
       spark, cfg.stagingDir, cfg.lakeRoot, cfg.schemas, cfg.delimiter)
     loaded.foreach(i => log(s"Loaded ${i.file} -> ${i.dataset}/importdate=${i.importdate}"))
@@ -98,6 +104,10 @@ object Pipeline {
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(cfg.stagingDir, i.file))
       }
+      // the reference's CleanUp also unlinks the downloaded archive
+      // (abr-etl.go:52-57)
+      cfg.zipFile.foreach(z =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(z)))
       log(s"Cleaned up ${loaded.size} staging files")
     }
     log("ABR ETL Process complete")

@@ -111,6 +111,20 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // the same fact-fact join over bucketBy(key)-sorted tables: zero
+    // exchange, zero sort in the plan (see BucketedTables scale notes);
+    // result must equal join_fact_fact's oracle exactly
+    "join_bucketed" -> ((s, dir) => {
+      val (ot, lt) = graft.sources.BucketedTables.ensure(s, dir)
+      val li = s.table(lt)
+      val o  = s.table(ot)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "join_left_outer" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val o    = t(s, dir, "orders")
@@ -315,6 +329,12 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
     "join_fact_fact" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "join_bucketed" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items

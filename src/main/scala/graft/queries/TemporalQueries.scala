@@ -46,6 +46,27 @@ object TemporalQueries {
         .select(col("purchase_id"), col("asof_signup_id").as("signup_id"))
     }),
 
+    // gap-based sessionization (30-min inactivity closes a session):
+    // lag -> new-session flag -> running sum = session id -> per-session
+    // aggregates. Two windows + one groupBy, all on the user_id shuffle.
+    "events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+      val acc = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("t"))
+        .withColumn("new_session",
+          when(lag(col("t"), 1).over(order).isNull ||
+            unix_millis(col("t")) - unix_millis(lag(col("t"), 1).over(order))
+              > 1800000L, 1).otherwise(0))
+        .withColumn("session_id", sum("new_session").over(acc).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("t").as("session_start"), max("t").as("session_end"))
+    }),
+
     // Structured Streaming: tumbling 1-hour counts per event type,
     // executed as a stream over the parquet with Trigger.AvailableNow
     // into a memory sink, then read back as the result
@@ -92,6 +113,25 @@ object TemporalQueries {
         |SELECT p.purchase_id, su.signup_id
         |FROM p ASOF JOIN su
         |  ON p.user_id = su.user_id AND p.t >= su.t""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('millisecond', ts) AS t
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR epoch_ms(t) - epoch_ms(lag(t) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), s AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS session_start, max(t) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "stream_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n

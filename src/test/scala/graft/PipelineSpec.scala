@@ -79,6 +79,45 @@ class PipelineSpec extends SparkSpec {
     dropAgencyTable()
   }
 
+  test("zip-driven run: archive -> extract -> lake; archive and staging " +
+       "files cleaned up (extract.go:56-63, abr-etl.go:52-57)") {
+    dropAgencyTable()
+    val (staging, lake) = freshDirs()
+    val zip = staging.getParent.resolve("VIC_ABR_Extract.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(zip))
+    zout.putNextEntry(new java.util.zip.ZipEntry("VIC240115_ABR_Agency_Data.txt"))
+    zout.write(Seq(row("p1"), row("p2")).mkString("\n").getBytes("UTF-8"))
+    zout.closeEntry()
+    // path component must be flattened (zip-slip guard)
+    zout.putNextEntry(new java.util.zip.ZipEntry("sub/dir/notes.bin"))
+    zout.write("x".getBytes("UTF-8"))
+    zout.closeEntry()
+    zout.close()
+
+    val cfg = Pipeline.Config(staging.toString, lake.toString,
+      zipFile = Some(zip.toString))
+    val loaded = Pipeline.run(spark, cfg)
+    assert(loaded.map(_.importdate) == Seq("2024-01-15"))
+    assert(Files.isDirectory(
+      lake.resolve("DATA/Agency_Data/importdate=2024-01-15")))
+    assert(!Files.exists(zip), "archive must be cleaned up")
+    assert(Files.exists(staging.resolve("notes.bin")), "flattened decoy kept")
+    dropAgencyTable()
+  }
+
+  test("QueryApi: sql -> single CSV named <query-id>.csv at the output " +
+       "location (agency-delta.go:248-279 contract)") {
+    val out = Files.createTempDirectory("graft-qapi").toString
+    val path = graft.pipeline.QueryApi.query(spark,
+      "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'", out)
+    assert(path.endsWith(".csv"))
+    val lines = Files.readAllLines(Paths.get(
+      path.stripPrefix("file:"))).asScala
+    assert(lines.head == "a,b")
+    assert(lines.tail.toSet == Set("1,x", "2,y"))
+  }
+
   test("kill-switch: content 'disabled' aborts before any load " +
        "(abr-etl.go:59-78); other content does not") {
     dropAgencyTable()
