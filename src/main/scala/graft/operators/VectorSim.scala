@@ -25,9 +25,21 @@ object VectorSim {
 
   /** Sequential left-fold dot product — deterministic element order, so
     * engine-portable bit-for-bit (unlike a shuffled SUM of products).
+    *
+    * Uses the native codegen expression ([[graft.functions.DotProduct]])
+    * when the session was built with `graft.plans.GraftExtensions`, else
+    * the builtin higher-order fold — identical results either way, but
+    * the native loop stays inside whole-stage codegen (~no per-element
+    * lambda dispatch).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = {
+    val native = try {
+      org.apache.spark.sql.SparkSession.active
+        .catalog.functionExists("graft_dot")
+    } catch { case _: Exception => false }
+    if (native) call_function("graft_dot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -74,6 +74,24 @@ class OperatorSpec extends SparkSpec {
     assert(sqlVals == VectorSim.hyperplaneValues(3, 64))
   }
 
+  test("native graft_dot expression is registered and bit-identical to " +
+       "the higher-order fold") {
+    assert(spark.catalog.functionExists("graft_dot"),
+      "GraftExtensions must register graft_dot in the test session")
+    val df = Seq((Array(1.5, -2.25, 3.125), Array(0.5, 4.0, -1.0)))
+      .toDF("a", "b")
+    val native = df.selectExpr("graft_dot(a, b)").as[Double].head()
+    val fold = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].head()
+    assert(native == fold)
+    assert(native == 1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.0)
+    // null array -> null out (BinaryExpression null-intolerance)
+    val n = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))")
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("cosine fold is exact on known vectors") {
     val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(2.0, 0.0), Array(1.0, 0.0)))
       .toDF("a", "b")
