@@ -92,6 +92,22 @@ object TextQueries {
         .groupBy("doc_id")
         .agg((sum("term") % 1000000007L).as("fingerprint"))),
 
+    // custom typed Aggregator: KMV distinct-count sketch over token
+    // hashes per language — constant memory per group, mergeable
+    // (map-side partials), estimate reproduced exactly by the oracle
+    "text_distinct_kmv" -> ((s, dir) => {
+      val kmv = udaf(new graft.functions.KmvSketch(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      docs(s, dir)
+        .select(col("lang"),
+          explode(split(TextDedup.normalize(col("text")), " ")).as("tok"))
+        .select(col("lang"),
+          conv(substring(md5(col("tok")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("lang")
+        .agg(kmv(col("h")).as("est_distinct"))
+    }),
+
     // semi-structured extraction from the events props JSON
     "events_json" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -156,6 +172,23 @@ object TextQueries {
            |  FROM (SELECT doc_id, $toksSql AS t FROM documents) q1,
            |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) q2
            |) q GROUP BY doc_id""".stripMargin,
+
+      "text_distinct_kmv" ->
+        s"""WITH h AS (
+           |  SELECT DISTINCT lang,
+           |    CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS v
+           |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents) q
+           |), ranked AS (
+           |  SELECT lang, v,
+           |    row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM h)
+           |SELECT lang,
+           |  CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+           |       ELSE 63.0 * 281474976710656.0 /
+           |            CAST(max(CASE WHEN rn = 64 THEN v END) AS DOUBLE)
+           |  END AS est_distinct
+           |FROM ranked GROUP BY lang""".stripMargin,
 
       "events_json" ->
         """SELECT event_type, count(*) AS n,
