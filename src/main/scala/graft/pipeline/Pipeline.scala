@@ -54,7 +54,12 @@ object Pipeline {
         */
       transform: Option[(SparkSession, Config, RunLog) => Unit] = None,
       /** delete staging files after successful load (reference S10). */
-      cleanup: Boolean = true)
+      cleanup: Boolean = true,
+      /** run id naming the persisted log stream (reference O5 names its
+        * CloudWatch stream per run, abr-etl.go:43-50); None disables
+        * persistence.
+        */
+      runId: Option[String] = None)
 
   def tableName(dataset: String): String = s"abr_weekly_${dataset.toLowerCase}"
 
@@ -111,6 +116,18 @@ object Pipeline {
       log(s"Cleaned up ${loaded.size} staging files")
     }
     log("ABR ETL Process complete")
+    // O5: persist the structured event stream, one JSON object per line,
+    // under LOGS/<runId>.jsonl (the CloudWatch-stream analog)
+    cfg.runId.foreach { id =>
+      val dir = java.nio.file.Paths.get(cfg.lakeRoot, "LOGS")
+      java.nio.file.Files.createDirectories(dir)
+      val lines = log.events.zipWithIndex.map { case (m, i) =>
+        val esc = m.replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"seq":$i,"run":"$id","message":"$esc"}"""
+      }
+      java.nio.file.Files.writeString(
+        dir.resolve(s"$id.jsonl"), lines.mkString("\n"))
+    }
     loaded
   }
 }

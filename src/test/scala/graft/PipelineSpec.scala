@@ -47,8 +47,16 @@ class PipelineSpec extends SparkSpec {
     write(staging, "notes.txt", Seq("decoy - must be ignored"))
 
     val log = new Pipeline.RunLog()
-    val cfg = Pipeline.Config(staging.toString, lake.toString)
+    val cfg = Pipeline.Config(staging.toString, lake.toString,
+      runId = Some("testrun"))
     val loaded = Pipeline.run(spark, cfg, log)
+
+    // O5: structured log stream persisted per run
+    val logFile = lake.resolve("LOGS/testrun.jsonl")
+    assert(Files.exists(logFile))
+    val logLines = Files.readAllLines(logFile).asScala
+    assert(logLines.head.contains("\"seq\":0"))
+    assert(logLines.exists(_.contains("Running Delta Query (Change)")))
 
     assert(loaded.map(_.importdate).sorted == Seq("2024-01-08", "2024-01-15"))
     // lake layout (reference load.go:19-21), gzip files inside
