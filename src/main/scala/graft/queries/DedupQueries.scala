@@ -82,7 +82,11 @@ object DedupQueries {
     // 4 banded buckets -> in-bucket candidate pairs -> exact Jaccard
     // verify. No all-pairs stage anywhere.
     "doc_dedup_minhash" -> ((s, dir) => {
+      // the shingle set feeds four consumers (signature, both sides of
+      // the intersection join, sizes) — persist it so the explode +
+      // distinct runs once, not four times
       val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text")
+        .persist()
       val pairs = TextDedup.candidatePairs(
         TextDedup.bandBuckets(TextDedup.minhashSignature(sh)))
       TextDedup.jaccardVerify(pairs, sh).where(col("jaccard") >= 0.6)
@@ -115,7 +119,7 @@ object DedupQueries {
             col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      val sh = TextDedup.shingles(c, "doc_id", "text")
+      val sh = TextDedup.shingles(c, "doc_id", "text").persist()
       TextDedup.jaccardVerify(pairs, sh).where(col("jaccard") >= 0.5)
     }),
 
