@@ -122,6 +122,17 @@ object TextQueries {
           round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double") / count(lit(1)), 6).as("avg_value"))),
 
+    // map function coverage: props parsed as map<string,bigint>, keys
+    // listed and values extracted through map element access
+    "func_map" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), lit("map<string,bigint>")).as("m"))
+        .select(col("event_id"),
+          map_keys(col("m")).getItem(0).as("first_key"),
+          element_at(col("m"), "k").as("k_value"))
+        .where(col("event_id") % 10 === 0)),
+
     // array function coverage: distinct/sort/first over token arrays
     "func_array" -> ((s, dir) => {
       val toks = split(TextDedup.normalize(col("text")), " ")
@@ -195,6 +206,12 @@ object TextQueries {
           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
           |FROM events GROUP BY event_type""".stripMargin,
+
+      "func_map" ->
+        """SELECT event_id,
+          |  json_keys(props)[1] AS first_key,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+          |FROM events WHERE event_id % 10 = 0""".stripMargin,
 
       "func_array" ->
         s"""SELECT doc_id,

@@ -54,23 +54,34 @@ object LakeIngest {
       delimiter: String = "|"): Seq[Ingested] = {
     val files = Files.list(Paths.get(stagingDir)).iterator().asScala
       .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq.sorted
-    for {
+    val matched = for {
       f <- files
       c <- DatasetRegistry.classify(f).toSeq
       cols <- schemas.get(c.dataset).toSeq
-    } yield {
-      spark.read
-        .schema(stringSchema(cols))
-        .option("sep", delimiter)
-        .option("header", "false")
-        .csv(s"$stagingDir/$f")
-        .write
-        .mode("overwrite") // re-ingest of the same snapshot replaces it
-        .option("sep", delimiter)
-        .option("compression", "gzip")
-        .csv(s"${dataPath(lakeRoot, c.dataset)}/importdate=${c.importdate}")
-      Ingested(f, c.dataset, c.importdate)
+    } yield (f, c, cols)
+    // one Spark job per staging file, submitted concurrently (reference
+    // O2: goroutine-per-file upload, load.go:60-88 — Spark's scheduler
+    // interleaves the jobs' tasks; distinct (dataset, importdate) targets
+    // never collide)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = matched.map { case (f, c, cols) =>
+      Future {
+        spark.read
+          .schema(stringSchema(cols))
+          .option("sep", delimiter)
+          .option("header", "false")
+          .csv(s"$stagingDir/$f")
+          .write
+          .mode("overwrite") // re-ingest of the same snapshot replaces it
+          .option("sep", delimiter)
+          .option("compression", "gzip")
+          .csv(s"${dataPath(lakeRoot, c.dataset)}/importdate=${c.importdate}")
+        Ingested(f, c.dataset, c.importdate)
+      }
     }
+    jobs.map(Await.result(_, Duration.Inf))
   }
 
   /** Register the dataset as a partitioned external table and recover its
