@@ -64,6 +64,24 @@ class OperatorSpec extends SparkSpec {
     assert(sh == Set((2L, "a b c"), (2L, "b c d")))
   }
 
+  test("saltedJoin returns exactly the plain equi-join result and joins " +
+       "on (key, salt)") {
+    // heavy skew: 1000 rows on one key
+    val skewed = ((1 to 1000).map(i => (42L, s"r$i")) ++
+      Seq((7L, "x"), (9L, "y"))).toDF("k", "payload")
+    val build = Seq((42L, "hot"), (7L, "warm"), (8L, "unmatched"))
+      .toDF("bk", "name")
+    val salted = graft.operators.SkewJoin.saltedJoin(skewed, build, "k", "bk")
+    val plain = skewed.join(build, skewed("k") === build("bk"))
+    assert(salted.count() == 1001)
+    assert(salted.select("k", "payload", "bk", "name").except(
+      plain.select("k", "payload", "bk", "name")).isEmpty)
+    assert(plain.select("k", "payload", "bk", "name").except(
+      salted.select("k", "payload", "bk", "name")).isEmpty)
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("_salt"), "join must key on the salt too")
+  }
+
   test("driver-side hyperplane values match the SQL md5 derivation " +
        "(the oracle recomputes them via SQL)") {
     val sqlVals = spark.sql(
