@@ -62,6 +62,36 @@ object SimilarityQueries {
       topk(pairs, 5)
     }),
 
+    // IVF scale path: coarse-quantize the corpus into cells around a
+    // fixed centroid subset (argmax cosine, deterministic tie-break);
+    // each query probes only its own cell's candidates. Complements the
+    // LSH variant: cells follow the data distribution, signatures don't.
+    "sim_topk_ivf" -> ((s, dir) => {
+      val b = base(s, dir)
+      val cents = b.filter(col("vec_id") % 97 === 1)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"),
+          col("nrm").as("cnrm"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = b.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
+          round(VectorSim.dot(col("e"), col("ce")) /
+            (col("nrm") * col("cnrm")), 6).as("ccos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"),
+          col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("cell").as("qcell"))
+      val pairs = assigned.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm")), 6).as("cos6"))
+      topk(pairs, 5)
+    }),
+
     // scale path: signature buckets first; candidates = bucket-mates
     "sim_topk_ann" -> ((s, dir) => {
       val b = base(s, dir)
@@ -99,6 +129,32 @@ object SimilarityQueries {
            |  SELECT q.qid, b.vec_id AS cand_id,
            |    round(${cos("q.qe", "b.e")}, 6) AS cos6
            |  FROM q JOIN base b ON b.vec_id <> q.qid
+           |)
+           |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
+           |FROM (SELECT qid, cand_id, cos6,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
+           |      FROM pairs) t
+           |WHERE rn <= 5""".stripMargin,
+
+      "sim_topk_ivf" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), cents AS (
+           |  SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id % 97 = 1
+           |), assigned AS (
+           |  SELECT vec_id, e, cent_id AS cell FROM (
+           |    SELECT b.vec_id, b.e, c.cent_id,
+           |      row_number() OVER (PARTITION BY b.vec_id
+           |        ORDER BY round(${cos("b.e", "c.ce")}, 6) DESC, c.cent_id) AS rn
+           |    FROM base b CROSS JOIN cents c) t
+           |  WHERE rn = 1
+           |), q AS (
+           |  SELECT vec_id AS qid, e AS qe, cell AS qcell FROM assigned
+           |  WHERE vec_id % 20 = 0
+           |), pairs AS (
+           |  SELECT q.qid, b.vec_id AS cand_id,
+           |    round(${cos("q.qe", "b.e")}, 6) AS cos6
+           |  FROM q JOIN assigned b ON b.cell = q.qcell AND b.vec_id <> q.qid
            |)
            |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
            |FROM (SELECT qid, cand_id, cos6,
