@@ -41,14 +41,16 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qnrm"))
 
-  private def topk(pairs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("cand_id"))
-    pairs
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+  /** Per-query top-k via the native bounded-heap operator
+    * ([[graft.plans.TopKPerKey]] — O(n log k), k rows resident per key,
+    * no full sort of the candidate stream; falls back to window
+    * row_number without the extension, identical results).
+    */
+  private def topk(pairs: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey
+      .topK(pairs, "qid", Seq(("cos6", true), ("cand_id", false)), k)
       .select(col("qid").as("query_id"), col("cand_id"), col("rank"),
         col("cos6"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // baseline: every query vector against the full corpus, one pass
