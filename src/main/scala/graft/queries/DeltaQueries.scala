@@ -109,6 +109,13 @@ object DeltaQueries {
       val (n, p) = lakePair(s, dir)
       SnapshotDelta.removed(n, p, key)
     }),
+    // alternative delta formulation (SURVEY §2.4 set-ops note): the
+    // UPDATED∪ADDED decomposition is morally a row-level EXCEPT ALL of
+    // the snapshots — one operator, no join, bag semantics
+    "delta_rowdiff" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      n.exceptAll(p)
+    }),
     // R6: the optional dup-key data-quality check — the reference
     // assumes pid unique per partition (a dup fans out the self-join);
     // this surfaces per-partition row/key/dup counts so the assumption
@@ -161,6 +168,9 @@ object DeltaQueries {
       s"""$snapshotCte
          |SELECT p.* FROM prev p
          |WHERE NOT EXISTS (SELECT 1 FROM newest n WHERE n.o_orderkey = p.o_orderkey)""".stripMargin,
+    "delta_rowdiff" ->
+      s"""$snapshotCte
+         |SELECT * FROM newest EXCEPT ALL SELECT * FROM prev""".stripMargin,
     "delta_dq_dupkeys" ->
       s"""$snapshotCte
          |SELECT '2024-01-08' AS importdate, count(*) AS n_rows,
