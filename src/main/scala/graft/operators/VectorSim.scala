@@ -66,6 +66,9 @@ object VectorSim {
 
   /** 8-bit LSH signature: bit p = (v · hyperplane_p >= 0). Buckets
     * vectors so near-neighbors (small angle) tend to share signatures.
+    * Right for NEAR-DUP detection (cos ≈ 1 ⇒ all planes agree w.h.p.);
+    * too selective for general top-k recall — use [[lshTableBuckets]]
+    * there.
     */
   def lshSignature(v: Column, planes: Int = 8, dim: Int = 64): Column =
     (0 until planes)
@@ -73,4 +76,25 @@ object VectorSim {
         dot(v, typedLit(hyperplaneValues(p, dim))) >= 0, 1 << p)
         .otherwise(0))
       .reduce(_ + _)
+
+  /** OR-amplified LSH: `tables` independent hash tables of
+    * `planesPerTable` hyperplanes each (table t uses plane indices
+    * t·planesPerTable+j). A pair is a candidate if it collides in ANY
+    * table — the AND-OR construction that trades candidate volume for
+    * recall; a single w-bit table's collision probability p^w becomes
+    * 1-(1-p^w)^L. Returns array<struct<table,sig>> to explode into
+    * bucket rows.
+    */
+  def lshTableBuckets(v: Column, tables: Int = 4, planesPerTable: Int = 4,
+                      dim: Int = 64): Column = {
+    val entries = (0 until tables).map { t =>
+      val sig = (0 until planesPerTable).map { j =>
+        when(dot(v, typedLit(
+          hyperplaneValues(t * planesPerTable + j, dim))) >= 0, 1 << j)
+          .otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), sig.as("sig"))
+    }
+    array(entries: _*)
+  }
 }

@@ -94,15 +94,29 @@ object SimilarityQueries {
       topk(pairs, 5)
     }),
 
-    // scale path: signature buckets first; candidates = bucket-mates
+    // scale path: OR-amplified LSH — 4 tables × 4 planes; a candidate
+    // collides with the query in ANY table (recall 1-(1-p^4)^4 instead
+    // of a single table's p^8), then exact cosine re-rank of the
+    // deduplicated candidate set
     "sim_topk_ann" -> ((s, dir) => {
       val b = base(s, dir)
-        .withColumn("sig", VectorSim.lshSignature(col("e")))
-      val q = querySet(b.select(col("vec_id"), col("e"), col("nrm")))
-        .join(b.select(col("vec_id").as("qid"), col("sig").as("qsig")), "qid")
-      val pairs = b.join(broadcast(q),
-          col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cand_id"),
+      val buckets = b
+        .select(col("vec_id"),
+          explode(VectorSim.lshTableBuckets(col("e"))).as("tb"))
+        .select(col("vec_id"), col("tb.table").as("t"), col("tb.sig").as("sig"))
+      val qb = buckets.join(
+          b.filter(col("vec_id") % 20 === 0).select("vec_id"), "vec_id")
+        .select(col("vec_id").as("qid"), col("t"), col("sig"))
+      val candIds = buckets.join(broadcast(qb),
+          buckets("t") === qb("t") && buckets("sig") === qb("sig") &&
+            col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"))
+        .distinct()
+      val q = querySet(b)
+      val pairs = candIds
+        .join(b.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cand_id"),
           round(VectorSim.dot(col("qe"), col("e")) /
             (col("qnrm") * col("nrm")), 6).as("cos6"))
       topk(pairs, 5)
@@ -115,12 +129,13 @@ object SimilarityQueries {
   def oracleSql: Map[String, String] = {
     val cos = (a: String, b: String) =>
       s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
-    val sigExpr = (0 until 8).map(p =>
-      s"(CASE WHEN ${dotSql("e", s"h$p")} >= 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
-    val planes = (0 until 8).map(p =>
+    // 4 tables x 4 planes; table t uses hyperplane indices 4t+j
+    val planes = (0 until 16).map(p =>
       s"[(CAST('0x' || substr(md5('hp${p}_' || CAST(d AS VARCHAR)), 1, 4) AS BIGINT) % 1001 - 500)/500.0 FOR d IN range(0, 64)] AS h$p")
       .mkString(",\n    ")
+    def tableSig(t: Int) = (0 until 4).map(j =>
+      s"(CASE WHEN ${dotSql("e", s"h${4 * t + j}")} >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
     Map(
       "sim_topk_brute" ->
         s"""WITH base AS (
@@ -171,13 +186,24 @@ object SimilarityQueries {
            |), base AS (
            |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
            |), sigs AS (
-           |  SELECT vec_id, e, $sigExpr AS sig FROM base CROSS JOIN hp
-           |), q AS (
-           |  SELECT vec_id AS qid, e AS qe, sig FROM sigs WHERE vec_id % 20 = 0
+           |  SELECT vec_id,
+           |    ${(0 until 4).map(t => s"${tableSig(t)} AS sig$t").mkString(",\n    ")}
+           |  FROM base CROSS JOIN hp
+           |), buckets AS (
+           |  ${(0 until 4).map(t =>
+               s"SELECT vec_id, $t AS t, sig$t AS sig FROM sigs")
+               .mkString("\n  UNION ALL ")}
+           |), cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cand_id
+           |  FROM (SELECT * FROM buckets WHERE vec_id % 20 = 0) q
+           |  JOIN buckets b ON b.t = q.t AND b.sig = q.sig
+           |    AND b.vec_id <> q.vec_id
            |), pairs AS (
-           |  SELECT q.qid, b.vec_id AS cand_id,
-           |    round(${cos("q.qe", "b.e")}, 6) AS cos6
-           |  FROM q JOIN sigs b ON b.sig = q.sig AND b.vec_id <> q.qid
+           |  SELECT c.qid, c.cand_id,
+           |    round(${cos("qb.e", "cb.e")}, 6) AS cos6
+           |  FROM cand c
+           |  JOIN base qb ON qb.vec_id = c.qid
+           |  JOIN base cb ON cb.vec_id = c.cand_id
            |)
            |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
            |FROM (SELECT qid, cand_id, cos6,
