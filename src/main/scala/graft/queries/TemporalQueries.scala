@@ -67,6 +67,41 @@ object TemporalQueries {
           min("t").as("session_start"), max("t").as("session_end"))
     }),
 
+    // the same sessionization through the typed API
+    // (KeyValueGroupedDataset.flatMapGroups): per-user events sorted and
+    // walked imperatively — the typed escape hatch for logic awkward as
+    // window algebra. Bounded per-key data is the contract (a user's
+    // events fit one task); result must equal the window formulation,
+    // so it shares events_sessionize's oracle shape.
+    "events_sessionize_typed" -> ((s, dir) => {
+      import s.implicits._
+      val sessions = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (user: Long, it: Iterator[(Long, Long, Long)]) =>
+          val evs = it.map { case (_, id, t) => (t, id) }.toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long)]
+          var sid = 0L; var n = 0L
+          var start = 0L; var end = 0L; var prev = Long.MinValue
+          def flush(): Unit =
+            if (n > 0) out += ((user, sid, n, start, end))
+          evs.foreach { case (t, _) =>
+            if (prev == Long.MinValue || t - prev > 1800000L) {
+              flush(); sid += 1; n = 0; start = t
+            }
+            n += 1; end = t; prev = t
+          }
+          flush()
+          out
+        }
+        .toDF("user_id", "session_id", "n_events", "s_ms", "e_ms")
+      sessions.select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_millis(col("s_ms")).as("session_start"),
+        timestamp_millis(col("e_ms")).as("session_end"))
+    }),
+
     // Structured Streaming: tumbling 1-hour counts per event type,
     // executed as a stream over the parquet with Trigger.AvailableNow
     // into a memory sink, then read back as the result
@@ -113,6 +148,25 @@ object TemporalQueries {
         |SELECT p.purchase_id, su.signup_id
         |FROM p ASOF JOIN su
         |  ON p.user_id = su.user_id AND p.t >= su.t""".stripMargin,
+    "events_sessionize_typed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('millisecond', ts) AS t
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR epoch_ms(t) - epoch_ms(lag(t) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), s AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS session_start, max(t) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('millisecond', ts) AS t
