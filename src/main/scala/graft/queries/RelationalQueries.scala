@@ -87,6 +87,48 @@ object RelationalQueries {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
 
+    // explicit GROUPING SETS (distinct from rollup/cube: arbitrary set
+    // list), via SQL on a temp view
+    "agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // exact percentiles (percentile_disc is order-statistic exact, so
+    // engine-portable — no approx sketch divergence)
+    "agg_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("median_price"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p90_price"))),
+
+    // regex capture groups (F6's regex surface on the query path)
+    "func_regex" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "([0-9]+)-(.*)", 1)
+            .as("prio_num"),
+          regexp_extract(col("o_orderpriority"), "([0-9]+)-(.*)", 2)
+            .as("prio_name"))
+        .where(col("o_orderkey") % 25 === 0)),
+
+    // unpivot (wide -> long), the inverse of the pivot already covered
+    "func_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 199 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")),
+
     // ---- joins ----
     // dimension chain: small tables broadcast (region 5, nation 25 rows)
     "join_dim_chain" -> ((s, dir) => {
@@ -334,6 +376,25 @@ object RelationalQueries {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "func_regex" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '([0-9]+)-(.*)', 1) AS prio_num,
+        |  regexp_extract(o_orderpriority, '([0-9]+)-(.*)', 2) AS prio_name
+        |FROM orders WHERE o_orderkey % 25 = 0""".stripMargin,
+    "func_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 199 = 0)
+        |UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
