@@ -217,6 +217,24 @@ object RelationalQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     }),
 
+    // RANGE frame (value-based, vs the row-based frames elsewhere):
+    // per-key sum over all orders within 10000 price units below the
+    // current one; plus ntile quartiles on the same ordering
+    "window_range_frame" -> ((s, dir) => {
+      // range frame: single numeric order key (ties share a band count,
+      // so tie order can't affect it); ntile: explicit tiebreak for a
+      // total order (ntile DOES depend on row order)
+      val range = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice")).rangeBetween(-10000L, 0L)
+      val ord = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          count(lit(1)).over(range).as("n_in_band"),
+          ntile(4).over(ord).cast("long").as("quartile"))
+    }),
+
     "window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -429,6 +447,13 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     "window_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS INT) AS order_seq,
