@@ -63,6 +63,41 @@ object Multimodal {
       }
   }
 
+  /** One sampled "video" frame: index + a checksum derived from the
+    * payload header (stub for a real frame decode).
+    */
+  final case class Frame(doc_id: Long, frame_idx: Long, checksum: Long)
+
+  /** Frame sampling: treat the payload as a virtual video of
+    * `full_len` bytes in `frameSize`-byte frames and emit every
+    * `every`-th frame — the one-to-many decode shape (flatMap inside the
+    * batch loop). A real implementation seeks into the container per
+    * sampled frame; the stub checksums off the header byte. Sampling
+    * happens AT the decode boundary so unsampled frames are never
+    * materialized — at 100 TB that's the difference between shuffling
+    * sampled frames and shuffling whole videos.
+    */
+  def sampleFrames(media: DataFrame, every: Int = 7,
+                   frameSize: Int = 1000, batchSize: Int = 64): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"),
+        col("full_len").cast("long"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, p, len) =>
+            val nFrames = len / frameSize
+            val b0 = p(0) & 0xff
+            (0L until nFrames).filter(_ % every == 0).map { i =>
+              Frame(id, i, (i * b0) % 256)
+            }
+          }
+        }
+      }
+  }
+
   /** Synthesize an opaque payload column for the fixtures: the md5 bytes
     * of the text stand in for a media header; `n_chars` plays the full
     * media length. Deterministic, so the decode output is

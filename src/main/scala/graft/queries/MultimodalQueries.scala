@@ -20,6 +20,14 @@ object MultimodalQueries {
       Multimodal.decode(
         Multimodal.syntheticMedia(Tables(s, dir, "documents"))).toDF()),
 
+    // one-to-many frame sampling at the decode boundary (50-byte
+    // virtual frames, every 3rd sampled; unsampled frames never
+    // materialize)
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(Tables(s, dir, "documents")),
+        every = 3, frameSize = 50).toDF()),
+
     // downstream-of-decode aggregation: only the small metadata rows
     // reach the shuffle, never the payloads
     "mm_mode_stats" -> ((s, dir) =>
@@ -41,6 +49,13 @@ object MultimodalQueries {
          |  ${byteSql(1)} AS height,
          |  CASE WHEN ${byteSql(2)} % 2 = 0 THEN 'rgb' ELSE 'gray' END AS mode
          |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, i AS frame_idx, (i * b0) % 256 AS checksum
+         |FROM (SELECT doc_id, n_chars // 50 AS nf,
+         |        ${byteSql(0)} AS b0
+         |      FROM documents) d,
+         |  LATERAL (SELECT unnest(range(0, nf)) AS i) q
+         |WHERE i % 3 = 0""".stripMargin,
     "mm_mode_stats" ->
       s"""SELECT mode, count(*) AS n,
          |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
