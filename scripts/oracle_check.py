@@ -17,7 +17,12 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+# Queries intentionally declared without an oracle (non-SQL-expressible);
+# anything else missing from oracle_sql.json is treated as a failure so a
+# typo'd or dropped entry can't silently weaken the gate.
+ALLOW_ROWS_ONLY = set()
 fail = 0
+rows_only = []
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):
@@ -26,6 +31,8 @@ for name in sorted(os.listdir(out)):
     spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
     if name not in oracle:
         print(f"{name}: rows-only ({len(spark_df)} rows)")
+        if name not in ALLOW_ROWS_ONLY:
+            rows_only.append(name)
         continue
     try:
         odf = con.execute(oracle[name]).df()
@@ -46,9 +53,11 @@ for name in sorted(os.listdir(out)):
     hash_ok = False
     if rows_ok and schema_ok:
         try:
-            sr = s.map(lambda v: round(v, 6) if isinstance(v, float) else v)
-            orr = o.map(lambda v: round(v, 6) if isinstance(v, float) else v)
-            hash_ok = sr.astype(str).equals(orr.astype(str))
+            # pandas < 2.1 lacks DataFrame.map (elementwise was applymap)
+            cellmap = getattr(pd.DataFrame, "map", pd.DataFrame.applymap)
+            rnd = lambda v: round(v, 6) if isinstance(v, float) else v
+            hash_ok = cellmap(s, rnd).astype(str).equals(
+                cellmap(o, rnd).astype(str))
         except Exception:
             hash_ok = False
     status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
@@ -57,4 +66,6 @@ for name in sorted(os.listdir(out)):
         print(f"{name}: {status} rows={len(s)}/{len(o)} schema={schema_ok} cols_s={list(s.columns)} cols_o={list(o.columns)}")
     else:
         print(f"{name}: OK ({len(s)} rows)")
-sys.exit(1 if fail else 0)
+if rows_only:
+    print(f"WARN: {len(rows_only)} queries lack oracle entries: {rows_only}")
+sys.exit(1 if (fail or rows_only) else 0)

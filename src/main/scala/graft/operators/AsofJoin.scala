@@ -29,6 +29,14 @@ object AsofJoin {
     * `key`, `rightTime <= leftTime`). Left rows with no prior right row
     * are dropped (inner as-of semantics).
     *
+    * The carried payload travels as ONE struct column that is null
+    * exactly on left rows: `last(_p, ignoreNulls)` therefore skips left
+    * rows but carries a matched right row even when its payload columns
+    * are themselves NULL — a NULL in a carried column neither falls back
+    * to an older right row nor drops the left row (it arrives as NULL,
+    * as a join would deliver it). The struct's presence doubles as the
+    * inner-join existence check.
+    *
     * @param carried right-side columns to carry onto left rows; renamed
     *                with prefix `asof_`.
     */
@@ -55,14 +63,16 @@ object AsofJoin {
     val w = Window.partitionBy("_k")
       .orderBy(col("_t"), col("_side"), col("_rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carriedCols = carried.map(c =>
-      last(col(s"_c_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
+    val payload = when(col("_side") === 0,
+      struct((col("_rid") +: carried.map(c => col(s"_c_$c"))): _*))
     sideL.unionByName(sideR)
-      .select((lCols.map(col) :+ col("_side")) ++ carriedCols: _*)
+      .withColumn("_p", payload)
+      .select((lCols.map(col) :+ col("_side") :+
+        last(col("_p"), ignoreNulls = true).over(w).as("_cp")): _*)
       .where(col("_side") === 1)
-      .drop("_side")
-      // inner as-of: drop left rows with no prior right row (all carried
-      // columns are null together — one check suffices)
-      .where(col(s"asof_${carried.head}").isNotNull)
+      // inner as-of: no prior right row ⇔ no carried struct
+      .where(col("_cp").isNotNull)
+      .select(lCols.map(col) ++
+        carried.map(c => col(s"_cp._c_$c").as(s"asof_$c")): _*)
   }
 }

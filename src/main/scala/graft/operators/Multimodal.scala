@@ -33,17 +33,23 @@ object Multimodal {
 
   /** Deterministic fake decode of one batch — the stub body a real codec
     * replaces. "Header" fields are read off the first payload bytes;
-    * n_bytes reports the full (virtual) media length.
+    * n_bytes reports the full (virtual) media length. A truncated or
+    * empty payload (fewer than 3 header bytes) yields a sentinel row with
+    * mode "invalid" instead of throwing — one malformed upload must not
+    * fail the whole task (and with it a 100 TB decode job).
     */
   private def decodeBatch(batch: Seq[(MediaRow, Long)]): Seq[MediaMeta] =
     batch.map { case (row, fullLen) =>
       val b = row.payload
-      MediaMeta(
-        doc_id = row.doc_id,
-        n_bytes = fullLen,
-        width = b(0) & 0xff,
-        height = b(1) & 0xff,
-        mode = if (((b(2) & 0xff) % 2) == 0) "rgb" else "gray")
+      if (b == null || b.length < 3)
+        MediaMeta(row.doc_id, fullLen, 0L, 0L, "invalid")
+      else
+        MediaMeta(
+          doc_id = row.doc_id,
+          n_bytes = fullLen,
+          width = b(0) & 0xff,
+          height = b(1) & 0xff,
+          mode = if (((b(2) & 0xff) % 2) == 0) "rgb" else "gray")
     }
 
   /** Decode a media DataFrame (doc_id, kind, payload, full_len) into
@@ -88,10 +94,15 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.flatMap { case (id, p, len) =>
-            val nFrames = len / frameSize
-            val b0 = p(0) & 0xff
-            (0L until nFrames).filter(_ % every == 0).map { i =>
-              Frame(id, i, (i * b0) % 256)
+            // malformed payload (no header byte): emit no frames rather
+            // than failing the task — mirrors decodeBatch's sentinel
+            if (p == null || p.isEmpty) Nil
+            else {
+              val nFrames = len / frameSize
+              val b0 = p(0) & 0xff
+              (0L until nFrames).filter(_ % every == 0).map { i =>
+                Frame(id, i, (i * b0) % 256)
+              }
             }
           }
         }

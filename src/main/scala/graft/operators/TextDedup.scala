@@ -85,10 +85,27 @@ object TextDedup {
 
   /** Distinct candidate pairs (id1 < id2) sharing any bucket. The join is
     * keyed on (band, key) — candidates only ever meet inside a bucket.
+    *
+    * `maxBucketSize` is the skew guard: a degenerate band key (e.g. a
+    * boilerplate-heavy corpus collapsing millions of docs into one
+    * bucket) would make the in-bucket self-join quadratic; buckets larger
+    * than the cap are dropped before the join, bounding any bucket's
+    * contribution to maxBucketSize² pairs. Dropping is the standard LSH
+    * trade: a bucket that big is all-boilerplate, near-zero-information
+    * for near-dup ranking, and its members still meet through their other
+    * (informative) bands. The size pre-pass is one groupBy over the
+    * bucket stream — partial-agg cheap.
     */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
-    val a = buckets.alias("a")
-    val b = buckets.alias("b")
+  def candidatePairs(buckets: DataFrame,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    require(maxBucketSize >= 2, "a bucket needs 2 docs to form a pair")
+    val sizes = buckets.groupBy("band", "key")
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= maxBucketSize)
+      .select("band", "key")
+    val capped = buckets.join(sizes, Seq("band", "key"))
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -123,19 +140,30 @@ object TextDedup {
 
   /** 16-bit SimHash per doc from its shingle stream (frequency-weighted:
     * pass a non-dedup'd stream so repeated shingles vote repeatedly —
-    * the classic form, and one less shuffle): each shingle hashes to a
-    * 60-bit integer (first 15 hex chars of md5); per bit position the
-    * ±1 votes are summed and the sign becomes the bit. Ties (sum == 0)
-    * count as 1 — fixed so the result is engine-portable.
+    * the classic form): each shingle hashes to a 60-bit integer (first 15
+    * hex chars of md5); per bit position the ±1 votes are summed and the
+    * sign becomes the bit. Ties (sum == 0) count as 1 — fixed so the
+    * result is engine-portable.
+    *
+    * The occurrence stream is pre-aggregated to `(doc_id, shingle) → cnt`
+    * BEFORE hashing: corpora repeat shingles heavily, so each distinct
+    * (doc, shingle) pair is md5'd once and votes with weight `cnt` —
+    * identical result to per-occurrence voting (a sum over occurrences is
+    * the distinct vote × its multiplicity) at a fraction of the hash
+    * work. A doc's shingle occurrences are co-located in the partition
+    * that exploded them, so the map-side partial collapses the duplicates
+    * and the extra shuffle carries only distinct pairs.
     */
   def simhash16(sh: DataFrame): DataFrame = {
+    val counted = sh.groupBy("doc_id", "shingle")
+      .agg(count(lit(1)).as("cnt"))
     val v = expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
-    val votes = sh.select(col("doc_id"), v.as("v"))
+    val votes = counted.select(col("doc_id"), v.as("v"), col("cnt"))
       .groupBy("doc_id")
       .agg(
-        sum(expr(s"(shiftright(v, 0) & 1) * 2 - 1")).as("b0"),
+        sum(expr(s"((shiftright(v, 0) & 1) * 2 - 1) * cnt")).as("b0"),
         (1 until 16).map(j =>
-          sum(expr(s"(shiftright(v, $j) & 1) * 2 - 1")).as(s"b$j")): _*)
+          sum(expr(s"((shiftright(v, $j) & 1) * 2 - 1) * cnt")).as(s"b$j")): _*)
     val simhash = (0 until 16)
       .map(j => expr(s"if(b$j >= 0, ${1 << j}, 0)"))
       .reduce(_ + _)

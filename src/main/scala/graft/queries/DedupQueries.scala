@@ -84,12 +84,18 @@ object DedupQueries {
     "doc_dedup_minhash" -> ((s, dir) => {
       // the shingle set feeds four consumers (signature, both sides of
       // the intersection join, sizes) — persist it so the explode +
-      // distinct runs once, not four times
+      // distinct runs once, not four times; localCheckpoint materializes
+      // the (small) result eagerly so the cache can be released before
+      // returning — repeated invocations don't accumulate cached blocks
       val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text")
         .persist()
       val pairs = TextDedup.candidatePairs(
         TextDedup.bandBuckets(TextDedup.minhashSignature(sh)))
-      TextDedup.jaccardVerify(pairs, sh).where(col("jaccard") >= 0.6)
+      val out = TextDedup.jaccardVerify(pairs, sh)
+        .where(col("jaccard") >= 0.6)
+        .localCheckpoint()
+      sh.unpersist()
+      out
     }),
 
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
@@ -120,7 +126,11 @@ object DedupQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       val sh = TextDedup.shingles(c, "doc_id", "text").persist()
-      TextDedup.jaccardVerify(pairs, sh).where(col("jaccard") >= 0.5)
+      val out = TextDedup.jaccardVerify(pairs, sh)
+        .where(col("jaccard") >= 0.5)
+        .localCheckpoint() // eager — release the cache before returning
+      sh.unpersist()
+      out
     }),
 
     // embedding near-dup: 8-hyperplane LSH signature buckets, exact

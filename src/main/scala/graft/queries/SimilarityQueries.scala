@@ -65,27 +65,41 @@ object SimilarityQueries {
     }),
 
     // IVF scale path: coarse-quantize the corpus into cells around a
-    // fixed centroid subset (argmax cosine, deterministic tie-break);
-    // each query probes only its own cell's candidates. Complements the
-    // LSH variant: cells follow the data distribution, signatures don't.
+    // FIXED-K centroid set (argmax cosine, deterministic tie-break);
+    // each query probes only its own top cells' candidates. Complements
+    // the LSH variant: cells follow the data distribution, signatures
+    // don't. Centroids are the K vectors with lexicographically smallest
+    // md5('ivf|' || vec_id) — a deterministic hash-sample, so K is
+    // independent of corpus size: assignment costs O(|C|·K) dot products
+    // and the centroid broadcast is O(K) (a corpus-proportional subset
+    // would make assignment quadratic and the broadcast unbounded — the
+    // production fix swaps the hash-sample for sample-trained k-means
+    // with the same K contract).
     "sim_topk_ivf" -> ((s, dir) => {
       val b = base(s, dir)
-      val cents = b.filter(col("vec_id") % 97 === 1)
+      val K = 16
+      val cents = b
+        .withColumn("ch",
+          md5(concat(lit("ivf|"), col("vec_id").cast("string"))))
+        .orderBy("ch").limit(K) // TakeOrderedAndProject: O(K) per task
         .select(col("vec_id").as("cent_id"), col("e").as("ce"),
           col("nrm").as("cnrm"))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = b.crossJoin(broadcast(cents))
+      val ranked = b.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
           round(VectorSim.dot(col("e"), col("ce")) /
             (col("nrm") * col("cnrm")), 6).as("ccos"))
         .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+      val assigned = ranked.where(col("rn") === 1)
         .select(col("vec_id"), col("e"), col("nrm"),
           col("cent_id").as("cell"))
-      val q = assigned.filter(col("vec_id") % 20 === 0)
+      // multi-probe (nprobe = 2): each query searches its top-2 cells —
+      // the standard IVF recall lever; candidates stay unique per query
+      // because each candidate lives in exactly one cell
+      val q = ranked.where(col("vec_id") % 20 === 0 && col("rn") <= 2)
         .select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("nrm").as("qnrm"), col("cell").as("qcell"))
+          col("nrm").as("qnrm"), col("cent_id").as("qcell"))
       val pairs = assigned.join(broadcast(q),
           col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),
@@ -157,17 +171,18 @@ object SimilarityQueries {
         s"""WITH base AS (
            |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
            |), cents AS (
-           |  SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id % 97 = 1
+           |  SELECT vec_id AS cent_id, e AS ce FROM base
+           |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)) LIMIT 16
+           |), ranked AS (
+           |  SELECT b.vec_id, b.e, c.cent_id,
+           |    row_number() OVER (PARTITION BY b.vec_id
+           |      ORDER BY round(${cos("b.e", "c.ce")}, 6) DESC, c.cent_id) AS rn
+           |  FROM base b CROSS JOIN cents c
            |), assigned AS (
-           |  SELECT vec_id, e, cent_id AS cell FROM (
-           |    SELECT b.vec_id, b.e, c.cent_id,
-           |      row_number() OVER (PARTITION BY b.vec_id
-           |        ORDER BY round(${cos("b.e", "c.ce")}, 6) DESC, c.cent_id) AS rn
-           |    FROM base b CROSS JOIN cents c) t
-           |  WHERE rn = 1
+           |  SELECT vec_id, e, cent_id AS cell FROM ranked WHERE rn = 1
            |), q AS (
-           |  SELECT vec_id AS qid, e AS qe, cell AS qcell FROM assigned
-           |  WHERE vec_id % 20 = 0
+           |  SELECT vec_id AS qid, e AS qe, cent_id AS qcell FROM ranked
+           |  WHERE vec_id % 20 = 0 AND rn <= 2
            |), pairs AS (
            |  SELECT q.qid, b.vec_id AS cand_id,
            |    round(${cos("q.qe", "b.e")}, 6) AS cos6

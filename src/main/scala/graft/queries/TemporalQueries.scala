@@ -110,7 +110,6 @@ object TemporalQueries {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val qn = "stream_events_window_sink"
       s.streams.active.filter(_.name == qn).foreach(_.stop())
       val q = s.readStream.schema(schema)

@@ -45,6 +45,24 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(12L))
   }
 
+  test("asofJoin carries a matched right row even when its payload is " +
+       "NULL: no fallback to an older right row, no dropped left row") {
+    val left = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 100L),
+      (2L, ts("2024-01-01 12:00:00"), 200L) // only right row has NULL note
+    ).toDF("user_id", "lt", "left_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, Option("old")),
+      (1L, ts("2024-01-01 11:00:00"), 11L, Option.empty[String]),
+      (2L, ts("2024-01-01 11:00:00"), 20L, Option.empty[String])
+    ).toDF("user_id", "rt", "right_id", "note")
+    val out = AsofJoin.asofJoin(left, right, "user_id", "lt", "rt",
+        "right_id", Seq("right_id", "note"))
+      .select("left_id", "asof_right_id", "asof_note")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(out == Set((100L, 11L, None), (200L, 20L, None)))
+  }
+
   test("multimodal decode extracts header fields and full length; " +
        "batch size smaller than the partition exercises batching") {
     val media = Seq(
@@ -55,6 +73,38 @@ class OperatorSpec extends SparkSpec {
       .collect().sortBy(_.doc_id)
     assert(metas(0) == Multimodal.MediaMeta(1L, 1000L, 10L, 20L, "rgb"))
     assert(metas(1) == Multimodal.MediaMeta(2L, 7L, 255L, 0L, "gray"))
+  }
+
+  test("multimodal decode/sampleFrames survive short payloads: sentinel " +
+       "meta and zero frames instead of a task-killing exception") {
+    val media = Seq(
+      (1L, "image", Array[Byte](10, 20, 4, 9), 1000L),
+      (2L, "image", Array.empty[Byte], 5000L),      // empty upload
+      (3L, "image", Array[Byte](7), 5000L)          // truncated header
+    ).toDF("doc_id", "kind", "payload", "full_len")
+    val metas = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(metas(0).mode == "rgb")
+    assert(metas(1) == Multimodal.MediaMeta(2L, 5000L, 0L, 0L, "invalid"))
+    assert(metas(2) == Multimodal.MediaMeta(3L, 5000L, 0L, 0L, "invalid"))
+    val frames = Multimodal.sampleFrames(media)
+    // empty payload -> no frames; 1-byte payload still has its header
+    // byte, so frame sampling proceeds (5 frames, every 7th -> 1)
+    assert(frames.filter(col("doc_id") === 2L).count() == 0)
+    assert(frames.filter(col("doc_id") === 3L).count() == 1)
+    assert(frames.filter(col("doc_id") === 1L).count() == 1)
+  }
+
+  test("candidatePairs bucket-size cap drops a degenerate band bucket " +
+       "(candidate count stays bounded, informative buckets survive)") {
+    val degenerate = (1 to 100).map(i => (i.toLong, 0, "boilerplate"))
+    val normal = Seq((500L, 1, "k2"), (501L, 1, "k2"))
+    val buckets = (degenerate ++ normal).toDF("doc_id", "band", "key")
+    // uncapped baseline: the degenerate bucket alone contributes
+    // 100*99/2 pairs — the quadratic blowup the cap exists to prevent
+    assert(TextDedup.candidatePairs(buckets,
+      maxBucketSize = Int.MaxValue).count() == 4951L)
+    val capped = TextDedup.candidatePairs(buckets, maxBucketSize = 10)
+    assert(capped.as[(Long, Long)].collect().toSet == Set((500L, 501L)))
   }
 
   test("shingles: fewer tokens than n yields no shingles, not a blowup") {
