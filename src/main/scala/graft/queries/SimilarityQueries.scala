@@ -52,11 +52,36 @@ object SimilarityQueries {
       .select(col("qid").as("query_id"), col("cand_id"), col("rank"),
         col("cos6"))
 
+  /** Fixed 25-id query set for the bounded-|Q| contract (see
+    * `sim_topk_brute_bounded`): the general queries derive
+    * |Q| = |C|/20, which grows with the corpus; this set is constant BY
+    * CONSTRUCTION, so the query broadcast stays O(1) at any data scale.
+    */
+  private val boundedQueryIds: Seq[Long] = (0L until 500L by 20L).toList
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // baseline: every query vector against the full corpus, one pass
     "sim_topk_brute" -> ((s, dir) => {
       val b = base(s, dir)
       val pairs = b.crossJoin(broadcast(querySet(b)))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm")), 6).as("cos6"))
+      topk(pairs, 5)
+    }),
+
+    // the bounded-|Q| variant of the brute baseline: an explicit fixed
+    // query-id list (25 ids), so the broadcast side is constant-size no
+    // matter how large the corpus grows — the contract a production
+    // top-k service holds (queries arrive in bounded batches; they are
+    // not a fixed fraction of the corpus)
+    "sim_topk_brute_bounded" -> ((s, dir) => {
+      val b = base(s, dir)
+      val q = b.filter(col("vec_id").isin(boundedQueryIds: _*))
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val pairs = b.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),
           round(VectorSim.dot(col("qe"), col("e")) /
@@ -156,6 +181,23 @@ object SimilarityQueries {
            |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
            |), q AS (
            |  SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id % 20 = 0
+           |), pairs AS (
+           |  SELECT q.qid, b.vec_id AS cand_id,
+           |    round(${cos("q.qe", "b.e")}, 6) AS cos6
+           |  FROM q JOIN base b ON b.vec_id <> q.qid
+           |)
+           |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
+           |FROM (SELECT qid, cand_id, cos6,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
+           |      FROM pairs) t
+           |WHERE rn <= 5""".stripMargin,
+
+      "sim_topk_brute_bounded" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), q AS (
+           |  SELECT vec_id AS qid, e AS qe FROM base
+           |  WHERE vec_id IN (${boundedQueryIds.mkString(", ")})
            |), pairs AS (
            |  SELECT q.qid, b.vec_id AS cand_id,
            |    round(${cos("q.qe", "b.e")}, 6) AS cos6

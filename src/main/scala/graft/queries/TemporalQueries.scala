@@ -102,6 +102,51 @@ object TemporalQueries {
         timestamp_millis(col("e_ms")).as("session_end"))
     }),
 
+    // The production streaming shape: the same tumbling 1-hour counts,
+    // but APPEND mode with a 2-hour watermark into a file sink — state
+    // is evicted as the watermark passes each window and the sink only
+    // ever receives finalized rows, so neither grows without bound
+    // (contrast stream_events_window below, which demonstrates
+    // complete-mode + memory sink: fine as an oracle harness, wrong at
+    // scale). With AvailableNow the watermark lands at max(ts) - 2h
+    // after the data batch and the trailing no-data batch flushes every
+    // window whose end <= watermark; the last two hours of windows stay
+    // in state — exactly what a resumed stream would finalize next run.
+    // The oracle reproduces that boundary in batch SQL.
+    "stream_events_hourly_append" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_append_").toString
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        // ms truncation (integer floor) so the watermark is engine-portable
+        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("count").as("n"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // explicit schema: the sink dir may contain zero files if every
+      // window were still within the watermark horizon
+      s.read.schema(StructType(Seq(
+          StructField("hour_start", TimestampType),
+          StructField("event_type", StringType),
+          StructField("n", LongType))))
+        .parquet(s"$tmp/out")
+    }),
+
     // Structured Streaming: tumbling 1-hour counts per event type,
     // executed as a stream over the parquet with Trigger.AvailableNow
     // into a memory sink, then read back as the result
@@ -189,5 +234,17 @@ object TemporalQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // append-mode semantics in batch SQL: only windows finalized by the
+    // final watermark (max ms-truncated ts - 2h) are in the sink
+    "stream_events_hourly_append" ->
+      """WITH e AS (
+        |  SELECT date_trunc('millisecond', ts) AS tms, event_type
+        |  FROM events
+        |), wm AS (SELECT max(tms) - INTERVAL 2 HOUR AS w FROM e)
+        |SELECT date_trunc('hour', tms) AS hour_start, event_type,
+        |  count(*) AS n
+        |FROM e, wm
+        |WHERE date_trunc('hour', tms) + INTERVAL 1 HOUR <= w
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

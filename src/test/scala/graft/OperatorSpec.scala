@@ -132,6 +132,27 @@ class OperatorSpec extends SparkSpec {
     assert(planStr.contains("_salt"), "join must key on the salt too")
   }
 
+  test("hotKeySaltedJoin equals the plain equi-join: only hot keys are " +
+       "salted, cold keys take the plain path, degenerate cases hold") {
+    val skewed = ((1 to 1000).map(i => (42L, s"r$i")) ++
+      Seq((7L, "x"), (9L, "y"))).toDF("k", "payload")
+    val build = Seq((42L, "hot"), (7L, "warm"), (8L, "unmatched"))
+      .toDF("bk", "name")
+    val plain = skewed.join(build, skewed("k") === build("bk"))
+      .select("k", "payload", "bk", "name")
+    // threshold 10: only key 42 is hot
+    val hot = graft.operators.SkewJoin.hotKeySaltedJoin(
+        skewed, build, "k", "bk", hotThreshold = 10)
+      .select("k", "payload", "bk", "name")
+    assert(hot.count() == 1001)
+    assert(hot.except(plain).isEmpty && plain.except(hot).isEmpty)
+    // threshold above every frequency: no hot keys — pure plain path
+    val none = graft.operators.SkewJoin.hotKeySaltedJoin(
+        skewed, build, "k", "bk", hotThreshold = 100000)
+      .select("k", "payload", "bk", "name")
+    assert(none.except(plain).isEmpty && plain.except(none).isEmpty)
+  }
+
   test("driver-side hyperplane values match the SQL md5 derivation " +
        "(the oracle recomputes them via SQL)") {
     val sqlVals = spark.sql(

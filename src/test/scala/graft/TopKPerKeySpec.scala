@@ -41,6 +41,33 @@ class TopKPerKeySpec extends SparkSpec {
     assert(n.filter(_._1 == "a").map(_._2) == Seq(3L, 1L))
   }
 
+  test("stress: 1e6 distinct keys stream through one bounded heap " +
+       "(sorted-group exec), with SQLMetrics populated") {
+    // AQE off for this test only, so the exec is reachable by plain tree
+    // walk and its metrics can be read back after execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(2000000L)
+        .select((col("id") % 1000000L).as("k"), col("id").as("v"))
+      val out = TopKPerKey.topK(df, "k", Seq(("v", true)), 1)
+      val plan = out.queryExecution.executedPlan
+      // the key-grouping sort (spillable SortExec) must be planned below
+      assert(plan.toString.contains("Sort"),
+        s"expected a key-group sort under the exec:\n$plan")
+      assert(plan.execute().count() == 1000000L)
+      val exec = plan.collectFirst {
+        case e: graft.plans.TopKPerKeyExec => e }.get
+      assert(exec.metrics("numInputRows").value == 2000000L)
+      assert(exec.metrics("numKeys").value == 1000000L)
+      assert(exec.metrics("numOutputRows").value == 1000000L)
+      // spot check: key 7 keeps max(v) = 1000007 at rank 1
+      val r7 = TopKPerKey.topK(df, "k", Seq(("v", true)), 1)
+        .where(col("k") === 7L).select("v", "rank")
+        .as[(Long, Long)].collect().toSeq
+      assert(r7 == Seq((1000007L, 1L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("k larger than group size yields the whole group, ranked") {
     val out = TopKPerKey.topK(df, "k", Seq(("score", true), ("id", false)), 10)
       .orderBy("k", "rank")
