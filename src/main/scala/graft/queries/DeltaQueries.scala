@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.SnapshotDelta
+import graft.pipeline.AbrSchemas
 import graft.sources.AgencyLake
 
 /** Reference-parity delta queries (SURVEY.md §2.2 R1-R5), oracle-checked.
@@ -67,6 +68,95 @@ object DeltaQueries {
       |  FROM orders WHERE o_orderkey % 17 <> 0
       |)""".stripMargin
 
+  // ----- reference-width (34-column Agency_Data) snapshots ---------------
+  //
+  // The oracle delta queries above use the 6-column `orders` stand-in; the
+  // reference predicate is a 33-way OR over all-string, NULL-rich columns
+  // (agency-delta.go:168-200). These snapshots exercise that exact width:
+  // `pid` + AbrSchemas.agencyCompareAttrs, every value a deterministic
+  // md5-derived string so Spark and DuckDB agree byte-for-byte. Per column
+  // index i (1-based), with h = substr(md5(key || ':' || name), 1, 8):
+  //
+  //   prev[i]   = NULL when (key+i)%11=0, else h
+  //   newest[i] = NULL              when (key+i)%23=0   (value→NULL)
+  //               h when (key+i)%3=0 else NULL,
+  //                                 when (key+i)%11=0   (some NULL→value)
+  //               h || 'X'          when (key+i)%19=0   (visible change)
+  //               h                 otherwise
+  //
+  // Legacy mode sees only the non-null != non-null changes (%19 branch);
+  // null-safe additionally counts the NULL transitions — the same
+  // divergence R3 tests at 5 columns, now at reference width. The Spark
+  // columns and the oracle SQL are generated from the SAME attribute list,
+  // so the two derivations cannot drift.
+
+  private def wideHash(name: String): Column =
+    substring(md5(concat(col(key).cast("string"), lit(":" + name))), 1, 8)
+
+  private def wideHashSql(name: String): String =
+    s"substr(md5(CAST(o_orderkey AS VARCHAR) || ':$name'), 1, 8)"
+
+  def widePrevious(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders").filter(col(key) % 13 =!= 0)
+    val cols = col(key).cast("string").as(AbrSchemas.agencyKey) +:
+      AbrSchemas.agencyCompareAttrs.zipWithIndex.map { case (c, ix) =>
+        val i = ix + 1
+        when((col(key) + i) % 11 === 0, lit(null).cast("string"))
+          .otherwise(wideHash(c)).as(c)
+      }
+    o.select(cols: _*)
+  }
+
+  def wideNewest(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders").filter(col(key) % 17 =!= 0)
+    val cols = col(key).cast("string").as(AbrSchemas.agencyKey) +:
+      AbrSchemas.agencyCompareAttrs.zipWithIndex.map { case (c, ix) =>
+        val i = ix + 1
+        when((col(key) + i) % 23 === 0, lit(null).cast("string"))
+          .when((col(key) + i) % 11 === 0,
+            when((col(key) + i) % 3 === 0, wideHash(c))
+              .otherwise(lit(null).cast("string")))
+          .when((col(key) + i) % 19 === 0, concat(wideHash(c), lit("X")))
+          .otherwise(wideHash(c)).as(c)
+      }
+    o.select(cols: _*)
+  }
+
+  /** Oracle CTEs for the wide snapshots — generated from the same
+    * attribute list as the Spark derivations above.
+    */
+  private def wideSnapshotCte: String = {
+    val prevCols = AbrSchemas.agencyCompareAttrs.zipWithIndex.map {
+      case (c, ix) =>
+        val i = ix + 1
+        s"""    CASE WHEN (o_orderkey + $i) % 11 = 0 THEN NULL
+           |         ELSE ${wideHashSql(c)} END AS $c""".stripMargin
+    }.mkString(",\n")
+    val newCols = AbrSchemas.agencyCompareAttrs.zipWithIndex.map {
+      case (c, ix) =>
+        val i = ix + 1
+        s"""    CASE WHEN (o_orderkey + $i) % 23 = 0 THEN NULL
+           |         WHEN (o_orderkey + $i) % 11 = 0 THEN
+           |           (CASE WHEN (o_orderkey + $i) % 3 = 0
+           |                 THEN ${wideHashSql(c)} ELSE NULL END)
+           |         WHEN (o_orderkey + $i) % 19 = 0 THEN ${wideHashSql(c)} || 'X'
+           |         ELSE ${wideHashSql(c)} END AS $c""".stripMargin
+    }.mkString(",\n")
+    s"""WITH prev AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS pid,
+       |$prevCols
+       |  FROM orders WHERE o_orderkey % 13 <> 0
+       |), newest AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS pid,
+       |$newCols
+       |  FROM orders WHERE o_orderkey % 17 <> 0
+       |)""".stripMargin
+  }
+
+  private def widePredicateSql(op: String): String =
+    AbrSchemas.agencyCompareAttrs
+      .map(c => s"n.$c $op p.$c").mkString("\n    OR ")
+
   /** The two snapshots read back from the real `importdate=`-partitioned
     * lake (graft.sources.AgencyLake) — each read is partition-pruned to a
     * single directory, exactly like the reference's
@@ -95,6 +185,18 @@ object DeltaQueries {
       val (n, p) = lakePair(s, dir)
       SnapshotDelta.updated(n, p, key, compareAttrs, SnapshotDelta.NullSafe)
     }),
+    // R1+R3 at reference width: the full 34-column Agency_Data shape
+    // (1 key + 33 all-string NULL-rich compared attrs), legacy mode —
+    // the 33-way OR disjunction exactly as agency-delta.go:168-200
+    "delta_updated_wide" -> ((s, dir) =>
+      SnapshotDelta.updated(wideNewest(s, dir), widePrevious(s, dir),
+        AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
+        SnapshotDelta.Legacy)),
+    // same width, null-safe mode: NULL transitions across all 33 columns
+    "delta_updated_wide_nullsafe" -> ((s, dir) =>
+      SnapshotDelta.updated(wideNewest(s, dir), widePrevious(s, dir),
+        AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
+        SnapshotDelta.NullSafe)),
     // R4 intent: anti-join
     "delta_added" -> ((s, dir) => {
       val (n, p) = lakePair(s, dir)
@@ -157,6 +259,14 @@ object DeltaQueries {
          |   OR n.o_totalprice IS DISTINCT FROM p.o_totalprice
          |   OR n.o_orderdate IS DISTINCT FROM p.o_orderdate
          |   OR n.o_orderpriority IS DISTINCT FROM p.o_orderpriority""".stripMargin,
+    "delta_updated_wide" ->
+      s"""$wideSnapshotCte
+         |SELECT n.* FROM newest n JOIN prev p ON n.pid = p.pid
+         |WHERE ${widePredicateSql("<>")}""".stripMargin,
+    "delta_updated_wide_nullsafe" ->
+      s"""$wideSnapshotCte
+         |SELECT n.* FROM newest n JOIN prev p ON n.pid = p.pid
+         |WHERE ${widePredicateSql("IS DISTINCT FROM")}""".stripMargin,
     "delta_added" ->
       s"""$snapshotCte
          |SELECT n.* FROM newest n
