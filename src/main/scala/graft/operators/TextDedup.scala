@@ -67,7 +67,11 @@ object TextDedup {
       .groupBy("doc_id").agg(
         min(substring(col("h"), 1, 4)).as("m0"),
         (1 until numHashes).map(i =>
-          min(substring(col("h"), 4 * i + 1, 4)).as(s"m$i")): _*)
+          min(substring(col("h"), 4 * i + 1, 4)).as(s"m$i")) :+
+          // shingle-set size rides along in the SAME aggregation — the
+          // Jaccard verify stage needs |set| per doc, and computing it
+          // here saves a second full scan+shuffle of the shingle table
+          count(lit(1)).as("sz"): _*)
   }
 
   /** Band the signature: `bands` × `rowsPerBand` layout, band key =
@@ -99,11 +103,14 @@ object TextDedup {
   def candidatePairs(buckets: DataFrame,
                      maxBucketSize: Int = 1000): DataFrame = {
     require(maxBucketSize >= 2, "a bucket needs 2 docs to form a pair")
-    val sizes = buckets.groupBy("band", "key")
-      .agg(count(lit(1)).as("_bsz"))
+    // bucket-size cap via a window over the SAME (band, key) partitioning
+    // the self-join needs — one shuffle for cap + join-side layout,
+    // instead of a groupBy + rejoin (two)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val capped = buckets
+      .withColumn("_bsz", count(lit(1)).over(w))
       .where(col("_bsz") <= maxBucketSize)
-      .select("band", "key")
-    val capped = buckets.join(sizes, Seq("band", "key"))
+      .drop("_bsz")
     val a = capped.alias("a")
     val b = capped.alias("b")
     a.join(b,
@@ -115,12 +122,31 @@ object TextDedup {
 
   /** Exact Jaccard over the shingle sets of candidate pairs. Intersection
     * via a shingle-keyed join (bounded by candidate count × shared
-    * shingles — never all-pairs), sizes via per-doc counts.
+    * shingles — never all-pairs), sizes via per-doc counts (pass a
+    * precomputed `sizes` (doc_id, sz) — e.g. the one riding on
+    * [[minhashSignature]] — to skip that scan).
+    *
+    * Both intersection sides are pre-filtered to CANDIDATE docs via a
+    * broadcast semi-join on the pair ids: candidates are a tiny fraction
+    * of the corpus (that's the point of LSH), so the (doc_id, shingle)
+    * shuffle carries only their shingles instead of the whole table's —
+    * at 100 TB this is the difference between shuffling the corpus and
+    * shuffling the suspects.
+    *
+    * `pairs` is consumed twice (the id filter and the intersection join)
+    * — persist or checkpoint it at the call site so the LSH pipeline that
+    * produced it doesn't run twice.
     */
-  def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.alias("sa")
-    val b = sh.alias("sb")
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame,
+                    sizes: Option[DataFrame] = None): DataFrame = {
+    val sz = sizes.getOrElse(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("sz")))
+    val candIds = pairs.select(col("id1").as("doc_id"))
+      .unionByName(pairs.select(col("id2").as("doc_id")))
+      .distinct()
+    val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val a = shCand.alias("sa")
+    val b = shCand.alias("sb")
     val inter = pairs.alias("p")
       .join(a, col("p.id1") === col("sa.doc_id"))
       .join(b, col("p.id2") === col("sb.doc_id") &&
@@ -128,9 +154,9 @@ object TextDedup {
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "id1")
+      .join(sz.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2")
+      .join(sz.withColumnRenamed("doc_id", "id2")
         .withColumnRenamed("sz", "sz2"), "id2")
       .select(col("id1"), col("id2"),
         (col("inter").cast("double") /

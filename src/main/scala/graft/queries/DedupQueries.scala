@@ -89,11 +89,19 @@ object DedupQueries {
       // returning — repeated invocations don't accumulate cached blocks
       val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text")
         .persist()
-      val pairs = TextDedup.candidatePairs(
-        TextDedup.bandBuckets(TextDedup.minhashSignature(sh)))
-      val out = TextDedup.jaccardVerify(pairs, sh)
+      // signature + shingle-set size in ONE aggregation over sh; sig is
+      // one row per doc, cheap to persist for its two consumers
+      val sig = TextDedup.minhashSignature(sh).persist()
+      // pairs feed jaccardVerify twice (id filter + intersection join) —
+      // persist so the banded-LSH subtree runs once
+      val pairs = TextDedup.candidatePairs(TextDedup.bandBuckets(sig))
+        .persist()
+      val out = TextDedup.jaccardVerify(pairs, sh,
+          sizes = Some(sig.select("doc_id", "sz")))
         .where(col("jaccard") >= 0.6)
         .localCheckpoint()
+      pairs.unpersist()
+      sig.unpersist()
       sh.unpersist()
       out
     }),
@@ -125,10 +133,12 @@ object DedupQueries {
             col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .persist() // consumed twice inside jaccardVerify
       val sh = TextDedup.shingles(c, "doc_id", "text").persist()
       val out = TextDedup.jaccardVerify(pairs, sh)
         .where(col("jaccard") >= 0.5)
         .localCheckpoint() // eager — release the cache before returning
+      pairs.unpersist()
       sh.unpersist()
       out
     }),

@@ -187,14 +187,20 @@ object DeltaQueries {
     }),
     // R1+R3 at reference width: the full 34-column Agency_Data shape
     // (1 key + 33 all-string NULL-rich compared attrs), legacy mode —
-    // the 33-way OR disjunction exactly as agency-delta.go:168-200
+    // the 33-way OR disjunction exactly as agency-delta.go:168-200. The
+    // snapshots are read back from a materialized importdate= lake
+    // (AgencyLake.ensureWide) so each side is a pruned parquet scan.
     "delta_updated_wide" -> ((s, dir) =>
-      SnapshotDelta.updated(wideNewest(s, dir), widePrevious(s, dir),
+      SnapshotDelta.updated(
+        AgencyLake.wideSnapshot(s, dir, AgencyLake.newestDate),
+        AgencyLake.wideSnapshot(s, dir, AgencyLake.previousDate),
         AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
         SnapshotDelta.Legacy)),
     // same width, null-safe mode: NULL transitions across all 33 columns
     "delta_updated_wide_nullsafe" -> ((s, dir) =>
-      SnapshotDelta.updated(wideNewest(s, dir), widePrevious(s, dir),
+      SnapshotDelta.updated(
+        AgencyLake.wideSnapshot(s, dir, AgencyLake.newestDate),
+        AgencyLake.wideSnapshot(s, dir, AgencyLake.previousDate),
         AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
         SnapshotDelta.NullSafe)),
     // R4 intent: anti-join

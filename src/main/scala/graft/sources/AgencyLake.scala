@@ -26,7 +26,17 @@ object AgencyLake {
   /** Bump when the snapshot derivation changes — keys the materialized
     * path so stale lakes from older code are never reused.
     */
-  private val DerivationVersion = 2
+  private val DerivationVersion = 3
+
+  /** Files per snapshot partition. A snapshot written as ONE parquet file
+    * under `maxPartitionBytes` scans as ONE task — zero scan parallelism,
+    * and the whole side funnels through a single shuffle writer. Spreading
+    * each `importdate=` dir over a fixed file count keeps the scan and the
+    * first shuffle stage parallel at any executor count (at 100 TB the
+    * writer's natural task count does this for free; a local derivation
+    * has to ask for it).
+    */
+  private val SnapshotFiles = 16
 
   val previousDate = "2024-01-08"
   val newestDate   = "2024-01-15"
@@ -51,6 +61,7 @@ object AgencyLake {
       val newer = DeltaQueries.newest(spark, sfDir)
         .withColumn("importdate", lit(newestDate))
       prev.unionByName(newer)
+        .repartition(SnapshotFiles, col("importdate"), col(DeltaQueries.key))
         .write.mode("overwrite")
         .partitionBy("importdate")
         .parquet(root)
@@ -65,6 +76,45 @@ object AgencyLake {
     */
   def snapshot(spark: SparkSession, sfDir: String, importdate: String): DataFrame =
     spark.read.parquet(ensure(spark, sfDir))
+      .where(col("importdate") === lit(importdate))
+      .drop("importdate")
+
+  /** Root of the reference-width (34-column) snapshot table. */
+  def wideRoot(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-lake-v$DerivationVersion-$key/agency_wide"
+  }
+
+  /** Materialize the reference-width snapshots (pid + 33 all-string
+    * NULL-rich attrs, DeltaQueries.widePrevious/wideNewest) as the same
+    * `importdate=`-partitioned layout. The 33-md5-per-row derivation runs
+    * exactly once per sf dir; every wide delta after that is a
+    * partition-pruned parquet scan — the shape the reference actually
+    * runs (stored weekly snapshots, not per-query synthesis).
+    */
+  def ensureWide(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = wideRoot(sfDir)
+    val fs = FileSystem.get(
+      new java.net.URI(s"file://$root"),
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      val prev = DeltaQueries.widePrevious(spark, sfDir)
+        .withColumn("importdate", lit(previousDate))
+      val newer = DeltaQueries.wideNewest(spark, sfDir)
+        .withColumn("importdate", lit(newestDate))
+      prev.unionByName(newer)
+        .repartition(SnapshotFiles, col("importdate"), col("pid"))
+        .write.mode("overwrite")
+        .partitionBy("importdate")
+        .parquet(root)
+    }
+    root
+  }
+
+  /** One wide snapshot = one pruned `importdate=` partition. */
+  def wideSnapshot(spark: SparkSession, sfDir: String,
+                   importdate: String): DataFrame =
+    spark.read.parquet(ensureWide(spark, sfDir))
       .where(col("importdate") === lit(importdate))
       .drop("importdate")
 
