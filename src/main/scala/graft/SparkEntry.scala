@@ -25,6 +25,7 @@ object SparkEntry {
     RelationalQueries.queries ++
     IngestQueries.queries ++
     DedupQueries.queries ++
+    CurationQueries.queries ++
     SimilarityQueries.queries ++
     TextQueries.queries ++
     MultimodalQueries.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
     RelationalQueries.oracleSql ++
     IngestQueries.oracleSql ++
     DedupQueries.oracleSql ++
+    CurationQueries.oracleSql ++
     SimilarityQueries.oracleSql ++
     TextQueries.oracleSql ++
     MultimodalQueries.oracleSql ++

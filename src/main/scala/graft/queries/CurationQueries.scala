@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextDedup
+import graft.plans.TopKPerKey
+
+/** Training-data curation operators over the `documents` corpus — the
+  * selection / mixing / leakage-control side of an LLM data pipeline
+  * (complementing the dedup family in [[DedupQueries]]):
+  *
+  *  - '''stratified sampling''': per-stratum keep rates applied via a
+  *    deterministic content-independent hash — reproducible at any scale
+  *    and across engines (no `rand()`: a resampled run, a retried task,
+  *    and the DuckDB oracle all pick the same rows).
+  *  - '''weighted source mixing''': fixed per-source quotas filled in
+  *    hash order — the "data recipe" step that composes a training mix
+  *    from heterogeneous sources; hash order makes the quota fill a
+  *    deterministic uniform draw.
+  *  - '''decontamination''': eval-set leakage detection by n-gram
+  *    overlap through an inverted shingle index — the standard
+  *    benchmark-contamination check, with a stop-shingle cap bounding
+  *    the index fanout.
+  *  - '''token histogram''': corpus-level length distribution — the
+  *    basic curation diagnostic.
+  *
+  * Scale notes (100 TB): sampling and histogram are single-pass
+  * (sampling is a stateless per-row filter — no shuffle at all; the
+  * histogram is one partial-agg'd groupBy). Mixing is one shuffle on
+  * `source` through [[TopKPerKey]]'s bounded heap (k rows resident per
+  * source, never a full sort). Decontamination joins eval shingles to
+  * train shingles keyed on the shingle — an inverted index, bounded by
+  * the stop-shingle cap exactly like the LSH bucket cap: a shingle in
+  * >N train docs is boilerplate, carries no leakage signal, and would
+  * otherwise fan out quadratically.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Deterministic per-mille hash in [0, 1000) — engine-portable
+    * (md5 hex → first 8 chars → int), keyed by a salt so independent
+    * sampling decisions use independent hashes.
+    */
+  private def hashMille(salt: String, id: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$salt|"), id.cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000
+
+  private def hashMilleSql(salt: String, id: String) =
+    s"CAST('0x' || substr(md5('$salt|' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) % 1000"
+
+  /** Per-language keep rates (per mille). */
+  private val strataRates: Seq[(Seq[String], Int)] = Seq(
+    Seq("en") -> 300, Seq("de", "fr") -> 150)
+  private val defaultRate = 50
+
+  /** Per-source quotas for the weighted mix. */
+  private def quotaCol = when(col("source").isin("src0", "src1"), 40)
+    .when(col("source").isin("src2", "src3"), 20)
+    .otherwise(10)
+  private val quotaSql =
+    """CASE WHEN source IN ('src0','src1') THEN 40
+      |     WHEN source IN ('src2','src3') THEN 20
+      |     ELSE 10 END""".stripMargin
+  private val maxQuota = 40
+
+  /** Shingles occurring in more than this many train docs are dropped
+    * from the decontamination index (boilerplate carries no signal).
+    */
+  private val stopShingleCap = 100
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // stratified sampling: keep iff hash(doc_id) < rate(lang). Stateless
+    // per-row filter — no shuffle, no state, reproducible under retry.
+    "cur_sample_stratified" -> ((s, dir) => {
+      val rate = strataRates.foldRight(lit(defaultRate)) {
+        case ((langs, r), acc) => when(col("lang").isin(langs: _*), r).otherwise(acc)
+      }
+      docs(s, dir)
+        .where(hashMille("smp", col("doc_id")) < rate)
+        .select("doc_id", "lang", "source")
+    }),
+
+    // weighted mixing: fill each source's quota in hash order — one
+    // bounded-heap top-k per source (TopKPerKey), then the per-source
+    // quota cut. Ordering (hash, doc_id) is total, so ranks are exact.
+    "cur_mix_weighted" -> ((s, dir) => {
+      val withHash = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("h"))
+      TopKPerKey.topK(withHash, "source",
+          Seq(("h", false), ("doc_id", false)), maxQuota)
+        .where(col("rank") <= quotaCol)
+        .select("source", "doc_id", "rank")
+    }),
+
+    // decontamination: an eval doc is "contaminated" when a large
+    // fraction of its 3-gram shingles appear in a single train doc.
+    // Inverted-index join on the shingle, stop-shingle cap bounds the
+    // fanout; report (eval, train) pairs with >= 80% overlap.
+    "cur_decon_ngram" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      // fixture has no real leakage, so inject it: every eval doc with
+      // id % 30 == 0 carries the text of train doc id+1 (same derivation
+      // in the oracle)
+      val leak = d.select(col("doc_id").as("lid"), col("text").as("ltext"))
+      val eval_ = d.where(col("doc_id") % 10 === 0)
+        .join(leak, col("lid") === col("doc_id") + 1, "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 30 === 0 && col("ltext").isNotNull,
+            col("ltext")).otherwise(col("text")).as("text"))
+      val train = d.where(col("doc_id") % 10 =!= 0)
+      val evalSh = TextDedup.shingles(eval_, "doc_id", "text")
+        .withColumnRenamed("doc_id", "eval_id").persist()
+      val trainSh = TextDedup.shingles(train, "doc_id", "text")
+        .withColumnRenamed("doc_id", "train_id")
+      // stop-shingle cap over the train index (window keeps the join's
+      // own shingle partitioning)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+      val index = trainSh
+        .withColumn("_df", count(lit(1)).over(w))
+        .where(col("_df") <= stopShingleCap)
+        .drop("_df")
+      val shared = evalSh.join(index, "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(count(lit(1)).as("n_shared"))
+      val evalSizes = evalSh.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+      val out = shared.join(evalSizes, "eval_id")
+        .withColumn("overlap",
+          col("n_shared").cast("double") / col("esz").cast("double"))
+        .where(col("overlap") >= 0.8)
+        .select(col("eval_id"), col("train_id"), col("n_shared"),
+          round(col("overlap"), 4).as("overlap4"))
+        .localCheckpoint()
+      evalSh.unpersist()
+      out
+    }),
+
+    // corpus token-length histogram: one partial-agg'd groupBy.
+    "cur_token_hist" -> ((s, dir) =>
+      docs(s, dir)
+        .select(size(split(TextDedup.normalize(col("text")), " ")).as("n_tok"))
+        .groupBy(expr("cast(n_tok div 16 as bigint)").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok").cast("long")).as("min_tok"),
+          max(col("n_tok").cast("long")).as("max_tok"))),
+  )
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private def shingleSql(src: String, idAlias: String): String =
+    s"""(SELECT DISTINCT doc_id AS $idAlias, shingle FROM (
+       |  SELECT doc_id,
+       |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingle
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t FROM $src) q0
+       |  WHERE len(t) >= 3) q1)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "cur_sample_stratified" -> {
+      val rateSql = strataRates.map { case (langs, r) =>
+        s"WHEN lang IN (${langs.map(l => s"'$l'").mkString(",")}) THEN $r"
+      }.mkString("CASE ", " ", s" ELSE $defaultRate END")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${hashMilleSql("smp", "doc_id")} < $rateSql""".stripMargin
+    },
+
+    "cur_mix_weighted" ->
+      s"""SELECT source, doc_id, rank FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+         |  FROM documents) t
+         |WHERE rank <= ($quotaSql)""".stripMargin,
+
+    "cur_decon_ngram" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |eval_docs AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 30 = 0 AND l.text IS NOT NULL
+         |         THEN l.text ELSE d.text END AS text
+         |  FROM d LEFT JOIN d l ON l.doc_id = d.doc_id + 1
+         |  WHERE d.doc_id % 10 = 0
+         |), train_docs AS (
+         |  SELECT doc_id, text FROM d WHERE doc_id % 10 <> 0
+         |), esh AS ${shingleSql("eval_docs", "eval_id")},
+         |tsh AS ${shingleSql("train_docs", "train_id")},
+         |index_sh AS (
+         |  SELECT train_id, shingle FROM (
+         |    SELECT train_id, shingle,
+         |      count(*) OVER (PARTITION BY shingle) AS df
+         |    FROM tsh) q WHERE df <= $stopShingleCap
+         |), shared AS (
+         |  SELECT e.eval_id, i.train_id, count(*) AS n_shared
+         |  FROM esh e JOIN index_sh i ON i.shingle = e.shingle
+         |  GROUP BY 1, 2
+         |), esz AS (SELECT eval_id, count(*) AS esz FROM esh GROUP BY 1)
+         |SELECT s.eval_id, s.train_id, s.n_shared,
+         |  round(CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE), 4) AS overlap4
+         |FROM shared s JOIN esz z ON z.eval_id = s.eval_id
+         |WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE) >= 0.8""".stripMargin,
+
+    "cur_token_hist" ->
+      s"""SELECT CAST(n_tok // 16 AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(min(n_tok) AS BIGINT) AS min_tok,
+         |  CAST(max(n_tok) AS BIGINT) AS max_tok
+         |FROM (SELECT len(string_split($normSql, ' ')) AS n_tok
+         |      FROM documents) q
+         |GROUP BY 1""".stripMargin,
+  )
+}
