@@ -203,6 +203,15 @@ object DeltaQueries {
         AgencyLake.wideSnapshot(s, dir, AgencyLake.previousDate),
         AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
         SnapshotDelta.NullSafe)),
+    // the standing-deployment layout (SURVEY §2.2 scale note): both
+    // snapshots bucketed+sorted by the key, so the delta join needs no
+    // exchange and no sort — per-bucket merge only. Same semantics and
+    // oracle as delta_updated; BucketedDeltaSpec proves the plan shape.
+    "delta_updated_bucketed" -> ((s, dir) => {
+      val (prevT, newT) = graft.sources.BucketedTables.ensureSnapshots(s, dir)
+      SnapshotDelta.updated(s.table(newT), s.table(prevT), key,
+        compareAttrs, SnapshotDelta.Legacy)
+    }),
     // R4 intent: anti-join
     "delta_added" -> ((s, dir) => {
       val (n, p) = lakePair(s, dir)
@@ -273,6 +282,14 @@ object DeltaQueries {
       s"""$wideSnapshotCte
          |SELECT n.* FROM newest n JOIN prev p ON n.pid = p.pid
          |WHERE ${widePredicateSql("IS DISTINCT FROM")}""".stripMargin,
+    "delta_updated_bucketed" ->
+      s"""$snapshotCte
+         |SELECT n.* FROM newest n JOIN prev p ON n.o_orderkey = p.o_orderkey
+         |WHERE n.o_custkey <> p.o_custkey
+         |   OR n.o_orderstatus <> p.o_orderstatus
+         |   OR n.o_totalprice <> p.o_totalprice
+         |   OR n.o_orderdate <> p.o_orderdate
+         |   OR n.o_orderpriority <> p.o_orderpriority""".stripMargin,
     "delta_added" ->
       s"""$snapshotCte
          |SELECT n.* FROM newest n

@@ -56,4 +56,34 @@ object BucketedTables {
       }
       (ordersTable, lineitemTable)
     }
+
+  /** Materialize the two delta snapshots bucketed+sorted by the snapshot
+    * key — the standing-deployment layout SURVEY §2.2 names: a weekly
+    * delta over bucketed snapshots is a sort-merge join with NO exchange
+    * and NO sort, per bucket pair. The one-time cost is the bucketed
+    * write of each arriving snapshot (which the ingest already pays as a
+    * shuffle anyway); every delta after that is shuffle-free no matter
+    * how wide the table or how many deltas run. Returns
+    * (previousTable, newestTable).
+    */
+  def ensureSnapshots(spark: SparkSession, sfDir: String): (String, String) =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft-buckets-$key"
+      val prevTable = s"snap_prev_bkt$key"
+      val newTable = s"snap_new_bkt$key"
+      def write(table: String, df: org.apache.spark.sql.DataFrame): Unit =
+        if (!spark.catalog.tableExists(table)) {
+          df.repartition(BucketCount,
+              org.apache.spark.sql.functions.col(graft.queries.DeltaQueries.key))
+            .write.mode("overwrite")
+            .bucketBy(BucketCount, graft.queries.DeltaQueries.key)
+            .sortBy(graft.queries.DeltaQueries.key)
+            .option("path", s"$root/$table")
+            .saveAsTable(table)
+        }
+      write(prevTable, graft.queries.DeltaQueries.previous(spark, sfDir))
+      write(newTable, graft.queries.DeltaQueries.newest(spark, sfDir))
+      (prevTable, newTable)
+    }
 }
