@@ -106,6 +106,18 @@ object DedupQueries {
       out
     }),
 
+    // cluster collapse: pairwise verdicts under-delete (A~B, B~C but
+    // A!~C never groups the three) — connected components over the
+    // verified pairs assigns every doc its transitive dup group, keyed
+    // by the group's min id. Iterative min-label propagation
+    // (operators/GraphOps); the recursive-CTE oracle computes the same
+    // unique fixpoint.
+    "doc_dedup_clusters" -> ((s, dir) => {
+      val pairs = queries("doc_dedup_minhash")(s, dir).select("id1", "id2")
+      graft.operators.GraphOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
     // buckets with >1 doc are dup candidates (no pair explosion).
     "doc_dedup_simhash" -> ((s, dir) => {
@@ -193,6 +205,31 @@ object DedupQueries {
       |JOIN sizes s1 ON s1.doc_id = i.id1
       |JOIN sizes s2 ON s2.doc_id = i.id2""".stripMargin
 
+  /** The full minhash near-dup SQL — shared by `doc_dedup_minhash` and
+    * (as a subquery) `doc_dedup_clusters`.
+    */
+  private lazy val minhashOracle =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
+       |), ${shinglesCte("corpus")},
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(i => s"min(substr(h, ${4 * i + 1}, 4)) AS m$i").mkString(",\n    ")}
+       |  FROM (SELECT doc_id, md5('mh|' || shingle) AS h FROM sh) hs
+       |  GROUP BY doc_id
+       |), buckets AS (
+       |  ${(0 until 4).map(b =>
+           s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS key FROM sig")
+           .mkString("\n  UNION ALL ")}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM buckets a
+       |  JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), $jaccardSql
+       |WHERE CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE) >= 0.6""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "doc_dedup_exact" ->
       s"""WITH corpus AS (
@@ -204,27 +241,27 @@ object DedupQueries {
          |FROM (SELECT doc_id, md5($normSql) AS h FROM corpus) q
          |GROUP BY h""".stripMargin,
 
-    "doc_dedup_minhash" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
-         |), ${shinglesCte("corpus")},
-         |sig AS (
-         |  SELECT doc_id,
-         |    ${(0 until 8).map(i => s"min(substr(h, ${4 * i + 1}, 4)) AS m$i").mkString(",\n    ")}
-         |  FROM (SELECT doc_id, md5('mh|' || shingle) AS h FROM sh) hs
-         |  GROUP BY doc_id
-         |), buckets AS (
-         |  ${(0 until 4).map(b =>
-             s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS key FROM sig")
-             .mkString("\n  UNION ALL ")}
-         |), pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM buckets a
-         |  JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), $jaccardSql
-         |WHERE CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE) >= 0.6""".stripMargin,
+    "doc_dedup_minhash" -> minhashOracle,
+
+    // cluster collapse of the verified near-dup pairs: connected
+    // components via recursive min-label closure (the batch engine does
+    // min-label propagation to fixpoint — same unique answer)
+    "doc_dedup_clusters" ->
+      s"""WITH RECURSIVE dup AS (
+         |  SELECT id1, id2 FROM ($minhashOracle) q
+         |), edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM dup
+         |  UNION
+         |  SELECT id2, id1 FROM dup
+         |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT CAST(id AS BIGINT) AS doc_id,
+         |  CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin,
 
     "doc_dedup_simhash" ->
       s"""WITH corpus AS (

@@ -153,6 +153,19 @@ class OperatorSpec extends SparkSpec {
     assert(none.except(plain).isEmpty && plain.except(none).isEmpty)
   }
 
+  test("connectedComponents: chain collapses to one component, separate " +
+       "components stay separate, labels are per-component minima") {
+    // chain 1-2-3-4, triangle 10-11-12 (with a redundant edge), pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id1", "id2")
+    val cc = graft.operators.GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
   test("driver-side hyperplane values match the SQL md5 derivation " +
        "(the oracle recomputes them via SQL)") {
     val sqlVals = spark.sql(
