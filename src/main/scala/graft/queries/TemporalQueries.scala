@@ -147,6 +147,50 @@ object TemporalQueries {
         .parquet(s"$tmp/out")
     }),
 
+    // Streaming dedup-on-ingest: the arrival stream carries duplicate
+    // deliveries (at-least-once sources do); dropDuplicatesWithinWatermark
+    // keys state on event_id and EVICTS it as the watermark passes — the
+    // bounded-state form of streaming dedup (plain dropDuplicates keeps
+    // every id forever). Duplicate arrivals are injected for event_id % 4
+    // == 0 (the fixture's ids are unique), the deduped stream lands in a
+    // file sink, and the result aggregates the sink — equal to the
+    // original stream iff every injected duplicate was dropped.
+    "stream_dedup_ids" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup_").toString
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+        .withColumn("_copies",
+          when(col("event_id") % 4 === 0, array(lit(1), lit(2)))
+            .otherwise(array(lit(1))))
+        .select(col("event_id"), col("ts"), col("event_type"),
+          explode(col("_copies")).as("_c"))
+        .drop("_c")
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .parquet(s"$tmp/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"))
+    }),
+
     // Structured Streaming: tumbling 1-hour counts per event type,
     // executed as a stream over the parquet with Trigger.AvailableNow
     // into a memory sink, then read back as the result
@@ -234,6 +278,12 @@ object TemporalQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // dedup removed every injected duplicate, so the sink equals the
+    // original (unique-id) stream
+    "stream_dedup_ids" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY 1""".stripMargin,
     // append-mode semantics in batch SQL: only windows finalized by the
     // final watermark (max ms-truncated ts - 2h) are in the sink
     "stream_events_hourly_append" ->
