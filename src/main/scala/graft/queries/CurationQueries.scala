@@ -139,6 +139,26 @@ object CurationQueries {
       out
     }),
 
+    // sequence packing: assign docs to fixed-capacity context windows
+    // ("packs") by cumulative token offset, per source — the batching
+    // step between curation and tokenization in a training pipeline.
+    // Contiguous packing (a doc's pack = its start offset div capacity)
+    // is deterministic and needs only a running sum; partitioning by
+    // source keeps the window parallel (one global cumsum would serialize
+    // — the classic scale trap for packing).
+    "cur_pack_sequences" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(TextDedup.normalize(col("text")), " "))
+            .cast("long").as("n_tok"))
+        .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          expr("cast(start_tok div 2048 as bigint)").as("pack_id"))
+    }),
+
     // corpus token-length histogram: one partial-agg'd groupBy.
     "cur_token_hist" -> ((s, dir) =>
       docs(s, dir)
@@ -202,6 +222,17 @@ object CurationQueries {
          |  round(CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE), 4) AS overlap4
          |FROM shared s JOIN esz z ON z.eval_id = s.eval_id
          |WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE) >= 0.8""".stripMargin,
+
+    "cur_pack_sequences" ->
+      s"""SELECT source, doc_id, n_tok,
+         |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT source, doc_id,
+         |          CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
+         |        FROM documents) q0) q1""".stripMargin,
 
     "cur_token_hist" ->
       s"""SELECT CAST(n_tok // 16 AS BIGINT) AS bucket, count(*) AS n_docs,

@@ -264,6 +264,32 @@ object RelationalQueries {
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
 
+    // ---- SQL-string surface ----
+    // The reference's users write SQL strings (Query(sql, outputLoc));
+    // this runs a TPC-H-Q3-shaped multi-join aggregation through
+    // spark.sql over registered views — the same Catalyst plan the
+    // DataFrame form gets (join reorder, pushdown, partial agg all
+    // apply). Money math goes through per-row double multiply → exact
+    // DECIMAL sum, so the result is merge-order independent.
+    "sql_q3_shipping" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l.l_orderkey,
+          |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  o.o_orderdate, o.o_orderpriority
+          |FROM customer c
+          |JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+          |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+          |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+          |LIMIT 10""".stripMargin)
+    }),
+
     // ---- set operations ----
     "set_union" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -470,6 +496,19 @@ object RelationalQueries {
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "sql_q3_shipping" ->
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        |LIMIT 10""".stripMargin,
     "set_union" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |UNION

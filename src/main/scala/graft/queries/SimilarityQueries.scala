@@ -60,6 +60,26 @@ object SimilarityQueries {
   private val boundedQueryIds: Seq[Long] = (0L until 500L by 20L).toList
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // int8 symmetric quantization — the storage/IO side of an embedding
+    // pipeline (4x smaller vectors before ANN indexing). Per-vector
+    // scale = max|x|/127, q = floor(x/scale) — floor, not round, because
+    // double→int truncation/rounding rules differ across engines while
+    // floor is universal. Narrow per-row expression work, zero shuffle;
+    // the reconstruction error column makes the lossiness observable.
+    "emb_quantize_int8" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VectorSim.toDoubleArray(col("embedding")).as("e"))
+        .withColumn("scale",
+          greatest(array_max(transform(col("e"), x => abs(x))) / 127.0d,
+            lit(1e-12d)))
+        .withColumn("q",
+          transform(col("e"), x => floor(x / col("scale")).cast("long")))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale6"), col("q"),
+          round(array_max(zip_with(col("e"), col("q"),
+            (x, qq) => abs(x - qq.cast("double") * col("scale")))), 6)
+            .as("err6"))),
+
     // baseline: every query vector against the full corpus, one pass
     "sim_topk_brute" -> ((s, dir) => {
       val b = base(s, dir)
@@ -176,6 +196,22 @@ object SimilarityQueries {
       s"(CASE WHEN ${dotSql("e", s"h${4 * t + j}")} >= 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
     Map(
+      "emb_quantize_int8" ->
+        """WITH b AS (
+          |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+          |), s AS (
+          |  SELECT vec_id, e,
+          |    greatest(list_max([abs(x) FOR x IN e]) / 127.0, 1e-12) AS scale
+          |  FROM b
+          |), qz AS (
+          |  SELECT vec_id, e, scale,
+          |    [CAST(floor(x / scale) AS BIGINT) FOR x IN e] AS q
+          |  FROM s
+          |)
+          |SELECT vec_id, round(scale, 6) AS scale6, q,
+          |  round(list_max([abs(e[i] - q[i] * scale) FOR i IN range(1, len(e) + 1)]), 6) AS err6
+          |FROM qz""".stripMargin,
+
       "sim_topk_brute" ->
         s"""WITH base AS (
            |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
