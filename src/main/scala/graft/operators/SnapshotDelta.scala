@@ -96,6 +96,56 @@ object SnapshotDelta {
   def addedLiteral(newest: DataFrame): DataFrame =
     newest.where(lit(false))
 
+  /** SCD2 (slowly-changing-dimension type 2) history build from two
+    * snapshots — the delta family's natural extension: instead of
+    * emitting change SETS (updated/added/removed), emit the versioned
+    * history table a warehouse keeps. Per key:
+    *
+    *  - unchanged:      one `current` row, valid since `prevDate`
+    *  - changed:        a `closed` row (old attrs, prevDate→newDate) AND
+    *                    a `current` row (new attrs, since newDate)
+    *  - added:          one `current` row since newDate
+    *  - removed:        one `closed` row (prevDate→newDate)
+    *
+    * One FULL OUTER join on the key, then each joined row explodes into
+    * its 1-2 output rows via an array of structs — single pass, no second
+    * scan, no union of two joins. Change detection is null-safe (NULL
+    * transitions open a new version — SCD2 semantics, not the reference's
+    * 3-valued quirk). Scale shape: identical to `updated` (one equi-join
+    * shuffle, prunable snapshot scans) plus a narrow explode.
+    */
+  def scd2(newest: DataFrame, previous: DataFrame, key: String,
+           attrs: Seq[String], prevDate: String, newDate: String): DataFrame = {
+    val n = newest.alias("n")
+    val p = previous.alias("p")
+    val cols = key +: attrs
+    val changed = changePredicate(attrs, "n", "p", NullSafe)
+    val inBoth = col(s"n.$key").isNotNull && col(s"p.$key").isNotNull
+    val addedRow = col(s"p.$key").isNull
+    val removedRow = col(s"n.$key").isNull
+    def side(a: String) = struct(
+      cols.map(c => col(s"$a.$c").as(c)) :+
+        lit(if (a == "n") newDate else prevDate).as("valid_from") :+
+        (if (a == "n") lit(null).cast("string").as("valid_to")
+         else lit(newDate).as("valid_to")) :+
+        lit(if (a == "n") "current" else "closed").as("status"): _*)
+    // unchanged rows carry the ORIGINAL validity start (prevDate) — the
+    // version is still the one opened in the previous snapshot
+    def unchangedRow = struct(
+      cols.map(c => col(s"n.$c").as(c)) :+
+        lit(prevDate).as("valid_from") :+
+        lit(null).cast("string").as("valid_to") :+
+        lit("current").as("status"): _*)
+    val versions =
+      when(inBoth && changed, array(side("p"), side("n")))
+        .when(inBoth && !changed, array(unchangedRow))
+        .when(addedRow, array(side("n")))
+        .when(removedRow, array(side("p")))
+    n.join(p, col(s"n.$key") === col(s"p.$key"), "full_outer")
+      .select(explode(versions).as("v"))
+      .select(col("v.*"))
+  }
+
   /** Top-2 partition-value selection (reference: GetDeltaPartitions,
     * agency-delta.go:97-124 — list, `sort.Strings`, take last two; error if
     * fewer than 2). Lexicographic max ≡ chronological for ISO dates.

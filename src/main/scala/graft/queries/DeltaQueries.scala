@@ -221,6 +221,13 @@ object DeltaQueries {
     // rows (SURVEY §2.2 R4) — bug-compat mode, oracle-checked empty.
     "delta_added_literal" -> ((s, dir) =>
       SnapshotDelta.addedLiteral(lakePair(s, dir)._1)),
+    // extension: SCD2 history build — the versioned warehouse table the
+    // change sets feed; one full-outer join + explode (SnapshotDelta.scd2)
+    "delta_scd2" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      SnapshotDelta.scd2(n, p, key, compareAttrs,
+        AgencyLake.previousDate, AgencyLake.newestDate)
+    }),
     // extension: symmetric complement
     "delta_removed" -> ((s, dir) => {
       val (n, p) = lakePair(s, dir)
@@ -304,6 +311,35 @@ object DeltaQueries {
     "delta_rowdiff" ->
       s"""$snapshotCte
          |SELECT * FROM newest EXCEPT ALL SELECT * FROM prev""".stripMargin,
+    "delta_scd2" -> {
+      val changedSql =
+        """   n.o_custkey IS DISTINCT FROM p.o_custkey
+          |   OR n.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+          |   OR n.o_totalprice IS DISTINCT FROM p.o_totalprice
+          |   OR n.o_orderdate IS DISTINCT FROM p.o_orderdate
+          |   OR n.o_orderpriority IS DISTINCT FROM p.o_orderpriority""".stripMargin
+      s"""$snapshotCte
+         |SELECT p.*, '2024-01-08' AS valid_from, '2024-01-15' AS valid_to,
+         |  'closed' AS status
+         |FROM newest n JOIN prev p ON n.o_orderkey = p.o_orderkey
+         |WHERE $changedSql
+         |UNION ALL
+         |SELECT n.*, '2024-01-15', NULL, 'current'
+         |FROM newest n JOIN prev p ON n.o_orderkey = p.o_orderkey
+         |WHERE $changedSql
+         |UNION ALL
+         |SELECT n.*, '2024-01-08', NULL, 'current'
+         |FROM newest n JOIN prev p ON n.o_orderkey = p.o_orderkey
+         |WHERE NOT ($changedSql)
+         |UNION ALL
+         |SELECT n.*, '2024-01-15', NULL, 'current'
+         |FROM newest n
+         |WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.o_orderkey = n.o_orderkey)
+         |UNION ALL
+         |SELECT p.*, '2024-01-08', '2024-01-15', 'closed'
+         |FROM prev p
+         |WHERE NOT EXISTS (SELECT 1 FROM newest n WHERE n.o_orderkey = p.o_orderkey)""".stripMargin
+    },
     "delta_dq_dupkeys" ->
       s"""$snapshotCte
          |SELECT '2024-01-08' AS importdate, count(*) AS n_rows,

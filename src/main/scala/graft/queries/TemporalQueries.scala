@@ -147,6 +147,53 @@ object TemporalQueries {
         .parquet(s"$tmp/out")
     }),
 
+    // Stream-stream join: clicks joined to same-user views within ±30
+    // minutes — the canonical streaming enrichment. Both sides carry a
+    // 1-hour watermark and the join has an explicit event-time band, so
+    // each side's state is EVICTABLE: a buffered view can be dropped
+    // once the watermark passes its ts + 30 min (without the band, a
+    // stream-stream join buffers forever). Inner join → append mode;
+    // matches land in a file sink and the batch oracle reproduces the
+    // same time-band join.
+    "stream_click_view_join" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_join_").toString
+      val clicks = stream.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val views = stream.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+        .withWatermark("vts", "1 hour")
+      val q = clicks.join(views,
+          col("c_user") === col("v_user") &&
+            col("vts") >= col("cts") - expr("INTERVAL 30 MINUTES") &&
+            col("vts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("click_id", LongType),
+          StructField("view_id", LongType))))
+        .parquet(s"$tmp/out")
+    }),
+
     // Streaming dedup-on-ingest: the arrival stream carries duplicate
     // deliveries (at-least-once sources do); dropDuplicatesWithinWatermark
     // keys state on event_id and EVICTS it as the watermark passes — the
@@ -278,6 +325,20 @@ object TemporalQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the inner time-band join over a single AvailableNow batch emits
+    // exactly the batch join's pairs (watermarks bound state, not output)
+    "stream_click_view_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_trunc('millisecond', ts) AS tms
+        |  FROM events
+        |)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM e c JOIN e v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.user_id = v.user_id
+        | AND v.tms >= c.tms - INTERVAL 30 MINUTE
+        | AND v.tms <= c.tms + INTERVAL 30 MINUTE""".stripMargin,
     // dedup removed every injected duplicate, so the sink equals the
     // original (unique-id) stream
     "stream_dedup_ids" ->

@@ -61,6 +61,30 @@ class SnapshotDeltaSpec extends SparkSpec {
     assert(lit.columns.toSeq == newer.columns.toSeq)
   }
 
+  test("scd2 emits the right version rows per key class: unchanged keeps " +
+       "its original validity, changed closes old + opens new, added " +
+       "opens, removed closes; null transitions open versions") {
+    val hist = SnapshotDelta.scd2(newer, prev, "pid", Seq("a", "b"),
+        "2024-01-08", "2024-01-15")
+      .select("pid", "a", "valid_from", "valid_to", "status")
+      .as[(String, String, String, String, String)]
+      .collect().toSet
+    assert(hist == Set(
+      // p1 unchanged, p5 NULL==NULL unchanged: current since prev date
+      ("p1", "x", "2024-01-08", null, "current"),
+      ("p5", null, "2024-01-08", null, "current"),
+      // p2 value change, p3 value->NULL, p4 NULL->value: closed + current
+      ("p2", "x", "2024-01-08", "2024-01-15", "closed"),
+      ("p2", "y", "2024-01-15", null, "current"),
+      ("p3", "x", "2024-01-08", "2024-01-15", "closed"),
+      ("p3", null, "2024-01-15", null, "current"),
+      ("p4", null, "2024-01-08", "2024-01-15", "closed"),
+      ("p4", "x", "2024-01-15", null, "current"),
+      // p6 added: opens; p7 removed: closes
+      ("p6", "x", "2024-01-15", null, "current"),
+      ("p7", "x", "2024-01-08", "2024-01-15", "closed")))
+  }
+
   test("partitionPair picks the two newest values, newest first") {
     assert(SnapshotDelta.partitionPair(
       Seq("2024-01-01", "2024-01-15", "2024-01-08")) ==
