@@ -146,6 +146,28 @@ object SnapshotDelta {
       .select(col("v.*"))
   }
 
+  /** MERGE/upsert: apply the three change sets to the previous snapshot
+    * — delete removed keys, replace updated rows, insert added rows —
+    * reconstructing the newest snapshot exactly. This is the operation
+    * the reference's delta CONSUMERS run (the CSVs exist to be merged
+    * into a downstream store); implementing it closes the loop and
+    * makes the change sets self-validating: merge(prev, deltas) must
+    * equal newest, row for row.
+    *
+    * Shape: one anti-join (drop updated∪removed keys from prev — both
+    * key sets in ONE broadcast-able side) + a union of the update and
+    * insert sets. No full-outer join, no window: at 100 TB the deltas
+    * are a fraction of the snapshot, so the dominant cost is the single
+    * pass over `previous`.
+    */
+  def mergeUpsert(previous: DataFrame, updated: DataFrame, added: DataFrame,
+                  removed: DataFrame, key: String): DataFrame = {
+    val replacedKeys = updated.select(key).unionByName(removed.select(key))
+    previous.join(replacedKeys, Seq(key), "left_anti")
+      .unionByName(updated)
+      .unionByName(added)
+  }
+
   /** Top-2 partition-value selection (reference: GetDeltaPartitions,
     * agency-delta.go:97-124 — list, `sort.Strings`, take last two; error if
     * fewer than 2). Lexicographic max ≡ chronological for ISO dates.

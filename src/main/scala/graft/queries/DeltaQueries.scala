@@ -228,6 +228,17 @@ object DeltaQueries {
       SnapshotDelta.scd2(n, p, key, compareAttrs,
         AgencyLake.previousDate, AgencyLake.newestDate)
     }),
+    // closing the loop: MERGE the change sets back into the previous
+    // snapshot and recover the newest exactly (the operation the delta
+    // CSVs exist to feed downstream). NULL-SAFE updated set — the legacy
+    // set misses NULL transitions and would under-apply.
+    "delta_merge_upsert" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      SnapshotDelta.mergeUpsert(p,
+        SnapshotDelta.updated(n, p, key, compareAttrs, SnapshotDelta.NullSafe),
+        SnapshotDelta.added(n, p, key),
+        SnapshotDelta.removed(n, p, key), key)
+    }),
     // extension: symmetric complement
     "delta_removed" -> ((s, dir) => {
       val (n, p) = lakePair(s, dir)
@@ -311,6 +322,10 @@ object DeltaQueries {
     "delta_rowdiff" ->
       s"""$snapshotCte
          |SELECT * FROM newest EXCEPT ALL SELECT * FROM prev""".stripMargin,
+    // merge(prev, deltas) must equal the newest snapshot, row for row
+    "delta_merge_upsert" ->
+      s"""$snapshotCte
+         |SELECT * FROM newest""".stripMargin,
     "delta_scd2" -> {
       val changedSql =
         """   n.o_custkey IS DISTINCT FROM p.o_custkey

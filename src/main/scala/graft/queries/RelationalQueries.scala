@@ -264,6 +264,38 @@ object RelationalQueries {
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
 
+    // ---- data profiling ----
+    // ANALYZE-style column profile: ONE aggregation pass computes every
+    // column's stats (count/nulls/distinct/min/max), then an explode
+    // stacks them into one row per column — never N scans for N columns.
+    // The distinct counts are exact for the oracle; a 100 TB profile
+    // swaps in approx_count_distinct with the same single-pass shape.
+    "dq_table_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_custkey")).as("nn1"),
+        countDistinct(col("o_custkey")).as("nd1"),
+        min(col("o_custkey")).cast("string").as("mn1"),
+        max(col("o_custkey")).cast("string").as("mx1"),
+        count(col("o_orderstatus")).as("nn2"),
+        countDistinct(col("o_orderstatus")).as("nd2"),
+        min(col("o_orderstatus")).cast("string").as("mn2"),
+        max(col("o_orderstatus")).cast("string").as("mx2"),
+        count(col("o_orderpriority")).as("nn3"),
+        countDistinct(col("o_orderpriority")).as("nd3"),
+        min(col("o_orderpriority")).cast("string").as("mn3"),
+        max(col("o_orderpriority")).cast("string").as("mx3"))
+      def row(name: String, i: Int) = struct(
+        lit(name).as("column"), col("n").as("n_rows"),
+        col(s"nn$i").as("n_nonnull"), col(s"nd$i").as("n_distinct"),
+        col(s"mn$i").as("min_s"), col(s"mx$i").as("max_s"))
+      a.select(explode(array(
+          row("o_custkey", 1), row("o_orderstatus", 2),
+          row("o_orderpriority", 3))).as("p"))
+        .select(col("p.*"))
+    }),
+
     // ---- SQL-string surface ----
     // The reference's users write SQL strings (Query(sql, outputLoc));
     // this runs a TPC-H-Q3-shaped multi-join aggregation through
@@ -496,6 +528,23 @@ object RelationalQueries {
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "dq_table_profile" ->
+      """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |  count(o_custkey) AS n_nonnull,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders""".stripMargin,
     "sql_q3_shipping" ->
       """SELECT l.l_orderkey,
         |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
