@@ -147,6 +147,32 @@ object TemporalQueries {
         .parquet(s"$tmp/out")
     }),
 
+    // Funnel analysis: how many users progress view → click → purchase,
+    // each stage constrained to happen AT-OR-AFTER the previous stage's
+    // first event (not mere type presence — ordering matters). Three
+    // stage aggregations, each a groupBy on user_id; after the first
+    // shuffle the per-user frames are co-partitioned, so later stages
+    // re-shuffle only the (smaller) filtered event stream.
+    "events_funnel" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(unix_millis(col("ts"))).as("tms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tms").as("vt"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("tms") >= col("vt"))
+        .groupBy("user_id").agg(min("tms").as("ct"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("tms") >= col("ct"))
+        .groupBy("user_id").agg(min("tms").as("pt"))
+      v.agg(count(lit(1)).as("n_users"))
+        .select(lit("view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("click_after_view").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("purchase_after_click").as("stage"), col("n_users")))
+    }),
+
     // Stream-stream join: clicks joined to same-user views within ±30
     // minutes — the canonical streaming enrichment. Both sides carry a
     // 1-hour watermark and the join has an explicit event-time band, so
@@ -325,6 +351,23 @@ object TemporalQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('millisecond', ts) AS tms
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, min(tms) AS vt FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(tms) AS ct FROM e JOIN v ON v.user_id = e.user_id
+        |  WHERE event_type = 'click' AND tms >= vt GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(tms) AS pt FROM e JOIN c ON c.user_id = e.user_id
+        |  WHERE event_type = 'purchase' AND tms >= ct GROUP BY 1
+        |)
+        |SELECT 'view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 'click_after_view', count(*) FROM c
+        |UNION ALL SELECT 'purchase_after_click', count(*) FROM p""".stripMargin,
     // the inner time-band join over a single AvailableNow batch emits
     // exactly the batch join's pairs (watermarks bound state, not output)
     "stream_click_view_join" ->
