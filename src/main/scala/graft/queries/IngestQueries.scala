@@ -86,7 +86,8 @@ object IngestQueries {
     table
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // S3+S4+S5+S6 end-to-end: classified staging text -> gzip partitioned
     // lake -> MSCK-registered table -> partition-pruned scan of one week.
     "ingest_agency_scan" -> ((s, dir) => {
@@ -102,9 +103,101 @@ object IngestQueries {
       val vals = LakeIngest.partitionValues(s, table).sorted
       s.createDataFrame(vals.map(Tuple1(_))).toDF("importdate")
     }),
-  )
+  ) ++ extraQueries
+
+  /** Two parquet batches with DRIFTED schemas under one lake root (once
+    * per sfDir): batch 1 has (o_orderkey, o_custkey); batch 2 adds
+    * o_totalprice. Returns the lake root.
+    */
+  private def ensureDrift(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = s"${workRoot(sfDir)}/drift"
+      val marker = Paths.get(root, "_DONE")
+      if (!Files.exists(marker)) {
+        val o = Tables(spark, sfDir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey")
+          .write.mode("overwrite").parquet(s"$root/batch=1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$root/batch=2")
+        Files.writeString(marker, "ok")
+      }
+      root
+    }
+
+  /** Corrupt-tolerant CSV fixture (once per sfDir): 50 well-formed rows
+    * derived from orders plus two malformed lines. Returns the file path.
+    */
+  private def ensureCorruptCsv(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = workRoot(sfDir)
+      val path = Paths.get(root, "corrupt_feed.csv")
+      if (!Files.exists(path)) {
+        Files.createDirectories(Paths.get(root))
+        val good = Tables(spark, sfDir, "orders")
+          .filter(col("o_orderkey") < 50)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .orderBy("o_orderkey")
+          .collect()
+          .map(r => s"${r.getLong(0)}|${r.getLong(1)}")
+        val lines = (good.take(20) :+ "not|a|number|extra" :+ "garbage") ++
+          good.drop(20)
+        Files.writeString(path, lines.mkString("\n"))
+      }
+      path.toString
+    }
+
+  // ---- additional source capabilities (registered below) ----
+
+  private val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      // schema evolution: two batches with drifted schemas read as ONE
+      // table via mergeSchema — the added column is NULL for the old
+      // batch. The lake survives additive drift without rewriting
+      // history (at 100 TB, rewriting old batches for every new column
+      // is a non-starter; merge-on-read is the standard answer).
+      "ingest_schema_merge" -> ((s, dir) => {
+        val root = ensureDrift(s, dir)
+        s.read.option("mergeSchema", "true").parquet(root)
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n"),
+            count(col("o_totalprice")).as("n_price"))
+          .select(col("batch").cast("long").as("batch"), col("n"),
+            col("n_price"))
+      }),
+      // corrupt-tolerant CSV parse: PERMISSIVE mode quarantines malformed
+      // lines into a corrupt-record column instead of failing the job —
+      // the file-level analog of the pipeline's log-and-continue I/O
+      // policy (one bad line in a 100 TB feed must not kill the load).
+      "ingest_corrupt_csv" -> ((s, dir) => {
+        val path = ensureCorruptCsv(s, dir)
+        val parsed = s.read
+          .schema("o_orderkey LONG, o_custkey LONG, _corrupt STRING")
+          .option("delimiter", "|")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(path)
+        parsed.agg(
+          count(lit(1)).as("n_lines"),
+          count(col("o_orderkey")).as("n_good"),
+          count(col("_corrupt")).as("n_corrupt"))
+      }),
+    )
 
   def oracleSql: Map[String, String] = Map(
+    "ingest_schema_merge" ->
+      """SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n,
+        |  CAST(0 AS BIGINT) AS n_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), count(*) FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
+    // 20 + 2 malformed + the rest of the <50 keys; both engines agree the
+    // well-formed line count is |keys < 50| and the corrupt count is 2
+    "ingest_corrupt_csv" ->
+      """SELECT count(*) + 2 AS n_lines, count(*) AS n_good,
+        |  CAST(2 AS BIGINT) AS n_corrupt
+        |FROM orders WHERE o_orderkey < 50""".stripMargin,
     "ingest_agency_scan" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
         |  CAST(o_custkey AS VARCHAR) AS o_custkey,
