@@ -67,6 +67,22 @@ object TemporalQueries {
           min("t").as("session_start"), max("t").as("session_end"))
     }),
 
+    // the same gap sessionization through Spark's NATIVE session_window
+    // (the builtin the manual window formulation above complements; in
+    // streaming it is the stateful merging-session operator). Boundary
+    // semantics differ from the manual form by design: session_window
+    // merges events whose gap is STRICTLY LESS than the duration, so an
+    // exactly-30-minute gap splits — the oracle mirrors that with >=.
+    "events_session_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("t"))
+        .groupBy(col("user_id"),
+          session_window(col("t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end_w"), col("n_events"))),
+
     // the same sessionization through the typed API
     // (KeyValueGroupedDataset.flatMapGroups): per-user events sorted and
     // walked imperatively — the typed escape hatch for logic awkward as
@@ -346,6 +362,26 @@ object TemporalQueries {
         |  FROM m)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(t) AS session_start, max(t) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // session_window boundary: a gap of exactly the duration SPLITS
+    // (merge iff gap < duration), hence >= here vs > in events_sessionize
+    "events_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('millisecond', ts) AS t FROM events
+        |), m AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR epoch_ms(t) - epoch_ms(lag(t) OVER w) >= 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        |), s AS (
+        |  SELECT user_id, t,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id, min(t) AS session_start,
+        |  max(t) + INTERVAL 30 MINUTE AS session_end_w,
+        |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     "stream_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
