@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Forward as-of: for each left row, the EARLIEST right row with the
+    * same key and `rightTime >= leftTime` (the "next event" lookup —
+    * e.g. first retry after an error, next restock after an order).
+    * Same union + one-window shape, with the scan direction reversed:
+    * the window orders time DESCENDING so `last(..)` carries the
+    * nearest-following right row backwards onto each left row. Ties at
+    * equal time resolve to the MIN right id (mirror image of the
+    * backward join's max-id rule) — deterministic.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightId: String, carried: Seq[String]): DataFrame =
+    impl(left, right, key, leftTime, rightTime, rightId, carried,
+      forward = true)
+
   /** `left` gains `carried` columns from the latest `right` row (same
     * `key`, `rightTime <= leftTime`). Left rows with no prior right row
     * are dropped (inner as-of semantics).
@@ -42,7 +57,14 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightId: String, carried: Seq[String]): DataFrame = {
+               rightId: String, carried: Seq[String]): DataFrame =
+    impl(left, right, key, leftTime, rightTime, rightId, carried,
+      forward = false)
+
+  private def impl(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   rightId: String, carried: Seq[String],
+                   forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     val sideL = left
       .withColumn("_t", col(leftTime))
@@ -60,8 +82,15 @@ object AsofJoin {
         (Seq(col(key).as("_k"), col("_t"), col("_side"), col("_rid")) ++
           lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           carried.map(c => col(c).as(s"_c_$c"))): _*)
-    val w = Window.partitionBy("_k")
-      .orderBy(col("_t"), col("_side"), col("_rid"))
+    // forward scans time descending, so "last seen right row" is the
+    // nearest-FOLLOWING one; _rid flips too so the equal-time winner is
+    // min-id (forward) vs max-id (backward)
+    val w = (if (forward)
+        Window.partitionBy("_k")
+          .orderBy(col("_t").desc, col("_side"), col("_rid").desc)
+      else
+        Window.partitionBy("_k")
+          .orderBy(col("_t"), col("_side"), col("_rid")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val payload = when(col("_side") === 0,
       struct((col("_rid") +: carried.map(c => col(s"_c_$c"))): _*))

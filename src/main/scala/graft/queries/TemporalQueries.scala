@@ -46,6 +46,23 @@ object TemporalQueries {
         .select(col("purchase_id"), col("asof_signup_id").as("signup_id"))
     }),
 
+    // forward as-of: for each error event, the user's NEXT signup
+    // at-or-after it (next-event lookup) — same one-shuffle shape,
+    // time direction reversed
+    "join_asof_forward" -> ((s, dir) => {
+      val errors = dedupedEvents(s, dir, "error")
+        .select(col("user_id"), col("ts_ms").as("e_ts"),
+          col("event_id").as("error_id"))
+      val signups = dedupedEvents(s, dir, "signup")
+        .select(col("user_id"), col("ts_ms").as("s_ts"),
+          col("event_id").as("signup_id"))
+      AsofJoin.asofJoinForward(
+          errors, signups, key = "user_id",
+          leftTime = "e_ts", rightTime = "s_ts",
+          rightId = "signup_id", carried = Seq("signup_id"))
+        .select(col("error_id"), col("asof_signup_id").as("signup_id"))
+    }),
+
     // gap-based sessionization (30-min inactivity closes a session):
     // lag -> new-session flag -> running sum = session id -> per-session
     // aggregates. Two windows + one groupBy, all on the user_id shuffle.
@@ -325,6 +342,19 @@ object TemporalQueries {
         |SELECT p.purchase_id, su.signup_id
         |FROM p ASOF JOIN su
         |  ON p.user_id = su.user_id AND p.t >= su.t""".stripMargin,
+    "join_asof_forward" ->
+      """WITH er AS (
+        |  SELECT user_id, date_trunc('millisecond', ts) AS t,
+        |    max(event_id) AS error_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        |), su AS (
+        |  SELECT user_id, date_trunc('millisecond', ts) AS t,
+        |    max(event_id) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+        |)
+        |SELECT er.error_id, su.signup_id
+        |FROM er ASOF JOIN su
+        |  ON er.user_id = su.user_id AND er.t <= su.t""".stripMargin,
     "events_sessionize_typed" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('millisecond', ts) AS t

@@ -31,6 +31,27 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set((100L, 10L), (101L, 11L)))
   }
 
+  test("asofJoinForward picks the earliest right row at-or-after each " +
+       "left row; equal-time ties resolve to the MIN right id; left rows " +
+       "with no following right row are dropped") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L), // equal-ts right counts
+      (1L, ts("2024-01-01 13:00:00"), 102L), // nothing after -> dropped
+      (2L, ts("2024-01-01 09:00:00"), 200L)
+    ).toDF("user_id", "lt", "left_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 10L),
+      (1L, ts("2024-01-01 12:00:00"), 11L),
+      (1L, ts("2024-01-01 12:00:00"), 12L), // tie: min id (11) wins
+      (2L, ts("2024-01-01 09:30:00"), 20L)
+    ).toDF("user_id", "rt", "right_id")
+    val out = AsofJoin.asofJoinForward(left, right, "user_id", "lt", "rt",
+        "right_id", Seq("right_id"))
+      .select("left_id", "asof_right_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 10L), (101L, 11L), (200L, 20L)))
+  }
+
   test("asofJoin equal-time right rows: the max right id wins (determinism)") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
       .toDF("user_id", "lt", "left_id")
