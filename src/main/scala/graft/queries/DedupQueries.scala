@@ -106,6 +106,20 @@ object DedupQueries {
       out
     }),
 
+    // keep-best selection: within each exact-dup group keep the HIGHEST
+    // QUALITY member (longest text, min id tiebreak) instead of the
+    // arbitrary keep-first — the policy real pipelines want (dups often
+    // differ by truncation). One bounded-heap top-1 per group via
+    // TopKPerKey: never sorts a group, k=1 rows resident.
+    "doc_dedup_keep_best" -> ((s, dir) => {
+      val scored = corpusExact(s, dir)
+        .select(col("doc_id"), md5(TextDedup.normalize(col("text"))).as("h"),
+          length(col("text")).cast("long").as("quality"))
+      graft.plans.TopKPerKey
+        .topK(scored, "h", Seq(("quality", true), ("doc_id", false)), 1)
+        .select(col("h"), col("doc_id").as("keep_id"), col("quality"))
+    }),
+
     // cluster collapse: pairwise verdicts under-delete (A~B, B~C but
     // A!~C never groups the three) — connected components over the
     // verified pairs assigns every doc its transitive dup group, keyed
@@ -240,6 +254,23 @@ object DedupQueries {
          |SELECT min(doc_id) AS keep_id, count(*) AS group_size, h
          |FROM (SELECT doc_id, md5($normSql) AS h FROM corpus) q
          |GROUP BY h""".stripMargin,
+
+    "doc_dedup_keep_best" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+         |), scored AS (
+         |  SELECT doc_id, md5($normSql) AS h,
+         |    CAST(length(text) AS BIGINT) AS quality
+         |  FROM corpus
+         |)
+         |SELECT h, doc_id AS keep_id, quality FROM (
+         |  SELECT h, doc_id, quality,
+         |    row_number() OVER (PARTITION BY h
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM scored) q
+         |WHERE rn = 1""".stripMargin,
 
     "doc_dedup_minhash" -> minhashOracle,
 
