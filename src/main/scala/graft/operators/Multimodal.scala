@@ -109,6 +109,27 @@ object Multimodal {
       }
   }
 
+  /** Resize planning over decoded metadata: target dimensions that fit a
+    * `maxDim`-square box preserving aspect ratio, never upscaling —
+    * integer arithmetic only (floor division), so both engines agree
+    * exactly. This is the metadata half of a resize stage: the pixel
+    * half is codec work behind the stub boundary, and the PLAN (which
+    * rows need work, to what size) is what flows into scheduling — pure
+    * Column algebra, payloads untouched and never shuffled. Invalid
+    * decodes (0-dim sentinel) plan to 0×0 with needs_resize = false.
+    */
+  def resizePlan(meta: DataFrame, maxDim: Long = 64L): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val needs = longest > maxDim
+    meta.select(
+      col("doc_id"), col("width"), col("height"),
+      when(needs, expr(s"cast(width * $maxDim div greatest(width, height) as bigint)"))
+        .otherwise(col("width")).as("out_w"),
+      when(needs, expr(s"cast(height * $maxDim div greatest(width, height) as bigint)"))
+        .otherwise(col("height")).as("out_h"),
+      needs.as("needs_resize"))
+  }
+
   /** Synthesize an opaque payload column for the fixtures: the md5 bytes
     * of the text stand in for a media header; `n_chars` plays the full
     * media length. Deterministic, so the decode output is

@@ -28,6 +28,14 @@ object MultimodalQueries {
         Multimodal.syntheticMedia(Tables(s, dir, "documents")),
         every = 3, frameSize = 50).toDF()),
 
+    // resize planning: decode -> fit-in-box target dims (integer-exact,
+    // no upscale) — the metadata half of a resize stage; the pixel half
+    // is stub-boundary codec work
+    "mm_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decode(
+          Multimodal.syntheticMedia(Tables(s, dir, "documents"))).toDF())),
+
     // downstream-of-decode aggregation: only the small metadata rows
     // reach the shuffle, never the payloads
     "mm_mode_stats" -> ((s, dir) =>
@@ -56,6 +64,16 @@ object MultimodalQueries {
          |      FROM documents) d,
          |  LATERAL (SELECT unnest(range(0, nf)) AS i) q
          |WHERE i % 3 = 0""".stripMargin,
+    "mm_resize_plan" ->
+      s"""SELECT doc_id, width, height,
+         |  CASE WHEN longest > 64 THEN width * 64 // longest
+         |       ELSE width END AS out_w,
+         |  CASE WHEN longest > 64 THEN height * 64 // longest
+         |       ELSE height END AS out_h,
+         |  longest > 64 AS needs_resize
+         |FROM (SELECT doc_id, ${byteSql(0)} AS width, ${byteSql(1)} AS height,
+         |        greatest(${byteSql(0)}, ${byteSql(1)}) AS longest
+         |      FROM documents) q""".stripMargin,
     "mm_mode_stats" ->
       s"""SELECT mode, count(*) AS n,
          |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
