@@ -8,25 +8,26 @@ import org.apache.spark.sql.functions._
   * must be collapsed into groups before one representative per group can
   * be kept; a pair list alone under-deletes (A~B, B~C but A!~C).
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labelled with itself; each round every node takes the minimum label
-  * among itself and its neighbours; fixpoint = per-component minimum
-  * everywhere. Each round is one join + one aggregation — fully
-  * distributed, no driver-side graph. The driver only orchestrates
-  * rounds and checks convergence (a `limit(1).count()` probe), which is
-  * how iterative algorithms run on Spark generally (GraphX Pregel does
-  * the same under the hood).
+  * Algorithm: iterative min-label propagation with POINTER JUMPING.
+  * Every node starts labelled with itself; each round every node takes
+  * the minimum label among itself and its neighbours (edge step), then
+  * replaces its label with its label's label (jump step — path
+  * halving). The edge step moves information one hop; the jump step
+  * doubles the effective reach, so convergence is O(log diameter)
+  * rounds instead of O(diameter) — a 1000-node chain converges in ~10
+  * rounds, not 1000. Fixpoint = per-component minimum everywhere. Each
+  * round is two joins + one aggregation — fully distributed, no
+  * driver-side graph. The driver only orchestrates rounds and checks
+  * convergence (a `limit(1).count()` probe), which is how iterative
+  * algorithms run on Spark generally (GraphX Pregel does the same
+  * under the hood).
   *
-  * Scale notes (100 TB): rounds needed = component diameter, and dedup
-  * components are shallow (near-dup clusters are cliques-ish through
-  * their shared buckets), so a handful of rounds suffices; `maxIter`
-  * bounds adversarial chains. `localCheckpoint` after every round
-  * truncates lineage — without it the plan doubles per round and
-  * planning cost explodes by round ~10. Each round shuffles the edge
-  * list once on the join key; the label table is one row per node.
-  * (The log-diameter alternating large-star/small-star variant is the
-  * published upgrade path for deep graphs; the hook is the same
-  * signature.)
+  * Scale notes (100 TB): each round shuffles the edge list once on the
+  * join key plus the (one-row-per-node) label table twice; round count
+  * is logarithmic, so adversarially deep graphs can't starve the loop.
+  * `localCheckpoint` after every round truncates lineage — without it
+  * the plan doubles per round and planning cost explodes by round ~10.
+  * `maxIter` is a safety net, not the convergence mechanism.
   */
 object GraphOps {
 
@@ -50,16 +51,23 @@ object GraphOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // edge step: take the min label over self ∪ neighbours
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
         .unionByName(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
+      // jump step (path halving): lbl ← lbl(lbl). The parent's label is
+      // ≤ my label by construction, so this only ever improves, and it
+      // doubles how far a round reaches.
+      val parents = prop.select(col("id").as("_pid"), col("lbl").as("_plbl"))
+      val jumped = prop.join(parents, col("lbl") === col("_pid"))
+        .select(col("id"), col("_plbl").as("lbl"))
         .localCheckpoint() // truncate lineage each round
-      val changed = prop.alias("n")
+      val changed = jumped.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .where(col("n.lbl") =!= col("o.lbl"))
         .limit(1).count()
-      labels = prop
+      labels = jumped
       converged = changed == 0
       i += 1
     }

@@ -187,6 +187,14 @@ class OperatorSpec extends SparkSpec {
     assert(cc.size == 9)
   }
 
+  test("connectedComponents converges on a 100-node chain within the " +
+       "default round budget (pointer jumping: log-diameter, not diameter)") {
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = graft.operators.GraphOps.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 100 && cc.forall(_._2 == 1L))
+  }
+
   test("driver-side hyperplane values match the SQL md5 derivation " +
        "(the oracle recomputes them via SQL)") {
     val sqlVals = spark.sql(
