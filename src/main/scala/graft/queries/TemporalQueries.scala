@@ -46,6 +46,46 @@ object TemporalQueries {
         .select(col("purchase_id"), col("asof_signup_id").as("signup_id"))
     }),
 
+    // Interval-overlap join, banded: which maintenance windows did each
+    // user session overlap? Both interval sets explode into fixed-width
+    // time buckets; candidates meet ONLY inside a shared bucket (join on
+    // bucket + exact overlap predicate, dedup) — the scalable interval
+    // join: O(intervals × avg buckets), never the all-pairs product.
+    // Windows are derived deterministically (45-min windows anchored at
+    // the corpus start, spaced 97 min per orders key < 50).
+    "join_interval_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val acc = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t"))
+      val sessions = e
+        .withColumn("new_session",
+          when(lag(col("t"), 1).over(order).isNull ||
+            col("t") - lag(col("t"), 1).over(order) > 1800000L, 1).otherwise(0))
+        .withColumn("session_id", sum("new_session").over(acc).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(min("t").as("s0"), max("t").as("s1"))
+      val t0 = e.agg(min("t").as("t0"))
+      val windows = Tables(s, dir, "orders")
+        .where(col("o_orderkey") < 50)
+        .select(col("o_orderkey").as("w_id"))
+        .crossJoin(broadcast(t0)) // 1-row scalar
+        .select(col("w_id"), (col("t0") + col("w_id") * 97L * 60000L).as("w0"))
+        .withColumn("w1", col("w0") + 45L * 60000L)
+      val bucket = 3600000L // 1-hour bands
+      val sb = sessions.withColumn("b",
+        explode(sequence(expr(s"s0 div $bucket"), expr(s"s1 div $bucket"))))
+      val wb = windows.withColumn("b",
+        explode(sequence(expr(s"w0 div $bucket"), expr(s"w1 div $bucket"))))
+      sb.join(broadcast(wb), Seq("b"))
+        .where(col("s0") <= col("w1") && col("w0") <= col("s1"))
+        .select(col("user_id"), col("session_id"), col("w_id"),
+          (least(col("s1"), col("w1")) - greatest(col("s0"), col("w0")))
+            .as("overlap_ms"))
+        .distinct()
+    }),
+
     // forward as-of: for each error event, the user's NEXT signup
     // at-or-after it (next-event lookup) — same one-shuffle shape,
     // time direction reversed
@@ -342,6 +382,37 @@ object TemporalQueries {
         |SELECT p.purchase_id, su.signup_id
         |FROM p ASOF JOIN su
         |  ON p.user_id = su.user_id AND p.t >= su.t""".stripMargin,
+    // oracle does the direct O(n*m) overlap join — tiny at fixture
+    // scale; banding changes the plan, not the result
+    "join_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(date_trunc('millisecond', ts)) AS t
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), s AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM m
+        |), sess AS (
+        |  SELECT user_id, session_id, min(t) AS s0, max(t) AS s1
+        |  FROM s GROUP BY 1, 2
+        |), t0 AS (SELECT min(t) AS t0 FROM e),
+        |w AS (
+        |  SELECT o_orderkey AS w_id,
+        |    t0 + o_orderkey * 97 * 60000 AS w0,
+        |    t0 + o_orderkey * 97 * 60000 + 45 * 60000 AS w1
+        |  FROM orders, t0 WHERE o_orderkey < 50
+        |)
+        |SELECT sess.user_id, sess.session_id, w.w_id,
+        |  least(s1, w1) - greatest(s0, w0) AS overlap_ms
+        |FROM sess JOIN w ON s0 <= w1 AND w0 <= s1""".stripMargin,
     "join_asof_forward" ->
       """WITH er AS (
         |  SELECT user_id, date_trunc('millisecond', ts) AS t,
