@@ -68,6 +68,20 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("query-family consumers plan the native exec (no silent window " +
+       "fallback): weighted mixing and keep-best dedup") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("cur_mix_weighted", "doc_dedup_keep_best")) {
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val hasExec = df.queryExecution.executedPlan.collectFirst {
+          case e: graft.plans.TopKPerKeyExec => e }.isDefined
+        assert(hasExec, s"$q did not plan TopKPerKeyExec:\n" +
+          df.queryExecution.executedPlan)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("k larger than group size yields the whole group, ranked") {
     val out = TopKPerKey.topK(df, "k", Seq(("score", true), ("id", false)), 10)
       .orderBy("k", "rank")
