@@ -48,7 +48,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map(jq).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tails get truncated by harnesses (r3 lost 30 of 91 per-query
+    // timings that way) — the full artifact also lands in a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_timings.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

