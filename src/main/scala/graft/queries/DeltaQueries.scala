@@ -273,7 +273,81 @@ object DeltaQueries {
       s.createDataFrame(Seq(Tuple1(newestPart), Tuple1(prevPart)))
         .toDF("importdate")
     }),
+    // Multi-snapshot delta fold: the reference runs weekly forever but
+    // only ever diffs the newest pair (agency-delta.go:118-121); this
+    // generalizes to the FULL chronology — per consecutive partition
+    // pair, UPDATED/ADDED/REMOVED counts — in ONE distributed pass, not
+    // N driver-looped pair jobs. The previous side is the same lake with
+    // importdate SHIFTED to its successor (the date→next mapping comes
+    // from the metadata partition listing, driver-side like R5), so a
+    // single full-outer join on (importdate, key) lines every snapshot
+    // up against its predecessor; one groupBy(importdate) then counts
+    // the three change classes. Shape at 100 TB: one co-partitioned
+    // shuffle of the lake + a 3-group aggregate — each pair still only
+    // meets its own two partitions' rows.
+    "delta_history" -> ((s, dir) => {
+      val root = AgencyLake.ensureHistory(s, dir)
+      val dates = AgencyLake.historyPartitionValues(s, dir).sorted
+      // partition-value inference types importdate as DATE; the pair
+      // fold treats dates as opaque ordered labels (reference parity:
+      // GetDeltaPartitions sorts strings), so pin string
+      val lake = s.read.parquet(root)
+        .withColumn("importdate", col("importdate").cast("string"))
+      val attrs = struct(col("o_orderstatus"), col("o_totalprice"))
+      val n = lake.where(col("importdate").isin(dates.tail: _*))
+        .select(col("importdate"), col(key), attrs.as("na"))
+      val nextOf = dates.zip(dates.tail)
+        .map { case (d, nd) => (lit(d), lit(nd)) }
+      // the predecessor side PRUNES on the raw partition column first
+      // (the newest date has no successor — its partition must never be
+      // scanned for this side); the successor mapping then runs on
+      // surviving rows only. Filtering on the mapped column instead
+      // would defeat partition pruning and scan all N partitions.
+      val p = lake
+        .where(col("importdate").isin(dates.init: _*))
+        .select(
+          nextOf.tail.foldLeft(
+            when(col("importdate") === nextOf.head._1, nextOf.head._2)) {
+            case (acc, (d, nd)) => acc.when(col("importdate") === d, nd)
+          }.as("importdate"),
+          col(key), attrs.as("pa"))
+      n.join(p, Seq("importdate", key), "full_outer")
+        .groupBy("importdate")
+        .agg(
+          count(when(col("na").isNotNull && col("pa").isNotNull &&
+            !(col("na") <=> col("pa")), lit(1))).as("n_updated"),
+          count(when(col("pa").isNull, lit(1))).as("n_added"),
+          count(when(col("na").isNull, lit(1))).as("n_removed"))
+    }),
   )
+
+  /** Oracle CTE for the history snapshots — generated from the SAME
+    * date/prime/perturbation constants as AgencyLake.historySnapshot.
+    */
+  private def historySnapshotSql: String = {
+    val primes = Seq(11, 13, 17, 19)
+    val dates = AgencyLake.historyDates
+    val snaps = dates.indices.map { k =>
+      s"""  SELECT '${dates(k)}' AS importdate, o_orderkey,
+         |    CASE WHEN (o_orderkey + $k) % 9 = 0 THEN o_orderstatus || 'U'
+         |         ELSE o_orderstatus END AS o_orderstatus,
+         |    o_totalprice + (CASE WHEN o_orderkey % 5 = $k THEN 1.0 ELSE 0.0 END)
+         |      AS o_totalprice
+         |  FROM orders WHERE o_orderkey % ${primes(k)} <> 0""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val shift = dates.zip(dates.tail)
+      .map { case (d, nd) => s"WHEN importdate = '$d' THEN '$nd'" }
+      .mkString(" ")
+    s"""WITH snaps AS (
+       |$snaps
+       |), n AS (
+       |  SELECT * FROM snaps WHERE importdate <> '${dates.head}'
+       |), p AS (
+       |  SELECT CASE $shift END AS importdate, o_orderkey, o_orderstatus,
+       |    o_totalprice
+       |  FROM snaps WHERE importdate <> '${dates.last}'
+       |)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "delta_updated" ->
@@ -369,5 +443,17 @@ object DeltaQueries {
     // pins the metadata-listing result to the expected pair, newest first
     "delta_partition_pair" ->
       """SELECT * FROM (VALUES ('2024-01-15'), ('2024-01-08')) AS t(importdate)""".stripMargin,
+    "delta_history" ->
+      s"""$historySnapshotSql
+         |SELECT COALESCE(n.importdate, p.importdate) AS importdate,
+         |  count(CASE WHEN n.o_orderkey IS NOT NULL AND p.o_orderkey IS NOT NULL
+         |    AND (n.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+         |         OR n.o_totalprice IS DISTINCT FROM p.o_totalprice)
+         |    THEN 1 END) AS n_updated,
+         |  count(CASE WHEN p.o_orderkey IS NULL THEN 1 END) AS n_added,
+         |  count(CASE WHEN n.o_orderkey IS NULL THEN 1 END) AS n_removed
+         |FROM n FULL OUTER JOIN p
+         |  ON n.importdate = p.importdate AND n.o_orderkey = p.o_orderkey
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -29,6 +29,46 @@ object TemporalQueries {
       .groupBy("user_id", "ts_ms")
       .agg(max("event_id").as("event_id"))
 
+  /** Session the stateful streaming queries run in: same SparkContext,
+    * own SQLConf. Streaming state-store instances = shuffle partitions,
+    * and each instance pays per-batch snapshot/commit overhead — at
+    * harness state sizes, 32 stores cost far more in bookkeeping than
+    * they buy in parallelism, so the streams run at 8 (a deployment
+    * sizes this to state cardinality, not the batch session default).
+    * State lives in RocksDB (bounded native memory, changelog commits)
+    * rather than the default HDFS-backed heap map — the provider a
+    * production cluster would run for exactly these unbounded-key-count
+    * stores (stream-stream join buffers, dedup id sets).
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss
+  }
+
+  /** Sink+checkpoint root for a streaming query, keyed by (query, sf
+    * dir) and wiped at entry: repeated Bench/Verify runs overwrite ONE
+    * deterministic directory instead of accumulating fresh
+    * `createTempDirectory` trees (unbounded tmp growth otherwise). The
+    * wipe also guarantees each run starts from a clean checkpoint, so a
+    * changed query never trips state-schema incompatibility.
+    */
+  private def streamDir(name: String, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-stream", s"$name-$key")
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    Files.createDirectories(root)
+    root.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // as-of: for each purchase, the user's most recent signup at-or-
     // before it — one shuffle (window), no range explosion
@@ -186,13 +226,13 @@ object TemporalQueries {
     // window whose end <= watermark; the last two hours of windows stay
     // in state — exactly what a resumed stream would finalize next run.
     // The oracle reproduces that boundary in batch SQL.
-    "stream_events_hourly_append" -> ((s, dir) => {
+    "stream_events_hourly_append" -> ((s0, dir) => {
+      val s = streamSession(s0)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_append_").toString
+      val tmp = streamDir("hourly_append", dir)
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
@@ -254,7 +294,8 @@ object TemporalQueries {
     // stream-stream join buffers forever). Inner join → append mode;
     // matches land in a file sink and the batch oracle reproduces the
     // same time-band join.
-    "stream_click_view_join" -> ((s, dir) => {
+    "stream_click_view_join" -> ((s0, dir) => {
+      val s = streamSession(s0)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
@@ -263,8 +304,7 @@ object TemporalQueries {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_join_").toString
+      val tmp = streamDir("click_view_join", dir)
       val clicks = stream.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("cts"))
@@ -301,13 +341,13 @@ object TemporalQueries {
     // == 0 (the fixture's ids are unique), the deduped stream lands in a
     // file sink, and the result aggregates the sink — equal to the
     // original stream iff every injected duplicate was dropped.
-    "stream_dedup_ids" -> ((s, dir) => {
+    "stream_dedup_ids" -> ((s0, dir) => {
+      val s = streamSession(s0)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_dedup_").toString
+      val tmp = streamDir("dedup_ids", dir)
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)

@@ -125,6 +125,10 @@ object AgencyLake {
     */
   def partitionValues(spark: SparkSession, sfDir: String): Seq[String] = {
     val root = ensure(spark, sfDir)
+    listImportdates(spark, root)
+  }
+
+  private def listImportdates(spark: SparkSession, root: String): Seq[String] = {
     val fs = FileSystem.get(
       new java.net.URI(s"file://$root"),
       spark.sessionState.newHadoopConf())
@@ -135,4 +139,71 @@ object AgencyLake {
       .map(_.split("=", 2))
       .collect { case Array("importdate", v) => v }
   }
+
+  // ----- multi-snapshot history lake (delta_history) ---------------------
+  //
+  // The reference runs weekly forever (Readme.md:8) but only ever diffs
+  // the newest partition pair (agency-delta.go:118-121). The history lake
+  // keeps N=4 weekly snapshots so the delta fold can be exercised over the
+  // FULL chronology — every consecutive pair, one distributed pass.
+
+  /** The four weekly snapshot dates, oldest first. */
+  val historyDates: Seq[String] =
+    Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22")
+
+  /** Membership modulus per snapshot: snapshot k holds orders keys not
+    * divisible by the k-th prime, so consecutive snapshots differ in both
+    * directions (keys divisible by p(k) only reappear = added; keys
+    * divisible by p(k+1) only vanish = removed).
+    */
+  private val historyPrimes = Seq(11, 13, 17, 19)
+
+  /** Snapshot k derivation (mirrored verbatim in DeltaQueries' history
+    * oracle CTE): price +1 when `o_orderkey % 5 == k` and status suffixed
+    * when `(o_orderkey + k) % 9 == 0` — both perturbations move with k,
+    * so every consecutive pair has a distinct non-empty UPDATED set. No
+    * NULLs, so legacy and null-safe change semantics coincide.
+    */
+  private def historySnapshot(spark: SparkSession, sfDir: String,
+                              k: Int): DataFrame =
+    graft.Tables(spark, sfDir, "orders")
+      .filter(col(DeltaQueries.key) % historyPrimes(k) =!= 0)
+      .select(col(DeltaQueries.key),
+        when((col(DeltaQueries.key) + k) % 9 === 0,
+          concat(col("o_orderstatus"), lit("U")))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        (col("o_totalprice") +
+          when(col(DeltaQueries.key) % 5 === k, lit(1.0d))
+            .otherwise(lit(0.0d))).as("o_totalprice"),
+        lit(historyDates(k)).as("importdate"))
+
+  def historyRoot(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-lake-v$DerivationVersion-$key/agency_history"
+  }
+
+  /** Materialize the 4-snapshot history table (idempotent, `_SUCCESS`
+    * marker), same `importdate=` layout and multi-file discipline as the
+    * two-snapshot lake.
+    */
+  def ensureHistory(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = historyRoot(sfDir)
+    val fs = FileSystem.get(
+      new java.net.URI(s"file://$root"),
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      historyDates.indices
+        .map(historySnapshot(spark, sfDir, _))
+        .reduce(_ unionByName _)
+        .repartition(SnapshotFiles, col("importdate"), col(DeltaQueries.key))
+        .write.mode("overwrite")
+        .partitionBy("importdate")
+        .parquet(root)
+    }
+    root
+  }
+
+  /** History partition values from the same metadata-only listing. */
+  def historyPartitionValues(spark: SparkSession, sfDir: String): Seq[String] =
+    listImportdates(spark, ensureHistory(spark, sfDir))
 }

@@ -37,6 +37,15 @@ class SnapshotDeltaSpec extends SparkSpec {
     assert(updatedPids(NullSafe) == Set("p2", "p3", "p4"))
   }
 
+  test("null-safe detects a NULL moving between columns (regression: " +
+    "struct hashing skips null fields, so the fast-path hash must " +
+    "include null markers)") {
+    val p = snap(("p8", "x", null))
+    val n = snap(("p8", null, "x"))
+    assert(SnapshotDelta.updated(n, p, "pid", Seq("a", "b"), NullSafe)
+      .count() == 1)
+  }
+
   test("null == null is never a change in either mode") {
     assert(!updatedPids(Legacy).contains("p5"))
     assert(!updatedPids(NullSafe).contains("p5"))
@@ -103,5 +112,32 @@ class SnapshotDeltaSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       SnapshotDelta.partitionPair(Seq("2024-01-01", "2024-01-01")))
     assert(e.getMessage == "Not enough partitions to run delta")
+  }
+
+  test("delta_history folds every consecutive pair with the right " +
+    "added/removed counts") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.queries.DeltaQueries
+      .queries("delta_history")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val dates = graft.sources.AgencyLake.historyDates
+    assert(rows.keySet == dates.tail.toSet)
+    // independent arithmetic: membership of snapshot k is
+    // o_orderkey % prime(k) <> 0, so added at pair (k-1 -> k) counts keys
+    // divisible by prime(k-1) but not prime(k), removed the reverse
+    val keys = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey")).as[Long].collect()
+    val primes = Seq(11, 13, 17, 19)
+    dates.tail.indices.foreach { i =>
+      val (pp, np) = (primes(i), primes(i + 1))
+      val expAdded = keys.count(k => k % pp == 0 && k % np != 0).toLong
+      val expRemoved = keys.count(k => k % pp != 0 && k % np == 0).toLong
+      val (upd, added, removed) = rows(dates(i + 1))
+      assert(added == expAdded, s"added at ${dates(i + 1)}")
+      assert(removed == expRemoved, s"removed at ${dates(i + 1)}")
+      assert(upd > 0, s"updated at ${dates(i + 1)} should be non-empty")
+    }
   }
 }
