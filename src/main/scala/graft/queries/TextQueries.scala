@@ -108,6 +108,33 @@ object TextQueries {
         .agg(kmv(col("h")).as("est_distinct"))
     }),
 
+    // mergeable quantile sketch: corpus token-length quantiles estimated
+    // from the k=64 docs with the lexicographically smallest
+    // md5('qs|' || doc_id) — a deterministic fixed-size hash sample. The
+    // bottom-k-by-hash property MERGES (bottom-k of a union = bottom-k
+    // of per-partition bottom-ks — the same portability trick as the KMV
+    // sketch), and Spark plans orderBy+limit as TakeOrderedAndProject:
+    // each partition keeps only its own k rows, the driver merges P×k —
+    // O(k) memory per task at ANY corpus size, no full sort, no shuffle
+    // of the corpus. Order statistics over the sample (percentile_disc —
+    // exact, hence engine-portable) estimate the corpus quantiles.
+    "text_quantile_sketch" -> ((s, dir) => {
+      val k = 64
+      val sample = docs(s, dir)
+        .select(
+          md5(concat(lit("qs|"), col("doc_id").cast("string"))).as("h"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("v"))
+        .orderBy("h").limit(k)
+      // percentile_disc picks an existing v (a long); Spark still types the
+      // result double, DuckDB keeps bigint — cast for gate parity.
+      sample.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").cast("long").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").cast("long").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").cast("long").as("p75"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").cast("long").as("p90"),
+        count(lit(1)).as("k_actual"))
+    }),
+
     // semi-structured extraction from the events props JSON
     "events_json" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -200,6 +227,20 @@ object TextQueries {
            |            CAST(max(CASE WHEN rn = 64 THEN v END) AS DOUBLE)
            |  END AS est_distinct
            |FROM ranked GROUP BY lang""".stripMargin,
+
+      "text_quantile_sketch" ->
+        """WITH sample AS (
+          |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+          |  FROM documents
+          |  ORDER BY md5('qs|' || CAST(doc_id AS VARCHAR)) LIMIT 64
+          |)
+          |SELECT
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS p25,
+          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50,
+          |  percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS p75,
+          |  percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p90,
+          |  count(*) AS k_actual
+          |FROM sample""".stripMargin,
 
       "events_json" ->
         """SELECT event_type, count(*) AS n,
