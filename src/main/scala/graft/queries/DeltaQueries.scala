@@ -319,6 +319,32 @@ object DeltaQueries {
           count(when(col("pa").isNull, lit(1))).as("n_added"),
           count(when(col("na").isNull, lit(1))).as("n_removed"))
     }),
+    // Runtime-pruned snapshot read: the snapshot dates of interest come
+    // from a DIM-TABLE FILTER, so they are unknowable at plan time and
+    // static partition pruning cannot apply. Catalyst's PartitionPruning
+    // rule instead injects a dynamicpruningexpression subquery on the
+    // fact side's importdate partition column, reusing the dim's
+    // broadcast — the fact scan lists only the matching importdate=
+    // directories (DppSpec asserts both the expression and the pruned
+    // partition count). The 100 TB shape this pins: a lake holding years
+    // of weekly snapshots, queried through a watchlist table, still
+    // touches only the watched weeks' files.
+    "delta_history_dpp" -> ((s, dir) => {
+      val root = AgencyLake.ensureHistory(s, dir)
+      val lake = s.read.parquet(root) // importdate inferred as DATE
+      val dateArr = array(AgencyLake.historyDates.map(lit): _*)
+      val dim = Tables(s, dir, "region")
+        .where(col("r_regionkey") < 2)
+        .select(to_date(element_at(dateArr,
+          col("r_regionkey").cast("int") + 1)).as("importdate"))
+      lake.join(dim, Seq("importdate"))
+        .groupBy(col("importdate").cast("string").as("importdate"))
+        .agg(count(lit(1)).as("n_rows"),
+          // exact decimal sum then one double cast — aggregation-order-
+          // independent money math (same trick as events_json)
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+    }),
   )
 
   /** Oracle CTE for the history snapshots — generated from the SAME
@@ -455,5 +481,17 @@ object DeltaQueries {
          |FROM n FULL OUTER JOIN p
          |  ON n.importdate = p.importdate AND n.o_orderkey = p.o_orderkey
          |GROUP BY 1""".stripMargin,
+    "delta_history_dpp" -> {
+      val dateList = AgencyLake.historyDates.map(d => s"'$d'").mkString(",")
+      s"""$historySnapshotSql
+         |, dim AS (
+         |  SELECT ([$dateList])[CAST(r_regionkey + 1 AS INT)] AS importdate
+         |  FROM region WHERE r_regionkey < 2
+         |)
+         |SELECT s.importdate, count(*) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM snaps s JOIN dim d ON s.importdate = d.importdate
+         |GROUP BY 1""".stripMargin
+    },
   )
 }

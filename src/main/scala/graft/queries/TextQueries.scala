@@ -135,6 +135,60 @@ object TextQueries {
         count(lit(1)).as("k_actual"))
     }),
 
+    // PII scrub: the synthetic corpus carries no natural PII, so each doc
+    // is first augmented with a deterministic doc_id-derived email and
+    // phone — the redaction regexes then have real matches to find, and
+    // the oracle can verify counts AND the exact redacted text (by md5).
+    // Pure per-row regexp work: one scan, no shuffle, WSCG end to end.
+    "text_redact_pii" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +61 4"),
+        lpad((col("doc_id") % 100000000).cast("string"), 8, "0"))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+\\d{2} \\d{9}"
+      val redacted = regexp_replace(
+        regexp_replace(aug, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(redacted).cast("long").as("n_chars_redacted"),
+        md5(redacted).as("redacted_md5"))
+    }),
+
+    // repetition filter (Gopher-style): fraction of a doc's bigrams
+    // covered by its single most frequent bigram, plus the duplicate-
+    // bigram fraction; boilerplate/looping generations score high and
+    // get dropped. Bigrams built positionally with transform/sequence —
+    // array expression work per row, no explode, no shuffle. The
+    // distinct×filter count is O(n²) in doc tokens but n is bounded by
+    // the doc, not the corpus — scales linearly over documents.
+    "text_repetition" -> ((s, dir) => {
+      val withBg = docs(s, dir)
+        .select(col("doc_id"),
+          split(TextDedup.normalize(col("text")), " ").as("t"))
+        .select(col("doc_id"), expr(
+          "CASE WHEN size(t) < 2 THEN array() " +
+          "ELSE transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1])) END")
+          .as("bg"))
+      withBg.select(
+        col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        round(expr(
+          "CASE WHEN size(bg) = 0 THEN 0.0 ELSE " +
+          "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))) " +
+          "/ CAST(size(bg) AS DOUBLE) END"), 6).as("top_bigram_ratio"),
+        round(expr(
+          "CASE WHEN size(bg) = 0 THEN 0.0 ELSE " +
+          "1.0 - size(array_distinct(bg)) / CAST(size(bg) AS DOUBLE) END"), 6)
+          .as("dup_bigram_fraction"))
+        .withColumn("keep",
+          col("top_bigram_ratio") <= 0.18 && col("dup_bigram_fraction") <= 0.9)
+    }),
+
     // semi-structured extraction from the events props JSON
     "events_json" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -241,6 +295,47 @@ object TextQueries {
           |  percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p90,
           |  count(*) AS k_actual
           |FROM sample""".stripMargin,
+
+      "text_redact_pii" ->
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          |    '@example.com or +61 4' ||
+          |    lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') AS a
+          |  FROM documents
+          |), red AS (
+          |  SELECT doc_id, a,
+          |    regexp_replace(
+          |      regexp_replace(a, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+          |      '\+\d{2} \d{9}', '[PHONE]', 'g') AS r
+          |  FROM aug)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(a, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(a, '\+\d{2} \d{9}')) AS BIGINT) AS n_phones,
+          |  CAST(length(r) AS BIGINT) AS n_chars_redacted,
+          |  md5(r) AS redacted_md5
+          |FROM red""".stripMargin,
+
+      "text_repetition" ->
+        s"""WITH bg AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) < 2 THEN []
+           |         ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           |    END AS bg
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents) q
+           |)
+           |, scored AS (
+           |  SELECT doc_id,
+           |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+           |    round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+           |      list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x))))
+           |      / CAST(len(bg) AS DOUBLE) END, 6) AS top_bigram_ratio,
+           |    round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+           |      1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE) END, 6) AS dup_bigram_fraction
+           |  FROM bg)
+           |SELECT *,
+           |  top_bigram_ratio <= 0.18 AND dup_bigram_fraction <= 0.9 AS keep
+           |FROM scored""".stripMargin,
 
       "events_json" ->
         """SELECT event_type, count(*) AS n,
