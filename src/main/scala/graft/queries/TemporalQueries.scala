@@ -2,11 +2,17 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.operators.AsofJoin
+
+/** Running per-user state for stream_user_state_timeout. */
+case class UserRunning(n: Long, minMs: Long, maxMs: Long)
+
+/** Finalized (timed-out) per-user row for stream_user_state_timeout. */
+case class UserFinal(user_id: Long, n_events: Long, first_ms: Long, last_ms: Long)
 
 /** Temporal operators over the `events` stream table: as-of join
   * (composed union+carry-forward — see [[graft.operators.AsofJoin]]) and
@@ -377,6 +383,71 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"))
     }),
 
+    // Custom streaming state: flatMapGroupsWithState with an EVENT-TIME
+    // timeout. Per user, state accumulates (count, first ts, last ts);
+    // nothing is emitted while the user stays active. When the watermark
+    // passes lastTs + 2h (the timeout this query sets after every
+    // update), the group times out: the finalized row is emitted ONCE
+    // and the state removed — per-key state lives exactly as long as
+    // the key is hot, the unbounded-key-count shape a 100 TB stream
+    // needs. Append mode + file sink. With AvailableNow the final
+    // watermark is max(ts) - 2h, so exactly the users idle for > 4h
+    // before corpus end finalize (timeout fires when timeoutTs <
+    // watermark — strict, mirrored in the oracle); active users stay
+    // buffered for the next run, like any resumed stream.
+    "stream_user_state_timeout" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val tmp = streamDir("user_state_timeout", dir)
+      val horizonMs = 2 * 3600 * 1000L
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[UserRunning, UserFinal](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          case (uid, rows, state) =>
+            if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              Iterator.single(UserFinal(uid, st.n, st.minMs, st.maxMs))
+            } else {
+              // min/max/count folds are arrival-order-independent, so
+              // the unordered group iterator is safe (a sum of doubles
+              // here would not be deterministic)
+              val st = rows.foldLeft(
+                state.getOption.getOrElse(
+                  UserRunning(0L, Long.MaxValue, Long.MinValue))) { (a, r) =>
+                val ms = r._2.getTime
+                UserRunning(a.n + 1, math.min(a.minMs, ms), math.max(a.maxMs, ms))
+              }
+              state.update(st)
+              state.setTimeoutTimestamp(st.maxMs + horizonMs)
+              Iterator.empty
+            }
+        }
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("n_events", LongType),
+          StructField("first_ms", LongType), StructField("last_ms", LongType))))
+        .parquet(s"$tmp/out")
+    }),
+
     // Structured Streaming: tumbling 1-hour counts per event type,
     // executed as a stream over the parquet with Trigger.AvailableNow
     // into a memory sink, then read back as the result
@@ -565,6 +636,20 @@ object TemporalQueries {
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY 1""".stripMargin,
+    // a user finalizes iff their timeout (last event + 2h) fell STRICTLY
+    // below the final watermark (global max ts - 2h) — i.e. idle > 4h
+    // before corpus end; active users are still buffered in state
+    "stream_user_state_timeout" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS tms
+        |  FROM events
+        |), wm AS (SELECT max(tms) - 7200000 AS w FROM e),
+        |u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    min(tms) AS first_ms, max(tms) AS last_ms
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events, first_ms, last_ms
+        |FROM u, wm WHERE last_ms + 7200000 < w""".stripMargin,
     // append-mode semantics in batch SQL: only windows finalized by the
     // final watermark (max ms-truncated ts - 2h) are in the sink
     "stream_events_hourly_append" ->
