@@ -159,6 +159,26 @@ object CurationQueries {
           expr("cast(start_tok div 2048 as bigint)").as("pack_id"))
     }),
 
+    // the composed pipeline: quality gate → exact dedup (min-id
+    // representative per content hash) → deterministic hash sample →
+    // per-(lang, source) recipe summary. One plan: a stateless filter,
+    // ONE shuffle on the content hash, a stateless sample, and a
+    // partial-agg'd groupBy — the end-to-end curation pass stays
+    // linear with exactly two exchanges at any corpus size.
+    "cur_pipeline_e2e" -> ((s, dir) => {
+      val quality = docs(s, dir)
+        .withColumn("n_tok",
+          size(split(TextDedup.normalize(col("text")), " ")).cast("long"))
+        .where(col("n_tok") >= 10 && length(col("text")) >= 50)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          md5(TextDedup.normalize(col("text"))).as("ch"))
+      val reps = quality.groupBy("ch").agg(min("doc_id").as("doc_id"))
+      quality.join(reps, Seq("ch", "doc_id"))
+        .where(hashMille("e2e", col("doc_id")) < 500)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    }),
+
     // corpus token-length histogram: one partial-agg'd groupBy.
     "cur_token_hist" -> ((s, dir) =>
       docs(s, dir)
@@ -233,6 +253,22 @@ object CurationQueries {
          |  FROM (SELECT source, doc_id,
          |          CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
          |        FROM documents) q0) q1""".stripMargin,
+
+    "cur_pipeline_e2e" ->
+      s"""WITH quality AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok,
+         |    md5($normSql) AS ch
+         |  FROM documents
+         |  WHERE len(string_split($normSql, ' ')) >= 10 AND length(text) >= 50
+         |), reps AS (
+         |  SELECT ch, min(doc_id) AS doc_id FROM quality GROUP BY 1
+         |)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM quality q JOIN reps r ON q.ch = r.ch AND q.doc_id = r.doc_id
+         |WHERE ${hashMilleSql("e2e", "q.doc_id")} < 500
+         |GROUP BY 1, 2""".stripMargin,
 
     "cur_token_hist" ->
       s"""SELECT CAST(n_tok // 16 AS BIGINT) AS bucket, count(*) AS n_docs,
