@@ -212,6 +212,17 @@ object DeltaQueries {
       SnapshotDelta.updated(s.table(newT), s.table(prevT), key,
         compareAttrs, SnapshotDelta.Legacy)
     }),
+    // the same standing layout at reference width, where it matters
+    // most: the wide delta's recurring cost is shuffling 34 string
+    // columns of both snapshots — bucketed+sorted by pid, the null-safe
+    // wide delta becomes a per-bucket merge with no exchange (plan proof
+    // in BucketedJoinSpec; same rows/oracle as delta_updated_wide_nullsafe)
+    "delta_updated_wide_bucketed" -> ((s, dir) => {
+      val (prevT, newT) = graft.sources.BucketedTables.ensureWideSnapshots(s, dir)
+      SnapshotDelta.updated(s.table(newT), s.table(prevT),
+        AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
+        SnapshotDelta.NullSafe)
+    }),
     // R4 intent: anti-join
     "delta_added" -> ((s, dir) => {
       val (n, p) = lakePair(s, dir)
@@ -397,6 +408,11 @@ object DeltaQueries {
          |SELECT n.* FROM newest n JOIN prev p ON n.pid = p.pid
          |WHERE ${widePredicateSql("<>")}""".stripMargin,
     "delta_updated_wide_nullsafe" ->
+      s"""$wideSnapshotCte
+         |SELECT n.* FROM newest n JOIN prev p ON n.pid = p.pid
+         |WHERE ${widePredicateSql("IS DISTINCT FROM")}""".stripMargin,
+    // bucketed layout changes the plan, not the rows
+    "delta_updated_wide_bucketed" ->
       s"""$wideSnapshotCte
          |SELECT n.* FROM newest n JOIN prev p ON n.pid = p.pid
          |WHERE ${widePredicateSql("IS DISTINCT FROM")}""".stripMargin,

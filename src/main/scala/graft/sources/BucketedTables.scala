@@ -86,4 +86,30 @@ object BucketedTables {
       write(newTable, graft.queries.DeltaQueries.newest(spark, sfDir))
       (prevTable, newTable)
     }
+
+  /** The reference-width (34-col) snapshots bucketed+sorted by pid. The
+    * payoff grows with row width: the wide delta's dominant cost is
+    * shuffling 34 string columns of BOTH snapshots per run — bucketing
+    * moves that to the one-time layout, so the weekly wide delta is a
+    * per-bucket merge of pre-sorted files. Returns (prevTable, newTable).
+    */
+  def ensureWideSnapshots(spark: SparkSession, sfDir: String): (String, String) =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft-buckets-$key"
+      val prevTable = s"snap_wide_prev_bkt$key"
+      val newTable = s"snap_wide_new_bkt$key"
+      val pid = graft.pipeline.AbrSchemas.agencyKey
+      def write(table: String, df: org.apache.spark.sql.DataFrame): Unit =
+        if (!spark.catalog.tableExists(table)) {
+          df.repartition(BucketCount, org.apache.spark.sql.functions.col(pid))
+            .write.mode("overwrite")
+            .bucketBy(BucketCount, pid).sortBy(pid)
+            .option("path", s"$root/$table")
+            .saveAsTable(table)
+        }
+      write(prevTable, graft.queries.DeltaQueries.widePrevious(spark, sfDir))
+      write(newTable, graft.queries.DeltaQueries.wideNewest(spark, sfDir))
+      (prevTable, newTable)
+    }
 }

@@ -71,4 +71,34 @@ class BucketedJoinSpec extends SparkSpec {
         "spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
     }
   }
+
+  test("bucketed WIDE delta (34 cols, null-safe): zero Exchange, zero Sort, " +
+       "same rows as the partition-pruned wide delta") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevOrd = spark.conf.get(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val bucketed = graft.queries.DeltaQueries
+        .queries("delta_updated_wide_bucketed")(spark, sfDir)
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed wide delta must not shuffle:\n$plan")
+      assert(!plan.contains("Sort ["),
+        s"bucketed wide delta must not re-sort:\n$plan")
+      val lake = graft.queries.DeltaQueries
+        .queries("delta_updated_wide_nullsafe")(spark, sfDir)
+      assert(bucketed.exceptAll(lake).isEmpty && lake.exceptAll(bucketed).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+    }
+  }
 }
