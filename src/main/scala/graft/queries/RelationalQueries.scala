@@ -235,6 +235,24 @@ object RelationalQueries {
           ntile(4).over(ord).cast("long").as("quartile"))
     }),
 
+    // distribution functions over a total order (explicit tiebreak —
+    // percent_rank/cume_dist/nth_value all depend on row order):
+    // rank-normalized position, cumulative share, and fixed-position
+    // picks from an explicit whole-partition frame
+    "window_distribution" -> ((s, dir) => {
+      val ord = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .where(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(percent_rank().over(ord), 6).as("pr"),
+          round(cume_dist().over(ord), 6).as("cd"),
+          first(col("o_orderkey")).over(full).as("cheapest_key"),
+          nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+    }),
+
     "window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -421,6 +439,22 @@ object RelationalQueries {
             .otherwise("small").as("size_class"),
           coalesce(nullif(col("o_orderstatus"), lit("P")), lit("NOT_P")).as("status_np"))),
 
+    // higher-order array lambdas — filter/exists/forall predicates and
+    // the sequential aggregate() fold (deterministic here: integer
+    // accumulation is associative, and the fold order is the array
+    // order either way). All codegen'd expression work, no UDFs.
+    "func_lambda" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(graft.operators.TextDedup.normalize(col("text")), " ").as("t"))
+        .select(col("doc_id"),
+          expr("size(filter(t, x -> length(x) > 4))")
+            .cast("long").as("n_long_toks"),
+          expr("exists(t, x -> x = 'the')").as("has_the"),
+          expr("forall(t, x -> length(x) > 0)").as("all_nonempty"),
+          expr("aggregate(t, 0L, (acc, x) -> acc + length(x))")
+            .as("total_chars"))),
+
     // ---- distinct / projection ----
     "distinct_projection" -> ((s, dir) =>
       t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
@@ -533,6 +567,18 @@ object RelationalQueries {
         |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "window_distribution" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(percent_rank() OVER ord, 6) AS pr,
+        |  round(cume_dist() OVER ord, 6) AS cd,
+        |  first_value(o_orderkey) OVER wfull AS cheapest_key,
+        |  nth_value(o_orderkey, 3) OVER wfull AS third_key
+        |FROM orders WHERE o_orderkey % 9 = 0
+        |WINDOW ord AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey),
+        |  wfull AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "window_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS INT) AS order_seq,
@@ -636,6 +682,15 @@ object RelationalQueries {
         |       ELSE 'small' END AS size_class,
         |  coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np
         |FROM orders""".stripMargin,
+    "func_lambda" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT) AS n_long_toks,
+        |  len(list_filter(t, x -> x = 'the')) > 0 AS has_the,
+        |  len(list_filter(t, x -> length(x) = 0)) = 0 AS all_nonempty,
+        |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars
+        |FROM (SELECT doc_id,
+        |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |      FROM documents) q""".stripMargin,
     "distinct_projection" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
   )
