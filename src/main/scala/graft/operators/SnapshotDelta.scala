@@ -66,32 +66,30 @@ object SnapshotDelta {
     */
   def updated(newest: DataFrame, previous: DataFrame, key: String,
               attrs: Seq[String], mode: ChangeMode = Legacy): DataFrame = {
-    // NullSafe fast path: a per-row xxhash64 over the compared attrs,
-    // computed ONCE per input row during the scan (not per joined pair),
-    // dismisses the dominant unchanged rows with a single long compare —
-    // the wide 33-way <=> disjunction then runs only on hash-differing
-    // pairs, where it both confirms the change exactly (no false
-    // positives from the hash) and keeps the predicate the source of
-    // truth. Each column is hashed as an (IS NULL, value) pair: Spark's
-    // hash fold SKIPS null fields (the running hash passes through), so
-    // without the marker, rows differing only in which column holds a
-    // NULL — ("x", NULL) vs (NULL, "x") — would collide and the change
-    // would be missed; the never-null marker makes every column advance
-    // the fold, leaving only the generic ~2^-64 collision risk. Legacy's
-    // three-valued `!=` ignores NULL transitions the hash would see, so
-    // Legacy keeps the bare disjunction for exact reference parity
-    // (agency-delta.go:168-200).
+    // Unchanged-row fast path (both modes): a per-row xxhash64 over the
+    // compared attrs, computed ONCE per input row during the scan (not
+    // per joined pair), dismisses the dominant unchanged rows with a
+    // single long compare — the wide 33-way disjunction then runs only
+    // on hash-differing pairs, where it both confirms the change exactly
+    // (no false positives from the hash) and keeps the predicate the
+    // source of truth. The dismissal is mode-agnostic: hash-equal rows
+    // are attribute-identical, and an identical pair satisfies neither
+    // `a <=> b` negated (NullSafe) nor any `a != b` (Legacy — `x != x`
+    // is false, `NULL != NULL` is NULL; either way the row is filtered),
+    // so Legacy's exact three-valued parity with agency-delta.go:168-200
+    // is preserved on every pair the predicate actually sees. Each
+    // column is hashed as an (IS NULL, value) pair: Spark's hash fold
+    // SKIPS null fields (the running hash passes through), so without
+    // the marker, rows differing only in which column holds a NULL —
+    // ("x", NULL) vs (NULL, "x") — would collide and the change would
+    // be missed; the never-null marker makes every column advance the
+    // fold, leaving only the generic ~2^-64 collision risk.
     val rowHash = "_graft_rowhash"
-    val (nd, pd, pre) = mode match {
-      case NullSafe =>
-        val h = xxhash64(
-          struct(attrs.flatMap(c => Seq(col(c).isNull, col(c))): _*))
-        (newest.withColumn(rowHash, h), previous.withColumn(rowHash, h),
-          col(s"n.$rowHash") =!= col(s"p.$rowHash"))
-      case Legacy => (newest, previous, lit(true))
-    }
-    val n = nd.alias("n")
-    val p = pd.alias("p")
+    val h = xxhash64(
+      struct(attrs.flatMap(c => Seq(col(c).isNull, col(c))): _*))
+    val pre = col(s"n.$rowHash") =!= col(s"p.$rowHash")
+    val n = newest.withColumn(rowHash, h).alias("n")
+    val p = previous.withColumn(rowHash, h).alias("p")
     n.join(p, col(s"n.$key") === col(s"p.$key"), "inner")
       .where(pre && changePredicate(attrs, "n", "p", mode))
       .select(newest.columns.toIndexedSeq.map(c => col(s"n.$c")): _*)

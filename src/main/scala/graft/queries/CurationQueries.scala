@@ -117,13 +117,18 @@ object CurationQueries {
         .withColumnRenamed("doc_id", "eval_id").persist()
       val trainSh = TextDedup.shingles(train, "doc_id", "text")
         .withColumnRenamed("doc_id", "train_id")
-      // stop-shingle cap over the train index (window keeps the join's
-      // own shingle partitioning)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+      // stop-shingle cap as a pre-aggregated STOP-set + broadcast
+      // anti-join (the same shape as TextDedup.candidatePairs' bucket
+      // cap, for the same reason: the stop set is tiny by construction —
+      // only boilerplate shingles exceed the cap — so this costs one
+      // partial-agg'd groupBy + a map-side probe, where the window
+      // formulation sorted and materialized the full shingle stream)
+      val stopShingles = trainSh.groupBy("shingle")
+        .agg(count(lit(1)).as("_df"))
+        .where(col("_df") > stopShingleCap)
+        .select("shingle")
       val index = trainSh
-        .withColumn("_df", count(lit(1)).over(w))
-        .where(col("_df") <= stopShingleCap)
-        .drop("_df")
+        .join(broadcast(stopShingles), Seq("shingle"), "left_anti")
       val shared = evalSh.join(index, "shingle")
         .groupBy("eval_id", "train_id")
         .agg(count(lit(1)).as("n_shared"))
