@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectPlannerStrategy(_ => new GraftTopKStrategy)
+    ext.injectOptimizerRule(_ => new RankLimitToTopK)
   }
 }
