@@ -383,6 +383,47 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"))
     }),
 
+    // Stream-static enrichment: the arriving event stream joined to a
+    // STATIC dimension (per-user segment). Unlike the stream-stream join
+    // there is NO state and NO watermark requirement — the static side
+    // is (re)read and hash-joined per micro-batch, so the join is
+    // stateless and append-safe by construction; at scale the dim is
+    // broadcast and the stream never shuffles. The enriched stream lands
+    // in a file sink; the result aggregates the sink per (event_type,
+    // segment) and the batch oracle reproduces the same join + rollup.
+    "stream_static_enrich" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val tmp = streamDir("static_enrich", dir)
+      // the static side: a genuine batch DataFrame (derived per-user
+      // segment), exactly what a dim table is to a live stream
+      val dim = Tables(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .withColumn("segment", concat(lit("seg"), (col("user_id") % 5)))
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .join(dim, "user_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("segment", StringType))))
+        .parquet(s"$tmp/out")
+        .groupBy("event_type", "segment")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+    }),
+
     // Custom streaming state: flatMapGroupsWithState with an EVENT-TIME
     // timeout. Per user, state accumulates (count, first ts, last ts);
     // nothing is emitted while the user stays active. When the watermark
@@ -636,6 +677,12 @@ object TemporalQueries {
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY 1""".stripMargin,
+    // stateless stream-static join: the sink holds every event enriched
+    // with its user's segment — identical to the batch join + rollup
+    "stream_static_enrich" ->
+      """SELECT event_type, 'seg' || CAST(user_id % 5 AS VARCHAR) AS segment,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // a user finalizes iff their timeout (last event + 2h) fell STRICTLY
     // below the final watermark (global max ts - 2h) — i.e. idle > 4h
     // before corpus end; active users are still buffered in state
