@@ -497,6 +497,15 @@ object DeltaQueries {
          |FROM n FULL OUTER JOIN p
          |  ON n.importdate = p.importdate AND n.o_orderkey = p.o_orderkey
          |GROUP BY 1""".stripMargin,
+    // lives here (not TemporalQueries) because it reuses the history
+    // snapshot CTE: the foreachBatch fold keeps, per key, the row from
+    // the max importdate whose snapshot contains the key
+    "stream_foreachbatch_upsert" ->
+      s"""$historySnapshotSql
+         |SELECT importdate, count(*) AS n_keys FROM (
+         |  SELECT o_orderkey, max(importdate) AS importdate
+         |  FROM snaps GROUP BY 1) q
+         |GROUP BY 1""".stripMargin,
     "delta_history_dpp" -> {
       val dateList = AgencyLake.historyDates.map(d => s"'$d'").mkString(",")
       s"""$historySnapshotSql

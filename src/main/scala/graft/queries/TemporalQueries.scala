@@ -383,6 +383,58 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"))
     }),
 
+    // foreachBatch incremental upsert — the sink escape hatch a real
+    // deployment uses when the target is a keyed serving store rather
+    // than an append log. The 4-snapshot history lake arrives as a
+    // STREAM (maxFilesPerTrigger forces multiple micro-batches under
+    // AvailableNow); each batch MERGEs into the store with newest-
+    // importdate-wins semantics. The fold compares importdate, not
+    // arrival order, so the result is batch-split independent — the
+    // property that makes a foreachBatch merge safe under retries and
+    // file-arrival reordering. localCheckpoint materializes the merge
+    // before the store is overwritten (read-then-overwrite the same
+    // path is otherwise a lazy-evaluation trap). Result: per snapshot,
+    // how many keys' LATEST version it still owns.
+    "stream_foreachbatch_upsert" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      val root = graft.sources.AgencyLake.ensureHistory(s, dir)
+      val tmp = streamDir("feb_upsert", dir)
+      val store = s"$tmp/store"
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("importdate", StringType)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(s"file://$store"), s.sessionState.newHadoopConf())
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(root)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val incoming = batch.select("o_orderkey", "o_orderstatus",
+            "o_totalprice", "importdate")
+          val merged =
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$store/_SUCCESS")))
+              s.read.parquet(store).unionByName(incoming)
+            else incoming
+          val latest = graft.plans.TopKPerKey
+            .topK(merged, "o_orderkey", Seq(("importdate", true)), 1)
+            .drop("rank")
+            .localCheckpoint() // materialize BEFORE overwriting the source
+          latest.write.mode("overwrite").parquet(store)
+          () // discard the last expression so the lambda is Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(store)
+        .groupBy(col("importdate").cast("string").as("importdate"))
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
     // Stream-static enrichment: the arriving event stream joined to a
     // STATIC dimension (per-user segment). Unlike the stream-stream join
     // there is NO state and NO watermark requirement — the static side
