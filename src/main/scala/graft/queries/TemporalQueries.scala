@@ -383,6 +383,28 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"))
     }),
 
+    // Cohort retention: users grouped by first-activity week, counted
+    // in each subsequent activity week — the canonical product-analytics
+    // rollup. All integer week arithmetic from one scalar anchor (min
+    // ts, broadcast as a 1-row crossJoin), then two groupBys: per-user
+    // first week, then (cohort, offset) distinct-user counts. No
+    // windows, no self-join — at 100 TB this is two partial-agg'd
+    // shuffles on user_id and on the (cohort, offset) pair.
+    "events_retention" -> ((s, dir) => {
+      val weekMs = 7L * 24 * 3600 * 1000
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("t"))
+      val t0 = e.agg(min("t").as("t0"))
+      val weeks = e.crossJoin(t0)
+        .select(col("user_id"),
+          ((col("t") - col("t0")) / weekMs).cast("long").as("wk"))
+      val cohorts = weeks.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
     // foreachBatch incremental upsert — the sink escape hatch a real
     // deployment uses when the target is a keyed serving store rather
     // than an append log. The 4-snapshot history lake arrives as a
@@ -740,6 +762,23 @@ object TemporalQueries {
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY 1""".stripMargin,
+    // integer week buckets from the epoch-ms anchor; // (floor) division
+    // matches Spark's cast-to-long of a positive quotient
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS t
+        |  FROM events
+        |), t0 AS (SELECT min(t) AS t0 FROM e),
+        |w AS (
+        |  SELECT user_id, CAST((t - t0) // 604800000 AS BIGINT) AS wk
+        |  FROM e, t0
+        |), c AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1
+        |)
+        |SELECT c.cohort_week, w.wk - c.cohort_week AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c ON c.user_id = w.user_id
+        |GROUP BY 1, 2""".stripMargin,
     // stateless stream-static join: the sink holds every event enriched
     // with its user's segment — identical to the batch join + rollup
     "stream_static_enrich" ->
