@@ -85,6 +85,22 @@ object SimilarityQueries {
             (x, qq) => abs(x - qq.cast("double") * col("scale")))), 6)
             .as("err6"))),
 
+    // per-label centroids — the aggregation behind IVF training and
+    // class-prototype curation: posexplode to (label, dim) pairs, one
+    // partial-agg'd groupBy (64×|labels| groups — map-side combine
+    // collapses each partition before the shuffle). Element sums go
+    // float → exact double → DECIMAL(18,9) so the per-dimension mean is
+    // aggregation-order independent (no binary double lands on a
+    // decimal rounding tie at 9 digits, so both engines round alike).
+    "emb_centroid_by_label" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(
+          sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
+            count(lit(1)), 6).as("mean6"))),
+
     // baseline: every query vector against the full corpus, one pass
     "sim_topk_brute" -> ((s, dir) => {
       val b = base(s, dir)
@@ -201,6 +217,16 @@ object SimilarityQueries {
       s"(CASE WHEN ${dotSql("e", s"h${4 * t + j}")} >= 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
     Map(
+      "emb_centroid_by_label" ->
+        """SELECT label, i - 1 AS pos,
+          |  round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+          |    / count(*), 6) AS mean6
+          |FROM (
+          |  SELECT label, unnest(embedding) AS v,
+          |    unnest(range(1, len(embedding) + 1)) AS i
+          |  FROM embeddings) q
+          |GROUP BY 1, 2""".stripMargin,
+
       "emb_quantize_int8" ->
         """WITH b AS (
           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
