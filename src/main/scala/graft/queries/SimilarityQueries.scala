@@ -101,6 +101,38 @@ object SimilarityQueries {
           sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
             count(lit(1)), 6).as("mean6"))),
 
+    // nearest-centroid assignment — the IVF assignment step against the
+    // TRAINED centroids above (sim_topk_ivf uses hash-derived cells;
+    // this is the data-driven variant): centroids rebuilt as ordered
+    // arrays from the round-6 per-dim means (the SAME values the oracle
+    // derives, so assignment is engine-portable), broadcast (|labels|
+    // rows — O(1) at any corpus size), one corpus pass scoring cosine
+    // per centroid, argmax via the native top-1 with a deterministic
+    // tie-break. Output is the label-vs-assigned confusion matrix.
+    "emb_assign_centroid" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          VectorSim.toDoubleArray(col("embedding")).as("e"))
+      val cent = emb
+        .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("v").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+        .select(col("label").as("clabel"), col("c"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(VectorSim.dot(col("e"), col("c")) /
+            (VectorSim.norm(col("e")) * VectorSim.norm(col("c"))), 6)
+            .as("cos6"))
+      graft.plans.TopKPerKey
+        .topK(scored, "vec_id", Seq(("cos6", true), ("clabel", false)), 1)
+        .groupBy(col("label"), col("clabel").as("assigned"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // baseline: every query vector against the full corpus, one pass
     "sim_topk_brute" -> ((s, dir) => {
       val b = base(s, dir)
@@ -226,6 +258,32 @@ object SimilarityQueries {
           |    unnest(range(1, len(embedding) + 1)) AS i
           |  FROM embeddings) q
           |GROUP BY 1, 2""".stripMargin,
+
+      "emb_assign_centroid" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+           |  FROM embeddings
+           |), cm AS (
+           |  SELECT label, i - 1 AS pos,
+           |    round(CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS m
+           |  FROM (SELECT label, unnest(e) AS v,
+           |          unnest(range(1, len(e) + 1)) AS i FROM b) q
+           |  GROUP BY 1, 2
+           |), cent AS (
+           |  SELECT label AS clabel, list(m ORDER BY pos) AS c FROM cm GROUP BY 1
+           |), scored AS (
+           |  SELECT vec_id, b.label, clabel,
+           |    round(${dotSql("e", "c")} /
+           |      (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("c", "c")})), 6) AS cos6
+           |  FROM b, cent
+           |), best AS (
+           |  SELECT vec_id, label, clabel,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos6 DESC, clabel) AS rn
+           |  FROM scored
+           |)
+           |SELECT label, clabel AS assigned, count(*) AS n
+           |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
 
       "emb_quantize_int8" ->
         """WITH b AS (
