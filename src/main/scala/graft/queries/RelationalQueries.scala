@@ -439,6 +439,27 @@ object RelationalQueries {
             .otherwise("small").as("size_class"),
           coalesce(nullif(col("o_orderstatus"), lit("P")), lit("NOT_P")).as("status_np"))),
 
+    // blocked fuzzy matching — the record-linkage primitive the ABR
+    // context implies (matching business names across registries):
+    // candidates pair only INSIDE a blocking key (nation + name length),
+    // never all-pairs, then exact Levenshtein ranks the survivors. Same
+    // scale discipline as the LSH dedup: the blocking key bounds every
+    // block's contribution quadratically in block size, not corpus size.
+    "func_edit_distance" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+          length(col("c_name")).as("len"))
+      val a = c.select(col("c_custkey").as("id1"),
+        col("c_nationkey").as("nk"), col("len"), col("c_name").as("n1"))
+      val b = c.select(col("c_custkey").as("id2"),
+        col("c_nationkey").as("nk"), col("len"), col("c_name").as("n2"))
+      a.join(b, Seq("nk", "len"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+        .where(col("dist") <= 2)
+    }),
+
     // higher-order array lambdas — filter/exists/forall predicates and
     // the sequential aggregate() fold (deterministic here: integer
     // accumulation is associative, and the fold order is the array
@@ -682,6 +703,17 @@ object RelationalQueries {
         |       ELSE 'small' END AS size_class,
         |  coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np
         |FROM orders""".stripMargin,
+    "func_edit_distance" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS nk, c_name,
+        |    length(c_name) AS len
+        |  FROM customer
+        |)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.nk = b.nk AND a.len = b.len AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "func_lambda" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT) AS n_long_toks,
