@@ -36,6 +36,24 @@ object MultimodalQueries {
         Multimodal.decode(
           Multimodal.syntheticMedia(Tables(s, dir, "documents"))).toDF())),
 
+    // payload-level exact dedup — the multimodal twin of
+    // doc_dedup_exact: re-uploaded bytes are found by a DIGEST computed
+    // at the scan (lower(hex(payload)) — for the 16-byte synthetic
+    // payload the digest IS the content; real media would md5 the blob
+    // the same way), so only 32-char digests and ids reach the
+    // exchange, never payload bytes. Duplicate deliveries are injected
+    // (every 7th payload re-arrives under a shifted id) since the
+    // fixture's payloads are unique.
+    "mm_payload_dedup" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(Tables(s, dir, "documents"))
+        .select(col("doc_id"), lower(hex(col("payload"))).as("payload_md5"))
+      val dups = media.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("payload_md5"))
+      media.unionByName(dups)
+        .groupBy("payload_md5")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+    }),
+
     // downstream-of-decode aggregation: only the small metadata rows
     // reach the shuffle, never the payloads
     "mm_mode_stats" -> ((s, dir) =>
@@ -51,6 +69,16 @@ object MultimodalQueries {
     s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
+    "mm_payload_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id, md5(text) AS payload_md5 FROM documents
+        |), all_rows AS (
+        |  SELECT doc_id, payload_md5 FROM media
+        |  UNION ALL
+        |  SELECT doc_id + 100000, payload_md5 FROM media WHERE doc_id % 7 = 0
+        |)
+        |SELECT payload_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM all_rows GROUP BY 1""".stripMargin,
     "mm_decode_meta" ->
       s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
          |  ${byteSql(0)} AS width,
