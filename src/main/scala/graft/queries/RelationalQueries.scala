@@ -441,19 +441,24 @@ object RelationalQueries {
 
     // blocked fuzzy matching — the record-linkage primitive the ABR
     // context implies (matching business names across registries):
-    // candidates pair only INSIDE a blocking key (nation + name length),
-    // never all-pairs, then exact Levenshtein ranks the survivors. Same
-    // scale discipline as the LSH dedup: the blocking key bounds every
-    // block's contribution quadratically in block size, not corpus size.
+    // candidates pair only INSIDE a blocking key (nation + the name
+    // minus its 3-char tail), never all-pairs, then exact Levenshtein
+    // ranks the survivors. Same scale discipline as the LSH dedup: the
+    // key bounds every block quadratically in block size, not corpus
+    // size (name length alone degenerates here — every fixture name is
+    // 18 chars — the classic weak-blocking trap). Prefix blocking
+    // trades recall for that bound (a pair differing early is unseen);
+    // production linkage unions several blocking passes, exactly like
+    // LSH bands.
     "func_edit_distance" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
-          length(col("c_name")).as("len"))
+          expr("substring(c_name, 1, length(c_name) - 3)").as("blk"))
       val a = c.select(col("c_custkey").as("id1"),
-        col("c_nationkey").as("nk"), col("len"), col("c_name").as("n1"))
+        col("c_nationkey").as("nk"), col("blk"), col("c_name").as("n1"))
       val b = c.select(col("c_custkey").as("id2"),
-        col("c_nationkey").as("nk"), col("len"), col("c_name").as("n2"))
-      a.join(b, Seq("nk", "len"))
+        col("c_nationkey").as("nk"), col("blk"), col("c_name").as("n2"))
+      a.join(b, Seq("nk", "blk"))
         .where(col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
@@ -706,13 +711,13 @@ object RelationalQueries {
     "func_edit_distance" ->
       """WITH c AS (
         |  SELECT c_custkey, c_nationkey AS nk, c_name,
-        |    length(c_name) AS len
+        |    substring(c_name, 1, length(c_name) - 3) AS blk
         |  FROM customer
         |)
         |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM c a JOIN c b
-        |  ON a.nk = b.nk AND a.len = b.len AND a.c_custkey < b.c_custkey
+        |  ON a.nk = b.nk AND a.blk = b.blk AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "func_lambda" ->
       """SELECT doc_id,
