@@ -207,6 +207,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
     }),
 
+    // extremal/conditional aggregates: max_by/min_by argmax with a
+    // STRUCT ordering key (the tie-break is part of the key — bare
+    // max_by on a non-unique value is nondeterministic), count_if and
+    // the boolean reducers. All partial-agg'd single-pass.
+    "agg_extremes" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("priciest_key"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_key"),
+          count_if(col("o_totalprice") > 150000.0).as("n_large"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          bool_and(col("o_totalprice") > 0.0).as("all_positive"))),
+
     // ---- window functions ----
     "window_rank_topn" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -593,6 +609,28 @@ object RelationalQueries {
         |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    // DuckDB's arg_max can't take a composite (struct) ordering value,
+    // so the argmax-with-tiebreak is expressed as rank-1 rows instead
+    "agg_extremes" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rmin
+        |  FROM orders
+        |), agg AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+        |    bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |    bool_and(o_totalprice > 0.0) AS all_positive
+        |  FROM orders GROUP BY 1)
+        |SELECT a.o_orderstatus, mx.o_orderkey AS priciest_key,
+        |  mn.o_orderkey AS cheapest_key, a.n_large, a.any_urgent,
+        |  a.all_positive
+        |FROM agg a
+        |JOIN r mx ON mx.o_orderstatus = a.o_orderstatus AND mx.rmax = 1
+        |JOIN r mn ON mn.o_orderstatus = a.o_orderstatus AND mn.rmin = 1""".stripMargin,
     "window_distribution" ->
       """SELECT o_orderkey, o_orderstatus,
         |  round(percent_rank() OVER ord, 6) AS pr,

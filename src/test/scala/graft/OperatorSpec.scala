@@ -128,6 +128,20 @@ class OperatorSpec extends SparkSpec {
     assert(capped.as[(Long, Long)].collect().toSet == Set((500L, 501L)))
   }
 
+  test("candidatePairs cap plans as a broadcast anti-join, never a window") {
+    // the r3 regression shape: a count(*) OVER (PARTITION BY band, key)
+    // cap sorted and materialized the full bucket stream twice (2.9x
+    // slower). The cap must stay a pre-aggregated oversized-key set +
+    // broadcast left-anti probe — pin the plan so it cannot come back.
+    val buckets = (1 to 50).map(i => (i.toLong, i % 3, s"k${i % 5}"))
+      .toDF("doc_id", "band", "key")
+    val plan = TextDedup.candidatePairs(buckets, maxBucketSize = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window cap crept back:\n$plan")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("shingles: fewer tokens than n yields no shingles, not a blowup") {
     val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = TextDedup.shingles(df, "doc_id", "text")
