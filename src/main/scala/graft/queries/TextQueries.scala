@@ -108,6 +108,35 @@ object TextQueries {
         .agg(kmv(col("h")).as("est_distinct"))
     }),
 
+    // language-ID by character-n-gram profile: each language's profile
+    // is the char-bigram set of its marker words (derived once,
+    // deterministically); a doc scores |doc bigrams ∩ profile| per
+    // language, argmax with the same struct-sort tie-break as
+    // text_langid. The word-marker voter needs whole tokens; the
+    // character profile is robust to concatenation/segmentation noise —
+    // the standard trade, both linear per-row expression work.
+    "text_langid_ngram" -> ((s, dir) => {
+      val profiles: Seq[(String, Seq[String])] = markers.toSeq.sortBy(_._1)
+        .map { case (l, ws) =>
+          l -> ws.flatMap(_.sliding(2).filter(_.length == 2)).distinct.sorted }
+      val withBg = docs(s, dir)
+        .select(col("lang"), TextDedup.normalize(col("text")).as("t"))
+        .select(col("lang"), expr(
+          "CASE WHEN length(t) < 2 THEN array() ELSE " +
+          "array_distinct(transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))) END")
+          .as("bg"))
+      val votes = profiles.map { case (lang, bgs) =>
+        struct(
+          size(array_intersect(col("bg"), array(bgs.map(lit): _*))).as("v"),
+          lit(lang).as("l"))
+      }
+      val guessed = sort_array(array(votes: _*), asc = false)
+        .getItem(0).getField("l")
+      withBg.select(col("lang"), guessed.as("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // mergeable quantile sketch: corpus token-length quantiles estimated
     // from the k=64 docs with the lexicographically smallest
     // md5('qs|' || doc_id) — a deterministic fixed-size hash sample. The
@@ -281,6 +310,27 @@ object TextQueries {
            |            CAST(max(CASE WHEN rn = 64 THEN v END) AS DOUBLE)
            |  END AS est_distinct
            |FROM ranked GROUP BY lang""".stripMargin,
+
+      "text_langid_ngram" -> {
+        val profiles = markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+          l -> ws.flatMap(_.sliding(2).filter(_.length == 2)).distinct.sorted }
+        val voteStructs = profiles.map { case (lang, bgs) =>
+          s"{'v': len(list_intersect(bg, [${bgs.map(b => s"'$b'").mkString(",")}])), 'l': '$lang'}"
+        }.mkString(", ")
+        s"""WITH d AS (
+           |  SELECT lang, $normSql AS t FROM documents
+           |), b AS (
+           |  SELECT lang,
+           |    CASE WHEN length(t) < 2 THEN []
+           |         ELSE list_distinct([substr(t, i, 2) FOR i IN range(1, length(t))])
+           |    END AS bg
+           |  FROM d)
+           |SELECT lang, guessed, count(*) AS n FROM (
+           |  SELECT lang,
+           |    list_reverse_sort([$voteStructs])[1].l AS guessed
+           |  FROM b) q
+           |GROUP BY lang, guessed""".stripMargin
+      },
 
       "text_quantile_sketch" ->
         """WITH sample AS (
