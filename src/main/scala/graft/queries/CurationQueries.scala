@@ -167,9 +167,11 @@ object CurationQueries {
     // the composed pipeline: quality gate → exact dedup (min-id
     // representative per content hash) → deterministic hash sample →
     // per-(lang, source) recipe summary. One plan: a stateless filter,
-    // ONE shuffle on the content hash, a stateless sample, and a
-    // partial-agg'd groupBy — the end-to-end curation pass stays
-    // linear with exactly two exchanges at any corpus size.
+    // one shuffle for the dedup groupBy, the representative join
+    // (broadcast at harness scale — BHJ in the executed plan; at
+    // 100 TB it co-partitions on the same content-hash key the groupBy
+    // already clustered, so the reps side arrives pre-partitioned), a
+    // stateless sample, and a partial-agg'd final rollup.
     "cur_pipeline_e2e" -> ((s, dir) => {
       val quality = docs(s, dir)
         .withColumn("n_tok",
