@@ -63,6 +63,17 @@ class ScanPruningSpec extends SparkSpec {
     }
   }
 
+  test("the quantile sketch's bottom-k plans as TakeOrderedAndProject") {
+    // the scaladoc's O(k)-per-task claim rests on this operator: each
+    // partition keeps only its own k rows and the driver merges P×k —
+    // a global Sort here would mean the whole corpus shuffles
+    val df = SparkEntry.queries("text_quantile_sketch")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), s"global sort defeats the sketch:\n$plan")
+  }
+
   test("the flagship delta scans only the two snapshot partitions") {
     val ss = scansOf("delta_updated")
     assert(ss.size >= 2)
