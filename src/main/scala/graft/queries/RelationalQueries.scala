@@ -377,6 +377,23 @@ object RelationalQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // TPC-H-Q18-shaped large-order lookup: an IN-subquery with HAVING —
+    // Catalyst plans the IN as a left-semi join against the aggregated
+    // subquery, so the filter costs one partial-agg'd groupBy plus a
+    // semi join (no correlated re-execution). Decimal threshold compare
+    // for engine parity.
+    "sql_q18_large_orders" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderdate, o_totalprice
+          |FROM orders
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem
+          |  GROUP BY l_orderkey
+          |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin)
+    }),
+
     // ---- set operations ----
     "set_union" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -700,6 +717,13 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_q18_large_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin,
     "set_union" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |UNION
