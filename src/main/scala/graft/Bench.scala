@@ -44,18 +44,27 @@ object Bench {
     }
     def jq(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => jq(k) + ":" + v }
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => jq(k) + ":" + sec(v) }
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map(jq).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
-    // stdout tails get truncated by harnesses (r3 lost 30 of 91 per-query
-    // timings that way) — the full artifact also lands in a file
+    val full =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // The full artifact lands in a file: the harness keeps only the LAST
+    // ~2000 chars of stdout, so a single 5 KB line with all per-query
+    // timings gets front-truncated into unparseable JSON (this killed the
+    // r3 and r4 bench parses). stdout gets ONE compact line that fits the
+    // tail window: total + errors + the 10 slowest queries + a pointer to
+    // the full per-query file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_timings.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => jq(k) + ":" + sec(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_file":${jq(outFile)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -113,23 +113,48 @@ object CurationQueries {
           when(col("doc_id") % 30 === 0 && col("ltext").isNotNull,
             col("ltext")).otherwise(col("text")).as("text"))
       val train = d.where(col("doc_id") % 10 =!= 0)
-      val evalSh = TextDedup.shingles(eval_, "doc_id", "text")
-        .withColumnRenamed("doc_id", "eval_id").persist()
-      val trainSh = TextDedup.shingles(train, "doc_id", "text")
-        .withColumnRenamed("doc_id", "train_id")
+      // shingles collapse to 64-bit keys BEFORE the per-doc distinct:
+      // every downstream shuffle (distinct, stop-set groupBy, index join,
+      // pair count) then moves 8-byte longs instead of ~25-byte 3-gram
+      // strings. Overlap COUNTS are hash-invariant (any collision among
+      // ~1M shingles has probability ~5e-8 and would be caught by the
+      // oracle hash gate), so the DuckDB oracle keeps the exact strings.
+      def shingleKeys(src: DataFrame, idAlias: String): DataFrame =
+        TextDedup.shingles(src, "doc_id", "text", dedup = false)
+          .select(col("doc_id").as(idAlias), xxhash64(col("shingle")).as("sh"))
+          .distinct()
+      val evalSh = shingleKeys(eval_, "eval_id").persist()
+      // the train shingle stream (explode + per-doc distinct over ~90% of
+      // the corpus) feeds BOTH the stop-set aggregation and the index
+      // join — persist it so the derivation runs once, not per consumer
+      // (exchange reuse is not guaranteed across a groupBy and a join
+      // consumer under AQE). The two cache fills are independent jobs on
+      // disjoint doc subsets — run them concurrently so the critical path
+      // pays max(eval, train), not the sum.
+      val trainSh = shingleKeys(train, "train_id").persist()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence(Seq(Future(evalSh.count()), Future(trainSh.count()))),
+        Duration.Inf)
       // stop-shingle cap as a pre-aggregated STOP-set + broadcast
       // anti-join (the same shape as TextDedup.candidatePairs' bucket
       // cap, for the same reason: the stop set is tiny by construction —
       // only boilerplate shingles exceed the cap — so this costs one
       // partial-agg'd groupBy + a map-side probe, where the window
       // formulation sorted and materialized the full shingle stream)
-      val stopShingles = trainSh.groupBy("shingle")
+      val stopShingles = trainSh.groupBy("sh")
         .agg(count(lit(1)).as("_df"))
         .where(col("_df") > stopShingleCap)
-        .select("shingle")
+        .select("sh")
       val index = trainSh
-        .join(broadcast(stopShingles), Seq("shingle"), "left_anti")
-      val shared = evalSh.join(index, "shingle")
+        .join(broadcast(stopShingles), Seq("sh"), "left_anti")
+      // eval side broadcast: the eval suite is small by construction, so
+      // the index probe is a map-side hash join over the train stream —
+      // the train shingles are never shuffled by shingle key (the shape
+      // that survives a 100 TB train corpus)
+      val shared = broadcast(evalSh).join(index, "sh")
         .groupBy("eval_id", "train_id")
         .agg(count(lit(1)).as("n_shared"))
       val evalSizes = evalSh.groupBy("eval_id").agg(count(lit(1)).as("esz"))
@@ -141,6 +166,7 @@ object CurationQueries {
           round(col("overlap"), 4).as("overlap4"))
         .localCheckpoint()
       evalSh.unpersist()
+      trainSh.unpersist()
       out
     }),
 
