@@ -72,6 +72,51 @@ object CurationQueries {
     */
   private val stopShingleCap = 100
 
+  /** Per-doc DISTINCT shingles collapsed to 64-bit keys. Hashing happens
+    * BEFORE the distinct so every downstream shuffle (distinct, DF
+    * groupBy, index join, pair count) moves 8-byte longs instead of
+    * ~25-byte 3-gram strings. Overlap COUNTS are hash-invariant (any
+    * collision among ~1M shingles has probability ~5e-8 and would be
+    * caught by the oracle hash gate), so the DuckDB oracles keep the
+    * exact strings.
+    */
+  private def shingleKeys(src: DataFrame, idAlias: String): DataFrame =
+    TextDedup.shingles(src, "doc_id", "text", dedup = false)
+      .select(col("doc_id").as(idAlias), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+
+  /** [[queries]]' `cur_decon_eval` body. `checkpoint = false` returns the
+    * un-checkpointed plan (and skips the cache release) so CI can assert
+    * the executed plan's join strategy — `localCheckpoint` replaces the
+    * lineage with an RDD scan, which would hide the joins from the spec.
+    */
+  private[graft] def deconEval(s: SparkSession, dir: String,
+                               checkpoint: Boolean = true): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val eval_ = d.where(col("doc_id") % 50 === 0)
+    val evalSh = shingleKeys(eval_, "eval_id").persist()
+    evalSh.count() // one cache fill; esz + the broadcast both read it
+    val trainShRaw = TextDedup.shingles(d, "doc_id", "text", dedup = false)
+      .select(col("doc_id").as("train_id"), xxhash64(col("shingle")).as("sh"))
+    val matched = trainShRaw.join(broadcast(evalSh), "sh")
+      .select("eval_id", "train_id", "sh").distinct()
+    val esz = evalSh.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+    val outPlan = matched.groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(esz), "eval_id")
+      .where(col("train_id") =!= col("eval_id"))
+      .withColumn("overlap",
+        col("n_shared").cast("double") / col("esz").cast("double"))
+      .where(col("overlap") >= 0.8)
+      .select(col("eval_id"), col("train_id"), col("n_shared"),
+        round(col("overlap"), 4).as("overlap4"))
+    if (checkpoint) {
+      val out = outPlan.localCheckpoint()
+      evalSh.unpersist()
+      out
+    } else outPlan
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // stratified sampling: keep iff hash(doc_id) < rate(lang). Stateless
     // per-row filter — no shuffle, no state, reproducible under retry.
@@ -113,16 +158,6 @@ object CurationQueries {
           when(col("doc_id") % 30 === 0 && col("ltext").isNotNull,
             col("ltext")).otherwise(col("text")).as("text"))
       val train = d.where(col("doc_id") % 10 =!= 0)
-      // shingles collapse to 64-bit keys BEFORE the per-doc distinct:
-      // every downstream shuffle (distinct, stop-set groupBy, index join,
-      // pair count) then moves 8-byte longs instead of ~25-byte 3-gram
-      // strings. Overlap COUNTS are hash-invariant (any collision among
-      // ~1M shingles has probability ~5e-8 and would be caught by the
-      // oracle hash gate), so the DuckDB oracle keeps the exact strings.
-      def shingleKeys(src: DataFrame, idAlias: String): DataFrame =
-        TextDedup.shingles(src, "doc_id", "text", dedup = false)
-          .select(col("doc_id").as(idAlias), xxhash64(col("shingle")).as("sh"))
-          .distinct()
       val evalSh = shingleKeys(eval_, "eval_id").persist()
       // the train shingle stream (explode + per-doc distinct over ~90% of
       // the corpus) feeds BOTH the stop-set aggregation and the index
@@ -169,6 +204,19 @@ object CurationQueries {
       trainSh.unpersist()
       out
     }),
+
+    // decontamination, PRODUCTION shape: a tiny eval benchmark suite
+    // against the full corpus as train. The eval shingle set broadcasts;
+    // train shingles are derived with duplicate semantics (a stateless
+    // explode — NO shuffle) and map-side probed against the broadcast
+    // BEFORE any aggregation, so the only shuffle in the plan is over
+    // MATCHED triples — proportional to actual contamination, not corpus
+    // size. This is the shape that survives a 100 TB train corpus: the
+    // train stream is never shuffled, sorted, or grouped by shingle
+    // (cur_decon_ngram's inverted index is the symmetric-sizes
+    // alternative; this is the asymmetric one). No stop-shingle cap is
+    // needed — the index IS the eval suite, bounded by construction.
+    "cur_decon_eval" -> ((s, dir) => deconEval(s, dir)),
 
     // sequence packing: assign docs to fixed-capacity context windows
     // ("packs") by cumulative token offset, per source — the batching
@@ -275,6 +323,22 @@ object CurationQueries {
          |  round(CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE), 4) AS overlap4
          |FROM shared s JOIN esz z ON z.eval_id = s.eval_id
          |WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE) >= 0.8""".stripMargin,
+
+    "cur_decon_eval" ->
+      s"""WITH eval_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+         |), esh AS ${shingleSql("eval_docs", "eval_id")},
+         |tsh AS ${shingleSql("documents", "train_id")},
+         |shared AS (
+         |  SELECT e.eval_id, t.train_id, count(*) AS n_shared
+         |  FROM esh e JOIN tsh t ON t.shingle = e.shingle
+         |  GROUP BY 1, 2
+         |), esz AS (SELECT eval_id, count(*) AS esz FROM esh GROUP BY 1)
+         |SELECT s.eval_id, s.train_id, s.n_shared,
+         |  round(CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE), 4) AS overlap4
+         |FROM shared s JOIN esz z ON z.eval_id = s.eval_id
+         |WHERE s.train_id <> s.eval_id
+         |  AND CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE) >= 0.8""".stripMargin,
 
     "cur_pack_sequences" ->
       s"""SELECT source, doc_id, n_tok,

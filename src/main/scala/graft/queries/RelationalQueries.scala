@@ -394,6 +394,29 @@ object RelationalQueries {
           |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin)
     }),
 
+    // TPC-H-Q13-shaped customer-order distribution: the outer-join
+    // aggregation composition — the join-side predicate lives IN the
+    // LEFT JOIN condition (not a WHERE, which would drop the
+    // null-extended rows), customers with no surviving orders aggregate
+    // to c_count = 0 via count(col)'s null-skipping, then a second
+    // count-of-counts rollup. Both aggregations partial-agg map-side;
+    // the join shuffles on custkey once (the dim side broadcasts at
+    // harness scale).
+    "sql_q13_custdist" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_count, count(*) AS custdist
+          |FROM (
+          |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          |  FROM customer c
+          |  LEFT OUTER JOIN orders o
+          |    ON c.c_custkey = o.o_custkey
+          |   AND o.o_orderpriority NOT LIKE '%URGENT%'
+          |  GROUP BY c.c_custkey) c_orders
+          |GROUP BY c_count""".stripMargin)
+    }),
+
     // ---- set operations ----
     "set_union" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -724,6 +747,16 @@ object RelationalQueries {
         |  SELECT l_orderkey FROM lineitem
         |  GROUP BY l_orderkey
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin,
+    "sql_q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |   AND o.o_orderpriority NOT LIKE '%URGENT%'
+        |  GROUP BY c.c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
     "set_union" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |UNION

@@ -55,4 +55,40 @@ class CurationSpec extends SparkSpec {
     assert(injected.nonEmpty)
     assert(injected.forall(_._3 == 1.0))
   }
+
+  test("production decon: eval suite broadcasts, train shingle stream " +
+       "is never shuffled before the probe join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+
+    val df = graft.queries.CurationQueries
+      .deconEval(spark, sf, checkpoint = false)
+    df.collect()
+
+    // query stages are leaves to TreeNode.collect — walk them explicitly
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val children = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: children.flatMap(walk)
+    }
+    val all = walk(df.queryExecution.executedPlan)
+    // the probe join: a broadcast hash join keyed on the shingle hash
+    val probe = all.collectFirst {
+      case b: BroadcastHashJoinExec
+        if b.leftKeys.exists(_.toString.contains("sh")) => b
+    }.getOrElse(fail("no broadcast hash join on the shingle key in:\n" +
+      df.queryExecution.executedPlan))
+    // the streamed (train) side must reach the parquet scan without any
+    // shuffle — the whole point of the asymmetric decon shape
+    val streamed = if (probe.buildSide == BuildRight) probe.left else probe.right
+    val shuffles = walk(streamed).collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"train side must not shuffle before the probe:\n$streamed")
+  }
 }

@@ -53,6 +53,22 @@ class RankRewriteSpec extends SparkSpec {
     assert(df.collect().forall(_.getLong(1) % 2 == 0))
   }
 
+  test("the DECLARED window_rank_topn query plans TopKPerKeyExec " +
+       "(extensions wiring, not just the rule in isolation)") {
+    // guards the full path the driver exercises: SparkEntry.queries →
+    // session extensions → injected rule → native operator. A wiring
+    // regression (extension dropped from a session builder, rule guard
+    // tightened) would silently fall back to the full window sort and
+    // only show up as a perf cliff at scale.
+    val df = graft.queries.RelationalQueries
+      .queries("window_rank_topn")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("WindowExec"),
+      s"window_rank_topn fell back to the window sort:\n$plan")
+  }
+
   test("unsupported shapes are left alone") {
     // rank() is not row_number: k rows per key is not the contract
     val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
