@@ -86,12 +86,64 @@ object IngestQueries {
     table
   }
 
+  // ---- second dataset through the same machinery (Businessname) ----
+  // The registry knows 8 datasets; only Agency_Data has an evidenced
+  // schema (FIXTURES.md A.2 — the other seven are opaque delimited text).
+  // This gives Businessname a placeholder schema and pushes it through
+  // the IDENTICAL staging → classify → gzip lake → MSCK → scan path,
+  // proving Config.schemas / the registry generalize beyond the one
+  // reference-evidenced dataset.
+
+  val businessnameCols: Seq[String] =
+    Seq("pid", "abn", "bus_nm", "bus_stat", "bus_val")
+
+  private def asBusinessname(df: DataFrame): DataFrame =
+    df.select(
+      col("c_custkey").cast("string").as("pid"),
+      (col("c_custkey") * 1009 + 11).cast("string").as("abn"),
+      upper(col("c_name")).as("bus_nm"),
+      col("c_mktsegment").as("bus_stat"),
+      col("c_acctbal").cast(DecimalType(18, 2)).cast("string").as("bus_val"))
+
+  private def ensureBusinessname(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = s"${workRoot(sfDir)}/businessname"
+      val staging = s"$root/staging"
+      val lake = s"$root/lake"
+      val marker = Paths.get(root, "_INGESTED")
+      val table = "abr_weekly_businessname_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!Files.exists(marker)) {
+        SingleFileCsv.write(
+          asBusinessname(Tables(spark, sfDir, "customer")),
+          staging, s"VIC240115_ABR_Businessname.txt",
+          header = false, delimiter = "|")
+        val loaded = LakeIngest.ingest(
+          spark, staging, lake, Map("Businessname" -> businessnameCols))
+        require(loaded.map(_.dataset) == Seq("Businessname"),
+          s"unexpected ingest outcome: $loaded")
+        Files.writeString(marker, loaded.mkString("\n"))
+      }
+      if (!spark.catalog.tableExists(table))
+        LakeIngest.registerTable(spark, table, lake, "Businessname",
+          businessnameCols)
+      table
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // S3+S4+S5+S6 end-to-end: classified staging text -> gzip partitioned
     // lake -> MSCK-registered table -> partition-pruned scan of one week.
     "ingest_agency_scan" -> ((s, dir) => {
       val table = ensure(s, dir)
+      s.table(table)
+        .where(col("importdate") === lit(newestDate))
+        .drop("importdate")
+    }),
+    // the second dataset, same path end-to-end: Businessname staging
+    // text -> gzip partitioned lake -> MSCK-registered table -> scan.
+    "ingest_businessname_scan" -> ((s, dir) => {
+      val table = ensureBusinessname(s, dir)
       s.table(table)
         .where(col("importdate") === lit(newestDate))
         .drop("importdate")
@@ -206,6 +258,13 @@ object IngestQueries {
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
         |  o_orderpriority
         |FROM orders""".stripMargin,
+    "ingest_businessname_scan" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS pid,
+        |  CAST(c_custkey * 1009 + 11 AS VARCHAR) AS abn,
+        |  upper(c_name) AS bus_nm,
+        |  c_mktsegment AS bus_stat,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bus_val
+        |FROM customer""".stripMargin,
     "ingest_partitions" ->
       "SELECT * FROM (VALUES ('2024-01-08'), ('2024-01-15')) AS t(importdate)",
   )

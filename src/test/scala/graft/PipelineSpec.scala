@@ -87,6 +87,51 @@ class PipelineSpec extends SparkSpec {
     dropAgencyTable()
   }
 
+  test("two datasets in one run: Businessname flows through the same " +
+       "staging -> classify -> lake -> table path via Config.schemas, " +
+       "with its own (pluggable) hook and no delta") {
+    dropAgencyTable()
+    val (staging, lake) = freshDirs()
+    write(staging, "VIC240115_ABR_Agency_Data.txt", Seq(row("p1")))
+    val bnCols = graft.queries.IngestQueries.businessnameCols
+    write(staging, "VIC240115_ABR_Businessname.txt",
+      Seq("b1|111|ACME PTY LTD|R|10.00", "b2|222|WIDGETS CO|C|20.50"))
+
+    var hookRan: Option[String] = None
+    val cfg = Pipeline.Config(staging.toString, lake.toString,
+      schemas = Map(
+        "Agency_Data" -> AbrSchemas.agencyColumns,
+        "Businessname" -> bnCols),
+      hooks = Map("Businessname" -> Seq((_, _, ds, log) => {
+        hookRan = Some(ds); log(s"hook:$ds")
+      })))
+    val log = new Pipeline.RunLog()
+    val loaded = Pipeline.run(spark, cfg, log)
+
+    assert(loaded.map(_.dataset).sorted == Seq("Agency_Data", "Businessname"))
+    val bnPart = lake.resolve("DATA/Businessname/importdate=2024-01-15")
+    assert(Files.isDirectory(bnPart))
+    assert(Files.list(bnPart).iterator().asScala
+      .exists(_.toString.endsWith(".csv.gz")))
+    assert(hookRan.contains("Businessname"))
+    assert(log.events.contains("hook:Businessname"))
+    // no delta hook configured for either dataset in this run
+    assert(!Files.exists(lake.resolve("DELTA")))
+
+    // MSCK-registered table reads the rows back with the placeholder schema
+    val table = "abr_weekly_businessname_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    graft.sources.LakeIngest.registerTable(
+      spark, table, lake.toString, "Businessname", bnCols)
+    val back = spark.table(table)
+      .orderBy("pid").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(4)))
+    assert(back.toSeq == Seq(
+      ("b1", "ACME PTY LTD", "10.00"), ("b2", "WIDGETS CO", "20.50")))
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    dropAgencyTable()
+  }
+
   test("zip-driven run: archive -> extract -> lake; archive and staging " +
        "files cleaned up (extract.go:56-63, abr-etl.go:52-57)") {
     dropAgencyTable()
