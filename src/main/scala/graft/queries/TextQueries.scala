@@ -119,15 +119,20 @@ object TextQueries {
       val profiles: Seq[(String, Seq[String])] = markers.toSeq.sortBy(_._1)
         .map { case (l, ws) =>
           l -> ws.flatMap(_.sliding(2).filter(_.length == 2)).distinct.sorted }
+      // inverted membership test: probe each PROFILE bigram against the
+      // normalized text with contains() instead of materializing the
+      // row's distinct-bigram array (len(t) substring allocations + a
+      // hash-distinct per row) and intersecting it per language. For a
+      // 2-char p, p ∈ distinct-bigrams(t) ⟺ contains(t, p) — vote values
+      // |bg ∩ profile| are bit-for-bit identical, so the DuckDB oracle
+      // keeps the straightforward intersect formulation. Work per row is
+      // |union of profiles| indexOf scans — no per-row allocation.
       val withBg = docs(s, dir)
         .select(col("lang"), TextDedup.normalize(col("text")).as("t"))
-        .select(col("lang"), expr(
-          "CASE WHEN length(t) < 2 THEN array() ELSE " +
-          "array_distinct(transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))) END")
-          .as("bg"))
       val votes = profiles.map { case (lang, bgs) =>
         struct(
-          size(array_intersect(col("bg"), array(bgs.map(lit): _*))).as("v"),
+          size(filter(array(bgs.map(lit): _*),
+            p => col("t").contains(p))).as("v"),
           lit(lang).as("l"))
       }
       val guessed = sort_array(array(votes: _*), asc = false)
