@@ -43,6 +43,14 @@ object VectorSim {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Sequential left-fold squared L2 distance — same portability
+    * contract as [[dot]] (deterministic element order, engine-portable
+    * bit-for-bit).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 

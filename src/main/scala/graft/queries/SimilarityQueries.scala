@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.VectorSim
@@ -84,6 +85,53 @@ object SimilarityQueries {
           round(array_max(zip_with(col("e"), col("q"),
             (x, qq) => abs(x - qq.cast("double") * col("scale")))), 6)
             .as("err6"))),
+
+    // product quantization encode — the memory-bound ANN tier beyond
+    // int8 (emb_quantize_int8 shrinks 4x; PQ shrinks 64 doubles to m=4
+    // byte codes). The codebook is deterministic: the k=8 vectors with
+    // the smallest md5('pq|'||vec_id) are the code vectors per subspace
+    // (bottom-k-by-hash — the same mergeable fixed-size sample as the
+    // quantile sketch, so "training" is one TakeOrderedAndProject at any
+    // corpus size), code index = hash rank. Encoding explodes each
+    // vector into m subvectors, joins the broadcast 32-row codebook, and
+    // argmins via struct-min with the code index as tie-break; per-code
+    // distances are sequential L2² folds and the reconstruction error
+    // sums through exact DECIMAL so it is aggregation-order independent.
+    // Scale shape: one narrow corpus pass + a broadcast, the only
+    // shuffle is the per-vector regroup of m·k scored rows.
+    "emb_pq_encode" -> ((s, dir) => {
+      val m = 4; val k = 8; val sd = 16 // 64 dims = 4 subspaces x 16
+      val b = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorSim.toDoubleArray(col("embedding")).as("e"))
+      val seeds = b
+        .select(col("vec_id"), col("e"),
+          md5(concat(lit("pq|"), col("vec_id").cast("string"))).as("h"))
+        .orderBy("h", "vec_id").limit(k)
+        .withColumn("i",
+          row_number().over(Window.orderBy("h", "vec_id")).cast("long") - 1)
+      val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+      val cb = seeds.select(col("i"), js, col("e"))
+        .select(col("j"), col("i"),
+          slice(col("e"), (col("j") * sd + 1).cast("int"), lit(sd)).as("cvec"))
+      val subs = b.select(col("vec_id"), js, col("e"))
+        .select(col("vec_id"), col("j"),
+          slice(col("e"), (col("j") * sd + 1).cast("int"), lit(sd)).as("sub"))
+      val best = subs.join(broadcast(cb), "j")
+        .select(col("vec_id"), col("j"),
+          struct(VectorSim.l2sq(col("sub"), col("cvec")).as("d"),
+            col("i").as("i")).as("di"))
+        .groupBy("vec_id", "j")
+        .agg(min(col("di")).as("best"))
+      best.select(col("vec_id"), col("j"),
+          col("best.i").as("code"), col("best.d").as("d"))
+        .groupBy("vec_id")
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("j"), col("code")))),
+              x => x.getField("code").cast("string")), ",").as("codes_csv"),
+          round(sum(col("d").cast(DecimalType(18, 9))).cast("double"), 6)
+            .as("err6"))
+    }),
 
     // per-label centroids — the aggregation behind IVF training and
     // class-prototype curation: posexplode to (label, dim) pairs, one
@@ -284,6 +332,35 @@ object SimilarityQueries {
            |)
            |SELECT label, clabel AS assigned, count(*) AS n
            |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+      "emb_pq_encode" ->
+        """WITH b AS (
+          |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+          |), seeds AS (
+          |  SELECT e, rn - 1 AS i FROM (
+          |    SELECT e, row_number() OVER (
+          |      ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          |    FROM b) q WHERE rn <= 8
+          |), js AS (SELECT unnest(range(0, 4)) AS j),
+          |cb AS (
+          |  SELECT j, i, e[j*16+1 : j*16+16] AS cvec FROM seeds, js
+          |), subs AS (
+          |  SELECT vec_id, j, e[j*16+1 : j*16+16] AS sub FROM b, js
+          |), best AS (
+          |  SELECT vec_id, j, i AS code, d FROM (
+          |    SELECT s.vec_id, s.j, c.i,
+          |      list_sum([(s.sub[x] - c.cvec[x]) * (s.sub[x] - c.cvec[x])
+          |                FOR x IN range(1, len(s.sub) + 1)]) AS d,
+          |      row_number() OVER (PARTITION BY s.vec_id, s.j
+          |        ORDER BY list_sum([(s.sub[x] - c.cvec[x]) * (s.sub[x] - c.cvec[x])
+          |                           FOR x IN range(1, len(s.sub) + 1)]), c.i) AS rn
+          |    FROM subs s JOIN cb c ON c.j = s.j) q
+          |  WHERE rn = 1
+          |)
+          |SELECT vec_id,
+          |  array_to_string(list(code ORDER BY j), ',') AS codes_csv,
+          |  round(CAST(sum(CAST(d AS DECIMAL(18,9))) AS DOUBLE), 6) AS err6
+          |FROM best GROUP BY vec_id""".stripMargin,
 
       "emb_quantize_int8" ->
         """WITH b AS (

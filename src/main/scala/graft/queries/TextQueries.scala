@@ -257,6 +257,35 @@ object TextQueries {
         size(array_distinct(toks)).cast("long").as("n_uniq"),
         sort_array(toks).getItem(0).as("first_tok"))
     }),
+
+    // TF-IDF top terms per language — the corpus-characterization pass a
+    // curation pipeline runs to spot vocabulary drift / source
+    // contamination. One token explode feeds BOTH aggregates (term
+    // frequency per (lang, term); document frequency per term via a
+    // per-doc distinct), the tiny corpus count broadcasts, and the
+    // per-language top-10 goes through the native bounded-heap operator
+    // (TopKPerKey — never a full sort of the scored vocabulary).
+    // Scoring stays a rational double (tf × N / df): IEEE division of
+    // integer-valued operands is engine-deterministic where log() is
+    // not, so the oracle reproduces scores bit-for-bit.
+    "text_tfidf_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextDedup.normalize(col("text")).as("t"))
+      val toks = d.select(col("doc_id"), col("lang"),
+        explode(split(col("t"), " ")).as("term"))
+      val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs") / col("df"))
+      graft.plans.TopKPerKey
+        .topK(scored, "lang", Seq(("score", true), ("term", false)), 10)
+        .select(col("lang"), col("term"), col("tf"), col("df"),
+          round(col("score"), 4).as("score4"), col("rank"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -270,6 +299,24 @@ object TextQueries {
            |  CAST(length(text) AS BIGINT) AS n_chars_actual,
            |  length(text) = n_chars AS n_chars_ok
            |FROM documents""".stripMargin,
+
+      "text_tfidf_terms" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, $normSql AS t FROM documents
+           |), toks AS (
+           |  SELECT doc_id, lang, unnest(string_split(t, ' ')) AS term FROM d
+           |), tf AS (
+           |  SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2
+           |), dfreq AS (
+           |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+           |), n AS (SELECT count(*) AS n_docs FROM d)
+           |SELECT lang, term, tf, df, round(score, 4) AS score4, rank FROM (
+           |  SELECT t.lang, t.term, t.tf, f.df,
+           |    CAST(t.tf AS DOUBLE) * n.n_docs / f.df AS score,
+           |    row_number() OVER (PARTITION BY t.lang
+           |      ORDER BY CAST(t.tf AS DOUBLE) * n.n_docs / f.df DESC, t.term) AS rank
+           |  FROM tf t JOIN dfreq f ON f.term = t.term, n) q
+           |WHERE rank <= 10""".stripMargin,
 
       "text_quality" ->
         s"""SELECT doc_id,
