@@ -394,6 +394,52 @@ object RelationalQueries {
           |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin)
     }),
 
+    // TPC-H-Q17-shaped correlated scalar subquery: the per-group average
+    // threshold — Catalyst DECORRELATES the inner per-partkey avg into
+    // one aggregate + join (RewriteCorrelatedScalarSubquery), so the
+    // inner query runs once as a partial-agg'd groupBy, never per outer
+    // row. Quantities are integer-valued doubles (exact sums at any
+    // aggregation order); money goes through exact DECIMAL; the 0.2*avg
+    // threshold and /7.0 are IEEE-deterministic in both engines.
+    "sql_q17_small_quantity" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT round(
+          |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+          |    6) AS avg_yearly
+          |FROM lineitem l
+          |JOIN part p ON p.p_partkey = l.l_partkey
+          |WHERE p.p_brand = 'Brand#13'
+          |  AND l.l_quantity < (
+          |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    }),
+
+    // TPC-H-Q22-shaped correlated NOT EXISTS + uncorrelated scalar
+    // threshold: Catalyst rewrites the NOT EXISTS to a left-anti join
+    // (RewritePredicateSubquery) and runs the scalar avg once as its own
+    // tiny aggregate. The average is computed as exact-DECIMAL sum over
+    // count so the threshold is identical in both engines regardless of
+    // aggregation order (a float sum of non-integer balances would be
+    // order-dependent in the last ULP).
+    "sql_q22_no_orders" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_nationkey AS cntry, count(*) AS numcust,
+          |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM customer c
+          |WHERE c.c_acctbal > (
+          |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |           / count(*)
+          |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM orders o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+          |GROUP BY c.c_nationkey""".stripMargin)
+    }),
+
     // TPC-H-Q13-shaped customer-order distribution: the outer-join
     // aggregation composition — the join-side predicate lives IN the
     // LEFT JOIN condition (not a WHERE, which would drop the
@@ -747,6 +793,28 @@ object RelationalQueries {
         |  SELECT l_orderkey FROM lineitem
         |  GROUP BY l_orderkey
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin,
+    "sql_q17_small_quantity" ->
+      """SELECT round(
+        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+        |    6) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#13'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "sql_q22_no_orders" ->
+      """SELECT c.c_nationkey AS cntry, count(*) AS numcust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (
+        |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |GROUP BY c.c_nationkey""".stripMargin,
     "sql_q13_custdist" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (
