@@ -149,6 +149,20 @@ object TextDedup {
     * produced it doesn't run twice.
     */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame,
+                    sizes: Option[DataFrame] = None): DataFrame =
+    overlapCounts(pairs, sh, sizes)
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+          .as("jaccard"))
+
+  /** Exact shingle-overlap counts for candidate pairs:
+    * (id1, id2, inter, sz1, sz2). The shared machinery behind
+    * [[jaccardVerify]] (symmetric: inter / union) and containment
+    * scoring (asymmetric: inter / min size — catches a snippet embedded
+    * in a longer document, which Jaccard dilutes by the size gap).
+    */
+  def overlapCounts(pairs: DataFrame, sh: DataFrame,
                     sizes: Option[DataFrame] = None): DataFrame = {
     val sz = sizes.getOrElse(
       sh.groupBy("doc_id").agg(count(lit(1)).as("sz")))
@@ -169,10 +183,6 @@ object TextDedup {
         .withColumnRenamed("sz", "sz1"), "id1")
       .join(sz.withColumnRenamed("doc_id", "id2")
         .withColumnRenamed("sz", "sz2"), "id2")
-      .select(col("id1"), col("id2"),
-        (col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")).cast("double"))
-          .as("jaccard"))
   }
 
   /** 16-bit SimHash per doc from its shingle stream (frequency-weighted:

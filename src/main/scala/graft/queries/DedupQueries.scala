@@ -148,6 +148,42 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // containment near-dup: asymmetric overlap (inter / min size) over
+    // the SAME LSH candidate machinery — catches a SNIPPET embedded in a
+    // longer document, which symmetric Jaccard dilutes by the size gap
+    // (a 70% prefix scores j ≈ 0.7 but containment ≈ 1.0). Corpus
+    // injects prefix snippets (doc_id % 7) to make the distinction
+    // observable. Candidates still come from minhash bands — which
+    // estimate JACCARD, so very small snippets (low j) under-recall;
+    // that recall trade is the documented cost of keeping candidate
+    // generation sub-quadratic (the decon inverted index is the
+    // alternative when the snippet side is small enough to broadcast).
+    "doc_dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            substring(col("text"), 1, 210).as("text")))
+      val sh = TextDedup.shingles(corpus, "doc_id", "text").persist()
+      val sig = TextDedup.minhashSignature(sh).persist()
+      val pairs = TextDedup.candidatePairs(TextDedup.bandBuckets(sig))
+        .persist()
+      val out = TextDedup.overlapCounts(pairs, sh,
+          sizes = Some(sig.select("doc_id", "sz")))
+        .withColumn("contain",
+          col("inter").cast("double") /
+            least(col("sz1"), col("sz2")).cast("double"))
+        .where(col("contain") >= 0.9)
+        .select(col("id1"), col("id2"), col("inter"),
+          round(col("contain"), 4).as("contain4"),
+          round(col("inter").cast("double") /
+            (col("sz1") + col("sz2") - col("inter")).cast("double"), 4)
+            .as("jaccard4"))
+        .localCheckpoint()
+      pairs.unpersist(); sig.unpersist(); sh.unpersist()
+      out
+    }),
+
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
     // buckets with >1 doc are dup candidates (no pair explosion).
     "doc_dedup_simhash" -> ((s, dir) => {
@@ -238,13 +274,12 @@ object DedupQueries {
   /** The full minhash near-dup SQL — shared by `doc_dedup_minhash` and
     * (as a subquery) `doc_dedup_clusters`.
     */
-  private lazy val minhashOracle =
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
-       |), ${shinglesCte("corpus")},
-       |sig AS (
+  /** sig → band buckets → distinct candidate pairs, from an `sh` CTE —
+    * the SQL mirror of minhashSignature/bandBuckets/candidatePairs,
+    * shared by the jaccard and containment oracles.
+    */
+  private lazy val lshPairsSql =
+    s"""sig AS (
        |  SELECT doc_id,
        |    ${(0 until 8).map(i => s"min(substr(h, ${4 * i + 1}, 4)) AS m$i").mkString(",\n    ")}
        |  FROM (SELECT doc_id, md5('mh|' || shingle) AS h FROM sh) hs
@@ -257,7 +292,15 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM buckets a
        |  JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |), $jaccardSql
+       |)""".stripMargin
+
+  private lazy val minhashOracle =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
+       |), ${shinglesCte("corpus")},
+       |$lshPairsSql, $jaccardSql
        |WHERE CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE) >= 0.6""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -289,6 +332,29 @@ object DedupQueries {
          |WHERE rn = 1""".stripMargin,
 
     "doc_dedup_minhash" -> minhashOracle,
+
+    "doc_dedup_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, substr(text, 1, 210)
+         |  FROM documents WHERE doc_id % 7 = 0
+         |), ${shinglesCte("corpus")},
+         |$lshPairsSql,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id1, p.id2, count(*) AS n
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id1
+         |  JOIN sh sb ON sb.doc_id = p.id2 AND sb.shingle = sa.shingle
+         |  GROUP BY p.id1, p.id2)
+         |SELECT i.id1, i.id2, i.n AS inter,
+         |  round(CAST(i.n AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE), 4) AS contain4,
+         |  round(CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE), 4) AS jaccard4
+         |FROM inter i
+         |JOIN sizes s1 ON s1.doc_id = i.id1
+         |JOIN sizes s2 ON s2.doc_id = i.id2
+         |WHERE CAST(i.n AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE) >= 0.9""".stripMargin,
 
     // cluster collapse of the verified near-dup pairs: connected
     // components via recursive min-label closure (the batch engine does

@@ -178,6 +178,43 @@ object IngestQueries {
       root
     }
 
+  /** Status-partitioned parquet lake where ONE partition was then
+    * rewritten under `partitionOverwriteMode=dynamic` (once per sfDir):
+    * the full snapshot lands partitioned by `o_orderstatus`, then a
+    * corrected 'O' feed (even order keys only) overwrites JUST the
+    * `o_orderstatus=O` directory — the other partitions must survive
+    * untouched. This is the standard lake-maintenance write at scale:
+    * static overwrite mode would have dropped every other partition;
+    * dynamic mode deletes only the partitions present in the incoming
+    * frame. Returns the lake root.
+    */
+  private def ensureDynamicOverwrite(spark: SparkSession,
+                                     sfDir: String): String = synchronized {
+    val root = s"${workRoot(sfDir)}/dynover"
+    val marker = Paths.get(root, "_DONE")
+    if (!Files.exists(marker)) {
+      val o = Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      o.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(s"$root/lake")
+      val saved = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        o.where(col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(s"$root/lake")
+      } finally saved match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      Files.writeString(marker, "ok")
+    }
+    root
+  }
+
   /** Corrupt-tolerant CSV fixture (once per sfDir): 50 well-formed rows
     * derived from orders plus two malformed lines. Returns the file path.
     */
@@ -218,6 +255,18 @@ object IngestQueries {
           .select(col("batch").cast("long").as("batch"), col("n"),
             col("n_price"))
       }),
+      // dynamic partition overwrite: after the one-partition rewrite,
+      // the untouched partitions keep their full row counts and the
+      // rewritten one holds only the corrected feed — the observable
+      // contract that distinguishes dynamic from static overwrite
+      // (static would have emptied every partition not in the new frame)
+      "ingest_dynamic_overwrite" -> ((s, dir) => {
+        val root = ensureDynamicOverwrite(s, dir)
+        s.read.parquet(s"$root/lake")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"))
+      }),
       // corrupt-tolerant CSV parse: PERMISSIVE mode quarantines malformed
       // lines into a corrupt-record column instead of failing the job —
       // the file-level analog of the pipeline's log-and-continue I/O
@@ -244,6 +293,12 @@ object IngestQueries {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), count(*) FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
+    "ingest_dynamic_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderstatus <> 'O' OR o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
     // 20 + 2 malformed + the rest of the <50 keys; both engines agree the
     // well-formed line count is |keys < 50| and the corrupt count is 2
     "ingest_corrupt_csv" ->
