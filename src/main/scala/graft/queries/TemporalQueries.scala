@@ -266,6 +266,49 @@ object TemporalQueries {
         .parquet(s"$tmp/out")
     }),
 
+    // session windows UNDER STREAMING: the same strict-gap merge
+    // semantics as the batch events_session_window, but stateful — open
+    // sessions live in the state store and append emits a session only
+    // once the watermark passes its end (last event + gap), i.e. once no
+    // future event could extend it. With AvailableNow the data batch
+    // runs at watermark 0 and a final empty batch flushes every session
+    // whose end <= max(ts) - 2h; the last two hours of sessions stay in
+    // state for the next run — the oracle reproduces that boundary in
+    // batch SQL. State is per-(user, open-session), evicted on emit:
+    // bounded by ACTIVE sessions, not history — the property that makes
+    // streaming sessionization viable on an unbounded event feed.
+    "stream_session_window" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val tmp = streamDir("session_window", dir)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end_w"), col("n_events"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("session_start", TimestampType),
+          StructField("session_end_w", TimestampType),
+          StructField("n_events", LongType))))
+        .parquet(s"$tmp/out")
+    }),
+
     // Funnel analysis: how many users progress view → click → purchase,
     // each stage constrained to happen AT-OR-AFTER the previous stage's
     // first event (not mere type presence — ordering matters). Three
@@ -811,5 +854,29 @@ object TemporalQueries {
         |FROM e, wm
         |WHERE date_trunc('hour', tms) + INTERVAL 1 HOUR <= w
         |GROUP BY 1, 2""".stripMargin,
+    // the batch session derivation (strict-gap split, >= mirrors
+    // session_window's merge-iff-gap-strictly-less) filtered to sessions
+    // the stream's final watermark (max ts - 2h) has closed
+    "stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('millisecond', ts) AS t FROM events
+        |), wm AS (SELECT max(t) - INTERVAL 2 HOUR AS w FROM e),
+        |m AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER win IS NULL
+        |           OR epoch_ms(t) - epoch_ms(lag(t) OVER win) >= 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t)
+        |), s AS (
+        |  SELECT user_id, t,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_start, session_end_w, n_events FROM (
+        |  SELECT user_id, min(t) AS session_start,
+        |    max(t) + INTERVAL 30 MINUTE AS session_end_w,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY user_id, session_id) q, wm
+        |WHERE session_end_w <= wm.w""".stripMargin,
   )
 }
