@@ -82,4 +82,49 @@ object GraphOps {
           "labels are not a fixpoint — raise maxIter")
     labels.select(col("id"), col("lbl").as("component"))
   }
+
+  /** Fixed-iteration PageRank over an undirected edge list (id1, id2) —
+    * the second iterative-compute shape after [[connectedComponents]]:
+    * CC converges to an exact fixpoint, PageRank runs a FIXED number of
+    * power-iteration rounds (the production pattern — rank deltas decay
+    * geometrically, so a fixed small round count is the cost contract).
+    *
+    * Engine-portable arithmetic: per-edge contributions are IEEE double
+    * divisions (deterministic), but each node's contribution SUM crosses
+    * a shuffle — summed as exact DECIMAL(28,18) so aggregation order
+    * can't move the result, then cast back (a binary double never lands
+    * on a decimal half-tie, so the cast rounds identically everywhere).
+    * A differential oracle can therefore unroll the same iterations in
+    * SQL and hash-match bit-for-bit.
+    *
+    * Scale notes: each round is one join of the edge list against the
+    * one-row-per-node rank table plus a partial-agg'd groupBy — the
+    * same cost shape as a CC round; `localCheckpoint` per round keeps
+    * the plan from doubling. Undirected edges mean no dangling-mass
+    * correction is needed (every node with an edge has out-degree).
+    */
+  def pagerank(edges: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    val sym = edges
+      .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
+      .unionByName(edges
+        .select(col("id2").cast("long").as("src"), col("id1").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outEdges = sym.join(deg, "src").localCheckpoint()
+    val n = sym.select("src").distinct().count().toDouble
+    var pr = sym.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1.0) / n)
+      .localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      pr = outEdges.join(pr, col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit((1.0 - damping) / n) + lit(damping) *
+          sum(col("c").cast("decimal(28,18)")).cast("double")).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
 }

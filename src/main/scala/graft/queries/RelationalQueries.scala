@@ -416,6 +416,26 @@ object RelationalQueries {
           |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
     }),
 
+    // PageRank over the customer-supplier trade graph (edges = distinct
+    // (custkey, suppkey) pairs through lineitem ⋈ orders; supplier ids
+    // offset into their own namespace). Five fixed power-iteration
+    // rounds via operators/GraphOps.pagerank — the second iterative
+    // distributed shape after connected components, with decimal-exact
+    // per-round sums so the unrolled-SQL oracle matches bit-for-bit.
+    // Top-20 by rank through TakeOrderedAndProject (no full sort).
+    "graph_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("id1"),
+          (col("l_suppkey") + 1000000L).as("id2"))
+        .distinct()
+      graft.operators.GraphOps.pagerank(e, iterations = 5)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+        .select(col("node"), round(col("pr"), 9).as("pr9"))
+    }),
+
     // TPC-H-Q22-shaped correlated NOT EXISTS + uncorrelated scalar
     // threshold: Catalyst rewrites the NOT EXISTS to a left-anti join
     // (RewritePredicateSubquery) and runs the scalar avg once as its own
@@ -803,6 +823,34 @@ object RelationalQueries {
         |  AND l.l_quantity < (
         |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "graph_pagerank" -> {
+      // the same five rounds unrolled: each pr_i references pr_{i-1},
+      // with the identical (1.0 - 0.85)/n teleport term and the
+      // identical DECIMAL(28,18) contribution sum
+      val rounds = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT e.dst AS node,
+           |    (1.0 - 0.85) / n.n + 0.85 *
+           |      CAST(sum(CAST(p.pr / e.deg AS DECIMAL(28,18))) AS DOUBLE) AS pr
+           |  FROM oe e JOIN pr${i - 1} p ON p.node = e.src, n
+           |  GROUP BY e.dst, n.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey AS id1, l_suppkey + 1000000 AS id2
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |), sym AS (
+         |  SELECT id1 AS src, id2 AS dst FROM edges0
+         |  UNION
+         |  SELECT id2, id1 FROM edges0
+         |), deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+         |oe AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON d.src = s.src),
+         |n AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM sym),
+         |pr0 AS (SELECT DISTINCT src AS node, 1.0 / n.n AS pr FROM sym, n),
+         |$rounds
+         |SELECT node, round(pr, 9) AS pr9 FROM pr5
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+    },
+
     "sql_q22_no_orders" ->
       """SELECT c.c_nationkey AS cntry, count(*) AS numcust,
         |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal

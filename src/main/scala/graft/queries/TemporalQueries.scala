@@ -433,6 +433,51 @@ object TemporalQueries {
     // first week, then (cohort, offset) distinct-user counts. No
     // windows, no self-join — at 100 TB this is two partial-agg'd
     // shuffles on user_id and on the (cohort, offset) pair.
+    // SLIDING windows (1 h span, 15 min slide): each event lands in 4
+    // overlapping windows — Spark explodes the assignment at scan time
+    // and the aggregation partial-combines per (window, type) before one
+    // shuffle, so the 4x row amplification never crosses the wire as raw
+    // events. The money-style value sum goes through exact DECIMAL so
+    // overlap-order never changes it. (The tumbling form is
+    // stream_events_window; sliding is the alerting/trend shape.)
+    "events_sliding_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(timestamp_millis(unix_millis(col("ts"))).as("t"),
+          col("event_type"), col("value"))
+        .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double")
+            .as("val_sum"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("val_sum"))),
+
+    // robust outlier detection per event type: median + MAD (median
+    // absolute deviation) via EXACT order statistics (percentile_disc —
+    // engine-portable where approx sketches are not), then a 5-MAD
+    // fence. Two grouped passes over the stream plus a broadcast join of
+    // the tiny per-type stats — the standard scale shape for robust
+    // stats (mean/stddev would be one pass but a single fat-finger value
+    // drags both; median/MAD don't budge).
+    "events_anomaly_mad" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+          .as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("adev") > col("mad") * 5).as("n_outliers"),
+          round(min(col("med")), 6).as("med6"),
+          round(min(col("mad")), 6).as("mad6"))
+    }),
+
     "events_retention" -> ((s, dir) => {
       val weekMs = 7L * 24 * 3600 * 1000
       val e = Tables(s, dir, "events")
@@ -807,6 +852,40 @@ object TemporalQueries {
         |FROM events GROUP BY 1""".stripMargin,
     // integer week buckets from the epoch-ms anchor; // (floor) division
     // matches Spark's cast-to-long of a positive quotient
+    "events_sliding_window" ->
+      """WITH e AS (
+        |  SELECT date_trunc('millisecond', ts) AS t, event_type, value
+        |  FROM events
+        |), k AS (SELECT unnest(range(0, 4)) AS k)
+        |SELECT time_bucket(INTERVAL '15 minutes', t)
+        |         - k * INTERVAL '15 minutes' AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM e, k
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_anomaly_mad" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |  FROM e GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS adev
+        |  FROM e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE d.adev > md.mad * 5) AS BIGINT)
+        |    AS n_outliers,
+        |  round(min(d.med), 6) AS med6, round(min(md.mad), 6) AS mad6
+        |FROM dev d JOIN mad md USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
+
     "events_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS t

@@ -209,6 +209,20 @@ class OperatorSpec extends SparkSpec {
     assert(cc.length == 100 && cc.forall(_._2 == 1L))
   }
 
+  test("pagerank: rank mass is conserved each round (sums to 1), the " +
+       "star center dominates, and symmetric leaves tie exactly") {
+    // star: center 1 linked to leaves 2..9
+    val star = (2L to 9L).map(i => (1L, i)).toDF("id1", "id2")
+    val pr = graft.operators.GraphOps.pagerank(star, iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    // undirected graph, no dangling mass: teleport + damped mass = 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // the center receives every leaf's full contribution
+    assert(pr(1L) > pr(2L) * 4)
+    // leaves are exchangeable — identical arithmetic, EXACTLY equal
+    assert((3L to 9L).forall(i => pr(i) == pr(2L)))
+  }
+
   test("driver-side hyperplane values match the SQL md5 derivation " +
        "(the oracle recomputes them via SQL)") {
     val sqlVals = spark.sql(
