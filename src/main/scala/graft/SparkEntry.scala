@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DeltaQueries.queries ++
     RelationalQueries.queries ++
+    TpchQueries.queries ++
     IngestQueries.queries ++
     DedupQueries.queries ++
     CurationQueries.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     DeltaQueries.oracleSql ++
     RelationalQueries.oracleSql ++
+    TpchQueries.oracleSql ++
     IngestQueries.oracleSql ++
     DedupQueries.oracleSql ++
     CurationQueries.oracleSql ++
