@@ -105,25 +105,39 @@ object GraphOps {
     */
   def pagerank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85): DataFrame = {
-    val sym = edges
-      .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
-      .unionByName(edges
-        .select(col("id2").cast("long").as("src"), col("id1").cast("long").as("dst")))
-      .distinct()
+    // materialize the caller's edge derivation ONCE — the symmetrization
+    // union consumes it twice, and without the checkpoint both branches
+    // re-run whatever join/distinct produced it
+    val e = edges
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
       .localCheckpoint()
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(e.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+    // deg is the vertex table too (every node of an undirected edge list
+    // appears as a src): n, pr0, and the degree join all come from this
+    // ONE aggregate instead of three separate distincts over sym
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val outEdges = sym.join(deg, "src").localCheckpoint()
-    val n = sym.select("src").distinct().count().toDouble
-    var pr = sym.select(col("src").as("node")).distinct()
+    val n = deg.count().toDouble
+    var pr = deg.select(col("src").as("node"))
       .withColumn("pr", lit(1.0) / n)
       .localCheckpoint()
+    // rounds CHAIN inside one job: each round references the previous pr
+    // exactly once (join), so the plan grows linearly with rounds — no
+    // per-round materialization needed, and Spark executes the whole
+    // power iteration as one pipelined job (5 chained shuffles) instead
+    // of 5 jobs each paying checkpoint + scheduling overhead. The
+    // checkpointed outEdges base keeps every round's big side a reused
+    // in-memory scan with stable hash(src) partitioning. (For LARGE
+    // iteration counts a periodic truncation would bound planning time —
+    // at the fixed small counts production uses, linear depth is cheap.)
     (1 to iterations).foreach { _ =>
       pr = outEdges.join(pr, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst").as("node"))
         .agg((lit((1.0 - damping) / n) + lit(damping) *
           sum(col("c").cast("decimal(28,18)")).cast("double")).as("pr"))
-        .localCheckpoint()
     }
     pr
   }
