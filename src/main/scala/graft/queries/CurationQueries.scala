@@ -268,6 +268,43 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tok").cast("long")).as("min_tok"),
           max(col("n_tok").cast("long")).as("max_tok"))),
+
+    // sliding-window chunking with overlap (context-window prep): each
+    // doc explodes into 64-token chunks on a 48-token stride (16-token
+    // overlap), identified by (doc_id, chunk_idx) and fingerprinted by
+    // the chunk-text md5. Entirely per-row generative — sequence +
+    // slice + explode inside one codegen stage, ZERO shuffles at any
+    // scale (the explode multiplies rows ~n_tok/48× before downstream
+    // ops, which is the real 100 TB consideration: chunk THEN filter,
+    // never materialize unfiltered chunks wider than needed).
+    "cur_chunk_overlap" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          split(TextDedup.normalize(col("text")), " ").as("toks"))
+        .where(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(toks) - 1, 48)")).as("start"),
+          col("toks"))
+        .select(col("doc_id"),
+          (col("start") / 48).cast("long").as("chunk_idx"),
+          expr("slice(toks, start + 1, 64)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))),
+
+    // per-domain quota (keep the best N docs per source/domain — the
+    // standard guard against one crawl domain dominating a training
+    // mix): top-3 by token count per source via the native bounded-heap
+    // TopKPerKey — O(k) memory per domain, no window sort of the whole
+    // corpus. One shuffle on source, heap-bounded reduce.
+    "cur_domain_cap" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(TextDedup.normalize(col("text")), " "))
+          .cast("long").as("quality"))
+      graft.plans.TopKPerKey
+        .topK(scored, "source", Seq(("quality", true), ("doc_id", false)), 3)
+        .select(col("source"), col("doc_id"), col("quality"), col("rank"))
+    }),
   )
 
   private val normSql =
@@ -374,5 +411,27 @@ object CurationQueries {
          |FROM (SELECT len(string_split($normSql, ' ')) AS n_tok
          |      FROM documents) q
          |GROUP BY 1""".stripMargin,
+
+    "cur_chunk_overlap" ->
+      s"""SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(len(t[start + 1 : least(start + 64, len(t))]) AS BIGINT)
+         |    AS chunk_tokens,
+         |  md5(array_to_string(t[start + 1 : least(start + 64, len(t))], ' '))
+         |    AS chunk_hash
+         |FROM (
+         |  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t
+         |        FROM documents) q0
+         |  WHERE len(t) >= 1) q1""".stripMargin,
+
+    "cur_domain_cap" ->
+      s"""SELECT source, doc_id, quality, rank FROM (
+         |  SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rank
+         |  FROM (SELECT source, doc_id,
+         |          CAST(len(string_split($normSql, ' ')) AS BIGINT) AS quality
+         |        FROM documents) q0) q1
+         |WHERE rank <= 3""".stripMargin,
   )
 }

@@ -286,6 +286,74 @@ object TextQueries {
         .select(col("lang"), col("term"), col("tf"), col("df"),
           round(col("score"), 4).as("score4"), col("rank"))
     }),
+
+    // BM25 retrieval scoring: top-10 documents per query term under the
+    // full Okapi formula (idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))).
+    // The term set is tiny and known up front, so the explode stream
+    // filters to query terms MAP-SIDE before any shuffle — at 100 TB the
+    // only full-corpus costs are the token explode (pipelined, never
+    // materialized) and one partial-agg'd doc-length groupBy; tf/df
+    // tables are per-matched-doc only, df and the corpus stats broadcast,
+    // and the final per-term top-10 is a bounded-heap TopKPerKey, not a
+    // window sort. All score inputs are exact integers; the score itself
+    // is a fixed IEEE expression tree evaluated identically per row in
+    // both engines (no order-dependent float reduction anywhere).
+    "text_bm25" -> ((s, dir) => {
+      val terms = Seq("join", "vector", "filter")
+      val d = docs(s, dir).select(col("doc_id"),
+        split(TextDedup.normalize(col("text")), " ").as("toks"))
+      val matched = d
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .where(col("term").isin(terms: _*))
+      val tf = matched.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = matched.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val scored = tf
+        .join(dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("score",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      graft.plans.TopKPerKey
+        .topK(scored, "term", Seq(("score", true), ("doc_id", false)), 10)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          round(col("score"), 6).as("score6"), col("rank"))
+    }),
+
+    // Unigram language-model quality proxy (the cheap "perplexity" filter
+    // real pipelines run before an LM-based one): train token→count over
+    // the corpus, score each doc by its mean token log-probability. The
+    // model is one partial-agg'd groupBy; scoring re-joins it to the
+    // token stream — broadcast here (a Zipf vocabulary is small; at
+    // 100 TB production caps the vocab by min-count, keeping it
+    // broadcastable) so the token stream is never shuffled for the join,
+    // then one groupBy(doc) with map-side partial agg. Per-token ln() is
+    // order-independent; the per-doc SUM crosses a shuffle, so it runs
+    // over exact DECIMAL(28,18) — any aggregation order reproduces it.
+    "text_unigram_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(split(TextDedup.normalize(col("text")), " ")).as("term"))
+      val model = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = model.agg(sum("cnt").as("total"))
+      toks.join(broadcast(model), "term")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          expr("CAST(ln(cnt / CAST(total AS DOUBLE)) AS DECIMAL(28,18))")
+            .as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("lp").as("slp"))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("slp").cast("double") / col("n_toks"), 6)
+            .as("avg_logprob"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -457,6 +525,49 @@ object TextQueries {
            |  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
            |  list_sort(t)[1] AS first_tok
            |FROM (SELECT doc_id, $toksSql AS t FROM documents) q""".stripMargin,
+
+      // NOTE: DuckDB's log() is log10 — ln() is the natural log that
+      // matches Spark's log()/ln().
+      "text_bm25" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |toks AS (SELECT doc_id, unnest(t) AS term FROM d),
+           |ft AS (SELECT doc_id, term FROM toks
+           |       WHERE term IN ('join', 'vector', 'filter')),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+           |          FROM ft GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+           |stats AS (SELECT count(*) AS n_docs,
+           |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+           |SELECT term, doc_id, tf, dl, round(score, 6) AS score6, rank
+           |FROM (
+           |  SELECT t.term, t.doc_id, t.tf, l.dl,
+           |    ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           |      * (t.tf * 2.2)
+           |      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS score,
+           |    row_number() OVER (PARTITION BY t.term ORDER BY
+           |      ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           |        * (t.tf * 2.2)
+           |        / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) DESC,
+           |      t.doc_id) AS rank
+           |  FROM tf t
+           |  JOIN dl l ON l.doc_id = t.doc_id
+           |  JOIN dfreq f ON f.term = t.term, stats s) q
+           |WHERE rank <= 10""".stripMargin,
+
+      "text_unigram_logprob" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(t) AS term
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents) q0
+           |), model AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+           |total AS (SELECT sum(cnt) AS total FROM model)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |  round(
+           |    CAST(sum(CAST(ln(m.cnt / CAST(t2.total AS DOUBLE))
+           |                  AS DECIMAL(28,18))) AS DOUBLE) / count(*),
+           |    6) AS avg_logprob
+           |FROM toks t JOIN model m ON m.term = t.term, total t2
+           |GROUP BY doc_id""".stripMargin,
     )
   }
 }
