@@ -292,6 +292,33 @@ object CurationQueries {
           size(col("chunk")).cast("long").as("chunk_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))),
 
+    // temperature-scaled mixture sampling (the multilingual rebalancing
+    // used in LLM training mixes): language i's sampling weight is
+    // (n_i/N)^(1/T) with T=2, normalized — rare languages get upweighted
+    // relative to proportional sampling, then each doc keeps iff its
+    // salted hash clears the per-language rate for a ~200-doc target.
+    // The weight table is |languages| rows (one partial-agg'd groupBy +
+    // two scalar folds, broadcast back), the keep decision is a
+    // stateless per-row filter — reproducible under retry, no shuffle
+    // of the corpus at any scale. The weight normalizer sums through
+    // exact DECIMAL so the rates are bit-stable in both engines.
+    "cur_mix_temperature" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = d.agg(count(lit(1)).as("nn"))
+      val w = counts.crossJoin(broadcast(tot))
+        .withColumn("w", sqrt(col("n").cast("double") / col("nn")))
+      val sumw = w.agg(
+        sum(col("w").cast("decimal(28,18)")).cast("double").as("sumw"))
+      val rates = w.crossJoin(broadcast(sumw))
+        .withColumn("rate",
+          least(lit(1.0), col("w") / col("sumw") * lit(200.0) / col("n")))
+        .select("lang", "rate")
+      d.join(broadcast(rates), "lang")
+        .where(hashMille("tmp", col("doc_id")) < col("rate") * 1000)
+        .select(col("lang"), col("doc_id"), round(col("rate"), 6).as("rate6"))
+    }),
+
     // per-domain quota (keep the best N docs per source/domain — the
     // standard guard against one crawl domain dominating a training
     // mix): top-3 by token count per source via the native bounded-heap
@@ -423,6 +450,19 @@ object CurationQueries {
          |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t
          |        FROM documents) q0
          |  WHERE len(t) >= 1) q1""".stripMargin,
+
+    "cur_mix_temperature" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT count(*) AS nn FROM documents),
+         |w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE) / nn) AS w
+         |      FROM counts, tot),
+         |sw AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,18))) AS DOUBLE) AS sumw
+         |       FROM w),
+         |rates AS (SELECT lang, n,
+         |            least(1.0, w / sumw * 200.0 / n) AS rate FROM w, sw)
+         |SELECT d.lang, d.doc_id, round(r.rate, 6) AS rate6
+         |FROM documents d JOIN rates r ON r.lang = d.lang
+         |WHERE ${hashMilleSql("tmp", "d.doc_id")} < r.rate * 1000""".stripMargin,
 
     "cur_domain_cap" ->
       s"""SELECT source, doc_id, quality, rank FROM (

@@ -262,6 +262,34 @@ object DeltaQueries {
       val (n, p) = lakePair(s, dir)
       n.exceptAll(p)
     }),
+    // the 100 TB formulation of the same EXCEPT ALL: exceptAll shuffles
+    // both snapshots at FULL WIDTH (34 string columns in the reference
+    // lake); this one pre-groups each side to (row-hash, count) — the
+    // shuffle carries 16 bytes/row after map-side partial agg — diffs
+    // the counts, and re-joins the (tiny) excess-hash set against the
+    // newest scan to recover the full rows, replicated by their excess
+    // multiplicity. Rows sharing a hash are identical across all hashed
+    // columns (the (isNull, value) marker pairs keep NULL placement
+    // collision-free, same idiom as the delta fast path —
+    // SnapshotDelta.updated), so the representative row is exact; the
+    // residual ~2^-64 hash-collision risk is the documented trade, and
+    // the DuckDB oracle (plain EXCEPT ALL) keeps it honest.
+    "delta_rowdiff_hashed" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      val cols = n.columns.toIndexedSeq
+      def withH(df: DataFrame) = df.withColumn("_h",
+        xxhash64(struct(cols.flatMap(c => Seq(col(c).isNull, col(c))): _*)))
+      val nc = withH(n).groupBy("_h").agg(count(lit(1)).as("_cn"))
+      val pc = withH(p).groupBy("_h").agg(count(lit(1)).as("_cp"))
+      val excess = nc.join(pc, Seq("_h"), "left_outer")
+        .select(col("_h"),
+          (col("_cn") - coalesce(col("_cp"), lit(0L))).as("_k"))
+        .where(col("_k") > 0)
+      withH(n).dropDuplicates("_h") // same-hash rows are identical rows
+        .join(excess, "_h")
+        .withColumn("_i", explode(expr("sequence(1, _k)")))
+        .select(cols.map(col): _*)
+    }),
     // R6: the optional dup-key data-quality check — the reference
     // assumes pid unique per partition (a dup fans out the self-join);
     // this surfaces per-partition row/key/dup counts so the assumption
@@ -436,6 +464,11 @@ object DeltaQueries {
          |SELECT p.* FROM prev p
          |WHERE NOT EXISTS (SELECT 1 FROM newest n WHERE n.o_orderkey = p.o_orderkey)""".stripMargin,
     "delta_rowdiff" ->
+      s"""$snapshotCte
+         |SELECT * FROM newest EXCEPT ALL SELECT * FROM prev""".stripMargin,
+    // same semantic contract as delta_rowdiff — the oracle is the plain
+    // set-op; only the Spark-side physical strategy differs
+    "delta_rowdiff_hashed" ->
       s"""$snapshotCte
          |SELECT * FROM newest EXCEPT ALL SELECT * FROM prev""".stripMargin,
     // merge(prev, deltas) must equal the newest snapshot, row for row

@@ -86,6 +86,26 @@ object SimilarityQueries {
             (x, qq) => abs(x - qq.cast("double") * col("scale")))), 6)
             .as("err6"))),
 
+    // matryoshka truncation + re-normalization — the adaptive-retrieval
+    // trick (use the first d' dims of an MRL-trained embedding at 1/8th
+    // the cost, renormalized to unit length for cosine). Narrow per-row
+    // expression work, zero shuffle at any scale; norms are sequential
+    // left-folds (VectorSim.dot) so both engines reproduce them
+    // bit-for-bit, surfaced rounded with the retained-energy fraction
+    // (|v8|²/|v|²) that tells a user what the truncation kept.
+    "emb_truncate_renorm" -> ((s, dir) => {
+      val e = VectorSim.toDoubleArray(col("embedding"))
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), e.as("e"), slice(e, 1, 8).as("t8"))
+        .withColumn("n8", sqrt(VectorSim.dot(col("t8"), col("t8"))))
+        .where(col("n8") > 0)
+        .select(col("vec_id"),
+          round(col("n8"), 6).as("norm8_6"),
+          round(element_at(col("t8"), 1) / col("n8"), 6).as("u1_6"),
+          round(VectorSim.dot(col("t8"), col("t8")) /
+            VectorSim.dot(col("e"), col("e")), 6).as("energy6"))
+    }),
+
     // product quantization encode — the memory-bound ANN tier beyond
     // int8 (emb_quantize_int8 shrinks 4x; PQ shrinks 64 doubles to m=4
     // byte codes). The codebook is deterministic: the k=8 vectors with
@@ -361,6 +381,21 @@ object SimilarityQueries {
           |  array_to_string(list(code ORDER BY j), ',') AS codes_csv,
           |  round(CAST(sum(CAST(d AS DECIMAL(18,9))) AS DOUBLE), 6) AS err6
           |FROM best GROUP BY vec_id""".stripMargin,
+
+      "emb_truncate_renorm" ->
+        """WITH b AS (
+          |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+          |  FROM embeddings
+          |), t AS (
+          |  SELECT vec_id, e, e[1:8] AS t8,
+          |    sqrt(list_sum([x * x FOR x IN e[1:8]])) AS n8
+          |  FROM b
+          |)
+          |SELECT vec_id, round(n8, 6) AS norm8_6,
+          |  round(t8[1] / n8, 6) AS u1_6,
+          |  round(list_sum([x * x FOR x IN t8]) /
+          |        list_sum([x * x FOR x IN e]), 6) AS energy6
+          |FROM t WHERE n8 > 0""".stripMargin,
 
       "emb_quantize_int8" ->
         """WITH b AS (

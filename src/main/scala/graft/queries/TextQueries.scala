@@ -328,6 +328,24 @@ object TextQueries {
           round(col("score"), 6).as("score6"), col("rank"))
     }),
 
+    // word-level merge-candidate mining (the counting pass of BPE-style
+    // vocabulary induction): adjacent-token pair frequencies, global
+    // top-20. The pair stream is a zip_with of two shifted slices —
+    // pure per-row array work inside codegen, no self-join, no window —
+    // then ONE partial-agg'd groupBy and a TakeOrderedAndProject (heap
+    // top-20 per partition, never a full sort). The (cnt DESC, pair)
+    // order is total, so the cut is deterministic.
+    "text_bigram_merges" -> ((s, dir) =>
+      docs(s, dir)
+        .select(split(TextDedup.normalize(col("text")), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)),
+
     // Unigram language-model quality proxy (the cheap "perplexity" filter
     // real pipelines run before an LM-based one): train token→count over
     // the corpus, score each doc by its mean token log-probability. The
@@ -554,6 +572,14 @@ object TextQueries {
            |  JOIN dl l ON l.doc_id = t.doc_id
            |  JOIN dfreq f ON f.term = t.term, stats s) q
            |WHERE rank <= 10""".stripMargin,
+
+      "text_bigram_merges" ->
+        s"""SELECT pair, count(*) AS cnt FROM (
+           |  SELECT unnest([array_to_string(t[i:i+1], ' ')
+           |                 FOR i IN range(1, len(t))]) AS pair
+           |  FROM (SELECT $toksSql AS t FROM documents) q0
+           |  WHERE len(t) >= 2) q1
+           |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
       "text_unigram_logprob" ->
         s"""WITH toks AS (
