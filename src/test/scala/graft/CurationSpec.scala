@@ -91,4 +91,40 @@ class CurationSpec extends SparkSpec {
     assert(shuffles.isEmpty,
       s"train side must not shuffle before the probe:\n$streamed")
   }
+
+  test("chunking is shuffle-free: sequence/slice/explode stay in one " +
+       "codegen stage, no exchange anywhere in the plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.queries.CurationQueries.queries("cur_chunk_overlap")(
+      spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"cur_chunk_overlap must not shuffle:\n${df.queryExecution.executedPlan}")
+    // stride invariant: docs longer than one stride produce multiple
+    // chunks, indexed contiguously from 0
+    val multi = df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_idx").as("mx"))
+      .where(col("n") >= 2)
+    assert(multi.count() > 0, "fixture must contain multi-chunk docs")
+    assert(multi.where(col("mx") =!= col("n") - 1).count() == 0,
+      "chunk_idx must be contiguous from 0")
+  }
+
+  test("temperature mixing upweights rare languages relative to " +
+       "proportional sampling") {
+    val d = Tables(spark, sf, "documents")
+    val rates = graft.queries.CurationQueries.queries("cur_mix_temperature")(
+        spark, sf)
+      .groupBy("lang").agg(first("rate6").as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val counts = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = counts.maxBy(_._2)._1
+    val small = counts.minBy(_._2)._1
+    // T=2 flattens the distribution: the rare language's keep RATE must
+    // exceed the dominant one's (it gets oversampled relative to share)
+    assert(rates(small) > rates(big),
+      s"expected rate($small)=${rates(small)} > rate($big)=${rates(big)}")
+  }
 }

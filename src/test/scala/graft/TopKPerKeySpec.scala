@@ -72,7 +72,8 @@ class TopKPerKeySpec extends SparkSpec {
        "fallback): weighted mixing and keep-best dedup") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (q <- Seq("cur_mix_weighted", "doc_dedup_keep_best")) {
+      for (q <- Seq("cur_mix_weighted", "doc_dedup_keep_best",
+                    "cur_domain_cap", "text_bm25")) {
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
         val hasExec = df.queryExecution.executedPlan.collectFirst {
           case e: graft.plans.TopKPerKeyExec => e }.isDefined
