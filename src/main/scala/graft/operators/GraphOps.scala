@@ -104,21 +104,40 @@ object GraphOps {
     * correction is needed (every node with an edge has out-degree).
     */
   def pagerank(edges: DataFrame, iterations: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               edgesDistinct: Boolean = false): DataFrame = {
     // materialize the caller's edge derivation ONCE — the symmetrization
     // union consumes it twice, and without the checkpoint both branches
     // re-run whatever join/distinct produced it
     val e = edges
       .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
       .localCheckpoint()
-    val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
+    val symRaw = e.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(e.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
+    // `edgesDistinct = true` asserts the input pairs are already distinct
+    // AND no pair appears in both orientations (e.g. bipartite graphs
+    // with disjoint id namespaces) — then the symmetrized union is
+    // dup-free by construction and the distinct's full-edge shuffle is
+    // provably redundant. Wrong assertion = double-counted edges, so the
+    // default stays safe.
+    val sym = if (edgesDistinct) symRaw else symRaw.distinct()
     // deg is the vertex table too (every node of an undirected edge list
     // appears as a src): n, pr0, and the degree join all come from this
     // ONE aggregate instead of three separate distincts over sym
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // pre-partition the edge list by DST once: every round ends in a
+    // groupBy(dst), and the rank table joins in by BROADCAST (it's one
+    // row per node — tiny next to the edges), so a dst-clustered edge
+    // table makes each round's aggregation exchange-free. The repartition
+    // goes AFTER the checkpoint: a checkpointed RDD scan reports
+    // UnknownPartitioning, so partitioning info must come from a live
+    // Exchange node — the same exchange subtree appears in all rounds and
+    // exchange reuse executes it ONCE. Five rounds thus share one edge
+    // shuffle instead of re-shuffling the full edge list per round — THE
+    // partitioning-reuse pattern for iterative graph compute (at 100 TB
+    // the edge shuffle is the whole cost).
     val outEdges = sym.join(deg, "src").localCheckpoint()
+      .repartition(col("dst"))
     val n = deg.count().toDouble
     var pr = deg.select(col("src").as("node"))
       .withColumn("pr", lit(1.0) / n)
@@ -133,7 +152,7 @@ object GraphOps {
     // iteration counts a periodic truncation would bound planning time —
     // at the fixed small counts production uses, linear depth is cheap.)
     (1 to iterations).foreach { _ =>
-      pr = outEdges.join(pr, col("src") === col("node"))
+      pr = outEdges.join(broadcast(pr), col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst").as("node"))
         .agg((lit((1.0 - damping) / n) + lit(damping) *

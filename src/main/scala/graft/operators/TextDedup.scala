@@ -169,13 +169,20 @@ object TextDedup {
     val candIds = pairs.select(col("id1").as("doc_id"))
       .unionByName(pairs.select(col("id2").as("doc_id")))
       .distinct()
+    // candidate shingles collapse to 64-bit keys before the intersection
+    // join: the (doc_id, shingle) shuffle then moves 8-byte longs instead
+    // of ~25-byte n-gram strings (same trick as the decon queries'
+    // shingleKeys). Intersection COUNTS are hash-invariant — a within-doc
+    // collision among ~1M distinct shingles has probability ~5e-8 and
+    // would be caught by the oracle hash gate.
     val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
     val a = shCand.alias("sa")
     val b = shCand.alias("sb")
     val inter = pairs.alias("p")
       .join(a, col("p.id1") === col("sa.doc_id"))
       .join(b, col("p.id2") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
+        col("sa.shk") === col("sb.shk"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("inter"))
     inter

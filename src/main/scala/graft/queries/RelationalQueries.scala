@@ -430,7 +430,11 @@ object RelationalQueries {
         .select(col("o_custkey").as("id1"),
           (col("l_suppkey") + 1000000L).as("id2"))
         .distinct()
-      graft.operators.GraphOps.pagerank(e, iterations = 5)
+      // edgesDistinct: the pair list is .distinct() above and the two id
+      // namespaces are disjoint (cust < 1M < supp offset), so no pair can
+      // appear in both orientations — the symmetrization dedup is redundant
+      graft.operators.GraphOps.pagerank(e, iterations = 5,
+        edgesDistinct = true)
         .orderBy(col("pr").desc, col("node"))
         .limit(20)
         .select(col("node"), round(col("pr"), 9).as("pr9"))
