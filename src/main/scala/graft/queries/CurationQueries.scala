@@ -319,6 +319,42 @@ object CurationQueries {
         .select(col("lang"), col("doc_id"), round(col("rate"), 6).as("rate6"))
     }),
 
+    // DSIR-style importance weighting (data selection via importance
+    // resampling): score each doc by how much more likely its tokens are
+    // under a TARGET domain's hashed-unigram distribution than under the
+    // background corpus — the standard cheap proxy for "select web data
+    // that looks like the target domain". Token features hash into 512
+    // buckets (md5-derived, engine-portable like hashMille), so both
+    // models are fixed 512-row tables regardless of vocabulary: one
+    // partial-agg'd groupBy each, broadcast back over the token stream
+    // (never shuffled), then one groupBy(doc). Laplace-smoothed
+    // log-ratios accumulate through exact DECIMAL(28,18) so the per-doc
+    // sum is aggregation-order independent; ln() on identical doubles is
+    // engine-consistent (same contract as text_unigram_logprob).
+    "cur_dsir_importance" -> ((s, dir) => {
+      val B = 512
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(TextDedup.normalize(col("text")), " ")).as("term"))
+        .withColumn("bucket",
+          conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % B)
+      val bg = toks.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
+      val tgt = toks.where(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("tcnt"))
+      val tots = toks.agg(count(lit(1)).as("btot"),
+        count(when(col("lang") === "en", lit(1))).as("ttot"))
+      val lr = bg.join(tgt, Seq("bucket"), "left_outer")
+        .crossJoin(broadcast(tots))
+        .select(col("bucket"),
+          (log((coalesce(col("tcnt"), lit(0L)) + 1) / (col("ttot") + B)) -
+            log((col("bcnt") + 1) / (col("btot") + B))).as("lr"))
+      toks.join(broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("lr").cast("decimal(28,18)")).cast("double") /
+            count(lit(1)), 6).as("dsir6"))
+    }),
+
     // per-domain quota (keep the best N docs per source/domain — the
     // standard guard against one crawl domain dominating a training
     // mix): top-3 by token count per source via the native bounded-heap
@@ -463,6 +499,30 @@ object CurationQueries {
          |SELECT d.lang, d.doc_id, round(r.rate, 6) AS rate6
          |FROM documents d JOIN rates r ON r.lang = d.lang
          |WHERE ${hashMilleSql("tmp", "d.doc_id")} < r.rate * 1000""".stripMargin,
+
+    "cur_dsir_importance" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 512 AS bucket
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split($normSql, ' ')) AS term
+         |        FROM documents) q
+         |), bg AS (SELECT bucket, count(*) AS bcnt FROM tb GROUP BY 1),
+         |tgt AS (SELECT bucket, count(*) AS tcnt FROM tb
+         |        WHERE lang = 'en' GROUP BY 1),
+         |tots AS (SELECT count(*) AS btot,
+         |           count(*) FILTER (WHERE lang = 'en') AS ttot FROM tb),
+         |lr AS (
+         |  SELECT bg.bucket,
+         |    ln((coalesce(tcnt, 0) + 1) / (ttot + 512)) -
+         |    ln((bcnt + 1) / (btot + 512)) AS lr
+         |  FROM bg LEFT JOIN tgt ON tgt.bucket = bg.bucket, tots
+         |)
+         |SELECT doc_id, lang, count(*) AS n_toks,
+         |  round(CAST(sum(CAST(lr AS DECIMAL(28,18))) AS DOUBLE)
+         |    / count(*), 6) AS dsir6
+         |FROM tb JOIN lr ON lr.bucket = tb.bucket
+         |GROUP BY 1, 2""".stripMargin,
 
     "cur_domain_cap" ->
       s"""SELECT source, doc_id, quality, rank FROM (

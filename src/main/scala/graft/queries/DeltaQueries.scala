@@ -358,6 +358,24 @@ object DeltaQueries {
           count(when(col("pa").isNull, lit(1))).as("n_added"),
           count(when(col("na").isNull, lit(1))).as("n_removed"))
     }),
+    // The unified CDC changefeed — the single-stream view a downstream
+    // consumer (Kafka topic, Delta/Iceberg CDF reader, search indexer)
+    // actually subscribes to: one row per change, tagged I/U/D, updated
+    // rows carrying the NEWEST values and deletes the last-seen previous
+    // values. Composed from the same three operators the merge-upsert
+    // validates, so feed ∘ apply ≡ snapshot holds by construction. Plan
+    // shape: the three branches share the two pruned snapshot scans
+    // (each side is scanned per branch but never shuffled wider than its
+    // own join), and union is a zero-cost plan node — at 100 TB this is
+    // three key-joins over two partition-pruned scans, nothing more.
+    "delta_cdc_feed" -> ((s, dir) => {
+      val (n, p) = lakePair(s, dir)
+      SnapshotDelta
+        .updated(n, p, key, compareAttrs, SnapshotDelta.NullSafe)
+        .withColumn("op", lit("U"))
+        .unionByName(SnapshotDelta.added(n, p, key).withColumn("op", lit("I")))
+        .unionByName(SnapshotDelta.removed(n, p, key).withColumn("op", lit("D")))
+    }),
     // Runtime-pruned snapshot read: the snapshot dates of interest come
     // from a DIM-TABLE FILTER, so they are unknowable at plan time and
     // static partition pruning cannot apply. Catalyst's PartitionPruning
@@ -471,6 +489,21 @@ object DeltaQueries {
     "delta_rowdiff_hashed" ->
       s"""$snapshotCte
          |SELECT * FROM newest EXCEPT ALL SELECT * FROM prev""".stripMargin,
+    "delta_cdc_feed" ->
+      s"""$snapshotCte
+         |SELECT n.*, 'U' AS op
+         |FROM newest n JOIN prev p ON n.o_orderkey = p.o_orderkey
+         |WHERE n.o_custkey IS DISTINCT FROM p.o_custkey
+         |   OR n.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+         |   OR n.o_totalprice IS DISTINCT FROM p.o_totalprice
+         |   OR n.o_orderdate IS DISTINCT FROM p.o_orderdate
+         |   OR n.o_orderpriority IS DISTINCT FROM p.o_orderpriority
+         |UNION ALL
+         |SELECT n.*, 'I' AS op FROM newest n
+         |WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.o_orderkey = n.o_orderkey)
+         |UNION ALL
+         |SELECT p.*, 'D' AS op FROM prev p
+         |WHERE NOT EXISTS (SELECT 1 FROM newest n WHERE n.o_orderkey = p.o_orderkey)""".stripMargin,
     // merge(prev, deltas) must equal the newest snapshot, row for row
     "delta_merge_upsert" ->
       s"""$snapshotCte

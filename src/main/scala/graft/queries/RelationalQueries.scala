@@ -440,6 +440,46 @@ object RelationalQueries {
         .select(col("node"), round(col("pr"), 9).as("pr9"))
     }),
 
+    // Triangle count over the nation-level trade graph — the third graph
+    // shape next to the iterative two (connected components, PageRank):
+    // a bounded 3-way self-join. The heavy, distributed part is the EDGE
+    // DERIVATION (lineitem ⋈ supplier ⋈ orders ⋈ customer folded to
+    // per-nation-pair trade totals — partial-agg'd, one shuffle on the
+    // pair); the enumeration then runs on the AGGREGATED entity graph
+    // (≤ |nations|² edges), which is why this composes at 100 TB — you
+    // never self-join raw fact rows. Customer↔supplier links are
+    // bipartite (no triangles), so nodes are NATIONS and an edge is
+    // "trade above the mean pair volume": the threshold compare is kept
+    // multiplication-exact (w·n > Σw over DECIMAL — no division, no
+    // float tie). Orientation u < v makes each triangle appear exactly
+    // once as a < b < c.
+    "graph_triangles" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("vl"))
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").as("sn")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("cn")),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("cn") =!= col("sn"))
+        .select(least(col("cn"), col("sn")).as("u"),
+          greatest(col("cn"), col("sn")).as("v"), col("vl"))
+      val agg = pairs.groupBy("u", "v").agg(sum("vl").as("w"))
+      val tot = agg.agg(sum("w").as("tw"), count(lit(1)).as("np"))
+      val edges = agg.crossJoin(broadcast(tot))
+        .where(col("w") * col("np") > col("tw"))
+        .select("u", "v")
+      edges.alias("e1")
+        .join(edges.alias("e2"), col("e2.u") === col("e1.v"))
+        .join(edges.alias("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    }),
+
     // TPC-H-Q22-shaped correlated NOT EXISTS + uncorrelated scalar
     // threshold: Catalyst rewrites the NOT EXISTS to a left-anti join
     // (RewritePredicateSubquery) and runs the scalar avg once as its own
@@ -854,6 +894,24 @@ object RelationalQueries {
          |SELECT node, round(pr, 9) AS pr9 FROM pr5
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin
     },
+
+    "graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |         greatest(c.c_nationkey, s.s_nationkey) AS v,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vl
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+        |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
+        |edges AS (SELECT u, v FROM agg, tot WHERE w * np > tw)
+        |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |FROM edges e1
+        |JOIN edges e2 ON e2.u = e1.v
+        |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
 
     "sql_q22_no_orders" ->
       """SELECT c.c_nationkey AS cntry, count(*) AS numcust,

@@ -153,6 +153,58 @@ object SimilarityQueries {
             .as("err6"))
     }),
 
+    // k-means, two fixed Lloyd iterations — the unsupervised counterpart
+    // of emb_centroid_by_label and the third iterative distributed shape
+    // (after connected components and PageRank): assign (broadcast K
+    // centroids, one corpus pass, struct-min argmin) → re-estimate
+    // (posexplode + one partial-agg'd groupBy over K×64 cells, exact
+    // DECIMAL means) → assign again. Initial centroids are the K
+    // smallest-md5 vectors (deterministic seed sample, same contract as
+    // IVF/PQ); re-estimated means ROUND to 6 digits before the next
+    // assignment so both engines iterate from identical centroids (the
+    // same handshake emb_assign_centroid uses). Per iteration at 100 TB:
+    // one broadcast + one corpus scan + one K×dim-cell aggregate — no
+    // step shuffles the corpus, and iterations add scans, not state.
+    "emb_kmeans_lloyd" -> ((s, dir) => {
+      val K = 4
+      val b = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorSim.toDoubleArray(col("embedding")).as("e"))
+      val c0 = b
+        .select(col("vec_id"), col("e"),
+          md5(concat(lit("km|"), col("vec_id").cast("string"))).as("h"))
+        .orderBy("h", "vec_id").limit(K)
+        .withColumn("i",
+          row_number().over(Window.orderBy("h", "vec_id")).cast("long") - 1)
+        .select(col("i"), col("e").as("c"))
+      // one assignment pass: argmin_i ||e - c_i||² via struct-min with
+      // the centroid index as tie-break; carries e through for the next
+      // re-estimation (first() is exact here — e is functionally
+      // dependent on the vec_id group key)
+      def assign(cent: DataFrame): DataFrame =
+        b.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("e"),
+            struct(VectorSim.l2sq(col("e"), col("c")).as("d"),
+              col("i").as("i")).as("di"))
+          .groupBy("vec_id")
+          .agg(min(col("di")).as("best"), first(col("e")).as("e"))
+          .select(col("vec_id"), col("e"),
+            col("best.i").as("cl"), col("best.d").as("d"))
+      def reestimate(a: DataFrame): DataFrame = a
+        .select(col("cl"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cl", "pos")
+        .agg(round(sum(col("v").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+        .select(col("cl").as("i"), col("c"))
+      val a2 = assign(reestimate(assign(c0)))
+      a2.groupBy(col("cl").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("d").cast(DecimalType(18, 9))).cast("double"), 6)
+            .as("inertia6"))
+    }),
+
     // per-label centroids — the aggregation behind IVF training and
     // class-prototype curation: posexplode to (label, dim) pairs, one
     // partial-agg'd groupBy (64×|labels| groups — map-side combine
@@ -352,6 +404,43 @@ object SimilarityQueries {
            |)
            |SELECT label, clabel AS assigned, count(*) AS n
            |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+      "emb_kmeans_lloyd" -> {
+        // one unrolled assignment pass against centroid table `cn`
+        def assignSql(cn: String, out: String) =
+          s"""$out AS (
+             |  SELECT vec_id, e, i AS cl, d FROM (
+             |    SELECT vec_id, e, i, d,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+             |    FROM (
+             |      SELECT b.vec_id, b.e, c.i,
+             |        list_sum([(b.e[x] - c.c[x]) * (b.e[x] - c.c[x])
+             |                  FOR x IN range(1, len(b.e) + 1)]) AS d
+             |      FROM b, $cn c) q0) q1
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH b AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+           |  FROM embeddings
+           |), c0 AS (
+           |  SELECT rn - 1 AS i, e AS c FROM (
+           |    SELECT e, row_number() OVER (
+           |      ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |    FROM b) q WHERE rn <= 4
+           |), ${assignSql("c0", "a1")},
+           |cm1 AS (
+           |  SELECT cl, i - 1 AS pos,
+           |    round(CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+           |      / count(*), 6) AS m
+           |  FROM (SELECT cl, unnest(e) AS v,
+           |          unnest(range(1, len(e) + 1)) AS i FROM a1) q
+           |  GROUP BY 1, 2
+           |), c1 AS (SELECT cl AS i, list(m ORDER BY pos) AS c FROM cm1
+           |          GROUP BY 1),
+           |${assignSql("c1", "a2")}
+           |SELECT cl AS cluster, count(*) AS n,
+           |  round(CAST(sum(CAST(d AS DECIMAL(18,9))) AS DOUBLE), 6) AS inertia6
+           |FROM a2 GROUP BY 1""".stripMargin
+      },
 
       "emb_pq_encode" ->
         """WITH b AS (

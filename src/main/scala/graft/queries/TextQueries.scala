@@ -108,6 +108,41 @@ object TextQueries {
         .agg(kmv(col("h")).as("est_distinct"))
     }),
 
+    // model-based quality scoring: a fixed-weight LINEAR classifier over
+    // engineered features (stopword fraction, digit density, length,
+    // token shape) — the shape of a fasttext-style quality filter with
+    // the learned weights frozen in. Inference is the sign of the logit,
+    // so no sigmoid is needed: z stays a pure rational expression tree
+    // (ratios of integer counts, fixed literal weights) that both
+    // engines evaluate to the identical double — the keep decision
+    // cannot straddle an engine difference. Entirely per-row, zero
+    // shuffle at any scale; swapping in real learned weights changes
+    // constants, not the plan.
+    "text_quality_logit" -> ((s, dir) => {
+      val toks = split(TextDedup.normalize(col("text")), " ")
+      val n = size(toks).cast("double")
+      val stopArr = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+      val stopFrac =
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double") / n
+      val digitRatio =
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          length(col("text")).cast("double")
+      val meanLen = length(col("text")).cast("double") / n
+      val z = lit(-1.0) + lit(4.0) * stopFrac - lit(6.0) * digitRatio +
+        lit(0.5) * least(n, lit(64.0)) / 64.0 -
+        lit(0.1) * abs(meanLen - lit(4.5))
+      // z is emitted floor-quantized to the 1e-6 grid, NOT rounded:
+      // decimal rounding of a binary double can land exactly on a …5e-7
+      // tie where engines disagree (observed at sf0.001), while floor of
+      // the identical product is engine-exact
+      docs(s, dir).select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        round(stopFrac, 6).as("stop_frac6"),
+        round(digitRatio, 6).as("digit_ratio6"),
+        floor(z * 1000000).cast("long").as("logit_u6"),
+        (z > 0).as("keep"))
+    }),
+
     // language-ID by character-n-gram profile: each language's profile
     // is the char-bigram set of its marker words (derived once,
     // deterministically); a doc scores |doc bigrams ∩ profile| per
@@ -412,6 +447,28 @@ object TextQueries {
            |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_ratio,
            |  len(t) >= 10 AND length(text) >= 50 AS keep
            |FROM (SELECT doc_id, text, $toksSql AS t FROM documents) q""".stripMargin,
+
+      "text_quality_logit" -> {
+        val zSql = "-1.0 + 4.0*sf - 6.0*dr + " +
+          "0.5*least(CAST(n_toks AS DOUBLE), 64.0)/64.0 - 0.1*abs(ml - 4.5)"
+        s"""WITH g AS (
+           |  SELECT doc_id,
+           |    CAST(len(t) AS BIGINT) AS n_toks,
+           |    CAST(len(list_filter(t,
+           |      x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+           |      / len(t) AS sf,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           |      / CAST(length(text) AS DOUBLE) AS dr,
+           |    CAST(length(text) AS DOUBLE) / len(t) AS ml
+           |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) q
+           |)
+           |SELECT doc_id, n_toks,
+           |  round(sf, 6) AS stop_frac6,
+           |  round(dr, 6) AS digit_ratio6,
+           |  CAST(floor(($zSql) * 1000000) AS BIGINT) AS logit_u6,
+           |  ($zSql) > 0 AS keep
+           |FROM g""".stripMargin
+      },
 
       "text_langid" -> {
         val voteStructs = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
