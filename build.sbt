@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with persisted shingle/signature tables, per-round
+  // checkpoint blocks, and 150+ sequential queries needs real headroom:
+  // at 8g the storage pool evicts the shared materializations and GC
+  // pressure was measured tripling the iterative queries inside a full
+  // bench session (the host has 128 GiB; 24g is still conservative).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -315,6 +315,29 @@ object TemporalQueries {
     // stage aggregations, each a groupBy on user_id; after the first
     // shuffle the per-user frames are co-partitioned, so later stages
     // re-shuffle only the (smaller) filtered event stream.
+    // event-transition mining: which event follows which — the n-gram
+    // view of behavioral streams (the same shape tokenizes user journeys
+    // for sequence models). One window pass per user (lead over the same
+    // (ts, event_id) total order the sessionizers use), one partial-agg'd
+    // groupBy over the |event_types|² transition matrix, and a heap
+    // top-10 (TakeOrderedAndProject — never a full sort). Total order
+    // tiebreak on event_id makes the transition stream deterministic
+    // under concurrent same-ms events.
+    "events_top_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tms"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_millis(unix_millis(col("ts"))).as("tms"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("from_type"), col("to_type"))
+        .limit(10)
+    }),
+
     "events_funnel" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"),
@@ -813,6 +836,23 @@ object TemporalQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('millisecond', ts) AS tms
+        |  FROM events
+        |), p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tms, event_id) AS to_type
+        |  FROM e
+        |)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, from_type, to_type
+        |LIMIT 10""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, date_trunc('millisecond', ts) AS tms
