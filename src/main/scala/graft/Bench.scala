@@ -1,18 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicBoolean
+
 /** Benchmark main (driver contract). Emits ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   *
-  * A warmup pass (count of a small table + first query) runs before the
-  * timed pass so JVM/codegen/parquet-footer warmup isn't attributed to
-  * whichever query happens to execute first. Failures are NOT swallowed:
-  * a failed query is timed, reported in "errors", and forces rc != 0
-  * semantics visible in the JSON so a regression can't bench as "fast".
+  * Built to DEGRADE, never to zero out (r5 lesson: one slow query
+  * timed out the whole run and the end-only file write lost all 155
+  * timings):
+  *   - the per-query timings file is rewritten after EVERY query, so a
+  *     kill at any point leaves a valid JSON with everything timed so
+  *     far (tagged "partial": true until the run completes);
+  *   - a JVM shutdown hook emits the compact stdout line from whatever
+  *     completed — SIGTERM from a harness timeout still produces a
+  *     parseable bench artifact;
+  *   - the second timed run is CONDITIONAL on the first run fitting a
+  *     per-query budget (default 8 s): fast queries get the min-of-2
+  *     steady-state estimator, a pathological query costs one run, not
+  *     three. The estimator per query is visible in the JSON tag
+  *     ("estimator": "min2_under_<budget>s").
+  *
+  * Warmup is a single pass over the base tables (parquet footers, scan
+  * codegen, JVM warm-in) instead of r5's full 155-query sweep — the
+  * first timed run of each query doubles as its own warmup sample and
+  * the min-of-2 keeps the steady-state number when it matters.
+  * Failures are NOT swallowed: a failed query is reported in "errors"
+  * and forces rc != 0 so a regression can't bench as "fast".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rerunBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET", "8.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,26 +43,60 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: one full pass over every query — JIT + codegen + parquet
-    // footers + one-time materializations (derived lakes, bucket tables)
-    // all land here, so the timed pass measures steady-state execution.
-    // Errors ignored here — they re-surface (and are reported) in the
-    // timed pass.
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // progress to stderr — stdout stays the single-JSON-line contract
-      System.err.println(s"[bench] warmup $name")
-      try fn(spark, sfDir).count()
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def sec(v: Double): String = f"$v%.3f"
+
+    val outFile =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_timings.json")
+    val estimator = s"min2_under_${rerunBudget}s"
+    // results/errors are appended by the main loop and read by the
+    // shutdown hook — keep both effectively-final and synchronized-ish
+    // via the monitor (the hook runs after the main loop is dead or
+    // between iterations; a lost last element degrades gracefully)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var errors = List.empty[String]
+    val done = new AtomicBoolean(false)
+
+    def queriesJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => jq(k) + ":" + sec(v) }.mkString("{", ",", "}")
+    def fullJson(partial: Boolean): String = {
+      val rs = results.toList
+      val errJson = errors.reverse.map(jq).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":$partial,"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":${queriesJson(rs)},"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    def writeFile(partial: Boolean): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        fullJson(partial).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    val printed = new AtomicBoolean(false)
+    // ONE compact stdout line (the harness keeps only the last ~2000
+    // chars of stdout — a full 155-query line would front-truncate into
+    // unparseable JSON, which killed the r3/r4 parses): total + errors +
+    // the 10 slowest + a pointer to the full per-query file.
+    def emitCompact(): Unit = if (printed.compareAndSet(false, true)) {
+      val rs = results.toList
+      val errJson = errors.reverse.map(jq).mkString("[", ",", "]")
+      val slowest = queriesJson(rs.sortBy(-_._2).take(10))
+      println(
+        s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":${!done.get()},"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":$slowest,"queries_file":${jq(outFile)},"errors":$errJson,"sf":"$sfDir"}""")
+    }
+    // harness timeouts deliver SIGTERM: flush the file and the stdout
+    // line from whatever completed instead of dying silently
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!done.get()) { writeFile(partial = true); emitCompact() }
+    }))
+
+    // shared warmup: footers + scan codegen + JVM warm-in on each base
+    // table once (errors here are irrelevant — missing fixture tables
+    // surface per-query below)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+      try Tables(spark, sfDir, tbl).count()
       catch { case _: Throwable => () }
     }
 
-    // Timed pass: min of two consecutive runs per query. A single run
-    // after one warmup still sits on the JIT/codegen warm-in curve
-    // (profiled: heavy queries drop 2-4x between run 2 and run 3 in the
-    // same session) and on a shared host a single sample absorbs
-    // whatever contention spike it landed on — min-of-N is the standard
-    // steady-state estimator. Errors are recorded once per query.
-    var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    SparkEntry.queries.toSeq.foreach { case (name, fn) =>
       System.err.println(s"[bench] timing $name")
       var failed = false
       def once(): Double = {
@@ -55,32 +109,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val t = math.min(once(), once())
-      name -> t
+      // min-of-2 steady-state estimator, but only when the first run
+      // (which doubles as this query's warmup) fits the budget — one
+      // slow query costs ONE run, and can no longer starve the suite
+      val t1 = once()
+      val t = if (!failed && t1 <= rerunBudget) math.min(t1, once()) else t1
+      results += (name -> t)
+      writeFile(partial = true)
     }
-    def jq(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def sec(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => jq(k) + ":" + sec(v) }
-      .mkString("{", ",", "}")
-    val errJson = errors.reverse.map(jq).mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    // The full artifact lands in a file: the harness keeps only the LAST
-    // ~2000 chars of stdout, so a single 5 KB line with all per-query
-    // timings gets front-truncated into unparseable JSON (this killed the
-    // r3 and r4 bench parses). stdout gets ONE compact line that fits the
-    // tail window: total + errors + the 10 slowest queries + a pointer to
-    // the full per-query file.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_timings.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => jq(k) + ":" + sec(v) }
-      .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_file":${jq(outFile)},"errors":$errJson,"sf":"$sfDir"}""")
+    done.set(true)
+    writeFile(partial = false)
+    emitCompact()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

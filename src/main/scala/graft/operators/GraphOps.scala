@@ -105,7 +105,8 @@ object GraphOps {
     */
   def pagerank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
-               edgesDistinct: Boolean = false): DataFrame = {
+               edgesDistinct: Boolean = false,
+               rankBroadcastMaxNodes: Long = 50L * 1000 * 1000): DataFrame = {
     // materialize the caller's edge derivation ONCE — the symmetrization
     // union consumes it twice, and without the checkpoint both branches
     // re-run whatever join/distinct produced it
@@ -125,20 +126,30 @@ object GraphOps {
     // appears as a src): n, pr0, and the degree join all come from this
     // ONE aggregate instead of three separate distincts over sym
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    // pre-partition the edge list by DST once: every round ends in a
-    // groupBy(dst), and the rank table joins in by BROADCAST (it's one
-    // row per node — tiny next to the edges), so a dst-clustered edge
-    // table makes each round's aggregation exchange-free. The repartition
+    val nNodes = deg.count()
+    val n = nNodes.toDouble
+    // The rank table is one row per node. Up to `rankBroadcastMaxNodes`
+    // it is BROADCAST into each round's join (per-executor memory ∝ |V|
+    // — fine into the tens of millions, a hard ceiling at billion-node
+    // graphs); above the threshold each round shuffle-joins the rank
+    // table instead (rank shuffle ∝ |V| per round — small next to the
+    // edge list, and with no per-executor materialization it has no
+    // memory ceiling). The edge list is pre-partitioned ONCE to match
+    // the per-round exchange it feeds: by DST for the broadcast path
+    // (every round ends in groupBy(dst), making the aggregation
+    // exchange-free), by SRC for the join path (every round starts with
+    // a join on src, so the big side never re-shuffles; the dst groupBy
+    // then moves contributions, not edges-with-arrays). The repartition
     // goes AFTER the checkpoint: a checkpointed RDD scan reports
     // UnknownPartitioning, so partitioning info must come from a live
-    // Exchange node — the same exchange subtree appears in all rounds and
-    // exchange reuse executes it ONCE. Five rounds thus share one edge
-    // shuffle instead of re-shuffling the full edge list per round — THE
-    // partitioning-reuse pattern for iterative graph compute (at 100 TB
-    // the edge shuffle is the whole cost).
+    // Exchange node — the same exchange subtree appears in all rounds
+    // and exchange reuse executes it ONCE. Five rounds thus share one
+    // edge shuffle instead of re-shuffling the full edge list per round
+    // — THE partitioning-reuse pattern for iterative graph compute (at
+    // 100 TB the edge shuffle is the whole cost).
+    val broadcastRanks = nNodes <= rankBroadcastMaxNodes
     val outEdges = sym.join(deg, "src").localCheckpoint()
-      .repartition(col("dst"))
-    val n = deg.count().toDouble
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
     var pr = deg.select(col("src").as("node"))
       .withColumn("pr", lit(1.0) / n)
       .localCheckpoint()
@@ -152,7 +163,8 @@ object GraphOps {
     // iteration counts a periodic truncation would bound planning time —
     // at the fixed small counts production uses, linear depth is cheap.)
     (1 to iterations).foreach { _ =>
-      pr = outEdges.join(broadcast(pr), col("src") === col("node"))
+      pr = outEdges.join(if (broadcastRanks) broadcast(pr) else pr,
+          col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst").as("node"))
         .agg((lit((1.0 - damping) / n) + lit(damping) *

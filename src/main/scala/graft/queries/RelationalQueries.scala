@@ -451,8 +451,13 @@ object RelationalQueries {
     // bipartite (no triangles), so nodes are NATIONS and an edge is
     // "trade above the mean pair volume": the threshold compare is kept
     // multiplication-exact (w·n > Σw over DECIMAL — no division, no
-    // float tie). Orientation u < v makes each triangle appear exactly
-    // once as a < b < c.
+    // float tie) with EXPLICITLY bounded precision: np ≤ |nations|² ≤
+    // 625 by construction (nation pairs, not fact rows), so
+    // DECIMAL(32,2) · DECIMAL(4,0) = DECIMAL(37,2) can never overflow
+    // while w (and tw) stay under 10^30 currency units — far beyond
+    // 100 TB of lineitems. An unbounded w·np would silently NULL on
+    // Spark (ANSI off) and error on DuckDB at overflow. Orientation
+    // u < v makes each triangle appear exactly once as a < b < c.
     "graph_triangles" -> ((s, dir) => {
       val pairs = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
@@ -471,7 +476,8 @@ object RelationalQueries {
       val agg = pairs.groupBy("u", "v").agg(sum("vl").as("w"))
       val tot = agg.agg(sum("w").as("tw"), count(lit(1)).as("np"))
       val edges = agg.crossJoin(broadcast(tot))
-        .where(col("w") * col("np") > col("tw"))
+        .where(col("w").cast(DecimalType(32, 2)) *
+          col("np").cast(DecimalType(4, 0)) > col("tw"))
         .select("u", "v")
       edges.alias("e1")
         .join(edges.alias("e2"), col("e2.u") === col("e1.v"))
@@ -907,7 +913,8 @@ object RelationalQueries {
         |  WHERE c.c_nationkey <> s.s_nationkey
         |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
         |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
-        |edges AS (SELECT u, v FROM agg, tot WHERE w * np > tw)
+        |edges AS (SELECT u, v FROM agg, tot
+        |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw)
         |SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v

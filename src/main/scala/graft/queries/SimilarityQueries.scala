@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.operators.VectorSim
+import graft.operators.{KMeans, VectorSim}
 
 /** Similarity search over the `embeddings` table: brute-force cosine
   * top-k as the verifiable baseline, and a hyperplane-LSH bucketed
@@ -155,50 +155,28 @@ object SimilarityQueries {
 
     // k-means, two fixed Lloyd iterations — the unsupervised counterpart
     // of emb_centroid_by_label and the third iterative distributed shape
-    // (after connected components and PageRank): assign (broadcast K
-    // centroids, one corpus pass, struct-min argmin) → re-estimate
-    // (posexplode + one partial-agg'd groupBy over K×64 cells, exact
-    // DECIMAL means) → assign again. Initial centroids are the K
-    // smallest-md5 vectors (deterministic seed sample, same contract as
-    // IVF/PQ); re-estimated means ROUND to 6 digits before the next
-    // assignment so both engines iterate from identical centroids (the
-    // same handshake emb_assign_centroid uses). Per iteration at 100 TB:
-    // one broadcast + one corpus scan + one K×dim-cell aggregate — no
-    // step shuffles the corpus, and iterations add scans, not state.
+    // (after connected components and PageRank). Centroids are METADATA
+    // (K×64 doubles): each iteration collects them to the driver (the
+    // same license as pagerank's deg.count()) and embeds them as array
+    // LITERALS, so assignment is a pure per-row codegen argmin — no
+    // crossJoin, no broadcast table, no groupBy over the corpus, no
+    // global Window for seeding. Initial centroids are the K smallest-md5
+    // vectors (deterministic seed sample, same contract as IVF/PQ);
+    // re-estimated means ROUND to 6 digits before collection so both
+    // engines iterate from identical centroids (the same handshake
+    // emb_assign_centroid uses). Per iteration at 100 TB: one corpus
+    // scan + one K×dim-cell aggregate — nothing shuffles the corpus
+    // (pinned by GraphScaleSpec: the final plan contains zero joins),
+    // and iterations add scans, not state.
     "emb_kmeans_lloyd" -> ((s, dir) => {
       val K = 4
       val b = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorSim.toDoubleArray(col("embedding")).as("e"))
-      val c0 = b
-        .select(col("vec_id"), col("e"),
-          md5(concat(lit("km|"), col("vec_id").cast("string"))).as("h"))
-        .orderBy("h", "vec_id").limit(K)
-        .withColumn("i",
-          row_number().over(Window.orderBy("h", "vec_id")).cast("long") - 1)
-        .select(col("i"), col("e").as("c"))
-      // one assignment pass: argmin_i ||e - c_i||² via struct-min with
-      // the centroid index as tie-break; carries e through for the next
-      // re-estimation (first() is exact here — e is functionally
-      // dependent on the vec_id group key)
-      def assign(cent: DataFrame): DataFrame =
-        b.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("e"),
-            struct(VectorSim.l2sq(col("e"), col("c")).as("d"),
-              col("i").as("i")).as("di"))
-          .groupBy("vec_id")
-          .agg(min(col("di")).as("best"), first(col("e")).as("e"))
-          .select(col("vec_id"), col("e"),
-            col("best.i").as("cl"), col("best.d").as("d"))
-      def reestimate(a: DataFrame): DataFrame = a
-        .select(col("cl"), posexplode(col("e")).as(Seq("pos", "v")))
-        .groupBy("cl", "pos")
-        .agg(round(sum(col("v").cast(DecimalType(18, 9))).cast("double") /
-          count(lit(1)), 6).as("m"))
-        .groupBy("cl")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("c"))
-        .select(col("cl").as("i"), col("c"))
-      val a2 = assign(reestimate(assign(c0)))
+      val c0 = KMeans.seedCentroids(b, K, "km|")
+      val a1 = KMeans.assignL2(b, c0)
+      val c1 = KMeans.collectCentroids(a1, "cl")
+        .map { case (k, c) => (k.asInstanceOf[Long], c) }
+      val a2 = KMeans.assignL2(b, c1)
       a2.groupBy(col("cl").as("cluster"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("d").cast(DecimalType(18, 9))).cast("double"), 6)
@@ -223,33 +201,20 @@ object SimilarityQueries {
 
     // nearest-centroid assignment — the IVF assignment step against the
     // TRAINED centroids above (sim_topk_ivf uses hash-derived cells;
-    // this is the data-driven variant): centroids rebuilt as ordered
-    // arrays from the round-6 per-dim means (the SAME values the oracle
-    // derives, so assignment is engine-portable), broadcast (|labels|
-    // rows — O(1) at any corpus size), one corpus pass scoring cosine
-    // per centroid, argmax via the native top-1 with a deterministic
-    // tie-break. Output is the label-vs-assigned confusion matrix.
+    // this is the data-driven variant): per-label round-6 centroids are
+    // collected to the driver (|labels|×64 cells — metadata-scale, the
+    // SAME values the oracle derives, so assignment is engine-portable)
+    // and embedded as literals; one corpus pass scores cosine per
+    // centroid and argmaxes per-row with a deterministic label
+    // tie-break — the shared KMeans assignment path, no join, no
+    // shuffle of the corpus. Output is the label-vs-assigned confusion
+    // matrix.
     "emb_assign_centroid" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           VectorSim.toDoubleArray(col("embedding")).as("e"))
-      val cent = emb
-        .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(sum(col("v").cast("decimal(18,9)")).cast("double") /
-          count(lit(1)), 6).as("m"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("c"))
-        .select(col("label").as("clabel"), col("c"))
-      val scored = emb.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("label"), col("clabel"),
-          round(VectorSim.dot(col("e"), col("c")) /
-            (VectorSim.norm(col("e")) * VectorSim.norm(col("c"))), 6)
-            .as("cos6"))
-      graft.plans.TopKPerKey
-        .topK(scored, "vec_id", Seq(("cos6", true), ("clabel", false)), 1)
-        .groupBy(col("label"), col("clabel").as("assigned"))
+      KMeans.assignCosineMax(emb, KMeans.collectCentroids(emb, "label"))
+        .groupBy(col("label"), col("assigned"))
         .agg(count(lit(1)).as("n"))
     }),
 

@@ -124,9 +124,12 @@ object TextQueries {
       val stopArr = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
       val stopFrac =
         size(filter(toks, t => array_contains(stopArr, t))).cast("double") / n
+      // nullif-guarded denominator: an empty document must be NULL in
+      // BOTH engines (an unguarded double divide-by-zero is NULL under
+      // Spark non-ANSI but NaN under DuckDB IEEE — a latent divergence)
       val digitRatio =
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
-          length(col("text")).cast("double")
+          nullif(length(col("text")), lit(0)).cast("double")
       val meanLen = length(col("text")).cast("double") / n
       val z = lit(-1.0) + lit(4.0) * stopFrac - lit(6.0) * digitRatio +
         lit(0.5) * least(n, lit(64.0)) / 64.0 -
@@ -458,7 +461,7 @@ object TextQueries {
            |      x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
            |      / len(t) AS sf,
            |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-           |      / CAST(length(text) AS DOUBLE) AS dr,
+           |      / CAST(nullif(length(text), 0) AS DOUBLE) AS dr,
            |    CAST(length(text) AS DOUBLE) / len(t) AS ml
            |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) q
            |)
