@@ -31,8 +31,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 45 s: wide enough that every real query's cold run (shared fixture
+    // materializations land on whichever query touches them first) still
+    // earns a warm second run — the reported min is then steady-state —
+    // while a 165 s-class pathology (the r5 killer) is capped at ONE run
     val rerunBudget =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET", "8.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET", "45.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

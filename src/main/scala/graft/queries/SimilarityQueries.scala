@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -112,45 +111,34 @@ object SimilarityQueries {
     // the smallest md5('pq|'||vec_id) are the code vectors per subspace
     // (bottom-k-by-hash — the same mergeable fixed-size sample as the
     // quantile sketch, so "training" is one TakeOrderedAndProject at any
-    // corpus size), code index = hash rank. Encoding explodes each
-    // vector into m subvectors, joins the broadcast 32-row codebook, and
-    // argmins via struct-min with the code index as tie-break; per-code
-    // distances are sequential L2² folds and the reconstruction error
-    // sums through exact DECIMAL so it is aggregation-order independent.
-    // Scale shape: one narrow corpus pass + a broadcast, the only
-    // shuffle is the per-vector regroup of m·k scored rows.
+    // corpus size), code index = hash rank. The m×k codebook is METADATA
+    // (512 doubles): collected to the driver once and embedded as
+    // literals (round 6 — same license as KMeans), so encoding is a
+    // pure per-row expression: per subspace an argmin over k literal
+    // sub-codevectors (sequential L2² folds, code-index tie-break), the
+    // reconstruction error an exact-DECIMAL sum of the m best distances.
+    // Scale shape: ONE corpus scan, zero joins, zero shuffles — the
+    // previous form exploded the corpus ×m and regrouped it twice.
     "emb_pq_encode" -> ((s, dir) => {
       val m = 4; val k = 8; val sd = 16 // 64 dims = 4 subspaces x 16
       val b = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorSim.toDoubleArray(col("embedding")).as("e"))
-      val seeds = b
-        .select(col("vec_id"), col("e"),
-          md5(concat(lit("pq|"), col("vec_id").cast("string"))).as("h"))
-        .orderBy("h", "vec_id").limit(k)
-        .withColumn("i",
-          row_number().over(Window.orderBy("h", "vec_id")).cast("long") - 1)
-      val js = explode(sequence(lit(0), lit(m - 1))).as("j")
-      val cb = seeds.select(col("i"), js, col("e"))
-        .select(col("j"), col("i"),
-          slice(col("e"), (col("j") * sd + 1).cast("int"), lit(sd)).as("cvec"))
-      val subs = b.select(col("vec_id"), js, col("e"))
-        .select(col("vec_id"), col("j"),
-          slice(col("e"), (col("j") * sd + 1).cast("int"), lit(sd)).as("sub"))
-      val best = subs.join(broadcast(cb), "j")
-        .select(col("vec_id"), col("j"),
-          struct(VectorSim.l2sq(col("sub"), col("cvec")).as("d"),
-            col("i").as("i")).as("di"))
-        .groupBy("vec_id", "j")
-        .agg(min(col("di")).as("best"))
-      best.select(col("vec_id"), col("j"),
-          col("best.i").as("code"), col("best.d").as("d"))
-        .groupBy("vec_id")
-        .agg(
-          array_join(
-            transform(array_sort(collect_list(struct(col("j"), col("code")))),
-              x => x.getField("code").cast("string")), ",").as("codes_csv"),
-          round(sum(col("d").cast(DecimalType(18, 9))).cast("double"), 6)
-            .as("err6"))
+      val seeds = KMeans.seedCentroids(b, k, "pq|")
+      val best = (0 until m).map { j =>
+        val entries = seeds.map { case (i, c) =>
+          struct(VectorSim.l2sq(slice(col("e"), j * sd + 1, sd),
+            typedLit(c.slice(j * sd, (j + 1) * sd))).as("d"),
+            lit(i).as("i"))
+        }
+        array_min(array(entries: _*)).as(s"b$j")
+      }
+      b.select(col("vec_id") +: best: _*)
+        .select(col("vec_id"),
+          concat_ws(",",
+            (0 until m).map(j => col(s"b$j.i").cast("string")): _*)
+            .as("codes_csv"),
+          round((0 until m).map(j => col(s"b$j.d").cast(DecimalType(18, 9)))
+            .reduce(_ + _).cast("double"), 6).as("err6"))
     }),
 
     // k-means, two fixed Lloyd iterations — the unsupervised counterpart
@@ -261,28 +249,40 @@ object SimilarityQueries {
     "sim_topk_ivf" -> ((s, dir) => {
       val b = base(s, dir)
       val K = 16
+      // the K coarse centroids are METADATA: collected to the driver
+      // once (TakeOrderedAndProject — O(K) per task) and embedded as
+      // literals, so cell ranking is a per-row array_sort over K scored
+      // structs — the previous form shuffled corpus×K rows (with their
+      // arrays) through a per-vector row_number window. cent_id stays
+      // the seed's vec_id; ordering by (-ccos, cent_id) ascending is
+      // the same (ccos DESC, cent_id ASC) rank as before.
       val cents = b
         .withColumn("ch",
           md5(concat(lit("ivf|"), col("vec_id").cast("string"))))
-        .orderBy("ch").limit(K) // TakeOrderedAndProject: O(K) per task
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"),
-          col("nrm").as("cnrm"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val ranked = b.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
-          round(VectorSim.dot(col("e"), col("ce")) /
-            (col("nrm") * col("cnrm")), 6).as("ccos"))
-        .withColumn("rn", row_number().over(w))
-      val assigned = ranked.where(col("rn") === 1)
+        .orderBy("ch").limit(K)
+        .select(col("vec_id"), col("e")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val scored = cents.map { case (cid, ce) =>
+        val cnrm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
+        struct(
+          (-round(VectorSim.dot(col("e"), typedLit(ce)) /
+            (col("nrm") * lit(cnrm)), 6)).as("negccos"),
+          lit(cid).as("cent_id"))
+      }
+      val ranked = b.withColumn("cells",
+        slice(array_sort(array(scored: _*)), 1, 2))
+      val assigned = ranked
         .select(col("vec_id"), col("e"), col("nrm"),
-          col("cent_id").as("cell"))
+          col("cells").getItem(0).getField("cent_id").as("cell"))
       // multi-probe (nprobe = 2): each query searches its top-2 cells —
       // the standard IVF recall lever; candidates stay unique per query
       // because each candidate lives in exactly one cell
-      val q = ranked.where(col("vec_id") % 20 === 0 && col("rn") <= 2)
+      val q = ranked.where(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("nrm").as("qnrm"), col("cent_id").as("qcell"))
+          col("nrm").as("qnrm"),
+          explode(col("cells")).as("qc"))
+        .select(col("qid"), col("qe"), col("qnrm"),
+          col("qc.cent_id").as("qcell"))
       val pairs = assigned.join(broadcast(q),
           col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),

@@ -74,4 +74,16 @@ class GraphScaleSpec extends SparkSpec {
       s"kmeans plan must not join/broadcast the corpus, found: $joins")
     assert(df.count() > 0)
   }
+
+  test("emb_pq_encode: literal-codebook encoding is one corpus scan — " +
+       "zero joins and zero aggregates in the plan") {
+    val df = graft.queries.SimilarityQueries.queries("emb_pq_encode")(
+      spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      "PQ encode must not join the corpus against a codebook table")
+    assert(plan.collect { case a: Aggregate => a }.isEmpty,
+      "PQ encode must not regroup the corpus (per-row expression only)")
+    assert(df.count() > 0)
+  }
 }
