@@ -15,10 +15,17 @@ import java.util.concurrent.atomic.AtomicBoolean
   *     completed — SIGTERM from a harness timeout still produces a
   *     parseable bench artifact;
   *   - the second timed run is CONDITIONAL on the first run fitting a
-  *     per-query budget (default 8 s): fast queries get the min-of-2
-  *     steady-state estimator, a pathological query costs one run, not
-  *     three. The estimator per query is visible in the JSON tag
+  *     per-query budget: fast queries get the min-of-2 steady-state
+  *     estimator, a pathological query costs one run, not three. The
+  *     estimator per query is visible in the JSON tag
   *     ("estimator": "min2_under_<budget>s").
+  *   - a first run OVER the budget still earns ONE rescue rerun when it
+  *     is plausibly transient noise (≤ 4× budget) and the global rescue
+  *     allowance isn't spent: a machine-contention spike during run 1
+  *     (observed: 47.8 s for a query that times 1.6 s in a quiet JVM)
+  *     must not become the reported number when a rerun would correct
+  *     it. The allowance bounds worst-case added wall-clock, so a run
+  *     full of genuinely-slow queries can't starve the suite.
   *
   * Warmup is a single pass over the base tables (parquet footers, scan
   * codegen, JVM warm-in) instead of r5's full 155-query sweep — the
@@ -100,7 +107,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    SparkEntry.queries.toSeq.foreach { case (name, fn) =>
+    // optional comma-separated name filter for targeted profiling runs
+    // (local iteration only — the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // total extra first-run seconds the rescue path may consume across
+    // the whole suite (the rerun itself is expected to be fast — it's
+    // the noisy t1 that counts against the allowance)
+    val rescueAllowance =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RESCUE_ALLOWANCE", "240.0").toDouble
+    var rescueSpent = 0.0
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       System.err.println(s"[bench] timing $name")
       var failed = false
       def once(): Double = {
@@ -115,9 +134,14 @@ object Bench {
       }
       // min-of-2 steady-state estimator, but only when the first run
       // (which doubles as this query's warmup) fits the budget — one
-      // slow query costs ONE run, and can no longer starve the suite
+      // slow query costs ONE run, and can no longer starve the suite.
+      // Over-budget first runs get a bounded rescue rerun (see scaladoc).
       val t1 = once()
-      val t = if (!failed && t1 <= rerunBudget) math.min(t1, once()) else t1
+      val rescue = !failed && t1 > rerunBudget && t1 <= rerunBudget * 4 &&
+        rescueSpent + t1 <= rescueAllowance
+      if (rescue) rescueSpent += t1
+      val t = if (!failed && (t1 <= rerunBudget || rescue))
+        math.min(t1, once()) else t1
       results += (name -> t)
       writeFile(partial = true)
     }
