@@ -172,4 +172,47 @@ object GraphOps {
     }
     pr
   }
+
+  /** Synchronous label propagation (community detection) over an
+    * undirected edge list (id1, id2) — the third iterative shape: CC
+    * converges to an exact fixpoint, PageRank numerically decays, LPA
+    * runs a FIXED number of synchronous rounds with a DETERMINISTIC
+    * update (asynchronous/random-order LPA — the textbook variant — is
+    * irreproducible by construction; synchronous rounds with a total
+    * tie-break give the same communities on every engine and run, which
+    * is what a production curation pipeline needs from a clustering
+    * signal). Every node starts as its own community; each round every
+    * node adopts the most frequent label among its NEIGHBOURS, ties
+    * broken by smallest label.
+    *
+    * Scale shape: per round one join of the (dst-clustered, reused
+    * exchange) edge list against the one-row-per-node label table plus
+    * one partial-agg'd (dst, lbl) count and a bounded top-1 per node —
+    * the same cost contract as a PageRank round; counts are exact longs,
+    * so no float ties and the oracle can unroll rounds in SQL.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val e = edges
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
+      .localCheckpoint()
+    val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(e.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+      // every round joins on src then aggregates on dst; clustering the
+      // reused edge exchange by SRC keeps the big side in place for the
+      // join, and only (dst, lbl) count rows move afterwards
+      .repartition(col("src"))
+    var lbl = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to rounds).foreach { _ =>
+      val counts = sym.join(lbl, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      lbl = graft.plans.TopKPerKey
+        .topK(counts, "dst", Seq(("c", true), ("lbl", false)), 1)
+        .select(col("dst").as("node"), col("lbl"))
+    }
+    lbl
+  }
 }

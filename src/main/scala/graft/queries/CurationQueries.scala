@@ -129,6 +129,25 @@ object CurationQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // deterministic train/valid/test split — the assignment every
+    // training pipeline needs to be STABLE under reruns, late-arriving
+    // data, and repartitioning: the split is a pure function of the
+    // document id (salted hash per mille: <900 train, <950 valid, else
+    // test), never of row order or partition layout. Stateless per-row
+    // map + one partial-agg'd rollup — no shuffle of the corpus beyond
+    // the 3-group aggregate; adding data moves nothing already assigned.
+    "cur_split_hash" -> ((s, dir) => {
+      val h = hashMille("split", col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          when(h < 900, "train").when(h < 950, "valid")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // weighted mixing: fill each source's quota in hash order — one
     // bounded-heap top-k per source (TopKPerKey), then the per-source
     // quota cut. Ordering (hash, doc_id) is total, so ranks are exact.
@@ -388,6 +407,18 @@ object CurationQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hashMilleSql("smp", "doc_id")} < $rateSql""".stripMargin
     },
+
+    "cur_split_hash" ->
+      s"""SELECT split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN ${hashMilleSql("split", "doc_id")} < 900 THEN 'train'
+         |         WHEN ${hashMilleSql("split", "doc_id")} < 950 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents) q
+         |GROUP BY 1""".stripMargin,
 
     "cur_mix_weighted" ->
       s"""SELECT source, doc_id, rank FROM (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{TextDedup, VectorSim}
+import graft.operators.{KMeans, TextDedup, VectorSim}
 
 /** Deduplication over the `documents` and `embeddings` corpora — the
   * training-data-pipeline operator family: exact content dedup, MinHash
@@ -274,6 +274,42 @@ object DedupQueries {
         .where(col("cos") >= 0.99)
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
     }),
+
+    // semantic dedup (SemDeDup shape): k-means-cluster the embedding
+    // corpus, then prune near-duplicates WITHIN each cluster only — the
+    // clustering bounds the pairwise stage, which is what makes
+    // embedding dedup tractable at corpus scale (K grows with the
+    // corpus, cluster size stays bounded, and the all-pairs cosine never
+    // crosses a cluster boundary). Clustering reuses the literal-
+    // centroid Lloyd machinery (seed by bottom-K md5, one re-estimate,
+    // assign — zero corpus shuffles); the pairwise stage shuffles the
+    // corpus ONCE by cluster id. Drop policy is deterministic: a vector
+    // is pruned iff a LOWER-id cluster-mate sits within cos >= 0.99
+    // (same unrounded-compare contract as emb_dedup_cosine — identical
+    // sequential folds on both engines make the threshold exact).
+    "doc_dedup_semantic" -> ((s, dir) => {
+      val K = 4
+      val c = corpusVec(s, dir)
+      val c0 = KMeans.seedCentroids(c, K, "sem|")
+      val a1 = KMeans.assignL2(c, c0)
+      val c1 = KMeans.collectCentroids(a1, "cl")
+        .map { case (k, v) => (k.asInstanceOf[Long], v) }
+      val a2 = KMeans.assignL2(c, c1)
+        .withColumn("nrm", VectorSim.norm(col("e")))
+        .select("vec_id", "cl", "e", "nrm")
+      val a = a2.alias("a")
+      val b = a2.alias("b")
+      val pruned = a.join(b, col("a.cl") === col("b.cl") &&
+          col("b.vec_id") < col("a.vec_id"))
+        .where(VectorSim.dot(col("a.e"), col("b.e")) /
+          (col("a.nrm") * col("b.nrm")) >= 0.99)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+      a2.join(pruned.withColumn("p", lit(1)), Seq("vec_id"), "left_outer")
+        .groupBy(col("cl").as("cluster"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_pruned"))
+    }),
   )
 
   /** Shared oracle fragments (kept in lockstep with the Spark corpora). */
@@ -478,6 +514,58 @@ object DedupQueries {
          |      (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cos
          |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id) q
          |WHERE cos >= 0.99""".stripMargin
+    },
+
+    "doc_dedup_semantic" -> {
+      def dotSql(a: String, b: String) =
+        s"list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)])"
+      // one unrolled assignment pass against centroid table `cn`
+      def assignSql(cn: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, e, i AS cl FROM (
+           |    SELECT vec_id, e, i,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+           |    FROM (
+           |      SELECT b.vec_id, b.e, c.i,
+           |        list_sum([(b.e[x] - c.c[x]) * (b.e[x] - c.c[x])
+           |                  FOR x IN range(1, len(b.e) + 1)]) AS d
+           |      FROM b, $cn c) q0) q1
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
+         |      [CAST(x AS DOUBLE) FOR x IN embedding[2:len(embedding)]])
+         |  FROM embeddings WHERE vec_id % 7 = 0
+         |), c0 AS (
+         |  SELECT rn - 1 AS i, e AS c FROM (
+         |    SELECT e, row_number() OVER (
+         |      ORDER BY md5('sem|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM b) q WHERE rn <= 4
+         |), ${assignSql("c0", "a1")},
+         |cm1 AS (
+         |  SELECT cl, i - 1 AS pos,
+         |    round(CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+         |      / count(*), 6) AS m
+         |  FROM (SELECT cl, unnest(e) AS v,
+         |          unnest(range(1, len(e) + 1)) AS i FROM a1) q
+         |  GROUP BY 1, 2
+         |), c1 AS (SELECT cl AS i, list(m ORDER BY pos) AS c FROM cm1
+         |          GROUP BY 1),
+         |${assignSql("c1", "a2")},
+         |pruned AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM a2 a JOIN a2 p ON p.cl = a.cl AND p.vec_id < a.vec_id
+         |  WHERE ${dotSql("a.e", "p.e")} /
+         |    (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("p.e", "p.e")}))
+         |    >= 0.99
+         |)
+         |SELECT a2.cl AS cluster, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN pr.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_pruned
+         |FROM a2 LEFT JOIN pruned pr ON pr.vec_id = a2.vec_id
+         |GROUP BY 1""".stripMargin
     },
   )
 }

@@ -155,6 +155,44 @@ object IngestQueries {
       val vals = LakeIngest.partitionValues(s, table).sorted
       s.createDataFrame(vals.map(Tuple1(_))).toDF("importdate")
     }),
+
+    // Z-order layout derivation — the multi-dimensional clustering key a
+    // lake write sorts by so file-level min/max stats prune BOTH
+    // dimensions (a single-column sort clusters one dim and scatters the
+    // other). Each row's (partkey, suppkey) is min/max-normalized to 16
+    // bits per dim (the min/max handshake is ONE metadata-scale
+    // aggregate, broadcast back — at 100 TB this is the cheap stats
+    // pass a writer already has) and bit-interleaved into a 32-bit
+    // z-value; the top 6 z-bits form 64 coarse buckets ≡ target files.
+    // The output is each bucket's bounding rectangle — the min/max
+    // footer a reader would prune against — demonstrating the locality:
+    // every bucket covers a tight (≤1/8 × ≤1/8) slice of BOTH key
+    // domains, so a predicate on either column skips ~7/8 of the
+    // buckets. All arithmetic is integer shifts off an exact floor
+    // (the normalized ratio sits ≥5e-5 from the nearest integer while
+    // IEEE division errs ≤1e-11 here, so floor is engine-exact) — no
+    // float ties, fully oracle-portable.
+    "ingest_zorder" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      val mm = li.agg(min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"))
+      def norm(c: String, lo: String, hi: String) =
+        floor((col(c) - col(lo)) * lit(65535.0) /
+          greatest(col(hi) - col(lo), lit(1L)))
+      val n = li.crossJoin(broadcast(mm))
+        .withColumn("xn", norm("x", "xmin", "xmax"))
+        .withColumn("yn", norm("y", "ymin", "ymax"))
+      val z = (0 until 16).map(b =>
+        shiftleft(shiftright(col("xn"), b).bitwiseAND(1), 2 * b) +
+          shiftleft(shiftright(col("yn"), b).bitwiseAND(1), 2 * b + 1))
+        .reduce(_ + _)
+      n.withColumn("zbucket", shiftright(z, 26))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+    }),
   ) ++ extraQueries
 
   /** Two parquet batches with DRIFTED schemas under one lake root (once
@@ -287,6 +325,28 @@ object IngestQueries {
     )
 
   def oracleSql: Map[String, String] = Map(
+    "ingest_zorder" -> {
+      val zTerms = (0 until 16).map(b =>
+        s"((((xn >> $b) & 1) << ${2 * b}) + (((yn >> $b) & 1) << ${2 * b + 1}))")
+        .mkString(" + ")
+      s"""WITH li AS (
+         |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+         |), mm AS (
+         |  SELECT min(x) AS xmin, max(x) AS xmax,
+         |         min(y) AS ymin, max(y) AS ymax
+         |  FROM li
+         |), n AS (
+         |  SELECT x, y,
+         |    CAST(floor((x - xmin) * 65535.0 / greatest(xmax - xmin, 1)) AS BIGINT) AS xn,
+         |    CAST(floor((y - ymin) * 65535.0 / greatest(ymax - ymin, 1)) AS BIGINT) AS yn
+         |  FROM li, mm
+         |)
+         |SELECT ($zTerms) >> 26 AS zbucket, count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM n GROUP BY 1""".stripMargin
+    },
+
     "ingest_schema_merge" ->
       """SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n,
         |  CAST(0 AS BIGINT) AS n_price

