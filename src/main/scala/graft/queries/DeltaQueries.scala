@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.SnapshotDelta
@@ -402,6 +403,45 @@ object DeltaQueries {
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("sum_price"))
     }),
+
+    // Incremental materialized-view maintenance — the 100 TB aggregation
+    // contract: a stored per-group aggregate is advanced by the CDC
+    // delta alone (±1 count / ±value per changed row, attributed to the
+    // OLD group for removals and the NEW group for insertions, so rows
+    // MOVING between groups maintain both sides), never by rescanning
+    // history. The query computes newest's aggregate via prev_agg +
+    // delta; the oracle aggregates newest directly — the hash match IS
+    // the maintenance-algebra proof, exact because sums stay DECIMAL
+    // until one final double cast. (The fixture derives prev_agg inline
+    // for self-containment; production reads it as the stored MV, so
+    // per refresh only the delta partitions are scanned.)
+    "delta_incr_agg" -> ((s, dir) => {
+      def snap(df: DataFrame) = df.select(col(key),
+        col("o_orderstatus").as("g"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
+      val p = snap(previous(s, dir))
+      val n = snap(newest(s, dir))
+      val prevAgg = p.groupBy("g")
+        .agg(count(lit(1)).as("pc"), sum("v").as("pv_sum"))
+      val j = p.select(col(key), col("g").as("pg"), col("v").as("pv"))
+        .join(n.select(col(key), col("g").as("ng"), col("v").as("nv")),
+          Seq(key), "full_outer")
+        .where(!(col("pg") <=> col("ng") && col("pv") <=> col("nv")))
+      val contribs = j.where(col("pg").isNotNull)
+        .select(col("pg").as("g"), lit(-1L).as("dc"), (-col("pv")).as("dv"))
+        .unionByName(j.where(col("ng").isNotNull)
+          .select(col("ng").as("g"), lit(1L).as("dc"), col("nv").as("dv")))
+      val deltaAgg = contribs.groupBy("g")
+        .agg(sum("dc").as("dc"), sum("dv").as("dv_sum"))
+      prevAgg.join(deltaAgg, Seq("g"), "full_outer")
+        .select(col("g").as("o_orderstatus"),
+          (coalesce(col("pc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("pv_sum"), lit(0).cast(DecimalType(28, 2))) +
+            coalesce(col("dv_sum"), lit(0).cast(DecimalType(28, 2))))
+            .cast("double").as("total"))
+        .where(col("n_orders") > 0)
+    }),
   )
 
   /** Oracle CTE for the history snapshots — generated from the SAME
@@ -433,6 +473,14 @@ object DeltaQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle aggregates newest DIRECTLY — hash equality against the
+    // incremental prev_agg+delta path proves the maintenance algebra
+    "delta_incr_agg" ->
+      s"""$snapshotCte
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM newest GROUP BY 1""".stripMargin,
+
     "delta_updated" ->
       s"""$snapshotCte
          |SELECT n.* FROM newest n JOIN prev p ON n.o_orderkey = p.o_orderkey

@@ -410,6 +410,47 @@ object TextQueries {
           round(col("slp").cast("double") / col("n_toks"), 6)
             .as("avg_logprob"))
     }),
+
+    // Count-Min sketch heavy hitters — the frequency member of the
+    // sketch family (KMV = distinct count, bottom-k = quantiles, CMS =
+    // per-item counts): depth 3 × width 64 md5-derived cells; an item's
+    // estimate is the MIN over its 3 cells, a guaranteed OVERestimate
+    // (collisions only add), so thresholding on the estimate never
+    // misses a true heavy hitter. Heavy = est×200 ≥ total tokens (the
+    // 0.5% bar); output compares est vs exact per reported token. The
+    // cells here are folded from the per-token aggregate (algebraically
+    // identical to per-occurrence updates, and it shares the scan with
+    // the exact column); production maintains the 192 cells MAP-SIDE in
+    // one pass with no token-keyed shuffle at all — that is the whole
+    // point of the sketch at 100 TB, where "GROUP BY token" is the cost
+    // being avoided and only the bounded 3×64 cell grid crosses the
+    // wire. Integer-exact throughout: md5 buckets and long counts, no
+    // float anywhere, so both engines agree bit-for-bit.
+    "text_cms_heavy" -> ((s, dir) => {
+      val W = 64
+      val tok = docs(s, dir)
+        .select(explode(split(TextDedup.normalize(col("text")), " "))
+          .as("token"))
+        .where(length(col("token")) > 0)
+      val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      def bucket(d: Int) =
+        conv(substring(md5(concat(lit(s"cms$d|"), col("token"))), 1, 8),
+          16, 10).cast("long") % W
+      val wb = cnt.select(col("token"), col("c"),
+        bucket(0).as("b0"), bucket(1).as("b1"), bucket(2).as("b2"))
+      val cells = (0 to 2).map(d =>
+        wb.groupBy(col(s"b$d").as(s"cb$d")).agg(sum("c").as(s"cell$d")))
+      val tot = cnt.agg(sum("c").as("t"))
+      wb.join(broadcast(cells(0)), col("b0") === col("cb0"))
+        .join(broadcast(cells(1)), col("b1") === col("cb1"))
+        .join(broadcast(cells(2)), col("b2") === col("cb2"))
+        .crossJoin(broadcast(tot))
+        .select(col("token"),
+          least(col("cell0"), col("cell1"), col("cell2")).as("est"),
+          col("c").as("exact"), col("t"))
+        .where(col("est") * 200L >= col("t"))
+        .drop("t")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -654,6 +695,33 @@ object TextQueries {
            |    6) AS avg_logprob
            |FROM toks t JOIN model m ON m.term = t.term, total t2
            |GROUP BY doc_id""".stripMargin,
+
+      "text_cms_heavy" -> {
+        def bSql(d: Int) =
+          s"CAST('0x' || substr(md5('cms$d|' || token), 1, 8) AS BIGINT) % 64"
+        s"""WITH tok AS (
+           |  SELECT unnest(t) AS token
+           |  FROM (SELECT $toksSql AS t FROM documents) q0
+           |), tok2 AS (SELECT token FROM tok WHERE len(token) > 0),
+           |cnt AS (SELECT token, count(*) AS c FROM tok2 GROUP BY 1),
+           |wb AS (
+           |  SELECT token, c, ${bSql(0)} AS b0, ${bSql(1)} AS b1,
+           |    ${bSql(2)} AS b2
+           |  FROM cnt
+           |), cell0 AS (SELECT b0 AS cb0, CAST(sum(c) AS BIGINT) AS cell0
+           |             FROM wb GROUP BY 1),
+           |cell1 AS (SELECT b1 AS cb1, CAST(sum(c) AS BIGINT) AS cell1
+           |          FROM wb GROUP BY 1),
+           |cell2 AS (SELECT b2 AS cb2, CAST(sum(c) AS BIGINT) AS cell2
+           |          FROM wb GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt)
+           |SELECT token, least(cell0, cell1, cell2) AS est, c AS exact
+           |FROM wb
+           |JOIN cell0 ON cell0.cb0 = wb.b0
+           |JOIN cell1 ON cell1.cb1 = wb.b1
+           |JOIN cell2 ON cell2.cb2 = wb.b2, tot
+           |WHERE least(cell0, cell1, cell2) * 200 >= t""".stripMargin
+      },
     )
   }
 }

@@ -113,6 +113,43 @@ class Round6QueriesSpec extends SparkSpec {
     }
   }
 
+  test("incremental agg: prev_agg + cdc delta reproduces the direct " +
+       "aggregate of newest, including groups created by status moves") {
+    val out = graft.queries.DeltaQueries.queries("delta_incr_agg")(
+        spark, sfDir)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    val direct = graft.queries.DeltaQueries.newest(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("t"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == direct.toSeq)
+    // the fixture's status mutation creates brand-new groups (suffix U);
+    // they exist ONLY via the insertion-side delta — prove they arrived
+    assert(out.exists(_._1.endsWith("U")))
+  }
+
+  test("cms heavy hitters: estimates never underestimate, and no true " +
+       "heavy hitter is missed") {
+    val out = graft.queries.TextQueries.queries("text_cms_heavy")(
+        spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // CMS min-of-cells is a guaranteed overestimate (collisions add)
+    assert(out.forall { case (_, est, exact) => est >= exact })
+    // completeness: every token whose EXACT count clears the bar must be
+    // reported (est >= exact implies est clears whatever exact clears)
+    val toks = Tables(spark, sfDir, "documents")
+      .select(explode(split(graft.operators.TextDedup.normalize(col("text")),
+        " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val total = toks.count()
+    val trueHeavy = toks.groupBy("token").count()
+      .where(col("count") * 200L >= total)
+      .as[(String, Long)].collect().map(_._1).toSet
+    assert(trueHeavy.subsetOf(out.map(_._1).toSet))
+  }
+
   test("pq rerank plans no sort-merge join: corpus access is scan + " +
        "broadcast only") {
     val df = graft.queries.SimilarityQueries.queries("sim_topk_pq_rerank")(
