@@ -442,6 +442,45 @@ object DeltaQueries {
             .cast("double").as("total"))
         .where(col("n_orders") > 0)
     }),
+
+    // Snapshot-over-snapshot distribution drift (PSI — population
+    // stability index): the data-quality gate a weekly feed needs
+    // BEYOND row deltas — a feed can pass every row-level check while
+    // its value distribution silently shifts (upstream repricing,
+    // truncation bugs, unit changes). Histogram each snapshot into 10
+    // fixed-width price bins (integer-exact floor binning), Laplace-
+    // smooth (+1) so empty bins stay defined, and report each bin's PSI
+    // contribution (q−p)·ln(q/p). Scale shape: two partial-agg'd
+    // histogram folds (10 cells each cross the wire, never rows) + a
+    // 10-row broadcast-scalar join — O(bins) state at any corpus size.
+    // Engine parity: shares are integer-ratio doubles (one IEEE
+    // division), and the per-bin contribution is rounded at 6 digits —
+    // a last-ULP ln() divergence (~1e-17 relative) cannot straddle a
+    // 5e-7 rounding boundary, and no sum crosses engines (contributions
+    // are reported per bin, so there is no aggregation order to pin).
+    "dq_snapshot_drift" -> ((s, dir) => {
+      val bin = least(floor(col("o_totalprice") / 20000.0), lit(9.0))
+        .cast("long")
+      def hist(df: DataFrame, c: String) =
+        df.select(bin.as("bin")).groupBy("bin")
+          .agg(count(lit(1)).as(c))
+      val p = hist(previous(s, dir), "pc")
+      val q = hist(newest(s, dir), "qc")
+      val tots = previous(s, dir).agg(count(lit(1)).as("pt"))
+        .crossJoin(newest(s, dir).agg(count(lit(1)).as("qt")))
+      val joined = p.join(q, Seq("bin"), "full_outer")
+        .crossJoin(broadcast(tots))
+        .select(col("bin"),
+          coalesce(col("pc"), lit(0L)).as("p_cnt"),
+          coalesce(col("qc"), lit(0L)).as("q_cnt"),
+          ((coalesce(col("pc"), lit(0L)) + 1L) /
+            (col("pt") + 10L).cast("double")).as("ps"),
+          ((coalesce(col("qc"), lit(0L)) + 1L) /
+            (col("qt") + 10L).cast("double")).as("qs"))
+      joined.select(col("bin"), col("p_cnt"), col("q_cnt"),
+        round((col("qs") - col("ps")) * log(col("qs") / col("ps")), 6)
+          .as("psi_contrib6"))
+    }),
   )
 
   /** Oracle CTE for the history snapshots — generated from the SAME
@@ -480,6 +519,30 @@ object DeltaQueries {
          |SELECT o_orderstatus, count(*) AS n_orders,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM newest GROUP BY 1""".stripMargin,
+
+    "dq_snapshot_drift" ->
+      s"""$snapshotCte, ph AS (
+         |  SELECT CAST(least(floor(o_totalprice / 20000.0), 9.0) AS BIGINT)
+         |    AS bin, count(*) AS pc
+         |  FROM prev GROUP BY 1
+         |), qh AS (
+         |  SELECT CAST(least(floor(o_totalprice / 20000.0), 9.0) AS BIGINT)
+         |    AS bin, count(*) AS qc
+         |  FROM newest GROUP BY 1
+         |), tots AS (
+         |  SELECT (SELECT count(*) FROM prev) AS pt,
+         |         (SELECT count(*) FROM newest) AS qt
+         |), j AS (
+         |  SELECT coalesce(ph.bin, qh.bin) AS bin,
+         |    coalesce(pc, 0) AS p_cnt, coalesce(qc, 0) AS q_cnt,
+         |    (coalesce(pc, 0) + 1) / CAST(pt + 10 AS DOUBLE) AS ps,
+         |    (coalesce(qc, 0) + 1) / CAST(qt + 10 AS DOUBLE) AS qs
+         |  FROM ph FULL OUTER JOIN qh ON qh.bin = ph.bin, tots
+         |)
+         |SELECT bin, CAST(p_cnt AS BIGINT) AS p_cnt,
+         |  CAST(q_cnt AS BIGINT) AS q_cnt,
+         |  round((qs - ps) * ln(qs / ps), 6) AS psi_contrib6
+         |FROM j""".stripMargin,
 
     "delta_updated" ->
       s"""$snapshotCte

@@ -185,6 +185,26 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // the salted-join CONTRACT at the gate surface: result is EXACTLY
+    // the plain equi-join (salting only redistributes the shuffle), so
+    // the oracle is the unsalted SQL join — hash equality proves the
+    // hot-key split + salt + union machinery loses and duplicates
+    // nothing. Plan-side skew evidence lives in AqeSkewJoinSpec (AQE
+    // runtime splitting) and the SkewJoin scaladoc (manual salting for
+    // keys AQE can't absorb: one key > an executor's worth of rows).
+    "join_skew_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin
+        .hotKeySaltedJoin(li, sup, "l_suppkey", "s_suppkey",
+          hotThreshold = 100, buckets = 8)
+        .groupBy("s_nationkey")
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // the same fact-fact join over bucketBy(key)-sorted tables: zero
     // exchange, zero sort in the plan (see BucketedTables scale notes);
     // result must equal join_fact_fact's oracle exactly
@@ -948,6 +968,14 @@ object RelationalQueries {
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT s.s_nationkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |GROUP BY 1""".stripMargin,
 
     "graph_label_prop" -> {
       // 3 synchronous rounds unrolled: round i counts neighbour labels

@@ -323,6 +323,39 @@ object TemporalQueries {
     // top-10 (TakeOrderedAndProject — never a full sort). Total order
     // tiebreak on event_id makes the transition stream deterministic
     // under concurrent same-ms events.
+    // Resample + gap-fill — the time-series normalization every metric
+    // pipeline needs: events land irregularly, consumers want a FIXED
+    // hourly grid per series with empty hours explicit (n=0) and the
+    // last observed hourly mean carried forward. Scale shape: the
+    // corpus collapses to grid cells FIRST (one partial-agg'd groupBy —
+    // the only shuffle that sees event rows); the grid itself is
+    // |series|×|hours| metadata (a sequence() explode off a 2-value
+    // bounds aggregate), and the carry-forward window runs over grid
+    // cells, not events — at 100 TB the window input is still just
+    // hours×series. Mean is DECIMAL-exact-sum over count, rounded at 6
+    // (a binary double never lands on the 5e-7 tie, so both engines
+    // round alike).
+    "events_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"), col("value"))
+      val hourly = e.groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("avg6"))
+      val grid = e.agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+        .crossJoin(e.select("event_type").distinct())
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hour"), "left_outer")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("avg6"), ignoreNulls = true).over(w).as("avg6_ffill"))
+    }),
+
     "events_top_paths" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("tms"), col("event_id"))
@@ -963,6 +996,29 @@ object TemporalQueries {
         |FROM u, wm WHERE last_ms + 7200000 < w""".stripMargin,
     // append-mode semantics in batch SQL: only windows finalized by the
     // final watermark (max ms-truncated ts - 2h) are in the sink
+    "events_resample" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, value
+        |  FROM events
+        |), hourly AS (
+        |  SELECT event_type, hour, count(*) AS n,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS avg6
+        |  FROM e GROUP BY 1, 2
+        |), bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+        |grid AS (
+        |  SELECT t.event_type, g.hour
+        |  FROM (SELECT DISTINCT event_type FROM e) t,
+        |       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |        FROM bounds) g
+        |)
+        |SELECT g.event_type, g.hour, CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+        |  last_value(h.avg6 IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg6_ffill
+        |FROM grid g
+        |LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour""".stripMargin,
+
     "stream_events_hourly_append" ->
       """WITH e AS (
         |  SELECT date_trunc('millisecond', ts) AS tms, event_type

@@ -150,6 +150,41 @@ class Round6QueriesSpec extends SparkSpec {
     assert(trueHeavy.subsetOf(out.map(_._1).toSet))
   }
 
+  test("resample: the grid is dense (hours x types), counts account for " +
+       "every event, and carry-forward is non-null after first sighting") {
+    val out = graft.queries.TemporalQueries.queries("events_resample")(
+        spark, sfDir)
+      .as[(String, java.sql.Timestamp, Long, Option[Double])].collect()
+    val types = out.map(_._1).distinct.length
+    val hours = out.map(_._2).distinct.length
+    assert(out.length == types * hours)
+    assert(out.map(_._3).sum == Tables(spark, sfDir, "events").count())
+    // per type: NULL fill only before the first observed hour
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      val firstObs = sorted.indexWhere(_._3 > 0)
+      assert(firstObs >= 0)
+      assert(sorted.drop(firstObs).forall(_._4.isDefined))
+      assert(sorted.take(firstObs).forall(_._4.isEmpty))
+    }
+  }
+
+  test("snapshot drift: histograms account for every row of both " +
+       "snapshots and the injected price shift registers as drift") {
+    val out = graft.queries.DeltaQueries.queries("dq_snapshot_drift")(
+        spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 10)
+    assert(out.map(_._2).sum ==
+      graft.queries.DeltaQueries.previous(spark, sfDir).count())
+    assert(out.map(_._3).sum ==
+      graft.queries.DeltaQueries.newest(spark, sfDir).count())
+    // PSI contributions are finite and not all zero (the fixture adds,
+    // removes, and reprices rows between snapshots)
+    assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
+    assert(out.exists(_._4 != 0.0))
+  }
+
   test("pq rerank plans no sort-merge join: corpus access is scan + " +
        "broadcast only") {
     val df = graft.queries.SimilarityQueries.queries("sim_topk_pq_rerank")(
