@@ -75,6 +75,20 @@ class GraphScaleSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("label propagation: the symmetrized edge shuffle is executed " +
+       "once and reused by every round") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)
+    ).toDF("id1", "id2")
+    val lp = graft.operators.GraphOps.labelPropagation(edges, rounds = 3)
+    lp.collect() // force execution so AQE finalizes the reused stages
+    val plan = lp.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "each round must reuse the one src-clustered edge exchange, not " +
+        s"re-shuffle the edge list per round:\n$plan")
+  }
+
   test("emb_pq_encode: literal-codebook encoding is one corpus scan — " +
        "zero joins and zero aggregates in the plan") {
     val df = graft.queries.SimilarityQueries.queries("emb_pq_encode")(
