@@ -148,6 +148,22 @@ object CurationQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // shard-manifest export — the last step of a curation pipeline:
+    // docs are hash-assigned to 16 output shards (pure function of the
+    // id: stable under retries and repartitioning, balanced by hash
+    // uniformity) and the manifest records each shard's row count, char
+    // budget, and id range — what a downstream trainer validates before
+    // reading. One stateless map + one 16-group partial-agg'd rollup.
+    "cur_shard_manifest" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (hashMille("shard", col("doc_id")) % 16).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // weighted mixing: fill each source's quota in hash order — one
     // bounded-heap top-k per source (TopKPerKey), then the per-source
     // quota cut. Ordering (hash, doc_id) is total, so ranks are exact.
@@ -418,6 +434,14 @@ object CurationQueries {
          |         WHEN ${hashMilleSql("split", "doc_id")} < 950 THEN 'valid'
          |         ELSE 'test' END AS split
          |  FROM documents) q
+         |GROUP BY 1""".stripMargin,
+
+    "cur_shard_manifest" ->
+      s"""SELECT ${hashMilleSql("shard", "doc_id")} % 16 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents
          |GROUP BY 1""".stripMargin,
 
     "cur_mix_weighted" ->

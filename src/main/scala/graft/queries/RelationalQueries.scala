@@ -185,6 +185,36 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Pearson correlation from EXACT decimal co-moments — the numeric
+    // breadth row done scale-correctly: Spark's built-in corr() streams
+    // float co-moments whose value depends on aggregation order (not
+    // reproducible run-to-run at cluster scale, let alone across
+    // engines), so the five sums (Σx, Σy, Σxy, Σx², Σy²) are kept as
+    // exact DECIMAL — order-independent, one shuffle of 5 cells per
+    // group — and the closed-form combines them in ONE deterministic
+    // double expression at the end. The (9,2)/(13,2) casts are LOSSLESS
+    // (both columns carry 2-decimal currency/count values) and keep the
+    // scale-4 product mantissas far inside DuckDB's int64 multiply
+    // path; the precision-38 sums hold to ~10^34 scale-4 units — many
+    // orders past 100 TB of lineitems.
+    "agg_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(9, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(13, 2)).as("y"))
+      def d(c: Column) = c.cast("double")
+      li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt((col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              (col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+            .as("corr6"))
+    }),
+
     // the salted-join CONTRACT at the gate surface: result is EXACTLY
     // the plain equi-join (salting only redistributes the shuffle), so
     // the oracle is the unsalted SQL join — hash equality proves the
@@ -968,6 +998,26 @@ object RelationalQueries {
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(13,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(9,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(13,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(9,2)) *
+        |        CAST(l_quantity AS DECIMAL(9,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(13,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(13,2))) AS syy
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS corr6
+        |FROM m""".stripMargin,
 
     "join_skew_salted" ->
       """SELECT s.s_nationkey,

@@ -385,6 +385,68 @@ object SimilarityQueries {
             (col("qnrm") * col("nrm")), 6).as("cos6"))
       topk(pairs, 5)
     }),
+
+    // Hybrid retrieval — reciprocal-rank fusion of a sparse (BM25, same
+    // scoring constants as text_bm25) and a dense (cosine) retriever
+    // for one query: the RAG-pipeline ranking op. Each retriever
+    // contributes its bounded top-50 RANK list (ranks on round-6 scores
+    // with doc-id tie-break, so list membership and order are
+    // engine-exact); fusion is 1/(60+r_sparse) + 1/(60+r_dense) over
+    // the ≤100-row union — exact small-denominator rationals, summed in
+    // a fixed written order, no float ambiguity. Scale shape: the
+    // retrievers ARE the scale paths (inverted term index on the sparse
+    // side; LSH/IVF/PQ stand in for the brute dense scan); fusion
+    // itself joins two O(k) lists regardless of corpus size. BM25's
+    // per-doc sum crosses term scores as DECIMAL(28,18) so the sparse
+    // rank can't move with aggregation order.
+    "sim_hybrid_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("join", "vector", "filter")
+      val d = Tables(s, dir, "documents").select(col("doc_id"),
+        split(graft.operators.TextDedup.normalize(col("text")), " ")
+          .as("toks"))
+      val matched = d.select(col("doc_id"), explode(col("toks")).as("term"))
+        .where(col("term").isin(terms: _*))
+      val tf = matched.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = matched.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val termScore = tf.join(dl, "doc_id").join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val sparse = termScore.groupBy("doc_id")
+        .agg(round(sum(col("score").cast(DecimalType(28, 18)))
+          .cast("double"), 6).as("ss"))
+        .orderBy(col("ss").desc, col("doc_id")).limit(50)
+        .withColumn("rs",
+          row_number().over(Window.orderBy(col("ss").desc, col("doc_id"))))
+      val b = base(s, dir)
+      val qv = b.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("nrm").as("qnrm"))
+      val dense = b.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm")), 6).as("sd"))
+        .orderBy(col("sd").desc, col("doc_id")).limit(50)
+        .withColumn("rd",
+          row_number().over(Window.orderBy(col("sd").desc, col("doc_id"))))
+      sparse.select("doc_id", "rs")
+        .join(dense.select("doc_id", "rd"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), round(col("rrf"), 9).as("rrf9"), col("rank"))
+    }),
   )
 
   private def dotSql(a: String, b: String) =
@@ -680,6 +742,51 @@ object SimilarityQueries {
            |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
            |      FROM pairs) t
            |WHERE rn <= 5""".stripMargin,
+
+      "sim_hybrid_rank" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+           |  FROM documents
+           |), ft AS (
+           |  SELECT doc_id, term FROM (SELECT doc_id, unnest(t) AS term FROM d)
+           |  WHERE term IN ('join', 'vector', 'filter')
+           |), tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+           |stats AS (SELECT count(*) AS n_docs,
+           |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |sparse AS (
+           |  SELECT t.doc_id,
+           |    round(CAST(sum(CAST(
+           |      ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           |        * (t.tf * 2.2)
+           |        / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+           |      AS DECIMAL(28,18))) AS DOUBLE), 6) AS ss
+           |  FROM tf t JOIN dl l ON l.doc_id = t.doc_id
+           |  JOIN dfreq f ON f.term = t.term, stats s
+           |  GROUP BY 1
+           |), sparse50 AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY ss DESC, doc_id) AS rs
+           |  FROM sparse ORDER BY ss DESC, doc_id LIMIT 50
+           |), base AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), qv AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+           |dense AS (
+           |  SELECT b.vec_id AS doc_id, round(${cos("q.qe", "b.e")}, 6) AS sd
+           |  FROM base b, qv q WHERE b.vec_id <> 0
+           |), dense50 AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY sd DESC, doc_id) AS rd
+           |  FROM dense ORDER BY sd DESC, doc_id LIMIT 50
+           |), fused AS (
+           |  SELECT coalesce(s.doc_id, dd.doc_id) AS doc_id,
+           |    coalesce(CAST(1 AS DOUBLE) / (60 + s.rs), 0.0) +
+           |      coalesce(CAST(1 AS DOUBLE) / (60 + dd.rd), 0.0) AS rrf
+           |  FROM sparse50 s FULL OUTER JOIN dense50 dd ON dd.doc_id = s.doc_id
+           |)
+           |SELECT doc_id, round(rrf, 9) AS rrf9,
+           |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+           |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     )
   }
 }

@@ -185,6 +185,60 @@ class Round6QueriesSpec extends SparkSpec {
     assert(out.exists(_._4 != 0.0))
   }
 
+  test("hybrid rank: fusion actually fuses — the top-20 cites members " +
+       "of both retrievers' lists, ranks are 1..20, rrf is monotone") {
+    val out = graft.queries.SimilarityQueries.queries("sim_hybrid_rank")(
+        spark, sfDir)
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(out.length == 20)
+    assert(out.map(_._3).toSeq == (1L to 20L))
+    // rrf scores weakly decrease with rank
+    assert(out.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+    // a doc in both lists scores at least 1/110 + 1/110; one-list docs
+    // score at most 1/61 < 2/110 is false (1/61 > 2/110) — so instead:
+    // assert both retrievers contributed (some top doc has rrf above the
+    // single-list maximum 1/61, only possible via both lists)
+    assert(out.head._2 > 1.0 / 61 + 1e-12,
+      "top fused doc should appear in BOTH retriever lists")
+  }
+
+  test("corr: exact-moment correlation stays in [-1, 1] and matches a " +
+       "driver-side reference on the same exact sums") {
+    val out = graft.queries.RelationalQueries.queries("agg_corr")(
+        spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+    // reference from raw rows (exact decimal sums via BigDecimal)
+    val rows = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .as[(String, Double, Double)].collect()
+    val ref = rows.groupBy(_._1).map { case (g, rs) =>
+      def bd(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val n = rs.length
+      val sx = rs.map(r => bd(r._2)).sum; val sy = rs.map(r => bd(r._3)).sum
+      val sxy = rs.map(r => bd(r._2) * bd(r._3)).sum
+      val sxx = rs.map(r => bd(r._2) * bd(r._2)).sum
+      val syy = rs.map(r => bd(r._3) * bd(r._3)).sum
+      val c = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n * syy.toDouble - sy.toDouble * sy.toDouble))
+      g -> BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (g, _, c6) => assert(c6 == ref(g), s"group $g") }
+  }
+
+  test("shard manifest: shards partition the corpus with bounded skew") {
+    val out = graft.queries.CurationQueries.queries("cur_shard_manifest")(
+        spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.length == out.length && out.length <= 16)
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(out.map(_._2).sum == total)
+    // hash balance: no shard more than 3x the ideal share
+    assert(out.forall(_._2 <= 3 * total / 16 + 1))
+  }
+
   test("pq rerank plans no sort-merge join: corpus access is scan + " +
        "broadcast only") {
     val df = graft.queries.SimilarityQueries.queries("sim_topk_pq_rerank")(
