@@ -27,6 +27,37 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** One SQL text, two engines: the recursive-BFS query is its own
+    * oracle (modulo DuckDB needing no view registration). Hop cap 4
+    * bounds the un-deduplicated path enumeration; min() per node turns
+    * paths into distances.
+    */
+  private val recursiveBfsSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS v,
+      |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vl
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+      |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
+      |edges AS (SELECT u, v FROM agg, tot
+      |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw),
+      |sym AS (SELECT u AS src, v AS dst FROM edges
+      |        UNION SELECT v, u FROM edges),
+      |seed AS (SELECT min(src) AS s0 FROM sym),
+      |bfs(node, hops) AS (
+      |  SELECT s0, 0 FROM seed
+      |  UNION ALL
+      |  SELECT s.dst, b.hops + 1
+      |  FROM bfs b JOIN sym s ON s.src = b.node
+      |  WHERE b.hops < 4
+      |)
+      |SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM bfs GROUP BY 1""".stripMargin
+
   /** Nation-level trade graph shared by `graph_triangles` and
     * `graph_label_prop`: the heavy distributed step is folding the fact
     * tables to per-nation-pair trade totals (partial-agg'd, one shuffle
@@ -565,6 +596,21 @@ object RelationalQueries {
           min("node").as("min_node"), max("node").as("max_node"))
     }),
 
+    // Recursive-CTE BFS (Spark 4.x WITH RECURSIVE) — shortest hop count
+    // from the smallest node of the trade graph, the SQL-surface member
+    // of the graph family: the SAME SQL string runs on both engines, so
+    // the oracle is the query text itself. The recursion is bounded by
+    // an explicit hop cap (path enumeration without per-level dedup
+    // blows up combinatorially — the cap is the SQL-level analogue of
+    // the iteration bound every distributed BFS carries); the final
+    // min() collapses paths to distances. The heavy work is again the
+    // shared aggregated edge derivation, not the recursion.
+    "sql_recursive_bfs" -> ((s, dir) => {
+      Seq("lineitem", "supplier", "orders", "customer")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(recursiveBfsSql)
+    }),
+
     // TPC-H-Q22-shaped correlated NOT EXISTS + uncorrelated scalar
     // threshold: Catalyst rewrites the NOT EXISTS to a left-anti join
     // (RewritePredicateSubquery) and runs the scalar avg once as its own
@@ -998,6 +1044,8 @@ object RelationalQueries {
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "sql_recursive_bfs" -> recursiveBfsSql,
 
     "agg_corr" ->
       """WITH m AS (
