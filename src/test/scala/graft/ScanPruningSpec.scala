@@ -40,6 +40,32 @@ class ScanPruningSpec extends SparkSpec {
       s"expected a 3-column read of the 5-column documents table, got $read")
   }
 
+  test("round-6 queries prune their scans to the referenced columns") {
+    // zorder: 2 of 11 lineitem columns
+    scansOf("ingest_zorder").foreach { scan =>
+      assert(scan.requiredSchema.fieldNames.toSet ==
+        Set("l_partkey", "l_suppkey"),
+        s"zorder should read exactly the 2 clustered keys")
+    }
+    // CMS: text only of the 5-column documents table
+    scansOf("text_cms_heavy").foreach { scan =>
+      assert(scan.requiredSchema.fieldNames.toSet == Set("text"))
+    }
+    // incremental agg: key + group + value of the 6-column orders table
+    scansOf("delta_incr_agg").foreach { scan =>
+      assert(scan.requiredSchema.fieldNames.toSet ==
+        Set("o_orderkey", "o_orderstatus", "o_totalprice"))
+    }
+    // resample: each consumer scan reads only its slice of the 6-column
+    // events table (bounds: ts alone; types: event_type alone; hourly:
+    // all three) — never the full width
+    scansOf("events_resample").foreach { scan =>
+      val read = scan.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("event_type", "ts", "value")) && read.nonEmpty,
+        s"resample scan should read a subset of 3 columns, got $read")
+    }
+  }
+
   test("agg_sum_groupby reads only the grouping and aggregated columns") {
     val ss = scansOf("agg_sum_groupby")
     assert(ss.nonEmpty)
