@@ -612,6 +612,71 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_keys"))
     }),
 
+    // Count-Min cells maintained ACROSS micro-batches — the streaming
+    // face of the sketch family, and the property that justifies
+    // sketches at 100 TB: CMS cells are a commutative monoid (cell-wise
+    // sum), so per-batch cells MERGE into the running state without
+    // ever revisiting history, and the final grid is bit-identical to a
+    // batch build over all data — which is exactly what the oracle
+    // computes. Same versioned-store discipline as the upsert query;
+    // only the 3×64 cell grid is ever state. The final probe estimates
+    // all 100 items from the merged cells alone.
+    "stream_cms_merge" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      val root = graft.sources.AgencyLake.ensureHistory(s, dir)
+      val tmp = streamDir("cms_merge", dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("importdate", StringType)))
+      val W = 64
+      def bucket(d: Int) =
+        conv(substring(md5(concat(lit(s"cms$d|"), col("item"))), 1, 8),
+          16, 10).cast("long") % W
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(s"file://$tmp"), s.sessionState.newHadoopConf())
+      var current: Option[String] = None // batches run sequentially
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "32")
+        .parquet(root)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val wi = batch
+            .select((col("o_orderkey") % 100).cast("string").as("item"))
+          val batchCells = (0 to 2).map(d =>
+            wi.groupBy(bucket(d).as("b")).agg(count(lit(1)).as("c"))
+              .select(lit(d).as("d"), col("b"), col("c")))
+            .reduce(_ unionByName _)
+          val merged = current match {
+            case Some(prev) => s.read.parquet(prev).unionByName(batchCells)
+              .groupBy("d", "b").agg(sum("c").as("c"))
+            case None => batchCells
+          }
+          val next = s"$tmp/store-$id"
+          merged.write.mode("overwrite").parquet(next)
+          current.foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(p), true))
+          current = Some(next)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cells = s.read.parquet(current.getOrElse(
+        sys.error("stream produced no batches")))
+      val items = s.range(100).select(col("id").cast("string").as("item"))
+      val probes = (0 to 2).map(d =>
+        items.select(col("item"), lit(d).as("d"), bucket(d).as("b")))
+        .reduce(_ unionByName _)
+      probes.join(cells, Seq("d", "b"))
+        .groupBy("item")
+        .agg(min("c").as("est"))
+        .select(col("item").cast("long").as("item"), col("est"))
+    }),
+
     // Stream-static enrichment: the arriving event stream joined to a
     // STATIC dimension (per-user segment). Unlike the stream-stream join
     // there is NO state and NO watermark requirement — the static side
