@@ -27,6 +27,18 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** One SQL text, two engines — its own oracle. */
+  private val lateralTopnSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 1
+      |) t
+      |WHERE c.c_nationkey = 7""".stripMargin
+
   /** One SQL text, two engines: the recursive-BFS query is its own
     * oracle (modulo DuckDB needing no view registration). Hop cap 4
     * bounds the un-deduplicated path enumeration; min() per node turns
@@ -596,6 +608,36 @@ object RelationalQueries {
           min("node").as("min_node"), max("node").as("max_node"))
     }),
 
+    // LATERAL correlated subquery (SQL:1999 / Spark 3.4+) — top-1-per-
+    // group expressed the way analysts write it; Catalyst decorrelates
+    // the LATERAL into a join + per-key limit rather than executing the
+    // subquery per outer row. Same SQL text runs on DuckDB, so the
+    // query is its own oracle. Restricted to one nation's customers so
+    // the declared result is small; ordering carries an explicit
+    // orderkey tie-break (doubles compare identically, ties are broken
+    // totally).
+    "sql_lateral_topn" -> ((s, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(lateralTopnSql)
+    }),
+
+    // Deterministic ordered list aggregation — collect_list is
+    // order-nondeterministic under shuffle (the classic silent-flake at
+    // cluster scale), so the declared form sorts INSIDE the aggregate
+    // value (sort_array) before serializing; DuckDB's list(x ORDER BY)
+    // expresses the same contract. Emitted as CSV because the harness
+    // hashes scalar cells.
+    "agg_collect_sorted" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy((col("o_custkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          array_join(
+            transform(
+              sort_array(collect_list(col("o_orderkey"))),
+              x => x.cast("string")),
+            ",").as("keys_csv"))),
+
     // Recursive-CTE BFS (Spark 4.x WITH RECURSIVE) — shortest hop count
     // from the smallest node of the trade graph, the SQL-surface member
     // of the graph family: the SAME SQL string runs on both engines, so
@@ -1046,6 +1088,14 @@ object RelationalQueries {
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
 
     "sql_recursive_bfs" -> recursiveBfsSql,
+
+    "sql_lateral_topn" -> lateralTopnSql,
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n,
+        |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+        |    AS keys_csv
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "agg_corr" ->
       """WITH m AS (
