@@ -417,30 +417,13 @@ object DeltaQueries {
     // per refresh only the delta partitions are scanned.)
     "delta_incr_agg" -> ((s, dir) => {
       def snap(df: DataFrame) = df.select(col(key),
-        col("o_orderstatus").as("g"),
+        col("o_orderstatus"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
-      val p = snap(previous(s, dir))
-      val n = snap(newest(s, dir))
-      val prevAgg = p.groupBy("g")
-        .agg(count(lit(1)).as("pc"), sum("v").as("pv_sum"))
-      val j = p.select(col(key), col("g").as("pg"), col("v").as("pv"))
-        .join(n.select(col(key), col("g").as("ng"), col("v").as("nv")),
-          Seq(key), "full_outer")
-        .where(!(col("pg") <=> col("ng") && col("pv") <=> col("nv")))
-      val contribs = j.where(col("pg").isNotNull)
-        .select(col("pg").as("g"), lit(-1L).as("dc"), (-col("pv")).as("dv"))
-        .unionByName(j.where(col("ng").isNotNull)
-          .select(col("ng").as("g"), lit(1L).as("dc"), col("nv").as("dv")))
-      val deltaAgg = contribs.groupBy("g")
-        .agg(sum("dc").as("dc"), sum("dv").as("dv_sum"))
-      prevAgg.join(deltaAgg, Seq("g"), "full_outer")
-        .select(col("g").as("o_orderstatus"),
-          (coalesce(col("pc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
-            .as("n_orders"),
-          (coalesce(col("pv_sum"), lit(0).cast(DecimalType(28, 2))) +
-            coalesce(col("dv_sum"), lit(0).cast(DecimalType(28, 2))))
-            .cast("double").as("total"))
-        .where(col("n_orders") > 0)
+      graft.operators.IncrementalAgg
+        .maintain(snap(previous(s, dir)), snap(newest(s, dir)),
+          key, "o_orderstatus", "v")
+        .select(col("o_orderstatus"), col("n").as("n_orders"),
+          col("total").cast("double").as("total"))
     }),
 
     // Snapshot-over-snapshot distribution drift (PSI — population
