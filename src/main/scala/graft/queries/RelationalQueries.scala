@@ -648,9 +648,31 @@ object RelationalQueries {
     // min() collapses paths to distances. The heavy work is again the
     // shared aggregated edge derivation, not the recursion.
     "sql_recursive_bfs" -> ((s, dir) => {
-      Seq("lineitem", "supplier", "orders", "customer")
-        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      s.sql(recursiveBfsSql)
+      // the symmetrized edge list is MATERIALIZED before the recursion:
+      // a recursive CTE's step query is re-planned per level, and an
+      // inline `sym` would re-derive the whole 4-table fact fold at
+      // EVERY hop — at 100 TB that is the difference between one edge
+      // derivation and depth× of them. localCheckpoint pins sym to
+      // executor blocks; the recursion then joins a small in-memory
+      // table per level. (The oracle inlines the same derivation — one
+      // SQL text — because DuckDB plans its CTEs once.)
+      val edges = tradeEdges(s, dir)
+      edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+        .distinct()
+        .localCheckpoint()
+        .createOrReplaceTempView("trade_sym")
+      s.sql(
+        """WITH RECURSIVE seed AS (SELECT min(src) AS s0 FROM trade_sym),
+          |bfs(node, hops) AS (
+          |  SELECT s0, 0 FROM seed
+          |  UNION ALL
+          |  SELECT s.dst, b.hops + 1
+          |  FROM bfs b JOIN trade_sym s ON s.src = b.node
+          |  WHERE b.hops < 4
+          |)
+          |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+          |FROM bfs GROUP BY 1""".stripMargin)
     }),
 
     // TPC-H-Q22-shaped correlated NOT EXISTS + uncorrelated scalar
