@@ -54,6 +54,33 @@ object MultimodalQueries {
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // cross-modal pair assembly — the step that builds an image-caption
+    // training set: decoded media metadata joined to its caption with
+    // QUALITY GATES on both modalities (minimum pixel area, minimum
+    // caption tokens — the filters every multimodal curation recipe
+    // applies before pairing). Only metadata and token counts cross the
+    // join; payload bytes stay at the scan. Output is the per-(mode,
+    // lang) pair profile a recipe audit reads: pair count, exact-ratio
+    // mean caption length, area range.
+    "mm_caption_pair" -> ((s, dir) => {
+      val meta = Multimodal.decode(
+          Multimodal.syntheticMedia(Tables(s, dir, "documents"))).toDF()
+        .where(col("mode") =!= "invalid")
+        .select(col("doc_id"), col("mode"),
+          (col("width") * col("height")).as("area"))
+      val caps = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(graft.operators.TextDedup.normalize(col("text")), " "))
+            .cast("long").as("n_toks"))
+      meta.join(caps, "doc_id")
+        .where(col("area") >= 64 && col("n_toks") >= 5)
+        .groupBy("mode", "lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("n_toks").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 6).as("avg_toks6"),
+          min("area").as("min_area"), max("area").as("max_area"))
+    }),
+
     // downstream-of-decode aggregation: only the small metadata rows
     // reach the shuffle, never the payloads
     "mm_mode_stats" -> ((s, dir) =>
@@ -110,5 +137,26 @@ object MultimodalQueries {
          |        CASE WHEN ${byteSql(2)} % 2 = 0 THEN 'rgb' ELSE 'gray' END AS mode
          |      FROM documents) q
          |GROUP BY mode""".stripMargin,
+
+    "mm_caption_pair" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${byteSql(2)} % 2 = 0 THEN 'rgb' ELSE 'gray' END AS mode,
+         |    ${byteSql(0)} * ${byteSql(1)} AS area
+         |  FROM documents
+         |), caps AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(
+         |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+         |      AS BIGINT) AS n_toks
+         |  FROM documents
+         |)
+         |SELECT mode, lang, count(*) AS n_pairs,
+         |  round(CAST(sum(CAST(n_toks AS DECIMAL(18,2))) AS DOUBLE)
+         |    / count(*), 6) AS avg_toks6,
+         |  min(area) AS min_area, max(area) AS max_area
+         |FROM meta JOIN caps USING (doc_id)
+         |WHERE area >= 64 AND n_toks >= 5
+         |GROUP BY 1, 2""".stripMargin,
   )
 }
