@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.util.concurrent.atomic.AtomicBoolean
 
 /** Benchmark main (driver contract). Emits ONE JSON line:
@@ -44,15 +43,7 @@ object Bench {
     // while a 165 s-class pathology (the r5 killer) is capped at ONE run
     val rerunBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET", "45.0").toDouble
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config(Tables.nanosConf._1, Tables.nanosConf._2)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus, "graft-bench")
 
     def jq(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
