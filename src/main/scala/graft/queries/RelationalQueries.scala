@@ -608,6 +608,35 @@ object RelationalQueries {
           min("node").as("min_node"), max("node").as("max_node"))
     }),
 
+    // k-core decomposition (3 peels at k=3) — the graph-side quality
+    // filter: nodes that survive iterated degree-threshold peeling form
+    // the densely-connected core (weakly-attached periphery drops out
+    // even if its raw degree was high before its neighbours left).
+    // Degrees are counted in the INDUCED subgraph each round — both
+    // endpoints must still be alive — which is what distinguishes
+    // peeling from a one-shot degree filter. Fixed synchronous rounds
+    // with exact integer degrees: the oracle unrolls them in SQL. Per
+    // round: one semi-restricted edge pass + a partial-agg'd degree
+    // count; the edge list is checkpointed once and reused.
+    "graph_kcore" -> ((s, dir) => {
+      val edges = tradeEdges(s, dir)
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+        .distinct().localCheckpoint()
+      var alive = sym.select(col("src").as("node")).distinct()
+      (1 to 3).foreach { _ =>
+        alive = sym
+          .join(alive.withColumnRenamed("node", "s"), col("src") === col("s"))
+          .join(alive.withColumnRenamed("node", "d"), col("dst") === col("d"))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 3)
+          .select(col("src").as("node"))
+      }
+      sym.join(alive.withColumnRenamed("node", "s"), col("src") === col("s"))
+        .join(alive.withColumnRenamed("node", "d"), col("dst") === col("d"))
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    }),
+
     // LATERAL correlated subquery (SQL:1999 / Spark 3.4+) — top-1-per-
     // group expressed the way analysts write it; Catalyst decorrelates
     // the LATERAL into a join + per-key limit rather than executing the
@@ -1112,6 +1141,39 @@ object RelationalQueries {
     "sql_recursive_bfs" -> recursiveBfsSql,
 
     "sql_lateral_topn" -> lateralTopnSql,
+
+    "graph_kcore" -> {
+      def peel(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT e.src AS node FROM sym e
+           |  JOIN $prev p ON p.node = e.src
+           |  JOIN $prev q ON q.node = e.dst
+           |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+         |         greatest(c.c_nationkey, s.s_nationkey) AS v,
+         |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vl
+         |  FROM lineitem l
+         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  JOIN customer c ON c.c_custkey = o.o_custkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+         |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
+         |edges AS (SELECT u, v FROM agg, tot
+         |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw),
+         |sym AS (SELECT u AS src, v AS dst FROM edges
+         |        UNION SELECT v, u FROM edges),
+         |a0 AS (SELECT DISTINCT src AS node FROM sym),
+         |${peel("a0", "a1")},
+         |${peel("a1", "a2")},
+         |${peel("a2", "a3")}
+         |SELECT e.src AS node, count(*) AS core_deg
+         |FROM sym e
+         |JOIN a3 p ON p.node = e.src
+         |JOIN a3 q ON q.node = e.dst
+         |GROUP BY 1""".stripMargin
+    },
 
     "agg_collect_sorted" ->
       """SELECT o_custkey % 100 AS bucket, count(*) AS n,

@@ -356,6 +356,34 @@ object TemporalQueries {
           last(col("avg6"), ignoreNulls = true).over(w).as("avg6_ffill"))
     }),
 
+    // CUSUM changepoint detection, INTEGER-exact: the classic "where
+    // did the level shift" scan over a daily series. The textbook form
+    // accumulates (count − mean) in floats; multiplying through by the
+    // day count clears the fraction — dev = c·ndays − total — so the
+    // cumulative sum is pure int64 arithmetic with no rounding anywhere
+    // and the argmax day cannot move between engines. Scale shape:
+    // events collapse to (type, day) cells first (the only shuffle that
+    // sees raw rows); the running sum and argmax run over the tiny
+    // daily grid per type via a bounded top-1.
+    "events_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy("event_type")
+        .agg(sum("c").as("total"), count(lit(1)).as("ndays"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cu = daily.join(stats, "event_type")
+        .withColumn("cusum",
+          sum(col("c") * col("ndays") - col("total")).over(w))
+      graft.plans.TopKPerKey
+        .topK(cu.withColumn("acs", abs(col("cusum"))), "event_type",
+          Seq(("acs", true), ("day", false)), 1)
+        .select(col("event_type"), col("day").cast("string").as("cp_day"),
+          col("cusum").as("cusum_scaled"))
+    }),
+
     "events_top_paths" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("tms"), col("event_id"))
@@ -1061,6 +1089,29 @@ object TemporalQueries {
         |FROM u, wm WHERE last_ms + 7200000 < w""".stripMargin,
     // append-mode semantics in batch SQL: only windows finalized by the
     // final watermark (max ms-truncated ts - 2h) are in the sink
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+        |         count(*) AS ndays
+        |  FROM daily GROUP BY 1
+        |), cu AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(sum(d.c * s.ndays - s.total) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cusum
+        |  FROM daily d JOIN stats s USING (event_type)
+        |)
+        |SELECT event_type, CAST(day AS VARCHAR) AS cp_day,
+        |  cusum AS cusum_scaled
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(cusum) DESC, day) AS rn
+        |      FROM cu) q
+        |WHERE rn = 1""".stripMargin,
+
     "events_resample" ->
       """WITH e AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, value

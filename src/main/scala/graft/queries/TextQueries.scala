@@ -411,6 +411,45 @@ object TextQueries {
             .as("avg_logprob"))
     }),
 
+    // Kneser-Ney smoothed bigram probabilities — the language-model
+    // scoring tier above the raw unigram logprob: interpolated KN is
+    // THE standard n-gram smoother (absolute discount d=0.75 plus a
+    // continuation-probability backoff that asks "how many contexts
+    // does w2 complete?" rather than "how often does w2 occur"). All
+    // four sufficient statistics are integer counts from ONE bigram
+    // derivation (c(w1w2), c(w1·), distinct successors of w1, distinct
+    // predecessors of w2, distinct bigram types), so the smoothed
+    // probability is a fixed-order rational-double formula — engine-
+    // exact under round-6. Scale shape: the bigram stream is a per-row
+    // zip_with (no self-join); the stats are partial-agg'd groupBys of
+    // it; the top-20 cut is a bounded heap.
+    "text_kneser_ney" -> ((s, dir) => {
+      val d = 0.75
+      val bg = docs(s, dir)
+        .select(split(TextDedup.normalize(col("text")), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"),
+        count(lit(1)).as("succ1"))
+      val prec2 = c12.groupBy("w2").agg(count(lit(1)).as("prec2"))
+      val types = c12.agg(count(lit(1)).as("n_types"))
+      val scored = c12.join(c1, "w1").join(prec2, "w2")
+        .crossJoin(broadcast(types))
+        .withColumn("pkn",
+          greatest(col("c12") - lit(d), lit(0.0)) / col("c1") +
+            (lit(d) * col("succ1") / col("c1")) *
+              (col("prec2") / col("n_types")))
+      graft.plans.TopKPerKey
+        .topK(scored.withColumn("all", lit(1)), "all",
+          Seq(("c12", true), ("w1", false), ("w2", false)), 20)
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("pkn"), 6).as("pkn6"))
+    }),
+
     // Count-Min sketch heavy hitters — the frequency member of the
     // sketch family (KMV = distinct count, bottom-k = quantiles, CMS =
     // per-item counts): depth 3 × width 64 md5-derived cells; an item's
@@ -695,6 +734,24 @@ object TextQueries {
            |    6) AS avg_logprob
            |FROM toks t JOIN model m ON m.term = t.term, total t2
            |GROUP BY doc_id""".stripMargin,
+
+      "text_kneser_ney" ->
+        s"""WITH bg AS (
+           |  SELECT unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+           |         unnest([t[i+1] FOR i IN range(1, len(t))]) AS w2
+           |  FROM (SELECT $toksSql AS t FROM documents) q
+           |  WHERE len(t) >= 2
+           |), c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+           |         count(*) AS succ1 FROM c12 GROUP BY 1),
+           |prec2 AS (SELECT w2, count(*) AS prec2 FROM c12 GROUP BY 1),
+           |types AS (SELECT count(*) AS n_types FROM c12)
+           |SELECT w1, w2, c12,
+           |  round(greatest(c12 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1
+           |    + (CAST(0.75 AS DOUBLE) * succ1 / c1) * (prec2 / n_types), 6)
+           |    AS pkn6
+           |FROM c12 JOIN c1 USING (w1) JOIN prec2 USING (w2), types
+           |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
 
       "text_cms_heavy" -> {
         def bSql(d: Int) =

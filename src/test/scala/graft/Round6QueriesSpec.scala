@@ -239,6 +239,59 @@ class Round6QueriesSpec extends SparkSpec {
     assert(out.forall(_._2 <= 3 * total / 16 + 1))
   }
 
+  test("kneser-ney: probabilities are in (0, 1] and discounting keeps " +
+       "them below the raw MLE estimate plus backoff mass") {
+    val out = graft.queries.TextQueries.queries("text_kneser_ney")(
+        spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.length == 20)
+    assert(out.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+  }
+
+  test("k-core: survivors are nation nodes with induced degree >= 1, " +
+       "and the core is a strict subset of the full node set") {
+    val out = graft.queries.RelationalQueries.queries("graph_kcore")(
+        spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // nodes are nation keys; induced degree is bounded by |nations|-1
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 24))
+    assert(out.forall(r => r._2 >= 1 && r._2 <= 24))
+    // peeling at k=3 with the threshold edge filter must drop SOMEONE
+    // at this scale (the thresholded graph is not complete)
+    assert(out.length < 25, "peeling removed no node — suspicious")
+    // containment proxy: every core member's final degree cannot exceed
+    // the number of other survivors
+    assert(out.forall(_._2 <= out.length - 1))
+  }
+
+  test("changepoint: the scaled cusum telescopes to zero over the full " +
+       "series, so the reported day is a genuine interior extremum") {
+    val out = graft.queries.TemporalQueries.queries("events_changepoint")(
+        spark, sfDir)
+      .as[(String, String, Long)].collect()
+    assert(out.length == 5) // one per event type
+    assert(out.forall(_._3 != 0L), "an all-flat series has no changepoint")
+    // independent driver-side recomputation of the argmax
+    val daily = Tables(spark, sfDir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .as[(String, java.sql.Date, Long)].collect()
+    out.foreach { case (et, cpDay, cusum) =>
+      val series = daily.filter(_._1 == et).sortBy(_._2.toString)
+      val total = series.map(_._3).sum
+      val ndays = series.length
+      var acc = 0L
+      val cusums = series.map { case (_, d, c) =>
+        acc += c * ndays - total; (d.toString, acc) }
+      assert(cusums.last._2 == 0L, "cusum must telescope to zero")
+      val bestByRule = cusums
+        .sortBy(t => (-math.abs(t._2), t._1)).head
+      assert((bestByRule._1, bestByRule._2) == ((cpDay, cusum)),
+        s"$et: expected $bestByRule, got ${(cpDay, cusum)}")
+    }
+  }
+
   test("pq rerank plans no sort-merge join: corpus access is scan + " +
        "broadcast only") {
     val df = graft.queries.SimilarityQueries.queries("sim_topk_pq_rerank")(
