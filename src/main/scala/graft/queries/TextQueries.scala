@@ -411,6 +411,58 @@ object TextQueries {
             .as("avg_logprob"))
     }),
 
+    // HyperLogLog distinct estimation — the cardinality member of the
+    // sketch family done ENGINE-PORTABLY (Spark's approx_count_distinct
+    // is HLL++ with implementation-defined hashing — useless against a
+    // foreign oracle): 64 md5-derived registers per language, register =
+    // max leading-zero rank of the 60-bit hash suffix. Ranks are pure
+    // integer arithmetic (bin() string length — no float log), the
+    // harmonic-mean denominator is summed as EXACT scaled integers
+    // (2^(61−reg) as DECIMAL — the 2^-reg fractions cleared the same
+    // way CUSUM clears its mean), and only the final estimate touches
+    // doubles in one fixed-order formula. Registers are max-mergeable
+    // like the CMS cells, so the same grid maintains under streaming or
+    // partial loads. Exact distinct computed beside it makes the ~13%
+    // expected error at m=64 observable.
+    "text_distinct_hll" -> ((s, dir) => {
+      val m = 64
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val pow61 = math.pow(2, 61)
+      val tok = docs(s, dir)
+        .select(col("lang"),
+          explode(split(TextDedup.normalize(col("text")), " ")).as("token"))
+        .where(length(col("token")) > 0)
+        .withColumn("h", md5(concat(lit("hll|"), col("token"))))
+      val regs = tok
+        .select(col("lang"),
+          (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % m)
+            .as("bucket"),
+          conv(substring(col("h"), 3, 15), 16, 10).cast("long").as("v"))
+        .withColumn("rho",
+          when(col("v") === 0L, lit(61L))
+            .otherwise(lit(61L) - length(bin(col("v")))))
+        .groupBy("lang", "bucket").agg(max("rho").as("reg"))
+      val grid = tok.select("lang").distinct()
+        .crossJoin(broadcast(
+          tok.sparkSession.range(m).select(col("id").as("bucket"))))
+      val full = grid.join(regs, Seq("lang", "bucket"), "left_outer")
+        .withColumn("reg", coalesce(col("reg"), lit(0L)))
+      val sums = full.groupBy("lang").agg(
+        sum(expr("CAST(shiftleft(1L, CAST(61 - reg AS INT)) AS DECIMAL(38,0))"))
+          .as("sumsc"),
+        sum(when(col("reg") === 0L, 1L).otherwise(0L)).as("v0"))
+      val exact = tok.select("lang", "token").distinct()
+        .groupBy("lang").agg(count(lit(1)).as("exact"))
+      sums.join(exact, "lang")
+        .withColumn("raw",
+          lit(alpha) * lit(m.toDouble * m) * lit(pow61) /
+            col("sumsc").cast("double"))
+        .select(col("lang"), col("exact"),
+          round(when(col("raw") <= lit(2.5 * m) && col("v0") > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v0")))
+            .otherwise(col("raw")), 3).as("hll_est3"))
+    }),
+
     // Kneser-Ney smoothed bigram probabilities — the language-model
     // scoring tier above the raw unigram logprob: interpolated KN is
     // THE standard n-gram smoother (absolute discount d=0.75 plus a
@@ -734,6 +786,54 @@ object TextQueries {
            |    6) AS avg_logprob
            |FROM toks t JOIN model m ON m.term = t.term, total t2
            |GROUP BY doc_id""".stripMargin,
+
+      "text_distinct_hll" -> {
+        val alpha = 0.7213 / (1.0 + 1.079 / 64)
+        val pow61 = math.pow(2, 61)
+        s"""WITH tok AS (
+           |  SELECT lang, token FROM (
+           |    SELECT lang, unnest(t) AS token
+           |    FROM (SELECT lang, $toksSql AS t FROM documents) q0) q1
+           |  WHERE len(token) > 0
+           |), hh AS (
+           |  SELECT lang, token, md5('hll|' || token) AS h FROM tok
+           |), regs AS (
+           |  SELECT lang,
+           |    CAST('0x' || substr(h, 1, 2) AS BIGINT) % 64 AS bucket,
+           |    max(CASE WHEN CAST('0x' || substr(h, 3, 15) AS BIGINT) = 0
+           |             THEN 61
+           |             ELSE 61 - length(bin(CAST('0x' || substr(h, 3, 15) AS BIGINT)))
+           |        END) AS reg
+           |  FROM hh GROUP BY 1, 2
+           |), grid AS (
+           |  SELECT l.lang, g.bucket
+           |  FROM (SELECT DISTINCT lang FROM tok) l,
+           |       (SELECT unnest(range(0, 64)) AS bucket) g
+           |), f AS (
+           |  SELECT grid.lang, coalesce(r.reg, 0) AS reg
+           |  FROM grid LEFT JOIN regs r
+           |    ON r.lang = grid.lang AND r.bucket = grid.bucket
+           |), sums AS (
+           |  SELECT lang,
+           |    CAST(sum(CAST((CAST(1 AS BIGINT) << CAST(61 - reg AS INT))
+           |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sumsc,
+           |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+           |  FROM f GROUP BY 1
+           |), exact AS (
+           |  SELECT lang, count(DISTINCT token) AS exact FROM tok GROUP BY 1
+           |), est AS (
+           |  SELECT lang,
+           |    CAST($alpha AS DOUBLE) * CAST(4096 AS DOUBLE) *
+           |      CAST($pow61 AS DOUBLE) / CAST(sumsc AS DOUBLE) AS raw,
+           |    v0
+           |  FROM sums
+           |)
+           |SELECT s.lang, e.exact,
+           |  round(CASE WHEN raw <= CAST(160 AS DOUBLE) AND v0 > 0
+           |             THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v0)
+           |             ELSE raw END, 3) AS hll_est3
+           |FROM est s JOIN exact e USING (lang)""".stripMargin
+      },
 
       "text_kneser_ney" ->
         s"""WITH bg AS (

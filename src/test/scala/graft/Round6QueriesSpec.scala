@@ -292,6 +292,20 @@ class Round6QueriesSpec extends SparkSpec {
     }
   }
 
+  test("hll: every language's estimate is finite, positive, and within " +
+       "the m=64 error envelope of the exact distinct count") {
+    val out = graft.queries.TextQueries.queries("text_distinct_hll")(
+        spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, exact, est) =>
+      assert(est > 0 && !est.isNaN && !est.isInfinite)
+      // 1.04/sqrt(64) ~= 13% standard error; 3-sigma envelope ~39%
+      assert(math.abs(est - exact) / exact <= 0.39,
+        s"$lang: est $est vs exact $exact outside the error envelope")
+    }
+  }
+
   test("pq rerank plans no sort-merge join: corpus access is scan + " +
        "broadcast only") {
     val df = graft.queries.SimilarityQueries.queries("sim_topk_pq_rerank")(
