@@ -386,6 +386,75 @@ object SimilarityQueries {
       topk(pairs, 5)
     }),
 
+    // IVF-PQ end to end — the capstone composition of the two ANN
+    // tiers: coarse cells bound WHICH candidates are touched (top-2
+    // probed cells per query ≈ 1/8 of the corpus), PQ codes bound WHAT
+    // is read per candidate (m lookups against the query's ADC table,
+    // not a 64-dim fold), and the exact re-rank restores true order
+    // over the ≤100 ADC survivors. This is the production vector-index
+    // read path; at 100 TB the corpus is stored clustered BY CELL, so
+    // a probe reads only its cells' files — the same pruning story as
+    // partitioned scans, expressed in vector space. Every stage reuses
+    // a proven fragment: sim_topk_ivf's literal coarse centroids,
+    // sim_topk_pq_rerank's codebook/ADC handshake, TopKPerKey's
+    // bounded heaps.
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val b = base(s, dir)
+      val K = 16
+      val cents = b
+        .withColumn("ch",
+          md5(concat(lit("ivf|"), col("vec_id").cast("string"))))
+        .orderBy("ch").limit(K)
+        .select(col("vec_id"), col("e")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val cellScore = cents.map { case (cid, ce) =>
+        val cnrm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
+        struct(
+          (-round(VectorSim.dot(col("e"), typedLit(ce)) /
+            (col("nrm") * lit(cnrm)), 6)).as("negccos"),
+          lit(cid).as("cent_id"))
+      }
+      val ranked = b.withColumn("cells",
+        slice(array_sort(array(cellScore: _*)), 1, 2))
+      val m = pqM; val k = pqK; val sd = pqSd
+      val seeds = KMeans.seedCentroids(b, k, "pq|")
+      def sub(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
+      def cvec(j: Int, i: Int): Column =
+        typedLit(seeds(i)._2.slice(j * sd, (j + 1) * sd))
+      val codes = (0 until m).map { j =>
+        val entries = (0 until k).map(i =>
+          struct(VectorSim.l2sq(sub(j, col("e")), cvec(j, i)).as("d"),
+            lit(i).as("i")))
+        array_min(array(entries: _*)).getField("i").as(s"code$j")
+      }
+      val enc = ranked.select(col("vec_id") +:
+        col("cells").getItem(0).getField("cent_id").as("cell") +: codes: _*)
+      val qtab = array((for { j <- 0 until m; i <- 0 until k } yield
+        VectorSim.l2sq(sub(j, col("qe")), cvec(j, i))): _*)
+      val q = ranked.filter(col("vec_id").isin(boundedQueryIds: _*))
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("cells"))
+      val probes = q.select(col("qid"), qtab.as("qtab"),
+        explode(col("cells")).as("qc"))
+        .select(col("qid"), col("qtab"), col("qc.cent_id").as("qcell"))
+      val adcPairs = enc.join(broadcast(probes),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round((0 until m).map(j =>
+              element_at(col("qtab"), col(s"code$j") + lit(j * k + 1))
+                .cast(DecimalType(18, 9))).reduce(_ + _).cast("double"), 6)
+            .as("adc6"))
+      val cand = graft.plans.TopKPerKey
+        .topK(adcPairs, "qid", Seq(("adc6", false), ("cand_id", false)), pqCand)
+        .select(col("qid"), col("cand_id"))
+      val pairs = b.join(broadcast(cand), col("vec_id") === col("cand_id"))
+        .join(broadcast(q.select("qid", "qe", "qnrm")), "qid")
+        .select(col("qid"), col("cand_id"),
+          round(VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm")), 6).as("cos6"))
+      topk(pairs, 5)
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion of a sparse (BM25, same
     // scoring constants as text_bm25) and a dense (cosine) retriever
     // for one query: the RAG-pipeline ranking op. Each retriever
