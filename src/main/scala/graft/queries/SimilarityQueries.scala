@@ -812,6 +812,81 @@ object SimilarityQueries {
            |      FROM pairs) t
            |WHERE rn <= 5""".stripMargin,
 
+      // IVF-PQ = sim_topk_ivf's coarse-cell CTEs (cents/cellranked/
+      // assigned/probes) composed with sim_topk_pq_rerank's codebook/ADC
+      // CTEs (seeds/cb/best/qtab), both oracle-proven in isolation; the
+      // only new clause is the adc join restricting candidates to the
+      // query's two probed cells — the same predicate the Spark plan
+      // applies (`cell === qcell`).
+      "sim_topk_ivfpq" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), cents AS (
+           |  SELECT vec_id AS cent_id, e AS ce FROM b
+           |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)) LIMIT 16
+           |), cellranked AS (
+           |  SELECT b.vec_id, c.cent_id,
+           |    row_number() OVER (PARTITION BY b.vec_id
+           |      ORDER BY round(${cos("b.e", "c.ce")}, 6) DESC, c.cent_id) AS crn
+           |  FROM b CROSS JOIN cents c
+           |), assigned AS (
+           |  SELECT vec_id, cent_id AS cell FROM cellranked WHERE crn = 1
+           |), seeds AS (
+           |  SELECT e, rn - 1 AS i FROM (
+           |    SELECT e, row_number() OVER (
+           |      ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |    FROM b) q WHERE rn <= $pqK
+           |), js AS (SELECT unnest(range(0, $pqM)) AS j),
+           |cb AS (
+           |  SELECT j, i, e[j*$pqSd+1 : j*$pqSd+$pqSd] AS cvec FROM seeds, js
+           |), best AS (
+           |  SELECT vec_id, j, i AS code FROM (
+           |    SELECT s.vec_id, s.j, c.i,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.j
+           |        ORDER BY list_sum([(s.sub[x] - c.cvec[x]) * (s.sub[x] - c.cvec[x])
+           |                           FOR x IN range(1, len(s.sub) + 1)]), c.i) AS rn
+           |    FROM (SELECT vec_id, j, e[j*$pqSd+1 : j*$pqSd+$pqSd] AS sub FROM b, js) s
+           |    JOIN cb c ON c.j = s.j) q
+           |  WHERE rn = 1
+           |), q AS (
+           |  SELECT vec_id AS qid, e AS qe FROM b
+           |  WHERE vec_id IN (${boundedQueryIds.mkString(", ")})
+           |), probes AS (
+           |  SELECT cr.vec_id AS qid, cr.cent_id AS qcell FROM cellranked cr
+           |  WHERE cr.vec_id IN (${boundedQueryIds.mkString(", ")}) AND cr.crn <= 2
+           |), qtab AS (
+           |  SELECT q.qid, c.j, c.i,
+           |    list_sum([(q.qe[c.j*$pqSd+x] - c.cvec[x]) * (q.qe[c.j*$pqSd+x] - c.cvec[x])
+           |              FOR x IN range(1, $pqSd + 1)]) AS d
+           |  FROM q, cb c
+           |), adc AS (
+           |  SELECT p.qid, bb.vec_id AS cand_id,
+           |    round(CAST(sum(CAST(t.d AS DECIMAL(18,9))) AS DOUBLE), 6) AS adc6
+           |  FROM best bb
+           |  JOIN assigned a ON a.vec_id = bb.vec_id
+           |  JOIN probes p ON p.qcell = a.cell AND bb.vec_id <> p.qid
+           |  JOIN qtab t ON t.qid = p.qid AND t.j = bb.j AND t.i = bb.code
+           |  GROUP BY 1, 2
+           |), cand AS (
+           |  SELECT qid, cand_id FROM (
+           |    SELECT qid, cand_id,
+           |      row_number() OVER (PARTITION BY qid
+           |        ORDER BY adc6, cand_id) AS rn
+           |    FROM adc) t
+           |  WHERE rn <= $pqCand
+           |), pairs AS (
+           |  SELECT c.qid, c.cand_id,
+           |    round(${cos("q.qe", "cb2.e")}, 6) AS cos6
+           |  FROM cand c
+           |  JOIN q ON q.qid = c.qid
+           |  JOIN b cb2 ON cb2.vec_id = c.cand_id
+           |)
+           |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
+           |FROM (SELECT qid, cand_id, cos6,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
+           |      FROM pairs) t
+           |WHERE rn <= 5""".stripMargin,
+
       "sim_hybrid_rank" ->
         s"""WITH d AS (
            |  SELECT doc_id,
