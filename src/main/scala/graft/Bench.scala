@@ -7,9 +7,11 @@ import java.util.concurrent.atomic.AtomicBoolean
   * Built to DEGRADE, never to zero out (r5 lesson: one slow query
   * timed out the whole run and the end-only file write lost all 155
   * timings):
-  *   - the per-query timings file is rewritten after EVERY query, so a
-  *     kill at any point leaves a valid JSON with everything timed so
-  *     far (tagged "partial": true until the run completes);
+  *   - the per-query timings file AND a compact-summary sidecar
+  *     (`bench_summary.json`, same content as the stdout line) are
+  *     rewritten after EVERY query, so a kill at any point leaves valid
+  *     JSON with everything timed so far (tagged "partial": true until
+  *     the run completes);
   *   - a JVM shutdown hook emits the compact stdout line from whatever
   *     completed — SIGTERM from a harness timeout still produces a
   *     parseable bench artifact;
@@ -51,39 +53,53 @@ object Bench {
 
     val outFile =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_timings.json")
+    // fixed sidecar carrying the same compact line as stdout: sbt's
+    // [success] epilogue trails the stdout JSON, so a driver that parses
+    // only a trailing line has recorded parsed=null in every round — the
+    // sidecar is the machine-findable copy, rewritten per query like the
+    // timings file so any kill leaves it current
+    val summaryFile =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
     val estimator = s"min2_under_${rerunBudget}s"
-    // results/errors are appended by the main loop and read by the
-    // shutdown hook — keep both effectively-final and synchronized-ish
-    // via the monitor (the hook runs after the main loop is dead or
-    // between iterations; a lost last element degrades gracefully)
+    // results/errors are appended by the main loop and snapshotted by the
+    // shutdown hook on SIGTERM — all access goes through `lock` so a
+    // signal landing mid-append can't tear the hook's toList
+    val lock = new Object
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var errors = List.empty[String]
     val done = new AtomicBoolean(false)
 
+    def snapshot(): (List[(String, Double)], List[String]) =
+      lock.synchronized((results.toList, errors))
     def queriesJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => jq(k) + ":" + sec(v) }.mkString("{", ",", "}")
+    def write(path: String, s: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     def fullJson(partial: Boolean): String = {
-      val rs = results.toList
-      val errJson = errors.reverse.map(jq).mkString("[", ",", "]")
+      val (rs, errs) = snapshot()
+      val errJson = errs.reverse.map(jq).mkString("[", ",", "]")
       s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":$partial,"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":${queriesJson(rs)},"errors":$errJson,"sf":"$sfDir"}"""
     }
-    def writeFile(partial: Boolean): Unit =
-      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        fullJson(partial).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
-    val printed = new AtomicBoolean(false)
-    // ONE compact stdout line (the harness keeps only the last ~2000
-    // chars of stdout — a full 155-query line would front-truncate into
-    // unparseable JSON, which killed the r3/r4 parses): total + errors +
-    // the 10 slowest + a pointer to the full per-query file.
-    def emitCompact(): Unit = if (printed.compareAndSet(false, true)) {
-      val rs = results.toList
-      val errJson = errors.reverse.map(jq).mkString("[", ",", "]")
+    // total + errors + the 10 slowest + a pointer to the full per-query
+    // file (the harness keeps only the last ~2000 chars of stdout — a
+    // full 178-query line would front-truncate into unparseable JSON)
+    def compactJson(): String = {
+      val (rs, errs) = snapshot()
+      val errJson = errs.reverse.map(jq).mkString("[", ",", "]")
       val slowest = queriesJson(rs.sortBy(-_._2).take(10))
-      println(
-        s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":${!done.get()},"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":$slowest,"queries_file":${jq(outFile)},"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":${!done.get()},"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":$slowest,"queries_file":${jq(outFile)},"errors":$errJson,"sf":"$sfDir"}"""
     }
-    // harness timeouts deliver SIGTERM: flush the file and the stdout
+    def writeFile(partial: Boolean): Unit = {
+      write(outFile, fullJson(partial))
+      write(summaryFile, compactJson())
+    }
+    val printed = new AtomicBoolean(false)
+    // ONE compact stdout line, last so it sits in the harness's tail
+    def emitCompact(): Unit =
+      if (printed.compareAndSet(false, true)) println(compactJson())
+    // harness timeouts deliver SIGTERM: flush the files and the stdout
     // line from whatever completed instead of dying silently
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!done.get()) { writeFile(partial = true); emitCompact() }
@@ -117,8 +133,10 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
-          if (!failed)
-            errors ::= s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')}"
+          if (!failed) {
+            val msg = s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')}"
+            lock.synchronized { errors ::= msg }
+          }
           failed = true
         }
         (System.nanoTime() - t0) / 1e9
@@ -133,7 +151,7 @@ object Bench {
       if (rescue) rescueSpent += t1
       val t = if (!failed && (t1 <= rerunBudget || rescue))
         math.min(t1, once()) else t1
-      results += (name -> t)
+      lock.synchronized { results += (name -> t) }
       writeFile(partial = true)
     }
     done.set(true)
