@@ -106,7 +106,7 @@ object GraphOps {
   def pagerank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
                edgesDistinct: Boolean = false,
-               rankBroadcastMaxNodes: Long = 50L * 1000 * 1000): DataFrame = {
+               rankBroadcastMaxNodes: Long = 10L * 1000 * 1000): DataFrame = {
     // materialize the caller's edge derivation ONCE — the symmetrization
     // union consumes it twice, and without the checkpoint both branches
     // re-run whatever join/distinct produced it
@@ -129,9 +129,11 @@ object GraphOps {
     val nNodes = deg.count()
     val n = nNodes.toDouble
     // The rank table is one row per node. Up to `rankBroadcastMaxNodes`
-    // it is BROADCAST into each round's join (per-executor memory ∝ |V|
-    // — fine into the tens of millions, a hard ceiling at billion-node
-    // graphs); above the threshold each round shuffle-joins the rank
+    // it is BROADCAST into each round's join (per-executor memory ∝ |V|:
+    // a (long, double) row hash-relation-expands to ~40-60 B, so the
+    // 10M default keeps the broadcast in the few-hundred-MB range an
+    // executor can absorb; a hard ceiling at billion-node graphs);
+    // above the threshold each round shuffle-joins the rank
     // table instead (rank shuffle ∝ |V| per round — small next to the
     // edge list, and with no per-executor materialization it has no
     // memory ceiling). The edge list is pre-partitioned ONCE to match
@@ -185,7 +187,7 @@ object GraphOps {
     * node adopts the most frequent label among its NEIGHBOURS, ties
     * broken by smallest label.
     *
-    * Scale shape: per round one join of the (dst-clustered, reused
+    * Scale shape: per round one join of the (src-clustered, reused
     * exchange) edge list against the one-row-per-node label table plus
     * one partial-agg'd (dst, lbl) count and a bounded top-1 per node —
     * the same cost contract as a PageRank round; counts are exact longs,

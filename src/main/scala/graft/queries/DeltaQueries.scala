@@ -689,8 +689,9 @@ object DeltaQueries {
          |  UNION ALL
          |  SELECT item_id, 2, ${bSql(2, "item")} FROM items
          |)
-         |SELECT p.item_id AS item, CAST(min(c.c) AS BIGINT) AS est
-         |FROM probes p JOIN cells c ON c.d = p.d AND c.b = p.b
+         |SELECT p.item_id AS item,
+         |  CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS est
+         |FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.b = p.b
          |GROUP BY 1""".stripMargin
     },
     "delta_history_dpp" -> {

@@ -699,9 +699,12 @@ object TemporalQueries {
       val probes = (0 to 2).map(d =>
         items.select(col("item"), lit(d).as("d"), bucket(d).as("b")))
         .reduce(_ unionByName _)
-      probes.join(cells, Seq("d", "b"))
+      // left join: CMS semantics say a probed cell with no entry counts
+      // as 0 (min over cells), so an item whose cell is empty gets
+      // est=0 instead of silently vanishing from the output
+      probes.join(cells, Seq("d", "b"), "left")
         .groupBy("item")
-        .agg(min("c").as("est"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("est"))
         .select(col("item").cast("long").as("item"), col("est"))
     }),
 
