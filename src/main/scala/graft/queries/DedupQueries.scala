@@ -126,6 +126,68 @@ object DedupQueries {
     out
   }
 
+  /** Incremental cross-snapshot dedup — the weekly-cadence shape: dedup
+    * the NEWEST snapshot (here: the injected near-copy delivery, ids
+    * offset +1e5) against the PERSISTED historical minhash index
+    * ([[baseMinhash]]) without re-shingling history. Only the new
+    * snapshot pays explode + signature cost; the historical side is
+    * consumed as two cached side tables (shingles + signatures — the
+    * artifacts a production pipeline materializes once per corpus
+    * snapshot). Candidate generation joins NEW band buckets against
+    * history ∪ new buckets, so history×history candidates are never
+    * formed — per delivery the work is O(|new| + matched suspects), not
+    * O(|corpus|). The bucket-size cap is computed over the FULL bucket
+    * stream so the capped candidate set is identical to the full-corpus
+    * run's; the result therefore equals full-corpus dedup restricted to
+    * newest-side pairs (the oracle's formulation, and pinned in
+    * Round7QueriesSpec together with the plan property that every
+    * shingle explode sits on the new side).
+    *
+    * `inspect = true` returns the un-materialized frame (no persists,
+    * no checkpoint) so specs can walk the plan.
+    */
+  private[graft] def incrementalDedup(s: SparkSession, dir: String,
+                                      inspect: Boolean = false): DataFrame = {
+    val (baseSh, baseSig) = baseMinhash(s, dir)
+    val newDocs = docs(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("xdup "), col("text")).as("text"))
+    val newShRaw = TextDedup.shingles(newDocs, "doc_id", "text")
+    val newSh = if (inspect) newShRaw else newShRaw.persist()
+    val newSig = TextDedup.minhashSignature(newSh)
+    val histB = TextDedup.bandBuckets(baseSig)
+    val newB = TextDedup.bandBuckets(newSig)
+    val allB = histB.unionByName(newB)
+    // same oversized-key cap as candidatePairs, over the FULL stream so
+    // incremental and full-corpus candidate sets agree exactly
+    val oversized = allB.groupBy("band", "key")
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > 1000)
+      .select("band", "key")
+    def capped(b: DataFrame): DataFrame =
+      b.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+    val pairsRaw = capped(newB).alias("n")
+      .join(capped(allB).alias("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("id1"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("id2"))
+      .distinct()
+    val pairs = if (inspect) pairsRaw else pairsRaw.persist()
+    val sh = baseSh.unionByName(newSh)
+    val sizes = baseSig.select("doc_id", "sz")
+      .unionByName(newSig.select("doc_id", "sz"))
+    val verified = TextDedup.jaccardVerify(pairs, sh, Some(sizes))
+      .where(col("jaccard") >= 0.6)
+    if (inspect) verified
+    else {
+      val out = verified.localCheckpoint() // eager — release caches below
+      pairs.unpersist(); newSh.unpersist()
+      out
+    }
+  }
+
   private val verifiedPairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
@@ -218,6 +280,10 @@ object DedupQueries {
             (col("sz1") + col("sz2") - col("inter")).cast("double"), 4)
             .as("jaccard4"))
     }),
+
+    // incremental cross-snapshot dedup: newest snapshot vs the persisted
+    // historical minhash index — see [[incrementalDedup]]
+    "doc_dedup_incremental" -> ((s, dir) => incrementalDedup(s, dir)),
 
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
     // buckets with >1 doc are dup candidates (no pair explosion).
@@ -403,6 +469,13 @@ object DedupQueries {
          |WHERE rn = 1""".stripMargin,
 
     "doc_dedup_minhash" -> minhashOracle,
+
+    // incremental = full-corpus dedup restricted to pairs touching the
+    // newest snapshot (new ids are all >= 1e5 and id1 < id2, so
+    // id2 >= 1e5 ⇔ at least one member is new)
+    "doc_dedup_incremental" ->
+      s"""SELECT id1, id2, jaccard FROM ($minhashOracle) q
+         |WHERE id2 >= 100000""".stripMargin,
 
     "doc_dedup_containment" ->
       s"""WITH corpus AS (

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.Generate
+
+/** Invariants of the round-7 queries beyond the oracle's hash-compare:
+  * the incremental cross-snapshot dedup must (a) produce exactly the
+  * newest-side restriction of the full-corpus run and (b) never
+  * re-derive the historical index — history is read from the persisted
+  * side tables and only the new snapshot is shingled.
+  */
+class Round7QueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental dedup equals the full-corpus run restricted to " +
+       "newest-side pairs") {
+    val full = graft.queries.DedupQueries.queries("doc_dedup_minhash")(
+        spark, sfDir)
+      .where(col("id2") >= 100000L)
+      .as[(Long, Long, Double)].collect().toSet
+    val inc = graft.queries.DedupQueries.queries("doc_dedup_incremental")(
+        spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc.nonEmpty, "no newest-side near-dup pairs found")
+    assert(inc == full,
+      s"incremental != restricted full corpus: only-inc=${(inc -- full).take(5)}, " +
+        s"only-full=${(full -- inc).take(5)}")
+  }
+
+  test("incremental dedup reads history from the persisted index: the " +
+       "plan hits InMemoryRelation and every shingle explode is on the " +
+       "newest snapshot only") {
+    val plan = graft.queries.DedupQueries
+      .incrementalDedup(spark, sfDir, inspect = true)
+      .queryExecution.optimizedPlan
+    // the historical shingle/signature side tables are consumed as
+    // cached relations — history text is never re-shingled
+    assert(plan.toString.contains("InMemoryRelation"),
+      s"history side not served from the persisted index:\n$plan")
+    // every SHINGLE explode (generator slicing the token array — the
+    // per-token cost that must not touch history; band-bucket explodes
+    // are 4-struct metadata work and exempt) must sit on the injected
+    // newest snapshot, recognizable by its 'xdup ' prefix literal
+    val gens = plan.collect { case g: Generate => g }
+      .filter(_.generator.toString.contains("slice(toks"))
+    assert(gens.nonEmpty, "expected the new snapshot's shingle explode")
+    gens.foreach(g =>
+      assert(g.toString.contains("xdup"),
+        s"shingle explode over non-snapshot input:\n$g"))
+  }
+}
