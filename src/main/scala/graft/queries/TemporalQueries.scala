@@ -51,8 +51,21 @@ object TemporalQueries {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // propagate the batch-split knob (newSession starts from defaults):
+    // LayoutInvarianceSpec varies it to prove the folds are
+    // micro-batch-split independent
+    ss.conf.set(MaxFilesKey, s.conf.get(MaxFilesKey, "32"))
     ss
   }
+
+  /** How many lake files each micro-batch ingests (64 files / 32 = the
+    * 2-batch minimum that still proves an incremental fold). Settable so
+    * specs can re-run a stream under a different split and assert the
+    * final store is identical.
+    */
+  private val MaxFilesKey = "spark.graft.stream.maxFilesPerTrigger"
+  private def maxFilesPerTrigger(s: SparkSession): String =
+    s.conf.get(MaxFilesKey, "32")
 
   /** Sink+checkpoint root for a streaming query, keyed by (query, sf
     * dir) and wiped at entry: repeated Bench/Verify runs overwrite ONE
@@ -609,7 +622,7 @@ object TemporalQueries {
       // multi-batch shape)
       var current: Option[String] = None // driver-side; batches run sequentially
       val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "32")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger(s))
         .parquet(root)
         .writeStream
         .outputMode("append")
@@ -666,7 +679,7 @@ object TemporalQueries {
         new java.net.URI(s"file://$tmp"), s.sessionState.newHadoopConf())
       var current: Option[String] = None // batches run sequentially
       val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "32")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger(s))
         .parquet(root)
         .writeStream
         .outputMode("append")
