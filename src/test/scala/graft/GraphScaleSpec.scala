@@ -89,6 +89,26 @@ class GraphScaleSpec extends SparkSpec {
         s"re-shuffle the edge list per round:\n$plan")
   }
 
+  test("label propagation: the early-exit path converges to the same " +
+       "labels as the chained fixed-round path") {
+    // two triangles + a bridge: label flow settles well inside 10
+    // rounds, so the early-exit path stops at the fixpoint probe while
+    // the chained path runs all 10 — identical labels proves the
+    // fixpoint is absorbing (an unchanged table reproduces itself)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)
+    ).toDF("id1", "id2")
+    val chained = graft.operators.GraphOps
+      .labelPropagation(edges, rounds = 10)
+      .as[(Long, Long)].collect().toSet
+    val early = graft.operators.GraphOps
+      .labelPropagation(edges, rounds = 10, earlyExit = true)
+      .as[(Long, Long)].collect().toSet
+    assert(early == chained,
+      s"early-exit labels diverged: ${early -- chained} vs ${chained -- early}")
+  }
+
   test("emb_pq_encode: literal-codebook encoding is one corpus scan — " +
        "zero joins and zero aggregates in the plan") {
     val df = graft.queries.SimilarityQueries.queries("emb_pq_encode")(
