@@ -120,10 +120,15 @@ object TextDedup {
       .agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") > maxBucketSize)
       .select("band", "key")
-    val capped = buckets
+    // the cap is applied to ONE side only: the pair join is inner on
+    // (band, key), so a key dropped from side a forms no pairs no matter
+    // what side b holds — capping b too would just re-run the anti-join
+    // chain (a second full pass over the bucket stream) for an
+    // identical result
+    val a = buckets
       .join(broadcast(oversized), Seq("band", "key"), "left_anti")
-    val a = capped.alias("a")
-    val b = capped.alias("b")
+      .alias("a")
+    val b = buckets.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -175,8 +180,15 @@ object TextDedup {
     // shingleKeys). Intersection COUNTS are hash-invariant — a within-doc
     // collision among ~1M distinct shingles has probability ~5e-8 and
     // would be caught by the oracle hash gate.
+    // MATERIALIZED (eager, lineage-truncated): both intersection sides
+    // read this frame, and without the checkpoint each alias re-scans
+    // the full corpus shingle table for its semi-join — at 100 TB that
+    // is two passes over the biggest table in the pipeline to build the
+    // same small suspects-only result twice. The materialization itself
+    // is bounded by candidate count × shingles-per-doc, not corpus size.
     val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
+      .localCheckpoint()
     val a = shCand.alias("sa")
     val b = shCand.alias("sb")
     val inter = pairs.alias("p")

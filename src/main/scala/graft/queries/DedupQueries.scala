@@ -155,20 +155,29 @@ object DedupQueries {
         concat(lit("xdup "), col("text")).as("text"))
     val newShRaw = TextDedup.shingles(newDocs, "doc_id", "text")
     val newSh = if (inspect) newShRaw else newShRaw.persist()
-    val newSig = TextDedup.minhashSignature(newSh)
-    val histB = TextDedup.bandBuckets(baseSig)
-    val newB = TextDedup.bandBuckets(newSig)
-    val allB = histB.unionByName(newB)
+    // ONE persisted signature union feeds every downstream consumer
+    // (bucket stream ×3, sizes ×2) — measured faster at bench scale
+    // than fanning consumers out over separate cached tables, and the
+    // only per-run signature work is the (small) new side's
+    val sigAllRaw = baseSig.unionByName(TextDedup.minhashSignature(newSh))
+    val sigAll = if (inspect) sigAllRaw else sigAllRaw.persist()
+    val allB = TextDedup.bandBuckets(sigAll)
     // same oversized-key cap as candidatePairs, over the FULL stream so
     // incremental and full-corpus candidate sets agree exactly
     val oversized = allB.groupBy("band", "key")
       .agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") > 1000)
       .select("band", "key")
-    def capped(b: DataFrame): DataFrame =
-      b.join(broadcast(oversized), Seq("band", "key"), "left_anti")
-    val pairsRaw = capped(newB).alias("n")
-      .join(capped(allB).alias("o"),
+    // the cap is applied to the (small) probe side only — the pair join
+    // is inner on (band, key), so keys dropped here form no pairs no
+    // matter what the other side holds (same one-sided-cap argument as
+    // candidatePairs); the probe side is a FILTER of the shared bucket
+    // stream (new snapshot ids sit above the +1e5 offset), not a second
+    // bucket pipeline
+    val cappedNew = allB.where(col("doc_id") >= 100000L)
+      .join(broadcast(oversized), Seq("band", "key"), "left_anti")
+    val pairsRaw = cappedNew.alias("n")
+      .join(allB.alias("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
           col("n.doc_id") =!= col("o.doc_id"))
       .select(least(col("n.doc_id"), col("o.doc_id")).as("id1"),
@@ -176,14 +185,13 @@ object DedupQueries {
       .distinct()
     val pairs = if (inspect) pairsRaw else pairsRaw.persist()
     val sh = baseSh.unionByName(newSh)
-    val sizes = baseSig.select("doc_id", "sz")
-      .unionByName(newSig.select("doc_id", "sz"))
-    val verified = TextDedup.jaccardVerify(pairs, sh, Some(sizes))
+    val verified = TextDedup.jaccardVerify(pairs, sh,
+        Some(sigAll.select("doc_id", "sz")))
       .where(col("jaccard") >= 0.6)
     if (inspect) verified
     else {
       val out = verified.localCheckpoint() // eager — release caches below
-      pairs.unpersist(); newSh.unpersist()
+      pairs.unpersist(); sigAll.unpersist(); newSh.unpersist()
       out
     }
   }
