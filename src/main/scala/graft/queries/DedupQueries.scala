@@ -293,6 +293,61 @@ object DedupQueries {
     // historical minhash index — see [[incrementalDedup]]
     "doc_dedup_incremental" -> ((s, dir) => incrementalDedup(s, dir)),
 
+    // exact repeated-span dedup (the "deduplicating training data"
+    // operator, cf. Lee et al. 2022): every 15-token span occurring in
+    // MORE THAN ONE document is removed from every doc except the
+    // span's min-id keeper; overlapping removals merge into per-doc
+    // [start_tok, end_tok) intervals. This catches shared boilerplate /
+    // quoted passages that whole-doc near-dup misses. Pipeline: token
+    // windows hash to md5 keys (one explode — |tokens| rows), one
+    // hash-keyed shuffle groups occurrences (dup test is min≠max doc —
+    // no distinct agg), removals join back on the hash, and interval
+    // merge is a per-doc gaps-and-islands window (state bounded by doc
+    // length). That is the linear full-scan alternative to suffix-array
+    // span dedup — every stage is a shuffle on a fixed-width key, so it
+    // scales like exact dedup, not like pairwise comparison. Corpus
+    // injects composite docs (210-char prefix of every doc_id % 4 == 0
+    // doc + a 3-token tail) so cross-doc spans exist by construction;
+    // the tail is too short to form spans of its own.
+    "doc_dedup_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 15
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(substring(col("text"), 1, 210), lit(" zq tail zq"))
+              .as("text")))
+      val toks = corpus
+        .select(col("doc_id"),
+          split(TextDedup.normalize(col("text")), " ").as("t"))
+        .where(size(col("t")) >= L)
+      val spans = toks.select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $L), " +
+            s"i -> md5(concat_ws(' ', slice(t, i + 1, $L))))")))
+        .select(col("doc_id"), col("pos"), col("col").as("h"))
+      val dup = spans.groupBy("h")
+        .agg(min("doc_id").as("keep_doc"), max("doc_id").as("max_doc"))
+        .where(col("keep_doc") =!= col("max_doc"))
+        .select("h", "keep_doc")
+      val rem = spans.join(dup, "h")
+        .where(col("doc_id") =!= col("keep_doc"))
+        .select(col("doc_id"), col("pos").cast("long").as("s0"),
+          (col("pos") + L).cast("long").as("s1"))
+      val w = Window.partitionBy("doc_id").orderBy("s0", "s1")
+      val isl = rem
+        .withColumn("pm",
+          max("s1").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island",
+          sum(when(col("pm").isNull || col("s0") > col("pm"), 1L)
+            .otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      isl.groupBy("doc_id", "island")
+        .agg(min("s0").as("start_tok"), max("s1").as("end_tok"),
+          count(lit(1)).as("n_spans"))
+        .select("doc_id", "start_tok", "end_tok", "n_spans")
+    }),
+
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
     // buckets with >1 doc are dup candidates (no pair explosion).
     "doc_dedup_simhash" -> ((s, dir) => {
@@ -527,6 +582,44 @@ object DedupQueries {
          |SELECT CAST(id AS BIGINT) AS doc_id,
          |  CAST(min(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
+
+    "doc_dedup_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, substr(text, 1, 210) || ' zq tail zq'
+         |  FROM documents WHERE doc_id % 4 = 0
+         |), toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM corpus
+         |), spans AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(t) - 15 + 1)) AS pos,
+         |    unnest([md5(array_to_string(t[i+1:i+15], ' '))
+         |            FOR i IN range(0, len(t) - 15 + 1)]) AS h
+         |  FROM toks WHERE len(t) >= 15
+         |), dup AS (
+         |  SELECT h, min(doc_id) AS keep_doc FROM spans
+         |  GROUP BY h HAVING min(doc_id) <> max(doc_id)
+         |), rem AS (
+         |  SELECT s.doc_id, CAST(s.pos AS BIGINT) AS s0,
+         |    CAST(s.pos + 15 AS BIGINT) AS s1
+         |  FROM spans s JOIN dup d ON d.h = s.h
+         |  WHERE s.doc_id <> d.keep_doc
+         |), ord AS (
+         |  SELECT doc_id, s0, s1,
+         |    max(s1) OVER (PARTITION BY doc_id ORDER BY s0, s1
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM rem
+         |), isl AS (
+         |  SELECT doc_id, s0, s1,
+         |    sum(CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s0, s1
+         |            ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM ord
+         |)
+         |SELECT doc_id, min(s0) AS start_tok, max(s1) AS end_tok,
+         |  count(*) AS n_spans
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     "doc_dedup_simhash" ->
       s"""WITH corpus AS (

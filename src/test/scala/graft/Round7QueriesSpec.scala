@@ -27,6 +27,45 @@ class Round7QueriesSpec extends SparkSpec {
         s"only-full=${(full -- inc).take(5)}")
   }
 
+  test("span dedup on the real corpus: every injected composite doc " +
+       "has its shared prefix marked, and intervals are disjoint, " +
+       "ordered and span-aligned") {
+    val out = graft.queries.DedupQueries.queries("doc_dedup_spans")(
+        spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // NOTE: plain docs legitimately appear too — the fixture text
+    // generator reuses long sentence fragments, so natural cross-doc
+    // spans exist among the base docs (verified: doc 12 shares a
+    // 76-token block with a lower-id doc); only the injected side is
+    // asserted exhaustively
+    // every injected composite (source had >= 15 tokens in its 210-char
+    // prefix) is flagged — the shared prefix is a cross-doc span
+    val flagged = out.map(_._1).toSet
+    val expected = graft.Tables(spark, sfDir, "documents")
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        org.apache.spark.sql.functions.substring(col("text"), 1, 210)
+          .as("p"))
+      .where(col("doc_id") % 4 === 300000L % 4)
+      .as[(Long, String)].collect()
+      .filter(_._2.trim.split("\\s+").length >= 15)
+      .map(_._1).toSet
+    assert(expected.subsetOf(flagged),
+      s"unflagged composites: ${(expected -- flagged).take(5)}")
+    // intervals within a doc are disjoint (merged), ordered, and each
+    // covers at least one full span
+    out.groupBy(_._1).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      sorted.foreach { case (_, s0, s1, n) =>
+        assert(s1 - s0 >= 15 && n >= 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1)
+        case _ => ()
+      }
+    }
+  }
+
   test("incremental dedup reads history from the persisted index: the " +
        "plan hits InMemoryRelation and every shingle explode is on the " +
        "newest snapshot only") {
