@@ -455,6 +455,90 @@ object SimilarityQueries {
       topk(pairs, 5)
     }),
 
+    // Residual IVF-PQ — the production-faithful refinement of
+    // sim_topk_ivfpq: PQ encodes the RESIDUAL r = e − centroid(cell)
+    // instead of the raw vector, so the codebook only has to cover the
+    // cell radius instead of the whole space and quantization error
+    // shrinks accordingly (the construction of Jégou et al.'s IVFADC).
+    // The ADC table is built per (query, probed cell) — the query's
+    // residual differs per cell — which is why real indexes cap nprobe.
+    // Everything stays zero-corpus-join: centroids ride along as a
+    // LITERAL id→vector map (element_at + zip_with per row), the
+    // residual codebook is 16 driver-collected residual vectors, and
+    // probes broadcast. Scale shape identical to sim_topk_ivfpq; only
+    // the per-row expression work deepens.
+    "sim_topk_ivfpq_residual" -> ((s, dir) => {
+      val b = base(s, dir)
+      val K = 16
+      val cents = b
+        .withColumn("ch",
+          md5(concat(lit("ivf|"), col("vec_id").cast("string"))))
+        .orderBy("ch").limit(K)
+        .select(col("vec_id"), col("e")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val cellScore = cents.map { case (cid, ce) =>
+        val cnrm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
+        struct(
+          (-round(VectorSim.dot(col("e"), typedLit(ce)) /
+            (col("nrm") * lit(cnrm)), 6)).as("negccos"),
+          lit(cid).as("cent_id"))
+      }
+      val centLit = typedLit(cents.toMap)
+      val withRes = b
+        .withColumn("cells",
+          slice(array_sort(array(cellScore: _*)), 1, 2))
+        .withColumn("cell", col("cells").getItem(0).getField("cent_id"))
+        .withColumn("r",
+          zip_with(col("e"), element_at(centLit, col("cell")), (x, c) => x - c))
+      val m = pqM; val k = pqK; val sd = pqSd
+      // codebook = residuals of the 16 md5-chosen seed rows (metadata
+      // collect; the subtraction is the same IEEE op both engines run)
+      val seeds = withRes
+        .withColumn("h",
+          md5(concat(lit("rpq|"), col("vec_id").cast("string"))))
+        .orderBy("h", "vec_id").limit(k)
+        .select("r").collect().map(_.getSeq[Double](0))
+      def sub(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
+      def rcvec(j: Int, i: Int): Column =
+        typedLit(seeds(i).slice(j * sd, (j + 1) * sd))
+      val codes = (0 until m).map { j =>
+        val entries = (0 until k).map(i =>
+          struct(VectorSim.l2sq(sub(j, col("r")), rcvec(j, i)).as("d"),
+            lit(i).as("i")))
+        array_min(array(entries: _*)).getField("i").as(s"code$j")
+      }
+      val enc = withRes.select(col("vec_id") +: col("cell") +: codes: _*)
+      val q = withRes.filter(col("vec_id").isin(boundedQueryIds: _*))
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("cells"))
+      // ADC table per (query, probed cell): the query residual is
+      // cell-relative, so each probe row carries its own 128-entry table
+      val qtab = array((for { j <- 0 until m; i <- 0 until k } yield
+        VectorSim.l2sq(sub(j, col("qr")), rcvec(j, i))): _*)
+      val probes = q
+        .select(col("qid"), col("qe"), explode(col("cells")).as("qc"))
+        .select(col("qid"), col("qe"), col("qc.cent_id").as("qcell"))
+        .withColumn("qr",
+          zip_with(col("qe"), element_at(centLit, col("qcell")), (x, c) => x - c))
+        .select(col("qid"), col("qcell"), qtab.as("qtab"))
+      val adcPairs = enc.join(broadcast(probes),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round((0 until m).map(j =>
+              element_at(col("qtab"), col(s"code$j") + lit(j * k + 1))
+                .cast(DecimalType(18, 9))).reduce(_ + _).cast("double"), 6)
+            .as("adc6"))
+      val cand = graft.plans.TopKPerKey
+        .topK(adcPairs, "qid", Seq(("adc6", false), ("cand_id", false)), pqCand)
+        .select(col("qid"), col("cand_id"))
+      val pairs = b.join(broadcast(cand), col("vec_id") === col("cand_id"))
+        .join(broadcast(q.select("qid", "qe", "qnrm")), "qid")
+        .select(col("qid"), col("cand_id"),
+          round(VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm")), 6).as("cos6"))
+      topk(pairs, 5)
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion of a sparse (BM25, same
     // scoring constants as text_bm25) and a dense (cosine) retriever
     // for one query: the RAG-pipeline ranking op. Each retriever
@@ -866,6 +950,91 @@ object SimilarityQueries {
            |  JOIN assigned a ON a.vec_id = bb.vec_id
            |  JOIN probes p ON p.qcell = a.cell AND bb.vec_id <> p.qid
            |  JOIN qtab t ON t.qid = p.qid AND t.j = bb.j AND t.i = bb.code
+           |  GROUP BY 1, 2
+           |), cand AS (
+           |  SELECT qid, cand_id FROM (
+           |    SELECT qid, cand_id,
+           |      row_number() OVER (PARTITION BY qid
+           |        ORDER BY adc6, cand_id) AS rn
+           |    FROM adc) t
+           |  WHERE rn <= $pqCand
+           |), pairs AS (
+           |  SELECT c.qid, c.cand_id,
+           |    round(${cos("q.qe", "cb2.e")}, 6) AS cos6
+           |  FROM cand c
+           |  JOIN q ON q.qid = c.qid
+           |  JOIN b cb2 ON cb2.vec_id = c.cand_id
+           |)
+           |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, cos6
+           |FROM (SELECT qid, cand_id, cos6,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
+           |      FROM pairs) t
+           |WHERE rn <= 5""".stripMargin,
+
+      // residual variant: same coarse CTEs; PQ runs on r = e − cent(cell)
+      // (res), the codebook seeds on residuals ('rpq|' family), and the
+      // ADC table is per (query, probed cell) via the query residual
+      "sim_topk_ivfpq_residual" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), cents AS (
+           |  SELECT vec_id AS cent_id, e AS ce FROM b
+           |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)) LIMIT 16
+           |), cellranked AS (
+           |  SELECT b.vec_id, c.cent_id,
+           |    row_number() OVER (PARTITION BY b.vec_id
+           |      ORDER BY round(${cos("b.e", "c.ce")}, 6) DESC, c.cent_id) AS crn
+           |  FROM b CROSS JOIN cents c
+           |), assigned AS (
+           |  SELECT vec_id, cent_id AS cell FROM cellranked WHERE crn = 1
+           |), res AS (
+           |  SELECT a.vec_id, a.cell,
+           |    [b.e[x] - c.ce[x] FOR x IN range(1, len(b.e) + 1)] AS r
+           |  FROM assigned a
+           |  JOIN b ON b.vec_id = a.vec_id
+           |  JOIN cents c ON c.cent_id = a.cell
+           |), seeds AS (
+           |  SELECT r, rn - 1 AS i FROM (
+           |    SELECT r, row_number() OVER (
+           |      ORDER BY md5('rpq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |    FROM res) q WHERE rn <= $pqK
+           |), js AS (SELECT unnest(range(0, $pqM)) AS j),
+           |cb AS (
+           |  SELECT j, i, r[j*$pqSd+1 : j*$pqSd+$pqSd] AS cvec FROM seeds, js
+           |), best AS (
+           |  SELECT vec_id, j, i AS code FROM (
+           |    SELECT s.vec_id, s.j, c.i,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.j
+           |        ORDER BY list_sum([(s.sub[x] - c.cvec[x]) * (s.sub[x] - c.cvec[x])
+           |                           FOR x IN range(1, len(s.sub) + 1)]), c.i) AS rn
+           |    FROM (SELECT vec_id, j, r[j*$pqSd+1 : j*$pqSd+$pqSd] AS sub
+           |          FROM res, js) s
+           |    JOIN cb c ON c.j = s.j) q
+           |  WHERE rn = 1
+           |), q AS (
+           |  SELECT vec_id AS qid, e AS qe FROM b
+           |  WHERE vec_id IN (${boundedQueryIds.mkString(", ")})
+           |), probes AS (
+           |  SELECT cr.vec_id AS qid, cr.cent_id AS qcell FROM cellranked cr
+           |  WHERE cr.vec_id IN (${boundedQueryIds.mkString(", ")}) AND cr.crn <= 2
+           |), qres AS (
+           |  SELECT p.qid, p.qcell,
+           |    [q.qe[x] - c.ce[x] FOR x IN range(1, len(q.qe) + 1)] AS qr
+           |  FROM probes p
+           |  JOIN q ON q.qid = p.qid
+           |  JOIN cents c ON c.cent_id = p.qcell
+           |), qtab AS (
+           |  SELECT qr.qid, qr.qcell, c.j, c.i,
+           |    list_sum([(qr.qr[c.j*$pqSd+x] - c.cvec[x]) * (qr.qr[c.j*$pqSd+x] - c.cvec[x])
+           |              FOR x IN range(1, $pqSd + 1)]) AS d
+           |  FROM qres qr, cb c
+           |), adc AS (
+           |  SELECT t.qid, bb.vec_id AS cand_id,
+           |    round(CAST(sum(CAST(t.d AS DECIMAL(18,9))) AS DOUBLE), 6) AS adc6
+           |  FROM best bb
+           |  JOIN assigned a ON a.vec_id = bb.vec_id
+           |  JOIN qtab t ON t.qcell = a.cell AND t.j = bb.j AND t.i = bb.code
+           |  WHERE bb.vec_id <> t.qid
            |  GROUP BY 1, 2
            |), cand AS (
            |  SELECT qid, cand_id FROM (

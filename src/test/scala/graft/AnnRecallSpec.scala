@@ -16,6 +16,24 @@ class AnnRecallSpec extends SparkSpec {
     SimilarityQueries.queries(name)(spark, sfDir)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
 
+  test("residual IVF-PQ recalls at least what raw-vector IVF-PQ does " +
+       "against the bounded brute-force baseline") {
+    // same coarse cells, same ADC budget — the residual codebook only
+    // has to cover the cell radius, so its quantization error (and
+    // hence its ADC prune) can't be systematically worse than the
+    // raw-vector codebook's. The fixture is iid noise (PQ's worst
+    // case), so assert no-regression plus a modest absolute floor
+    // rather than a tight number.
+    val brute = pairs("sim_topk_brute_bounded")
+    val raw = pairs("sim_topk_ivfpq")
+    val res = pairs("sim_topk_ivfpq_residual")
+    val rawR = (raw intersect brute).size.toDouble / brute.size
+    val resR = (res intersect brute).size.toDouble / brute.size
+    info(f"recall@5 vs bounded brute: ivfpq=$rawR%.3f residual=$resR%.3f")
+    assert(resR >= rawR - 0.05, s"residual PQ degraded recall: $resR < $rawR")
+    assert(resR >= 0.15, s"residual IVF-PQ recall floor broken: $resR")
+  }
+
   test("OR-amplified LSH and IVF meet recall floors vs brute force") {
     val brute = pairs("sim_topk_brute")
     val ann = pairs("sim_topk_ann")
