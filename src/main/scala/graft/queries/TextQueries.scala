@@ -22,6 +22,66 @@ object TextQueries {
   /** BPE-ish pre-tokenization: word runs or single non-word-non-space. */
   private val bpeRegex = "[a-z0-9]+|[^a-z0-9 ]"
 
+  /** (lang, bucket, reg): zero-filled 64-register engine-portable HLL
+    * grid per language over `(lang, text)` rows — the register table IS
+    * the sketch, and it is max-mergeable: registers of a corpus union
+    * are the per-cell max of the parts' registers, which is what lets a
+    * persisted historical grid absorb a new snapshot without re-reading
+    * history (see `text_distinct_hll_incremental`).
+    */
+  private def hllRegisters(d: DataFrame): DataFrame = {
+    val m = 64
+    val tok = d
+      .select(col("lang"),
+        explode(split(TextDedup.normalize(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .withColumn("h", md5(concat(lit("hll|"), col("token"))))
+    val regs = tok
+      .select(col("lang"),
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % m)
+          .as("bucket"),
+        conv(substring(col("h"), 3, 15), 16, 10).cast("long").as("v"))
+      .withColumn("rho",
+        when(col("v") === 0L, lit(61L))
+          .otherwise(lit(61L) - length(bin(col("v")))))
+      .groupBy("lang", "bucket").agg(max("rho").as("reg"))
+    val grid = tok.select("lang").distinct()
+      .crossJoin(broadcast(
+        tok.sparkSession.range(m).select(col("id").as("bucket"))))
+    grid.join(regs, Seq("lang", "bucket"), "left_outer")
+      .withColumn("reg", coalesce(col("reg"), lit(0L)))
+      .select("lang", "bucket", "reg")
+  }
+
+  /** (lang, <estName>) estimate from a zero-filled register grid: exact
+    * scaled-integer harmonic sum, small-range correction, one
+    * fixed-order double formula at the end (engine-portable — see
+    * text_distinct_hll's scaladoc for the arithmetic contract).
+    */
+  private def hllEstimate(full: DataFrame, estName: String): DataFrame = {
+    val m = 64
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val pow61 = math.pow(2, 61)
+    full.groupBy("lang").agg(
+        sum(expr("CAST(shiftleft(1L, CAST(61 - reg AS INT)) AS DECIMAL(38,0))"))
+          .as("sumsc"),
+        sum(when(col("reg") === 0L, 1L).otherwise(0L)).as("v0"))
+      .withColumn("raw",
+        lit(alpha) * lit(m.toDouble * m) * lit(pow61) /
+          col("sumsc").cast("double"))
+      .select(col("lang"),
+        round(when(col("raw") <= lit(2.5 * m) && col("v0") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v0")))
+          .otherwise(col("raw")), 3).as(estName))
+  }
+
+  /** Historical HLL register grid per (SparkContext, sfDir) — the
+    * persisted sketch side table the incremental query merges into
+    * (64 × |langs| rows: metadata-scale at any corpus size).
+    */
+  private val hllRegsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   /** Marker stopwords per language for the voting lang-ID heuristic. */
   private val markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of"),
@@ -425,42 +485,41 @@ object TextQueries {
     // partial loads. Exact distinct computed beside it makes the ~13%
     // expected error at m=64 observable.
     "text_distinct_hll" -> ((s, dir) => {
-      val m = 64
-      val alpha = 0.7213 / (1.0 + 1.079 / m)
-      val pow61 = math.pow(2, 61)
       val tok = docs(s, dir)
         .select(col("lang"),
           explode(split(TextDedup.normalize(col("text")), " ")).as("token"))
         .where(length(col("token")) > 0)
-        .withColumn("h", md5(concat(lit("hll|"), col("token"))))
-      val regs = tok
-        .select(col("lang"),
-          (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % m)
-            .as("bucket"),
-          conv(substring(col("h"), 3, 15), 16, 10).cast("long").as("v"))
-        .withColumn("rho",
-          when(col("v") === 0L, lit(61L))
-            .otherwise(lit(61L) - length(bin(col("v")))))
-        .groupBy("lang", "bucket").agg(max("rho").as("reg"))
-      val grid = tok.select("lang").distinct()
-        .crossJoin(broadcast(
-          tok.sparkSession.range(m).select(col("id").as("bucket"))))
-      val full = grid.join(regs, Seq("lang", "bucket"), "left_outer")
-        .withColumn("reg", coalesce(col("reg"), lit(0L)))
-      val sums = full.groupBy("lang").agg(
-        sum(expr("CAST(shiftleft(1L, CAST(61 - reg AS INT)) AS DECIMAL(38,0))"))
-          .as("sumsc"),
-        sum(when(col("reg") === 0L, 1L).otherwise(0L)).as("v0"))
       val exact = tok.select("lang", "token").distinct()
         .groupBy("lang").agg(count(lit(1)).as("exact"))
-      sums.join(exact, "lang")
-        .withColumn("raw",
-          lit(alpha) * lit(m.toDouble * m) * lit(pow61) /
-            col("sumsc").cast("double"))
-        .select(col("lang"), col("exact"),
-          round(when(col("raw") <= lit(2.5 * m) && col("v0") > 0L,
-            lit(m.toDouble) * log(lit(m.toDouble) / col("v0")))
-            .otherwise(col("raw")), 3).as("hll_est3"))
+      hllEstimate(hllRegisters(docs(s, dir).select("lang", "text")),
+          "hll_est3")
+        .join(exact, "lang")
+        .select("lang", "exact", "hll_est3")
+    }),
+
+    // HLL maintained ACROSS snapshots — the batch face of sketch
+    // mergeability, and the cardinality sibling of doc_dedup_incremental:
+    // the historical register grid (64 × |langs| rows) is a PERSISTED
+    // side table, the newest snapshot (synthetic novel-token docs, so
+    // the estimate visibly moves) builds its own grid from its own rows
+    // only, and the merged registers are the per-cell max — history is
+    // never re-tokenized. The oracle computes the full-union HLL from
+    // scratch; matching it IS the mergeability proof (max over a token-
+    // stream union = max of the parts' maxes, zero-fill aligned).
+    "text_distinct_hll_incremental" -> ((s, dir) => {
+      val hist = hllRegsCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir),
+        hllRegisters(docs(s, dir).select("lang", "text")).persist())
+      val newSnap = docs(s, dir).filter(col("doc_id") % 6 === 0)
+        .select(col("lang"),
+          concat_ws(" ", (0 until 5).map(i =>
+            concat(lit("novel"), col("doc_id").cast("string"), lit(s"x$i"))): _*)
+            .as("text"))
+      val merged = hist.unionByName(hllRegisters(newSnap))
+        .groupBy("lang", "bucket").agg(max("reg").as("reg"))
+      hllEstimate(hist, "hist_est3")
+        .join(hllEstimate(merged, "merged_est3"), "lang")
+        .select("lang", "hist_est3", "merged_est3")
     }),
 
     // Kneser-Ney smoothed bigram probabilities — the language-model
@@ -833,6 +892,69 @@ object TextQueries {
            |             THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v0)
            |             ELSE raw END, 3) AS hll_est3
            |FROM est s JOIN exact e USING (lang)""".stripMargin
+      },
+
+      // two parallel HLL chains (history corpus, history ∪ new snapshot)
+      // built from the SAME register math as text_distinct_hll — the
+      // merged estimate is computed from scratch over the union, which
+      // is exactly what max-mergeability promises the register-merge
+      // path equals
+      "text_distinct_hll_incremental" -> {
+        val alpha = 0.7213 / (1.0 + 1.079 / 64)
+        val pow61 = math.pow(2, 61)
+        def chain(src: String, sfx: String, est: String) =
+          s"""tok$sfx AS (
+             |  SELECT lang, token FROM (
+             |    SELECT lang, unnest(t) AS token
+             |    FROM (SELECT lang, $toksSql AS t FROM $src) q0) q1
+             |  WHERE len(token) > 0
+             |), regs$sfx AS (
+             |  SELECT lang,
+             |    CAST('0x' || substr(h, 1, 2) AS BIGINT) % 64 AS bucket,
+             |    max(CASE WHEN CAST('0x' || substr(h, 3, 15) AS BIGINT) = 0
+             |             THEN 61
+             |             ELSE 61 - length(bin(CAST('0x' || substr(h, 3, 15) AS BIGINT)))
+             |        END) AS reg
+             |  FROM (SELECT lang, md5('hll|' || token) AS h FROM tok$sfx) hh
+             |  GROUP BY 1, 2
+             |), f$sfx AS (
+             |  SELECT g.lang, coalesce(r.reg, 0) AS reg
+             |  FROM (SELECT l.lang, b.bucket
+             |        FROM (SELECT DISTINCT lang FROM tok$sfx) l,
+             |             (SELECT unnest(range(0, 64)) AS bucket) b) g
+             |  LEFT JOIN regs$sfx r
+             |    ON r.lang = g.lang AND r.bucket = g.bucket
+             |), est$sfx AS (
+             |  SELECT lang,
+             |    round(CASE WHEN raw <= CAST(160 AS DOUBLE) AND v0 > 0
+             |               THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v0)
+             |               ELSE raw END, 3) AS $est
+             |  FROM (
+             |    SELECT lang,
+             |      CAST($alpha AS DOUBLE) * CAST(4096 AS DOUBLE) *
+             |        CAST($pow61 AS DOUBLE) / CAST(sumsc AS DOUBLE) AS raw,
+             |      v0
+             |    FROM (
+             |      SELECT lang,
+             |        CAST(sum(CAST((CAST(1 AS BIGINT) << CAST(61 - reg AS INT))
+             |          AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sumsc,
+             |        CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+             |      FROM f$sfx GROUP BY 1) s) e
+             |)""".stripMargin
+        s"""WITH newdocs AS (
+           |  SELECT lang,
+           |    array_to_string(
+           |      ['novel' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)
+           |       FOR i IN range(0, 5)], ' ') AS text
+           |  FROM documents WHERE doc_id % 6 = 0
+           |), uni AS (
+           |  SELECT lang, text FROM documents
+           |  UNION ALL
+           |  SELECT lang, text FROM newdocs
+           |), ${chain("documents", "h", "hist_est3")},
+           |${chain("uni", "m", "merged_est3")}
+           |SELECT h.lang, h.hist_est3, m.merged_est3
+           |FROM esth h JOIN estm m USING (lang)""".stripMargin
       },
 
       "text_kneser_ney" ->

@@ -66,6 +66,32 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("incremental HLL merge: history registers come from the " +
+       "persisted side table, only the new snapshot is tokenized, and " +
+       "the merged estimate never shrinks") {
+    val df = SparkEntry.queries("text_distinct_hll_incremental")(
+      spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.toString.contains("InMemoryRelation"),
+      s"history registers not served from the persisted grid:\n$plan")
+    // every token explode must sit on the synthetic novel-token
+    // snapshot — history text is never re-tokenized
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "expected the new snapshot's token explode")
+    gens.foreach(g =>
+      assert(g.toString.contains("novel"),
+        s"token explode over non-snapshot input:\n$g"))
+    // max-merge can only raise registers; the injected tokens are novel
+    // by construction, so at least one language must move visibly
+    val rows = df.as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, h, m) =>
+      assert(m >= h * 0.95, s"$lang: merged $m shrank vs hist $h")
+    }
+    assert(rows.exists { case (_, h, m) => m > h },
+      "no language's estimate moved despite novel tokens")
+  }
+
   test("incremental dedup reads history from the persisted index: the " +
        "plan hits InMemoryRelation and every shingle explode is on the " +
        "newest snapshot only") {
