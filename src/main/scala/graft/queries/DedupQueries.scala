@@ -322,10 +322,16 @@ object DedupQueries {
         .select(col("doc_id"),
           split(TextDedup.normalize(col("text")), " ").as("t"))
         .where(size(col("t")) >= L)
+      // persisted: the span table feeds BOTH the dup aggregation and
+      // the join-back, and the partial-agg boundary defeats exchange
+      // reuse — without this the corpus is scanned and exploded twice
+      // (PlanCheck showed 4 parquet scans); production materializes the
+      // span-hash table as a side artifact for exactly this reason
       val spans = toks.select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(t) - $L), " +
             s"i -> md5(concat_ws(' ', slice(t, i + 1, $L))))")))
         .select(col("doc_id"), col("pos"), col("col").as("h"))
+        .persist()
       val dup = spans.groupBy("h")
         .agg(min("doc_id").as("keep_doc"), max("doc_id").as("max_doc"))
         .where(col("keep_doc") =!= col("max_doc"))
@@ -342,10 +348,13 @@ object DedupQueries {
           sum(when(col("pm").isNull || col("s0") > col("pm"), 1L)
             .otherwise(0L))
             .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      isl.groupBy("doc_id", "island")
+      val out = isl.groupBy("doc_id", "island")
         .agg(min("s0").as("start_tok"), max("s1").as("end_tok"),
           count(lit(1)).as("n_spans"))
         .select("doc_id", "start_tok", "end_tok", "n_spans")
+        .localCheckpoint() // eager — release the span cache below
+      spans.unpersist()
+      out
     }),
 
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
