@@ -130,6 +130,39 @@ object Multimodal {
       needs.as("needs_resize"))
   }
 
+  /** One perceptual-hash row (see [[phash16]]). */
+  final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash stand-in at the decode boundary: a 16-bit
+    * signature over the payload's CONTENT bytes (the stub reads the
+    * 3-byte header a real pHash would replace with a DCT over decoded
+    * pixels). The property that matters is invariance under container
+    * re-encodes — bytes past the header can change (new digest) while
+    * the signature doesn't — which is exactly what separates perceptual
+    * dedup from digest dedup. Same batched `mapPartitions` plumbing as
+    * [[decode]]; payloads never shuffle, only (id, 16-bit hash) rows
+    * flow on. Malformed payloads (< 3 header bytes) hash to the -1
+    * sentinel rather than failing the task.
+    */
+  def phash16(media: DataFrame, batchSize: Int = 64): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, p) =>
+            if (p == null || p.length < 3) MediaHash(id, -1L)
+            else {
+              val b0 = p(0) & 0xff; val b1 = p(1) & 0xff; val b2 = p(2) & 0xff
+              MediaHash(id, ((b0 * 256 + b1) + b2 * 31) % 65536L)
+            }
+          }
+        }
+      }
+  }
+
   /** Synthesize an opaque payload column for the fixtures: the md5 bytes
     * of the text stand in for a media header; `n_chars` plays the full
     * media length. Deterministic, so the decode output is

@@ -90,6 +90,38 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n"),
           sum("n_bytes").as("total_bytes"),
           max("width").as("max_width"))),
+
+    // perceptual near-dup — the multimodal twin of doc_dedup_minhash and
+    // the complement of mm_payload_dedup: a RE-ENCODED delivery (every
+    // 9th payload re-arrives with its container tail rewritten — header
+    // content intact, digest changed) is invisible to digest dedup but
+    // collapses into the same 16-bit phash bucket. Payload bytes never
+    // shuffle: phash16 extracts (id, hash) at the decode boundary, the
+    // digest is computed at the scan, and only those small rows reach
+    // the groupBy. Groups with n_digests > 1 are exactly the dups a
+    // digest-only pass would have missed (re-encodes by construction,
+    // plus deterministic 16-bit collisions of distinct content — the
+    // false-positive class a real pipeline verifies downstream, same
+    // trade as LSH banding).
+    "mm_dedup_phash" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(Tables(s, dir, "documents"))
+      // container re-encode: last payload byte zeroed, header untouched
+      val reenc = media.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("kind"),
+          concat(expr("substring(payload, 1, 15)"), unhex(lit("00")))
+            .as("payload"),
+          col("full_len"))
+      val all = media.unionByName(reenc)
+      val hashed = Multimodal.phash16(all).toDF()
+      val digests = all.select(col("doc_id"),
+        lower(hex(col("payload"))).as("digest"))
+      hashed.join(digests, "doc_id")
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct("digest").as("n_digests"),
+          min("doc_id").as("min_doc"))
+        .where(col("n_items") > 1)
+    }),
   )
 
   private val byteSql = (i: Int) =>
@@ -106,6 +138,29 @@ object MultimodalQueries {
         |)
         |SELECT payload_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM all_rows GROUP BY 1""".stripMargin,
+    // phash from the first 3 header bytes of the hex digest; re-encodes
+    // keep the first 15 payload bytes and zero the 16th, so digest =
+    // first 30 hex chars || '00' while the phash is unchanged
+    "mm_dedup_phash" ->
+      s"""WITH media AS (
+         |  SELECT doc_id, md5(text) AS d FROM documents
+         |), all_rows AS (
+         |  SELECT doc_id, d AS digest FROM media
+         |  UNION ALL
+         |  SELECT doc_id + 400000, substr(d, 1, 30) || '00'
+         |  FROM media WHERE doc_id % 9 = 0
+         |), hashed AS (
+         |  SELECT doc_id, digest,
+         |    ((CAST('0x' || substr(digest, 1, 2) AS BIGINT) * 256 +
+         |      CAST('0x' || substr(digest, 3, 2) AS BIGINT)) +
+         |     CAST('0x' || substr(digest, 5, 2) AS BIGINT) * 31) % 65536
+         |      AS phash
+         |  FROM all_rows
+         |)
+         |SELECT phash, count(*) AS n_items,
+         |  count(DISTINCT digest) AS n_digests, min(doc_id) AS min_doc
+         |FROM hashed GROUP BY phash HAVING count(*) > 1""".stripMargin,
+
     "mm_decode_meta" ->
       s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
          |  ${byteSql(0)} AS width,

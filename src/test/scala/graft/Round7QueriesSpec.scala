@@ -66,6 +66,23 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("phash dedup catches re-encoded media that digest dedup misses") {
+    val out = graft.queries.MultimodalQueries.queries("mm_dedup_phash")(
+        spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect() // phash, n_items, n_digests, min_doc
+    assert(out.nonEmpty)
+    // every injected re-encode (tail rewritten, header intact) must
+    // land in a group with >1 distinct digest — the case digest-only
+    // dedup cannot see. Slack covers the ~1/256 of docs whose digest
+    // already ends in 00 (the "re-encode" is then byte-identical) and
+    // groups merged by 16-bit collisions.
+    val nReenc = Tables(spark, sfDir, "documents")
+      .where(col("doc_id") % 9 === 0).count()
+    val multiDigest = out.count(_._3 >= 2L)
+    assert(multiDigest >= (nReenc * 8) / 10,
+      s"only $multiDigest multi-digest groups for $nReenc re-encodes")
+  }
+
   test("incremental HLL merge: history registers come from the " +
        "persisted side table, only the new snapshot is tokenized, and " +
        "the merged estimate never shrinks") {
