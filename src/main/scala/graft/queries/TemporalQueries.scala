@@ -721,6 +721,69 @@ object TemporalQueries {
         .select(col("item").cast("long").as("item"), col("est"))
     }),
 
+    // MinHash signature INDEX maintained across micro-batches — the
+    // streaming completion of the dedup-index arc (batch build →
+    // doc_dedup_incremental's snapshot merge → this): shingle rows
+    // arrive round-robin-split across files, so ONE DOC'S SHINGLE SET
+    // SPANS BATCHES and the store fold is a real sketch merge, not an
+    // append — per-component signature mins min-merge and the
+    // shingle-set size sum-merges (each distinct shingle arrives exactly
+    // once). The folded store is bit-identical to a batch-built
+    // signature table, which the oracle proves by deriving the banded
+    // candidate buckets from the full corpus from scratch. Same
+    // versioned-store discipline as the upsert/CMS queries.
+    "stream_minhash_index" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      val tmp = streamDir("minhash_index", dir)
+      val srcDir = s"$tmp/src"
+      graft.operators.TextDedup
+        .shingles(Tables(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .repartition(8) // spread each doc's shingles across files
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("shingle", StringType)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(s"file://$tmp"), s.sessionState.newHadoopConf())
+      var current: Option[String] = None // batches run sequentially
+      val q = s.readStream.schema(schema)
+        // 8 files / 4 = 2 batches — the cheapest shape that still
+        // splits every doc's shingle set across batches (round-robin
+        // spread), which is what makes the fold a real sketch merge
+        .option("maxFilesPerTrigger", "4")
+        .parquet(srcDir)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val part = graft.operators.TextDedup.minhashSignature(batch)
+          val merged = current match {
+            case Some(prev) => s.read.parquet(prev).unionByName(part)
+              .groupBy("doc_id")
+              .agg(min("m0").as("m0"),
+                (1 until 8).map(i => min(s"m$i").as(s"m$i")) :+
+                  sum("sz").as("sz"): _*)
+            case None => part
+          }
+          val next = s"$tmp/store-$id"
+          merged.write.mode("overwrite").parquet(next)
+          current.foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(p), true))
+          current = Some(next)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sigs = s.read.parquet(current.getOrElse(
+        sys.error("stream produced no batches")))
+      graft.operators.TextDedup.bandBuckets(sigs)
+        .groupBy(col("band").cast("long").as("band"), col("key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > 1)
+    }),
+
     // Stream-static enrichment: the arriving event stream joined to a
     // STATIC dimension (per-user segment). Unlike the stream-stream join
     // there is NO state and NO watermark requirement — the static side
@@ -859,6 +922,31 @@ object TemporalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // batch-built banded buckets from scratch — equality proves the
+    // streamed min/sum signature fold reached the same index
+    "stream_minhash_index" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingle
+         |    FROM toks WHERE len(t) >= 3) q
+         |), sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(i => s"min(substr(h, ${4 * i + 1}, 4)) AS m$i").mkString(",\n    ")}
+         |  FROM (SELECT doc_id, md5('mh|' || shingle) AS h FROM sh) hs
+         |  GROUP BY doc_id
+         |), buckets AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(m${2 * b} || m${2 * b + 1}) AS key FROM sig")
+              .mkString("\n  UNION ALL ")}
+         |)
+         |SELECT band, key, count(*) AS n_docs
+         |FROM buckets GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
     "join_asof" ->
       """WITH p AS (
         |  SELECT user_id, date_trunc('millisecond', ts) AS t,
