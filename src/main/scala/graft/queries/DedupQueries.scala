@@ -370,6 +370,40 @@ object DedupQueries {
           col("n_docs"), col("min_doc"))
     }),
 
+    // SimHash Hamming near-dup — the distance-threshold consumer of the
+    // simhash signature, made sub-quadratic by the PIGEONHOLE bands
+    // trick: split the 16-bit signature into 3 bands (6/5/5 bits); two
+    // signatures within Hamming distance 2 differ in at most 2 bands,
+    // so AT LEAST ONE band matches exactly — candidates come from three
+    // band-equality joins (never all-pairs), then bit_count(xor) keeps
+    // the true ≤2 pairs. Recall is EXACT at this threshold (pigeonhole
+    // is a theorem, not a probability), which is the property that
+    // distinguishes this from minhash banding. Integer-only arithmetic
+    // end to end.
+    "doc_dedup_simhash_hamming" -> ((s, dir) => {
+      val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text",
+        dedup = false)
+      val sim = TextDedup.simhash16(sh)
+      val banded = sim.select(col("doc_id"), col("simhash"),
+        expr("simhash & 63").as("b0"),
+        expr("(simhash >> 6) & 31").as("b1"),
+        expr("(simhash >> 11) & 31").as("b2"))
+      val probes = Seq(("b0", 0), ("b1", 1), ("b2", 2)).map { case (c, t) =>
+        banded.select(col("doc_id"), col("simhash"),
+          lit(t).as("t"), col(c).as("bk"))
+      }.reduce(_ unionByName _)
+      val a = probes.alias("a")
+      val b = probes.alias("b")
+      a.join(b, col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        .distinct()
+        .select(col("id1"), col("id2"),
+          expr("bit_count(s1 ^ s2)").cast("long").as("hdist"))
+        .where(col("hdist") <= 2)
+    }),
+
     // blocked n-gram Jaccard: candidate pairs meet only inside a
     // (lang, source, length-bucket) block — the classic blocking guard
     // against quadratic comparison.
@@ -503,6 +537,28 @@ object DedupQueries {
        |  JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |)""".stripMargin
 
+  /** Per-doc 16-bit simhash over the near-copy corpus (`sims` CTE) —
+    * shared by the bucket-grouping and Hamming-threshold oracles.
+    */
+  private lazy val simhashDocsCte =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
+       |), ${shinglesCte("corpus", dedup = false)},
+       |votes AS (
+       |  SELECT doc_id,
+       |    ${(0 until 16).map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")}
+       |  FROM (SELECT doc_id,
+       |          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS v
+       |        FROM sh) q
+       |  GROUP BY doc_id
+       |), sims AS (
+       |  SELECT doc_id,
+       |    ${(0 until 16).map(j => s"(CASE WHEN b$j >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS simhash
+       |  FROM votes
+       |)""".stripMargin
+
   private lazy val minhashOracle =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -631,24 +687,32 @@ object DedupQueries {
          |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     "doc_dedup_simhash" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
-         |), ${shinglesCte("corpus", dedup = false)},
-         |votes AS (
-         |  SELECT doc_id,
-         |    ${(0 until 16).map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")}
-         |  FROM (SELECT doc_id,
-         |          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS v
-         |        FROM sh) q
-         |  GROUP BY doc_id)
+      s"""WITH $simhashDocsCte
          |SELECT CAST(simhash AS BIGINT) AS simhash, count(*) AS n_docs,
          |  min(doc_id) AS min_doc
-         |FROM (SELECT doc_id,
-         |        ${(0 until 16).map(j => s"(CASE WHEN b$j >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS simhash
-         |      FROM votes) q
+         |FROM sims
          |GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+
+    "doc_dedup_simhash_hamming" ->
+      s"""WITH $simhashDocsCte,
+         |banded AS (
+         |  SELECT doc_id, simhash,
+         |    simhash & 63 AS b0,
+         |    (simhash >> 6) & 31 AS b1,
+         |    (simhash >> 11) & 31 AS b2
+         |  FROM sims
+         |), probes AS (
+         |  SELECT doc_id, simhash, 0 AS t, b0 AS bk FROM banded
+         |  UNION ALL SELECT doc_id, simhash, 1, b1 FROM banded
+         |  UNION ALL SELECT doc_id, simhash, 2, b2 FROM banded
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.simhash AS s1, b.simhash AS s2
+         |  FROM probes a JOIN probes b
+         |    ON a.t = b.t AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hdist
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 2""".stripMargin,
 
     "doc_dedup_ngram" ->
       s"""WITH base AS (

@@ -66,6 +66,30 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("pigeonhole banding is EXACT at hamming <= 2: banded pairs " +
+       "equal brute force over all signature pairs") {
+    import graft.operators.TextDedup
+    val banded = graft.queries.DedupQueries.queries(
+        "doc_dedup_simhash_hamming")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val d = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("xdup "), col("text")).as("text")))
+    val sims = TextDedup
+      .simhash16(TextDedup.shingles(corpus, "doc_id", "text", dedup = false))
+      .select(col("doc_id"), col("simhash").cast("long"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, s1) <- sims; (i2, s2) <- sims
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 2
+    } yield (i1, i2, java.lang.Long.bitCount(s1 ^ s2).toLong)).toSet
+    assert(banded.nonEmpty)
+    assert(banded == brute,
+      s"pigeonhole missed ${(brute -- banded).take(5)} / " +
+        s"invented ${(banded -- brute).take(5)}")
+  }
+
   test("phash dedup catches re-encoded media that digest dedup misses") {
     val out = graft.queries.MultimodalQueries.queries("mm_dedup_phash")(
         spark, sfDir)
