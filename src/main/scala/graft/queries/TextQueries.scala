@@ -298,6 +298,29 @@ object TextQueries {
     // array expression work per row, no explode, no shuffle. The
     // distinct×filter count is O(n²) in doc tokens but n is bounded by
     // the doc, not the corpus — scales linearly over documents.
+    // token-distribution Shannon entropy — the gibberish/boilerplate
+    // quality signal (low entropy = repeated boilerplate, implausibly
+    // high = random noise). Computed per doc from integer token counts
+    // via H = ln(n) − (Σ c·ln c)/n, so the only float work is ln over
+    // exact counts; each ln term is quantized to DECIMAL(28,18) before
+    // the sum, making the aggregation order-independent and the result
+    // engine-exact (the same clearing trick as CUSUM / unigram logprob).
+    // One explode + one (doc, token) count + one per-doc aggregate —
+    // linear scan shape.
+    "text_entropy" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextDedup.normalize(col("text")), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum("c").as("n"),
+          sum(expr("CAST(c * ln(c) AS DECIMAL(28,18))")).as("clc"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(log(col("n").cast("double")) -
+            col("clc").cast("double") / col("n"), 6).as("entropy6"))
+    }),
+
     "text_repetition" -> ((s, dir) => {
       val withBg = docs(s, dir)
         .select(col("doc_id"),
@@ -754,6 +777,22 @@ object TextQueries {
           |  CAST(length(r) AS BIGINT) AS n_chars_redacted,
           |  md5(r) AS redacted_md5
           |FROM red""".stripMargin,
+
+      "text_entropy" ->
+        s"""WITH counts AS (
+           |  SELECT doc_id, tok, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(t) AS tok
+           |    FROM (SELECT doc_id, $toksSql AS t FROM documents) q0) q1
+           |  WHERE len(tok) > 0
+           |  GROUP BY 1, 2
+           |)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |  round(ln(CAST(n AS DOUBLE)) - CAST(clc AS DOUBLE) / n, 6)
+           |    AS entropy6
+           |FROM (
+           |  SELECT doc_id, sum(c) AS n,
+           |    sum(CAST(c * ln(c) AS DECIMAL(28,18))) AS clc
+           |  FROM counts GROUP BY 1) q""".stripMargin,
 
       "text_repetition" ->
         s"""WITH bg AS (
