@@ -721,6 +721,38 @@ object TemporalQueries {
         .select(col("item").cast("long").as("item"), col("est"))
     }),
 
+    // Ordered-sequence funnel, WINDOWED formulation (signup → click →
+    // purchase): per user, each stage's timestamp is the MIN event time
+    // at-or-after the previous stage. `events_funnel` computes its
+    // funnel with three per-stage self-joins; this is the plan a 100 TB
+    // deployment wants instead — three CHAINED conditional-min windows
+    // over ONE user_id partitioning, so the single hash exchange is
+    // reused by every window pass and the event table is scanned once,
+    // no self-joins. Millisecond-exact integer times on both engines.
+    "events_funnel_windowed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("t"))
+      val staged = e
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("t"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("t") >= col("t1"),
+            col("t"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("t") >= col("t2"),
+            col("t"))).over(w))
+      staged.groupBy().agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id")))
+          .as("n_signup"),
+        countDistinct(when(col("t2").isNotNull, col("user_id")))
+          .as("n_click_after"),
+        countDistinct(when(col("t3").isNotNull, col("user_id")))
+          .as("n_purchase_after"))
+    }),
+
     // MinHash signature INDEX maintained across micro-batches — the
     // streaming completion of the dedup-index arc (batch build →
     // doc_dedup_incremental's snapshot merge → this): shingle rows
@@ -922,6 +954,25 @@ object TemporalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2
+        |)
+        |SELECT
+        |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_signup,
+        |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_click_after,
+        |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchase_after
+        |FROM s3""".stripMargin,
+
     // batch-built banded buckets from scratch — equality proves the
     // streamed min/sum signature fold reached the same index
     "stream_minhash_index" ->

@@ -30,6 +30,14 @@ class ContractSpec extends AnyFunSuite {
     assert(perFamily.map(_.size).sum == names.size,
       "a query name is declared in two family maps — one silently shadows " +
         "the other in SparkEntry.queries")
+    // a duplicate key WITHIN one family's Map literal collapses before
+    // any code can see it (caught live in r7: a second events_funnel
+    // silently replaced the first) — a monotone floor on the total turns
+    // that silent replacement into a count drop. Raise the floor when
+    // adding queries; never lower it.
+    assert(names.size >= 186,
+      s"query count fell to ${names.size} — a declared query vanished " +
+        "(duplicate key inside a family map?)")
   }
 
   test("oracle SQL never references the spark-only temp views") {
