@@ -22,7 +22,8 @@ class LayoutInvarianceSpec extends SparkSpec {
     "doc_dedup_minhash",    // banded LSH + verify
     "agg_collect_sorted",   // sort inside the aggregate value
     "delta_incr_agg",       // incremental maintenance algebra
-    "text_cms_heavy")       // sketch cells
+    "text_cms_heavy",       // sketch cells
+    "doc_dedup_spans")      // span-hash grouping + gaps-and-islands merge
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
