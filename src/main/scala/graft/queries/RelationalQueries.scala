@@ -183,6 +183,35 @@ object RelationalQueries {
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
             .as("p90_price"))),
 
+    // robust per-group outlier detection via MEDIAN ABSOLUTE DEVIATION —
+    // the DQ screen that survives the outliers it hunts (mean/stddev
+    // z-scores are dragged by the very tail being flagged; the
+    // median/MAD pair is 50%-breakdown robust). percentile_disc picks
+    // actual data values (no interpolation), so med/mad/deviations are
+    // exact doubles on both engines and the 3·1.4826·MAD cut is
+    // reproducible. Cost shape: two grouped exact medians = two full
+    // sorts-by-group of (status, price) pairs plus broadcast joins of
+    // the per-group scalars — the exact-median contract; at 100 TB the
+    // one-pass alternative is the mergeable quantile sketch
+    // (text_quantile_sketch's machinery) at a bounded error.
+    "agg_outlier_mad" -> ((s, dir) => {
+      val med = t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("med"))
+      val dev = t(s, dir, "orders").join(broadcast(med), "o_orderstatus")
+        .withColumn("dev", abs(col("o_totalprice") - col("med")))
+      val mad = dev.groupBy("o_orderstatus")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+          .as("mad"))
+      dev.join(broadcast(mad), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3 * 1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          round(max(col("med")), 2).as("med2"),
+          round(max(col("mad")), 2).as("mad2"))
+    }),
+
     // regex capture groups (F6's regex surface on the query path)
     "func_regex" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -932,6 +961,27 @@ object RelationalQueries {
         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
         |  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "agg_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT o_orderstatus,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+        |  FROM orders GROUP BY 1
+        |), dev AS (
+        |  SELECT o.o_orderstatus, m.med,
+        |    abs(o.o_totalprice - m.med) AS dev
+        |  FROM orders o JOIN med m USING (o_orderstatus)
+        |), mad AS (
+        |  SELECT o_orderstatus,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.dev > 3 * 1.4826 * a.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(max(d.med), 2) AS med2, round(max(a.mad), 2) AS mad2
+        |FROM dev d JOIN mad a USING (o_orderstatus)
+        |GROUP BY 1""".stripMargin,
+
     "func_regex" ->
       """SELECT o_orderkey,
         |  regexp_extract(o_orderpriority, '([0-9]+)-(.*)', 1) AS prio_num,
