@@ -129,6 +129,28 @@ object CurationQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // each doc draws a deterministic uniform u from a salted hash and
+    // competes on key = −ln(u)/w, so selection probability is
+    // proportional to weight (here n_chars — longer docs favored) and
+    // the top-k per stratum IS the weighted sample. One pass, no
+    // per-stratum state beyond TopKPerKey's bounded heap, and the
+    // sample is a pure function of ids — stable under reruns and
+    // layout, mergeable across partitions (that is the A-ES property:
+    // the reservoir is just a min-k over keys). Keys ranked at round-9
+    // with an id tie-break for engine-exact order.
+    "cur_sample_weighted" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("aes|"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+          % 1000000L + 1L).cast("double") / 1000000.0d
+      val keyed = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("double").as("w"))
+        .withColumn("k9", round(-log(u) / col("w"), 9))
+      TopKPerKey.topK(keyed, "lang", Seq(("k9", false), ("doc_id", false)), 20)
+        .select(col("lang"), col("doc_id"), col("rank"), col("k9"))
+    }),
+
     // deterministic train/valid/test split — the assignment every
     // training pipeline needs to be STABLE under reruns, late-arriving
     // data, and repartitioning: the split is a pure function of the
@@ -416,6 +438,20 @@ object CurationQueries {
        |  WHERE len(t) >= 3) q1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cur_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |    round(-ln((CAST('0x' || substr(md5('aes|' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |                AS BIGINT) % 1000000 + 1) / 1000000.0)
+        |          / CAST(n_chars AS DOUBLE), 9) AS k9
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank, k9 FROM (
+        |  SELECT lang, doc_id, k9,
+        |    row_number() OVER (PARTITION BY lang ORDER BY k9, doc_id) AS rn
+        |  FROM keyed) q
+        |WHERE rn <= 20""".stripMargin,
+
     "cur_sample_stratified" -> {
       val rateSql = strataRates.map { case (langs, r) =>
         s"WHEN lang IN (${langs.map(l => s"'$l'").mkString(",")}) THEN $r"
