@@ -215,6 +215,23 @@ object DedupQueries {
           .localCheckpoint()
       })
 
+  /** Historical cluster labels — connected components over the pairs
+    * among PLAIN docs only (ids < 1e5), persisted per (SparkContext,
+    * sfDir): the label table the incremental cluster query folds new
+    * pairs into (one row per clustered doc — far smaller than the pair
+    * history it summarizes).
+    */
+  private val histClustersCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def histClusters(s: SparkSession, dir: String): DataFrame =
+    histClustersCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir),
+      graft.operators.GraphOps.connectedComponents(
+          verifiedPairs(s, dir).where(col("id2") < 100000L)
+            .select("id1", "id2"))
+        .localCheckpoint())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: normalize -> md5 -> one shuffle on the content hash;
     // keep-first = min id per group. group_size = 2 marks injected dups.
@@ -292,6 +309,27 @@ object DedupQueries {
     // incremental cross-snapshot dedup: newest snapshot vs the persisted
     // historical minhash index — see [[incrementalDedup]]
     "doc_dedup_incremental" -> ((s, dir) => incrementalDedup(s, dir)),
+
+    // incremental cluster collapse — the graph member of the incremental
+    // family: weekly clustering does NOT re-run connected components
+    // over the full pair history; it folds the PERSISTED label table
+    // (one row per doc) with the new week's pairs. Correct because CC
+    // labels are component-minimum ids, so contracting each historical
+    // component onto its min-id node (the (id → label) star edges)
+    // preserves both connectivity and the eventual labels — CC is a
+    // semilattice fold and the quotient is lossless for it. The result
+    // is therefore IDENTICAL to doc_dedup_clusters' full recompute
+    // (same oracle), while the CC input shrinks from |pair history| to
+    // |clustered docs| + |new pairs|.
+    "doc_dedup_clusters_incremental" -> ((s, dir) => {
+      val newPairs = verifiedPairs(s, dir)
+        .where(col("id2") >= 100000L).select("id1", "id2")
+      val edges = histClusters(s, dir)
+        .select(col("id").as("id1"), col("component").as("id2"))
+        .unionByName(newPairs)
+      graft.operators.GraphOps.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }),
 
     // exact repeated-span dedup (the "deduplicating training data"
     // operator, cf. Lee et al. 2022): every 15-token span occurring in
@@ -568,6 +606,23 @@ object DedupQueries {
        |$lshPairsSql, $jaccardSql
        |WHERE CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE) >= 0.6""".stripMargin
 
+  private lazy val clustersOracle =
+    s"""WITH RECURSIVE dup AS (
+       |  SELECT id1, id2 FROM ($minhashOracle) q
+       |), edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM dup
+       |  UNION
+       |  SELECT id2, id1 FROM dup
+       |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT CAST(id AS BIGINT) AS doc_id,
+       |  CAST(min(r) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "doc_dedup_exact" ->
       s"""WITH corpus AS (
@@ -631,22 +686,11 @@ object DedupQueries {
     // cluster collapse of the verified near-dup pairs: connected
     // components via recursive min-label closure (the batch engine does
     // min-label propagation to fixpoint — same unique answer)
-    "doc_dedup_clusters" ->
-      s"""WITH RECURSIVE dup AS (
-         |  SELECT id1, id2 FROM ($minhashOracle) q
-         |), edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM dup
-         |  UNION
-         |  SELECT id2, id1 FROM dup
-         |), nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
-         |)
-         |SELECT CAST(id AS BIGINT) AS doc_id,
-         |  CAST(min(r) AS BIGINT) AS cluster_id
-         |FROM reach GROUP BY id""".stripMargin,
+    "doc_dedup_clusters" -> clustersOracle,
+
+    // the incremental fold over the persisted label table produces
+    // labels IDENTICAL to the full recompute — same oracle by design
+    "doc_dedup_clusters_incremental" -> clustersOracle,
 
     "doc_dedup_spans" ->
       s"""WITH corpus AS (
