@@ -23,7 +23,8 @@ class LayoutInvarianceSpec extends SparkSpec {
     "agg_collect_sorted",   // sort inside the aggregate value
     "delta_incr_agg",       // incremental maintenance algebra
     "text_cms_heavy",       // sketch cells
-    "doc_dedup_spans")      // span-hash grouping + gaps-and-islands merge
+    "doc_dedup_spans",      // span-hash grouping + gaps-and-islands merge
+    "doc_dedup_simhash_hamming") // integer bit votes + pigeonhole bands
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
