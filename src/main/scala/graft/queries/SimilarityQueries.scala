@@ -455,6 +455,53 @@ object SimilarityQueries {
       topk(pairs, 5)
     }),
 
+    // Maximum-inner-product search via the norm-augmentation reduction
+    // (Bachrach et al. / Shrivastava-Li): MIPS has no triangle
+    // inequality, so LSH can't index it directly — but appending one
+    // component a = sqrt(M² − |x|²) (M = corpus max norm) makes every
+    // augmented corpus vector the SAME length M, and against augmented
+    // queries [q, 0] the cosine order equals the inner-product order.
+    // The existing cosine machinery (OR-amplified 4×4 hyperplane
+    // tables, extended to 65 dims) then indexes MIPS unchanged; the
+    // exact re-rank scores RAW dot products. This is retrieval's
+    // recommender-scoring shape (user·item, un-normalized). Scale: one
+    // extra component per vector, same bucket join, corpus never
+    // shuffles. M is a driver-collected scalar (1 row); the max-norm
+    // vector's augment is exactly 0 (same-expression squares), so the
+    // reduction is engine-exact.
+    "sim_topk_mips" -> ((s, dir) => {
+      val b = base(s, dir)
+      val m = b.agg(max("nrm")).collect()(0).getDouble(0)
+      val aug = b
+        .withColumn("ea", concat(col("e"),
+          array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm")))))
+      val buckets = aug.select(col("vec_id"),
+          explode(VectorSim.lshTableBuckets(col("ea"), dim = 65)).as("tb"))
+        .select(col("vec_id"), col("tb.table").as("t"),
+          col("tb.sig").as("sig"))
+      val qb = b.filter(col("vec_id").isin(boundedQueryIds: _*))
+        .withColumn("ea", concat(col("e"), array(lit(0.0d))))
+        .select(col("vec_id").as("qid"),
+          explode(VectorSim.lshTableBuckets(col("ea"), dim = 65)).as("tb"))
+        .select(col("qid"), col("tb.table").as("t"), col("tb.sig").as("sig"))
+      val candIds = buckets.join(broadcast(qb),
+          buckets("t") === qb("t") && buckets("sig") === qb("sig") &&
+            col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"))
+        .distinct()
+      val q = b.filter(col("vec_id").isin(boundedQueryIds: _*))
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val pairs = candIds
+        .join(b.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cand_id"),
+          round(VectorSim.dot(col("qe"), col("e")), 6).as("dot6"))
+      graft.plans.TopKPerKey
+        .topK(pairs, "qid", Seq(("dot6", true), ("cand_id", false)), 5)
+        .select(col("qid").as("query_id"), col("cand_id"), col("rank"),
+          col("dot6"))
+    }),
+
     // Residual IVF-PQ — the production-faithful refinement of
     // sim_topk_ivfpq: PQ encodes the RESIDUAL r = e − centroid(cell)
     // instead of the raw vector, so the codebook only has to cover the
@@ -895,6 +942,65 @@ object SimilarityQueries {
            |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
            |      FROM pairs) t
            |WHERE rn <= 5""".stripMargin,
+
+      // MIPS reduction: 65-dim planes (same 'hp' md5 family, one more
+      // component), corpus augmented with sqrt(M²−|e|²), queries with 0,
+      // candidates from the same 4×4 OR-amplified tables, re-rank on
+      // RAW dot products
+      "sim_topk_mips" -> {
+        val planes65 = (0 until 16).map(p =>
+          s"[(CAST('0x' || substr(md5('hp${p}_' || CAST(d AS VARCHAR)), 1, 4) AS BIGINT) % 1001 - 500)/500.0 FOR d IN range(0, 65)] AS h$p")
+          .mkString(",\n    ")
+        def tSig(t: Int, v: String) = (0 until 4).map(j =>
+          s"(CASE WHEN ${dotSql(v, s"h${4 * t + j}")} >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH hp AS (
+           |  SELECT
+           |    $planes65
+           |), base AS (
+           |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm
+           |  FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+           |        FROM embeddings) q0
+           |), mx AS (SELECT max(nrm) AS m FROM base),
+           |augb AS (
+           |  SELECT vec_id, e || [sqrt(mx.m * mx.m - nrm * nrm)] AS ea
+           |  FROM base, mx
+           |), sigs AS (
+           |  SELECT vec_id,
+           |    ${(0 until 4).map(t => s"${tSig(t, "ea")} AS sig$t").mkString(",\n    ")}
+           |  FROM augb CROSS JOIN hp
+           |), qsigs AS (
+           |  SELECT vec_id,
+           |    ${(0 until 4).map(t => s"${tSig(t, "ea")} AS sig$t").mkString(",\n    ")}
+           |  FROM (SELECT vec_id, e || [CAST(0 AS DOUBLE)] AS ea FROM base
+           |        WHERE vec_id IN (${boundedQueryIds.mkString(", ")})) qq
+           |  CROSS JOIN hp
+           |), buckets AS (
+           |  ${(0 until 4).map(t =>
+                s"SELECT vec_id, $t AS t, sig$t AS sig FROM sigs")
+                .mkString("\n  UNION ALL ")}
+           |), qbuckets AS (
+           |  ${(0 until 4).map(t =>
+                s"SELECT vec_id, $t AS t, sig$t AS sig FROM qsigs")
+                .mkString("\n  UNION ALL ")}
+           |), cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cand_id
+           |  FROM qbuckets q
+           |  JOIN buckets b ON b.t = q.t AND b.sig = q.sig
+           |    AND b.vec_id <> q.vec_id
+           |), pairs AS (
+           |  SELECT c.qid, c.cand_id,
+           |    round(${dotSql("qb.e", "cb.e")}, 6) AS dot6
+           |  FROM cand c
+           |  JOIN base qb ON qb.vec_id = c.qid
+           |  JOIN base cb ON cb.vec_id = c.cand_id
+           |)
+           |SELECT qid AS query_id, cand_id, CAST(rn AS BIGINT) AS rank, dot6
+           |FROM (SELECT qid, cand_id, dot6,
+           |        row_number() OVER (PARTITION BY qid ORDER BY dot6 DESC, cand_id) AS rn
+           |      FROM pairs) t
+           |WHERE rn <= 5""".stripMargin
+      },
 
       // IVF-PQ = sim_topk_ivf's coarse-cell CTEs (cents/cellranked/
       // assigned/probes) composed with sim_topk_pq_rerank's codebook/ADC

@@ -34,6 +34,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(resR >= 0.15, s"residual IVF-PQ recall floor broken: $resR")
   }
 
+  test("MIPS via norm-augmentation meets a recall floor vs brute " +
+       "inner-product top-5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val mips = pairs("sim_topk_mips")
+    // brute MIPS baseline computed here, not declared: bounded queries
+    // against the corpus ranked by raw dot product
+    val b = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.VectorSim.toDoubleArray(col("embedding")).as("e"))
+    val q = b.filter(col("vec_id") % 20 === 0 && col("vec_id") < 500)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dot6").desc, col("cand_id"))
+    val brute = b.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(graft.operators.VectorSim.dot(col("qe"), col("e")), 6)
+          .as("dot6"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("qid", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (mips intersect brute).size.toDouble / brute.size
+    info(f"MIPS recall@5 vs brute dot: $recall%.3f")
+    assert(recall >= 0.3, s"MIPS recall degraded: $recall")
+  }
+
   test("OR-amplified LSH and IVF meet recall floors vs brute force") {
     val brute = pairs("sim_topk_brute")
     val ann = pairs("sim_topk_ann")
