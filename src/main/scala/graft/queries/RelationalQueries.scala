@@ -621,6 +621,38 @@ object RelationalQueries {
         .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     }),
 
+    // Link prediction over the same trade graph — common-neighbor count
+    // and Adamic–Adar score (Σ 1/ln(deg(w)) over shared neighbours w,
+    // down-weighting promiscuous intermediaries) for every NON-edge
+    // pair with at least one shared neighbour: the canonical graph-ML
+    // feature op. Shape: one 2-path join on the aggregated entity graph
+    // (the same bounded self-join discipline as graph_triangles — never
+    // the raw fact rows), a broadcast-scale degree table, and a
+    // left-anti against existing edges. AA terms are quantized to
+    // DECIMAL(28,18) before the sum so aggregation order can't move the
+    // score; any shared neighbour has deg ≥ 2, so ln(deg) > 0 by
+    // construction.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val edges = tradeEdges(s, dir)
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val paths = sym.select(col("src").as("a"), col("dst").as("w"))
+        .join(sym.select(col("src").as("w2"), col("dst").as("b")),
+          col("w") === col("w2") && col("a") < col("b"))
+        .join(deg.withColumnRenamed("src", "w3"), col("w3") === col("w"))
+      val scored = paths.groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"),
+          sum(expr(
+            "CAST(CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE)) AS DECIMAL(28,18))"))
+            .as("aa"))
+      scored
+        .join(edges.select(col("u").as("a"), col("v").as("b")),
+          Seq("a", "b"), "left_anti")
+        .select(col("a"), col("b"), col("cn"),
+          round(col("aa").cast("double"), 6).as("aa6"))
+    }),
+
     // Community detection over the same trade graph — deterministic
     // synchronous label propagation ([[graft.operators.GraphOps
     // .labelPropagation]]): 3 fixed rounds, most-frequent neighbour
@@ -1187,6 +1219,38 @@ object RelationalQueries {
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "graph_adamic_adar" ->
+      """WITH pairs AS (
+        |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |         greatest(c.c_nationkey, s.s_nationkey) AS v,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vl
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+        |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
+        |edges AS (SELECT u, v FROM agg, tot
+        |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw),
+        |sym AS (SELECT u AS src, v AS dst FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        |paths AS (
+        |  SELECT e1.src AS a, e1.dst AS w, e2.dst AS b
+        |  FROM sym e1 JOIN sym e2 ON e2.src = e1.dst AND e1.src < e2.dst
+        |), scored AS (
+        |  SELECT p.a, p.b, count(*) AS cn,
+        |    sum(CAST(CAST(1 AS DOUBLE) / ln(CAST(d.deg AS DOUBLE))
+        |        AS DECIMAL(28,18))) AS aa
+        |  FROM paths p JOIN deg d ON d.src = p.w
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.a, s.b, s.cn, round(CAST(s.aa AS DOUBLE), 6) AS aa6
+        |FROM scored s
+        |LEFT JOIN edges e ON e.u = s.a AND e.v = s.b
+        |WHERE e.u IS NULL""".stripMargin,
 
     "sql_recursive_bfs" -> recursiveBfsSql,
 
