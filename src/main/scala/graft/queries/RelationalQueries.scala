@@ -212,6 +212,34 @@ object RelationalQueries {
           round(max(col("mad")), 2).as("mad2"))
     }),
 
+    // Gini coefficient per group — the inequality summary of a value
+    // distribution (0 = uniform, →1 = concentrated), computed by the
+    // sorted-rank identity G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n with ranks
+    // from a total order (price, then key — ties broken exactly).
+    // Σ i·xᵢ and Σx are exact DECIMAL sums of decimal-cents values, so
+    // the only floats are the two final divisions — engine-exact.
+    // Shape: one window rank per group + one aggregate; the window
+    // exchange and the aggregate share the group partitioning.
+    "agg_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("x"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("x"),
+          col("o_orderkey"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("i").cast(DecimalType(12, 0))).as("six"))
+        .select(col("o_orderstatus"), col("n"),
+          round(lit(2.0) * col("six").cast("double") /
+            (col("n").cast("double") * col("sx").cast("double")) -
+            (col("n") + 1L).cast("double") / col("n").cast("double"), 6)
+            .as("gini6"))
+    }),
+
     // regex capture groups (F6's regex surface on the query path)
     "func_regex" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -993,6 +1021,25 @@ object RelationalQueries {
         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
         |  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "agg_gini" ->
+      """WITH ranked AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS i
+        |  FROM orders
+        |), sums AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    sum(x) AS sx,
+        |    sum(x * CAST(i AS DECIMAL(12,0))) AS six
+        |  FROM ranked GROUP BY 1
+        |)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+        |  round(2.0 * CAST(six AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+        |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini6
+        |FROM sums""".stripMargin,
+
     "agg_outlier_mad" ->
       """WITH med AS (
         |  SELECT o_orderstatus,
