@@ -321,6 +321,47 @@ object TextQueries {
             col("clc").cast("double") / col("n"), 6).as("entropy6"))
     }),
 
+    // Zipf-law fit — the corpus-characterization op (natural text runs
+    // a log-log rank/frequency slope near −1; generated or boilerplate
+    // corpora deviate): least squares over (ln rank, ln freq) of the
+    // top-200 global tokens. The regression is closed-form from four
+    // sums; each ln/product term quantizes to DECIMAL(28,18) before
+    // summation so aggregation order can't move the fit, and the only
+    // float work is ln over exact counts plus the two final divisions.
+    // Shape: one token count (map-side partial), a top-200
+    // TakeOrdered, and a 200-row bounded window — corpus scanned once.
+    "text_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .select(explode(split(TextDedup.normalize(col("text")), " "))
+          .as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = counts
+        .orderBy(col("cnt").desc, col("tok")).limit(200)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+            .cast("double"))
+      val terms = ranked.select(log(col("r")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      terms.agg(
+          count(lit(1)).as("n_terms"),
+          sum(expr("CAST(x AS DECIMAL(28,18))")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(28,18))")).as("sy"),
+          sum(expr("CAST(x * y AS DECIMAL(28,18))")).as("sxy"),
+          sum(expr("CAST(x * x AS DECIMAL(28,18))")).as("sxx"))
+        .withColumn("slope",
+          (col("n_terms").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_terms").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+        .select(col("n_terms"),
+          round(col("slope"), 6).as("slope6"),
+          round((col("sy").cast("double") -
+            col("slope") * col("sx").cast("double")) /
+            col("n_terms").cast("double"), 6).as("intercept6"))
+    }),
+
     "text_repetition" -> ((s, dir) => {
       val withBg = docs(s, dir)
         .select(col("doc_id"),
@@ -793,6 +834,39 @@ object TextQueries {
            |  SELECT doc_id, sum(c) AS n,
            |    sum(CAST(c * ln(c) AS DECIMAL(28,18))) AS clc
            |  FROM counts GROUP BY 1) q""".stripMargin,
+
+      "text_zipf_fit" ->
+        s"""WITH counts AS (
+           |  SELECT tok, count(*) AS cnt FROM (
+           |    SELECT unnest(t) AS tok
+           |    FROM (SELECT $toksSql AS t FROM documents) q0) q1
+           |  WHERE len(tok) > 0
+           |  GROUP BY 1
+           |), top AS (
+           |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+           |  FROM counts ORDER BY cnt DESC, tok LIMIT 200
+           |), terms AS (
+           |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+           |  FROM top
+           |), s AS (
+           |  SELECT count(*) AS n,
+           |    sum(CAST(x AS DECIMAL(28,18))) AS sx,
+           |    sum(CAST(y AS DECIMAL(28,18))) AS sy,
+           |    sum(CAST(x * y AS DECIMAL(28,18))) AS sxy,
+           |    sum(CAST(x * x AS DECIMAL(28,18))) AS sxx
+           |  FROM terms
+           |)
+           |SELECT CAST(n AS BIGINT) AS n_terms,
+           |  round(slope, 6) AS slope6,
+           |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+           |        CAST(n AS DOUBLE), 6) AS intercept6
+           |FROM (
+           |  SELECT n, sx, sy,
+           |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+           |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+           |  FROM s) q""".stripMargin,
 
       "text_repetition" ->
         s"""WITH bg AS (
