@@ -321,6 +321,34 @@ object TextQueries {
             col("clc").cast("double") / col("n"), 6).as("entropy6"))
     }),
 
+    // Flesch-style readability per doc — the quality-family member that
+    // looks at STRUCTURE rather than vocabulary: words per sentence and
+    // a vowel-group syllable proxy (the standard code-level stand-in
+    // for dictionary syllabification). All three counts are integer
+    // regex counts; the score is one fixed-order formula over their
+    // exact ratios — engine-portable without any summation concerns
+    // (per-row only, no aggregate). One scan, zero shuffle.
+    "text_readability" -> ((s, dir) => {
+      val lowered = lower(col("text"))
+      val words = size(split(TextDedup.normalize(col("text")), " "))
+        .cast("long")
+      val sentences = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L))
+      val syllables = greatest(
+        size(regexp_extract_all(lowered, lit("[aeiouy]+"), lit(0)))
+          .cast("long"), lit(1L))
+      docs(s, dir)
+        .select(col("doc_id"), words.as("w"), sentences.as("s"),
+          syllables.as("syl"))
+        .where(col("w") > 0)
+        .select(col("doc_id"), col("w"), col("s"), col("syl"),
+          round(lit(206.835) -
+            lit(1.015) * col("w").cast("double") / col("s").cast("double") -
+            lit(84.6) * col("syl").cast("double") / col("w").cast("double"),
+            6).as("flesch6"))
+    }),
+
     // Zipf-law fit — the corpus-characterization op (natural text runs
     // a log-log rank/frequency slope near −1; generated or boilerplate
     // corpora deviate): least squares over (ln rank, ln freq) of the
@@ -834,6 +862,21 @@ object TextQueries {
            |  SELECT doc_id, sum(c) AS n,
            |    sum(CAST(c * ln(c) AS DECIMAL(28,18))) AS clc
            |  FROM counts GROUP BY 1) q""".stripMargin,
+
+      "text_readability" ->
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS w,
+           |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+           |             1) AS s,
+           |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           |             AS BIGINT), 1) AS syl
+           |  FROM documents
+           |)
+           |SELECT doc_id, w, s, syl,
+           |  round(206.835 - 1.015 * CAST(w AS DOUBLE) / CAST(s AS DOUBLE)
+           |    - 84.6 * CAST(syl AS DOUBLE) / CAST(w AS DOUBLE), 6) AS flesch6
+           |FROM c WHERE w > 0""".stripMargin,
 
       "text_zipf_fit" ->
         s"""WITH counts AS (

@@ -31,13 +31,16 @@ class ContractSpec extends AnyFunSuite {
       "a query name is declared in two family maps — one silently shadows " +
         "the other in SparkEntry.queries")
     // a duplicate key WITHIN one family's Map literal collapses before
-    // any code can see it (caught live in r7: a second events_funnel
-    // silently replaced the first) — a monotone floor on the total turns
-    // that silent replacement into a count drop. Raise the floor when
-    // adding queries; never lower it.
-    assert(names.size >= 186,
-      s"query count fell to ${names.size} — a declared query vanished " +
-        "(duplicate key inside a family map?)")
+    // any code can see it (caught live TWICE in r7: a second
+    // events_funnel, then a second events_retention, each silently
+    // replacing the original) — only an EXACT pin makes the silent
+    // replacement fail loudly, because a duplicate nets the total one
+    // short of what the author expects. Bump this when adding or
+    // removing queries; a mismatch means a name collided.
+    assert(names.size == 195,
+      s"query count is ${names.size}, expected 195 — either bump this " +
+        "pin for intentionally added/removed queries, or a duplicate " +
+        "key inside a family map silently swallowed one")
   }
 
   test("oracle SQL never references the spark-only temp views") {
