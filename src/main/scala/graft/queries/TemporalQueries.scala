@@ -782,8 +782,11 @@ object TemporalQueries {
       val q = s.readStream.schema(schema)
         // 8 files / 4 = 2 batches — the cheapest shape that still
         // splits every doc's shingle set across batches (round-robin
-        // spread), which is what makes the fold a real sketch merge
-        .option("maxFilesPerTrigger", "4")
+        // spread), which is what makes the fold a real sketch merge.
+        // LayoutInvarianceSpec halves the split knob to prove the fold
+        // is batch-split independent.
+        .option("maxFilesPerTrigger",
+          math.max(1, maxFilesPerTrigger(s).toInt / 8).toString)
         .parquet(srcDir)
         .writeStream
         .outputMode("append")

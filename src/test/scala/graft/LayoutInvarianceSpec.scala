@@ -56,7 +56,8 @@ class LayoutInvarianceSpec extends SparkSpec {
     // bug a single-split oracle run cannot see.
     val conf = spark.conf
     try {
-      Seq("stream_foreachbatch_upsert", "stream_cms_merge").foreach { name =>
+      Seq("stream_foreachbatch_upsert", "stream_cms_merge",
+          "stream_minhash_index").foreach { name =>
         conf.set("spark.graft.stream.maxFilesPerTrigger", "32")
         val a = rows(name)
         conf.set("spark.graft.stream.maxFilesPerTrigger", "7")
