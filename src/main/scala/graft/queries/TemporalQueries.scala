@@ -105,6 +105,33 @@ object TemporalQueries {
         .select(col("purchase_id"), col("asof_signup_id").as("signup_id"))
     }),
 
+    // As-of with a STALENESS BOUND — the feature-store point-in-time
+    // contract: the latest at-or-before match is taken only if it is
+    // young enough (here ≤ 7 days); a stale match is REJECTED, never
+    // replaced by an even-older row. Same one-shuffle union+window
+    // shape as join_asof — the bound is a post-filter on the carried
+    // right time, so the operator's cost contract is unchanged; what
+    // changes is semantics (a training pipeline must drop stale
+    // features, not silently reach further into the past).
+    "join_asof_tolerance" -> ((s, dir) => {
+      val tolMs = 7L * 24 * 3600 * 1000
+      val purchases = dedupedEvents(s, dir, "purchase")
+        .select(col("user_id"), col("ts_ms").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val signups = dedupedEvents(s, dir, "signup")
+        .select(col("user_id"), col("ts_ms").as("s_ts"),
+          col("event_id").as("signup_id"))
+      AsofJoin.asofJoin(
+          purchases, signups, key = "user_id",
+          leftTime = "p_ts", rightTime = "s_ts",
+          rightId = "signup_id", carried = Seq("signup_id", "s_ts"))
+        .select(col("purchase_id"),
+          col("asof_signup_id").as("signup_id"),
+          (unix_millis(col("p_ts")) - unix_millis(col("asof_s_ts")))
+            .as("age_ms"))
+        .where(col("age_ms") <= tolMs)
+    }),
+
     // Interval-overlap join, banded: which maintenance windows did each
     // user session overlap? Both interval sets explode into fixed-width
     // time buckets; candidates meet ONLY inside a shared bucket (join on
@@ -1014,6 +1041,23 @@ object TemporalQueries {
         |SELECT p.purchase_id, su.signup_id
         |FROM p ASOF JOIN su
         |  ON p.user_id = su.user_id AND p.t >= su.t""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, date_trunc('millisecond', ts) AS t,
+        |    max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), su AS (
+        |  SELECT user_id, date_trunc('millisecond', ts) AS t,
+        |    max(event_id) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+        |)
+        |SELECT purchase_id, signup_id, age_ms FROM (
+        |  SELECT p.purchase_id, su.signup_id,
+        |    epoch_ms(p.t) - epoch_ms(su.t) AS age_ms
+        |  FROM p ASOF JOIN su
+        |    ON p.user_id = su.user_id AND p.t >= su.t) q
+        |WHERE age_ms <= 604800000""".stripMargin,
+
     // oracle does the direct O(n*m) overlap join — tiny at fixture
     // scale; banding changes the plan, not the result
     "join_interval_overlap" ->
