@@ -204,6 +204,61 @@ object TextDedup {
         .withColumnRenamed("sz", "sz2"), "id2")
   }
 
+  /** Exact repeated-span removal intervals (Lee et al. 2022 shape):
+    * every `spanLen`-token span occurring in MORE THAN ONE document is
+    * removed from every doc except the span's min-id keeper; overlapping
+    * removals merge into per-doc half-open token intervals
+    * `(doc_id, start_tok, end_tok, n_spans)`.
+    *
+    * Pipeline: positional token windows hash to md5 keys (one
+    * posexplode — |tokens| rows), one hash-keyed shuffle groups
+    * occurrences (cross-doc test = min≠max doc id, no distinct agg),
+    * removals join back on the hash, and the interval merge is a
+    * per-doc gaps-and-islands window (state bounded by doc length). The
+    * linear full-scan alternative to suffix-array span dedup — every
+    * stage shuffles on a fixed-width key, so it scales like exact
+    * dedup, never like pairwise comparison.
+    *
+    * `df` must carry (`idCol`, `textCol`); persist/checkpoint the span
+    * table at the call site if the frame feeds multiple consumers.
+    */
+  def repeatedSpanIntervals(df: DataFrame, idCol: String, textCol: String,
+                            spanLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        split(normalize(col(textCol)), " ").as("t"))
+      .where(size(col("t")) >= spanLen)
+    val spans = toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $spanLen), " +
+          s"i -> md5(concat_ws(' ', slice(t, i + 1, $spanLen))))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+      .persist()
+    val dup = spans.groupBy("h")
+      .agg(min("doc_id").as("keep_doc"), max("doc_id").as("max_doc"))
+      .where(col("keep_doc") =!= col("max_doc"))
+      .select("h", "keep_doc")
+    val rem = spans.join(dup, "h")
+      .where(col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id"), col("pos").cast("long").as("s0"),
+        (col("pos") + spanLen).cast("long").as("s1"))
+    val w = Window.partitionBy("doc_id").orderBy("s0", "s1")
+    val isl = rem
+      .withColumn("pm",
+        max("s1").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("pm").isNull || col("s0") > col("pm"), 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val out = isl.groupBy("doc_id", "island")
+      .agg(min("s0").as("start_tok"), max("s1").as("end_tok"),
+        count(lit(1)).as("n_spans"))
+      .select("doc_id", "start_tok", "end_tok", "n_spans")
+      .localCheckpoint() // eager — release the span cache below
+    spans.unpersist()
+    out
+  }
+
   /** 16-bit SimHash per doc from its shingle stream (frequency-weighted:
     * pass a non-dedup'd stream so repeated shingles vote repeatedly —
     * the classic form): each shingle hashes to a 60-bit integer (first 15

@@ -332,67 +332,23 @@ object DedupQueries {
     }),
 
     // exact repeated-span dedup (the "deduplicating training data"
-    // operator, cf. Lee et al. 2022): every 15-token span occurring in
-    // MORE THAN ONE document is removed from every doc except the
-    // span's min-id keeper; overlapping removals merge into per-doc
-    // [start_tok, end_tok) intervals. This catches shared boilerplate /
-    // quoted passages that whole-doc near-dup misses. Pipeline: token
-    // windows hash to md5 keys (one explode — |tokens| rows), one
-    // hash-keyed shuffle groups occurrences (dup test is min≠max doc —
-    // no distinct agg), removals join back on the hash, and interval
-    // merge is a per-doc gaps-and-islands window (state bounded by doc
-    // length). That is the linear full-scan alternative to suffix-array
-    // span dedup — every stage is a shuffle on a fixed-width key, so it
-    // scales like exact dedup, not like pairwise comparison. Corpus
+    // operator, cf. Lee et al. 2022) via
+    // [[TextDedup.repeatedSpanIntervals]] — catches shared boilerplate /
+    // quoted passages that whole-doc near-dup misses; the operator is
+    // additionally property-verified against an independent reference
+    // implementation on random corpora (Round7QueriesSpec). Corpus
     // injects composite docs (210-char prefix of every doc_id % 4 == 0
     // doc + a 3-token tail) so cross-doc spans exist by construction;
     // the tail is too short to form spans of its own.
     "doc_dedup_spans" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val L = 15
       val d = docs(s, dir).select("doc_id", "text")
       val corpus = d.unionByName(
         d.filter(col("doc_id") % 4 === 0)
           .select((col("doc_id") + 300000).as("doc_id"),
             concat(substring(col("text"), 1, 210), lit(" zq tail zq"))
               .as("text")))
-      val toks = corpus
-        .select(col("doc_id"),
-          split(TextDedup.normalize(col("text")), " ").as("t"))
-        .where(size(col("t")) >= L)
-      // persisted: the span table feeds BOTH the dup aggregation and
-      // the join-back, and the partial-agg boundary defeats exchange
-      // reuse — without this the corpus is scanned and exploded twice
-      // (PlanCheck showed 4 parquet scans); production materializes the
-      // span-hash table as a side artifact for exactly this reason
-      val spans = toks.select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(t) - $L), " +
-            s"i -> md5(concat_ws(' ', slice(t, i + 1, $L))))")))
-        .select(col("doc_id"), col("pos"), col("col").as("h"))
-        .persist()
-      val dup = spans.groupBy("h")
-        .agg(min("doc_id").as("keep_doc"), max("doc_id").as("max_doc"))
-        .where(col("keep_doc") =!= col("max_doc"))
-        .select("h", "keep_doc")
-      val rem = spans.join(dup, "h")
-        .where(col("doc_id") =!= col("keep_doc"))
-        .select(col("doc_id"), col("pos").cast("long").as("s0"),
-          (col("pos") + L).cast("long").as("s1"))
-      val w = Window.partitionBy("doc_id").orderBy("s0", "s1")
-      val isl = rem
-        .withColumn("pm",
-          max("s1").over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("island",
-          sum(when(col("pm").isNull || col("s0") > col("pm"), 1L)
-            .otherwise(0L))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      val out = isl.groupBy("doc_id", "island")
-        .agg(min("s0").as("start_tok"), max("s1").as("end_tok"),
-          count(lit(1)).as("n_spans"))
-        .select("doc_id", "start_tok", "end_tok", "n_spans")
-        .localCheckpoint() // eager — release the span cache below
-      spans.unpersist()
-      out
+      TextDedup.repeatedSpanIntervals(corpus, "doc_id", "text",
+        spanLen = 15)
     }),
 
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;

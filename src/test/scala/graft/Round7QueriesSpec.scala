@@ -66,6 +66,69 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("span dedup property: the distributed pipeline equals an " +
+       "independent reference implementation on random corpora") {
+    // reference implementation: straight-line Scala over in-memory
+    // docs — no hashing, no windows, no Spark — computing the same
+    // contract (cross-doc spans, min-id keeper, merged intervals)
+    def reference(docs: Seq[(Long, String)], L: Int)
+        : Set[(Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      }.toMap
+      val occ = for {
+        (id, ts) <- toks.toSeq; i <- 0 to ts.length - L
+        if ts.length >= L
+      } yield (ts.slice(i, i + L).mkString(" "), id, i)
+      val bysSpan = occ.groupBy(_._1)
+      val removals = bysSpan.values.flatMap { os =>
+        val keep = os.map(_._2).min
+        if (os.map(_._2).distinct.size < 2) Nil
+        else os.filter(_._2 != keep).map(o => (o._2, o._3))
+      }.toSeq
+      removals.groupBy(_._1).flatMap { case (id, ps) =>
+        val ivs = ps.map(p => (p._2.toLong, p._2.toLong + L))
+          .sortBy(identity)
+        // island rule mirrors the window formulation exactly: a new
+        // island opens iff s0 > max end of all preceding intervals
+        val islands = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)]
+        ivs.foreach { case (s0, s1) =>
+          islands.lastOption match {
+            case Some((a, b, n)) if s0 <= b =>
+              islands(islands.length - 1) = (a, math.max(b, s1), n + 1)
+            case _ => islands += ((s0, s1, 1L))
+          }
+        }
+        islands.map { case (a, b, n) => (id, a, b, n) }
+      }.toSet
+    }
+    // random corpora over a tiny vocab force heavy span sharing; a few
+    // docs are explicit partial copies so cross-doc spans exist even
+    // when the vocab draw is unlucky
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    (1 to 3).foreach { trial =>
+      val baseDocs = (1L to 12L).map { id =>
+        val len = 8 + rnd.nextInt(25)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val copies = baseDocs.take(4).map { case (id, t) =>
+        (id + 100L) -> (t.split(" ").take(10).mkString(" ") + " zz qq")
+      }
+      val docs = baseDocs ++ copies
+      val L = 5
+      val expected = reference(docs, L)
+      val got = graft.operators.TextDedup
+        .repeatedSpanIntervals(docs.toDF("doc_id", "text"), "doc_id",
+          "text", spanLen = L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"trial $trial: only-spark=${(got -- expected).take(5)}, " +
+          s"only-ref=${(expected -- got).take(5)}")
+    }
+  }
+
   test("pigeonhole banding is EXACT at hamming <= 2: banded pairs " +
        "equal brute force over all signature pairs") {
     import graft.operators.TextDedup
