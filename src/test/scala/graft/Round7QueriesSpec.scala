@@ -66,6 +66,68 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("LSH banding property: candidatePairs equals a reference " +
+       "implementation on random corpora (pins the one-sided cap)") {
+    import graft.operators.TextDedup
+    // reference: per doc, the 8 signature mins from md5 slices; pairs =
+    // docs sharing any band key, minus pairs meeting ONLY through
+    // oversized buckets — straight-line Scala, no Spark
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    def reference(docs: Seq[(Long, String)],
+                  cap: Int): Set[(Long, Long)] = {
+      val sigs = docs.flatMap { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        if (toks.length < 3) None
+        else {
+          val sh = toks.sliding(3).map(_.mkString(" ")).toSet
+          val hs = sh.toSeq.map(s => md5hex("mh|" + s))
+          Some(id -> (0 until 8).map(i => hs.map(_.slice(4 * i, 4 * i + 4)).min))
+        }
+      }
+      val buckets = sigs.flatMap { case (id, m) =>
+        (0 until 4).map(b => (b, md5hex(m(2 * b) + m(2 * b + 1))) -> id)
+      }
+      val byBucket = buckets.groupBy(_._1).view
+        .mapValues(_.map(_._2)).toMap
+      val okBuckets = byBucket.filter(_._2.size <= cap)
+      (for {
+        ids <- okBuckets.values
+        a <- ids; b <- ids if a < b
+      } yield (a, b)).toSet
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "blue", "green", "gold", "gray", "pink")
+    (1 to 3).foreach { trial =>
+      val base = (1L to 15L).map { id =>
+        val len = 3 + rnd.nextInt(12)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // exact copies guarantee collisions in every band; SIX copies of
+      // doc 1 make its buckets oversized under the small cap, so the
+      // cap=3 pass exercises the one-sided-cap drop semantics too
+      val dups = base.take(3).map { case (id, t) => (id + 50L) -> t } ++
+        (1 to 5).map(k => (200L + k) -> base.head._2)
+      val docs = base ++ dups
+      Seq(1000, 3).foreach { cap =>
+        val expected = reference(docs, cap)
+        val sh = TextDedup.shingles(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        val got = TextDedup
+          .candidatePairs(
+            TextDedup.bandBuckets(TextDedup.minhashSignature(sh)),
+            maxBucketSize = cap)
+          .as[(Long, Long)].collect().toSet
+        assert(got == expected,
+          s"trial $trial cap $cap: " +
+            s"only-spark=${(got -- expected).take(5)}, " +
+            s"only-ref=${(expected -- got).take(5)}")
+      }
+    }
+  }
+
   test("span dedup property: the distributed pipeline equals an " +
        "independent reference implementation on random corpora") {
     // reference implementation: straight-line Scala over in-memory
