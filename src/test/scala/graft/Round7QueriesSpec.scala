@@ -66,6 +66,40 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("connected components property: pointer jumping equals " +
+       "union-find on random graphs") {
+    def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      // union-find with min-id roots: parenting the larger root under
+      // the smaller keeps every root the component minimum — the same
+      // label contract as the operator
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+    }
+    val rnd = new scala.util.Random(31)
+    (1 to 3).foreach { trial =>
+      val edges = (1 to 35).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = reference(edges)
+      val got = graft.operators.GraphOps
+        .connectedComponents(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected,
+        s"trial $trial: diffs=${(got.toSet -- expected.toSet).take(5)} / " +
+          s"${(expected.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("as-of join property: the union+carry-forward operator equals " +
        "a per-row linear-scan reference on random event streams") {
     import graft.operators.AsofJoin
