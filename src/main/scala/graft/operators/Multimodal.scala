@@ -139,25 +139,26 @@ object Multimodal {
     * pixels). The property that matters is invariance under container
     * re-encodes — bytes past the header can change (new digest) while
     * the signature doesn't — which is exactly what separates perceptual
-    * dedup from digest dedup. Same batched `mapPartitions` plumbing as
-    * [[decode]]; payloads never shuffle, only (id, 16-bit hash) rows
-    * flow on. Malformed payloads (< 3 header bytes) hash to the -1
-    * sentinel rather than failing the task.
+    * dedup from digest dedup. The stub hash is strictly per-element, so
+    * the rows map straight through `mapPartitions` — no `grouped`
+    * buffering (a real DCT-based pHash that batches onto an accelerator
+    * would reintroduce the [[decode]]-style batch loop at this spot).
+    * Payloads never shuffle, only (id, 16-bit hash) rows flow on.
+    * Malformed payloads (< 3 header bytes) hash to the -1 sentinel
+    * rather than failing the task.
     */
-  def phash16(media: DataFrame, batchSize: Int = 64): Dataset[MediaHash] = {
+  def phash16(media: DataFrame): Dataset[MediaHash] = {
     val spark = media.sparkSession
     import spark.implicits._
     media
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, p) =>
-            if (p == null || p.length < 3) MediaHash(id, -1L)
-            else {
-              val b0 = p(0) & 0xff; val b1 = p(1) & 0xff; val b2 = p(2) & 0xff
-              MediaHash(id, ((b0 * 256 + b1) + b2 * 31) % 65536L)
-            }
+        it.map { case (id, p) =>
+          if (p == null || p.length < 3) MediaHash(id, -1L)
+          else {
+            val b0 = p(0) & 0xff; val b1 = p(1) & 0xff; val b2 = p(2) & 0xff
+            MediaHash(id, ((b0 * 256 + b1) + b2 * 31) % 65536L)
           }
         }
       }

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Shared oversized-bucket cap. [[candidatePairs]] defaults to it and
+    * the incremental dedup path (DedupQueries.incrementalDedup) applies
+    * the same value to its probe-side cap — the pinned "incremental ==
+    * full-corpus restricted to newest pairs" invariant depends on both
+    * sides agreeing, so neither hard-codes the number.
+    */
+  val DefaultMaxBucketSize: Int = 1000
+
   /** Whitespace-collapse + lowercase normalization. */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
@@ -104,7 +112,7 @@ object TextDedup {
     * bucket stream — partial-agg cheap.
     */
   def candidatePairs(buckets: DataFrame,
-                     maxBucketSize: Int = 1000): DataFrame = {
+                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxBucketSize >= 2, "a bucket needs 2 docs to form a pair")
     // bucket-size cap as a pre-aggregated OVERSIZED-key set + broadcast
     // anti-join: the oversized set is tiny by construction (only
@@ -154,8 +162,9 @@ object TextDedup {
     * produced it doesn't run twice.
     */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame,
-                    sizes: Option[DataFrame] = None): DataFrame =
-    overlapCounts(pairs, sh, sizes)
+                    sizes: Option[DataFrame] = None,
+                    eager: Boolean = true): DataFrame =
+    overlapCounts(pairs, sh, sizes, eager)
       .select(col("id1"), col("id2"),
         (col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")).cast("double"))
@@ -168,7 +177,8 @@ object TextDedup {
     * in a longer document, which Jaccard dilutes by the size gap).
     */
   def overlapCounts(pairs: DataFrame, sh: DataFrame,
-                    sizes: Option[DataFrame] = None): DataFrame = {
+                    sizes: Option[DataFrame] = None,
+                    eager: Boolean = true): DataFrame = {
     val sz = sizes.getOrElse(
       sh.groupBy("doc_id").agg(count(lit(1)).as("sz")))
     val candIds = pairs.select(col("id1").as("doc_id"))
@@ -180,15 +190,17 @@ object TextDedup {
     // shingleKeys). Intersection COUNTS are hash-invariant — a within-doc
     // collision among ~1M distinct shingles has probability ~5e-8 and
     // would be caught by the oracle hash gate.
-    // MATERIALIZED (eager, lineage-truncated): both intersection sides
-    // read this frame, and without the checkpoint each alias re-scans
-    // the full corpus shingle table for its semi-join — at 100 TB that
-    // is two passes over the biggest table in the pipeline to build the
-    // same small suspects-only result twice. The materialization itself
-    // is bounded by candidate count × shingles-per-doc, not corpus size.
-    val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // MATERIALIZED (eager, lineage-truncated) by default: both
+    // intersection sides read this frame, and without the checkpoint each
+    // alias re-scans the full corpus shingle table for its semi-join — at
+    // 100 TB that is two passes over the biggest table in the pipeline to
+    // build the same small suspects-only result twice. The
+    // materialization is bounded by candidate count × shingles-per-doc,
+    // not corpus size. `eager = false` keeps the frame lazy so
+    // plan-inspection callers don't trigger a Spark job at build time.
+    val shCandLazy = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
-      .localCheckpoint()
+    val shCand = if (eager) shCandLazy.localCheckpoint() else shCandLazy
     val a = shCand.alias("sa")
     val b = shCand.alias("sb")
     val inter = pairs.alias("p")

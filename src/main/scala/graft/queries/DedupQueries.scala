@@ -166,7 +166,7 @@ object DedupQueries {
     // incremental and full-corpus candidate sets agree exactly
     val oversized = allB.groupBy("band", "key")
       .agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") > 1000)
+      .where(col("_bsz") > TextDedup.DefaultMaxBucketSize)
       .select("band", "key")
     // the cap is applied to the (small) probe side only — the pair join
     // is inner on (band, key), so keys dropped here form no pairs no
@@ -186,7 +186,7 @@ object DedupQueries {
     val pairs = if (inspect) pairsRaw else pairsRaw.persist()
     val sh = baseSh.unionByName(newSh)
     val verified = TextDedup.jaccardVerify(pairs, sh,
-        Some(sigAll.select("doc_id", "sz")))
+        Some(sigAll.select("doc_id", "sz")), eager = !inspect)
       .where(col("jaccard") >= 0.6)
     if (inspect) verified
     else {

@@ -450,7 +450,7 @@ object DeltaQueries {
       val p = hist(previous(s, dir), "pc")
       val q = hist(newest(s, dir), "qc")
       val tots = previous(s, dir).agg(count(lit(1)).as("pt"))
-        .crossJoin(newest(s, dir).agg(count(lit(1)).as("qt")))
+        .crossJoin(broadcast(newest(s, dir).agg(count(lit(1)).as("qt"))))
       val joined = p.join(q, Seq("bin"), "full_outer")
         .crossJoin(broadcast(tots))
         .select(col("bin"),

@@ -622,6 +622,29 @@ object RelationalQueries {
         .select(col("node"), round(col("pr"), 9).as("pr9"))
     }),
 
+    // The SAME pagerank on the SAME graph, forced down the billion-node
+    // code path: rankBroadcastMaxNodes = 0 makes every round
+    // shuffle-join the rank table against the (src-clustered, reused
+    // exchange) edge list instead of broadcasting it — the shape the
+    // operator takes when |V| exceeds executor memory. GraphScaleSpec
+    // proves the two paths rank-identical; this query keeps the
+    // fallback honest under the ORACLE gate too (and Round8QueriesSpec
+    // pins that the executed plan broadcasts no rank table). Ranks are
+    // DECIMAL(28,18)-summed, so path choice cannot move a digit.
+    "graph_pagerank_large" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("id1"),
+          (col("l_suppkey") + 1000000L).as("id2"))
+        .distinct()
+      graft.operators.GraphOps.pagerank(e, iterations = 5,
+        edgesDistinct = true, rankBroadcastMaxNodes = 0L)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+        .select(col("node"), round(col("pr"), 9).as("pr9"))
+    }),
+
     // Triangle count over the nation-level trade graph — the third graph
     // shape next to the iterative two (connected components, PageRank):
     // a bounded 3-way self-join. The heavy, distributed part is the EDGE
@@ -869,7 +892,7 @@ object RelationalQueries {
         (sum(col("o_totalprice").cast(DecimalType(18, 2))) * lit(3) /
          (count(lit(1)) * lit(2)).cast(DecimalType(18, 0)))
           .cast(DecimalType(18, 6)).as("thresh"))
-      o.crossJoin(thresh)
+      o.crossJoin(broadcast(thresh)) // 1-row scalar
         .filter(col("o_totalprice").cast(DecimalType(18, 6)) > col("thresh"))
         .select("o_orderkey", "o_totalprice")
     }),
@@ -964,6 +987,36 @@ object RelationalQueries {
     "distinct_projection" -> ((s, dir) =>
       t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
   )
+
+  /** Shared by graph_pagerank and graph_pagerank_large — the same five
+    * rounds unrolled: each pr_i references pr_{i-1}, with the identical
+    * (1.0 - 0.85)/n teleport term and the identical DECIMAL(28,18)
+    * contribution sum.
+    */
+  private lazy val pagerankOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS node,
+         |    (1.0 - 0.85) / n.n + 0.85 *
+         |      CAST(sum(CAST(p.pr / e.deg AS DECIMAL(28,18))) AS DOUBLE) AS pr
+         |  FROM oe e JOIN pr${i - 1} p ON p.node = e.src, n
+         |  GROUP BY e.dst, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges0 AS (
+       |  SELECT DISTINCT o_custkey AS id1, l_suppkey + 1000000 AS id2
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), sym AS (
+       |  SELECT id1 AS src, id2 AS dst FROM edges0
+       |  UNION
+       |  SELECT id2, id1 FROM edges0
+       |), deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |oe AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON d.src = s.src),
+       |n AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM sym),
+       |pr0 AS (SELECT DISTINCT src AS node, 1.0 / n.n AS pr FROM sym, n),
+       |$rounds
+       |SELECT node, round(pr, 9) AS pr9 FROM pr5
+       |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "agg_sum_groupby" ->
@@ -1220,33 +1273,10 @@ object RelationalQueries {
         |  AND l.l_quantity < (
         |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
-    "graph_pagerank" -> {
-      // the same five rounds unrolled: each pr_i references pr_{i-1},
-      // with the identical (1.0 - 0.85)/n teleport term and the
-      // identical DECIMAL(28,18) contribution sum
-      val rounds = (1 to 5).map { i =>
-        s"""pr$i AS (
-           |  SELECT e.dst AS node,
-           |    (1.0 - 0.85) / n.n + 0.85 *
-           |      CAST(sum(CAST(p.pr / e.deg AS DECIMAL(28,18))) AS DOUBLE) AS pr
-           |  FROM oe e JOIN pr${i - 1} p ON p.node = e.src, n
-           |  GROUP BY e.dst, n.n)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH edges0 AS (
-         |  SELECT DISTINCT o_custkey AS id1, l_suppkey + 1000000 AS id2
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |), sym AS (
-         |  SELECT id1 AS src, id2 AS dst FROM edges0
-         |  UNION
-         |  SELECT id2, id1 FROM edges0
-         |), deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
-         |oe AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON d.src = s.src),
-         |n AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM sym),
-         |pr0 AS (SELECT DISTINCT src AS node, 1.0 / n.n AS pr FROM sym, n),
-         |$rounds
-         |SELECT node, round(pr, 9) AS pr9 FROM pr5
-         |ORDER BY pr DESC, node LIMIT 20""".stripMargin
-    },
+    "graph_pagerank" -> pagerankOracle,
+    // identical oracle by design: the broadcast and shuffle-join rank
+    // paths are the same arithmetic, only the physical plan differs
+    "graph_pagerank_large" -> pagerankOracle,
 
     "graph_triangles" ->
       """WITH pairs AS (

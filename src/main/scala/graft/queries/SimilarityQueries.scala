@@ -71,7 +71,82 @@ object SimilarityQueries {
     */
   private val boundedQueryIds: Seq[Long] = (0L until 500L by 20L).toList
 
+  /** Top-1 IVF cell for each row of a frame carrying (e, nrm): argmax
+    * round-6 cosine against the literal centroid set, centroid id as the
+    * tie-break — the same deterministic assignment contract as
+    * sim_topk_ivf's, factored out so the batch and incremental index
+    * builds share it verbatim.
+    */
+  private def assignCell(cents: Array[(Long, Seq[Double])]): Column = {
+    val scored = cents.map { case (cid, ce) =>
+      val cnrm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
+      struct(
+        (-round(VectorSim.dot(col("e"), typedLit(ce)) /
+          (col("nrm") * lit(cnrm)), 6)).as("negccos"),
+        lit(cid).as("cent_id"))
+    }
+    array_min(array(scored: _*)).getField("cent_id")
+  }
+
+  /** Persisted IVF index over the HISTORY side of the corpus
+    * (vec_id % 7 != 0): the literal centroid set (K = 16 vectors with
+    * lexicographically smallest md5('ivfinc|' || vec_id) among history
+    * ids — the deterministic hash-sample seed family) plus the per-cell
+    * (n_vecs, sum_ids) aggregate. Built once per (app, dir) and
+    * localCheckpoint'd — these two artifacts (centroid metadata +
+    * per-cell stats) are exactly what a production ANN pipeline
+    * materializes per corpus snapshot, so later deliveries never touch
+    * history rows again.
+    */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), (Array[(Long, Seq[Double])], DataFrame)]
+
+  private def historyIvfIndex(s: SparkSession, dir: String)
+      : (Array[(Long, Seq[Double])], DataFrame) =
+    ivfIndexCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val hist = base(s, dir).where(col("vec_id") % 7 =!= 0)
+      val cents = hist
+        .withColumn("ch",
+          md5(concat(lit("ivfinc|"), col("vec_id").cast("string"))))
+        .orderBy(col("ch"), col("vec_id")).limit(16)
+        .select(col("vec_id"), col("e")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val idx = hist.withColumn("cell", assignCell(cents))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
+        .withColumn("n_new", lit(0L))
+        .localCheckpoint() // eager — history is scanned exactly once
+      (cents, idx)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental IVF index maintenance — the similarity-side twin of
+    // stream_minhash_index / doc_dedup_incremental: a NEW delivery
+    // (vec_id % 7 == 0) is assigned to the PERSISTED literal centroids
+    // and its per-cell counts are merged into the persisted per-cell
+    // stats by summation — history vectors are never re-scanned (the
+    // history side enters the plan as the checkpointed index RDD, not a
+    // parquet scan; pinned in Round8QueriesSpec). Because per-row
+    // assignment is deterministic in the centroid set alone, the merged
+    // index is IDENTICAL to a batch rebuild over the full corpus — which
+    // is what the oracle computes. Scale shape: each delivery costs
+    // O(|new| · K) literal dot products + one partial-agg'd groupBy on
+    // cell; the merge itself touches K rows. At 100 TB of history the
+    // weekly bill is the new delivery only.
+    "sim_index_incremental" -> ((s, dir) => {
+      val (cents, idx) = historyIvfIndex(s, dir)
+      val fresh = base(s, dir).where(col("vec_id") % 7 === 0)
+        .withColumn("cell", assignCell(cents))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
+        .withColumn("n_new", col("n_vecs"))
+      idx.unionByName(fresh)
+        .groupBy("cell")
+        .agg(sum("n_vecs").as("n_vecs"), sum("sum_ids").as("sum_ids"),
+          sum("n_new").as("n_new"))
+    }),
+
     // int8 symmetric quantization — the storage/IO side of an embedding
     // pipeline (4x smaller vectors before ANN indexing). Per-vector
     // scale = max|x|/127, q = floor(x/scale) — floor, not round, because
@@ -829,6 +904,28 @@ object SimilarityQueries {
            |        row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cand_id) AS rn
            |      FROM pairs) t
            |WHERE rn <= 5""".stripMargin,
+
+      // batch rebuild over the FULL corpus with the history-derived
+      // centroid set — equals the incremental merge because per-row
+      // assignment depends only on the (persisted) centroids
+      "sim_index_incremental" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+           |), cents AS (
+           |  SELECT vec_id AS cent_id, e AS ce FROM base
+           |  WHERE vec_id % 7 <> 0
+           |  ORDER BY md5('ivfinc|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+           |), ranked AS (
+           |  SELECT b.vec_id, c.cent_id,
+           |    row_number() OVER (PARTITION BY b.vec_id
+           |      ORDER BY round(${cos("b.e", "c.ce")}, 6) DESC, c.cent_id) AS rn
+           |  FROM base b CROSS JOIN cents c
+           |)
+           |SELECT cent_id AS cell, count(*) AS n_vecs,
+           |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+           |  CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_new
+           |FROM ranked WHERE rn = 1 GROUP BY 1""".stripMargin,
 
       "sim_topk_ivf" ->
         s"""WITH base AS (

@@ -387,7 +387,7 @@ object TemporalQueries {
       val grid = e.agg(min("hour").as("h0"), max("hour").as("h1"))
         .select(explode(sequence(col("h0"), col("h1"),
           expr("interval 1 hour"))).as("hour"))
-        .crossJoin(e.select("event_type").distinct())
+        .crossJoin(broadcast(e.select("event_type").distinct()))
       val w = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(hourly, Seq("event_type", "hour"), "left_outer")
@@ -607,7 +607,7 @@ object TemporalQueries {
       val e = Tables(s, dir, "events")
         .select(col("user_id"), unix_millis(col("ts")).as("t"))
       val t0 = e.agg(min("t").as("t0"))
-      val weeks = e.crossJoin(t0)
+      val weeks = e.crossJoin(broadcast(t0)) // 1-row scalar
         .select(col("user_id"),
           ((col("t") - col("t0")) / weekMs).cast("long").as("wk"))
       val cohorts = weeks.groupBy("user_id").agg(min("wk").as("cohort_week"))

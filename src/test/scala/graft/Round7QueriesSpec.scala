@@ -39,8 +39,11 @@ class Round7QueriesSpec extends SparkSpec {
     // spans exist among the base docs (verified: doc 12 shares a
     // 76-token block with a lower-id doc); only the injected side is
     // asserted exhaustively
-    // every injected composite (source had >= 15 tokens in its 210-char
-    // prefix) is flagged — the shared prefix is a cross-doc span
+    // every injected composite whose 210-char prefix carries >= 16 raw
+    // tokens is flagged — the shared prefix is a cross-doc span. The
+    // threshold is 16, not the span width 15: the prefix's LAST token may
+    // be cut mid-word by the 210-char truncation, in which case only the
+    // first len-1 tokens are guaranteed shared with the source doc.
     val flagged = out.map(_._1).toSet
     val expected = graft.Tables(spark, sfDir, "documents")
       .select((col("doc_id") + 300000L).as("doc_id"),
@@ -48,7 +51,7 @@ class Round7QueriesSpec extends SparkSpec {
           .as("p"))
       .where(col("doc_id") % 4 === 300000L % 4)
       .as[(Long, String)].collect()
-      .filter(_._2.trim.split("\\s+").length >= 15)
+      .filter(_._2.trim.split("\\s+").length >= 16)
       .map(_._1).toSet
     assert(expected.subsetOf(flagged),
       s"unflagged composites: ${(expected -- flagged).take(5)}")
