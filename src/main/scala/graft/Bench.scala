@@ -46,6 +46,9 @@ object Bench {
     val rerunBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET", "45.0").toDouble
     val spark = GraftSession.local(cpus, "graft-bench")
+    // lake drift guard: a regenerated testdata dir with a flipped physical
+    // type must fail here, named, not as a wrong-number bench (r8 lesson)
+    Tables.assertLakeSchemas(spark, sfDir)
 
     def jq(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -11,6 +11,9 @@ object Verify {
     val only = args.lift(2).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus, "graft-verify")
+    // fail the run's first second — with the table and column named — if a
+    // regenerated lake flipped a physical type (r8: events.ts nanos→micros)
+    Tables.assertLakeSchemas(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

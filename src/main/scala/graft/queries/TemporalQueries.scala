@@ -274,16 +274,10 @@ object TemporalQueries {
     // The oracle reproduces that boundary in batch SQL.
     "stream_events_hourly_append" -> ((s0, dir) => {
       val s = streamSession(s0)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val tmp = streamDir("hourly_append", dir)
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val q = Tables.eventsStream(s, dir)
         // ms truncation (integer floor) so the watermark is engine-portable
-        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .count()
@@ -319,15 +313,9 @@ object TemporalQueries {
     // streaming sessionization viable on an unbounded event feed.
     "stream_session_window" -> ((s0, dir) => {
       val s = streamSession(s0)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val tmp = streamDir("session_window", dir)
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      val q = Tables.eventsStream(s, dir)
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
         .withWatermark("ts", "2 hours")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
@@ -469,14 +457,8 @@ object TemporalQueries {
     // same time-band join.
     "stream_click_view_join" -> ((s0, dir) => {
       val s = streamSession(s0)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      def stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      def stream = Tables.eventsStream(s, dir)
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
       val tmp = streamDir("click_view_join", dir)
       val clicks = stream.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -516,15 +498,9 @@ object TemporalQueries {
     // original stream iff every injected duplicate was dropped.
     "stream_dedup_ids" -> ((s0, dir) => {
       val s = streamSession(s0)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val tmp = streamDir("dedup_ids", dir)
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      val q = Tables.eventsStream(s, dir)
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
         .withColumn("_copies",
           when(col("event_id") % 4 === 0, array(lit(1), lit(2)))
             .otherwise(array(lit(1))))
@@ -856,19 +832,13 @@ object TemporalQueries {
     // segment) and the batch oracle reproduces the same join + rollup.
     "stream_static_enrich" -> ((s0, dir) => {
       val s = streamSession(s0)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val tmp = streamDir("static_enrich", dir)
       // the static side: a genuine batch DataFrame (derived per-user
       // segment), exactly what a dim table is to a live stream
       val dim = Tables(s, dir, "events")
         .select(col("user_id")).distinct()
         .withColumn("segment", concat(lit("seg"), (col("user_id") % 5)))
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val q = Tables.eventsStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .join(dim, "user_id")
         .writeStream
@@ -902,16 +872,10 @@ object TemporalQueries {
     "stream_user_state_timeout" -> ((s0, dir) => {
       val s = streamSession(s0)
       import s.implicits._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val tmp = streamDir("user_state_timeout", dir)
       val horizonMs = 2 * 3600 * 1000L
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      val q = Tables.eventsStream(s, dir)
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
         .withWatermark("ts", "2 hours")
         .select(col("user_id"), col("ts"))
         .as[(Long, java.sql.Timestamp)]
@@ -956,18 +920,9 @@ object TemporalQueries {
     // executed as a stream over the parquet with Trigger.AvailableNow
     // into a memory sink, then read back as the result
     "stream_events_window" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val qn = "stream_events_window_sink"
       s.streams.active.filter(_.name == qn).foreach(_.stop())
-      val q = s.readStream.schema(schema)
-        // file stream sources take a directory; select just the events
-        // file out of the fixture dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = Tables.eventsStream(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .count()
         .select(col("window.start").as("hour_start"), col("event_type"),
