@@ -993,26 +993,32 @@ object RelationalQueries {
     * (1.0 - 0.85)/n teleport term and the identical DECIMAL(28,18)
     * contribution sum.
     */
+  // DuckDB inlines WITH-clause CTEs at every reference site by default; a
+  // CTE referenced K times re-plans (and re-executes) its whole upstream
+  // chain K times, which turns the unrolled-round graph oracles into an
+  // exponential expression tree — observed as a 70 GiB spill at sf0.1 on
+  // graph_kcore. MATERIALIZED pins each shared CTE to one execution; the
+  // oracle stays plain DuckDB SQL, it just stops being exponential.
   private lazy val pagerankOracle: String = {
     val rounds = (1 to 5).map { i =>
-      s"""pr$i AS (
+      s"""pr$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    (1.0 - 0.85) / n.n + 0.85 *
          |      CAST(sum(CAST(p.pr / e.deg AS DECIMAL(28,18))) AS DOUBLE) AS pr
          |  FROM oe e JOIN pr${i - 1} p ON p.node = e.src, n
          |  GROUP BY e.dst, n.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges0 AS (
+    s"""WITH edges0 AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS id1, l_suppkey + 1000000 AS id2
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |), sym AS (
+       |), sym AS MATERIALIZED (
        |  SELECT id1 AS src, id2 AS dst FROM edges0
        |  UNION
        |  SELECT id2, id1 FROM edges0
-       |), deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
-       |oe AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON d.src = s.src),
-       |n AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM sym),
-       |pr0 AS (SELECT DISTINCT src AS node, 1.0 / n.n AS pr FROM sym, n),
+       |), deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |oe AS MATERIALIZED (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON d.src = s.src),
+       |n AS MATERIALIZED (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM sym),
+       |pr0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 / n.n AS pr FROM sym, n),
        |$rounds
        |SELECT node, round(pr, 9) AS pr9 FROM pr5
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
@@ -1288,9 +1294,9 @@ object RelationalQueries {
         |  JOIN orders o ON o.o_orderkey = l.l_orderkey
         |  JOIN customer c ON c.c_custkey = o.o_custkey
         |  WHERE c.c_nationkey <> s.s_nationkey
-        |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+        |), agg AS MATERIALIZED (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
         |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
-        |edges AS (SELECT u, v FROM agg, tot
+        |edges AS MATERIALIZED (SELECT u, v FROM agg, tot
         |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw)
         |SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |FROM edges e1
@@ -1307,13 +1313,13 @@ object RelationalQueries {
         |  JOIN orders o ON o.o_orderkey = l.l_orderkey
         |  JOIN customer c ON c.c_custkey = o.o_custkey
         |  WHERE c.c_nationkey <> s.s_nationkey
-        |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+        |), agg AS MATERIALIZED (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
         |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
-        |edges AS (SELECT u, v FROM agg, tot
+        |edges AS MATERIALIZED (SELECT u, v FROM agg, tot
         |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw),
-        |sym AS (SELECT u AS src, v AS dst FROM edges
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
         |        UNION ALL SELECT v, u FROM edges),
-        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
         |paths AS (
         |  SELECT e1.src AS a, e1.dst AS w, e2.dst AS b
         |  FROM sym e1 JOIN sym e2 ON e2.src = e1.dst AND e1.src < e2.dst
@@ -1335,7 +1341,7 @@ object RelationalQueries {
 
     "graph_kcore" -> {
       def peel(prev: String, out: String) =
-        s"""$out AS (
+        s"""$out AS MATERIALIZED (
            |  SELECT e.src AS node FROM sym e
            |  JOIN $prev p ON p.node = e.src
            |  JOIN $prev q ON q.node = e.dst
@@ -1349,13 +1355,13 @@ object RelationalQueries {
          |  JOIN orders o ON o.o_orderkey = l.l_orderkey
          |  JOIN customer c ON c.c_custkey = o.o_custkey
          |  WHERE c.c_nationkey <> s.s_nationkey
-         |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+         |), agg AS MATERIALIZED (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
          |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
-         |edges AS (SELECT u, v FROM agg, tot
+         |edges AS MATERIALIZED (SELECT u, v FROM agg, tot
          |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw),
-         |sym AS (SELECT u AS src, v AS dst FROM edges
+         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
          |        UNION SELECT v, u FROM edges),
-         |a0 AS (SELECT DISTINCT src AS node FROM sym),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
          |${peel("a0", "a1")},
          |${peel("a1", "a2")},
          |${peel("a2", "a3")}
@@ -1408,7 +1414,7 @@ object RelationalQueries {
            |  SELECT e.dst, l.lbl, count(*) AS c
            |  FROM sym e JOIN l${i - 1} l ON l.node = e.src
            |  GROUP BY 1, 2
-           |), l$i AS (
+           |), l$i AS MATERIALIZED (
            |  SELECT dst AS node, lbl FROM (
            |    SELECT dst, lbl,
            |      row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
@@ -1424,13 +1430,13 @@ object RelationalQueries {
          |  JOIN orders o ON o.o_orderkey = l.l_orderkey
          |  JOIN customer c ON c.c_custkey = o.o_custkey
          |  WHERE c.c_nationkey <> s.s_nationkey
-         |), agg AS (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+         |), agg AS MATERIALIZED (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
          |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
-         |edges AS (SELECT u, v FROM agg, tot
+         |edges AS MATERIALIZED (SELECT u, v FROM agg, tot
          |          WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw),
-         |sym AS (SELECT u AS src, v AS dst FROM edges
+         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
          |        UNION SELECT v, u FROM edges),
-         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym),
          |$rounds
          |SELECT lbl AS community, count(*) AS n_nodes,
          |  min(node) AS min_node, max(node) AS max_node
