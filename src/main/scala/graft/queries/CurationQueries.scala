@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TextDedup
+import graft.operators.{TextDedup, VectorSim}
 import graft.plans.TopKPerKey
 
 /** Training-data curation operators over the `documents` corpus — the
@@ -71,6 +71,12 @@ object CurationQueries {
     * from the decontamination index (boilerplate carries no signal).
     */
   private val stopShingleCap = 100
+
+  /** Fixed eval-suite id list for cur_decon_semantic — constant BY
+    * CONSTRUCTION (40 ids), so the eval broadcast stays O(1) at any
+    * corpus scale; ids divisible by 50 are the injected-leak members.
+    */
+  private val deconSemEvalIds: Seq[Long] = (0L until 1000L by 25L).toList
 
   /** Per-doc DISTINCT shingles collapsed to 64-bit keys. Hashing happens
     * BEFORE the distinct so every downstream shuffle (distinct, DF
@@ -275,6 +281,45 @@ object CurationQueries {
     // needed — the index IS the eval suite, bounded by construction.
     "cur_decon_eval" -> ((s, dir) => deconEval(s, dir)),
 
+    // decontamination, EMBEDDING space: n-gram decon misses paraphrased
+    // leakage; this variant flags an eval item whose embedding is
+    // near-identical (cosine >= 0.999) to some training vector. The
+    // eval suite is a FIXED id list (bounded by construction, like
+    // sim_topk_brute_bounded's query set), so the broadcast stays O(1)
+    // and the corpus side is a single map-side probe — no shuffle, no
+    // all-pairs — at any train size. The fixture has no real paraphrase
+    // leakage, so it is injected the same way cur_decon_ngram injects
+    // textual leakage: eval ids divisible by 50 carry the embedding of
+    // train vector id+1 (same derivation in the oracle). Production at
+    // 100 TB keeps exactly this plan shape; only the threshold and the
+    // eval suite change.
+    "cur_decon_semantic" -> ((s, dir) => {
+      val b = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorSim.toDoubleArray(col("embedding")).as("e"))
+      // only id+1 of a %50 eval id can be consulted by the injection
+      // CASE below, so the leak-partner scan is prefiltered to that
+      // fixed 20-id list and broadcast — the injection join never
+      // shuffles (or broadcasts) the corpus
+      val leakPartnerIds = deconSemEvalIds.filter(_ % 50 == 0).map(_ + 1)
+      val leak = b.where(col("vec_id").isin(leakPartnerIds: _*))
+        .select(col("vec_id").as("lid"), col("e").as("le"))
+      val eval_ = b.where(col("vec_id").isin(deconSemEvalIds: _*))
+        .join(broadcast(leak), col("lid") === col("vec_id") + 1, "left")
+        .select(col("vec_id").as("eval_id"),
+          when(col("vec_id") % 50 === 0 && col("le").isNotNull, col("le"))
+            .otherwise(col("e")).as("qe"))
+        .withColumn("qnrm", VectorSim.norm(col("qe")))
+      val train = b.where(not(col("vec_id").isin(deconSemEvalIds: _*)))
+        .withColumn("nrm", VectorSim.norm(col("e")))
+      train.crossJoin(broadcast(eval_))
+        .select(col("eval_id"), col("vec_id").as("train_id"),
+          (VectorSim.dot(col("qe"), col("e")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+        .where(col("cos") >= 0.999)
+        .select(col("eval_id"), col("train_id"),
+          round(col("cos"), 6).as("cos6"))
+    }),
+
     // sequence packing: assign docs to fixed-capacity context windows
     // ("packs") by cumulative token offset, per source — the batching
     // step between curation and tokenization in a training pipeline.
@@ -438,6 +483,30 @@ object CurationQueries {
        |  WHERE len(t) >= 3) q1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cur_decon_semantic" -> {
+      def dotSql(a: String, b: String) =
+        s"list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)])"
+      val cosSql =
+        s"${dotSql("qe", "e")} / (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")}))"
+      val ids = deconSemEvalIds.mkString(", ")
+      s"""WITH b AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+         |  FROM embeddings
+         |), ev AS (
+         |  SELECT b.vec_id AS eval_id,
+         |    CASE WHEN b.vec_id % 50 = 0 AND l.e IS NOT NULL
+         |         THEN l.e ELSE b.e END AS qe
+         |  FROM b LEFT JOIN b l ON l.vec_id = b.vec_id + 1
+         |  WHERE b.vec_id IN ($ids)
+         |), pairs AS (
+         |  SELECT eval_id, t.vec_id AS train_id, $cosSql AS cos
+         |  FROM ev, (SELECT vec_id, e FROM b
+         |            WHERE vec_id NOT IN ($ids)) t
+         |)
+         |SELECT eval_id, train_id, round(cos, 6) AS cos6
+         |FROM pairs WHERE cos >= 0.999""".stripMargin
+    },
+
     "cur_sample_weighted" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang,

@@ -653,6 +653,52 @@ object TextQueries {
           round(col("pkn"), 6).as("pkn6"))
     }),
 
+    // perplexity-based quality filter: score every document by the
+    // corpus-trained Kneser-Ney bigram model (same derivation as
+    // text_kneser_ney, so every doc bigram is in-model — no OOV
+    // backoff needed) and report the 20 worst documents by perplexity
+    // exp(-avg ln pkn) — the LM-quality member of the filtering family
+    // (alongside the heuristic text_quality ratios). Scale notes: the
+    // model is an aggregate bounded by the OBSERVED bigram vocabulary,
+    // orders of magnitude below corpus size; the doc-bigram stream
+    // joins it on (w1, w2) and re-aggregates per doc_id — two shuffles,
+    // both on keys far smaller than the corpus. At 100 TB production
+    // trains the scoring model on a sample and broadcasts it, turning
+    // the model join map-side; the per-doc avg is unchanged.
+    "text_perplexity_filter" -> ((s, dir) => {
+      val d = 0.75
+      val docBg = docs(s, dir)
+        .select(col("doc_id"),
+          split(TextDedup.normalize(col("text")), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c12 = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"),
+        count(lit(1)).as("succ1"))
+      val prec2 = c12.groupBy("w2").agg(count(lit(1)).as("prec2"))
+      val types = c12.agg(count(lit(1)).as("n_types"))
+      val model = c12.join(c1, "w1").join(prec2, "w2")
+        .crossJoin(broadcast(types))
+        .withColumn("pkn",
+          greatest(col("c12") - lit(d), lit(0.0)) / col("c1") +
+            (lit(d) * col("succ1") / col("c1")) *
+              (col("prec2") / col("n_types")))
+        .select("w1", "w2", "pkn")
+      val scored = docBg.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          avg(log(col("pkn"))).as("alp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(exp(-col("alp")), 6).as("ppl6"))
+      graft.plans.TopKPerKey
+        .topK(scored.withColumn("all", lit(1)), "all",
+          Seq(("ppl6", true), ("doc_id", false)), 20)
+        .select("doc_id", "n_bigrams", "ppl6")
+    }),
+
     // Count-Min sketch heavy hitters — the frequency member of the
     // sketch family (KMV = distinct count, bottom-k = quantiles, CMS =
     // per-item counts): depth 3 × width 64 md5-derived cells; an item's
@@ -1130,6 +1176,37 @@ object TextQueries {
            |    AS pkn6
            |FROM c12 JOIN c1 USING (w1) JOIN prec2 USING (w2), types
            |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
+
+      // MATERIALIZED pins each shared CTE to one execution (DuckDB
+      // inlines per reference — bg is read by the model derivation AND
+      // the scoring join, c12 by three aggregates plus the model)
+      "text_perplexity_filter" ->
+        s"""WITH bg AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+           |         unnest([t[i+1] FOR i IN range(1, len(t))]) AS w2
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents) q
+           |  WHERE len(t) >= 2
+           |), c12 AS MATERIALIZED (
+           |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+           |), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+           |            count(*) AS succ1 FROM c12 GROUP BY 1),
+           |prec2 AS (SELECT w2, count(*) AS prec2 FROM c12 GROUP BY 1),
+           |types AS (SELECT count(*) AS n_types FROM c12),
+           |model AS (
+           |  SELECT w1, w2,
+           |    greatest(c12 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1
+           |      + (CAST(0.75 AS DOUBLE) * succ1 / c1) * (prec2 / n_types)
+           |      AS pkn
+           |  FROM c12 JOIN c1 USING (w1) JOIN prec2 USING (w2), types
+           |), scored AS (
+           |  SELECT bg.doc_id, count(*) AS n_bigrams,
+           |    round(exp(-avg(ln(pkn))), 6) AS ppl6
+           |  FROM bg JOIN model USING (w1, w2)
+           |  GROUP BY 1
+           |)
+           |SELECT doc_id, n_bigrams, ppl6
+           |FROM scored ORDER BY ppl6 DESC, doc_id LIMIT 20""".stripMargin,
 
       "text_cms_heavy" -> {
         def bSql(d: Int) =
