@@ -26,12 +26,12 @@ object DedupQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** documents ∪ exact copies of every doc_id % 3 == 0 (ids offset 1e5). */
+  /** documents ∪ exact copies of every doc_id % 3 == 0 (ids offset 1e9). */
   private def corpusExact(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 1000000000).as("doc_id"), col("text")))
   }
 
   /** documents ∪ near-copies ('xdup ' prepended) of doc_id % 5 == 0. */
@@ -39,7 +39,7 @@ object DedupQueries {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 1000000000).as("doc_id"),
           concat(lit("xdup "), col("text")).as("text")))
   }
 
@@ -49,7 +49,7 @@ object DedupQueries {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .filter(col("doc_id") % 10 === 0)
     d.unionByName(
-      d.select((col("doc_id") + 100000).as("doc_id"),
+      d.select((col("doc_id") + 1000000000).as("doc_id"),
         concat(lit("xdup "), col("text")).as("text"),
         col("lang"), col("source"), col("n_chars")))
   }
@@ -63,7 +63,7 @@ object DedupQueries {
         VectorSim.toDoubleArray(col("embedding")).as("e"))
     e.unionByName(
       e.filter(col("vec_id") % 7 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + 1000000000).as("vec_id"),
           concat(array(element_at(col("e"), 1) + 0.05),
             slice(col("e"), lit(2), size(col("e")) - 1)).as("e")))
   }
@@ -128,7 +128,7 @@ object DedupQueries {
 
   /** Incremental cross-snapshot dedup — the weekly-cadence shape: dedup
     * the NEWEST snapshot (here: the injected near-copy delivery, ids
-    * offset +1e5) against the PERSISTED historical minhash index
+    * offset +1e9) against the PERSISTED historical minhash index
     * ([[baseMinhash]]) without re-shingling history. Only the new
     * snapshot pays explode + signature cost; the historical side is
     * consumed as two cached side tables (shingles + signatures — the
@@ -151,7 +151,7 @@ object DedupQueries {
     val (baseSh, baseSig) = baseMinhash(s, dir)
     val newDocs = docs(s, dir).select("doc_id", "text")
       .filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + 1000000000).as("doc_id"),
         concat(lit("xdup "), col("text")).as("text"))
     val newShRaw = TextDedup.shingles(newDocs, "doc_id", "text")
     val newSh = if (inspect) newShRaw else newShRaw.persist()
@@ -172,9 +172,9 @@ object DedupQueries {
     // is inner on (band, key), so keys dropped here form no pairs no
     // matter what the other side holds (same one-sided-cap argument as
     // candidatePairs); the probe side is a FILTER of the shared bucket
-    // stream (new snapshot ids sit above the +1e5 offset), not a second
+    // stream (new snapshot ids sit above the +1e9 offset), not a second
     // bucket pipeline
-    val cappedNew = allB.where(col("doc_id") >= 100000L)
+    val cappedNew = allB.where(col("doc_id") >= 1000000000L)
       .join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val pairsRaw = cappedNew.alias("n")
       .join(allB.alias("o"),
@@ -204,7 +204,7 @@ object DedupQueries {
       (s.sparkContext.applicationId, dir), {
         val d = docs(s, dir).select("doc_id", "text")
         val nearCopies = d.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + 1000000000).as("doc_id"),
             concat(lit("xdup "), col("text")).as("text"))
         minhashOverlap(s, dir, nearCopies)
           .select(col("id1"), col("id2"),
@@ -216,7 +216,7 @@ object DedupQueries {
       })
 
   /** Historical cluster labels — connected components over the pairs
-    * among PLAIN docs only (ids < 1e5), persisted per (SparkContext,
+    * among PLAIN docs only (ids < 1e9), persisted per (SparkContext,
     * sfDir): the label table the incremental cluster query folds new
     * pairs into (one row per clustered doc — far smaller than the pair
     * history it summarizes).
@@ -228,7 +228,7 @@ object DedupQueries {
     histClustersCache.getOrElseUpdate(
       (s.sparkContext.applicationId, dir),
       graft.operators.GraphOps.connectedComponents(
-          verifiedPairs(s, dir).where(col("id2") < 100000L)
+          verifiedPairs(s, dir).where(col("id2") < 1000000000L)
             .select("id1", "id2"))
         .localCheckpoint())
 
@@ -323,7 +323,7 @@ object DedupQueries {
     // |clustered docs| + |new pairs|.
     "doc_dedup_clusters_incremental" -> ((s, dir) => {
       val newPairs = verifiedPairs(s, dir)
-        .where(col("id2") >= 100000L).select("id1", "id2")
+        .where(col("id2") >= 1000000000L).select("id1", "id2")
       val edges = histClusters(s, dir)
         .select(col("id").as("id1"), col("component").as("id2"))
         .unionByName(newPairs)
@@ -538,7 +538,7 @@ object DedupQueries {
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
+       |  SELECT doc_id + 1000000000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
        |), ${shinglesCte("corpus", dedup = false)},
        |votes AS (
        |  SELECT doc_id,
@@ -557,7 +557,7 @@ object DedupQueries {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 100000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
+       |  SELECT doc_id + 1000000000, 'xdup ' || text FROM documents WHERE doc_id % 5 = 0
        |), ${shinglesCte("corpus")},
        |$lshPairsSql, $jaccardSql
        |WHERE CAST(i.n AS DOUBLE) / CAST(s1.sz + s2.sz - i.n AS DOUBLE) >= 0.6""".stripMargin
@@ -584,7 +584,7 @@ object DedupQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+         |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 3 = 0
          |)
          |SELECT min(doc_id) AS keep_id, count(*) AS group_size, h
          |FROM (SELECT doc_id, md5($normSql) AS h FROM corpus) q
@@ -594,7 +594,7 @@ object DedupQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+         |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 3 = 0
          |), scored AS (
          |  SELECT doc_id, md5($normSql) AS h,
          |    CAST(length(text) AS BIGINT) AS quality
@@ -610,11 +610,11 @@ object DedupQueries {
     "doc_dedup_minhash" -> minhashOracle,
 
     // incremental = full-corpus dedup restricted to pairs touching the
-    // newest snapshot (new ids are all >= 1e5 and id1 < id2, so
-    // id2 >= 1e5 ⇔ at least one member is new)
+    // newest snapshot (new ids are all >= 1e9 and id1 < id2, so
+    // id2 >= 1e9 ⇔ at least one member is new)
     "doc_dedup_incremental" ->
       s"""SELECT id1, id2, jaccard FROM ($minhashOracle) q
-         |WHERE id2 >= 100000""".stripMargin,
+         |WHERE id2 >= 1000000000""".stripMargin,
 
     "doc_dedup_containment" ->
       s"""WITH corpus AS (
@@ -721,7 +721,7 @@ object DedupQueries {
          |), corpus AS (
          |  SELECT doc_id, text, lang, source, n_chars FROM base
          |  UNION ALL
-         |  SELECT doc_id + 100000, 'xdup ' || text, lang, source, n_chars FROM base
+         |  SELECT doc_id + 1000000000, 'xdup ' || text, lang, source, n_chars FROM base
          |), blocked AS (
          |  SELECT doc_id, text, lang, source, n_chars // 100 AS blk FROM corpus
          |), pairs AS (
@@ -745,7 +745,7 @@ object DedupQueries {
       s"""WITH corpus AS (
          |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 100000,
+         |  SELECT vec_id + 1000000000,
          |    list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
          |      [CAST(x AS DOUBLE) FOR x IN embedding[2:len(embedding)]])
          |  FROM embeddings WHERE vec_id % 7 = 0
@@ -781,7 +781,7 @@ object DedupQueries {
       s"""WITH b AS (
          |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 100000,
+         |  SELECT vec_id + 1000000000,
          |    list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
          |      [CAST(x AS DOUBLE) FOR x IN embedding[2:len(embedding)]])
          |  FROM embeddings WHERE vec_id % 7 = 0

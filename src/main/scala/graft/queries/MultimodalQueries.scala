@@ -48,7 +48,7 @@ object MultimodalQueries {
       val media = Multimodal.syntheticMedia(Tables(s, dir, "documents"))
         .select(col("doc_id"), lower(hex(col("payload"))).as("payload_md5"))
       val dups = media.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("payload_md5"))
+        .select((col("doc_id") + 1000000000).as("doc_id"), col("payload_md5"))
       media.unionByName(dups)
         .groupBy("payload_md5")
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
@@ -134,7 +134,7 @@ object MultimodalQueries {
         |), all_rows AS (
         |  SELECT doc_id, payload_md5 FROM media
         |  UNION ALL
-        |  SELECT doc_id + 100000, payload_md5 FROM media WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1000000000, payload_md5 FROM media WHERE doc_id % 7 = 0
         |)
         |SELECT payload_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM all_rows GROUP BY 1""".stripMargin,

@@ -91,15 +91,23 @@ object ScaleUp {
       Files.deleteIfExists(stage)
       println("[scaleup] events written")
     }
-    // documents: replica text is PERTURBED (suffix token) — exact 10×
-    // duplicate text would put every doc in a K-wide MinHash/exact-dup
-    // bucket and turn the dedup family quadratic, which is drift, not
-    // scale; replica 0 stays byte-identical to the source
+    // documents: replica text is PERTURBED — K-fold byte-identical text
+    // would put every doc in a K-wide dup clique and turn the dedup
+    // family quadratic in K, which is drift, not scale. A single suffix
+    // token defeats only EXACT dedup: the 3-gram shingle streams stay
+    // ~identical, so MinHash/LSH still buckets all K replicas together
+    // (measured: doc_dedup_containment went 8 s → 130 s from 10× to 30×
+    // under suffix-only perturbation). Tagging every 3rd token with the
+    // replica id puts a replica-distinct token in EVERY 3-gram window —
+    // zero cross-replica shingle collisions, near-dup density preserved
+    // at the source lake's level. Replica 0 stays byte-identical.
     val reps = spark.range(0, k).select(col("id").as("_rep"))
     write(t("documents").crossJoin(broadcast(reps))
       .withColumn("doc_id", col("doc_id") + col("_rep") * docN)
       .withColumn("text", when(col("_rep") === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" r"), col("_rep"))))
+        .otherwise(array_join(expr(
+          "transform(split(text, ' '), (t, i) -> " +
+            "if(i % 3 = 2, concat(t, '_r', _rep), t))"), " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("_rep"), "documents")
     write(replicate(t("embeddings"), Map("vec_id" -> vecN)), "embeddings")

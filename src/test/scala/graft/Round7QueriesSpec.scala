@@ -16,7 +16,7 @@ class Round7QueriesSpec extends SparkSpec {
        "newest-side pairs") {
     val full = graft.queries.DedupQueries.queries("doc_dedup_minhash")(
         spark, sfDir)
-      .where(col("id2") >= 100000L)
+      .where(col("id2") >= 1000000000L)
       .as[(Long, Long, Double)].collect().toSet
     val inc = graft.queries.DedupQueries.queries("doc_dedup_incremental")(
         spark, sfDir)
@@ -274,7 +274,7 @@ class Round7QueriesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     val d = Tables(spark, sfDir, "documents").select("doc_id", "text")
     val corpus = d.unionByName(d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + 1000000000).as("doc_id"),
         concat(lit("xdup "), col("text")).as("text")))
     val sims = TextDedup
       .simhash16(TextDedup.shingles(corpus, "doc_id", "text", dedup = false))
