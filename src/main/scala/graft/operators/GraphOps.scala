@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed connected components over an edge list — the cluster
   * step of a dedup pipeline: pairwise near-dup verdicts (LSH + verify)
@@ -173,6 +174,53 @@ object GraphOps {
           sum(col("c").cast("decimal(28,18)")).cast("double")).as("pr"))
     }
     pr
+  }
+
+  /** Fixed-round single-source shortest paths — distributed Bellman-Ford
+    * relaxation over a WEIGHTED undirected edge list (id1, id2, w): the
+    * fourth iterative shape (CC converges exactly, PageRank decays
+    * numerically, LPA votes, SSSP RELAXES — after round k every node
+    * holds the exact minimum path weight over paths of ≤ k hops, so a
+    * fixed round count is a precise semantic contract, not an
+    * approximation knob).
+    *
+    * Engine-portable arithmetic: edge weights and path sums are
+    * DECIMAL(28,2) — additions and min() are exact and order-independent,
+    * so a differential oracle can unroll the same rounds in SQL and
+    * hash-match. (Float weights would make `min` order-stable but the
+    * SUM along a path engine-dependent in rounding.)
+    *
+    * Scale shape: identical to a PageRank round — the edge list is
+    * symmetrized, materialized ONCE, and clustered by `src` so all
+    * rounds share a single edge exchange (exchange reuse executes it
+    * once); each round joins the one-row-per-reached-node frontier
+    * against it and folds with a partial-agg'd min. The distance table
+    * is never broadcast — no per-executor |V| ceiling. Rounds chain
+    * lazily into one pipelined job (plan depth linear in rounds), the
+    * right shape for the fixed small round counts production uses.
+    */
+  def shortestPaths(edges: DataFrame, source: Long, rounds: Int = 4): DataFrame = {
+    val e = edges
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"),
+        col("w").cast(DecimalType(28, 2)).as("w"))
+      .localCheckpoint()
+    val sym = e.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      .unionByName(e.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
+      .localCheckpoint()
+      .repartition(col("src"))
+    var dist = sym.sparkSession.range(1)
+      .select(lit(source).as("node"),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 2)).as("d"))
+    (1 to rounds).foreach { _ =>
+      val relaxed = sym.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      // min of (current, one-hop extensions); re-cast pins the decimal
+      // type so plan width doesn't creep round over round
+      dist = dist.unionByName(relaxed)
+        .groupBy("node")
+        .agg(min("d").cast(DecimalType(28, 2)).as("d"))
+    }
+    dist
   }
 
   /** Synchronous label propagation (community detection) over an

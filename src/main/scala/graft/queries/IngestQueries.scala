@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.Tables
 import graft.sources.{LakeIngest, SingleFileCsv}
@@ -275,10 +275,97 @@ object IngestQueries {
       path.toString
     }
 
+  /** ORC lake fixture (once per sfDir): orders written as an ORC table
+    * partitioned by `o_orderstatus` with zlib compression. ORC is the
+    * second columnar format Spark ships natively (after parquet) —
+    * the roundtrip proves the engine is not parquet-bound: partition
+    * layout, compression, column pruning, and predicate pushdown all
+    * work identically through the ORC reader.
+    */
+  private def ensureOrc(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = Paths.get(workRoot(sfDir), "orc_lake")
+      if (!Files.exists(root.resolve("_SUCCESS"))) {
+        Tables(spark, sfDir, "orders")
+          .write.mode("overwrite")
+          .partitionBy("o_orderstatus")
+          .option("compression", "zlib")
+          .orc(root.toString)
+      }
+      root.toString
+    }
+
+  /** Gzipped JSON-lines lake fixture (once per sfDir): events written as
+    * JSONL partitioned by `event_type`, `.json.gz` per part file. JSONL
+    * is the interchange format every crawler / API export actually
+    * ships; the fixture pins the one lossy trap — Spark's DEFAULT
+    * timestamp format emits milliseconds only — by writing micros
+    * explicitly, so the roundtrip is value-exact at the parquet's own
+    * precision.
+    */
+  private val jsonTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private def ensureJsonl(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = Paths.get(workRoot(sfDir), "jsonl_lake")
+      if (!Files.exists(root.resolve("_SUCCESS"))) {
+        Tables(spark, sfDir, "events")
+          .write.mode("overwrite")
+          .partitionBy("event_type")
+          .option("compression", "gzip")
+          .option("timestampFormat", jsonTsFmt)
+          .json(root.toString)
+      }
+      root.toString
+    }
+
   // ---- additional source capabilities (registered below) ----
 
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      // ORC roundtrip: the parquet orders table rewritten as a
+      // status-partitioned zlib ORC lake, read back with a partition
+      // filter (pruned at listing time — only the 'O' directory is
+      // touched) plus a data predicate ORC pushes into its reader via
+      // min/max stripe statistics. Hash-equality with the oracle (which
+      // reads the ORIGINAL parquet) proves the format conversion is
+      // value-lossless, including the timestamp column.
+      "ingest_orc_roundtrip" -> ((s, dir) => {
+        val root = ensureOrc(s, dir)
+        s.read.orc(root)
+          .where(col("o_orderstatus") === "O" && col("o_totalprice") > 1000.0)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("price_sum"),
+            max(col("o_orderdate")).as("max_date"))
+      }),
+      // JSONL roundtrip: events rewritten as a type-partitioned gzipped
+      // JSON-lines lake, read back with an EXPLICIT schema (inference
+      // would scan the data twice and type-drift with the sample) and
+      // the micros timestamp format, then aggregated under a partition
+      // filter — only the click/ directory is listed. Hash-equality
+      // with an oracle over the ORIGINAL parquet proves the JSON text
+      // roundtrip is value-exact: timestamps at full micro precision
+      // (the default ms-only format is the classic silent truncation),
+      // doubles via shortest-roundtrip serialization.
+      "ingest_json_roundtrip" -> ((s, dir) => {
+        val root = ensureJsonl(s, dir)
+        s.read
+          .schema(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("ts", TimestampType),
+            StructField("user_id", LongType),
+            StructField("value", DoubleType),
+            StructField("props", StringType))))
+          .option("timestampFormat", jsonTsFmt)
+          .json(root)
+          .where(col("event_type") === "click")
+          .groupBy((col("user_id") % 16).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6)))
+              .cast("double").as("value_sum"),
+            max(col("ts")).as("max_ts"))
+      }),
       // schema evolution: two batches with drifted schemas read as ONE
       // table via mergeSchema — the added column is NULL for the old
       // batch. The lake survives additive drift without rewriting
@@ -325,6 +412,25 @@ object IngestQueries {
     )
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL parquet — equality proves the
+    // parquet→ORC→read roundtrip is value-lossless
+    "ingest_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_sum,
+        |  max(o_orderdate) AS max_date
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        |GROUP BY 1""".stripMargin,
+    // oracle over the ORIGINAL parquet — equality proves the JSONL
+    // text roundtrip lost nothing, micros included
+    "ingest_json_roundtrip" ->
+      """SELECT user_id % 16 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  max(ts) AS max_ts
+        |FROM events
+        |WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
     "ingest_zorder" -> {
       val zTerms = (0 until 16).map(b =>
         s"((((xn >> $b) & 1) << ${2 * b}) + (((yn >> $b) & 1) << ${2 * b + 1}))")

@@ -79,7 +79,14 @@ object RelationalQueries {
     * overflows; an unbounded product would silently NULL on Spark and
     * error on DuckDB). Orientation u < v.
     */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    tradeEdgesWeighted(s, dir).select("u", "v")
+
+  /** [[tradeEdges]] with the per-pair trade total retained — the weight
+    * for `graph_shortest_path` (same above-mean edge set, so the two
+    * views of the graph agree).
+    */
+  private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
         col("l_extendedprice").cast(DecimalType(18, 2)).as("vl"))
@@ -99,7 +106,7 @@ object RelationalQueries {
     agg.crossJoin(broadcast(tot))
       .where(col("w").cast(DecimalType(32, 2)) *
         col("np").cast(DecimalType(4, 0)) > col("tw"))
-      .select("u", "v")
+      .select("u", "v", "w")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -749,6 +756,28 @@ object RelationalQueries {
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
     }),
 
+    // Weighted single-source shortest paths over the trade graph —
+    // distributed Bellman-Ford relaxation (graft.operators.GraphOps
+    // .shortestPaths): after round k every node holds the EXACT minimum
+    // path weight over ≤ k-hop paths (4 rounds here), DECIMAL(28,2)
+    // path sums so the min is engine-immovable. Source = the smallest
+    // node in the edge set (a one-scalar driver collect — bounded
+    // metadata, like the partition-pair listing). The expensive step is
+    // the shared tradeEdges fold; relaxation itself reuses ONE
+    // src-clustered edge exchange across all rounds, and the frontier
+    // is never broadcast (no per-executor |V| ceiling). The oracle
+    // unrolls the same 4 relaxations in SQL.
+    "graph_shortest_path" -> ((s, dir) => {
+      val e = tradeEdgesWeighted(s, dir)
+        .select(col("u").as("id1"), col("v").as("id2"), col("w"))
+        .localCheckpoint()
+      val source = e.agg(least(min("id1"), min("id2"))).first().getInt(0)
+      graft.operators.GraphOps
+        .shortestPaths(e, source = source.toLong, rounds = 4)
+        .select(col("node").cast("long").as("node"),
+          col("d").cast("double").as("dist"))
+    }),
+
     // LATERAL correlated subquery (SQL:1999 / Spark 3.4+) — top-1-per-
     // group expressed the way analysts write it; Catalyst decorrelates
     // the LATERAL into a join + per-key limit rather than executing the
@@ -1024,7 +1053,45 @@ object RelationalQueries {
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
   }
 
+  /** graph_shortest_path: the same 4 Bellman-Ford relaxations unrolled —
+    * dk+1 = min over (dk ∪ one-hop extensions of dk), DECIMAL(28,2)
+    * path sums, identical weighted-edge derivation to graph_triangles'
+    * fragment with `w` retained.
+    */
+  private lazy val shortestPathOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, CAST(min(d) AS DECIMAL(28,2)) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.d + e.w AS d
+         |    FROM sym e JOIN d${i - 1} p ON p.node = e.src
+         |  ) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+       |         greatest(c.c_nationkey, s.s_nationkey) AS v,
+       |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vl
+       |  FROM lineitem l
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |), agg AS MATERIALIZED (SELECT u, v, sum(vl) AS w FROM pairs GROUP BY 1, 2),
+       |tot AS (SELECT sum(w) AS tw, count(*) AS np FROM agg),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v, CAST(w AS DECIMAL(28,2)) AS w FROM agg, tot
+       |  WHERE CAST(w AS DECIMAL(32,2)) * CAST(np AS DECIMAL(4,0)) > tw),
+       |sym AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM edges
+       |        UNION ALL SELECT v, u, w FROM edges),
+       |d0 AS (SELECT min(src) AS node, CAST(0 AS DECIMAL(28,2)) AS d FROM sym),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, CAST(d AS DOUBLE) AS dist
+       |FROM d4""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_shortest_path" -> shortestPathOracle,
     "agg_sum_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

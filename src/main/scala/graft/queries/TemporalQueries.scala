@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -13,6 +13,64 @@ case class UserRunning(n: Long, minMs: Long, maxMs: Long)
 
 /** Finalized (timed-out) per-user row for stream_user_state_timeout. */
 case class UserFinal(user_id: Long, n_events: Long, first_ms: Long, last_ms: Long)
+
+/** Per-(user, event_type) count emitted at user finalization —
+  * stream_transform_with_state.
+  */
+case class UserTypeCount(user_id: Long, event_type: String, n: Long)
+
+/** The Spark 4 arbitrary-state API (`transformWithState`) exercised as a
+  * declared query: per-user per-type counters in a composite MapState
+  * (per-key sub-maps — the state shape `flatMapGroupsWithState`'s single
+  * value blob can't express without serializing a whole map per update),
+  * a ValueState for the user's last event time, and an explicit
+  * EVENT-TIME TIMER re-armed to lastTs + horizon on every update. When
+  * the watermark passes the timer, `handleExpiredTimer` emits the user's
+  * per-type counts ONCE and clears all state — per-key state lives
+  * exactly as long as the key is hot (the same bounded-state contract as
+  * stream_user_state_timeout, expressed through the newer API the
+  * ecosystem is converging on).
+  */
+class UserTypeCountProcessor(horizonMs: Long)
+    extends StatefulProcessor[Long, (Long, String, java.sql.Timestamp), UserTypeCount] {
+  @transient private var counts: MapState[String, Long] = _
+  @transient private var lastTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long](
+      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    lastTs = getHandle.getValueState[Long](
+      "lastTs", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[UserTypeCount] = {
+    var mx = if (lastTs.exists()) lastTs.get() else Long.MinValue
+    rows.foreach { case (_, tpe, ts) =>
+      val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+      counts.updateValue(tpe, cur + 1)
+      // max fold — arrival-order-independent, so the unordered group
+      // iterator is safe
+      if (ts.getTime > mx) mx = ts.getTime
+    }
+    // exactly one live timer per key: re-arm to the new horizon
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(mx + horizonMs)
+    lastTs.update(mx)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[UserTypeCount] = {
+    val out = counts.iterator()
+      .map { case (tpe, n) => UserTypeCount(key, tpe, n) }.toList
+    counts.clear()
+    lastTs.clear()
+    out.iterator
+  }
+}
 
 /** Temporal operators over the `events` stream table: as-of join
   * (composed union+carry-forward — see [[graft.operators.AsofJoin]]) and
@@ -916,6 +974,89 @@ object TemporalQueries {
         .parquet(s"$tmp/out")
     }),
 
+    // The NEXT-GENERATION arbitrary-state tier: the same finalize-on-idle
+    // contract as stream_user_state_timeout, through Spark 4's
+    // transformWithState — typed composite state (MapState of per-type
+    // counters + ValueState last-seen) and an EXPLICIT event-time timer
+    // per key instead of the single setTimeoutTimestamp slot. The
+    // processor (UserTypeCountProcessor above) re-arms its timer on every
+    // update; when the watermark passes it, the user's per-type counts
+    // emit once and state clears. Timers fire on timerExpiry < watermark
+    // (strict — mirrored in the oracle, same boundary the
+    // flatMapGroupsWithState query pins). RocksDB-backed like the other
+    // stateful streams.
+    "stream_transform_with_state" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      import s.implicits._
+      val tmp = streamDir("transform_with_state", dir)
+      val horizonMs = 2 * 3600 * 1000L
+      val q = Tables.eventsStream(s, dir)
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new UserTypeCountProcessor(horizonMs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("n", LongType))))
+        .parquet(s"$tmp/out")
+    }),
+
+    // Stream-stream LEFT OUTER join — the eviction-emission semantics
+    // inner joins don't have: a buffered click whose join band the
+    // watermark has fully passed is EVICTED, and eviction is when its
+    // null-extended row emits (append mode can emit "no match" only once
+    // no match can ever arrive). Matched pairs emit on match like the
+    // inner join; unmatched clicks with band end still above the final
+    // watermark stay buffered (absent from the sink), exactly like any
+    // resumed stream. Same ±30 min band and 1 h watermarks as
+    // stream_click_view_join, so the two sinks differ only by the
+    // null-extended rows — the semantics under test.
+    "stream_join_left_outer" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      def stream = Tables.eventsStream(s, dir)
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+      val tmp = streamDir("join_left_outer", dir)
+      val clicks = stream.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val views = stream.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+        .withWatermark("vts", "1 hour")
+      val q = clicks.join(views,
+          col("c_user") === col("v_user") &&
+            col("vts") >= col("cts") - expr("INTERVAL 30 MINUTES") &&
+            col("vts") <= col("cts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("click_id", LongType),
+          StructField("view_id", LongType))))
+        .parquet(s"$tmp/out")
+    }),
+
     // Structured Streaming: tumbling 1-hour counts per event type,
     // executed as a stream over the parquet with Trigger.AvailableNow
     // into a memory sink, then read back as the result
@@ -1244,6 +1385,53 @@ object TemporalQueries {
         |  FROM e GROUP BY 1)
         |SELECT user_id, n_events, first_ms, last_ms
         |FROM u, wm WHERE last_ms + 7200000 < w""".stripMargin,
+    // same strict idle-timeout boundary as stream_user_state_timeout,
+    // finalization payload = the per-type counts the MapState held
+    "stream_transform_with_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_ms(date_trunc('millisecond', ts)) AS tms
+        |  FROM events
+        |), wm AS (SELECT max(tms) - 7200000 AS w FROM e),
+        |u AS (SELECT user_id, max(tms) AS last_ms FROM e GROUP BY 1)
+        |SELECT e.user_id, e.event_type, count(*) AS n
+        |FROM e JOIN u USING (user_id), wm
+        |WHERE u.last_ms + 7200000 < wm.w
+        |GROUP BY 1, 2""".stripMargin,
+    // matched pairs = the inner join's output; a click's null-extended
+    // row appears iff its band end (cts + 30 min) fell below the final
+    // watermark with no matching view — clicks above that horizon are
+    // still buffered, so they are absent entirely. The final watermark
+    // is the MIN over the two inputs of (that input's max ts - 1 h):
+    // Spark tracks a watermark per watermarked input (here the
+    // post-filter click and view streams, whose maxima differ) and a
+    // stateful operator advances on the minimum, so an oracle using the
+    // all-events max would evict one click too many at small sf.
+    "stream_join_left_outer" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_trunc('millisecond', ts) AS tms
+        |  FROM events
+        |), c AS (SELECT user_id, event_id AS click_id, tms AS cts
+        |         FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, tms AS vts
+        |      FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(cts) FROM c),
+        |                    (SELECT max(vts) FROM v))
+        |         - INTERVAL 1 HOUR AS w),
+        |m AS (
+        |  SELECT c.user_id, c.click_id, v.view_id, c.cts
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND v.vts >= c.cts - INTERVAL 30 MINUTE
+        |    AND v.vts <= c.cts + INTERVAL 30 MINUTE
+        |)
+        |SELECT user_id, click_id, view_id FROM m
+        |UNION ALL
+        |SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS view_id
+        |FROM c, wm
+        |WHERE c.cts + INTERVAL 30 MINUTE < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM m WHERE m.click_id = c.click_id)""".stripMargin,
     // append-mode semantics in batch SQL: only windows finalized by the
     // final watermark (max ms-truncated ts - 2h) are in the sink
     "events_changepoint" ->
