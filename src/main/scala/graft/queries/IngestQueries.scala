@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.Tables
 import graft.sources.{LakeIngest, SingleFileCsv}
@@ -318,6 +318,51 @@ object IngestQueries {
       root.toString
     }
 
+  /** XML lake fixture (once per sfDir): the supplier dim written via
+    * Spark 4's built-in XML datasource (spark-xml was merged into core),
+    * one `<supplier>` element per row, gzipped. XML is the format the
+    * long tail of enterprise feeds still arrives in; the fixture proves
+    * the reader handles it natively — no custom parsing stage.
+    */
+  private def ensureXml(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = Paths.get(workRoot(sfDir), "xml_lake")
+      if (!Files.exists(root.resolve("_SUCCESS"))) {
+        Tables(spark, sfDir, "supplier")
+          .write.mode("overwrite")
+          .format("xml")
+          .option("rootTag", "suppliers")
+          .option("rowTag", "supplier")
+          .option("compression", "gzip")
+          .save(root.toString)
+      }
+      root.toString
+    }
+
+  /** Fragmented-then-compacted lake fixture (once per sfDir): orders
+    * written with 16-way fragmentation per status partition (the
+    * append-heavy lake pathology), then compacted via
+    * [[graft.sources.Compact]] to byte-targeted file counts. Returns the
+    * fixture root; `frag/` and `out/` live under it.
+    */
+  private def ensureCompaction(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = Paths.get(workRoot(sfDir), "compact")
+      val marker = root.resolve("_DONE")
+      if (!Files.exists(marker)) {
+        Tables(spark, sfDir, "orders")
+          .repartition(16)
+          .write.mode("overwrite")
+          .partitionBy("o_orderstatus")
+          .parquet(root.resolve("frag").toString)
+        graft.sources.Compact.compact(
+          spark, root.resolve("frag").toString,
+          root.resolve("out").toString, "o_orderstatus")
+        Files.writeString(marker, "ok")
+      }
+      root.toString
+    }
+
   // ---- additional source capabilities (registered below) ----
 
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
@@ -338,6 +383,46 @@ object IngestQueries {
             sum(col("o_totalprice").cast(DecimalType(18, 2)))
               .cast("double").as("price_sum"),
             max(col("o_orderdate")).as("max_date"))
+      }),
+      // small-file compaction: the 16-way-fragmented status partitions
+      // rewritten to byte-targeted file counts in ONE distributed job
+      // (per-partition counts from the listing, rows salted to their
+      // partition's file budget — no driver loop, no global coalesce).
+      // Hash-equality with the oracle over the ORIGINAL orders proves
+      // compaction moved every row and invented none; the file-count
+      // contract itself is pinned in Round9cQueriesSpec.
+      "ingest_compaction" -> ((s, dir) => {
+        val root = ensureCompaction(s, dir)
+        s.read.parquet(s"$root/out")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("price_sum"),
+            max(col("o_orderdate")).as("max_date"))
+      }),
+      // XML roundtrip: supplier rewritten as gzipped <supplier> elements
+      // via Spark 4's built-in XML datasource, read back with an
+      // EXPLICIT schema (inference would scan twice) and aggregated per
+      // nation. Hash-equality with an oracle over the ORIGINAL parquet
+      // proves the XML text roundtrip is value-exact — doubles survive
+      // via shortest-roundtrip serialization.
+      "ingest_xml_roundtrip" -> ((s, dir) => {
+        val root = ensureXml(s, dir)
+        s.read
+          .format("xml")
+          .option("rowTag", "supplier")
+          .schema(StructType(Seq(
+            StructField("s_suppkey", LongType),
+            StructField("s_name", StringType),
+            StructField("s_nationkey", IntegerType),
+            StructField("s_acctbal", DoubleType))))
+          .load(root)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_acctbal").cast(DecimalType(18, 2)))
+              .cast("double").as("bal_sum"),
+            min(col("s_name")).as("first_name"))
       }),
       // JSONL roundtrip: events rewritten as a type-partitioned gzipped
       // JSON-lines lake, read back with an EXPLICIT schema (inference
@@ -421,6 +506,24 @@ object IngestQueries {
         |  max(o_orderdate) AS max_date
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        |GROUP BY 1""".stripMargin,
+    // oracle over the ORIGINAL orders — compaction moved every row and
+    // invented none
+    "ingest_compaction" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_sum,
+        |  max(o_orderdate) AS max_date
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+    // oracle over the ORIGINAL parquet — equality proves the XML text
+    // roundtrip lost nothing
+    "ingest_xml_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  min(s_name) AS first_name
+        |FROM supplier
         |GROUP BY 1""".stripMargin,
     // oracle over the ORIGINAL parquet — equality proves the JSONL
     // text roundtrip lost nothing, micros included

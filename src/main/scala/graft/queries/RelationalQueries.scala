@@ -808,6 +808,25 @@ object RelationalQueries {
               x => x.cast("string")),
             ",").as("keys_csv"))),
 
+    // SQL pipe syntax (Spark 4.x `|>`, the linear query form SQL:2023+
+    // engines are converging on — BigQuery/ZetaSQL pipes, Spark 4):
+    // each stage consumes the previous stage's output top-down, so the
+    // filter→aggregate→having→filter chain reads in execution order.
+    // Catalyst plans it identically to the nested classic form — the
+    // oracle IS that classic form, and hash-equality pins that the pipe
+    // surface is pure syntax, not a different (unoptimized) plan path.
+    "sql_pipe_syntax" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_quantity < 25
+          ||> AGGREGATE count(*) AS n,
+          |     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |       AS sum_qty
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> WHERE n > 100""".stripMargin)
+    }),
+
     // Recursive-CTE BFS (Spark 4.x WITH RECURSIVE) — shortest hop count
     // from the smallest node of the trade graph, the SQL-surface member
     // of the graph family: the SAME SQL string runs on both engines, so
@@ -1092,6 +1111,15 @@ object RelationalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "graph_shortest_path" -> shortestPathOracle,
+    // the classic nested form of the pipe query — equality pins the
+    // pipe surface as pure syntax
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity < 25
+        |GROUP BY 1, 2
+        |HAVING count(*) > 100""".stripMargin,
     "agg_sum_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

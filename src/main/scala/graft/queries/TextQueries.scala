@@ -427,6 +427,29 @@ object TextQueries {
           round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double") / count(lit(1)), 6).as("avg_value"))),
 
+    // the VARIANT path for the same semi-structured props (Spark 4's
+    // open-schema type — the modern answer to JSON-string columns at
+    // lake scale): parse ONCE into the binary variant encoding, then
+    // typed extraction via variant_get. Against get_json_object this
+    // moves the per-access string re-parse to a single parse per row —
+    // at 100 TB the difference between one JSON tokenizer pass and one
+    // per extracted field — and makes missing paths typed NULLs rather
+    // than string absences. The probe on '$.absent' pins exactly that:
+    // a missing path is NULL under variant_get, counted as zero.
+    "events_variant" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          parse_json(col("props")).as("v"), col("value"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("variant_get(v, '$.absent', 'long')").as("miss"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          max("k").as("max_k"),
+          count(col("miss")).as("n_absent"))),
+
     // map function coverage: props parsed as map<string,bigint>, keys
     // listed and values extracted through map element access
     "func_map" -> ((s, dir) =>
@@ -982,6 +1005,14 @@ object TextQueries {
         """SELECT event_type, count(*) AS n,
           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+          |FROM events GROUP BY event_type""".stripMargin,
+
+      // missing JSON path → typed NULL on both engines, so n_absent = 0
+      "events_variant" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+          |  count(CAST(json_extract_string(props, '$.absent') AS BIGINT)) AS n_absent
           |FROM events GROUP BY event_type""".stripMargin,
 
       "func_map" ->

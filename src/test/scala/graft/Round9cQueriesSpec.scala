@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the third round-9 tranche beyond the oracle hash-compare:
+  *
+  *   - ingest_compaction's file-count contract: the fragmented lake holds
+  *     many files per partition, the compacted one exactly the
+  *     byte-budgeted count (1 at this scale), with zero row drift;
+  *   - sql_pipe_syntax is PURE SYNTAX: its optimized plan is the same
+  *     tree Catalyst builds for the classic nested form;
+  *   - events_variant's typed extraction agrees row-for-row with the
+  *     string-path get_json_object on the same data.
+  */
+class Round9cQueriesSpec extends SparkSpec {
+
+  private def parquetFiles(dir: Path): Seq[Path] =
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+
+  private def partitionDirs(root: Path): Seq[Path] =
+    Files.list(root).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("o_orderstatus="))
+
+  test("ingest_compaction rewrites each fragmented partition to its " +
+       "byte-budgeted file count without row drift") {
+    SparkEntry.queries("ingest_compaction")(spark, sfDir).collect()
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft-ingest-v1-$key/compact")
+    val frag = root.resolve("frag")
+    val out = root.resolve("out")
+
+    val fragCounts = partitionDirs(frag)
+      .map(d => d.getFileName.toString -> parquetFiles(d).size).toMap
+    val outCounts = partitionDirs(out)
+      .map(d => d.getFileName.toString -> parquetFiles(d).size).toMap
+    assert(fragCounts.keySet == outCounts.keySet,
+      s"partition sets drifted: $fragCounts vs $outCounts")
+    // the fixture fragments 16-way; every partition must actually have
+    // been fragmented, and compaction must reach the computed budget
+    // (1 file at this scale — partitions are far under 128 MB)
+    fragCounts.foreach { case (p, n) =>
+      assert(n >= 8, s"fixture failed to fragment $p: $n files")
+    }
+    outCounts.foreach { case (p, n) =>
+      assert(n == 1, s"compaction left $p at $n files, budget is 1")
+    }
+    val fragRows = spark.read.parquet(frag.toString).count()
+    val outRows = spark.read.parquet(out.toString).count()
+    assert(fragRows == outRows, s"row drift: $fragRows -> $outRows")
+  }
+
+  test("sql_pipe_syntax optimizes to the same plan as the classic nested " +
+       "form — the pipe surface is syntax, not a second execution path") {
+    val piped = SparkEntry.queries("sql_pipe_syntax")(spark, sfDir)
+    val classic = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity < 25
+        |GROUP BY 1, 2
+        |HAVING count(*) > 100""".stripMargin)
+    assert(piped.queryExecution.optimizedPlan.canonicalized ==
+           classic.queryExecution.optimizedPlan.canonicalized,
+      s"plans diverged:\n${piped.queryExecution.optimizedPlan}\n--- vs ---\n" +
+        s"${classic.queryExecution.optimizedPlan}")
+  }
+
+  test("events_variant typed extraction agrees row-for-row with the " +
+       "get_json_object string path") {
+    val viaVariant = Tables(spark, sfDir, "events")
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaString = Tables(spark, sfDir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaVariant == viaString)
+  }
+}
