@@ -363,6 +363,34 @@ object IngestQueries {
       root.toString
     }
 
+  /** Retention fixture (once per sfDir): a private two-snapshot
+    * `importdate=`-partitioned lake (2024-01-08 subset + 2024-01-15
+    * full, the ingest derivation), expired with a 7-day horizon off the
+    * newest stamp — the older partition is deleted, metadata-only.
+    * Private copy: the shared ingest lake is read by other queries and
+    * must not be mutated.
+    */
+  private def ensureRetention(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = Paths.get(workRoot(sfDir), "retention")
+      val marker = root.resolve("_DONE")
+      if (!Files.exists(marker)) {
+        val orders = Tables(spark, sfDir, "orders")
+        def write(df: DataFrame, date: String): Unit =
+          df.write.mode("overwrite")
+            .parquet(root.resolve(s"lake/importdate=$date").toString)
+        write(orders.filter(col("o_orderkey") % 13 =!= 0), prevDate)
+        write(orders, newestDate)
+        val removed = graft.sources.Retention.expire(
+          spark, root.resolve("lake").toString, "importdate",
+          keepFrom = "2024-01-09")
+        require(removed == Seq(prevDate),
+          s"retention expired $removed, expected only $prevDate")
+        Files.writeString(marker, "ok")
+      }
+      root.toString
+    }
+
   // ---- additional source capabilities (registered below) ----
 
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
@@ -383,6 +411,20 @@ object IngestQueries {
             sum(col("o_totalprice").cast(DecimalType(18, 2)))
               .cast("double").as("price_sum"),
             max(col("o_orderdate")).as("max_date"))
+      }),
+      // partition retention: the 7-day horizon expires the older
+      // snapshot partition (metadata-only directory delete — no scan,
+      // no survivor rewrite), so the surviving lake IS the newest
+      // snapshot. The oracle aggregates orders directly: equality
+      // proves expiry removed exactly the aged partition and left the
+      // survivor untouched.
+      "ingest_retention_expire" -> ((s, dir) => {
+        val root = ensureRetention(s, dir)
+        s.read.parquet(s"$root/lake")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum"),
+            countDistinct(col("importdate")).as("n_dates"))
       }),
       // small-file compaction: the 16-way-fragmented status partitions
       // rewritten to byte-targeted file counts in ONE distributed job
@@ -506,6 +548,13 @@ object IngestQueries {
         |  max(o_orderdate) AS max_date
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        |GROUP BY 1""".stripMargin,
+    // the surviving lake is exactly the newest snapshot = orders
+    "ingest_retention_expire" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS n_dates
+        |FROM orders
         |GROUP BY 1""".stripMargin,
     // oracle over the ORIGINAL orders — compaction moved every row and
     // invented none

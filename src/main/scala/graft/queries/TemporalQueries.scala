@@ -814,6 +814,40 @@ object TemporalQueries {
           .as("n_purchase_after"))
     }),
 
+    // Sequence-pattern matching WITH NEGATION — the MATCH_RECOGNIZE
+    // shape (Flink CEP / Trino row-pattern) Spark has no keyword for:
+    // a `view` matches iff the user's first `click` inside the next
+    // 10 minutes exists AND no `error` lands strictly between them.
+    // Composed as two conditional mins over RANGE-framed windows on the
+    // SAME user_id exchange (one shuffle total, like the funnel): for
+    // each event, next_click / next_err = min event-time of that type in
+    // (t, t+10 min]; a view matches when next_click exists and next_err
+    // isn't earlier. The negation needs no anti-join and no per-row
+    // subscan — at 100 TB the pattern costs exactly one user-key sort.
+    // Frames are on the millisecond long (value-based RANGE, engine
+    // identical); the (1, 600000] frame excludes same-ms ties by
+    // construction, so the match set is deterministic on both engines.
+    "events_match_negation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(1, 600000)
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("t"))
+      e.withColumn("next_click",
+          min(when(col("event_type") === "click", col("t"))).over(w))
+        .withColumn("next_err",
+          min(when(col("event_type") === "error", col("t"))).over(w))
+        .where(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_views"),
+          count(when(col("next_click").isNotNull &&
+            (col("next_err").isNull ||
+              col("next_err") >= col("next_click")), lit(1)))
+            .as("n_matched"))
+        .where(col("n_matched") > 0)
+    }),
+
     // MinHash signature INDEX maintained across micro-batches — the
     // streaming completion of the dedup-index arc (batch build →
     // doc_dedup_incremental's snapshot merge → this): shingle rows
@@ -1385,6 +1419,29 @@ object TemporalQueries {
         |  FROM e GROUP BY 1)
         |SELECT user_id, n_events, first_ms, last_ms
         |FROM u, wm WHERE last_ms + 7200000 < w""".stripMargin,
+    // same pattern unrolled in DuckDB window SQL: value-RANGE frames on
+    // the millisecond long, negation as a min-comparison, never a scan
+    "events_match_negation" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_ms(date_trunc('millisecond', ts)) AS t
+        |  FROM events
+        |), staged AS (
+        |  SELECT user_id, event_type,
+        |    min(CASE WHEN event_type = 'click' THEN t END) OVER w
+        |      AS next_click,
+        |    min(CASE WHEN event_type = 'error' THEN t END) OVER w
+        |      AS next_err
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 1 FOLLOWING AND 600000 FOLLOWING)
+        |)
+        |SELECT user_id, count(*) AS n_views,
+        |  count(CASE WHEN next_click IS NOT NULL
+        |    AND (next_err IS NULL OR next_err >= next_click)
+        |    THEN 1 END) AS n_matched
+        |FROM staged WHERE event_type = 'view'
+        |GROUP BY 1 HAVING n_matched > 0""".stripMargin,
     // same strict idle-timeout boundary as stream_user_state_timeout,
     // finalization payload = the per-type counts the MapState held
     "stream_transform_with_state" ->
