@@ -989,6 +989,53 @@ object RelationalQueries {
             .otherwise("small").as("size_class"),
           coalesce(nullif(col("o_orderstatus"), lit("P")), lit("NOT_P")).as("status_np"))),
 
+    // Gram-inverted-index fuzzy JOIN — dirty-vs-clean record linkage,
+    // the string-side analogue of LSH dedup: each side explodes into
+    // character 4-grams, candidates pair only where a gram collides
+    // (an inverted-index join, never all-pairs), exact Levenshtein ≤ 2
+    // verifies candidates ONLY, and best-match selection picks the
+    // (distance, id)-minimal survivor per dirty record via an integer
+    // encoding portable to the oracle. The fixture derives 12-hex-char
+    // entity names (md5 prefix — the uniform c_name prefix would
+    // degenerate any gram block) and perturbs the dirty side with a
+    // 2-char non-hex overlay (distance exactly 2, always inside the
+    // gram recall window: 12 − 2·4 + ... a 2-char edit leaves ≥ 4
+    // consecutive chars intact ⇒ ≥ 1 shared gram); every 97th record
+    // is reversed instead — unmatchable, absent from the output (the
+    // no-match path). Scale: gram length is the selectivity knob
+    // (16^4 = 65 536 buckets for hex); candidate volume is sum of
+    // per-bucket cross sizes, bounded the same way LSH bands are —
+    // an oversized-bucket cap composes here for adversarial data.
+    "join_fuzzy_gram" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"))
+        .withColumn("name",
+          expr("substring(md5(cast(id as string)), 1, 12)"))
+      val dirty = base.select(col("id").as("did"),
+        when(col("id") % 97 === 0, reverse(col("name")))
+          .otherwise(expr(
+            "concat(substring(name, 1, (id % 8) + 1), 'zz', " +
+              "substring(name, (id % 8) + 4))")).as("dname"))
+      def grams(src: String) =
+        expr(s"explode(transform(sequence(1, 9), i -> substring($src, i, 4)))")
+      val dg = dirty.select(col("did"), col("dname"), grams("dname").as("g"))
+        .distinct()
+      val cg = base.select(col("id"), col("name"), grams("name").as("g"))
+        .distinct()
+      val cand = dg.join(cg, Seq("g"))
+        .select("did", "dname", "id", "name").distinct()
+      cand
+        .select(col("did"),
+          levenshtein(col("dname"), col("name")).cast("long").as("dist"),
+          col("id"))
+        .where(col("dist") <= 2)
+        .groupBy("did")
+        .agg(min(col("dist") * lit(1000000000000L) + col("id")).as("best"))
+        .select(col("did"),
+          expr("best % 1000000000000").as("matched_id"),
+          expr("best div 1000000000000").as("dist"))
+    }),
+
     // blocked fuzzy matching — the record-linkage primitive the ABR
     // context implies (matching business names across registries):
     // candidates pair only INSIDE a blocking key (nation + the name
@@ -1606,6 +1653,43 @@ object RelationalQueries {
         |       ELSE 'small' END AS size_class,
         |  coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np
         |FROM orders""".stripMargin,
+    // same inverted-gram-index linkage; the encode/decode arithmetic
+    // keeps best-match selection engine-portable
+    "join_fuzzy_gram" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name
+        |  FROM customer
+        |), dirty AS (
+        |  SELECT id AS did,
+        |    CASE WHEN id % 97 = 0 THEN reverse(name)
+        |         ELSE substring(name, 1, CAST(id % 8 AS INTEGER) + 1)
+        |           || 'zz'
+        |           || substring(name, CAST(id % 8 AS INTEGER) + 4)
+        |    END AS dname
+        |  FROM base
+        |), dg AS (
+        |  SELECT DISTINCT did, dname,
+        |    unnest(list_transform(range(1, 10),
+        |      i -> substring(dname, CAST(i AS INTEGER), 4))) AS g
+        |  FROM dirty
+        |), cg AS (
+        |  SELECT DISTINCT id, name,
+        |    unnest(list_transform(range(1, 10),
+        |      i -> substring(name, CAST(i AS INTEGER), 4))) AS g
+        |  FROM base
+        |), cand AS (
+        |  SELECT DISTINCT did, dname, id, name FROM dg JOIN cg USING (g)
+        |), ver AS (
+        |  SELECT did, CAST(levenshtein(dname, name) AS BIGINT) AS dist, id
+        |  FROM cand WHERE levenshtein(dname, name) <= 2
+        |)
+        |SELECT did,
+        |  CAST(min(dist * 1000000000000 + id) % 1000000000000 AS BIGINT)
+        |    AS matched_id,
+        |  CAST(min(dist * 1000000000000 + id) // 1000000000000 AS BIGINT)
+        |    AS dist
+        |FROM ver GROUP BY did""".stripMargin,
     "func_edit_distance" ->
       """WITH c AS (
         |  SELECT c_custkey, c_nationkey AS nk, c_name,
