@@ -412,6 +412,24 @@ object IngestQueries {
               .cast("double").as("price_sum"),
             max(col("o_orderdate")).as("max_date"))
       }),
+      // custom DataSource V2 connector (sources/dsv2/RangeSource): the
+      // deterministic synthetic table mounted into Catalyst with column
+      // pruning, id-range filter pushdown (the predicate narrows the
+      // generated interval BEFORE partition planning — fully handled,
+      // never re-evaluated), and 32-way split planning. The oracle
+      // reproduces the generator arithmetic over the SAME narrowed
+      // range in SQL: equality proves the pushdown narrowing is
+      // correct, not just plan-shaped. Plan contracts (pruned column
+      // set, narrowed bounds, split count) pinned in Round9cQueriesSpec.
+      "ingest_dsv2_pushdown" -> ((s, _) =>
+        s.read.format("graft.sources.dsv2.RangeSource")
+          .option("end", "250000").option("slices", "32")
+          .load()
+          .where(col("id") >= 10000 && col("id") < 200000)
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n"),
+            sum("v").as("v_sum"),
+            max("id").as("max_id"))),
       // partition retention: the 7-day horizon expires the older
       // snapshot partition (metadata-only directory delete — no scan,
       // no survivor rewrite), so the surviving lake IS the newest
@@ -548,6 +566,15 @@ object IngestQueries {
         |  max(o_orderdate) AS max_date
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        |GROUP BY 1""".stripMargin,
+    // the generator arithmetic over the same narrowed interval —
+    // equality proves the source's pushdown narrowing is value-correct
+    "ingest_dsv2_pushdown" ->
+      """SELECT 't' || CAST(id % 5 AS VARCHAR) AS tag, count(*) AS n,
+        |  CAST(sum((id * 1103515245 + 12345) % 1000000) AS BIGINT)
+        |    AS v_sum,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(10000, 200000) t(id)
         |GROUP BY 1""".stripMargin,
     // the surviving lake is exactly the newest snapshot = orders
     "ingest_retention_expire" ->

@@ -72,6 +72,33 @@ class Round9cQueriesSpec extends SparkSpec {
         s"${classic.queryExecution.optimizedPlan}")
   }
 
+  test("the DSv2 range source prunes columns, narrows the interval from " +
+       "pushed id filters, and plans the requested split count") {
+    val df = SparkEntry.queries("ingest_dsv2_pushdown")(spark, sfDir)
+    df.collect()
+    val planText = df.queryExecution.executedPlan.toString
+    // filter pushdown narrowed the generated interval itself
+    assert(planText.contains("GraftRange [10000, 200000)"),
+      s"expected the narrowed interval in the scan description:\n$planText")
+    // column pruning: `val` is never referenced, so the reader must not
+    // materialize it
+    assert(planText.contains("cols=") && !planText.contains("val"),
+      s"expected a val-free pruned column set:\n$planText")
+    // partition planning: the scan side parallelizes into the requested
+    // 32 splits
+    val scanParallelism = spark.read
+      .format("graft.sources.dsv2.RangeSource")
+      .option("end", "250000").option("slices", "32")
+      .load()
+      .where(col("id") >= 10000 && col("id") < 200000)
+      .rdd.getNumPartitions
+    assert(scanParallelism == 32, s"planned $scanParallelism splits")
+    // and the fully-handled filters actually narrowed the data: max id
+    // outside [10000, 200000) never appears
+    val ids = df.collect().map(_.getLong(3))
+    assert(ids.max < 200000 && ids.forall(_ >= 10000))
+  }
+
   test("events_variant typed extraction agrees row-for-row with the " +
        "get_json_object string path") {
     val viaVariant = Tables(spark, sfDir, "events")
