@@ -1094,6 +1094,37 @@ object TemporalQueries {
     // Structured Streaming: tumbling 1-hour counts per event type,
     // executed as a stream over the parquet with Trigger.AvailableNow
     // into a memory sink, then read back as the result
+    // The custom MicroBatchStream source (sources/dsv2/
+    // RangeMicroBatchStream) driven end-to-end: Trigger.AvailableNow
+    // drains the pinned [0, end) range in admission-controlled
+    // batchRows-sized micro-batches (100 000 / 20 000 = 5 batches — the
+    // batch count and per-batch row cap are pinned in
+    // Round9cQueriesSpec), offsets flowing through the checkpoint log.
+    // The aggregate is batch-split independent, and the oracle is the
+    // same generator arithmetic the batch DSv2 oracle uses — one oracle
+    // covers both halves of the custom-source seam.
+    "stream_dsv2_source" -> ((s, _) => {
+      val qn = "stream_dsv2_source_sink"
+      s.streams.active.filter(_.name == qn).foreach(_.stop())
+      val q = s.readStream.format("graft.sources.dsv2.RangeStreamSource")
+        .option("end", "100000")
+        .option("batchRows", "20000")
+        .option("slices", "8")
+        .load()
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          sum("v").as("v_sum"),
+          max("id").as("max_id"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+    }),
+
     "stream_events_window" -> ((s, dir) => {
       val qn = "stream_events_window_sink"
       s.streams.active.filter(_.name == qn).foreach(_.stop())
@@ -1290,6 +1321,15 @@ object TemporalQueries {
         |  max(t) + INTERVAL 30 MINUTE AS session_end_w,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // the generator arithmetic over the full drained range — identical
+    // to the batch DSv2 oracle but over [0, 100000) with no pushdown
+    "stream_dsv2_source" ->
+      """SELECT 't' || CAST(id % 5 AS VARCHAR) AS tag, count(*) AS n,
+        |  CAST(sum((id * 1103515245 + 12345) % 1000000) AS BIGINT)
+        |    AS v_sum,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(0, 100000) t(id)
+        |GROUP BY 1""".stripMargin,
     "stream_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n

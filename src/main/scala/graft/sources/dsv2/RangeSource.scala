@@ -42,11 +42,15 @@ class RangeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RangeSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // getTable receives options with their ORIGINAL casing — re-wrap so a
+    // camelCase spelling can't silently fall to the default
+    val opts = new CaseInsensitiveStringMap(properties)
     new RangeTable(
-      properties.getOrDefault("start", "0").toLong,
-      properties.getOrDefault("end", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      opts.getLong("start", 0L),
+      opts.getLong("end", 1000L),
+      opts.getInt("slices", 8))
+  }
 }
 
 object RangeSource {
