@@ -1125,6 +1125,46 @@ object TemporalQueries {
       s.table(qn)
     }),
 
+    // The custom StreamingWrite sink (sources/dsv2/EpochSink) driven
+    // end-to-end against the custom MicroBatchStream source: the drained
+    // range is staged per (epoch, partition, task), published by the
+    // driver's epoch commit, and recorded in _commits markers that make
+    // a replayed epoch a no-op (exactly-once; the replay/abort protocol
+    // itself is pinned in Dsv2EpochSinkSpec). The aggregate runs over
+    // the READ-BACK of the sink's published files, so oracle equality
+    // proves the sink published every row exactly once — the same
+    // generator arithmetic oracles the source, the sink, and the
+    // pushdown variants.
+    "stream_dsv2_sink" -> ((s, _) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft-dsv2-sink"
+      val dir = new java.io.File(root)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (dir.exists()) rm(dir)
+      val q = s.readStream.format("graft.sources.dsv2.RangeStreamSource")
+        .option("end", "100000")
+        .option("batchRows", "20000")
+        .option("slices", "8")
+        .load()
+        .select("id", "v", "tag")
+        .writeStream
+        .outputMode("append")
+        .format("graft.sources.dsv2.EpochSink")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("id LONG, v LONG, tag STRING")
+        .csv(s"$root/out/data")
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          sum("v").as("v_sum"),
+          max("id").as("max_id"))
+    }),
+
     "stream_events_window" -> ((s, dir) => {
       val qn = "stream_events_window_sink"
       s.streams.active.filter(_.name == qn).foreach(_.stop())
@@ -1324,6 +1364,15 @@ object TemporalQueries {
     // the generator arithmetic over the full drained range — identical
     // to the batch DSv2 oracle but over [0, 100000) with no pushdown
     "stream_dsv2_source" ->
+      """SELECT 't' || CAST(id % 5 AS VARCHAR) AS tag, count(*) AS n,
+        |  CAST(sum((id * 1103515245 + 12345) % 1000000) AS BIGINT)
+        |    AS v_sum,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(0, 100000) t(id)
+        |GROUP BY 1""".stripMargin,
+    // same arithmetic — equality proves the sink's published files hold
+    // every generated row exactly once
+    "stream_dsv2_sink" ->
       """SELECT 't' || CAST(id % 5 AS VARCHAR) AS tag, count(*) AS n,
         |  CAST(sum((id * 1103515245 + 12345) % 1000000) AS BIGINT)
         |    AS v_sum,

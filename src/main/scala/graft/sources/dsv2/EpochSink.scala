@@ -1,0 +1,158 @@
+package graft.sources.dsv2
+
+import java.net.URI
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITE half of the custom-connector seam ([[RangeStreamSource]] is
+  * the read half): a DataSource V2 streaming SINK with the epoch-commit
+  * protocol that makes a custom sink exactly-once rather than
+  * at-least-once:
+  *
+  *   - TASKS stage: each `DataWriter` writes its partition's rows to a
+  *     private staging file named by (epoch, partition, task attempt) —
+  *     a failed/speculative attempt overwrites only its own file and is
+  *     dropped by `abort`, never visible to readers;
+  *   - the DRIVER commits: `commit(epochId, messages)` publishes the
+  *     staged files under `data/` with deterministic epoch-derived names
+  *     and then durably records the epoch in a `_commits/<epoch>` marker;
+  *   - REPLAY is a no-op: after a failure between sink-commit and
+  *     checkpoint-advance, Spark re-runs the epoch — the marker makes the
+  *     second `commit` DISCARD the re-staged files instead of publishing
+  *     duplicates. Idempotent commit + checkpointed source offsets =
+  *     end-to-end exactly-once, the contract every production sink
+  *     (file/Delta/Kafka-transactional) builds on.
+  *
+  * Files move via same-filesystem `rename` — atomic on HDFS and local FS
+  * (an object-store deployment would stage in-place and commit via a
+  * manifest instead; the marker protocol is the same). Rows are encoded
+  * as delimiter-free CSV of the supported primitive types — the sink's
+  * subject is the COMMIT protocol, not a serialization format.
+  */
+class EpochSink extends TableProvider {
+  // write-only source: the table's schema is whatever the query writes
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "write-only sink: schema comes from the input query")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    require(path != null, "EpochSink requires a 'path' option")
+    new EpochSinkTable(path, schema)
+  }
+}
+
+class EpochSinkTable(root: String, writeSchema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft_epoch_sink($root)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.STREAMING_WRITE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new EpochStreamingWrite(root, info.schema())
+      }
+    }
+}
+
+/** `stagedPath` is null for an empty partition — nothing to publish. */
+case class EpochFileMessage(stagedPath: String, rows: Long)
+    extends WriterCommitMessage
+
+class EpochStreamingWrite(root: String, schema: StructType)
+    extends StreamingWrite {
+  private def fs: FileSystem =
+    FileSystem.get(URI.create(root), new Configuration())
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new EpochWriterFactory(root, schema)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    val marker = new Path(s"$root/_commits/$epochId")
+    val staged = messages.collect {
+      case EpochFileMessage(p, _) if p != null => new Path(p)
+    }
+    if (f.exists(marker)) {
+      // replayed epoch: already durable — drop the duplicates
+      staged.foreach(f.delete(_, false))
+    } else {
+      f.mkdirs(new Path(s"$root/data"))
+      staged.zipWithIndex.foreach { case (p, i) =>
+        f.rename(p, new Path(s"$root/data/epoch-$epochId-part-$i.csv"))
+      }
+      f.mkdirs(marker.getParent)
+      val out = f.create(marker, false)
+      out.writeBytes(messages.collect {
+        case EpochFileMessage(_, n) => n }.sum.toString)
+      out.close()
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    messages.collect { case EpochFileMessage(p, _) if p != null =>
+      f.delete(new Path(p), false)
+    }
+  }
+}
+
+class EpochWriterFactory(root: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      // task-attempt-private name: a retry overwrites only its own file
+      private val staged =
+        new Path(s"$root/_staging/e$epochId-p$partitionId-t$taskId")
+      private lazy val out = {
+        val f = FileSystem.get(URI.create(root), new Configuration())
+        f.mkdirs(staged.getParent)
+        f.create(staged, true)
+      }
+      private var rows = 0L
+
+      override def write(row: InternalRow): Unit = {
+        val line = schema.fields.indices.map { i =>
+          schema.fields(i).dataType match {
+            case LongType    => row.getLong(i).toString
+            case IntegerType => row.getInt(i).toString
+            case DoubleType  => row.getDouble(i).toString
+            case StringType  => row.getUTF8String(i).toString
+            case other => throw new UnsupportedOperationException(
+              s"EpochSink supports primitive columns only, got $other")
+          }
+        }.mkString(",")
+        out.write((line + "\n").getBytes("UTF-8"))
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        if (rows > 0) { out.close(); EpochFileMessage(staged.toString, rows) }
+        else EpochFileMessage(null, 0L) // never opened — nothing staged
+      }
+      override def abort(): Unit = if (rows > 0) {
+        out.close()
+        FileSystem.get(URI.create(root), new Configuration())
+          .delete(staged, false)
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+import graft.sources.dsv2.{EpochFileMessage, EpochStreamingWrite}
+
+/** The epoch-commit protocol of the custom DSv2 streaming sink, exercised
+  * directly at the StreamingWrite seam (the query-level oracle already
+  * proves the happy path publishes every row exactly once):
+  *
+  *   - a COMMITTED epoch's marker makes a REPLAYED commit a no-op — the
+  *     re-staged files are discarded, nothing is double-published;
+  *   - ABORT removes staged files without touching published data;
+  *   - the end-to-end run publishes one marker per data micro-batch.
+  */
+class Dsv2EpochSinkSpec extends SparkSpec {
+
+  private val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id LONG, v LONG, tag STRING")
+
+  private def stage(root: String, name: String): String = {
+    val p = java.nio.file.Paths.get(root, "_staging", name)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, "1,2,t1\n")
+    p.toString
+  }
+
+  test("a replayed epoch commit is a no-op: the marker wins, re-staged " +
+       "files are discarded, nothing is double-published") {
+    val root = Files.createTempDirectory("epoch-sink").toString
+    val w = new EpochStreamingWrite(root, schema)
+    val first = stage(root, "e7-p0-t0")
+    w.commit(7L, Array[WriterCommitMessage](EpochFileMessage(first, 1L)))
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    assert(Files.list(dataDir).count() == 1)
+    assert(Files.exists(java.nio.file.Paths.get(root, "_commits", "7")))
+
+    // failure between sink-commit and checkpoint-advance → Spark re-runs
+    // the epoch: same data re-staged under a new task attempt
+    val replay = stage(root, "e7-p0-t1")
+    w.commit(7L, Array[WriterCommitMessage](EpochFileMessage(replay, 1L)))
+    assert(Files.list(dataDir).count() == 1, "replay double-published")
+    assert(!Files.exists(java.nio.file.Paths.get(replay)),
+      "replayed staging file not cleaned up")
+  }
+
+  test("abort removes staged files and leaves published data untouched") {
+    val root = Files.createTempDirectory("epoch-sink").toString
+    val w = new EpochStreamingWrite(root, schema)
+    val ok = stage(root, "e1-p0-t0")
+    w.commit(1L, Array[WriterCommitMessage](EpochFileMessage(ok, 1L)))
+    val failed = stage(root, "e2-p0-t0")
+    w.abort(2L, Array[WriterCommitMessage](
+      EpochFileMessage(failed, 1L), EpochFileMessage(null, 0L)))
+    assert(!Files.exists(java.nio.file.Paths.get(failed)))
+    assert(Files.list(java.nio.file.Paths.get(root, "data")).count() == 1)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "_commits", "2")))
+  }
+
+  test("the end-to-end sink run publishes one commit marker per data " +
+       "micro-batch and no staging residue") {
+    val n = SparkEntry.queries("stream_dsv2_sink")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(n == 100000L)
+    val root = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft-dsv2-sink/out")
+    // visible entries only — Hadoop's checksummed local FS shadows every
+    // file with a hidden .<name>.crc sibling
+    def visible(dir: java.nio.file.Path): Seq[String] =
+      if (!Files.exists(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString).toSeq
+          .filterNot(_.startsWith("."))
+        finally s.close()
+      }
+    // 100000 rows / 20000-row admission cap = 5 committed epochs
+    assert(visible(root.resolve("_commits")).sorted ==
+      Seq("0", "1", "2", "3", "4"))
+    assert(visible(root.resolve("_staging")).isEmpty,
+      "staging files survived the run")
+  }
+}
