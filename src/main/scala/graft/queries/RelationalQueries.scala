@@ -827,6 +827,79 @@ object RelationalQueries {
           ||> WHERE n > 100""".stripMargin)
     }),
 
+    // Named-parameter SQL (Spark 3.4+ `spark.sql(text, args)`) — the
+    // engine-level answer to the reference's sprintf SQL templating
+    // (SURVEY F5, agency-delta.go:35,40 splices partition values into
+    // the query text with %s): parameters bind as typed literals in the
+    // parser, never as string concatenation, so a hostile or
+    // quote-bearing value cannot change the query shape. The oracle
+    // inlines the same two values as literals — hash equality pins that
+    // binding IS literal substitution, with injection structurally
+    // impossible rather than carefully escaped.
+    "sql_named_params" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS price_sum
+          |FROM orders
+          |WHERE o_orderstatus = :status AND o_totalprice > :floor
+          |GROUP BY o_orderpriority""".stripMargin,
+        Map("status" -> "O", "floor" -> 1000.0))
+    }),
+
+    // SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`) — the
+    // declarative rung of the function ladder: the body is SQL, so
+    // Catalyst INLINES it at analysis (constant-folds, pushes down,
+    // codegens) instead of calling an opaque JVM closure per row — a
+    // shared business formula without the codegen wall a Scala UDF
+    // erects. Inputs go through DECIMAL so the discounted-revenue sum
+    // is order-exact; the oracle inlines the same formula.
+    "sql_udf" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+          |  p DECIMAL(18,2), d DECIMAL(18,2)) RETURNS DECIMAL(38,4)
+          |RETURN p * (1 - d)""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(disc_price(
+          |    CAST(l_extendedprice AS DECIMAL(18,2)),
+          |    CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // SQL table function (Spark 4 `CREATE FUNCTION ... RETURNS TABLE`)
+    // joined LATERALly per outer row — the UDTF rung expressed
+    // declaratively: the body is a correlated SELECT, so Catalyst
+    // decorrelates it into a join + per-key rank exactly like the
+    // hand-written LATERAL (sql_lateral_topn), rather than running a
+    // subquery per row. The top-2-per-key is expressed as a
+    // row_number() filter, NOT `ORDER BY ... LIMIT 2`: with a
+    // correlated argument Spark 4.1 hoists the body's LIMIT out of the
+    // correlation and applies it GLOBALLY before the join (found live
+    // — the limit form silently returned 0 rows here while the same
+    // function called with a constant argument was correct). The rank
+    // form decorrelates faithfully; the oracle is the equivalent
+    // inline LATERAL.
+    "sql_udtf" -> ((s, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION top_orders(ck BIGINT)
+          |RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)
+          |RETURN SELECT o_orderkey, o_totalprice FROM (
+          |  SELECT o_orderkey, o_totalprice,
+          |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+          |      AS r
+          |  FROM orders WHERE o_custkey = ck) WHERE r <= 2""".stripMargin)
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c, LATERAL top_orders(c.c_custkey) t
+          |WHERE c.c_nationkey = 7""".stripMargin)
+    }),
+
     // Recursive-CTE BFS (Spark 4.x WITH RECURSIVE) — shortest hop count
     // from the smallest node of the trade graph, the SQL-surface member
     // of the graph family: the SAME SQL string runs on both engines, so
@@ -1167,6 +1240,31 @@ object RelationalQueries {
         |WHERE l_quantity < 25
         |GROUP BY 1, 2
         |HAVING count(*) > 100""".stripMargin,
+    // the bound parameters inlined as literals — binding IS literal
+    // substitution
+    "sql_named_params" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_sum
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        |GROUP BY o_orderpriority""".stripMargin,
+    // the UDF body inlined — decimal arithmetic is exact in both engines
+    "sql_udf" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+    // the table function's body as an inline LATERAL subquery
+    "sql_udtf" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_nationkey = 7""".stripMargin,
     "agg_sum_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
