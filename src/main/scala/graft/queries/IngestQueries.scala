@@ -421,6 +421,41 @@ object IngestQueries {
       // range in SQL: equality proves the pushdown narrowing is
       // correct, not just plan-shaped. Plan contracts (pruned column
       // set, narrowed bounds, split count) pinned in Round9cQueriesSpec.
+      // STORAGE-PARTITIONED JOIN at the DSv2 seam: both sides report
+      // KeyGroupedPartitioning on `grp` (one split per group, key via
+      // HasPartitionKey), so with v2 bucketing enabled the equi-join on
+      // (grp, id) plans WITHOUT a shuffle on either side — the layout
+      // is the exchange, the way Iceberg/Delta co-located joins skip
+      // re-hashing 100 TB twice. The b-side filter halves the rows so
+      // the join is selective, not an identity zip; the zero-Exchange
+      // plan contract is pinned in Round9cQueriesSpec, and the oracle
+      // reproduces the generator join in SQL — value-checking that
+      // aligned partitions really carried every matching key pair.
+      "join_spj_dsv2" -> ((s, _) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // the join clusters on (grp, id) but storage groups only on grp
+        // — accept the subset co-partition (the default demands exact
+        // key equality and silently falls back to a shuffle)
+        s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        def side = s.read
+          .format("graft.sources.dsv2.RangeGroupedSource")
+          .option("end", "200000").option("groupRows", "12500")
+          .load()
+        val a = side.select(col("grp"), col("id"), col("v"), col("tag"))
+        val b = side.select(col("grp"), col("id"),
+            col("v").as("v_b"))
+          .where(col("id") % 2 === 0)
+        // merge hint: at harness scale AQE would broadcast the 200 k-row
+        // side and hide the co-partition contract under test; at lake
+        // scale neither side broadcasts and SMJ is the plan anyway
+        a.join(b.hint("merge"), Seq("grp", "id"))
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n"),
+            sum("v").as("v_sum"),
+            sum("v_b").as("vb_sum"),
+            max("id").as("max_id"))
+      }),
+
       "ingest_dsv2_pushdown" -> ((s, _) =>
         s.read.format("graft.sources.dsv2.RangeSource")
           .option("end", "250000").option("slices", "32")
@@ -566,6 +601,20 @@ object IngestQueries {
         |  max(o_orderdate) AS max_date
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        |GROUP BY 1""".stripMargin,
+    // the generator join in SQL: every even id pairs with itself across
+    // the two sides — equality proves the aligned storage partitions
+    // carried every matching (grp, id) pair and nothing else
+    "join_spj_dsv2" ->
+      """WITH t AS (SELECT id,
+        |    (id * 1103515245 + 12345) % 1000000 AS v,
+        |    't' || CAST(id % 5 AS VARCHAR) AS tag
+        |  FROM range(0, 200000) r(id))
+        |SELECT tag, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS v_sum,
+        |  CAST(sum(v) AS BIGINT) AS vb_sum,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM t WHERE id % 2 = 0
         |GROUP BY 1""".stripMargin,
     // the generator arithmetic over the same narrowed interval —
     // equality proves the source's pushdown narrowing is value-correct

@@ -99,6 +99,25 @@ class Round9cQueriesSpec extends SparkSpec {
     assert(ids.max < 200000 && ids.forall(_ >= 10000))
   }
 
+  test("the storage-partitioned DSv2 join plans with ZERO exchanges: " +
+       "reported key-grouped partitioning replaces the shuffle") {
+    val df = SparkEntry.queries("join_spj_dsv2")(spark, sfDir)
+    df.collect()
+    // final adaptive plan only — AQE's toString repeats the tree under
+    // "== Initial Plan ==", which would double-count
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the agg after the join may legitimately exchange on `tag`; the
+    // JOIN itself must not: exactly one exchange in the whole plan
+    val exchanges = "Exchange hash".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected only the post-join aggregation " +
+      s"exchange, found $exchanges:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a co-partitioned join:\n$plan")
+    // and the scans really reported key-grouped output
+    assert(plan.contains("GraftRangeGrouped"), plan)
+  }
+
   test("the DSv2 stream source drains under admission control — " +
        "batchRows-bounded micro-batches, exactly ceil(end/batchRows) of " +
        "them — and AvailableNow then terminates") {
