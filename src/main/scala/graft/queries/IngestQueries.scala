@@ -465,6 +465,21 @@ object IngestQueries {
           .agg(count(lit(1)).as("n"),
             sum("v").as("v_sum"),
             max("id").as("max_id"))),
+      // AGGREGATE pushdown (the third scan-side contract, after columns
+      // and filters): a global count/min/max over `id` is answered by
+      // the source in O(1) from its filter-narrowed bounds — no row is
+      // ever materialized (a 5-billion-row count costs the same as a
+      // 5-row one). The plan carries PushedAggregates and a one-row
+      // scan (spec-pinned); the oracle computes the same closed form
+      // the honest way over the range.
+      "ingest_dsv2_agg_pushdown" -> ((s, _) =>
+        s.read.format("graft.sources.dsv2.RangeSource")
+          .option("end", "50000000").option("slices", "32")
+          .load()
+          .where(col("id") >= 1000000 && col("id") < 40000000)
+          .agg(count(col("id")).as("n"),
+            min("id").as("min_id"),
+            max("id").as("max_id"))),
       // partition retention: the 7-day horizon expires the older
       // snapshot partition (metadata-only directory delete — no scan,
       // no survivor rewrite), so the surviving lake IS the newest
@@ -602,6 +617,14 @@ object IngestQueries {
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
         |GROUP BY 1""".stripMargin,
+    // the same closed form computed the honest way over the range —
+    // count/min/max of the filtered interval
+    "ingest_dsv2_agg_pushdown" ->
+      """SELECT count(*) AS n,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(0, 50000000) r(id)
+        |WHERE id >= 1000000 AND id < 40000000""".stripMargin,
     // the generator join in SQL: every even id pairs with itself across
     // the two sides — equality proves the aligned storage partitions
     // carried every matching (grp, id) pair and nothing else

@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,11 +81,43 @@ class RangeTable(start: Long, end: Long, slices: Int)
   */
 class RangeScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = start
   private var hi = end
   private var pushed = Array.empty[Filter]
   private var required = RangeSource.schema
+  private var aggFuncs: Option[Seq[String]] = None
+
+  // ---- aggregate pushdown (the third scan-side contract): a global
+  // COUNT/MIN/MAX over `id` is closed-form on a range — answered from
+  // the (filter-narrowed) bounds without materializing a single row,
+  // the DSv2 seam parquet footers / lake manifests answer count queries
+  // through at 100 TB. Grouped or non-id aggregates decline the push
+  // and fall back to the row scan.
+  private def idRef(e: VExpression): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+  private def encode(agg: Aggregation): Option[Seq[String]] =
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      val fs = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count")
+        case c: Count if !c.isDistinct && idRef(c.column) => Some("count")
+        case m: Min if idRef(m.column) => Some("min")
+        case m: Max if idRef(m.column) => Some("max")
+        case _ => None
+      }
+      if (fs.forall(_.isDefined)) Some(fs.flatten) else None
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    encode(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    encode(agg) match {
+      case some @ Some(_) => aggFuncs = some; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -108,7 +141,46 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = RangeScan(lo, hi, slices, required)
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) => RangeAggScan(lo, hi, funcs)
+    case None        => RangeScan(lo, hi, slices, required)
+  }
+}
+
+/** Completely-pushed global aggregate: one partition, one row, values
+  * computed from the narrowed bounds in O(1). Empty range → count 0,
+  * min/max NULL (SQL aggregate semantics).
+  */
+case class RangeAggScan(lo: Long, hi: Long, funcs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    funcs.zipWithIndex.foldLeft(new StructType()) { case (st, (f, i)) =>
+      st.add(s"${f}_$i", LongType, nullable = f != "count")
+    }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRange [$lo, $hi) PushedAggregates=[${funcs.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangeInputPartition(0, 0))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (l, h, fs) = (lo, hi, funcs)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = {
+            val n = math.max(0L, h - l)
+            InternalRow.fromSeq(fs.map {
+              case "count" => n
+              case "min"   => if (n == 0) null else l
+              case "max"   => if (n == 0) null else h - 1
+            })
+          }
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 case class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType)

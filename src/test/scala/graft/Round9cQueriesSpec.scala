@@ -99,6 +99,20 @@ class Round9cQueriesSpec extends SparkSpec {
     assert(ids.max < 200000 && ids.forall(_ >= 10000))
   }
 
+  test("the DSv2 aggregate pushdown answers count/min/max from the " +
+       "narrowed bounds — a one-row scan, no row materialization") {
+    val df = SparkEntry.queries("ingest_dsv2_agg_pushdown")(spark, sfDir)
+    val row = df.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((39000000L, 1000000L, 39999999L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[count,min,max]"),
+      s"aggregate not pushed:\n$plan")
+    // complete pushdown: the 39M-row interval is answered by ONE
+    // generated row — the scan's output is the aggregate itself
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
   test("the storage-partitioned DSv2 join plans with ZERO exchanges: " +
        "reported key-grouped partitioning replaces the shuffle") {
     val df = SparkEntry.queries("join_spj_dsv2")(spark, sfDir)
