@@ -465,6 +465,43 @@ object IngestQueries {
           .agg(count(lit(1)).as("n"),
             sum("v").as("v_sum"),
             max("id").as("max_id"))),
+      // RUNTIME group filtering (DPP at the DSv2 seam): the dimension's
+      // filter executes first, Spark hands the surviving r_regionkey
+      // values to the fact scan as an IN predicate
+      // (SupportsRuntimeV2Filtering), and partition enumeration drops
+      // 14 of 16 groups before any task launches — the v2 analogue of
+      // dynamic partition pruning, how Iceberg/Delta prune a 100 TB
+      // fact mount to the partitions a filtered dim actually touches.
+      // The 2-groups-kept contract is spec-pinned; the oracle runs the
+      // same dim join over the generator in SQL.
+      "join_dpp_dsv2" -> ((s, dir) => {
+        val fact = s.read
+          .format("graft.sources.dsv2.RangeGroupedSource")
+          .option("end", "200000").option("groupRows", "12500")
+          .load()
+        val dim = Tables(s, dir, "region")
+          .select(col("r_regionkey").cast("long").as("grp"), col("r_name"))
+          .where(col("r_name").isin("ASIA", "EUROPE"))
+        fact.join(broadcast(dim), Seq("grp"))
+          .groupBy("r_name", "tag")
+          .agg(count(lit(1)).as("n"),
+            sum("v").as("v_sum"),
+            max("id").as("max_id"))
+      }),
+      // TOP-N pushdown: ORDER BY id DESC LIMIT n on an id-ordered range
+      // is the LAST n positions of the (filter-narrowed) interval — the
+      // scan emits exactly n rows with no sort, and Spark re-sorts the
+      // n-row remainder on top (a semantics-preserving volume push: a
+      // LIMIT probe against a 100 TB mount must not scan past its
+      // answer). The oracle runs the same top-N the honest way.
+      "ingest_dsv2_topn_pushdown" -> ((s, _) =>
+        s.read.format("graft.sources.dsv2.RangeSource")
+          .option("end", "10000000").option("slices", "32")
+          .load()
+          .where(col("id") < 6000000)
+          .orderBy(col("id").desc)
+          .limit(100)
+          .select(col("id"), col("v"), col("tag"))),
       // AGGREGATE pushdown (the third scan-side contract, after columns
       // and filters): a global count/min/max over `id` is answered by
       // the source in O(1) from its filter-narrowed bounds — no row is
@@ -617,6 +654,28 @@ object IngestQueries {
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
         |GROUP BY 1""".stripMargin,
+    // the same dim join over the generator — equality proves runtime
+    // pruning kept exactly the matching groups' rows and nothing else
+    "join_dpp_dsv2" ->
+      """WITH t AS (SELECT id, id // 12500 AS grp,
+        |    (id * 1103515245 + 12345) % 1000000 AS v,
+        |    't' || CAST(id % 5 AS VARCHAR) AS tag
+        |  FROM range(0, 200000) r(id)),
+        |d AS (SELECT r_regionkey AS grp, r_name FROM region
+        |  WHERE r_name IN ('ASIA', 'EUROPE'))
+        |SELECT d.r_name, t.tag, count(*) AS n,
+        |  CAST(sum(t.v) AS BIGINT) AS v_sum,
+        |  CAST(max(t.id) AS BIGINT) AS max_id
+        |FROM t JOIN d ON t.grp = d.grp
+        |GROUP BY 1, 2""".stripMargin,
+    // the same top-N computed the honest way
+    "ingest_dsv2_topn_pushdown" ->
+      """SELECT id,
+        |  (id * 1103515245 + 12345) % 1000000 AS v,
+        |  't' || CAST(id % 5 AS VARCHAR) AS tag
+        |FROM range(0, 10000000) r(id)
+        |WHERE id < 6000000
+        |ORDER BY id DESC LIMIT 100""".stripMargin,
     // the same closed form computed the honest way over the range —
     // count/min/max of the filtered interval
     "ingest_dsv2_agg_pushdown" ->

@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,9 +70,17 @@ class RangeGroupedTable(end: Long, groupRows: Long)
 }
 
 case class RangeGroupedScan(end: Long, groupRows: Long, required: StructType)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
   private def numGroups: Int =
     math.max(1, ((end + groupRows - 1) / groupRows)).toInt
+
+  // runtime-filtered group set: None until Spark delivers the join's
+  // build-side keys, then only matching groups are planned. Mutable by
+  // the SupportsRuntimeV2Filtering contract (filter() arrives after
+  // planning, before partition enumeration); excluded from case-class
+  // equality, which is what BatchScanExec caches on.
+  @volatile private var keptGroups: Option[Set[Long]] = None
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -84,13 +93,53 @@ case class RangeGroupedScan(end: Long, groupRows: Long, required: StructType)
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(Array(Expressions.identity("grp")), numGroups)
 
+  // ---- runtime (dynamic-partition-style) filtering: the join's
+  // build side executes first, Spark hands the observed `grp` keys to
+  // the scan as an IN predicate, and partition enumeration drops every
+  // non-matching group BEFORE any task launches — how a DSv2 lake
+  // (Iceberg/Delta) prunes a 100 TB fact mount down to the handful of
+  // partitions a filtered dimension actually touches.
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("grp"))
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keys = predicates.collect {
+      case p if p.name() == "IN" =>
+        val vals = p.children().collect {
+          case l: Literal[_] => l.value match {
+            case v: java.lang.Long    => v.longValue()
+            case v: java.lang.Integer => v.longValue()
+          }
+        }
+        // children = [column ref, literal...]; a non-literal shape
+        // means an unexpected predicate — ignore it (keep all groups)
+        if (vals.length == p.children().length - 1)
+          Some(vals.toSet: Set[Long])
+        else None
+      case _ => None
+    }.flatten
+    if (keys.nonEmpty) {
+      val kept = keys.reduce(_ intersect _)
+      keptGroups = Some(kept)
+      RangeGroupedScan.lastRuntimeKept = Some(kept.size)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until numGroups).map { g =>
-      GroupedInputPartition(g.toLong, g * groupRows,
-        math.min(end, (g + 1) * groupRows)): InputPartition
-    }.toArray
+    (0 until numGroups).iterator
+      .filter(g => keptGroups.forall(_.contains(g.toLong)))
+      .map { g =>
+        GroupedInputPartition(g.toLong, g * groupRows,
+          math.min(end, (g + 1) * groupRows)): InputPartition
+      }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GroupedReaderFactory(required.fieldNames, groupRows)
+}
+
+object RangeGroupedScan {
+  /** Test observability: how many groups the last runtime filter kept
+    * (plan text alone can't show that enumeration actually shrank).
+    */
+  @volatile var lastRuntimeKept: Option[Int] = None
 }
 
 case class GroupedInputPartition(g: Long, a: Long, b: Long)

@@ -6,9 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -82,7 +82,9 @@ class RangeTable(start: Long, end: Long, slices: Int)
 class RangeScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownOffset
+    with SupportsPushDownTopN {
   private var lo = start
   private var hi = end
   private var pushed = Array.empty[Filter]
@@ -118,6 +120,34 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
       case some @ Some(_) => aggFuncs = some; true
       case None => false
     }
+
+  // ---- limit / offset / top-N pushdown: on an id-ordered range these
+  // are pure interval arithmetic — LIMIT keeps the first n positions,
+  // OFFSET skips the first n, and ORDER BY id [DESC] LIMIT n is the
+  // first/last n of the interval with NO sort. The DSv2 analogue of
+  // "read only the first row group": a `LIMIT 100` probe against a
+  // 100 TB mount must not scan past its answer. Rows stay in generated
+  // order and Spark re-applies the (now ≤n-row) sort/limit on top —
+  // the push is a data-volume optimization, never a semantics change.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit); true
+  }
+  override def pushOffset(offset: Int): Boolean = {
+    lo = math.min(hi, lo + offset); true
+  }
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) if idRef(o.expression) =>
+        if (o.direction == SortDirection.ASCENDING)
+          hi = math.min(hi, lo + limit)
+        else lo = math.max(lo, hi - limit)
+        true
+      case _ => false
+    }
+  // partial push: rows stay in generated order and Spark re-applies the
+  // (now <= n-row) sort/limit on top (inherited by both the Limit and
+  // TopN traits — Scala requires the diamond be resolved explicitly)
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {

@@ -99,6 +99,32 @@ class Round9cQueriesSpec extends SparkSpec {
     assert(ids.max < 200000 && ids.forall(_ >= 10000))
   }
 
+  test("the DSv2 runtime group filter prunes fact partitions from the " +
+       "dim's surviving keys — 2 of 16 groups planned") {
+    graft.sources.dsv2.RangeGroupedScan.lastRuntimeKept = None
+    val df = SparkEntry.queries("join_dpp_dsv2")(spark, sfDir)
+    val rows = df.collect()
+    // ASIA (grp 2) and EUROPE (grp 3): 12500 rows x 5 tags x 2 regions
+    assert(rows.map(_.getLong(2)).sum == 25000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter planned on the fact scan:\n$plan")
+    // and enumeration actually shrank: the scan planned only the two
+    // groups the dim kept, before any task launched
+    assert(graft.sources.dsv2.RangeGroupedScan.lastRuntimeKept ==
+      Some(2))
+  }
+
+  test("the DSv2 top-N pushdown narrows the scan to the last n positions " +
+       "of the filtered interval — no sort over the bulk") {
+    val df = SparkEntry.queries("ingest_dsv2_topn_pushdown")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // filter narrowed hi to 6 M, DESC top-100 narrowed lo to 6 M - 100
+    assert(plan.contains("GraftRange [5999900, 6000000)"),
+      s"top-N not pushed into the interval:\n$plan")
+  }
+
   test("the DSv2 aggregate pushdown answers count/min/max from the " +
        "narrowed bounds — a one-row scan, no row materialization") {
     val df = SparkEntry.queries("ingest_dsv2_agg_pushdown")(spark, sfDir)
