@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+/** The `Observation` API as the engine's zero-cost DQ seam: metrics
+  * attach to a node of an EXISTING job and are collected as the rows
+  * stream past — at 100 TB the difference between "row counts for free"
+  * and a second full scan. The reference's pipeline logs row-level
+  * outcomes driver-side (`load.go:65-67` log-and-continue); observe()
+  * is the Spark-native form of the same bookkeeping.
+  */
+class ObservationSpec extends SparkSpec {
+
+  test("observed metrics ride the existing job: pre-filter counts are " +
+       "collected with no second scan, and match an independent count") {
+    val obs = Observation("ingress")
+    val orders = Tables(spark, sfDir, "orders")
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        count(when(col("o_totalprice") <= 0, 1)).as("nonpositive_price"),
+        sum(col("o_orderkey")).as("key_sum"))
+    // the downstream query filters; the observation still sees ingress
+    val kept = orders.where(col("o_orderstatus") === "O").count()
+    val m = obs.get
+    val expectedRows = Tables(spark, sfDir, "orders").count()
+    assert(m("rows_in") == expectedRows)
+    assert(m("nonpositive_price") == 0L)
+    assert(kept < expectedRows, "filter kept everything — bad fixture")
+    val expectedKeySum = Tables(spark, sfDir, "orders")
+      .agg(sum("o_orderkey")).collect()(0).getLong(0)
+    assert(m("key_sum") == expectedKeySum)
+  }
+
+  test("an observation on the delta join's newest side reports the " +
+       "snapshot's row count during the delta job itself") {
+    import graft.sources.AgencyLake
+    val obs = Observation("newest_side")
+    val newest = AgencyLake.snapshot(spark, sfDir, AgencyLake.newestDate)
+      .observe(obs, count(lit(1)).as("snapshot_rows"))
+    val prev = AgencyLake.snapshot(spark, sfDir, AgencyLake.previousDate)
+    val changed = newest.alias("n")
+      .join(prev.alias("p"), col(s"n.${graft.queries.DeltaQueries.key}") === col(s"p.${graft.queries.DeltaQueries.key}"))
+      .count()
+    val m = obs.get
+    assert(m("snapshot_rows") ==
+      AgencyLake.snapshot(spark, sfDir, AgencyLake.newestDate).count())
+    assert(changed > 0)
+  }
+}
