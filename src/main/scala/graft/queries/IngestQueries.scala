@@ -431,7 +431,13 @@ object IngestQueries {
       // plan contract is pinned in Round9cQueriesSpec, and the oracle
       // reproduces the generator join in SQL — value-checking that
       // aligned partitions really carried every matching key pair.
-      "join_spj_dsv2" -> ((s, _) => {
+      "join_spj_dsv2" -> ((s0, _) => {
+        // child session: the SPJ confs live in ITS SQLConf only (the
+        // returned DataFrame plans against it at action time), so the
+        // shared harness session's later queries never see v2 bucketing
+        // or the relaxed co-partition requirement — restoring on the
+        // parent would instead race the deferred planning
+        val s = s0.newSession()
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         // the join clusters on (grp, id) but storage groups only on grp
         // — accept the subset co-partition (the default demands exact

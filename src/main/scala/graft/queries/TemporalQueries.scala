@@ -1153,14 +1153,12 @@ object TemporalQueries {
     // proves the sink published every row exactly once — the same
     // generator arithmetic oracles the source, the sink, and the
     // pushdown variants.
-    "stream_dsv2_sink" -> ((s, _) => {
-      val root = s"${sys.props("java.io.tmpdir")}/graft-dsv2-sink"
-      val dir = new java.io.File(root)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      if (dir.exists()) rm(dir)
+    "stream_dsv2_sink" -> ((s, dir) => {
+      // streamDir keys the root by (query, sf dir) and wipes it at
+      // entry — same contract as every other streaming query (a
+      // hardcoded shared root would let runs against different sf dirs
+      // clobber each other)
+      val root = streamDir("dsv2_sink", dir)
       val q = s.readStream.format("graft.sources.dsv2.RangeStreamSource")
         .option("end", "100000")
         .option("batchRows", "20000")

@@ -96,7 +96,13 @@ class EpochStreamingWrite(root: String, schema: StructType)
     } else {
       f.mkdirs(new Path(s"$root/data"))
       staged.zipWithIndex.foreach { case (p, i) =>
-        f.rename(p, new Path(s"$root/data/epoch-$epochId-part-$i.csv"))
+        val dest = new Path(s"$root/data/epoch-$epochId-part-$i.csv")
+        // a false rename (missing staged file, partial prior publish,
+        // IO failure) must FAIL the epoch so Spark aborts and replays —
+        // writing the marker anyway would record lost rows as durable
+        if (!f.rename(p, dest))
+          throw new java.io.IOException(
+            s"epoch $epochId: failed to publish $p -> $dest")
       }
       f.mkdirs(marker.getParent)
       val out = f.create(marker, false)
@@ -130,18 +136,31 @@ class EpochWriterFactory(root: String, schema: StructType)
       }
       private var rows = 0L
 
-      override def write(row: InternalRow): Unit = {
-        val line = schema.fields.indices.map { i =>
-          schema.fields(i).dataType match {
-            case LongType    => row.getLong(i).toString
-            case IntegerType => row.getInt(i).toString
-            case DoubleType  => row.getDouble(i).toString
-            case StringType  => row.getUTF8String(i).toString
+      // per-field encoders resolved ONCE at writer construction — the
+      // per-row path does no type dispatch, and an unsupported column
+      // type fails here instead of on the first row
+      private val encoders: Array[InternalRow => String] =
+        schema.fields.zipWithIndex.map { case (field, i) =>
+          field.dataType match {
+            case LongType    => (r: InternalRow) => r.getLong(i).toString
+            case IntegerType => (r: InternalRow) => r.getInt(i).toString
+            case DoubleType  => (r: InternalRow) => r.getDouble(i).toString
+            case StringType  => (r: InternalRow) => r.getUTF8String(i).toString
             case other => throw new UnsupportedOperationException(
               s"EpochSink supports primitive columns only, got $other")
           }
-        }.mkString(",")
-        out.write((line + "\n").getBytes("UTF-8"))
+        }
+
+      override def write(row: InternalRow): Unit = {
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i < encoders.length) {
+          if (i > 0) sb.append(',')
+          sb.append(encoders(i)(row))
+          i += 1
+        }
+        sb.append('\n')
+        out.write(sb.toString.getBytes("UTF-8"))
         rows += 1
       }
       override def commit(): WriterCommitMessage = {

@@ -104,16 +104,20 @@ case class RangeGroupedScan(end: Long, groupRows: Long, required: StructType)
   override def filter(predicates: Array[Predicate]): Unit = {
     val keys = predicates.collect {
       case p if p.name() == "IN" =>
-        val vals = p.children().collect {
+        val vals: Array[Option[Long]] = p.children().collect {
           case l: Literal[_] => l.value match {
-            case v: java.lang.Long    => v.longValue()
-            case v: java.lang.Integer => v.longValue()
+            case v: java.lang.Long    => Some(v.longValue())
+            case v: java.lang.Integer => Some(v.longValue())
+            case _                    => None // null / other type
           }
         }
-        // children = [column ref, literal...]; a non-literal shape
-        // means an unexpected predicate — ignore it (keep all groups)
-        if (vals.length == p.children().length - 1)
-          Some(vals.toSet: Set[Long])
+        // children = [column ref, literal...]; a non-literal, null, or
+        // non-integral shape means an unexpected predicate — ignore it
+        // entirely (keep all groups; pruning is an optimization, a bad
+        // guess here is a correctness bug)
+        if (vals.length == p.children().length - 1 &&
+            vals.forall(_.isDefined))
+          Some(vals.flatten.toSet: Set[Long])
         else None
       case _ => None
     }.flatten

@@ -129,21 +129,26 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
   // 100 TB mount must not scan past its answer. Rows stay in generated
   // order and Spark re-applies the (now ≤n-row) sort/limit on top —
   // the push is a data-volume optimization, never a semantics change.
-  override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, lo + limit); true
-  }
-  override def pushOffset(offset: Int): Boolean = {
-    lo = math.min(hi, lo + offset); true
-  }
+  //
+  // CRITICAL ordering contract: V2ScanRelationPushDown runs aggregate
+  // pushdown FIRST and then offers limit/offset on the SAME builder,
+  // where they apply to the AGGREGATED output (one row here) — interval
+  // arithmetic at that point would corrupt the closed-form answer
+  // (count(*) with .limit(5) would report 5). Decline once an
+  // aggregate is pushed.
+  override def pushLimit(limit: Int): Boolean =
+    aggFuncs.isEmpty && { hi = math.min(hi, lo + limit); true }
+  override def pushOffset(offset: Int): Boolean =
+    aggFuncs.isEmpty && { lo = math.min(hi, lo + offset); true }
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
-    orders match {
+    aggFuncs.isEmpty && (orders match {
       case Array(o) if idRef(o.expression) =>
         if (o.direction == SortDirection.ASCENDING)
           hi = math.min(hi, lo + limit)
         else lo = math.max(lo, hi - limit)
         true
       case _ => false
-    }
+    })
   // partial push: rows stay in generated order and Spark re-applies the
   // (now <= n-row) sort/limit on top (inherited by both the Limit and
   // TopN traits — Scala requires the diamond be resolved explicitly)

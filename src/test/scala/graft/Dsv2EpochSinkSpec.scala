@@ -66,8 +66,11 @@ class Dsv2EpochSinkSpec extends SparkSpec {
     val n = SparkEntry.queries("stream_dsv2_sink")(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     assert(n == 100000L)
+    // the query roots its sink at streamDir("dsv2_sink", sfDir) — same
+    // (query, sf dir) key every streaming query uses
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft-dsv2-sink/out")
+      sys.props("java.io.tmpdir"), "graft-stream", s"dsv2_sink-$key", "out")
     // visible entries only — Hadoop's checksummed local FS shadows every
     // file with a hidden .<name>.crc sibling
     def visible(dir: java.nio.file.Path): Seq[String] =

@@ -115,6 +115,19 @@ class Round9cQueriesSpec extends SparkSpec {
       Some(2))
   }
 
+  test("limit pushdown declines once an aggregate is pushed: a limit on " +
+       "aggregated output must not narrow the pre-aggregate interval") {
+    // Spark offers pushLimit on the SAME builder after pushAggregation,
+    // where it applies to the aggregated (one-row) output — interval
+    // arithmetic there would corrupt the closed form (count => 5)
+    val row = spark.read.format("graft.sources.dsv2.RangeSource")
+      .option("end", "250000").load()
+      .agg(count(col("id")).as("n"))
+      .limit(5)
+      .collect()(0)
+    assert(row.getLong(0) == 250000L)
+  }
+
   test("the DSv2 top-N pushdown narrows the scan to the last n positions " +
        "of the filtered interval — no sort over the bulk") {
     val df = SparkEntry.queries("ingest_dsv2_topn_pushdown")(spark, sfDir)
