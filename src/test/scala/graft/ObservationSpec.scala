@@ -32,6 +32,31 @@ class ObservationSpec extends SparkSpec {
     assert(m("key_sum") == expectedKeySum)
   }
 
+  test("streaming observed metrics surface per micro-batch: ingress " +
+       "counts across the admission-controlled drain sum to the total") {
+    val q = spark.readStream
+      .format("graft.sources.dsv2.RangeStreamSource")
+      .option("end", "100000").option("batchRows", "20000")
+      .load()
+      .observe("ingress", count(lit(1)).as("rows"),
+        sum(col("v")).as("v_sum"))
+      .groupBy("tag").agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("obs_stream_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingress")))
+      .map(r => r.getAs[Long]("rows"))
+      .filter(_ > 0)
+    // 5 bounded micro-batches, metrics riding each batch's existing job
+    assert(perBatch.length == 5 && perBatch.sum == 100000L,
+      s"per-batch ingress: $perBatch")
+  }
+
   test("an observation on the delta join's newest side reports the " +
        "snapshot's row count during the delta job itself") {
     import graft.sources.AgencyLake
