@@ -9,8 +9,9 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,11 +52,12 @@ class EpochSink extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
     require(path != null, "EpochSink requires a 'path' option")
-    new EpochSinkTable(path, schema)
+    new EpochSinkTable(path, schema, Option(opts.get("clusterby")))
   }
 }
 
-class EpochSinkTable(root: String, writeSchema: StructType)
+class EpochSinkTable(root: String, writeSchema: StructType,
+                     clusterBy: Option[String])
     extends Table with SupportsWrite {
   override def name(): String = s"graft_epoch_sink($root)"
   override def schema(): StructType = writeSchema
@@ -63,7 +65,25 @@ class EpochSinkTable(root: String, writeSchema: StructType)
     Set(TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      // With `clusterby`, the WRITE declares its layout requirement and
+      // Spark plans the exchange + sort BEFORE the writers run
+      // (RequiresDistributionAndOrdering) — how a lake sink gets
+      // one-key-per-file layout (Iceberg write distribution) without
+      // the caller hand-repartitioning: every row of a key lands in
+      // exactly one task, sorted, so each published file covers one
+      // clustered key range.
+      override def build(): Write = new Write
+          with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution =
+          clusterBy.map(c =>
+              Distributions.clustered(
+                Array(Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression)))
+            .getOrElse(Distributions.unspecified())
+        override def requiredOrdering(): Array[SortOrder] =
+          clusterBy.map(c => Array(
+              Expressions.sort(Expressions.column(c),
+                SortDirection.ASCENDING)))
+            .getOrElse(Array.empty)
         override def toStreaming: StreamingWrite =
           new EpochStreamingWrite(root, info.schema())
       }

@@ -61,6 +61,41 @@ class Dsv2EpochSinkSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(root, "_commits", "2")))
   }
 
+  test("a clusterby sink declares RequiresDistributionAndOrdering: Spark " +
+       "plans the exchange pre-write and no key spans two published files") {
+    val root = Files.createTempDirectory("epoch-sink-clustered").toString
+    val q = spark.readStream
+      .format("graft.sources.dsv2.RangeStreamSource")
+      .option("end", "10000").option("batchRows", "10000")
+      .load()
+      .select("id", "v", "tag")
+      .writeStream
+      .outputMode("append")
+      .format("graft.sources.dsv2.EpochSink")
+      .option("path", s"$root/out")
+      .option("clusterby", "tag")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataDir = java.nio.file.Paths.get(root, "out", "data")
+    val files = Files.list(dataDir).iterator().asScala.toSeq
+      .filterNot(_.getFileName.toString.startsWith("."))
+    // 5 tag values clustered into tasks: each tag's rows live in
+    // EXACTLY one file (the one-key-per-file lake layout), and within
+    // a file rows arrive tag-sorted
+    val tagToFiles = files.flatMap { f =>
+      Files.readAllLines(f).iterator().asScala.toSeq
+        .filter(_.nonEmpty).map(line => line.split(',')(2) -> f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(tagToFiles.keySet.size == 5)
+    tagToFiles.foreach { case (tag, fs) =>
+      assert(fs.size == 1, s"tag $tag spans ${fs.size} files")
+    }
+    val total = files.map(f => Files.readAllLines(f).size()).sum
+    assert(total == 10000)
+  }
+
   test("the end-to-end sink run publishes one commit marker per data " +
        "micro-batch and no staging residue") {
     val n = SparkEntry.queries("stream_dsv2_sink")(spark, sfDir)
