@@ -1181,6 +1181,35 @@ object TemporalQueries {
           max("id").as("max_id"))
     }),
 
+    // The clustered-write contract as a declared query: the sink
+    // requires distribution+ordering on tag, Spark plans the exchange
+    // pre-write, and no tag ever spans two published files (the layout
+    // contract is pinned in Dsv2EpochSinkSpec; the oracle checks the
+    // values survived the clustered route exactly once).
+    "stream_dsv2_sink_clustered" -> ((s, dir) => {
+      val root = streamDir("dsv2_sink_clustered", dir)
+      val q = s.readStream.format("graft.sources.dsv2.RangeStreamSource")
+        .option("end", "50000")
+        .option("batchRows", "50000")
+        .load()
+        .select("id", "v", "tag")
+        .writeStream
+        .outputMode("append")
+        .format("graft.sources.dsv2.EpochSink")
+        .option("path", s"$root/out")
+        .option("clusterby", "tag")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      drain(q)
+      s.read.schema("id LONG, v LONG, tag STRING")
+        .csv(s"$root/out/data")
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          sum("v").as("v_sum"),
+          max("id").as("max_id"))
+    }),
+
     "stream_events_window" -> ((s, dir) => {
       val qn = "stream_events_window_sink"
       s.streams.active.filter(_.name == qn).foreach(_.stop())
@@ -1385,6 +1414,14 @@ object TemporalQueries {
         |    AS v_sum,
         |  CAST(max(id) AS BIGINT) AS max_id
         |FROM range(0, 100000) t(id)
+        |GROUP BY 1""".stripMargin,
+    // same arithmetic over the clustered drain's smaller range
+    "stream_dsv2_sink_clustered" ->
+      """SELECT 't' || CAST(id % 5 AS VARCHAR) AS tag, count(*) AS n,
+        |  CAST(sum((id * 1103515245 + 12345) % 1000000) AS BIGINT)
+        |    AS v_sum,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(0, 50000) t(id)
         |GROUP BY 1""".stripMargin,
     // same arithmetic — equality proves the sink's published files hold
     // every generated row exactly once
