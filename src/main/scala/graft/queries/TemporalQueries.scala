@@ -143,6 +143,38 @@ object TemporalQueries {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  /** Shared body of the epoch-sink queries: drain the range stream
+    * through the custom StreamingWrite (optionally with a declared
+    * cluster-by distribution) and aggregate the read-back of the
+    * published files. streamDir keys the root by (query, sf dir) and
+    * wipes it at entry — same contract as every other streaming query.
+    */
+  private def drainThroughEpochSink(s: SparkSession, dir: String,
+                                    name: String, end: Long, batchRows: Long,
+                                    clusterBy: Option[String]): DataFrame = {
+    val root = streamDir(name, dir)
+    var w = s.readStream.format("graft.sources.dsv2.RangeStreamSource")
+      .option("end", end.toString)
+      .option("batchRows", batchRows.toString)
+      .option("slices", "8")
+      .load()
+      .select("id", "v", "tag")
+      .writeStream
+      .outputMode("append")
+      .format("graft.sources.dsv2.EpochSink")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+    clusterBy.foreach(c => w = w.option("clusterby", c))
+    drain(w.start())
+    s.read.schema("id LONG, v LONG, tag STRING")
+      .csv(s"$root/out/data")
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"),
+        sum("v").as("v_sum"),
+        max("id").as("max_id"))
+  }
+
   /** Sink+checkpoint root for a streaming query, keyed by (query, sf
     * dir) and wiped at entry: repeated Bench/Verify runs overwrite ONE
     * deterministic directory instead of accumulating fresh
@@ -1153,62 +1185,21 @@ object TemporalQueries {
     // proves the sink published every row exactly once — the same
     // generator arithmetic oracles the source, the sink, and the
     // pushdown variants.
-    "stream_dsv2_sink" -> ((s, dir) => {
-      // streamDir keys the root by (query, sf dir) and wipes it at
-      // entry — same contract as every other streaming query (a
-      // hardcoded shared root would let runs against different sf dirs
-      // clobber each other)
-      val root = streamDir("dsv2_sink", dir)
-      val q = s.readStream.format("graft.sources.dsv2.RangeStreamSource")
-        .option("end", "100000")
-        .option("batchRows", "20000")
-        .option("slices", "8")
-        .load()
-        .select("id", "v", "tag")
-        .writeStream
-        .outputMode("append")
-        .format("graft.sources.dsv2.EpochSink")
-        .option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      drain(q)
-      s.read.schema("id LONG, v LONG, tag STRING")
-        .csv(s"$root/out/data")
-        .groupBy("tag")
-        .agg(count(lit(1)).as("n"),
-          sum("v").as("v_sum"),
-          max("id").as("max_id"))
-    }),
+    "stream_dsv2_sink" -> ((s, dir) =>
+      drainThroughEpochSink(s, dir, "dsv2_sink",
+        end = 100000, batchRows = 20000, clusterBy = None)),
 
     // The clustered-write contract as a declared query: the sink
     // requires distribution+ordering on tag, Spark plans the exchange
-    // pre-write, and no tag ever spans two published files (the layout
-    // contract is pinned in Dsv2EpochSinkSpec; the oracle checks the
-    // values survived the clustered route exactly once).
-    "stream_dsv2_sink_clustered" -> ((s, dir) => {
-      val root = streamDir("dsv2_sink_clustered", dir)
-      val q = s.readStream.format("graft.sources.dsv2.RangeStreamSource")
-        .option("end", "50000")
-        .option("batchRows", "50000")
-        .load()
-        .select("id", "v", "tag")
-        .writeStream
-        .outputMode("append")
-        .format("graft.sources.dsv2.EpochSink")
-        .option("path", s"$root/out")
-        .option("clusterby", "tag")
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      drain(q)
-      s.read.schema("id LONG, v LONG, tag STRING")
-        .csv(s"$root/out/data")
-        .groupBy("tag")
-        .agg(count(lit(1)).as("n"),
-          sum("v").as("v_sum"),
-          max("id").as("max_id"))
-    }),
+    // pre-write, and within each epoch no tag spans two published
+    // files (a multi-epoch run publishes one clustered file set per
+    // epoch — this drain is single-epoch, so the per-run layout
+    // contract pinned in Dsv2EpochSinkSpec holds absolutely; the
+    // oracle checks the values survived the clustered route exactly
+    // once).
+    "stream_dsv2_sink_clustered" -> ((s, dir) =>
+      drainThroughEpochSink(s, dir, "dsv2_sink_clustered",
+        end = 50000, batchRows = 50000, clusterBy = Some("tag"))),
 
     "stream_events_window" -> ((s, dir) => {
       val qn = "stream_events_window_sink"

@@ -52,12 +52,13 @@ class EpochSink extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
     require(path != null, "EpochSink requires a 'path' option")
-    new EpochSinkTable(path, schema, Option(opts.get("clusterby")))
+    new EpochSinkTable(path, schema,
+      Option(opts.get("clusterby")), Option(opts.get("orderby")))
   }
 }
 
 class EpochSinkTable(root: String, writeSchema: StructType,
-                     clusterBy: Option[String])
+                     clusterBy: Option[String], orderBy: Option[String])
     extends Table with SupportsWrite {
   override def name(): String = s"graft_epoch_sink($root)"
   override def schema(): StructType = writeSchema
@@ -68,10 +69,12 @@ class EpochSinkTable(root: String, writeSchema: StructType,
       // With `clusterby`, the WRITE declares its layout requirement and
       // Spark plans the exchange + sort BEFORE the writers run
       // (RequiresDistributionAndOrdering) — how a lake sink gets
-      // one-key-per-file layout (Iceberg write distribution) without
-      // the caller hand-repartitioning: every row of a key lands in
-      // exactly one task, sorted, so each published file covers one
-      // clustered key range.
+      // one-key-per-task layout (Iceberg write distribution) without
+      // the caller hand-repartitioning: within an EPOCH every row of a
+      // key lands in exactly one task (a multi-epoch run publishes one
+      // clustered file set per epoch). `orderby` adds a within-task
+      // sort after the cluster key — the writer sees rows in key-range
+      // order, the property file-footer min/max indexes build on.
       override def build(): Write = new Write
           with RequiresDistributionAndOrdering {
         override def requiredDistribution(): Distribution =
@@ -80,10 +83,9 @@ class EpochSinkTable(root: String, writeSchema: StructType,
                 Array(Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression)))
             .getOrElse(Distributions.unspecified())
         override def requiredOrdering(): Array[SortOrder] =
-          clusterBy.map(c => Array(
-              Expressions.sort(Expressions.column(c),
-                SortDirection.ASCENDING)))
-            .getOrElse(Array.empty)
+          (clusterBy.toSeq ++ orderBy.toSeq).map(c =>
+            Expressions.sort(Expressions.column(c),
+              SortDirection.ASCENDING)).toArray
         override def toStreaming: StreamingWrite =
           new EpochStreamingWrite(root, info.schema())
       }

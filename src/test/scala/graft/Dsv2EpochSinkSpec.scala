@@ -74,6 +74,7 @@ class Dsv2EpochSinkSpec extends SparkSpec {
       .format("graft.sources.dsv2.EpochSink")
       .option("path", s"$root/out")
       .option("clusterby", "tag")
+      .option("orderby", "id")
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -81,18 +82,36 @@ class Dsv2EpochSinkSpec extends SparkSpec {
     val dataDir = java.nio.file.Paths.get(root, "out", "data")
     val files = Files.list(dataDir).iterator().asScala.toSeq
       .filterNot(_.getFileName.toString.startsWith("."))
-    // 5 tag values clustered into tasks: each tag's rows live in
-    // EXACTLY one file (the one-key-per-file lake layout), and within
-    // a file rows arrive tag-sorted
-    val tagToFiles = files.flatMap { f =>
-      Files.readAllLines(f).iterator().asScala.toSeq
-        .filter(_.nonEmpty).map(line => line.split(',')(2) -> f)
+    // 5 tag values clustered into tasks: within this single-epoch run
+    // each tag's rows live in EXACTLY one file (the one-key-per-task
+    // lake layout)...
+    val parsed = files.map { f =>
+      f -> Files.readAllLines(f).iterator().asScala.toSeq
+        .filter(_.nonEmpty).map(_.split(','))
+    }.toMap
+    val tagToFiles = parsed.toSeq.flatMap { case (f, lines) =>
+      lines.map(_(2) -> f)
     }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     assert(tagToFiles.keySet.size == 5)
     tagToFiles.foreach { case (tag, fs) =>
       assert(fs.size == 1, s"tag $tag spans ${fs.size} files")
     }
-    val total = files.map(f => Files.readAllLines(f).size()).sum
+    // ...and requiredOrdering really sorted within the task by
+    // [tag, id]: a file may legally hold several clustered tags, but
+    // each tag's run is contiguous and id-ascending (without the
+    // declared ordering the exchange interleaves the 8 source splits
+    // out of order)
+    parsed.foreach { case (f, lines) =>
+      val tagRuns = lines.map(_(2))
+      assert(tagRuns == tagRuns.sorted,
+        s"$f tags not contiguous/sorted: ${tagRuns.distinct}")
+      lines.groupBy(_(2)).foreach { case (tag, rows) =>
+        val ids = rows.map(_(0).toLong)
+        assert(ids == ids.sorted,
+          s"$f tag $tag not id-sorted: ${ids.take(8)}...")
+      }
+    }
+    val total = parsed.values.map(_.size).sum
     assert(total == 10000)
   }
 

@@ -16,16 +16,36 @@ import org.apache.spark.sql.functions._
   */
 class Dsv2PushdownPropertiesSpec extends SparkSpec {
 
-  private case class Ops(end: Int, ge: Option[Int], lt: Option[Int],
-                         eq: Option[Int], topN: Option[(Boolean, Int)])
+  /** tail: exactly one of none / ordered top-N / plain limit /
+    * offset+limit — covering pushTopN, pushLimit, and pushOffset.
+    */
+  private sealed trait Tail
+  private case object NoTail extends Tail
+  private case class TopN(asc: Boolean, n: Int) extends Tail
+  private case class PlainLimit(n: Int) extends Tail
+  private case class OffsetLimit(m: Int, n: Int) extends Tail
+
+  private case class Ops(end: Int, ge: Option[Int], gt: Option[Int],
+                         lt: Option[Int], le: Option[Int],
+                         eq: Option[Int], tail: Tail)
+
+  private val tailGen: Gen[Tail] = Gen.oneOf(
+    Gen.const(NoTail),
+    Gen.zip(Gen.oneOf(true, false), Gen.choose(0, 50))
+      .map { case (a, n) => TopN(a, n) },
+    Gen.choose(0, 50).map(PlainLimit(_)),
+    Gen.zip(Gen.choose(0, 60), Gen.choose(0, 50))
+      .map { case (m, n) => OffsetLimit(m, n) })
 
   private val opsGen: Gen[Ops] = for {
     end <- Gen.choose(0, 400)
     ge  <- Gen.option(Gen.choose(-10, 410))
+    gt  <- Gen.option(Gen.choose(-10, 410))
     lt  <- Gen.option(Gen.choose(-10, 410))
+    le  <- Gen.option(Gen.choose(-10, 410))
     eq  <- Gen.option(Gen.choose(-5, 405))
-    topN <- Gen.option(Gen.zip(Gen.oneOf(true, false), Gen.choose(0, 50)))
-  } yield Ops(end, ge, lt, eq, topN)
+    tail <- tailGen
+  } yield Ops(end, ge, gt, lt, le, eq, tail)
 
   test("pushed filter + top-N narrowing matches a brute-force reference " +
        "for random op sequences") {
@@ -34,22 +54,36 @@ class Dsv2PushdownPropertiesSpec extends SparkSpec {
         .option("end", ops.end.toString).option("slices", "7")
         .load()
       ops.ge.foreach(v => df = df.where(col("id") >= v))
+      ops.gt.foreach(v => df = df.where(col("id") > v))
       ops.lt.foreach(v => df = df.where(col("id") < v))
+      ops.le.foreach(v => df = df.where(col("id") <= v))
       ops.eq.foreach(v => df = df.where(col("id") === v))
-      ops.topN.foreach { case (asc, n) =>
-        df = df.orderBy(if (asc) col("id").asc else col("id").desc).limit(n)
+      df = ops.tail match {
+        case NoTail => df
+        case TopN(asc, n) =>
+          df.orderBy(if (asc) col("id").asc else col("id").desc).limit(n)
+        // limit/offset without a sort: the source emits ascending ids
+        // and CollectLimit drains partitions in order, so "first n"
+        // and "skip m" are the first/after-m positions by id — the
+        // same interval arithmetic the pushed path computes
+        case PlainLimit(n)     => df.limit(n)
+        case OffsetLimit(m, n) => df.offset(m).limit(n)
       }
       val got = df.select("id", "v").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
       var ref: Seq[Long] = (0L until ops.end.toLong).toVector
       ops.ge.foreach(v => ref = ref.filter(_ >= v))
+      ops.gt.foreach(v => ref = ref.filter(_ > v))
       ops.lt.foreach(v => ref = ref.filter(_ < v))
+      ops.le.foreach(v => ref = ref.filter(_ <= v))
       ops.eq.foreach(v => ref = ref.filter(_ == v))
-      val refIds = ops.topN match {
-        case Some((true, n))  => ref.sorted.take(n)
-        case Some((false, n)) => ref.sorted.reverse.take(n)
-        case None             => ref
+      val refIds = ops.tail match {
+        case NoTail            => ref
+        case TopN(true, n)     => ref.sorted.take(n)
+        case TopN(false, n)    => ref.sorted.reverse.take(n)
+        case PlainLimit(n)     => ref.sorted.take(n)
+        case OffsetLimit(m, n) => ref.sorted.drop(m).take(n)
       }
       val expect = refIds.map(id => (id, graft.sources.dsv2.RangeSource.vOf(id))).toSet
       if (got != expect)

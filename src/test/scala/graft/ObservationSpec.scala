@@ -50,11 +50,16 @@ class ObservationSpec extends SparkSpec {
     q.awaitTermination()
     val perBatch = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("ingress")))
-      .map(r => r.getAs[Long]("rows"))
-      .filter(_ > 0)
+      .map(r => (r.getAs[Long]("rows"), r.getAs[Long]("v_sum")))
+      .filter(_._1 > 0)
     // 5 bounded micro-batches, metrics riding each batch's existing job
-    assert(perBatch.length == 5 && perBatch.sum == 100000L,
+    assert(perBatch.length == 5 && perBatch.map(_._1).sum == 100000L,
       s"per-batch ingress: $perBatch")
+    // the non-count metric survives batch splits too: per-batch v sums
+    // total the closed-form generator sum
+    val expectedVSum = (0L until 100000L)
+      .map(graft.sources.dsv2.RangeSource.vOf).sum
+    assert(perBatch.map(_._2).sum == expectedVSum)
   }
 
   test("an observation on the delta join's newest side reports the " +
