@@ -140,7 +140,14 @@ object TemporalQueries {
     */
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    // StateStore.stop() is JVM-global: it would tear down the loaded
+    // providers and maintenance pool of ANY concurrently running
+    // stateful query mid-batch. Harness execution is serial, but guard
+    // anyway — evict only when this was the last active query, so a
+    // user composing these queries with their own concurrent stream
+    // gets correctness (lazy-reload is only a perf cost for US).
+    if (q.sparkSession.streams.active.isEmpty)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
   /** Shared body of the epoch-sink queries: drain the range stream

@@ -49,8 +49,19 @@ object Compact {
   }
 
   /** Rewrite `srcDir` (partitioned by `partitionCol`) into `outDir` with
-    * `ceil(bytes / targetBytes)` files per partition. Returns the
+    * EXACTLY `ceil(bytes / targetBytes)` files per partition. Returns the
     * per-partition file-count plan it executed.
+    *
+    * The file-count contract is exact, not collision-dependent: each row
+    * gets a deterministic GLOBAL file index (`partition offset + salt`),
+    * and the shuffle routes index `i` to task `i` via an identity
+    * partitioner with `numPartitions = total planned files`. Hashing
+    * `(partitionCol, salt)` into `spark.sql.shuffle.partitions` buckets
+    * instead would let two salts of one partition collide into the same
+    * task and silently emit fewer files than planned. The identity
+    * shuffle is the one legitimate RDD drop-down here — Catalyst's
+    * `repartition` can only hash or range, neither of which can promise
+    * one-task-per-planned-file.
     */
   def compact(spark: SparkSession, srcDir: String, outDir: String,
               partitionCol: String,
@@ -59,18 +70,35 @@ object Compact {
       case (value, bytes) =>
         value -> math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     }
+    // deterministic global index space: partitions in sorted order, each
+    // owning a contiguous [offset, offset + nfiles) range
+    val values = plan.keys.toSeq.sorted
+    val offsets = values.scanLeft(0)((acc, v) => acc + plan(v)).init
+    val totalFiles = plan.values.sum
     val planDf = broadcast(
-      spark.createDataFrame(plan.toSeq.map { case (v, n) => (v, n) })
-        .toDF(partitionCol, "_nfiles"))
+      spark.createDataFrame(values.zip(offsets).map { case (v, off) =>
+        (v, plan(v), off) })
+        .toDF(partitionCol, "_nfiles", "_offset"))
     val df = spark.read.parquet(srcDir)
-    val salted = df
+    val indexed = df
       .join(planDf, Seq(partitionCol))
-      .withColumn("_salt",
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
-          col("_nfiles").cast("long")))
-    salted
-      .repartition(col(partitionCol), col("_salt"))
-      .drop("_nfiles", "_salt")
+      .withColumn("_fileidx",
+        col("_offset").cast("long") +
+          pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+            col("_nfiles").cast("long")))
+      .drop("_nfiles", "_offset")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      indexed.schema.filterNot(_.name == "_fileidx"))
+    val routed = indexed.rdd
+      .map(r => (r.getAs[Long]("_fileidx"),
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = totalFiles
+        override def getPartition(key: Any): Int =
+          key.asInstanceOf[Long].toInt
+      })
+      .values
+    spark.createDataFrame(routed, outSchema)
       .write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(outDir)

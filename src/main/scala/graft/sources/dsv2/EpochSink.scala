@@ -116,7 +116,18 @@ class EpochStreamingWrite(root: String, schema: StructType)
       // replayed epoch: already durable — drop the duplicates
       staged.foreach(f.delete(_, false))
     } else {
-      f.mkdirs(new Path(s"$root/data"))
+      val dataDir = new Path(s"$root/data")
+      f.mkdirs(dataDir)
+      // A driver crash BETWEEN publishing renames and the marker write
+      // leaves this epoch's files under data/ with no marker; the replay
+      // re-enters this branch. Sweep that residue first so the replayed
+      // publish is idempotent: without it, rename-onto-existing either
+      // fails (HDFS → the epoch livelocks) or overwrites but strands
+      // higher-index parts from the interrupted attempt as duplicates
+      // that the marker would then seal as durable.
+      val residue = f.globStatus(
+        new Path(dataDir, s"epoch-$epochId-part-*"))
+      if (residue != null) residue.foreach(s => f.delete(s.getPath, false))
       staged.zipWithIndex.foreach { case (p, i) =>
         val dest = new Path(s"$root/data/epoch-$epochId-part-$i.csv")
         // a false rename (missing staged file, partial prior publish,
@@ -151,10 +162,16 @@ class EpochWriterFactory(root: String, schema: StructType)
       // task-attempt-private name: a retry overwrites only its own file
       private val staged =
         new Path(s"$root/_staging/e$epochId-p$partitionId-t$taskId")
+      // `opened` (not `rows`) is the staging-residue signal: the first
+      // out.write can throw AFTER creating the file but BEFORE rows is
+      // incremented, and abort must still close + delete it then
+      private var opened = false
       private lazy val out = {
         val f = FileSystem.get(URI.create(root), new Configuration())
         f.mkdirs(staged.getParent)
-        f.create(staged, true)
+        val stream = f.create(staged, true)
+        opened = true
+        stream
       }
       private var rows = 0L
 
@@ -187,10 +204,21 @@ class EpochWriterFactory(root: String, schema: StructType)
       }
       override def commit(): WriterCommitMessage = {
         if (rows > 0) { out.close(); EpochFileMessage(staged.toString, rows) }
-        else EpochFileMessage(null, 0L) // never opened — nothing staged
+        else {
+          // opened-but-zero-rows (first write threw mid-encode, then
+          // commit was somehow reached): don't publish a partial file
+          if (opened) {
+            try out.close() catch { case _: java.io.IOException => () }
+            FileSystem.get(URI.create(root), new Configuration())
+              .delete(staged, false)
+          }
+          EpochFileMessage(null, 0L) // nothing staged for this partition
+        }
       }
-      override def abort(): Unit = if (rows > 0) {
-        out.close()
+      override def abort(): Unit = if (opened) {
+        // unconditional on rows: a file created by the first (failed)
+        // write is residue the no-staging-leftovers invariant forbids
+        try out.close() catch { case _: java.io.IOException => () }
         FileSystem.get(URI.create(root), new Configuration())
           .delete(staged, false)
       }

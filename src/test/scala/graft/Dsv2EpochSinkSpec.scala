@@ -48,6 +48,31 @@ class Dsv2EpochSinkSpec extends SparkSpec {
       "replayed staging file not cleaned up")
   }
 
+  test("a replay after a crash mid-publish (renames done, marker missing) " +
+       "sweeps the residue and republishes idempotently") {
+    val root = Files.createTempDirectory("epoch-sink").toString
+    val w = new EpochStreamingWrite(root, schema)
+    // simulate the interrupted first attempt: two parts already renamed
+    // into data/, driver died before writing _commits/3
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    Files.writeString(dataDir.resolve("epoch-3-part-0.csv"), "9,9,stale\n")
+    Files.writeString(dataDir.resolve("epoch-3-part-1.csv"), "8,8,stale\n")
+    // the replay stages only ONE part (repartitioned retry) — without the
+    // residue sweep, part-1 from the dead attempt would survive under the
+    // new marker as a sealed duplicate
+    val replay = stage(root, "e3-p0-t1")
+    w.commit(3L, Array[WriterCommitMessage](EpochFileMessage(replay, 1L)))
+    val visible = Files.list(dataDir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+      .filterNot(_.startsWith(".")).sorted
+    assert(visible == Seq("epoch-3-part-0.csv"),
+      s"residue survived the replayed commit: $visible")
+    assert(Files.readString(dataDir.resolve("epoch-3-part-0.csv")) ==
+      "1,2,t1\n", "replayed part holds the stale attempt's bytes")
+    assert(Files.exists(java.nio.file.Paths.get(root, "_commits", "3")))
+  }
+
   test("abort removes staged files and leaves published data untouched") {
     val root = Files.createTempDirectory("epoch-sink").toString
     val w = new EpochStreamingWrite(root, schema)

@@ -56,6 +56,29 @@ class Round9cQueriesSpec extends SparkSpec {
     assert(fragRows == outRows, s"row drift: $fragRows -> $outRows")
   }
 
+  test("compaction's multi-file plan is exact, not collision-dependent: " +
+       "every partition lands at precisely its planned count") {
+    // a tiny targetBytes forces nfiles > 1 per partition — the regime the
+    // old (partitionCol, salt) hash-shuffle could silently under-deliver
+    // in when two salts of one partition collided into the same task
+    val root = Files.createTempDirectory("compact-exact")
+    val src = root.resolve("src").toString
+    Tables(spark, sfDir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(src)
+    val out = root.resolve("out").toString
+    val plan = graft.sources.Compact.compact(
+      spark, src, out, "o_orderstatus", targetBytes = 4L << 10)
+    assert(plan.values.exists(_ > 2),
+      s"fixture too small to exercise multi-file partitions: $plan")
+    val outCounts = partitionDirs(java.nio.file.Paths.get(out))
+      .map(d => d.getFileName.toString.stripPrefix("o_orderstatus=") ->
+        parquetFiles(d).size).toMap
+    assert(outCounts == plan,
+      s"file counts drifted from plan: $outCounts vs $plan")
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(src).count())
+  }
+
   test("sql_pipe_syntax optimizes to the same plan as the classic nested " +
        "form — the pipe surface is syntax, not a second execution path") {
     val piped = SparkEntry.queries("sql_pipe_syntax")(spark, sfDir)
