@@ -69,6 +69,12 @@ object Bench {
     // signal landing mid-append can't tear the hook's toList
     val lock = new Object
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // every timed sample per query (run1 [+ run2 when taken]): the
+    // reported number stays min-of-2, but the full file keeps the raw
+    // runs so a reader can separate cold-start/VM noise (t1 >> t2) from
+    // a real regression (t1 ≈ t2, both slow) without a re-run
+    val rawRuns = scala.collection.mutable.ArrayBuffer
+      .empty[(String, List[Double])]
     var errors = List.empty[String]
     val done = new AtomicBoolean(false)
 
@@ -83,7 +89,11 @@ object Bench {
     def fullJson(partial: Boolean): String = {
       val (rs, errs) = snapshot()
       val errJson = errs.reverse.map(jq).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":$partial,"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":${queriesJson(rs)},"errors":$errJson,"sf":"$sfDir"}"""
+      val runsJson = lock.synchronized(rawRuns.toList)
+        .map { case (k, ts) =>
+          jq(k) + ":" + ts.map(sec).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":$partial,"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":${queriesJson(rs)},"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
     }
     // total + errors + the 10 slowest + a pointer to the full per-query
     // file (the harness keeps only the last ~2000 chars of stdout — a
@@ -152,9 +162,13 @@ object Bench {
       val rescue = !failed && t1 > rerunBudget && t1 <= rerunBudget * 4 &&
         rescueSpent + t1 <= rescueAllowance
       if (rescue) rescueSpent += t1
-      val t = if (!failed && (t1 <= rerunBudget || rescue))
-        math.min(t1, once()) else t1
-      lock.synchronized { results += (name -> t) }
+      val secondRun = !failed && (t1 <= rerunBudget || rescue)
+      val samples = if (secondRun) List(t1, once()) else List(t1)
+      val t = samples.min
+      lock.synchronized {
+        results += (name -> t)
+        rawRuns += (name -> samples)
+      }
       writeFile(partial = true)
     }
     done.set(true)

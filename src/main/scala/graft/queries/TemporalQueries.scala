@@ -107,8 +107,16 @@ object TemporalQueries {
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Provider default is RocksDB (the at-scale choice; see scaladoc
+    // above). Overridable because the tradeoff is measurable: at sf0.1
+    // each stateful query pays a fixed per-(partition × store) native
+    // instance spin-up that the heap-map provider doesn't — harness-scale
+    // latency, not a data-scale slope. Set "hdfs" to time the heap path.
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
+      s.conf.get("spark.graft.stream.stateProvider", "rocksdb"))
+    if (provider != "hdfs")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // propagate the batch-split knob (newSession starts from defaults):
     // LayoutInvarianceSpec varies it to prove the folds are
     // micro-batch-split independent

@@ -1,0 +1,147 @@
+package graft.sources.dsv2
+
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Schema + row codec between Spark's `StructType`/`InternalRow` and the
+  * parquet-hadoop example `Group` model, for the file-backed DSv2 lake
+  * connector ([[LakeTable]]). Scope is the lake's physical type family
+  * (the same set `Tables.assertLakeSchemas` accepts): INT64, INT32,
+  * DOUBLE, UTF8 binary, TIMESTAMP(MICROS, adjusted-to-UTC) and DATE —
+  * an unsupported column fails loud at schema-conversion time, never
+  * silently at row time.
+  *
+  * Why hand-rolled rather than Spark's own parquet support: the point of
+  * the connector is to exercise the CONNECTOR contracts (column pruning,
+  * filter-driven split narrowing, copy-on-write row-level operations)
+  * against real row groups — parquet-hadoop is the public layer those
+  * contracts push into, exactly as an external-store connector would.
+  */
+object LakeParquet {
+
+  /** Spark → parquet message type (all fields optional, lake naming). */
+  def toMessageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t: Type = f.dataType match {
+        case LongType =>
+          Types.optional(PrimitiveTypeName.INT64).named(f.name)
+        case IntegerType =>
+          Types.optional(PrimitiveTypeName.INT32).named(f.name)
+        case DoubleType =>
+          Types.optional(PrimitiveTypeName.DOUBLE).named(f.name)
+        case StringType =>
+          Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case TimestampType =>
+          Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case DateType =>
+          Types.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case other => throw new UnsupportedOperationException(
+          s"lake connector: unsupported column type $other (${f.name})")
+      }
+      b.addField(t)
+    }
+    b.named("graft_lake")
+  }
+
+  /** Parquet message type → Spark schema (inverse of [[toMessageType]]).
+    * Fails loud on any physical type outside the lake family.
+    */
+  def toStructType(message: MessageType): StructType = {
+    val fields = message.getFields.toArray(Array.empty[Type]).map { t =>
+      require(t.isPrimitive, s"lake connector: nested field ${t.getName}")
+      val p = t.asPrimitiveType()
+      val dt = (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+        case (PrimitiveTypeName.INT64, ts: TimestampLogicalTypeAnnotation) =>
+          require(ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS,
+            s"lake connector: non-micros timestamp ${t.getName}")
+          TimestampType
+        case (PrimitiveTypeName.INT64, _)  => LongType
+        case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
+          DateType
+        case (PrimitiveTypeName.INT32, _)  => IntegerType
+        case (PrimitiveTypeName.DOUBLE, _) => DoubleType
+        case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
+          StringType
+        case (pt, ann) => throw new UnsupportedOperationException(
+          s"lake connector: unsupported parquet type $pt/$ann (${t.getName})")
+      }
+      StructField(t.getName, dt, nullable = true)
+    }
+    StructType(fields)
+  }
+
+  /** Per-field decoder Group → Catalyst value, resolved once per schema
+    * (the row path does no type dispatch). `i` is the field's index in
+    * the PROJECTED schema.
+    */
+  def decoders(projected: StructType): Array[(Group, Int) => Any] =
+    projected.fields.map { f =>
+      f.dataType match {
+        case LongType | TimestampType =>
+          (g: Group, i: Int) => g.getLong(i, 0)
+        case IntegerType | DateType =>
+          (g: Group, i: Int) => g.getInteger(i, 0)
+        case DoubleType =>
+          (g: Group, i: Int) => g.getDouble(i, 0)
+        case StringType =>
+          (g: Group, i: Int) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+    }
+
+  def toInternalRow(g: Group, dec: Array[(Group, Int) => Any]): InternalRow = {
+    val values = new Array[Any](dec.length)
+    var i = 0
+    while (i < dec.length) {
+      values(i) = if (g.getFieldRepetitionCount(i) == 0) null else dec(i)(g, i)
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  /** Per-field encoder (row, rowOrdinal, groupField) → append. The row
+    * ordinal is passed separately from the group field index so callers
+    * can read at an offset (the ReplaceData op-column layout below).
+    */
+  def encoders(schema: StructType): Array[(InternalRow, Int, Group, Int) => Unit] =
+    schema.fields.map { f =>
+      f.dataType match {
+        case LongType | TimestampType =>
+          (r: InternalRow, ri: Int, g: Group, gi: Int) => g.add(gi, r.getLong(ri))
+        case IntegerType | DateType =>
+          (r: InternalRow, ri: Int, g: Group, gi: Int) => g.add(gi, r.getInt(ri))
+        case DoubleType =>
+          (r: InternalRow, ri: Int, g: Group, gi: Int) => g.add(gi, r.getDouble(ri))
+        case StringType =>
+          (r: InternalRow, ri: Int, g: Group, gi: Int) =>
+            g.add(gi, Binary.fromConstantByteArray(r.getUTF8String(ri).getBytes))
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+    }
+
+  /** Encode `row` fields [off, off + width) into a Group. */
+  def toGroup(row: InternalRow, schema: MessageType,
+              enc: Array[(InternalRow, Int, Group, Int) => Unit],
+              off: Int): Group = {
+    val g = new SimpleGroup(schema)
+    var i = 0
+    while (i < enc.length) {
+      if (!row.isNullAt(i + off)) enc(i)(row, i + off, g, i)
+      i += 1
+    }
+    g
+  }
+}

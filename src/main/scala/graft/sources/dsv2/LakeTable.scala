@@ -1,0 +1,427 @@
+package graft.sources.dsv2
+
+import java.util
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.{BlockMetaData, CompressionCodecName}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A file-backed DataSource V2 TABLE over a directory of parquet files —
+  * the mount-an-external-store seam, with the full connector ladder
+  * exercised against REAL row groups rather than generator arithmetic
+  * (cf. [[RangeSource]], the arithmetic contract demo):
+  *
+  *   - READ: column pruning reaches the parquet column-chunk level (the
+  *     reader materializes only requested chunks), and comparison
+  *     filters narrow the SPLITS — one Spark input partition per row
+  *     group, planned only when the group's footer min/max stats can
+  *     satisfy the filter. Filters stay RESIDUAL (Spark re-applies them
+  *     post-scan) so stats pruning is purely an efficiency contract,
+  *     never a correctness dependency.
+  *   - WRITE: `INSERT INTO` appends via stage-then-publish parquet
+  *     writers (same two-phase protocol as [[EpochSink]], batch flavor).
+  *   - ROW-LEVEL OPS: `MERGE INTO` works via Spark's group-based
+  *     copy-on-write rewrite ([[SupportsRowLevelOperations]]): Spark
+  *     plans the merge join + carry-over logic, this table supplies the
+  *     affected-group scan and the replacing write. The row-level scan
+  *     deliberately does NOT prune (no filter/column pushdown): the
+  *     replace granularity is the FILE, so the scan must surface every
+  *     row of every file it marks affected — pruning there would lose
+  *     carry-over rows on commit.
+  *
+  * At 100 TB the same contracts hold per-partition: splits are row
+  * groups (~128 MB), pruning is footer-stats metadata work on the
+  * driver, and copy-on-write rewrites only affected files.
+  */
+class LakeTable(tableName: String, val dir: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = LakeTableIO.tableSchema(dir)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(dir, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new LakeWrite(dir, info.schema(), replaceFiles = null)
+    }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new LakeRowLevelOperation(this, info.command)
+}
+
+/** Group-based (copy-on-write) row-level operation: the scan is a full
+  * unpruned read that records which files it covered; the write replaces
+  * exactly those files at commit. Appends landing between scan and
+  * commit survive — only scanned files are swapped out.
+  */
+class LakeRowLevelOperation(table: LakeTable,
+                            cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  // the files the target scan covered, captured at planning time — the
+  // replace-write's delete set (file = the operation's group)
+  private val scanned = new java.util.concurrent.CopyOnWriteArrayList[String]
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        val files = LakeTableIO.dataFiles(table.dir)
+        scanned.clear()
+        files.foreach(f => scanned.add(f.toString))
+        new LakeScan(table.dir, table.schema, table.schema,
+          Array.empty, pruneGroups = false)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new LakeWrite(table.dir, info.schema(),
+          replaceFiles = () => scanned.asScala.toSeq)
+    }
+}
+
+class LakeScanBuilder(dir: String, tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var projected: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the table's field order (parquet readers expect it)
+    projected = StructType(tableSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  /** All filters stay residual (returned for Spark to re-apply); the
+    * supported comparisons are ALSO used for row-group stats pruning.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(LakeTableIO.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new LakeScan(dir, tableSchema, projected, pushed, pruneGroups = true)
+}
+
+/** One input partition per (file, row group) surviving stats pruning. */
+case class LakeInputPartition(path: String, rowGroup: Int,
+                              projectedNames: Array[String])
+    extends InputPartition
+
+class LakeScan(dir: String, tableSchema: StructType, projected: StructType,
+               pushed: Array[Filter], pruneGroups: Boolean)
+    extends Scan with Batch {
+  override def readSchema(): StructType = projected
+  override def toBatch: Batch = this
+
+  // planned on the driver from footer metadata only — no data read
+  private lazy val partitions: Array[InputPartition] = {
+    val conf = new Configuration()
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    totalGroups = 0
+    LakeTableIO.dataFiles(dir).foreach { file =>
+      val in = HadoopInputFile.fromPath(file, conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getRowGroups.asScala.toSeq
+        totalGroups += blocks.size
+        blocks.zipWithIndex.foreach { case (block, idx) =>
+          val keep = !pruneGroups ||
+            pushed.forall(f => LakeTableIO.mightMatch(block, f))
+          if (keep)
+            parts += LakeInputPartition(file.toString, idx,
+              projected.fieldNames)
+        }
+      } finally reader.close()
+    }
+    parts.toArray
+  }
+  private var totalGroups = 0
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(projected)
+
+  // explain-visible evidence: projected columns + planned/total groups
+  override def description(): String = {
+    val n = partitions.length
+    s"graft_lake $dir cols=[${projected.fieldNames.mkString(",")}] " +
+      s"rowgroups=$n/$totalGroups pushed=[${pushed.mkString(",")}]"
+  }
+}
+
+class LakeReaderFactory(projected: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[LakeInputPartition]
+    new PartitionReader[InternalRow] {
+      private val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
+      // the projection is resolved against the FILE footer schema, so
+      // only the requested column chunks are read and decoded
+      private val fileSchema =
+        reader.getFooter.getFileMetaData.getSchema
+      private val requested: MessageType = {
+        val kept = fileSchema.getFields.asScala
+          .filter(t => part.projectedNames.contains(t.getName))
+        new MessageType(fileSchema.getName, kept.asJava)
+      }
+      reader.setRequestedSchema(requested)
+      private val requestedStruct = LakeParquet.toStructType(requested)
+      private val dec = LakeParquet.decoders(requestedStruct)
+      // projection order may differ from file order: map file-projected
+      // positions to output positions once
+      private val outIndex: Array[Int] = {
+        val pos = part.projectedNames.zipWithIndex.toMap
+        requestedStruct.fieldNames.map(pos)
+      }
+      private val pages = reader.readRowGroup(part.rowGroup)
+      private val recordReader = new ColumnIOFactory()
+        .getColumnIO(requested)
+        .getRecordReader(pages, new GroupRecordConverter(requested))
+      private var remaining = pages.getRowCount
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (remaining <= 0) false
+        else {
+          val g = recordReader.read()
+          remaining -= 1
+          val inner = LakeParquet.toInternalRow(g, dec)
+          current =
+            if (outIndex.zipWithIndex.forall { case (o, i) => o == i }) inner
+            else {
+              val values = new Array[Any](outIndex.length)
+              var i = 0
+              while (i < outIndex.length) {
+                values(outIndex(i)) = inner.get(i, requestedStruct.fields(i).dataType)
+                i += 1
+              }
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+            }
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** Commit message: one staged file (null when the partition was empty). */
+case class LakeFileMessage(stagedPath: String, rows: Long)
+    extends WriterCommitMessage
+
+/** Batch write: stage-then-publish. With `replaceFiles` set (row-level
+  * op), commit additionally deletes the files the operation's scan
+  * covered — the copy-on-write swap.
+  */
+class LakeWrite(dir: String, writeSchema: StructType,
+                replaceFiles: () => Seq[String]) extends Write {
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      new LakeWriterFactory(dir, writeSchema)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(new Configuration())
+      val staged = messages.collect {
+        case LakeFileMessage(p, _) if p != null => new Path(p)
+      }
+      // copy-on-write: retire the replaced groups first; the staged set
+      // carries their surviving (carried-over) rows
+      Option(replaceFiles).foreach { rf =>
+        rf().foreach(f => fs.delete(new Path(f), false))
+      }
+      staged.foreach { p =>
+        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"failed to publish $p -> $dest")
+      }
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(new Configuration())
+      messages.collect { case LakeFileMessage(p, _) if p != null =>
+        fs.delete(new Path(p), false)
+      }
+    }
+  }
+}
+
+class LakeWriterFactory(dir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val staged =
+        new Path(s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
+      private val message = LakeParquet.toMessageType(schema)
+      private val enc = LakeParquet.encoders(schema)
+      private var opened = false
+      private lazy val writer = {
+        val fs = staged.getFileSystem(new Configuration())
+        fs.mkdirs(staged.getParent)
+        val w = ExampleParquetWriter
+          .builder(HadoopOutputFile.fromPath(staged, new Configuration()))
+          .withType(message)
+          .withCompressionCodec(CompressionCodecName.SNAPPY)
+          .withRowGroupSize(LakeTableIO.rowGroupBytes)
+          .build()
+        opened = true
+        w
+      }
+      private var rows = 0L
+
+      override def write(row: InternalRow): Unit = {
+        // ReplaceData (the MERGE rewrite) hands rows with a leading
+        // __row_operation INT that Spark only strips for connectors
+        // declaring metadata attributes (ReplaceDataExec.writingTask
+        // falls back to the unprojected DataWritingSparkTask when
+        // metadataProjection is None) — detect the layout once and read
+        // data fields at the offset. Op values 5 (WRITE) and 6
+        // (WRITE_WITH_METADATA, carry-over) both mean "write this row";
+        // anything else cannot appear in a group-based rewrite.
+        val off = row.numFields - schema.length
+        require(off == 0 || off == 1,
+          s"row width ${row.numFields} vs write schema ${schema.length}")
+        if (off == 1) {
+          val op = row.getInt(0)
+          require(op == 5 || op == 6,
+            s"unexpected __row_operation $op in group-based write")
+        }
+        writer.write(LakeParquet.toGroup(row, message, enc, off))
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage =
+        if (rows > 0) { writer.close(); LakeFileMessage(staged.toString, rows) }
+        else {
+          if (opened) {
+            try writer.close() catch { case _: java.io.IOException => () }
+            staged.getFileSystem(new Configuration()).delete(staged, false)
+          }
+          LakeFileMessage(null, 0L)
+        }
+      override def abort(): Unit = if (opened) {
+        try writer.close() catch { case _: java.io.IOException => () }
+        staged.getFileSystem(new Configuration()).delete(staged, false)
+      }
+      override def close(): Unit = ()
+    }
+}
+
+object LakeTableIO {
+  /** Writer row-group size — settable (bytes) so fixtures can force a
+    * multi-row-group layout at test scale; production default 128 MB.
+    */
+  @volatile var rowGroupBytes: Long =
+    sys.props.get("graft.lake.rowgroup.bytes").map(_.toLong)
+      .getOrElse(128L << 20)
+
+  def dataFiles(dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath)
+  }
+
+  /** Table schema: footer of the first data file (source of truth), else
+    * the `_schema.ddl` sidecar written by CREATE TABLE.
+    */
+  def tableSchema(dir: String): StructType =
+    dataFiles(dir).headOption match {
+      case Some(f) =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(f, new Configuration()))
+        try LakeParquet.toStructType(
+          reader.getFooter.getFileMetaData.getSchema)
+        finally reader.close()
+      case None =>
+        val ddl = new Path(dir, "_schema.ddl")
+        val fs = ddl.getFileSystem(new Configuration())
+        require(fs.exists(ddl), s"no data files and no _schema.ddl in $dir")
+        val in = fs.open(ddl)
+        try StructType.fromDDL(
+          new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+    }
+
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => comparable(v)
+    case GreaterThan(_, v)        => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v)           => comparable(v)
+    case LessThanOrEqual(_, v)    => comparable(v)
+    case _                        => false
+  }
+  private def comparable(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Double | _: String => true
+    case _                                        => false
+  }
+
+  /** Conservative footer-stats check: false ONLY when the row group
+    * provably contains no matching row. Missing/empty stats keep the
+    * group.
+    */
+  def mightMatch(block: BlockMetaData, f: Filter): Boolean = {
+    def bounds(col: String): Option[(Comparable[Any], Comparable[Any])] =
+      block.getColumns.asScala
+        .find(_.getPath.toDotString == col)
+        .flatMap { c =>
+          val s = c.getStatistics
+          if (s == null || !s.hasNonNullValue) None
+          else Some((s.genericGetMin.asInstanceOf[Comparable[Any]],
+                     s.genericGetMax.asInstanceOf[Comparable[Any]]))
+        }
+    def lift(v: Any): Any = v match {
+      case s: String => Binary.fromString(s)
+      case other     => other
+    }
+    f match {
+      case EqualTo(c, v) => bounds(c).forall { case (mn, mx) =>
+        mn.compareTo(lift(v)) <= 0 && mx.compareTo(lift(v)) >= 0 }
+      case GreaterThan(c, v) =>
+        bounds(c).forall { case (_, mx) => mx.compareTo(lift(v)) > 0 }
+      case GreaterThanOrEqual(c, v) =>
+        bounds(c).forall { case (_, mx) => mx.compareTo(lift(v)) >= 0 }
+      case LessThan(c, v) =>
+        bounds(c).forall { case (mn, _) => mn.compareTo(lift(v)) < 0 }
+      case LessThanOrEqual(c, v) =>
+        bounds(c).forall { case (mn, _) => mn.compareTo(lift(v)) <= 0 }
+      case _ => true
+    }
+  }
+}

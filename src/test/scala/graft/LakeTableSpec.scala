@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.sources.dsv2.{GraftCatalog, LakeTableIO}
+
+/** The file-backed DSv2 lake connector at the SQL surface: catalog
+  * registration, INSERT INTO (stage-then-publish parquet write), scans
+  * with column pruning + row-group stats narrowing, and the group-based
+  * copy-on-write MERGE INTO path.
+  */
+class LakeTableSpec extends SparkSpec {
+
+  private def withCatalog[A](f: String => A): A = {
+    val root = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.lakespec",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakespec.root", root)
+    f(root)
+  }
+
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    scans.mkString("\n")
+  }
+
+  test("create + insert + read back: the write stages parquet and " +
+       "publishes on commit, the scan decodes every supported type") {
+    withCatalog { _ =>
+      spark.sql(
+        """CREATE TABLE lakespec.db.t
+          |(k BIGINT, s STRING, d DOUBLE, ts TIMESTAMP)""".stripMargin)
+      spark.sql(
+        """INSERT INTO lakespec.db.t SELECT
+          |  id, concat('s', id), id * 1.5,
+          |  timestamp_micros(1700000000000000 + id)
+          |FROM range(1000)""".stripMargin)
+      val back = spark.sql(
+        "SELECT k, s, d, ts FROM lakespec.db.t ORDER BY k")
+      assert(back.count() == 1000)
+      val r = back.collect()(7)
+      assert(r.getLong(0) == 7 && r.getString(1) == "s7" &&
+        r.getDouble(2) == 10.5 &&
+        r.getTimestamp(3).toInstant.toEpochMilli == 1700000000000L)
+      // null round-trip
+      spark.sql("INSERT INTO lakespec.db.t VALUES (2000, NULL, NULL, NULL)")
+      val n = spark.sql(
+        "SELECT * FROM lakespec.db.t WHERE s IS NULL").collect()
+      assert(n.length == 1 && n(0).getLong(0) == 2000 && n(0).isNullAt(1))
+    }
+  }
+
+  test("column pruning reaches the reader and filters narrow the planned " +
+       "row groups via footer stats") {
+    withCatalog { _ =>
+      spark.sql("CREATE TABLE lakespec.db.pruned (k BIGINT, s STRING, d DOUBLE)")
+      // tiny row groups + k-sorted input → disjoint per-group k ranges,
+      // so a point predicate must plan a strict subset of the groups
+      LakeTableIO.rowGroupBytes = 16L << 10
+      try spark.sql(
+        """INSERT INTO lakespec.db.pruned
+          |SELECT id, concat('v', id), id * 0.5
+          |FROM range(100000) ORDER BY id""".stripMargin)
+      finally LakeTableIO.rowGroupBytes = 128L << 20
+      val q = spark.sql(
+        "SELECT k FROM lakespec.db.pruned WHERE k >= 99000")
+      val desc = scanDesc(q)
+      assert(desc.contains("cols=[k]"), s"projection not pruned: $desc")
+      val m = "rowgroups=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+      val (planned, total) = (m.group(1).toInt, m.group(2).toInt)
+      assert(total >= 4, s"fixture produced too few row groups: $desc")
+      assert(planned < total, s"stats pruning planned everything: $desc")
+      // pruning is an efficiency contract only — results stay exact
+      assert(q.count() == 1000)
+      assert(spark.sql(
+        "SELECT k FROM lakespec.db.pruned WHERE k = 55555").count() == 1)
+    }
+  }
+
+  test("MERGE INTO runs the group-based copy-on-write rewrite: matched " +
+       "rows update, unmatched insert, not-matched-by-source delete") {
+    withCatalog { _ =>
+      spark.sql("CREATE TABLE lakespec.db.m (k BIGINT, v STRING, amt DOUBLE)")
+      spark.sql(
+        """INSERT INTO lakespec.db.m SELECT id, concat('old', id), id * 1.0
+          |FROM range(100)""".stripMargin)
+      spark.range(50, 150).selectExpr(
+          "id AS k", "concat('new', id) AS v", "id * 2.0 AS amt")
+        .createOrReplaceTempView("updates")
+      spark.sql(
+        """MERGE INTO lakespec.db.m t USING updates s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val after = spark.sql(
+        "SELECT k, v, amt FROM lakespec.db.m ORDER BY k").collect()
+      assert(after.length == 100)
+      assert(after.head.getLong(0) == 50 && after.last.getLong(0) == 149)
+      after.foreach { r =>
+        assert(r.getString(1) == s"new${r.getLong(0)}")
+        assert(r.getDouble(2) == r.getLong(0) * 2.0)
+      }
+    }
+  }
+
+  test("MERGE with a partial update keeps carry-over rows intact — the " +
+       "replaced files' non-matching rows survive the rewrite") {
+    withCatalog { _ =>
+      spark.sql("CREATE TABLE lakespec.db.c (k BIGINT, v STRING)")
+      spark.sql(
+        """INSERT INTO lakespec.db.c SELECT id, concat('keep', id)
+          |FROM range(1000)""".stripMargin)
+      spark.range(10).selectExpr("id * 100 AS k", "'touched' AS v")
+        .createOrReplaceTempView("touch")
+      spark.sql(
+        """MERGE INTO lakespec.db.c t USING touch s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+      val rows = spark.sql("SELECT k, v FROM lakespec.db.c").collect()
+      assert(rows.length == 1000, "carry-over rows lost by the rewrite")
+      val touched = rows.filter(_.getString(1) == "touched").map(_.getLong(0))
+      assert(touched.sorted.toSeq == (0 until 10).map(_ * 100L))
+      assert(rows.filter(_.getLong(0) == 123).head.getString(1) == "keep123")
+    }
+  }
+}
