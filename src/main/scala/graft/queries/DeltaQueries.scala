@@ -464,6 +464,32 @@ object DeltaQueries {
         round((col("qs") - col("ps")) * log(col("qs") / col("ps")), 6)
           .as("psi_contrib6"))
     }),
+    // the SQL spelling of the merge-upsert closure — the statement a
+    // lake user actually types. The target is a real catalog table
+    // (graft.sources.dsv2.GraftCatalog + LakeTable): Spark plans its
+    // group-based copy-on-write rewrite (RewriteMergeIntoTable →
+    // ReplaceData) against the connector's row-level-operation scan and
+    // replacing write; all three clause families exercise in one
+    // statement. merge(prev, newest-as-source) must recover the newest
+    // snapshot exactly — same oracle as delta_merge_upsert.
+    "delta_merge_sql" -> ((s, dir) => {
+      import graft.sources.dsv2.LakeCatalogs
+      LakeCatalogs.register(s)
+      val tbl = s"${LakeCatalogs.CatalogName}.${LakeCatalogs.ns(dir)}.agency_merge"
+      // rebuilt from scratch each run: MERGE mutates the table, and the
+      // bench/verify harness executes a query more than once
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      previous(s, dir).writeTo(tbl).create()
+      newest(s, dir).createOrReplaceTempView("delta_merge_sql_source")
+      s.sql(
+        s"""MERGE INTO $tbl t
+           |USING delta_merge_sql_source s
+           |ON t.$key = s.$key
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      s.table(tbl)
+    }),
   )
 
   /** Oracle CTE for the history snapshots — generated from the SAME
@@ -600,6 +626,10 @@ object DeltaQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM newest n WHERE n.o_orderkey = p.o_orderkey)""".stripMargin,
     // merge(prev, deltas) must equal the newest snapshot, row for row
     "delta_merge_upsert" ->
+      s"""$snapshotCte
+         |SELECT * FROM newest""".stripMargin,
+    // SQL MERGE INTO with source = newest: same closure, same oracle
+    "delta_merge_sql" ->
       s"""$snapshotCte
          |SELECT * FROM newest""".stripMargin,
     "delta_scd2" -> {

@@ -391,6 +391,38 @@ object IngestQueries {
       root.toString
     }
 
+  /** graft_lake catalog mount of `orders` (once per sfDir): key-sorted
+    * load through the LakeTable write path with small row groups, so the
+    * mounted table has many disjoint-key-range row groups for the stats
+    * pruning contract to bite on. Local-mode note: the row-group size
+    * rides a JVM-global knob (driver and writers share the JVM); a
+    * cluster deployment would carry it as a table property.
+    */
+  private def ensureDsv2Lake(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      import graft.sources.dsv2.{LakeCatalogs, LakeTableIO}
+      LakeCatalogs.register(spark)
+      val ns = LakeCatalogs.ns(sfDir)
+      val tbl = s"${LakeCatalogs.CatalogName}.$ns.orders"
+      val marker = Paths.get(LakeCatalogs.root, ns, "orders", "_LOADED")
+      if (!Files.exists(marker)) {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        // size row groups to the table so every scale lands ~16+ groups
+        // (floor 8 KB): the pruning contract needs group granularity,
+        // and a fixed byte size would collapse small scales to 1 group
+        val srcBytes = new java.io.File(s"$sfDir/orders.parquet").length()
+        val prev = LakeTableIO.rowGroupBytes
+        LakeTableIO.rowGroupBytes = math.max(8L << 10, srcBytes / 16)
+        try Tables(spark, sfDir, "orders")
+          .orderBy("o_orderkey")
+          .writeTo(tbl).create()
+        finally LakeTableIO.rowGroupBytes = prev
+        Files.createDirectories(marker.getParent)
+        Files.writeString(marker, "ok")
+      }
+      tbl
+    }
+
   // ---- additional source capabilities (registered below) ----
 
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
@@ -493,6 +525,24 @@ object IngestQueries {
           .agg(count(lit(1)).as("n"),
             sum("v").as("v_sum"),
             max("id").as("max_id"))
+      }),
+      // The file-backed flavor of the connector family: `orders` mounted
+      // as a graft_lake catalog table (graft.sources.dsv2.LakeTable) and
+      // probed with a projection + comparison filter. Pushdown runs
+      // against REAL parquet row groups — the scan plans only the row
+      // groups whose footer min/max can satisfy o_orderkey >= hi (the
+      // fixture key-sorts the load so group ranges are disjoint), and
+      // the reader materializes only the three requested column chunks.
+      // Spec pins cols=[...] + rowgroups planned < total; the oracle
+      // runs the same probe over the raw parquet.
+      "ingest_dsv2_lake_scan" -> ((s, dir) => {
+        val tbl = ensureDsv2Lake(s, dir)
+        val hi = Tables(s, dir, "orders")
+          .agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 10L * 9L
+        s.table(tbl)
+          .where(col("o_orderkey") >= hi)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
       }),
       // TOP-N pushdown: ORDER BY id DESC LIMIT n on an id-ordered range
       // is the LAST n positions of the (filter-narrowed) interval — the
@@ -706,6 +756,12 @@ object IngestQueries {
         |GROUP BY 1""".stripMargin,
     // the generator arithmetic over the same narrowed interval —
     // equality proves the source's pushdown narrowing is value-correct
+    // same probe over the raw parquet; // is DuckDB integer division,
+    // matching the Spark side's Long arithmetic on the threshold
+    "ingest_dsv2_lake_scan" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey >=
+        |  (SELECT max(o_orderkey) // 10 * 9 FROM orders)""".stripMargin,
     "ingest_dsv2_pushdown" ->
       """SELECT 't' || CAST(id % 5 AS VARCHAR) AS tag, count(*) AS n,
         |  CAST(sum((id * 1103515245 + 12345) % 1000000) AS BIGINT)

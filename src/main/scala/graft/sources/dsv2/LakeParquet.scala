@@ -45,6 +45,10 @@ object LakeParquet {
           Types.optional(PrimitiveTypeName.INT64)
             .as(LogicalTypeAnnotation.timestampType(true,
               LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case TimestampNTZType =>
+          Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(false,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case DateType =>
           Types.optional(PrimitiveTypeName.INT32)
             .as(LogicalTypeAnnotation.dateType()).named(f.name)
@@ -67,7 +71,7 @@ object LakeParquet {
         case (PrimitiveTypeName.INT64, ts: TimestampLogicalTypeAnnotation) =>
           require(ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS,
             s"lake connector: non-micros timestamp ${t.getName}")
-          TimestampType
+          if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
         case (PrimitiveTypeName.INT64, _)  => LongType
         case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
           DateType
@@ -90,7 +94,7 @@ object LakeParquet {
   def decoders(projected: StructType): Array[(Group, Int) => Any] =
     projected.fields.map { f =>
       f.dataType match {
-        case LongType | TimestampType =>
+        case LongType | TimestampType | TimestampNTZType =>
           (g: Group, i: Int) => g.getLong(i, 0)
         case IntegerType | DateType =>
           (g: Group, i: Int) => g.getInteger(i, 0)
@@ -119,7 +123,7 @@ object LakeParquet {
   def encoders(schema: StructType): Array[(InternalRow, Int, Group, Int) => Unit] =
     schema.fields.map { f =>
       f.dataType match {
-        case LongType | TimestampType =>
+        case LongType | TimestampType | TimestampNTZType =>
           (r: InternalRow, ri: Int, g: Group, gi: Int) => g.add(gi, r.getLong(ri))
         case IntegerType | DateType =>
           (r: InternalRow, ri: Int, g: Group, gi: Int) => g.add(gi, r.getInt(ri))
