@@ -490,6 +490,33 @@ object DeltaQueries {
            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       s.table(tbl)
     }),
+    // the remaining two DML statements on the same copy-on-write seam
+    // (RewriteUpdateTable / RewriteDeleteFromTable → ReplaceData):
+    // UPDATE rewrites affected groups with the assignment applied and
+    // carry-over rows intact; DELETE rewrites them without the matching
+    // rows. Oracles state the end-state declaratively over prev.
+    "delta_update_sql" -> ((s, dir) => {
+      import graft.sources.dsv2.LakeCatalogs
+      LakeCatalogs.register(s)
+      val tbl = s"${LakeCatalogs.CatalogName}.${LakeCatalogs.ns(dir)}.agency_upd"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      previous(s, dir).writeTo(tbl).create()
+      s.sql(
+        s"""UPDATE $tbl
+           |SET o_totalprice = o_totalprice * 1.1,
+           |    o_orderpriority = 'RUSHED'
+           |WHERE o_orderstatus = 'O' AND $key % 5 = 0""".stripMargin)
+      s.table(tbl)
+    }),
+    "delta_delete_sql" -> ((s, dir) => {
+      import graft.sources.dsv2.LakeCatalogs
+      LakeCatalogs.register(s)
+      val tbl = s"${LakeCatalogs.CatalogName}.${LakeCatalogs.ns(dir)}.agency_del"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      previous(s, dir).writeTo(tbl).create()
+      s.sql(s"DELETE FROM $tbl WHERE $key % 7 = 3 OR o_totalprice > 500000.0")
+      s.table(tbl)
+    }),
   )
 
   /** Oracle CTE for the history snapshots — generated from the SAME
@@ -632,6 +659,21 @@ object DeltaQueries {
     "delta_merge_sql" ->
       s"""$snapshotCte
          |SELECT * FROM newest""".stripMargin,
+    "delta_update_sql" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+         |       THEN o_totalprice * 1.1 ELSE o_totalprice END
+         |    AS o_totalprice,
+         |  o_orderdate,
+         |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+         |       THEN 'RUSHED' ELSE o_orderpriority END
+         |    AS o_orderpriority
+         |FROM prev""".stripMargin,
+    "delta_delete_sql" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev
+         |WHERE NOT (o_orderkey % 7 = 3 OR o_totalprice > 500000.0)""".stripMargin,
     "delta_scd2" -> {
       val changedSql =
         """   n.o_custkey IS DISTINCT FROM p.o_custkey

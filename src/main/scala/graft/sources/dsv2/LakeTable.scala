@@ -76,28 +76,36 @@ class LakeTable(tableName: String, val dir: String) extends Table
     () => new LakeRowLevelOperation(this, info.command)
 }
 
-/** Group-based (copy-on-write) row-level operation: the scan is a full
-  * unpruned read that records which files it covered; the write replaces
-  * exactly those files at commit. Appends landing between scan and
-  * commit survive — only scanned files are swapped out.
+/** Group-based (copy-on-write) row-level operation: the scan records
+  * which files it covered; the write replaces exactly those files at
+  * commit. Appends landing between scan and commit survive — only
+  * scanned files are swapped out.
+  *
+  * The scan supports RUNTIME group filtering
+  * ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]):
+  * when Spark derives the set of join-key values the source side can
+  * touch (RowLevelOperationRuntimeGroupFiltering — the same mechanism
+  * Iceberg's copy-on-write uses), files whose footer stats exclude every
+  * value are DROPPED from both the scan and the replace set, so a merge
+  * touching 1% of the key space rewrites ~1% of the files instead of all
+  * of them. Spark only injects the filter when semantics allow it (e.g.
+  * not for NOT MATCHED BY SOURCE deletes, which must see every group).
   */
 class LakeRowLevelOperation(table: LakeTable,
                             cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
-  // the files the target scan covered, captured at planning time — the
-  // replace-write's delete set (file = the operation's group)
-  private val scanned = new java.util.concurrent.CopyOnWriteArrayList[String]
+  // the live scan: its (possibly runtime-narrowed) covered-file set is
+  // the replace-write's delete set, read at commit time
+  @volatile private var activeScan: LakeRowLevelScan = _
 
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
-        val files = LakeTableIO.dataFiles(table.dir)
-        scanned.clear()
-        files.foreach(f => scanned.add(f.toString))
-        new LakeScan(table.dir, table.schema, table.schema,
-          Array.empty, pruneGroups = false)
+        activeScan = new LakeRowLevelScan(table.schema,
+          LakeTableIO.dataFiles(table.dir).map(_.toString))
+        activeScan
       }
     }
 
@@ -105,8 +113,80 @@ class LakeRowLevelOperation(table: LakeTable,
     new WriteBuilder {
       override def build(): Write =
         new LakeWrite(table.dir, info.schema(),
-          replaceFiles = () => scanned.asScala.toSeq)
+          replaceFiles = () => activeScan.coveredFiles)
     }
+}
+
+/** The row-level operation's target scan: full rows of every covered
+  * file (NO column pruning, NO row-group pruning — the replace
+  * granularity is the file, so every row of a file marked affected must
+  * surface or carry-over rows would be lost on commit). Runtime IN
+  * filters narrow the COVERED FILE SET only, conservatively via footer
+  * stats — never individual rows.
+  */
+class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.expressions.Literal
+
+  @volatile private var kept: Seq[String] = allFiles
+  def coveredFiles: Seq[String] = kept
+
+  override def readSchema(): StructType = tableSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_lake row-level scan files=${kept.size}/${allFiles.size}"
+
+  override def filterAttributes(): Array[NamedReference] =
+    tableSchema.fieldNames.map(Expressions.column)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    // recognize IN(col, v...) — the shape the group-filter rule sends.
+    // Anything else (or any unconvertible value) keeps every file:
+    // group filtering is an optimization, a bad guess is data loss.
+    val keepSets = predicates.flatMap { p =>
+      if (p.name() != "IN") None
+      else {
+        val children = p.children()
+        val colName = children.headOption.collect {
+          case r: NamedReference if r.fieldNames.length == 1 =>
+            r.fieldNames()(0)
+        }
+        val values = children.drop(1).map {
+          case l: Literal[_] => Option(l.value)
+          case _             => None
+        }
+        colName match {
+          case Some(c) if values.forall(_.isDefined) =>
+            Some(c -> values.flatten.toSeq)
+          case _ => None
+        }
+      }
+    }
+    if (keepSets.nonEmpty) {
+      kept = allFiles.filter { f =>
+        keepSets.forall { case (c, vals) =>
+          LakeTableIO.fileMightContain(f, c, vals)
+        }
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    kept.flatMap { file =>
+      val in = HadoopInputFile.fromPath(new Path(file), conf)
+      val reader = ParquetFileReader.open(in)
+      try (0 until reader.getRowGroups.size).map(idx =>
+        LakeInputPartition(file, idx, tableSchema.fieldNames))
+      finally reader.close()
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(tableSchema)
 }
 
 class LakeScanBuilder(dir: String, tableSchema: StructType)
@@ -390,6 +470,31 @@ object LakeTableIO {
   private def comparable(v: Any): Boolean = v match {
     case _: Long | _: Int | _: Double | _: String => true
     case _                                        => false
+  }
+
+  /** Runtime group filter support: can `file` contain any of `values`
+    * in column `col`? True unless every row group's stats exclude every
+    * value (conservative: unreadable stats / unconvertible values keep
+    * the file). Driver-side footer metadata only.
+    */
+  def fileMightContain(file: String, col: String, values: Seq[Any]): Boolean = {
+    val catalystToFilter: Any => Option[Any] = {
+      case v: java.lang.Long    => Some(v)
+      case v: java.lang.Integer => Some(v)
+      case v: java.lang.Double  => Some(v)
+      case v: org.apache.spark.unsafe.types.UTF8String => Some(v.toString)
+      case v: String            => Some(v)
+      case _                    => None
+    }
+    val lifted = values.map(catalystToFilter)
+    if (lifted.exists(_.isEmpty)) return true
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try {
+      val blocks = reader.getRowGroups.asScala
+      blocks.exists(b =>
+        lifted.flatten.exists(v => mightMatch(b, EqualTo(col, v))))
+    } finally reader.close()
   }
 
   /** Conservative footer-stats check: false ONLY when the row group

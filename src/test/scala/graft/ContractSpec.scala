@@ -37,8 +37,8 @@ class ContractSpec extends AnyFunSuite {
     // replacement fail loudly, because a duplicate nets the total one
     // short of what the author expects. Bump this when adding or
     // removing queries; a mismatch means a name collided.
-    assert(names.size == 225,
-      s"query count is ${names.size}, expected 225 — either bump this " +
+    assert(names.size == 227,
+      s"query count is ${names.size}, expected 227 — either bump this " +
         "pin for intentionally added/removed queries, or a duplicate " +
         "key inside a family map silently swallowed one")
   }

@@ -108,6 +108,63 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("runtime group filtering narrows the copy-on-write: a MERGE " +
+       "touching one file's key range leaves the other files' names " +
+       "and bytes untouched") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE lakespec.db.g (k BIGINT, v STRING)")
+      // 8 range-disjoint files: repartitionByRange gives each task a
+      // contiguous key slice, one published file per task
+      spark.range(8000).selectExpr("id AS k", "concat('v', id) AS v")
+        .repartitionByRange(8, col("k"))
+        .sortWithinPartitions("k")
+        .writeTo("lakespec.db.g").append()
+      def files(): Map[String, Long] = {
+        val d = new java.io.File(s"$root/db/g")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.length()).toMap
+      }
+      val before = files()
+      assert(before.size == 8, s"expected 8 files, got ${before.keySet}")
+      // source touches keys 100–199 only — one file's range
+      spark.range(100, 200).selectExpr("id AS k", "'touched' AS v")
+        .createOrReplaceTempView("narrow")
+      spark.sql(
+        """MERGE INTO lakespec.db.g t USING narrow s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+      val after = files()
+      val untouched = before.filter { case (n, len) =>
+        after.get(n).contains(len) }
+      assert(untouched.size >= 6,
+        s"runtime group filter did not narrow the rewrite: " +
+          s"${untouched.size} of ${before.size} files survived")
+      assert(untouched.size < before.size, "no file was rewritten at all")
+      // semantics unharmed by the narrowing
+      val rows = spark.sql("SELECT k, v FROM lakespec.db.g").collect()
+      assert(rows.length == 8000)
+      rows.foreach { r =>
+        val k = r.getLong(0)
+        val want = if (k >= 100 && k < 200) "touched" else s"v$k"
+        assert(r.getString(1) == want, s"row $k = ${r.getString(1)}")
+      }
+    }
+  }
+
+  test("UPDATE and DELETE statements run the same copy-on-write rewrite") {
+    withCatalog { _ =>
+      spark.sql("CREATE TABLE lakespec.db.dml (k BIGINT, v DOUBLE)")
+      spark.sql(
+        "INSERT INTO lakespec.db.dml SELECT id, id * 1.0 FROM range(100)")
+      spark.sql("UPDATE lakespec.db.dml SET v = v + 1000 WHERE k < 10")
+      spark.sql("DELETE FROM lakespec.db.dml WHERE k >= 90")
+      val rows = spark.sql("SELECT k, v FROM lakespec.db.dml ORDER BY k")
+        .collect()
+      assert(rows.length == 90)
+      assert(rows.take(10).forall(r => r.getDouble(1) == r.getLong(0) + 1000.0))
+      assert(rows.drop(10).forall(r => r.getDouble(1) == r.getLong(0) * 1.0))
+    }
+  }
+
   test("MERGE with a partial update keeps carry-over rows intact — the " +
        "replaced files' non-matching rows survive the rewrite") {
     withCatalog { _ =>
