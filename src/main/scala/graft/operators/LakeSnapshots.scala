@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.dsv2.{LakeLog, LakeTableIO}
+
+/** Table-maintenance surface over a [[graft.sources.dsv2.LakeTable]]'s
+  * snapshot log — the operations a lakehouse user runs daily next to
+  * their queries: audit history, row-level change capture between
+  * versions, rollback, and history expiry.
+  *
+  * All of it is LOG work: `history` renders manifests (driver-side
+  * metadata, O(versions) not O(data)); `changes` reads ONLY the files
+  * that changed hands between two snapshots — at 100 TB a CDC pull for
+  * one commit reads that commit's files, never the table.
+  */
+object LakeSnapshots {
+
+  /** One row per committed version: the audit trail. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    LakeLog.versions(dir).map(LakeLog.snapshotAt(dir, _))
+      .map(s => (s.version, s.operation, s.files.size, s.added.size,
+        s.removed.size, s.addedRows))
+      .toDF("version", "operation", "n_files", "n_added", "n_removed",
+        "added_rows")
+  }
+
+  /** Row-level changes between two snapshots, computed from the file
+    * sets alone: rows in files the range ADDED minus rows in files it
+    * REMOVED are inserts; the converse are deletes (an update surfaces
+    * as its delete+insert pair — standard CDC without a key contract).
+    * Carry-over rows of a copy-on-write rewrite appear in both file
+    * sets and cancel in the `exceptAll`, so only true changes surface.
+    */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes($fromVersion -> $toVersion): range must go forward")
+    val before = LakeLog.snapshotAt(dir, fromVersion).files.toSet
+    val after = LakeLog.snapshotAt(dir, toVersion).files.toSet
+    val schema = LakeTableIO.tableSchema(dir)
+    def readFiles(names: Seq[String]): DataFrame =
+      if (names.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(names.map(n => s"$dir/$n"): _*)
+    val newRows = readFiles((after -- before).toSeq.sorted)
+    val oldRows = readFiles((before -- after).toSeq.sorted)
+    newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
+      .unionByName(
+        oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
+  }
+
+  /** Restore the table to `version` as a NEW commit (history preserved). */
+  def rollback(dir: String, version: Long): Long =
+    LakeLog.rollback(dir, version).version
+
+  /** Drop all but the newest `keepLast` snapshots and delete data files
+    * nothing retained references. Returns
+    * (expired manifests, deleted files).
+    */
+  def expire(dir: String, keepLast: Int): (Int, Int) =
+    LakeLog.expire(dir, keepLast)
+}

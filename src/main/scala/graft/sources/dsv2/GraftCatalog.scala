@@ -63,6 +63,33 @@ class GraftCatalog extends TableCatalog {
       .mkString("."), dir.toString)
   }
 
+  /** Time travel — `SELECT … FROM t VERSION AS OF <n>` resolves here:
+    * the returned table reads snapshot `n`'s manifest and rejects
+    * writes. Fails loud for unlogged tables or expired versions.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft_lake versions are numeric snapshot ids, got '$version'")
+    }
+    LakeLog.snapshotAt(dir.toString, v) // existence check, fails loud
+    new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
+      .mkString("."), dir.toString, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch; resolve
+    * to the latest snapshot committed at or before that instant.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    val snap = LakeLog.snapshotAsOfTime(dir.toString, timestampMicros / 1000L)
+    new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
+      .mkString("."), dir.toString, pinnedVersion = Some(snap.version))
+  }
+
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val schema = StructType(info.columns().map(c =>
       StructField(c.name(), c.dataType(), c.nullable())))
@@ -73,6 +100,8 @@ class GraftCatalog extends TableCatalog {
     val out = fs.create(new Path(dir, "_schema.ddl"), true)
     out.write(schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+    // v0 = the empty table: history (and any stream) starts at creation
+    LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
       .mkString("."), dir.toString)
   }

@@ -20,6 +20,7 @@ import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
@@ -51,29 +52,47 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * At 100 TB the same contracts hold per-partition: splits are row
   * groups (~128 MB), pruning is footer-stats metadata work on the
   * driver, and copy-on-write rewrites only affected files.
+  *
+  * Every committed write is a [[LakeLog]] snapshot, which adds the
+  * versioned-table surface on top: time travel (`VERSION AS OF` /
+  * `TIMESTAMP AS OF` through [[GraftCatalog]]), version-diff CDC
+  * ([[graft.operators.LakeSnapshots]]), rollback, history expiry, and a
+  * MICRO_BATCH_READ streaming source that replays commits
+  * ([[LakeMicroBatchStream]]). `pinnedVersion` fixes reads to one
+  * snapshot and rejects writes — the time-travel flavor of the table.
   */
-class LakeTable(tableName: String, val dir: String) extends Table
+class LakeTable(tableName: String, val dir: String,
+                val pinnedVersion: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
-  override def name(): String = tableName
+  override def name(): String =
+    tableName + pinnedVersion.map(v => s"@v$v").getOrElse("")
 
   override lazy val schema: StructType = LakeTableIO.tableSchema(dir)
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(dir, schema)
+    new LakeScanBuilder(dir, schema, pinnedVersion,
+      options.getBoolean("skipChangeCommits", false))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to time-travel read $name")
     new WriteBuilder {
       override def build(): Write =
-        new LakeWrite(dir, info.schema(), replaceFiles = null)
+        new LakeWrite(dir, info.schema(), replaceFiles = null, "append")
     }
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot run DML against time-travel read $name")
     () => new LakeRowLevelOperation(this, info.command)
+  }
 }
 
 /** Group-based (copy-on-write) row-level operation: the scan records
@@ -113,7 +132,8 @@ class LakeRowLevelOperation(table: LakeTable,
     new WriteBuilder {
       override def build(): Write =
         new LakeWrite(table.dir, info.schema(),
-          replaceFiles = () => activeScan.coveredFiles)
+          replaceFiles = () => activeScan.coveredFiles,
+          opName = cmd.toString.toLowerCase(java.util.Locale.ROOT))
     }
 }
 
@@ -139,8 +159,17 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
   override def description(): String =
     s"graft_lake row-level scan files=${kept.size}/${allFiles.size}"
 
+  // ONE pruning attribute — the leading column (the table's cluster key
+  // by layout convention). Spark builds a single membership subquery
+  // over ALL declared attributes; with several, that is a struct-typed
+  // IN that DataSourceV2Strategy cannot translate to a source filter
+  // (observed: "Can't translate named_struct(...) IN subquery"), which
+  // silently disables group pruning. Same single-attribute design as
+  // Iceberg's copy-on-write scan (its `_file`). Narrowing on a subset
+  // of columns is conservative-correct: the filter values are matched
+  // target rows' OWN column values, and unmatched predicates keep files.
   override def filterAttributes(): Array[NamedReference] =
-    tableSchema.fieldNames.map(Expressions.column)
+    tableSchema.fieldNames.take(1).map(Expressions.column)
 
   override def filter(predicates: Array[Predicate]): Unit = {
     // recognize IN(col, v...) — the shape the group-filter rule sends.
@@ -174,22 +203,17 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
-    kept.flatMap { file =>
-      val in = HadoopInputFile.fromPath(new Path(file), conf)
-      val reader = ParquetFileReader.open(in)
-      try (0 until reader.getRowGroups.size).map(idx =>
-        LakeInputPartition(file, idx, tableSchema.fieldNames))
-      finally reader.close()
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    LakeTableIO.planRowGroups(kept.map(new Path(_)),
+      tableSchema.fieldNames, Array.empty, pruneGroups = false)._1
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(tableSchema)
 }
 
-class LakeScanBuilder(dir: String, tableSchema: StructType)
+class LakeScanBuilder(dir: String, tableSchema: StructType,
+                      pinnedVersion: Option[Long] = None,
+                      skipChangeCommits: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var projected: StructType = tableSchema
@@ -210,7 +234,9 @@ class LakeScanBuilder(dir: String, tableSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LakeScan(dir, tableSchema, projected, pushed, pruneGroups = true)
+    new LakeScan(dir, LakeTableIO.dataFiles(dir, pinnedVersion),
+      tableSchema, projected, pushed, pruneGroups = true, pinnedVersion,
+      skipChangeCommits)
 }
 
 /** One input partition per (file, row group) surviving stats pruning. */
@@ -218,33 +244,25 @@ case class LakeInputPartition(path: String, rowGroup: Int,
                               projectedNames: Array[String])
     extends InputPartition
 
-class LakeScan(dir: String, tableSchema: StructType, projected: StructType,
-               pushed: Array[Filter], pruneGroups: Boolean)
+class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
+               projected: StructType, pushed: Array[Filter],
+               pruneGroups: Boolean, pinnedVersion: Option[Long] = None,
+               skipChangeCommits: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits)
+
   // planned on the driver from footer metadata only — no data read
   private lazy val partitions: Array[InputPartition] = {
-    val conf = new Configuration()
-    val parts = mutable.ArrayBuffer.empty[InputPartition]
-    totalGroups = 0
-    LakeTableIO.dataFiles(dir).foreach { file =>
-      val in = HadoopInputFile.fromPath(file, conf)
-      val reader = ParquetFileReader.open(in)
-      try {
-        val blocks = reader.getRowGroups.asScala.toSeq
-        totalGroups += blocks.size
-        blocks.zipWithIndex.foreach { case (block, idx) =>
-          val keep = !pruneGroups ||
-            pushed.forall(f => LakeTableIO.mightMatch(block, f))
-          if (keep)
-            parts += LakeInputPartition(file.toString, idx,
-              projected.fieldNames)
-        }
-      } finally reader.close()
-    }
-    parts.toArray
+    val (parts, total) =
+      LakeTableIO.planRowGroups(files, projected.fieldNames, pushed,
+        pruneGroups)
+    totalGroups = total
+    parts
   }
   private var totalGroups = 0
 
@@ -256,7 +274,8 @@ class LakeScan(dir: String, tableSchema: StructType, projected: StructType,
   // explain-visible evidence: projected columns + planned/total groups
   override def description(): String = {
     val n = partitions.length
-    s"graft_lake $dir cols=[${projected.fieldNames.mkString(",")}] " +
+    s"graft_lake $dir${pinnedVersion.map(v => s"@v$v").getOrElse("")} " +
+      s"cols=[${projected.fieldNames.mkString(",")}] " +
       s"rowgroups=$n/$totalGroups pushed=[${pushed.mkString(",")}]"
   }
 }
@@ -322,12 +341,15 @@ class LakeReaderFactory(projected: StructType)
 case class LakeFileMessage(stagedPath: String, rows: Long)
     extends WriterCommitMessage
 
-/** Batch write: stage-then-publish. With `replaceFiles` set (row-level
-  * op), commit additionally deletes the files the operation's scan
-  * covered — the copy-on-write swap.
+/** Batch write: stage-then-publish, sealed by a [[LakeLog]] manifest
+  * commit. With `replaceFiles` set (row-level op), the commit drops the
+  * files the operation's scan covered from the new manifest — the
+  * copy-on-write swap. Replaced files stay ON DISK (time travel /
+  * rollback / CDC read them); [[LakeLog.expire]] reclaims them.
   */
 class LakeWrite(dir: String, writeSchema: StructType,
-                replaceFiles: () => Seq[String]) extends Write {
+                replaceFiles: () => Seq[String],
+                opName: String) extends Write {
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
@@ -335,19 +357,21 @@ class LakeWrite(dir: String, writeSchema: StructType,
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(new Configuration())
-      val staged = messages.collect {
-        case LakeFileMessage(p, _) if p != null => new Path(p)
+      val collected = messages.collect {
+        case LakeFileMessage(p, n) if p != null => (new Path(p), n)
       }
-      // copy-on-write: retire the replaced groups first; the staged set
-      // carries their surviving (carried-over) rows
-      Option(replaceFiles).foreach { rf =>
-        rf().foreach(f => fs.delete(new Path(f), false))
-      }
-      staged.foreach { p =>
+      val published = collected.map { case (p, n) =>
         val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
         if (!fs.rename(p, dest))
           throw new java.io.IOException(s"failed to publish $p -> $dest")
+        (dest.getName, n)
       }
+      // the replaced groups leave the MANIFEST only — their bytes remain
+      // for time travel until an explicit expire
+      val removed = Option(replaceFiles).map(_().map(f =>
+        new Path(f).getName)).getOrElse(Seq.empty)
+      LakeLog.commit(dir, opName, published.map(_._1).toSeq, removed,
+        published.map(_._2).sum)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -428,21 +452,56 @@ object LakeTableIO {
     sys.props.get("graft.lake.rowgroup.bytes").map(_.toLong)
       .getOrElse(128L << 20)
 
-  def dataFiles(dir: String): Seq[Path] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map(_.getPath)
+  /** Current data files: resolved through the snapshot log when the
+    * table is logged (so expired-from-manifest files are invisible even
+    * though their bytes remain), else a raw directory listing (legacy /
+    * externally-populated dirs). Pass `version` to read a PINNED
+    * snapshot — the time-travel path.
+    */
+  def dataFiles(dir: String, version: Option[Long] = None): Seq[Path] =
+    version match {
+      case Some(v) =>
+        LakeLog.snapshotAt(dir, v).files.map(new Path(dir, _))
+      case None =>
+        LakeLog.current(dir) match {
+          case Some(s) => s.files.map(new Path(dir, _))
+          case None    => LakeLog.rawDataFiles(dir).map(new Path(dir, _))
+        }
+    }
+
+  /** One input partition per row group of `files` surviving footer-stats
+    * pruning; returns (partitions, total row groups). Driver-side
+    * metadata work shared by the batch scan and the streaming source.
+    */
+  def planRowGroups(files: Seq[Path], projectedNames: Array[String],
+                    pushed: Array[Filter],
+                    pruneGroups: Boolean): (Array[InputPartition], Int) = {
+    val conf = new Configuration()
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    var total = 0
+    files.foreach { file =>
+      val in = HadoopInputFile.fromPath(file, conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getRowGroups.asScala.toSeq
+        total += blocks.size
+        blocks.zipWithIndex.foreach { case (block, idx) =>
+          val keep = !pruneGroups ||
+            pushed.forall(f => mightMatch(block, f))
+          if (keep)
+            parts += LakeInputPartition(file.toString, idx, projectedNames)
+        }
+      } finally reader.close()
+    }
+    (parts.toArray, total)
   }
 
-  /** Table schema: footer of the first data file (source of truth), else
-    * the `_schema.ddl` sidecar written by CREATE TABLE.
+  /** Table schema: footer of the first data file on disk (source of
+    * truth — raw listing, so a fully-deleted logged table keeps its
+    * schema), else the `_schema.ddl` sidecar written by CREATE TABLE.
     */
   def tableSchema(dir: String): StructType =
-    dataFiles(dir).headOption match {
+    LakeLog.rawDataFiles(dir).headOption.map(new Path(dir, _)) match {
       case Some(f) =>
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(f, new Configuration()))

@@ -3,8 +3,9 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.col
 
-import graft.sources.dsv2.{GraftCatalog, LakeTableIO}
+import graft.sources.dsv2.{GraftCatalog, LakeLog, LakeTableIO}
 
 /** The file-backed DSv2 lake connector at the SQL surface: catalog
   * registration, INSERT INTO (stage-then-publish parquet write), scans
@@ -13,13 +14,19 @@ import graft.sources.dsv2.{GraftCatalog, LakeTableIO}
   */
 class LakeTableSpec extends SparkSpec {
 
-  private def withCatalog[A](f: String => A): A = {
+  // ONE root for the whole suite: Spark's CatalogManager caches the
+  // catalog instance at first reference, so a per-test conf.set of the
+  // root would be silently ignored — tables would land under the first
+  // root while a test inspected the new one. Table names are unique per
+  // test instead.
+  private lazy val catalogRoot: String = {
     val root = Files.createTempDirectory("graft-cat").toString
     spark.conf.set("spark.sql.catalog.lakespec",
       classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.lakespec.root", root)
-    f(root)
+    root
   }
+  private def withCatalog[A](f: String => A): A = f(catalogRoot)
 
   private def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
     val scans = df.queryExecution.executedPlan.collect {
@@ -124,6 +131,7 @@ class LakeTableSpec extends SparkSpec {
         d.listFiles().filter(_.getName.endsWith(".parquet"))
           .map(f => f.getName -> f.length()).toMap
       }
+      val dir = s"$root/db/g"
       val before = files()
       assert(before.size == 8, s"expected 8 files, got ${before.keySet}")
       // source touches keys 100–199 only — one file's range
@@ -132,13 +140,23 @@ class LakeTableSpec extends SparkSpec {
       spark.sql(
         """MERGE INTO lakespec.db.g t USING narrow s ON t.k = s.k
           |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
-      val after = files()
-      val untouched = before.filter { case (n, len) =>
-        after.get(n).contains(len) }
-      assert(untouched.size >= 6,
+      // the rewrite is manifest-level: the commit's removed set is what
+      // the runtime filter let through — it must be a strict, small
+      // subset of the table's files
+      val commit = LakeLog.current(dir).get
+      assert(commit.operation == "merge", commit.operation)
+      assert(commit.removed.size <= 2,
         s"runtime group filter did not narrow the rewrite: " +
-          s"${untouched.size} of ${before.size} files survived")
-      assert(untouched.size < before.size, "no file was rewritten at all")
+          s"replaced ${commit.removed.size} of ${before.size} files")
+      assert(commit.removed.nonEmpty, "no file was rewritten at all")
+      // replaced files leave the manifest but stay on disk byte-for-byte
+      // (time travel needs them); untouched files stay referenced
+      val after = files()
+      before.foreach { case (n, len) =>
+        assert(after.get(n).contains(len), s"$n mutated or deleted") }
+      val survivors = before.keySet -- commit.removed.toSet
+      assert(survivors.subsetOf(commit.files.toSet),
+        "an untouched file fell out of the manifest")
       // semantics unharmed by the narrowing
       val rows = spark.sql("SELECT k, v FROM lakespec.db.g").collect()
       assert(rows.length == 8000)
