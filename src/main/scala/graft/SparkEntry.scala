@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DeltaQueries.queries ++
+    LakeQueries.queries ++
     RelationalQueries.queries ++
     TpchQueries.queries ++
     IngestQueries.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     DeltaQueries.oracleSql ++
+    LakeQueries.oracleSql ++
     RelationalQueries.oracleSql ++
     TpchQueries.oracleSql ++
     IngestQueries.oracleSql ++

@@ -57,7 +57,7 @@ object DeltaQueries {
   /** Shared oracle CTE prologue — must stay semantically identical to
     * `previous`/`newest` above.
     */
-  private val snapshotCte =
+  private[queries] val snapshotCte =
     """WITH prev AS (
       |  SELECT * FROM orders WHERE o_orderkey % 13 <> 0
       |), newest AS (

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.LakeSnapshots
+import graft.sources.dsv2.{LakeCatalogs, LakeLog}
+
+/** The versioned-lake surface as declared, oracle-checked queries: time
+  * travel, version-diff CDC, audit history, rollback, history expiry,
+  * and the commit-replaying streaming source — the operations a
+  * lakehouse user runs daily next to their DML, each one backed by the
+  * [[graft.sources.dsv2.LakeLog]] snapshot log under
+  * [[graft.sources.dsv2.LakeTable]].
+  *
+  * Every query rebuilds its catalog table from the deterministic
+  * `prev`/`newest` snapshot derivation shared with [[DeltaQueries]]
+  * (the queries mutate their tables, and the harness executes a query
+  * more than once), applies committed DML to create history, then
+  * exercises one log-backed read path. The oracle states the expected
+  * END STATE declaratively over `orders` — version resolution, manifest
+  * bookkeeping, and file retention never appear in the oracle, so a
+  * hash match proves the log reconstructs exactly the state the DML
+  * sequence implies.
+  *
+  * Scale notes: all log reads are driver-side metadata (one small JSON
+  * manifest per version); CDC reads only the files that changed hands
+  * between two snapshots, never the table; the streaming source plans
+  * each micro-batch from the files its commits ADDED, so planning cost
+  * tracks commit size, not table size.
+  */
+object LakeQueries {
+  import DeltaQueries.{key, newest, previous, snapshotCte}
+
+  private def tablePath(dir: String, name: String): String =
+    s"${LakeCatalogs.root}/${LakeCatalogs.ns(dir)}/$name"
+
+  private def tableId(dir: String, name: String): String =
+    s"${LakeCatalogs.CatalogName}.${LakeCatalogs.ns(dir)}.$name"
+
+  /** Drop + CTAS from `prev`: leaves the table at v0 (create, empty) /
+    * v1 (append, the full prev snapshot) — the common fixture floor.
+    */
+  private def freshTable(s: SparkSession, dir: String,
+                         name: String): String = {
+    LakeCatalogs.register(s)
+    val tbl = tableId(dir, name)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    previous(s, dir).writeTo(tbl).create()
+    tbl
+  }
+
+  /** A wiped scratch dir for a streaming query's sink + checkpoint. */
+  private def freshDir(name: String, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-lakeq-$name-" +
+      LakeCatalogs.ns(dir)
+    val p = new Path(root)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SQL time travel by version id: two committed DMLs after the load,
+    // then `VERSION AS OF 2` must reproduce the INTERMEDIATE state —
+    // update applied, delete not yet — proving the pinned read resolves
+    // the manifest of exactly that snapshot (not head, not the load).
+    "lake_time_travel" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_tt")
+      s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 100.0 " +
+        s"WHERE $key % 9 = 1")
+      s.sql(s"DELETE FROM $tbl WHERE $key % 4 = 0")
+      s.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+    }),
+
+    // Time travel by timestamp: resolves to the newest snapshot
+    // committed AT OR BEFORE the instant — exercised at the boundary
+    // (the exact commit time of v2) with a later commit present, so a
+    // wrong rounding direction or a head read both fail the oracle.
+    // Manifest timestamps are strictly increasing by construction.
+    "lake_timestamp_travel" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_ts")
+      s.sql(s"DELETE FROM $tbl WHERE $key % 4 = 0")
+      s.sql(s"UPDATE $tbl SET o_orderpriority = 'LATE' WHERE $key % 10 = 1")
+      val ts2 = LakeLog.snapshotAt(tablePath(dir, "lake_ts"), 2L).timestampMs
+      s.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF timestamp_millis(${ts2}L)")
+    }),
+
+    // Version-diff CDC: a full MERGE (update + insert + delete clauses)
+    // rewrites the table prev -> newest; changes(v1, v2) reads ONLY the
+    // files that changed hands and must yield exactly the row-level
+    // delta — carry-over rows of the copy-on-write rewrite appear in
+    // both file sets and cancel, updates surface as delete+insert
+    // pairs. The oracle is the same delta stated set-algebraically.
+    "lake_cdc" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_cdc")
+      newest(s, dir).createOrReplaceTempView("lake_cdc_source")
+      s.sql(
+        s"""MERGE INTO $tbl t USING lake_cdc_source s
+           |ON t.$key = s.$key
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      LakeSnapshots.changes(s, tablePath(dir, "lake_cdc"), 1L, 2L)
+    }),
+
+    // The audit trail: every commit (create / the CTAS append / a plain
+    // INSERT) is a history row with its exact row count. n_files is
+    // deliberately not projected — row counts are the layout-independent
+    // contract, file counts are a layout detail.
+    "lake_history" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_hist")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      previous(s, dir).where(col(key) % 2 === 0).writeTo(tbl).create()
+      previous(s, dir).where(col(key) % 2 =!= 0)
+        .createOrReplaceTempView("lake_hist_more")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_hist_more")
+      LakeSnapshots.history(s, tablePath(dir, "lake_hist"))
+        .select("version", "operation", "added_rows")
+    }),
+
+    // Rollback restores the pre-delete state as a NEW commit (v3 whose
+    // file set equals v1's) — the head read after rollback must equal
+    // the original load, and the rolled-past delete stays in history.
+    "lake_rollback" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_rb")
+      s.sql(s"DELETE FROM $tbl WHERE $key % 3 = 0")
+      LakeSnapshots.rollback(tablePath(dir, "lake_rb"), 1L)
+      s.table(tbl)
+    }),
+
+    // History expiry: drop everything but the head, vacuum unreferenced
+    // files — the head read must be byte-identical to before the
+    // expire (referenced files are never touched; only manifests and
+    // orphaned pre-rewrite files go).
+    "lake_expire" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_exp")
+      s.sql(s"DELETE FROM $tbl WHERE $key % 3 = 0")
+      LakeSnapshots.expire(tablePath(dir, "lake_exp"), keepLast = 1)
+      s.table(tbl)
+    }),
+
+    // The commit-replaying streaming source: two append commits drain
+    // through readStream.table under AvailableNow into a file sink; the
+    // read-back must hold every appended row exactly once (offsets are
+    // commit versions riding the checkpoint — no replays, no gaps).
+    "stream_lake_source" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_stream")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      previous(s, dir).where(col(key) % 2 === 0).writeTo(tbl).create()
+      previous(s, dir).where(col(key) % 2 =!= 0)
+        .createOrReplaceTempView("lake_stream_more")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_stream_more")
+      val out = freshDir("stream", dir)
+      val q = s.readStream.table(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // v2 = the update applied, the delete not yet
+    "lake_time_travel" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  CASE WHEN o_orderkey % 9 = 1 THEN o_totalprice + 100.0
+         |       ELSE o_totalprice END AS o_totalprice,
+         |  o_orderdate, o_orderpriority
+         |FROM prev""".stripMargin,
+    // v2 = the delete applied, the later update not
+    "lake_timestamp_travel" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev WHERE o_orderkey % 4 <> 0""".stripMargin,
+    // the row-level delta of prev -> newest, set-algebraically
+    "lake_cdc" ->
+      s"""$snapshotCte
+         |SELECT *, 'insert' AS change_type FROM
+         |  (SELECT * FROM newest EXCEPT ALL SELECT * FROM prev) t
+         |UNION ALL
+         |SELECT *, 'delete' AS change_type FROM
+         |  (SELECT * FROM prev EXCEPT ALL SELECT * FROM newest) t""".stripMargin,
+    "lake_history" ->
+      s"""$snapshotCte
+         |SELECT CAST(0 AS BIGINT) AS version, 'create' AS operation,
+         |  CAST(0 AS BIGINT) AS added_rows
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), 'append',
+         |  (SELECT count(*) FROM prev WHERE o_orderkey % 2 = 0)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'append',
+         |  (SELECT count(*) FROM prev WHERE o_orderkey % 2 <> 0)""".stripMargin,
+    // head after rollback(v1) = the original load
+    "lake_rollback" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev""".stripMargin,
+    // head after the delete, unchanged by the expire
+    "lake_expire" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev WHERE o_orderkey % 3 <> 0""".stripMargin,
+    // both appended halves, exactly once
+    "stream_lake_source" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev""".stripMargin,
+  )
+}

@@ -22,7 +22,8 @@ class ContractSpec extends AnyFunSuite {
     // Map ++ silently overwrites duplicate keys across family objects —
     // count the per-family totals against the merged map
     val perFamily = Seq(
-      graft.queries.DeltaQueries.queries, graft.queries.RelationalQueries.queries,
+      graft.queries.DeltaQueries.queries, graft.queries.LakeQueries.queries,
+      graft.queries.RelationalQueries.queries,
       graft.queries.TpchQueries.queries, graft.queries.IngestQueries.queries,
       graft.queries.DedupQueries.queries, graft.queries.CurationQueries.queries,
       graft.queries.SimilarityQueries.queries, graft.queries.TextQueries.queries,
@@ -37,8 +38,8 @@ class ContractSpec extends AnyFunSuite {
     // replacement fail loudly, because a duplicate nets the total one
     // short of what the author expects. Bump this when adding or
     // removing queries; a mismatch means a name collided.
-    assert(names.size == 227,
-      s"query count is ${names.size}, expected 227 — either bump this " +
+    assert(names.size == 234,
+      s"query count is ${names.size}, expected 234 — either bump this " +
         "pin for intentionally added/removed queries, or a duplicate " +
         "key inside a family map silently swallowed one")
   }
