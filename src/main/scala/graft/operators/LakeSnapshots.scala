@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,4 +68,56 @@ object LakeSnapshots {
     */
   def expire(dir: String, keepLast: Int): (Int, Int) =
     LakeLog.expire(dir, keepLast)
+
+  /** Bin small files into ~`targetBytes` ones as a `dataChange=false`
+    * commit — same rows, new layout, so incremental consumers (the
+    * streaming source) skip it natively and time travel still sees the
+    * old layout. Files already at/above target are left alone; row
+    * preservation is asserted from parquet FOOTERS (metadata, not a
+    * data pass) before the commit publishes. Returns
+    * (files before, files after).
+    *
+    * Racing writers are safe: a concurrent rewrite of a compacted file
+    * makes the log commit CONFLICT (covered files no longer current),
+    * and the staged output is abandoned — compaction can lose a race,
+    * never rows.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no snapshot log to compact"))
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val sized = head.files.map(f =>
+      f -> fs.getFileStatus(new Path(dir, f)).getLen)
+    val small = sized.filter(_._2 < targetBytes)
+    if (small.size < 2) return (head.files.size, head.files.size)
+    val srcPaths = small.map { case (f, _) => new Path(dir, f) }
+    val srcRows = LakeTableIO.footerRows(srcPaths)
+    val nOut = math.max(1, math.ceil(
+      small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val stage = new Path(dir, s".compact-${UUID.randomUUID()}")
+    try {
+      spark.read.schema(LakeTableIO.tableSchema(dir))
+        .parquet(srcPaths.map(_.toString): _*)
+        .repartition(nOut)
+        .write.parquet(stage.toString)
+      val staged = fs.listStatus(stage).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+      val stagedRows = LakeTableIO.footerRows(staged)
+      require(stagedRows == srcRows,
+        s"compaction would lose rows: staged $stagedRows != source $srcRows")
+      val published = staged.map { p =>
+        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"failed to publish $p -> $dest")
+        dest.getName
+      }
+      LakeLog.commit(dir, "compact", published, small.map(_._1),
+        addedRows = 0L, dataChange = false)
+      (head.files.size, head.files.size - small.size + published.size)
+    } finally fs.delete(stage, true) // abandon any residue; published
+                                     // files were renamed out already
+  }
 }

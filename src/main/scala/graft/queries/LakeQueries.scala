@@ -145,6 +145,27 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // SQL CALL maintenance: a fragmented table (two 8-file appends) is
+    // compacted through `CALL graft_lake.system.compact` into target-
+    // sized files as a dataChange=false commit; the head read after
+    // maintenance must be row-identical to the pre-compaction state —
+    // compaction rearranges bytes, never contents. (File-count shrink,
+    // the dataChange flag, and streaming invisibility are pinned in
+    // LakeProcedureSpec; the oracle proves row preservation.)
+    "lake_compact" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_cmp")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      previous(s, dir).where(col(key) % 2 === 0).repartition(8)
+        .writeTo(tbl).create()
+      previous(s, dir).where(col(key) % 2 =!= 0).repartition(8)
+        .createOrReplaceTempView("lake_cmp_more")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_cmp_more")
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.compact(" +
+        s"'${LakeCatalogs.ns(dir)}.lake_cmp', ${256L << 20})")
+      s.table(tbl)
+    }),
+
     // The commit-replaying streaming source: two append commits drain
     // through readStream.table under AvailableNow into a file sink; the
     // read-back must hold every appended row exactly once (offsets are
@@ -208,6 +229,10 @@ object LakeQueries {
     "lake_expire" ->
       s"""$snapshotCte
          |SELECT * FROM prev WHERE o_orderkey % 3 <> 0""".stripMargin,
+    // compaction preserves contents exactly
+    "lake_compact" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev""".stripMargin,
     // both appended halves, exactly once
     "stream_lake_source" ->
       s"""$snapshotCte

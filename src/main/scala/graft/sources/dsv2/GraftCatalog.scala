@@ -5,7 +5,8 @@ import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -27,7 +28,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * throw — schema evolution in this lake happens by rewrite, and an
   * unimplemented path must fail loud, not no-op.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -117,6 +118,18 @@ class GraftCatalog extends TableCatalog {
       .withPartitions(partitions)
       .withProperties(properties)
       .build())
+
+  /** SQL `CALL graft_lake.system.<proc>(…)` — the maintenance surface
+    * (history / rollback / expire / compact); see [[LakeProcedures]].
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    LakeProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array(LakeProcedures.Namespace)))
+      Array.empty
+    else LakeProcedures.names
+      .map(Identifier.of(Array(LakeProcedures.Namespace), _)).toArray
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

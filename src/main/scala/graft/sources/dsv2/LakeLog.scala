@@ -47,10 +47,14 @@ object LakeLog {
     * (names relative to the table dir); `added`/`removed` are this
     * commit's delta against its parent.
     */
+  /** `dataChange=false` marks a commit that rearranges bytes without
+    * changing table contents (compaction, clustering) — incremental
+    * consumers (the streaming source, CDC) skip it wholesale.
+    */
   final case class Snapshot(version: Long, timestampMs: Long,
                             operation: String, files: Seq[String],
                             added: Seq[String], removed: Seq[String],
-                            addedRows: Long)
+                            addedRows: Long, dataChange: Boolean = true)
 
   def logDir(dir: String): Path = new Path(dir, "_log")
 
@@ -106,9 +110,13 @@ object LakeLog {
       case n: Number => n.longValue()
       case _         => 0L
     }
+    val dataChange = m.get("dataChange") match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case _                    => true // pre-flag manifests: assume data
+    }
     Snapshot(lng("version"), lng("timestampMs"),
       String.valueOf(m.get("operation")), strs("files"), strs("added"),
-      strs("removed"), lng("addedRows"))
+      strs("removed"), lng("addedRows"), dataChange)
   }
 
   private def writeManifest(fs: FileSystem, tmp: Path, s: Snapshot): Unit = {
@@ -123,6 +131,7 @@ object LakeLog {
     m.put("added", jl(s.added))
     m.put("removed", jl(s.removed))
     m.put("addedRows", java.lang.Long.valueOf(s.addedRows))
+    m.put("dataChange", java.lang.Boolean.valueOf(s.dataChange))
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(m)) finally out.close()
   }
@@ -145,7 +154,8 @@ object LakeLog {
     * are no longer current (another writer rewrote them first).
     */
   def commit(dir: String, operation: String, added: Seq[String],
-             removed: Seq[String], addedRows: Long): Snapshot = {
+             removed: Seq[String], addedRows: Long,
+             dataChange: Boolean = true): Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(logDir(dir))
     var attempt = 0
@@ -174,7 +184,7 @@ object LakeLog {
         head.map(_.version + 1).getOrElse(0L),
         now(head.map(_.timestampMs)), operation,
         (base.filterNot(removed.toSet) ++ added).sorted,
-        added.sorted, removed.sorted, addedRows)
+        added.sorted, removed.sorted, addedRows, dataChange)
       tryPublish(fs, dir, next) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry

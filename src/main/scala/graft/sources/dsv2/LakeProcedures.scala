@@ -1,0 +1,128 @@
+package graft.sources.dsv2
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.LakeSnapshots
+
+/** Table-maintenance procedures for [[GraftCatalog]], reachable from
+  * plain SQL via Spark 4's `CALL` statement (the same surface Iceberg
+  * exposes its maintenance through):
+  *
+  * {{{
+  *   CALL graft_lake.system.history('db.t')
+  *   CALL graft_lake.system.rollback('db.t', 3)
+  *   CALL graft_lake.system.expire('db.t', 2)
+  *   CALL graft_lake.system.compact('db.t', 134217728)
+  * }}}
+  *
+  * Each procedure binds typed parameters, runs the corresponding
+  * [[graft.operators.LakeSnapshots]] / [[LakeLog]] operation, and
+  * returns its result as a [[LocalScan]] — log work is driver-side
+  * metadata, so the result rows are already local; only `compact`
+  * launches distributed work (the rewrite job), via the active session.
+  */
+object LakeProcedures {
+  val Namespace = "system"
+
+  def names: Seq[String] = Seq("history", "rollback", "expire", "compact")
+
+  /** Resolve `system.<name>` for a catalog rooted at `root`. */
+  def load(root: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array(Namespace)),
+      s"graft_lake procedures live in the '$Namespace' namespace, got " +
+        ident.namespace.mkString("."))
+    def dirOf(table: String): String =
+      (root +: table.split('.').toSeq).mkString("/")
+    ident.name match {
+      case "history" => new LakeProcedure("history",
+        Array(param("table", StringType)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("n_files", IntegerType, nullable = false),
+          StructField("n_added", IntegerType, nullable = false),
+          StructField("n_removed", IntegerType, nullable = false),
+          StructField("added_rows", LongType, nullable = false),
+          StructField("data_change", BooleanType, nullable = false))),
+        in => {
+          val dir = dirOf(str(in, 0))
+          LakeLog.versions(dir).map(LakeLog.snapshotAt(dir, _)).map(s =>
+            new GenericInternalRow(Array[Any](s.version,
+              UTF8String.fromString(s.operation), s.files.size,
+              s.added.size, s.removed.size, s.addedRows, s.dataChange)))
+        })
+      case "rollback" => new LakeProcedure("rollback",
+        Array(param("table", StringType), param("version", LongType)),
+        StructType(Seq(
+          StructField("head_version", LongType, nullable = false))),
+        in => {
+          val v = LakeSnapshots.rollback(dirOf(str(in, 0)), in.getLong(1))
+          Seq(new GenericInternalRow(Array[Any](v)))
+        })
+      case "expire" => new LakeProcedure("expire",
+        Array(param("table", StringType), param("keep_last", IntegerType)),
+        StructType(Seq(
+          StructField("expired_manifests", IntegerType, nullable = false),
+          StructField("deleted_files", IntegerType, nullable = false))),
+        in => {
+          val (m, f) = LakeSnapshots.expire(dirOf(str(in, 0)), in.getInt(1))
+          Seq(new GenericInternalRow(Array[Any](m, f)))
+        })
+      case "compact" => new LakeProcedure("compact",
+        Array(param("table", StringType), param("target_bytes", LongType)),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        in => {
+          val (before, after) = LakeSnapshots.compact(
+            SparkSession.active, dirOf(str(in, 0)), in.getLong(1))
+          Seq(new GenericInternalRow(Array[Any](before, after)))
+        })
+      case other => throw new IllegalArgumentException(
+        s"no such procedure: $Namespace.$other " +
+          s"(available: ${names.mkString(", ")})")
+    }
+  }
+
+  private def param(name: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, t).build()
+
+  private def str(in: InternalRow, i: Int): String =
+    in.getUTF8String(i).toString
+}
+
+/** One CALL-able procedure: binds trivially (parameters are fixed), runs
+  * `body` on the bound argument row, returns one [[LocalScan]] of
+  * result rows. Side-effecting, hence non-deterministic.
+  */
+private[dsv2] class LakeProcedure(procName: String,
+                                  params: Array[ProcedureParameter],
+                                  out: StructType,
+                                  body: InternalRow => Seq[InternalRow])
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = procName
+  override def description(): String = s"graft_lake $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): java.util.Iterator[Scan] =
+    Collections.singletonList[Scan](
+      new LakeProcedureResult(out, body(input).toArray)).iterator()
+}
+
+private[dsv2] class LakeProcedureResult(out: StructType,
+                                        data: Array[InternalRow])
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = data
+  override def readSchema(): StructType = out
+  override def description(): String = s"graft_lake procedure result"
+}

@@ -24,11 +24,14 @@ case class LakeVersionOffset(v: Long) extends Offset {
   *     a restarted query resumes from the committed version with no
   *     replays and no gaps (manifests are immutable once published);
   *   - append-flowing: append/bootstrap/create commits stream through;
-  *     a REPLACE commit (copy-on-write merge/update/delete) is not
-  *     expressible as an append delta — it FAILS LOUD by default, or is
-  *     skipped wholesale under `skipChangeCommits` (the same semantics
-  *     Delta exposes) so downstream consumers at least keep their
-  *     append-only invariant explicit;
+  *     a `dataChange=false` commit (compaction/clustering — same rows,
+  *     new layout) is skipped NATIVELY, so table maintenance never
+  *     disturbs consumers; a data-changing REPLACE commit (copy-on-write
+  *     merge/update/delete) is not expressible as an append delta — it
+  *     FAILS LOUD by default, or is skipped wholesale under
+  *     `skipChangeCommits` (the same semantics Delta exposes) so
+  *     downstream consumers at least keep their append-only invariant
+  *     explicit;
   *   - bounded planning: each batch opens only the footers of its added
   *     files; column pruning and row-group stats narrowing apply per
   *     batch exactly as in the batch scan (shared
@@ -81,7 +84,9 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     val b = end.asInstanceOf[LakeVersionOffset].v
     val added = (a + 1 to b).flatMap { v =>
       val snap = LakeLog.snapshotAt(dir, v)
-      if (snap.removed.nonEmpty) {
+      if (!snap.dataChange) Seq.empty // compaction/clustering: same rows,
+                                      // new layout — nothing to emit
+      else if (snap.removed.nonEmpty) {
         if (skipChangeCommits) Seq.empty
         else throw new IllegalStateException(
           s"streaming read of $dir hit replace commit v$v " +

@@ -469,6 +469,18 @@ object LakeTableIO {
         }
     }
 
+  /** Exact row count of `files` from parquet footers alone — metadata,
+    * no data read. Compaction's row-preservation check runs on this.
+    */
+  def footerRows(files: Seq[Path]): Long = {
+    val conf = new Configuration()
+    files.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try reader.getRowGroups.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
+  }
+
   /** One input partition per row group of `files` surviving footer-stats
     * pruning; returns (partitions, total row groups). Driver-side
     * metadata work shared by the batch scan and the streaming source.

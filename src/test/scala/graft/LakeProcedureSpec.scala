@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.dsv2.{GraftCatalog, LakeLog}
+
+/** The SQL `CALL` maintenance surface over the lake catalog
+  * (`graft_lake.system.history/rollback/expire/compact`) and the
+  * `dataChange=false` compaction contract: same rows, new layout,
+  * invisible to incremental consumers.
+  */
+class LakeProcedureSpec extends SparkSpec {
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = Files.createTempDirectory("graft-proc").toString
+    n += 1
+    val cat = s"proccat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  test("CALL compact bins small files as a dataChange=false commit: " +
+       "fewer files, identical rows, old layout still time-travelable") {
+    withCatalog { (cat, root) =>
+      val dir = s"$root/db/c"
+      spark.sql(s"CREATE TABLE $cat.db.c (k BIGINT, v STRING)")
+      // 3 appends × 8-way repartition = 24 small files
+      (0 until 3).foreach { i =>
+        spark.range(i * 1000, (i + 1) * 1000)
+          .selectExpr("id AS k", "concat('v', id) AS v")
+          .repartition(8).createOrReplaceTempView("proc_c_batch")
+        spark.sql(s"INSERT INTO $cat.db.c SELECT * FROM proc_c_batch")
+      }
+      val before = LakeLog.current(dir).get.files.size
+      assert(before == 24, s"fixture expects 24 small files, got $before")
+
+      val res = spark.sql(
+        s"CALL $cat.system.compact('db.c', ${64L << 20})").collect()
+      assert(res.length == 1)
+      assert(res(0).getInt(0) == 24, "files_before")
+      val after = res(0).getInt(1)
+      assert(after < 24 && after >= 1, s"compaction must shrink: $after")
+
+      val head = LakeLog.current(dir).get
+      assert(head.operation == "compact" && !head.dataChange)
+      assert(head.files.size == after)
+      // contents byte-identical under the new layout
+      assert(spark.table(s"$cat.db.c").count() == 3000)
+      assert(spark.table(s"$cat.db.c").agg(org.apache.spark.sql.functions
+        .sum(col("k"))).head.getLong(0) == (0L until 3000L).sum)
+      // the pre-compact snapshot still reads the OLD 24-file layout
+      val v3 = spark.sql(s"SELECT * FROM $cat.db.c VERSION AS OF 3")
+      assert(v3.count() == 3000)
+      assert(LakeLog.snapshotAt(dir, 3L).files.size == 24)
+    }
+  }
+
+  test("the streaming source skips compaction commits natively — no " +
+       "skipChangeCommits needed — and later appends still flow") {
+    withCatalog { (cat, root) =>
+      val out = Files.createTempDirectory("graft-proc-out").toString
+      spark.sql(s"CREATE TABLE $cat.db.s (k BIGINT)")
+      spark.range(100).selectExpr("id AS k").repartition(6)
+        .createOrReplaceTempView("proc_s_w1")
+      spark.sql(s"INSERT INTO $cat.db.s SELECT * FROM proc_s_w1")
+
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.db.s")
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      assert(spark.read.parquet(s"$out/data").count() == 100)
+
+      // maintenance between drains: a replace commit, but dataChange=false
+      spark.sql(s"CALL $cat.system.compact('db.s', ${64L << 20})")
+      assert(!LakeLog.current(s"$root/db/s").get.dataChange)
+      spark.range(100, 130).selectExpr("id AS k")
+        .createOrReplaceTempView("proc_s_w2")
+      spark.sql(s"INSERT INTO $cat.db.s SELECT * FROM proc_s_w2")
+      drain() // must NOT throw and must NOT re-emit compacted rows
+      val rows = spark.read.parquet(s"$out/data")
+      assert(rows.count() == 130, "append after compaction flows once")
+      assert(rows.select("k").distinct().count() == 130, "no replays")
+    }
+  }
+
+  test("CALL history renders the audit trail; rollback and expire " +
+       "return their outcomes as result rows") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.h (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.h SELECT id FROM range(50)")
+      spark.sql(s"DELETE FROM $cat.db.h WHERE k < 10")
+
+      val hist = spark.sql(s"CALL $cat.system.history('db.h')")
+        .orderBy("version").collect()
+      assert(hist.map(_.getString(1)).toSeq ==
+        Seq("create", "append", "delete"))
+      assert(hist.forall(_.getBoolean(6)), "DML commits carry dataChange")
+
+      val rb = spark.sql(s"CALL $cat.system.rollback('db.h', 1)").collect()
+      assert(rb.head.getLong(0) == 3L, "rollback commits a new head")
+      assert(spark.table(s"$cat.db.h").count() == 50)
+
+      val ex = spark.sql(s"CALL $cat.system.expire('db.h', 1)").collect()
+      assert(ex.head.getInt(0) == 3, "three manifests expired")
+      assert(spark.table(s"$cat.db.h").count() == 50, "head intact")
+    }
+  }
+
+  test("unknown procedures and wrong namespaces fail loud") {
+    withCatalog { (cat, _) =>
+      val e1 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.vacuum('db.x')").collect()
+      }
+      assert(e1.getMessage.contains("no such procedure") ||
+        Option(e1.getCause).exists(_.getMessage.contains("no such procedure")),
+        s"wrong error: ${e1.getMessage}")
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.other.history('db.x')").collect()
+      }
+    }
+  }
+}
