@@ -145,6 +145,23 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // Metadata-only schema evolution: ALTER TABLE ADD COLUMN widens the
+    // sidecar schema without touching a byte of data — files written
+    // before the evolution back-fill null in the reader, the insert
+    // after it carries real values, and one scan reads both vintages.
+    // The oracle states exactly that mixed result; a reader that
+    // mis-shifts columns (the classic name-vs-position bug) or drops
+    // pre-evolution rows hash-mismatches.
+    "lake_schema_evolution" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_evo")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN o_note STRING")
+      newest(s, dir).where(col(key) % 13 === 0)
+        .withColumn("o_note", concat(lit("n"), col(key)))
+        .createOrReplaceTempView("lake_evo_more")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_evo_more")
+      s.table(tbl)
+    }),
+
     // SQL CALL maintenance: a fragmented table (two 8-file appends) is
     // compacted through `CALL graft_lake.system.compact` into target-
     // sized files as a dataChange=false commit; the head read after
@@ -229,6 +246,13 @@ object LakeQueries {
     "lake_expire" ->
       s"""$snapshotCte
          |SELECT * FROM prev WHERE o_orderkey % 3 <> 0""".stripMargin,
+    // old rows null-back-fill the added column, new rows carry values
+    "lake_schema_evolution" ->
+      s"""$snapshotCte
+         |SELECT *, CAST(NULL AS VARCHAR) AS o_note FROM prev
+         |UNION ALL
+         |SELECT *, 'n' || CAST(o_orderkey AS VARCHAR) AS o_note
+         |FROM newest WHERE o_orderkey % 13 = 0""".stripMargin,
     // compaction preserves contents exactly
     "lake_compact" ->
       s"""$snapshotCte

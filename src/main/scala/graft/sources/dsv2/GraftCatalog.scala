@@ -136,10 +136,73 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     fs.exists(dir) && fs.delete(dir, true)
   }
 
+  /** Schema evolution by metadata alone — no data rewrite:
+    *
+    *   - ADD COLUMN (top-level, nullable, appended last): the sidecar
+    *     schema widens; files written before it back-fill null in the
+    *     reader. Re-adding a name any CURRENT data file still carries
+    *     is REJECTED — with name-based (not field-id) column
+    *     resolution it would resurrect the dropped column's old values;
+    *   - DROP COLUMN: the sidecar narrows; the bytes stay in the files
+    *     (time travel ignores the sidecar's present, readers just never
+    *     project the column again).
+    *
+    * Everything else (RENAME, type changes, repositioning) needs
+    * field-id column mapping or a rewrite — fails loud, never no-ops.
+    * Each ALTER logs a `dataChange=false` commit for the audit trail.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft_lake: alter not supported — rewrite the table")
+                          changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    var schema = LakeTableIO.tableSchema(dir.toString)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft_lake: nested columns cannot be added")
+        val name = add.fieldNames()(0)
+        require(add.isNullable,
+          s"graft_lake: new column $name must be nullable — existing " +
+            "rows back-fill null")
+        require(add.position() == null,
+          "graft_lake: columns append at the end (no FIRST/AFTER)")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"graft_lake: column $name already exists")
+        require(!LakeTableIO.footerColumns(dir.toString)
+            .exists(_.equalsIgnoreCase(name)),
+          s"graft_lake: a current data file still carries column $name " +
+            "(dropped earlier?) — re-adding would resurrect its old " +
+            "values under name-based resolution; rewrite the table first")
+        schema = schema.add(StructField(name, add.dataType(),
+          nullable = true))
+        LakeLog.commit(dir.toString, s"alter_add($name)", Seq.empty,
+          Seq.empty, 0L, dataChange = false)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft_lake: nested columns cannot be dropped")
+        val name = del.fieldNames()(0)
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        if (idx < 0) {
+          if (!del.ifExists())
+            throw new IllegalArgumentException(
+              s"graft_lake: no column $name to drop")
+        } else {
+          require(schema.length > 1,
+            "graft_lake: cannot drop the last column")
+          schema = StructType(schema.fields.patch(idx, Nil, 1))
+          LakeLog.commit(dir.toString, s"alter_drop($name)", Seq.empty,
+            Seq.empty, 0L, dataChange = false)
+        }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft_lake: unsupported ALTER ${other.getClass.getSimpleName}" +
+            " — rename/type/position changes need field-id column " +
+            "mapping or a table rewrite")
+    }
+    LakeTableIO.writeSchema(dir.toString, schema)
+    new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
+      .mkString("."), dir.toString)
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =

@@ -288,7 +288,9 @@ class LakeReaderFactory(projected: StructType)
       private val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
       // the projection is resolved against the FILE footer schema, so
-      // only the requested column chunks are read and decoded
+      // only the requested column chunks are read and decoded; a
+      // projected column the file predates (ALTER TABLE ADD COLUMN)
+      // is simply absent here and back-fills null below
       private val fileSchema =
         reader.getFooter.getFileMetaData.getSchema
       private val requested: MessageType = {
@@ -300,11 +302,14 @@ class LakeReaderFactory(projected: StructType)
       private val requestedStruct = LakeParquet.toStructType(requested)
       private val dec = LakeParquet.decoders(requestedStruct)
       // projection order may differ from file order: map file-projected
-      // positions to output positions once
+      // positions to output positions once; output slots no file column
+      // maps to stay null (the back-fill)
       private val outIndex: Array[Int] = {
         val pos = part.projectedNames.zipWithIndex.toMap
         requestedStruct.fieldNames.map(pos)
       }
+      private val identityProjection =
+        requestedStruct.fieldNames.sameElements(part.projectedNames)
       private val pages = reader.readRowGroup(part.rowGroup)
       private val recordReader = new ColumnIOFactory()
         .getColumnIO(requested)
@@ -319,9 +324,9 @@ class LakeReaderFactory(projected: StructType)
           remaining -= 1
           val inner = LakeParquet.toInternalRow(g, dec)
           current =
-            if (outIndex.zipWithIndex.forall { case (o, i) => o == i }) inner
+            if (identityProjection) inner
             else {
-              val values = new Array[Any](outIndex.length)
+              val values = new Array[Any](part.projectedNames.length)
               var i = 0
               while (i < outIndex.length) {
                 values(outIndex(i)) = inner.get(i, requestedStruct.fields(i).dataType)
@@ -508,12 +513,21 @@ object LakeTableIO {
     (parts.toArray, total)
   }
 
-  /** Table schema: footer of the first data file on disk (source of
-    * truth — raw listing, so a fully-deleted logged table keeps its
-    * schema), else the `_schema.ddl` sidecar written by CREATE TABLE.
+  /** Table schema: the `_schema.ddl` sidecar is authoritative when
+    * present (written by CREATE TABLE, advanced by ALTER TABLE — the
+    * logical schema can be WIDER than any data file after an ADD
+    * COLUMN; readers back-fill nulls), else the footer of the first
+    * data file on disk (legacy / externally-populated dirs).
     */
-  def tableSchema(dir: String): StructType =
-    LakeLog.rawDataFiles(dir).headOption.map(new Path(dir, _)) match {
+  def tableSchema(dir: String): StructType = {
+    val ddl = new Path(dir, "_schema.ddl")
+    val fs = ddl.getFileSystem(new Configuration())
+    if (fs.exists(ddl)) {
+      val in = fs.open(ddl)
+      try StructType.fromDDL(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } else LakeLog.rawDataFiles(dir).headOption.map(new Path(dir, _)) match {
       case Some(f) =>
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(f, new Configuration()))
@@ -521,14 +535,38 @@ object LakeTableIO {
           reader.getFooter.getFileMetaData.getSchema)
         finally reader.close()
       case None =>
-        val ddl = new Path(dir, "_schema.ddl")
-        val fs = ddl.getFileSystem(new Configuration())
-        require(fs.exists(ddl), s"no data files and no _schema.ddl in $dir")
-        val in = fs.open(ddl)
-        try StructType.fromDDL(
-          new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
+        throw new IllegalStateException(
+          s"no data files and no _schema.ddl in $dir")
     }
+  }
+
+  /** Atomically replace the schema sidecar (ALTER TABLE's commit). */
+  def writeSchema(dir: String, schema: StructType): Unit = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val tmp = new Path(dir, s"._schema-${java.util.UUID.randomUUID()}.ddl")
+    val out = fs.create(tmp, true)
+    try out.write(schema.toDDL.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-with-overwrite is fine here: last ALTER wins, readers see
+    // either complete sidecar, never a torn one
+    fs.delete(new Path(dir, "_schema.ddl"), false)
+    if (!fs.rename(tmp, new Path(dir, "_schema.ddl")))
+      throw new java.io.IOException(s"failed to publish schema in $dir")
+  }
+
+  /** Column names present in ANY current data file's footer — the
+    * re-add guard reads this (driver-side footer metadata).
+    */
+  def footerColumns(dir: String): Set[String] = {
+    val conf = new Configuration()
+    dataFiles(dir).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try reader.getFooter.getFileMetaData.getSchema
+        .getFields.asScala.map(_.getName).toSeq
+      finally reader.close()
+    }.toSet
+  }
 
   def prunable(f: Filter): Boolean = f match {
     case EqualTo(_, v)            => comparable(v)
