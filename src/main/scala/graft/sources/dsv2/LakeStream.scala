@@ -97,7 +97,7 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       } else snap.added
     }
     LakeTableIO.planRowGroups(added.map(new Path(dir, _)),
-      projected.fieldNames, pushed, pruneGroups = true)._1
+      projected.fieldNames, pushed, pruneGroups = true).parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -19,7 +19,7 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -205,7 +205,7 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
 
   override def planInputPartitions(): Array[InputPartition] =
     LakeTableIO.planRowGroups(kept.map(new Path(_)),
-      tableSchema.fieldNames, Array.empty, pruneGroups = false)._1
+      tableSchema.fieldNames, Array.empty, pruneGroups = false).parts
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(tableSchema)
@@ -248,7 +248,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                projected: StructType, pushed: Array[Filter],
                pruneGroups: Boolean, pinnedVersion: Option[Long] = None,
                skipChangeCommits: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
@@ -257,26 +257,34 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits)
 
   // planned on the driver from footer metadata only — no data read
-  private lazy val partitions: Array[InputPartition] = {
-    val (parts, total) =
-      LakeTableIO.planRowGroups(files, projected.fieldNames, pushed,
-        pruneGroups)
-    totalGroups = total
-    parts
-  }
-  private var totalGroups = 0
+  private lazy val plan: LakeTableIO.ScanPlan =
+    LakeTableIO.planRowGroups(files, projected.fieldNames, pushed,
+      pruneGroups)
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  override def planInputPartitions(): Array[InputPartition] = plan.parts
+
+  /** Post-prune, post-projection footer statistics: exact surviving row
+    * count and uncompressed bytes of only the projected column chunks.
+    * This is what lets Catalyst pick a broadcast join against a small
+    * (or well-filtered) lake table instead of defaulting the side to
+    * "unknown = infinite" and shuffling both.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(plan.keptBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(plan.keptRows)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(projected)
 
   // explain-visible evidence: projected columns + planned/total groups
   override def description(): String = {
-    val n = partitions.length
+    val n = plan.parts.length
     s"graft_lake $dir${pinnedVersion.map(v => s"@v$v").getOrElse("")} " +
       s"cols=[${projected.fieldNames.mkString(",")}] " +
-      s"rowgroups=$n/$totalGroups pushed=[${pushed.mkString(",")}]"
+      s"rowgroups=$n/${plan.totalGroups} pushed=[${pushed.mkString(",")}]"
   }
 }
 
@@ -486,16 +494,28 @@ object LakeTableIO {
     }.sum
   }
 
+  /** The planned scan: surviving (file, row group) partitions, the total
+    * group count, and footer-derived statistics of the KEPT groups —
+    * exact row count, and uncompressed bytes of only the PROJECTED
+    * column chunks (so pruning a wide table to two columns reports two
+    * columns' bytes, and Catalyst's broadcast decision sees the real
+    * post-pushdown size).
+    */
+  final case class ScanPlan(parts: Array[InputPartition], totalGroups: Int,
+                            keptRows: Long, keptBytes: Long)
+
   /** One input partition per row group of `files` surviving footer-stats
-    * pruning; returns (partitions, total row groups). Driver-side
-    * metadata work shared by the batch scan and the streaming source.
+    * pruning. Driver-side metadata work shared by the batch scan, the
+    * row-level-operation scan, and the streaming source.
     */
   def planRowGroups(files: Seq[Path], projectedNames: Array[String],
                     pushed: Array[Filter],
-                    pruneGroups: Boolean): (Array[InputPartition], Int) = {
+                    pruneGroups: Boolean): ScanPlan = {
     val conf = new Configuration()
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     var total = 0
+    var rows = 0L
+    var bytes = 0L
     files.foreach { file =>
       val in = HadoopInputFile.fromPath(file, conf)
       val reader = ParquetFileReader.open(in)
@@ -505,12 +525,17 @@ object LakeTableIO {
         blocks.zipWithIndex.foreach { case (block, idx) =>
           val keep = !pruneGroups ||
             pushed.forall(f => mightMatch(block, f))
-          if (keep)
+          if (keep) {
             parts += LakeInputPartition(file.toString, idx, projectedNames)
+            rows += block.getRowCount
+            bytes += block.getColumns.asScala
+              .filter(c => projectedNames.contains(c.getPath.toDotString))
+              .map(_.getTotalUncompressedSize).sum
+          }
         }
       } finally reader.close()
     }
-    (parts.toArray, total)
+    ScanPlan(parts.toArray, total, rows, bytes)
   }
 
   /** Table schema: the `_schema.ddl` sidecar is authoritative when

@@ -202,4 +202,43 @@ class LakeTableSpec extends SparkSpec {
       assert(rows.filter(_.getLong(0) == 123).head.getString(1) == "keep123")
     }
   }
+
+  test("the scan reports footer statistics: exact rows, projected bytes, " +
+       "shrinking under pushdown — and Catalyst broadcasts the small side") {
+    withCatalog { _ =>
+      spark.sql("CREATE TABLE lakespec.db.st (k BIGINT, v STRING)")
+      LakeTableIO.rowGroupBytes = 32L << 10
+      try spark.sql(
+        """INSERT INTO lakespec.db.st
+          |SELECT id AS k, concat(repeat('x', 100), id) AS v
+          |FROM range(2000) ORDER BY id""".stripMargin)
+      finally LakeTableIO.rowGroupBytes = 128L << 20
+      def scanRel(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.head
+      val full = scanRel(spark.table("lakespec.db.st"))
+      assert(full.stats.rowCount.contains(BigInt(2000)),
+        s"exact footer row count, got ${full.stats.rowCount}")
+      val fullBytes = full.stats.sizeInBytes
+      // narrow projection drops v's ~100-char payload from the estimate
+      val narrow = scanRel(spark.table("lakespec.db.st").select("k"))
+      assert(narrow.stats.sizeInBytes < fullBytes / 4,
+        s"projection must shrink bytes: ${narrow.stats.sizeInBytes} vs $fullBytes")
+      // a pushed range predicate drops whole row groups from BOTH counts
+      val filtered = scanRel(
+        spark.table("lakespec.db.st").where(col("k") >= 1750))
+      assert(filtered.stats.rowCount.exists(_ < BigInt(1000)),
+        s"group pruning must shrink rows: ${filtered.stats.rowCount}")
+      // the real consequence: the 2000-row lake side broadcasts against
+      // a big probe instead of a two-sided shuffle
+      val big = spark.range(500000).selectExpr("id % 2000 AS k")
+      val joined = big.join(spark.table("lakespec.db.st"), "k")
+      val hasBroadcast = joined.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty
+      assert(hasBroadcast,
+        s"expected broadcast join:\n${joined.queryExecution.sparkPlan}")
+    }
+  }
 }
