@@ -145,6 +145,20 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // Named refs: CALL tag pins v1, a DML moves the head, and expire
+    // drops every untagged old snapshot — yet VERSION AS OF '<tag>'
+    // still reconstructs v1 exactly, because a tag is a retention
+    // promise (its manifest AND data files survive the vacuum). One
+    // query proves tagging, tag resolution, and tag-aware expiry.
+    "lake_tag_travel" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_tag")
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.tag(" +
+        s"'${LakeCatalogs.ns(dir)}.lake_tag', 'prev-release', 1)")
+      s.sql(s"DELETE FROM $tbl WHERE $key % 4 = 0")
+      LakeSnapshots.expire(tablePath(dir, "lake_tag"), keepLast = 1)
+      s.sql(s"SELECT * FROM $tbl VERSION AS OF 'prev-release'")
+    }),
+
     // Metadata-only schema evolution: ALTER TABLE ADD COLUMN widens the
     // sidecar schema without touching a byte of data — files written
     // before the evolution back-fill null in the reader, the insert
@@ -246,6 +260,10 @@ object LakeQueries {
     "lake_expire" ->
       s"""$snapshotCte
          |SELECT * FROM prev WHERE o_orderkey % 3 <> 0""".stripMargin,
+    // the tagged snapshot is exactly the original load
+    "lake_tag_travel" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev""".stripMargin,
     // old rows null-back-fill the added column, new rows carry values
     "lake_schema_evolution" ->
       s"""$snapshotCte

@@ -64,17 +64,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .mkString("."), dir.toString)
   }
 
-  /** Time travel — `SELECT … FROM t VERSION AS OF <n>` resolves here:
-    * the returned table reads snapshot `n`'s manifest and rejects
-    * writes. Fails loud for unlogged tables or expired versions.
+  /** Time travel — `SELECT … FROM t VERSION AS OF <ref>` resolves here:
+    * `ref` is a numeric snapshot id or a TAG name (`LakeLog.tag`); the
+    * returned table reads that snapshot's manifest and rejects writes.
+    * Fails loud for unlogged tables, expired versions, unknown tags.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(dir)) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft_lake versions are numeric snapshot ids, got '$version'")
-    }
+    val v = LakeLog.resolve(dir.toString, version)
     LakeLog.snapshotAt(dir.toString, v) // existence check, fails loud
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
       .mkString("."), dir.toString, pinnedVersion = Some(v))

@@ -210,6 +210,63 @@ object LakeLog {
     else { fs.delete(tmp, false); None }
   }
 
+  // ----- tags: named immutable refs to snapshots ------------------------
+
+  private val TagRe = "^ref-(.+)\\.json$".r
+  private def tagPath(dir: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag names are [A-Za-z0-9._-]+, got '$name'")
+    new Path(logDir(dir), s"ref-$name.json")
+  }
+
+  /** Pin `name` to `version` (Iceberg-style tag: immutable once
+    * created — retag requires dropTag first; rename-without-overwrite
+    * makes racing creates pick one winner). Tagged snapshots survive
+    * [[expire]].
+    */
+  def tag(dir: String, name: String, version: Long): Unit = {
+    snapshotAt(dir, version) // must exist
+    val fs = fsFor(dir)
+    val tmp = new Path(logDir(dir),
+      s".tmp-ref-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(
+      java.util.Map.of("name", name, "version",
+        java.lang.Long.valueOf(version))))
+    finally out.close()
+    val dest = tagPath(dir, name)
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"tag '$name' already exists in $dir (tags are immutable — " +
+          "dropTag first to move it)")
+    }
+  }
+
+  def dropTag(dir: String, name: String): Boolean =
+    fsFor(dir).delete(tagPath(dir, name), false)
+
+  /** All tags: name → pinned version. */
+  def tags(dir: String): Map[String, Long] = {
+    val fs = fsFor(dir)
+    val ld = logDir(dir)
+    if (!fs.exists(ld)) Map.empty
+    else fs.listStatus(ld).toSeq.flatMap(s =>
+      TagRe.findFirstMatchIn(s.getPath.getName).map { m =>
+        val in = fs.open(s.getPath)
+        val bytes = try in.readAllBytes() finally in.close()
+        val j = mapper.readValue(bytes, classOf[JMap[String, Object]])
+        m.group(1) -> j.get("version").asInstanceOf[Number].longValue()
+      }).toMap
+  }
+
+  /** Resolve a version ref: a numeric snapshot id, or a tag name. */
+  def resolve(dir: String, ref: String): Long =
+    ref.toLongOption.getOrElse(tags(dir).getOrElse(ref,
+      throw new IllegalArgumentException(
+        s"'$ref' is neither a numeric snapshot id nor a tag in $dir " +
+          s"(tags: ${tags(dir).keys.toSeq.sorted.mkString(", ")})")))
+
   /** Roll the table back to `version`: commits a NEW head whose file set
     * equals the old snapshot's — history is preserved (the rollback is
     * itself a version), so the rolled-past states stay auditable.
@@ -226,18 +283,24 @@ object LakeLog {
       addedRows = -1L)
   }
 
-  /** Expire history: keep the newest `keepLast` snapshots, delete older
-    * manifests, then delete data files no retained snapshot references.
-    * The vacuum that trades time travel for space — referenced files are
-    * never touched. Returns (expired manifest count, deleted file count).
-    * Single-writer maintenance operation (like every lakehouse vacuum).
+  /** Expire history: keep the newest `keepLast` snapshots PLUS any
+    * tagged snapshot, delete the other manifests, then delete data
+    * files no retained snapshot references. The vacuum that trades time
+    * travel for space — referenced files are never touched; a tag is a
+    * retention promise, so `VERSION AS OF '<tag>'` keeps working after
+    * any expire (drop the tag to release it). Returns (expired manifest
+    * count, deleted file count). Single-writer maintenance operation
+    * (like every lakehouse vacuum).
     */
   def expire(dir: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val fs = fsFor(dir)
     val vs = versions(dir)
     if (vs.isEmpty) return (0, 0)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val tagged = tags(dir).values.toSet
+    val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val drop = dropCand.filterNot(tagged)
+    val keep = keepTail ++ dropCand.filter(tagged)
     val referenced = keep.flatMap(snapshotAt(dir, _).files).toSet
     val orphans = rawDataFiles(dir).filterNot(referenced)
     drop.foreach(v =>

@@ -33,7 +33,9 @@ import graft.operators.LakeSnapshots
 object LakeProcedures {
   val Namespace = "system"
 
-  def names: Seq[String] = Seq("history", "rollback", "expire", "compact")
+  def names: Seq[String] =
+    Seq("history", "rollback", "expire", "compact", "tag", "drop_tag",
+      "tags")
 
   /** Resolve `system.<name>` for a catalog rooted at `root`. */
   def load(root: String, ident: Identifier): UnboundProcedure = {
@@ -86,6 +88,33 @@ object LakeProcedures {
           val (before, after) = LakeSnapshots.compact(
             SparkSession.active, dirOf(str(in, 0)), in.getLong(1))
           Seq(new GenericInternalRow(Array[Any](before, after)))
+        })
+      case "tag" => new LakeProcedure("tag",
+        Array(param("table", StringType), param("name", StringType),
+          param("version", LongType)),
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        in => {
+          val (name, v) = (str(in, 1), in.getLong(2))
+          LakeLog.tag(dirOf(str(in, 0)), name, v)
+          Seq(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name), v)))
+        })
+      case "drop_tag" => new LakeProcedure("drop_tag",
+        Array(param("table", StringType), param("name", StringType)),
+        StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false))),
+        in => Seq(new GenericInternalRow(Array[Any](
+          LakeLog.dropTag(dirOf(str(in, 0)), str(in, 1))))))
+      case "tags" => new LakeProcedure("tags",
+        Array(param("table", StringType)),
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        in => LakeLog.tags(dirOf(str(in, 0))).toSeq.sortBy(_._1).map {
+          case (name, v) => new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name), v))
         })
       case other => throw new IllegalArgumentException(
         s"no such procedure: $Namespace.$other " +

@@ -42,7 +42,8 @@ case class LakeVersionOffset(v: Long) extends Offset {
   */
 class LakeMicroBatchStream(dir: String, projected: StructType,
                            pushed: Array[Filter],
-                           skipChangeCommits: Boolean = false)
+                           skipChangeCommits: Boolean = false,
+                           startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // AvailableNow pins the drain target at start; a live writer landing
@@ -55,7 +56,11 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     target = Some(headVersion)
 
-  override def initialOffset(): Offset = LakeVersionOffset(-1L)
+  // a fresh checkpoint starts at `startingVersion` (inclusive — the
+  // backfill cursor, a version id or tag via the startingVersion
+  // option); a resumed query ignores this and reads its checkpoint
+  override def initialOffset(): Offset =
+    LakeVersionOffset(startingVersion.map(_ - 1).getOrElse(-1L))
 
   override def deserializeOffset(json: String): Offset =
     LakeVersionOffset(json.toLong)

@@ -76,7 +76,10 @@ class LakeTable(tableName: String, val dir: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(dir, schema, pinnedVersion,
-      options.getBoolean("skipChangeCommits", false))
+      options.getBoolean("skipChangeCommits", false),
+      // streaming backfill cursor: version id or tag name; the stream's
+      // first batch starts AT this commit instead of v0
+      Option(options.get("startingVersion")).map(LakeLog.resolve(dir, _)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -213,7 +216,8 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
 
 class LakeScanBuilder(dir: String, tableSchema: StructType,
                       pinnedVersion: Option[Long] = None,
-                      skipChangeCommits: Boolean = false)
+                      skipChangeCommits: Boolean = false,
+                      startingVersion: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var projected: StructType = tableSchema
@@ -236,7 +240,7 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   override def build(): Scan =
     new LakeScan(dir, LakeTableIO.dataFiles(dir, pinnedVersion),
       tableSchema, projected, pushed, pruneGroups = true, pinnedVersion,
-      skipChangeCommits)
+      skipChangeCommits, startingVersion)
 }
 
 /** One input partition per (file, row group) surviving stats pruning. */
@@ -247,14 +251,16 @@ case class LakeInputPartition(path: String, rowGroup: Int,
 class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                projected: StructType, pushed: Array[Filter],
                pruneGroups: Boolean, pinnedVersion: Option[Long] = None,
-               skipChangeCommits: Boolean = false)
+               skipChangeCommits: Boolean = false,
+               startingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits)
+    new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits,
+      startingVersion)
 
   // planned on the driver from footer metadata only — no data read
   private lazy val plan: LakeTableIO.ScanPlan =
