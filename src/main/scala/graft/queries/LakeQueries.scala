@@ -145,6 +145,25 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // Write-audit-publish on a branch: stage an append AND a delete on
+    // branch 'stage' (main provably untouched in LakeBranchSpec), then
+    // CALL fast_forward publishes both commits onto main atomically.
+    // The oracle states the published end state; a fast-forward that
+    // dropped a commit, replayed one, or leaked the pre-publish state
+    // hash-mismatches.
+    "lake_branch_wap" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_wap")
+      val cat = LakeCatalogs.CatalogName
+      val ns = LakeCatalogs.ns(dir)
+      s.sql(s"CALL $cat.system.branch('$ns.lake_wap', 'stage')")
+      newest(s, dir).where(col(key) % 13 === 0)
+        .createOrReplaceTempView("lake_wap_adds")
+      s.sql(s"INSERT INTO $tbl.branch_stage SELECT * FROM lake_wap_adds")
+      s.sql(s"DELETE FROM $tbl.branch_stage WHERE $key % 10 = 7")
+      s.sql(s"CALL $cat.system.fast_forward('$ns.lake_wap', 'stage')")
+      s.table(tbl)
+    }),
+
     // Named refs: CALL tag pins v1, a DML moves the head, and expire
     // drops every untagged old snapshot — yet VERSION AS OF '<tag>'
     // still reconstructs v1 exactly, because a tag is a retention
@@ -260,6 +279,13 @@ object LakeQueries {
     "lake_expire" ->
       s"""$snapshotCte
          |SELECT * FROM prev WHERE o_orderkey % 3 <> 0""".stripMargin,
+    // the published state: staged append + staged delete, nothing else
+    "lake_branch_wap" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev WHERE o_orderkey % 10 <> 7
+         |UNION ALL
+         |SELECT * FROM newest
+         |WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 7""".stripMargin,
     // the tagged snapshot is exactly the original load
     "lake_tag_travel" ->
       s"""$snapshotCte

@@ -59,7 +59,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    if (!fs.exists(dir)) {
+      // Iceberg's writable-branch spelling: `db.t.branch_dev` reads AND
+      // writes branch `dev` of table `db.t` (INSERT/MERGE target their
+      // commits at the branch head; main never sees them until
+      // CALL system.fast_forward)
+      if (ident.name.startsWith("branch_") && ident.namespace.nonEmpty) {
+        val parentIdent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        val parentDir = tableDir(parentIdent)
+        val b = ident.name.stripPrefix("branch_")
+        if (fs.exists(parentDir) &&
+            LakeLog.branches(parentDir.toString).contains(b))
+          return new LakeTable(
+            (catalogName +: ident.namespace.toSeq).mkString("."),
+            parentDir.toString, branch = Some(b))
+      }
+      throw new NoSuchTableException(ident)
+    }
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
       .mkString("."), dir.toString)
   }
@@ -72,10 +89,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(dir)) throw new NoSuchTableException(ident)
-    val v = LakeLog.resolve(dir.toString, version)
-    LakeLog.snapshotAt(dir.toString, v) // existence check, fails loud
-    new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
-      .mkString("."), dir.toString, pinnedVersion = Some(v))
+    val name = (catalogName +: ident.namespace.toSeq :+ ident.name)
+      .mkString(".")
+    // a branch name reads the branch HEAD (read-only pin; writes go
+    // through the db.t.branch_<name> spelling)
+    LakeLog.branches(dir.toString).get(version) match {
+      case Some(head) =>
+        new LakeTable(name, dir.toString, pinnedVersion = Some(head),
+          branch = Some(version))
+      case None =>
+        val v = LakeLog.resolve(dir.toString, version)
+        LakeLog.snapshotAt(dir.toString, v) // existence check, fails loud
+        new LakeTable(name, dir.toString, pinnedVersion = Some(v))
+    }
   }
 
   /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch; resolve

@@ -58,6 +58,21 @@ object LakeLog {
 
   def logDir(dir: String): Path = new Path(dir, "_log")
 
+  /** A branch is a WRITABLE ref: its own manifest sequence under
+    * `_log/branches/<name>/`, seeded with a copy of the fork-point
+    * manifest (complete-file-set semantics make forking free). Data
+    * files of branch commits live in the same table dir, invisible to
+    * main until [[fastForward]].
+    */
+  def branchLogDir(dir: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"branch names are [A-Za-z0-9._-]+, got '$name'")
+    new Path(logDir(dir), s"branches/$name")
+  }
+
+  private def ld(dir: String, branch: Option[String]): Path =
+    branch.fold(logDir(dir))(branchLogDir(dir, _))
+
   private def fsFor(dir: String): FileSystem =
     new Path(dir).getFileSystem(new Configuration())
 
@@ -65,29 +80,31 @@ object LakeLog {
 
   private val ManifestRe = "^v(\\d{20})\\.json$".r
 
-  /** Committed versions present in the log (sorted ascending). */
-  def versions(dir: String): Seq[Long] = {
+  /** Committed versions present in the (main or branch) log, ascending. */
+  def versions(dir: String, branch: Option[String] = None): Seq[Long] = {
     val fs = fsFor(dir)
-    val ld = logDir(dir)
-    if (!fs.exists(ld)) Seq.empty
-    else fs.listStatus(ld).toSeq.flatMap(s =>
+    val d = ld(dir, branch)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.flatMap(s =>
       ManifestRe.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
       .sorted
   }
 
   def isLogged(dir: String): Boolean = versions(dir).nonEmpty
 
-  def snapshotAt(dir: String, version: Long): Snapshot = {
+  def snapshotAt(dir: String, version: Long,
+                 branch: Option[String] = None): Snapshot = {
     val fs = fsFor(dir)
-    val p = new Path(logDir(dir), manifestName(version))
+    val p = new Path(ld(dir, branch), manifestName(version))
     require(fs.exists(p),
-      s"no snapshot v$version in $dir (expired or never committed); " +
-        s"available: ${versions(dir).mkString(", ")}")
+      s"no snapshot v$version in $dir${branch.fold("")(b => s"@$b")} " +
+        s"(expired or never committed); " +
+        s"available: ${versions(dir, branch).mkString(", ")}")
     readManifest(fs, p)
   }
 
-  def current(dir: String): Option[Snapshot] =
-    versions(dir).lastOption.map(snapshotAt(dir, _))
+  def current(dir: String, branch: Option[String] = None): Option[Snapshot] =
+    versions(dir, branch).lastOption.map(snapshotAt(dir, _, branch))
 
   /** Latest snapshot whose commit time is <= `tsMs` (timestamp travel). */
   def snapshotAsOfTime(dir: String, tsMs: Long): Snapshot = {
@@ -155,21 +172,26 @@ object LakeLog {
     */
   def commit(dir: String, operation: String, added: Seq[String],
              removed: Seq[String], addedRows: Long,
-             dataChange: Boolean = true): Snapshot = {
+             dataChange: Boolean = true,
+             branch: Option[String] = None): Snapshot = {
     val fs = fsFor(dir)
-    fs.mkdirs(logDir(dir))
+    fs.mkdirs(ld(dir, branch))
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
-      val head = current(dir) match {
+      val head = current(dir, branch) match {
         case some @ Some(_) => some
+        case None if branch.isDefined =>
+          throw new IllegalStateException(
+            s"branch '${branch.get}' does not exist in $dir — " +
+              "createBranch first")
         case None =>
           // unlogged table with pre-existing files: bootstrap v0 first,
           // so history starts at the observed state
           val raw = rawDataFiles(dir).filterNot(added.contains)
           if (raw.isEmpty) None
           else tryPublish(fs, dir, Snapshot(0L, now(None), "bootstrap",
-            raw, raw, Seq.empty, -1L)) match {
+            raw, raw, Seq.empty, -1L), None) match {
             case Some(s) => Some(s)
             case None    => current(dir) // lost the race; re-read
           }
@@ -185,7 +207,7 @@ object LakeLog {
         now(head.map(_.timestampMs)), operation,
         (base.filterNot(removed.toSet) ++ added).sorted,
         added.sorted, removed.sorted, addedRows, dataChange)
-      tryPublish(fs, dir, next) match {
+      tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry
       }
@@ -199,15 +221,81 @@ object LakeLog {
     math.max(System.currentTimeMillis(), prev.map(_ + 1).getOrElse(0L))
 
   /** Stage + rename-without-overwrite; None when the version was taken. */
-  private def tryPublish(fs: FileSystem, dir: String,
-                         s: Snapshot): Option[Snapshot] = {
-    val dest = new Path(logDir(dir), manifestName(s.version))
+  private def tryPublish(fs: FileSystem, dir: String, s: Snapshot,
+                         branch: Option[String]): Option[Snapshot] = {
+    val d = ld(dir, branch)
+    val dest = new Path(d, manifestName(s.version))
     if (fs.exists(dest)) return None
-    val tmp = new Path(logDir(dir),
-      s".tmp-${java.util.UUID.randomUUID()}.json")
+    val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}.json")
     writeManifest(fs, tmp, s)
     if (fs.rename(tmp, dest)) Some(s)
     else { fs.delete(tmp, false); None }
+  }
+
+  // ----- branches: writable refs (write-audit-publish) -----------------
+
+  /** Fork `name` at the current main head. The branch log starts with a
+    * COPY of the head manifest — that version number is the fork point
+    * [[fastForward]] later validates against.
+    */
+  def createBranch(dir: String, name: String): Snapshot = {
+    val head = current(dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no snapshot log to branch"))
+    require(!tags(dir).contains(name),
+      s"'$name' is already a tag in $dir")
+    val fs = fsFor(dir)
+    require(!fs.exists(branchLogDir(dir, name)),
+      s"branch '$name' already exists in $dir")
+    fs.mkdirs(branchLogDir(dir, name))
+    tryPublish(fs, dir, head.copy(operation = s"branch($name)"),
+      Some(name)).getOrElse(throw new IllegalStateException(
+      s"lost the race creating branch '$name' in $dir"))
+  }
+
+  /** Live branches: name → head version. */
+  def branches(dir: String): Map[String, Long] = {
+    val fs = fsFor(dir)
+    val root = new Path(logDir(dir), "branches")
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { s =>
+      val name = s.getPath.getName
+      versions(dir, Some(name)).lastOption.map(name -> _)
+    }.toMap
+  }
+
+  def dropBranch(dir: String, name: String): Boolean =
+    fsFor(dir).delete(branchLogDir(dir, name), true)
+
+  /** Publish a branch onto main — the write-audit-publish commit. Only
+    * valid when main still sits at the branch's fork point (same
+    * linear-history rule as a git fast-forward); a main that advanced
+    * since the fork CONFLICTS and needs a fresh branch. Every branch
+    * commit (fork+1 .. head) lands on main in order via the same
+    * rename-without-overwrite, so a racing main writer can't interleave
+    * — the first taken version aborts the publish. Returns the number
+    * of commits published; the branch is dropped on success.
+    */
+  def fastForward(dir: String, name: String): Int = {
+    val bvs = versions(dir, Some(name))
+    require(bvs.nonEmpty, s"no branch '$name' in $dir")
+    val fork = bvs.head
+    val mainHead = current(dir).getOrElse(throw new IllegalStateException(
+      s"$dir lost its log"))
+    if (mainHead.version != fork)
+      throw new java.util.ConcurrentModificationException(
+        s"cannot fast-forward '$name' in $dir: main advanced to " +
+          s"v${mainHead.version} past the fork point v$fork — " +
+          "re-branch and replay")
+    val fs = fsFor(dir)
+    bvs.tail.foreach { v =>
+      val s = snapshotAt(dir, v, Some(name))
+      tryPublish(fs, dir, s, None).getOrElse(
+        throw new java.util.ConcurrentModificationException(
+          s"cannot fast-forward '$name' in $dir: a main writer took " +
+            s"v$v mid-publish"))
+    }
+    dropBranch(dir, name)
+    bvs.size - 1
   }
 
   // ----- tags: named immutable refs to snapshots ------------------------
@@ -226,6 +314,8 @@ object LakeLog {
     */
   def tag(dir: String, name: String, version: Long): Unit = {
     snapshotAt(dir, version) // must exist
+    require(!branches(dir).contains(name),
+      s"'$name' is already a branch in $dir")
     val fs = fsFor(dir)
     val tmp = new Path(logDir(dir),
       s".tmp-ref-${java.util.UUID.randomUUID()}.json")
@@ -301,7 +391,13 @@ object LakeLog {
     val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
     val drop = dropCand.filterNot(tagged)
     val keep = keepTail ++ dropCand.filter(tagged)
-    val referenced = keep.flatMap(snapshotAt(dir, _).files).toSet
+    // a live branch references its own commits' files (staged work that
+    // hasn't fast-forwarded yet) — the vacuum must not eat a branch
+    val branchFiles = branches(dir).keySet.flatMap(b =>
+      versions(dir, Some(b))
+        .flatMap(v => snapshotAt(dir, v, Some(b)).files))
+    val referenced = keep.flatMap(snapshotAt(dir, _).files).toSet ++
+      branchFiles
     val orphans = rawDataFiles(dir).filterNot(referenced)
     drop.foreach(v =>
       fs.delete(new Path(logDir(dir), manifestName(v)), false))

@@ -35,7 +35,7 @@ object LakeProcedures {
 
   def names: Seq[String] =
     Seq("history", "rollback", "expire", "compact", "tag", "drop_tag",
-      "tags")
+      "tags", "branch", "drop_branch", "fast_forward", "branches")
 
   /** Resolve `system.<name>` for a catalog rooted at `root`. */
   def load(root: String, ident: Identifier): UnboundProcedure = {
@@ -113,6 +113,38 @@ object LakeProcedures {
           StructField("tag", StringType, nullable = false),
           StructField("version", LongType, nullable = false))),
         in => LakeLog.tags(dirOf(str(in, 0))).toSeq.sortBy(_._1).map {
+          case (name, v) => new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name), v))
+        })
+      case "branch" => new LakeProcedure("branch",
+        Array(param("table", StringType), param("name", StringType)),
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("fork_version", LongType, nullable = false))),
+        in => {
+          val name = str(in, 1)
+          val fork = LakeLog.createBranch(dirOf(str(in, 0)), name)
+          Seq(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name), fork.version)))
+        })
+      case "drop_branch" => new LakeProcedure("drop_branch",
+        Array(param("table", StringType), param("name", StringType)),
+        StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false))),
+        in => Seq(new GenericInternalRow(Array[Any](
+          LakeLog.dropBranch(dirOf(str(in, 0)), str(in, 1))))))
+      case "fast_forward" => new LakeProcedure("fast_forward",
+        Array(param("table", StringType), param("name", StringType)),
+        StructType(Seq(
+          StructField("commits_published", IntegerType, nullable = false))),
+        in => Seq(new GenericInternalRow(Array[Any](
+          LakeLog.fastForward(dirOf(str(in, 0)), str(in, 1))))))
+      case "branches" => new LakeProcedure("branches",
+        Array(param("table", StringType)),
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("head_version", LongType, nullable = false))),
+        in => LakeLog.branches(dirOf(str(in, 0))).toSeq.sortBy(_._1).map {
           case (name, v) => new GenericInternalRow(Array[Any](
             UTF8String.fromString(name), v))
         })

@@ -62,11 +62,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * snapshot and rejects writes — the time-travel flavor of the table.
   */
 class LakeTable(tableName: String, val dir: String,
-                val pinnedVersion: Option[Long] = None) extends Table
+                val pinnedVersion: Option[Long] = None,
+                val branch: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   override def name(): String =
-    tableName + pinnedVersion.map(v => s"@v$v").getOrElse("")
+    tableName + branch.map(b => s"@$b").getOrElse("") +
+      pinnedVersion.map(v => s"@v$v").getOrElse("")
 
   override lazy val schema: StructType = LakeTableIO.tableSchema(dir)
 
@@ -79,14 +81,16 @@ class LakeTable(tableName: String, val dir: String,
       options.getBoolean("skipChangeCommits", false),
       // streaming backfill cursor: version id or tag name; the stream's
       // first batch starts AT this commit instead of v0
-      Option(options.get("startingVersion")).map(LakeLog.resolve(dir, _)))
+      Option(options.get("startingVersion")).map(LakeLog.resolve(dir, _)),
+      branch)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to time-travel read $name")
     new WriteBuilder {
       override def build(): Write =
-        new LakeWrite(dir, info.schema(), replaceFiles = null, "append")
+        new LakeWrite(dir, info.schema(), replaceFiles = null, "append",
+          branch)
     }
   }
 
@@ -126,7 +130,8 @@ class LakeRowLevelOperation(table: LakeTable,
     new ScanBuilder {
       override def build(): Scan = {
         activeScan = new LakeRowLevelScan(table.schema,
-          LakeTableIO.dataFiles(table.dir).map(_.toString))
+          LakeTableIO.dataFiles(table.dir, None, table.branch)
+            .map(_.toString))
         activeScan
       }
     }
@@ -136,7 +141,8 @@ class LakeRowLevelOperation(table: LakeTable,
       override def build(): Write =
         new LakeWrite(table.dir, info.schema(),
           replaceFiles = () => activeScan.coveredFiles,
-          opName = cmd.toString.toLowerCase(java.util.Locale.ROOT))
+          opName = cmd.toString.toLowerCase(java.util.Locale.ROOT),
+          branch = table.branch)
     }
 }
 
@@ -217,7 +223,8 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
 class LakeScanBuilder(dir: String, tableSchema: StructType,
                       pinnedVersion: Option[Long] = None,
                       skipChangeCommits: Boolean = false,
-                      startingVersion: Option[Long] = None)
+                      startingVersion: Option[Long] = None,
+                      branch: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var projected: StructType = tableSchema
@@ -238,9 +245,9 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LakeScan(dir, LakeTableIO.dataFiles(dir, pinnedVersion),
+    new LakeScan(dir, LakeTableIO.dataFiles(dir, pinnedVersion, branch),
       tableSchema, projected, pushed, pruneGroups = true, pinnedVersion,
-      skipChangeCommits, startingVersion)
+      skipChangeCommits, startingVersion, branch)
 }
 
 /** One input partition per (file, row group) surviving stats pruning. */
@@ -252,15 +259,20 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                projected: StructType, pushed: Array[Filter],
                pruneGroups: Boolean, pinnedVersion: Option[Long] = None,
                skipChangeCommits: Boolean = false,
-               startingVersion: Option[Long] = None)
+               startingVersion: Option[Long] = None,
+               branch: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(
-      checkpointLocation: String): MicroBatchStream =
+      checkpointLocation: String): MicroBatchStream = {
+    require(branch.isEmpty,
+      "streaming reads follow MAIN history only — fast-forward the " +
+        s"branch first (cannot stream $dir@${branch.getOrElse("")})")
     new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits,
       startingVersion)
+  }
 
   // planned on the driver from footer metadata only — no data read
   private lazy val plan: LakeTableIO.ScanPlan =
@@ -368,7 +380,8 @@ case class LakeFileMessage(stagedPath: String, rows: Long)
   */
 class LakeWrite(dir: String, writeSchema: StructType,
                 replaceFiles: () => Seq[String],
-                opName: String) extends Write {
+                opName: String,
+                branch: Option[String] = None) extends Write {
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
@@ -390,7 +403,7 @@ class LakeWrite(dir: String, writeSchema: StructType,
       val removed = Option(replaceFiles).map(_().map(f =>
         new Path(f).getName)).getOrElse(Seq.empty)
       LakeLog.commit(dir, opName, published.map(_._1).toSeq, removed,
-        published.map(_._2).sum)
+        published.map(_._2).sum, branch = branch)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -477,14 +490,17 @@ object LakeTableIO {
     * externally-populated dirs). Pass `version` to read a PINNED
     * snapshot — the time-travel path.
     */
-  def dataFiles(dir: String, version: Option[Long] = None): Seq[Path] =
+  def dataFiles(dir: String, version: Option[Long] = None,
+                branch: Option[String] = None): Seq[Path] =
     version match {
       case Some(v) =>
-        LakeLog.snapshotAt(dir, v).files.map(new Path(dir, _))
+        LakeLog.snapshotAt(dir, v, branch).files.map(new Path(dir, _))
       case None =>
-        LakeLog.current(dir) match {
+        LakeLog.current(dir, branch) match {
           case Some(s) => s.files.map(new Path(dir, _))
-          case None    => LakeLog.rawDataFiles(dir).map(new Path(dir, _))
+          case None if branch.isDefined => throw new IllegalStateException(
+            s"branch '${branch.get}' does not exist in $dir")
+          case None => LakeLog.rawDataFiles(dir).map(new Path(dir, _))
         }
     }
 
