@@ -116,6 +116,30 @@ object LakeLog {
   }
 
   private def readManifest(fs: FileSystem, p: Path): Snapshot = {
+    // Manifests are write-once, but the PUBLISH rename is not atomic on
+    // every filesystem w.r.t. readers — Hadoop's ChecksumFileSystem
+    // moves the data file and its .crc sidecar in two steps, so a
+    // reader racing the rename can see a transient ChecksumException
+    // (caught live in LakeLogConcurrencySpec under 32-way commit
+    // contention). Any read error on an existing manifest is therefore
+    // transient; a bounded retry converges once the rename completes.
+    var lastErr: java.io.IOException = null
+    var attempt = 0
+    while (attempt < 50) {
+      attempt += 1
+      try return readManifestOnce(fs, p)
+      catch {
+        case e: java.io.IOException =>
+          lastErr = e
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(10) + 1)
+      }
+    }
+    throw new java.io.IOException(
+      s"manifest $p unreadable after $attempt attempts", lastErr)
+  }
+
+  private def readManifestOnce(fs: FileSystem, p: Path): Snapshot = {
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     val m = mapper.readValue(bytes, classOf[JMap[String, Object]])
@@ -177,8 +201,18 @@ object LakeLog {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
     var attempt = 0
-    while (attempt < 20) {
+    // The loser of a version race retries against the new head. Under
+    // N-way contention a writer can lose N-1 straight races, so the cap
+    // must comfortably exceed realistic writer counts, and the jittered
+    // backoff de-synchronizes the herd (32 writers all re-reading the
+    // head the same instant just race again; measured starving the old
+    // flat 20-attempt loop in LakeLogConcurrencySpec).
+    val maxAttempts = 200
+    while (attempt < maxAttempts) {
       attempt += 1
+      if (attempt > 1)
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(math.min(2L << math.min(attempt, 5), 50L) + 1))
       val head = current(dir, branch) match {
         case some @ Some(_) => some
         case None if branch.isDefined =>
@@ -220,7 +254,37 @@ object LakeLog {
   private def now(prev: Option[Long]): Long =
     math.max(System.currentTimeMillis(), prev.map(_ + 1).getOrElse(0L))
 
-  /** Stage + rename-without-overwrite; None when the version was taken. */
+  /** Atomically create `dest` from staged `tmp`, failing (false) when
+    * `dest` already exists — the single arbitration primitive the whole
+    * log rests on. Scheme-dependent, because the Hadoop `rename` API
+    * does NOT guarantee no-overwrite everywhere: on the local
+    * filesystem it degrades to POSIX rename(2), which silently
+    * OVERWRITES an existing destination — two racing writers would both
+    * "win" a version and one manifest would vanish (caught live by
+    * LakeLogConcurrencySpec under 32-way contention). So:
+    *
+    *   - `file://`: hard-link (link(2)) — atomic create-if-absent by
+    *     POSIX contract;
+    *   - everything else (HDFS-class): `rename` without overwrite is
+    *     atomic at the namenode and returns false on an existing
+    *     destination. (An object store without atomic rename needs a
+    *     conditional-PUT flavor of this method — the one primitive a
+    *     port must supply.)
+    */
+  private def atomicCreateFrom(fs: FileSystem, tmp: Path,
+                               dest: Path): Boolean =
+    if ("file".equalsIgnoreCase(fs.getScheme)) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else fs.rename(tmp, dest)
+
+  /** Stage + atomic create-if-absent; None when the version was taken. */
   private def tryPublish(fs: FileSystem, dir: String, s: Snapshot,
                          branch: Option[String]): Option[Snapshot] = {
     val d = ld(dir, branch)
@@ -228,8 +292,9 @@ object LakeLog {
     if (fs.exists(dest)) return None
     val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}.json")
     writeManifest(fs, tmp, s)
-    if (fs.rename(tmp, dest)) Some(s)
-    else { fs.delete(tmp, false); None }
+    val won = atomicCreateFrom(fs, tmp, dest)
+    fs.delete(tmp, false)
+    if (won) Some(s) else None
   }
 
   // ----- branches: writable refs (write-audit-publish) -----------------
@@ -325,12 +390,12 @@ object LakeLog {
         java.lang.Long.valueOf(version))))
     finally out.close()
     val dest = tagPath(dir, name)
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
+    val won = !fs.exists(dest) && atomicCreateFrom(fs, tmp, dest)
+    fs.delete(tmp, false)
+    if (!won)
       throw new IllegalStateException(
         s"tag '$name' already exists in $dir (tags are immutable — " +
           "dropTag first to move it)")
-    }
   }
 
   def dropTag(dir: String, name: String): Boolean =
