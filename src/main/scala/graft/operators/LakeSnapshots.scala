@@ -69,6 +69,68 @@ object LakeSnapshots {
   def expire(dir: String, keepLast: Int): (Int, Int) =
     LakeLog.expire(dir, keepLast)
 
+  /** Rewrite the table clustered by the interleaved z-value of `cols`
+    * (numeric), as a `dataChange=false` commit — same rows, new layout
+    * with tight per-file/row-group min-max rectangles on EVERY listed
+    * dimension, so footer-stats pruning works for predicates on any of
+    * them (a single-column sort clusters one dim and scatters the
+    * rest). The min/max handshake is one metadata-scale aggregate;
+    * everything else is integer shifts. Returns
+    * (files before, files after).
+    */
+  def zorder(spark: SparkSession, dir: String, cols: Seq[String],
+             targetFiles: Int): (Int, Int) = {
+    require(cols.nonEmpty && cols.size <= 4,
+      s"zorder takes 1-4 numeric columns, got ${cols.size}")
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no snapshot log to cluster"))
+    if (head.files.isEmpty) return (0, 0)
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val srcPaths = head.files.map(new Path(dir, _))
+    val srcRows = LakeTableIO.footerRows(srcPaths)
+    val df = spark.read.schema(LakeTableIO.tableSchema(dir))
+      .parquet(srcPaths.map(_.toString): _*)
+    val bits = 32 / cols.size
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c).cast("double").as(s"lo$i"),
+        max(c).cast("double").as(s"hi$i"))
+    }
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val n = df.crossJoin(broadcast(mm))
+    val normed = cols.zipWithIndex.map { case (c, i) =>
+      floor((col(c).cast("double") - col(s"lo$i")) * lit((1 << bits) - 1) /
+        greatest(col(s"hi$i") - col(s"lo$i"), lit(1.0d))).cast("long")
+    }
+    val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {
+      case (nc, d) =>
+        shiftleft(shiftright(nc, b).bitwiseAND(1), b * cols.size + d)
+    }).reduce(_ + _)
+    val stage = new Path(dir, s".zorder-${UUID.randomUUID()}")
+    try {
+      n.withColumn("__z", z)
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .select(df.columns.map(col): _*)
+        .write.parquet(stage.toString)
+      val staged = fs.listStatus(stage).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+      val stagedRows = LakeTableIO.footerRows(staged)
+      require(stagedRows == srcRows,
+        s"zorder would lose rows: staged $stagedRows != source $srcRows")
+      val published = staged.map { p =>
+        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"failed to publish $p -> $dest")
+        dest.getName
+      }
+      LakeLog.commit(dir, s"zorder(${cols.mkString(",")})", published,
+        head.files, addedRows = 0L, dataChange = false)
+      (head.files.size, published.size)
+    } finally fs.delete(stage, true)
+  }
+
   /** Bin small files into ~`targetBytes` ones as a `dataChange=false`
     * commit — same rows, new layout, so incremental consumers (the
     * streaming source) skip it natively and time travel still sees the

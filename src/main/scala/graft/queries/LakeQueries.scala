@@ -216,6 +216,18 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // Z-order clustering via CALL: rewrite the table ordered by the
+    // interleaved (o_orderkey, o_custkey) z-value into 4 files as a
+    // dataChange=false commit — the layout change that makes footer
+    // stats prune on BOTH keys (pruning measured in LakeProcedureSpec;
+    // the oracle proves the rewrite preserved contents exactly).
+    "lake_zorder" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_zo")
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.zorder(" +
+        s"'${LakeCatalogs.ns(dir)}.lake_zo', 'o_orderkey,o_custkey', 4)")
+      s.table(tbl)
+    }),
+
     // The commit-replaying streaming source: two append commits drain
     // through readStream.table under AvailableNow into a file sink; the
     // read-back must hold every appended row exactly once (offsets are
@@ -299,6 +311,10 @@ object LakeQueries {
          |FROM newest WHERE o_orderkey % 13 = 0""".stripMargin,
     // compaction preserves contents exactly
     "lake_compact" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev""".stripMargin,
+    // clustering preserves contents exactly
+    "lake_zorder" ->
       s"""$snapshotCte
          |SELECT * FROM prev""".stripMargin,
     // both appended halves, exactly once

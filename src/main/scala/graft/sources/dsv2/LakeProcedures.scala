@@ -34,8 +34,9 @@ object LakeProcedures {
   val Namespace = "system"
 
   def names: Seq[String] =
-    Seq("history", "rollback", "expire", "compact", "tag", "drop_tag",
-      "tags", "branch", "drop_branch", "fast_forward", "branches")
+    Seq("history", "rollback", "expire", "compact", "zorder", "tag",
+      "drop_tag", "tags", "branch", "drop_branch", "fast_forward",
+      "branches")
 
   /** Resolve `system.<name>` for a catalog rooted at `root`. */
   def load(root: String, ident: Identifier): UnboundProcedure = {
@@ -87,6 +88,19 @@ object LakeProcedures {
         in => {
           val (before, after) = LakeSnapshots.compact(
             SparkSession.active, dirOf(str(in, 0)), in.getLong(1))
+          Seq(new GenericInternalRow(Array[Any](before, after)))
+        })
+      case "zorder" => new LakeProcedure("zorder",
+        Array(param("table", StringType), param("columns", StringType),
+          param("target_files", IntegerType)),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        in => {
+          val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty)
+          val (before, after) = LakeSnapshots.zorder(
+            SparkSession.active, dirOf(str(in, 0)), cols.toSeq,
+            in.getInt(2))
           Seq(new GenericInternalRow(Array[Any](before, after)))
         })
       case "tag" => new LakeProcedure("tag",

@@ -94,6 +94,52 @@ class LakeProcedureSpec extends SparkSpec {
     }
   }
 
+  test("CALL zorder clusters the layout so footer stats prune on EVERY " +
+       "listed dimension — and stays a dataChange=false rewrite") {
+    withCatalog { (cat, root) =>
+      val dir = s"$root/db/z"
+      spark.sql(s"CREATE TABLE $cat.db.z (x INT, y INT, payload BIGINT)")
+      // insertion order clusters NEITHER dim: x cycles fast, y hops
+      graft.sources.dsv2.LakeTableIO.rowGroupBytes = 8L << 10
+      try spark.sql(
+        s"""INSERT INTO $cat.db.z
+           |SELECT CAST(id % 128 AS INT), CAST((id * 37) % 128 AS INT), id
+           |FROM range(16384)""".stripMargin)
+      finally graft.sources.dsv2.LakeTableIO.rowGroupBytes = 128L << 20
+
+      def planned(c: String, v: Int): (Int, Int) = {
+        val q = spark.sql(s"SELECT payload FROM $cat.db.z WHERE $c = $v")
+        val desc = q.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.description()
+        }.mkString("\n")
+        val m = "rowgroups=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+        (m.group(1).toInt, m.group(2).toInt)
+      }
+      val (px0, pt0) = planned("x", 5)
+      assert(pt0 >= 8, s"fixture needs many row groups, got $pt0")
+      assert(px0 > pt0 * 3 / 4,
+        s"scattered layout must defeat pruning on x: $px0/$pt0")
+
+      val res = spark.sql(
+        s"CALL $cat.system.zorder('db.z', 'x,y', 4)").collect()
+      assert(res.head.getInt(1) == 4, s"target files: ${res.head}")
+      val head = LakeLog.current(dir).get
+      assert(head.operation.startsWith("zorder") && !head.dataChange)
+
+      val (px1, pt1) = planned("x", 5)
+      val (py1, _) = planned("y", 9)
+      assert(px1 < pt1, s"z-order must prune on x: $px1/$pt1")
+      assert(py1 < pt1, s"z-order must prune on y: $py1/$pt1")
+      // same rows, same answers
+      assert(spark.table(s"$cat.db.z").count() == 16384)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.z WHERE x = 5")
+        .head.getLong(0) == 128)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.z WHERE y = 9")
+        .head.getLong(0) == 128)
+    }
+  }
+
   test("CALL history renders the audit trail; rollback and expire " +
        "return their outcomes as result rows") {
     withCatalog { (cat, root) =>
