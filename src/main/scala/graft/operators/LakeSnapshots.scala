@@ -91,7 +91,10 @@ object LakeSnapshots {
     val srcRows = LakeTableIO.footerRows(srcPaths)
     val df = spark.read.schema(LakeTableIO.tableSchema(dir))
       .parquet(srcPaths.map(_.toString): _*)
-    val bits = 32 / cols.size
+    // 16 bits/dim caps the z at 2^32 well inside Long; `1L <<` because
+    // the single-column case (bits=32 under the old Int math) wrapped
+    // (1 << 32) - 1 to 0 and normalized every row to bucket zero
+    val bits = math.min(16, 32 / cols.size)
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(c).cast("double").as(s"lo$i"),
         max(c).cast("double").as(s"hi$i"))
@@ -99,7 +102,7 @@ object LakeSnapshots {
     val mm = df.agg(aggs.head, aggs.tail: _*)
     val n = df.crossJoin(broadcast(mm))
     val normed = cols.zipWithIndex.map { case (c, i) =>
-      floor((col(c).cast("double") - col(s"lo$i")) * lit((1 << bits) - 1) /
+      floor((col(c).cast("double") - col(s"lo$i")) * lit((1L << bits) - 1) /
         greatest(col(s"hi$i") - col(s"lo$i"), lit(1.0d))).cast("long")
     }
     val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {

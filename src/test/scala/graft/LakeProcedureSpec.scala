@@ -140,6 +140,28 @@ class LakeProcedureSpec extends SparkSpec {
     }
   }
 
+  test("single-column zorder clusters too (regression: the Int shift " +
+       "for bits=32 wrapped and normalized every row to bucket zero)") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.z1 (k BIGINT)")
+      graft.sources.dsv2.LakeTableIO.rowGroupBytes = 8L << 10
+      try spark.sql(
+        s"""INSERT INTO $cat.db.z1
+           |SELECT (id * 2654435761) % 100000 FROM range(16384)""".stripMargin)
+      finally graft.sources.dsv2.LakeTableIO.rowGroupBytes = 128L << 20
+      spark.sql(s"CALL $cat.system.zorder('db.z1', 'k', 4)")
+      val q = spark.sql(s"SELECT k FROM $cat.db.z1 WHERE k < 1000")
+      val desc = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.mkString
+      val m = "rowgroups=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+      assert(m.group(1).toInt < m.group(2).toInt,
+        s"single-col cluster must prune: $desc")
+      assert(spark.table(s"$cat.db.z1").count() == 16384)
+    }
+  }
+
   test("CALL history renders the audit trail; rollback and expire " +
        "return their outcomes as result rows") {
     withCatalog { (cat, root) =>
