@@ -359,6 +359,17 @@ object LakeLog {
           s"cannot fast-forward '$name' in $dir: a main writer took " +
             s"v$v mid-publish"))
     }
+    // a branch writer racing the publish may have landed commits after
+    // the listing above — dropping the branch now would silently DELETE
+    // them. Leave the branch in place and conflict instead: the
+    // published prefix is already on main, nothing is lost, and the
+    // racer's work stays auditable (a later fast-forward of the stale
+    // branch correctly conflicts at the fork-point check).
+    if (versions(dir, Some(name)) != bvs)
+      throw new java.util.ConcurrentModificationException(
+        s"fast-forward of '$name' in $dir published ${bvs.size - 1} " +
+          "commits, but new branch commits landed mid-publish — branch " +
+          "kept; re-branch from the new main head and replay them")
     dropBranch(dir, name)
     bvs.size - 1
   }
