@@ -21,14 +21,22 @@ import graft.sources.dsv2.{LakeLog, LakeTableIO}
   */
 object LakeSnapshots {
 
+  /** One tuple per committed version — the single source the DataFrame
+    * AND the CALL-procedure renderings of the audit trail both map from
+    * (they drifted once; never again).
+    */
+  def historyRows(dir: String): Seq[(Long, String, Int, Int, Int, Long,
+      Boolean)] =
+    LakeLog.versions(dir).map(LakeLog.snapshotAt(dir, _))
+      .map(s => (s.version, s.operation, s.files.size, s.added.size,
+        s.removed.size, s.addedRows, s.dataChange))
+
   /** One row per committed version: the audit trail. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    LakeLog.versions(dir).map(LakeLog.snapshotAt(dir, _))
-      .map(s => (s.version, s.operation, s.files.size, s.added.size,
-        s.removed.size, s.addedRows))
+    historyRows(dir)
       .toDF("version", "operation", "n_files", "n_added", "n_removed",
-        "added_rows")
+        "added_rows", "data_change")
   }
 
   /** Row-level changes between two snapshots, computed from the file
@@ -62,12 +70,48 @@ object LakeSnapshots {
   def rollback(dir: String, version: Long): Long =
     LakeLog.rollback(dir, version).version
 
-  /** Drop all but the newest `keepLast` snapshots and delete data files
-    * nothing retained references. Returns
-    * (expired manifests, deleted files).
+  /** Drop all but the newest `keepLast` snapshots (tagged ones survive)
+    * and delete data files nothing retained references and older than
+    * the grace window (see [[LakeLog.defaultExpireGraceMs]] — the guard
+    * against vacuuming a concurrent writer's just-published,
+    * not-yet-committed file). Returns (expired manifests, deleted
+    * files).
     */
   def expire(dir: String, keepLast: Int): (Int, Int) =
     LakeLog.expire(dir, keepLast)
+
+  def expire(dir: String, keepLast: Int, graceMs: Long): (Int, Int) =
+    LakeLog.expire(dir, keepLast, graceMs)
+
+  /** Maintenance rewrites stage through Spark's parquet writer, whose
+    * default `outputTimestampType` is INT96 — an encoding the
+    * connector's reader deliberately rejects. Without this pin, ONE
+    * compact/zorder of a TIMESTAMP-typed table would pass its row-count
+    * check, publish, and leave the table unreadable through the
+    * connector. Scoped set-and-restore: maintenance is a foreground
+    * single operation on the calling session.
+    */
+  private def withMicrosTimestamps[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Delete just-published files after a failed log commit: their names
+    * are fresh UUIDs referenced by no manifest, so removing them cannot
+    * affect any reader — without this, a lost commit race leaks the
+    * whole rewrite onto disk until an expire.
+    */
+  private def unpublish(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                        names: Seq[String]): Unit =
+    names.foreach(n =>
+      try fs.delete(new Path(dir, n), false)
+      catch { case _: java.io.IOException => () })
 
   /** Rewrite the table clustered by the interleaved z-value of `cols`
     * (numeric), as a `dataChange=false` commit — same rows, new layout
@@ -95,15 +139,23 @@ object LakeSnapshots {
     // the single-column case (bits=32 under the old Int math) wrapped
     // (1 << 32) - 1 to 0 and normalized every row to bucket zero
     val bits = math.min(16, 32 / cols.size)
+    // derived-column names carry a fresh UUID so a user column can
+    // never collide: a table legitimately named `__z` used to have its
+    // DATA silently replaced by z-values under a dataChange=false
+    // commit — the worst kind of corruption
+    val tag = UUID.randomUUID().toString.replace("-", "")
+    def lo(i: Int) = s"__lo_${tag}_$i"
+    def hi(i: Int) = s"__hi_${tag}_$i"
+    val zCol = s"__zval_$tag"
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(c).cast("double").as(s"lo$i"),
-        max(c).cast("double").as(s"hi$i"))
+      Seq(min(c).cast("double").as(lo(i)),
+        max(c).cast("double").as(hi(i)))
     }
     val mm = df.agg(aggs.head, aggs.tail: _*)
     val n = df.crossJoin(broadcast(mm))
     val normed = cols.zipWithIndex.map { case (c, i) =>
-      floor((col(c).cast("double") - col(s"lo$i")) * lit((1L << bits) - 1) /
-        greatest(col(s"hi$i") - col(s"lo$i"), lit(1.0d))).cast("long")
+      floor((col(c).cast("double") - col(lo(i))) * lit((1L << bits) - 1) /
+        greatest(col(hi(i)) - col(lo(i)), lit(1.0d))).cast("long")
     }
     val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {
       case (nc, d) =>
@@ -111,11 +163,13 @@ object LakeSnapshots {
     }).reduce(_ + _)
     val stage = new Path(dir, s".zorder-${UUID.randomUUID()}")
     try {
-      n.withColumn("__z", z)
-        .repartitionByRange(targetFiles, col("__z"))
-        .sortWithinPartitions("__z")
-        .select(df.columns.map(col): _*)
-        .write.parquet(stage.toString)
+      withMicrosTimestamps(spark) {
+        n.withColumn(zCol, z)
+          .repartitionByRange(targetFiles, col(zCol))
+          .sortWithinPartitions(zCol)
+          .select(df.columns.map(col): _*)
+          .write.parquet(stage.toString)
+      }
       val staged = fs.listStatus(stage).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
@@ -128,8 +182,9 @@ object LakeSnapshots {
           throw new java.io.IOException(s"failed to publish $p -> $dest")
         dest.getName
       }
-      LakeLog.commit(dir, s"zorder(${cols.mkString(",")})", published,
+      try LakeLog.commit(dir, s"zorder(${cols.mkString(",")})", published,
         head.files, addedRows = 0L, dataChange = false)
+      catch { case e: Throwable => unpublish(fs, dir, published); throw e }
       (head.files.size, published.size)
     } finally fs.delete(stage, true)
   }
@@ -163,10 +218,12 @@ object LakeSnapshots {
       small.map(_._2).sum.toDouble / targetBytes).toInt)
     val stage = new Path(dir, s".compact-${UUID.randomUUID()}")
     try {
-      spark.read.schema(LakeTableIO.tableSchema(dir))
-        .parquet(srcPaths.map(_.toString): _*)
-        .repartition(nOut)
-        .write.parquet(stage.toString)
+      withMicrosTimestamps(spark) {
+        spark.read.schema(LakeTableIO.tableSchema(dir))
+          .parquet(srcPaths.map(_.toString): _*)
+          .repartition(nOut)
+          .write.parquet(stage.toString)
+      }
       val staged = fs.listStatus(stage).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
@@ -179,10 +236,10 @@ object LakeSnapshots {
           throw new java.io.IOException(s"failed to publish $p -> $dest")
         dest.getName
       }
-      LakeLog.commit(dir, "compact", published, small.map(_._1),
+      try LakeLog.commit(dir, "compact", published, small.map(_._1),
         addedRows = 0L, dataChange = false)
+      catch { case e: Throwable => unpublish(fs, dir, published); throw e }
       (head.files.size, head.files.size - small.size + published.size)
-    } finally fs.delete(stage, true) // abandon any residue; published
-                                     // files were renamed out already
+    } finally fs.delete(stage, true)
   }
 }

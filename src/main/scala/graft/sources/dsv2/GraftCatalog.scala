@@ -42,8 +42,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
-  private def tableDir(ident: Identifier): Path =
+  private def tableDir(ident: Identifier): Path = {
+    // identifier segments become PATH segments — without this check a
+    // backtick-quoted name like `..` walks out of the catalog root and
+    // DROP TABLE would recursively delete the whole lake
+    (ident.namespace.toSeq :+ ident.name).foreach(seg =>
+      require(seg.matches("[A-Za-z0-9_.-]+") && seg != "." && seg != "..",
+        s"graft_lake identifier segment '$seg' is not a safe path " +
+          "segment ([A-Za-z0-9_.-]+, not '.'/'..')"))
     new Path((root +: ident.namespace.toSeq :+ ident.name).mkString("/"))
+  }
 
   private def fs = new Path(root).getFileSystem(new Configuration())
 
@@ -179,7 +187,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                           changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(dir)) throw new NoSuchTableException(ident)
+    // two-phase: VALIDATE every change against the evolving schema
+    // first, collecting audit labels, and only then persist + log — so
+    // a multi-change ALTER where the third change is invalid leaves
+    // neither a half-applied schema nor phantom alter_* commits in the
+    // history for changes that never happened
     var schema = LakeTableIO.tableSchema(dir.toString)
+    val audits = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -199,8 +213,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             "values under name-based resolution; rewrite the table first")
         schema = schema.add(StructField(name, add.dataType(),
           nullable = true))
-        LakeLog.commit(dir.toString, s"alter_add($name)", Seq.empty,
-          Seq.empty, 0L, dataChange = false)
+        audits += s"alter_add($name)"
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           "graft_lake: nested columns cannot be dropped")
@@ -214,8 +227,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           require(schema.length > 1,
             "graft_lake: cannot drop the last column")
           schema = StructType(schema.fields.patch(idx, Nil, 1))
-          LakeLog.commit(dir.toString, s"alter_drop($name)", Seq.empty,
-            Seq.empty, 0L, dataChange = false)
+          audits += s"alter_drop($name)"
         }
       case other =>
         throw new UnsupportedOperationException(
@@ -224,6 +236,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             "mapping or a table rewrite")
     }
     LakeTableIO.writeSchema(dir.toString, schema)
+    audits.foreach(op => LakeLog.commit(dir.toString, op, Seq.empty,
+      Seq.empty, 0L, dataChange = false))
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
       .mkString("."), dir.toString)
   }

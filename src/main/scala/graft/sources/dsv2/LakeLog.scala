@@ -67,6 +67,11 @@ object LakeLog {
   def branchLogDir(dir: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"branch names are [A-Za-z0-9._-]+, got '$name'")
+    // an all-digit branch would shadow numeric snapshot ids in
+    // VERSION AS OF (branch resolution runs first) — reject at creation
+    require(!name.forall(_.isDigit),
+      s"branch name '$name' is all digits — it would shadow numeric " +
+        "snapshot-id resolution in VERSION AS OF")
     new Path(logDir(dir), s"branches/$name")
   }
 
@@ -380,6 +385,12 @@ object LakeLog {
   private def tagPath(dir: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"tag names are [A-Za-z0-9._-]+, got '$name'")
+    // resolve() tries numeric ids BEFORE tag lookup, so an all-digit
+    // tag would be unreachable (shadowed by version resolution) —
+    // reject it at creation, where the user can still pick another name
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — it would be shadowed by " +
+        "numeric snapshot-id resolution in VERSION AS OF")
     new Path(logDir(dir), s"ref-$name.json")
   }
 
@@ -458,7 +469,22 @@ object LakeLog {
     * count, deleted file count). Single-writer maintenance operation
     * (like every lakehouse vacuum).
     */
-  def expire(dir: String, keepLast: Int): (Int, Int) = {
+  /** Grace window for orphan deletion: a file published within the last
+    * `graceMs` may belong to a writer BETWEEN its publish renames and
+    * its log commit — deleting it would let that commit succeed with a
+    * manifest pointing at a vanished file. Production default 10 min
+    * (the Delta/Iceberg vacuum-retention idea at small scale);
+    * overridable per call, and fixtures pass 0 to observe deletions
+    * synchronously.
+    */
+  def defaultExpireGraceMs: Long =
+    sys.props.get("graft.lake.expire.grace.ms").map(_.toLong)
+      .getOrElse(10L * 60 * 1000)
+
+  def expire(dir: String, keepLast: Int): (Int, Int) =
+    expire(dir, keepLast, defaultExpireGraceMs)
+
+  def expire(dir: String, keepLast: Int, graceMs: Long): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val fs = fsFor(dir)
     val vs = versions(dir)
@@ -474,7 +500,11 @@ object LakeLog {
         .flatMap(v => snapshotAt(dir, v, Some(b)).files))
     val referenced = keep.flatMap(snapshotAt(dir, _).files).toSet ++
       branchFiles
-    val orphans = rawDataFiles(dir).filterNot(referenced)
+    val horizon = System.currentTimeMillis() - graceMs
+    val orphans = rawDataFiles(dir).filterNot(referenced).filter { f =>
+      try fs.getFileStatus(new Path(dir, f)).getModificationTime < horizon
+      catch { case _: java.io.IOException => false } // vanished: skip
+    }
     drop.foreach(v =>
       fs.delete(new Path(logDir(dir), manifestName(v)), false))
     orphans.foreach(f => fs.delete(new Path(dir, f), false))

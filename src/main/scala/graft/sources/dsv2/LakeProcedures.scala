@@ -56,12 +56,10 @@ object LakeProcedures {
           StructField("n_removed", IntegerType, nullable = false),
           StructField("added_rows", LongType, nullable = false),
           StructField("data_change", BooleanType, nullable = false))),
-        in => {
-          val dir = dirOf(str(in, 0))
-          LakeLog.versions(dir).map(LakeLog.snapshotAt(dir, _)).map(s =>
-            new GenericInternalRow(Array[Any](s.version,
-              UTF8String.fromString(s.operation), s.files.size,
-              s.added.size, s.removed.size, s.addedRows, s.dataChange)))
+        in => LakeSnapshots.historyRows(dirOf(str(in, 0))).map {
+          case (v, op, nf, na, nr, rows, dc) =>
+            new GenericInternalRow(Array[Any](v,
+              UTF8String.fromString(op), nf, na, nr, rows, dc))
         })
       case "rollback" => new LakeProcedure("rollback",
         Array(param("table", StringType), param("version", LongType)),

@@ -95,14 +95,14 @@ class LakeBranchSpec extends SparkSpec {
       spark.sql(s"INSERT INTO $cat.db.a.branch_bad SELECT id FROM range(1000, 1100)")
 
       // the staged file is protected from expire while the branch lives
-      val (_, deleted1) = graft.operators.LakeSnapshots.expire(dir, 1)
+      val (_, deleted1) = graft.operators.LakeSnapshots.expire(dir, 1, graceMs = 0L)
       assert(deleted1 == 0, "live branch files must survive the vacuum")
       assert(spark.sql(s"SELECT * FROM $cat.db.a VERSION AS OF 'bad'")
         .count() == 150)
 
       spark.sql(s"CALL $cat.system.drop_branch('db.a', 'bad')")
       assert(spark.table(s"$cat.db.a").count() == 50, "main never saw it")
-      val (_, deleted2) = graft.operators.LakeSnapshots.expire(dir, 1)
+      val (_, deleted2) = graft.operators.LakeSnapshots.expire(dir, 1, graceMs = 0L)
       assert(deleted2 > 0, "dropped branch's staged files are reclaimed")
       assert(spark.table(s"$cat.db.a").count() == 50)
     }

@@ -29,11 +29,16 @@ class LakeProcedureSpec extends SparkSpec {
        "fewer files, identical rows, old layout still time-travelable") {
     withCatalog { (cat, root) =>
       val dir = s"$root/db/c"
-      spark.sql(s"CREATE TABLE $cat.db.c (k BIGINT, v STRING)")
+      // the TIMESTAMP column is a regression pin: the staging write
+      // used Spark's default INT96 timestamp encoding, which the
+      // connector's reader rejects — one compact made the table
+      // permanently unreadable
+      spark.sql(s"CREATE TABLE $cat.db.c (k BIGINT, v STRING, ts TIMESTAMP)")
       // 3 appends × 8-way repartition = 24 small files
       (0 until 3).foreach { i =>
         spark.range(i * 1000, (i + 1) * 1000)
-          .selectExpr("id AS k", "concat('v', id) AS v")
+          .selectExpr("id AS k", "concat('v', id) AS v",
+            "timestamp_micros(1700000000000000 + id) AS ts")
           .repartition(8).createOrReplaceTempView("proc_c_batch")
         spark.sql(s"INSERT INTO $cat.db.c SELECT * FROM proc_c_batch")
       }
@@ -50,10 +55,15 @@ class LakeProcedureSpec extends SparkSpec {
       val head = LakeLog.current(dir).get
       assert(head.operation == "compact" && !head.dataChange)
       assert(head.files.size == after)
-      // contents byte-identical under the new layout
+      // contents byte-identical under the new layout — including the
+      // TIMESTAMP column read back THROUGH the connector
       assert(spark.table(s"$cat.db.c").count() == 3000)
       assert(spark.table(s"$cat.db.c").agg(org.apache.spark.sql.functions
         .sum(col("k"))).head.getLong(0) == (0L until 3000L).sum)
+      val t7 = spark.sql(s"SELECT ts FROM $cat.db.c WHERE k = 7")
+        .head.getTimestamp(0)
+      assert(t7.toInstant.toEpochMilli == 1700000000000L + 0,
+        s"timestamp mangled by the rewrite: $t7")
       // the pre-compact snapshot still reads the OLD 24-file layout
       val v3 = spark.sql(s"SELECT * FROM $cat.db.c VERSION AS OF 3")
       assert(v3.count() == 3000)
@@ -182,6 +192,48 @@ class LakeProcedureSpec extends SparkSpec {
       val ex = spark.sql(s"CALL $cat.system.expire('db.h', 1)").collect()
       assert(ex.head.getInt(0) == 3, "three manifests expired")
       assert(spark.table(s"$cat.db.h").count() == 50, "head intact")
+    }
+  }
+
+  test("hostile identifiers cannot escape the catalog root, and all-digit " +
+       "ref names are rejected before they can shadow snapshot ids") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.safe (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.safe SELECT id FROM range(5)")
+      // `..` as a table name would resolve to the catalog root itself —
+      // DROP TABLE would then recursively delete EVERY table
+      intercept[Exception] {
+        spark.sql(s"DROP TABLE $cat.db.`..`")
+      }
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.db.`a/b`").collect()
+      }
+      assert(spark.table(s"$cat.db.safe").count() == 5, "root intact")
+      // all-digit tag/branch names would be shadowed by (or shadow)
+      // numeric VERSION AS OF resolution
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.system.tag('db.safe', '123', 1)").collect()
+      }
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.system.branch('db.safe', '42')").collect()
+      }
+    }
+  }
+
+  test("a failed multi-change ALTER leaves neither a half-applied schema " +
+       "nor phantom audit commits") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.al (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.db.al SELECT id, 'x' FROM range(5)")
+      val before = LakeLog.versions(s"$root/db/al").size
+      // second column collides — the whole statement must be a no-op
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.al ADD COLUMNS (a INT, v INT)")
+      }
+      assert(spark.table(s"$cat.db.al").schema.fieldNames.toSeq ==
+        Seq("k", "v"), "schema must be untouched")
+      assert(LakeLog.versions(s"$root/db/al").size == before,
+        "no phantom alter_* commits for changes that never happened")
     }
   }
 

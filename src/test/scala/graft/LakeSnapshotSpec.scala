@@ -133,7 +133,7 @@ class LakeSnapshotSpec extends SparkSpec {
       assert(LakeSnapshots.history(spark, dir).count() == 4)
 
       // expire everything but the head: time travel dies, head survives
-      val (droppedManifests, deletedFiles) = LakeSnapshots.expire(dir, 1)
+      val (droppedManifests, deletedFiles) = LakeSnapshots.expire(dir, 1, graceMs = 0L)
       assert(droppedManifests == 3)
       assert(deletedFiles > 0, "the delete-rewrite orphan must be vacuumed")
       assert(spark.table(s"$cat.db.r").count() == 50, "head intact")

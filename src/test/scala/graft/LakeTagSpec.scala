@@ -70,7 +70,7 @@ class LakeTagSpec extends SparkSpec {
       spark.sql(s"INSERT INTO $cat.db.e SELECT id FROM range(50, 60)") // v3
       spark.sql(s"CALL $cat.system.tag('db.e', 'keepme', 1)")
 
-      val (dropped1, _) = graft.operators.LakeSnapshots.expire(dir, 1)
+      val (dropped1, _) = graft.operators.LakeSnapshots.expire(dir, 1, graceMs = 0L)
       assert(dropped1 == 2,
         s"v0 and v2 expire; tagged v1 and head v3 survive: $dropped1")
       // the tag still time-travels, with its data files intact
@@ -79,7 +79,7 @@ class LakeTagSpec extends SparkSpec {
       assert(spark.table(s"$cat.db.e").count() == 45, "head intact")
 
       spark.sql(s"CALL $cat.system.drop_tag('db.e', 'keepme')")
-      val (dropped2, deleted2) = graft.operators.LakeSnapshots.expire(dir, 1)
+      val (dropped2, deleted2) = graft.operators.LakeSnapshots.expire(dir, 1, graceMs = 0L)
       assert(dropped2 == 1 && deleted2 > 0,
         s"untagged snapshot now reclaims files: ($dropped2, $deleted2)")
       assert(spark.table(s"$cat.db.e").count() == 45, "head intact")
