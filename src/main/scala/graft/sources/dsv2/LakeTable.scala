@@ -402,8 +402,20 @@ class LakeWrite(dir: String, writeSchema: StructType,
       // for time travel until an explicit expire
       val removed = Option(replaceFiles).map(_().map(f =>
         new Path(f).getName)).getOrElse(Seq.empty)
-      LakeLog.commit(dir, opName, published.map(_._1).toSeq, removed,
+      try LakeLog.commit(dir, opName, published.map(_._1).toSeq, removed,
         published.map(_._2).sum, branch = branch)
+      catch {
+        case e: Throwable =>
+          // a replace conflict (another writer rewrote a covered file
+          // first) aborts this operation — the freshly-published UUID
+          // names are in no manifest, so deleting them is safe and
+          // keeps the table dir free of invisible orphans
+          published.foreach { case (n, _) =>
+            try fs.delete(new Path(dir, n), false)
+            catch { case _: java.io.IOException => () }
+          }
+          throw e
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
