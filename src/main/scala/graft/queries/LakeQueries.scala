@@ -36,7 +36,7 @@ object LakeQueries {
   import DeltaQueries.{key, newest, previous, snapshotCte}
 
   private def tablePath(dir: String, name: String): String =
-    s"${LakeCatalogs.root}/${LakeCatalogs.ns(dir)}/$name"
+    LakeCatalogs.tablePath(dir, name)
 
   private def tableId(dir: String, name: String): String =
     s"${LakeCatalogs.CatalogName}.${LakeCatalogs.ns(dir)}.$name"
@@ -50,6 +50,26 @@ object LakeQueries {
     val tbl = tableId(dir, name)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     previous(s, dir).writeTo(tbl).create()
+    tbl
+  }
+
+  /** Drop + CTAS of prev's even keys + INSERT of the odd keys: the
+    * two-append fixture (v0 create / v1 append / v2 append) that
+    * history, compaction, and the streaming source all replay. The
+    * `% 2` split is mirrored by the lake_history oracle's counts —
+    * change them together.
+    */
+  private def twoAppendTable(s: SparkSession, dir: String, name: String,
+                             repartitionTo: Option[Int] = None): String = {
+    LakeCatalogs.register(s)
+    val tbl = tableId(dir, name)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    def shape(df: DataFrame): DataFrame =
+      repartitionTo.fold(df)(df.repartition(_))
+    shape(previous(s, dir).where(col(key) % 2 === 0)).writeTo(tbl).create()
+    shape(previous(s, dir).where(col(key) % 2 =!= 0))
+      .createOrReplaceTempView(s"${name}_more")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM ${name}_more")
     tbl
   }
 
@@ -113,13 +133,7 @@ object LakeQueries {
     // deliberately not projected — row counts are the layout-independent
     // contract, file counts are a layout detail.
     "lake_history" -> ((s, dir) => {
-      LakeCatalogs.register(s)
-      val tbl = tableId(dir, "lake_hist")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      previous(s, dir).where(col(key) % 2 === 0).writeTo(tbl).create()
-      previous(s, dir).where(col(key) % 2 =!= 0)
-        .createOrReplaceTempView("lake_hist_more")
-      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_hist_more")
+      twoAppendTable(s, dir, "lake_hist")
       LakeSnapshots.history(s, tablePath(dir, "lake_hist"))
         .select("version", "operation", "added_rows")
     }),
@@ -141,7 +155,11 @@ object LakeQueries {
     "lake_expire" -> ((s, dir) => {
       val tbl = freshTable(s, dir, "lake_exp")
       s.sql(s"DELETE FROM $tbl WHERE $key % 3 = 0")
-      LakeSnapshots.expire(tablePath(dir, "lake_exp"), keepLast = 1)
+      // grace 0: the declared query must exercise the orphan-DELETION
+      // branch, not just manifest expiry (the production default's
+      // 10-minute grace would retain every just-written orphan here)
+      LakeSnapshots.expire(tablePath(dir, "lake_exp"), keepLast = 1,
+        graceMs = 0L)
       s.table(tbl)
     }),
 
@@ -174,7 +192,8 @@ object LakeQueries {
       s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.tag(" +
         s"'${LakeCatalogs.ns(dir)}.lake_tag', 'prev-release', 1)")
       s.sql(s"DELETE FROM $tbl WHERE $key % 4 = 0")
-      LakeSnapshots.expire(tablePath(dir, "lake_tag"), keepLast = 1)
+      LakeSnapshots.expire(tablePath(dir, "lake_tag"), keepLast = 1,
+        graceMs = 0L) // grace 0: the vacuum branch must actually run
       s.sql(s"SELECT * FROM $tbl VERSION AS OF 'prev-release'")
     }),
 
@@ -203,14 +222,7 @@ object LakeQueries {
     // the dataChange flag, and streaming invisibility are pinned in
     // LakeProcedureSpec; the oracle proves row preservation.)
     "lake_compact" -> ((s, dir) => {
-      LakeCatalogs.register(s)
-      val tbl = tableId(dir, "lake_cmp")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      previous(s, dir).where(col(key) % 2 === 0).repartition(8)
-        .writeTo(tbl).create()
-      previous(s, dir).where(col(key) % 2 =!= 0).repartition(8)
-        .createOrReplaceTempView("lake_cmp_more")
-      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_cmp_more")
+      val tbl = twoAppendTable(s, dir, "lake_cmp", repartitionTo = Some(8))
       s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.compact(" +
         s"'${LakeCatalogs.ns(dir)}.lake_cmp', ${256L << 20})")
       s.table(tbl)
@@ -233,13 +245,7 @@ object LakeQueries {
     // read-back must hold every appended row exactly once (offsets are
     // commit versions riding the checkpoint — no replays, no gaps).
     "stream_lake_source" -> ((s, dir) => {
-      LakeCatalogs.register(s)
-      val tbl = tableId(dir, "lake_stream")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      previous(s, dir).where(col(key) % 2 === 0).writeTo(tbl).create()
-      previous(s, dir).where(col(key) % 2 =!= 0)
-        .createOrReplaceTempView("lake_stream_more")
-      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_stream_more")
+      val tbl = twoAppendTable(s, dir, "lake_stream")
       val out = freshDir("stream", dir)
       val q = s.readStream.table(tbl)
         .writeStream.format("parquet")

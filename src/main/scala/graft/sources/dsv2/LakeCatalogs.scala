@@ -19,6 +19,13 @@ object LakeCatalogs {
     */
   def ns(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** The on-disk directory of `ns(sfDir).name` — THE layout mapping,
+    * shared with query fixtures so a layout change cannot silently
+    * desynchronize direct log access from catalog-resolved SQL.
+    */
+  def tablePath(sfDir: String, name: String): String =
+    s"$root/${ns(sfDir)}/$name"
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     spark.conf.set(s"spark.sql.catalog.$CatalogName",

@@ -8,10 +8,30 @@ import org.apache.spark.sql.types.StructType
 
 /** Snapshot-version offset; `json` lands in the checkpoint log. `-1`
   * means "before the first commit", so batch (start, end] replays
-  * manifests start+1 .. end.
+  * manifests start+1 .. end. `snapshotStart` marks a FRESH stream
+  * positioned at an expiry-trimmed log: the next batch must emit
+  * version v+1's COMPLETE file set (the initial snapshot), not its
+  * append delta — a resumed checkpoint at the same numeric position
+  * already consumed the history that delta builds on, so the flag is
+  * what keeps the two cases apart. Plain numeric json stays the wire
+  * format for ordinary offsets (old checkpoints parse unchanged).
   */
-case class LakeVersionOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+case class LakeVersionOffset(v: Long, snapshotStart: Boolean = false)
+    extends Offset {
+  override def json(): String =
+    if (snapshotStart) s"""{"v":$v,"snapshotStart":true}""" else v.toString
+}
+
+object LakeVersionOffset {
+  def parse(json: String): LakeVersionOffset =
+    json.toLongOption.map(LakeVersionOffset(_)).getOrElse {
+      val m = """\{"v":(-?\d+),"snapshotStart":true\}""".r
+      json.trim match {
+        case m(v) => LakeVersionOffset(v.toLong, snapshotStart = true)
+        case other => throw new IllegalArgumentException(
+          s"unparseable lake stream offset: '$other'")
+      }
+    }
 }
 
 /** Streaming read of a [[LakeTable]]: the [[LakeLog]] IS the
@@ -53,17 +73,46 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
   private def headVersion: Long =
     LakeLog.current(dir).map(_.version).getOrElse(-1L)
 
+  // expiry trims the log's front; the stream must neither crash on the
+  // vacuumed prefix nor silently skip data a checkpoint already claimed
+  private def earliestVersion: Option[Long] = LakeLog.versions(dir).headOption
+
   override def prepareForTriggerAvailableNow(): Unit =
     target = Some(headVersion)
 
-  // a fresh checkpoint starts at `startingVersion` (inclusive — the
-  // backfill cursor, a version id or tag via the startingVersion
-  // option); a resumed query ignores this and reads its checkpoint
-  override def initialOffset(): Offset =
-    LakeVersionOffset(startingVersion.map(_ - 1).getOrElse(-1L))
+  /** A fresh checkpoint starts at `startingVersion` (inclusive — the
+    * backfill cursor, a version id or tag via the startingVersion
+    * option), else at the EARLIEST RETAINED version — on a table whose
+    * old manifests were expired, the first batch is that snapshot's
+    * complete state (snapshot-then-increments, Delta's initial-snapshot
+    * semantics) instead of a crash on the vacuumed v0. A resumed query
+    * ignores this and reads its checkpoint.
+    */
+  override def initialOffset(): Offset = {
+    val earliest = earliestVersion.getOrElse(throw new IllegalStateException(
+      s"cannot stream unlogged directory $dir: the batch read lists raw " +
+        "files, but the stream replays COMMITS — one committed write " +
+        "bootstraps the log (v0 = the observed files)"))
+    startingVersion match {
+      case Some(sv) =>
+        require(sv >= earliest,
+          s"startingVersion $sv of $dir is expired (earliest retained: " +
+            s"v$earliest)")
+        require(sv <= headVersion + 1,
+          s"startingVersion $sv of $dir is beyond the head " +
+            s"(v$headVersion) — a typo'd backfill cursor would silently " +
+            "skip data")
+        LakeVersionOffset(sv - 1)
+      case None =>
+        // snapshotStart only matters when expiry trimmed the front: the
+        // first retained manifest then carries state its own `added`
+        // doesn't cover
+        LakeVersionOffset(earliest - 1, snapshotStart = earliest > 0)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
-    LakeVersionOffset(json.toLong)
+    LakeVersionOffset.parse(json)
 
   // admission control: at most `maxCommitsPerBatch` commits advance per
   // micro-batch, so a backlogged table (a week of commits after a
@@ -72,9 +121,20 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
   private val maxCommitsPerBatch = 8L
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[LakeVersionOffset].v
+    val so = start.asInstanceOf[LakeVersionOffset]
     val head = target.getOrElse(headVersion)
-    LakeVersionOffset(math.min(head, s + maxCommitsPerBatch))
+    if (so.v > head)
+      // silently regressing would commit an empty batch and skip the
+      // recreated table's entire contents with no error
+      throw new IllegalStateException(
+        s"checkpointed offset v${so.v} of $dir is ahead of the table " +
+          s"head v$head — the table was truncated or recreated under " +
+          "this checkpoint; start over with a fresh checkpoint")
+    if (so.v >= head) return so // nothing new; keep the flag stable
+    // an ADVANCED end offset must drop snapshotStart: the batch it
+    // closes consumed the initial snapshot, and the next batch resumes
+    // with ordinary append deltas
+    LakeVersionOffset(math.min(head, so.v + maxCommitsPerBatch))
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
@@ -85,12 +145,26 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[LakeVersionOffset].v
+    val so = start.asInstanceOf[LakeVersionOffset]
+    val a = so.v
     val b = end.asInstanceOf[LakeVersionOffset].v
+    earliestVersion.foreach { earliest =>
+      if (a + 1 < earliest)
+        throw new IllegalStateException(
+          s"checkpointed offset v$a of $dir fell behind history expiry " +
+            s"(earliest retained: v$earliest) — the commits this " +
+            "consumer never saw are vacuumed; restart with a fresh " +
+            "checkpoint (optionally startingVersion) once downstream " +
+            "is reconciled")
+    }
     val added = (a + 1 to b).flatMap { v =>
       val snap = LakeLog.snapshotAt(dir, v)
-      if (!snap.dataChange) Seq.empty // compaction/clustering: same rows,
-                                      // new layout — nothing to emit
+      if (so.snapshotStart && v == a + 1)
+        // fresh stream on an expiry-trimmed log: the first retained
+        // manifest's COMPLETE file set is the initial snapshot
+        snap.files
+      else if (!snap.dataChange) Seq.empty // compaction/clustering: same
+                                           // rows, new layout — no emit
       else if (snap.removed.nonEmpty) {
         if (skipChangeCommits) Seq.empty
         else throw new IllegalStateException(

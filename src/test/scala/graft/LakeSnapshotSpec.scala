@@ -191,6 +191,78 @@ class LakeSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("a fresh stream on an expiry-trimmed log starts from the earliest " +
+       "retained snapshot's COMPLETE state, then increments — no crash " +
+       "on the vacuumed prefix, no double-emission on later batches") {
+    withCatalog { (cat, root) =>
+      val out = Files.createTempDirectory("graft-snap-exp").toString
+      spark.sql(s"CREATE TABLE $cat.db.x (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.x SELECT id FROM range(100)")
+      spark.sql(s"INSERT INTO $cat.db.x SELECT id FROM range(100, 130)")
+      // vacuum the front: v0/v1 manifests gone, v2 is all that remains
+      LakeSnapshots.expire(s"$root/db/x", keepLast = 1, graceMs = 0L)
+      assert(LakeLog.versions(s"$root/db/x") == Seq(2L))
+
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.db.x")
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // initial snapshot: v2's complete file set
+      assert(spark.read.parquet(s"$out/data").count() == 130)
+      spark.sql(s"INSERT INTO $cat.db.x SELECT id FROM range(130, 140)")
+      drain() // ordinary increment afterwards — the flag must not stick
+      val rows = spark.read.parquet(s"$out/data")
+      assert(rows.count() == 140, "exactly one snapshot + one delta")
+      assert(rows.select("k").distinct().count() == 140, "no replays")
+    }
+  }
+
+  test("a checkpoint ahead of the table head (drop/recreate under it) " +
+       "fails loud instead of silently skipping the new contents; an " +
+       "unlogged directory cannot be streamed at all") {
+    withCatalog { (cat, root) =>
+      val out = Files.createTempDirectory("graft-snap-rec").toString
+      spark.sql(s"CREATE TABLE $cat.db.r (k BIGINT)")
+      (0 until 3).foreach(i => spark.sql(
+        s"INSERT INTO $cat.db.r SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.db.r")
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // checkpoint now at v3
+      spark.sql(s"DROP TABLE $cat.db.r")
+      spark.sql(s"CREATE TABLE $cat.db.r (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.r SELECT id FROM range(5)") // head v1
+      val e = intercept[Exception] { drain() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("ahead of the table head")),
+        s"wrong failure: ${e.getMessage}")
+
+      // unlogged dir: batch reads list raw files, but a stream has no
+      // commits to replay — fail loud, not an empty stream
+      val raw = s"$root/db/rawonly"
+      spark.range(10).selectExpr("id AS k").write.parquet(raw)
+      assert(spark.table(s"$cat.db.rawonly").count() == 10)
+      val e2 = intercept[Exception] {
+        val q = spark.readStream.table(s"$cat.db.rawonly")
+          .writeStream.format("noop")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      assert(msgs(e2).exists(_.contains("unlogged")),
+        s"wrong failure: ${e2.getMessage}")
+    }
+  }
+
   test("unlogged directories interop: reads fall back to listing, the " +
        "first write bootstraps v0 from the observed files") {
     withCatalog { (cat, root) =>
