@@ -240,6 +240,28 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // Streaming INTO the lake: the commit-replaying source pipes a
+    // two-append table into a SECOND lake table via writeStream.toTable
+    // — each micro-batch an epoch-tagged manifest commit (exactly-once;
+    // replay idempotence pinned in LakeStreamSinkSpec). The oracle over
+    // the read-back of the TARGET proves the pipe moved every row
+    // exactly once through both halves of the streaming contract.
+    "stream_lake_sink" -> ((s, dir) => {
+      twoAppendTable(s, dir, "lake_pipe_src")
+      LakeCatalogs.register(s)
+      val dst = tableId(dir, "lake_pipe_dst")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $dst (${previous(s, dir).schema.toDDL})")
+      val out = freshDir("pipe", dir)
+      val q = s.readStream.table(tableId(dir, "lake_pipe_src"))
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+      s.table(dst)
+    }),
+
     // The commit-replaying streaming source: two append commits drain
     // through readStream.table under AvailableNow into a file sink; the
     // read-back must hold every appended row exactly once (offsets are
@@ -321,6 +343,10 @@ object LakeQueries {
          |SELECT * FROM prev""".stripMargin,
     // clustering preserves contents exactly
     "lake_zorder" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev""".stripMargin,
+    // the pipe lands every source row in the target exactly once
+    "stream_lake_sink" ->
       s"""$snapshotCte
          |SELECT * FROM prev""".stripMargin,
     // both appended halves, exactly once

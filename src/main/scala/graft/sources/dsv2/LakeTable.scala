@@ -74,7 +74,8 @@ class LakeTable(tableName: String, val dir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(dir, schema, pinnedVersion,
@@ -90,7 +91,7 @@ class LakeTable(tableName: String, val dir: String,
     new WriteBuilder {
       override def build(): Write =
         new LakeWrite(dir, info.schema(), replaceFiles = null, "append",
-          branch)
+          branch, queryId = info.queryId())
     }
   }
 
@@ -381,7 +382,75 @@ case class LakeFileMessage(stagedPath: String, rows: Long)
 class LakeWrite(dir: String, writeSchema: StructType,
                 replaceFiles: () => Seq[String],
                 opName: String,
-                branch: Option[String] = None) extends Write {
+                branch: Option[String] = None,
+                queryId: String = "") extends Write {
+
+  /** Streaming flavor: each epoch publishes like a batch and seals a
+    * manifest whose operation carries `(queryId, epochId)` — a replayed
+    * epoch (driver restart re-running the last uncommitted batch) finds
+    * its marker in the log and becomes a clean no-op, so the lake table
+    * is an EXACTLY-ONCE streaming sink. Published-but-uncommitted files
+    * of a crashed attempt are invisible orphans (in no manifest) that
+    * the expire vacuum reclaims after its grace window.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      private def epochOp(epochId: Long) =
+        s"stream_epoch($queryId:$epochId)"
+
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+          private val inner = new LakeWriterFactory(dir, writeSchema)
+          override def createWriter(partitionId: Int, taskId: Long,
+                                    epochId: Long): DataWriter[InternalRow] =
+            inner.createWriter(partitionId, taskId)
+        }
+
+      override def commit(epochId: Long,
+                          messages: Array[WriterCommitMessage]): Unit = {
+        val fs = new Path(dir).getFileSystem(new Configuration())
+        val collected = messages.collect {
+          case LakeFileMessage(p, n) if p != null => (new Path(p), n)
+        }
+        if (LakeLog.versions(dir, branch)
+            .exists(v => LakeLog.snapshotAt(dir, v, branch)
+              .operation == epochOp(epochId))) {
+          // replay: this epoch's manifest is already sealed — drop the
+          // re-staged files and report success (idempotent)
+          collected.foreach { case (p, _) => fs.delete(p, false) }
+          return
+        }
+        val published = collected.map { case (p, n) =>
+          val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+          if (!fs.rename(p, dest))
+            throw new java.io.IOException(s"failed to publish $p -> $dest")
+          (dest.getName, n)
+        }
+        try LakeLog.commit(dir, epochOp(epochId),
+          published.map(_._1).toSeq, Seq.empty,
+          published.map(_._2).sum, branch = branch)
+        catch {
+          case e: Throwable =>
+            published.foreach { case (n, _) =>
+              try fs.delete(new Path(dir, n), false)
+              catch { case _: java.io.IOException => () }
+            }
+            throw e
+        }
+      }
+
+      override def abort(epochId: Long,
+                         messages: Array[WriterCommitMessage]): Unit = {
+        val fs = new Path(dir).getFileSystem(new Configuration())
+        messages.collect {
+          case LakeFileMessage(p, _) if p != null =>
+            try fs.delete(new Path(p), false)
+            catch { case _: java.io.IOException => () }
+        }
+      }
+    }
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
