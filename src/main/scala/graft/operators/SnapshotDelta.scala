@@ -95,6 +95,66 @@ object SnapshotDelta {
       .select(newest.columns.toIndexedSeq.map(c => col(s"n.$c")): _*)
   }
 
+  /** [[updated]] with the wide-row shuffle factored OUT — the default
+    * plan for UNBUCKETED snapshots at scale. The plain formulation
+    * shuffles every compared column of BOTH sides through the join
+    * (at 10× fixture scale: two ~750 MB full-width exchanges plus
+    * ~1.1 GB of sort spill — the measured 73 s sort/spill cliff in
+    * SCALING.md sweep H); this one joins only `(key, rowhash)` first —
+    * a few dozen bytes per row — to find the CHANGED key set, then
+    * semi-joins each wide side down to exactly those keys before the
+    * full-width join runs. Weekly change rates are single-digit
+    * percent, so the wide join's inputs shrink by ~20-100× and AQE
+    * turns its exchange into a broadcast when the changed set fits;
+    * even in the worst case (everything changed) the plan degrades to
+    * the plain formulation's cost, never below it. Each side is
+    * scanned twice, but a parquet scan is sequential map-side work —
+    * trading it for the full-width exchange+sort is the right exchange
+    * at any scale. Result rows are IDENTICAL to [[updated]] (the pair
+    * filter and change predicate re-run on the rejoined pairs, so
+    * multiplicity under duplicate keys and Legacy's three-valued
+    * semantics are preserved bit-for-bit). Bucketed snapshots should
+    * keep [[updated]]: their join has NO exchange to factor out, and
+    * the extra semi-joins would only add work.
+    */
+  def updatedNarrow(newest: DataFrame, previous: DataFrame, key: String,
+                    attrs: Seq[String],
+                    mode: ChangeMode = Legacy): DataFrame = {
+    val rowHash = "_graft_rowhash"
+    val h = xxhash64(
+      struct(attrs.flatMap(c => Seq(col(c).isNull, col(c))): _*))
+    val n = newest.withColumn(rowHash, h).alias("n")
+    val p = previous.withColumn(rowHash, h).alias("p")
+    // phase 1: the narrow join — key + 8-byte hash per side, nothing
+    // else crosses the wire; distinct because a key with several
+    // differing pairs must appear once in the steering set
+    val changed = n.select(col(s"n.$key").as("ck"), col(rowHash).as("nh"))
+      .join(p.select(col(s"p.$key").as("ck"), col(rowHash).as("ph")), "ck")
+      .where(col("nh") =!= col("ph"))
+      .select(col("ck")).distinct()
+    // phase 2: shrink each wide side to the changed keys, then run the
+    // exact pair-level logic of `updated` on what remains. The semi
+    // build side is HINTED broadcast: size estimation cannot see that
+    // the distinct-after-join output is change-rate sized (join size
+    // estimates multiply), so the unhinted initial plan is a SMJ semi
+    // whose ENSURE_REQUIREMENTS exchange materializes a full-width
+    // shuffle WRITE of each side even after AQE converts the join and
+    // reads it locally. The hint keeps the wide sides exchange-free
+    // end-to-end (one broadcast, reused for both sides). Contract: the
+    // CHANGED KEY set fits the broadcast budget — that is what "change
+    // detection" means operationally; a table where most keys change
+    // every snapshot should diff with [[updated]] (or bucket its
+    // snapshots) instead.
+    val n2 = n.join(broadcast(changed), col(s"n.$key") === col("ck"),
+      "left_semi")
+    val p2 = p.join(broadcast(changed), col(s"p.$key") === col("ck"),
+      "left_semi")
+    val pre = col(s"n.$rowHash") =!= col(s"p.$rowHash")
+    n2.join(p2, col(s"n.$key") === col(s"p.$key"), "inner")
+      .where(pre && changePredicate(attrs, "n", "p", mode))
+      .select(newest.columns.toIndexedSeq.map(c => col(s"n.$c")): _*)
+  }
+
   /** Rows whose key appears only in the newest snapshot — the documented
     * intent of the reference "new" query (Readme.md:13, "record didn't
     * exists in previous"). Anti-join: no row payload needed from the

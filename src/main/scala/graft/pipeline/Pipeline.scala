@@ -162,7 +162,9 @@ object AgencyDeltaStage {
     val p = snapshot(previous)
 
     log("Running Delta Query (Change)")
-    val updated = SnapshotDelta.updated(
+    // narrow-shuffle formulation: unbucketed snapshots, so the changed
+    // keys steer the wide join instead of shuffling 34 columns per side
+    val updated = SnapshotDelta.updatedNarrow(
       n, p, AbrSchemas.agencyKey, cols.filter(_ != AbrSchemas.agencyKey))
     val updPath = SingleFileCsv.write(
       updated,

@@ -179,12 +179,12 @@ object DeltaQueries {
     // R2+R3 legacy mode: inner self-join + OR of !=, NULL transitions invisible
     "delta_updated" -> ((s, dir) => {
       val (n, p) = lakePair(s, dir)
-      SnapshotDelta.updated(n, p, key, compareAttrs, SnapshotDelta.Legacy)
+      SnapshotDelta.updatedNarrow(n, p, key, compareAttrs, SnapshotDelta.Legacy)
     }),
     // R3 null-safe mode: NULL transitions detected
     "delta_updated_nullsafe" -> ((s, dir) => {
       val (n, p) = lakePair(s, dir)
-      SnapshotDelta.updated(n, p, key, compareAttrs, SnapshotDelta.NullSafe)
+      SnapshotDelta.updatedNarrow(n, p, key, compareAttrs, SnapshotDelta.NullSafe)
     }),
     // R1+R3 at reference width: the full 34-column Agency_Data shape
     // (1 key + 33 all-string NULL-rich compared attrs), legacy mode —
@@ -192,14 +192,14 @@ object DeltaQueries {
     // snapshots are read back from a materialized importdate= lake
     // (AgencyLake.ensureWide) so each side is a pruned parquet scan.
     "delta_updated_wide" -> ((s, dir) =>
-      SnapshotDelta.updated(
+      SnapshotDelta.updatedNarrow(
         AgencyLake.wideSnapshot(s, dir, AgencyLake.newestDate),
         AgencyLake.wideSnapshot(s, dir, AgencyLake.previousDate),
         AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
         SnapshotDelta.Legacy)),
     // same width, null-safe mode: NULL transitions across all 33 columns
     "delta_updated_wide_nullsafe" -> ((s, dir) =>
-      SnapshotDelta.updated(
+      SnapshotDelta.updatedNarrow(
         AgencyLake.wideSnapshot(s, dir, AgencyLake.newestDate),
         AgencyLake.wideSnapshot(s, dir, AgencyLake.previousDate),
         AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
@@ -247,7 +247,7 @@ object DeltaQueries {
     "delta_merge_upsert" -> ((s, dir) => {
       val (n, p) = lakePair(s, dir)
       SnapshotDelta.mergeUpsert(p,
-        SnapshotDelta.updated(n, p, key, compareAttrs, SnapshotDelta.NullSafe),
+        SnapshotDelta.updatedNarrow(n, p, key, compareAttrs, SnapshotDelta.NullSafe),
         SnapshotDelta.added(n, p, key),
         SnapshotDelta.removed(n, p, key), key)
     }),

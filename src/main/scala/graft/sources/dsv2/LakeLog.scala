@@ -97,6 +97,26 @@ object LakeLog {
 
   def isLogged(dir: String): Boolean = versions(dir).nonEmpty
 
+  /** Start of the CONTIGUOUS version suffix ending at head — the oldest
+    * version from which every later manifest is still retained.
+    * [[expire]] keeps TAGGED snapshots older than the retention tail,
+    * which leaves holes: a tagged v2 on a table whose tail is v8..v10
+    * yields versions {2, 8, 9, 10}. The tag serves pinned time travel,
+    * but an incremental replay cannot START there — v3..v7 are
+    * vacuumed — so every "earliest usable version" decision (streaming
+    * initial offset, backfill cursor validation) anchors here, not at
+    * the global minimum.
+    */
+  def contiguousStart(dir: String): Option[Long] = {
+    val vs = versions(dir)
+    if (vs.isEmpty) None
+    else {
+      var i = vs.length - 1
+      while (i > 0 && vs(i - 1) == vs(i) - 1) i -= 1
+      Some(vs(i))
+    }
+  }
+
   def snapshotAt(dir: String, version: Long,
                  branch: Option[String] = None): Snapshot = {
     val fs = fsFor(dir)
@@ -241,11 +261,19 @@ object LakeLog {
         throw new java.util.ConcurrentModificationException(
           s"replace conflict in $dir: covered files no longer current: " +
             missing.mkString(", "))
+      // bootstrap race: writer A's v0 bootstrap lists the directory and
+      // can sweep up a file writer B already PUBLISHED but not yet
+      // committed — B's own commit then appends the same name, and
+      // `base ++ added` would list it twice, silently double-scanning
+      // its rows. A name already in base is therefore dropped from this
+      // commit's delta (it is current either way), and the complete set
+      // is deduped as a belt-and-braces invariant.
+      val addedNew = added.filterNot(base.toSet).sorted
       val next = Snapshot(
         head.map(_.version + 1).getOrElse(0L),
         now(head.map(_.timestampMs)), operation,
-        (base.filterNot(removed.toSet) ++ added).sorted,
-        added.sorted, removed.sorted, addedRows, dataChange)
+        (base.filterNot(removed.toSet) ++ addedNew).distinct.sorted,
+        addedNew, removed.sorted, addedRows, dataChange)
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry
@@ -444,6 +472,96 @@ object LakeLog {
         s"'$ref' is neither a numeric snapshot id nor a tag in $dir " +
           s"(tags: ${tags(dir).keys.toSeq.sorted.mkString(", ")})")))
 
+  // ----- streaming-epoch refs: exactly-once bookkeeping ----------------
+
+  /** `stream_epoch(<queryId>:<epochId>)` — the operation string an epoch
+    * commit seals into its manifest; the replay check keys on it.
+    */
+  def epochOp(queryId: String, epochId: Long): String =
+    s"stream_epoch($queryId:$epochId)"
+
+  private val EpochOpRe = """^stream_epoch\((.*):(-?\d+)\)$""".r
+
+  private def epochRefPath(dir: String, queryId: String): Path = {
+    require(queryId.nonEmpty && queryId.matches("[A-Za-z0-9._-]+"),
+      s"stream query ids are [A-Za-z0-9._-]+, got '$queryId'")
+    new Path(logDir(dir), s"stream-$queryId.json")
+  }
+
+  /** Advance the per-query committed-epoch ref AFTER an epoch's log
+    * commit. The ref lives beside the manifests but is NEVER expired,
+    * so the exactly-once replay check stays O(1) and correct even when
+    * the epoch's marker manifest is vacuumed. Epoch commits of one
+    * query are serial (driver-side), so overwrite is single-writer;
+    * the write is atomic on `file://` and a torn read elsewhere falls
+    * back to the log scan.
+    */
+  def recordCommittedEpoch(dir: String, queryId: String,
+                           epochId: Long): Unit = {
+    val fs = fsFor(dir)
+    val tmp = new Path(logDir(dir),
+      s".tmp-stream-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(java.util.Map.of(
+      "queryId", queryId, "epoch", java.lang.Long.valueOf(epochId))))
+    finally out.close()
+    val dest = epochRefPath(dir, queryId)
+    if ("file".equalsIgnoreCase(fs.getScheme))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else { fs.delete(dest, false); fs.rename(tmp, dest) }
+  }
+
+  /** Does the query's epoch REF alone already record `epoch` (or later)?
+    * Used by [[expire]] to decide whether a marker manifest is still a
+    * load-bearing retention promise.
+    */
+  private def lastEpochRefCovers(dir: String, queryId: String,
+                                 epoch: Long): Boolean =
+    try {
+      val fs = fsFor(dir)
+      val p = epochRefPath(dir, queryId)
+      fs.exists(p) && {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        mapper.readValue(bytes, classOf[JMap[String, Object]])
+          .get("epoch").asInstanceOf[Number].longValue() >= epoch
+      }
+    } catch { case _: Exception => false } // unreadable ref: keep marker
+
+  /** Newest committed epoch of `queryId`, or None if it never committed.
+    * Fast path is the ref file (one tiny read); because the ref can lag
+    * exactly one epoch behind (crash between the log commit and the ref
+    * update), the log stays authoritative: manifests are scanned
+    * NEWEST-FIRST only until this query's most recent marker — O(commits
+    * since this query's last epoch), not O(all versions) — and the
+    * larger of the two answers wins. [[expire]] retains each query's
+    * newest marker manifest, so the scan finds it even after a vacuum.
+    */
+  def lastCommittedEpoch(dir: String, queryId: String,
+                         branch: Option[String] = None): Option[Long] = {
+    val fs = fsFor(dir)
+    val ref =
+      try {
+        val p = epochRefPath(dir, queryId)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          val j = mapper.readValue(bytes, classOf[JMap[String, Object]])
+          Some(j.get("epoch").asInstanceOf[Number].longValue())
+        }
+      } catch { case _: Exception => None } // torn/absent: log decides
+    val fromLog = versions(dir, branch).reverseIterator.map(v =>
+      snapshotAt(dir, v, branch).operation).collectFirst {
+        case EpochOpRe(q, e) if q == queryId => e.toLong
+      }
+    (ref.toSeq ++ fromLog.toSeq).maxOption
+  }
+
   /** Roll the table back to `version`: commits a NEW head whose file set
     * equals the old snapshot's — history is preserved (the rollback is
     * itself a version), so the rolled-past states stay auditable.
@@ -491,8 +609,26 @@ object LakeLog {
     if (vs.isEmpty) return (0, 0)
     val tagged = tags(dir).values.toSet
     val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
-    val drop = dropCand.filterNot(tagged)
-    val keep = keepTail ++ dropCand.filter(tagged)
+    // each stream query's NEWEST epoch-marker manifest is a retention
+    // promise like a tag: vacuuming it would let a crash-replayed epoch
+    // whose ref update also died re-commit (double write). A marker
+    // already covered by the query's epoch ref (the normal case — the
+    // ref is written right after each commit) is redundant and expires
+    // normally, so dead queries don't pin history; only the
+    // crash-window marker survives, until the query's next epoch.
+    // O(versions) metadata reads, maintenance-path only.
+    val newestMarker: Set[Long] = vs.flatMap { v =>
+      snapshotAt(dir, v).operation match {
+        case EpochOpRe(q, e) => Some((q, e.toLong, v))
+        case _               => None
+      }
+    }.groupMapReduce(_._1)(t => (t._2, t._3))((a, b) =>
+      if (a._1 >= b._1) a else b)
+      .collect { case (q, (epoch, v))
+        if !lastEpochRefCovers(dir, q, epoch) => v }.toSet
+    val retained = tagged ++ newestMarker
+    val drop = dropCand.filterNot(retained)
+    val keep = keepTail ++ dropCand.filter(retained)
     // a live branch references its own commits' files (staged work that
     // hasn't fast-forwarded yet) — the vacuum must not eat a branch
     val branchFiles = branches(dir).keySet.flatMap(b =>

@@ -63,8 +63,27 @@ object LakeVersionOffset {
 class LakeMicroBatchStream(dir: String, projected: StructType,
                            pushed: Array[Filter],
                            skipChangeCommits: Boolean = false,
-                           startingVersion: Option[Long] = None)
+                           startingVersion: Option[Long] = None,
+                           maxCommitsPerBatch: Long = 8L,
+                           maxRowsPerTrigger: Option[Long] = None,
+                           maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** The limit Spark hands back to `latestOffset` on ordinary triggers:
+    * derived from the `maxRowsPerTrigger` / `maxFilesPerTrigger` source
+    * options (both set → composite, tightest wins); with neither, the
+    * default `allAvailable`, which this source paces by
+    * `maxCommitsPerBatch` (see [[latestOffset]]).
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = Seq(maxRowsPerTrigger.map(ReadLimit.maxRows),
+      maxFilesPerTrigger.map(ReadLimit.maxFiles)).flatten
+    ls match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   // AvailableNow pins the drain target at start; a live writer landing
   // more commits mid-run doesn't extend this execution
@@ -74,15 +93,21 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     LakeLog.current(dir).map(_.version).getOrElse(-1L)
 
   // expiry trims the log's front; the stream must neither crash on the
-  // vacuumed prefix nor silently skip data a checkpoint already claimed
-  private def earliestVersion: Option[Long] = LakeLog.versions(dir).headOption
+  // vacuumed prefix nor silently skip data a checkpoint already claimed.
+  // The anchor is the CONTIGUOUS retained suffix, not the global
+  // earliest: expire keeps tagged snapshots older than the tail, and a
+  // replay seeded at a tagged island would crash on the vacuumed
+  // versions after it (LakeLog.contiguousStart).
+  private def earliestVersion: Option[Long] = LakeLog.contiguousStart(dir)
 
   override def prepareForTriggerAvailableNow(): Unit =
     target = Some(headVersion)
 
   /** A fresh checkpoint starts at `startingVersion` (inclusive — the
     * backfill cursor, a version id or tag via the startingVersion
-    * option), else at the EARLIEST RETAINED version — on a table whose
+    * option), else at the earliest CONTIGUOUSLY retained version (a
+    * tagged island older than the retained tail serves pinned reads
+    * only — the versions after it are vacuumed) — on a table whose
     * old manifests were expired, the first batch is that snapshot's
     * complete state (snapshot-then-increments, Delta's initial-snapshot
     * semantics) instead of a crash on the vacuumed v0. A resumed query
@@ -96,8 +121,9 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     startingVersion match {
       case Some(sv) =>
         require(sv >= earliest,
-          s"startingVersion $sv of $dir is expired (earliest retained: " +
-            s"v$earliest)")
+          s"startingVersion $sv of $dir is expired or stranded behind a " +
+            s"history gap (earliest contiguously retained: v$earliest; " +
+            "a tagged snapshot older than that serves pinned reads only)")
         require(sv <= headVersion + 1,
           s"startingVersion $sv of $dir is beyond the head " +
             s"(v$headVersion) — a typo'd backfill cursor would silently " +
@@ -114,12 +140,19 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
   override def deserializeOffset(json: String): Offset =
     LakeVersionOffset.parse(json)
 
-  // admission control: at most `maxCommitsPerBatch` commits advance per
-  // micro-batch, so a backlogged table (a week of commits after a
-  // consumer outage) drains as a paced sequence of commit-sized batches
-  // rather than one unbounded catch-up batch
-  private val maxCommitsPerBatch = 8L
-
+  /** Admission control. The pacing unit of this source is the COMMIT
+    * (a micro-batch replays a version range), so with no explicit
+    * limit — Spark passes `ReadLimit.allAvailable()` when no trigger
+    * option is set — at most `maxCommitsPerBatch` commits advance per
+    * micro-batch (a source option, default 8): a backlogged table (a
+    * week of commits after a consumer outage) drains as a paced
+    * sequence of commit-sized batches rather than one unbounded
+    * catch-up batch. An EXPLICIT limit from Spark's admission-control
+    * contract is honored on top: `maxRows` advances commits while the
+    * cumulative `addedRows` stays within the cap, `maxFiles` while the
+    * cumulative added-file count does, composite takes the tightest —
+    * always at least one commit, so the stream can't stall.
+    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[LakeVersionOffset]
     val head = target.getOrElse(headVersion)
@@ -134,7 +167,36 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     // an ADVANCED end offset must drop snapshotStart: the batch it
     // closes consumed the initial snapshot, and the next batch resumes
     // with ordinary append deltas
-    LakeVersionOffset(math.min(head, so.v + maxCommitsPerBatch))
+    LakeVersionOffset(advanceTo(so.v, head, limit))
+  }
+
+  /** Walk commits (from, head], stopping at the limit's budget; the
+    * first commit is always admitted. Driver-side manifest metadata
+    * reads, bounded by the advance length.
+    */
+  private def advanceTo(from: Long, head: Long, limit: ReadLimit): Long = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxFiles, ReadMaxRows}
+    limit match {
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(advanceTo(from, head, _)).min
+      case r: ReadMaxRows  => walk(from, head, r.maxRows())(_.addedRows)
+      case f: ReadMaxFiles => walk(from, head, f.maxFiles())(_.added.size)
+      case _: ReadAllAvailable => math.min(head, from + maxCommitsPerBatch)
+      case _ => math.min(head, from + maxCommitsPerBatch)
+    }
+  }
+
+  private def walk(from: Long, head: Long, budget: Long)
+                  (cost: LakeLog.Snapshot => Long): Long = {
+    var v = from
+    var spent = 0L
+    while (v < head) {
+      val c = math.max(0L, cost(LakeLog.snapshotAt(dir, v + 1)))
+      if (v > from && spent + c > budget) return v
+      spent += c
+      v += 1
+    }
+    v
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(

@@ -83,7 +83,13 @@ class LakeTable(tableName: String, val dir: String,
       // streaming backfill cursor: version id or tag name; the stream's
       // first batch starts AT this commit instead of v0
       Option(options.get("startingVersion")).map(LakeLog.resolve(dir, _)),
-      branch)
+      branch,
+      StreamPacing(
+        maxCommitsPerBatch = options.getLong("maxCommitsPerBatch", 8L),
+        maxRowsPerTrigger =
+          Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+        maxFilesPerTrigger =
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -221,11 +227,19 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
     new LakeReaderFactory(tableSchema)
 }
 
+/** Streaming admission-control knobs, parsed from source options (see
+  * [[LakeMicroBatchStream.latestOffset]] for the pacing contract).
+  */
+case class StreamPacing(maxCommitsPerBatch: Long = 8L,
+                        maxRowsPerTrigger: Option[Long] = None,
+                        maxFilesPerTrigger: Option[Int] = None)
+
 class LakeScanBuilder(dir: String, tableSchema: StructType,
                       pinnedVersion: Option[Long] = None,
                       skipChangeCommits: Boolean = false,
                       startingVersion: Option[Long] = None,
-                      branch: Option[String] = None)
+                      branch: Option[String] = None,
+                      pacing: StreamPacing = StreamPacing())
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var projected: StructType = tableSchema
@@ -248,7 +262,7 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   override def build(): Scan =
     new LakeScan(dir, LakeTableIO.dataFiles(dir, pinnedVersion, branch),
       tableSchema, projected, pushed, pruneGroups = true, pinnedVersion,
-      skipChangeCommits, startingVersion, branch)
+      skipChangeCommits, startingVersion, branch, pacing)
 }
 
 /** One input partition per (file, row group) surviving stats pruning. */
@@ -261,7 +275,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                pruneGroups: Boolean, pinnedVersion: Option[Long] = None,
                skipChangeCommits: Boolean = false,
                startingVersion: Option[Long] = None,
-               branch: Option[String] = None)
+               branch: Option[String] = None,
+               pacing: StreamPacing = StreamPacing())
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
@@ -272,7 +287,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       "streaming reads follow MAIN history only — fast-forward the " +
         s"branch first (cannot stream $dir@${branch.getOrElse("")})")
     new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits,
-      startingVersion)
+      startingVersion, pacing.maxCommitsPerBatch, pacing.maxRowsPerTrigger,
+      pacing.maxFilesPerTrigger)
   }
 
   // planned on the driver from footer metadata only — no data read
@@ -395,8 +411,7 @@ class LakeWrite(dir: String, writeSchema: StructType,
     */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-      private def epochOp(epochId: Long) =
-        s"stream_epoch($queryId:$epochId)"
+      private def epochOp(epochId: Long) = LakeLog.epochOp(queryId, epochId)
 
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo)
@@ -414,10 +429,14 @@ class LakeWrite(dir: String, writeSchema: StructType,
         val collected = messages.collect {
           case LakeFileMessage(p, n) if p != null => (new Path(p), n)
         }
-        if (LakeLog.versions(dir, branch)
-            .exists(v => LakeLog.snapshotAt(dir, v, branch)
-              .operation == epochOp(epochId))) {
-          // replay: this epoch's manifest is already sealed — drop the
+        // replay check: the per-query epoch ref (O(1), survives expire)
+        // backed by a newest-first marker scan that stops at this
+        // query's previous epoch — not the old every-manifest sweep,
+        // which was O(versions) PER EPOCH (quadratic over a stream's
+        // life) and lost the marker to expire
+        if (LakeLog.lastCommittedEpoch(dir, queryId, branch)
+            .exists(epochId <= _)) {
+          // this epoch's manifest is already sealed — drop the
           // re-staged files and report success (idempotent)
           collected.foreach { case (p, _) => fs.delete(p, false) }
           return
@@ -439,6 +458,12 @@ class LakeWrite(dir: String, writeSchema: StructType,
             }
             throw e
         }
+        // advance the ref AFTER (and outside) the commit: best-effort —
+        // a crash or error between the two is covered by the marker
+        // scan above, and expire keeps the newest uncovered marker per
+        // query, so a failed ref write can never double-commit
+        try LakeLog.recordCommittedEpoch(dir, queryId, epochId)
+        catch { case _: Exception => () }
       }
 
       override def abort(epochId: Long,
@@ -668,19 +693,49 @@ object LakeTableIO {
     }
   }
 
-  /** Atomically replace the schema sidecar (ALTER TABLE's commit). */
+  /** Atomically replace the schema sidecar (ALTER TABLE's commit):
+    * last ALTER wins, and a concurrent [[tableSchema]] sees either
+    * complete sidecar, never a torn or MISSING one. On `file://` that
+    * is a true atomic overwrite (rename(2) via nio ATOMIC_MOVE —
+    * delete-then-rename would open a window where the sidecar is
+    * absent and a racing reader falls back to a data-file footer,
+    * transiently resurrecting dropped columns). Other schemes fall
+    * back to delete+rename, the documented port caveat (HDFS has
+    * overwrite-rename via FileContext; object stores need their
+    * conditional PUT).
+    */
   def writeSchema(dir: String, schema: StructType): Unit = {
     val fs = new Path(dir).getFileSystem(new Configuration())
-    val tmp = new Path(dir, s"._schema-${java.util.UUID.randomUUID()}.ddl")
-    val out = fs.create(tmp, true)
-    try out.write(schema.toDDL.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-with-overwrite is fine here: last ALTER wins, readers see
-    // either complete sidecar, never a torn one
-    fs.delete(new Path(dir, "_schema.ddl"), false)
-    if (!fs.rename(tmp, new Path(dir, "_schema.ddl")))
-      throw new java.io.IOException(s"failed to publish schema in $dir")
+    val dest = new Path(dir, "_schema.ddl")
+    val bytes = schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if ("file".equalsIgnoreCase(fs.getScheme)) {
+      // stage and move through java.nio, OUTSIDE Hadoop's
+      // ChecksumFileSystem: the move must not leave a stale `.crc`
+      // sidecar describing the previous contents (a Hadoop reader
+      // would fail the checksum). Any crc a previous Hadoop-path write
+      // left is dropped first — between that delete and the move a
+      // racing reader sees the OLD sidecar unverified, never a missing
+      // or torn one.
+      val tmp = java.nio.file.Paths.get(dir,
+        s"._schema-${java.util.UUID.randomUUID()}.ddl")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._schema.ddl.crc"))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // non-posix schemes: delete+rename, the documented port caveat
+      // (HDFS has overwrite-rename via FileContext; object stores need
+      // their conditional PUT)
+      val tmp = new Path(dir, s"._schema-${java.util.UUID.randomUUID()}.ddl")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"failed to publish schema in $dir")
+    }
   }
 
   /** Column names present in ANY current data file's footer — the

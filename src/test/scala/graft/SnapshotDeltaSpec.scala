@@ -51,6 +51,65 @@ class SnapshotDeltaSpec extends SparkSpec {
     assert(!updatedPids(NullSafe).contains("p5"))
   }
 
+  test("updatedNarrow matches updated bit-for-bit on the NULL matrix " +
+       "in both modes (the narrow-shuffle plan is a pure rewrite)") {
+    Seq(Legacy, NullSafe).foreach { mode =>
+      val plain = SnapshotDelta.updated(newer, prev, "pid",
+        Seq("a", "b"), mode).collect().toSet
+      val narrow = SnapshotDelta.updatedNarrow(newer, prev, "pid",
+        Seq("a", "b"), mode).collect().toSet
+      assert(narrow == plain, s"mode $mode diverged")
+    }
+  }
+
+  test("updatedNarrow preserves pair multiplicity under duplicate keys " +
+       "(the changed-key steering set is distinct, but the rejoined " +
+       "pairs re-run the exact pair-level filter)") {
+    // d1: two prev rows x one newer row; one pair changed, one identical
+    val p = snap(("d1", "x", "1"), ("d1", "y", "1"), ("d2", "x", "1"))
+    val n = snap(("d1", "x", "1"), ("d2", "x", "1"))
+    Seq(Legacy, NullSafe).foreach { mode =>
+      val plain = SnapshotDelta.updated(n, p, "pid", Seq("a", "b"), mode)
+        .collect().toSeq.map(_.toSeq).sortBy(_.toString)
+      val narrow = SnapshotDelta.updatedNarrow(n, p, "pid", Seq("a", "b"), mode)
+        .collect().toSeq.map(_.toSeq).sortBy(_.toString)
+      assert(narrow == plain, s"mode $mode multiplicity diverged")
+    }
+  }
+
+  test("updatedNarrow plan pin: no shuffle exchange ever carries the " +
+       "wide columns — only (key, hash) projections cross the wire; the " +
+       "wide sides reach the final join semi-joined and AQE-broadcast") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // a genuinely wide shape: 20 compared columns
+    val cols = (1 to 20).map(i => s"c$i")
+    def wide(seed: Int): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val base = spark.range(0, 500).select(
+        concat(org.apache.spark.sql.functions.lit("k"), $"id").as("pid") +:
+          cols.map(c => concat(lit(c), $"id" % lit(seed)).as(c)): _*)
+      base
+    }
+    val df = SnapshotDelta.updatedNarrow(wide(7), wide(11), "pid", cols)
+    df.collect() // materialize so AQE finalizes the plan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val widths = allNodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s.child.output.length }
+    assert(widths.nonEmpty, "expected the narrow (key, hash) shuffles")
+    assert(widths.forall(_ <= 3),
+      s"a wide row crossed a shuffle: exchange widths $widths " +
+        "(narrow plan must only ever shuffle key+hash)")
+  }
+
   test("added = keys new in newest (anti-join intent, Readme.md:13)") {
     val pids = SnapshotDelta.added(newer, prev, "pid")
       .select("pid").as[String].collect().toSet
