@@ -75,6 +75,12 @@ object Bench {
     // a real regression (t1 ≈ t2, both slow) without a re-run
     val rawRuns = scala.collection.mutable.ArrayBuffer
       .empty[(String, List[Double])]
+    // queries whose timed runs read an app-scoped cache artifact an
+    // EARLIER query built (query -> artifact -> builder): their numbers
+    // are PROBE cost; the build cost sits in the builder's run 1. Keeps
+    // per-query timings honest without changing what is measured.
+    val cacheServed = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Map[String, String])]
     var errors = List.empty[String]
     val done = new AtomicBoolean(false)
 
@@ -93,7 +99,12 @@ object Bench {
         .map { case (k, ts) =>
           jq(k) + ":" + ts.map(sec).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":$partial,"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":${queriesJson(rs)},"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
+      val cachedJson = lock.synchronized(cacheServed.toList)
+        .map { case (k, m) =>
+          jq(k) + ":" + m.toSeq.sorted.map { case (a, b) =>
+            jq(a) + ":" + jq(b) }.mkString("{", ",", "}") }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":$partial,"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":${queriesJson(rs)},"runs":$runsJson,"cached":$cachedJson,"errors":$errJson,"sf":"$sfDir"}"""
     }
     // total + errors + the 10 slowest + a pointer to the full per-query
     // file (the harness keeps only the last ~2000 chars of stdout — a
@@ -141,6 +152,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       System.err.println(s"[bench] timing $name")
+      CacheRegistry.setCurrent(name)
       var failed = false
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -165,12 +177,15 @@ object Bench {
       val secondRun = !failed && (t1 <= rerunBudget || rescue)
       val samples = if (secondRun) List(t1, once()) else List(t1)
       val t = samples.min
+      val served = CacheRegistry.servedFrom(name)
       lock.synchronized {
         results += (name -> t)
         rawRuns += (name -> samples)
+        if (served.nonEmpty) cacheServed += (name -> served)
       }
       writeFile(partial = true)
     }
+    CacheRegistry.setCurrent("")
     done.set(true)
     writeFile(partial = false)
     emitCompact()

@@ -94,15 +94,18 @@ object DedupQueries {
     .empty[(String, String), (DataFrame, DataFrame)]
 
   /** (shingles, signature) of the plain `documents` corpus. */
-  private def baseMinhash(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def baseMinhash(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.CacheRegistry.read("dedup.base_minhash")
     baseMinhashCache.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
+        graft.CacheRegistry.built("dedup.base_minhash")
         val sh = TextDedup
           .shingles(docs(s, dir).select("doc_id", "text"), "doc_id", "text")
           .persist()
         val sig = TextDedup.minhashSignature(sh).persist()
         (sh, sig)
       })
+  }
 
   /** Run the banded-LSH pipeline over base docs ∪ `extra` docs, reusing
     * the shared base shingle/signature tables: only the (small) injected
@@ -199,9 +202,11 @@ object DedupQueries {
   private val verifiedPairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheRegistry.read("dedup.verified_pairs")
     verifiedPairsCache.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
+        graft.CacheRegistry.built("dedup.verified_pairs")
         val d = docs(s, dir).select("doc_id", "text")
         val nearCopies = d.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000000).as("doc_id"),
@@ -214,6 +219,7 @@ object DedupQueries {
           .where(col("jaccard") >= 0.6)
           .localCheckpoint()
       })
+  }
 
   /** Historical cluster labels — connected components over the pairs
     * among PLAIN docs only (ids < 1e9), persisted per (SparkContext,
@@ -224,13 +230,17 @@ object DedupQueries {
   private val histClustersCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def histClusters(s: SparkSession, dir: String): DataFrame =
+  private def histClusters(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheRegistry.read("dedup.hist_clusters")
     histClustersCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
+      (s.sparkContext.applicationId, dir), {
+      graft.CacheRegistry.built("dedup.hist_clusters")
       graft.operators.GraphOps.connectedComponents(
           verifiedPairs(s, dir).where(col("id2") < 1000000000L)
             .select("id1", "id2"))
-        .localCheckpoint())
+        .localCheckpoint()
+    })
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: normalize -> md5 -> one shuffle on the content hash;

@@ -197,13 +197,17 @@ object LakeQueries {
       s.sql(s"SELECT * FROM $tbl VERSION AS OF 'prev-release'")
     }),
 
-    // Metadata-only schema evolution: ALTER TABLE ADD COLUMN widens the
-    // sidecar schema without touching a byte of data — files written
-    // before the evolution back-fill null in the reader, the insert
-    // after it carries real values, and one scan reads both vintages.
-    // The oracle states exactly that mixed result; a reader that
-    // mis-shifts columns (the classic name-vs-position bug) or drops
-    // pre-evolution rows hash-mismatches.
+    // Metadata-only schema evolution, field-id based: ALTER TABLE ADD
+    // COLUMN widens the sidecar schema without touching a byte of data
+    // — files written before the evolution back-fill null in the
+    // reader, the insert after it carries real values — and RENAME
+    // COLUMN keeps the column's FIELD ID, so all three vintages (files
+    // predating the column, files carrying it as `o_note`, files
+    // carrying it as `note`) resolve through one scan. The oracle
+    // states the mixed end state under the FINAL name; a reader that
+    // mis-shifts columns (the classic name-vs-position bug), drops
+    // pre-evolution rows, or loses the renamed column's old files
+    // hash-mismatches.
     "lake_schema_evolution" -> ((s, dir) => {
       val tbl = freshTable(s, dir, "lake_evo")
       s.sql(s"ALTER TABLE $tbl ADD COLUMN o_note STRING")
@@ -211,6 +215,12 @@ object LakeQueries {
         .withColumn("o_note", concat(lit("n"), col(key)))
         .createOrReplaceTempView("lake_evo_more")
       s.sql(s"INSERT INTO $tbl SELECT * FROM lake_evo_more")
+      // rename round-trip leg 1: the id survives, old files readable
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN o_note TO note")
+      newest(s, dir).where(col(key) % 11 === 0)
+        .withColumn("note", concat(lit("m"), col(key)))
+        .createOrReplaceTempView("lake_evo_more2")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_evo_more2")
       s.table(tbl)
     }),
 
@@ -330,13 +340,18 @@ object LakeQueries {
     "lake_tag_travel" ->
       s"""$snapshotCte
          |SELECT * FROM prev""".stripMargin,
-    // old rows null-back-fill the added column, new rows carry values
+    // old rows null-back-fill the added column; the two post-evolution
+    // vintages (written as o_note, then renamed to note) both surface
+    // under the FINAL name
     "lake_schema_evolution" ->
       s"""$snapshotCte
-         |SELECT *, CAST(NULL AS VARCHAR) AS o_note FROM prev
+         |SELECT *, CAST(NULL AS VARCHAR) AS note FROM prev
          |UNION ALL
-         |SELECT *, 'n' || CAST(o_orderkey AS VARCHAR) AS o_note
-         |FROM newest WHERE o_orderkey % 13 = 0""".stripMargin,
+         |SELECT *, 'n' || CAST(o_orderkey AS VARCHAR) AS note
+         |FROM newest WHERE o_orderkey % 13 = 0
+         |UNION ALL
+         |SELECT *, 'm' || CAST(o_orderkey AS VARCHAR) AS note
+         |FROM newest WHERE o_orderkey % 11 = 0""".stripMargin,
     // compaction preserves contents exactly
     "lake_compact" ->
       s"""$snapshotCte

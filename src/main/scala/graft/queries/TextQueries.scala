@@ -622,9 +622,12 @@ object TextQueries {
     // scratch; matching it IS the mergeability proof (max over a token-
     // stream union = max of the parts' maxes, zero-fill aligned).
     "text_distinct_hll_incremental" -> ((s, dir) => {
+      graft.CacheRegistry.read("text.hll_registers")
       val hist = hllRegsCache.getOrElseUpdate(
-        (s.sparkContext.applicationId, dir),
-        hllRegisters(docs(s, dir).select("lang", "text")).persist())
+        (s.sparkContext.applicationId, dir), {
+          graft.CacheRegistry.built("text.hll_registers")
+          hllRegisters(docs(s, dir).select("lang", "text")).persist()
+        })
       val newSnap = docs(s, dir).filter(col("doc_id") % 6 === 0)
         .select(col("lang"),
           concat_ws(" ", (0 until 5).map(i =>

@@ -124,15 +124,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val schema = StructType(info.columns().map(c =>
-      StructField(c.name(), c.dataType(), c.nullable())))
+    // every column gets a FIELD ID at birth (1..n) — the identity that
+    // survives renames and makes drop-then-re-add safe (ids are never
+    // reused; readers resolve id-stamped files strictly by id)
+    val schema = StructType(info.columns().zipWithIndex.map { case (c, i) =>
+      StructField(c.name(), c.dataType(), c.nullable(),
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(LakeParquet.FieldIdKey, i + 1L).build())
+    })
     require(info.partitions().isEmpty,
       "graft_lake tables are unpartitioned (files are the groups)")
     val dir = tableDir(ident)
     fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, "_schema.ddl"), true)
-    out.write(schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
+    LakeTableIO.writeSchema(dir.toString, schema,
+      maxFieldId = schema.length)
     // v0 = the empty table: history (and any stream) starts at creation
     LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
@@ -168,20 +173,30 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     fs.exists(dir) && fs.delete(dir, true)
   }
 
-  /** Schema evolution by metadata alone — no data rewrite:
+  /** Schema evolution by metadata alone — no data rewrite, FIELD-ID
+    * based (the Iceberg/Delta-column-mapping model):
     *
     *   - ADD COLUMN (top-level, nullable, appended last): the sidecar
-    *     schema widens; files written before it back-fill null in the
-    *     reader. Re-adding a name any CURRENT data file still carries
-    *     is REJECTED — with name-based (not field-id) column
-    *     resolution it would resurrect the dropped column's old values;
+    *     widens; the new column takes a FRESH id (`maxFieldId + 1` —
+    *     ids are never reused), so re-adding a previously dropped name
+    *     is safe against every id-stamped file (readers resolve those
+    *     strictly by id and can never see the old column's values).
+    *     Only a LEGACY id-less data file still carrying the name — or
+    *     a name some other column previously had — blocks the add,
+    *     because name-based resolution would be ambiguous there;
     *   - DROP COLUMN: the sidecar narrows; the bytes stay in the files
     *     (time travel ignores the sidecar's present, readers just never
-    *     project the column again).
+    *     project the column again). The id retires with it;
+    *   - RENAME COLUMN: the column keeps its id (and records the old
+    *     name in prior-names metadata for id-less legacy files), so
+    *     every existing file keeps resolving — old files readable
+    *     under the new name, no rewrite.
     *
-    * Everything else (RENAME, type changes, repositioning) needs
-    * field-id column mapping or a rewrite — fails loud, never no-ops.
-    * Each ALTER logs a `dataChange=false` commit for the audit trail.
+    * Type changes and repositioning still need a rewrite — fail loud,
+    * never no-op. Each ALTER logs a `dataChange=false` commit for the
+    * audit trail. A v1 (pre-field-id) sidecar migrates in place: ids
+    * 1..n are assigned to the current columns first; its id-less files
+    * keep resolving by name.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -192,7 +207,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // a multi-change ALTER where the third change is invalid leaves
     // neither a half-applied schema nor phantom alter_* commits in the
     // history for changes that never happened
-    var schema = LakeTableIO.tableSchema(dir.toString)
+    var (schema, maxId) = LakeTableIO.tableSchemaInfo(dir.toString)
+    if (maxId == 0) {
+      // migrate a v1 schema: current columns get ids 1..n; files
+      // already on disk have no ids and keep resolving by name
+      schema = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(LakeParquet.FieldIdKey, i + 1L).build())
+      })
+      maxId = schema.length
+    }
+    def allPriorNames(s: StructType): Set[String] =
+      s.fields.flatMap(LakeParquet.priorNames).map(_.toLowerCase).toSet
     val audits = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -206,13 +233,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "graft_lake: columns append at the end (no FIRST/AFTER)")
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"graft_lake: column $name already exists")
-        require(!LakeTableIO.footerColumns(dir.toString)
+        require(!allPriorNames(schema).contains(name.toLowerCase),
+          s"graft_lake: $name is a PRIOR name of another column — " +
+            "legacy id-less files would resolve it ambiguously")
+        require(!LakeTableIO.legacyFooterColumns(dir.toString)
             .exists(_.equalsIgnoreCase(name)),
-          s"graft_lake: a current data file still carries column $name " +
-            "(dropped earlier?) — re-adding would resurrect its old " +
-            "values under name-based resolution; rewrite the table first")
+          s"graft_lake: a current ID-LESS data file still carries " +
+            s"column $name (dropped earlier?) — name-based resolution " +
+            "would resurrect its old values; rewrite those files first " +
+            "(id-stamped files are immune: they resolve strictly by id)")
+        maxId += 1
         schema = schema.add(StructField(name, add.dataType(),
-          nullable = true))
+          nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(LakeParquet.FieldIdKey, maxId.toLong).build()))
         audits += s"alter_add($name)"
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
@@ -229,13 +263,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           schema = StructType(schema.fields.patch(idx, Nil, 1))
           audits += s"alter_drop($name)"
         }
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "graft_lake: nested columns cannot be renamed")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+        require(idx >= 0, s"graft_lake: no column $from to rename")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"graft_lake: column $to already exists")
+        val f = schema.fields(idx)
+        // renaming back to one of this column's OWN prior names is a
+        // clean round-trip; a prior name of ANOTHER column is rejected
+        // (legacy id-less files would resolve it ambiguously)
+        val othersPriors = StructType(schema.fields.patch(idx, Nil, 1))
+        require(!allPriorNames(othersPriors).contains(to.toLowerCase),
+          s"graft_lake: $to is a PRIOR name of another column — " +
+            "legacy id-less files would resolve it ambiguously")
+        // keep the id; record the old name (most recent first) so
+        // id-less legacy files keep resolving; the resurrected current
+        // name leaves the prior list
+        val priors = (f.name +: LakeParquet.priorNames(f))
+          .filterNot(_.equalsIgnoreCase(to)).distinct
+        val renamed = f.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putStringArray(LakeParquet.PriorNamesKey, priors.toArray)
+            .build())
+        schema = StructType(schema.fields.updated(idx, renamed))
+        audits += s"alter_rename($from->$to)"
       case other =>
         throw new UnsupportedOperationException(
           s"graft_lake: unsupported ALTER ${other.getClass.getSimpleName}" +
-            " — rename/type/position changes need field-id column " +
-            "mapping or a table rewrite")
+            " — type/position changes need a table rewrite")
     }
-    LakeTableIO.writeSchema(dir.toString, schema)
+    LakeTableIO.writeSchema(dir.toString, schema, maxId)
     audits.foreach(op => LakeLog.commit(dir.toString, op, Seq.empty,
       Seq.empty, 0L, dataChange = false))
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)

@@ -43,6 +43,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object LakeLog {
   private val mapper = new ObjectMapper()
 
+  /** Test instrumentation: manifest reads and `_log` directory listings
+    * performed since process start. Specs pin head resolution at O(1)
+    * of both after the head hint exists; production code never reads
+    * these.
+    */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong()
+  val logListings = new java.util.concurrent.atomic.AtomicLong()
+
   /** One committed table version. `files` is the complete data-file set
     * (names relative to the table dir); `added`/`removed` are this
     * commit's delta against its parent.
@@ -89,6 +97,7 @@ object LakeLog {
   def versions(dir: String, branch: Option[String] = None): Seq[Long] = {
     val fs = fsFor(dir)
     val d = ld(dir, branch)
+    logListings.incrementAndGet()
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq.flatMap(s =>
       ManifestRe.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
@@ -128,8 +137,81 @@ object LakeLog {
     readManifest(fs, p)
   }
 
+  /** Head resolution — the per-query-plan hot path. The naive form
+    * LISTS the whole `_log` dir (O(versions) directory entries on
+    * every plan; a long-lived table accumulates 10⁵+ manifests), so
+    * every MAIN commit also refreshes a tiny `_head.json` HINT (the
+    * `_last_checkpoint` idea from Delta, possible here in its smallest
+    * form because every manifest is already a self-contained complete
+    * snapshot — there is nothing to compact, only the POINTER to
+    * maintain). Resolution reads the hint and probes FORWARD with
+    * existence checks until the first missing version: O(1 + commits
+    * since the hint was written), which is O(1) in practice because the
+    * hint is refreshed per commit. The hint is best-effort — stale,
+    * missing, or unreadable hints (or a hint whose manifest expired,
+    * impossible under per-commit refresh but handled anyway) fall back
+    * to the listing; correctness never depends on it. Branch heads use
+    * the listing (branches are short-lived audit refs).
+    */
   def current(dir: String, branch: Option[String] = None): Option[Snapshot] =
-    versions(dir, branch).lastOption.map(snapshotAt(dir, _, branch))
+    branch match {
+      case Some(_) =>
+        versions(dir, branch).lastOption.map(snapshotAt(dir, _, branch))
+      case None =>
+        headHint(dir) match {
+          case Some(h) =>
+            val fs = fsFor(dir)
+            if (!fs.exists(new Path(logDir(dir), manifestName(h))))
+              versions(dir).lastOption.map(snapshotAt(dir, _)) // stale hint
+            else {
+              var v = h
+              while (fs.exists(new Path(logDir(dir), manifestName(v + 1))))
+                v += 1
+              Some(snapshotAt(dir, v))
+            }
+          case None =>
+            versions(dir).lastOption.map(snapshotAt(dir, _))
+        }
+    }
+
+  private def headHintPath(dir: String): Path =
+    new Path(logDir(dir), "_head.json")
+
+  private def headHint(dir: String): Option[Long] =
+    try {
+      val fs = fsFor(dir)
+      val p = headHintPath(dir)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        Some(mapper.readValue(bytes, classOf[JMap[String, Object]])
+          .get("version").asInstanceOf[Number].longValue())
+      }
+    } catch { case _: Exception => None } // torn/unreadable: fall back
+
+  /** Best-effort post-commit hint refresh; racing writers may land out
+    * of order (a LOWER hint just means an extra probe or two), and any
+    * failure is swallowed — the listing fallback stays authoritative.
+    */
+  private def writeHeadHint(dir: String, version: Long): Unit =
+    try {
+      val fs = fsFor(dir)
+      val tmp = new Path(logDir(dir),
+        s".tmp-head-${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsBytes(java.util.Map.of(
+        "version", java.lang.Long.valueOf(version))))
+      finally out.close()
+      val dest = headHintPath(dir)
+      if ("file".equalsIgnoreCase(fs.getScheme))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else { fs.delete(dest, false); fs.rename(tmp, dest) }
+    } catch { case _: Exception => () }
 
   /** Latest snapshot whose commit time is <= `tsMs` (timestamp travel). */
   def snapshotAsOfTime(dir: String, tsMs: Long): Snapshot = {
@@ -165,6 +247,7 @@ object LakeLog {
   }
 
   private def readManifestOnce(fs: FileSystem, p: Path): Snapshot = {
+    manifestReads.incrementAndGet()
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     val m = mapper.readValue(bytes, classOf[JMap[String, Object]])
@@ -327,7 +410,11 @@ object LakeLog {
     writeManifest(fs, tmp, s)
     val won = atomicCreateFrom(fs, tmp, dest)
     fs.delete(tmp, false)
-    if (won) Some(s) else None
+    if (won) {
+      // keep MAIN head resolution O(1): refresh the hint per commit
+      if (branch.isEmpty) writeHeadHint(dir, s.version)
+      Some(s)
+    } else None
   }
 
   // ----- branches: writable refs (write-audit-publish) -----------------

@@ -27,31 +27,67 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object LakeParquet {
 
-  /** Spark → parquet message type (all fields optional, lake naming). */
+  /** Field-id metadata key on StructField — the SAME key Spark's own
+    * parquet support uses (`spark.sql.parquet.fieldId.*`), so schemas
+    * round-trip between this connector and stock Spark tooling. A
+    * field id is the column's IDENTITY across renames: writers stamp
+    * it into the parquet footer, readers resolve projections by id
+    * when the file carries ids (strictly — never falling back to a
+    * name match that could resurrect a dropped-and-re-added name's old
+    * values), and only id-less legacy files resolve by name.
+    */
+  val FieldIdKey = "parquet.field.id"
+
+  /** Prior-names metadata key: every name this column previously had
+    * (most recent first). Legacy files written BEFORE field ids exist
+    * can only resolve by name — after a rename, their column still
+    * carries the old name, so the reader walks current-then-prior
+    * names for them. Kept unique across the schema (enforced at ALTER
+    * time) so a prior name can never match two columns.
+    */
+  val PriorNamesKey = "graft.prior.names"
+
+  def fieldId(f: StructField): Option[Int] =
+    if (f.metadata.contains(FieldIdKey))
+      Some(f.metadata.getLong(FieldIdKey).toInt)
+    else None
+
+  def priorNames(f: StructField): Seq[String] =
+    if (f.metadata.contains(PriorNamesKey))
+      f.metadata.getStringArray(PriorNamesKey).toSeq
+    else Seq.empty
+
+  /** Spark → parquet message type (all fields optional, lake naming;
+    * field ids from metadata stamped into the footer when present).
+    */
   def toMessageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
+      def named(tb: Types.PrimitiveBuilder[
+          org.apache.parquet.schema.PrimitiveType]): Type =
+        fieldId(f).fold[Type](tb.named(f.name))(id =>
+          tb.id(id).named(f.name))
       val t: Type = f.dataType match {
         case LongType =>
-          Types.optional(PrimitiveTypeName.INT64).named(f.name)
+          named(Types.optional(PrimitiveTypeName.INT64))
         case IntegerType =>
-          Types.optional(PrimitiveTypeName.INT32).named(f.name)
+          named(Types.optional(PrimitiveTypeName.INT32))
         case DoubleType =>
-          Types.optional(PrimitiveTypeName.DOUBLE).named(f.name)
+          named(Types.optional(PrimitiveTypeName.DOUBLE))
         case StringType =>
-          Types.optional(PrimitiveTypeName.BINARY)
-            .as(LogicalTypeAnnotation.stringType()).named(f.name)
+          named(Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()))
         case TimestampType =>
-          Types.optional(PrimitiveTypeName.INT64)
+          named(Types.optional(PrimitiveTypeName.INT64)
             .as(LogicalTypeAnnotation.timestampType(true,
-              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+              LogicalTypeAnnotation.TimeUnit.MICROS)))
         case TimestampNTZType =>
-          Types.optional(PrimitiveTypeName.INT64)
+          named(Types.optional(PrimitiveTypeName.INT64)
             .as(LogicalTypeAnnotation.timestampType(false,
-              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+              LogicalTypeAnnotation.TimeUnit.MICROS)))
         case DateType =>
-          Types.optional(PrimitiveTypeName.INT32)
-            .as(LogicalTypeAnnotation.dateType()).named(f.name)
+          named(Types.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType()))
         case other => throw new UnsupportedOperationException(
           s"lake connector: unsupported column type $other (${f.name})")
       }

@@ -238,7 +238,7 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       } else snap.added
     }
     LakeTableIO.planRowGroups(added.map(new Path(dir, _)),
-      projected.fieldNames, pushed, pruneGroups = true).parts
+      LakeTableIO.columnRefs(projected), pushed, pruneGroups = true).parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -211,9 +211,11 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
       }
     }
     if (keepSets.nonEmpty) {
+      val refs = LakeTableIO.columnRefs(tableSchema)
+        .map(r => r.name -> r).toMap
       kept = allFiles.filter { f =>
         keepSets.forall { case (c, vals) =>
-          LakeTableIO.fileMightContain(f, c, vals)
+          refs.get(c).forall(LakeTableIO.fileMightContain(f, _, vals))
         }
       }
     }
@@ -221,7 +223,8 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
 
   override def planInputPartitions(): Array[InputPartition] =
     LakeTableIO.planRowGroups(kept.map(new Path(_)),
-      tableSchema.fieldNames, Array.empty, pruneGroups = false).parts
+      LakeTableIO.columnRefs(tableSchema), Array.empty,
+      pruneGroups = false).parts
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(tableSchema)
@@ -265,9 +268,16 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       skipChangeCommits, startingVersion, branch, pacing)
 }
 
+/** Column-resolution spec for one projected column: the OUTPUT name,
+  * the field id (-1 when the schema predates ids), and the ordered
+  * name candidates (current name, then prior names) that id-less
+  * legacy files resolve by. See [[LakeTableIO.resolveInFile]].
+  */
+case class LakeColumnRef(name: String, id: Int, candidates: Array[String])
+
 /** One input partition per (file, row group) surviving stats pruning. */
 case class LakeInputPartition(path: String, rowGroup: Int,
-                              projectedNames: Array[String])
+                              cols: Array[LakeColumnRef])
     extends InputPartition
 
 class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
@@ -293,8 +303,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
 
   // planned on the driver from footer metadata only — no data read
   private lazy val plan: LakeTableIO.ScanPlan =
-    LakeTableIO.planRowGroups(files, projected.fieldNames, pushed,
-      pruneGroups)
+    LakeTableIO.planRowGroups(files, LakeTableIO.columnRefs(projected),
+      pushed, pruneGroups)
 
   override def planInputPartitions(): Array[InputPartition] = plan.parts
 
@@ -330,15 +340,23 @@ class LakeReaderFactory(projected: StructType)
     new PartitionReader[InternalRow] {
       private val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
-      // the projection is resolved against the FILE footer schema, so
-      // only the requested column chunks are read and decoded; a
-      // projected column the file predates (ALTER TABLE ADD COLUMN)
-      // is simply absent here and back-fills null below
+      // the projection is resolved against the FILE footer schema —
+      // by FIELD ID when the file carries ids (strict: a renamed
+      // column keeps resolving, a dropped-and-re-added name can never
+      // resurrect old values), by current-then-prior NAME for id-less
+      // legacy files — so only the requested column chunks are read
+      // and decoded; a projected column the file predates (ALTER TABLE
+      // ADD COLUMN) is simply absent and back-fills null below
       private val fileSchema =
         reader.getFooter.getFileMetaData.getSchema
+      // file column name -> output position, via per-column resolution
+      private val filePos: Map[String, Int] =
+        part.cols.zipWithIndex.flatMap { case (ref, i) =>
+          LakeTableIO.resolveInFile(fileSchema, ref).map(_ -> i)
+        }.toMap
       private val requested: MessageType = {
         val kept = fileSchema.getFields.asScala
-          .filter(t => part.projectedNames.contains(t.getName))
+          .filter(t => filePos.contains(t.getName))
         new MessageType(fileSchema.getName, kept.asJava)
       }
       reader.setRequestedSchema(requested)
@@ -347,12 +365,11 @@ class LakeReaderFactory(projected: StructType)
       // projection order may differ from file order: map file-projected
       // positions to output positions once; output slots no file column
       // maps to stay null (the back-fill)
-      private val outIndex: Array[Int] = {
-        val pos = part.projectedNames.zipWithIndex.toMap
-        requestedStruct.fieldNames.map(pos)
-      }
+      private val outIndex: Array[Int] =
+        requestedStruct.fieldNames.map(filePos)
       private val identityProjection =
-        requestedStruct.fieldNames.sameElements(part.projectedNames)
+        outIndex.length == part.cols.length &&
+          outIndex.zipWithIndex.forall { case (o, i) => o == i }
       private val pages = reader.readRowGroup(part.rowGroup)
       private val recordReader = new ColumnIOFactory()
         .getColumnIO(requested)
@@ -369,7 +386,7 @@ class LakeReaderFactory(projected: StructType)
           current =
             if (identityProjection) inner
             else {
-              val values = new Array[Any](part.projectedNames.length)
+              val values = new Array[Any](part.cols.length)
               var i = 0
               while (i < outIndex.length) {
                 values(outIndex(i)) = inner.get(i, requestedStruct.fields(i).dataType)
@@ -523,13 +540,29 @@ class LakeWrite(dir: String, writeSchema: StructType,
 
 class LakeWriterFactory(dir: String, schema: StructType)
     extends DataWriterFactory {
+  /** The write schema with the TABLE's field-id metadata grafted on by
+    * name: Spark's LogicalWriteInfo schema is the query's output shape
+    * and does not carry connector metadata, so the ids that give
+    * columns identity across renames are re-attached from the sidecar
+    * here — every published file then carries them in its footer.
+    * Resolved once on the driver (the factory is constructed there and
+    * serialized to tasks).
+    */
+  private val idSchema: StructType =
+    try {
+      val byName = LakeTableIO.tableSchema(dir).fields
+        .map(f => f.name -> f.metadata).toMap
+      StructType(schema.fields.map(f =>
+        byName.get(f.name).fold(f)(m => f.copy(metadata = m))))
+    } catch { case _: Exception => schema } // schema-less dir: as-is
+
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val staged =
         new Path(s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
-      private val message = LakeParquet.toMessageType(schema)
-      private val enc = LakeParquet.encoders(schema)
+      private val message = LakeParquet.toMessageType(idSchema)
+      private val enc = LakeParquet.encoders(idSchema)
       private var opened = false
       private lazy val writer = {
         val fs = staged.getFileSystem(new Configuration())
@@ -632,15 +665,71 @@ object LakeTableIO {
   final case class ScanPlan(parts: Array[InputPartition], totalGroups: Int,
                             keptRows: Long, keptBytes: Long)
 
+  /** Column-resolution refs for a (projected) schema: output name,
+    * field id from metadata, and the name-candidate chain legacy files
+    * resolve by.
+    */
+  def columnRefs(schema: StructType): Array[LakeColumnRef] =
+    schema.fields.map(f => LakeColumnRef(f.name,
+      LakeParquet.fieldId(f).getOrElse(-1),
+      (f.name +: LakeParquet.priorNames(f)).toArray))
+
+  /** Resolve a table column to THIS file's column name. A file carrying
+    * field ids resolves STRICTLY by id — never by name, so a
+    * dropped-then-re-added name cannot resurrect the old column's
+    * values; an id-less legacy file walks the candidates (current name
+    * first, then prior names, so renames keep resolving). None =
+    * absent from the file (readers back-fill null, planners keep
+    * groups conservatively).
+    */
+  def resolveInFile(fileSchema: org.apache.parquet.schema.MessageType,
+                    ref: LakeColumnRef): Option[String] = {
+    val fields = fileSchema.getFields.asScala
+    val fileHasIds = fields.exists(_.getId != null)
+    if (fileHasIds && ref.id >= 0)
+      fields.find(t => t.getId != null && t.getId.intValue() == ref.id)
+        .map(_.getName)
+    else
+      ref.candidates.iterator
+        .flatMap(n => fields.find(_.getName == n)).map(_.getName)
+        .nextOption()
+  }
+
+  /** Rewrite a prunable filter's column to a file-local name (stats
+    * live under the FILE's name for a renamed column).
+    */
+  private def retarget(f: Filter, to: String): Filter = f match {
+    case EqualTo(_, v)            => EqualTo(to, v)
+    case GreaterThan(_, v)        => GreaterThan(to, v)
+    case GreaterThanOrEqual(_, v) => GreaterThanOrEqual(to, v)
+    case LessThan(_, v)           => LessThan(to, v)
+    case LessThanOrEqual(_, v)    => LessThanOrEqual(to, v)
+    case other                    => other
+  }
+
+  private def filterColumn(f: Filter): Option[String] = f match {
+    case EqualTo(c, _)            => Some(c)
+    case GreaterThan(c, _)        => Some(c)
+    case GreaterThanOrEqual(c, _) => Some(c)
+    case LessThan(c, _)           => Some(c)
+    case LessThanOrEqual(c, _)    => Some(c)
+    case _                        => None
+  }
+
   /** One input partition per row group of `files` surviving footer-stats
     * pruning. Driver-side metadata work shared by the batch scan, the
-    * row-level-operation scan, and the streaming source.
+    * row-level-operation scan, and the streaming source. Filters are
+    * translated to each file's LOCAL column names (field-id / prior-
+    * name resolution) before consulting its stats; a filter on a
+    * column the file lacks keeps the group (absent = all-null, and the
+    * re-applied residual filter decides exactly).
     */
-  def planRowGroups(files: Seq[Path], projectedNames: Array[String],
+  def planRowGroups(files: Seq[Path], cols: Array[LakeColumnRef],
                     pushed: Array[Filter],
                     pruneGroups: Boolean): ScanPlan = {
     val conf = new Configuration()
     val parts = mutable.ArrayBuffer.empty[InputPartition]
+    val refByName = cols.map(r => r.name -> r).toMap
     var total = 0
     var rows = 0L
     var bytes = 0L
@@ -648,16 +737,28 @@ object LakeTableIO {
       val in = HadoopInputFile.fromPath(file, conf)
       val reader = ParquetFileReader.open(in)
       try {
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        // table-name -> file-local-name for the projected columns
+        val local: Map[String, String] = cols.flatMap(ref =>
+          resolveInFile(fileSchema, ref).map(ref.name -> _)).toMap
+        val localFilters = pushed.flatMap { f =>
+          filterColumn(f) match {
+            case Some(c) if refByName.contains(c) =>
+              local.get(c).map(retarget(f, _)) // absent column: no prune
+            case _ => Some(f)
+          }
+        }
+        val localNames = local.values.toSet
         val blocks = reader.getRowGroups.asScala.toSeq
         total += blocks.size
         blocks.zipWithIndex.foreach { case (block, idx) =>
           val keep = !pruneGroups ||
-            pushed.forall(f => mightMatch(block, f))
+            localFilters.forall(f => mightMatch(block, f))
           if (keep) {
-            parts += LakeInputPartition(file.toString, idx, projectedNames)
+            parts += LakeInputPartition(file.toString, idx, cols)
             rows += block.getRowCount
             bytes += block.getColumns.asScala
-              .filter(c => projectedNames.contains(c.getPath.toDotString))
+              .filter(c => localNames.contains(c.getPath.toDotString))
               .map(_.getTotalUncompressedSize).sum
           }
         }
@@ -670,22 +771,40 @@ object LakeTableIO {
     * present (written by CREATE TABLE, advanced by ALTER TABLE — the
     * logical schema can be WIDER than any data file after an ADD
     * COLUMN; readers back-fill nulls), else the footer of the first
-    * data file on disk (legacy / externally-populated dirs).
+    * data file on disk (legacy / externally-populated dirs). Field-id
+    * metadata rides in the sidecar's v2 JSON encoding (see
+    * [[writeSchema]]); v1 plain-DDL sidecars keep parsing (id-less).
     */
-  def tableSchema(dir: String): StructType = {
+  def tableSchema(dir: String): StructType = tableSchemaInfo(dir)._1
+
+  /** (schema, maxFieldId). `maxFieldId = 0` marks a pre-field-id (v1)
+    * schema; ALTER migrates it by assigning ids 1..n before evolving.
+    * Ids are never reused after a DROP — that is the invariant that
+    * lets a dropped name be re-added without resurrecting old values.
+    */
+  def tableSchemaInfo(dir: String): (StructType, Int) = {
     val ddl = new Path(dir, "_schema.ddl")
     val fs = ddl.getFileSystem(new Configuration())
     if (fs.exists(ddl)) {
       val in = fs.open(ddl)
-      try StructType.fromDDL(
-        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      if (text.trim.startsWith("{")) {
+        // v2: {"graftSchemaVersion":2,"maxFieldId":N,"schema":{...}}
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(text)
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(root.get("schema").toString).asInstanceOf[StructType]
+        (schema, root.get("maxFieldId").asInt(0))
+      } else (StructType.fromDDL(text), 0)
     } else LakeLog.rawDataFiles(dir).headOption.map(new Path(dir, _)) match {
       case Some(f) =>
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(f, new Configuration()))
-        try LakeParquet.toStructType(
-          reader.getFooter.getFileMetaData.getSchema)
+        try (LakeParquet.toStructType(
+          reader.getFooter.getFileMetaData.getSchema), 0)
         finally reader.close()
       case None =>
         throw new IllegalStateException(
@@ -704,10 +823,21 @@ object LakeTableIO {
     * overwrite-rename via FileContext; object stores need their
     * conditional PUT).
     */
-  def writeSchema(dir: String, schema: StructType): Unit = {
+  def writeSchema(dir: String, schema: StructType): Unit =
+    writeSchema(dir, schema,
+      schema.fields.flatMap(LakeParquet.fieldId).foldLeft(0)(math.max))
+
+  def writeSchema(dir: String, schema: StructType, maxFieldId: Int): Unit = {
     val fs = new Path(dir).getFileSystem(new Configuration())
     val dest = new Path(dir, "_schema.ddl")
-    val bytes = schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // v2 JSON when the schema carries field ids (StructType.json keeps
+    // the metadata); plain DDL otherwise — so a never-altered table's
+    // sidecar stays the human-readable v1 form
+    val text =
+      if (maxFieldId > 0)
+        s"""{"graftSchemaVersion":2,"maxFieldId":$maxFieldId,"schema":${schema.json}}"""
+      else schema.toDDL
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if ("file".equalsIgnoreCase(fs.getScheme)) {
       // stage and move through java.nio, OUTSIDE Hadoop's
       // ChecksumFileSystem: the move must not leave a stale `.crc`
@@ -738,8 +868,8 @@ object LakeTableIO {
     }
   }
 
-  /** Column names present in ANY current data file's footer — the
-    * re-add guard reads this (driver-side footer metadata).
+  /** Column names present in ANY current data file's footer — plan
+    * evidence and diagnostics (driver-side footer metadata).
     */
   def footerColumns(dir: String): Set[String] = {
     val conf = new Configuration()
@@ -748,6 +878,24 @@ object LakeTableIO {
       try reader.getFooter.getFileMetaData.getSchema
         .getFields.asScala.map(_.getName).toSeq
       finally reader.close()
+    }.toSet
+  }
+
+  /** Column names carried by current data files WITHOUT field ids —
+    * the only files the re-add guard must still protect (id-stamped
+    * files resolve strictly by id and can never leak a re-added
+    * name's old values).
+    */
+  def legacyFooterColumns(dir: String): Set[String] = {
+    val conf = new Configuration()
+    dataFiles(dir).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val fields = reader.getFooter.getFileMetaData.getSchema
+          .getFields.asScala
+        if (fields.exists(_.getId != null)) Seq.empty
+        else fields.map(_.getName).toSeq
+      } finally reader.close()
     }.toSet
   }
 
@@ -769,7 +917,8 @@ object LakeTableIO {
     * value (conservative: unreadable stats / unconvertible values keep
     * the file). Driver-side footer metadata only.
     */
-  def fileMightContain(file: String, col: String, values: Seq[Any]): Boolean = {
+  def fileMightContain(file: String, ref: LakeColumnRef,
+                       values: Seq[Any]): Boolean = {
     val catalystToFilter: Any => Option[Any] = {
       case v: java.lang.Long    => Some(v)
       case v: java.lang.Integer => Some(v)
@@ -783,9 +932,15 @@ object LakeTableIO {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
     try {
-      val blocks = reader.getRowGroups.asScala
-      blocks.exists(b =>
-        lifted.flatten.exists(v => mightMatch(b, EqualTo(col, v))))
+      // stats live under the file-LOCAL name (a renamed column keeps
+      // its old name in old files); an absent column keeps the file
+      val local = resolveInFile(
+        reader.getFooter.getFileMetaData.getSchema, ref)
+      local.forall { col =>
+        val blocks = reader.getRowGroups.asScala
+        blocks.exists(b =>
+          lifted.flatten.exists(v => mightMatch(b, EqualTo(col, v))))
+      }
     } finally reader.close()
   }
 

@@ -198,6 +198,38 @@ class LakeReliabilitySpec extends SparkSpec {
       org.apache.spark.sql.connector.read.streaming.CompositeReadLimit])
   }
 
+  // ----- O(1) head resolution ------------------------------------------
+
+  test("head resolution on a 100-commit table is O(1): the per-commit " +
+       "head hint makes current() one manifest read and zero _log " +
+       "listings; a deleted hint falls back to the listing unharmed") {
+    val dir = freshDir()
+    (0 until 100).foreach { i =>
+      touch(dir, f"h$i%03d.parquet")
+      LakeLog.commit(dir, "append", Seq(f"h$i%03d.parquet"), Seq.empty, 1L)
+    }
+    val r0 = LakeLog.manifestReads.get()
+    val l0 = LakeLog.logListings.get()
+    val head = LakeLog.current(dir).get
+    assert(head.version == 99L && head.files.size == 100)
+    assert(LakeLog.manifestReads.get() - r0 == 1,
+      s"expected 1 manifest read, got ${LakeLog.manifestReads.get() - r0}")
+    assert(LakeLog.logListings.get() - l0 == 0,
+      s"expected 0 log listings, got ${LakeLog.logListings.get() - l0}")
+    // hint is best-effort: delete it, resolution falls back to listing
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_log", "_head.json"))
+    assert(LakeLog.current(dir).get.version == 99L)
+    // a STALE hint (simulated: rewind to v50) still resolves the true
+    // head by probing forward
+    LakeLog.commit(dir, "append", Seq.empty, Seq.empty, 0L) // rewrites hint
+    val hintPath = java.nio.file.Paths.get(dir, "_log", "_head.json")
+    java.nio.file.Files.write(hintPath,
+      """{"version":50}""".getBytes("UTF-8"))
+    assert(LakeLog.current(dir).get.version == 100L,
+      "stale hint must probe forward to the true head")
+  }
+
   // ----- exactly-once epoch bookkeeping --------------------------------
 
   test("epoch replay check is O(1) via the per-query ref, survives a " +

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions.col
 
 import graft.sources.dsv2.{GraftCatalog, LakeLog}
 
-/** Metadata-only schema evolution on the lake catalog: ADD COLUMN
-  * widens the sidecar schema and old files back-fill null; DROP COLUMN
-  * narrows it without touching bytes; unsafe changes (rename, re-add of
-  * a still-present name, type changes) fail loud instead of silently
-  * corrupting name-resolved reads.
+/** Field-id based, metadata-only schema evolution on the lake catalog:
+  * ADD COLUMN widens the sidecar schema (fresh id) and old files
+  * back-fill null; DROP COLUMN narrows it without touching bytes and
+  * retires the id forever; RENAME keeps the id so every existing file
+  * keeps resolving; drop-then-re-add of a name is SAFE against
+  * id-stamped files (strict id resolution can't see the old values);
+  * the remaining unsafe changes (type, position) fail loud.
   */
 class LakeSchemaEvolutionSpec extends SparkSpec {
 
@@ -60,7 +62,7 @@ class LakeSchemaEvolutionSpec extends SparkSpec {
     s"${spark.conf.get(s"spark.sql.catalog.$cat.root")}/db/$tbl"
 
   test("DROP COLUMN narrows the schema without rewriting data; the " +
-       "dropped name cannot be re-added while files still carry it") {
+       "dropped name re-adds SAFELY under a fresh field id") {
     withCatalog { (cat, root) =>
       spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, v STRING, x INT)")
       spark.sql(s"INSERT INTO $cat.db.d SELECT id, concat('v', id), " +
@@ -74,38 +76,87 @@ class LakeSchemaEvolutionSpec extends SparkSpec {
       assert(LakeLog.current(s"$root/db/d").get.files == filesBefore,
         "drop is metadata-only — no file changed hands")
 
-      // the bytes are still in the files → re-add must fail loud
-      val e = intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.db.d ADD COLUMN x INT")
-      }
-      def msgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-      assert(msgs(e).exists(m => m != null && m.contains("resurrect")),
-        s"wrong error: ${e.getMessage}")
-      // a FRESH name is fine
+      // the bytes are still in the files, but they carry FIELD IDS:
+      // re-adding the name takes a FRESH id, so strict id resolution
+      // reads the re-added column as null everywhere — never the old x
+      spark.sql(s"ALTER TABLE $cat.db.d ADD COLUMN x INT")
+      assert(spark.table(s"$cat.db.d").schema.fieldNames.toSeq ==
+        Seq("k", "v", "x"))
+      assert(spark.table(s"$cat.db.d").where(col("x").isNotNull).count()
+        == 0, "re-added x must NOT resurrect the dropped column's values")
+      spark.sql(s"INSERT INTO $cat.db.d SELECT 999, 'new', 7")
+      assert(spark.table(s"$cat.db.d").where(col("x") === 7).count() == 1,
+        "new writes land in the re-added column")
+      // a FRESH name is fine too
       spark.sql(s"ALTER TABLE $cat.db.d ADD COLUMN y INT")
       assert(spark.table(s"$cat.db.d").schema.fieldNames.toSeq ==
-        Seq("k", "v", "y"))
+        Seq("k", "v", "x", "y"))
     }
   }
 
-  test("unsafe ALTERs fail loud: rename, FIRST/AFTER position, " +
-       "non-nullable add, type change") {
+  test("RENAME COLUMN is a metadata-only evolution: the id survives, " +
+       "old files read under the new name, filters prune through the " +
+       "rename, and a rename round-trip is clean") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.r (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.db.r SELECT id, concat('v', id) FROM range(100)")
+      val filesBefore = LakeLog.current(s"$root/db/r").get.files
+
+      spark.sql(s"ALTER TABLE $cat.db.r RENAME COLUMN v TO label")
+      assert(spark.table(s"$cat.db.r").schema.fieldNames.toSeq ==
+        Seq("k", "label"))
+      assert(LakeLog.current(s"$root/db/r").get.files == filesBefore,
+        "rename is metadata-only — no file changed hands")
+      // OLD files readable under the NEW name (id resolution)
+      assert(spark.table(s"$cat.db.r")
+        .where(col("label") === "v42").count() == 1)
+      // pushed filters keep working (stats live under the old name in
+      // old files; the planner retargets per file)
+      assert(spark.table(s"$cat.db.r")
+        .where(col("k") >= 90).count() == 10)
+      // new writes + DML through the new name, mixed-vintage scan
+      spark.sql(s"INSERT INTO $cat.db.r SELECT id, concat('w', id) FROM range(100, 120)")
+      spark.sql(s"UPDATE $cat.db.r SET label = 'patched' WHERE k = 5")
+      val t = spark.table(s"$cat.db.r")
+      assert(t.count() == 120)
+      assert(t.where(col("label") === "patched").count() == 1)
+      assert(t.where(col("label") === "w110").count() == 1)
+      // round-trip back to the original name
+      spark.sql(s"ALTER TABLE $cat.db.r RENAME COLUMN label TO v")
+      assert(spark.table(s"$cat.db.r")
+        .where(col("v") === "v42").count() == 1, "round-trip resolves")
+      // audit trail carries both renames as dataChange=false commits
+      val renames = LakeLog.versions(s"$root/db/r")
+        .map(LakeLog.snapshotAt(s"$root/db/r", _))
+        .filter(_.operation.startsWith("alter_rename"))
+      assert(renames.size == 2 && renames.forall(!_.dataChange))
+    }
+  }
+
+  test("unsafe ALTERs fail loud: FIRST/AFTER position, non-nullable " +
+       "add, type change; renaming TO a prior name of another column " +
+       "is rejected (legacy ambiguity)") {
     withCatalog { (cat, _) =>
       spark.sql(s"CREATE TABLE $cat.db.u (k BIGINT, v STRING)")
       spark.sql(s"INSERT INTO $cat.db.u SELECT id, 'a' FROM range(5)")
-      intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.db.u RENAME COLUMN v TO w")
-      }
       intercept[Exception] {
         spark.sql(s"ALTER TABLE $cat.db.u ADD COLUMN z INT FIRST")
       }
       intercept[Exception] {
         spark.sql(s"ALTER TABLE $cat.db.u ALTER COLUMN k TYPE INT")
       }
+      // v -> w leaves "v" as a prior name; renaming k to "v" (or adding
+      // a new column "v") would make legacy name resolution ambiguous
+      spark.sql(s"ALTER TABLE $cat.db.u RENAME COLUMN v TO w")
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.u RENAME COLUMN k TO v")
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.u ADD COLUMN v INT")
+      }
       // table unharmed by the rejected changes
       assert(spark.table(s"$cat.db.u").schema.fieldNames.toSeq ==
-        Seq("k", "v"))
+        Seq("k", "w"))
       assert(spark.table(s"$cat.db.u").count() == 5)
     }
   }

@@ -72,15 +72,22 @@ class Round10bQueriesSpec extends SparkSpec {
       s"16 fragmented files must compact: $before -> ${head.files.size}")
   }
 
-  test("lake_schema_evolution scans read both vintages in one plan and " +
-       "the audit trail records the metadata-only ALTER") {
+  test("lake_schema_evolution scans read all three vintages in one plan " +
+       "(pre-column, pre-rename, post-rename) and the audit trail " +
+       "records the metadata-only ALTERs") {
     val df = LakeQueries.queries("lake_schema_evolution")(spark, dir)
-    assert(df.where(col("o_note").isNull).count() > 0, "old vintage")
-    assert(df.where(col("o_note").isNotNull).count() > 0, "new vintage")
+    assert(df.where(col("note").isNull).count() > 0, "old vintage")
+    assert(df.where(col("note").startsWith("n")).count() > 0,
+      "pre-rename vintage (written as o_note) resolves by field id")
+    assert(df.where(col("note").startsWith("m")).count() > 0,
+      "post-rename vintage")
     val tdir = s"${LakeCatalogs.root}/${LakeCatalogs.ns(dir)}/lake_evo"
-    val alter = LakeLog.versions(tdir).map(LakeLog.snapshotAt(tdir, _))
-      .find(_.operation.startsWith("alter_add"))
+    val snaps = LakeLog.versions(tdir).map(LakeLog.snapshotAt(tdir, _))
+    val alter = snaps.find(_.operation.startsWith("alter_add"))
     assert(alter.exists(s => !s.dataChange && s.added.isEmpty),
       "ALTER must log a no-file, no-data commit")
+    assert(snaps.exists(s => s.operation.startsWith("alter_rename") &&
+      !s.dataChange && s.added.isEmpty),
+      "RENAME must log a no-file, no-data commit")
   }
 }
