@@ -224,6 +224,34 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // Multi-table ATOMIC commit (graft.sources.dsv2.LakeTx): one
+    // transaction appends a delivery batch to the FACT table and its
+    // per-status audit counts to a SECOND table — stage both, decide
+    // via one marker rename, apply idempotently, recover on crash
+    // (all-or-nothing pinned in LakeMultiCommitSpec). The query reads
+    // BOTH tables back as one frame; the oracle derives both halves
+    // from `orders` directly, so a transaction that half-applied (or
+    // double-applied on recovery) hash-mismatches.
+    "lake_multi_commit" -> ((s, dir) => {
+      val a = freshTable(s, dir, "lake_mtx_a")
+      val b = tableId(dir, "lake_mtx_b")
+      s.sql(s"DROP TABLE IF EXISTS $b")
+      s.sql(s"CREATE TABLE $b (o_orderstatus STRING, n BIGINT)")
+      val batch = newest(s, dir).where(col(key) % 13 === 0)
+      val audit = batch.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      val txRoot = LakeCatalogs.root
+      graft.sources.dsv2.LakeTx.commit(txRoot, Seq(
+        graft.sources.dsv2.LakeTx.stageAppend(s, batch,
+          tablePath(dir, "lake_mtx_a"), "append"),
+        graft.sources.dsv2.LakeTx.stageAppend(s, audit,
+          tablePath(dir, "lake_mtx_b"), "append")))
+      s.table(a).groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .withColumn("src", lit("fact"))
+        .unionByName(s.table(b).withColumn("src", lit("audit")))
+        .select("src", "o_orderstatus", "n")
+    }),
+
     // SQL CALL maintenance: a fragmented table (two 8-file appends) is
     // compacted through `CALL graft_lake.system.compact` into target-
     // sized files as a dataChange=false commit; the head read after
@@ -352,6 +380,19 @@ object LakeQueries {
          |UNION ALL
          |SELECT *, 'm' || CAST(o_orderkey AS VARCHAR) AS note
          |FROM newest WHERE o_orderkey % 11 = 0""".stripMargin,
+    // the transaction landed in BOTH tables exactly once: fact counts
+    // include the batch, audit counts equal the batch's group-bys
+    "lake_multi_commit" ->
+      s"""$snapshotCte
+         |SELECT 'fact' AS src, o_orderstatus, count(*) AS n
+         |FROM (SELECT * FROM prev
+         |      UNION ALL
+         |      SELECT * FROM newest WHERE o_orderkey % 13 = 0)
+         |GROUP BY 2
+         |UNION ALL
+         |SELECT 'audit' AS src, o_orderstatus, count(*) AS n
+         |FROM newest WHERE o_orderkey % 13 = 0 GROUP BY 2""".stripMargin,
+
     // compaction preserves contents exactly
     "lake_compact" ->
       s"""$snapshotCte

@@ -1,0 +1,193 @@
+package graft.sources.dsv2
+
+import java.util.{ArrayList, HashMap => JHashMap, List => JList, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table ATOMIC commit across tables of one catalog root — the
+  * last classic lakehouse contract (Delta has none; Iceberg gets it
+  * from a catalog-level swap). Built as a write-ahead redo log on the
+  * two primitives the per-table [[LakeLog]] already rests on:
+  *
+  *  1. '''stage''': each table's new data files are published into its
+  *     directory under fresh UUID names but in NO manifest — invisible
+  *     to every reader, reclaimable orphans if the transaction never
+  *     commits;
+  *  2. '''decide''': ONE transaction marker
+  *     (`<root>/_txn/tx-<id>.json`, atomic create) listing every
+  *     (table, files, rows) participant — this single rename is the
+  *     commit point for the WHOLE transaction;
+  *  3. '''apply''': each participant table gets an ordinary
+  *     `LakeLog.commit` whose operation tag `txn(<id>)` makes the
+  *     apply IDEMPOTENT (an already-applied table is recognized and
+  *     skipped);
+  *  4. '''forget''': the marker is deleted once every table is
+  *     applied.
+  *
+  * Atomicity is the WAL guarantee: a crash BEFORE the marker leaves
+  * nothing visible anywhere (stage-only orphans); a crash AFTER the
+  * marker — even mid-apply, with one table committed and the other
+  * not — is finished by [[recover]], which every later [[commit]] on
+  * the root runs first. So no transaction can ever settle half-applied:
+  * either the marker never existed (neither table changes) or it did
+  * (both eventually commit, and the idempotent tag makes re-applying
+  * safe). The read-visibility window between the two applies is the
+  * documented difference from a catalog-level swap — closing it needs
+  * a catalog whose LIST/resolve itself goes through one atomic record,
+  * which is exactly what this marker would become in a port that owns
+  * the catalog's resolution path.
+  *
+  * Scale notes: the marker is one small JSON record; staging cost is
+  * the data writes themselves (paid anywhere); apply cost is one
+  * manifest commit per table. Nothing here scans data.
+  */
+object LakeTx {
+  private val mapper = new ObjectMapper()
+
+  /** One table's slice of a transaction: data files already PUBLISHED
+    * (present in `dir` under their final names) but in no manifest.
+    */
+  final case class TableAppend(dir: String, operation: String,
+                               added: Seq[String], addedRows: Long)
+
+  private def txDir(root: String): Path = new Path(root, "_txn")
+
+  private def fsFor(p: String): FileSystem =
+    new Path(p).getFileSystem(new Configuration())
+
+  /** Stage `df` as published-but-uncommitted parquet files of the table
+    * at `dir`: written to a scratch subdir, then renamed into the table
+    * directory under fresh UUID names (invisible until a manifest
+    * lists them; vacuum-reclaimable orphans on abort). Id-less files —
+    * the reader's legacy name resolution covers them, same as any
+    * externally produced file.
+    */
+  def stageAppend(spark: SparkSession, df: DataFrame, dir: String,
+                  operation: String): TableAppend = {
+    val fs = fsFor(dir)
+    val scratch = new Path(dir,
+      s"_staging/tx-${java.util.UUID.randomUUID()}")
+    df.write.parquet(scratch.toString)
+    val staged = fs.listStatus(scratch).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val rows = LakeTableIO.footerRows(staged)
+    val published = staged.map { p =>
+      val dest = new Path(dir,
+        s"part-${java.util.UUID.randomUUID()}.parquet")
+      if (!fs.rename(p, dest))
+        throw new java.io.IOException(s"failed to publish $p -> $dest")
+      dest.getName
+    }
+    fs.delete(scratch, true)
+    TableAppend(dir, operation, published, rows)
+  }
+
+  /** Atomically commit `appends` across their tables. Runs [[recover]]
+    * first (finishing any transaction an earlier crash left mid-apply),
+    * then decide → apply → forget as documented above. Returns the
+    * transaction id.
+    */
+  def commit(root: String, appends: Seq[TableAppend]): String = {
+    require(appends.nonEmpty, "empty transaction")
+    recover(root)
+    val txid = java.util.UUID.randomUUID().toString
+    writeMarker(root, txid, appends)
+    appends.foreach(applyOne(txid, _))
+    forget(root, txid)
+    txid
+  }
+
+  /** Finish every transaction whose marker survived a crash: re-apply
+    * each participant (idempotent via the `txn(<id>)` operation tag),
+    * then delete the marker. Returns the number of transactions
+    * completed. Run by every [[commit]]; safe to call any time.
+    */
+  def recover(root: String): Int = {
+    val fs = fsFor(root)
+    val d = txDir(root)
+    if (!fs.exists(d)) return 0
+    val markers = fs.listStatus(d).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("tx-"))
+    markers.foreach { m =>
+      val (txid, appends) = readMarker(fs, m.getPath)
+      appends.foreach(applyOne(txid, _))
+      fs.delete(m.getPath, false)
+    }
+    markers.size
+  }
+
+  private[graft] def writeMarker(root: String, txid: String,
+                                 appends: Seq[TableAppend]): Unit = {
+    val fs = fsFor(root)
+    fs.mkdirs(txDir(root))
+    val body = new JHashMap[String, Object]()
+    body.put("txid", txid)
+    val list = new ArrayList[JMap[String, Object]]()
+    appends.foreach { a =>
+      val m = new JHashMap[String, Object]()
+      m.put("dir", a.dir)
+      m.put("operation", a.operation)
+      val fl = new ArrayList[String](a.added.size)
+      a.added.foreach(fl.add)
+      m.put("added", fl)
+      m.put("addedRows", java.lang.Long.valueOf(a.addedRows))
+      list.add(m)
+    }
+    body.put("appends", list)
+    val tmp = new Path(txDir(root),
+      s".tmp-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(body)) finally out.close()
+    val dest = new Path(txDir(root), s"tx-$txid.json")
+    // atomic create — THE commit point of the whole transaction
+    if (!(if ("file".equalsIgnoreCase(fs.getScheme)) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else fs.rename(tmp, dest)))
+      throw new java.io.IOException(s"failed to publish tx marker $dest")
+    fs.delete(tmp, false)
+  }
+
+  private def readMarker(fs: FileSystem,
+                         p: Path): (String, Seq[TableAppend]) = {
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val body = mapper.readValue(bytes, classOf[JMap[String, Object]])
+    val txid = String.valueOf(body.get("txid"))
+    val appends = body.get("appends").asInstanceOf[JList[JMap[String, Object]]]
+      .asScala.toSeq.map { m =>
+        TableAppend(String.valueOf(m.get("dir")),
+          String.valueOf(m.get("operation")),
+          m.get("added").asInstanceOf[JList[String]].asScala.toSeq,
+          m.get("addedRows").asInstanceOf[Number].longValue())
+      }
+    (txid, appends)
+  }
+
+  /** Apply one table's slice: an ordinary log commit tagged with the
+    * transaction id. Idempotent — a retained manifest already carrying
+    * this tag means a previous attempt (or the original run) applied
+    * it, and re-running is a no-op. The newest-first scan stops at the
+    * first txn manifest of this table, so repeated recovery is cheap.
+    */
+  private[graft] def applyOne(txid: String, a: TableAppend): Unit = {
+    val applied = LakeLog.versions(a.dir).reverseIterator
+      .map(v => LakeLog.snapshotAt(a.dir, v).operation)
+      .contains(s"txn($txid)")
+    if (!applied)
+      LakeLog.commit(a.dir, s"txn($txid)", a.added, Seq.empty, a.addedRows)
+  }
+
+  private[graft] def forget(root: String, txid: String): Unit =
+    fsFor(root).delete(new Path(txDir(root), s"tx-$txid.json"), false)
+}
