@@ -50,20 +50,75 @@ object LakeSnapshots {
               toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"changes($fromVersion -> $toVersion): range must go forward")
-    val before = LakeLog.snapshotAt(dir, fromVersion).files.toSet
-    val after = LakeLog.snapshotAt(dir, toVersion).files.toSet
+    val from = LakeLog.snapshotAt(dir, fromVersion)
+    val to = LakeLog.snapshotAt(dir, toVersion)
+    val before = from.files.toSet
+    val after = to.files.toSet
     val schema = LakeTableIO.tableSchema(dir)
-    def readFiles(names: Seq[String]): DataFrame =
+    // a file's LIVE rows at a version = its bytes minus that version's
+    // deletion-vector positions; reading through the stock parquet
+    // source with `_metadata.row_index` gives the same position
+    // semantics the connector reader uses (its `_pos` IS the parquet
+    // row index)
+    def dvDf(snap: graft.sources.dsv2.LakeLog.Snapshot,
+             names: Seq[String]): DataFrame = {
+      val rows = names.flatMap(f => snap.dvs.get(f).toSeq.flatMap(dvs =>
+        graft.sources.dsv2.LakeDv.positions(dir, dvs).map(p => (f, p))))
+      if (rows.isEmpty)
+        spark.createDataFrame(Seq.empty[(String, Long)])
+          .toDF("__f", "__p")
+      else spark.createDataFrame(rows).toDF("__f", "__p")
+    }
+    def readLive(snap: graft.sources.dsv2.LakeLog.Snapshot,
+                 names: Seq[String]): DataFrame =
       if (names.isEmpty)
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(names.map(n => s"$dir/$n"): _*)
-    val newRows = readFiles((after -- before).toSeq.sorted)
-    val oldRows = readFiles((before -- after).toSeq.sorted)
+      else {
+        val raw = spark.read.schema(schema)
+          .parquet(names.map(n => s"$dir/$n"): _*)
+        if (names.forall(n => !snap.dvs.contains(n))) raw
+        else raw
+          .withColumn("__f", col("_metadata.file_name"))
+          .withColumn("__p", col("_metadata.row_index"))
+          .join(broadcast(dvDf(snap, names)), Seq("__f", "__p"),
+            "left_anti")
+          .drop("__f", "__p")
+      }
+    val newRows = readLive(to, (after -- before).toSeq.sorted)
+    val oldRows = readLive(from, (before -- after).toSeq.sorted)
+    // merge-on-read deltas: positions DV'd between the two versions on
+    // files present in BOTH are row-level DELETES (DV sets only grow
+    // while a file survives — a replace retires file and DVs together)
+    val common = (before intersect after).toSeq.sorted
+    val dvDeltaRows = common.flatMap { f =>
+      val pBefore = from.dvs.get(f).map(d =>
+        graft.sources.dsv2.LakeDv.positions(dir, d).toSet)
+        .getOrElse(Set.empty)
+      val pAfter = to.dvs.get(f).map(d =>
+        graft.sources.dsv2.LakeDv.positions(dir, d).toSet)
+        .getOrElse(Set.empty)
+      (pAfter -- pBefore).toSeq.sorted.map(p => (f, p))
+    }
+    val dvDeleted =
+      if (dvDeltaRows.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val files = dvDeltaRows.map(_._1).distinct.sorted
+        spark.read.schema(schema)
+          .parquet(files.map(n => s"$dir/$n"): _*)
+          .withColumn("__f", col("_metadata.file_name"))
+          .withColumn("__p", col("_metadata.row_index"))
+          .join(broadcast(
+            spark.createDataFrame(dvDeltaRows).toDF("__f", "__p")),
+            Seq("__f", "__p"), "left_semi")
+          .drop("__f", "__p")
+      }
     newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
       .unionByName(
         oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
+      .unionByName(dvDeleted.withColumn("change_type", lit("delete")))
   }
 
   /** Restore the table to `version` as a NEW commit (history preserved). */
@@ -210,7 +265,12 @@ object LakeSnapshots {
     val fs = new Path(dir).getFileSystem(new Configuration())
     val sized = head.files.map(f =>
       f -> fs.getFileStatus(new Path(dir, f)).getLen)
+    // files carrying deletion vectors are excluded: their FOOTER row
+    // counts include dead rows, so the exact row-preservation check
+    // below cannot hold — rewriteDeletes is the maintenance pass that
+    // materializes them first (after which they compact normally)
     val small = sized.filter(_._2 < targetBytes)
+      .filterNot { case (f, _) => head.dvs.contains(f) }
     if (small.size < 2) return (head.files.size, head.files.size)
     val srcPaths = small.map { case (f, _) => new Path(dir, f) }
     val srcRows = LakeTableIO.footerRows(srcPaths)
@@ -240,6 +300,69 @@ object LakeSnapshots {
         addedRows = 0L, dataChange = false)
       catch { case e: Throwable => unpublish(fs, dir, published); throw e }
       (head.files.size, head.files.size - small.size + published.size)
+    } finally fs.delete(stage, true)
+  }
+
+  /** Materialize merge-on-read deletion vectors: every DV'd data file
+    * is rewritten with its dead positions dropped, replacing the file
+    * (and, by [[graft.sources.dsv2.LakeLog.commit]]'s replace
+    * semantics, retiring its DVs) in one `dataChange=false` commit —
+    * live rows are IDENTICAL before and after, verified against the
+    * DV-adjusted footer counts, so streaming consumers skip it like
+    * any compaction. Returns (files rewritten, positions materialized).
+    * This is the read-cost reclamation pass MOR tables run periodically
+    * (Delta's PURGE, Iceberg's rewrite_position_delete_files).
+    */
+  def rewriteDeletes(spark: SparkSession, dir: String): (Int, Long) = {
+    val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no snapshot log"))
+    if (head.dvs.isEmpty) return (0, 0L)
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val schema = LakeTableIO.tableSchema(dir)
+    val stage = new Path(dir, s".rewrite-dv-${UUID.randomUUID()}")
+    val targets = head.dvs.keys.toSeq.sorted
+    val deadByFile = targets.map(f =>
+      f -> graft.sources.dsv2.LakeDv
+        .positions(dir, head.dvs(f)).length.toLong).toMap
+    val liveRows = LakeTableIO.footerRows(
+      targets.map(new Path(dir, _))) - deadByFile.values.sum
+    try {
+      withMicrosTimestamps(spark) {
+        // read THROUGH the stock parquet source with `_metadata
+        // .row_index` and subtract each file's positions — the same
+        // position semantics the connector's reader applies (its _pos
+        // IS the parquet row index)
+        import org.apache.spark.sql.functions.col
+        val dvRows = targets.flatMap(f =>
+          graft.sources.dsv2.LakeDv.positions(dir, head.dvs(f))
+            .map(p => (f, p)))
+        val dvDf = spark.createDataFrame(dvRows).toDF("__f", "__p")
+        spark.read.schema(schema)
+          .parquet(targets.map(f => s"$dir/$f"): _*)
+          .withColumn("__f", col("_metadata.file_name"))
+          .withColumn("__p", col("_metadata.row_index"))
+          .join(org.apache.spark.sql.functions.broadcast(dvDf),
+            Seq("__f", "__p"), "left_anti")
+          .drop("__f", "__p")
+          .write.parquet(stage.toString)
+      }
+      val staged = fs.listStatus(stage).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+      val stagedRows = LakeTableIO.footerRows(staged)
+      require(stagedRows == liveRows,
+        s"rewriteDeletes would change contents: staged $stagedRows " +
+          s"!= live $liveRows")
+      val published = staged.map { p =>
+        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"failed to publish $p -> $dest")
+        dest.getName
+      }
+      try LakeLog.commit(dir, "rewrite_deletes", published, targets,
+        addedRows = 0L, dataChange = false)
+      catch { case e: Throwable => unpublish(fs, dir, published); throw e }
+      (targets.size, deadByFile.values.sum)
     } finally fs.delete(stage, true)
   }
 }

@@ -224,6 +224,54 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // MERGE-ON-READ DML (deletion vectors — SupportsDelta): the DELETE
+    // writes POSITIONS instead of rewriting files (zero data files
+    // change hands — pinned in LakeMorSpec); every scan subtracts the
+    // DV at read time. The oracle states the surviving rows
+    // declaratively, so a reader that mis-applies positions (off by
+    // one, wrong file, wrong row group) hash-mismatches.
+    "lake_mor_delete" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_mord")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")
+      s.table(tbl)
+    }),
+
+    // MOR MERGE: matched updates flow as delete+insert (old position
+    // DV'd, new row in a fresh file), unmatched rows insert — one
+    // delta write, no copy-on-write rewrite. Scan reassembles all
+    // three vintages (original minus DVs, plus the delta files).
+    "lake_mor_merge" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_morm")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      // %9: overlaps prev (which excludes %13 keys) so the MERGE has
+      // real MATCHED rows, and its %13∩%9 slice exercises NOT MATCHED
+      newest(s, dir).where(col(key) % 9 === 0)
+        .createOrReplaceTempView("lake_morm_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING lake_morm_src s
+           |ON t.$key = s.$key
+           |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'MOR-UPDATED'
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table(tbl)
+    }),
+
+    // DV materialization: CALL system.rewrite_deletes rewrites DV'd
+    // files with dead positions dropped as a dataChange=false commit —
+    // live rows identical before and after (the oracle proves it: same
+    // declarative state as lake_mor_delete).
+    "lake_rewrite_deletes" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_rwd")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.rewrite_deletes(" +
+        s"'${LakeCatalogs.ns(dir)}.lake_rwd')")
+      s.table(tbl)
+    }),
+
     // Multi-table ATOMIC commit (graft.sources.dsv2.LakeTx): one
     // transaction appends a delivery batch to the FACT table and its
     // per-status audit counts to a SECOND table — stage both, decide
@@ -380,6 +428,30 @@ object LakeQueries {
          |UNION ALL
          |SELECT *, 'm' || CAST(o_orderkey AS VARCHAR) AS note
          |FROM newest WHERE o_orderkey % 11 = 0""".stripMargin,
+    // merge-on-read delete: surviving rows only
+    "lake_mor_delete" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev WHERE o_orderkey % 10 <> 7""".stripMargin,
+    // MOR merge end state: matched rows re-prioritized, unmatched
+    // newest%13 rows inserted
+    "lake_mor_merge" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |       o_orderdate,
+         |       CASE WHEN o_orderkey % 9 = 0
+         |             AND o_orderkey IN (SELECT o_orderkey FROM newest)
+         |            THEN 'MOR-UPDATED'
+         |            ELSE o_orderpriority END AS o_orderpriority
+         |FROM prev
+         |UNION ALL
+         |SELECT * FROM newest
+         |WHERE o_orderkey % 9 = 0
+         |  AND o_orderkey NOT IN (SELECT o_orderkey FROM prev)""".stripMargin,
+    // materialization preserves live rows exactly
+    "lake_rewrite_deletes" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev WHERE o_orderkey % 10 <> 7""".stripMargin,
+
     // the transaction landed in BOTH tables exactly once: fact counts
     // include the batch, audit counts equal the batch's group-bys
     "lake_multi_commit" ->

@@ -134,10 +134,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     })
     require(info.partitions().isEmpty,
       "graft_lake tables are unpartitioned (files are the groups)")
+    schema.fieldNames.foreach(n => require(
+      n != LakeTableIO.MetaFile && n != LakeTableIO.MetaPos,
+      s"graft_lake: '$n' is a reserved metadata column name"))
     val dir = tableDir(ident)
     fs.mkdirs(dir)
     LakeTableIO.writeSchema(dir.toString, schema,
       maxFieldId = schema.length)
+    // TBLPROPERTIES: only the DML-mode switch is a real table knob;
+    // Spark-internal bookkeeping properties (owner, provider, …) are
+    // not persisted
+    val mode = Option(info.properties().get("write.mode"))
+    mode.foreach { m =>
+      require(m == "merge-on-read" || m == "copy-on-write",
+        s"graft_lake: write.mode must be merge-on-read or " +
+          s"copy-on-write, got '$m'")
+      if (m == "merge-on-read")
+        LakeTableIO.writeProps(dir.toString, Map("write.mode" -> m))
+    }
     // v0 = the empty table: history (and any stream) starts at creation
     LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
@@ -221,6 +235,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     def allPriorNames(s: StructType): Set[String] =
       s.fields.flatMap(LakeParquet.priorNames).map(_.toLowerCase).toSet
     val audits = scala.collection.mutable.ArrayBuffer.empty[String]
+    var propsAfter: Option[Map[String, String]] = None
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -292,12 +307,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             .build())
         schema = StructType(schema.fields.updated(idx, renamed))
         audits += s"alter_rename($from->$to)"
+      case sp: TableChange.SetProperty =>
+        require(sp.property() == "write.mode",
+          s"graft_lake: unknown table property '${sp.property()}' " +
+            "(only write.mode)")
+        require(sp.value() == "merge-on-read" ||
+            sp.value() == "copy-on-write",
+          s"graft_lake: write.mode must be merge-on-read or " +
+            s"copy-on-write, got '${sp.value()}'")
+        propsAfter = Some(
+          if (sp.value() == "merge-on-read")
+            Map("write.mode" -> sp.value())
+          else Map.empty)
+        audits += s"alter_set(write.mode=${sp.value()})"
+      case rp: TableChange.RemoveProperty =>
+        require(rp.property() == "write.mode",
+          s"graft_lake: unknown table property '${rp.property()}'")
+        propsAfter = Some(Map.empty)
+        audits += "alter_unset(write.mode)"
       case other =>
         throw new UnsupportedOperationException(
           s"graft_lake: unsupported ALTER ${other.getClass.getSimpleName}" +
             " — type/position changes need a table rewrite")
     }
     LakeTableIO.writeSchema(dir.toString, schema, maxId)
+    propsAfter.foreach(LakeTableIO.writeProps(dir.toString, _))
     audits.foreach(op => LakeLog.commit(dir.toString, op, Seq.empty,
       Seq.empty, 0L, dataChange = false))
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)

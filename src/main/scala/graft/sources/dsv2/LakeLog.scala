@@ -54,15 +54,26 @@ object LakeLog {
   /** One committed table version. `files` is the complete data-file set
     * (names relative to the table dir); `added`/`removed` are this
     * commit's delta against its parent.
-    */
-  /** `dataChange=false` marks a commit that rearranges bytes without
+    *
+    * `dvs` is the complete DELETION-VECTOR map of the snapshot: data
+    * file → the DV sidecar files whose position sets are subtracted at
+    * read time (merge-on-read DML — a DELETE/MERGE writes positions
+    * instead of rewriting files; see [[graft.sources.dsv2.LakeTable]]'s
+    * `write.mode=merge-on-read`). Complete-set semantics like `files`:
+    * each manifest carries the full map, so time travel to any version
+    * applies exactly that version's deletes. A copy-on-write replace
+    * that removes a data file drops its DVs with it.
+    *
+    * `dataChange=false` marks a commit that rearranges bytes without
     * changing table contents (compaction, clustering) — incremental
     * consumers (the streaming source, CDC) skip it wholesale.
     */
   final case class Snapshot(version: Long, timestampMs: Long,
                             operation: String, files: Seq[String],
                             added: Seq[String], removed: Seq[String],
-                            addedRows: Long, dataChange: Boolean = true)
+                            addedRows: Long, dataChange: Boolean = true,
+                            dvs: Map[String, Seq[String]] = Map.empty,
+                            dvAdded: Map[String, Seq[String]] = Map.empty)
 
   def logDir(dir: String): Path = new Path(dir, "_log")
 
@@ -263,9 +274,19 @@ object LakeLog {
       case b: java.lang.Boolean => b.booleanValue()
       case _                    => true // pre-flag manifests: assume data
     }
+    def dvMap(k: String): Map[String, Seq[String]] = m.get(k) match {
+      case dm: JMap[_, _] => dm.asScala.map { case (key, v) =>
+        String.valueOf(key) -> (v match {
+          case l: JList[_] => l.asScala.map(_.toString).toSeq
+          case _           => Seq.empty[String]
+        })
+      }.toMap
+      case _ => Map.empty // pre-DV manifests
+    }
     Snapshot(lng("version"), lng("timestampMs"),
       String.valueOf(m.get("operation")), strs("files"), strs("added"),
-      strs("removed"), lng("addedRows"), dataChange)
+      strs("removed"), lng("addedRows"), dataChange,
+      dvMap("dvs"), dvMap("dvAdded"))
   }
 
   private def writeManifest(fs: FileSystem, tmp: Path, s: Snapshot): Unit = {
@@ -281,6 +302,14 @@ object LakeLog {
     m.put("removed", jl(s.removed))
     m.put("addedRows", java.lang.Long.valueOf(s.addedRows))
     m.put("dataChange", java.lang.Boolean.valueOf(s.dataChange))
+    def putDvMap(k: String, dv: Map[String, Seq[String]]): Unit =
+      if (dv.nonEmpty) {
+        val dm = new JHashMap[String, Object]()
+        dv.toSeq.sortBy(_._1).foreach { case (key, v) => dm.put(key, jl(v)) }
+        m.put(k, dm)
+      }
+    putDvMap("dvs", s.dvs)
+    putDvMap("dvAdded", s.dvAdded)
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(m)) finally out.close()
   }
@@ -305,7 +334,8 @@ object LakeLog {
   def commit(dir: String, operation: String, added: Seq[String],
              removed: Seq[String], addedRows: Long,
              dataChange: Boolean = true,
-             branch: Option[String] = None): Snapshot = {
+             branch: Option[String] = None,
+             dvAdded: Map[String, Seq[String]] = Map.empty): Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
     var attempt = 0
@@ -352,11 +382,26 @@ object LakeLog {
       // commit's delta (it is current either way), and the complete set
       // is deduped as a belt-and-braces invariant.
       val addedNew = added.filterNot(base.toSet).sorted
+      // merge-on-read deletes: a DV against a data file another writer
+      // just REWROTE would delete positions of the wrong bytes — same
+      // conflict class as a replace against a vanished file
+      val dvMissing = dvAdded.keys.filterNot(base.contains)
+      if (dvMissing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"merge-on-read conflict in $dir: deletion vectors target " +
+            s"files no longer current: ${dvMissing.mkString(", ")}")
+      val baseDvs = head.map(_.dvs).getOrElse(Map.empty)
+      // a replaced file takes its DVs with it (the rewrite applied or
+      // superseded them); new DVs merge per data file
+      val nextDvs0 = baseDvs -- removed
+      val nextDvs = dvAdded.foldLeft(nextDvs0) { case (acc, (f, vs)) =>
+        acc.updated(f, (acc.getOrElse(f, Seq.empty) ++ vs).distinct.sorted)
+      }
       val next = Snapshot(
         head.map(_.version + 1).getOrElse(0L),
         now(head.map(_.timestampMs)), operation,
         (base.filterNot(removed.toSet) ++ addedNew).distinct.sorted,
-        addedNew, removed.sorted, addedRows, dataChange)
+        addedNew, removed.sorted, addedRows, dataChange, nextDvs, dvAdded)
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry
@@ -721,16 +766,34 @@ object LakeLog {
     val branchFiles = branches(dir).keySet.flatMap(b =>
       versions(dir, Some(b))
         .flatMap(v => snapshotAt(dir, v, Some(b)).files))
-    val referenced = keep.flatMap(snapshotAt(dir, _).files).toSet ++
-      branchFiles
+    // retained snapshots reference their data files AND their deletion
+    // vectors — a vacuumed DV would resurrect deleted rows
+    val keptSnaps = keep.map(snapshotAt(dir, _))
+    val referenced = keptSnaps.flatMap(s =>
+      s.files ++ s.dvs.values.flatten).toSet ++ branchFiles
     val horizon = System.currentTimeMillis() - graceMs
-    val orphans = rawDataFiles(dir).filterNot(referenced).filter { f =>
+    def aged(f: String): Boolean =
       try fs.getFileStatus(new Path(dir, f)).getModificationTime < horizon
       catch { case _: java.io.IOException => false } // vanished: skip
-    }
+    val orphans = (rawDataFiles(dir) ++ rawDvFiles(dir))
+      .filterNot(referenced).filter(aged)
     drop.foreach(v =>
       fs.delete(new Path(logDir(dir), manifestName(v)), false))
     orphans.foreach(f => fs.delete(new Path(dir, f), false))
     (drop.size, orphans.size)
+  }
+
+  /** Deletion-vector sidecars on disk (log-oblivious listing — the
+    * vacuum's orphan-candidate source; DVs never participate in
+    * bootstrap).
+    */
+  def rawDvFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsFor(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".dv.json"))
+      .map(_.getPath.getName)
+      .sorted
   }
 }

@@ -34,9 +34,9 @@ object LakeProcedures {
   val Namespace = "system"
 
   def names: Seq[String] =
-    Seq("history", "rollback", "expire", "compact", "zorder", "tag",
-      "drop_tag", "tags", "branch", "drop_branch", "fast_forward",
-      "branches")
+    Seq("history", "rollback", "expire", "compact", "zorder",
+      "rewrite_deletes", "tag", "drop_tag", "tags", "branch",
+      "drop_branch", "fast_forward", "branches")
 
   /** Resolve `system.<name>` for a catalog rooted at `root`. */
   def load(root: String, ident: Identifier): UnboundProcedure = {
@@ -87,6 +87,17 @@ object LakeProcedures {
           val (before, after) = LakeSnapshots.compact(
             SparkSession.active, dirOf(str(in, 0)), in.getLong(1))
           Seq(new GenericInternalRow(Array[Any](before, after)))
+        })
+      case "rewrite_deletes" => new LakeProcedure("rewrite_deletes",
+        Array(param("table", StringType)),
+        StructType(Seq(
+          StructField("files_rewritten", IntegerType, nullable = false),
+          StructField("positions_materialized", LongType,
+            nullable = false))),
+        in => {
+          val (files, positions) = LakeSnapshots.rewriteDeletes(
+            SparkSession.active, dirOf(str(in, 0)))
+          Seq(new GenericInternalRow(Array[Any](files, positions)))
         })
       case "zorder" => new LakeProcedure("zorder",
         Array(param("table", StringType), param("columns", StringType),

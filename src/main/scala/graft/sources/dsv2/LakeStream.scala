@@ -235,6 +235,16 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
             "a copy-on-write rewrite has no append delta — set option " +
             "skipChangeCommits=true to skip such commits, or stream the " +
             "CDC view (LakeSnapshots.changes) instead")
+      } else if (snap.dvAdded.nonEmpty) {
+        // merge-on-read DML: rows vanish without any file changing
+        // hands — not expressible as an append delta either
+        if (skipChangeCommits) snap.added // inserts flow, deletes don't
+        else throw new IllegalStateException(
+          s"streaming read of $dir hit merge-on-read commit v$v " +
+            s"(${snap.operation}, deletion-vector changes on " +
+            s"${snap.dvAdded.size} files); set skipChangeCommits=true " +
+            "for the append-only view, or stream the CDC view " +
+            "(LakeSnapshots.changes) instead")
       } else snap.added
     }
     LakeTableIO.planRowGroups(added.map(new Path(dir, _)),

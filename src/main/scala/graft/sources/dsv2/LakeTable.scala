@@ -23,7 +23,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A file-backed DataSource V2 TABLE over a directory of parquet files —
@@ -64,13 +64,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class LakeTable(tableName: String, val dir: String,
                 val pinnedVersion: Option[Long] = None,
                 val branch: Option[String] = None) extends Table
-    with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String =
     tableName + branch.map(b => s"@$b").getOrElse("") +
       pinnedVersion.map(v => s"@v$v").getOrElse("")
 
   override lazy val schema: StructType = LakeTableIO.tableSchema(dir)
+
+  override def properties(): util.Map[String, String] =
+    LakeTableIO.tableProps(dir).asJava
+
+  /** `_file` / `_pos` — the per-row file identity (Iceberg's metadata
+    * columns): queryable directly and the rowId the merge-on-read
+    * delta operation keys its deletion vectors on.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    LakeTableIO.metadataFields.map(f =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = f.name
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          f.dataType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          if (f.name == LakeTableIO.MetaFile) "data file name"
+          else "file-relative row position"
+      }).toArray
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -105,7 +126,15 @@ class LakeTable(tableName: String, val dir: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot run DML against time-travel read $name")
-    () => new LakeRowLevelOperation(this, info.command)
+    // DML mode is a TABLE property: merge-on-read routes to the
+    // delta-based operation (deletion vectors — SupportsDelta), the
+    // default stays group-based copy-on-write. Same switch Iceberg
+    // exposes per command (write.delete.mode etc.), collapsed to one.
+    if (LakeTableIO.tableProps(dir)
+        .get("write.mode").contains("merge-on-read"))
+      () => new LakeMorOperation(this, info.command)
+    else
+      () => new LakeRowLevelOperation(this, info.command)
   }
 }
 
@@ -136,9 +165,13 @@ class LakeRowLevelOperation(table: LakeTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
+        val (files, dvs) =
+          LakeTableIO.dataFilesAndDvs(table.dir, None, table.branch)
+        // DVs apply here too: a copy-on-write rewrite must carry over
+        // only LIVE rows; the replace commit then drops the covered
+        // files' DVs with them (they are materialized by the rewrite)
         activeScan = new LakeRowLevelScan(table.schema,
-          LakeTableIO.dataFiles(table.dir, None, table.branch)
-            .map(_.toString))
+          files.map(_.toString), dvs)
         activeScan
       }
     }
@@ -160,7 +193,8 @@ class LakeRowLevelOperation(table: LakeTable,
   * filters narrow the COVERED FILE SET only, conservatively via footer
   * stats — never individual rows.
   */
-class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
+class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String],
+                       dvs: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -224,7 +258,7 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String])
   override def planInputPartitions(): Array[InputPartition] =
     LakeTableIO.planRowGroups(kept.map(new Path(_)),
       LakeTableIO.columnRefs(tableSchema), Array.empty,
-      pruneGroups = false).parts
+      pruneGroups = false, dvs).parts
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(tableSchema)
@@ -249,9 +283,14 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep the table's field order (parquet readers expect it)
-    projected = StructType(tableSchema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+    // keep the table's field order (parquet readers expect it); the
+    // reserved `_file`/`_pos` METADATA columns append at the end when
+    // requested (Spark places metadata columns after data columns)
+    projected = StructType(
+      tableSchema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)) ++
+      LakeTableIO.metadataFields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
 
   /** All filters stay residual (returned for Spark to re-apply); the
     * supported comparisons are ALSO used for row-group stats pruning.
@@ -262,22 +301,31 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new LakeScan(dir, LakeTableIO.dataFiles(dir, pinnedVersion, branch),
-      tableSchema, projected, pushed, pruneGroups = true, pinnedVersion,
-      skipChangeCommits, startingVersion, branch, pacing)
+  override def build(): Scan = {
+    val (files, dvs) = LakeTableIO.dataFilesAndDvs(dir, pinnedVersion, branch)
+    new LakeScan(dir, files, tableSchema, projected, pushed,
+      pruneGroups = true, pinnedVersion, skipChangeCommits,
+      startingVersion, branch, pacing, dvs)
+  }
 }
 
 /** Column-resolution spec for one projected column: the OUTPUT name,
   * the field id (-1 when the schema predates ids), and the ordered
   * name candidates (current name, then prior names) that id-less
-  * legacy files resolve by. See [[LakeTableIO.resolveInFile]].
+  * legacy files resolve by. See [[LakeTableIO.resolveInFile]]. The
+  * reserved metadata columns `_file`/`_pos` are SYNTHESIZED by the
+  * reader (file path / file-relative row position), never read from
+  * parquet.
   */
 case class LakeColumnRef(name: String, id: Int, candidates: Array[String])
 
-/** One input partition per (file, row group) surviving stats pruning. */
+/** One input partition per (file, row group) surviving stats pruning.
+  * `dvFiles` are the deletion-vector sidecars of THIS data file at the
+  * scanned version — the reader subtracts their row positions.
+  */
 case class LakeInputPartition(path: String, rowGroup: Int,
-                              cols: Array[LakeColumnRef])
+                              cols: Array[LakeColumnRef],
+                              dvFiles: Seq[String] = Seq.empty)
     extends InputPartition
 
 class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
@@ -286,7 +334,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                skipChangeCommits: Boolean = false,
                startingVersion: Option[Long] = None,
                branch: Option[String] = None,
-               pacing: StreamPacing = StreamPacing())
+               pacing: StreamPacing = StreamPacing(),
+               dvs: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
@@ -304,7 +353,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   // planned on the driver from footer metadata only — no data read
   private lazy val plan: LakeTableIO.ScanPlan =
     LakeTableIO.planRowGroups(files, LakeTableIO.columnRefs(projected),
-      pushed, pruneGroups)
+      pushed, pruneGroups, dvs)
 
   override def planInputPartitions(): Array[InputPartition] = plan.parts
 
@@ -346,14 +395,25 @@ class LakeReaderFactory(projected: StructType)
       // resurrect old values), by current-then-prior NAME for id-less
       // legacy files — so only the requested column chunks are read
       // and decoded; a projected column the file predates (ALTER TABLE
-      // ADD COLUMN) is simply absent and back-fills null below
+      // ADD COLUMN) is simply absent and back-fills null below. The
+      // reserved `_file`/`_pos` metadata columns are synthesized here.
       private val fileSchema =
         reader.getFooter.getFileMetaData.getSchema
+      private def isMeta(n: String) =
+        n == LakeTableIO.MetaFile || n == LakeTableIO.MetaPos
       // file column name -> output position, via per-column resolution
       private val filePos: Map[String, Int] =
         part.cols.zipWithIndex.flatMap { case (ref, i) =>
-          LakeTableIO.resolveInFile(fileSchema, ref).map(_ -> i)
+          if (isMeta(ref.name)) None
+          else LakeTableIO.resolveInFile(fileSchema, ref).map(_ -> i)
         }.toMap
+      private val fileIdx =
+        part.cols.indexWhere(_.name == LakeTableIO.MetaFile)
+      private val posIdx =
+        part.cols.indexWhere(_.name == LakeTableIO.MetaPos)
+      private val fileValue =
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(new Path(part.path).getName)
       private val requested: MessageType = {
         val kept = fileSchema.getFields.asScala
           .filter(t => filePos.contains(t.getName))
@@ -370,31 +430,57 @@ class LakeReaderFactory(projected: StructType)
       private val identityProjection =
         outIndex.length == part.cols.length &&
           outIndex.zipWithIndex.forall { case (o, i) => o == i }
+      // merge-on-read: the union of this file's deletion vectors,
+      // restricted to this row group's position range, applied with an
+      // advancing cursor (positions are sorted, the scan is sequential
+      // — O(1) per row, no set lookups)
+      private val groupStart: Long = reader.getFooter.getBlocks.asScala
+        .take(part.rowGroup).map(_.getRowCount).sum
+      private val deleted: Array[Long] =
+        if (part.dvFiles.isEmpty) Array.empty
+        else LakeDv.positions(
+          new Path(part.path).getParent.toString, part.dvFiles)
+      private var dvCursor = {
+        var i = 0
+        while (i < deleted.length && deleted(i) < groupStart) i += 1
+        i
+      }
       private val pages = reader.readRowGroup(part.rowGroup)
       private val recordReader = new ColumnIOFactory()
         .getColumnIO(requested)
         .getRecordReader(pages, new GroupRecordConverter(requested))
       private var remaining = pages.getRowCount
+      private var pos: Long = groupStart - 1
       private var current: InternalRow = _
 
-      override def next(): Boolean =
+      @annotation.tailrec
+      final override def next(): Boolean =
         if (remaining <= 0) false
         else {
           val g = recordReader.read()
           remaining -= 1
-          val inner = LakeParquet.toInternalRow(g, dec)
-          current =
-            if (identityProjection) inner
-            else {
-              val values = new Array[Any](part.cols.length)
-              var i = 0
-              while (i < outIndex.length) {
-                values(outIndex(i)) = inner.get(i, requestedStruct.fields(i).dataType)
-                i += 1
+          pos += 1
+          if (dvCursor < deleted.length && deleted(dvCursor) == pos) {
+            dvCursor += 1 // row deleted by a merge-on-read DML: skip
+            next()
+          } else {
+            val inner = LakeParquet.toInternalRow(g, dec)
+            current =
+              if (identityProjection) inner
+              else {
+                val values = new Array[Any](part.cols.length)
+                var i = 0
+                while (i < outIndex.length) {
+                  values(outIndex(i)) =
+                    inner.get(i, requestedStruct.fields(i).dataType)
+                  i += 1
+                }
+                if (fileIdx >= 0) values(fileIdx) = fileValue
+                if (posIdx >= 0) values(posIdx) = pos
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
               }
-              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
-            }
-          true
+            true
+          }
         }
       override def get(): InternalRow = current
       override def close(): Unit = reader.close()
@@ -623,6 +709,21 @@ object LakeTableIO {
     sys.props.get("graft.lake.rowgroup.bytes").map(_.toLong)
       .getOrElse(128L << 20)
 
+  /** Reserved METADATA column names (Iceberg's `_file`/`_pos`):
+    * synthesized per row by the reader — the data file's name and the
+    * file-relative row position. They are the ROW IDENTITY the
+    * merge-on-read delta operation keys its deletion vectors on, and
+    * are queryable directly (`SELECT _file, _pos FROM t`).
+    */
+  val MetaFile = "_file"
+  val MetaPos = "_pos"
+
+  val metadataFields: Seq[StructField] = Seq(
+    StructField(MetaFile, org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField(MetaPos, org.apache.spark.sql.types.LongType,
+      nullable = false))
+
   /** Current data files: resolved through the snapshot log when the
     * table is logged (so expired-from-manifest files are invisible even
     * though their bytes remain), else a raw directory listing (legacy /
@@ -631,15 +732,26 @@ object LakeTableIO {
     */
   def dataFiles(dir: String, version: Option[Long] = None,
                 branch: Option[String] = None): Seq[Path] =
+    dataFilesAndDvs(dir, version, branch)._1
+
+  /** (data files, deletion-vector map) of a snapshot — the pair every
+    * scan needs: the files to read and, per file, the DV sidecars
+    * whose positions the reader subtracts.
+    */
+  def dataFilesAndDvs(dir: String, version: Option[Long] = None,
+                      branch: Option[String] = None)
+      : (Seq[Path], Map[String, Seq[String]]) =
     version match {
       case Some(v) =>
-        LakeLog.snapshotAt(dir, v, branch).files.map(new Path(dir, _))
+        val s = LakeLog.snapshotAt(dir, v, branch)
+        (s.files.map(new Path(dir, _)), s.dvs)
       case None =>
         LakeLog.current(dir, branch) match {
-          case Some(s) => s.files.map(new Path(dir, _))
+          case Some(s) => (s.files.map(new Path(dir, _)), s.dvs)
           case None if branch.isDefined => throw new IllegalStateException(
             s"branch '${branch.get}' does not exist in $dir")
-          case None => LakeLog.rawDataFiles(dir).map(new Path(dir, _))
+          case None =>
+            (LakeLog.rawDataFiles(dir).map(new Path(dir, _)), Map.empty)
         }
     }
 
@@ -725,8 +837,8 @@ object LakeTableIO {
     * re-applied residual filter decides exactly).
     */
   def planRowGroups(files: Seq[Path], cols: Array[LakeColumnRef],
-                    pushed: Array[Filter],
-                    pruneGroups: Boolean): ScanPlan = {
+                    pushed: Array[Filter], pruneGroups: Boolean,
+                    dvs: Map[String, Seq[String]] = Map.empty): ScanPlan = {
     val conf = new Configuration()
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     val refByName = cols.map(r => r.name -> r).toMap
@@ -734,6 +846,7 @@ object LakeTableIO {
     var rows = 0L
     var bytes = 0L
     files.foreach { file =>
+      val fileDvs = dvs.getOrElse(file.getName, Seq.empty)
       val in = HadoopInputFile.fromPath(file, conf)
       val reader = ParquetFileReader.open(in)
       try {
@@ -749,19 +862,30 @@ object LakeTableIO {
           }
         }
         val localNames = local.values.toSet
+        // a deleted row can still satisfy footer stats — with DVs on
+        // the file, stats narrowing stays valid (conservative: a group
+        // is only dropped when NO physical row matches, deleted or not)
         val blocks = reader.getRowGroups.asScala.toSeq
         total += blocks.size
+        // stats: subtract this file's deleted-row count once (spread
+        // across groups is unknowable from metadata; the estimate only
+        // feeds join-size planning)
+        val dvCount =
+          if (fileDvs.isEmpty) 0L
+          else LakeDv.positions(file.getParent.toString, fileDvs).length.toLong
+        var fileKeptRows = 0L
         blocks.zipWithIndex.foreach { case (block, idx) =>
           val keep = !pruneGroups ||
             localFilters.forall(f => mightMatch(block, f))
           if (keep) {
-            parts += LakeInputPartition(file.toString, idx, cols)
-            rows += block.getRowCount
+            parts += LakeInputPartition(file.toString, idx, cols, fileDvs)
+            fileKeptRows += block.getRowCount
             bytes += block.getColumns.asScala
               .filter(c => localNames.contains(c.getPath.toDotString))
               .map(_.getTotalUncompressedSize).sum
           }
         }
+        rows += math.max(0L, fileKeptRows - dvCount)
       } finally reader.close()
     }
     ScanPlan(parts.toArray, total, rows, bytes)
@@ -865,6 +989,49 @@ object LakeTableIO {
       fs.delete(dest, false)
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(s"failed to publish schema in $dir")
+    }
+  }
+
+  /** Table properties sidecar (`_props.json`): the DML-mode switch and
+    * any future table-level knobs. Atomic overwrite like the schema
+    * sidecar; absent file = empty map (copy-on-write defaults).
+    */
+  def tableProps(dir: String): Map[String, String] = {
+    val p = new Path(dir, "_props.json")
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Map.empty
+    else
+      try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(bytes, classOf[java.util.Map[String, String]])
+          .asScala.toMap
+      } catch { case _: Exception => Map.empty } // torn read: defaults
+  }
+
+  def writeProps(dir: String, props: Map[String, String]): Unit = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val dest = new Path(dir, "_props.json")
+    if (props.isEmpty) { fs.delete(dest, false); return }
+    val m = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    val bytes = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsBytes(m)
+    if ("file".equalsIgnoreCase(fs.getScheme)) {
+      val tmp = java.nio.file.Paths.get(dir,
+        s"._props-${java.util.UUID.randomUUID()}.json")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(dir, s"._props-${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      fs.delete(dest, false)
+      fs.rename(tmp, dest)
     }
   }
 
