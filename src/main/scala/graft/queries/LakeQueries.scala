@@ -258,6 +258,19 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // MOR UPDATE: the standalone UPDATE statement through the same
+    // delta path (representUpdateAsDeleteAndInsert) — stale positions
+    // DV'd, updated rows land in a fresh insert file, one commit. The
+    // oracle restates the update declaratively over prev.
+    "lake_mor_update" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_moru")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 10.0, " +
+        s"o_orderstatus = 'U' WHERE o_orderkey % 10 = 7")
+      s.table(tbl)
+    }),
+
     // DV materialization: CALL system.rewrite_deletes rewrites DV'd
     // files with dead positions dropped as a dataChange=false commit —
     // live rows identical before and after (the oracle proves it: same
@@ -447,6 +460,16 @@ object LakeQueries {
          |SELECT * FROM newest
          |WHERE o_orderkey % 9 = 0
          |  AND o_orderkey NOT IN (SELECT o_orderkey FROM prev)""".stripMargin,
+    // MOR update end state: the %10=7 slice re-priced and re-statused
+    "lake_mor_update" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey, o_custkey,
+         |       CASE WHEN o_orderkey % 10 = 7 THEN 'U'
+         |            ELSE o_orderstatus END AS o_orderstatus,
+         |       CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 10.0
+         |            ELSE o_totalprice END AS o_totalprice,
+         |       o_orderdate, o_orderpriority
+         |FROM prev""".stripMargin,
     // materialization preserves live rows exactly
     "lake_rewrite_deletes" ->
       s"""$snapshotCte
