@@ -224,6 +224,21 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // Manifest-stats FILE pruning (graft.sources.dsv2.LakeStats): the
+    // CTAS range-partitions prev into key-disjoint files whose min/max
+    // land in the snapshot manifest at commit; the narrow BETWEEN then
+    // plans by pruning whole files from manifest metadata — zero footer
+    // reads for excluded files (pinned in LakeStatsSpec) — and the
+    // oracle proves the pruned scan loses no rows.
+    "lake_stats_prune" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_statsp")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      previous(s, dir).repartitionByRange(8, col(key))
+        .writeTo(tbl).create()
+      s.table(tbl).where(col(key) >= 1000 && col(key) <= 2000)
+    }),
+
     // MERGE-ON-READ DML (deletion vectors — SupportsDelta): the DELETE
     // writes POSITIONS instead of rewriting files (zero data files
     // change hands — pinned in LakeMorSpec); every scan subtracts the
@@ -441,6 +456,11 @@ object LakeQueries {
          |UNION ALL
          |SELECT *, 'm' || CAST(o_orderkey AS VARCHAR) AS note
          |FROM newest WHERE o_orderkey % 11 = 0""".stripMargin,
+    // stats-pruned scan loses no rows
+    "lake_stats_prune" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev
+         |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     // merge-on-read delete: surviving rows only
     "lake_mor_delete" ->
       s"""$snapshotCte

@@ -67,13 +67,23 @@ object LakeLog {
     * `dataChange=false` marks a commit that rearranges bytes without
     * changing table contents (compaction, clustering) — incremental
     * consumers (the streaming source, CDC) skip it wholesale.
+    *
+    * `stats` is the complete per-file column-statistics map (data file
+    * → [[LakeStats.FileStats]]), harvested at commit time for this
+    * commit's added files and carried forward complete-set like
+    * `files`, so planning prunes whole files from manifest metadata
+    * without opening their footers (see [[LakeStats]]). Files without
+    * an entry (pre-stats vintages, bootstrap sweeps) plan via their
+    * footer as before.
     */
   final case class Snapshot(version: Long, timestampMs: Long,
                             operation: String, files: Seq[String],
                             added: Seq[String], removed: Seq[String],
                             addedRows: Long, dataChange: Boolean = true,
                             dvs: Map[String, Seq[String]] = Map.empty,
-                            dvAdded: Map[String, Seq[String]] = Map.empty)
+                            dvAdded: Map[String, Seq[String]] = Map.empty,
+                            stats: Map[String, LakeStats.FileStats] =
+                              Map.empty)
 
   def logDir(dir: String): Path = new Path(dir, "_log")
 
@@ -286,7 +296,8 @@ object LakeLog {
     Snapshot(lng("version"), lng("timestampMs"),
       String.valueOf(m.get("operation")), strs("files"), strs("added"),
       strs("removed"), lng("addedRows"), dataChange,
-      dvMap("dvs"), dvMap("dvAdded"))
+      dvMap("dvs"), dvMap("dvAdded"),
+      LakeStats.fromJson(m.get("stats"))) // pre-stats manifests: empty
   }
 
   private def writeManifest(fs: FileSystem, tmp: Path, s: Snapshot): Unit = {
@@ -310,6 +321,7 @@ object LakeLog {
       }
     putDvMap("dvs", s.dvs)
     putDvMap("dvAdded", s.dvAdded)
+    if (s.stats.nonEmpty) m.put("stats", LakeStats.toJson(s.stats))
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(m)) finally out.close()
   }
@@ -338,6 +350,10 @@ object LakeLog {
              dvAdded: Map[String, Seq[String]] = Map.empty): Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
+    // manifest stats for this commit's files: ONE local footer read per
+    // added file, at write time, so no scan ever has to — hoisted out
+    // of the retry loop (the added set never changes across attempts)
+    val addedStats = LakeStats.harvest(dir, added)
     var attempt = 0
     // The loser of a version race retries against the new head. Under
     // N-way contention a writer can lose N-1 straight races, so the cap
@@ -397,11 +413,17 @@ object LakeLog {
       val nextDvs = dvAdded.foldLeft(nextDvs0) { case (acc, (f, vs)) =>
         acc.updated(f, (acc.getOrElse(f, Seq.empty) ++ vs).distinct.sorted)
       }
+      // stats follow the file set: replaced files drop theirs, added
+      // files bring freshly-harvested ones; files that predate stats
+      // simply stay absent (footer-fallback planning)
+      val nextStats = (head.map(_.stats).getOrElse(Map.empty) -- removed) ++
+        addedStats.view.filterKeys(addedNew.contains)
       val next = Snapshot(
         head.map(_.version + 1).getOrElse(0L),
         now(head.map(_.timestampMs)), operation,
         (base.filterNot(removed.toSet) ++ addedNew).distinct.sorted,
-        addedNew, removed.sorted, addedRows, dataChange, nextDvs, dvAdded)
+        addedNew, removed.sorted, addedRows, dataChange, nextDvs, dvAdded,
+        nextStats)
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry

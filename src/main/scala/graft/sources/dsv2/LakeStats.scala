@@ -1,0 +1,327 @@
+package graft.sources.dsv2
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+
+/** Per-file column statistics embedded in the snapshot manifest —
+  * min/max/null-count per prunable column plus row/row-group counts,
+  * harvested ONCE from the parquet footer at COMMIT time (a local read
+  * of bytes the writer just produced) and carried in every manifest
+  * with the same complete-set semantics as the file list.
+  *
+  * Why this exists: without manifest stats, every scan's planning pass
+  * opens every data file's footer on the driver — O(files) remote
+  * reads per query. At lakehouse scale (millions of files) that is THE
+  * planning bottleneck, which is why Iceberg manifests and Delta's
+  * Add actions both carry file-level stats. With them, a selective
+  * predicate prunes whole files from pure manifest metadata and only
+  * the SURVIVORS pay a footer read (for row-group-level pruning, which
+  * stays exact). [[LakeTableIO.planRowGroups]] consumes the map;
+  * [[footerOpens]] lets specs pin "pruned file = zero footer reads".
+  *
+  * Conservatism contract (same as the row-group pruner): a column or
+  * file with missing/unusable stats is KEPT; min/max are stored only
+  * for stats the parquet footer reports exactly (strings longer than
+  * [[MaxStatLen]] are dropped rather than truncated, because a
+  * prefix-truncated max understates the bound). String order is the
+  * parquet one (unsigned UTF-8 byte order via [[Binary]]), matching
+  * the row-group path bit for bit. A column proven ALL-NULL (min/max
+  * absent, null count = row count) provably fails every pushed
+  * comparison, so the file prunes.
+  *
+  * Resolution mirrors [[LakeTableIO.resolveInFile]]: stats are keyed
+  * by the FILE-LOCAL column name and carry the field id when the file
+  * has ids, so renamed columns keep pruning and a dropped-then-re-added
+  * name can never consult the old column's bounds.
+  */
+object LakeStats {
+
+  /** Longest string bound stored verbatim; longer ones are dropped
+    * (NOT truncated — see class doc). Numeric kinds are never dropped.
+    */
+  val MaxStatLen = 64
+
+  /** Test instrumentation: parquet footer opens performed by PLANNING
+    * (`LakeTableIO.planRowGroups`) since process start. Specs pin that
+    * manifest-stats pruning skips the footer read entirely for files a
+    * predicate excludes. Production code never reads this.
+    */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One column's bounds under its FILE-LOCAL name. `kind` tags the
+    * decode ("long"|"int"|"double"|"float"|"bool"|"str"); `min`/`max`
+    * are canonical strings of that kind, absent (None) when the column
+    * is all-null or bounds were unusable; `nulls` is -1 when unknown;
+    * `id` is the parquet field id (-1 for id-less files).
+    */
+  final case class ColStats(kind: String, min: Option[String],
+                            max: Option[String], nulls: Long, id: Int)
+
+  /** One data file's manifest statistics. `rows`/`groups` come from the
+    * footer (physical rows — deletion vectors are accounted separately
+    * by the planner); `cols` holds only columns with harvestable kinds.
+    */
+  final case class FileStats(rows: Long, groups: Int,
+                             cols: Map[String, ColStats])
+
+  // ---------------------------------------------------------------- harvest
+
+  /** Read `names`' footers under `dir` and build their manifest stats.
+    * Called by [[LakeLog.commit]] for this commit's added files — write
+    * amplification O(added), never O(table). A file that cannot be read
+    * (vanished, foreign format) simply gets no entry: planning falls
+    * back to its footer like any legacy file.
+    */
+  def harvest(dir: String, names: Seq[String]): Map[String, FileStats] = {
+    val conf = new Configuration()
+    names.flatMap { name =>
+      try {
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(dir, name), conf))
+        try Some(name -> harvestOne(reader)) finally reader.close()
+      } catch { case _: Exception => None }
+    }.toMap
+  }
+
+  private def harvestOne(reader: ParquetFileReader): FileStats = {
+    val schema = reader.getFooter.getFileMetaData.getSchema
+    val blocks = reader.getRowGroups.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    // top-level primitive columns with a harvestable kind
+    val candidates = schema.getFields.asScala.filter(_.isPrimitive).flatMap {
+      f =>
+        val p = f.asPrimitiveType()
+        kindOf(p).map { k =>
+          (f.getName, k, Option(f.getId).map(_.intValue()).getOrElse(-1))
+        }
+    }
+    val cols = candidates.flatMap { case (name, kind, id) =>
+      mergeBlocks(blocks, name, kind, rows).map(cs =>
+        name -> cs.copy(id = id))
+    }.toMap
+    FileStats(rows, blocks.size, cols)
+  }
+
+  /** The stats kind of a primitive column, None when unharvestable.
+    * DECIMAL (int-backed unscaled values would compare wrongly against
+    * BigDecimal filter literals) and non-string binaries are skipped;
+    * DATE/TIMESTAMP physical ints are stored but never consulted
+    * (their filter literals are not [[LakeTableIO.prunable]]).
+    */
+  private def kindOf(p: org.apache.parquet.schema.PrimitiveType)
+      : Option[String] = {
+    val logical = p.getLogicalTypeAnnotation
+    val isDecimal = logical
+      .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+    p.getPrimitiveTypeName match {
+      case _ if isDecimal            => None
+      case PrimitiveTypeName.INT64   => Some("long")
+      case PrimitiveTypeName.INT32   => Some("int")
+      case PrimitiveTypeName.DOUBLE  => Some("double")
+      case PrimitiveTypeName.FLOAT   => Some("float")
+      case PrimitiveTypeName.BOOLEAN => Some("bool")
+      case PrimitiveTypeName.BINARY
+          if logical
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some("str")
+      case _ => None
+    }
+  }
+
+  /** Merge one column's row-group statistics: min of mins, max of maxs,
+    * sum of null counts. Any group with unusable stats poisons the
+    * column (None — conservative keep at plan time); a group that is
+    * provably all-null contributes only nulls.
+    */
+  private def mergeBlocks(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      col: String, kind: String, fileRows: Long): Option[ColStats] = {
+    var min: Option[String] = None
+    var max: Option[String] = None
+    var nulls = 0L
+    var nullsKnown = true
+    for (b <- blocks) {
+      val chunk = b.getColumns.asScala.find(_.getPath.toDotString == col)
+        .getOrElse(return None)
+      val s = chunk.getStatistics
+      if (s == null) return None
+      if (s.isNumNullsSet) nulls += s.getNumNulls else nullsKnown = false
+      if (s.hasNonNullValue) {
+        val (lo, hi) = (enc(kind, s.genericGetMin),
+          enc(kind, s.genericGetMax))
+        if (lo.isEmpty || hi.isEmpty) return None // oversized string bound
+        min = Some(min.fold(lo.get)(m =>
+          if (cmpSame(kind, lo.get, m) < 0) lo.get else m))
+        max = Some(max.fold(hi.get)(m =>
+          if (cmpSame(kind, hi.get, m) > 0) hi.get else m))
+      } else if (!(s.isNumNullsSet && s.getNumNulls == b.getRowCount)) {
+        return None // no bounds and not provably all-null: unusable
+      }
+    }
+    Some(ColStats(kind, min, max, if (nullsKnown) nulls else -1L, -1))
+  }
+
+  /** Canonical string of a footer stat value; None when unstorable. */
+  private def enc(kind: String, v: Any): Option[String] = (kind, v) match {
+    case ("str", b: Binary) =>
+      val s = b.toStringUsingUTF8
+      if (s.length <= MaxStatLen) Some(s) else None
+    case (_, other) => Some(String.valueOf(other))
+  }
+
+  /** Compare two canonical stat strings of the same kind. Strings use
+    * parquet's unsigned UTF-8 byte order (via [[Binary]]) — identical
+    * to what the row-group pruner compares.
+    */
+  private def cmpSame(kind: String, a: String, b: String): Int = kind match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "int"    => java.lang.Integer.compare(a.toInt, b.toInt)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "float"  => java.lang.Float.compare(a.toFloat, b.toFloat)
+    case "bool"   => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case _ => Binary.fromString(a).compareTo(Binary.fromString(b))
+  }
+
+  // ---------------------------------------------------------------- pruning
+
+  /** Can `file` contain any row matching ALL of `pushed`, judged from
+    * manifest stats alone? True (keep) on any uncertainty; false means
+    * PROVABLY empty — the planner skips the file without a footer read.
+    * Column resolution mirrors [[LakeTableIO.resolveInFile]]: by field
+    * id when the file's stats carry ids, else current-then-prior name.
+    */
+  def mightMatchFile(st: FileStats, cols: Array[LakeColumnRef],
+                     pushed: Array[Filter]): Boolean = {
+    val refByName = cols.map(r => r.name -> r).toMap
+    val hasIds = st.cols.values.exists(_.id >= 0)
+    def resolve(ref: LakeColumnRef): Option[ColStats] =
+      if (hasIds && ref.id >= 0)
+        st.cols.values.find(_.id == ref.id)
+      else ref.candidates.iterator.flatMap(st.cols.get).nextOption()
+    pushed.forall { f =>
+      val (col, v) = f match {
+        case EqualTo(c, x)            => (c, x)
+        case GreaterThan(c, x)        => (c, x)
+        case GreaterThanOrEqual(c, x) => (c, x)
+        case LessThan(c, x)           => (c, x)
+        case LessThanOrEqual(c, x)    => (c, x)
+        case _                        => return true // unprunable shape
+      }
+      refByName.get(col).forall { ref =>
+        resolve(ref).forall { cs =>
+          if (cs.min.isEmpty || cs.max.isEmpty)
+            // comparisons never match NULL: a provably all-null column
+            // excludes the file; unknown bounds keep it
+            !(cs.nulls >= 0 && cs.nulls == st.rows)
+          else (cmp(cs.kind, cs.min.get, v), cmp(cs.kind, cs.max.get, v)) match {
+            case (Some(lo), Some(hi)) => f match {
+              case _: EqualTo            => lo <= 0 && hi >= 0
+              case _: GreaterThan        => hi > 0 // max > v
+              case _: GreaterThanOrEqual => hi >= 0
+              case _: LessThan           => lo < 0 // min < v
+              case _: LessThanOrEqual    => lo <= 0
+              case _                     => true
+            }
+            case _ => true // filter literal class ≠ column kind: keep
+          }
+        }
+      }
+    }
+  }
+
+  /** `stat` (canonical string of `kind`) compared to the pushed filter
+    * literal `v`; None when the literal's class does not match the
+    * column kind (conservative keep — mirrors the row-group path where
+    * Spark only pushes literals of the column's type).
+    */
+  private def cmp(kind: String, stat: String, v: Any): Option[Int] =
+    (kind, v) match {
+      case ("long", l: Long)     => Some(java.lang.Long.compare(stat.toLong, l))
+      case ("int", i: Int)       => Some(java.lang.Integer.compare(stat.toInt, i))
+      case ("double", d: Double) => Some(java.lang.Double.compare(stat.toDouble, d))
+      case ("float", fl: Float)  => Some(java.lang.Float.compare(stat.toFloat, fl))
+      case ("bool", b: Boolean)  => Some(java.lang.Boolean.compare(stat.toBoolean, b))
+      case ("str", s: String) =>
+        Some(Binary.fromString(stat).compareTo(Binary.fromString(s)))
+      case _ => None
+    }
+
+  // ------------------------------------------------------------- manifest IO
+
+  /** Encode to the manifest's JSON object tree (java collections, the
+    * same shapes [[LakeLog.writeManifest]] serializes).
+    */
+  def toJson(stats: Map[String, FileStats]): java.util.HashMap[String, Object] = {
+    val m = new java.util.HashMap[String, Object]()
+    stats.toSeq.sortBy(_._1).foreach { case (file, fs) =>
+      val fm = new java.util.HashMap[String, Object]()
+      fm.put("rows", java.lang.Long.valueOf(fs.rows))
+      fm.put("groups", java.lang.Integer.valueOf(fs.groups))
+      val cm = new java.util.HashMap[String, Object]()
+      fs.cols.toSeq.sortBy(_._1).foreach { case (col, cs) =>
+        val c = new java.util.HashMap[String, Object]()
+        c.put("kind", cs.kind)
+        cs.min.foreach(c.put("min", _))
+        cs.max.foreach(c.put("max", _))
+        c.put("nulls", java.lang.Long.valueOf(cs.nulls))
+        if (cs.id >= 0) c.put("id", java.lang.Integer.valueOf(cs.id))
+        cm.put(col, c)
+      }
+      fm.put("cols", cm)
+      m.put(file, fm)
+    }
+    m
+  }
+
+  /** Decode from a parsed manifest tree; tolerant of absent/malformed
+    * entries (→ no stats: footer fallback, never a failed read).
+    */
+  def fromJson(v: Object): Map[String, FileStats] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.flatMap { case (file, fv) =>
+        fv match {
+          case fm: java.util.Map[_, _] =>
+            val f = fm.asInstanceOf[java.util.Map[String, Object]]
+            def lng(k: String): Long = f.get(k) match {
+              case n: Number => n.longValue(); case _ => -1L
+            }
+            val cols = f.get("cols") match {
+              case cm: java.util.Map[_, _] =>
+                cm.asScala.flatMap { case (col, cv) =>
+                  cv match {
+                    case c0: java.util.Map[_, _] =>
+                      val c = c0.asInstanceOf[java.util.Map[String, Object]]
+                      val kind = String.valueOf(c.get("kind"))
+                      def str(k: String): Option[String] =
+                        Option(c.get(k)).map(String.valueOf(_))
+                      val nulls = c.get("nulls") match {
+                        case n: Number => n.longValue(); case _ => -1L
+                      }
+                      val id = c.get("id") match {
+                        case n: Number => n.intValue(); case _ => -1
+                      }
+                      Some(String.valueOf(col) ->
+                        ColStats(kind, str("min"), str("max"), nulls, id))
+                    case _ => None
+                  }
+                }.toMap
+              case _ => Map.empty[String, ColStats]
+            }
+            val groups = f.get("groups") match {
+              case n: Number => n.intValue(); case _ => 1
+            }
+            Some(String.valueOf(file) -> FileStats(lng("rows"), groups, cols))
+          case _ => None
+        }
+      }.toMap
+    case _ => Map.empty
+  }
+}

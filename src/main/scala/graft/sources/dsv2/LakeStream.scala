@@ -219,8 +219,13 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
             "checkpoint (optionally startingVersion) once downstream " +
             "is reconciled")
     }
+    // manifest stats for each version's files, so the batch's planning
+    // prunes pushed-filter-excluded files without footer reads too
+    val stats = scala.collection.mutable.Map
+      .empty[String, LakeStats.FileStats]
     val added = (a + 1 to b).flatMap { v =>
       val snap = LakeLog.snapshotAt(dir, v)
+      stats ++= snap.stats
       if (so.snapshotStart && v == a + 1)
         // fresh stream on an expiry-trimmed log: the first retained
         // manifest's COMPLETE file set is the initial snapshot
@@ -248,7 +253,8 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       } else snap.added
     }
     LakeTableIO.planRowGroups(added.map(new Path(dir, _)),
-      LakeTableIO.columnRefs(projected), pushed, pruneGroups = true).parts
+      LakeTableIO.columnRefs(projected), pushed, pruneGroups = true,
+      stats = stats.toMap).parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -165,13 +165,13 @@ class LakeRowLevelOperation(table: LakeTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
-        val (files, dvs) =
-          LakeTableIO.dataFilesAndDvs(table.dir, None, table.branch)
+        val (files, dvs, stats) =
+          LakeTableIO.snapshotView(table.dir, None, table.branch)
         // DVs apply here too: a copy-on-write rewrite must carry over
         // only LIVE rows; the replace commit then drops the covered
         // files' DVs with them (they are materialized by the rewrite)
         activeScan = new LakeRowLevelScan(table.schema,
-          files.map(_.toString), dvs)
+          files.map(_.toString), dvs, stats)
         activeScan
       }
     }
@@ -194,7 +194,8 @@ class LakeRowLevelOperation(table: LakeTable,
   * stats — never individual rows.
   */
 class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String],
-                       dvs: Map[String, Seq[String]] = Map.empty)
+                       dvs: Map[String, Seq[String]] = Map.empty,
+                       stats: Map[String, LakeStats.FileStats] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -249,7 +250,8 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String],
         .map(r => r.name -> r).toMap
       kept = allFiles.filter { f =>
         keepSets.forall { case (c, vals) =>
-          refs.get(c).forall(LakeTableIO.fileMightContain(f, _, vals))
+          refs.get(c).forall(LakeTableIO.fileMightContain(f, _, vals,
+            stats.get(new Path(f).getName)))
         }
       }
     }
@@ -302,10 +304,11 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
-    val (files, dvs) = LakeTableIO.dataFilesAndDvs(dir, pinnedVersion, branch)
+    val (files, dvs, stats) =
+      LakeTableIO.snapshotView(dir, pinnedVersion, branch)
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
-      startingVersion, branch, pacing, dvs)
+      startingVersion, branch, pacing, dvs, stats)
   }
 }
 
@@ -335,7 +338,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                startingVersion: Option[Long] = None,
                branch: Option[String] = None,
                pacing: StreamPacing = StreamPacing(),
-               dvs: Map[String, Seq[String]] = Map.empty)
+               dvs: Map[String, Seq[String]] = Map.empty,
+               stats: Map[String, LakeStats.FileStats] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
@@ -350,10 +354,11 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       pacing.maxFilesPerTrigger)
   }
 
-  // planned on the driver from footer metadata only — no data read
+  // planned on the driver from MANIFEST stats first (whole-file pruning,
+  // zero I/O per excluded file), then footer metadata of the survivors
   private lazy val plan: LakeTableIO.ScanPlan =
     LakeTableIO.planRowGroups(files, LakeTableIO.columnRefs(projected),
-      pushed, pruneGroups, dvs)
+      pushed, pruneGroups, dvs, stats)
 
   override def planInputPartitions(): Array[InputPartition] = plan.parts
 
@@ -378,7 +383,9 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     val n = plan.parts.length
     s"graft_lake $dir${pinnedVersion.map(v => s"@v$v").getOrElse("")} " +
       s"cols=[${projected.fieldNames.mkString(",")}] " +
-      s"rowgroups=$n/${plan.totalGroups} pushed=[${pushed.mkString(",")}]"
+      s"rowgroups=$n/${plan.totalGroups} " +
+      s"files_pruned_by_stats=${plan.statsPrunedFiles}/${files.size} " +
+      s"pushed=[${pushed.mkString(",")}]"
   }
 }
 
@@ -740,18 +747,32 @@ object LakeTableIO {
     */
   def dataFilesAndDvs(dir: String, version: Option[Long] = None,
                       branch: Option[String] = None)
-      : (Seq[Path], Map[String, Seq[String]]) =
+      : (Seq[Path], Map[String, Seq[String]]) = {
+    val v = snapshotView(dir, version, branch)
+    (v._1, v._2)
+  }
+
+  /** (data files, DV map, manifest stats) of a snapshot — everything
+    * planning consumes: the files to read, per-file deletion vectors,
+    * and the per-file column stats that prune files without footer
+    * reads (see [[LakeStats]]).
+    */
+  def snapshotView(dir: String, version: Option[Long] = None,
+                   branch: Option[String] = None)
+      : (Seq[Path], Map[String, Seq[String]],
+         Map[String, LakeStats.FileStats]) =
     version match {
       case Some(v) =>
         val s = LakeLog.snapshotAt(dir, v, branch)
-        (s.files.map(new Path(dir, _)), s.dvs)
+        (s.files.map(new Path(dir, _)), s.dvs, s.stats)
       case None =>
         LakeLog.current(dir, branch) match {
-          case Some(s) => (s.files.map(new Path(dir, _)), s.dvs)
+          case Some(s) => (s.files.map(new Path(dir, _)), s.dvs, s.stats)
           case None if branch.isDefined => throw new IllegalStateException(
             s"branch '${branch.get}' does not exist in $dir")
           case None =>
-            (LakeLog.rawDataFiles(dir).map(new Path(dir, _)), Map.empty)
+            (LakeLog.rawDataFiles(dir).map(new Path(dir, _)), Map.empty,
+              Map.empty)
         }
     }
 
@@ -775,7 +796,8 @@ object LakeTableIO {
     * post-pushdown size).
     */
   final case class ScanPlan(parts: Array[InputPartition], totalGroups: Int,
-                            keptRows: Long, keptBytes: Long)
+                            keptRows: Long, keptBytes: Long,
+                            statsPrunedFiles: Int = 0)
 
   /** Column-resolution refs for a (projected) schema: output name,
     * field id from metadata, and the name-candidate chain legacy files
@@ -838,57 +860,74 @@ object LakeTableIO {
     */
   def planRowGroups(files: Seq[Path], cols: Array[LakeColumnRef],
                     pushed: Array[Filter], pruneGroups: Boolean,
-                    dvs: Map[String, Seq[String]] = Map.empty): ScanPlan = {
+                    dvs: Map[String, Seq[String]] = Map.empty,
+                    stats: Map[String, LakeStats.FileStats] = Map.empty)
+      : ScanPlan = {
     val conf = new Configuration()
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     val refByName = cols.map(r => r.name -> r).toMap
     var total = 0
     var rows = 0L
     var bytes = 0L
+    var statsPruned0 = 0
     files.foreach { file =>
       val fileDvs = dvs.getOrElse(file.getName, Seq.empty)
-      val in = HadoopInputFile.fromPath(file, conf)
-      val reader = ParquetFileReader.open(in)
-      try {
-        val fileSchema = reader.getFooter.getFileMetaData.getSchema
-        // table-name -> file-local-name for the projected columns
-        val local: Map[String, String] = cols.flatMap(ref =>
-          resolveInFile(fileSchema, ref).map(ref.name -> _)).toMap
-        val localFilters = pushed.flatMap { f =>
-          filterColumn(f) match {
-            case Some(c) if refByName.contains(c) =>
-              local.get(c).map(retarget(f, _)) // absent column: no prune
-            case _ => Some(f)
+      // manifest-stats FILE pruning first: a file the pushed predicate
+      // provably excludes is skipped without opening its footer — the
+      // O(files)→O(matching files) planning step that keeps a selective
+      // query's plan cost independent of table size. Files without
+      // manifest stats (legacy vintages) fall through to the footer.
+      val fileStats = stats.get(file.getName)
+      val statsPruned = pruneGroups && pushed.nonEmpty &&
+        fileStats.exists(st => !LakeStats.mightMatchFile(st, cols, pushed))
+      if (statsPruned) {
+        total += fileStats.get.groups
+        statsPruned0 += 1
+      } else {
+        LakeStats.footerOpens.incrementAndGet()
+        val in = HadoopInputFile.fromPath(file, conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val fileSchema = reader.getFooter.getFileMetaData.getSchema
+          // table-name -> file-local-name for the projected columns
+          val local: Map[String, String] = cols.flatMap(ref =>
+            resolveInFile(fileSchema, ref).map(ref.name -> _)).toMap
+          val localFilters = pushed.flatMap { f =>
+            filterColumn(f) match {
+              case Some(c) if refByName.contains(c) =>
+                local.get(c).map(retarget(f, _)) // absent column: no prune
+              case _ => Some(f)
+            }
           }
-        }
-        val localNames = local.values.toSet
-        // a deleted row can still satisfy footer stats — with DVs on
-        // the file, stats narrowing stays valid (conservative: a group
-        // is only dropped when NO physical row matches, deleted or not)
-        val blocks = reader.getRowGroups.asScala.toSeq
-        total += blocks.size
-        // stats: subtract this file's deleted-row count once (spread
-        // across groups is unknowable from metadata; the estimate only
-        // feeds join-size planning)
-        val dvCount =
-          if (fileDvs.isEmpty) 0L
-          else LakeDv.positions(file.getParent.toString, fileDvs).length.toLong
-        var fileKeptRows = 0L
-        blocks.zipWithIndex.foreach { case (block, idx) =>
-          val keep = !pruneGroups ||
-            localFilters.forall(f => mightMatch(block, f))
-          if (keep) {
-            parts += LakeInputPartition(file.toString, idx, cols, fileDvs)
-            fileKeptRows += block.getRowCount
-            bytes += block.getColumns.asScala
-              .filter(c => localNames.contains(c.getPath.toDotString))
-              .map(_.getTotalUncompressedSize).sum
+          val localNames = local.values.toSet
+          // a deleted row can still satisfy footer stats — with DVs on
+          // the file, stats narrowing stays valid (conservative: a group
+          // is only dropped when NO physical row matches, deleted or not)
+          val blocks = reader.getRowGroups.asScala.toSeq
+          total += blocks.size
+          // stats: subtract this file's deleted-row count once (spread
+          // across groups is unknowable from metadata; the estimate only
+          // feeds join-size planning)
+          val dvCount =
+            if (fileDvs.isEmpty) 0L
+            else LakeDv.positions(file.getParent.toString, fileDvs).length.toLong
+          var fileKeptRows = 0L
+          blocks.zipWithIndex.foreach { case (block, idx) =>
+            val keep = !pruneGroups ||
+              localFilters.forall(f => mightMatch(block, f))
+            if (keep) {
+              parts += LakeInputPartition(file.toString, idx, cols, fileDvs)
+              fileKeptRows += block.getRowCount
+              bytes += block.getColumns.asScala
+                .filter(c => localNames.contains(c.getPath.toDotString))
+                .map(_.getTotalUncompressedSize).sum
+            }
           }
-        }
-        rows += math.max(0L, fileKeptRows - dvCount)
-      } finally reader.close()
+          rows += math.max(0L, fileKeptRows - dvCount)
+        } finally reader.close()
+      }
     }
-    ScanPlan(parts.toArray, total, rows, bytes)
+    ScanPlan(parts.toArray, total, rows, bytes, statsPruned0)
   }
 
   /** Table schema: the `_schema.ddl` sidecar is authoritative when
@@ -1085,7 +1124,8 @@ object LakeTableIO {
     * the file). Driver-side footer metadata only.
     */
   def fileMightContain(file: String, ref: LakeColumnRef,
-                       values: Seq[Any]): Boolean = {
+                       values: Seq[Any],
+                       stats: Option[LakeStats.FileStats] = None): Boolean = {
     val catalystToFilter: Any => Option[Any] = {
       case v: java.lang.Long    => Some(v)
       case v: java.lang.Integer => Some(v)
@@ -1096,6 +1136,15 @@ object LakeTableIO {
     }
     val lifted = values.map(catalystToFilter)
     if (lifted.exists(_.isEmpty)) return true
+    // manifest stats first: when the file's committed bounds exclude
+    // every probed value, drop it with ZERO I/O; anything uncertain
+    // falls through to the footer's row-group precision
+    stats.foreach { st =>
+      if (!lifted.flatten.exists(v => LakeStats.mightMatchFile(
+          st, Array(ref), Array(EqualTo(ref.name, v)))))
+        return false
+    }
+    LakeStats.footerOpens.incrementAndGet()
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
     try {
