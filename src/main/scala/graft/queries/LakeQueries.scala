@@ -328,6 +328,44 @@ object LakeQueries {
         .select("src", "o_orderstatus", "n")
     }),
 
+    // Consistent multi-table READ during the crash window
+    // (graft.sources.dsv2.LakeTx.consistentView): a transaction
+    // appending to BOTH tables dies after applying only the first; the
+    // snapshot-isolation cut pins both tables BELOW the torn
+    // transaction, so the union the query returns is exactly the
+    // pre-transaction state — the oracle states it declaratively (no
+    // txn rows anywhere, never "half in table a").
+    "lake_consistent_view" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      // settle any marker a crashed previous RUN left pending before
+      // the DROPs below delete the staged files it references
+      graft.sources.dsv2.LakeTx.recover(LakeCatalogs.root)
+      val (an, bn) = ("lake_cv_a", "lake_cv_b")
+      val (a, b) = (tableId(dir, an), tableId(dir, bn))
+      s.sql(s"DROP TABLE IF EXISTS $a")
+      s.sql(s"DROP TABLE IF EXISTS $b")
+      previous(s, dir).where(col(key) % 2 === 0).writeTo(a).create()
+      previous(s, dir).where(col(key) % 2 =!= 0).writeTo(b).create()
+      val (da, db0) = (tablePath(dir, an), tablePath(dir, bn))
+      val batch = newest(s, dir).where(col(key) % 13 === 0)
+      // the crash window, reproduced with the primitives: marker
+      // decided, FIRST apply landed, second never ran
+      val sa = graft.sources.dsv2.LakeTx.stageAppend(s, batch, da, "append")
+      val sb = graft.sources.dsv2.LakeTx.stageAppend(s, batch, db0, "append")
+      val txid = java.util.UUID.randomUUID().toString
+      graft.sources.dsv2.LakeTx.writeMarker(LakeCatalogs.root, txid,
+        Seq(sa, sb))
+      graft.sources.dsv2.LakeTx.applyOne(txid, sa)
+      val view = graft.sources.dsv2.LakeTx.consistentView(
+        LakeCatalogs.root, Seq(da, db0))
+      val out = s.sql(s"SELECT * FROM $a VERSION AS OF ${view(da).get}")
+        .unionByName(
+          s.sql(s"SELECT * FROM $b VERSION AS OF ${view(db0).get}"))
+      // settle the pending txn so a re-run starts clean
+      graft.sources.dsv2.LakeTx.recover(LakeCatalogs.root)
+      out
+    }),
+
     // SQL CALL maintenance: a fragmented table (two 8-file appends) is
     // compacted through `CALL graft_lake.system.compact` into target-
     // sized files as a dataChange=false commit; the head read after
@@ -456,6 +494,12 @@ object LakeQueries {
          |UNION ALL
          |SELECT *, 'm' || CAST(o_orderkey AS VARCHAR) AS note
          |FROM newest WHERE o_orderkey % 11 = 0""".stripMargin,
+    // the consistent cut shows the full pre-transaction state — every
+    // prev row exactly once, NO txn rows (a torn read would add the
+    // %13 batch to the even half only)
+    "lake_consistent_view" ->
+      s"""$snapshotCte
+         |SELECT * FROM prev""".stripMargin,
     // stats-pruned scan loses no rows
     "lake_stats_prune" ->
       s"""$snapshotCte

@@ -802,6 +802,15 @@ object LakeLog {
     drop.foreach(v =>
       fs.delete(new Path(logDir(dir), manifestName(v)), false))
     orphans.foreach(f => fs.delete(new Path(dir, f), false))
+    // a crashed multi-table stage ([[LakeTx.stageAppend]]) can leave a
+    // scratch subdir under _staging — unreachable by any reader, pure
+    // disk leak; reclaim aged ones under the same grace window that
+    // protects in-flight writers
+    val staging = new Path(dir, "_staging")
+    if (fs.exists(staging))
+      fs.listStatus(staging).toSeq
+        .filter(s => s.isDirectory && s.getModificationTime < horizon)
+        .foreach(s => fs.delete(s.getPath, true))
     (drop.size, orphans.size)
   }
 

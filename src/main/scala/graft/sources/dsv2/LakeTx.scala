@@ -190,4 +190,93 @@ object LakeTx {
 
   private[graft] def forget(root: String, txid: String): Unit =
     fsFor(root).delete(new Path(txDir(root), s"tx-$txid.json"), false)
+
+  /** A transactionally-CONSISTENT read cut across `dirs`: per-table
+    * pinned versions (None = read the table as empty) such that every
+    * `txn(<id>)` is visible in ALL of its participant tables or NONE —
+    * the snapshot-isolation answer to the documented read-visibility
+    * window between a transaction's per-table applies. Cooperating
+    * readers resolve versions here and read `VERSION AS OF`; writers
+    * and non-cooperating readers are untouched (no hot-path cost).
+    *
+    * How: start at each table's head; any PENDING marker whose applies
+    * are incomplete must be invisible, so the cut drops below its
+    * applied versions; then a fixpoint re-scan hides any transaction
+    * the lowered cut would now tear (visible below the cut in one
+    * table, above it in another — detectable because every apply is
+    * tagged `txn(<id>)` in its manifest). Cuts only move down, so the
+    * loop terminates. A fully-applied txn whose marker survived only
+    * the forget-crash window is treated as committed (the marker IS
+    * the commit point).
+    *
+    * Fails loud when history expiry removed a transaction boundary the
+    * cut would need (the same contract as the streaming source's gap
+    * handling). Cost: driver-side manifest metadata only — O(retained
+    * versions) per table, nothing touches data.
+    */
+  def consistentView(root: String,
+                     dirs: Seq[String]): Map[String, Option[Long]] = {
+    val fs = fsFor(root)
+    // per table: version -> txid for every retained txn-tagged manifest
+    val TxnOp = """txn\(([0-9a-f-]+)\)""".r
+    val txnAt: Map[String, Seq[(Long, String)]] = dirs.map { d =>
+      d -> LakeLog.versions(d).flatMap(v =>
+        LakeLog.snapshotAt(d, v).operation match {
+          case TxnOp(id) => Some(v -> id)
+          case _         => None
+        })
+    }.toMap
+    val heads: Map[String, Long] =
+      dirs.map(d => d -> LakeLog.versions(d).lastOption.getOrElse(-1L)).toMap
+    // pending markers with incomplete applies start out hidden
+    val d0 = txDir(root)
+    val pendingPartial: Set[String] =
+      if (!fs.exists(d0)) Set.empty
+      else fs.listStatus(d0).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("tx-"))
+        .flatMap { m =>
+          val (txid, appends) = readMarker(fs, m.getPath)
+          val appliedAll = appends.forall(a =>
+            txnAt.getOrElse(a.dir, Seq.empty).exists(_._2 == txid) ||
+              // participant outside `dirs`: check its log directly
+              (!dirs.contains(a.dir) && LakeLog.versions(a.dir)
+                .reverseIterator.map(v =>
+                  LakeLog.snapshotAt(a.dir, v).operation)
+                .contains(s"txn($txid)")))
+          if (appliedAll) None else Some(txid)
+        }.toSet
+    val cut = scala.collection.mutable.Map.from(heads)
+    val hidden = scala.collection.mutable.Set.from(pendingPartial)
+    var changed = true
+    while (changed) {
+      changed = false
+      // hide: drop each table's cut below every hidden txn's apply
+      for (d <- dirs; (v, id) <- txnAt(d) if hidden(id) && cut(d) >= v) {
+        val earliest = LakeLog.versions(d).headOption.getOrElse(0L)
+        if (v - 1 < earliest - 1)
+          throw new IllegalStateException(
+            s"cannot form a consistent view of $root: history of $d " +
+              s"expired past transaction boundary txn($id) at v$v")
+        cut(d) = v - 1
+        changed = true
+      }
+      // tear check: a txn now excluded somewhere must be hidden everywhere
+      for (d <- dirs; (v, id) <- txnAt(d)
+           if v > cut(d) && !hidden(id)) {
+        val visibleElsewhere = dirs.exists(o =>
+          txnAt(o).exists { case (ov, oid) => oid == id && ov <= cut(o) })
+        if (visibleElsewhere) { hidden += id; changed = true }
+      }
+    }
+    dirs.map { d =>
+      val c = cut(d)
+      val earliest = LakeLog.versions(d).headOption.getOrElse(0L)
+      if (c < 0) d -> None
+      else if (c < earliest)
+        throw new IllegalStateException(
+          s"cannot form a consistent view of $root: $d needs v$c but " +
+            s"earliest retained is v$earliest (history expired)")
+      else d -> Some(c)
+    }.toMap
+  }
 }

@@ -108,4 +108,119 @@ class LakeMultiCommitSpec extends SparkSpec {
         "aborted-stage orphans must be vacuumable")
     }
   }
+
+  test("a crashed stage's scratch dir under _staging is reclaimed by " +
+       "expire once aged, and an in-grace one survives") {
+    withCatalog { (cat, root) =>
+      mk(cat, "a")
+      // simulate a stage that died before renaming out of scratch
+      val scratch = new java.io.File(s"$root/db/a/_staging/tx-dead")
+      scratch.mkdirs()
+      java.nio.file.Files.writeString(
+        scratch.toPath.resolve("part-zombie.parquet"), "zombie")
+      spark.sql(s"INSERT INTO $cat.db.a VALUES (1, 'x')")
+      graft.operators.LakeSnapshots.expire(s"$root/db/a", keepLast = 1,
+        graceMs = Long.MaxValue / 2) // nothing aged yet
+      assert(scratch.exists(), "in-grace scratch must survive")
+      graft.operators.LakeSnapshots.expire(s"$root/db/a", keepLast = 1,
+        graceMs = 0L)
+      assert(!scratch.exists(), "aged crashed-stage scratch is reclaimed")
+      assert(spark.table(s"$cat.db.a").count() == 1)
+    }
+  }
+
+  test("consistentView: a partially-applied transaction is invisible in " +
+       "ALL tables (snapshot-isolation cut), recovery restores the head " +
+       "view, and a later txn straddling the cut is hidden consistently") {
+    withCatalog { (cat, root) =>
+      mk(cat, "a"); mk(cat, "b")
+      val (da, db) = (s"$root/db/a", s"$root/db/b")
+      // txn0 lands fully — the committed floor
+      LakeTx.commit(root, Seq(
+        LakeTx.stageAppend(spark,
+          (0L until 4L).map(i => (i, "t0")).toDF("k", "v"), da, "append"),
+        LakeTx.stageAppend(spark,
+          (0L until 4L).map(i => (i, "t0")).toDF("k", "v"), db, "append")))
+      // txn1 crashes mid-apply: a applied, b not
+      val sa = LakeTx.stageAppend(spark,
+        (10L until 14L).map(i => (i, "t1")).toDF("k", "v"), da, "append")
+      val sb = LakeTx.stageAppend(spark,
+        (10L until 14L).map(i => (i, "t1")).toDF("k", "v"), db, "append")
+      val tx1 = java.util.UUID.randomUUID().toString
+      LakeTx.writeMarker(root, tx1, Seq(sa, sb))
+      LakeTx.applyOne(tx1, sa)
+      // raw heads are torn: a sees t1, b does not
+      assert(spark.table(s"$cat.db.a").where("v = 't1'").count() == 4)
+      assert(spark.table(s"$cat.db.b").where("v = 't1'").count() == 0)
+      // the consistent cut hides t1 everywhere, keeps t0 everywhere
+      val view = LakeTx.consistentView(root, Seq(da, db))
+      def at(cattbl: String, v: Long) =
+        spark.sql(s"SELECT * FROM $cat.db.$cattbl VERSION AS OF $v")
+      val va = view(da).get
+      val vb = view(db).get
+      assert(at("a", va).where("v = 't1'").count() == 0, s"cut $view")
+      assert(at("b", vb).where("v = 't1'").count() == 0)
+      assert(at("a", va).where("v = 't0'").count() == 4)
+      assert(at("b", vb).where("v = 't0'").count() == 4)
+      // an ordinary append on top of a's torn state: still hidden BELOW
+      // the cut (the cut stays under txn1's apply on a)
+      spark.sql(s"INSERT INTO $cat.db.a VALUES (99, 'late')")
+      val view2 = LakeTx.consistentView(root, Seq(da, db))
+      assert(at("a", view2(da).get).where("v = 't1'").count() == 0)
+      // recovery completes txn1 → the view returns to the heads
+      LakeTx.recover(root)
+      val view3 = LakeTx.consistentView(root, Seq(da, db))
+      assert(view3(da).get == LakeLog.versions(da).last)
+      assert(view3(db).get == LakeLog.versions(db).last)
+      assert(at("a", view3(da).get).where("v = 't1'").count() == 4)
+      assert(at("b", view3(db).get).where("v = 't1'").count() == 4)
+    }
+  }
+
+  test("consistentView tear check: a COMMITTED txn straddling a cut " +
+       "forced by a pending one is hidden in every table, not torn") {
+    withCatalog { (cat, root) =>
+      mk(cat, "a"); mk(cat, "b")
+      val (da, db) = (s"$root/db/a", s"$root/db/b")
+      // pending txn1: applied on a only (crash window), nothing on b yet
+      val sa1 = LakeTx.stageAppend(spark,
+        (0L until 2L).map(i => (i, "t1")).toDF("k", "v"), da, "append")
+      val sb1 = LakeTx.stageAppend(spark,
+        (0L until 2L).map(i => (i, "t1")).toDF("k", "v"), db, "append")
+      val tx1 = java.util.UUID.randomUUID().toString
+      LakeTx.writeMarker(root, tx1, Seq(sa1, sb1))
+      LakeTx.applyOne(tx1, sa1)
+      // txn2 lands FULLY on top while txn1 is still pending (built from
+      // the primitives — LakeTx.commit would run recover() and finish
+      // txn1 first): a@(version after txn1's apply), b@(its own head)
+      val sa2 = LakeTx.stageAppend(spark,
+        (10L until 12L).map(i => (i, "t2")).toDF("k", "v"), da, "append")
+      val sb2 = LakeTx.stageAppend(spark,
+        (10L until 12L).map(i => (i, "t2")).toDF("k", "v"), db, "append")
+      val tx2 = java.util.UUID.randomUUID().toString
+      LakeTx.writeMarker(root, tx2, Seq(sa2, sb2))
+      LakeTx.applyOne(tx2, sa2)
+      LakeTx.applyOne(tx2, sb2)
+      LakeTx.forget(root, tx2)
+      // hiding pending txn1 drops a's cut below txn1 AND txn2's applies;
+      // the tear check must then hide txn2 on b too — the committed txn
+      // is hidden EVERYWHERE, never torn
+      val view = LakeTx.consistentView(root, Seq(da, db))
+      Seq(("a", da), ("b", db)).foreach { case (t, d) =>
+        val df = spark.sql(
+          s"SELECT * FROM $cat.db.$t VERSION AS OF ${view(d).get}")
+        assert(df.where("v = 't1'").count() == 0, s"$t tore txn1: $view")
+        assert(df.where("v = 't2'").count() == 0, s"$t tore txn2: $view")
+      }
+      // recovery settles everything; the head view then shows both txns
+      LakeTx.recover(root)
+      val after = LakeTx.consistentView(root, Seq(da, db))
+      Seq(("a", da), ("b", db)).foreach { case (t, d) =>
+        val df = spark.sql(
+          s"SELECT * FROM $cat.db.$t VERSION AS OF ${after(d).get}")
+        assert(df.where("v = 't1'").count() == 2, s"$t")
+        assert(df.where("v = 't2'").count() == 2, s"$t")
+      }
+    }
+  }
 }
