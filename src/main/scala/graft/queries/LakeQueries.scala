@@ -430,6 +430,40 @@ object LakeQueries {
       q.awaitTermination()
       s.read.parquet(s"$out/data")
     }),
+
+    // CHANGE-DATA-FEED metadata table (graft.sources.dsv2
+    // .LakeChangesTable, the `db.t.changes` spelling): the commit
+    // history replays as row-level events — the CTAS's rows as insert
+    // events of v1, the merge-on-read DELETE's pre-images as delete
+    // events of v2. The oracle restates the whole feed declaratively,
+    // so wrong versions, missing pre-image columns, or DVs applied
+    // retroactively to insert events all hash-mismatch.
+    "lake_changes_feed" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_cdf")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")
+      s.table(s"$tbl.changes")
+    }),
+
+    // the SAME feed consumed as a STREAM (micro-batches over commit
+    // versions, availableNow drain) — the merge-on-read commit the
+    // append-only lake stream must reject flows here as delete events
+    "stream_lake_cdc" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_cdfs")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")
+      val out = freshDir("cdcstream", dir)
+      val q = s.readStream.table(s"$tbl.changes")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -494,6 +528,25 @@ object LakeQueries {
          |UNION ALL
          |SELECT *, 'm' || CAST(o_orderkey AS VARCHAR) AS note
          |FROM newest WHERE o_orderkey % 11 = 0""".stripMargin,
+    // the feed: every prev row inserts at v1; the %10=7 slice deletes
+    // at v2 with its pre-image intact
+    "lake_changes_feed" ->
+      s"""$snapshotCte
+         |SELECT *, 'insert' AS _change_type,
+         |       CAST(1 AS BIGINT) AS _commit_version FROM prev
+         |UNION ALL
+         |SELECT *, 'delete' AS _change_type,
+         |       CAST(3 AS BIGINT) AS _commit_version FROM prev
+         |WHERE o_orderkey % 10 = 7""".stripMargin,
+    // the stream drains the identical event set
+    "stream_lake_cdc" ->
+      s"""$snapshotCte
+         |SELECT *, 'insert' AS _change_type,
+         |       CAST(1 AS BIGINT) AS _commit_version FROM prev
+         |UNION ALL
+         |SELECT *, 'delete' AS _change_type,
+         |       CAST(3 AS BIGINT) AS _commit_version FROM prev
+         |WHERE o_orderkey % 10 = 7""".stripMargin,
     // the consistent cut shows the full pre-transaction state — every
     // prev row exactly once, NO txn rows (a torn read would add the
     // %13 batch to the even half only)

@@ -83,6 +83,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             (catalogName +: ident.namespace.toSeq).mkString("."),
             parentDir.toString, branch = Some(b))
       }
+      // Iceberg's metadata-table spelling: `db.t.changes` is table
+      // `db.t`'s change-data feed (LakeChangesTable) — batch AND
+      // streaming readable; a REAL table named `changes` under a
+      // `db.t` namespace takes precedence (its dir exists, checked
+      // above)
+      if (ident.name == "changes" && ident.namespace.nonEmpty) {
+        val parentIdent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        val parentDir = tableDir(parentIdent)
+        if (fs.exists(parentDir))
+          return new LakeChangesTable(
+            (catalogName +: ident.namespace.toSeq :+ "changes")
+              .mkString("."), parentDir.toString)
+      }
       throw new NoSuchTableException(ident)
     }
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)

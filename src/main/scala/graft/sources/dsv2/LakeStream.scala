@@ -66,7 +66,8 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
                            startingVersion: Option[Long] = None,
                            maxCommitsPerBatch: Long = 8L,
                            maxRowsPerTrigger: Option[Long] = None,
-                           maxFilesPerTrigger: Option[Int] = None)
+                           maxFilesPerTrigger: Option[Int] = None,
+                           cdc: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** The limit Spark hands back to `latestOffset` on ordinary triggers:
@@ -218,6 +219,23 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
             "consumer never saw are vacuumed; restart with a fresh " +
             "checkpoint (optionally startingVersion) once downstream " +
             "is reconciled")
+    }
+    // CHANGE-FEED mode ([[LakeChangesScan]]): each version in the batch
+    // contributes row-level change EVENTS — including merge-on-read
+    // commits, the class the append-only mode below must reject.
+    // skipChangeCommits here skips copy-on-write replaces (the one
+    // commit class row events cannot be derived for).
+    if (cdc) {
+      val cols = LakeTableIO.columnRefs(projected)
+      return (a + 1 to b).flatMap { v =>
+        val snap = LakeLog.snapshotAt(dir, v)
+        val asSnapshot = so.snapshotStart && v == a + 1
+        if (skipChangeCommits && snap.removed.nonEmpty &&
+            snap.dataChange && !asSnapshot)
+          Seq.empty
+        else
+          LakeTableIO.planCdcVersion(dir, snap, cols, pushed, asSnapshot)
+      }.toArray
     }
     // manifest stats for each version's files, so the batch's planning
     // prunes pushed-filter-excluded files without footer reads too

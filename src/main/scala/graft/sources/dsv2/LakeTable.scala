@@ -326,9 +326,21 @@ case class LakeColumnRef(name: String, id: Int, candidates: Array[String])
   * `dvFiles` are the deletion-vector sidecars of THIS data file at the
   * scanned version — the reader subtracts their row positions.
   */
+/** Change-data-feed annotation on a partition: every row it emits is
+  * one change event of `version` with the given `changeType`. With
+  * `onlyPositions` set (a MOR delete event), the reader emits ONLY the
+  * rows at those file-relative positions — the pre-images the commit's
+  * deletion vectors removed; without it (an insert event), the whole
+  * file as of its add-commit flows, with NO deletion vectors applied
+  * (later deletes are later events, not retroactive edits).
+  */
+case class LakeCdcInfo(changeType: String, version: Long,
+                       onlyPositions: Option[Array[Long]] = None)
+
 case class LakeInputPartition(path: String, rowGroup: Int,
                               cols: Array[LakeColumnRef],
-                              dvFiles: Seq[String] = Seq.empty)
+                              dvFiles: Seq[String] = Seq.empty,
+                              cdc: Option[LakeCdcInfo] = None)
     extends InputPartition
 
 class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
@@ -421,6 +433,16 @@ class LakeReaderFactory(projected: StructType)
       private val fileValue =
         org.apache.spark.unsafe.types.UTF8String
           .fromString(new Path(part.path).getName)
+      // change-data-feed columns are synthesized like _file/_pos: the
+      // file never carries them, the partition's annotation does
+      private val ctIdx =
+        part.cols.indexWhere(_.name == LakeTableIO.CdcChangeType)
+      private val verIdx =
+        part.cols.indexWhere(_.name == LakeTableIO.CdcVersion)
+      private val ctValue = part.cdc.map(c =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(c.changeType))
+        .orNull
+      private val verValue: Long = part.cdc.map(_.version).getOrElse(-1L)
       private val requested: MessageType = {
         val kept = fileSchema.getFields.asScala
           .filter(t => filePos.contains(t.getName))
@@ -452,6 +474,15 @@ class LakeReaderFactory(projected: StructType)
         while (i < deleted.length && deleted(i) < groupStart) i += 1
         i
       }
+      // CDC delete events: emit ONLY these (sorted) positions
+      private val only: Array[Long] =
+        part.cdc.flatMap(_.onlyPositions).orNull
+      private var onlyCursor = {
+        var i = 0
+        if (only != null)
+          while (i < only.length && only(i) < groupStart) i += 1
+        i
+      }
       private val pages = reader.readRowGroup(part.rowGroup)
       private val recordReader = new ColumnIOFactory()
         .getColumnIO(requested)
@@ -467,10 +498,16 @@ class LakeReaderFactory(projected: StructType)
           val g = recordReader.read()
           remaining -= 1
           pos += 1
-          if (dvCursor < deleted.length && deleted(dvCursor) == pos) {
+          if (only != null && (onlyCursor >= only.length ||
+              pos != only(onlyCursor))) {
+            // CDC delete event: not one of the commit's DV'd positions
+            next()
+          } else if (only == null &&
+              dvCursor < deleted.length && deleted(dvCursor) == pos) {
             dvCursor += 1 // row deleted by a merge-on-read DML: skip
             next()
           } else {
+            if (only != null) onlyCursor += 1
             val inner = LakeParquet.toInternalRow(g, dec)
             current =
               if (identityProjection) inner
@@ -484,6 +521,8 @@ class LakeReaderFactory(projected: StructType)
                 }
                 if (fileIdx >= 0) values(fileIdx) = fileValue
                 if (posIdx >= 0) values(posIdx) = pos
+                if (ctIdx >= 0) values(ctIdx) = ctValue
+                if (verIdx >= 0) values(verIdx) = verValue
                 new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
               }
             true
@@ -725,6 +764,13 @@ object LakeTableIO {
   val MetaFile = "_file"
   val MetaPos = "_pos"
 
+  /** Reserved change-data-feed column names (Delta CDF's spelling),
+    * synthesized by the reader from each partition's [[LakeCdcInfo]]
+    * when reading through the `changes` metadata table.
+    */
+  val CdcChangeType = "_change_type"
+  val CdcVersion = "_commit_version"
+
   val metadataFields: Seq[StructField] = Seq(
     StructField(MetaFile, org.apache.spark.sql.types.StringType,
       nullable = false),
@@ -928,6 +974,69 @@ object LakeTableIO {
       }
     }
     ScanPlan(parts.toArray, total, rows, bytes, statsPruned0)
+  }
+
+  /** Plan ONE commit's change events ([[LakeCdcInfo]]-annotated
+    * partitions) for the `changes` metadata table / CDC stream:
+    *
+    *   - `initialSnapshot`: the version's complete LIVE state (files
+    *     minus its deletion vectors) as insert events — the
+    *     snapshot-then-increments opening batch on an expiry-trimmed
+    *     log, or a backfill's starting floor;
+    *   - append commit: its added files as insert events (no DVs — a
+    *     later delete is a later EVENT, not a retroactive edit);
+    *   - merge-on-read commit: the positions its deletion vectors
+    *     removed as delete events (pre-images read straight from the
+    *     still-on-disk files), plus added files as insert events — the
+    *     commit class the append-only stream must reject becomes fully
+    *     streamable here;
+    *   - `dataChange=false` (compaction/clustering/rewrite_deletes):
+    *     no events, same rows by contract;
+    *   - copy-on-write REPLACE: not expressible as row events from file
+    *     metadata alone (the rewrite mixes carried-over and changed
+    *     rows) — fails loud naming the batch diff
+    *     ([[graft.operators.LakeSnapshots.changes]]) and the
+    *     merge-on-read mode that makes DML CDC-streamable.
+    *
+    * Planning cost tracks the COMMIT's size (its added files' and DV'd
+    * files' footers), never the table's; manifest stats prune
+    * pushed-filter-excluded files before any footer read.
+    */
+  def planCdcVersion(dir: String, snap: LakeLog.Snapshot,
+                     cols: Array[LakeColumnRef], pushed: Array[Filter],
+                     initialSnapshot: Boolean): Array[InputPartition] = {
+    def annotate(parts: Array[InputPartition],
+                 info: LakeCdcInfo): Array[InputPartition] =
+      parts.map { p =>
+        p.asInstanceOf[LakeInputPartition].copy(cdc = Some(info))
+          : InputPartition
+      }
+    if (initialSnapshot)
+      return annotate(planRowGroups(
+        snap.files.map(new Path(dir, _)), cols, pushed,
+        pruneGroups = true, snap.dvs, snap.stats).parts,
+        LakeCdcInfo("insert", snap.version))
+    if (!snap.dataChange) return Array.empty
+    if (snap.removed.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed of $dir hit copy-on-write replace commit " +
+          s"v${snap.version} (${snap.operation}): a rewrite mixes " +
+          "carried-over and changed rows, so row-level events cannot " +
+          "be derived from file metadata — use the batch diff " +
+          "(LakeSnapshots.changes / system.changes) across the rewrite, " +
+          "or set write.mode=merge-on-read to make DML CDC-streamable")
+    val inserts = annotate(planRowGroups(
+      snap.added.map(new Path(dir, _)), cols, pushed,
+      pruneGroups = true, Map.empty, snap.stats).parts,
+      LakeCdcInfo("insert", snap.version))
+    val deletes = snap.dvAdded.toSeq.sortBy(_._1).flatMap {
+      case (file, sidecars) =>
+        val positions = LakeDv.positions(dir, sidecars)
+        annotate(planRowGroups(Seq(new Path(dir, file)), cols, pushed,
+          pruneGroups = true, Map.empty, snap.stats).parts,
+          LakeCdcInfo("delete", snap.version, Some(positions)))
+    }
+    inserts ++ deletes
   }
 
   /** Table schema: the `_schema.ddl` sidecar is authoritative when

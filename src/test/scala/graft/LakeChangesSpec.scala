@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.dsv2.{GraftCatalog, LakeLog}
+
+/** The change-data-feed metadata table
+  * ([[graft.sources.dsv2.LakeChangesTable]], `db.t.changes`): commits
+  * replay as row-level insert/delete EVENTS, batch and streaming, with
+  * merge-on-read DML fully expressible (the commit class the
+  * append-only stream must reject), compaction invisible, and
+  * copy-on-write replaces failing loud.
+  */
+class LakeChangesSpec extends SparkSpec {
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = Files.createTempDirectory("graft-cdf").toString
+    n += 1
+    val cat = s"cdfcat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  test("batch feed: appends are insert events, a MOR delete is delete " +
+       "events carrying the pre-image rows, versions are exact, and " +
+       "compaction contributes nothing") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('a', id) FROM range(10)")
+      spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('b', id) FROM range(10, 20)")
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k % 5 = 2")
+      graft.operators.LakeSnapshots.compact(spark, s"$root/db/t",
+        targetBytes = 1L << 26)
+      val feed = spark.table(s"$cat.db.t.changes")
+      assert(feed.columns.toSeq ==
+        Seq("k", "v", "_change_type", "_commit_version"))
+      val inserts = feed.where("_change_type = 'insert'")
+      assert(inserts.count() == 20)
+      // insert events carry their commit version
+      assert(inserts.where("k < 10").select("_commit_version")
+        .distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(inserts.where("k >= 10").select("_commit_version")
+        .distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // delete events are the DV'd pre-images (k, v intact)
+      val deletes = feed.where("_change_type = 'delete'").collect()
+      assert(deletes.map(_.getLong(0)).sorted.toSeq ==
+        Seq(2L, 7L, 12L, 17L))
+      assert(deletes.forall(r => r.getString(1) ==
+        (if (r.getLong(0) < 10) s"a${r.getLong(0)}" else s"b${r.getLong(0)}")))
+      assert(deletes.map(_.getLong(3)).distinct.toSeq == Seq(3L))
+      // nothing from the compaction commit (v4, dataChange=false)
+      assert(feed.where("_commit_version = 4").count() == 0)
+      // version-range options
+      val v2only = spark.read.option("startingVersion", "2")
+        .option("endingVersion", "2").table(s"$cat.db.t.changes")
+      assert(v2only.count() == 10)
+      assert(v2only.where("_change_type = 'insert' AND k >= 10").count() == 10)
+    }
+  }
+
+  test("a copy-on-write replace fails loud in the feed and is skipped " +
+       "under skipChangeCommits") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.c (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.db.c SELECT id, 'x' FROM range(10)")
+      spark.sql(s"DELETE FROM $cat.db.c WHERE k = 3") // COW: file rewrite
+      val e = intercept[Exception] {
+        spark.table(s"$cat.db.c.changes").count()
+      }
+      assert(e.getMessage.contains("copy-on-write replace") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("copy-on-write replace"),
+        s"got: ${e.getMessage}")
+      val skipped = spark.read.option("skipChangeCommits", "true")
+        .table(s"$cat.db.c.changes")
+      assert(skipped.where("_change_type = 'insert'").count() == 10)
+    }
+  }
+
+  test("streaming feed: availableNow drains the same events as the " +
+       "batch feed — including the MOR commit the append-only lake " +
+       "stream rejects — and a restart resumes with no replays") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.s (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.s SELECT id, concat('v', id) FROM range(30)")
+      spark.sql(s"DELETE FROM $cat.db.s WHERE k % 3 = 1")
+      val out = Files.createTempDirectory("graft-cdf-out").toString
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.db.s.changes")
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+      }
+      drain()
+      val got = spark.read.parquet(s"$out/data")
+      assert(got.where("_change_type = 'insert'").count() == 30)
+      assert(got.where("_change_type = 'delete'").count() == 10)
+      assert(got.where("_change_type = 'delete'")
+        .selectExpr("min(k) % 3").collect().head.get(0) == 1)
+      // more DML, then resume: only the NEW commits flow
+      spark.sql(s"DELETE FROM $cat.db.s WHERE k = 0")
+      drain()
+      val again = spark.read.parquet(s"$out/data")
+      assert(again.where("_change_type = 'delete'").count() == 11)
+      assert(again.where("_change_type = 'insert'").count() == 30,
+        "no insert replays on resume")
+      assert(LakeLog.current(s"$root/db/s").get.version ==
+        again.selectExpr("max(_commit_version)").collect().head.getLong(0))
+    }
+  }
+
+  test("expiry-trimmed history: the default batch feed opens with the " +
+       "earliest retained snapshot's LIVE state (DVs subtracted) as " +
+       "insert events, then increments") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.e (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.e SELECT id, 'x' FROM range(20)")
+      spark.sql(s"DELETE FROM $cat.db.e WHERE k < 5") // v2: MOR
+      spark.sql(s"INSERT INTO $cat.db.e SELECT id, 'y' FROM range(20, 25)")
+      val dir = s"$root/db/e"
+      LakeLog.expire(dir, keepLast = 2, graceMs = 0L) // keeps v2, v3
+      val feed = spark.table(s"$cat.db.e.changes")
+      // opening snapshot at v2: 15 live rows (20 inserted minus 5 DV'd),
+      // then v3's 5 inserts — the vacuumed delete events are history
+      assert(feed.where("_change_type = 'insert'").count() == 20)
+      assert(feed.where("_change_type = 'delete'").count() == 0)
+      assert(feed.where("_commit_version = 2").count() == 15)
+      assert(feed.where("k < 5").count() == 0,
+        "the opening snapshot subtracts the version's deletion vectors")
+    }
+  }
+
+  test("projection and filter pushdown reach the feed's scan: selecting " +
+       "a subset works and a key predicate prunes via manifest stats") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, v STRING)")
+      spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS v")
+        .coalesce(1).createOrReplaceTempView("cdf_p_src")
+      spark.sql(s"INSERT INTO $cat.db.p SELECT * FROM cdf_p_src")
+      val slim = spark.table(s"$cat.db.p.changes")
+        .where("k = 42").select("_change_type", "k")
+      val rows = slim.collect()
+      assert(rows.length == 1 && rows.head.getString(0) == "insert" &&
+        rows.head.getLong(1) == 42L)
+    }
+  }
+}
