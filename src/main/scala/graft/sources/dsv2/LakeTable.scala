@@ -1023,8 +1023,8 @@ object LakeTableIO {
           s"v${snap.version} (${snap.operation}): a rewrite mixes " +
           "carried-over and changed rows, so row-level events cannot " +
           "be derived from file metadata — use the batch diff " +
-          "(LakeSnapshots.changes / system.changes) across the rewrite, " +
-          "or set write.mode=merge-on-read to make DML CDC-streamable")
+          "(LakeSnapshots.changes) across the rewrite, or set " +
+          "write.mode=merge-on-read to make DML CDC-streamable")
     val inserts = annotate(planRowGroups(
       snap.added.map(new Path(dir, _)), cols, pushed,
       pruneGroups = true, Map.empty, snap.stats).parts,

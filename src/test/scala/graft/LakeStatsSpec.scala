@@ -224,6 +224,43 @@ class LakeStatsSpec extends SparkSpec {
     }
   }
 
+  test("zorder + manifest stats compound: after clustering on (a, b), " +
+       "a selective predicate on EITHER column prunes most files " +
+       "without footer reads — a single-column sort only prunes one") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.z (a BIGINT, b BIGINT)")
+      // a,b independent uniform; a-sorted layout scatters b
+      spark.range(0, 1 << 14).selectExpr("id % 128 AS a",
+        "CAST(floor(rand(7) * 128) AS BIGINT) AS b")
+        .createOrReplaceTempView("z_src")
+      spark.sql(s"INSERT INTO $cat.db.z SELECT * FROM z_src")
+      val dir = s"$root/db/z"
+      spark.sql(s"CALL ${cat}.system.zorder('db.z', 'a,b', 16)")
+      val head = graft.sources.dsv2.LakeLog.current(dir).get
+      assert(head.files.size == 16 &&
+        head.stats.keySet == head.files.toSet)
+      val refs = LakeTableIO.columnRefs(LakeTableIO.tableSchema(dir))
+      def pruned(colName: String): Int = {
+        val pushed: Array[org.apache.spark.sql.sources.Filter] = Array(
+          org.apache.spark.sql.sources.GreaterThanOrEqual(colName, 0L),
+          org.apache.spark.sql.sources.LessThanOrEqual(colName, 7L))
+        LakeTableIO.planRowGroups(head.files.map(f => new Path(dir, f)),
+          refs, pushed, pruneGroups = true,
+          stats = head.stats).statsPrunedFiles
+      }
+      // a 1/16-wide slice on either dimension: the z-layout gives every
+      // file a ~quarter-range rectangle in each dim, so >= half the
+      // files must exclude the slice on pure manifest metadata
+      assert(pruned("a") >= 8, s"a-slice pruned only ${pruned("a")}/16")
+      assert(pruned("b") >= 8, s"b-slice pruned only ${pruned("b")}/16")
+      // correctness through the real scan
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.z WHERE b <= 7")
+        .collect().head.getLong(0) ==
+        spark.sql("SELECT count(*) FROM z_src WHERE b <= 7")
+          .collect().head.getLong(0))
+    }
+  }
+
   test("merge-on-read deletes leave stats valid: DV'd rows may still " +
        "widen bounds (conservative), scans stay exact") {
     withCatalog { (cat, root) =>
