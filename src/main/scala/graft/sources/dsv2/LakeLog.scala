@@ -407,6 +407,30 @@ object LakeLog {
           s"merge-on-read conflict in $dir: deletion vectors target " +
             s"files no longer current: ${dvMissing.mkString(", ")}")
       val baseDvs = head.map(_.dvs).getOrElse(Map.empty)
+      // write-write ROW conflict: a new DV overlapping an already-
+      // committed DV on the same file means two writers scanned the
+      // same row live and both removed it — benign for delete-delete,
+      // but an update (delete+insert) pair would DUPLICATE the row's
+      // new versions. Serializable-by-default: the loser fails loud and
+      // retries against the post-commit state (Iceberg's row-level
+      // validation). Sequential DML never trips this — a later scan
+      // subtracts existing DVs, so its positions are disjoint by
+      // construction. Cost: DV reads only for re-touched files.
+      val overlap = dvAdded.flatMap { case (f, vs) =>
+        val existing = baseDvs.getOrElse(f, Seq.empty)
+        if (existing.isEmpty) None
+        else {
+          val committed = LakeDv.positions(dir, existing).toSet
+          val both = LakeDv.positions(dir, vs).filter(committed)
+          if (both.isEmpty) None
+          else Some(s"$f @ ${both.take(5).mkString(",")}" +
+            (if (both.length > 5) ",…" else ""))
+        }
+      }
+      if (overlap.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"merge-on-read conflict in $dir: positions deleted " +
+            s"concurrently by another writer: ${overlap.mkString("; ")}")
       // a replaced file takes its DVs with it (the rewrite applied or
       // superseded them); new DVs merge per data file
       val nextDvs0 = baseDvs -- removed

@@ -280,9 +280,39 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
                       branch: Option[String] = None,
                       pacing: StreamPacing = StreamPacing())
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var projected: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countStars = 0
+
+  /** Metadata-only COUNT(*): the manifest already knows every file's
+    * row count (stats harvested at commit) and every deletion vector's
+    * size, so a global unfiltered count is pure driver metadata — zero
+    * data read, zero footer opens for stat-carrying files. The classic
+    * lakehouse fast path (Delta/Iceberg answer `SELECT count(*)` from
+    * their logs the same way). Anything beyond CountStar — grouping,
+    * filters (this source keeps ALL filters residual, so Spark leaves
+    * a Filter node and never offers the push), min/max (a deletion
+    * vector could hide the extreme row, making footer bounds wrong) —
+    * declines and falls back to the row scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[
+          org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    supportCompletePushDown(agg) && {
+      countStars = agg.aggregateExpressions.length
+      true
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order (parquet readers expect it); the
@@ -306,6 +336,8 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   override def build(): Scan = {
     val (files, dvs, stats) =
       LakeTableIO.snapshotView(dir, pinnedVersion, branch)
+    if (countStars > 0)
+      return new LakeCountScan(dir, files, dvs, stats, countStars)
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
       startingVersion, branch, pacing, dvs, stats)
@@ -400,6 +432,54 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       s"pushed=[${pushed.mkString(",")}]"
   }
 }
+
+/** The completely-pushed global COUNT(*): one partition, one row, the
+  * value computed on the DRIVER from manifest metadata — per-file row
+  * counts (manifest stats; footer for stat-less legacy vintages) minus
+  * deletion-vector sizes. Time travel and branches flow through the
+  * snapshot view the builder resolved.
+  */
+class LakeCountScan(dir: String, files: Seq[Path],
+                    dvs: Map[String, Seq[String]],
+                    stats: Map[String, LakeStats.FileStats],
+                    countStars: Int) extends Scan with Batch {
+  override def readSchema(): StructType =
+    (0 until countStars).foldLeft(new StructType())((st, i) =>
+      st.add(s"count_star_$i", org.apache.spark.sql.types.LongType,
+        nullable = false))
+  override def toBatch: Batch = this
+
+  private lazy val count: Long = files.map { f =>
+    val rows = stats.get(f.getName).map(_.rows)
+      .getOrElse(LakeTableIO.footerRows(Seq(f)))
+    val dead = dvs.get(f.getName)
+      .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
+    math.max(0L, rows - dead)
+  }.sum
+
+  override def description(): String =
+    s"graft_lake $dir PushedAggregates=[COUNT(*)] (manifest metadata)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeCountPartition(count))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val n = countStars
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            Seq.fill(n)(p.asInstanceOf[LakeCountPartition].count))
+          override def close(): Unit = ()
+        }
+    }
+  }
+}
+
+case class LakeCountPartition(count: Long) extends InputPartition
 
 class LakeReaderFactory(projected: StructType)
     extends PartitionReaderFactory {

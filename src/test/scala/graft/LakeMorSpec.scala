@@ -254,4 +254,40 @@ class LakeMorSpec extends SparkSpec {
           "is skipped wholesale")
     }
   }
+
+  test("concurrent row-level writes to the SAME rows conflict loud: a " +
+       "DV overlapping a committed DV is rejected; disjoint DVs on the " +
+       "same file merge fine") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.ww (k BIGINT) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.ww SELECT id FROM range(100)")
+      val dir = s"$root/db/ww"
+      val file = LakeLog.current(dir).get.files.head
+      // writer A commits positions {5,6}
+      val dvA = graft.sources.dsv2.LakeDv.write(dir, file, Seq(5L, 6L))
+      LakeLog.commit(dir, "delete_mor", Seq.empty, Seq.empty, 0L,
+        dvAdded = Map(file -> Seq(dvA)))
+      // writer B scanned BEFORE A's commit and targets {6,7}: the
+      // overlap at position 6 is a write-write row conflict
+      val dvB = graft.sources.dsv2.LakeDv.write(dir, file, Seq(6L, 7L))
+      val e = intercept[java.util.ConcurrentModificationException] {
+        LakeLog.commit(dir, "update_mor", Seq.empty, Seq.empty, 0L,
+          dvAdded = Map(file -> Seq(dvB)))
+      }
+      assert(e.getMessage.contains("concurrently"))
+      // table state untouched by the failed commit
+      assert(spark.table(s"$cat.db.ww").count() == 98)
+      // a DISJOINT second delete merges (the sequential-DML shape)
+      val dvC = graft.sources.dsv2.LakeDv.write(dir, file, Seq(7L, 8L))
+      LakeLog.commit(dir, "delete_mor", Seq.empty, Seq.empty, 0L,
+        dvAdded = Map(file -> Seq(dvC)))
+      assert(spark.table(s"$cat.db.ww").count() == 96)
+      // the four DV'd POSITIONS of that file are gone (positions, not
+      // key values — the insert split into several files)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.ww " +
+        s"WHERE _file = '$file' AND _pos IN (5,6,7,8)")
+        .collect().head.getLong(0) == 0)
+    }
+  }
 }

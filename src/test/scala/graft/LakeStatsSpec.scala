@@ -224,6 +224,42 @@ class LakeStatsSpec extends SparkSpec {
     }
   }
 
+  test("global COUNT(*) is answered from manifest metadata: pushed " +
+       "aggregate in the plan, zero footer opens, DV-exact, and " +
+       "time travel counts its own snapshot") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.cnt (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.range(0, 500).selectExpr("id AS k", "concat('v', id) AS v")
+        .coalesce(2).createOrReplaceTempView("cnt_src")
+      spark.sql(s"INSERT INTO $cat.db.cnt SELECT * FROM cnt_src")
+      spark.sql(s"DELETE FROM $cat.db.cnt WHERE k % 10 = 3")
+      val q = spark.sql(s"SELECT count(*) FROM $cat.db.cnt")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregates=[COUNT(*)]"),
+        s"expected the metadata count scan in:\n$plan")
+      val before = LakeStats.footerOpens.get()
+      assert(q.collect().head.getLong(0) == 450)
+      assert(LakeStats.footerOpens.get() - before == 0,
+        "a stats-carrying table answers count(*) without any footer read")
+      // time travel: the pre-delete snapshot counts all rows
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.cnt VERSION AS OF 1")
+        .collect().head.getLong(0) == 500)
+      // filtered count declines the push (filters are residual here)
+      val filtered = spark.sql(
+        s"SELECT count(*) FROM $cat.db.cnt WHERE k < 100")
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"))
+      assert(filtered.collect().head.getLong(0) == 90)
+      // grouped count declines too
+      // deleted keys are =3 mod 10, all odd: evens keep 250, odds 200
+      assert(spark.sql(s"SELECT k % 2, count(*) FROM $cat.db.cnt " +
+        "GROUP BY 1 ORDER BY 1").collect().map(_.getLong(1)).toSeq ==
+        Seq(250L, 200L))
+    }
+  }
+
   test("zorder + manifest stats compound: after clustering on (a, b), " +
        "a selective predicate on EITHER column prunes most files " +
        "without footer reads — a single-column sort only prunes one") {
