@@ -239,6 +239,19 @@ object LakeQueries {
       s.table(tbl).where(col(key) >= 1000 && col(key) <= 2000)
     }),
 
+    // Metadata-only COUNT(*) (LakeScanBuilder's aggregate pushdown):
+    // the count comes from manifest row counts minus deletion-vector
+    // sizes — zero data read (plan pin in LakeStatsSpec); the MOR
+    // delete beforehand makes a stale or DV-blind metadata answer miss
+    // the oracle.
+    "lake_count_meta" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_cntm")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")
+      s.sql(s"SELECT count(*) AS n_live FROM $tbl")
+    }),
+
     // MERGE-ON-READ DML (deletion vectors — SupportsDelta): the DELETE
     // writes POSITIONS instead of rewriting files (zero data files
     // change hands — pinned in LakeMorSpec); every scan subtracts the
@@ -558,6 +571,11 @@ object LakeQueries {
       s"""$snapshotCte
          |SELECT * FROM prev
          |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    // the metadata count equals the declarative live-row count
+    "lake_count_meta" ->
+      s"""$snapshotCte
+         |SELECT count(*) AS n_live FROM prev
+         |WHERE o_orderkey % 10 <> 7""".stripMargin,
     // merge-on-read delete: surviving rows only
     "lake_mor_delete" ->
       s"""$snapshotCte
