@@ -252,6 +252,20 @@ object LakeQueries {
       s.sql(s"SELECT count(*) AS n_live FROM $tbl")
     }),
 
+    // Metadata-only MIN/MAX/COUNT(col) (same pushdown, column flavor):
+    // answered from per-file manifest bounds — provable only on a
+    // DV-free snapshot with every file carrying usable stats (plan pin
+    // in LakeStatsSpec); the oracle proves exactness, including the
+    // unsigned-UTF-8 string ordering.
+    "lake_minmax_meta" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_mmm")
+      s.sql(s"SELECT min(o_orderkey) AS min_key, " +
+        s"max(o_orderkey) AS max_key, " +
+        s"min(o_orderstatus) AS min_status, " +
+        s"max(o_orderstatus) AS max_status, " +
+        s"count(o_orderpriority) AS n_pri FROM $tbl")
+    }),
+
     // MERGE-ON-READ DML (deletion vectors — SupportsDelta): the DELETE
     // writes POSITIONS instead of rewriting files (zero data files
     // change hands — pinned in LakeMorSpec); every scan subtracts the
@@ -576,6 +590,14 @@ object LakeQueries {
       s"""$snapshotCte
          |SELECT count(*) AS n_live FROM prev
          |WHERE o_orderkey % 10 <> 7""".stripMargin,
+    // metadata extremes equal the declarative ones
+    "lake_minmax_meta" ->
+      s"""$snapshotCte
+         |SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |       min(o_orderstatus) AS min_status,
+         |       max(o_orderstatus) AS max_status,
+         |       count(o_orderpriority) AS n_pri
+         |FROM prev""".stripMargin,
     // merge-on-read delete: surviving rows only
     "lake_mor_delete" ->
       s"""$snapshotCte

@@ -179,9 +179,10 @@ object LakeStats {
 
   /** Compare two canonical stat strings of the same kind. Strings use
     * parquet's unsigned UTF-8 byte order (via [[Binary]]) — identical
-    * to what the row-group pruner compares.
+    * to what the row-group pruner compares (and to Spark's UTF8String
+    * order, which is why metadata MIN/MAX answers are exact).
     */
-  private def cmpSame(kind: String, a: String, b: String): Int = kind match {
+  private[dsv2] def cmpSame(kind: String, a: String, b: String): Int = kind match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
     case "int"    => java.lang.Integer.compare(a.toInt, b.toInt)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)

@@ -284,35 +284,44 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var projected: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countStars = 0
+  private var metaAgg: Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] =
+    None
 
-  /** Metadata-only COUNT(*): the manifest already knows every file's
-    * row count (stats harvested at commit) and every deletion vector's
-    * size, so a global unfiltered count is pure driver metadata — zero
-    * data read, zero footer opens for stat-carrying files. The classic
-    * lakehouse fast path (Delta/Iceberg answer `SELECT count(*)` from
-    * their logs the same way). Anything beyond CountStar — grouping,
-    * filters (this source keeps ALL filters residual, so Spark leaves
-    * a Filter node and never offers the push), min/max (a deletion
-    * vector could hide the extreme row, making footer bounds wrong) —
-    * declines and falls back to the row scan.
+  /** Metadata-only global aggregates: the manifest knows every file's
+    * row count, per-column null counts and min/max bounds (stats
+    * harvested at commit) and every deletion vector's size, so an
+    * unfiltered COUNT(*) / COUNT(col) / MIN(col) / MAX(col) is pure
+    * driver metadata — zero data read, zero footer opens. The classic
+    * lakehouse fast path (Delta/Iceberg answer these from their logs
+    * the same way). The answerability rules are strict and checked per
+    * snapshot ([[LakeTableIO.metaAggregate]]): COUNT(*) needs only row
+    * counts; COUNT(col)/MIN/MAX additionally need every file to carry
+    * usable stats for that column AND the snapshot to have ZERO
+    * deletion vectors (a DV'd row could be the extremum / change the
+    * null split); floating-point columns never push (NaN ordering
+    * diverges between engines and parquet stats). Anything else —
+    * grouping, filters (this source keeps ALL filters residual, so
+    * Spark leaves a Filter node and never offers the push), distinct,
+    * other functions — declines and falls back to the row scan.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[
-          org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      : Boolean = tryMetaAggregate(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    supportCompletePushDown(agg) && {
-      countStars = agg.aggregateExpressions.length
-      true
-    }
+      : Boolean = tryMetaAggregate(agg) match {
+    case some @ Some(_) => metaAgg = some; true
+    case None           => false
+  }
+
+  private def tryMetaAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] =
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) None
+    else LakeTableIO.metaAggregate(dir, tableSchema,
+      agg.aggregateExpressions.toSeq, pinnedVersion, branch)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order (parquet readers expect it); the
@@ -334,10 +343,9 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
+    metaAgg.foreach(values => return new LakeMetaAggScan(dir, values))
     val (files, dvs, stats) =
       LakeTableIO.snapshotView(dir, pinnedVersion, branch)
-    if (countStars > 0)
-      return new LakeCountScan(dir, files, dvs, stats, countStars)
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
       startingVersion, branch, pacing, dvs, stats)
@@ -433,38 +441,30 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   }
 }
 
-/** The completely-pushed global COUNT(*): one partition, one row, the
-  * value computed on the DRIVER from manifest metadata — per-file row
-  * counts (manifest stats; footer for stat-less legacy vintages) minus
-  * deletion-vector sizes. Time travel and branches flow through the
-  * snapshot view the builder resolved.
+/** The completely-pushed global aggregate: one partition, one row, the
+  * values computed on the DRIVER from manifest metadata (see
+  * [[LakeTableIO.metaAggregate]] for the answerability rules). Time
+  * travel and branches flow through the snapshot the builder resolved.
+  * Values ride serialized in the partition (already internal-format:
+  * Long/Int/UTF8String/null).
   */
-class LakeCountScan(dir: String, files: Seq[Path],
-                    dvs: Map[String, Seq[String]],
-                    stats: Map[String, LakeStats.FileStats],
-                    countStars: Int) extends Scan with Batch {
+class LakeMetaAggScan(dir: String,
+                      values: Seq[(org.apache.spark.sql.types.DataType, Any)])
+    extends Scan with Batch {
   override def readSchema(): StructType =
-    (0 until countStars).foldLeft(new StructType())((st, i) =>
-      st.add(s"count_star_$i", org.apache.spark.sql.types.LongType,
-        nullable = false))
+    values.zipWithIndex.foldLeft(new StructType()) { case (st, ((t, v), i)) =>
+      st.add(s"agg_$i", t, nullable = v == null)
+    }
   override def toBatch: Batch = this
 
-  private lazy val count: Long = files.map { f =>
-    val rows = stats.get(f.getName).map(_.rows)
-      .getOrElse(LakeTableIO.footerRows(Seq(f)))
-    val dead = dvs.get(f.getName)
-      .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
-    math.max(0L, rows - dead)
-  }.sum
-
   override def description(): String =
-    s"graft_lake $dir PushedAggregates=[COUNT(*)] (manifest metadata)"
+    s"graft_lake $dir PushedAggregates=[metadata-only, " +
+      s"${values.size} exprs]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LakeCountPartition(count))
+    Array(LakeMetaAggPartition(values.map(_._2)))
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val n = countStars
+  override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] =
@@ -472,14 +472,13 @@ class LakeCountScan(dir: String, files: Seq[Path],
           private var emitted = false
           override def next(): Boolean = !emitted && { emitted = true; true }
           override def get(): InternalRow = InternalRow.fromSeq(
-            Seq.fill(n)(p.asInstanceOf[LakeCountPartition].count))
+            p.asInstanceOf[LakeMetaAggPartition].values)
           override def close(): Unit = ()
         }
     }
-  }
 }
 
-case class LakeCountPartition(count: Long) extends InputPartition
+case class LakeMetaAggPartition(values: Seq[Any]) extends InputPartition
 
 class LakeReaderFactory(projected: StructType)
     extends PartitionReaderFactory {
@@ -1054,6 +1053,135 @@ object LakeTableIO {
       }
     }
     ScanPlan(parts.toArray, total, rows, bytes, statsPruned0)
+  }
+
+  /** Evaluate a global aggregation from manifest metadata alone, or
+    * None when any expression is not PROVABLY answerable:
+    *
+    *   - `COUNT(*)`: Σ (file rows − its deletion-vector size); rows
+    *     come from manifest stats, with a footer read only for
+    *     stat-less legacy vintages — still metadata, never data.
+    *   - `COUNT(col)` (non-distinct): needs ZERO deletion vectors (a
+    *     DV'd row changes the null split unobservably) and a known
+    *     null count for the column in EVERY file.
+    *   - `MIN(col)` / `MAX(col)`: additionally needs usable bounds in
+    *     every file (or the file provably all-null) and an exactly
+    *     order-preserving kind: long/int/string (unsigned-UTF-8 order
+    *     — identical to UTF8String's) and DATE (int days). Floating
+    *     point never pushes (NaN ordering), DECIMAL/TIMESTAMP are
+    *     unharvested by design.
+    *
+    * Returned values are Spark INTERNAL format (Long/Int/UTF8String,
+    * null for empty/all-null), paired with their output type.
+    */
+  def metaAggregate(
+      dir: String, tableSchema: StructType,
+      exprs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
+      version: Option[Long], branch: Option[String])
+      : Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    val (files, dvs, stats) = snapshotView(dir, version, branch)
+    val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap
+    def colName(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+    // expected stats kind + output conversion per Spark type
+    def kindFor(t: org.apache.spark.sql.types.DataType): Option[String] =
+      t match {
+        case LongType    => Some("long")
+        case IntegerType => Some("int")
+        case DateType    => Some("int") // internal = days since epoch
+        case StringType  => Some("str")
+        case _           => None
+      }
+    def decode(kind: String, t: org.apache.spark.sql.types.DataType,
+               s: String): Any = (kind, t) match {
+      case ("long", _)       => java.lang.Long.valueOf(s.toLong)
+      case ("int", _)        => java.lang.Integer.valueOf(s.toInt)
+      case ("str", _) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case _ => null
+    }
+    // (rows, ColStats) per file; None when ANY file lacks a resolvable
+    // stats entry for the column — an absent entry is ambiguous between
+    // "file predates the column" (all-null, answerable) and "bounds
+    // were unharvestable" (e.g. oversized strings — NOT answerable), so
+    // the only sound move is to decline
+    def colStatsAll(name: String)
+        : Option[Seq[(Long, LakeStats.ColStats)]] = {
+      val ref = refs.getOrElse(name, return None)
+      val per = files.map { f =>
+        val st = stats.getOrElse(f.getName, return None)
+        val hasIds = st.cols.values.exists(_.id >= 0)
+        val cs =
+          if (hasIds && ref.id >= 0) st.cols.values.find(_.id == ref.id)
+          else ref.candidates.iterator.flatMap(st.cols.get).nextOption()
+        (st.rows, cs.getOrElse(return None))
+      }
+      Some(per)
+    }
+    val values = exprs.map {
+      case _: CountStar =>
+        val n = files.map { f =>
+          val rows = stats.get(f.getName).map(_.rows)
+            .getOrElse(footerRows(Seq(f)))
+          val dead = dvs.get(f.getName)
+            .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
+          math.max(0L, rows - dead)
+        }.sum
+        (LongType, java.lang.Long.valueOf(n))
+      case c: Count if !c.isDistinct && dvs.isEmpty =>
+        val name = colName(c.column).getOrElse(return None)
+        val per = colStatsAll(name).getOrElse(return None)
+        if (per.exists(_._2.nulls < 0)) return None // unknown null count
+        val nonNull = per.map { case (rows, cs) => rows - cs.nulls }.sum
+        (LongType, java.lang.Long.valueOf(nonNull))
+      case m: Min if dvs.isEmpty =>
+        metaExtreme(colName(m.column), colStatsAll, kindFor, decode,
+          tableSchema, isMin = true).getOrElse(return None)
+      case m: Max if dvs.isEmpty =>
+        metaExtreme(colName(m.column), colStatsAll, kindFor, decode,
+          tableSchema, isMin = false).getOrElse(return None)
+      case _ => return None
+    }
+    Some(values)
+  }
+
+  private def metaExtreme(
+      name0: Option[String],
+      colStatsAll: String => Option[Seq[(Long, LakeStats.ColStats)]],
+      kindFor: org.apache.spark.sql.types.DataType => Option[String],
+      decode: (String, org.apache.spark.sql.types.DataType, String) => Any,
+      tableSchema: StructType, isMin: Boolean)
+      : Option[(org.apache.spark.sql.types.DataType, Any)] = {
+    val name = name0.getOrElse(return None)
+    val t = tableSchema.fields.find(_.name == name)
+      .map(_.dataType).getOrElse(return None)
+    val kind = kindFor(t).getOrElse(return None)
+    val per = colStatsAll(name).getOrElse(return None)
+    // every file: usable bounds of the right kind, or PROVABLY all-null
+    // (null count known and equal to the file's rows — harvest only
+    // omits bounds for all-null or unharvestable columns, and the
+    // unharvestable case never reaches here: it has no stats entry and
+    // colStatsAll declined above... except the all-null-proven path,
+    // which mergeBlocks emits with bounds absent)
+    val bounds = per.flatMap { case (rows, cs) =>
+      if (cs.min.isDefined && cs.max.isDefined) {
+        if (cs.kind != kind) return None // physical/logical mismatch
+        Seq(if (isMin) cs.min.get else cs.max.get)
+      } else if (cs.nulls == rows) Seq.empty // provably all-null
+      else return None // cannot prove the extremum
+    }
+    val v =
+      if (bounds.isEmpty) null // empty or all-null table: SQL NULL
+      else decode(kind, t, bounds.reduce((a, b) =>
+        if ((LakeStats.cmpSame(kind, a, b) <= 0) == isMin) a else b))
+    Some((t, v))
   }
 
   /** Plan ONE commit's change events ([[LakeCdcInfo]]-annotated

