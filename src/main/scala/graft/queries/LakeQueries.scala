@@ -473,6 +473,25 @@ object LakeQueries {
       s.table(s"$tbl.changes")
     }),
 
+    // Four-way change typing: a MOR UPDATE's halves surface as
+    // update_preimage / update_postimage events (paired by the
+    // manifest's commit-time update annotation — Delta CDF's
+    // _change_data contract folded into the manifest), not as the
+    // collapsed insert+delete. The oracle restates both halves
+    // declaratively over prev: pre-images carry the OLD payload,
+    // post-images the updated one, same keys and version both sides —
+    // a feed that mislabels, drops, or double-counts either half
+    // hash-mismatches.
+    "lake_changes_updates" -> ((s, dir) => {
+      val tbl = freshTable(s, dir, "lake_cdfu")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      s.sql(s"UPDATE $tbl SET o_orderpriority = 'CDF-UPDATED' " +
+        s"WHERE $key % 10 = 7")
+      s.table(s"$tbl.changes")
+        .where(col("_change_type").startsWith("update"))
+    }),
+
     // the SAME feed consumed as a STREAM (micro-batches over commit
     // versions, availableNow drain) — the merge-on-read commit the
     // append-only lake stream must reject flows here as delete events
@@ -563,6 +582,18 @@ object LakeQueries {
          |       CAST(1 AS BIGINT) AS _commit_version FROM prev
          |UNION ALL
          |SELECT *, 'delete' AS _change_type,
+         |       CAST(3 AS BIGINT) AS _commit_version FROM prev
+         |WHERE o_orderkey % 10 = 7""".stripMargin,
+    // the update pairs: pre-images old, post-images new, one commit
+    "lake_changes_updates" ->
+      s"""$snapshotCte
+         |SELECT *, 'update_preimage' AS _change_type,
+         |       CAST(3 AS BIGINT) AS _commit_version FROM prev
+         |WHERE o_orderkey % 10 = 7
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |       o_orderdate, 'CDF-UPDATED' AS o_orderpriority,
+         |       'update_postimage' AS _change_type,
          |       CAST(3 AS BIGINT) AS _commit_version FROM prev
          |WHERE o_orderkey % 10 = 7""".stripMargin,
     // the stream drains the identical event set

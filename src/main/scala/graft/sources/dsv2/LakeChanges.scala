@@ -14,8 +14,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** The CHANGE-DATA-FEED metadata table of a [[LakeTable]] — Delta CDF /
   * Iceberg `db.t.changes`, resolved by [[GraftCatalog]] under the same
   * spelling (`SELECT * FROM cat.db.t.changes`). Each row is one change
-  * EVENT: the base table's columns plus `_change_type`
-  * ('insert'|'delete') and `_commit_version`.
+  * EVENT: the base table's columns plus `_change_type` ('insert' |
+  * 'delete' | 'update_preimage' | 'update_postimage' — Delta CDF's
+  * four-way typing; updates pair via the manifest's commit-time
+  * update annotation, see [[LakeTableIO.planCdcVersion]]) and
+  * `_commit_version`.
   *
   * Batch reads replay the retained commit history (or a
   * `startingVersion`/`endingVersion` option range — pass options via

@@ -68,6 +68,16 @@ object LakeLog {
     * changing table contents (compaction, clustering) — incremental
     * consumers (the streaming source, CDC) skip it wholesale.
     *
+    * `updatePre`/`updatePost` are the commit-scoped UPDATE-PAIRING
+    * annotation a merge-on-read UPDATE/MERGE leaves for the change
+    * feed (Delta CDF's `_change_data` idea folded into the manifest):
+    * `updatePre` names the subset of this commit's `dvAdded` sidecars
+    * whose positions are pre-images of updated rows (vs plain
+    * deletes), `updatePost` the subset of `added` files holding the
+    * corresponding post-image rows. Pure CDC metadata — table state
+    * (files/dvs) is complete without it, old manifests read as empty
+    * (their events keep the unpaired insert/delete labels).
+    *
     * `stats` is the complete per-file column-statistics map (data file
     * → [[LakeStats.FileStats]]), harvested at commit time for this
     * commit's added files and carried forward complete-set like
@@ -83,7 +93,9 @@ object LakeLog {
                             dvs: Map[String, Seq[String]] = Map.empty,
                             dvAdded: Map[String, Seq[String]] = Map.empty,
                             stats: Map[String, LakeStats.FileStats] =
-                              Map.empty)
+                              Map.empty,
+                            updatePre: Map[String, Seq[String]] = Map.empty,
+                            updatePost: Seq[String] = Seq.empty)
 
   def logDir(dir: String): Path = new Path(dir, "_log")
 
@@ -297,7 +309,8 @@ object LakeLog {
       String.valueOf(m.get("operation")), strs("files"), strs("added"),
       strs("removed"), lng("addedRows"), dataChange,
       dvMap("dvs"), dvMap("dvAdded"),
-      LakeStats.fromJson(m.get("stats"))) // pre-stats manifests: empty
+      LakeStats.fromJson(m.get("stats")), // pre-stats manifests: empty
+      dvMap("updatePre"), strs("updatePost")) // pre-pairing: empty
   }
 
   private def writeManifest(fs: FileSystem, tmp: Path, s: Snapshot): Unit = {
@@ -321,6 +334,8 @@ object LakeLog {
       }
     putDvMap("dvs", s.dvs)
     putDvMap("dvAdded", s.dvAdded)
+    putDvMap("updatePre", s.updatePre)
+    if (s.updatePost.nonEmpty) m.put("updatePost", jl(s.updatePost))
     if (s.stats.nonEmpty) m.put("stats", LakeStats.toJson(s.stats))
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(m)) finally out.close()
@@ -347,9 +362,22 @@ object LakeLog {
              removed: Seq[String], addedRows: Long,
              dataChange: Boolean = true,
              branch: Option[String] = None,
-             dvAdded: Map[String, Seq[String]] = Map.empty): Snapshot = {
+             dvAdded: Map[String, Seq[String]] = Map.empty,
+             updatePre: Map[String, Seq[String]] = Map.empty,
+             updatePost: Seq[String] = Seq.empty): Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
+    // the update-pairing annotation only ever references THIS commit's
+    // own artifacts — a dangling reference would mislabel CDC events
+    updatePre.foreach { case (f, vs) =>
+      val own = dvAdded.getOrElse(f, Seq.empty).toSet
+      require(vs.nonEmpty && vs.forall(own),
+        s"updatePre for $f references sidecars outside this commit's " +
+          s"dvAdded: ${vs.filterNot(own).mkString(", ")}")
+    }
+    require(updatePost.forall(added.contains),
+      s"updatePost references files outside this commit's added set: " +
+        updatePost.filterNot(added.contains).mkString(", "))
     // manifest stats for this commit's files: ONE local footer read per
     // added file, at write time, so no scan ever has to — hoisted out
     // of the retry loop (the added set never changes across attempts)
@@ -447,7 +475,7 @@ object LakeLog {
         now(head.map(_.timestampMs)), operation,
         (base.filterNot(removed.toSet) ++ addedNew).distinct.sorted,
         addedNew, removed.sorted, addedRows, dataChange, nextDvs, dvAdded,
-        nextStats)
+        nextStats, updatePre, updatePost.filter(addedNew.contains))
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry

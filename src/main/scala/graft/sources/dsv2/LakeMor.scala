@@ -20,9 +20,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * actions — inserts become ordinary new data files, deletes become
   * DELETION-VECTOR positions keyed by the row's `(_file, _pos)`
   * identity (the reserved metadata columns every [[LakeTable]] scan
-  * can synthesize), and updates are represented as delete+insert.
-  * Commit publishes the insert files and one DV sidecar per touched
-  * data file, sealed by a single manifest whose `dvs` map readers
+  * can synthesize), and UPDATES arrive as first-class update actions
+  * (`representUpdateAsDeleteAndInsert = false`): the old position is
+  * DV'd and the new row lands in a fresh file like any insert, but the
+  * writer KNOWS the two halves belong to one logical update — that
+  * knowledge is committed as the manifest's `updatePre`/`updatePost`
+  * annotation, which is what lets the change feed emit
+  * `update_preimage`/`update_postimage` events instead of collapsing
+  * updates into unpaired insert+delete (Delta CDF's `_change_data`
+  * contract, folded into the manifest because pre-images are
+  * reconstructable from the still-on-disk positions). Commit publishes
+  * the insert files and one DV sidecar per (touched data file, change
+  * class), sealed by a single manifest whose `dvs` map readers
   * subtract at scan time.
   *
   * Write amplification flips accordingly: a DELETE of k rows costs
@@ -46,9 +55,10 @@ class LakeMorOperation(table: LakeTable,
     Array(Expressions.column(LakeTableIO.MetaFile),
       Expressions.column(LakeTableIO.MetaPos))
 
-  // updates flow as delete + (re)insert — one writer path, and the
-  // rewritten row lands in a fresh file like any insert
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  // updates stay FIRST-CLASS (no delete+insert split): the writer's
+  // update() sees both halves of each updated row, which is the only
+  // place the pre/post pairing the change feed needs can be observed
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(table.dir, table.schema, None, branch = table.branch)
@@ -62,11 +72,15 @@ class LakeMorOperation(table: LakeTable,
     }
 }
 
-/** One task's outcome: at most one staged insert file plus this task's
-  * deletion positions per data file.
+/** One task's outcome: at most one staged plain-insert file, at most
+  * one staged update-post-image file, and this task's deletion
+  * positions per data file, split by change class (plain delete vs
+  * update pre-image).
   */
 case class LakeDeltaMessage(stagedPath: String, rows: Long,
-                            deletes: Map[String, Array[Long]])
+                            stagedUpdatePath: String, updateRows: Long,
+                            deletes: Map[String, Array[Long]],
+                            updateDeletes: Map[String, Array[Long]])
     extends WriterCommitMessage
 
 class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
@@ -79,33 +93,56 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(new Configuration())
       val msgs = messages.collect { case m: LakeDeltaMessage => m }
-      // publish insert files (stage-then-publish, as the batch write)
-      val published = msgs.filter(_.stagedPath != null).map { m =>
+      // publish insert + update-post files (stage-then-publish, as the
+      // batch write); post-image files are tracked apart so the commit
+      // can annotate them for the change feed
+      def publish(staged: String): String = {
         val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-        if (!fs.rename(new Path(m.stagedPath), dest))
+        if (!fs.rename(new Path(staged), dest))
           throw new java.io.IOException(
-            s"failed to publish ${m.stagedPath} -> $dest")
-        (dest.getName, m.rows)
+            s"failed to publish $staged -> $dest")
+        dest.getName
       }
-      // merge deletes across tasks; ONE DV sidecar per touched file
-      val merged = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
-      msgs.foreach(_.deletes.foreach { case (f, ps) =>
-        merged.getOrElseUpdate(f, mutable.ArrayBuffer.empty) ++= ps
-      })
-      val dvAdded: Map[String, Seq[String]] = merged.map { case (f, ps) =>
-        val distinct = ps.distinct.sorted.toSeq
-        f -> Seq(LakeDv.write(dir, f, distinct))
-      }.toMap
-      if (published.isEmpty && dvAdded.isEmpty) return // no-op DML
-      try LakeLog.commit(dir, opName, published.map(_._1).toSeq,
-        Seq.empty, published.map(_._2).sum, branch = branch,
-        dvAdded = dvAdded)
+      val published = msgs.filter(_.stagedPath != null).map(m =>
+        (publish(m.stagedPath), m.rows))
+      val publishedPost = msgs.filter(_.stagedUpdatePath != null).map(m =>
+        (publish(m.stagedUpdatePath), m.updateRows))
+      // merge deletes across tasks; ONE DV sidecar per (file, class) —
+      // positions of the two classes are disjoint (each live row is
+      // processed at most once by the operation)
+      def merge(per: Seq[Map[String, Array[Long]]])
+          : Map[String, Seq[Long]] = {
+        val acc = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
+        per.foreach(_.foreach { case (f, ps) =>
+          acc.getOrElseUpdate(f, mutable.ArrayBuffer.empty) ++= ps
+        })
+        acc.view.mapValues(_.distinct.sorted.toSeq).toMap
+      }
+      val plain = merge(msgs.map(_.deletes))
+      val updates = merge(msgs.map(_.updateDeletes))
+      val plainDv = plain.map { case (f, ps) =>
+        f -> Seq(LakeDv.write(dir, f, ps))
+      }
+      val updateDv = updates.map { case (f, ps) =>
+        f -> Seq(LakeDv.write(dir, f, ps))
+      }
+      val dvAdded: Map[String, Seq[String]] =
+        (plainDv.keySet ++ updateDv.keySet).map { f =>
+          f -> (plainDv.getOrElse(f, Seq.empty) ++
+            updateDv.getOrElse(f, Seq.empty))
+        }.toMap
+      val allFiles = published ++ publishedPost
+      if (allFiles.isEmpty && dvAdded.isEmpty) return // no-op DML
+      try LakeLog.commit(dir, opName, allFiles.map(_._1).toSeq,
+        Seq.empty, allFiles.map(_._2).sum, branch = branch,
+        dvAdded = dvAdded, updatePre = updateDv,
+        updatePost = publishedPost.map(_._1).toSeq)
       catch {
         case e: Throwable =>
           // conflict (a covered file was rewritten concurrently): the
           // published inserts and freshly-written DVs are in no
           // manifest — remove them and abort loud
-          published.foreach { case (n, _) =>
+          allFiles.foreach { case (n, _) =>
             try fs.delete(new Path(dir, n), false)
             catch { case _: java.io.IOException => () }
           }
@@ -119,10 +156,12 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(new Configuration())
-      messages.collect {
-        case m: LakeDeltaMessage if m.stagedPath != null =>
-          try fs.delete(new Path(m.stagedPath), false)
-          catch { case _: java.io.IOException => () }
+      messages.collect { case m: LakeDeltaMessage =>
+        Seq(m.stagedPath, m.stagedUpdatePath).filter(_ != null).foreach {
+          p =>
+            try fs.delete(new Path(p), false)
+            catch { case _: java.io.IOException => () }
+        }
       }
     }
   }
@@ -133,16 +172,22 @@ class LakeDeltaWriterFactory(dir: String, rowSchema: StructType)
   override def createWriter(partitionId: Int,
                             taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
-      // inserts reuse the ordinary stage-then-publish parquet writer
-      private val inner = new LakeWriterFactory(dir, rowSchema)
-        .createWriter(partitionId, taskId)
+      // inserts and update post-images reuse the ordinary
+      // stage-then-publish parquet writer — two instances, because the
+      // files must stay apart for the commit's update annotation
+      private val factory = new LakeWriterFactory(dir, rowSchema)
+      private val insertWriter = factory.createWriter(partitionId, taskId)
+      private val updateWriter = factory.createWriter(partitionId, taskId)
       private var insertedAny = false
+      private var updatedAny = false
       private val deletes =
+        mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
+      private val updateDeletes =
         mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
 
       override def insert(row: InternalRow): Unit = {
         insertedAny = true
-        inner.write(row)
+        insertWriter.write(row)
       }
 
       /** `id` carries the rowId projection `(_file, _pos)` in
@@ -154,18 +199,34 @@ class LakeDeltaWriterFactory(dir: String, rowSchema: StructType)
         deletes.getOrElseUpdate(file, mutable.ArrayBuffer.empty) += pos
       }
 
+      /** One logical UPDATE: DV the old position (as an update
+        * pre-image) and write the post-image row to the dedicated
+        * update file.
+        */
       override def update(metadata: InternalRow, id: InternalRow,
-                          row: InternalRow): Unit =
-        throw new IllegalStateException(
-          "updates are represented as delete+insert " +
-            "(representUpdateAsDeleteAndInsert=true)")
+                          row: InternalRow): Unit = {
+        val file = id.getUTF8String(0).toString
+        val pos = id.getLong(1)
+        updateDeletes.getOrElseUpdate(file,
+          mutable.ArrayBuffer.empty) += pos
+        updatedAny = true
+        updateWriter.write(row)
+      }
 
       override def commit(): WriterCommitMessage = {
-        val m = inner.commit().asInstanceOf[LakeFileMessage]
-        LakeDeltaMessage(if (insertedAny) m.stagedPath else null,
-          m.rows, deletes.view.mapValues(_.toArray).toMap)
+        val mi = insertWriter.commit().asInstanceOf[LakeFileMessage]
+        val mu = updateWriter.commit().asInstanceOf[LakeFileMessage]
+        LakeDeltaMessage(
+          if (insertedAny) mi.stagedPath else null, mi.rows,
+          if (updatedAny) mu.stagedPath else null, mu.rows,
+          deletes.view.mapValues(_.toArray).toMap,
+          updateDeletes.view.mapValues(_.toArray).toMap)
       }
-      override def abort(): Unit = inner.abort()
-      override def close(): Unit = inner.close()
+      override def abort(): Unit = {
+        insertWriter.abort(); updateWriter.abort()
+      }
+      override def close(): Unit = {
+        insertWriter.close(); updateWriter.close()
+      }
     }
 }

@@ -567,13 +567,20 @@ class LakeReaderFactory(projected: StructType)
         .getColumnIO(requested)
         .getRecordReader(pages, new GroupRecordConverter(requested))
       private var remaining = pages.getRowCount
+      private val groupEnd: Long = groupStart + pages.getRowCount
       private var pos: Long = groupStart - 1
       private var current: InternalRow = _
 
       @annotation.tailrec
       final override def next(): Boolean =
         if (remaining <= 0) false
-        else {
+        else if (only != null && (onlyCursor >= only.length ||
+            only(onlyCursor) >= groupEnd)) {
+          // positional read: the next wanted position (sorted) lies
+          // beyond this group — stop decoding the tail
+          remaining = 0
+          false
+        } else {
           val g = recordReader.read()
           remaining -= 1
           pos += 1
@@ -986,7 +993,8 @@ object LakeTableIO {
   def planRowGroups(files: Seq[Path], cols: Array[LakeColumnRef],
                     pushed: Array[Filter], pruneGroups: Boolean,
                     dvs: Map[String, Seq[String]] = Map.empty,
-                    stats: Map[String, LakeStats.FileStats] = Map.empty)
+                    stats: Map[String, LakeStats.FileStats] = Map.empty,
+                    onlyPositions: Option[Array[Long]] = None)
       : ScanPlan = {
     val conf = new Configuration()
     val parts = mutable.ArrayBuffer.empty[InputPartition]
@@ -1037,9 +1045,22 @@ object LakeTableIO {
             if (fileDvs.isEmpty) 0L
             else LakeDv.positions(file.getParent.toString, fileDvs).length.toLong
           var fileKeptRows = 0L
+          // positional reads (CDC delete / update-preimage events) only
+          // touch row groups whose row range intersects the sorted
+          // position set — a k-row delete against a thousand-group file
+          // plans the k rows' groups, not the file (positions are
+          // file-relative, so the cumulative row offset is the range)
+          var groupStart = 0L
           blocks.zipWithIndex.foreach { case (block, idx) =>
-            val keep = !pruneGroups ||
-              localFilters.forall(f => mightMatch(block, f))
+            val groupEnd = groupStart + block.getRowCount
+            val positionHit = onlyPositions.forall { ps =>
+              val i = java.util.Arrays.binarySearch(ps, groupStart)
+              val at = if (i >= 0) i else -i - 1
+              at < ps.length && ps(at) < groupEnd
+            }
+            groupStart = groupEnd
+            val keep = positionHit && (!pruneGroups ||
+              localFilters.forall(f => mightMatch(block, f)))
             if (keep) {
               parts += LakeInputPartition(file.toString, idx, cols, fileDvs)
               fileKeptRows += block.getRowCount
@@ -1197,7 +1218,14 @@ object LakeTableIO {
     *     removed as delete events (pre-images read straight from the
     *     still-on-disk files), plus added files as insert events — the
     *     commit class the append-only stream must reject becomes fully
-    *     streamable here;
+    *     streamable here. When the commit carries the UPDATE-PAIRING
+    *     annotation ([[LakeLog.Snapshot.updatePre]]/`updatePost`,
+    *     written by the delta writer's first-class update path), the
+    *     update halves surface as `update_preimage`/`update_postimage`
+    *     events instead — Delta CDF's four-way change typing — while
+    *     plain deletes and NOT-MATCHED inserts keep their labels;
+    *     pre-pairing vintage commits (no annotation) keep the collapsed
+    *     insert/delete form;
     *   - `dataChange=false` (compaction/clustering/rewrite_deletes):
     *     no events, same rows by contract;
     *   - copy-on-write REPLACE: not expressible as row events from file
@@ -1233,18 +1261,37 @@ object LakeTableIO {
           "be derived from file metadata — use the batch diff " +
           "(LakeSnapshots.changes) across the rewrite, or set " +
           "write.mode=merge-on-read to make DML CDC-streamable")
-    val inserts = annotate(planRowGroups(
-      snap.added.map(new Path(dir, _)), cols, pushed,
-      pruneGroups = true, Map.empty, snap.stats).parts,
-      LakeCdcInfo("insert", snap.version))
+    val postSet = snap.updatePost.toSet
+    val inserts = Seq(
+      (snap.added.filterNot(postSet), "insert"),
+      (snap.updatePost, "update_postimage")).flatMap {
+      case (fs, label) =>
+        if (fs.isEmpty) Array.empty[InputPartition]
+        else annotate(planRowGroups(fs.map(new Path(dir, _)), cols,
+          pushed, pruneGroups = true, Map.empty, snap.stats).parts,
+          LakeCdcInfo(label, snap.version))
+    }
     val deletes = snap.dvAdded.toSeq.sortBy(_._1).flatMap {
       case (file, sidecars) =>
-        val positions = LakeDv.positions(dir, sidecars)
-        annotate(planRowGroups(Seq(new Path(dir, file)), cols, pushed,
-          pruneGroups = true, Map.empty, snap.stats).parts,
-          LakeCdcInfo("delete", snap.version, Some(positions)))
+        // split this file's commit-added positions by change class:
+        // sidecars named in updatePre hold update pre-images, the rest
+        // plain deletes (positions of the two classes are disjoint —
+        // the writer routes each row to exactly one)
+        val preSidecars = snap.updatePre.getOrElse(file, Seq.empty).toSet
+        Seq((sidecars.filterNot(preSidecars), "delete"),
+          (sidecars.filter(preSidecars), "update_preimage")).flatMap {
+          case (side, label) =>
+            if (side.isEmpty) Array.empty[InputPartition]
+            else {
+              val positions = LakeDv.positions(dir, side)
+              annotate(planRowGroups(Seq(new Path(dir, file)), cols,
+                pushed, pruneGroups = true, Map.empty, snap.stats,
+                onlyPositions = Some(positions)).parts,
+                LakeCdcInfo(label, snap.version, Some(positions)))
+            }
+        }
     }
-    inserts ++ deletes
+    (inserts ++ deletes).toArray
   }
 
   /** Table schema: the `_schema.ddl` sidecar is authoritative when

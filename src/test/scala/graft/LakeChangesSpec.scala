@@ -153,4 +153,110 @@ class LakeChangesSpec extends SparkSpec {
         rows.head.getLong(1) == 42L)
     }
   }
+
+  test("positional planning: a sparse MOR delete's change events plan " +
+       "only the row groups containing DV'd positions, and the reader " +
+       "stops decoding past the group's last wanted position") {
+    withCatalog { (cat, root) =>
+      graft.sources.dsv2.LakeTableIO.rowGroupBytes = 8L << 10
+      try {
+        spark.sql(s"CREATE TABLE $cat.db.rg (k BIGINT, pad STRING) " +
+          "TBLPROPERTIES ('write.mode'='merge-on-read')")
+        spark.range(0, 20000).selectExpr("id AS k", "repeat('p', 64) AS pad")
+          .coalesce(1).createOrReplaceTempView("cdf_rg_src")
+        spark.sql(s"INSERT INTO $cat.db.rg SELECT * FROM cdf_rg_src")
+        spark.sql(s"DELETE FROM $cat.db.rg WHERE k = 17")
+        val dir = s"$root/db/rg"
+        val head = LakeLog.current(dir).get
+        val cols = graft.sources.dsv2.LakeTableIO.columnRefs(
+          spark.table(s"$cat.db.rg.changes").schema)
+        val parts = graft.sources.dsv2.LakeTableIO.planCdcVersion(
+          dir, head, cols, Array.empty, initialSnapshot = false)
+        // the single-position delete event plans exactly ONE partition,
+        // though the file has many row groups
+        val deleteParts = parts.collect {
+          case p: graft.sources.dsv2.LakeInputPartition
+              if p.cdc.exists(_.changeType == "delete") => p
+        }
+        assert(deleteParts.length == 1,
+          s"expected 1 positional partition, got ${deleteParts.length}")
+        val groups = {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(deleteParts.head.path),
+              new org.apache.hadoop.conf.Configuration()))
+          try reader.getRowGroups.size() finally reader.close()
+        }
+        assert(groups > 5, s"fixture should be multi-group, got $groups")
+        // and the event itself is exact
+        val del = spark.table(s"$cat.db.rg.changes")
+          .where("_change_type = 'delete'").collect()
+        assert(del.length == 1 && del.head.getLong(0) == 17L)
+      } finally {
+        graft.sources.dsv2.LakeTableIO.rowGroupBytes = 128L << 20
+      }
+    }
+  }
+
+  test("four-way change typing: a MOR UPDATE pairs as update_preimage/" +
+       "update_postimage, a MERGE splits matched updates, matched " +
+       "deletes and not-matched inserts into their own labels, and the " +
+       "streamed feed carries the same labels") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.u (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.u " +
+        "SELECT id, concat('a', id) FROM range(10)")
+      // v2: standalone UPDATE — every touched row is one logical update
+      spark.sql(s"UPDATE $cat.db.u SET v = concat('u', k) WHERE k < 3")
+      // v3: MERGE mixing all three matched/not-matched outcomes
+      spark.range(5, 15).selectExpr("id AS k", "concat('m', id) AS v")
+        .createOrReplaceTempView("cdf_u_src")
+      spark.sql(
+        s"""MERGE INTO $cat.db.u t USING cdf_u_src s ON t.k = s.k
+           |WHEN MATCHED AND t.k < 7 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val feed = spark.table(s"$cat.db.u.changes")
+      def rows(version: Long, ct: String): Seq[(Long, String)] =
+        feed.where(s"_commit_version = $version AND _change_type = '$ct'")
+          .select("k", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      // the UPDATE's halves pair at v2: pre-images carry the OLD
+      // payload, post-images the new, same keys both sides
+      assert(rows(2, "update_preimage") ==
+        Seq((0L, "a0"), (1L, "a1"), (2L, "a2")))
+      assert(rows(2, "update_postimage") ==
+        Seq((0L, "u0"), (1L, "u1"), (2L, "u2")))
+      assert(rows(2, "insert").isEmpty && rows(2, "delete").isEmpty)
+      // the MERGE at v3: matched k∈{5,6} delete with pre-images,
+      // matched k∈{7..9} update-pair, not-matched k∈{10..14} insert
+      assert(rows(3, "delete") == Seq((5L, "a5"), (6L, "a6")))
+      assert(rows(3, "update_preimage") ==
+        Seq((7L, "a7"), (8L, "a8"), (9L, "a9")))
+      assert(rows(3, "update_postimage") ==
+        Seq((7L, "m7"), (8L, "m8"), (9L, "m9")))
+      assert(rows(3, "insert") == (10L to 14L).map(k => (k, s"m$k")))
+      // the final table state agrees with the event algebra
+      val live = spark.table(s"$cat.db.u").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(live == Seq((0L, "u0"), (1L, "u1"), (2L, "u2"),
+        (3L, "a3"), (4L, "a4")) ++ (7L to 14L).map(k => (k, s"m$k")))
+      // the streamed feed replays the same labeled events
+      val out = Files.createTempDirectory("graft-cdf-stream").toString
+      val q = spark.readStream.table(s"$cat.db.u.changes")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(s"$out/data")
+      assert(streamed.count() == feed.count())
+      assert(streamed.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        feed.groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+  }
 }
