@@ -875,7 +875,8 @@ object LakeLog {
     val fs = fsFor(dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".dv.json"))
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".dv.json") ||
+        s.getPath.getName.endsWith(".dv.bin")))
       .map(_.getPath.getName)
       .sorted
   }

@@ -290,4 +290,46 @@ class LakeMorSpec extends SparkSpec {
         .collect().head.getLong(0) == 0)
     }
   }
+
+  test("DV codec: roaring-style containers round-trip sparse, dense and " +
+       "bucket-boundary position sets exactly; dense sets compress far " +
+       "below the legacy JSON form, which still decodes") {
+    import graft.sources.dsv2.LakeDv
+    val dir = java.nio.file.Files.createTempDirectory("graft-dv").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def size(name: String): Long =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, name)).getLen
+    def roundTrip(ps: Seq[Long]): Unit = {
+      val name = LakeDv.write(dir, "f.parquet", ps)
+      assert(name.endsWith(".dv.bin"))
+      assert(LakeDv.positions(dir, Seq(name)).toSeq ==
+        ps.distinct.sorted, s"round-trip failed for ${ps.take(10)}…")
+    }
+    // sparse scattered (array containers across several buckets)
+    roundTrip(Seq(0L, 1L, 65535L, 65536L, 131071L, 131072L, 999999999L))
+    // a position past 2^32 (row counts of huge files: long-range keys)
+    roundTrip(Seq(5000000000L, 5000000001L))
+    // dense: one full bucket (bitmap container) plus a sparse tail
+    roundTrip((0L until 65536L) ++ Seq(70000L, 80000L))
+    // crossover edge: exactly at and past the array/bitmap threshold
+    roundTrip(0L until 4096L)
+    roundTrip(0L until 4097L)
+    // random sets, duplicated input tolerated
+    val rnd = new scala.util.Random(42)
+    roundTrip(Seq.fill(5000)(rnd.nextLong(200000L)) ++ Seq(7L, 7L, 7L))
+    // size: a dense 65536-position DV is ~8 KiB binary vs ~0.5 MiB JSON
+    val dense = (0L until 65536L).toSeq
+    val bin = LakeDv.write(dir, "f.parquet", dense)
+    val json = LakeDv.writeLegacyJson(dir, "f.parquet", dense)
+    assert(size(bin) < 10000, s"bitmap container should be ~8KiB, " +
+      s"got ${size(bin)}")
+    assert(size(json) > 40 * size(bin),
+      s"JSON ${size(json)} vs bin ${size(bin)}")
+    // the legacy vintage decodes identically, and mixed-form unions work
+    assert(LakeDv.positions(dir, Seq(json)).toSeq == dense)
+    val extra = LakeDv.write(dir, "f.parquet", Seq(70000L))
+    assert(LakeDv.positions(dir, Seq(json, extra)).toSeq ==
+      dense :+ 70000L)
+  }
 }
