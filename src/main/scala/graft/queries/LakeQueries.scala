@@ -358,10 +358,12 @@ object LakeQueries {
     // Consistent multi-table READ during the crash window
     // (graft.sources.dsv2.LakeTx.consistentView): a transaction
     // appending to BOTH tables dies after applying only the first; the
-    // snapshot-isolation cut pins both tables BELOW the torn
+    // snapshot-isolation cut pins both tables BELOW the in-flight
     // transaction, so the union the query returns is exactly the
     // pre-transaction state — the oracle states it declaratively (no
-    // txn rows anywhere, never "half in table a").
+    // txn rows anywhere, never "half in table a"). Plain head reads
+    // are separately atomic at the marker (lake_atomic_read); this
+    // query is the STABLE-cut primitive on top of that.
     "lake_consistent_view" -> ((s, dir) => {
       LakeCatalogs.register(s)
       // settle any marker a crashed previous RUN left pending before
@@ -391,6 +393,40 @@ object LakeQueries {
       // settle the pending txn so a re-run starts clean
       graft.sources.dsv2.LakeTx.recover(LakeCatalogs.root)
       out
+    }),
+
+    // ATOMIC plain-read visibility during the crash window
+    // (graft.sources.dsv2.LakeTx.pendingFor via snapshotView): the
+    // same mid-apply transaction as lake_consistent_view, but read
+    // with ORDINARY head SELECTs — catalog-owned visibility unions the
+    // decided marker's staged files into every participant's head, so
+    // both tables show the transaction even though only ONE apply
+    // landed. The oracle states the post-transaction state of both
+    // tables declaratively: a feed that showed the half-applied middle
+    // (batch in a, not in b) or double-counted the applied side would
+    // hash-mismatch.
+    "lake_atomic_read" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      graft.sources.dsv2.LakeTx.recover(LakeCatalogs.root)
+      val (an, bn) = ("lake_ar_a", "lake_ar_b")
+      val (a, b) = (tableId(dir, an), tableId(dir, bn))
+      s.sql(s"DROP TABLE IF EXISTS $a")
+      s.sql(s"DROP TABLE IF EXISTS $b")
+      previous(s, dir).where(col(key) % 2 === 0).writeTo(a).create()
+      previous(s, dir).where(col(key) % 2 =!= 0).writeTo(b).create()
+      val (da, db0) = (tablePath(dir, an), tablePath(dir, bn))
+      val batch = newest(s, dir).where(col(key) % 13 === 0)
+      val sa = graft.sources.dsv2.LakeTx.stageAppend(s, batch, da, "append")
+      val sb = graft.sources.dsv2.LakeTx.stageAppend(s, batch, db0, "append")
+      val txid = java.util.UUID.randomUUID().toString
+      graft.sources.dsv2.LakeTx.writeMarker(LakeCatalogs.root, txid,
+        Seq(sa, sb))
+      graft.sources.dsv2.LakeTx.applyOne(txid, sa)
+      val out = s.table(a).withColumn("src", lit("a"))
+        .unionByName(s.table(b).withColumn("src", lit("b")))
+      val materialized = out.localCheckpoint() // read DURING the window
+      graft.sources.dsv2.LakeTx.recover(LakeCatalogs.root)
+      materialized
     }),
 
     // SQL CALL maintenance: a fragmented table (two 8-file appends) is
@@ -605,6 +641,21 @@ object LakeQueries {
          |SELECT *, 'delete' AS _change_type,
          |       CAST(3 AS BIGINT) AS _commit_version FROM prev
          |WHERE o_orderkey % 10 = 7""".stripMargin,
+    // both tables show the decided transaction in full: each parity
+    // half of prev plus the WHOLE %13 batch on each side — the
+    // half-applied middle (batch in a only) or a double count of a's
+    // applied side would both mismatch
+    "lake_atomic_read" ->
+      s"""$snapshotCte
+         |SELECT *, 'a' AS src FROM
+         |  (SELECT * FROM prev WHERE o_orderkey % 2 = 0
+         |   UNION ALL
+         |   SELECT * FROM newest WHERE o_orderkey % 13 = 0) t
+         |UNION ALL
+         |SELECT *, 'b' AS src FROM
+         |  (SELECT * FROM prev WHERE o_orderkey % 2 <> 0
+         |   UNION ALL
+         |   SELECT * FROM newest WHERE o_orderkey % 13 = 0) t""".stripMargin,
     // the consistent cut shows the full pre-transaction state — every
     // prev row exactly once, NO txn rows (a torn read would add the
     // %13 batch to the even half only)

@@ -364,7 +364,8 @@ object LakeLog {
              branch: Option[String] = None,
              dvAdded: Map[String, Seq[String]] = Map.empty,
              updatePre: Map[String, Seq[String]] = Map.empty,
-             updatePost: Seq[String] = Seq.empty): Snapshot = {
+             updatePost: Seq[String] = Seq.empty,
+             dedupeOnOperation: Boolean = false): Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
     // the update-pairing annotation only ever references THIS commit's
@@ -411,6 +412,21 @@ object LakeLog {
             case Some(s) => Some(s)
             case None    => current(dir) // lost the race; re-read
           }
+      }
+      // idempotency-tagged commits (multi-table transaction applies):
+      // the duplicate check runs AFTER the head read and covers every
+      // version up to it, so it is atomic with the publish decision —
+      // a racer that published the tag BEFORE our head read is seen
+      // here; one that publishes AFTER it takes the version we are
+      // about to contend, our tryPublish loses, and the retry rescans.
+      // (A check hoisted before the head read has a hole: a late head
+      // read targets the NEXT version uncontended and never re-checks —
+      // caught live by LakeMultiCommitSpec's 8-way apply race.)
+      if (dedupeOnOperation) {
+        val existing = versions(dir, branch).reverseIterator
+          .map(v => snapshotAt(dir, v, branch))
+          .find(_.operation == operation)
+        existing.foreach(s => return s)
       }
       val base = head.map(_.files).getOrElse(Seq.empty)
       val missing = removed.filterNot(base.contains)

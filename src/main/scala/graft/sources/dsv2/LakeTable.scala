@@ -888,6 +888,16 @@ object LakeTableIO {
     * planning consumes: the files to read, per-file deletion vectors,
     * and the per-file column stats that prune files without footer
     * reads (see [[LakeStats]]).
+    *
+    * HEAD reads additionally union the staged files of any DECIDED
+    * multi-table transaction whose per-table applies have not all
+    * landed yet ([[LakeTx.pendingFor]]) — catalog-owned atomic
+    * visibility: a plain `SELECT` sees a transaction in every
+    * participant table from the instant its one marker rename lands,
+    * never the half-applied middle. Pinned (`VERSION AS OF`) and
+    * branch reads resolve manifests alone — a version id names a
+    * manifest's exact state, and pending appends are not a version
+    * until applied.
     */
   def snapshotView(dir: String, version: Option[Long] = None,
                    branch: Option[String] = None)
@@ -898,13 +908,21 @@ object LakeTableIO {
         val s = LakeLog.snapshotAt(dir, v, branch)
         (s.files.map(new Path(dir, _)), s.dvs, s.stats)
       case None =>
+        def withPending(files: Seq[String])
+            : Seq[Path] = {
+          val pending = LakeTx.pendingFor(dir).flatMap(_.added)
+          (if (pending.isEmpty) files
+           else (files ++ pending).distinct.sorted)
+            .map(new Path(dir, _))
+        }
         LakeLog.current(dir, branch) match {
+          case Some(s) if branch.isEmpty =>
+            (withPending(s.files), s.dvs, s.stats)
           case Some(s) => (s.files.map(new Path(dir, _)), s.dvs, s.stats)
           case None if branch.isDefined => throw new IllegalStateException(
             s"branch '${branch.get}' does not exist in $dir")
           case None =>
-            (LakeLog.rawDataFiles(dir).map(new Path(dir, _)), Map.empty,
-              Map.empty)
+            (withPending(LakeLog.rawDataFiles(dir)), Map.empty, Map.empty)
         }
     }
 

@@ -36,11 +36,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the root runs first. So no transaction can ever settle half-applied:
   * either the marker never existed (neither table changes) or it did
   * (both eventually commit, and the idempotent tag makes re-applying
-  * safe). The read-visibility window between the two applies is the
-  * documented difference from a catalog-level swap — closing it needs
-  * a catalog whose LIST/resolve itself goes through one atomic record,
-  * which is exactly what this marker would become in a port that owns
-  * the catalog's resolution path.
+  * safe).
+  *
+  * READ visibility is catalog-owned at the marker too: head resolution
+  * ([[LakeTableIO.snapshotView]] via [[pendingFor]]) unions the staged
+  * files of decided-but-unapplied transactions, so plain `SELECT`s
+  * observe the transaction in every participant table from the marker
+  * rename on — the per-table applies are pure log bookkeeping that
+  * readers no longer wait for. What this intentionally does NOT give
+  * is cross-statement snapshot isolation (two sequential SELECTs can
+  * straddle a commit, as in any lakehouse); [[consistentView]] remains
+  * the primitive for pinning one stable multi-table cut.
   *
   * Scale notes: the marker is one small JSON record; staging cost is
   * the data writes themselves (paid anywhere); apply cost is one
@@ -126,6 +132,26 @@ object LakeTx {
                                  appends: Seq[TableAppend]): Unit = {
     val fs = fsFor(root)
     fs.mkdirs(txDir(root))
+    // before the marker can flip visibility, every participant table
+    // gets a PERMANENT `_log/_txroot` pointer back to the root — the
+    // breadcrumb [[pendingFor]] follows so head resolution knows where
+    // to look for markers. Written once per table (idempotent); tables
+    // that never participate in a transaction never pay more than the
+    // single exists() check.
+    appends.foreach { a =>
+      val ptr = new Path(a.dir, "_log/_txroot")
+      val pfs = fsFor(a.dir)
+      if (!pfs.exists(ptr)) {
+        pfs.mkdirs(ptr.getParent)
+        val out =
+          try pfs.create(ptr, false)
+          catch { case _: java.io.IOException => null } // raced: fine
+        if (out != null)
+          try out.write(root.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+      }
+    }
     val body = new JHashMap[String, Object]()
     body.put("txid", txid)
     val list = new ArrayList[JMap[String, Object]]()
@@ -175,21 +201,64 @@ object LakeTx {
   }
 
   /** Apply one table's slice: an ordinary log commit tagged with the
-    * transaction id. Idempotent — a retained manifest already carrying
-    * this tag means a previous attempt (or the original run) applied
-    * it, and re-running is a no-op. The newest-first scan stops at the
-    * first txn manifest of this table, so repeated recovery is cheap.
+    * transaction id. Idempotent AND race-safe: the commit runs with
+    * `dedupeOnOperation`, whose duplicate check lives INSIDE the
+    * version-race retry loop — two concurrent appliers (the original
+    * writer and a recovering reader, or two recoveries) cannot both
+    * pass a stale pre-check and double-apply; the loser of the version
+    * race re-checks and no-ops.
     */
-  private[graft] def applyOne(txid: String, a: TableAppend): Unit = {
-    val applied = LakeLog.versions(a.dir).reverseIterator
-      .map(v => LakeLog.snapshotAt(a.dir, v).operation)
-      .contains(s"txn($txid)")
-    if (!applied)
-      LakeLog.commit(a.dir, s"txn($txid)", a.added, Seq.empty, a.addedRows)
-  }
+  private[graft] def applyOne(txid: String, a: TableAppend): Unit =
+    LakeLog.commit(a.dir, s"txn($txid)", a.added, Seq.empty, a.addedRows,
+      dedupeOnOperation = true)
 
   private[graft] def forget(root: String, txid: String): Unit =
     fsFor(root).delete(new Path(txDir(root), s"tx-$txid.json"), false)
+
+  /** DECIDED-but-possibly-unapplied appends targeting `dir`, from live
+    * transaction markers — the read-side half of catalog-owned atomic
+    * visibility. Head resolution ([[LakeTableIO.snapshotView]]) unions
+    * these staged file names into the manifest's file set, so a plain
+    * `SELECT` observes a multi-table transaction in ALL participant
+    * tables the instant its ONE marker rename lands — never the
+    * half-applied middle, no matter where the per-table applies stand.
+    * Union-by-name is what makes the overlap states safe: a
+    * participant whose apply already committed lists the same names in
+    * its manifest, and the distinct union counts them once; after
+    * forget, manifests alone carry the state.
+    *
+    * Cost model: a table that never participated in any transaction
+    * has no `_log/_txroot` pointer — ONE existence check and out (the
+    * common case, same order as the `_head.json` hint read head
+    * resolution already does). Participants pay one tiny pointer read
+    * plus a LIST of `<root>/_txn/` — a directory that is empty except
+    * during the decide→forget window, which spans two metadata commits.
+    */
+  def pendingFor(dir: String): Seq[TableAppend] = {
+    val fs = fsFor(dir)
+    val ptr = new Path(dir, "_log/_txroot")
+    if (!fs.exists(ptr)) return Seq.empty
+    val in = fs.open(ptr)
+    val root =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    val d = txDir(root)
+    val rfs = fsFor(root)
+    if (!rfs.exists(d)) return Seq.empty
+    val norm = new Path(dir).toUri.getPath
+    rfs.listStatus(d).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("tx-"))
+      .flatMap { m =>
+        // a marker deleted between LIST and read (forget racing us)
+        // means its applies all landed — the manifest covers it
+        val parsed =
+          try Some(readMarker(rfs, m.getPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        parsed.toSeq.flatMap(_._2)
+          .filter(a => new Path(a.dir).toUri.getPath == norm)
+      }
+  }
 
   /** A transactionally-CONSISTENT read cut across `dirs`: per-table
     * pinned versions (None = read the table as empty) such that every

@@ -67,8 +67,11 @@ class LakeMultiCommitSpec extends SparkSpec {
       LakeTx.writeMarker(root, txid, Seq(sa, sb))
       LakeTx.applyOne(txid, sa)
       assert(spark.table(s"$cat.db.a").count() == 10)
-      assert(spark.table(s"$cat.db.b").count() == 0,
-        "b not yet applied — the crash window")
+      // catalog-owned atomic visibility: the marker IS the commit
+      // point, so a plain read of the UNAPPLIED participant already
+      // unions its staged files — no half-applied middle is observable
+      assert(spark.table(s"$cat.db.b").count() == 5,
+        "b's apply is pending, but the decided marker makes it visible")
       // recovery (run by any later commit on the root) finishes b
       assert(LakeTx.recover(root) == 1)
       assert(spark.table(s"$cat.db.a").count() == 10,
@@ -149,9 +152,11 @@ class LakeMultiCommitSpec extends SparkSpec {
       val tx1 = java.util.UUID.randomUUID().toString
       LakeTx.writeMarker(root, tx1, Seq(sa, sb))
       LakeTx.applyOne(tx1, sa)
-      // raw heads are torn: a sees t1, b does not
+      // plain heads are NOT torn (marker-union visibility): both show
+      // t1 even though only a's apply landed — but the MANIFEST state
+      // is mid-apply, which is what consistentView must cut below
       assert(spark.table(s"$cat.db.a").where("v = 't1'").count() == 4)
-      assert(spark.table(s"$cat.db.b").where("v = 't1'").count() == 0)
+      assert(spark.table(s"$cat.db.b").where("v = 't1'").count() == 4)
       // the consistent cut hides t1 everywhere, keeps t0 everywhere
       val view = LakeTx.consistentView(root, Seq(da, db))
       def at(cattbl: String, v: Long) =
@@ -221,6 +226,75 @@ class LakeMultiCommitSpec extends SparkSpec {
         assert(df.where("v = 't1'").count() == 2, s"$t")
         assert(df.where("v = 't2'").count() == 2, s"$t")
       }
+    }
+  }
+
+  test("atomic plain reads across the whole lifecycle: invisible before " +
+       "the marker, visible in ALL tables from the marker on (zero, one " +
+       "or both applies landed), counted once after recovery — and a " +
+       "join across both participants is never torn") {
+    withCatalog { (cat, root) =>
+      mk(cat, "a"); mk(cat, "b")
+      val (da, db) = (s"$root/db/a", s"$root/db/b")
+      def counts = (spark.table(s"$cat.db.a").count(),
+        spark.table(s"$cat.db.b").count(),
+        spark.table(s"$cat.db.a").as("x")
+          .join(spark.table(s"$cat.db.b").as("y"), "k").count())
+      val sa = LakeTx.stageAppend(spark,
+        (0L until 8L).map(i => (i, s"a$i")).toDF("k", "v"), da, "append")
+      val sb = LakeTx.stageAppend(spark,
+        (0L until 8L).map(i => (i, s"b$i")).toDF("k", "v"), db, "append")
+      assert(counts == ((0L, 0L, 0L)), "staged-only: nothing visible")
+      val txid = java.util.UUID.randomUUID().toString
+      LakeTx.writeMarker(root, txid, Seq(sa, sb))
+      assert(counts == ((8L, 8L, 8L)),
+        "decided, zero applies: the marker alone flips visibility")
+      LakeTx.applyOne(txid, sa)
+      assert(counts == ((8L, 8L, 8L)),
+        "one apply landed: union-by-name counts each file once")
+      LakeTx.applyOne(txid, sb)
+      assert(counts == ((8L, 8L, 8L)), "both applied, marker not forgotten")
+      LakeTx.forget(root, txid)
+      assert(counts == ((8L, 8L, 8L)), "after forget: manifests carry it")
+      // metadata COUNT(*) agrees with the row scan mid-window too
+      val sc = LakeTx.stageAppend(spark,
+        (100L until 104L).map(i => (i, "c")).toDF("k", "v"), da, "append")
+      val tx2 = java.util.UUID.randomUUID().toString
+      LakeTx.writeMarker(root, tx2, Seq(sc))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.a")
+        .collect().head.getLong(0) == 12)
+      LakeTx.recover(root)
+      assert(spark.table(s"$cat.db.a").count() == 12)
+    }
+  }
+
+  test("concurrent apply race cannot double-commit: many threads racing " +
+       "the same participant's apply leave exactly ONE txn-tagged " +
+       "manifest (the dedupe check lives inside the version-race loop)") {
+    withCatalog { (cat, root) =>
+      mk(cat, "a")
+      val da = s"$root/db/a"
+      val sa = LakeTx.stageAppend(spark,
+        (0L until 6L).map(i => (i, s"a$i")).toDF("k", "v"), da, "append")
+      val txid = java.util.UUID.randomUUID().toString
+      LakeTx.writeMarker(root, txid, Seq(sa))
+      // a concurrent ordinary append keeps version numbers contended
+      val races = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(races)
+      try {
+        val tasks = (0 until races).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit = LakeTx.applyOne(txid, sa)
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      val ops = LakeLog.versions(da).map(LakeLog.snapshotAt(da, _).operation)
+      assert(ops.count(_ == s"txn($txid)") == 1,
+        s"double apply under race: $ops")
+      assert(spark.table(s"$cat.db.a").count() == 6)
+      LakeTx.recover(root)
+      assert(spark.table(s"$cat.db.a").count() == 6)
     }
   }
 }
