@@ -266,6 +266,34 @@ object LakeQueries {
         s"count(o_orderpriority) AS n_pri FROM $tbl")
     }),
 
+    // Metadata-only type WIDENING (Iceberg's promotion set): INT →
+    // BIGINT and FLOAT → DOUBLE change the sidecar schema without
+    // touching a file; the pre-promotion vintage upcasts at decode
+    // (by field id), the post-promotion vintage writes wide natively —
+    // one scan spans both. The oracle restates both vintages
+    // declaratively with the same casts, so a reader that mis-upcasts,
+    // drops a vintage, or mispruned on the mixed physical types
+    // hash-mismatches. (Zero-rewrite + lossy-rejection pinned in
+    // LakeSchemaEvolutionSpec.)
+    "lake_type_widening" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_twiden")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k INT, price FLOAT)")
+      previous(s, dir).selectExpr(s"CAST($key AS INT) AS k",
+        "CAST(o_totalprice AS FLOAT) AS price")
+        .createOrReplaceTempView("lake_twiden_v1")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_twiden_v1")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN k TYPE BIGINT")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN price TYPE DOUBLE")
+      newest(s, dir).where(col(key) % 13 === 0)
+        .selectExpr(s"$key + 10000000000 AS k",
+          "o_totalprice AS price")
+        .createOrReplaceTempView("lake_twiden_v2")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_twiden_v2")
+      s.table(tbl)
+    }),
+
     // MERGE-ON-READ DML (deletion vectors — SupportsDelta): the DELETE
     // writes POSITIONS instead of rewriting files (zero data files
     // change hands — pinned in LakeMorSpec); every scan subtracts the
@@ -680,6 +708,17 @@ object LakeQueries {
          |       max(o_orderstatus) AS max_status,
          |       count(o_orderpriority) AS n_pri
          |FROM prev""".stripMargin,
+    // both vintages under the WIDE types: the old one float/int-rounded
+    // then widened (IEEE float32 halfway rounding must agree), the new
+    // one native
+    "lake_type_widening" ->
+      s"""$snapshotCte
+         |SELECT CAST(CAST(o_orderkey AS INT) AS BIGINT) AS k,
+         |       CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price
+         |FROM prev
+         |UNION ALL
+         |SELECT o_orderkey + 10000000000 AS k, o_totalprice AS price
+         |FROM newest WHERE o_orderkey % 13 = 0""".stripMargin,
     // merge-on-read delete: surviving rows only
     "lake_mor_delete" ->
       s"""$snapshotCte

@@ -220,8 +220,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     *     every existing file keeps resolving — old files readable
     *     under the new name, no rewrite.
     *
-    * Type changes and repositioning still need a rewrite — fail loud,
-    * never no-op. Each ALTER logs a `dataChange=false` commit for the
+    *   - ALTER COLUMN TYPE: WIDENING promotions only (INT->BIGINT,
+    *     FLOAT->DOUBLE — Iceberg's metadata-only set): the column keeps
+    *     its id, no file rewrites; readers upcast old vintages at
+    *     decode, and stats pruning stays conservative across the mixed
+    *     physical types (kind-mismatch comparisons keep the file).
+    *
+    * Lossy type changes and repositioning still need a rewrite — fail
+    * loud, never no-op. Each ALTER logs a `dataChange=false` commit for the
     * audit trail. A v1 (pre-field-id) sidecar migrates in place: ids
     * 1..n are assigned to the current columns first; its id-less files
     * keep resolving by name.
@@ -321,6 +327,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             .build())
         schema = StructType(schema.fields.updated(idx, renamed))
         audits += s"alter_rename($from->$to)"
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "graft_lake: nested column types cannot be changed")
+        val name = ut.fieldNames()(0)
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"graft_lake: no column $name to widen")
+        val f = schema.fields(idx)
+        val (from, to) = (f.dataType, ut.newDataType())
+        // metadata-only type WIDENING (Iceberg's type-promotion set):
+        // every old value is exactly representable in the new type, so
+        // files never rewrite — readers upcast per vintage, resolving
+        // by field id. Anything lossy (narrowing, string↔number,
+        // decimal scale changes) still needs a rewrite: fail loud.
+        import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+        val widens = (from, to) match {
+          case (IntegerType, LongType)  => true
+          case (FloatType, DoubleType)  => true
+          case _                        => false
+        }
+        require(widens,
+          s"graft_lake: cannot change $name from $from to $to — only " +
+            "widening promotions (INT->BIGINT, FLOAT->DOUBLE) are " +
+            "metadata-only; anything lossy needs a table rewrite")
+        schema = StructType(schema.fields.updated(idx,
+          f.copy(dataType = to)))
+        audits += s"alter_widen($name:${from.simpleString}->${to.simpleString})"
       case sp: TableChange.SetProperty =>
         require(sp.property() == "write.mode",
           s"graft_lake: unknown table property '${sp.property()}' " +

@@ -74,6 +74,8 @@ object LakeParquet {
           named(Types.optional(PrimitiveTypeName.INT32))
         case DoubleType =>
           named(Types.optional(PrimitiveTypeName.DOUBLE))
+        case FloatType =>
+          named(Types.optional(PrimitiveTypeName.FLOAT))
         case StringType =>
           named(Types.optional(PrimitiveTypeName.BINARY)
             .as(LogicalTypeAnnotation.stringType()))
@@ -113,6 +115,7 @@ object LakeParquet {
           DateType
         case (PrimitiveTypeName.INT32, _)  => IntegerType
         case (PrimitiveTypeName.DOUBLE, _) => DoubleType
+        case (PrimitiveTypeName.FLOAT, _)  => FloatType
         case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
           StringType
         case (pt, ann) => throw new UnsupportedOperationException(
@@ -136,6 +139,8 @@ object LakeParquet {
           (g: Group, i: Int) => g.getInteger(i, 0)
         case DoubleType =>
           (g: Group, i: Int) => g.getDouble(i, 0)
+        case FloatType =>
+          (g: Group, i: Int) => g.getFloat(i, 0)
         case StringType =>
           (g: Group, i: Int) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
         case other => throw new UnsupportedOperationException(other.toString)
@@ -165,6 +170,8 @@ object LakeParquet {
           (r: InternalRow, ri: Int, g: Group, gi: Int) => g.add(gi, r.getInt(ri))
         case DoubleType =>
           (r: InternalRow, ri: Int, g: Group, gi: Int) => g.add(gi, r.getDouble(ri))
+        case FloatType =>
+          (r: InternalRow, ri: Int, g: Group, gi: Int) => g.add(gi, r.getFloat(ri))
         case StringType =>
           (r: InternalRow, ri: Int, g: Group, gi: Int) =>
             g.add(gi, Binary.fromConstantByteArray(r.getUTF8String(ri).getBytes))

@@ -535,8 +535,31 @@ class LakeReaderFactory(projected: StructType)
       // maps to stay null (the back-fill)
       private val outIndex: Array[Int] =
         requestedStruct.fieldNames.map(filePos)
+      // vintage upcast (ALTER COLUMN TYPE widening): a file written
+      // before the promotion decodes in its own physical type; the
+      // value converts losslessly to the table's current type here.
+      // An unexpected physical/logical pair fails loud — widening is
+      // the only metadata-only type change the catalog admits.
+      private val convert: Array[Any => Any] =
+        requestedStruct.fields.zipWithIndex.map { case (rf, i) =>
+          import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+          (rf.dataType, projected.fields(outIndex(i)).dataType) match {
+            case (a, b) if a == b => identity[Any] _
+            case (IntegerType, LongType) => (v: Any) =>
+              if (v == null) null else v.asInstanceOf[Int].toLong
+            case (FloatType, DoubleType) => (v: Any) =>
+              if (v == null) null else v.asInstanceOf[Float].toDouble
+            case (a, b) => throw new IllegalStateException(
+              s"file ${part.path} column ${rf.name} is $a but the " +
+                s"table expects $b — not a widening promotion")
+          }
+        }
+      private val anyConvert =
+        requestedStruct.fields.zipWithIndex.exists { case (rf, i) =>
+          rf.dataType != projected.fields(outIndex(i)).dataType
+        }
       private val identityProjection =
-        outIndex.length == part.cols.length &&
+        !anyConvert && outIndex.length == part.cols.length &&
           outIndex.zipWithIndex.forall { case (o, i) => o == i }
       // merge-on-read: the union of this file's deletion vectors,
       // restricted to this row group's position range, applied with an
@@ -601,8 +624,8 @@ class LakeReaderFactory(projected: StructType)
                 val values = new Array[Any](part.cols.length)
                 var i = 0
                 while (i < outIndex.length) {
-                  values(outIndex(i)) =
-                    inner.get(i, requestedStruct.fields(i).dataType)
+                  values(outIndex(i)) = convert(i)(
+                    inner.get(i, requestedStruct.fields(i).dataType))
                   i += 1
                 }
                 if (fileIdx >= 0) values(fileIdx) = fileValue
@@ -1560,17 +1583,25 @@ object LakeTableIO {
       case s: String => Binary.fromString(s)
       case other     => other
     }
+    // a literal whose class differs from the column's physical stats
+    // (an ALTER-widened column read against a pre-promotion vintage:
+    // Long literal vs INT32 stats) compares as "unknown" — keep the
+    // group and let the residual filter decide, mirroring the
+    // manifest-stats path's kind-mismatch rule
+    def cmpSafe(a: Comparable[Any], v: Any): Option[Int] =
+      try Some(a.compareTo(lift(v)))
+      catch { case _: ClassCastException => None }
     f match {
       case EqualTo(c, v) => bounds(c).forall { case (mn, mx) =>
-        mn.compareTo(lift(v)) <= 0 && mx.compareTo(lift(v)) >= 0 }
+        cmpSafe(mn, v).forall(_ <= 0) && cmpSafe(mx, v).forall(_ >= 0) }
       case GreaterThan(c, v) =>
-        bounds(c).forall { case (_, mx) => mx.compareTo(lift(v)) > 0 }
+        bounds(c).forall { case (_, mx) => cmpSafe(mx, v).forall(_ > 0) }
       case GreaterThanOrEqual(c, v) =>
-        bounds(c).forall { case (_, mx) => mx.compareTo(lift(v)) >= 0 }
+        bounds(c).forall { case (_, mx) => cmpSafe(mx, v).forall(_ >= 0) }
       case LessThan(c, v) =>
-        bounds(c).forall { case (mn, _) => mn.compareTo(lift(v)) < 0 }
+        bounds(c).forall { case (mn, _) => cmpSafe(mn, v).forall(_ < 0) }
       case LessThanOrEqual(c, v) =>
-        bounds(c).forall { case (mn, _) => mn.compareTo(lift(v)) <= 0 }
+        bounds(c).forall { case (mn, _) => cmpSafe(mn, v).forall(_ <= 0) }
       case _ => true
     }
   }

@@ -160,4 +160,54 @@ class LakeSchemaEvolutionSpec extends SparkSpec {
       assert(spark.table(s"$cat.db.u").count() == 5)
     }
   }
+
+  test("type WIDENING is metadata-only: INT->BIGINT and FLOAT->DOUBLE " +
+       "promote without rewrites, old vintages upcast at read, filters " +
+       "spanning both vintages stay exact and never misprune, and a " +
+       "rename composes with the promotion") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.w (k INT, x FLOAT, v STRING)")
+      spark.range(0, 100).selectExpr("CAST(id AS INT) AS k",
+        "CAST(id AS FLOAT) / 4 AS x", "concat('o', id) AS v")
+        .coalesce(1).createOrReplaceTempView("evo_w_v1")
+      spark.sql(s"INSERT INTO $cat.db.w SELECT * FROM evo_w_v1")
+      val filesBefore = LakeLog.current(s"$root/db/w").get.files.toSet
+      spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN k TYPE BIGINT")
+      spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN x TYPE DOUBLE")
+      // zero data files changed hands — the promotion is metadata
+      assert(LakeLog.current(s"$root/db/w").get.files.toSet == filesBefore)
+      val t = spark.table(s"$cat.db.w")
+      assert(t.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(t.schema("x").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      // a second vintage written under the WIDE types, beyond int range
+      spark.sql(s"INSERT INTO $cat.db.w SELECT id, CAST(id AS DOUBLE), " +
+        "concat('n', id) FROM range(5000000000, 5000000050)")
+      // reads span both vintages: upcast old, native new
+      assert(spark.table(s"$cat.db.w").count() == 150)
+      assert(spark.table(s"$cat.db.w").where("k >= 50").count() == 100,
+        "50..99 old + all 50 new")
+      assert(spark.table(s"$cat.db.w").where("k > 4000000000").count() == 50,
+        "a literal past int range must not misprune the old vintage")
+      assert(spark.table(s"$cat.db.w")
+        .agg(org.apache.spark.sql.functions.sum("k")).collect()
+        .head.getLong(0) == (0L until 100L).sum + (5000000000L until 5000000050L).sum)
+      assert(spark.table(s"$cat.db.w").where("x = 2.5").count() == 1,
+        "float 10/4 upcasts to exactly 2.5 double")
+      // DML across vintages through the widened schema
+      spark.sql(s"DELETE FROM $cat.db.w WHERE k % 2 = 1")
+      assert(spark.table(s"$cat.db.w").count() == 75)
+      // rename composes: the id carries the promotion with it
+      spark.sql(s"ALTER TABLE $cat.db.w RENAME COLUMN k TO key")
+      assert(spark.table(s"$cat.db.w").where("key >= 50").count() == 50)
+      // lossy directions still fail loud
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN key TYPE INT")
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN v TYPE BIGINT")
+      }
+    }
+  }
 }
