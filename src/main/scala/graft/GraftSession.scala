@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      // storage-partitioned joins: let DSv2 scans reporting
+      // KeyGroupedPartitioning (the lake's hidden partitioning) join
+      // co-partitioned tables with no Exchange on either side
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session with `cpus` worker threads and matching shuffle

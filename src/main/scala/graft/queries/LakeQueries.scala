@@ -294,6 +294,68 @@ object LakeQueries {
       s.table(tbl)
     }),
 
+    // HIDDEN PARTITIONING (Iceberg's transform model): the table is
+    // PARTITIONED BY (bucket(8, k), months(d)) — tuples live in the
+    // manifest, the writer splits rows by tuple (clustered by Spark's
+    // RequiresDistributionAndOrdering → one file per partition), and
+    // the date-range read plans by PARTITION PRUNING: exact transform
+    // arithmetic over manifest metadata, zero I/O per excluded file
+    // (pinned in LakePartitionSpec). The oracle restates the range
+    // aggregate declaratively — a mispruned month or a row landed in
+    // the wrong tuple hash-mismatches.
+    "lake_partitioned" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_part")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl " +
+        "(k BIGINT, pri STRING, d DATE, price DOUBLE) " +
+        "PARTITIONED BY (bucket(8, k), months(d))")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderpriority AS pri",
+        "o_orderdate AS d", "o_totalprice AS price")
+        .createOrReplaceTempView("lake_part_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_part_src")
+      s.table(tbl)
+        .where("d >= DATE'1995-01-01' AND d < DATE'1995-04-01'")
+        .groupBy("pri")
+        .agg(count("*").as("n"), sum("price").as("total"))
+    }),
+
+    // STORAGE-PARTITIONED JOIN: fact and dim co-bucketed on the join
+    // key; with KeyGroupedPartitioning reported by both scans the join
+    // plans with ZERO Exchange on either side (plan pinned in
+    // LakePartitionSpec; broadcast disabled here so the SPJ path — not
+    // a broadcast — serves the join). At 100 TB this is the difference
+    // between shuffling two fact tables and shuffling nothing.
+    "lake_spj" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val ft = tableId(dir, "lake_spjf")
+      val dt = tableId(dir, "lake_spjd")
+      s.sql(s"DROP TABLE IF EXISTS $ft")
+      s.sql(s"DROP TABLE IF EXISTS $dt")
+      s.sql(s"CREATE TABLE $ft (ck BIGINT, price DOUBLE) " +
+        "PARTITIONED BY (bucket(8, ck))")
+      s.sql(s"CREATE TABLE $dt (ck BIGINT, seg STRING) " +
+        "PARTITIONED BY (bucket(8, ck))")
+      previous(s, dir)
+        .selectExpr("o_custkey AS ck", "o_totalprice AS price")
+        .createOrReplaceTempView("lake_spj_f")
+      graft.Tables(s, dir, "customer")
+        .selectExpr("c_custkey AS ck", "c_mktsegment AS seg")
+        .createOrReplaceTempView("lake_spj_d")
+      s.sql(s"INSERT INTO $ft SELECT * FROM lake_spj_f")
+      s.sql(s"INSERT INTO $dt SELECT * FROM lake_spj_d")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.sql(
+          s"""SELECT d.seg AS seg, count(*) AS n,
+             |       sum(f.price) AS total
+             |FROM $ft f JOIN $dt d ON f.ck = d.ck
+             |GROUP BY d.seg""".stripMargin)
+          .localCheckpoint(true) // materialize under the SPJ conf
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // MERGE-ON-READ DML (deletion vectors — SupportsDelta): the DELETE
     // writes POSITIONS instead of rewriting files (zero data files
     // change hands — pinned in LakeMorSpec); every scan subtracts the
@@ -719,6 +781,22 @@ object LakeQueries {
          |UNION ALL
          |SELECT o_orderkey + 10000000000 AS k, o_totalprice AS price
          |FROM newest WHERE o_orderkey % 13 = 0""".stripMargin,
+    // the partitioned table's date-range aggregate, restated on prev
+    "lake_partitioned" ->
+      s"""$snapshotCte
+         |SELECT o_orderpriority AS pri, count(*) AS n,
+         |       sum(o_totalprice) AS total
+         |FROM prev
+         |WHERE o_orderdate >= DATE '1995-01-01'
+         |  AND o_orderdate < DATE '1995-04-01'
+         |GROUP BY 1""".stripMargin,
+    // the co-bucketed join, restated as a plain join over the sources
+    "lake_spj" ->
+      s"""$snapshotCte
+         |SELECT c.c_mktsegment AS seg, count(*) AS n,
+         |       sum(f.o_totalprice) AS total
+         |FROM prev f JOIN customer c ON f.o_custkey = c.c_custkey
+         |GROUP BY 1""".stripMargin,
     // merge-on-read delete: surviving rows only
     "lake_mor_delete" ->
       s"""$snapshotCte

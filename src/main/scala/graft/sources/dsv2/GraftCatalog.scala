@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * throw — schema evolution in this lake happens by rewrite, and an
   * unimplemented path must fail loud, not no-op.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -146,8 +147,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         new org.apache.spark.sql.types.MetadataBuilder()
           .putLong(LakeParquet.FieldIdKey, i + 1L).build())
     })
-    require(info.partitions().isEmpty,
-      "graft_lake tables are unpartitioned (files are the groups)")
+    // HIDDEN PARTITIONING: `PARTITIONED BY (bucket(8, k), days(ts), …)`
+    // becomes the table's transform spec — validated against the
+    // schema now (a bad source column/type must fail at CREATE, not at
+    // first INSERT), persisted as a table property, burned into layout
+    // from the first write
+    val spec = LakePartitioning.fromTransforms(info.partitions())
+    LakePartitioning.bind(spec, schema) // fails loud on bad col/type
     schema.fieldNames.foreach(n => require(
       n != LakeTableIO.MetaFile && n != LakeTableIO.MetaPos,
       s"graft_lake: '$n' is a reserved metadata column name"))
@@ -163,9 +169,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       require(m == "merge-on-read" || m == "copy-on-write",
         s"graft_lake: write.mode must be merge-on-read or " +
           s"copy-on-write, got '$m'")
-      if (m == "merge-on-read")
-        LakeTableIO.writeProps(dir.toString, Map("write.mode" -> m))
     }
+    val props =
+      mode.filter(_ == "merge-on-read").map("write.mode" -> _).toMap ++
+        (if (spec.isEmpty) Map.empty
+         else Map(LakePartitioning.SpecKey -> LakePartitioning.show(spec)))
+    if (props.nonEmpty) LakeTableIO.writeProps(dir.toString, props)
     // v0 = the empty table: history (and any stream) starts at creation
     LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
@@ -256,6 +265,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s.fields.flatMap(LakeParquet.priorNames).map(_.toLowerCase).toSet
     val audits = scala.collection.mutable.ArrayBuffer.empty[String]
     var propsAfter: Option[Map[String, String]] = None
+    // hidden partitioning interplay: the spec references source columns
+    // by name, so a RENAME rewrites the spec with it (evolving in
+    // lockstep), a DROP of a source column is rejected (the layout
+    // depends on it), and widening a BUCKET source is rejected (the
+    // hash of 5:INT ≠ hash of 5:BIGINT — bucket assignments are burned
+    // into the files)
+    var spec = LakePartitioning.specOf(dir.toString)
+    def specSources: Set[String] = spec.map(_.col.toLowerCase).toSet
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -295,6 +312,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         } else {
           require(schema.length > 1,
             "graft_lake: cannot drop the last column")
+          require(!specSources.contains(name.toLowerCase),
+            s"graft_lake: $name is a partition source column " +
+              s"(${spec.map(_.show).mkString(",")}) — the table's " +
+              "layout depends on it; rewrite to a new spec instead")
           schema = StructType(schema.fields.patch(idx, Nil, 1))
           audits += s"alter_drop($name)"
         }
@@ -326,6 +347,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             .putStringArray(LakeParquet.PriorNamesKey, priors.toArray)
             .build())
         schema = StructType(schema.fields.updated(idx, renamed))
+        // the spec follows the rename — partition identity is the
+        // transform + source column, not the name
+        spec = spec.map {
+          case t if t.col.equalsIgnoreCase(from) =>
+            t match {
+              case p: LakePartitioning.PIdentity => p.copy(col = to)
+              case p: LakePartitioning.PBucket   => p.copy(col = to)
+              case p: LakePartitioning.PTruncate => p.copy(col = to)
+              case p: LakePartitioning.PDays     => p.copy(col = to)
+              case p: LakePartitioning.PMonths   => p.copy(col = to)
+              case p: LakePartitioning.PYears    => p.copy(col = to)
+            }
+          case t => t
+        }
         audits += s"alter_rename($from->$to)"
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1,
@@ -350,6 +385,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"graft_lake: cannot change $name from $from to $to — only " +
             "widening promotions (INT->BIGINT, FLOAT->DOUBLE) are " +
             "metadata-only; anything lossy needs a table rewrite")
+        require(!spec.exists(t =>
+            t.isInstanceOf[LakePartitioning.PBucket] &&
+              t.col.equalsIgnoreCase(name)),
+          s"graft_lake: $name is a bucket partition source — widening " +
+            "would change the hash of every existing value (bucket " +
+            "assignments are burned into the data layout)")
         schema = StructType(schema.fields.updated(idx,
           f.copy(dataType = to)))
         audits += s"alter_widen($name:${from.simpleString}->${to.simpleString})"
@@ -361,15 +402,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             sp.value() == "copy-on-write",
           s"graft_lake: write.mode must be merge-on-read or " +
             s"copy-on-write, got '${sp.value()}'")
+        // merge, never replace: other persisted props (the partition
+        // spec) survive a write-mode flip
+        val base = LakeTableIO.tableProps(dir.toString) - "write.mode"
         propsAfter = Some(
           if (sp.value() == "merge-on-read")
-            Map("write.mode" -> sp.value())
-          else Map.empty)
+            base + ("write.mode" -> sp.value())
+          else base)
         audits += s"alter_set(write.mode=${sp.value()})"
       case rp: TableChange.RemoveProperty =>
         require(rp.property() == "write.mode",
           s"graft_lake: unknown table property '${rp.property()}'")
-        propsAfter = Some(Map.empty)
+        propsAfter = Some(LakeTableIO.tableProps(dir.toString) - "write.mode")
         audits += "alter_unset(write.mode)"
       case other =>
         throw new UnsupportedOperationException(
@@ -377,7 +421,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             " — type/position changes need a table rewrite")
     }
     LakeTableIO.writeSchema(dir.toString, schema, maxId)
-    propsAfter.foreach(LakeTableIO.writeProps(dir.toString, _))
+    // fold the (possibly rename-rewritten) spec into whatever property
+    // state this ALTER decided on
+    val specNow = LakePartitioning.specOf(dir.toString)
+    if (spec != specNow || propsAfter.isDefined) {
+      val base =
+        propsAfter.getOrElse(LakeTableIO.tableProps(dir.toString))
+      val next =
+        if (spec.isEmpty) base - LakePartitioning.SpecKey
+        else base + (LakePartitioning.SpecKey -> LakePartitioning.show(spec))
+      LakeTableIO.writeProps(dir.toString, next)
+    }
     audits.foreach(op => LakeLog.commit(dir.toString, op, Seq.empty,
       Seq.empty, 0L, dataChange = false))
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)
@@ -388,4 +442,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                            newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft_lake: rename not supported")
+
+  /** Partition-transform V2 functions ([[LakeFunctions]]) — what
+    * Spark's storage-partitioned-join compatibility check and the
+    * write-side clustered distribution resolve `bucket`/`truncate`/
+    * `days`/`months`/`years` against. Resolvable bare and under the
+    * `system` namespace (both spellings Spark probes).
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val ok = ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system"))
+    (if (ok) LakeFunctions.load(ident.name) else None).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      LakeFunctions.names.map(Identifier.of(namespace, _)).toArray
+    else throw new NoSuchNamespaceException(namespace)
 }

@@ -85,6 +85,12 @@ object LakeLog {
     * without opening their footers (see [[LakeStats]]). Files without
     * an entry (pre-stats vintages, bootstrap sweeps) plan via their
     * footer as before.
+    *
+    * `parts` is the complete per-file PARTITION-TUPLE map of hidden
+    * partitioning ([[LakePartitioning]]): data file → its transform
+    * values in spec order (encoded slots). Complete-set like `files`;
+    * tuple-less entries (unpartitioned tables, legacy vintages) are
+    * simply absent — planners keep such files conservatively.
     */
   final case class Snapshot(version: Long, timestampMs: Long,
                             operation: String, files: Seq[String],
@@ -95,7 +101,8 @@ object LakeLog {
                             stats: Map[String, LakeStats.FileStats] =
                               Map.empty,
                             updatePre: Map[String, Seq[String]] = Map.empty,
-                            updatePost: Seq[String] = Seq.empty)
+                            updatePost: Seq[String] = Seq.empty,
+                            parts: Map[String, Seq[String]] = Map.empty)
 
   def logDir(dir: String): Path = new Path(dir, "_log")
 
@@ -310,7 +317,8 @@ object LakeLog {
       strs("removed"), lng("addedRows"), dataChange,
       dvMap("dvs"), dvMap("dvAdded"),
       LakeStats.fromJson(m.get("stats")), // pre-stats manifests: empty
-      dvMap("updatePre"), strs("updatePost")) // pre-pairing: empty
+      dvMap("updatePre"), strs("updatePost"), // pre-pairing: empty
+      dvMap("parts")) // pre-partitioning manifests: empty
   }
 
   private def writeManifest(fs: FileSystem, tmp: Path, s: Snapshot): Unit = {
@@ -335,6 +343,7 @@ object LakeLog {
     putDvMap("dvs", s.dvs)
     putDvMap("dvAdded", s.dvAdded)
     putDvMap("updatePre", s.updatePre)
+    putDvMap("parts", s.parts)
     if (s.updatePost.nonEmpty) m.put("updatePost", jl(s.updatePost))
     if (s.stats.nonEmpty) m.put("stats", LakeStats.toJson(s.stats))
     val out = fs.create(tmp, true)
@@ -365,7 +374,8 @@ object LakeLog {
              dvAdded: Map[String, Seq[String]] = Map.empty,
              updatePre: Map[String, Seq[String]] = Map.empty,
              updatePost: Seq[String] = Seq.empty,
-             dedupeOnOperation: Boolean = false): Snapshot = {
+             dedupeOnOperation: Boolean = false,
+             addedParts: Map[String, Seq[String]] = Map.empty): Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
     // the update-pairing annotation only ever references THIS commit's
@@ -486,12 +496,16 @@ object LakeLog {
       // simply stay absent (footer-fallback planning)
       val nextStats = (head.map(_.stats).getOrElse(Map.empty) -- removed) ++
         addedStats.view.filterKeys(addedNew.contains)
+      // partition tuples follow the file set exactly like stats
+      val nextParts = (head.map(_.parts).getOrElse(Map.empty) -- removed) ++
+        addedParts.view.filterKeys(addedNew.contains)
       val next = Snapshot(
         head.map(_.version + 1).getOrElse(0L),
         now(head.map(_.timestampMs)), operation,
         (base.filterNot(removed.toSet) ++ addedNew).distinct.sorted,
         addedNew, removed.sorted, addedRows, dataChange, nextDvs, dvAdded,
-        nextStats, updatePre, updatePost.filter(addedNew.contains))
+        nextStats, updatePre, updatePost.filter(addedNew.contains),
+        nextParts)
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry

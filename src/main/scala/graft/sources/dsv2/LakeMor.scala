@@ -72,13 +72,14 @@ class LakeMorOperation(table: LakeTable,
     }
 }
 
-/** One task's outcome: at most one staged plain-insert file, at most
-  * one staged update-post-image file, and this task's deletion
+/** One task's outcome: staged plain-insert files, staged
+  * update-post-image files (one each per partition tuple touched;
+  * single files on unpartitioned tables), and this task's deletion
   * positions per data file, split by change class (plain delete vs
   * update pre-image).
   */
-case class LakeDeltaMessage(stagedPath: String, rows: Long,
-                            stagedUpdatePath: String, updateRows: Long,
+case class LakeDeltaMessage(staged: Seq[StagedLakeFile],
+                            stagedUpdates: Seq[StagedLakeFile],
                             deletes: Map[String, Array[Long]],
                             updateDeletes: Map[String, Array[Long]])
     extends WriterCommitMessage
@@ -96,17 +97,15 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
       // publish insert + update-post files (stage-then-publish, as the
       // batch write); post-image files are tracked apart so the commit
       // can annotate them for the change feed
-      def publish(staged: String): String = {
+      def publish(s: StagedLakeFile): (String, Long, Option[Seq[String]]) = {
         val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-        if (!fs.rename(new Path(staged), dest))
+        if (!fs.rename(new Path(s.stagedPath), dest))
           throw new java.io.IOException(
-            s"failed to publish $staged -> $dest")
-        dest.getName
+            s"failed to publish ${s.stagedPath} -> $dest")
+        (dest.getName, s.rows, s.tuple)
       }
-      val published = msgs.filter(_.stagedPath != null).map(m =>
-        (publish(m.stagedPath), m.rows))
-      val publishedPost = msgs.filter(_.stagedUpdatePath != null).map(m =>
-        (publish(m.stagedUpdatePath), m.updateRows))
+      val published = msgs.flatMap(_.staged).map(publish)
+      val publishedPost = msgs.flatMap(_.stagedUpdates).map(publish)
       // merge deletes across tasks; ONE DV sidecar per (file, class) —
       // positions of the two classes are disjoint (each live row is
       // processed at most once by the operation)
@@ -136,13 +135,16 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
       try LakeLog.commit(dir, opName, allFiles.map(_._1).toSeq,
         Seq.empty, allFiles.map(_._2).sum, branch = branch,
         dvAdded = dvAdded, updatePre = updateDv,
-        updatePost = publishedPost.map(_._1).toSeq)
+        updatePost = publishedPost.map(_._1).toSeq,
+        addedParts = allFiles.collect {
+          case (n, _, Some(t)) => n -> t
+        }.toMap)
       catch {
         case e: Throwable =>
           // conflict (a covered file was rewritten concurrently): the
           // published inserts and freshly-written DVs are in no
           // manifest — remove them and abort loud
-          allFiles.foreach { case (n, _) =>
+          allFiles.foreach { case (n, _, _) =>
             try fs.delete(new Path(dir, n), false)
             catch { case _: java.io.IOException => () }
           }
@@ -157,10 +159,9 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(new Configuration())
       messages.collect { case m: LakeDeltaMessage =>
-        Seq(m.stagedPath, m.stagedUpdatePath).filter(_ != null).foreach {
-          p =>
-            try fs.delete(new Path(p), false)
-            catch { case _: java.io.IOException => () }
+        (m.staged ++ m.stagedUpdates).foreach { s =>
+          try fs.delete(new Path(s.stagedPath), false)
+          catch { case _: java.io.IOException => () }
         }
       }
     }
@@ -178,17 +179,13 @@ class LakeDeltaWriterFactory(dir: String, rowSchema: StructType)
       private val factory = new LakeWriterFactory(dir, rowSchema)
       private val insertWriter = factory.createWriter(partitionId, taskId)
       private val updateWriter = factory.createWriter(partitionId, taskId)
-      private var insertedAny = false
-      private var updatedAny = false
       private val deletes =
         mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
       private val updateDeletes =
         mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
 
-      override def insert(row: InternalRow): Unit = {
-        insertedAny = true
+      override def insert(row: InternalRow): Unit =
         insertWriter.write(row)
-      }
 
       /** `id` carries the rowId projection `(_file, _pos)` in
         * [[LakeMorOperation.rowId]] order.
@@ -209,16 +206,13 @@ class LakeDeltaWriterFactory(dir: String, rowSchema: StructType)
         val pos = id.getLong(1)
         updateDeletes.getOrElseUpdate(file,
           mutable.ArrayBuffer.empty) += pos
-        updatedAny = true
         updateWriter.write(row)
       }
 
       override def commit(): WriterCommitMessage = {
         val mi = insertWriter.commit().asInstanceOf[LakeFileMessage]
         val mu = updateWriter.commit().asInstanceOf[LakeFileMessage]
-        LakeDeltaMessage(
-          if (insertedAny) mi.stagedPath else null, mi.rows,
-          if (updatedAny) mu.stagedPath else null, mu.rows,
+        LakeDeltaMessage(mi.files, mu.files,
           deletes.view.mapValues(_.toArray).toMap,
           updateDeletes.view.mapValues(_.toArray).toMap)
       }

@@ -1,0 +1,422 @@
+package graft.sources.dsv2
+
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HIDDEN PARTITIONING for [[LakeTable]] — Iceberg's partition-transform
+  * model (identity / bucket / truncate / days / months / years), kept
+  * as metadata users never see in their rows:
+  *
+  *   - the TRANSFORM SPEC is a table-level property
+  *     (`partition.spec` in `_props.json`), declared at CREATE TABLE
+  *     via `PARTITIONED BY (...)`;
+  *   - every data file records its PARTITION TUPLE (the transform
+  *     values all its rows share) in the snapshot manifest, written by
+  *     the data writer which SPLITS incoming rows by tuple — correctness
+  *     never depends on how Spark distributed the rows, clustering is
+  *     purely an efficiency contract ([[LakeWrite]]'s
+  *     `RequiresDistributionAndOrdering`);
+  *   - planning prunes whole files from manifest metadata when a pushed
+  *     filter on a SOURCE column provably excludes their tuple — before
+  *     (and independent of) column-stats pruning, and exact for
+  *     transforms, not min/max-approximate;
+  *   - scans over fully-tupled snapshots report
+  *     `KeyGroupedPartitioning` so joins between co-partitioned tables
+  *     run as STORAGE-PARTITIONED JOINS — zero shuffle on either side.
+  *
+  * Scale rationale: at 100 TB partition values are the only per-file
+  * metadata a planner can afford to consult for every query — tuple
+  * pruning is O(files) driver arithmetic with zero I/O, and the
+  * storage-partitioned join is the difference between shuffling two
+  * 50 TB fact tables and shuffling nothing.
+  *
+  * Null semantics: a tuple slot holding null (the source column was
+  * null) is encoded distinctly; comparison filters never match null, so
+  * those files prune for any pushed comparison on that source column.
+  */
+object LakePartitioning {
+
+  /** `_props.json` key holding the spec string, e.g.
+    * `"bucket(8,o_custkey),days(o_orderdate)"`.
+    */
+  val SpecKey = "partition.spec"
+
+  /** Hash seed for `bucket` — fixed forever: bucket assignments are
+    * burned into data layout, so the function can never change (the
+    * same contract Iceberg pins in its spec).
+    */
+  private val BucketSeed = 42
+
+  sealed trait PTransform {
+    def col: String
+    def show: String
+  }
+  final case class PIdentity(col: String) extends PTransform {
+    def show = s"identity($col)"
+  }
+  final case class PBucket(n: Int, col: String) extends PTransform {
+    require(n > 0, s"bucket count must be positive, got $n")
+    def show = s"bucket($n,$col)"
+  }
+  final case class PTruncate(w: Int, col: String) extends PTransform {
+    require(w > 0, s"truncate width must be positive, got $w")
+    def show = s"truncate($w,$col)"
+  }
+  final case class PDays(col: String) extends PTransform {
+    def show = s"days($col)"
+  }
+  final case class PMonths(col: String) extends PTransform {
+    def show = s"months($col)"
+  }
+  final case class PYears(col: String) extends PTransform {
+    def show = s"years($col)"
+  }
+
+  def show(spec: Seq[PTransform]): String = spec.map(_.show).mkString(",")
+
+  private val Re = "([a-z]+)\\(([^)]*)\\)".r
+
+  def parse(s: String): Seq[PTransform] =
+    Re.findAllMatchIn(s).map { m =>
+      val args = m.group(2).split(",").map(_.trim)
+      (m.group(1), args) match {
+        case ("identity", Array(c))    => PIdentity(c)
+        case ("bucket", Array(n, c))   => PBucket(n.toInt, c)
+        case ("truncate", Array(w, c)) => PTruncate(w.toInt, c)
+        case ("days", Array(c))        => PDays(c)
+        case ("months", Array(c))      => PMonths(c)
+        case ("years", Array(c))       => PYears(c)
+        case (name, a) => throw new IllegalArgumentException(
+          s"unknown partition transform $name(${a.mkString(",")})")
+      }
+    }.toSeq
+
+  /** The table's spec, empty for unpartitioned tables. */
+  def specOf(dir: String): Seq[PTransform] =
+    LakeTableIO.tableProps(dir).get(SpecKey)
+      .map(parse).getOrElse(Seq.empty)
+
+  /** One transform BOUND to a write/table schema: source ordinal and
+    * type resolved, evaluator specialized. Fails loud when the source
+    * column is absent or its type does not admit the transform — a
+    * partition value silently computed from the wrong column would be
+    * undetectable data misplacement.
+    */
+  final case class Bound(t: PTransform, srcIdx: Int, srcType: DataType) {
+    /** Transform OUTPUT type (what partition keys/prune compares use). */
+    val outType: DataType = t match {
+      case _: PIdentity => srcType
+      case _: PTruncate => srcType
+      case _: PBucket   => IntegerType
+      case _            => IntegerType // days/months/years ordinals
+    }
+
+    /** Order-preserving in the source column (so range filters
+      * translate); bucket is the one hash transform (equality only).
+      */
+    val monotonic: Boolean = !t.isInstanceOf[PBucket]
+
+    private def epochDays(v: Any): Int = (srcType, v) match {
+      case (DateType, d: Int) => d
+      case (TimestampType | TimestampNTZType, micros: Long) =>
+        Math.floorDiv(micros, 86400000000L).toInt
+      case _ => throw new IllegalStateException(
+        s"${t.show}: unexpected value $v for $srcType")
+    }
+
+    /** Apply to an INTERNAL value (Int/Long/UTF8String; null-safe). */
+    def eval(v: Any): Any =
+      if (v == null) null
+      else t match {
+        case _: PIdentity => v
+        case PBucket(n, _) =>
+          val h = v match {
+            case i: Int  => Murmur3_x86_32.hashInt(i, BucketSeed)
+            case l: Long => Murmur3_x86_32.hashLong(l, BucketSeed)
+            case u: UTF8String =>
+              val b = u.getBytes
+              Murmur3_x86_32.hashUnsafeBytes(
+                b, Platform.BYTE_ARRAY_OFFSET, b.length, BucketSeed)
+            case other => throw new IllegalStateException(
+              s"bucket: unhashable value class ${other.getClass}")
+          }
+          Math.floorMod(h, n)
+        case PTruncate(w, _) => v match {
+          case u: UTF8String => u.substring(0, w)
+          case i: Int        => Math.floorDiv(i, w) * w
+          case l: Long       => Math.floorDiv(l, w.toLong) * w.toLong
+          case other => throw new IllegalStateException(
+            s"truncate: untruncatable value class ${other.getClass}")
+        }
+        case _: PDays => epochDays(v)
+        case _: PMonths =>
+          val d = java.time.LocalDate.ofEpochDay(epochDays(v).toLong)
+          (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+        case _: PYears =>
+          java.time.LocalDate.ofEpochDay(epochDays(v).toLong)
+            .getYear - 1970
+      }
+
+    /** Row-level tuple slot: value at `srcIdx + off` transformed. */
+    def evalRow(row: org.apache.spark.sql.catalyst.InternalRow,
+                off: Int): Any =
+      if (row.isNullAt(srcIdx + off)) null
+      else eval(row.get(srcIdx + off, srcType))
+  }
+
+  /** Bind `spec` against a schema by (case-insensitive) source-column
+    * name. The admitted source types per transform are exactly the
+    * kinds the lake's physical model makes stable:
+    * identity over int/long/string/date, bucket over
+    * int/long/string/date/timestamp, truncate over int/long/string,
+    * time transforms over date/timestamp.
+    */
+  def bind(spec: Seq[PTransform], schema: StructType): Seq[Bound] =
+    spec.map { t =>
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(t.col))
+      require(idx >= 0,
+        s"partition transform ${t.show}: source column ${t.col} is " +
+          s"missing from schema [${schema.fieldNames.mkString(",")}]")
+      val st = schema.fields(idx).dataType
+      val ok = t match {
+        case _: PIdentity =>
+          Seq(IntegerType, LongType, StringType, DateType).contains(st)
+        case _: PBucket =>
+          Seq(IntegerType, LongType, StringType, DateType,
+            TimestampType, TimestampNTZType).contains(st)
+        case _: PTruncate =>
+          Seq(IntegerType, LongType, StringType).contains(st)
+        case _ =>
+          Seq(DateType, TimestampType, TimestampNTZType).contains(st)
+      }
+      require(ok,
+        s"partition transform ${t.show} does not admit source type $st")
+      Bound(t, idx, st)
+    }
+
+  // ---------------------------------------------------------------------
+  // Tuple encoding (manifest form): "n" = null slot, "v<canonical>" =
+  // value. Unambiguous for any string content (the prefix is the tag).
+  // ---------------------------------------------------------------------
+
+  def encodeSlot(v: Any): String = v match {
+    case null           => "n"
+    case u: UTF8String  => "v" + u.toString
+    case other          => "v" + other.toString
+  }
+
+  /** Decode a slot back to the transform's INTERNAL output value. */
+  def decodeSlot(b: Bound, s: String): Option[Any] =
+    if (s == "n") Some(null)
+    else if (!s.startsWith("v")) None // unknown vintage encoding: opaque
+    else {
+      val body = s.substring(1)
+      b.outType match {
+        case IntegerType | DateType => Some(body.toInt)
+        case LongType | TimestampType | TimestampNTZType =>
+          Some(body.toLong)
+        case StringType => Some(UTF8String.fromString(body))
+        case _          => None
+      }
+    }
+
+  def encodeTuple(values: Seq[Any]): Seq[String] = values.map(encodeSlot)
+
+  // ---------------------------------------------------------------------
+  // Partition pruning: pushed comparison filters on SOURCE columns vs
+  // each file's tuple. Exact (not approximate): identity compares
+  // directly, monotonic transforms compare through the transform,
+  // bucket admits equality. Anything uncertain keeps the file.
+  // ---------------------------------------------------------------------
+
+  /** Lift a pushed-filter literal (external form) to the column's
+    * INTERNAL value; None = unconvertible (keep files).
+    */
+  private def liftLiteral(v: Any, srcType: DataType): Option[Any] =
+    (v, srcType) match {
+      case (i: Int, IntegerType)     => Some(i)
+      case (l: Long, LongType)       => Some(l)
+      case (i: Int, LongType)        => Some(i.toLong)
+      case (l: Long, IntegerType) =>
+        if (l == l.toInt.toLong) Some(l.toInt) else None
+      case (s: String, StringType)   => Some(UTF8String.fromString(s))
+      case (d: java.sql.Date, DateType) =>
+        Some(d.toLocalDate.toEpochDay.toInt)
+      case (d: java.time.LocalDate, DateType) =>
+        Some(d.toEpochDay.toInt)
+      case (t: java.sql.Timestamp, TimestampType) =>
+        Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case (t: java.time.Instant, TimestampType) =>
+        Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case (t: java.time.LocalDateTime, TimestampNTZType) =>
+        Some(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond *
+          1000000L +
+          t.getNano / 1000L)
+      case _ => None
+    }
+
+  private def cmpOut(t: DataType, a: Any, b: Any): Option[Int] =
+    (t, a, b) match {
+      case (_, null, _) | (_, _, null) => None
+      case (IntegerType | DateType, x: Int, y: Int) =>
+        Some(Integer.compare(x, y))
+      case (LongType | TimestampType | TimestampNTZType,
+            x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (StringType, x: UTF8String, y: UTF8String) =>
+        Some(x.compareTo(y))
+      case _ => None
+    }
+
+  /** Can a file whose tuple slot (for `b`) decodes to `slot` contain a
+    * row satisfying `f` on the source column? Conservative: true unless
+    * provably not.
+    */
+  private def slotMightMatch(b: Bound, slot: String, f: Filter): Boolean = {
+    val lit = f match {
+      case EqualTo(_, v)            => v
+      case GreaterThan(_, v)        => v
+      case GreaterThanOrEqual(_, v) => v
+      case LessThan(_, v)           => v
+      case LessThanOrEqual(_, v)    => v
+      case _                        => return true
+    }
+    val internal = liftLiteral(lit, b.srcType).getOrElse(return true)
+    val p = decodeSlot(b, slot).getOrElse(return true)
+    // a null slot means every row's source value is null in this file —
+    // comparisons never match null
+    if (p == null) return false
+    val tLit = b.eval(internal)
+    val c = cmpOut(b.outType, p, tLit).getOrElse(return true)
+    f match {
+      case _: EqualTo => c == 0
+      case _: GreaterThan =>
+        if (!b.monotonic) true
+        // identity is exact; other monotonic transforms collapse ranges,
+        // so the boundary tuple can still hold strictly-greater rows
+        else if (b.t.isInstanceOf[PIdentity]) c > 0
+        else c >= 0
+      case _: GreaterThanOrEqual => !b.monotonic || c >= 0
+      case _: LessThan =>
+        if (!b.monotonic) true
+        else if (b.t.isInstanceOf[PIdentity]) c < 0
+        else c <= 0
+      case _: LessThanOrEqual => !b.monotonic || c <= 0
+      case _ => true
+    }
+  }
+
+  private def filterColumn(f: Filter): Option[String] = f match {
+    case EqualTo(c, _)            => Some(c)
+    case GreaterThan(c, _)        => Some(c)
+    case GreaterThanOrEqual(c, _) => Some(c)
+    case LessThan(c, _)           => Some(c)
+    case LessThanOrEqual(c, _)    => Some(c)
+    case _                        => None
+  }
+
+  /** Partition-prune `files`: drop every file whose manifest tuple
+    * provably excludes some pushed filter. Files without a tuple
+    * (legacy vintages, bootstrap sweeps) are always kept. Returns
+    * (kept files, pruned count).
+    */
+  def prune(files: Seq[org.apache.hadoop.fs.Path],
+            parts: Map[String, Seq[String]], bound: Seq[Bound],
+            pushed: Array[Filter])
+      : (Seq[org.apache.hadoop.fs.Path], Int) = {
+    if (bound.isEmpty || pushed.isEmpty || parts.isEmpty)
+      return (files, 0)
+    val byCol: Map[String, Seq[(Bound, Int)]] = bound.zipWithIndex
+      .groupBy(_._1.t.col.toLowerCase)
+    val relevant = pushed.flatMap(f =>
+      filterColumn(f).map(_.toLowerCase).flatMap(byCol.get)
+        .map(bs => (f, bs)))
+    if (relevant.isEmpty) return (files, 0)
+    val kept = files.filter { file =>
+      parts.get(file.getName) match {
+        case Some(tuple) if tuple.length == bound.length =>
+          relevant.forall { case (f, bs) =>
+            bs.forall { case (b, i) => slotMightMatch(b, tuple(i), f) }
+          }
+        case _ => true // tuple-less or stale-arity vintage: keep
+      }
+    }
+    (kept, files.size - kept.size)
+  }
+
+  /** True when a snapshot can report KeyGroupedPartitioning: every
+    * planned file carries a current-arity tuple.
+    */
+  def fullyTupled(files: Seq[org.apache.hadoop.fs.Path],
+                  parts: Map[String, Seq[String]],
+                  bound: Seq[Bound]): Boolean =
+    bound.nonEmpty && files.forall(f =>
+      parts.get(f.getName).exists(_.length == bound.length))
+
+  // ---------------------------------------------------------------------
+  // Connector Transform bridge (CREATE TABLE PARTITIONED BY / Table
+  // .partitioning() / KeyGroupedPartitioning expressions)
+  // ---------------------------------------------------------------------
+
+  import org.apache.spark.sql.connector.expressions.{Expression, Expressions, Literal => VLiteral, NamedReference, Transform}
+
+  private def refName(e: Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+  private def intLit(e: Expression): Option[Int] = e match {
+    case l: VLiteral[_] => l.value match {
+      case i: java.lang.Integer => Some(i.intValue())
+      case i: java.lang.Long    => Some(i.intValue())
+      case _                    => None
+    }
+    case _ => None
+  }
+
+  /** Parse Spark's `PARTITIONED BY (...)` transforms. Fails loud on
+    * anything outside the supported set.
+    */
+  def fromTransforms(ts: Array[Transform]): Seq[PTransform] =
+    ts.toSeq.map { t =>
+      def oneRef: String = {
+        val rs = t.arguments.flatMap(refName)
+        require(rs.length == 1,
+          s"partition transform ${t.describe} needs exactly one column")
+        rs.head
+      }
+      def oneInt: Int = {
+        val is = t.arguments.flatMap(intLit)
+        require(is.length == 1,
+          s"partition transform ${t.describe} needs one integer arg")
+        is.head
+      }
+      t.name.toLowerCase match {
+        case "identity" => PIdentity(oneRef)
+        case "bucket"   => PBucket(oneInt, oneRef)
+        case "truncate" => PTruncate(oneInt, oneRef)
+        case "days"     => PDays(oneRef)
+        case "months"   => PMonths(oneRef)
+        case "years"    => PYears(oneRef)
+        case other => throw new UnsupportedOperationException(
+          s"graft_lake: unsupported partition transform '$other' " +
+            "(supported: identity, bucket, truncate, days, months, years)")
+      }
+    }
+
+  /** The spec as connector Transforms ([[LakeTable.partitioning]] and
+    * the scan's KeyGroupedPartitioning clustering expressions).
+    */
+  def toTransforms(spec: Seq[PTransform]): Array[Transform] =
+    spec.map {
+      case PIdentity(c)    => Expressions.identity(c)
+      case PBucket(n, c)   => Expressions.bucket(n, c)
+      case PTruncate(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
+      case PDays(c)        => Expressions.days(c)
+      case PMonths(c)      => Expressions.months(c)
+      case PYears(c)       => Expressions.years(c)
+    }.toArray
+}

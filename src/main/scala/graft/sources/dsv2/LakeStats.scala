@@ -252,6 +252,13 @@ object LakeStats {
       case ("bool", b: Boolean)  => Some(java.lang.Boolean.compare(stat.toBoolean, b))
       case ("str", s: String) =>
         Some(Binary.fromString(stat).compareTo(Binary.fromString(s)))
+      // DATE literals against INT32 epoch-day stats — the exact
+      // internal encoding, so the comparison is precise, not heuristic
+      case ("int", d: java.sql.Date) =>
+        Some(java.lang.Integer.compare(stat.toInt,
+          d.toLocalDate.toEpochDay.toInt))
+      case ("int", d: java.time.LocalDate) =>
+        Some(java.lang.Integer.compare(stat.toInt, d.toEpochDay.toInt))
       case _ => None
     }
 

@@ -76,6 +76,15 @@ class LakeTable(tableName: String, val dir: String,
   override def properties(): util.Map[String, String] =
     LakeTableIO.tableProps(dir).asJava
 
+  /** Hidden-partitioning transforms ([[LakePartitioning]]) — what
+    * `DESCRIBE` shows, what Spark's dynamic-overwrite analysis
+    * consults, and the shape the scan's KeyGroupedPartitioning and the
+    * write's required clustering both derive from.
+    */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    LakePartitioning.toTransforms(LakePartitioning.specOf(dir))
+
   /** `_file` / `_pos` — the per-row file identity (Iceberg's metadata
     * columns): queryable directly and the rowId the merge-on-read
     * delta operation keys its deletion vectors on.
@@ -165,7 +174,7 @@ class LakeRowLevelOperation(table: LakeTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
-        val (files, dvs, stats) =
+        val (files, dvs, stats, _) =
           LakeTableIO.snapshotView(table.dir, None, table.branch)
         // DVs apply here too: a copy-on-write rewrite must carry over
         // only LIVE rows; the replace commit then drops the covered
@@ -344,11 +353,11 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
 
   override def build(): Scan = {
     metaAgg.foreach(values => return new LakeMetaAggScan(dir, values))
-    val (files, dvs, stats) =
+    val (files, dvs, stats, parts) =
       LakeTableIO.snapshotView(dir, pinnedVersion, branch)
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
-      startingVersion, branch, pacing, dvs, stats)
+      startingVersion, branch, pacing, dvs, stats, parts)
   }
 }
 
@@ -380,8 +389,21 @@ case class LakeCdcInfo(changeType: String, version: Long,
 case class LakeInputPartition(path: String, rowGroup: Int,
                               cols: Array[LakeColumnRef],
                               dvFiles: Seq[String] = Seq.empty,
-                              cdc: Option[LakeCdcInfo] = None)
+                              cdc: Option[LakeCdcInfo] = None,
+                              pkey: Array[Any] = null)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Partition key for storage-partitioned-join grouping — decoded
+    * transform values in spec order. Only consulted when the scan
+    * reports KeyGroupedPartitioning, which it does only after stamping
+    * every partition's key ([[LakeScan.outputPartitioning]]).
+    */
+  override def partitionKey(): InternalRow = {
+    require(pkey != null,
+      s"partitionKey consulted on an unkeyed split of $path")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(pkey)
+  }
+}
 
 class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                projected: StructType, pushed: Array[Filter],
@@ -391,8 +413,10 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                branch: Option[String] = None,
                pacing: StreamPacing = StreamPacing(),
                dvs: Map[String, Seq[String]] = Map.empty,
-               stats: Map[String, LakeStats.FileStats] = Map.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+               stats: Map[String, LakeStats.FileStats] = Map.empty,
+               parts: Map[String, Seq[String]] = Map.empty)
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
@@ -406,13 +430,82 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       pacing.maxFilesPerTrigger)
   }
 
+  /** Hidden-partitioning spec bound against the TABLE schema (source
+    * columns need not be projected); empty when unpartitioned.
+    */
+  private lazy val boundSpec: Seq[LakePartitioning.Bound] = {
+    val spec = LakePartitioning.specOf(dir)
+    if (spec.isEmpty) Seq.empty
+    else LakePartitioning.bind(spec, tableSchema)
+  }
+
+  /** PARTITION pruning first — exact tuple arithmetic on manifest
+    * metadata, zero I/O per excluded file, before stats are even
+    * consulted.
+    */
+  private lazy val (partFiles: Seq[Path], partPruned: Int) =
+    LakePartitioning.prune(files, parts, boundSpec, pushed)
+
   // planned on the driver from MANIFEST stats first (whole-file pruning,
   // zero I/O per excluded file), then footer metadata of the survivors
   private lazy val plan: LakeTableIO.ScanPlan =
-    LakeTableIO.planRowGroups(files, LakeTableIO.columnRefs(projected),
-      pushed, pruneGroups, dvs, stats)
+    LakeTableIO.planRowGroups(partFiles,
+      LakeTableIO.columnRefs(projected), pushed, pruneGroups, dvs, stats)
 
-  override def planInputPartitions(): Array[InputPartition] = plan.parts
+  /** Input partitions, each stamped with its file's decoded partition
+    * KEY when the snapshot is fully tupled — the handle Spark's
+    * storage-partitioned join groups by.
+    */
+  private lazy val keyedParts: Array[InputPartition] = {
+    if (!LakePartitioning.fullyTupled(partFiles, parts, boundSpec))
+      plan.parts
+    else plan.parts.map { p =>
+      val lp = p.asInstanceOf[LakeInputPartition]
+      val tuple = parts(new Path(lp.path).getName)
+      val decoded = boundSpec.zip(tuple).map { case (b, s) =>
+        // fullyTupled proved arity; an undecodable slot falls back to
+        // unkeyed (handled by the exception guard below)
+        LakePartitioning.decodeSlot(b, s).getOrElse(
+          throw new IllegalStateException(s"undecodable slot $s"))
+      }
+      lp.copy(pkey = decoded.toArray): InputPartition
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    try keyedParts
+    catch { case _: IllegalStateException => plan.parts }
+
+  /** STORAGE-PARTITIONED JOIN contract
+    * ([[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]):
+    * when every planned file carries a partition tuple, the scan
+    * reports `KeyGroupedPartitioning` over the spec's transforms —
+    * Spark then groups splits by key and, with another scan reporting a
+    * COMPATIBLE partitioning on the join keys, plans the join with NO
+    * Exchange on either side (Iceberg's SPJ). Anything less than fully
+    * tupled reports unknown: a single legacy file would make the
+    * grouping wrong, and correctness never rides on the report.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val keyed =
+      try LakePartitioning.fullyTupled(partFiles, parts, boundSpec) &&
+        keyedParts.nonEmpty
+      catch { case _: IllegalStateException => false }
+    if (!keyed) new UnknownPartitioning(plan.parts.length)
+    else {
+      // distinct keys among the PLANNED splits (a stats-pruned file's
+      // key is gone with it) — the count Spark's grouping must land on
+      val distinct = plan.parts.map(p =>
+        parts(new Path(p.asInstanceOf[LakeInputPartition].path).getName))
+        .distinct.size
+      new KeyGroupedPartitioning(
+        LakePartitioning.toTransforms(boundSpec.map(_.t))
+          .map(t => t: org.apache.spark.sql.connector.expressions.Expression),
+        distinct)
+    }
+  }
 
   /** Post-prune, post-projection footer statistics: exact surviving row
     * count and uncompressed bytes of only the projected column chunks.
@@ -436,7 +529,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     s"graft_lake $dir${pinnedVersion.map(v => s"@v$v").getOrElse("")} " +
       s"cols=[${projected.fieldNames.mkString(",")}] " +
       s"rowgroups=$n/${plan.totalGroups} " +
-      s"files_pruned_by_stats=${plan.statsPrunedFiles}/${files.size} " +
+      s"files_pruned_by_partition=$partPruned/${files.size} " +
+      s"files_pruned_by_stats=${plan.statsPrunedFiles}/${partFiles.size} " +
       s"pushed=[${pushed.mkString(",")}]"
   }
 }
@@ -643,8 +737,19 @@ class LakeReaderFactory(projected: StructType)
   }
 }
 
-/** Commit message: one staged file (null when the partition was empty). */
-case class LakeFileMessage(stagedPath: String, rows: Long)
+/** One staged (not yet published) data file and, for partitioned
+  * tables, the PARTITION TUPLE all its rows share (encoded slots in
+  * spec order — see [[LakePartitioning]]).
+  */
+case class StagedLakeFile(stagedPath: String, rows: Long,
+                          tuple: Option[Seq[String]] = None)
+
+/** Commit message: this task's staged files — one for an unpartitioned
+  * write, one PER PARTITION TUPLE the task's rows touched for a
+  * partitioned one (the writer splits; Spark's clustered distribution
+  * keeps the per-task tuple count near one).
+  */
+case class LakeFileMessage(files: Seq[StagedLakeFile])
     extends WriterCommitMessage
 
 /** Batch write: stage-then-publish, sealed by a [[LakeLog]] manifest
@@ -657,7 +762,29 @@ class LakeWrite(dir: String, writeSchema: StructType,
                 replaceFiles: () => Seq[String],
                 opName: String,
                 branch: Option[String] = None,
-                queryId: String = "") extends Write {
+                queryId: String = "") extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Partitioned tables ask Spark to CLUSTER incoming rows by the
+    * partition transforms before the write (resolved through the
+    * catalog's V2 functions) — so each task sees whole tuples and
+    * writes ~one file per partition instead of every task writing a
+    * sliver of every partition (tasks × partitions files). Purely an
+    * efficiency contract: the writer splits by tuple per row either
+    * way, so correctness never rides on the distribution.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    val spec = LakePartitioning.specOf(dir)
+    if (spec.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(LakePartitioning.toTransforms(spec)
+      .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
+  }
+  override def requiredNumPartitions(): Int = 0
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   /** Streaming flavor: each epoch publishes like a batch and seals a
     * manifest whose operation carries `(queryId, epochId)` — a replayed
@@ -685,8 +812,8 @@ class LakeWrite(dir: String, writeSchema: StructType,
                           messages: Array[WriterCommitMessage]): Unit = {
         val fs = new Path(dir).getFileSystem(new Configuration())
         val collected = messages.collect {
-          case LakeFileMessage(p, n) if p != null => (new Path(p), n)
-        }
+          case LakeFileMessage(staged) => staged
+        }.flatten
         // replay check: the per-query epoch ref (O(1), survives expire)
         // backed by a newest-first marker scan that stops at this
         // query's previous epoch — not the old every-manifest sweep,
@@ -696,21 +823,25 @@ class LakeWrite(dir: String, writeSchema: StructType,
             .exists(epochId <= _)) {
           // this epoch's manifest is already sealed — drop the
           // re-staged files and report success (idempotent)
-          collected.foreach { case (p, _) => fs.delete(p, false) }
+          collected.foreach(s => fs.delete(new Path(s.stagedPath), false))
           return
         }
-        val published = collected.map { case (p, n) =>
+        val published = collected.map { s =>
           val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-          if (!fs.rename(p, dest))
-            throw new java.io.IOException(s"failed to publish $p -> $dest")
-          (dest.getName, n)
+          if (!fs.rename(new Path(s.stagedPath), dest))
+            throw new java.io.IOException(
+              s"failed to publish ${s.stagedPath} -> $dest")
+          (dest.getName, s.rows, s.tuple)
         }
         try LakeLog.commit(dir, epochOp(epochId),
           published.map(_._1).toSeq, Seq.empty,
-          published.map(_._2).sum, branch = branch)
+          published.map(_._2).sum, branch = branch,
+          addedParts = published.collect {
+            case (n, _, Some(t)) => n -> t
+          }.toMap)
         catch {
           case e: Throwable =>
-            published.foreach { case (n, _) =>
+            published.foreach { case (n, _, _) =>
               try fs.delete(new Path(dir, n), false)
               catch { case _: java.io.IOException => () }
             }
@@ -727,10 +858,11 @@ class LakeWrite(dir: String, writeSchema: StructType,
       override def abort(epochId: Long,
                          messages: Array[WriterCommitMessage]): Unit = {
         val fs = new Path(dir).getFileSystem(new Configuration())
-        messages.collect {
-          case LakeFileMessage(p, _) if p != null =>
-            try fs.delete(new Path(p), false)
+        messages.collect { case LakeFileMessage(staged) =>
+          staged.foreach { s =>
+            try fs.delete(new Path(s.stagedPath), false)
             catch { case _: java.io.IOException => () }
+          }
         }
       }
     }
@@ -742,27 +874,31 @@ class LakeWrite(dir: String, writeSchema: StructType,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(new Configuration())
       val collected = messages.collect {
-        case LakeFileMessage(p, n) if p != null => (new Path(p), n)
-      }
-      val published = collected.map { case (p, n) =>
+        case LakeFileMessage(staged) => staged
+      }.flatten
+      val published = collected.map { s =>
         val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-        if (!fs.rename(p, dest))
-          throw new java.io.IOException(s"failed to publish $p -> $dest")
-        (dest.getName, n)
+        if (!fs.rename(new Path(s.stagedPath), dest))
+          throw new java.io.IOException(
+            s"failed to publish ${s.stagedPath} -> $dest")
+        (dest.getName, s.rows, s.tuple)
       }
       // the replaced groups leave the MANIFEST only — their bytes remain
       // for time travel until an explicit expire
       val removed = Option(replaceFiles).map(_().map(f =>
         new Path(f).getName)).getOrElse(Seq.empty)
       try LakeLog.commit(dir, opName, published.map(_._1).toSeq, removed,
-        published.map(_._2).sum, branch = branch)
+        published.map(_._2).sum, branch = branch,
+        addedParts = published.collect {
+          case (n, _, Some(t)) => n -> t
+        }.toMap)
       catch {
         case e: Throwable =>
           // a replace conflict (another writer rewrote a covered file
           // first) aborts this operation — the freshly-published UUID
           // names are in no manifest, so deleting them is safe and
           // keeps the table dir free of invisible orphans
-          published.foreach { case (n, _) =>
+          published.foreach { case (n, _, _) =>
             try fs.delete(new Path(dir, n), false)
             catch { case _: java.io.IOException => () }
           }
@@ -772,8 +908,8 @@ class LakeWrite(dir: String, writeSchema: StructType,
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(new Configuration())
-      messages.collect { case LakeFileMessage(p, _) if p != null =>
-        fs.delete(new Path(p), false)
+      messages.collect { case LakeFileMessage(staged) =>
+        staged.foreach(s => fs.delete(new Path(s.stagedPath), false))
       }
     }
   }
@@ -797,27 +933,59 @@ class LakeWriterFactory(dir: String, schema: StructType)
         byName.get(f.name).fold(f)(m => f.copy(metadata = m))))
     } catch { case _: Exception => schema } // schema-less dir: as-is
 
+  /** Hidden-partitioning spec bound against the write schema — resolved
+    * on the driver; empty for unpartitioned tables. A partitioned
+    * table's writer SPLITS rows by tuple below, so file/tuple
+    * association is computed from the rows themselves and never
+    * depends on upstream distribution.
+    *
+    * LAZY because a delta writer for a pure DELETE has an EMPTY row
+    * schema (it only emits positions) — the spec binds on first actual
+    * row write, where a missing source column is a real error.
+    */
+  private lazy val bound: Seq[LakePartitioning.Bound] = {
+    val spec = LakePartitioning.specOf(dir)
+    if (spec.isEmpty) Seq.empty else LakePartitioning.bind(spec, idSchema)
+  }
+
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val staged =
-        new Path(s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
       private val message = LakeParquet.toMessageType(idSchema)
       private val enc = LakeParquet.encoders(idSchema)
-      private var opened = false
-      private lazy val writer = {
-        val fs = staged.getFileSystem(new Configuration())
-        fs.mkdirs(staged.getParent)
-        val w = ExampleParquetWriter
-          .builder(HadoopOutputFile.fromPath(staged, new Configuration()))
-          .withType(message)
-          .withCompressionCodec(CompressionCodecName.SNAPPY)
-          .withRowGroupSize(LakeTableIO.rowGroupBytes)
-          .build()
-        opened = true
-        w
+
+      /** One staged parquet file (per partition tuple; a single slot
+        * for unpartitioned writes).
+        */
+      private final class OneFile(val tuple: Option[Seq[String]]) {
+        val staged = new Path(
+          s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
+        var rows = 0L
+        lazy val writer = {
+          val fs = staged.getFileSystem(new Configuration())
+          fs.mkdirs(staged.getParent)
+          ExampleParquetWriter
+            .builder(HadoopOutputFile.fromPath(staged, new Configuration()))
+            .withType(message)
+            .withCompressionCodec(CompressionCodecName.SNAPPY)
+            .withRowGroupSize(LakeTableIO.rowGroupBytes)
+            .build()
+        }
+        def close(delete: Boolean): Unit = if (rows > 0 || delete) {
+          try writer.close() catch { case _: java.io.IOException => () }
+          if (delete)
+            staged.getFileSystem(new Configuration()).delete(staged, false)
+        }
       }
-      private var rows = 0L
+      private val open = mutable.LinkedHashMap.empty[Seq[String], OneFile]
+      private def fileFor(row: InternalRow, off: Int): OneFile =
+        if (bound.isEmpty)
+          open.getOrElseUpdate(Nil, new OneFile(None))
+        else {
+          val tuple = LakePartitioning.encodeTuple(
+            bound.map(_.evalRow(row, off)))
+          open.getOrElseUpdate(tuple, new OneFile(Some(tuple)))
+        }
 
       override def write(row: InternalRow): Unit = {
         // ReplaceData (the MERGE rewrite) hands rows with a leading
@@ -836,22 +1004,21 @@ class LakeWriterFactory(dir: String, schema: StructType)
           require(op == 5 || op == 6,
             s"unexpected __row_operation $op in group-based write")
         }
-        writer.write(LakeParquet.toGroup(row, message, enc, off))
-        rows += 1
+        val f = fileFor(row, off)
+        f.writer.write(LakeParquet.toGroup(row, message, enc, off))
+        f.rows += 1
       }
-      override def commit(): WriterCommitMessage =
-        if (rows > 0) { writer.close(); LakeFileMessage(staged.toString, rows) }
-        else {
-          if (opened) {
-            try writer.close() catch { case _: java.io.IOException => () }
-            staged.getFileSystem(new Configuration()).delete(staged, false)
-          }
-          LakeFileMessage(null, 0L)
+      override def commit(): WriterCommitMessage = {
+        val staged = open.values.toSeq.flatMap { f =>
+          if (f.rows > 0) {
+            f.close(delete = false)
+            Some(StagedLakeFile(f.staged.toString, f.rows, f.tuple))
+          } else { f.close(delete = true); None }
         }
-      override def abort(): Unit = if (opened) {
-        try writer.close() catch { case _: java.io.IOException => () }
-        staged.getFileSystem(new Configuration()).delete(staged, false)
+        LakeFileMessage(staged)
       }
+      override def abort(): Unit =
+        open.values.foreach(_.close(delete = true))
       override def close(): Unit = ()
     }
 }
@@ -907,6 +1074,12 @@ object LakeTableIO {
     (v._1, v._2)
   }
 
+  /** Everything planning consumes, bundled: files, DV map, per-file
+    * stats, per-file partition tuples.
+    */
+  type SnapView = (Seq[Path], Map[String, Seq[String]],
+    Map[String, LakeStats.FileStats], Map[String, Seq[String]])
+
   /** (data files, DV map, manifest stats) of a snapshot — everything
     * planning consumes: the files to read, per-file deletion vectors,
     * and the per-file column stats that prune files without footer
@@ -923,13 +1096,11 @@ object LakeTableIO {
     * until applied.
     */
   def snapshotView(dir: String, version: Option[Long] = None,
-                   branch: Option[String] = None)
-      : (Seq[Path], Map[String, Seq[String]],
-         Map[String, LakeStats.FileStats]) =
+                   branch: Option[String] = None): SnapView =
     version match {
       case Some(v) =>
         val s = LakeLog.snapshotAt(dir, v, branch)
-        (s.files.map(new Path(dir, _)), s.dvs, s.stats)
+        (s.files.map(new Path(dir, _)), s.dvs, s.stats, s.parts)
       case None =>
         def withPending(files: Seq[String])
             : Seq[Path] = {
@@ -940,12 +1111,14 @@ object LakeTableIO {
         }
         LakeLog.current(dir, branch) match {
           case Some(s) if branch.isEmpty =>
-            (withPending(s.files), s.dvs, s.stats)
-          case Some(s) => (s.files.map(new Path(dir, _)), s.dvs, s.stats)
+            (withPending(s.files), s.dvs, s.stats, s.parts)
+          case Some(s) =>
+            (s.files.map(new Path(dir, _)), s.dvs, s.stats, s.parts)
           case None if branch.isDefined => throw new IllegalStateException(
             s"branch '${branch.get}' does not exist in $dir")
           case None =>
-            (withPending(LakeLog.rawDataFiles(dir)), Map.empty, Map.empty)
+            (withPending(LakeLog.rawDataFiles(dir)), Map.empty, Map.empty,
+              Map.empty)
         }
     }
 
@@ -1143,7 +1316,7 @@ object LakeTableIO {
       : Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
-    val (files, dvs, stats) = snapshotView(dir, version, branch)
+    val (files, dvs, stats, _) = snapshotView(dir, version, branch)
     val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap
     def colName(
         e: org.apache.spark.sql.connector.expressions.Expression)
@@ -1520,6 +1693,9 @@ object LakeTableIO {
   }
   private def comparable(v: Any): Boolean = v match {
     case _: Long | _: Int | _: Double | _: String => true
+    case _: java.sql.Date | _: java.time.LocalDate => true
+    case _: java.sql.Timestamp | _: java.time.Instant => true
+    case _: java.time.LocalDateTime               => true // NTZ literals
     case _                                        => false
   }
 
@@ -1581,7 +1757,18 @@ object LakeTableIO {
         }
     def lift(v: Any): Any = v match {
       case s: String => Binary.fromString(s)
-      case other     => other
+      // date/timestamp literals to their PHYSICAL footer-stat types
+      // (INT32 epoch days / INT64 micros) — exact internal encodings
+      case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+      case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+      case t: java.sql.Timestamp =>
+        Long.box(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case t: java.time.Instant =>
+        Long.box(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case t: java.time.LocalDateTime => // NTZ micros
+        Long.box(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond *
+          1000000L + t.getNano / 1000L)
+      case other => other
     }
     // a literal whose class differs from the column's physical stats
     // (an ALTER-widened column read against a pre-promotion vintage:

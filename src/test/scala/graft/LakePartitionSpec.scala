@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.sources.dsv2.{GraftCatalog, LakeLog, LakePartitioning, LakeStats}
+
+/** Hidden partitioning on the lake catalog ([[LakePartitioning]]):
+  * transform specs (identity/bucket/truncate/days/months/years)
+  * declared at CREATE, tuples recorded per file in the manifest,
+  * EXACT partition pruning with zero I/O, storage-partitioned joins
+  * (no Exchange on either side), write-side clustering (one file per
+  * partition), DML carrying tuples through rewrites, and the ALTER
+  * interplay (rename follows, drop/bucket-widen fail loud).
+  */
+class LakePartitionSpec extends SparkSpec {
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = Files.createTempDirectory("graft-part").toString
+    n += 1
+    val cat = s"partcat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE to finalize the plan
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }.size +
+      // AQE wraps finished stages; count their shuffles too
+      df.queryExecution.executedPlan.collect {
+        case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => q
+      }.size
+  }
+
+  test("CREATE ... PARTITIONED BY records a tuple per file, the write " +
+       "clusters to ONE file per partition, and every row lands in the " +
+       "file its transform values name") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, v STRING) " +
+        s"PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"INSERT INTO $cat.db.p " +
+        "SELECT id, concat('v', id) FROM range(0, 1000, 1, 8)")
+      val snap = LakeLog.current(s"$root/db/p").get
+      // clustered distribution: one file per bucket, not 8 tasks × 4
+      assert(snap.files.size == 4,
+        s"expected 4 files (one per bucket), got ${snap.files.size}")
+      assert(snap.parts.keySet == snap.files.toSet,
+        "every data file carries a partition tuple")
+      assert(snap.parts.values.toSeq.distinct.size == 4)
+      assert(spark.table(s"$cat.db.p").count() == 1000)
+      // the tuple is TRUE of every row: per file, recomputing the
+      // transform over its rows yields exactly the recorded slot
+      val bound = LakePartitioning.bind(
+        LakePartitioning.specOf(s"$root/db/p"),
+        spark.table(s"$cat.db.p").schema)
+      spark.table(s"$cat.db.p").selectExpr("k", "_file").collect()
+        .foreach { r =>
+          val slot = LakePartitioning.encodeSlot(
+            bound.head.eval(r.getLong(0)))
+          assert(snap.parts(r.getString(1)) == Seq(slot),
+            s"row k=${r.getLong(0)} in mis-tupled file ${r.getString(1)}")
+        }
+    }
+  }
+
+  test("partition pruning is exact and zero-I/O: an equality on a " +
+       "bucketed source opens only the matching bucket's footers, " +
+       "identity/truncate/days prune ranges, nulls prune under any " +
+       "comparison, and results always match the residual filter") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.e " +
+        "(k BIGINT, cat STRING, d DATE, x INT) " +
+        "PARTITIONED BY (bucket(8, k), truncate(2, cat), months(d))")
+      spark.sql(s"INSERT INTO $cat.db.e SELECT id, " +
+        "CASE WHEN id % 10 = 9 THEN NULL ELSE " +
+        "  concat(substr('abcde', CAST(id % 5 AS INT) + 1, 1), 'x', id) END, " +
+        "date_add(DATE'2024-01-15', CAST(id % 120 AS INT)), " +
+        "CAST(id AS INT) FROM range(0, 2000, 1, 8)")
+      val dir = s"$root/db/e"
+      val total = LakeLog.current(dir).get.files.size
+      assert(total > 8, s"want a multi-file layout, got $total")
+
+      def opens[A](f: => A): (A, Long) = {
+        val before = LakeStats.footerOpens.get()
+        val r = f
+        (r, LakeStats.footerOpens.get() - before)
+      }
+      // bucket equality: only files of bucket(k=777) open
+      val (hit, o1) = opens(
+        spark.table(s"$cat.db.e").where("k = 777").count())
+      assert(hit == 1)
+      assert(o1 <= total / 4,
+        s"bucket pruning opened $o1 footers of $total files")
+      // truncate prefix equality — 'ax…' rows only
+      val axRows = spark.table(s"$cat.db.e")
+        .where("substr(cat, 1, 2) = 'ax'").count()
+      val (axGot, o2) = opens(
+        spark.table(s"$cat.db.e").where("cat >= 'ax' AND cat < 'ay'")
+          .count())
+      assert(axGot == axRows)
+      assert(o2 < total, "truncate range pruning opened every footer")
+      // months range: only Jan-Feb 2024 files open
+      val (janGot, o3) = opens(spark.table(s"$cat.db.e")
+        .where("d < DATE'2024-02-01'").count())
+      assert(janGot == spark.table(s"$cat.db.e")
+        .where("month(d) = 1 AND year(d) = 2024").count())
+      assert(o3 < total, "months pruning opened every footer")
+      // a comparison never matches the null-cat partition, but IS NULL
+      // still finds it (pruning only ever fires on comparisons)
+      assert(spark.table(s"$cat.db.e").where("cat IS NULL").count() ==
+        200)
+    }
+  }
+
+  test("storage-partitioned join: two tables bucketed the same way " +
+       "join with ZERO shuffles on a correct result; a groupBy over an " +
+       "identity partition column aggregates with ZERO shuffles") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.facts (k BIGINT, amount DOUBLE) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"CREATE TABLE $cat.db.dims (k BIGINT, label STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"INSERT INTO $cat.db.facts " +
+        "SELECT id % 100, CAST(id AS DOUBLE) FROM range(0, 3000, 1, 6)")
+      spark.sql(s"INSERT INTO $cat.db.dims " +
+        "SELECT id, concat('d', id) FROM range(0, 100, 1, 4)")
+      val prevThreshold = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.sql(
+          s"""SELECT f.k, count(*) AS cnt, max(d.label) AS label
+             |FROM $cat.db.facts f JOIN $cat.db.dims d ON f.k = d.k
+             |GROUP BY f.k""".stripMargin)
+        val rows = joined.collect()
+        assert(rows.length == 100 && rows.forall(_.getLong(1) == 30))
+        val joinPlan = spark.sql(
+          s"SELECT f.k, d.label FROM $cat.db.facts f " +
+            s"JOIN $cat.db.dims d ON f.k = d.k")
+        assert(shuffles(joinPlan) == 0,
+          "co-bucketed join must be storage-partitioned (no Exchange):\n" +
+            joinPlan.queryExecution.executedPlan)
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+      // identity partitioning satisfies clustering by the column itself
+      spark.sql(s"CREATE TABLE $cat.db.byreg (region STRING, x BIGINT) " +
+        "PARTITIONED BY (region)")
+      spark.sql(s"INSERT INTO $cat.db.byreg SELECT " +
+        "concat('r', id % 5), id FROM range(0, 500, 1, 5)")
+      val agg = spark.sql(
+        s"SELECT region, sum(x) AS s FROM $cat.db.byreg GROUP BY region")
+      assert(agg.collect().length == 5)
+      assert(shuffles(agg) == 0,
+        "groupBy over the identity partition column must not shuffle:\n" +
+          agg.queryExecution.executedPlan)
+    }
+  }
+
+  test("DML keeps the layout: copy-on-write UPDATE re-tuples rewritten " +
+       "files, merge-on-read DELETE leaves tuples untouched, and every " +
+       "current file always carries a tuple") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"INSERT INTO $cat.db.m " +
+        "SELECT id, concat('v', id) FROM range(0, 400, 1, 4)")
+      spark.sql(s"UPDATE $cat.db.m SET v = 'hit' WHERE k % 7 = 0")
+      val snap = LakeLog.current(s"$root/db/m").get
+      assert(snap.parts.keySet == snap.files.toSet,
+        "copy-on-write rewrite lost partition tuples")
+      assert(spark.table(s"$cat.db.m").where("v = 'hit'").count() == 58)
+
+      spark.sql(s"ALTER TABLE $cat.db.m " +
+        "SET TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      assert(LakePartitioning.specOf(s"$root/db/m").nonEmpty,
+        "write-mode flip clobbered the partition spec")
+      spark.sql(s"DELETE FROM $cat.db.m WHERE k < 100")
+      assert(spark.table(s"$cat.db.m").count() == 300)
+      val snap2 = LakeLog.current(s"$root/db/m").get
+      assert(snap2.parts.keySet == snap2.files.toSet)
+      // bucket-pruned read still exact across the DV'd layout
+      assert(spark.table(s"$cat.db.m").where("k = 250").count() == 1)
+      assert(spark.table(s"$cat.db.m").where("k = 50").count() == 0)
+    }
+  }
+
+  test("ALTER interplay: RENAME of a source column rewrites the spec " +
+       "and keeps pruning; DROP of a source column and widening a " +
+       "bucket source fail loud; widening an identity source keeps old " +
+       "tuples decodable") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.a (k INT, g INT, v STRING) " +
+        "PARTITIONED BY (bucket(4, g), identity(k))")
+      spark.sql(s"INSERT INTO $cat.db.a SELECT CAST(id % 3 AS INT), " +
+        "CAST(id % 7 AS INT), concat('v', id) FROM range(0, 210, 1, 3)")
+      spark.sql(s"ALTER TABLE $cat.db.a RENAME COLUMN g TO grp")
+      assert(LakePartitioning.show(LakePartitioning.specOf(s"$root/db/a"))
+        == "bucket(4,grp),identity(k)")
+      assert(spark.table(s"$cat.db.a").where("grp = 3").count() == 30)
+      // new writes under the new name keep landing in the same buckets
+      spark.sql(s"INSERT INTO $cat.db.a VALUES (0, 3, 'extra')")
+      assert(spark.table(s"$cat.db.a").where("grp = 3").count() == 31)
+
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.a DROP COLUMN grp")
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.a ALTER COLUMN grp TYPE BIGINT")
+      }
+      // identity sources widen fine: "v2" decodes as 2L afterwards
+      spark.sql(s"ALTER TABLE $cat.db.a ALTER COLUMN k TYPE BIGINT")
+      assert(spark.table(s"$cat.db.a").where("k = 2").count() == 70)
+      assert(spark.table(s"$cat.db.a")
+        .where("k = 2 AND grp = 3").count() == 10)
+    }
+  }
+
+  test("bad specs fail at CREATE, not first INSERT: unknown transform, " +
+       "missing source column, inadmissible source type") {
+    withCatalog { (cat, _) =>
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.b1 (k BIGINT) " +
+          "PARTITIONED BY (hours(k))")
+      }
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.b2 (k BIGINT) " +
+          "PARTITIONED BY (bucket(4, missing))")
+      }
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.b3 (k BIGINT, x DOUBLE) " +
+          "PARTITIONED BY (identity(x))")
+      }
+    }
+  }
+}
