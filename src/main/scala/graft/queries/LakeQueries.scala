@@ -320,6 +320,36 @@ object LakeQueries {
         .agg(count("*").as("n"), sum("price").as("total"))
     }),
 
+    // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
+    // exactly the partitions the write PRODUCES (here the single
+    // '1-URGENT' identity partition), never the rest — resolved to a
+    // file-level replace at commit, atomic under the manifest's
+    // conflict rules. The oracle restates the end state: untouched
+    // partitions from the load, the overwritten one from the new data.
+    "lake_dynamic_overwrite" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_dynow")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (pri STRING, k BIGINT, price DOUBLE) " +
+        "PARTITIONED BY (pri)")
+      previous(s, dir).selectExpr("o_orderpriority AS pri",
+        s"$key AS k", "o_totalprice AS price")
+        .createOrReplaceTempView("lake_dynow_v1")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_dynow_v1")
+      newest(s, dir).where("o_orderpriority = '1-URGENT'")
+        .selectExpr("o_orderpriority AS pri", s"$key AS k",
+          "o_totalprice + 0.5 AS price")
+        .createOrReplaceTempView("lake_dynow_v2")
+      val prevMode = s.conf.get(
+        "spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s.sql(s"INSERT OVERWRITE $tbl SELECT * FROM lake_dynow_v2")
+      } finally s.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+      s.table(tbl)
+    }),
+
     // STORAGE-PARTITIONED JOIN: fact and dim co-bucketed on the join
     // key; with KeyGroupedPartitioning reported by both scans the join
     // plans with ZERO Exchange on either side (plan pinned in
@@ -790,6 +820,16 @@ object LakeQueries {
          |WHERE o_orderdate >= DATE '1995-01-01'
          |  AND o_orderdate < DATE '1995-04-01'
          |GROUP BY 1""".stripMargin,
+    // untouched partitions from the load + the overwritten one anew
+    "lake_dynamic_overwrite" ->
+      s"""$snapshotCte
+         |SELECT o_orderpriority AS pri, o_orderkey AS k,
+         |       o_totalprice AS price
+         |FROM prev WHERE o_orderpriority <> '1-URGENT'
+         |UNION ALL
+         |SELECT o_orderpriority AS pri, o_orderkey AS k,
+         |       o_totalprice + 0.5 AS price
+         |FROM newest WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     // the co-bucketed join, restated as a plain join over the sources
     "lake_spj" ->
       s"""$snapshotCte

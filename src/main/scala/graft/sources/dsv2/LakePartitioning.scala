@@ -1,6 +1,6 @@
 package graft.sources.dsv2
 
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -165,6 +165,65 @@ object LakePartitioning {
                 off: Int): Any =
       if (row.isNullAt(srcIdx + off)) null
       else eval(row.get(srcIdx + off, srcType))
+
+    /** EXACT transform: the tuple value determines every row's source
+      * value (identity, and days over DATE where the ordinal IS the
+      * value) — all comparisons decide precisely.
+      */
+    val exact: Boolean = t match {
+      case _: PIdentity => true
+      case _: PDays     => srcType == DateType
+      case _            => false
+    }
+
+    private val DayMicros = 86400000000L
+
+    /** Is `v` (internal) the SMALLEST source value of its partition?
+      * What lets `src >= v` fully cover the boundary partition — the
+      * strict-projection boundary case (Iceberg's Projections.strict).
+      */
+    def isFloorOf(v: Any): Boolean = t match {
+      case _: PIdentity => true
+      case _: PBucket   => false
+      case PTruncate(w, _) => v match {
+        case i: Int        => Math.floorMod(i, w) == 0
+        case l: Long       => Math.floorMod(l, w.toLong) == 0L
+        case u: UTF8String => u.numChars <= w
+        case _             => false
+      }
+      case _ =>
+        val midnight = srcType == DateType ||
+          Math.floorMod(v.asInstanceOf[Long], DayMicros) == 0L
+        lazy val d = java.time.LocalDate.ofEpochDay(epochDays(v).toLong)
+        t match {
+          case _: PDays   => midnight
+          case _: PMonths => midnight && d.getDayOfMonth == 1
+          case _          => midnight && d.getDayOfYear == 1
+        }
+    }
+
+    /** Is `v` the LARGEST source value of its partition? (`src <= v`
+      * then fully covers the boundary partition.)
+      */
+    def isCeilOf(v: Any): Boolean = t match {
+      case _: PIdentity => true
+      case _: PBucket   => false
+      case PTruncate(w, _) => v match {
+        case i: Int  => Math.floorMod(i, w) == w - 1
+        case l: Long => Math.floorMod(l, w.toLong) == w - 1L
+        case _       => false // strings: every prefix extends upward
+      }
+      case _ =>
+        val lastMicro = srcType != DateType &&
+          Math.floorMod(v.asInstanceOf[Long], DayMicros) == DayMicros - 1
+        val dayCeil = srcType == DateType || lastMicro
+        lazy val d = java.time.LocalDate.ofEpochDay(epochDays(v).toLong)
+        t match {
+          case _: PDays   => dayCeil
+          case _: PMonths => dayCeil && d.getDayOfMonth == d.lengthOfMonth
+          case _          => dayCeil && d.getDayOfYear == d.lengthOfYear
+        }
+    }
   }
 
   /** Bind `spec` against a schema by (case-insensitive) source-column
@@ -274,7 +333,21 @@ object LakePartitioning {
     * row satisfying `f` on the source column? Conservative: true unless
     * provably not.
     */
-  private def slotMightMatch(b: Bound, slot: String, f: Filter): Boolean = {
+  /** `col <=> lit` with a non-null literal IS `col = lit`; with a null
+    * literal it names exactly the null partition. Spark sends the
+    * null-safe form for static `PARTITION (p = v)` specs.
+    */
+  private def normalize(f: Filter): Filter = f match {
+    case EqualNullSafe(c, v) if v != null => EqualTo(c, v)
+    case other                            => other
+  }
+
+  private def slotMightMatch(b: Bound, slot: String, f0: Filter): Boolean = {
+    val f = normalize(f0)
+    f match {
+      case EqualNullSafe(_, null) => return slot == "n"
+      case _                      => ()
+    }
     val lit = f match {
       case EqualTo(_, v)            => v
       case GreaterThan(_, v)        => v
@@ -294,22 +367,110 @@ object LakePartitioning {
       case _: EqualTo => c == 0
       case _: GreaterThan =>
         if (!b.monotonic) true
-        // identity is exact; other monotonic transforms collapse ranges,
-        // so the boundary tuple can still hold strictly-greater rows
-        else if (b.t.isInstanceOf[PIdentity]) c > 0
-        else c >= 0
+        // exact transforms compare precisely; other monotonic ones
+        // collapse ranges, so the boundary tuple can still hold
+        // strictly-greater rows — unless the literal is the
+        // partition's CEILING (then every row of it is <= the literal)
+        else if (b.exact) c > 0
+        else c > 0 || (c == 0 && !b.isCeilOf(internal))
       case _: GreaterThanOrEqual => !b.monotonic || c >= 0
       case _: LessThan =>
         if (!b.monotonic) true
-        else if (b.t.isInstanceOf[PIdentity]) c < 0
-        else c <= 0
+        else if (b.exact) c < 0
+        // boundary: a literal at the partition's FLOOR leaves no room
+        // below it inside that partition
+        else c < 0 || (c == 0 && !b.isFloorOf(internal))
       case _: LessThanOrEqual => !b.monotonic || c <= 0
       case _ => true
     }
   }
 
+  /** Do ALL rows of a file with tuple slot `slot` (for `b`) satisfy
+    * `f`? The dual of [[slotMightMatch]] — identity is exact, a
+    * monotonic transform proves STRICT comparisons one tuple away from
+    * the boundary (p > t(L) ⇒ every row > L, by monotonicity), bucket
+    * proves nothing. False on any uncertainty.
+    */
+  private def slotMustMatch(b: Bound, slot: String, f0: Filter): Boolean = {
+    val f = normalize(f0)
+    f match {
+      // a null slot means EVERY row's source is null: <=> NULL holds
+      case EqualNullSafe(_, null) => return slot == "n"
+      case _                      => ()
+    }
+    val lit = f match {
+      case EqualTo(_, v)            => v
+      case GreaterThan(_, v)        => v
+      case GreaterThanOrEqual(_, v) => v
+      case LessThan(_, v)           => v
+      case LessThanOrEqual(_, v)    => v
+      case _                        => return false
+    }
+    val internal = liftLiteral(lit, b.srcType).getOrElse(return false)
+    val p = decodeSlot(b, slot).getOrElse(return false)
+    if (p == null) return false // null rows fail every comparison
+    if (!b.monotonic) return false // bucket: no row-level proof
+    val c = cmpOut(b.outType, p, b.eval(internal)).getOrElse(return false)
+    // boundary partitions decide when the literal sits ON the boundary
+    // (the strict-projection rule): `src >= 2024-02-01` fully covers
+    // the February months() partition because Feb 1 is its floor
+    f match {
+      case _: EqualTo            => b.exact && c == 0
+      case _: GreaterThan        => c > 0
+      case _: GreaterThanOrEqual =>
+        c > 0 || (c == 0 && b.isFloorOf(internal))
+      case _: LessThan           => c < 0
+      case _: LessThanOrEqual    =>
+        c < 0 || (c == 0 && b.isCeilOf(internal))
+      case _                     => false
+    }
+  }
+
+  /** Partition-aligned OVERWRITE coverage: which of `files` are FULLY
+    * covered by the conjunction of `filters` (remove), which provably
+    * contain NO matching row (keep) — and fail loud on any file the
+    * tuples cannot decide, because a static overwrite that rewrites
+    * half a file is data loss. Right = file names to remove; Left = a
+    * message naming the first undecidable (file, filter).
+    */
+  def overwriteCoverage(files: Seq[String],
+                        parts: Map[String, Seq[String]],
+                        bound: Seq[Bound], filters: Array[Filter])
+      : Either[String, Seq[String]] = {
+    val byCol: Map[String, Seq[(Bound, Int)]] = bound.zipWithIndex
+      .groupBy(_._1.t.col.toLowerCase)
+    val removed = Seq.newBuilder[String]
+    files.foreach { file =>
+      val tuple = parts.getOrElse(file, return Left(
+        s"file $file carries no partition tuple — a pre-partitioning " +
+          "vintage cannot be overwritten by filter; compact first"))
+      if (tuple.length != bound.length) return Left(
+        s"file $file has a stale-arity tuple")
+      // per filter: must (all rows), might (any row)
+      val decisions = filters.map { f =>
+        val bs = filterColumn(f).map(_.toLowerCase).flatMap(byCol.get)
+          .getOrElse(return Left(
+            s"overwrite condition $f is not on a partition source " +
+              "column — not partition-aligned"))
+        val must = bs.exists { case (b, i) => slotMustMatch(b, tuple(i), f) }
+        val might = bs.forall { case (b, i) =>
+          slotMightMatch(b, tuple(i), f)
+        }
+        (must, might)
+      }
+      if (decisions.forall(_._1)) removed += file
+      else if (decisions.exists(!_._2)) () // provably untouched: keep
+      else return Left(
+        s"overwrite condition ${filters.mkString(" AND ")} splits file " +
+          s"$file (tuple ${tuple.mkString("[", ",", "]")}) — the " +
+          "condition must align with partition boundaries")
+    }
+    Right(removed.result())
+  }
+
   private def filterColumn(f: Filter): Option[String] = f match {
     case EqualTo(c, _)            => Some(c)
+    case EqualNullSafe(c, _)      => Some(c)
     case GreaterThan(c, _)        => Some(c)
     case GreaterThanOrEqual(c, _) => Some(c)
     case LessThan(c, _)           => Some(c)

@@ -105,7 +105,10 @@ class LakeTable(tableName: String, val dir: String,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(dir, schema, pinnedVersion,
@@ -124,10 +127,38 @@ class LakeTable(tableName: String, val dir: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to time-travel read $name")
-    new WriteBuilder {
+    // INSERT INTO appends; INSERT OVERWRITE arrives as either dynamic
+    // partition overwrite (replace exactly the partitions the write
+    // produces) or a filter overwrite (static partition spec /
+    // truncate) — both resolve to a file-level replace at commit time
+    // ([[LakeOverwrite]]), atomic under the same manifest conflict
+    // rules as DML.
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var mode: LakeOverwrite = LakeOverwrite.Append
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        require(LakePartitioning.specOf(dir).nonEmpty,
+          s"$name is unpartitioned — dynamic partition overwrite has " +
+            "nothing to key on (use plain INSERT OVERWRITE)")
+        mode = LakeOverwrite.Dynamic
+        this
+      }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        mode = LakeOverwrite.ByFilters(filters)
+        this
+      }
       override def build(): Write =
-        new LakeWrite(dir, info.schema(), replaceFiles = null, "append",
-          branch, queryId = info.queryId())
+        new LakeWrite(dir, info.schema(), replaceFiles = null,
+          mode match {
+            case LakeOverwrite.Append => "append"
+            case LakeOverwrite.Dynamic => "overwrite_dynamic"
+            case LakeOverwrite.ByFilters(fs)
+                if fs.forall(_.isInstanceOf[
+                  org.apache.spark.sql.sources.AlwaysTrue]) => "truncate"
+            case _ => "overwrite"
+          },
+          branch, queryId = info.queryId(), overwrite = mode)
     }
   }
 
@@ -758,11 +789,26 @@ case class LakeFileMessage(files: Seq[StagedLakeFile])
   * copy-on-write swap. Replaced files stay ON DISK (time travel /
   * rollback / CDC read them); [[LakeLog.expire]] reclaims them.
   */
+/** How a batch write treats the EXISTING file set at commit. */
+sealed trait LakeOverwrite
+object LakeOverwrite {
+  /** Plain append (or a row-level op's replace via `replaceFiles`). */
+  case object Append extends LakeOverwrite
+  /** Replace exactly the partitions the write produced tuples for. */
+  case object Dynamic extends LakeOverwrite
+  /** Replace the files fully covered by the filters (static partition
+    * overwrite / truncate); fails loud when a filter splits a file.
+    */
+  final case class ByFilters(filters: Array[Filter]) extends LakeOverwrite
+}
+
 class LakeWrite(dir: String, writeSchema: StructType,
                 replaceFiles: () => Seq[String],
                 opName: String,
                 branch: Option[String] = None,
-                queryId: String = "") extends Write
+                queryId: String = "",
+                overwrite: LakeOverwrite = LakeOverwrite.Append)
+    extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   /** Partitioned tables ask Spark to CLUSTER incoming rows by the
@@ -884,25 +930,75 @@ class LakeWrite(dir: String, writeSchema: StructType,
         (dest.getName, s.rows, s.tuple)
       }
       // the replaced groups leave the MANIFEST only — their bytes remain
-      // for time travel until an explicit expire
-      val removed = Option(replaceFiles).map(_().map(f =>
-        new Path(f).getName)).getOrElse(Seq.empty)
+      // for time travel until an explicit expire. For overwrites the
+      // replace set is computed against the CURRENT snapshot: dynamic
+      // replaces the partitions this write produced, filter overwrite
+      // the files its condition fully covers (fails loud when a filter
+      // would split a file — that needs a rewrite, not an overwrite).
+      // A file appended concurrently into an overwritten partition is
+      // not in this head and survives (snapshot-isolation overwrite:
+      // we replace what we could see; the commit still conflicts if a
+      // covered file was itself rewritten).
+      // a failure from here on (replace conflict, unaligned overwrite)
+      // aborts the operation — the freshly-published UUID names are in
+      // no manifest, so deleting them is safe and keeps the table dir
+      // free of invisible orphans
+      def cleanupPublished(): Unit =
+        published.foreach { case (n, _, _) =>
+          try fs.delete(new Path(dir, n), false)
+          catch { case _: java.io.IOException => () }
+        }
+      // our own just-published names can appear in a raw dir listing
+      // (unlogged-dir fallback) — never in the replace set
+      val publishedNames = published.map(_._1).toSet
+      def currentState
+          : (Seq[String], Map[String, Seq[String]]) = {
+        val head = LakeLog.current(dir, branch)
+        (head.map(_.files).getOrElse(LakeLog.rawDataFiles(dir))
+          .filterNot(publishedNames),
+          head.map(_.parts).getOrElse(Map.empty))
+      }
+      val removed =
+        try overwrite match {
+          case LakeOverwrite.Append =>
+            Option(replaceFiles).map(_().map(f =>
+              new Path(f).getName)).getOrElse(Seq.empty)
+          case LakeOverwrite.Dynamic =>
+            val (cur, parts) = currentState
+            val untupled = cur.filterNot(parts.contains)
+            require(untupled.isEmpty,
+              s"dynamic overwrite of $dir: current files without " +
+                s"partition tuples (${untupled.take(3).mkString(", ")}…)" +
+                " cannot be matched to written partitions; compact first")
+            val written = published.collect { case (_, _, Some(t)) => t }
+              .toSet
+            cur.filter(f => parts.get(f).exists(written.contains))
+          case LakeOverwrite.ByFilters(filters)
+              if filters.forall(_.isInstanceOf[
+                org.apache.spark.sql.sources.AlwaysTrue]) =>
+            currentState._1 // truncate: replace everything current
+          case LakeOverwrite.ByFilters(filters) =>
+            val (cur, parts) = currentState
+            val spec = LakePartitioning.specOf(dir)
+            require(spec.nonEmpty,
+              s"filter overwrite of unpartitioned $dir: only a full " +
+                "INSERT OVERWRITE (truncate) is partition-aligned there")
+            LakePartitioning.overwriteCoverage(cur, parts,
+              LakePartitioning.bind(spec, LakeTableIO.tableSchema(dir)),
+              filters) match {
+              case Right(rm) => rm
+              case Left(msg) =>
+                throw new UnsupportedOperationException(
+                  s"graft_lake overwrite of $dir: $msg")
+            }
+        } catch { case e: Throwable => cleanupPublished(); throw e }
       try LakeLog.commit(dir, opName, published.map(_._1).toSeq, removed,
         published.map(_._2).sum, branch = branch,
         addedParts = published.collect {
           case (n, _, Some(t)) => n -> t
         }.toMap)
       catch {
-        case e: Throwable =>
-          // a replace conflict (another writer rewrote a covered file
-          // first) aborts this operation — the freshly-published UUID
-          // names are in no manifest, so deleting them is safe and
-          // keeps the table dir free of invisible orphans
-          published.foreach { case (n, _, _) =>
-            try fs.delete(new Path(dir, n), false)
-            catch { case _: java.io.IOException => () }
-          }
-          throw e
+        case e: Throwable => cleanupPublished(); throw e
       }
     }
 

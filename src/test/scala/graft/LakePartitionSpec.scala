@@ -222,6 +222,84 @@ class LakePartitionSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE: static partition spec replaces exactly that " +
+       "partition, dynamic mode replaces exactly the written ones, a " +
+       "plain overwrite truncates, a month-aligned range replaces the " +
+       "month, and a condition that splits a partition fails loud") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.ow (region STRING, x BIGINT) " +
+        "PARTITIONED BY (region)")
+      spark.sql(s"INSERT INTO $cat.db.ow SELECT concat('r', id % 5), id " +
+        "FROM range(0, 500, 1, 5)")
+      // static: INSERT OVERWRITE ... PARTITION (region = 'r1')
+      spark.sql(s"INSERT OVERWRITE $cat.db.ow PARTITION (region = 'r1') " +
+        "SELECT id FROM range(3)")
+      assert(spark.table(s"$cat.db.ow")
+        .where("region = 'r1'").count() == 3)
+      assert(spark.table(s"$cat.db.ow")
+        .where("region <> 'r1'").count() == 400, "other partitions intact")
+
+      // dynamic: only the partitions the write PRODUCES are replaced
+      val prevMode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        spark.sql(s"INSERT OVERWRITE $cat.db.ow " +
+          "SELECT 'r2', id FROM range(7)")
+        assert(spark.table(s"$cat.db.ow")
+          .where("region = 'r2'").count() == 7)
+        assert(spark.table(s"$cat.db.ow")
+          .where("region = 'r3'").count() == 100, "untouched partition")
+        assert(spark.table(s"$cat.db.ow")
+          .where("region = 'r1'").count() == 3)
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+
+      // plain overwrite under static mode truncates the whole table
+      spark.sql(s"INSERT OVERWRITE $cat.db.ow " +
+        "SELECT concat('s', id % 2), id FROM range(20)")
+      assert(spark.table(s"$cat.db.ow").count() == 20)
+      assert(LakeLog.current(s"$root/db/ow").get.operation == "truncate")
+
+      // month-aligned range overwrite on a months() layout
+      spark.sql(s"CREATE TABLE $cat.db.om (d DATE, x BIGINT) " +
+        "PARTITIONED BY (months(d))")
+      spark.sql(s"INSERT INTO $cat.db.om SELECT " +
+        "date_add(DATE'2024-01-10', CAST(id % 80 AS INT)), id " +
+        "FROM range(0, 800, 1, 4)")
+      val febBefore = spark.table(s"$cat.db.om")
+        .where("d >= DATE'2024-02-01' AND d < DATE'2024-03-01'").count()
+      assert(febBefore > 0)
+      val otherBefore = spark.table(s"$cat.db.om")
+        .where("d < DATE'2024-02-01' OR d >= DATE'2024-03-01'").count()
+      spark.range(5).selectExpr("DATE'2024-02-15' AS d", "id AS x")
+        .writeTo(s"$cat.db.om")
+        .overwrite(org.apache.spark.sql.functions.col("d") >=
+          java.sql.Date.valueOf("2024-02-01") &&
+          org.apache.spark.sql.functions.col("d") <
+            java.sql.Date.valueOf("2024-03-01"))
+      assert(spark.table(s"$cat.db.om")
+        .where("d >= DATE'2024-02-01' AND d < DATE'2024-03-01'")
+        .count() == 5)
+      assert(spark.table(s"$cat.db.om")
+        .where("d < DATE'2024-02-01' OR d >= DATE'2024-03-01'")
+        .count() == otherBefore, "other months intact")
+
+      // a mid-month boundary splits the February partition: fail loud
+      val before = spark.table(s"$cat.db.om").count()
+      val e = intercept[Exception] {
+        spark.range(1).selectExpr("DATE'2024-02-20' AS d", "id AS x")
+          .writeTo(s"$cat.db.om")
+          .overwrite(org.apache.spark.sql.functions.col("d") >=
+            java.sql.Date.valueOf("2024-02-15"))
+      }
+      assert(e.getMessage != null)
+      assert(spark.table(s"$cat.db.om").count() == before,
+        "failed overwrite must leave the table untouched")
+    }
+  }
+
   test("bad specs fail at CREATE, not first INSERT: unknown transform, " +
        "missing source column, inadmissible source type") {
     withCatalog { (cat, _) =>
