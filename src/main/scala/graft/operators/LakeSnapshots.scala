@@ -168,13 +168,27 @@ object LakeSnapshots {
       try fs.delete(new Path(dir, n), false)
       catch { case _: java.io.IOException => () })
 
+  /** Group file names by their hidden-partitioning tuple (None =
+    * tuple-less / unpartitioned). Every maintenance rewrite operates
+    * WITHIN these groups: a rewritten file inherits its group's tuple,
+    * so partition pruning, storage-partitioned joins, and dynamic
+    * overwrite survive compaction — mixing partitions in one output
+    * file would silently discard the layout DML paid to create.
+    */
+  private def byTuple(parts: Map[String, Seq[String]],
+                      files: Seq[String])
+      : Seq[(Option[Seq[String]], Seq[String])] =
+    files.groupBy(parts.get).toSeq.sortBy(_._2.head)
+
   /** Rewrite the table clustered by the interleaved z-value of `cols`
     * (numeric), as a `dataChange=false` commit — same rows, new layout
     * with tight per-file/row-group min-max rectangles on EVERY listed
     * dimension, so footer-stats pruning works for predicates on any of
     * them (a single-column sort clusters one dim and scatters the
     * rest). The min/max handshake is one metadata-scale aggregate;
-    * everything else is integer shifts. Returns
+    * everything else is integer shifts. On a partitioned table the
+    * clustering runs per partition (`targetFiles` spreads across
+    * partitions proportionally to bytes). Returns
     * (files before, files after).
     */
   def zorder(spark: SparkSession, dir: String, cols: Seq[String],
@@ -186,10 +200,7 @@ object LakeSnapshots {
       s"$dir has no snapshot log to cluster"))
     if (head.files.isEmpty) return (0, 0)
     val fs = new Path(dir).getFileSystem(new Configuration())
-    val srcPaths = head.files.map(new Path(dir, _))
-    val srcRows = LakeTableIO.footerRows(srcPaths)
-    val df = spark.read.schema(LakeTableIO.tableSchema(dir))
-      .parquet(srcPaths.map(_.toString): _*)
+    val srcRows = LakeTableIO.footerRows(head.files.map(new Path(dir, _)))
     // 16 bits/dim caps the z at 2^32 well inside Long; `1L <<` because
     // the single-column case (bits=32 under the old Int math) wrapped
     // (1 << 32) - 1 to 0 and normalized every row to bucket zero
@@ -202,44 +213,68 @@ object LakeSnapshots {
     def lo(i: Int) = s"__lo_${tag}_$i"
     def hi(i: Int) = s"__hi_${tag}_$i"
     val zCol = s"__zval_$tag"
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(c).cast("double").as(lo(i)),
-        max(c).cast("double").as(hi(i)))
-    }
-    val mm = df.agg(aggs.head, aggs.tail: _*)
-    val n = df.crossJoin(broadcast(mm))
-    val normed = cols.zipWithIndex.map { case (c, i) =>
-      floor((col(c).cast("double") - col(lo(i))) * lit((1L << bits) - 1) /
-        greatest(col(hi(i)) - col(lo(i)), lit(1.0d))).cast("long")
-    }
-    val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {
-      case (nc, d) =>
-        shiftleft(shiftright(nc, b).bitwiseAND(1), b * cols.size + d)
-    }).reduce(_ + _)
+    val groups = byTuple(head.parts, head.files)
+    val sizeOf = head.files.map(f =>
+      f -> fs.getFileStatus(new Path(dir, f)).getLen).toMap
+    val totalBytes = math.max(1L, sizeOf.values.sum)
     val stage = new Path(dir, s".zorder-${UUID.randomUUID()}")
     try {
-      withMicrosTimestamps(spark) {
-        n.withColumn(zCol, z)
-          .repartitionByRange(targetFiles, col(zCol))
-          .sortWithinPartitions(zCol)
-          .select(df.columns.map(col): _*)
-          .write.parquet(stage.toString)
+      // cluster WITHIN each partition group (min/max normalization per
+      // group — tighter rectangles than global bounds anyway); the
+      // single-group case is the unpartitioned table
+      val stagedByGroup = groups.zipWithIndex.map {
+        case ((tuple, files), gi) =>
+          val df = spark.read.schema(LakeTableIO.tableSchema(dir))
+            .parquet(files.map(f => s"$dir/$f"): _*)
+          val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(min(c).cast("double").as(lo(i)),
+              max(c).cast("double").as(hi(i)))
+          }
+          val mm = df.agg(aggs.head, aggs.tail: _*)
+          val n = df.crossJoin(broadcast(mm))
+          val normed = cols.zipWithIndex.map { case (c, i) =>
+            floor((col(c).cast("double") - col(lo(i))) *
+              lit((1L << bits) - 1) /
+              greatest(col(hi(i)) - col(lo(i)), lit(1.0d))).cast("long")
+          }
+          val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {
+            case (nc, d) =>
+              shiftleft(shiftright(nc, b).bitwiseAND(1), b * cols.size + d)
+          }).reduce(_ + _)
+          val nOut = math.max(1, math.round(targetFiles.toDouble *
+            files.map(sizeOf).sum / totalBytes).toInt)
+          val gStage = new Path(stage, s"g$gi")
+          withMicrosTimestamps(spark) {
+            n.withColumn(zCol, z)
+              .repartitionByRange(nOut, col(zCol))
+              .sortWithinPartitions(zCol)
+              .select(df.columns.map(col): _*)
+              .write.parquet(gStage.toString)
+          }
+          val staged = fs.listStatus(gStage).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath)
+          (tuple, staged)
       }
-      val staged = fs.listStatus(stage).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
-      val stagedRows = LakeTableIO.footerRows(staged)
+      val stagedRows = LakeTableIO.footerRows(stagedByGroup.flatMap(_._2))
       require(stagedRows == srcRows,
         s"zorder would lose rows: staged $stagedRows != source $srcRows")
-      val published = staged.map { p =>
-        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-        if (!fs.rename(p, dest))
-          throw new java.io.IOException(s"failed to publish $p -> $dest")
-        dest.getName
+      val published = stagedByGroup.flatMap { case (tuple, staged) =>
+        staged.map { p =>
+          val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+          if (!fs.rename(p, dest))
+            throw new java.io.IOException(s"failed to publish $p -> $dest")
+          (dest.getName, tuple)
+        }
       }
-      try LakeLog.commit(dir, s"zorder(${cols.mkString(",")})", published,
-        head.files, addedRows = 0L, dataChange = false)
-      catch { case e: Throwable => unpublish(fs, dir, published); throw e }
+      try LakeLog.commit(dir, s"zorder(${cols.mkString(",")})",
+        published.map(_._1), head.files, addedRows = 0L,
+        dataChange = false,
+        addedParts = published.collect {
+          case (n, Some(t)) => n -> t
+        }.toMap)
+      catch { case e: Throwable =>
+        unpublish(fs, dir, published.map(_._1)); throw e }
       (head.files.size, published.size)
     } finally fs.delete(stage, true)
   }
@@ -271,35 +306,52 @@ object LakeSnapshots {
     // materializes them first (after which they compact normally)
     val small = sized.filter(_._2 < targetBytes)
       .filterNot { case (f, _) => head.dvs.contains(f) }
-    if (small.size < 2) return (head.files.size, head.files.size)
-    val srcPaths = small.map { case (f, _) => new Path(dir, f) }
-    val srcRows = LakeTableIO.footerRows(srcPaths)
-    val nOut = math.max(1, math.ceil(
-      small.map(_._2).sum.toDouble / targetBytes).toInt)
+    // bin within each partition group — merging across partitions would
+    // strip the merged file of any tuple; a group with one small file
+    // has nothing to merge
+    val groups = byTuple(head.parts, small.map(_._1))
+      .filter(_._2.size >= 2)
+    if (groups.isEmpty) return (head.files.size, head.files.size)
+    val sizeOf = small.toMap
+    val compacted = groups.flatMap(_._2)
+    val srcRows = LakeTableIO.footerRows(compacted.map(new Path(dir, _)))
     val stage = new Path(dir, s".compact-${UUID.randomUUID()}")
     try {
-      withMicrosTimestamps(spark) {
-        spark.read.schema(LakeTableIO.tableSchema(dir))
-          .parquet(srcPaths.map(_.toString): _*)
-          .repartition(nOut)
-          .write.parquet(stage.toString)
+      val stagedByGroup = groups.zipWithIndex.map {
+        case ((tuple, files), gi) =>
+          val nOut = math.max(1, math.ceil(
+            files.map(sizeOf).sum.toDouble / targetBytes).toInt)
+          val gStage = new Path(stage, s"g$gi")
+          withMicrosTimestamps(spark) {
+            spark.read.schema(LakeTableIO.tableSchema(dir))
+              .parquet(files.map(f => s"$dir/$f"): _*)
+              .repartition(nOut)
+              .write.parquet(gStage.toString)
+          }
+          val staged = fs.listStatus(gStage).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath)
+          (tuple, staged)
       }
-      val staged = fs.listStatus(stage).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
-      val stagedRows = LakeTableIO.footerRows(staged)
+      val stagedRows = LakeTableIO.footerRows(stagedByGroup.flatMap(_._2))
       require(stagedRows == srcRows,
         s"compaction would lose rows: staged $stagedRows != source $srcRows")
-      val published = staged.map { p =>
-        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-        if (!fs.rename(p, dest))
-          throw new java.io.IOException(s"failed to publish $p -> $dest")
-        dest.getName
+      val published = stagedByGroup.flatMap { case (tuple, staged) =>
+        staged.map { p =>
+          val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+          if (!fs.rename(p, dest))
+            throw new java.io.IOException(s"failed to publish $p -> $dest")
+          (dest.getName, tuple)
+        }
       }
-      try LakeLog.commit(dir, "compact", published, small.map(_._1),
-        addedRows = 0L, dataChange = false)
-      catch { case e: Throwable => unpublish(fs, dir, published); throw e }
-      (head.files.size, head.files.size - small.size + published.size)
+      try LakeLog.commit(dir, "compact", published.map(_._1), compacted,
+        addedRows = 0L, dataChange = false,
+        addedParts = published.collect {
+          case (n, Some(t)) => n -> t
+        }.toMap)
+      catch { case e: Throwable =>
+        unpublish(fs, dir, published.map(_._1)); throw e }
+      (head.files.size, head.files.size - compacted.size + published.size)
     } finally fs.delete(stage, true)
   }
 
@@ -327,41 +379,54 @@ object LakeSnapshots {
     val liveRows = LakeTableIO.footerRows(
       targets.map(new Path(dir, _))) - deadByFile.values.sum
     try {
-      withMicrosTimestamps(spark) {
-        // read THROUGH the stock parquet source with `_metadata
-        // .row_index` and subtract each file's positions — the same
-        // position semantics the connector's reader applies (its _pos
-        // IS the parquet row index)
-        import org.apache.spark.sql.functions.col
-        val dvRows = targets.flatMap(f =>
-          graft.sources.dsv2.LakeDv.positions(dir, head.dvs(f))
-            .map(p => (f, p)))
-        val dvDf = spark.createDataFrame(dvRows).toDF("__f", "__p")
-        spark.read.schema(schema)
-          .parquet(targets.map(f => s"$dir/$f"): _*)
-          .withColumn("__f", col("_metadata.file_name"))
-          .withColumn("__p", col("_metadata.row_index"))
-          .join(org.apache.spark.sql.functions.broadcast(dvDf),
-            Seq("__f", "__p"), "left_anti")
-          .drop("__f", "__p")
-          .write.parquet(stage.toString)
+      // read THROUGH the stock parquet source with `_metadata
+      // .row_index` and subtract each file's positions — the same
+      // position semantics the connector's reader applies (its _pos IS
+      // the parquet row index). Rewrites run per partition GROUP so the
+      // materialized files inherit their tuple.
+      import org.apache.spark.sql.functions.col
+      val groups = byTuple(head.parts, targets)
+      val stagedByGroup = groups.zipWithIndex.map {
+        case ((tuple, files), gi) =>
+          val dvRows = files.flatMap(f =>
+            graft.sources.dsv2.LakeDv.positions(dir, head.dvs(f))
+              .map(p => (f, p)))
+          val dvDf = spark.createDataFrame(dvRows).toDF("__f", "__p")
+          val gStage = new Path(stage, s"g$gi")
+          withMicrosTimestamps(spark) {
+            spark.read.schema(schema)
+              .parquet(files.map(f => s"$dir/$f"): _*)
+              .withColumn("__f", col("_metadata.file_name"))
+              .withColumn("__p", col("_metadata.row_index"))
+              .join(org.apache.spark.sql.functions.broadcast(dvDf),
+                Seq("__f", "__p"), "left_anti")
+              .drop("__f", "__p")
+              .write.parquet(gStage.toString)
+          }
+          val staged = fs.listStatus(gStage).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath)
+          (tuple, staged)
       }
-      val staged = fs.listStatus(stage).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
-      val stagedRows = LakeTableIO.footerRows(staged)
+      val stagedRows = LakeTableIO.footerRows(stagedByGroup.flatMap(_._2))
       require(stagedRows == liveRows,
         s"rewriteDeletes would change contents: staged $stagedRows " +
           s"!= live $liveRows")
-      val published = staged.map { p =>
-        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-        if (!fs.rename(p, dest))
-          throw new java.io.IOException(s"failed to publish $p -> $dest")
-        dest.getName
+      val published = stagedByGroup.flatMap { case (tuple, staged) =>
+        staged.map { p =>
+          val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+          if (!fs.rename(p, dest))
+            throw new java.io.IOException(s"failed to publish $p -> $dest")
+          (dest.getName, tuple)
+        }
       }
-      try LakeLog.commit(dir, "rewrite_deletes", published, targets,
-        addedRows = 0L, dataChange = false)
-      catch { case e: Throwable => unpublish(fs, dir, published); throw e }
+      try LakeLog.commit(dir, "rewrite_deletes", published.map(_._1),
+        targets, addedRows = 0L, dataChange = false,
+        addedParts = published.collect {
+          case (n, Some(t)) => n -> t
+        }.toMap)
+      catch { case e: Throwable =>
+        unpublish(fs, dir, published.map(_._1)); throw e }
       (targets.size, deadByFile.values.sum)
     } finally fs.delete(stage, true)
   }

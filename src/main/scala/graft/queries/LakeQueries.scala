@@ -320,6 +320,24 @@ object LakeQueries {
         .agg(count("*").as("n"), sum("price").as("total"))
     }),
 
+    // PARTITIONS METADATA TABLE (`db.t.partitions`): one row per live
+    // partition with typed transform values and manifest-derived LIVE
+    // row counts — pure driver metadata, no data read. The oracle
+    // recomputes the same inventory with a GROUP BY over the month
+    // ordinal, so a mis-tupled file or a wrong live count mismatches.
+    "lake_partitions_meta" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_pmeta")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, d DATE, price DOUBLE) " +
+        "PARTITIONED BY (months(d))")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderdate AS d",
+        "o_totalprice AS price").createOrReplaceTempView("lake_pmeta_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_pmeta_src")
+      s.sql(s"DELETE FROM $tbl WHERE k % 4 = 1") // live counts, not raw
+      s.table(s"$tbl.partitions").selectExpr("d_months", "row_count")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
     // exactly the partitions the write PRODUCES (here the single
     // '1-URGENT' identity partition), never the rest — resolved to a
@@ -819,6 +837,15 @@ object LakeQueries {
          |FROM prev
          |WHERE o_orderdate >= DATE '1995-01-01'
          |  AND o_orderdate < DATE '1995-04-01'
+         |GROUP BY 1""".stripMargin,
+    // the partition inventory, recomputed as a plain GROUP BY over the
+    // surviving rows' month ordinals
+    "lake_partitions_meta" ->
+      s"""$snapshotCte
+         |SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+         |         AS d_months,
+         |       count(*) AS row_count
+         |FROM prev WHERE o_orderkey % 4 <> 1
          |GROUP BY 1""".stripMargin,
     // untouched partitions from the load + the overwritten one anew
     "lake_dynamic_overwrite" ->

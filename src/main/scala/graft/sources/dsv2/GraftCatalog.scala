@@ -98,6 +98,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             (catalogName +: ident.namespace.toSeq :+ "changes")
               .mkString("."), parentDir.toString)
       }
+      // `db.t.partitions` — the partition-inventory metadata table
+      if (ident.name == "partitions" && ident.namespace.nonEmpty) {
+        val parentIdent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        val parentDir = tableDir(parentIdent)
+        if (fs.exists(parentDir))
+          return new LakePartitionsTable(
+            (catalogName +: ident.namespace.toSeq :+ "partitions")
+              .mkString("."), parentDir.toString)
+      }
       throw new NoSuchTableException(ident)
     }
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)

@@ -1,0 +1,112 @@
+package graft.sources.dsv2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `db.t.partitions` — the partition-inventory METADATA table
+  * (Iceberg's spelling): one row per live partition tuple with its
+  * transform values (typed output columns), file count, and LIVE row
+  * count (manifest row counts minus deletion-vector positions). Pure
+  * driver metadata — no data file is opened when every file carries
+  * manifest stats; stat-less legacy vintages cost one footer read.
+  *
+  * Unpartitioned tables yield the single all-files row; a tuple-less
+  * file in a partitioned table (hand-dropped into the dir) groups
+  * under all-null transform values rather than vanishing.
+  */
+class LakePartitionsTable(tableName: String, dir: String) extends Table
+    with SupportsRead {
+
+  private val bound: Seq[LakePartitioning.Bound] = {
+    val spec = LakePartitioning.specOf(dir)
+    if (spec.isEmpty) Seq.empty
+    else LakePartitioning.bind(spec, LakeTableIO.tableSchema(dir))
+  }
+
+  /** Output column name per transform: identity keeps the source name,
+    * everything else suffixes the function.
+    */
+  private def colName(b: LakePartitioning.Bound): String = b.t match {
+    case LakePartitioning.PIdentity(c)    => c
+    case LakePartitioning.PBucket(_, c)   => s"${c}_bucket"
+    case LakePartitioning.PTruncate(_, c) => s"${c}_trunc"
+    case LakePartitioning.PDays(c)        => s"${c}_days"
+    case LakePartitioning.PMonths(c)      => s"${c}_months"
+    case LakePartitioning.PYears(c)       => s"${c}_years"
+  }
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = StructType(
+    bound.map(b => StructField(colName(b), b.outType, nullable = true)) ++
+      Seq(StructField("file_count", LongType, nullable = false),
+        StructField("row_count", LongType, nullable = false)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new Scan with Batch {
+      override def readSchema(): StructType = schema
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"graft_lake partitions metadata of $dir"
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val (files, dvs, stats, parts) = LakeTableIO.snapshotView(dir)
+        def liveRows(fileName: String, path: org.apache.hadoop.fs.Path)
+            : Long = {
+          val rows = stats.get(fileName).map(_.rows)
+            .getOrElse(LakeTableIO.footerRows(Seq(path)))
+          val dead = dvs.get(fileName)
+            .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
+          math.max(0L, rows - dead)
+        }
+        val rows = files
+          .groupBy(f => parts.get(f.getName))
+          .toSeq
+          .map { case (tuple, fs0) =>
+            val slots: Seq[Any] = tuple match {
+              case Some(t) if t.length == bound.length =>
+                bound.zip(t).map { case (b, s) =>
+                  LakePartitioning.decodeSlot(b, s).getOrElse(null)
+                }
+              case _ => bound.map(_ => null)
+            }
+            slots ++ Seq(fs0.size.toLong,
+              fs0.map(f => liveRows(f.getName, f)).sum)
+          }
+        Array(LakeMetaRowsPartition(rows))
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(
+              p: InputPartition): PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val it =
+                p.asInstanceOf[LakeMetaRowsPartition].rows.iterator
+              private var cur: InternalRow = _
+              override def next(): Boolean = it.hasNext && {
+                cur = InternalRow.fromSeq(it.next()); true
+              }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+        }
+    }
+}
+
+/** Driver-computed metadata rows, shipped pre-decoded (internal
+  * values) in the single partition.
+  */
+case class LakeMetaRowsPartition(rows: Seq[Seq[Any]])
+    extends InputPartition

@@ -300,6 +300,72 @@ class LakePartitionSpec extends SparkSpec {
     }
   }
 
+  test("maintenance stays inside partitions: compact merges only " +
+       "within a tuple, rewrite_deletes re-tuples materialized files, " +
+       "zorder clusters per partition — and the partitions metadata " +
+       "table reports live counts through it all") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.mt (k BIGINT, g BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(3, g)) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      // several small files per bucket: 4 inserts × 3 buckets
+      (0 until 4).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.db.mt SELECT id, id % 11, " +
+          s"concat('v$i', id) FROM range(${i * 100}, ${i * 100 + 100})"))
+      val dir = s"$root/db/mt"
+      assert(LakeLog.current(dir).get.files.size == 12)
+      spark.sql(s"DELETE FROM $cat.db.mt WHERE k % 5 = 0") // DVs
+      val liveByBucket = spark.table(s"$cat.db.mt")
+        .groupBy(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(
+            org.apache.spark.sql.functions.col("g")),
+          org.apache.spark.sql.functions.lit(3)).as("b"))
+        .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+      spark.sql(s"CALL $cat.system.rewrite_deletes(table => 'db.mt')")
+      val afterRw = LakeLog.current(dir).get
+      assert(afterRw.dvs.isEmpty)
+      assert(afterRw.parts.keySet == afterRw.files.toSet,
+        "rewrite_deletes lost partition tuples")
+
+      spark.sql(s"CALL $cat.system.compact(table => 'db.mt', " +
+        "target_bytes => 104857600)")
+      val afterC = LakeLog.current(dir).get
+      assert(afterC.parts.keySet == afterC.files.toSet,
+        "compaction lost partition tuples")
+      assert(afterC.files.size == 3,
+        s"one compacted file per bucket, got ${afterC.files.size}")
+      assert(afterC.parts.values.toSeq.distinct.size == 3,
+        "compaction merged across buckets")
+      assert(spark.table(s"$cat.db.mt").count() == 320)
+      // pruning still fires after maintenance: a bucket equality reads
+      // one file of three
+      assert(spark.table(s"$cat.db.mt").where("g = 7").count() ==
+        spark.table(s"$cat.db.mt").collect().count(_.getLong(1) == 7))
+
+      // partitions metadata table: per-bucket live counts
+      val meta = spark.table(s"$cat.db.mt.partitions").collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(meta.keySet == Set(0, 1, 2))
+      meta.foreach { case (b, (fc, rc)) =>
+        assert(fc == 1L)
+        assert(rc == liveByBucket(b),
+          s"bucket $b live count $rc != ${liveByBucket(b)}")
+      }
+
+      // zorder keeps tuples too
+      spark.sql(s"CALL $cat.system.zorder(table => 'db.mt', " +
+        "columns => 'k', target_files => 3)")
+      val afterZ = LakeLog.current(dir).get
+      assert(afterZ.parts.keySet == afterZ.files.toSet,
+        "zorder lost partition tuples")
+      assert(spark.table(s"$cat.db.mt").count() == 320)
+      assert(spark.table(s"$cat.db.mt.partitions")
+        .agg(org.apache.spark.sql.functions.sum("row_count")).collect()
+        .head.getLong(0) == 320)
+    }
+  }
+
   test("bad specs fail at CREATE, not first INSERT: unknown transform, " +
        "missing source column, inadmissible source type") {
     withCatalog { (cat, _) =>
