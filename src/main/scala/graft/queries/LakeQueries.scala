@@ -307,9 +307,14 @@ object LakeQueries {
       LakeCatalogs.register(s)
       val tbl = tableId(dir, "lake_part")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // partition-count discipline: months(d) alone (~80 partitions
+      // over the order-date span) — composing bucket(8,k) on top would
+      // mean ~650 tuples for this row count, a layout nobody should
+      // ship (file-per-partition costs scale with the tuple count);
+      // bucketing is exercised where it pays, the SPJ query below
       s.sql(s"CREATE TABLE $tbl " +
         "(k BIGINT, pri STRING, d DATE, price DOUBLE) " +
-        "PARTITIONED BY (bucket(8, k), months(d))")
+        "PARTITIONED BY (months(d))")
       previous(s, dir).selectExpr(s"$key AS k", "o_orderpriority AS pri",
         "o_orderdate AS d", "o_totalprice AS price")
         .createOrReplaceTempView("lake_part_src")
@@ -329,8 +334,13 @@ object LakeQueries {
       LakeCatalogs.register(s)
       val tbl = tableId(dir, "lake_pmeta")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // merge-on-read: the DELETE below lands as deletion vectors, so
+      // the inventory must subtract DV positions from manifest rows to
+      // report LIVE counts — the interesting half of the contract (a
+      // copy-on-write delete would just shrink the files)
       s.sql(s"CREATE TABLE $tbl (k BIGINT, d DATE, price DOUBLE) " +
-        "PARTITIONED BY (months(d))")
+        "PARTITIONED BY (months(d)) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
       previous(s, dir).selectExpr(s"$key AS k", "o_orderdate AS d",
         "o_totalprice AS price").createOrReplaceTempView("lake_pmeta_src")
       s.sql(s"INSERT INTO $tbl SELECT * FROM lake_pmeta_src")
