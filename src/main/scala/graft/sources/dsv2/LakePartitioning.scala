@@ -507,6 +507,49 @@ object LakePartitioning {
     (kept, files.size - kept.size)
   }
 
+  /** Runtime (DPP) membership: can a file with `tuple` contain ANY of
+    * `values` (INTERNAL form) in source column `col`? Conservative —
+    * true unless every value is provably excluded by some transform on
+    * that column. Zero I/O: pure tuple arithmetic.
+    */
+  def tupleMightContainAny(bound: Seq[Bound],
+                           tuple: Seq[String], col: String,
+                           values: Seq[Any]): Boolean = {
+    val bs = bound.zipWithIndex.filter(_._1.t.col.equalsIgnoreCase(col))
+    if (bs.isEmpty || tuple.length != bound.length) return true
+    // coerce a runtime value to the source column's internal type —
+    // a widened join key (Long vs INT column) must hash/compare as the
+    // column's own type; Some(None) = provably not a column value
+    def coerce(v: Any, t: DataType): Option[Option[Any]] = (v, t) match {
+      case (i: Int, IntegerType | DateType)   => Some(Some(i))
+      case (l: Long, LongType |
+            TimestampType | TimestampNTZType) => Some(Some(l))
+      case (i: Int, LongType)                 => Some(Some(i.toLong))
+      case (l: Long, IntegerType) =>
+        Some(if (l == l.toInt.toLong) Some(l.toInt) else None)
+      case (u: UTF8String, StringType)        => Some(Some(u))
+      case (s: String, StringType) =>
+        Some(Some(UTF8String.fromString(s)))
+      case _                                  => None // unknown: keep
+    }
+    values.exists { v =>
+      bs.forall { case (b, i) =>
+        val slot = tuple(i)
+        if (v == null) slot == "n"
+        else if (slot == "n") false
+        else coerce(v, b.srcType) match {
+          case None             => true // unconvertible: conservative
+          case Some(None)       => false // out of the column's range
+          case Some(Some(cv)) =>
+            (for {
+              p <- decodeSlot(b, slot)
+              c <- cmpOut(b.outType, p, b.eval(cv))
+            } yield c == 0).getOrElse(true)
+        }
+      }
+    }
+  }
+
   /** True when a snapshot can report KeyGroupedPartitioning: every
     * planned file carries a current-arity tuple.
     */

@@ -447,7 +447,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                stats: Map[String, LakeStats.FileStats] = Map.empty,
                parts: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
@@ -483,29 +484,130 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     LakeTableIO.planRowGroups(partFiles,
       LakeTableIO.columnRefs(projected), pushed, pruneGroups, dvs, stats)
 
-  /** Input partitions, each stamped with its file's decoded partition
-    * KEY when the snapshot is fully tupled — the handle Spark's
-    * storage-partitioned join groups by.
+  /** Stamp each split with its file's decoded partition KEY when the
+    * planned file set is fully tupled — the handle Spark's
+    * storage-partitioned join groups by. Throws IllegalStateException
+    * on an undecodable slot (callers fall back to unkeyed).
     */
-  private lazy val keyedParts: Array[InputPartition] = {
-    if (!LakePartitioning.fullyTupled(partFiles, parts, boundSpec))
-      plan.parts
-    else plan.parts.map { p =>
+  private def stampKeys(ps: Array[InputPartition],
+                        files: Seq[Path]): Array[InputPartition] =
+    if (!LakePartitioning.fullyTupled(files, parts, boundSpec)) ps
+    else ps.map { p =>
       val lp = p.asInstanceOf[LakeInputPartition]
       val tuple = parts(new Path(lp.path).getName)
       val decoded = boundSpec.zip(tuple).map { case (b, s) =>
-        // fullyTupled proved arity; an undecodable slot falls back to
-        // unkeyed (handled by the exception guard below)
         LakePartitioning.decodeSlot(b, s).getOrElse(
           throw new IllegalStateException(s"undecodable slot $s"))
       }
       lp.copy(pkey = decoded.toArray): InputPartition
     }
+
+  /** Input partitions of the static plan, keyed when possible. */
+  private lazy val keyedParts: Array[InputPartition] =
+    stampKeys(plan.parts, partFiles)
+
+  // ---- DYNAMIC (runtime) file pruning — DPP for the lake scan ------
+  //
+  // Spark's dynamic-partition-pruning machinery hands a DSv2 scan the
+  // JOIN-KEY VALUE SETS it derived from the other side of an equi-join
+  // (SupportsRuntimeV2Filtering). Files whose partition tuple or
+  // manifest stats exclude every value drop from the plan BEFORE any
+  // task launches — the star-schema contract: a fact scan joined to a
+  // filtered dim reads only the dim's partitions. Zero I/O: tuples and
+  // stats are manifest metadata. Declared attributes are the partition
+  // source columns (partition-level precision) plus the leading column
+  // (stats-level, the table's cluster key by layout convention).
+  // When this scan reports KeyGroupedPartitioning, Spark REQUIRES the
+  // filtered partitions to preserve every partition key (it re-groups
+  // them and fails loud on a vanished group), so narrowing keeps one
+  // representative file per otherwise-excluded partition — the group
+  // survives with one dead split instead of its full file set.
+  @volatile private var runtimeKept: Option[Seq[Path]] = None
+  @volatile private var runtimePruned: Int = 0
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val cols = (boundSpec.map(_.t.col) ++ tableSchema.fieldNames.take(1))
+      .distinct
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
   }
 
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    // recognize IN(col, v...) / EqualTo(col, v) — the shapes runtime
+    // filtering sends; anything unrecognized keeps every file
+    val keepSets = predicates.flatMap { p =>
+      val children = p.children()
+      val colName = children.headOption.collect {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          r.fieldNames()(0)
+      }
+      val values = children.drop(1).map {
+        case l: Literal[_] => Some(l.value)
+        case _             => None
+      }
+      p.name() match {
+        case "IN" | "=" if colName.isDefined && values.nonEmpty &&
+            values.forall(_.isDefined) =>
+          Some(colName.get -> values.flatten.toSeq)
+        case _ => None
+      }
+    }
+    if (keepSets.isEmpty) return
+    val refs = LakeTableIO.columnRefs(tableSchema)
+      .map(r => r.name.toLowerCase -> r).toMap
+    def external(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other                                       => other
+    }
+    val kept0 = partFiles.filter { f =>
+      keepSets.forall { case (c, vals) =>
+        val byTuple = parts.get(f.getName).forall(t =>
+          LakePartitioning.tupleMightContainAny(boundSpec, t, c, vals))
+        byTuple && refs.get(c.toLowerCase).forall { ref =>
+          stats.get(f.getName).forall(st =>
+            vals.exists(v => LakeStats.mightMatchFile(st, Array(ref),
+              Array(EqualTo(ref.name, external(v))))))
+        }
+      }
+    }
+    // key preservation under SPJ grouping: re-add one file per
+    // partition the narrowing would have emptied
+    val kept =
+      if (!spjKeyed) kept0
+      else {
+        val keptKeys = kept0.map(f => parts(f.getName)).toSet
+        val representatives = partFiles
+          .groupBy(f => parts(f.getName))
+          .collect { case (key, fs0) if !keptKeys.contains(key) =>
+            fs0.head
+          }
+        kept0 ++ representatives
+      }
+    runtimePruned = partFiles.size - kept.size
+    if (runtimePruned > 0) runtimeKept = Some(kept)
+  }
+
+  private def spjKeyed: Boolean =
+    try LakePartitioning.fullyTupled(partFiles, parts, boundSpec)
+    catch { case _: IllegalStateException => false }
+
   override def planInputPartitions(): Array[InputPartition] =
-    try keyedParts
-    catch { case _: IllegalStateException => plan.parts }
+    runtimeKept match {
+      case Some(kept) =>
+        val ps = LakeTableIO.planRowGroups(kept,
+          LakeTableIO.columnRefs(projected), pushed, pruneGroups, dvs,
+          stats).parts
+        // under SPJ grouping the narrowed splits still need their keys
+        try stampKeys(ps, kept)
+        catch { case _: IllegalStateException => ps }
+      case None =>
+        try keyedParts
+        catch { case _: IllegalStateException => plan.parts }
+    }
 
   /** STORAGE-PARTITIONED JOIN contract
     * ([[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]):

@@ -366,6 +366,73 @@ class LakePartitionSpec extends SparkSpec {
     }
   }
 
+  test("dynamic file pruning (runtime V2 filtering): a selective dim " +
+       "filter narrows the fact scan before tasks launch — by stats on " +
+       "an unpartitioned clustered table, and by tuples (groups " +
+       "preserved) on a partitioned one — with exact join results") {
+    withCatalog { (cat, _) =>
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def walk(p: SparkPlan): Seq[BatchScanExec] = {
+        val children = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec        => Seq(q.plan)
+          case other                    => other.children
+        }
+        (p match {
+          case b: BatchScanExec
+              if b.scan.description.contains("graft_lake") => Seq(b)
+          case _ => Nil
+        }) ++ children.flatMap(walk)
+      }
+      def factScans(df: org.apache.spark.sql.DataFrame)
+          : Seq[BatchScanExec] = {
+        df.collect()
+        walk(df.queryExecution.executedPlan)
+      }
+      // unpartitioned fact, k-clustered: 8 files with disjoint k ranges
+      spark.sql(s"CREATE TABLE $cat.db.fact (k BIGINT, v STRING)")
+      spark.range(0, 800, 1, 1).selectExpr("id AS k", "concat('v', id) AS v")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("k"))
+        .createOrReplaceTempView("dpp_src")
+      spark.sql(s"INSERT INTO $cat.db.fact SELECT * FROM dpp_src")
+      spark.range(0, 100).selectExpr("id AS k", "id % 3 AS sel")
+        .createOrReplaceTempView("dpp_dim")
+      val j = spark.sql(s"SELECT count(*) AS n FROM $cat.db.fact f " +
+        "JOIN dpp_dim d ON f.k = d.k WHERE d.sel = 0")
+      assert(j.collect().head.getLong(0) == 34, "k in 0,3,...,99")
+      val scans = factScans(j)
+      assert(scans.nonEmpty, "no lake scan in plan")
+      val scanned = scans.map(_.inputRDD.getNumPartitions).min
+      assert(scanned < 8,
+        s"runtime filtering left $scanned of 8 file splits — no pruning")
+
+      // partitioned fact: tuples prune, but every GROUP must survive
+      // (Spark re-groups the filtered splits and fails on a vanished
+      // key) — one representative split stays per excluded partition
+      spark.sql(s"CREATE TABLE $cat.db.pfact (g BIGINT, x BIGINT) " +
+        "PARTITIONED BY (g)")
+      // two inserts: two files per partition, 10 partitions
+      spark.sql(s"INSERT INTO $cat.db.pfact SELECT id % 10, id " +
+        "FROM range(0, 800)")
+      spark.sql(s"INSERT INTO $cat.db.pfact SELECT id % 10, id " +
+        "FROM range(800, 1600)")
+      spark.range(0, 10).selectExpr("id AS g", "id % 5 AS sel")
+        .createOrReplaceTempView("dpp_pdim")
+      val pj = spark.sql(s"SELECT count(*) AS n FROM $cat.db.pfact f " +
+        "JOIN dpp_pdim d ON f.g = d.g WHERE d.sel = 0")
+      assert(pj.collect().head.getLong(0) == 320, "g in {0, 5}: 2×160")
+      val pscans = factScans(pj)
+      assert(pscans.nonEmpty)
+      // scan emitted fewer rows than the full table: excluded
+      // partitions contribute at most their one representative file
+      val outRows = pscans.map(_.metrics("numOutputRows").value).max
+      assert(outRows < 1600, s"fact scan emitted $outRows of 1600 rows")
+      assert(outRows >= 320)
+    }
+  }
+
   test("bad specs fail at CREATE, not first INSERT: unknown transform, " +
        "missing source column, inadmissible source type") {
     withCatalog { (cat, _) =>
