@@ -237,13 +237,16 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
           LakeTableIO.planCdcVersion(dir, snap, cols, pushed, asSnapshot)
       }.toArray
     }
-    // manifest stats for each version's files, so the batch's planning
-    // prunes pushed-filter-excluded files without footer reads too
+    // manifest stats + partition tuples for each version's files, so
+    // the batch's planning prunes pushed-filter-excluded files without
+    // footer reads too
     val stats = scala.collection.mutable.Map
       .empty[String, LakeStats.FileStats]
+    val parts = scala.collection.mutable.Map.empty[String, Seq[String]]
     val added = (a + 1 to b).flatMap { v =>
       val snap = LakeLog.snapshotAt(dir, v)
       stats ++= snap.stats
+      parts ++= snap.parts
       if (so.snapshotStart && v == a + 1)
         // fresh stream on an expiry-trimmed log: the first retained
         // manifest's COMPLETE file set is the initial snapshot
@@ -270,7 +273,20 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
             "(LakeSnapshots.changes) instead")
       } else snap.added
     }
-    LakeTableIO.planRowGroups(added.map(new Path(dir, _)),
+    // hidden-partitioning file pruning applies to micro-batches too:
+    // a stream filtered to one partition plans only that partition's
+    // share of each commit
+    // (defensive: Spark does not currently run filter pushdown for
+    // micro-batch DSv2 relations, so `pushed` is empty on this path —
+    // the prune goes live the release that changes; the batch-mode
+    // `changes` reads exercise the same call with real filters)
+    val bound =
+      try LakePartitioning.bind(LakePartitioning.specOf(dir),
+        LakeTableIO.tableSchema(dir))
+      catch { case _: Exception => Seq.empty }
+    val (kept, _) = LakePartitioning.prune(
+      added.map(new Path(dir, _)), parts.toMap, bound, pushed)
+    LakeTableIO.planRowGroups(kept,
       LakeTableIO.columnRefs(projected), pushed, pruneGroups = true,
       stats = stats.toMap).parts
   }

@@ -1659,9 +1659,17 @@ object LakeTableIO {
         p.asInstanceOf[LakeInputPartition].copy(cdc = Some(info))
           : InputPartition
       }
+    // hidden-partitioning file pruning applies to change events too
+    val bound =
+      try LakePartitioning.bind(LakePartitioning.specOf(dir),
+        tableSchema(dir))
+      catch { case _: Exception => Seq.empty }
+    def pruned(files: Seq[String]): Seq[Path] =
+      LakePartitioning.prune(files.map(new Path(dir, _)), snap.parts,
+        bound, pushed)._1
     if (initialSnapshot)
       return annotate(planRowGroups(
-        snap.files.map(new Path(dir, _)), cols, pushed,
+        pruned(snap.files), cols, pushed,
         pruneGroups = true, snap.dvs, snap.stats).parts,
         LakeCdcInfo("insert", snap.version))
     if (!snap.dataChange) return Array.empty
@@ -1679,7 +1687,7 @@ object LakeTableIO {
       (snap.updatePost, "update_postimage")).flatMap {
       case (fs, label) =>
         if (fs.isEmpty) Array.empty[InputPartition]
-        else annotate(planRowGroups(fs.map(new Path(dir, _)), cols,
+        else annotate(planRowGroups(pruned(fs), cols,
           pushed, pruneGroups = true, Map.empty, snap.stats).parts,
           LakeCdcInfo(label, snap.version))
     }
@@ -1693,7 +1701,8 @@ object LakeTableIO {
         Seq((sidecars.filterNot(preSidecars), "delete"),
           (sidecars.filter(preSidecars), "update_preimage")).flatMap {
           case (side, label) =>
-            if (side.isEmpty) Array.empty[InputPartition]
+            if (side.isEmpty || pruned(Seq(file)).isEmpty)
+              Array.empty[InputPartition]
             else {
               val positions = LakeDv.positions(dir, side)
               annotate(planRowGroups(Seq(new Path(dir, file)), cols,
