@@ -325,6 +325,33 @@ object LakeQueries {
         .agg(count("*").as("n"), sum("price").as("total"))
     }),
 
+    // PARTITION EVOLUTION (Iceberg's spec evolution): ADD PARTITION
+    // FIELD rewrites ZERO files — the spec list grows, each file's
+    // tuple records the spec it was written under, and reads resolve
+    // per vintage (the months filter here prunes BOTH layouts, the
+    // new bucket dimension only the new one). The oracle restates the
+    // two-vintage union under the range filter, so a lost vintage, a
+    // mispruned month, or rows landing in wrong tuples all mismatch.
+    "lake_partition_evolution" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_pevo")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, d DATE, price DOUBLE) " +
+        "PARTITIONED BY (months(d))")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderdate AS d",
+        "o_totalprice AS price").createOrReplaceTempView("lake_pevo_v1")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_pevo_v1")
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system" +
+        s".add_partition_field(table => '${LakeCatalogs.ns(dir)}" +
+        s".lake_pevo', field => 'bucket(8, k)')")
+      newest(s, dir).where(col(key) % 3 === 0)
+        .selectExpr(s"$key AS k", "o_orderdate AS d",
+          "o_totalprice + 2.0 AS price")
+        .createOrReplaceTempView("lake_pevo_v2")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_pevo_v2")
+      s.table(tbl).where("d >= DATE'1995-06-01'")
+    }),
+
     // PARTITIONS METADATA TABLE (`db.t.partitions`): one row per live
     // partition with typed transform values and manifest-derived LIVE
     // row counts — pure driver metadata, no data read. The oracle
@@ -848,6 +875,18 @@ object LakeQueries {
          |WHERE o_orderdate >= DATE '1995-01-01'
          |  AND o_orderdate < DATE '1995-04-01'
          |GROUP BY 1""".stripMargin,
+    // both layout vintages under the range filter
+    "lake_partition_evolution" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey AS k, o_orderdate AS d,
+         |       o_totalprice AS price
+         |FROM prev WHERE o_orderdate >= DATE '1995-06-01'
+         |UNION ALL
+         |SELECT o_orderkey AS k, o_orderdate AS d,
+         |       o_totalprice + 2.0 AS price
+         |FROM newest
+         |WHERE o_orderkey % 3 = 0
+         |  AND o_orderdate >= DATE '1995-06-01'""".stripMargin,
     // the partition inventory, recomputed as a plain GROUP BY over the
     // surviving rows' month ordinals
     "lake_partitions_meta" ->

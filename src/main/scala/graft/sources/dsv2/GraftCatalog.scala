@@ -275,14 +275,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       s.fields.flatMap(LakeParquet.priorNames).map(_.toLowerCase).toSet
     val audits = scala.collection.mutable.ArrayBuffer.empty[String]
     var propsAfter: Option[Map[String, String]] = None
-    // hidden partitioning interplay: the spec references source columns
-    // by name, so a RENAME rewrites the spec with it (evolving in
-    // lockstep), a DROP of a source column is rejected (the layout
-    // depends on it), and widening a BUCKET source is rejected (the
-    // hash of 5:INT ≠ hash of 5:BIGINT — bucket assignments are burned
-    // into the files)
-    var spec = LakePartitioning.specOf(dir.toString)
-    def specSources: Set[String] = spec.map(_.col.toLowerCase).toSet
+    // hidden partitioning interplay: specs reference source columns by
+    // name, so a RENAME rewrites EVERY spec with it (evolution keeps
+    // old layouts readable, so historical specs evolve in lockstep
+    // too), a DROP of any spec's source column is rejected (old files'
+    // layouts depend on it), and widening a BUCKET source of any spec
+    // is rejected (the hash of 5:INT ≠ hash of 5:BIGINT — bucket
+    // assignments are burned into the files)
+    var specs = LakePartitioning.specsOf(dir.toString)
+    def spec: Seq[LakePartitioning.PTransform] =
+      if (specs.isEmpty) Seq.empty else specs.last
+    def specSources: Set[String] =
+      specs.flatten.map(_.col.toLowerCase).toSet
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -357,9 +361,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             .putStringArray(LakeParquet.PriorNamesKey, priors.toArray)
             .build())
         schema = StructType(schema.fields.updated(idx, renamed))
-        // the spec follows the rename — partition identity is the
+        // every spec follows the rename — partition identity is the
         // transform + source column, not the name
-        spec = spec.map {
+        specs = specs.map(_.map {
           case t if t.col.equalsIgnoreCase(from) =>
             t match {
               case p: LakePartitioning.PIdentity => p.copy(col = to)
@@ -370,7 +374,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               case p: LakePartitioning.PYears    => p.copy(col = to)
             }
           case t => t
-        }
+        })
         audits += s"alter_rename($from->$to)"
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1,
@@ -395,7 +399,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"graft_lake: cannot change $name from $from to $to — only " +
             "widening promotions (INT->BIGINT, FLOAT->DOUBLE) are " +
             "metadata-only; anything lossy needs a table rewrite")
-        require(!spec.exists(t =>
+        require(!specs.flatten.exists(t =>
             t.isInstanceOf[LakePartitioning.PBucket] &&
               t.col.equalsIgnoreCase(name)),
           s"graft_lake: $name is a bucket partition source — widening " +
@@ -431,15 +435,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             " — type/position changes need a table rewrite")
     }
     LakeTableIO.writeSchema(dir.toString, schema, maxId)
-    // fold the (possibly rename-rewritten) spec into whatever property
+    // fold the (possibly rename-rewritten) specs into whatever property
     // state this ALTER decided on
-    val specNow = LakePartitioning.specOf(dir.toString)
-    if (spec != specNow || propsAfter.isDefined) {
+    val specsNow = LakePartitioning.specsOf(dir.toString)
+    if (specs != specsNow || propsAfter.isDefined) {
       val base =
         propsAfter.getOrElse(LakeTableIO.tableProps(dir.toString))
       val next =
-        if (spec.isEmpty) base - LakePartitioning.SpecKey
-        else base + (LakePartitioning.SpecKey -> LakePartitioning.show(spec))
+        if (specs.isEmpty)
+          base - LakePartitioning.SpecKey - LakePartitioning.SpecsKey
+        else {
+          val withCur = base +
+            (LakePartitioning.SpecKey -> LakePartitioning.show(spec))
+          if (specs.length > 1)
+            withCur + (LakePartitioning.SpecsKey ->
+              LakePartitioning.showSpecs(specs))
+          else withCur - LakePartitioning.SpecsKey
+        }
       LakeTableIO.writeProps(dir.toString, next)
     }
     audits.foreach(op => LakeLog.commit(dir.toString, op, Seq.empty,

@@ -94,10 +94,75 @@ object LakePartitioning {
       }
     }.toSeq
 
-  /** The table's spec, empty for unpartitioned tables. */
+  /** Historical-specs property: a JSON-free `;`-separated list of spec
+    * strings, index = SPEC ID. PARTITION EVOLUTION appends a new spec
+    * instead of rewriting files: every data file's tuple records the
+    * spec id it was written under (`s<id>` version slot), so one table
+    * can carry vintages of several layouts and each file prunes by ITS
+    * OWN spec — Iceberg's spec-evolution model. `partition.spec` stays
+    * the CURRENT spec (what new writes use and `partitioning()`
+    * reports).
+    */
+  val SpecsKey = "partition.specs"
+
+  /** The table's CURRENT spec, empty for unpartitioned tables. */
   def specOf(dir: String): Seq[PTransform] =
     LakeTableIO.tableProps(dir).get(SpecKey)
       .map(parse).getOrElse(Seq.empty)
+
+  /** All specs ever active, oldest first; the last is current. A table
+    * that never evolved has exactly one (or none if unpartitioned).
+    */
+  def specsOf(dir: String): IndexedSeq[Seq[PTransform]] = {
+    val props = LakeTableIO.tableProps(dir)
+    props.get(SpecsKey) match {
+      // -1 keeps trailing empties: an UNPARTITION evolution step is the
+      // empty spec, and dropping it from the list would renumber ids
+      case Some(s) => s.split(";", -1).toIndexedSeq.map(parse)
+      case None => props.get(SpecKey).map(parse).toIndexedSeq
+    }
+  }
+
+  def showSpecs(specs: Seq[Seq[PTransform]]): String =
+    specs.map(show).mkString(";")
+
+  /** Bind every historical spec against the current schema. A DROPPED
+    * PARTITION FIELD's source column may survive only in old specs —
+    * binding stays possible because source columns can never be
+    * dropped while ANY spec references them (guarded at ALTER).
+    */
+  def bindAll(specs: Seq[Seq[PTransform]],
+              schema: org.apache.spark.sql.types.StructType)
+      : IndexedSeq[Seq[Bound]] =
+    specs.map(bind(_, schema)).toIndexedSeq
+
+  // ---------------------------------------------------------------------
+  // Versioned tuples: manifest form is ["s<specId>", slot, slot, ...];
+  // a tuple WITHOUT the version slot reads as spec 0 (pre-evolution
+  // vintage of a never-evolved table).
+  // ---------------------------------------------------------------------
+
+  def versionedTuple(specId: Int, slots: Seq[String]): Seq[String] =
+    s"s$specId" +: slots
+
+  /** (specId, slots) of a stored tuple. */
+  def splitTuple(t: Seq[String]): (Int, Seq[String]) =
+    t.headOption match {
+      case Some(h) if h.length > 1 && h.charAt(0) == 's' &&
+          h.drop(1).forall(_.isDigit) => (h.drop(1).toInt, t.tail)
+      case _ => (0, t)
+    }
+
+  /** The bound spec a stored tuple was written under, when resolvable
+    * and arity-consistent; None keeps the file conservatively.
+    */
+  def layoutOf(t: Seq[String], specs: IndexedSeq[Seq[Bound]])
+      : Option[(Seq[Bound], Seq[String])] = {
+    val (id, slots) = splitTuple(t)
+    if (id < specs.length && specs(id).length == slots.length)
+      Some((specs(id), slots))
+    else None
+  }
 
   /** One transform BOUND to a write/table schema: source ordinal and
     * type resolved, evaluator specialized. Fails loud when the source
@@ -435,23 +500,29 @@ object LakePartitioning {
     */
   def overwriteCoverage(files: Seq[String],
                         parts: Map[String, Seq[String]],
-                        bound: Seq[Bound], filters: Array[Filter])
+                        specs: IndexedSeq[Seq[Bound]],
+                        filters: Array[Filter])
       : Either[String, Seq[String]] = {
-    val byCol: Map[String, Seq[(Bound, Int)]] = bound.zipWithIndex
-      .groupBy(_._1.t.col.toLowerCase)
+    val byColBySpec: IndexedSeq[Map[String, Seq[(Bound, Int)]]] =
+      specs.map(_.zipWithIndex.groupBy(_._1.t.col.toLowerCase))
     val removed = Seq.newBuilder[String]
     files.foreach { file =>
-      val tuple = parts.getOrElse(file, return Left(
+      val stored = parts.getOrElse(file, return Left(
         s"file $file carries no partition tuple — a pre-partitioning " +
           "vintage cannot be overwritten by filter; compact first"))
-      if (tuple.length != bound.length) return Left(
-        s"file $file has a stale-arity tuple")
-      // per filter: must (all rows), might (any row)
+      val (specId, tuple) = splitTuple(stored)
+      if (layoutOf(stored, specs).isEmpty) return Left(
+        s"file $file has an unresolvable partition layout " +
+          s"(spec $specId of ${specs.length})")
+      val byCol = byColBySpec(specId)
+      // per filter: must (all rows), might (any row) — judged against
+      // the spec THIS file was written under
       val decisions = filters.map { f =>
         val bs = filterColumn(f).map(_.toLowerCase).flatMap(byCol.get)
           .getOrElse(return Left(
             s"overwrite condition $f is not on a partition source " +
-              "column — not partition-aligned"))
+              s"column of spec $specId — not partition-aligned for " +
+              s"file $file"))
         val must = bs.exists { case (b, i) => slotMustMatch(b, tuple(i), f) }
         val might = bs.forall { case (b, i) =>
           slotMightMatch(b, tuple(i), f)
@@ -479,29 +550,37 @@ object LakePartitioning {
   }
 
   /** Partition-prune `files`: drop every file whose manifest tuple
-    * provably excludes some pushed filter. Files without a tuple
-    * (legacy vintages, bootstrap sweeps) are always kept. Returns
-    * (kept files, pruned count).
+    * provably excludes some pushed filter — resolved per file against
+    * the SPEC IT WAS WRITTEN UNDER (partition evolution leaves mixed
+    * vintages in one snapshot). Files without a tuple (legacy
+    * vintages, bootstrap sweeps) or with an unresolvable layout are
+    * always kept. Returns (kept files, pruned count).
     */
   def prune(files: Seq[org.apache.hadoop.fs.Path],
-            parts: Map[String, Seq[String]], bound: Seq[Bound],
+            parts: Map[String, Seq[String]],
+            specs: IndexedSeq[Seq[Bound]],
             pushed: Array[Filter])
       : (Seq[org.apache.hadoop.fs.Path], Int) = {
-    if (bound.isEmpty || pushed.isEmpty || parts.isEmpty)
+    if (specs.isEmpty || pushed.isEmpty || parts.isEmpty)
       return (files, 0)
-    val byCol: Map[String, Seq[(Bound, Int)]] = bound.zipWithIndex
-      .groupBy(_._1.t.col.toLowerCase)
-    val relevant = pushed.flatMap(f =>
-      filterColumn(f).map(_.toLowerCase).flatMap(byCol.get)
-        .map(bs => (f, bs)))
-    if (relevant.isEmpty) return (files, 0)
+    // per spec: filter → the transforms on its column
+    val relevantBySpec: IndexedSeq[Array[(Filter, Seq[(Bound, Int)])]] =
+      specs.map { bound =>
+        val byCol = bound.zipWithIndex
+          .groupBy(_._1.t.col.toLowerCase)
+        pushed.flatMap(f =>
+          filterColumn(f).map(_.toLowerCase).flatMap(byCol.get)
+            .map(bs => (f, bs)))
+      }
+    if (relevantBySpec.forall(_.isEmpty)) return (files, 0)
     val kept = files.filter { file =>
-      parts.get(file.getName) match {
-        case Some(tuple) if tuple.length == bound.length =>
-          relevant.forall { case (f, bs) =>
-            bs.forall { case (b, i) => slotMightMatch(b, tuple(i), f) }
+      parts.get(file.getName).flatMap(t => layoutOf(t, specs).map(l =>
+        (splitTuple(t)._1, l))) match {
+        case Some((specId, (_, slots))) =>
+          relevantBySpec(specId).forall { case (f, bs) =>
+            bs.forall { case (b, i) => slotMightMatch(b, slots(i), f) }
           }
-        case _ => true // tuple-less or stale-arity vintage: keep
+        case _ => true // tuple-less or unresolvable vintage: keep
       }
     }
     (kept, files.size - kept.size)
@@ -510,11 +589,12 @@ object LakePartitioning {
   /** Runtime (DPP) membership: can a file with `tuple` contain ANY of
     * `values` (INTERNAL form) in source column `col`? Conservative —
     * true unless every value is provably excluded by some transform on
-    * that column. Zero I/O: pure tuple arithmetic.
+    * that column, resolved against the file's OWN spec. Zero I/O.
     */
-  def tupleMightContainAny(bound: Seq[Bound],
-                           tuple: Seq[String], col: String,
+  def tupleMightContainAny(specs: IndexedSeq[Seq[Bound]],
+                           tuple0: Seq[String], col: String,
                            values: Seq[Any]): Boolean = {
+    val (bound, tuple) = layoutOf(tuple0, specs).getOrElse(return true)
     val bs = bound.zipWithIndex.filter(_._1.t.col.equalsIgnoreCase(col))
     if (bs.isEmpty || tuple.length != bound.length) return true
     // coerce a runtime value to the source column's internal type —
@@ -551,13 +631,22 @@ object LakePartitioning {
   }
 
   /** True when a snapshot can report KeyGroupedPartitioning: every
-    * planned file carries a current-arity tuple.
+    * planned file was written under the CURRENT spec (mixed evolution
+    * vintages cannot co-group).
     */
   def fullyTupled(files: Seq[org.apache.hadoop.fs.Path],
                   parts: Map[String, Seq[String]],
-                  bound: Seq[Bound]): Boolean =
-    bound.nonEmpty && files.forall(f =>
-      parts.get(f.getName).exists(_.length == bound.length))
+                  specs: IndexedSeq[Seq[Bound]]): Boolean =
+    specs.nonEmpty && specs.last.nonEmpty && files.forall(f =>
+      parts.get(f.getName).exists { t =>
+        val (id, slots) = splitTuple(t)
+        id == specs.length - 1 && slots.length == specs.last.length
+      })
+
+  /** Current-spec slots of a stored tuple (only call under
+    * [[fullyTupled]]).
+    */
+  def currentSlots(t: Seq[String]): Seq[String] = splitTuple(t)._2
 
   // ---------------------------------------------------------------------
   // Connector Transform bridge (CREATE TABLE PARTITIONED BY / Table

@@ -24,10 +24,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class LakePartitionsTable(tableName: String, dir: String) extends Table
     with SupportsRead {
 
+  private val allSpecs = LakePartitioning.specsOf(dir)
   private val bound: Seq[LakePartitioning.Bound] = {
-    val spec = LakePartitioning.specOf(dir)
-    if (spec.isEmpty) Seq.empty
-    else LakePartitioning.bind(spec, LakeTableIO.tableSchema(dir))
+    if (allSpecs.isEmpty || allSpecs.last.isEmpty) Seq.empty
+    else LakePartitioning.bind(allSpecs.last,
+      LakeTableIO.tableSchema(dir))
   }
 
   /** Output column name per transform: identity keeps the source name,
@@ -70,16 +71,25 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
             .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
           math.max(0L, rows - dead)
         }
+        // current-spec tuples decode into the typed columns; old
+        // evolution vintages and tuple-less files group under ONE
+        // all-null row (their layout is a different shape)
+        def keyOf(f: org.apache.hadoop.fs.Path): Option[Seq[String]] =
+          parts.get(f.getName).collect {
+            case t if LakePartitioning.splitTuple(t)._1 ==
+                allSpecs.length - 1 &&
+                LakePartitioning.currentSlots(t).length == bound.length =>
+              LakePartitioning.currentSlots(t)
+          }
         val rows = files
-          .groupBy(f => parts.get(f.getName))
+          .groupBy(keyOf)
           .toSeq
-          .map { case (tuple, fs0) =>
-            val slots: Seq[Any] = tuple match {
-              case Some(t) if t.length == bound.length =>
-                bound.zip(t).map { case (b, s) =>
-                  LakePartitioning.decodeSlot(b, s).getOrElse(null)
-                }
-              case _ => bound.map(_ => null)
+          .map { case (slots0, fs0) =>
+            val slots: Seq[Any] = slots0 match {
+              case Some(t) => bound.zip(t).map { case (b, s) =>
+                LakePartitioning.decodeSlot(b, s).getOrElse(null)
+              }
+              case None => bound.map(_ => null)
             }
             slots ++ Seq(fs0.size.toLong,
               fs0.map(f => liveRows(f.getName, f)).sum)

@@ -36,7 +36,34 @@ object LakeProcedures {
   def names: Seq[String] =
     Seq("history", "rollback", "expire", "compact", "zorder",
       "rewrite_deletes", "tag", "drop_tag", "tags", "branch",
-      "drop_branch", "fast_forward", "branches")
+      "drop_branch", "fast_forward", "branches",
+      "add_partition_field", "drop_partition_field")
+
+  /** One partition-evolution step: validate the new CURRENT spec
+    * against the live schema, append it to the spec list (old ids keep
+    * naming old layouts), seal a `dataChange=false` audit commit.
+    */
+  private def evolveSpec(dir: String,
+      step: Seq[LakePartitioning.PTransform] =>
+        Seq[LakePartitioning.PTransform]): GenericInternalRow = {
+    val specs = LakePartitioning.specsOf(dir)
+    val cur =
+      if (specs.isEmpty) Seq.empty[LakePartitioning.PTransform]
+      else specs.last
+    val newSpec = step(cur)
+    if (newSpec.nonEmpty) // empty = evolved to unpartitioned: fine
+      LakePartitioning.bind(newSpec, LakeTableIO.tableSchema(dir))
+    val all = specs :+ newSpec
+    val props = LakeTableIO.tableProps(dir)
+    LakeTableIO.writeProps(dir, props +
+      (LakePartitioning.SpecKey -> LakePartitioning.show(newSpec)) +
+      (LakePartitioning.SpecsKey -> LakePartitioning.showSpecs(all)))
+    LakeLog.commit(dir,
+      s"evolve_spec(${LakePartitioning.show(newSpec)})",
+      Seq.empty, Seq.empty, 0L, dataChange = false)
+    new GenericInternalRow(Array[Any](all.length - 1,
+      UTF8String.fromString(LakePartitioning.show(newSpec))))
+  }
 
   /** Resolve `system.<name>` for a catalog rooted at `root`. */
   def load(root: String, ident: Identifier): UnboundProcedure = {
@@ -111,6 +138,53 @@ object LakeProcedures {
             SparkSession.active, dirOf(str(in, 0)), cols.toSeq,
             in.getInt(2))
           Seq(new GenericInternalRow(Array[Any](before, after)))
+        })
+      // PARTITION EVOLUTION (Iceberg's ALTER TABLE ... ADD/DROP
+      // PARTITION FIELD, spelled as procedures since stock Spark SQL
+      // has no syntax for it): the table's spec list grows a NEW
+      // current spec — ZERO files rewrite; existing vintages keep
+      // their own layout (each file's tuple records its spec id) and
+      // every reader resolves per file. New writes use the new spec.
+      case "add_partition_field" => new LakeProcedure(
+        "add_partition_field",
+        Array(param("table", StringType), param("field", StringType)),
+        StructType(Seq(
+          StructField("spec_id", IntegerType, nullable = false),
+          StructField("spec", StringType, nullable = false))),
+        in => {
+          val t = LakePartitioning.parse(str(in, 1)) match {
+            case Seq(one) => one
+            case other => throw new IllegalArgumentException(
+              s"add_partition_field takes ONE transform, got " +
+                s"'${str(in, 1)}' (${other.size})")
+          }
+          Seq(evolveSpec(dirOf(str(in, 0)), cur => {
+            require(!cur.exists(_.show == t.show),
+              s"graft_lake: spec already contains ${t.show}")
+            cur :+ t
+          }))
+        })
+      case "drop_partition_field" => new LakeProcedure(
+        "drop_partition_field",
+        Array(param("table", StringType), param("field", StringType)),
+        StructType(Seq(
+          StructField("spec_id", IntegerType, nullable = false),
+          StructField("spec", StringType, nullable = false))),
+        in => {
+          val want = LakePartitioning.parse(str(in, 1)) match {
+            case Seq(one) => one.show
+            case _ => str(in, 1).trim // bare column = identity spelling
+          }
+          Seq(evolveSpec(dirOf(str(in, 0)), cur => {
+            val next = cur.filterNot(t => t.show == want ||
+              (t.isInstanceOf[LakePartitioning.PIdentity] &&
+                t.col.equalsIgnoreCase(want)))
+            require(next.size == cur.size - 1,
+              s"graft_lake: '$want' matches ${cur.size - next.size} " +
+                s"fields of spec [${cur.map(_.show).mkString(",")}] — " +
+                "need exactly one")
+            next
+          }))
         })
       case "tag" => new LakeProcedure("tag",
         Array(param("table", StringType), param("name", StringType),

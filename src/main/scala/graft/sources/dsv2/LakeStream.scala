@@ -280,12 +280,12 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     // micro-batch DSv2 relations, so `pushed` is empty on this path —
     // the prune goes live the release that changes; the batch-mode
     // `changes` reads exercise the same call with real filters)
-    val bound =
-      try LakePartitioning.bind(LakePartitioning.specOf(dir),
+    val specs =
+      try LakePartitioning.bindAll(LakePartitioning.specsOf(dir),
         LakeTableIO.tableSchema(dir))
-      catch { case _: Exception => Seq.empty }
+      catch { case _: Exception => IndexedSeq.empty }
     val (kept, _) = LakePartitioning.prune(
-      added.map(new Path(dir, _)), parts.toMap, bound, pushed)
+      added.map(new Path(dir, _)), parts.toMap, specs, pushed)
     LakeTableIO.planRowGroups(kept,
       LakeTableIO.columnRefs(projected), pushed, pruneGroups = true,
       stats = stats.toMap).parts

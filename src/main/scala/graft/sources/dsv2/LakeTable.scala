@@ -462,21 +462,22 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       pacing.maxFilesPerTrigger)
   }
 
-  /** Hidden-partitioning spec bound against the TABLE schema (source
+  /** ALL hidden-partitioning specs (partition evolution keeps every
+    * vintage's layout readable) bound against the TABLE schema (source
     * columns need not be projected); empty when unpartitioned.
     */
-  private lazy val boundSpec: Seq[LakePartitioning.Bound] = {
-    val spec = LakePartitioning.specOf(dir)
-    if (spec.isEmpty) Seq.empty
-    else LakePartitioning.bind(spec, tableSchema)
-  }
+  private lazy val specs: IndexedSeq[Seq[LakePartitioning.Bound]] =
+    LakePartitioning.bindAll(LakePartitioning.specsOf(dir), tableSchema)
+
+  private def currentBound: Seq[LakePartitioning.Bound] =
+    if (specs.isEmpty) Seq.empty else specs.last
 
   /** PARTITION pruning first — exact tuple arithmetic on manifest
     * metadata, zero I/O per excluded file, before stats are even
-    * consulted.
+    * consulted; each file judged by the spec it was written under.
     */
   private lazy val (partFiles: Seq[Path], partPruned: Int) =
-    LakePartitioning.prune(files, parts, boundSpec, pushed)
+    LakePartitioning.prune(files, parts, specs, pushed)
 
   // planned on the driver from MANIFEST stats first (whole-file pruning,
   // zero I/O per excluded file), then footer metadata of the survivors
@@ -491,11 +492,12 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     */
   private def stampKeys(ps: Array[InputPartition],
                         files: Seq[Path]): Array[InputPartition] =
-    if (!LakePartitioning.fullyTupled(files, parts, boundSpec)) ps
+    if (!LakePartitioning.fullyTupled(files, parts, specs)) ps
     else ps.map { p =>
       val lp = p.asInstanceOf[LakeInputPartition]
-      val tuple = parts(new Path(lp.path).getName)
-      val decoded = boundSpec.zip(tuple).map { case (b, s) =>
+      val tuple = LakePartitioning.currentSlots(
+        parts(new Path(lp.path).getName))
+      val decoded = currentBound.zip(tuple).map { case (b, s) =>
         LakePartitioning.decodeSlot(b, s).getOrElse(
           throw new IllegalStateException(s"undecodable slot $s"))
       }
@@ -527,7 +529,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val cols = (boundSpec.map(_.t.col) ++ tableSchema.fieldNames.take(1))
+    val cols = (currentBound.map(_.t.col) ++ tableSchema.fieldNames.take(1))
       .distinct
     cols.map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
@@ -566,7 +568,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     val kept0 = partFiles.filter { f =>
       keepSets.forall { case (c, vals) =>
         val byTuple = parts.get(f.getName).forall(t =>
-          LakePartitioning.tupleMightContainAny(boundSpec, t, c, vals))
+          LakePartitioning.tupleMightContainAny(specs, t, c, vals))
         byTuple && refs.get(c.toLowerCase).forall { ref =>
           stats.get(f.getName).forall(st =>
             vals.exists(v => LakeStats.mightMatchFile(st, Array(ref),
@@ -592,7 +594,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   }
 
   private def spjKeyed: Boolean =
-    try LakePartitioning.fullyTupled(partFiles, parts, boundSpec)
+    try LakePartitioning.fullyTupled(partFiles, parts, specs)
     catch { case _: IllegalStateException => false }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -623,7 +625,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     val keyed =
-      try LakePartitioning.fullyTupled(partFiles, parts, boundSpec) &&
+      try LakePartitioning.fullyTupled(partFiles, parts, specs) &&
         keyedParts.nonEmpty
       catch { case _: IllegalStateException => false }
     if (!keyed) new UnknownPartitioning(plan.parts.length)
@@ -634,7 +636,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
         parts(new Path(p.asInstanceOf[LakeInputPartition].path).getName))
         .distinct.size
       new KeyGroupedPartitioning(
-        LakePartitioning.toTransforms(boundSpec.map(_.t))
+        LakePartitioning.toTransforms(currentBound.map(_.t))
           .map(t => t: org.apache.spark.sql.connector.expressions.Expression),
         distinct)
     }
@@ -1067,11 +1069,18 @@ class LakeWrite(dir: String, writeSchema: StructType,
               new Path(f).getName)).getOrElse(Seq.empty)
           case LakeOverwrite.Dynamic =>
             val (cur, parts) = currentState
-            val untupled = cur.filterNot(parts.contains)
-            require(untupled.isEmpty,
+            // every current file must carry a CURRENT-SPEC tuple: a
+            // tuple-less vintage or an old-spec layout has no defined
+            // membership in the partitions being replaced
+            val specCount = LakePartitioning.specsOf(dir).length
+            val unmatched = cur.filterNot(f => parts.get(f).exists(t =>
+              LakePartitioning.splitTuple(t)._1 == specCount - 1))
+            require(unmatched.isEmpty,
               s"dynamic overwrite of $dir: current files without " +
-                s"partition tuples (${untupled.take(3).mkString(", ")}…)" +
-                " cannot be matched to written partitions; compact first")
+                s"current-spec tuples (${unmatched.take(3).mkString(", ")}…)" +
+                " cannot be matched to written partitions; rewrite " +
+                "those files under the current spec first (INSERT " +
+                "OVERWRITE from a snapshot, or truncate + reload)")
             val written = published.collect { case (_, _, Some(t)) => t }
               .toSet
             cur.filter(f => parts.get(f).exists(written.contains))
@@ -1081,12 +1090,13 @@ class LakeWrite(dir: String, writeSchema: StructType,
             currentState._1 // truncate: replace everything current
           case LakeOverwrite.ByFilters(filters) =>
             val (cur, parts) = currentState
-            val spec = LakePartitioning.specOf(dir)
-            require(spec.nonEmpty,
+            val specs = LakePartitioning.specsOf(dir)
+            require(specs.nonEmpty && specs.last.nonEmpty,
               s"filter overwrite of unpartitioned $dir: only a full " +
                 "INSERT OVERWRITE (truncate) is partition-aligned there")
             LakePartitioning.overwriteCoverage(cur, parts,
-              LakePartitioning.bind(spec, LakeTableIO.tableSchema(dir)),
+              LakePartitioning.bindAll(specs,
+                LakeTableIO.tableSchema(dir)),
               filters) match {
               case Right(rm) => rm
               case Left(msg) =>
@@ -1139,11 +1149,14 @@ class LakeWriterFactory(dir: String, schema: StructType)
     *
     * LAZY because a delta writer for a pure DELETE has an EMPTY row
     * schema (it only emits positions) — the spec binds on first actual
-    * row write, where a missing source column is a real error.
+    * row write, where a missing source column is a real error. New
+    * writes always use the CURRENT spec; the tuple records its id so
+    * evolution leaves every vintage self-describing.
     */
-  private lazy val bound: Seq[LakePartitioning.Bound] = {
-    val spec = LakePartitioning.specOf(dir)
-    if (spec.isEmpty) Seq.empty else LakePartitioning.bind(spec, idSchema)
+  private lazy val (bound: Seq[LakePartitioning.Bound], specId: Int) = {
+    val specs = LakePartitioning.specsOf(dir)
+    if (specs.isEmpty || specs.last.isEmpty) (Seq.empty, 0)
+    else (LakePartitioning.bind(specs.last, idSchema), specs.length - 1)
   }
 
   override def createWriter(partitionId: Int,
@@ -1180,8 +1193,8 @@ class LakeWriterFactory(dir: String, schema: StructType)
         if (bound.isEmpty)
           open.getOrElseUpdate(Nil, new OneFile(None))
         else {
-          val tuple = LakePartitioning.encodeTuple(
-            bound.map(_.evalRow(row, off)))
+          val tuple = LakePartitioning.versionedTuple(specId,
+            LakePartitioning.encodeTuple(bound.map(_.evalRow(row, off))))
           open.getOrElseUpdate(tuple, new OneFile(Some(tuple)))
         }
 
@@ -1660,13 +1673,13 @@ object LakeTableIO {
           : InputPartition
       }
     // hidden-partitioning file pruning applies to change events too
-    val bound =
-      try LakePartitioning.bind(LakePartitioning.specOf(dir),
+    val specs =
+      try LakePartitioning.bindAll(LakePartitioning.specsOf(dir),
         tableSchema(dir))
-      catch { case _: Exception => Seq.empty }
+      catch { case _: Exception => IndexedSeq.empty }
     def pruned(files: Seq[String]): Seq[Path] =
       LakePartitioning.prune(files.map(new Path(dir, _)), snap.parts,
-        bound, pushed)._1
+        specs, pushed)._1
     if (initialSnapshot)
       return annotate(planRowGroups(
         pruned(snap.files), cols, pushed,

@@ -131,19 +131,21 @@ class LakePartitionPropertySpec extends AnyFunSuite {
     val prop = Prop.forAllNoShrink(trial) { case (sc, values, filters0) =>
       val schema = StructType(Seq(StructField(col, sc.srcType)))
       val bound = LakePartitioning.bind(Seq(sc.t), schema)
+      val specs = IndexedSeq(bound)
       locally {
         // group generated rows into "files" by tuple, like the writer
         val files: Map[String, Seq[Any]] = values
           .groupBy(v => encodeSlot(bound.head.eval(v)))
           .map { case (slot, vs) => s"f-$slot.parquet" -> (vs: Seq[Any]) }
         val parts: Map[String, Seq[String]] = files.keys
-          .map(f => f -> Seq(f.stripPrefix("f-").stripSuffix(".parquet")))
+          .map(f => f -> versionedTuple(0,
+            Seq(f.stripPrefix("f-").stripSuffix(".parquet"))))
           .toMap
         val paths = files.keys.toSeq.sorted.map(new Path("/t", _))
         val filters = filters0.map(_._1).toArray
 
         // --- prune soundness: dropped => conjunction matches no row
-        val (kept, _) = LakePartitioning.prune(paths, parts, bound,
+        val (kept, _) = LakePartitioning.prune(paths, parts, specs,
           filters)
         val keptNames = kept.map(_.getName).toSet
         files.foreach { case (f, rows) =>
@@ -158,7 +160,7 @@ class LakePartitionPropertySpec extends AnyFunSuite {
 
         // --- overwrite coverage exactness (Left = undecidable is fine)
         LakePartitioning.overwriteCoverage(files.keys.toSeq.sorted,
-          parts, bound, filters) match {
+          parts, specs, filters) match {
           case Right(removed) =>
             val rm = removed.toSet
             files.foreach { case (f, rows) =>
@@ -179,7 +181,7 @@ class LakePartitionPropertySpec extends AnyFunSuite {
         // --- DPP membership soundness
         val probes = filters0.map(_._2)
         files.foreach { case (f, rows) =>
-          val might = LakePartitioning.tupleMightContainAny(bound,
+          val might = LakePartitioning.tupleMightContainAny(specs,
             parts(f), col, probes)
           if (!might) {
             val hit = rows.find(v =>

@@ -63,7 +63,8 @@ class LakePartitionSpec extends SparkSpec {
         .foreach { r =>
           val slot = LakePartitioning.encodeSlot(
             bound.head.eval(r.getLong(0)))
-          assert(snap.parts(r.getString(1)) == Seq(slot),
+          assert(snap.parts(r.getString(1)) ==
+              LakePartitioning.versionedTuple(0, Seq(slot)),
             s"row k=${r.getLong(0)} in mis-tupled file ${r.getString(1)}")
         }
     }
@@ -483,6 +484,105 @@ class LakePartitionSpec extends SparkSpec {
       assert(filtered < full,
         s"partition-filtered change feed opened $filtered footers vs " +
           s"$full unfiltered — tuple pruning missed CDC planning")
+    }
+  }
+
+  test("partition evolution: ADD/DROP PARTITION FIELD rewrites ZERO " +
+       "files, each vintage prunes by the spec it was written under, " +
+       "mixed layouts refuse dynamic overwrite, and the inventory " +
+       "reports old vintages under the null row") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.ev (k BIGINT, d DATE, v STRING) " +
+        "PARTITIONED BY (months(d))")
+      spark.sql(s"INSERT INTO $cat.db.ev SELECT id, " +
+        "date_add(DATE'2024-01-10', CAST(id % 80 AS INT)), " +
+        "concat('a', id) FROM range(0, 400, 1, 4)")
+      val dir = s"$root/db/ev"
+      val vintageA = LakeLog.current(dir).get.files.toSet
+
+      val evo = spark.sql(s"CALL $cat.system.add_partition_field(" +
+        s"table => 'db.ev', field => 'bucket(4, k)')").collect().head
+      assert(evo.getInt(0) == 1 &&
+        evo.getString(1) == "months(d),bucket(4,k)")
+      // zero files changed hands — evolution is metadata
+      assert(LakeLog.current(dir).get.files.toSet == vintageA)
+
+      spark.sql(s"INSERT INTO $cat.db.ev SELECT id, " +
+        "date_add(DATE'2024-01-10', CAST(id % 80 AS INT)), " +
+        "concat('b', id) FROM range(400, 800, 1, 4)")
+      val snap = LakeLog.current(dir).get
+      val vintageB = snap.files.toSet -- vintageA
+      assert(vintageB.nonEmpty)
+      // old vintage keeps spec-0 tuples, new writes carry spec 1
+      vintageA.foreach(f => assert(snap.parts(f).head == "s0"))
+      vintageB.foreach(f => assert(snap.parts(f).head == "s1" &&
+        snap.parts(f).length == 3))
+
+      def opens[A](f: => A): (A, Long) = {
+        val b = graft.sources.dsv2.LakeStats.footerOpens.get(); val r = f
+        (r, graft.sources.dsv2.LakeStats.footerOpens.get() - b)
+      }
+      // a months filter prunes BOTH vintages (both specs carry it)
+      val (janN, oJan) = opens(spark.table(s"$cat.db.ev")
+        .where("d < DATE'2024-02-01'").count())
+      assert(janN == spark.table(s"$cat.db.ev")
+        .where("month(d) = 1").count())
+      assert(oJan < snap.files.size, "months pruning lost to evolution")
+      // a bucket filter prunes only vintage B; vintage A stays
+      // (conservatively — its spec never bucketed)
+      val (kN, oK) = opens(spark.table(s"$cat.db.ev")
+        .where("k = 555").count())
+      assert(kN == 1)
+      assert(oK < snap.files.size && oK >= vintageA.size,
+        s"bucket filter opened $oK of ${snap.files.size} — must keep " +
+          s"all ${vintageA.size} spec-0 files and prune within B")
+
+      // the inventory: vintage-B partitions decode, vintage A groups
+      // under the all-null row with its exact row count
+      val inv = spark.table(s"$cat.db.ev.partitions").collect()
+      val nullRow = inv.filter(r => r.isNullAt(0) && r.isNullAt(1))
+      assert(nullRow.length == 1 && nullRow.head.getLong(3) == 400)
+      assert(inv.filter(!_.isNullAt(0)).map(_.getLong(3)).sum == 400)
+
+      // mixed layouts refuse dynamic overwrite, loud
+      val prevMode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        val e = intercept[Exception] {
+          spark.sql(s"INSERT OVERWRITE $cat.db.ev SELECT 1, " +
+            "DATE'2024-01-15', 'x'")
+        }
+        assert(e.getMessage.contains("current-spec") ||
+          e.getCause != null)
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+
+      // DROP PARTITION FIELD: a third layout; reads stay exact across
+      // all three vintages
+      spark.sql(s"CALL $cat.system.drop_partition_field(" +
+        s"table => 'db.ev', field => 'months(d)')")
+      spark.sql(s"INSERT INTO $cat.db.ev SELECT id, " +
+        "DATE'2030-01-01', concat('c', id) FROM range(800, 900)")
+      assert(spark.table(s"$cat.db.ev").count() == 900)
+      assert(spark.table(s"$cat.db.ev")
+        .where("d >= DATE'2030-01-01'").count() == 100)
+      assert(spark.table(s"$cat.db.ev").where("k = 850").count() == 1)
+
+      // evolution guardrails
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.system.add_partition_field(" +
+          s"table => 'db.ev', field => 'bucket(4, k)')") // duplicate
+      }
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.system.drop_partition_field(" +
+          s"table => 'db.ev', field => 'days(d)')") // not in the spec
+      }
+      // a source column of a HISTORICAL spec still cannot drop
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.ev DROP COLUMN d")
+      }
     }
   }
 
