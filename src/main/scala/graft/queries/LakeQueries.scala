@@ -325,13 +325,16 @@ object LakeQueries {
         .agg(count("*").as("n"), sum("price").as("total"))
     }),
 
-    // PARTITION EVOLUTION (Iceberg's spec evolution): ADD PARTITION
-    // FIELD rewrites ZERO files — the spec list grows, each file's
-    // tuple records the spec it was written under, and reads resolve
-    // per vintage (the months filter here prunes BOTH layouts, the
-    // new bucket dimension only the new one). The oracle restates the
-    // two-vintage union under the range filter, so a lost vintage, a
-    // mispruned month, or rows landing in wrong tuples all mismatch.
+    // PARTITION EVOLUTION (Iceberg's spec evolution): the layout is
+    // REPLACED — months(d) dropped, bucket(8,k) added — with ZERO
+    // files rewritten: the spec list grows, each file's tuple records
+    // the spec it was written under, and reads resolve per vintage
+    // (the date filter prunes the months vintage, the new bucket
+    // dimension the new one; composing bucket ON TOP of months would
+    // have been the ~650-tuple layout lake_partitioned's comment warns
+    // about). The oracle restates the two-vintage union under the
+    // range filter, so a lost vintage, a mispruned month, or rows
+    // landing in wrong tuples all mismatch.
     "lake_partition_evolution" -> ((s, dir) => {
       LakeCatalogs.register(s)
       val tbl = tableId(dir, "lake_pevo")
@@ -341,9 +344,11 @@ object LakeQueries {
       previous(s, dir).selectExpr(s"$key AS k", "o_orderdate AS d",
         "o_totalprice AS price").createOrReplaceTempView("lake_pevo_v1")
       s.sql(s"INSERT INTO $tbl SELECT * FROM lake_pevo_v1")
+      val t = s"${LakeCatalogs.ns(dir)}.lake_pevo"
       s.sql(s"CALL ${LakeCatalogs.CatalogName}.system" +
-        s".add_partition_field(table => '${LakeCatalogs.ns(dir)}" +
-        s".lake_pevo', field => 'bucket(8, k)')")
+        s".drop_partition_field(table => '$t', field => 'months(d)')")
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system" +
+        s".add_partition_field(table => '$t', field => 'bucket(8, k)')")
       newest(s, dir).where(col(key) % 3 === 0)
         .selectExpr(s"$key AS k", "o_orderdate AS d",
           "o_totalprice + 2.0 AS price")
