@@ -82,13 +82,26 @@ object LakeStats {
     */
   def harvest(dir: String, names: Seq[String]): Map[String, FileStats] = {
     val conf = new Configuration()
-    names.flatMap { name =>
+    def one(name: String): Option[(String, FileStats)] =
       try {
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(dir, name), conf))
         try Some(name -> harvestOne(reader)) finally reader.close()
       } catch { case _: Exception => None }
-    }.toMap
+    // the reads are independent footer I/O — a bounded parallel sweep
+    // keeps commit latency near-flat in file count (a partitioned
+    // write adds one file per partition; on an object store the
+    // per-footer latency makes the serial form the commit's dominant
+    // term)
+    if (names.size < 4) names.flatMap(one).toMap
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(names.toList)(n => Future(one(n))),
+        Duration.Inf).flatten.toMap
+    }
   }
 
   private def harvestOne(reader: ParquetFileReader): FileStats = {
@@ -113,8 +126,8 @@ object LakeStats {
   /** The stats kind of a primitive column, None when unharvestable.
     * DECIMAL (int-backed unscaled values would compare wrongly against
     * BigDecimal filter literals) and non-string binaries are skipped;
-    * DATE/TIMESTAMP physical ints are stored but never consulted
-    * (their filter literals are not [[LakeTableIO.prunable]]).
+    * DATE stats (physical epoch-day ints) are consulted by [[cmp]]
+    * against java Date/LocalDate literals — exact internal encodings.
     */
   private def kindOf(p: org.apache.parquet.schema.PrimitiveType)
       : Option[String] = {
