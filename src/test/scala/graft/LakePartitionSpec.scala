@@ -28,14 +28,28 @@ class LakePartitionSpec extends SparkSpec {
   }
 
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     df.collect() // force AQE to finalize the plan
-    df.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeExec => s
-    }.size +
-      // AQE wraps finished stages; count their shuffles too
-      df.queryExecution.executedPlan.collect {
-        case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => q
-      }.size
+    // walk THROUGH adaptive wrappers and materialized stages — a plain
+    // .collect never descends into AdaptiveSparkPlanExec/QueryStageExec
+    // (their inner plans are fields, not children), which silently
+    // undercounts to zero
+    def walk(p: SparkPlan): Int = {
+      // count the exchanges themselves; stages walk through to them
+      // (counting both would double: a shuffle stage WRAPS its exchange)
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      val children = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      self + children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
   }
 
   test("CREATE ... PARTITIONED BY records a tuple per file, the write " +
@@ -149,6 +163,38 @@ class LakePartitionSpec extends SparkSpec {
             joinPlan.queryExecution.executedPlan)
       } finally spark.conf.set(
         "spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+      // one-side shuffle: joining the bucketed facts with a PLAIN
+      // (non-lake) table, Spark shuffles only the plain side — BY OUR
+      // V2 bucket function (produceResult evaluated per row), so the
+      // exchange output lands exactly on the lake's layout. One
+      // exchange instead of two, and the function evaluation agreeing
+      // with the on-disk layout is what the result correctness proves.
+      val prevShuf = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+        spark.range(0, 100).selectExpr("id AS k", "concat('p', id) AS p")
+          .createOrReplaceTempView("plain_dim")
+        val oneSide = spark.sql(
+          s"SELECT f.k, d.p FROM $cat.db.facts f " +
+            "JOIN plain_dim d ON f.k = d.k")
+        assert(oneSide.count() == 3000)
+        assert(shuffles(oneSide) == 1,
+          "plain-side join must shuffle ONLY the plain side:\n" +
+            oneSide.queryExecution.executedPlan)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          prevThreshold)
+        prevShuf match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+          case None => spark.conf.unset(
+            "spark.sql.sources.v2.bucketing.shuffle.enabled")
+        }
+      }
 
       // identity partitioning satisfies clustering by the column itself
       spark.sql(s"CREATE TABLE $cat.db.byreg (region STRING, x BIGINT) " +
