@@ -197,4 +197,96 @@ class LakePartitionPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("mixed evolution vintages: files written under DIFFERENT specs " +
+       "each prune/cover/DPP-decide by their own layout, never the " +
+       "current one's") {
+    // two transforms over one source type = a two-step evolution
+    def transformsFor(t: DataType): Gen[PTransform] = t match {
+      case LongType => Gen.oneOf(
+        Gen.const(PIdentity(col)),
+        Gen.chooseNum(1, 8).map(PBucket(_, col)),
+        Gen.chooseNum(1, 9).map(PTruncate(_, col)))
+      case StringType => Gen.oneOf(
+        Gen.const(PIdentity(col)),
+        Gen.chooseNum(1, 8).map(PBucket(_, col)),
+        Gen.chooseNum(1, 4).map(PTruncate(_, col)))
+      case _ => Gen.oneOf(PIdentity(col), PDays(col), PMonths(col),
+        PYears(col))
+    }
+    val trial = for {
+      (srcType, vGen) <- Gen.oneOf[(DataType, Gen[Any])](
+        (LongType, longGen), (StringType, strGen), (DateType, dateGen))
+      t0 <- transformsFor(srcType)
+      t1 <- transformsFor(srcType)
+      values <- Gen.listOfN(24, Gen.zip(
+        Gen.frequency(9 -> vGen, 1 -> Gen.const(null: Any)),
+        Gen.oneOf(0, 1))) // value + the vintage it was written under
+      filters0 <- Gen.listOfN(2, for {
+        lit <- Gen.frequency(9 -> vGen, 1 -> Gen.const(null: Any))
+        mk <- Gen.oneOf[(String, Any) => Filter](
+          EqualTo(_, _), EqualNullSafe(_, _), GreaterThan(_, _),
+          GreaterThanOrEqual(_, _), LessThan(_, _), LessThanOrEqual(_, _))
+      } yield (mk(col, external(lit, srcType)), lit))
+    } yield (srcType, t0, t1, values, filters0)
+    val prop = Prop.forAllNoShrink(trial) {
+      case (srcType, t0, t1, values, filters0) =>
+        val schema = StructType(Seq(StructField(col, srcType)))
+        val specs = IndexedSeq(
+          LakePartitioning.bind(Seq(t0), schema),
+          LakePartitioning.bind(Seq(t1), schema))
+        val files: Map[String, Seq[Any]] = values
+          .groupBy { case (v, vintage) =>
+            (vintage, encodeSlot(specs(vintage).head.eval(v)))
+          }
+          .map { case ((vintage, slot), vs) =>
+            s"f$vintage-$slot.parquet" -> vs.map(_._1)
+          }
+        val parts: Map[String, Seq[String]] = files.keys.map { f =>
+          val vintage = f.charAt(1) - '0'
+          f -> versionedTuple(vintage,
+            Seq(f.drop(3).stripSuffix(".parquet")))
+        }.toMap
+        val paths = files.keys.toSeq.sorted.map(new Path("/t", _))
+        val filters = filters0.map(_._1).toArray
+
+        val (kept, _) = LakePartitioning.prune(paths, parts, specs,
+          filters)
+        val keptNames = kept.map(_.getName).toSet
+        files.foreach { case (f, rows) =>
+          if (!keptNames.contains(f))
+            assert(!rows.exists(v => filters.forall(rowMatches(_, v))),
+              s"mixed ${t0.show}/${t1.show}: pruned $f holds a match " +
+                s"under ${filters.mkString(" AND ")}")
+        }
+        LakePartitioning.overwriteCoverage(files.keys.toSeq.sorted,
+          parts, specs, filters) match {
+          case Right(removed) =>
+            val rm = removed.toSet
+            files.foreach { case (f, rows) =>
+              if (rm.contains(f))
+                rows.foreach(v => assert(
+                  filters.forall(rowMatches(_, v)),
+                  s"mixed overwrite removed $f but row $v fails"))
+              else
+                rows.foreach(v => assert(
+                  !filters.forall(rowMatches(_, v)),
+                  s"mixed overwrite kept $f but row $v matches"))
+            }
+          case Left(_) => ()
+        }
+        val probes = filters0.map(_._2)
+        files.foreach { case (f, rows) =>
+          if (!LakePartitioning.tupleMightContainAny(specs, parts(f),
+              col, probes))
+            assert(!rows.exists(v => v != null &&
+                probes.exists(p => p != null && v == p)),
+              s"mixed DPP dropped $f holding a probed value")
+        }
+        true
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(1500), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
