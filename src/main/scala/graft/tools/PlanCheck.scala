@@ -28,6 +28,14 @@ object PlanCheck {
         val parts = seg.findAllIn(l).mkString(", ")
         println("  scan: " + (if (parts.nonEmpty) parts else l.trim.take(180)))
       }
+      // DSv2 scans (the lake connector): the Scan's own description is
+      // the evidence line — projected cols, rowgroups planned/total,
+      // files pruned by partition tuples and by manifest stats, pushed
+      // filters
+      plan.linesIterator.filter(_.contains("BatchScan")).foreach { l =>
+        println("  scan: " + l.trim.dropWhile(_ == '+').dropWhile(c =>
+          c == '-' || c == ' ').take(260))
+      }
       plan.linesIterator
         .filter(l => l.contains("Join") || l.contains("Cartesian"))
         .foreach(l => println("  join: " +
