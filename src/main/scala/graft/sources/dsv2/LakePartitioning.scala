@@ -411,6 +411,17 @@ object LakePartitioning {
     val f = normalize(f0)
     f match {
       case EqualNullSafe(_, null) => return slot == "n"
+      // null-ness is EXACT from the tuple: the writer splits rows per
+      // tuple, so a "n" slot means every row's source is null and any
+      // other slot means none is
+      case org.apache.spark.sql.sources.IsNull(_) =>
+        return slot == "n"
+      case org.apache.spark.sql.sources.IsNotNull(_) =>
+        return slot != "n"
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        val nn = vs.filter(_ != null)
+        return nn.nonEmpty &&
+          nn.exists(v => slotMightMatch(b, slot, EqualTo(c, v)))
       case _                      => ()
     }
     val lit = f match {
@@ -461,6 +472,15 @@ object LakePartitioning {
     f match {
       // a null slot means EVERY row's source is null: <=> NULL holds
       case EqualNullSafe(_, null) => return slot == "n"
+      case org.apache.spark.sql.sources.IsNull(_) =>
+        return slot == "n"
+      case org.apache.spark.sql.sources.IsNotNull(_) =>
+        return slot != "n"
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        // all rows share the tuple; exact transforms prove membership
+        // when some value's partition IS this one
+        return vs.filter(_ != null)
+          .exists(v => slotMustMatch(b, slot, EqualTo(c, v)))
       case _                      => ()
     }
     val lit = f match {
@@ -546,6 +566,9 @@ object LakePartitioning {
     case GreaterThanOrEqual(c, _) => Some(c)
     case LessThan(c, _)           => Some(c)
     case LessThanOrEqual(c, _)    => Some(c)
+    case org.apache.spark.sql.sources.In(c, _)        => Some(c)
+    case org.apache.spark.sql.sources.IsNull(c)       => Some(c)
+    case org.apache.spark.sql.sources.IsNotNull(c)    => Some(c)
     case _                        => None
   }
 

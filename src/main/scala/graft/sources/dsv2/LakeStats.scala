@@ -220,15 +220,37 @@ object LakeStats {
       if (hasIds && ref.id >= 0)
         st.cols.values.find(_.id == ref.id)
       else ref.candidates.iterator.flatMap(st.cols.get).nextOption()
-    pushed.forall { f =>
-      val (col, v) = f match {
-        case EqualTo(c, x)            => (c, x)
-        case GreaterThan(c, x)        => (c, x)
-        case GreaterThanOrEqual(c, x) => (c, x)
-        case LessThan(c, x)           => (c, x)
-        case LessThanOrEqual(c, x)    => (c, x)
-        case _                        => return true // unprunable shape
-      }
+    // per-filter verdict, a TOTAL function so a multi-filter
+    // conjunction composes every filter's pruning power (an early
+    // method return would short-circuit the rest)
+    def one(f: Filter): Boolean = f match {
+      case org.apache.spark.sql.sources.IsNull(c) =>
+        refByName.get(c).forall(ref => resolve(ref).forall(cs =>
+          cs.nulls != 0)) // unknown (-1) keeps; 0 nulls excludes
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        refByName.get(c).forall(ref => resolve(ref).forall(cs =>
+          !(cs.nulls >= 0 && cs.nulls == st.rows)))
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        val nn = vs.filter(_ != null)
+        if (nn.isEmpty) false // IN () / IN (NULL): matches nothing
+        else refByName.get(c).forall(ref => resolve(ref).forall { cs =>
+          if (cs.min.isEmpty || cs.max.isEmpty)
+            !(cs.nulls >= 0 && cs.nulls == st.rows)
+          else nn.exists(v =>
+            (cmp(cs.kind, cs.min.get, v),
+             cmp(cs.kind, cs.max.get, v)) match {
+              case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
+              case _                    => true
+            })
+        })
+      case EqualTo(col, v)            => cmpOne(col, v, f)
+      case GreaterThan(col, v)        => cmpOne(col, v, f)
+      case GreaterThanOrEqual(col, v) => cmpOne(col, v, f)
+      case LessThan(col, v)           => cmpOne(col, v, f)
+      case LessThanOrEqual(col, v)    => cmpOne(col, v, f)
+      case _                          => true // unprunable shape
+    }
+    def cmpOne(col: String, v: Any, f: Filter): Boolean =
       refByName.get(col).forall { ref =>
         resolve(ref).forall { cs =>
           if (cs.min.isEmpty || cs.max.isEmpty)
@@ -248,7 +270,7 @@ object LakeStats {
           }
         }
       }
-    }
+    pushed.forall(one)
   }
 
   /** `stat` (canonical string of `kind`) compared to the pushed filter

@@ -1909,6 +1909,13 @@ object LakeTableIO {
     case GreaterThanOrEqual(_, v) => comparable(v)
     case LessThan(_, v)           => comparable(v)
     case LessThanOrEqual(_, v)    => comparable(v)
+    // IN prunes when every non-null value compares (null literals in
+    // an IN list match nothing under 3VL and drop out); null checks
+    // prune from null counts / null tuple slots
+    case org.apache.spark.sql.sources.In(_, vs) =>
+      vs.forall(v => v == null || comparable(v))
+    case org.apache.spark.sql.sources.IsNull(_)    => true
+    case org.apache.spark.sql.sources.IsNotNull(_) => true
     case _                        => false
   }
   private def comparable(v: Any): Boolean = v match {
@@ -1998,6 +2005,15 @@ object LakeTableIO {
     def cmpSafe(a: Comparable[Any], v: Any): Option[Int] =
       try Some(a.compareTo(lift(v)))
       catch { case _: ClassCastException => None }
+    // null-count statistics: -1 = unknown (keep); row-group row count
+    // comes from the block itself
+    def nullsOf(col: String): Option[Long] =
+      block.getColumns.asScala
+        .find(_.getPath.toDotString == col)
+        .flatMap { c =>
+          val s = c.getStatistics
+          if (s == null || !s.isNumNullsSet) None else Some(s.getNumNulls)
+        }
     f match {
       case EqualTo(c, v) => bounds(c).forall { case (mn, mx) =>
         cmpSafe(mn, v).forall(_ <= 0) && cmpSafe(mx, v).forall(_ >= 0) }
@@ -2009,6 +2025,20 @@ object LakeTableIO {
         bounds(c).forall { case (mn, _) => cmpSafe(mn, v).forall(_ < 0) }
       case LessThanOrEqual(c, v) =>
         bounds(c).forall { case (mn, _) => cmpSafe(mn, v).forall(_ <= 0) }
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        // any non-null value inside the bounds keeps the group; an
+        // all-null/empty list matches nothing
+        vs.filter(_ != null) match {
+          case Array() => false
+          case nn => bounds(c).forall { case (mn, mx) =>
+            nn.exists(v => cmpSafe(mn, v).forall(_ <= 0) &&
+              cmpSafe(mx, v).forall(_ >= 0))
+          }
+        }
+      case org.apache.spark.sql.sources.IsNull(c) =>
+        nullsOf(c).forall(_ > 0)
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        nullsOf(c).forall(_ < block.getRowCount)
       case _ => true
     }
   }

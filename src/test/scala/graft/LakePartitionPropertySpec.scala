@@ -91,6 +91,10 @@ class LakePartitionPropertySpec extends AnyFunSuite {
     }
     f match {
       case EqualNullSafe(_, null) => v == null
+      case IsNull(_)    => v == null
+      case IsNotNull(_) => v != null
+      case In(_, vs) => v != null &&
+        vs.filter(_ != null).exists(l => cmp(v, l) == 0)
       case _ if v == null || litOf(f) == null => false
       case EqualTo(_, l)            => cmp(v, l) == 0
       case EqualNullSafe(_, l)      => cmp(v, l) == 0
@@ -112,12 +116,24 @@ class LakePartitionPropertySpec extends AnyFunSuite {
   /** ...and the internal form rowMatches compares against. */
   private def internal(v: Any): Any = v
 
-  private def filterGen(sc: Scenario): Gen[(Filter, Any)] = for {
-    lit <- Gen.frequency(9 -> sc.gen, 1 -> Gen.const(null: Any))
-    mk <- Gen.oneOf[(String, Any) => Filter](
-      EqualTo(_, _), EqualNullSafe(_, _), GreaterThan(_, _),
-      GreaterThanOrEqual(_, _), LessThan(_, _), LessThanOrEqual(_, _))
-  } yield (mk(col, external(lit, sc.srcType)), internal(lit))
+  private def filterGen(sc: Scenario): Gen[(Filter, Any)] = {
+    val cmpGen = for {
+      lit <- Gen.frequency(9 -> sc.gen, 1 -> Gen.const(null: Any))
+      mk <- Gen.oneOf[(String, Any) => Filter](
+        EqualTo(_, _), EqualNullSafe(_, _), GreaterThan(_, _),
+        GreaterThanOrEqual(_, _), LessThan(_, _), LessThanOrEqual(_, _))
+    } yield (mk(col, external(lit, sc.srcType)), internal(lit))
+    val inGen = for {
+      n <- Gen.chooseNum(0, 4)
+      lits <- Gen.listOfN(n, Gen.frequency(
+        9 -> sc.gen, 1 -> Gen.const(null: Any)))
+    } yield (In(col, lits.map(external(_, sc.srcType)).toArray),
+      lits.find(_ != null).orNull)
+    val nullGen = Gen.oneOf(
+      (IsNull(col): Filter, null: Any),
+      (IsNotNull(col): Filter, null: Any))
+    Gen.frequency(6 -> cmpGen, 2 -> inGen, 2 -> nullGen)
+  }
 
   test("tuple pruning never drops a file containing a matching row; " +
        "overwrite coverage is exact on both sides; DPP membership " +

@@ -126,10 +126,22 @@ class LakePartitionSpec extends SparkSpec {
       assert(janGot == spark.table(s"$cat.db.e")
         .where("month(d) = 1 AND year(d) = 2024").count())
       assert(o3 < total, "months pruning opened every footer")
-      // a comparison never matches the null-cat partition, but IS NULL
-      // still finds it (pruning only ever fires on comparisons)
-      assert(spark.table(s"$cat.db.e").where("cat IS NULL").count() ==
-        200)
+      // IN-list pruning: two probed keys open at most two buckets
+      val (inGot, oIn) = opens(
+        spark.table(s"$cat.db.e").where("k IN (777, 912)").count())
+      assert(inGot == 2)
+      assert(oIn <= 2 * (total / 8 + 1),
+        s"IN-list pruning opened $oIn footers of $total files")
+      // null-ness is EXACT from tuples: IS NULL plans only the null
+      // partition's files, IS NOT NULL skips them — and a comparison
+      // never matches the null-cat partition
+      val (nullGot, oNull) = opens(
+        spark.table(s"$cat.db.e").where("cat IS NULL").count())
+      assert(nullGot == 200)
+      assert(oNull < total / 2,
+        s"IS NULL opened $oNull footers of $total — no tuple pruning")
+      assert(spark.table(s"$cat.db.e")
+        .where("cat IS NOT NULL").count() == 1800)
     }
   }
 
