@@ -1422,13 +1422,19 @@ object LakeTableIO {
                     onlyPositions: Option[Array[Long]] = None)
       : ScanPlan = {
     val conf = new Configuration()
-    val parts = mutable.ArrayBuffer.empty[InputPartition]
     val refByName = cols.map(r => r.name -> r).toMap
-    var total = 0
-    var rows = 0L
-    var bytes = 0L
-    var statsPruned0 = 0
-    files.foreach { file =>
+    // one file's plan contribution: its surviving splits + counters —
+    // independent footer I/O, computed in PARALLEL below (bounded
+    // pool) and folded back in file order so the plan is deterministic
+    final case class FilePlan(parts: Seq[InputPartition], total: Int,
+                              rows: Long, bytes: Long,
+                              statsPruned: Boolean)
+    def planFile(file: Path): FilePlan = {
+      val parts = mutable.ArrayBuffer.empty[InputPartition]
+      var total = 0
+      var rows = 0L
+      var bytes = 0L
+      var statsPruned0 = 0
       val fileDvs = dvs.getOrElse(file.getName, Seq.empty)
       // manifest-stats FILE pruning first: a file the pushed predicate
       // provably excludes is skipped without opening its footer — the
@@ -1497,8 +1503,21 @@ object LakeTableIO {
           rows += math.max(0L, fileKeptRows - dvCount)
         } finally reader.close()
       }
+      FilePlan(parts.toSeq, total, rows, bytes, statsPruned0 > 0)
     }
-    ScanPlan(parts.toArray, total, rows, bytes, statsPruned0)
+    val perFile: Seq[FilePlan] =
+      if (files.size < 4) files.map(planFile)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.traverse(files.toList)(f => Future(planFile(f))),
+          Duration.Inf)
+      }
+    ScanPlan(perFile.flatMap(_.parts).toArray, perFile.map(_.total).sum,
+      perFile.map(_.rows).sum, perFile.map(_.bytes).sum,
+      perFile.count(_.statsPruned))
   }
 
   /** Evaluate a global aggregation from manifest metadata alone, or
