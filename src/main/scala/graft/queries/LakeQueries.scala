@@ -380,6 +380,26 @@ object LakeQueries {
       s.table(s"$tbl.partitions").selectExpr("d_months", "row_count")
     }),
 
+    // GROUPED METADATA AGGREGATE: GROUP BY an identity partition
+    // column + COUNT(*) is answered from the MANIFEST alone — tuple
+    // membership is exactly group membership, DV sizes give exact live
+    // counts, zero data files open (plan pin + footer-open pin in
+    // LakePartitionSpec; a fast path even Delta/Iceberg's Spark
+    // integrations skip). The oracle recomputes the counts from rows.
+    "lake_groupby_meta" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_gmeta")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (pri STRING, k BIGINT) " +
+        "PARTITIONED BY (pri) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      previous(s, dir).selectExpr("o_orderpriority AS pri", s"$key AS k")
+        .createOrReplaceTempView("lake_gmeta_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_gmeta_src")
+      s.sql(s"DELETE FROM $tbl WHERE k % 4 = 1")
+      s.sql(s"SELECT pri, count(*) AS n FROM $tbl GROUP BY pri")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
     // exactly the partitions the write PRODUCES (here the single
     // '1-URGENT' identity partition), never the rest — resolved to a
@@ -899,6 +919,12 @@ object LakeQueries {
          |SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
          |         AS d_months,
          |       count(*) AS row_count
+         |FROM prev WHERE o_orderkey % 4 <> 1
+         |GROUP BY 1""".stripMargin,
+    // live per-partition counts, recomputed from the surviving rows
+    "lake_groupby_meta" ->
+      s"""$snapshotCte
+         |SELECT o_orderpriority AS pri, count(*) AS n
          |FROM prev WHERE o_orderkey % 4 <> 1
          |GROUP BY 1""".stripMargin,
     // untouched partitions from the load + the overwritten one anew

@@ -120,3 +120,31 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
   */
 case class LakeMetaRowsPartition(rows: Seq[Seq[Any]])
     extends InputPartition
+
+/** A batch scan serving driver-computed rows — the vehicle for every
+  * metadata-only fast path (completely-pushed aggregates, inventory
+  * tables): one partition, values already in internal form.
+  */
+class LakeLocalRowsScan(out: StructType, rows: Seq[Seq[Any]],
+                        desc: String) extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String = desc
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeMetaRowsPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it =
+            p.asInstanceOf[LakeMetaRowsPartition].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = it.hasNext && {
+            cur = InternalRow.fromSeq(it.next()); true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
+}

@@ -324,8 +324,7 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var projected: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
-  private var metaAgg: Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] =
-    None
+  private var metaAgg: Option[(StructType, Seq[Seq[Any]], String)] = None
 
   /** Metadata-only global aggregates: the manifest knows every file's
     * row count, per-column null counts and min/max bounds (stats
@@ -357,11 +356,28 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
 
   private def tryMetaAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] =
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
-        agg.aggregateExpressions.isEmpty) None
-    else LakeTableIO.metaAggregate(dir, tableSchema,
-      agg.aggregateExpressions.toSeq, pinnedVersion, branch)
+      : Option[(StructType, Seq[Seq[Any]], String)] =
+    if (pushed.nonEmpty || agg.aggregateExpressions.isEmpty) None
+    else if (agg.groupByExpressions.isEmpty)
+      LakeTableIO.metaAggregate(dir, tableSchema,
+        agg.aggregateExpressions.toSeq, pinnedVersion, branch)
+        .map { values =>
+          val schema = values.zipWithIndex
+            .foldLeft(new StructType()) { case (st, ((t, v), i)) =>
+              st.add(s"agg_$i", t, nullable = v == null)
+            }
+          (schema, Seq(values.map(_._2)), "metadata-only global")
+        }
+    else
+      // GROUP BY identity-partition columns: per-partition COUNT(*)
+      // from the manifest alone (tuples give exact group membership,
+      // DV sizes the exact live counts)
+      LakeTableIO.groupedMetaAggregate(dir, tableSchema,
+        agg.groupByExpressions.toSeq, agg.aggregateExpressions.toSeq,
+        pinnedVersion, branch)
+        .map { case (schema, rows) =>
+          (schema, rows, "metadata-grouped per-partition")
+        }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order (parquet readers expect it); the
@@ -383,7 +399,11 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
-    metaAgg.foreach(values => return new LakeMetaAggScan(dir, values))
+    metaAgg.foreach { case (schema, rows, desc) =>
+      return new LakeLocalRowsScan(schema, rows,
+        s"graft_lake $dir PushedAggregates=[$desc, " +
+          s"${rows.size} rows]")
+    }
     val (files, dvs, stats, parts) =
       LakeTableIO.snapshotView(dir, pinnedVersion, branch)
     new LakeScan(dir, files, tableSchema, projected, pushed,
@@ -669,45 +689,6 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       s"pushed=[${pushed.mkString(",")}]"
   }
 }
-
-/** The completely-pushed global aggregate: one partition, one row, the
-  * values computed on the DRIVER from manifest metadata (see
-  * [[LakeTableIO.metaAggregate]] for the answerability rules). Time
-  * travel and branches flow through the snapshot the builder resolved.
-  * Values ride serialized in the partition (already internal-format:
-  * Long/Int/UTF8String/null).
-  */
-class LakeMetaAggScan(dir: String,
-                      values: Seq[(org.apache.spark.sql.types.DataType, Any)])
-    extends Scan with Batch {
-  override def readSchema(): StructType =
-    values.zipWithIndex.foldLeft(new StructType()) { case (st, ((t, v), i)) =>
-      st.add(s"agg_$i", t, nullable = v == null)
-    }
-  override def toBatch: Batch = this
-
-  override def description(): String =
-    s"graft_lake $dir PushedAggregates=[metadata-only, " +
-      s"${values.size} exprs]"
-
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(LakeMetaAggPartition(values.map(_._2)))
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(
-          p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private var emitted = false
-          override def next(): Boolean = !emitted && { emitted = true; true }
-          override def get(): InternalRow = InternalRow.fromSeq(
-            p.asInstanceOf[LakeMetaAggPartition].values)
-          override def close(): Unit = ()
-        }
-    }
-}
-
-case class LakeMetaAggPartition(values: Seq[Any]) extends InputPartition
 
 class LakeReaderFactory(projected: StructType)
     extends PartitionReaderFactory {
@@ -1615,6 +1596,81 @@ object LakeTableIO {
       case _ => return None
     }
     Some(values)
+  }
+
+  /** Per-partition COUNT(*) answered from the manifest alone — the
+    * grouped flavor of [[metaAggregate]] (a fast path even Delta and
+    * Iceberg's Spark integrations skip). Answerable when:
+    *
+    *   - every GROUP BY expression is a single column that an IDENTITY
+    *     transform of the CURRENT spec partitions on (identity makes
+    *     tuple membership exactly the group membership);
+    *   - every aggregate is a plain `COUNT(*)`;
+    *   - every file carries a current-spec tuple AND a manifest row
+    *     count (live counts = rows − its DV positions, exact).
+    *
+    * A group whose files net ZERO live rows is dropped (SQL: no rows,
+    * no group). Null source values group under the null tuple slot —
+    * exactly SQL's null group. Returns (output schema: groupBy columns
+    * then counts, rows in internal form).
+    */
+  def groupedMetaAggregate(
+      dir: String, tableSchema: StructType,
+      groupBy: Seq[org.apache.spark.sql.connector.expressions.Expression],
+      exprs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
+      version: Option[Long], branch: Option[String])
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.types.LongType
+    if (!exprs.forall(_.isInstanceOf[CountStar])) return None
+    val specs = LakePartitioning.specsOf(dir)
+    if (specs.isEmpty || specs.last.isEmpty) return None
+    val bound =
+      try LakePartitioning.bind(specs.last, tableSchema)
+      catch { case _: Exception => return None }
+    // each groupBy column -> the identity transform's slot index
+    val slotIdx: Seq[(String, Int,
+        org.apache.spark.sql.types.DataType)] = groupBy.map {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames()(0)
+        val i = bound.indexWhere(b =>
+          b.t.isInstanceOf[LakePartitioning.PIdentity] &&
+            b.t.col.equalsIgnoreCase(c))
+        if (i < 0) return None
+        (c, i, bound(i).outType)
+      case _ => return None
+    }
+    val (files, dvs, stats, parts) = snapshotView(dir, version, branch)
+    val currentId = specs.length - 1
+    val perFile = files.map { f =>
+      val tuple = parts.getOrElse(f.getName, return None)
+      val (id, slots) = LakePartitioning.splitTuple(tuple)
+      if (id != currentId || slots.length != bound.length) return None
+      val rows = stats.get(f.getName).map(_.rows)
+        .getOrElse(return None) // stat-less vintage: not provable
+      val dead = dvs.get(f.getName)
+        .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
+      (slotIdx.map { case (_, i, _) => slots(i) },
+        math.max(0L, rows - dead))
+    }
+    val rows = perFile.groupBy(_._1).toSeq
+      .map { case (key, fs0) => (key, fs0.map(_._2).sum) }
+      .filter(_._2 > 0) // zero live rows: the group does not exist
+      .sortBy(_._1.mkString(" "))
+      .map { case (key, n) =>
+        slotIdx.zip(key).map { case ((_, i, _), slot) =>
+          LakePartitioning.decodeSlot(bound(i), slot)
+            .getOrElse(return None)
+        } ++ exprs.map(_ => java.lang.Long.valueOf(n))
+      }
+    val schema0 = slotIdx.zipWithIndex.foldLeft(new StructType()) {
+      case (st, ((c, _, t), _)) => st.add(c, t, nullable = true)
+    }
+    val schema = exprs.zipWithIndex.foldLeft(schema0) { case (st, (_, i)) =>
+      st.add(s"count_$i", LongType, nullable = false)
+    }
+    Some((schema, rows))
   }
 
   private def metaExtreme(

@@ -644,6 +644,48 @@ class LakePartitionSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY an identity partition column answers from the " +
+       "manifest alone: pushed complete aggregate, zero footer opens, " +
+       "DV-exact live counts, fully-deleted partitions vanish, and " +
+       "non-identity groupings fall back to the row scan correctly") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.gm (region STRING, x BIGINT) " +
+        "PARTITIONED BY (region) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.gm SELECT " +
+        "CASE WHEN id % 5 = 4 THEN NULL ELSE concat('r', id % 5) END, " +
+        "id FROM range(0, 500, 1, 4)")
+      spark.sql(s"DELETE FROM $cat.db.gm WHERE x % 3 = 0") // DVs
+      spark.sql(s"DELETE FROM $cat.db.gm WHERE region = 'r1'") // full
+      val expected = spark.table(s"$cat.db.gm")
+        .selectExpr("region", "x").collect()
+        .groupBy(r => if (r.isNullAt(0)) null else r.getString(0))
+        .view.mapValues(_.length.toLong).toMap
+
+      val before = LakeStats.footerOpens.get()
+      val agg = spark.sql(
+        s"SELECT region, count(*) AS n FROM $cat.db.gm GROUP BY region")
+      val got = agg.collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+          r.getLong(1)).toMap
+      assert(got == expected)
+      assert(!got.contains("r1"), "fully-deleted partition must vanish")
+      assert(got.contains(null), "null source values form the null group")
+      assert(LakeStats.footerOpens.get() == before,
+        "metadata-grouped count opened data-file footers")
+      assert(agg.queryExecution.executedPlan.toString
+        .contains("metadata-grouped"),
+        "plan lost the pushed-aggregate evidence:\n" +
+          agg.queryExecution.executedPlan)
+
+      // a non-identity grouping (expression over the column) falls
+      // back to the row scan and still agrees
+      val byLen = spark.sql(s"SELECT length(region) AS l, count(*) AS n " +
+        s"FROM $cat.db.gm GROUP BY 1").collect()
+      assert(byLen.map(_.getLong(1)).sum == expected.values.sum)
+    }
+  }
+
   test("bad specs fail at CREATE, not first INSERT: unknown transform, " +
        "missing source column, inadmissible source type") {
     withCatalog { (cat, _) =>
