@@ -59,7 +59,8 @@ object LakeTx {
     * (present in `dir` under their final names) but in no manifest.
     */
   final case class TableAppend(dir: String, operation: String,
-                               added: Seq[String], addedRows: Long)
+                               added: Seq[String], addedRows: Long,
+                               parts: Map[String, Seq[String]] = Map.empty)
 
   private def txDir(root: String): Path = new Path(root, "_txn")
 
@@ -76,22 +77,35 @@ object LakeTx {
   def stageAppend(spark: SparkSession, df: DataFrame, dir: String,
                   operation: String): TableAppend = {
     val fs = fsFor(dir)
-    val scratch = new Path(dir,
-      s"_staging/tx-${java.util.UUID.randomUUID()}")
-    df.write.parquet(scratch.toString)
-    val staged = fs.listStatus(scratch).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-    val rows = LakeTableIO.footerRows(staged)
-    val published = staged.map { p =>
+    // write through the CONNECTOR's writer (not a raw parquet dump):
+    // field ids land in the footers and — on partitioned tables — the
+    // rows split per tuple, so transactional appends keep the same
+    // layout guarantees as any INSERT (pruning, SPJ, dynamic
+    // overwrite); the writer stages under _staging like every write
+    val factory = new LakeWriterFactory(dir, df.schema)
+    val staged: Seq[StagedLakeFile] = df.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val w = factory.createWriter(pid,
+          org.apache.spark.TaskContext.get().taskAttemptId())
+        var ok = false
+        try {
+          it.foreach(w.write)
+          val m = w.commit().asInstanceOf[LakeFileMessage]
+          ok = true
+          Iterator.single(m.files)
+        } finally if (!ok) w.abort()
+      }.collect().toSeq.flatten
+    val published = staged.map { s =>
       val dest = new Path(dir,
         s"part-${java.util.UUID.randomUUID()}.parquet")
-      if (!fs.rename(p, dest))
-        throw new java.io.IOException(s"failed to publish $p -> $dest")
-      dest.getName
+      if (!fs.rename(new Path(s.stagedPath), dest))
+        throw new java.io.IOException(
+          s"failed to publish ${s.stagedPath} -> $dest")
+      (dest.getName, s.rows, s.tuple)
     }
-    fs.delete(scratch, true)
-    TableAppend(dir, operation, published, rows)
+    TableAppend(dir, operation, published.map(_._1),
+      published.map(_._2).sum,
+      published.collect { case (n, _, Some(t)) => n -> t }.toMap)
   }
 
   /** Atomically commit `appends` across their tables. Runs [[recover]]
@@ -163,6 +177,15 @@ object LakeTx {
       a.added.foreach(fl.add)
       m.put("added", fl)
       m.put("addedRows", java.lang.Long.valueOf(a.addedRows))
+      if (a.parts.nonEmpty) {
+        val pm = new JHashMap[String, Object]()
+        a.parts.toSeq.sortBy(_._1).foreach { case (f, t) =>
+          val tl = new ArrayList[String](t.size)
+          t.foreach(tl.add)
+          pm.put(f, tl)
+        }
+        m.put("parts", pm)
+      }
       list.add(m)
     }
     body.put("appends", list)
@@ -192,10 +215,17 @@ object LakeTx {
     val txid = String.valueOf(body.get("txid"))
     val appends = body.get("appends").asInstanceOf[JList[JMap[String, Object]]]
       .asScala.toSeq.map { m =>
+        val parts = m.get("parts") match {
+          case pm: JMap[_, _] => pm.asScala.map { case (k, v) =>
+            String.valueOf(k) ->
+              v.asInstanceOf[JList[String]].asScala.toSeq
+          }.toMap
+          case _ => Map.empty[String, Seq[String]] // pre-parts markers
+        }
         TableAppend(String.valueOf(m.get("dir")),
           String.valueOf(m.get("operation")),
           m.get("added").asInstanceOf[JList[String]].asScala.toSeq,
-          m.get("addedRows").asInstanceOf[Number].longValue())
+          m.get("addedRows").asInstanceOf[Number].longValue(), parts)
       }
     (txid, appends)
   }
@@ -210,7 +240,7 @@ object LakeTx {
     */
   private[graft] def applyOne(txid: String, a: TableAppend): Unit =
     LakeLog.commit(a.dir, s"txn($txid)", a.added, Seq.empty, a.addedRows,
-      dedupeOnOperation = true)
+      dedupeOnOperation = true, addedParts = a.parts)
 
   private[graft] def forget(root: String, txid: String): Unit =
     fsFor(root).delete(new Path(txDir(root), s"tx-$txid.json"), false)

@@ -686,6 +686,36 @@ class LakePartitionSpec extends SparkSpec {
     }
   }
 
+  test("multi-table transactions keep the partitioned layout: staged " +
+       "appends split per tuple through the connector writer and the " +
+       "applied commits carry the tuples") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.txp (g BIGINT, x BIGINT) " +
+        "PARTITIONED BY (g)")
+      spark.sql(s"CREATE TABLE $cat.db.txu (note STRING)")
+      import graft.sources.dsv2.LakeTx
+      val a = LakeTx.stageAppend(spark,
+        spark.range(0, 300).selectExpr("id % 3 AS g", "id AS x"),
+        s"$root/db/txp", "facts")
+      val b = LakeTx.stageAppend(spark,
+        spark.range(1).selectExpr("'batch-1' AS note"),
+        s"$root/db/txu", "audit")
+      LakeTx.commit(root, Seq(a, b))
+      val snap = LakeLog.current(s"$root/db/txp").get
+      assert(snap.parts.keySet == snap.files.toSet,
+        "transactional append lost partition tuples")
+      assert(snap.parts.values.toSeq.distinct.size == 3)
+      assert(spark.table(s"$cat.db.txp").count() == 300)
+      // the layout is live: pruning and the grouped metadata count work
+      assert(spark.table(s"$cat.db.txp").where("g = 1").count() == 100)
+      val gm = spark.sql(
+        s"SELECT g, count(*) AS n FROM $cat.db.txp GROUP BY g")
+      assert(gm.collect().map(_.getLong(1)).toSeq == Seq(100, 100, 100))
+      assert(gm.queryExecution.executedPlan.toString
+        .contains("metadata-grouped"))
+    }
+  }
+
   test("bad specs fail at CREATE, not first INSERT: unknown transform, " +
        "missing source column, inadmissible source type") {
     withCatalog { (cat, _) =>
