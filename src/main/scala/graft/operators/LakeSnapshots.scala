@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.dsv2.{LakeLog, LakeTableIO}
+import graft.sources.dsv2.{LakeLog, LakePartitioning, LakeTableIO}
 
 /** Table-maintenance surface over a [[graft.sources.dsv2.LakeTable]]'s
   * snapshot log — the operations a lakehouse user runs daily next to
@@ -306,14 +306,29 @@ object LakeSnapshots {
     // materializes them first (after which they compact normally)
     val small = sized.filter(_._2 < targetBytes)
       .filterNot { case (f, _) => head.dvs.contains(f) }
-    // bin within each partition group — merging across partitions would
-    // strip the merged file of any tuple; a group with one small file
-    // has nothing to merge
-    val groups = byTuple(head.parts, small.map(_._1))
-      .filter(_._2.size >= 2)
-    if (groups.isEmpty) return (head.files.size, head.files.size)
-    val sizeOf = small.toMap
-    val compacted = groups.flatMap(_._2)
+    // current-layout groups bin WITHIN their partition (merging across
+    // partitions would strip the merged file of any tuple; a group
+    // with one small file has nothing to merge). Files of an OLD
+    // evolution vintage — or tuple-less ones in a partitioned table —
+    // MIGRATE to the current layout instead, regardless of size:
+    // compaction is the pass that makes a post-evolution table uniform
+    // again (re-enabling dynamic overwrite and SPJ grouping).
+    val specs = LakePartitioning.specsOf(dir)
+    val partitioned = specs.nonEmpty && specs.last.nonEmpty
+    def isCurrentLayout(f: String): Boolean =
+      !partitioned || head.parts.get(f).exists { t =>
+        val (id, slots) = LakePartitioning.splitTuple(t)
+        id == specs.length - 1 && slots.length == specs.last.length
+      }
+    val migrate = head.files
+      .filter(f => partitioned && !isCurrentLayout(f))
+      .filterNot(head.dvs.contains)
+    val groups = byTuple(head.parts,
+      small.map(_._1).filter(isCurrentLayout)).filter(_._2.size >= 2)
+    if (groups.isEmpty && migrate.isEmpty)
+      return (head.files.size, head.files.size)
+    val sizeOf = sized.toMap
+    val compacted = groups.flatMap(_._2) ++ migrate
     val srcRows = LakeTableIO.footerRows(compacted.map(new Path(dir, _)))
     val stage = new Path(dir, s".compact-${UUID.randomUUID()}")
     try {
@@ -328,21 +343,39 @@ object LakeSnapshots {
               .repartition(nOut)
               .write.parquet(gStage.toString)
           }
-          val staged = fs.listStatus(gStage).toSeq
+          fs.listStatus(gStage).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath)
-          (tuple, staged)
+            .map(s => (s.getPath, tuple))
       }
-      val stagedRows = LakeTableIO.footerRows(stagedByGroup.flatMap(_._2))
+      // layout migration: rewrite THROUGH the connector writer (rows
+      // split per current-spec tuple), pre-clustered by expression
+      // mirrors of the transforms so each task holds whole partitions
+      val stagedMigrated: Seq[(Path, Option[Seq[String]])] =
+        if (migrate.isEmpty) Seq.empty
+        else {
+          val schema = LakeTableIO.tableSchema(dir)
+          val bound = LakePartitioning.bind(specs.last, schema)
+          val nOut = math.max(1, math.ceil(
+            migrate.map(f => sizeOf.getOrElse(f,
+              fs.getFileStatus(new Path(dir, f)).getLen))
+              .sum.toDouble / targetBytes).toInt)
+          val df0 = spark.read.schema(schema)
+            .parquet(migrate.map(f => s"$dir/$f"): _*)
+          val clustered =
+            df0.repartition(nOut, clusterExprs(bound): _*)
+          withMicrosTimestamps(spark) {
+            LakeTableIO.stageThroughConnector(clustered, dir)
+          }.map(s => (new Path(s.stagedPath), s.tuple))
+        }
+      val allStaged = stagedByGroup.flatten ++ stagedMigrated
+      val stagedRows = LakeTableIO.footerRows(allStaged.map(_._1))
       require(stagedRows == srcRows,
         s"compaction would lose rows: staged $stagedRows != source $srcRows")
-      val published = stagedByGroup.flatMap { case (tuple, staged) =>
-        staged.map { p =>
-          val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-          if (!fs.rename(p, dest))
-            throw new java.io.IOException(s"failed to publish $p -> $dest")
-          (dest.getName, tuple)
-        }
+      val published = allStaged.map { case (p, tuple) =>
+        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"failed to publish $p -> $dest")
+        (dest.getName, tuple)
       }
       try LakeLog.commit(dir, "compact", published.map(_._1), compacted,
         addedRows = 0L, dataChange = false,
@@ -352,7 +385,49 @@ object LakeSnapshots {
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
       (head.files.size, head.files.size - compacted.size + published.size)
-    } finally fs.delete(stage, true)
+    } finally {
+      fs.delete(stage, true)
+      // failed migrations leave staged files under _staging — the
+      // expire vacuum's usual territory; nothing to do here
+    }
+  }
+
+  /** Spark-expression CLUSTERING mirrors of the transforms — rows with
+    * equal tuples land in one task, so the connector writer emits one
+    * file per partition. Only co-location is needed (same tuple ⇒ same
+    * expression value); the writer computes the authoritative tuple
+    * per row, so even a wrong mirror could only cost extra files,
+    * never misplace a row. The bucket mirror `pmod(hash, n)` is pinned
+    * EQUAL to the writer's hash in LakePartitionSpec.
+    */
+  private def clusterExprs(
+      bound: Seq[graft.sources.dsv2.LakePartitioning.Bound])
+      : Seq[org.apache.spark.sql.Column] = {
+    import graft.sources.dsv2.LakePartitioning._
+    import org.apache.spark.sql.types.{DateType, StringType}
+    bound.map { b =>
+      val c = col(b.t.col)
+      b.t match {
+        case _: PIdentity => c
+        case PBucket(n, _) => pmod(hash(c), lit(n))
+        case PTruncate(w, _) => b.srcType match {
+          case StringType => substring(c, 1, w)
+          case _          => c - pmod(c, lit(w))
+        }
+        case _: PDays => b.srcType match {
+          case DateType => c
+          case _        => date_trunc("DAY", c)
+        }
+        case _: PMonths => b.srcType match {
+          case DateType => trunc(c, "month")
+          case _        => date_trunc("MONTH", c)
+        }
+        case _: PYears => b.srcType match {
+          case DateType => trunc(c, "year")
+          case _        => date_trunc("YEAR", c)
+        }
+      }
+    }
   }
 
   /** Materialize merge-on-read deletion vectors: every DV'd data file

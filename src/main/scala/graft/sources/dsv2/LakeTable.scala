@@ -1314,6 +1314,29 @@ object LakeTableIO {
         }
     }
 
+  /** Write `df` through the CONNECTOR's writer (field-id footers; on
+    * partitioned tables rows split per tuple) into `dir/_staging`,
+    * returning the staged files with their tuples — the building block
+    * transactional staging and layout-migrating maintenance share.
+    * The caller publishes (rename + manifest) or abandons (vacuum
+    * reclaims _staging leftovers).
+    */
+  def stageThroughConnector(df: org.apache.spark.sql.DataFrame,
+                            dir: String): Seq[StagedLakeFile] = {
+    val factory = new LakeWriterFactory(dir, df.schema)
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val w = factory.createWriter(pid,
+        org.apache.spark.TaskContext.get().taskAttemptId())
+      var ok = false
+      try {
+        it.foreach(w.write)
+        val m = w.commit().asInstanceOf[LakeFileMessage]
+        ok = true
+        Iterator.single(m.files)
+      } finally if (!ok) w.abort()
+    }.collect().toSeq.flatten
+  }
+
   /** Exact row count of `files` from parquet footers alone — metadata,
     * no data read. Compaction's row-preservation check runs on this.
     */

@@ -82,19 +82,8 @@ object LakeTx {
     // rows split per tuple, so transactional appends keep the same
     // layout guarantees as any INSERT (pruning, SPJ, dynamic
     // overwrite); the writer stages under _staging like every write
-    val factory = new LakeWriterFactory(dir, df.schema)
-    val staged: Seq[StagedLakeFile] = df.queryExecution.toRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val w = factory.createWriter(pid,
-          org.apache.spark.TaskContext.get().taskAttemptId())
-        var ok = false
-        try {
-          it.foreach(w.write)
-          val m = w.commit().asInstanceOf[LakeFileMessage]
-          ok = true
-          Iterator.single(m.files)
-        } finally if (!ok) w.abort()
-      }.collect().toSeq.flatten
+    val staged: Seq[StagedLakeFile] =
+      LakeTableIO.stageThroughConnector(df, dir)
     val published = staged.map { s =>
       val dest = new Path(dir,
         s"part-${java.util.UUID.randomUUID()}.parquet")

@@ -628,6 +628,31 @@ class LakePartitionSpec extends SparkSpec {
         .where("d >= DATE'2030-01-01'").count() == 100)
       assert(spark.table(s"$cat.db.ev").where("k = 850").count() == 1)
 
+      // compaction MIGRATES old vintages to the current layout: the
+      // table turns uniform (every tuple carries the current spec id)
+      // and dynamic overwrite — blocked on mixed layouts above —
+      // works again
+      spark.sql(s"CALL $cat.system.compact(table => 'db.ev', " +
+        "target_bytes => 104857600)")
+      val snapC = LakeLog.current(dir).get
+      assert(snapC.files.forall(f =>
+        snapC.parts.get(f).exists(_.head == "s2")),
+        s"compaction left non-current layouts: ${snapC.parts.values
+          .map(_.head).toSet}")
+      assert(spark.table(s"$cat.db.ev").count() == 900)
+      assert(spark.table(s"$cat.db.ev").where("k = 850").count() == 1)
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        spark.sql(s"INSERT OVERWRITE $cat.db.ev SELECT 850, " +
+          "DATE'2031-01-01', 'replaced'")
+        assert(spark.table(s"$cat.db.ev")
+          .where("v = 'replaced'").count() == 1)
+        assert(spark.table(s"$cat.db.ev").where("k = 850").count() == 1,
+          "the overwritten bucket holds only the new row")
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+
       // evolution guardrails
       intercept[Exception] {
         spark.sql(s"CALL $cat.system.add_partition_field(" +
