@@ -1059,9 +1059,9 @@ class LakeWrite(dir: String, writeSchema: StructType,
             require(unmatched.isEmpty,
               s"dynamic overwrite of $dir: current files without " +
                 s"current-spec tuples (${unmatched.take(3).mkString(", ")}…)" +
-                " cannot be matched to written partitions; rewrite " +
-                "those files under the current spec first (INSERT " +
-                "OVERWRITE from a snapshot, or truncate + reload)")
+                " cannot be matched to written partitions; CALL " +
+                "system.compact first (it migrates old layouts to the " +
+                "current spec)")
             val written = published.collect { case (_, _, Some(t)) => t }
               .toSet
             cur.filter(f => parts.get(f).exists(written.contains))
