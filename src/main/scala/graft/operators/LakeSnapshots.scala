@@ -426,6 +426,7 @@ object LakeSnapshots {
           case DateType => trunc(c, "year")
           case _        => date_trunc("YEAR", c)
         }
+        case _: PHours => date_trunc("HOUR", c)
       }
     }
   }

@@ -372,6 +372,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               case p: LakePartitioning.PDays     => p.copy(col = to)
               case p: LakePartitioning.PMonths   => p.copy(col = to)
               case p: LakePartitioning.PYears    => p.copy(col = to)
+              case p: LakePartitioning.PHours    => p.copy(col = to)
             }
           case t => t
         })

@@ -23,16 +23,26 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, St
 object LakeFunctions {
 
   val names: Seq[String] =
-    Seq("bucket", "truncate", "days", "months", "years")
+    Seq("bucket", "truncate", "days", "months", "years", "hours")
+
+  private val dateOrTs: Seq[DataType] =
+    Seq(DateType, TimestampType, TimestampNTZType)
+  private val tsOnly: Seq[DataType] =
+    Seq(TimestampType, TimestampNTZType)
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase match {
       case "bucket"   => Some(BucketUnbound)
       case "truncate" => Some(TruncateUnbound)
-      case "days"     => Some(timeUnbound("days", LakePartitioning.PDays))
-      case "months"   => Some(timeUnbound("months", LakePartitioning.PMonths))
-      case "years"    => Some(timeUnbound("years", LakePartitioning.PYears))
-      case _          => None
+      case "days" =>
+        Some(timeUnbound("days", LakePartitioning.PDays, dateOrTs))
+      case "months" =>
+        Some(timeUnbound("months", LakePartitioning.PMonths, dateOrTs))
+      case "years" =>
+        Some(timeUnbound("years", LakePartitioning.PYears, dateOrTs))
+      case "hours" =>
+        Some(timeUnbound("hours", LakePartitioning.PHours, tsOnly))
+      case _ => None
     }
 
   /** A bound transform evaluator: `eval` is exactly the writer's. */
@@ -118,17 +128,17 @@ object LakeFunctions {
   }
 
   private def timeUnbound(
-      fn: String, mk: String => LakePartitioning.PTransform)
-      : UnboundFunction =
+      fn: String, mk: String => LakePartitioning.PTransform,
+      admits: Seq[DataType]): UnboundFunction =
     new UnboundFunction {
       override def name(): String = fn
       override def description(): String =
-        s"$fn(col): ordinal since epoch (date/timestamp)"
+        s"$fn(col): ordinal since epoch"
       override def bind(inputType: StructType): BoundFunction = {
         require(inputType.length == 1,
-          s"graft.$fn expects one date/timestamp argument, got $inputType")
+          s"graft.$fn expects one temporal argument, got $inputType")
         val vt = inputType.fields(0).dataType
-        bindable(vt, Seq(DateType, TimestampType, TimestampNTZType), fn)
+        bindable(vt, admits, fn)
         new Evaluator(fn, Array(vt), IntegerType,
           LakePartitioning.Bound(mk("_"), 0, vt), valueAt = 0)
       }

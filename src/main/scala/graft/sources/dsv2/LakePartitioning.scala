@@ -74,6 +74,9 @@ object LakePartitioning {
   final case class PYears(col: String) extends PTransform {
     def show = s"years($col)"
   }
+  final case class PHours(col: String) extends PTransform {
+    def show = s"hours($col)"
+  }
 
   def show(spec: Seq[PTransform]): String = spec.map(_.show).mkString(",")
 
@@ -89,6 +92,7 @@ object LakePartitioning {
         case ("days", Array(c))        => PDays(c)
         case ("months", Array(c))      => PMonths(c)
         case ("years", Array(c))       => PYears(c)
+        case ("hours", Array(c))       => PHours(c)
         case (name, a) => throw new IllegalArgumentException(
           s"unknown partition transform $name(${a.mkString(",")})")
       }
@@ -223,6 +227,8 @@ object LakePartitioning {
         case _: PYears =>
           java.time.LocalDate.ofEpochDay(epochDays(v).toLong)
             .getYear - 1970
+        case _: PHours =>
+          Math.floorDiv(v.asInstanceOf[Long], 3600000000L).toInt
       }
 
     /** Row-level tuple slot: value at `srcIdx + off` transformed. */
@@ -256,6 +262,8 @@ object LakePartitioning {
         case u: UTF8String => u.numChars <= w
         case _             => false
       }
+      case _: PHours =>
+        Math.floorMod(v.asInstanceOf[Long], 3600000000L) == 0L
       case _ =>
         val midnight = srcType == DateType ||
           Math.floorMod(v.asInstanceOf[Long], DayMicros) == 0L
@@ -278,6 +286,8 @@ object LakePartitioning {
         case l: Long => Math.floorMod(l, w.toLong) == w - 1L
         case _       => false // strings: every prefix extends upward
       }
+      case _: PHours =>
+        Math.floorMod(v.asInstanceOf[Long], 3600000000L) == 3600000000L - 1
       case _ =>
         val lastMicro = srcType != DateType &&
           Math.floorMod(v.asInstanceOf[Long], DayMicros) == DayMicros - 1
@@ -313,6 +323,8 @@ object LakePartitioning {
             TimestampType, TimestampNTZType).contains(st)
         case _: PTruncate =>
           Seq(IntegerType, LongType, StringType).contains(st)
+        case _: PHours =>
+          Seq(TimestampType, TimestampNTZType).contains(st)
         case _ =>
           Seq(DateType, TimestampType, TimestampNTZType).contains(st)
       }
@@ -716,9 +728,11 @@ object LakePartitioning {
         case "days"     => PDays(oneRef)
         case "months"   => PMonths(oneRef)
         case "years"    => PYears(oneRef)
+        case "hours"    => PHours(oneRef)
         case other => throw new UnsupportedOperationException(
           s"graft_lake: unsupported partition transform '$other' " +
-            "(supported: identity, bucket, truncate, days, months, years)")
+            "(supported: identity, bucket, truncate, days, months, " +
+            "years, hours)")
       }
     }
 
@@ -734,5 +748,6 @@ object LakePartitioning {
       case PDays(c)        => Expressions.days(c)
       case PMonths(c)      => Expressions.months(c)
       case PYears(c)       => Expressions.years(c)
+      case PHours(c)       => Expressions.hours(c)
     }.toArray
 }

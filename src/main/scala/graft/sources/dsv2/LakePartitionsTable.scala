@@ -41,6 +41,7 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
     case LakePartitioning.PDays(c)        => s"${c}_days"
     case LakePartitioning.PMonths(c)      => s"${c}_months"
     case LakePartitioning.PYears(c)       => s"${c}_years"
+    case LakePartitioning.PHours(c)       => s"${c}_hours"
   }
 
   override def name(): String = tableName

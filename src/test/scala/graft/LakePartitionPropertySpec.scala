@@ -39,6 +39,14 @@ class LakePartitionPropertySpec extends AnyFunSuite {
 
   private def dateGen: Gen[Any] = Gen.chooseNum(-800, 20500)
     .map(d => Int.box(d)) // internal epoch days, spans pre-1970
+  private def tsGen: Gen[Any] = Gen.frequency( // internal micros
+    3 -> Gen.chooseNum(-70000000000000L, 1700000000000000L),
+    // boundary-aligned instants: exact hour / day floors, where the
+    // floor/ceiling rules earn their keep
+    1 -> Gen.chooseNum(-20000L, 470000L).map(h =>
+      Long.box(h * 3600000000L)),
+    1 -> Gen.chooseNum(-800L, 19500L).map(d =>
+      Long.box(d * 86400000000L)))
   private def intGen: Gen[Any] = Gen.chooseNum(-500, 500).map(Int.box(_))
   private def longGen: Gen[Any] =
     Gen.chooseNum(-500L, 500L).map(Long.box(_))
@@ -62,7 +70,13 @@ class LakePartitionPropertySpec extends AnyFunSuite {
       Scenario(PTruncate(w, col), StringType, strGen)),
     Gen.const(Scenario(PDays(col), DateType, dateGen)),
     Gen.const(Scenario(PMonths(col), DateType, dateGen)),
-    Gen.const(Scenario(PYears(col), DateType, dateGen)))
+    Gen.const(Scenario(PYears(col), DateType, dateGen)),
+    Gen.const(Scenario(PDays(col), TimestampType, tsGen)),
+    Gen.const(Scenario(PMonths(col), TimestampType, tsGen)),
+    Gen.const(Scenario(PYears(col), TimestampType, tsGen)),
+    Gen.const(Scenario(PHours(col), TimestampType, tsGen)),
+    Gen.chooseNum(1, 8).map(n =>
+      Scenario(PBucket(n, col), TimestampType, tsGen)))
 
   /** Reference: does `v` (internal, nullable) satisfy filter `f`?
     * Filter literals are in their EXTERNAL pushed form and lift here.
@@ -72,6 +86,8 @@ class LakePartitionPropertySpec extends AnyFunSuite {
       case s: String => UTF8String.fromString(s)
       case d: java.sql.Date => Int.box(java.time.temporal.ChronoUnit.DAYS
         .between(epochDay0, d.toLocalDate).toInt)
+      case t: java.sql.Timestamp =>
+        Long.box(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
       case other => other
     }
     def cmp(a: Any, b0: Any): Int = (a, lift(b0)) match {
@@ -111,6 +127,10 @@ class LakePartitionPropertySpec extends AnyFunSuite {
     case (u: UTF8String, _) => u.toString
     case (d: Int, DateType) =>
       java.sql.Date.valueOf(epochDay0.plusDays(d.toLong))
+    case (us: Long, TimestampType) =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      ts
     case (other, _) => other
   }
   /** ...and the internal form rowMatches compares against. */
