@@ -200,7 +200,16 @@ object LakeSnapshots {
       s"$dir has no snapshot log to cluster"))
     if (head.files.isEmpty) return (0, 0)
     val fs = new Path(dir).getFileSystem(new Configuration())
-    val srcRows = LakeTableIO.footerRows(head.files.map(new Path(dir, _)))
+    // files carrying deletion vectors are excluded — the plain parquet
+    // rewrite below cannot subtract DV positions, and the replace
+    // commit retires a replaced file's DVs, so clustering a DV'd file
+    // would silently RESURRECT its deleted rows (under dataChange=false,
+    // invisible to streams/CDC). Same guard as compact: rewriteDeletes
+    // is the pass that materializes DVs first, after which those files
+    // cluster normally.
+    val zFiles = head.files.filterNot(head.dvs.contains)
+    if (zFiles.isEmpty) return (head.files.size, head.files.size)
+    val srcRows = LakeTableIO.footerRows(zFiles.map(new Path(dir, _)))
     // 16 bits/dim caps the z at 2^32 well inside Long; `1L <<` because
     // the single-column case (bits=32 under the old Int math) wrapped
     // (1 << 32) - 1 to 0 and normalized every row to bucket zero
@@ -213,8 +222,8 @@ object LakeSnapshots {
     def lo(i: Int) = s"__lo_${tag}_$i"
     def hi(i: Int) = s"__hi_${tag}_$i"
     val zCol = s"__zval_$tag"
-    val groups = byTuple(head.parts, head.files)
-    val sizeOf = head.files.map(f =>
+    val groups = byTuple(head.parts, zFiles)
+    val sizeOf = zFiles.map(f =>
       f -> fs.getFileStatus(new Path(dir, f)).getLen).toMap
     val totalBytes = math.max(1L, sizeOf.values.sum)
     val stage = new Path(dir, s".zorder-${UUID.randomUUID()}")
@@ -268,14 +277,14 @@ object LakeSnapshots {
         }
       }
       try LakeLog.commit(dir, s"zorder(${cols.mkString(",")})",
-        published.map(_._1), head.files, addedRows = 0L,
+        published.map(_._1), zFiles, addedRows = 0L,
         dataChange = false,
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
         }.toMap)
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
-      (head.files.size, published.size)
+      (head.files.size, head.files.size - zFiles.size + published.size)
     } finally fs.delete(stage, true)
   }
 

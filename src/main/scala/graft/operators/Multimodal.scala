@@ -175,4 +175,260 @@ object Multimodal {
       lit("image").as("kind"),
       unhex(md5(col("text"))).as("payload"),
       col("n_chars").as("full_len"))
+
+  // ===================== REAL CODEC BOUNDARY =====================
+  // javax.imageio is part of the JDK, so the image half of the stub
+  // boundary can be genuinely real: the fixtures carry true PNG/BMP
+  // bytes and the decode below actually parses containers into pixels.
+  // The batched `mapPartitions` plumbing is IDENTICAL to the stub
+  // path — swapping the codec never touches the plan shape, which is
+  // the contract the stub documented.
+
+  // ImageIO's default stream cache writes temp FILES per read — at a
+  // million decodes per task that is pure I/O overhead; in-memory
+  // caching is what a batch decode wants
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic REAL image fixture: one true PNG per document, with
+    * oracle-computable header facts — width `2 + doc_id % 31`, height
+    * `2 + n_chars % 17`, grayscale for odd ids and RGB for even. The
+    * first four pixels spell out the doc_id bytes so no two documents
+    * can ever share pixel content (what makes [[pixelHash64]] groups
+    * exactly predictable); the rest is a position gradient. Encoding
+    * runs partition-local (a narrow map), exactly where a real
+    * pipeline's media bytes would enter the plan.
+    */
+  def syntheticImageMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        imageIoInit
+        it.map { case (id, nChars) =>
+          val w = 2 + (id % 31).toInt
+          val hgt = 2 + (nChars % 17).toInt
+          val gray = id % 2 != 0
+          val img = new java.awt.image.BufferedImage(w, hgt,
+            if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var idx = 0
+          var y = 0
+          while (y < hgt) {
+            var x = 0
+            while (x < w) {
+              val v =
+                if (idx < 4) ((id >> (8 * idx)) & 0xffL).toInt
+                else (x * 7 + y * 13 + (id & 0xffL).toInt) & 0xff
+              if (gray)
+                // write the raster sample DIRECTLY: setRGB on a gray
+                // image runs a colorspace conversion that can collapse
+                // nearby values — the id-byte pixels must round-trip
+                // exactly (PNG is lossless at the sample level)
+                img.getRaster.setSample(x, y, 0, v)
+              else
+                img.setRGB(x, y,
+                  (v << 16) | (((x * 5 + y * 11) & 0xff) << 8) | (v ^ 0x5a))
+              idx += 1; x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, "image", baos.toByteArray, nChars)
+        }
+      }
+      .toDF("doc_id", "kind", "payload", "full_len")
+  }
+
+  /** REAL batched decode: javax.imageio parses each payload's container
+    * into pixels and the metadata row reports the genuinely decoded
+    * dimensions and color mode (1 component = gray, else rgb);
+    * `n_bytes` stays the declared full media length like the stub.
+    * Same `grouped(batchSize)` loop as [[decode]] — per-batch amortized
+    * codec setup, bounded memory, payloads never shuffle. An
+    * unparseable payload yields the "invalid" sentinel row, not a task
+    * failure.
+    */
+  def decodeImage(media: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"),
+        col("full_len").cast("long"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        imageIoInit
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, p, len) =>
+            val img =
+              if (p == null || p.isEmpty) null
+              else
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(p))
+                catch { case _: java.io.IOException => null }
+            if (img == null) MediaMeta(id, len, 0L, 0L, "invalid")
+            else MediaMeta(id, len, img.getWidth.toLong,
+              img.getHeight.toLong,
+              if (img.getColorModel.getNumComponents == 1) "gray"
+              else "rgb")
+          }
+        }
+      }
+  }
+
+  /** Re-encode each payload into `format` (e.g. PNG → "bmp"): decoded
+    * pixels unchanged, container bytes completely different — the
+    * transformation that separates pixel-level dedup from digest
+    * dedup. Rows whose image cannot decode or re-encode pass through
+    * unchanged (their digest group is unaffected).
+    */
+  def transcode(media: DataFrame, format: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("kind"), col("payload"),
+        col("full_len").cast("long"))
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        imageIoInit
+        it.map { case (id, kind, p, len) =>
+          val out =
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(p))
+              if (img == null) p
+              else {
+                val baos = new java.io.ByteArrayOutputStream()
+                if (javax.imageio.ImageIO.write(img, format, baos))
+                  baos.toByteArray
+                else p
+              }
+            } catch { case _: java.io.IOException => p }
+          (id, kind, out, len)
+        }
+      }
+      .toDF("doc_id", "kind", "payload", "full_len")
+  }
+
+  /** Exact content hash over DECODED pixels — container-invariant
+    * dedup: a PNG and a BMP of the same pixels collide; any pixel
+    * difference separates. Deterministic integer fold over raster
+    * samples (gray) / packed RGB (color), dims mixed in. The
+    * per-element map shape mirrors [[phash16]]; undecodable payloads
+    * hash to the -1 sentinel.
+    */
+  def pixelHash64(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoInit
+        it.map { case (id, p) =>
+          val img =
+            if (p == null || p.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(p))
+              catch { case _: java.io.IOException => null }
+          if (img == null) MediaHash(id, -1L)
+          else {
+            val gray = img.getColorModel.getNumComponents == 1
+            var h = 1125899906842597L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v =
+                  if (gray) img.getRaster.getSample(x, y, 0)
+                  else img.getRGB(x, y) & 0xffffff
+                h = h * 1000003L + v
+                x += 1
+              }
+              y += 1
+            }
+            h = h * 31L + img.getWidth
+            h = h * 31L + img.getHeight
+            MediaHash(id, h)
+          }
+        }
+      }
+  }
+
+  /** TRUE perceptual average-hash over decoded pixels: integer-exact
+    * luminance, block-averaged onto an 8×8 grid, one bit per cell
+    * (above the grid mean). Invariant under container re-encode and
+    * stable under small pixel noise; NOT oracle-expressible (the hash
+    * values have no SQL form), so its contracts are pinned in
+    * MultimodalSpec instead. Undecodable payloads hash to -1.
+    */
+  def ahash64(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoInit
+        it.map { case (id, p) =>
+          val img =
+            if (p == null || p.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(p))
+              catch { case _: java.io.IOException => null }
+          if (img == null) MediaHash(id, -1L)
+          else {
+            val w = img.getWidth; val hh = img.getHeight
+            val gray = img.getColorModel.getNumComponents == 1
+            def lum(x: Int, y: Int): Long =
+              if (gray) img.getRaster.getSample(x, y, 0).toLong
+              else {
+                val rgb = img.getRGB(x, y)
+                (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)) / 1000L
+              }
+            // block-average onto 8x8: cell (i,j) covers the half-open
+            // pixel rectangle [i*w/8,(i+1)*w/8) x [j*h/8,(j+1)*h/8);
+            // degenerate (empty) ranges for tiny images fall back to
+            // the nearest pixel — all integer math, so the hash is
+            // bit-stable across JVMs
+            val cells = new Array[Long](64)
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val x0 = i * w / 8; val x1 = math.max(x0 + 1, (i + 1) * w / 8)
+                val y0 = j * hh / 8; val y1 = math.max(y0 + 1, (j + 1) * hh / 8)
+                var s = 0L; var n = 0L
+                var yy = y0
+                while (yy < y1 && yy < hh) {
+                  var xx = x0
+                  while (xx < x1 && xx < w) {
+                    s += lum(xx, yy); n += 1; xx += 1
+                  }
+                  yy += 1
+                }
+                cells(j * 8 + i) =
+                  if (n == 0) lum(math.min(x0, w - 1), math.min(y0, hh - 1))
+                  else s / n
+                i += 1
+              }
+              j += 1
+            }
+            val mean = cells.sum / 64L
+            var bits = 0L
+            var k = 0
+            while (k < 64) {
+              if (cells(k) > mean) bits |= (1L << k)
+              k += 1
+            }
+            MediaHash(id, bits)
+          }
+        }
+      }
+  }
 }

@@ -119,7 +119,8 @@ object SnapshotDelta {
     */
   def updatedNarrow(newest: DataFrame, previous: DataFrame, key: String,
                     attrs: Seq[String],
-                    mode: ChangeMode = Legacy): DataFrame = {
+                    mode: ChangeMode = Legacy,
+                    maxChangedKeys: Long = -1L): DataFrame = {
     val rowHash = "_graft_rowhash"
     val h = xxhash64(
       struct(attrs.flatMap(c => Seq(col(c).isNull, col(c))): _*))
@@ -127,11 +128,34 @@ object SnapshotDelta {
     val p = previous.withColumn(rowHash, h).alias("p")
     // phase 1: the narrow join — key + 8-byte hash per side, nothing
     // else crosses the wire; distinct because a key with several
-    // differing pairs must appear once in the steering set
+    // differing pairs must appear once in the steering set. Eagerly
+    // materialized (lineage-truncating checkpoint): the set steers the
+    // plan choice below AND seeds both semi-joins, so computing it once
+    // beats three lazy recomputations of the narrow join.
     val changed = n.select(col(s"n.$key").as("ck"), col(rowHash).as("nh"))
       .join(p.select(col(s"p.$key").as("ck"), col(rowHash).as("ph")), "ck")
       .where(col("nh") =!= col("ph"))
       .select(col("ck")).distinct()
+      .localCheckpoint(true)
+    // RUNTIME GUARD on the broadcast contract: the phase-2 semi build
+    // side is hinted broadcast, which is only sane while the CHANGED
+    // key set is change-rate sized. At a pathological change rate
+    // (bulk re-key, full refresh) the set grows with the table and a
+    // hinted broadcast would OOM the driver — so the materialized set
+    // is counted (free: it is already checkpointed) and past the
+    // budget the operator routes to [[updated]]'s plain wide join,
+    // which is exactly the right plan when most rows changed (the
+    // semi-joins would filter nothing). Budget default: the session's
+    // autoBroadcastJoinThreshold at a conservative 64 bytes/key.
+    val budget =
+      if (maxChangedKeys >= 0L) maxChangedKeys
+      else {
+        val t = newest.sparkSession.sessionState.conf
+          .autoBroadcastJoinThreshold
+        if (t <= 0) 160000L else math.max(1L, t / 64L)
+      }
+    if (changed.count() > budget)
+      return updated(newest, previous, key, attrs, mode)
     // phase 2: shrink each wide side to the changed keys, then run the
     // exact pair-level logic of `updated` on what remains. The semi
     // build side is HINTED broadcast: size estimation cannot see that
@@ -140,11 +164,8 @@ object SnapshotDelta {
     // whose ENSURE_REQUIREMENTS exchange materializes a full-width
     // shuffle WRITE of each side even after AQE converts the join and
     // reads it locally. The hint keeps the wide sides exchange-free
-    // end-to-end (one broadcast, reused for both sides). Contract: the
-    // CHANGED KEY set fits the broadcast budget — that is what "change
-    // detection" means operationally; a table where most keys change
-    // every snapshot should diff with [[updated]] (or bucket its
-    // snapshots) instead.
+    // end-to-end (one broadcast, reused for both sides); the guard
+    // above has already proven the build side fits.
     val n2 = n.join(broadcast(changed), col(s"n.$key") === col("ck"),
       "left_semi")
     val p2 = p.join(broadcast(changed), col(s"p.$key") === col("ck"),

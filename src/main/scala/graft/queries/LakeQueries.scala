@@ -458,8 +458,13 @@ object LakeQueries {
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         s.sql(
+          // exact DECIMAL money sum (the repo-wide convention): double
+          // sums are fold-order-dependent, so the storage-partitioned
+          // per-bucket fold diverged from DuckDB's scan order in low
+          // bits (r11's one red row); decimal sums are order-free
           s"""SELECT d.seg AS seg, count(*) AS n,
-             |       sum(f.price) AS total
+             |       CAST(sum(CAST(f.price AS DECIMAL(18,2))) AS DOUBLE)
+             |         AS total
              |FROM $ft f JOIN $dt d ON f.ck = d.ck
              |GROUP BY d.seg""".stripMargin)
           .localCheckpoint(true) // materialize under the SPJ conf
@@ -941,7 +946,8 @@ object LakeQueries {
     "lake_spj" ->
       s"""$snapshotCte
          |SELECT c.c_mktsegment AS seg, count(*) AS n,
-         |       sum(f.o_totalprice) AS total
+         |       CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS total
          |FROM prev f JOIN customer c ON f.o_custkey = c.c_custkey
          |GROUP BY 1""".stripMargin,
     // merge-on-read delete: surviving rows only

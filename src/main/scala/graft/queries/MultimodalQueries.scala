@@ -15,10 +15,15 @@ import graft.operators.Multimodal
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // binary column -> mapPartitions batch decode -> per-row typed meta
+    // binary column -> mapPartitions batch decode -> per-row typed
+    // meta, with a REAL codec: the payloads are true PNG bytes
+    // (javax.imageio) and width/height/mode come from genuinely
+    // parsing each container — the oracle states the expected header
+    // facts from the generation formula, so a decoder that mis-reads
+    // PNG (wrong IHDR field, wrong color model) hash-mismatches
     "mm_decode_meta" -> ((s, dir) =>
-      Multimodal.decode(
-        Multimodal.syntheticMedia(Tables(s, dir, "documents"))).toDF()),
+      Multimodal.decodeImage(
+        Multimodal.syntheticImageMedia(Tables(s, dir, "documents"))).toDF()),
 
     // one-to-many frame sampling at the decode boundary (50-byte
     // virtual frames, every 3rd sampled; unsampled frames never
@@ -91,36 +96,40 @@ object MultimodalQueries {
           sum("n_bytes").as("total_bytes"),
           max("width").as("max_width"))),
 
-    // perceptual near-dup — the multimodal twin of doc_dedup_minhash and
-    // the complement of mm_payload_dedup: a RE-ENCODED delivery (every
-    // 9th payload re-arrives with its container tail rewritten — header
-    // content intact, digest changed) is invisible to digest dedup but
-    // collapses into the same 16-bit phash bucket. Payload bytes never
-    // shuffle: phash16 extracts (id, hash) at the decode boundary, the
+    // cross-container near-dup over GENUINELY DECODED PIXELS — the
+    // complement of mm_payload_dedup: every 9th RGB image re-arrives
+    // as a BMP transcode of the same pixels (a real javax.imageio
+    // decode → re-encode), so its md5 digest is completely different
+    // while the decoded pixel content is identical. Digest dedup is
+    // blind to it; pixelHash64 — an exact integer fold over the
+    // decoded raster — collapses the pair. Payload bytes never
+    // shuffle: (id, 64-bit hash) rows leave the decode boundary, the
     // digest is computed at the scan, and only those small rows reach
-    // the groupBy. Groups with n_digests > 1 are exactly the dups a
-    // digest-only pass would have missed (re-encodes by construction,
-    // plus deterministic 16-bit collisions of distinct content — the
-    // false-positive class a real pipeline verifies downstream, same
-    // trade as LSH banding).
+    // the groupBy. The hash VALUE has no SQL form, so the output
+    // reports the group structure (sizes, digest counts, keeper id),
+    // which the oracle states exactly from the generation formula —
+    // the id-byte pixels in every fixture image guarantee no two
+    // documents share pixels, so the groups are precisely the
+    // transcode pairs.
     "mm_dedup_phash" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(Tables(s, dir, "documents"))
-      // container re-encode: last payload byte zeroed, header untouched
-      val reenc = media.where(col("doc_id") % 9 === 0)
+      val media = Multimodal.syntheticImageMedia(Tables(s, dir, "documents"))
+      // real container re-encode: PNG -> BMP, pixels bit-identical
+      // (RGB images only — doc_id % 18 = 0 is the even-id ninth)
+      val reenc = Multimodal.transcode(
+          media.where(col("doc_id") % 18 === 0), "bmp")
         .select((col("doc_id") + 400000).as("doc_id"), col("kind"),
-          concat(expr("substring(payload, 1, 15)"), unhex(lit("00")))
-            .as("payload"),
-          col("full_len"))
+          col("payload"), col("full_len"))
       val all = media.unionByName(reenc)
-      val hashed = Multimodal.phash16(all).toDF()
+      val hashed = Multimodal.pixelHash64(all).toDF()
       val digests = all.select(col("doc_id"),
-        lower(hex(col("payload"))).as("digest"))
+        md5(col("payload")).as("digest"))
       hashed.join(digests, "doc_id")
         .groupBy("phash")
         .agg(count(lit(1)).as("n_items"),
           countDistinct("digest").as("n_digests"),
           min("doc_id").as("min_doc"))
         .where(col("n_items") > 1)
+        .select(col("n_items"), col("n_digests"), col("min_doc"))
     }),
   )
 
@@ -138,34 +147,23 @@ object MultimodalQueries {
         |)
         |SELECT payload_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM all_rows GROUP BY 1""".stripMargin,
-    // phash from the first 3 header bytes of the hex digest; re-encodes
-    // keep the first 15 payload bytes and zero the 16th, so digest =
-    // first 30 hex chars || '00' while the phash is unchanged
+    // the pixel-hash groups are EXACTLY the PNG->BMP transcode pairs:
+    // the id-byte pixels make every document's pixel content unique,
+    // and a transcode keeps pixels while changing every container byte
+    // (n_digests = 2 per group)
     "mm_dedup_phash" ->
-      s"""WITH media AS (
-         |  SELECT doc_id, md5(text) AS d FROM documents
-         |), all_rows AS (
-         |  SELECT doc_id, d AS digest FROM media
-         |  UNION ALL
-         |  SELECT doc_id + 400000, substr(d, 1, 30) || '00'
-         |  FROM media WHERE doc_id % 9 = 0
-         |), hashed AS (
-         |  SELECT doc_id, digest,
-         |    ((CAST('0x' || substr(digest, 1, 2) AS BIGINT) * 256 +
-         |      CAST('0x' || substr(digest, 3, 2) AS BIGINT)) +
-         |     CAST('0x' || substr(digest, 5, 2) AS BIGINT) * 31) % 65536
-         |      AS phash
-         |  FROM all_rows
-         |)
-         |SELECT phash, count(*) AS n_items,
-         |  count(DISTINCT digest) AS n_digests, min(doc_id) AS min_doc
-         |FROM hashed GROUP BY phash HAVING count(*) > 1""".stripMargin,
+      """SELECT CAST(2 AS BIGINT) AS n_items,
+        |  CAST(2 AS BIGINT) AS n_digests, doc_id AS min_doc
+        |FROM documents WHERE doc_id % 18 = 0""".stripMargin,
 
+    // genuinely decoded header facts, stated from the generation
+    // formula: width 2 + doc_id % 31, height 2 + n_chars % 17, RGB
+    // for even ids
     "mm_decode_meta" ->
       s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
-         |  ${byteSql(0)} AS width,
-         |  ${byteSql(1)} AS height,
-         |  CASE WHEN ${byteSql(2)} % 2 = 0 THEN 'rgb' ELSE 'gray' END AS mode
+         |  CAST(2 + doc_id % 31 AS BIGINT) AS width,
+         |  CAST(2 + n_chars % 17 AS BIGINT) AS height,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'rgb' ELSE 'gray' END AS mode
          |FROM documents""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, i AS frame_idx, (i * b0) % 256 AS checksum

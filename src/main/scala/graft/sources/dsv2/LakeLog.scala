@@ -375,7 +375,9 @@ object LakeLog {
              updatePre: Map[String, Seq[String]] = Map.empty,
              updatePost: Seq[String] = Seq.empty,
              dedupeOnOperation: Boolean = false,
-             addedParts: Map[String, Seq[String]] = Map.empty): Snapshot = {
+             addedParts: Map[String, Seq[String]] = Map.empty,
+             dvsOverride: Option[Map[String, Seq[String]]] = None)
+      : Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
     // the update-pairing annotation only ever references THIS commit's
@@ -486,10 +488,16 @@ object LakeLog {
           s"merge-on-read conflict in $dir: positions deleted " +
             s"concurrently by another writer: ${overlap.mkString("; ")}")
       // a replaced file takes its DVs with it (the rewrite applied or
-      // superseded them); new DVs merge per data file
-      val nextDvs0 = baseDvs -- removed
-      val nextDvs = dvAdded.foldLeft(nextDvs0) { case (acc, (f, vs)) =>
-        acc.updated(f, (acc.getOrElse(f, Seq.empty) ++ vs).distinct.sorted)
+      // superseded them); new DVs merge per data file. A rollback
+      // instead RESTORES a past snapshot's DV map verbatim — the
+      // derived rule cannot reconstruct it (rolling back past a MOR
+      // delete must drop its DVs; rolling back across rewrite_deletes
+      // must re-attach the old files' DVs, else deleted rows resurrect)
+      val nextDvs = dvsOverride.getOrElse {
+        val nextDvs0 = baseDvs -- removed
+        dvAdded.foldLeft(nextDvs0) { case (acc, (f, vs)) =>
+          acc.updated(f, (acc.getOrElse(f, Seq.empty) ++ vs).distinct.sorted)
+        }
       }
       // stats follow the file set: replaced files drop theirs, added
       // files bring freshly-harvested ones; files that predate stats
@@ -808,10 +816,19 @@ object LakeLog {
       throw new IllegalStateException(s"$dir has no log to roll back"))
     require(version <= head.version,
       s"cannot roll forward to v$version from v${head.version}")
+    // The new head must equal the TARGET STATE, not just its file set:
+    // its DV map verbatim (commit's derived dvs rule would keep rows
+    // deleted when rolling back past a MOR delete, and resurrect
+    // deleted rows when rolling back across rewrite_deletes/compact by
+    // re-adding old files stripped of their DVs), and the target's
+    // partition tuples for the re-added files (else pruning/SPJ lose
+    // the restored files' layout).
     commit(dir, s"rollback(v$version)",
       added = target.files.filterNot(head.files.contains),
       removed = head.files.filterNot(target.files.contains),
-      addedRows = -1L)
+      addedRows = -1L,
+      addedParts = target.parts,
+      dvsOverride = Some(target.dvs))
   }
 
   /** Expire history: keep the newest `keepLast` snapshots PLUS any
@@ -873,8 +890,15 @@ object LakeLog {
     // retained snapshots reference their data files AND their deletion
     // vectors — a vacuumed DV would resurrect deleted rows
     val keptSnaps = keep.map(snapshotAt(dir, _))
+    // a DECIDED-but-unapplied multi-table transaction (marker written,
+    // apply crashed, recover not yet run) references staged files that
+    // are in NO manifest yet — the marker is the commit point, so they
+    // are committed data, not orphans. Protected regardless of age:
+    // the grace window covers publish→commit races, not crash windows
+    // of unbounded duration.
+    val txPending = LakeTx.pendingFor(dir).flatMap(_.added).toSet
     val referenced = keptSnaps.flatMap(s =>
-      s.files ++ s.dvs.values.flatten).toSet ++ branchFiles
+      s.files ++ s.dvs.values.flatten).toSet ++ branchFiles ++ txPending
     val horizon = System.currentTimeMillis() - graceMs
     def aged(f: String): Boolean =
       try fs.getFileStatus(new Path(dir, f)).getModificationTime < horizon

@@ -243,14 +243,21 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     val stats = scala.collection.mutable.Map
       .empty[String, LakeStats.FileStats]
     val parts = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val dvs = scala.collection.mutable.Map.empty[String, Seq[String]]
     val added = (a + 1 to b).flatMap { v =>
       val snap = LakeLog.snapshotAt(dir, v)
       stats ++= snap.stats
       parts ++= snap.parts
-      if (so.snapshotStart && v == a + 1)
+      if (so.snapshotStart && v == a + 1) {
         // fresh stream on an expiry-trimmed log: the first retained
-        // manifest's COMPLETE file set is the initial snapshot
+        // manifest's COMPLETE file set is the initial snapshot — WITH
+        // its deletion vectors subtracted, or a fresh stream on a
+        // merge-on-read table would emit rows already deleted before
+        // the stream started (later deltas stay append-only: their
+        // added files carry no DVs at their own commit)
+        dvs ++= snap.dvs
         snap.files
+      }
       else if (!snap.dataChange) Seq.empty // compaction/clustering: same
                                            // rows, new layout — no emit
       else if (snap.removed.nonEmpty) {
@@ -288,7 +295,7 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       added.map(new Path(dir, _)), parts.toMap, specs, pushed)
     LakeTableIO.planRowGroups(kept,
       LakeTableIO.columnRefs(projected), pushed, pruneGroups = true,
-      stats = stats.toMap).parts
+      dvs = dvs.toMap, stats = stats.toMap).parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1399,15 +1399,31 @@ object LakeTableIO {
     case GreaterThanOrEqual(_, v) => GreaterThanOrEqual(to, v)
     case LessThan(_, v)           => LessThan(to, v)
     case LessThanOrEqual(_, v)    => LessThanOrEqual(to, v)
+    case org.apache.spark.sql.sources.In(_, vs) =>
+      org.apache.spark.sql.sources.In(to, vs)
+    case org.apache.spark.sql.sources.IsNull(_) =>
+      org.apache.spark.sql.sources.IsNull(to)
+    case org.apache.spark.sql.sources.IsNotNull(_) =>
+      org.apache.spark.sql.sources.IsNotNull(to)
     case other                    => other
   }
 
+  /** Every prunable filter type MUST be listed here: a filter whose
+    * column is not surfaced bypasses field-id resolution and consults
+    * footer stats by raw table name — after a drop-and-re-add, an
+    * id-stamped file's STALE same-named column would be judged (e.g.
+    * IsNull against the old column's nulls==0 wrongly prunes groups
+    * whose rows back-fill null for the current column).
+    */
   private def filterColumn(f: Filter): Option[String] = f match {
     case EqualTo(c, _)            => Some(c)
     case GreaterThan(c, _)        => Some(c)
     case GreaterThanOrEqual(c, _) => Some(c)
     case LessThan(c, _)           => Some(c)
     case LessThanOrEqual(c, _)    => Some(c)
+    case org.apache.spark.sql.sources.In(c, _)      => Some(c)
+    case org.apache.spark.sql.sources.IsNull(c)     => Some(c)
+    case org.apache.spark.sql.sources.IsNotNull(c)  => Some(c)
     case _                        => None
   }
 

@@ -290,21 +290,21 @@ class Round7QueriesSpec extends SparkSpec {
         s"invented ${(banded -- brute).take(5)}")
   }
 
-  test("phash dedup catches re-encoded media that digest dedup misses") {
+  test("pixel dedup catches BMP re-encodes that digest dedup misses: " +
+       "every group is exactly one PNG + its transcode (2 items, 2 " +
+       "digests), one group per injected re-encode") {
     val out = graft.queries.MultimodalQueries.queries("mm_dedup_phash")(
         spark, sfDir)
-      .as[(Long, Long, Long, Long)].collect() // phash, n_items, n_digests, min_doc
+      .as[(Long, Long, Long)].collect() // n_items, n_digests, min_doc
     assert(out.nonEmpty)
-    // every injected re-encode (tail rewritten, header intact) must
-    // land in a group with >1 distinct digest — the case digest-only
-    // dedup cannot see. Slack covers the ~1/256 of docs whose digest
-    // already ends in 00 (the "re-encode" is then byte-identical) and
-    // groups merged by 16-bit collisions.
     val nReenc = Tables(spark, sfDir, "documents")
-      .where(col("doc_id") % 9 === 0).count()
-    val multiDigest = out.count(_._3 >= 2L)
-    assert(multiDigest >= (nReenc * 8) / 10,
-      s"only $multiDigest multi-digest groups for $nReenc re-encodes")
+      .where(col("doc_id") % 18 === 0).count()
+    // the id-byte pixels make false groups impossible and the real
+    // decode makes missed transcodes impossible — exact, no slack
+    assert(out.length.toLong == nReenc,
+      s"${out.length} pixel groups for $nReenc transcodes")
+    assert(out.forall(g => g._1 == 2L && g._2 == 2L),
+      s"every group must be a (PNG, BMP) pair: ${out.take(5).toSeq}")
   }
 
   test("incremental HLL merge: history registers come from the " +

@@ -104,10 +104,56 @@ class SnapshotDeltaSpec extends SparkSpec {
     }
     val widths = allNodes(df.queryExecution.executedPlan)
       .collect { case s: ShuffleExchangeLike => s.child.output.length }
-    assert(widths.nonEmpty, "expected the narrow (key, hash) shuffles")
+    // the steering set is an eagerly-materialized checkpoint now (its
+    // own narrow job carries the (key, hash) shuffles), so the final
+    // plan may be entirely exchange-free — the pin is that NO exchange,
+    // wherever one remains, ever carries the wide columns
     assert(widths.forall(_ <= 3),
       s"a wide row crossed a shuffle: exchange widths $widths " +
         "(narrow plan must only ever shuffle key+hash)")
+    // and the steering set genuinely arrived pre-materialized: the
+    // plan scans the checkpointed RDD instead of re-deriving the join
+    assert(df.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "expected the checkpointed changed-key set in the final plan")
+  }
+
+  test("updatedNarrow runtime guard: a most-keys-change snapshot pair " +
+       "past the broadcast budget routes to the plain wide join (one " +
+       "join node, no steering set), bit-parity preserved") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.functions._
+    // EVERY key changes — the pathological rate the broadcast contract
+    // excludes; the steering set is table-sized here
+    val p = spark.range(0, 300).select(
+      concat(lit("k"), $"id").as("pid"), lit("old").as("a"), lit("1").as("b"))
+    val n = spark.range(0, 300).select(
+      concat(lit("k"), $"id").as("pid"), lit("new").as("a"), lit("1").as("b"))
+    val guarded = SnapshotDelta.updatedNarrow(n, p, "pid", Seq("a", "b"),
+      Legacy, maxChangedKeys = 10L)
+    val plain = SnapshotDelta.updated(n, p, "pid", Seq("a", "b"), Legacy)
+    assert(guarded.collect().toSet == plain.collect().toSet)
+    def allNodes(pl: SparkPlan): Seq[SparkPlan] = {
+      val kids = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      pl +: kids.flatMap(allNodes)
+    }
+    val joins = allNodes(guarded.queryExecution.executedPlan)
+      .count(_.isInstanceOf[BaseJoinExec])
+    assert(joins == 1,
+      s"guard must route to updated's single wide join, saw $joins joins")
+    // and under the budget the narrow plan still engages (3 joins:
+    // steering + two semis feeding the final pair join = 4 total)
+    val narrow = SnapshotDelta.updatedNarrow(n, p, "pid", Seq("a", "b"),
+      Legacy, maxChangedKeys = 1000000L)
+    assert(narrow.collect().toSet == plain.collect().toSet)
+    val narrowJoins = allNodes(narrow.queryExecution.executedPlan)
+      .count(_.isInstanceOf[BaseJoinExec])
+    assert(narrowJoins >= 3, s"narrow path expected, saw $narrowJoins joins")
   }
 
   test("added = keys new in newest (anti-join intent, Readme.md:13)") {
