@@ -400,6 +400,27 @@ object LakeQueries {
       s.sql(s"SELECT pri, count(*) AS n FROM $tbl GROUP BY pri")
     }),
 
+    // GROUPED METADATA MIN/MAX: per-group extremes answered from
+    // per-file manifest stats joined to partition tuples — the
+    // per-file min/max folded within a tuple group IS the group
+    // extremum (strict answerability: every file stats-backed, zero
+    // DVs, no floats; zero footer opens pinned in LakePartitionSpec).
+    // The oracle recomputes the extremes from rows.
+    "lake_groupby_minmax_meta" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_gmm")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (pri STRING, k BIGINT, d DATE) " +
+        "PARTITIONED BY (pri)")
+      previous(s, dir).selectExpr("o_orderpriority AS pri",
+        s"$key AS k", "o_orderdate AS d")
+        .createOrReplaceTempView("lake_gmm_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_gmm_src")
+      s.sql(s"SELECT pri, count(*) AS n, min(k) AS min_k, " +
+        s"max(k) AS max_k, min(d) AS min_d, max(d) AS max_d " +
+        s"FROM $tbl GROUP BY pri")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
     // exactly the partitions the write PRODUCES (here the single
     // '1-URGENT' identity partition), never the rest — resolved to a
@@ -932,6 +953,13 @@ object LakeQueries {
          |SELECT o_orderpriority AS pri, count(*) AS n
          |FROM prev WHERE o_orderkey % 4 <> 1
          |GROUP BY 1""".stripMargin,
+    // per-partition extremes, recomputed from the rows
+    "lake_groupby_minmax_meta" ->
+      s"""$snapshotCte
+         |SELECT o_orderpriority AS pri, count(*) AS n,
+         |       min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+         |       min(o_orderdate) AS min_d, max(o_orderdate) AS max_d
+         |FROM prev GROUP BY 1""".stripMargin,
     // untouched partitions from the load + the overwritten one anew
     "lake_dynamic_overwrite" ->
       s"""$snapshotCte

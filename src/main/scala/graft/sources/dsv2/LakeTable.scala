@@ -1637,21 +1637,29 @@ object LakeTableIO {
     Some(values)
   }
 
-  /** Per-partition COUNT(*) answered from the manifest alone — the
-    * grouped flavor of [[metaAggregate]] (a fast path even Delta and
-    * Iceberg's Spark integrations skip). Answerable when:
+  /** Per-partition COUNT(*) / MIN / MAX answered from the manifest
+    * alone — the grouped flavor of [[metaAggregate]] (a fast path even
+    * Delta and Iceberg's Spark integrations skip). Answerable when:
     *
     *   - every GROUP BY expression is a single column that an IDENTITY
     *     transform of the CURRENT spec partitions on (identity makes
     *     tuple membership exactly the group membership);
-    *   - every aggregate is a plain `COUNT(*)`;
+    *   - every aggregate is `COUNT(*)`, or a MIN/MAX over a column
+    *     whose per-file manifest stats are usable in EVERY file (kind
+    *     matches the logical type, field-id resolved) — per-file
+    *     min/max folded within each tuple group is exactly the group
+    *     extremum;
     *   - every file carries a current-spec tuple AND a manifest row
-    *     count (live counts = rows − its DV positions, exact).
+    *     count (live counts = rows − its DV positions, exact);
+    *   - for MIN/MAX additionally ZERO deletion vectors exist (a DV'd
+    *     row could be the extremum — same rule as the global path) and
+    *     the column is not floating-point (NaN ordering).
     *
     * A group whose files net ZERO live rows is dropped (SQL: no rows,
     * no group). Null source values group under the null tuple slot —
-    * exactly SQL's null group. Returns (output schema: groupBy columns
-    * then counts, rows in internal form).
+    * exactly SQL's null group; a group provably all-null in a MIN/MAX
+    * column yields SQL NULL. Returns (output schema: groupBy columns
+    * then aggregates, rows in internal form).
     */
   def groupedMetaAggregate(
       dir: String, tableSchema: StructType,
@@ -1660,9 +1668,8 @@ object LakeTableIO {
       version: Option[Long], branch: Option[String])
       : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types.LongType
-    if (!exprs.forall(_.isInstanceOf[CountStar])) return None
     val specs = LakePartitioning.specsOf(dir)
     if (specs.isEmpty || specs.last.isEmpty) return None
     val bound =
@@ -1681,35 +1688,125 @@ object LakeTableIO {
       case _ => return None
     }
     val (files, dvs, stats, parts) = snapshotView(dir, version, branch)
+    val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap
+    def colName(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def extremeOf(e: org.apache.spark.sql.connector.expressions.Expression,
+                  isMin: Boolean)
+        : Option[(LakeColumnRef, org.apache.spark.sql.types.DataType,
+            String, Boolean)] = {
+      val name = colName(e).getOrElse(return None)
+      val t = tableSchema.fields.find(_.name == name)
+        .map(_.dataType).getOrElse(return None)
+      val kind = statKindFor(t).getOrElse(return None)
+      Some((refs.getOrElse(name, return None), t, kind, isMin))
+    }
+    // parsed aggregate slots: None = COUNT(*); Some(spec) = extremum
+    // over a provably-stats-backed column
+    val gaggs = exprs.zipWithIndex.map {
+      case (_: CountStar, i) => (None, s"count_$i")
+      case (m: Min, i) if dvs.isEmpty =>
+        (Some(extremeOf(m.column, isMin = true).getOrElse(return None)),
+          s"min_$i")
+      case (m: Max, i) if dvs.isEmpty =>
+        (Some(extremeOf(m.column, isMin = false).getOrElse(return None)),
+          s"max_$i")
+      case _ => return None
+    }
+    val extremes = gaggs.flatMap(_._1).distinct
     val currentId = specs.length - 1
+    // per file: tuple key, live rows, and — per extremum — its bound
+    // (None = provably all-null in this file; any unprovable case
+    // declines the whole push)
     val perFile = files.map { f =>
       val tuple = parts.getOrElse(f.getName, return None)
       val (id, slots) = LakePartitioning.splitTuple(tuple)
       if (id != currentId || slots.length != bound.length) return None
-      val rows = stats.get(f.getName).map(_.rows)
-        .getOrElse(return None) // stat-less vintage: not provable
+      val st = stats.getOrElse(f.getName,
+        return None) // stat-less vintage: not provable
       val dead = dvs.get(f.getName)
         .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
+      val exVals: Seq[Option[String]] = extremes.map {
+        case (ref, _, kind, isMin) =>
+          val hasIds = st.cols.values.exists(_.id >= 0)
+          val cs =
+            (if (hasIds && ref.id >= 0)
+               st.cols.values.find(_.id == ref.id)
+             else ref.candidates.iterator.flatMap(st.cols.get)
+               .nextOption()).getOrElse(return None)
+          if (cs.min.isDefined && cs.max.isDefined) {
+            if (cs.kind != kind) return None // physical/logical mismatch
+            Some(if (isMin) cs.min.get else cs.max.get)
+          } else if (cs.nulls == st.rows) None // provably all-null
+          else return None // cannot prove the extremum
+      }
       (slotIdx.map { case (_, i, _) => slots(i) },
-        math.max(0L, rows - dead))
+        math.max(0L, st.rows - dead), exVals)
     }
     val rows = perFile.groupBy(_._1).toSeq
-      .map { case (key, fs0) => (key, fs0.map(_._2).sum) }
+      .map { case (key, fs0) =>
+        val n = fs0.map(_._2).sum
+        val exAgg: Seq[Any] = extremes.zipWithIndex.map {
+          case ((_, t, kind, isMin), ei) =>
+            val bs = fs0.flatMap(_._3(ei))
+            if (bs.isEmpty) null // group all-null: SQL NULL
+            else decodeStat(kind, t, bs.reduce((a, b) =>
+              if ((LakeStats.cmpSame(kind, a, b) <= 0) == isMin) a
+              else b))
+        }
+        (key, n, exAgg)
+      }
       .filter(_._2 > 0) // zero live rows: the group does not exist
-      .sortBy(_._1.mkString(" "))
-      .map { case (key, n) =>
+      .sortBy(_._1.mkString(" "))
+      .map { case (key, n, exAgg) =>
         slotIdx.zip(key).map { case ((_, i, _), slot) =>
           LakePartitioning.decodeSlot(bound(i), slot)
             .getOrElse(return None)
-        } ++ exprs.map(_ => java.lang.Long.valueOf(n))
+        } ++ gaggs.map {
+          case (None, _)    => java.lang.Long.valueOf(n)
+          case (Some(e), _) => exAgg(extremes.indexOf(e))
+        }
       }
     val schema0 = slotIdx.zipWithIndex.foldLeft(new StructType()) {
       case (st, ((c, _, t), _)) => st.add(c, t, nullable = true)
     }
-    val schema = exprs.zipWithIndex.foldLeft(schema0) { case (st, (_, i)) =>
-      st.add(s"count_$i", LongType, nullable = false)
+    val schema = gaggs.foldLeft(schema0) {
+      case (st, (None, nm)) => st.add(nm, LongType, nullable = false)
+      case (st, (Some((_, t, _, _)), nm)) =>
+        st.add(nm, t, nullable = true)
     }
     Some((schema, rows))
+  }
+
+  /** Manifest-stats kind expected for a logical type on the metadata
+    * fast paths (floating point never qualifies: NaN ordering diverges
+    * between engines and parquet stats).
+    */
+  private def statKindFor(
+      t: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    t match {
+      case LongType    => Some("long")
+      case IntegerType => Some("int")
+      case DateType    => Some("int") // internal = days since epoch
+      case StringType  => Some("str")
+      case _           => None
+    }
+  }
+
+  /** Decode a manifest-stats bound into Spark's INTERNAL value form. */
+  private def decodeStat(kind: String,
+                         t: org.apache.spark.sql.types.DataType,
+                         s: String): Any = kind match {
+    case "long" => java.lang.Long.valueOf(s.toLong)
+    case "int"  => java.lang.Integer.valueOf(s.toInt)
+    case "str"  => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case _      => null
   }
 
   private def metaExtreme(

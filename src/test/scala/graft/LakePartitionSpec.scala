@@ -711,6 +711,74 @@ class LakePartitionSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY identity partition + MIN/MAX answers from per-file " +
+       "manifest stats joined to tuples: zero footer opens, all-null " +
+       "groups yield SQL NULL, and deletion vectors make it decline " +
+       "to the row scan (still correct)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.gx (region STRING, x BIGINT, " +
+        "d DATE, y BIGINT) PARTITIONED BY (region) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      // region r3's y is entirely NULL (per-file all-null proof), the
+      // others mix nulls and values; multiple files per region
+      spark.sql(s"INSERT INTO $cat.db.gx SELECT " +
+        "concat('r', id % 4), id, date_add(date'2024-01-01', " +
+        "CAST(id % 90 AS INT)), " +
+        "CASE WHEN id % 4 = 3 THEN NULL " +
+        "     WHEN id % 7 = 0 THEN NULL ELSE id * 2 END " +
+        "FROM range(0, 400, 1, 4)")
+      val q = s"SELECT region, count(*) AS n, min(x) AS min_x, " +
+        s"max(x) AS max_x, min(d) AS min_d, max(d) AS max_d, " +
+        s"min(y) AS min_y, max(y) AS max_y " +
+        s"FROM $cat.db.gx GROUP BY region"
+      val before = LakeStats.footerOpens.get()
+      val agg = spark.sql(q)
+      val got = agg.collect().map(r => r.getString(0) -> r).toMap
+      assert(LakeStats.footerOpens.get() == before,
+        "grouped MIN/MAX opened data-file footers")
+      assert(agg.queryExecution.executedPlan.toString
+        .contains("metadata-grouped"),
+        "plan lost the pushed-aggregate evidence:\n" +
+          agg.queryExecution.executedPlan)
+      // reference from a plain row scan over the same data
+      val ref = spark.table(s"$cat.db.gx")
+        .groupBy("region")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("x"),
+          org.apache.spark.sql.functions.max("x"),
+          org.apache.spark.sql.functions.min("d"),
+          org.apache.spark.sql.functions.max("d"),
+          org.apache.spark.sql.functions.min("y"),
+          org.apache.spark.sql.functions.max("y"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(got.keySet == ref.keySet)
+      got.foreach { case (k, r) =>
+        assert(r.toSeq.drop(1) == ref(k).toSeq.drop(1),
+          s"group $k: meta ${r.toSeq} != scan ${ref(k).toSeq}")
+      }
+      assert(got("r3").isNullAt(6) && got("r3").isNullAt(7),
+        "all-null group must yield SQL NULL extremes")
+      // DVs break extremum provability: the push declines, the row
+      // scan answers, values stay right
+      spark.sql(s"DELETE FROM $cat.db.gx WHERE x % 5 = 0")
+      val agg2 = spark.sql(q)
+      assert(!agg2.queryExecution.executedPlan.toString
+        .contains("metadata-grouped"),
+        "MIN/MAX must not push with live deletion vectors")
+      val ref2 = spark.table(s"$cat.db.gx")
+        .where("x % 5 != 0").selectExpr("max(x)").head().getLong(0)
+      assert(agg2.collect().map(_.getLong(3)).max == ref2)
+      // and a COUNT-only grouping still pushes with DVs (live-exact)
+      val cnt = spark.sql(
+        s"SELECT region, count(*) AS n FROM $cat.db.gx GROUP BY region")
+      assert(cnt.queryExecution.executedPlan.toString
+        .contains("metadata-grouped"))
+      assert(cnt.collect().map(_.getLong(1)).sum ==
+        spark.table(s"$cat.db.gx").count())
+    }
+  }
+
   test("multi-table transactions keep the partitioned layout: staged " +
        "appends split per tuple through the connector writer and the " +
        "applied commits carry the tuples") {
