@@ -222,7 +222,21 @@ object LakeSnapshots {
     def lo(i: Int) = s"__lo_${tag}_$i"
     def hi(i: Int) = s"__hi_${tag}_$i"
     val zCol = s"__zval_$tag"
-    val groups = byTuple(head.parts, zFiles)
+    // old evolution vintages — and tuple-less files in a partitioned
+    // table — MIGRATE to the current layout like compact does (same
+    // connector-writer staging), so zorder leaves a uniform
+    // current-spec table: pre-clustered by expression mirrors of the
+    // transforms and z-SORTED within, each migrated partition comes
+    // out clustered on every listed dimension too
+    val specs = LakePartitioning.specsOf(dir)
+    val partitioned = specs.nonEmpty && specs.last.nonEmpty
+    def isCurrentLayout(f: String): Boolean =
+      !partitioned || head.parts.get(f).exists { t =>
+        val (id, slots) = LakePartitioning.splitTuple(t)
+        id == specs.length - 1 && slots.length == specs.last.length
+      }
+    val migrate = zFiles.filterNot(isCurrentLayout)
+    val groups = byTuple(head.parts, zFiles.filter(isCurrentLayout))
     val sizeOf = zFiles.map(f =>
       f -> fs.getFileStatus(new Path(dir, f)).getLen).toMap
     val totalBytes = math.max(1L, sizeOf.values.sum)
@@ -265,16 +279,56 @@ object LakeSnapshots {
             .map(_.getPath)
           (tuple, staged)
       }
-      val stagedRows = LakeTableIO.footerRows(stagedByGroup.flatMap(_._2))
+      // layout migration: old vintages rewrite THROUGH the connector
+      // writer (rows split per current-spec tuple), pre-clustered by
+      // transform mirrors and z-sorted within each cluster — the
+      // writer computes the authoritative tuple per row, so a mirror
+      // bug could only cost extra files, never misplace a row
+      val stagedMigrated: Seq[(Path, Option[Seq[String]])] =
+        if (migrate.isEmpty) Seq.empty
+        else {
+          val schema = LakeTableIO.tableSchema(dir)
+          val boundSpec = LakePartitioning.bind(specs.last, schema)
+          val df = spark.read.schema(schema)
+            .parquet(migrate.map(f => s"$dir/$f"): _*)
+          val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(min(c).cast("double").as(lo(i)),
+              max(c).cast("double").as(hi(i)))
+          }
+          val mm = df.agg(aggs.head, aggs.tail: _*)
+          val n = df.crossJoin(broadcast(mm))
+          val normed = cols.zipWithIndex.map { case (c, i) =>
+            floor((col(c).cast("double") - col(lo(i))) *
+              lit((1L << bits) - 1) /
+              greatest(col(hi(i)) - col(lo(i)), lit(1.0d))).cast("long")
+          }
+          val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {
+            case (nc, d) =>
+              shiftleft(shiftright(nc, b).bitwiseAND(1), b * cols.size + d)
+          }).reduce(_ + _)
+          val nOut = math.max(1, math.round(targetFiles.toDouble *
+            migrate.map(sizeOf).sum / totalBytes).toInt)
+          val cl = clusterExprs(boundSpec)
+          val clustered = n.withColumn(zCol, z)
+            .repartition(nOut, cl: _*)
+            .sortWithinPartitions(cl :+ col(zCol): _*)
+            .select(df.columns.map(col): _*)
+          withMicrosTimestamps(spark) {
+            LakeTableIO.stageThroughConnector(clustered, dir)
+          }.map(s => (new Path(s.stagedPath), s.tuple))
+        }
+      val allStaged: Seq[(Path, Option[Seq[String]])] =
+        stagedByGroup.flatMap { case (tuple, staged) =>
+          staged.map(p => (p, tuple))
+        } ++ stagedMigrated
+      val stagedRows = LakeTableIO.footerRows(allStaged.map(_._1))
       require(stagedRows == srcRows,
         s"zorder would lose rows: staged $stagedRows != source $srcRows")
-      val published = stagedByGroup.flatMap { case (tuple, staged) =>
-        staged.map { p =>
-          val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
-          if (!fs.rename(p, dest))
-            throw new java.io.IOException(s"failed to publish $p -> $dest")
-          (dest.getName, tuple)
-        }
+      val published = allStaged.map { case (p, tuple) =>
+        val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"failed to publish $p -> $dest")
+        (dest.getName, tuple)
       }
       try LakeLog.commit(dir, s"zorder(${cols.mkString(",")})",
         published.map(_._1), zFiles, addedRows = 0L,

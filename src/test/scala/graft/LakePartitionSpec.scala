@@ -669,6 +669,51 @@ class LakePartitionSpec extends SparkSpec {
     }
   }
 
+  test("zorder migrates old layout vintages to the current spec like " +
+       "compact: post-evolution zorder leaves a uniform layout " +
+       "(dataChange=false, rows intact, dynamic overwrite restored), " +
+       "z-sorted within the migrated partitions") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.zm (k BIGINT, x BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(2, k))")
+      spark.sql(s"INSERT INTO $cat.db.zm SELECT id, (id * 37) % 1000, " +
+        "concat('a', id) FROM range(0, 400, 1, 4)")
+      val dir = s"$root/db/zm"
+      spark.sql(s"CALL $cat.system.add_partition_field(" +
+        s"table => 'db.zm', field => 'bucket(4, x)')")
+      spark.sql(s"INSERT INTO $cat.db.zm SELECT id, (id * 37) % 1000, " +
+        "concat('b', id) FROM range(400, 800, 1, 4)")
+      val mixed = LakeLog.current(dir).get
+      assert(mixed.parts.values.map(_.head).toSet == Set("s0", "s1"),
+        "fixture must hold two layout vintages")
+
+      spark.sql(s"CALL $cat.system.zorder(table => 'db.zm', " +
+        "columns => 'k,x', target_files => 8)")
+      val snap = LakeLog.current(dir).get
+      assert(snap.operation.startsWith("zorder") && !snap.dataChange)
+      assert(snap.files.forall(f =>
+        snap.parts.get(f).exists(_.head == "s1")),
+        s"zorder left non-current layouts: ${snap.parts.values
+          .map(_.head).toSet}")
+      assert(spark.table(s"$cat.db.zm").count() == 800)
+      assert(spark.table(s"$cat.db.zm").where("k = 123").count() == 1)
+      assert(spark.table(s"$cat.db.zm")
+        .where("x = (123 * 37) % 1000").count() >= 1)
+      // dynamic overwrite — refused on mixed layouts — works again
+      val prevMode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        spark.sql(s"INSERT OVERWRITE $cat.db.zm " +
+          "SELECT 123, CAST((123 * 37) % 1000 AS BIGINT), 'replaced'")
+        assert(spark.table(s"$cat.db.zm")
+          .where("v = 'replaced'").count() == 1)
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+  }
+
   test("GROUP BY an identity partition column answers from the " +
        "manifest alone: pushed complete aggregate, zero footer opens, " +
        "DV-exact live counts, fully-deleted partitions vanish, and " +
