@@ -51,6 +51,49 @@ object LakeLog {
   val manifestReads = new java.util.concurrent.atomic.AtomicLong()
   val logListings = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Test instrumentation for the manifest TREE: segment files read /
+    * bytes read since process start. The bounded-manifest-I/O pins
+    * (partition-filtered plans on many-file tables read only matching
+    * segments) count these.
+    */
+  val segmentReads = new java.util.concurrent.atomic.AtomicLong()
+  val segmentBytes = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Files-per-manifest ceiling for the FLAT encoding: a snapshot
+    * listing more files than this graduates to the manifest tree
+    * (segment sidecars + a segment list). Production default keeps
+    * small tables flat (one read, no indirection); tests lower it via
+    * the system property to exercise the tree at fixture scale.
+    */
+  def inlineThreshold: Int =
+    sys.props.get("graft.lake.manifest.inline.threshold").map(_.toInt)
+      .getOrElse(2048)
+
+  /** Distinct-tuple ceiling for a segment's prune summary: past this
+    * the summary is dropped (segment always loaded) rather than grown
+    * unboundedly — commits write per-partition files, so real segments
+    * stay far under it.
+    */
+  private val maxSummaryTuples = 64
+
+  private def segDir(dir: String): Path = new Path(logDir(dir), "seg")
+
+  /** Immutable-segment content cache (name+table-keyed): segments never
+    * change once written, so commits can compute reuse and repeated
+    * plans can skip re-reads without any invalidation protocol. Bounded
+    * LRU — eviction only costs a re-read.
+    */
+  private val segCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String,
+          (Seq[String], Map[String, LakeStats.FileStats],
+            Map[String, Seq[String]])](128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: JMap.Entry[String, (Seq[String],
+              Map[String, LakeStats.FileStats],
+              Map[String, Seq[String]])]): Boolean = size() > 4096
+      })
+
   /** One committed table version. `files` is the complete data-file set
     * (names relative to the table dir); `added`/`removed` are this
     * commit's delta against its parent.
@@ -102,7 +145,30 @@ object LakeLog {
                               Map.empty,
                             updatePre: Map[String, Seq[String]] = Map.empty,
                             updatePost: Seq[String] = Seq.empty,
-                            parts: Map[String, Seq[String]] = Map.empty)
+                            parts: Map[String, Seq[String]] = Map.empty,
+                            segments: Seq[SegRef] = Seq.empty)
+
+  /** One MANIFEST-TREE segment reference: an immutable, content-
+    * addressed sidecar (`_log/seg/<uuid>.json`) holding a slice of the
+    * snapshot's per-file metadata (names + stats + tuples). Manifests
+    * past [[inlineThreshold]] files store a segment LIST instead of the
+    * flat per-file maps — Iceberg's manifest-list/manifest-file split:
+    *
+    *   - commits REUSE every parent segment untouched by the delta, so
+    *     a 10-file append to a 10⁶-file table writes one new segment +
+    *     a small manifest, not a 10⁶-entry JSON (O(delta) commit I/O);
+    *   - `tuples` summarizes the segment's distinct partition tuples
+    *     (when all files carry one and few are distinct — the normal
+    *     shape, since commits write per-partition files), so a
+    *     partition-filtered plan loads ONLY matching segments
+    *     ([[snapshotPruned]]); None = mixed/unknown, always loaded.
+    *
+    * Segments are immutable: once written they never change, so
+    * version history shares them structurally and a process-wide cache
+    * serves re-reads.
+    */
+  final case class SegRef(name: String, n: Int,
+                          tuples: Option[Seq[Seq[String]]])
 
   def logDir(dir: String): Path = new Path(dir, "_log")
 
@@ -167,14 +233,29 @@ object LakeLog {
   }
 
   def snapshotAt(dir: String, version: Long,
-                 branch: Option[String] = None): Snapshot = {
+                 branch: Option[String] = None): Snapshot =
+    snapshotAtPruned(dir, version, branch, _ => true)
+
+  /** [[snapshotAt]] with SEGMENT-LEVEL pruning: on a manifest-tree
+    * snapshot, only segments `keepSeg` admits are loaded — the returned
+    * snapshot's per-file maps (files/stats/parts) cover exactly those
+    * segments (plus every file of summary-less segments, loaded
+    * conservatively). The caller owns soundness of the predicate: a
+    * partition-filtered plan passes the same tuple judgment file-level
+    * pruning would apply, so a dropped segment's files were provably
+    * excluded anyway. Flat manifests ignore the predicate (one read,
+    * complete view).
+    */
+  def snapshotAtPruned(dir: String, version: Long,
+                       branch: Option[String],
+                       keepSeg: SegRef => Boolean): Snapshot = {
     val fs = fsFor(dir)
     val p = new Path(ld(dir, branch), manifestName(version))
     require(fs.exists(p),
       s"no snapshot v$version in $dir${branch.fold("")(b => s"@$b")} " +
         s"(expired or never committed); " +
         s"available: ${versions(dir, branch).mkString(", ")}")
-    readManifest(fs, p)
+    readManifest(fs, dir, p, keepSeg)
   }
 
   /** Head resolution — the per-query-plan hot path. The naive form
@@ -194,23 +275,33 @@ object LakeLog {
     * the listing (branches are short-lived audit refs).
     */
   def current(dir: String, branch: Option[String] = None): Option[Snapshot] =
+    currentPruned(dir, branch, _ => true)
+
+  /** [[current]] with segment-level pruning (see [[snapshotAtPruned]]). */
+  def currentPruned(dir: String, branch: Option[String],
+                    keepSeg: SegRef => Boolean): Option[Snapshot] =
+    headVersion(dir, branch).map(snapshotAtPruned(dir, _, branch, keepSeg))
+
+  /** Head VERSION resolution (hint + forward probe / listing fallback)
+    * without reading any manifest.
+    */
+  private def headVersion(dir: String,
+                          branch: Option[String]): Option[Long] =
     branch match {
-      case Some(_) =>
-        versions(dir, branch).lastOption.map(snapshotAt(dir, _, branch))
+      case Some(_) => versions(dir, branch).lastOption
       case None =>
         headHint(dir) match {
           case Some(h) =>
             val fs = fsFor(dir)
             if (!fs.exists(new Path(logDir(dir), manifestName(h))))
-              versions(dir).lastOption.map(snapshotAt(dir, _)) // stale hint
+              versions(dir).lastOption // stale hint
             else {
               var v = h
               while (fs.exists(new Path(logDir(dir), manifestName(v + 1))))
                 v += 1
-              Some(snapshotAt(dir, v))
+              Some(v)
             }
-          case None =>
-            versions(dir).lastOption.map(snapshotAt(dir, _))
+          case None => versions(dir).lastOption
         }
     }
 
@@ -262,7 +353,9 @@ object LakeLog {
           s"(earliest: ${all.headOption.map(_.timestampMs)})"))
   }
 
-  private def readManifest(fs: FileSystem, p: Path): Snapshot = {
+  private def readManifest(fs: FileSystem, dir: String, p: Path,
+                           keepSeg: SegRef => Boolean = _ => true)
+      : Snapshot = {
     // Manifests are write-once, but the PUBLISH rename is not atomic on
     // every filesystem w.r.t. readers — Hadoop's ChecksumFileSystem
     // moves the data file and its .crc sidecar in two steps, so a
@@ -274,7 +367,7 @@ object LakeLog {
     var attempt = 0
     while (attempt < 50) {
       attempt += 1
-      try return readManifestOnce(fs, p)
+      try return readManifestOnce(fs, dir, p, keepSeg)
       catch {
         case e: java.io.IOException =>
           lastErr = e
@@ -286,7 +379,8 @@ object LakeLog {
       s"manifest $p unreadable after $attempt attempts", lastErr)
   }
 
-  private def readManifestOnce(fs: FileSystem, p: Path): Snapshot = {
+  private def readManifestOnce(fs: FileSystem, dir: String, p: Path,
+                               keepSeg: SegRef => Boolean): Snapshot = {
     manifestReads.incrementAndGet()
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
@@ -312,16 +406,92 @@ object LakeLog {
       }.toMap
       case _ => Map.empty // pre-DV manifests
     }
-    Snapshot(lng("version"), lng("timestampMs"),
+    val base = Snapshot(lng("version"), lng("timestampMs"),
       String.valueOf(m.get("operation")), strs("files"), strs("added"),
       strs("removed"), lng("addedRows"), dataChange,
       dvMap("dvs"), dvMap("dvAdded"),
       LakeStats.fromJson(m.get("stats")), // pre-stats manifests: empty
       dvMap("updatePre"), strs("updatePost"), // pre-pairing: empty
       dvMap("parts")) // pre-partitioning manifests: empty
+    m.get("segments") match {
+      case l: JList[_] =>
+        // manifest tree: the flat per-file maps live in segment
+        // sidecars; materialize the admitted ones
+        val refs: Seq[SegRef] = l.asScala.toSeq.map { e =>
+          val sm = e.asInstanceOf[JMap[String, Object]]
+          val tuples = sm.get("tuples") match {
+            case tl: JList[_] => Some(tl.asScala.toSeq.map {
+              case t: JList[_] => t.asScala.map(_.toString).toSeq
+              case other       => Seq(String.valueOf(other))
+            })
+            case _ => None
+          }
+          SegRef(String.valueOf(sm.get("name")),
+            sm.get("n").asInstanceOf[Number].intValue(), tuples)
+        }
+        var files = Vector.empty[String]
+        var stats = Map.empty[String, LakeStats.FileStats]
+        var parts = Map.empty[String, Seq[String]]
+        refs.filter(keepSeg).foreach { r =>
+          val (f, st, pt) = readSegment(fs, dir, r.name)
+          files ++= f; stats ++= st; parts ++= pt
+        }
+        base.copy(files = files.sorted, stats = stats, parts = parts,
+          segments = refs)
+      case _ => base
+    }
   }
 
-  private def writeManifest(fs: FileSystem, tmp: Path, s: Snapshot): Unit = {
+  /** Load one immutable segment sidecar (cache-first; a miss reads and
+    * counts toward [[segmentReads]]/[[segmentBytes]]).
+    */
+  private def readSegment(fs: FileSystem, dir: String, name: String)
+      : (Seq[String], Map[String, LakeStats.FileStats],
+          Map[String, Seq[String]]) = {
+    val p = new Path(segDir(dir), name)
+    val key = p.toUri.toString
+    val cached = segCache.get(key)
+    if (cached != null) return cached
+    segmentReads.incrementAndGet()
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    segmentBytes.addAndGet(bytes.length.toLong)
+    val m = mapper.readValue(bytes, classOf[JMap[String, Object]])
+    val files = m.get("files") match {
+      case l: JList[_] => l.asScala.map(_.toString).toSeq
+      case _           => Seq.empty
+    }
+    val parts = m.get("parts") match {
+      case pm: JMap[_, _] => pm.asScala.map { case (k, v) =>
+        String.valueOf(k) -> (v match {
+          case l: JList[_] => l.asScala.map(_.toString).toSeq
+          case _           => Seq.empty[String]
+        })
+      }.toMap
+      case _ => Map.empty[String, Seq[String]]
+    }
+    val res = (files, LakeStats.fromJson(m.get("stats")), parts)
+    segCache.put(key, res)
+    res
+  }
+
+  /** Drop the immutable-segment cache — test instrumentation so
+    * bounded-I/O pins measure real reads.
+    */
+  def clearSegmentCache(): Unit = segCache.clear()
+
+  /** Serialize `s` to `tmp`. Past [[inlineThreshold]] files the
+    * per-file maps (files/stats/parts) move into immutable segment
+    * sidecars and the manifest stores the segment LIST — every parent
+    * segment whose files all survive is REUSED by reference (O(delta)
+    * commit I/O: a small append to a huge table writes one new segment,
+    * a replace rewrites only the segments its removals touch). Returns
+    * the snapshot carrying its final segment list plus the sidecar
+    * paths created (the caller deletes them if the version race is
+    * lost).
+    */
+  private def writeManifest(fs: FileSystem, dir: String, tmp: Path,
+                            s: Snapshot): (Snapshot, Seq[Path]) = {
     val m = new JHashMap[String, Object]()
     m.put("version", java.lang.Long.valueOf(s.version))
     m.put("timestampMs", java.lang.Long.valueOf(s.timestampMs))
@@ -329,7 +499,6 @@ object LakeLog {
     def jl(xs: Seq[String]): JList[String] = {
       val l = new ArrayList[String](xs.size); xs.foreach(l.add); l
     }
-    m.put("files", jl(s.files))
     m.put("added", jl(s.added))
     m.put("removed", jl(s.removed))
     m.put("addedRows", java.lang.Long.valueOf(s.addedRows))
@@ -343,11 +512,85 @@ object LakeLog {
     putDvMap("dvs", s.dvs)
     putDvMap("dvAdded", s.dvAdded)
     putDvMap("updatePre", s.updatePre)
-    putDvMap("parts", s.parts)
     if (s.updatePost.nonEmpty) m.put("updatePost", jl(s.updatePost))
-    if (s.stats.nonEmpty) m.put("stats", LakeStats.toJson(s.stats))
+    val threshold = inlineThreshold
+    val (result, created) =
+      if (s.files.size <= threshold) {
+        // flat encoding: one self-contained manifest (today's common
+        // case — small tables never pay the indirection)
+        m.put("files", jl(s.files))
+        putDvMap("parts", s.parts)
+        if (s.stats.nonEmpty) m.put("stats", LakeStats.toJson(s.stats))
+        (s.copy(segments = Seq.empty), Seq.empty[Path])
+      } else {
+        fs.mkdirs(segDir(dir))
+        val fileSet = s.files.toSet
+        // reuse: a parent segment survives iff every file it lists is
+        // still in the snapshot (removed files are NOT — so a segment
+        // touched by a replace rewrites; an unreadable/expired segment
+        // simply falls out and its files re-segment)
+        val kept = s.segments.filter { r =>
+          try readSegment(fs, dir, r.name)._1.forall(fileSet.contains)
+          catch { case _: java.io.IOException => false }
+        }
+        val covered = kept.flatMap(r => readSegment(fs, dir, r.name)._1)
+          .toSet
+        val leftover = s.files.filterNot(covered)
+        // new segments: grouped by partition tuple (so summaries stay
+        // tight and a partition-filtered read touches few segments),
+        // chunked at the inline threshold
+        val sorted = leftover.sortBy(f =>
+          (s.parts.getOrElse(f, Seq.empty).mkString(" "), f))
+        val chunks = sorted.grouped(math.max(1, threshold)).toSeq
+        val created = chunks.map { chunk =>
+          val name = s"seg-${java.util.UUID.randomUUID()}.json"
+          val sm = new JHashMap[String, Object]()
+          sm.put("files", jl(chunk))
+          val chunkParts = chunk.flatMap(f =>
+            s.parts.get(f).map(f -> _)).toMap
+          if (chunkParts.nonEmpty) {
+            val pm = new JHashMap[String, Object]()
+            chunkParts.toSeq.sortBy(_._1).foreach { case (k, v) =>
+              pm.put(k, jl(v)) }
+            sm.put("parts", pm)
+          }
+          val chunkStats = chunk.flatMap(f =>
+            s.stats.get(f).map(f -> _)).toMap
+          if (chunkStats.nonEmpty)
+            sm.put("stats", LakeStats.toJson(chunkStats))
+          val p = new Path(segDir(dir), name)
+          val out = fs.create(p, false)
+          try out.write(mapper.writeValueAsBytes(sm)) finally out.close()
+          // prune summary: the distinct tuples, when every file has one
+          // and few are distinct; otherwise none (always loaded)
+          val tuples =
+            if (chunk.forall(chunkParts.contains)) {
+              val d = chunk.map(chunkParts).distinct
+              if (d.size <= maxSummaryTuples) Some(d) else None
+            } else None
+          segCache.put(p.toUri.toString,
+            (chunk, chunkStats, chunkParts))
+          (SegRef(name, chunk.size, tuples), p)
+        }
+        val refs = kept ++ created.map(_._1)
+        val segList = new ArrayList[Object](refs.size)
+        refs.foreach { r =>
+          val sm = new JHashMap[String, Object]()
+          sm.put("name", r.name)
+          sm.put("n", java.lang.Integer.valueOf(r.n))
+          r.tuples.foreach { ts =>
+            val tl = new ArrayList[Object](ts.size)
+            ts.foreach(t => tl.add(jl(t)))
+            sm.put("tuples", tl)
+          }
+          segList.add(sm)
+        }
+        m.put("segments", segList)
+        (s.copy(segments = refs), created.map(_._2))
+      }
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+    (result, created)
   }
 
   /** Raw data-file listing (log-oblivious) — bootstrap + legacy reads. */
@@ -513,7 +756,10 @@ object LakeLog {
         (base.filterNot(removed.toSet) ++ addedNew).distinct.sorted,
         addedNew, removed.sorted, addedRows, dataChange, nextDvs, dvAdded,
         nextStats, updatePre, updatePost.filter(addedNew.contains),
-        nextParts)
+        nextParts,
+        // the parent's segment list is the REUSE base for the manifest
+        // tree (writeManifest keeps every segment the delta left whole)
+        head.map(_.segments).getOrElse(Seq.empty))
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry
@@ -564,14 +810,23 @@ object LakeLog {
     val dest = new Path(d, manifestName(s.version))
     if (fs.exists(dest)) return None
     val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}.json")
-    writeManifest(fs, tmp, s)
+    val (written, createdSegs) = writeManifest(fs, dir, tmp, s)
     val won = atomicCreateFrom(fs, tmp, dest)
     fs.delete(tmp, false)
     if (won) {
       // keep MAIN head resolution O(1): refresh the hint per commit
       if (branch.isEmpty) writeHeadHint(dir, s.version)
-      Some(s)
-    } else None
+      Some(written)
+    } else {
+      // lost the race: the fresh UUID segments are referenced by no
+      // manifest — reclaim now instead of waiting for the vacuum
+      createdSegs.foreach { p =>
+        segCache.remove(p.toUri.toString)
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
+      }
+      None
+    }
   }
 
   // ----- branches: writable refs (write-audit-publish) -----------------
@@ -884,9 +1139,9 @@ object LakeLog {
     val keep = keepTail ++ dropCand.filter(retained)
     // a live branch references its own commits' files (staged work that
     // hasn't fast-forwarded yet) — the vacuum must not eat a branch
-    val branchFiles = branches(dir).keySet.flatMap(b =>
-      versions(dir, Some(b))
-        .flatMap(v => snapshotAt(dir, v, Some(b)).files))
+    val branchSnaps = branches(dir).keySet.toSeq.flatMap(b =>
+      versions(dir, Some(b)).map(v => snapshotAt(dir, v, Some(b))))
+    val branchFiles = branchSnaps.flatMap(_.files).toSet
     // retained snapshots reference their data files AND their deletion
     // vectors — a vacuumed DV would resurrect deleted rows
     val keptSnaps = keep.map(snapshotAt(dir, _))
@@ -908,6 +1163,22 @@ object LakeLog {
     drop.foreach(v =>
       fs.delete(new Path(logDir(dir), manifestName(v)), false))
     orphans.foreach(f => fs.delete(new Path(dir, f), false))
+    // manifest-tree segments referenced by NO retained manifest (main,
+    // tagged, or branch) are metadata orphans — same grace window as
+    // data files (a just-written segment may belong to a commit racing
+    // its manifest rename)
+    val keptSegs = (keptSnaps ++ branchSnaps)
+      .flatMap(_.segments.map(_.name)).toSet
+    val segD = segDir(dir)
+    if (fs.exists(segD))
+      fs.listStatus(segD).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("seg-") &&
+          !keptSegs.contains(st.getPath.getName) &&
+          st.getModificationTime < horizon)
+        .foreach { st =>
+          segCache.remove(st.getPath.toUri.toString)
+          fs.delete(st.getPath, false)
+        }
     // a crashed multi-table stage ([[LakeTx.stageAppend]]) can leave a
     // scratch subdir under _staging — unreachable by any reader, pure
     // disk leak; reclaim aged ones under the same grace window that

@@ -608,18 +608,43 @@ object LakePartitioning {
             .map(bs => (f, bs)))
       }
     if (relevantBySpec.forall(_.isEmpty)) return (files, 0)
-    val kept = files.filter { file =>
-      parts.get(file.getName).flatMap(t => layoutOf(t, specs).map(l =>
-        (splitTuple(t)._1, l))) match {
-        case Some((specId, (_, slots))) =>
-          relevantBySpec(specId).forall { case (f, bs) =>
-            bs.forall { case (b, i) => slotMightMatch(b, slots(i), f) }
-          }
-        case _ => true // tuple-less or unresolvable vintage: keep
-      }
-    }
+    val kept = files.filter(file =>
+      judgeTuple(parts.get(file.getName), specs, relevantBySpec))
     (kept, files.size - kept.size)
   }
+
+  /** The per-tuple judgment [[prune]] applies per file, exposed for
+    * callers that prune COARSER units sharing a tuple (manifest
+    * segments): can a file carrying `tuple` match every relevant
+    * pushed filter? Tuple-less / unresolvable → always true.
+    */
+  def tupleMightMatch(tuple: Option[Seq[String]],
+                      specs: IndexedSeq[Seq[Bound]],
+                      pushed: Array[Filter]): Boolean = {
+    if (specs.isEmpty || pushed.isEmpty) return true
+    val relevantBySpec: IndexedSeq[Array[(Filter, Seq[(Bound, Int)])]] =
+      specs.map { bound =>
+        val byCol = bound.zipWithIndex
+          .groupBy(_._1.t.col.toLowerCase)
+        pushed.flatMap(f =>
+          filterColumn(f).map(_.toLowerCase).flatMap(byCol.get)
+            .map(bs => (f, bs)))
+      }
+    judgeTuple(tuple, specs, relevantBySpec)
+  }
+
+  private def judgeTuple(
+      tuple: Option[Seq[String]], specs: IndexedSeq[Seq[Bound]],
+      relevantBySpec: IndexedSeq[Array[(Filter, Seq[(Bound, Int)])]])
+      : Boolean =
+    tuple.flatMap(t => layoutOf(t, specs).map(l =>
+      (splitTuple(t)._1, l))) match {
+      case Some((specId, (_, slots))) =>
+        relevantBySpec(specId).forall { case (f, bs) =>
+          bs.forall { case (b, i) => slotMightMatch(b, slots(i), f) }
+        }
+      case _ => true // tuple-less or unresolvable vintage: keep
+    }
 
   /** Runtime (DPP) membership: can a file with `tuple` contain ANY of
     * `values` (INTERNAL form) in source column `col`? Conservative —

@@ -404,8 +404,12 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
         s"graft_lake $dir PushedAggregates=[$desc, " +
           s"${rows.size} rows]")
     }
+    // manifest-tree fast path: pushed partition filters prune whole
+    // SEGMENTS before their file entries are even read — on a
+    // many-file table the plan's manifest I/O is bounded by the
+    // matching partitions, not the table (flat manifests ignore this)
     val (files, dvs, stats, parts) =
-      LakeTableIO.snapshotView(dir, pinnedVersion, branch)
+      LakeTableIO.snapshotViewPruned(dir, pinnedVersion, branch, pushed)
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
       startingVersion, branch, pacing, dvs, stats, parts)
@@ -795,12 +799,61 @@ class LakeReaderFactory(projected: StructType)
           while (i < only.length && only(i) < groupStart) i += 1
         i
       }
-      private val pages = reader.readRowGroup(part.rowGroup)
+      private val footerBlock =
+        reader.getFooter.getBlocks.get(part.rowGroup)
+      private val groupEnd: Long = groupStart + footerBlock.getRowCount
+      // positional reads go PAGE-LEVEL when the file carries a page
+      // index: the sorted wanted positions map to their pages through
+      // the offset index and only those pages are read and decoded —
+      // a k-row delete pre-image against a million-row group reads the
+      // k rows' pages, not the group. Files without an offset index
+      // (foreign writers) fall back to the full-group read; the
+      // row-index iterator below keeps `pos` exact either way.
+      private val pages = {
+        val full = only == null
+        if (full) reader.readRowGroup(part.rowGroup)
+        else {
+          val oi =
+            try reader.readOffsetIndex(footerBlock.getColumns.get(0))
+            catch { case _: java.io.IOException => null }
+          if (oi == null) reader.readRowGroup(part.rowGroup)
+          else {
+            val nPages = oi.getPageCount
+            // group-relative wanted positions -> page ordinals
+            def pageOf(rel: Long): Int = {
+              var lo = 0; var hi = nPages - 1
+              while (lo < hi) {
+                val mid = (lo + hi + 1) >>> 1
+                if (oi.getFirstRowIndex(mid) <= rel) lo = mid
+                else hi = mid - 1
+              }
+              lo
+            }
+            val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var i = onlyCursor
+            while (i < only.length && only(i) < groupEnd) {
+              val p = pageOf(only(i) - groupStart)
+              if (sel.isEmpty || sel.last != p) sel += p
+              i += 1
+            }
+            LakeTableIO.pagesSelected.addAndGet(sel.length.toLong)
+            LakeTableIO.pagesAvailable.addAndGet(nPages.toLong)
+            val rr = org.apache.parquet.internal.filter2.columnindex
+              .RowRanges.create(footerBlock.getRowCount,
+                java.util.Arrays.stream(sel.toArray).iterator(), oi)
+            reader.readFilteredRowGroup(part.rowGroup, rr)
+          }
+        }
+      }
       private val recordReader = new ColumnIOFactory()
         .getColumnIO(requested)
         .getRecordReader(pages, new GroupRecordConverter(requested))
       private var remaining = pages.getRowCount
-      private val groupEnd: Long = groupStart + pages.getRowCount
+      // filtered page stores expose the surviving rows' GROUP-RELATIVE
+      // indexes; tracking them keeps `pos` (and `_pos`) exact when
+      // whole pages were skipped
+      private val rowIdxIter: java.util.PrimitiveIterator.OfLong =
+        pages.getRowIndexes().orElse(null)
       private var pos: Long = groupStart - 1
       private var current: InternalRow = _
 
@@ -816,7 +869,16 @@ class LakeReaderFactory(projected: StructType)
         } else {
           val g = recordReader.read()
           remaining -= 1
-          pos += 1
+          pos =
+            if (rowIdxIter != null) groupStart + rowIdxIter.nextLong()
+            else pos + 1
+          if (only != null) {
+            // page-skips can jump `pos` past wanted cursors that were
+            // never in a loaded page's range (only possible for
+            // positions another event class consumed) — realign
+            while (onlyCursor < only.length && only(onlyCursor) < pos)
+              onlyCursor += 1
+          }
           if (only != null && (onlyCursor >= only.length ||
               pos != only(onlyCursor))) {
             // CDC delete event: not one of the commit's DV'd positions
@@ -1161,6 +1223,7 @@ class LakeWriterFactory(dir: String, schema: StructType)
             .withType(message)
             .withCompressionCodec(CompressionCodecName.SNAPPY)
             .withRowGroupSize(LakeTableIO.rowGroupBytes)
+            .withPageRowCountLimit(LakeTableIO.pageRowLimit)
             .build()
         }
         def close(delete: Boolean): Unit = if (rows > 0 || delete) {
@@ -1222,6 +1285,21 @@ object LakeTableIO {
   @volatile var rowGroupBytes: Long =
     sys.props.get("graft.lake.rowgroup.bytes").map(_.toLong)
       .getOrElse(128L << 20)
+
+  /** Writer page-row ceiling — settable so fixtures can force a
+    * many-page layout at test scale (page-level positional reads);
+    * production default is parquet-mr's own (20k rows / 1 MB pages).
+    */
+  def pageRowLimit: Int =
+    sys.props.get("graft.lake.page.row.limit").map(_.toInt)
+      .getOrElse(org.apache.parquet.column.ParquetProperties
+        .DEFAULT_PAGE_ROW_COUNT_LIMIT)
+
+  /** Test instrumentation for page-level positional reads: (pages
+    * selected, pages available) across CDC delete-event scans.
+    */
+  val pagesSelected = new java.util.concurrent.atomic.AtomicLong()
+  val pagesAvailable = new java.util.concurrent.atomic.AtomicLong()
 
   /** Reserved METADATA column names (Iceberg's `_file`/`_pos`):
     * synthesized per row by the reader — the data file's name and the
@@ -1289,9 +1367,31 @@ object LakeTableIO {
     */
   def snapshotView(dir: String, version: Option[Long] = None,
                    branch: Option[String] = None): SnapView =
+    snapshotViewPruned(dir, version, branch, Array.empty)
+
+  /** [[snapshotView]] with manifest-SEGMENT pruning: `pushed` filters
+    * drop whole segments whose tuple summaries provably exclude them —
+    * the per-tuple judgment is EXACTLY [[LakePartitioning.prune]]'s, so
+    * a dropped segment's files would have been file-pruned anyway;
+    * summary-less segments always load. Flat manifests are unaffected.
+    */
+  def snapshotViewPruned(dir: String, version: Option[Long],
+                         branch: Option[String],
+                         pushed: Array[Filter]): SnapView = {
+    val keepSeg: LakeLog.SegRef => Boolean =
+      if (pushed.isEmpty) _ => true
+      else {
+        val specs =
+          try LakePartitioning.bindAll(LakePartitioning.specsOf(dir),
+            tableSchema(dir))
+          catch { case _: Exception => IndexedSeq.empty }
+        if (specs.isEmpty) _ => true
+        else r => r.tuples.forall(_.exists(t =>
+          LakePartitioning.tupleMightMatch(Some(t), specs, pushed)))
+      }
     version match {
       case Some(v) =>
-        val s = LakeLog.snapshotAt(dir, v, branch)
+        val s = LakeLog.snapshotAtPruned(dir, v, branch, keepSeg)
         (s.files.map(new Path(dir, _)), s.dvs, s.stats, s.parts)
       case None =>
         def withPending(files: Seq[String])
@@ -1301,7 +1401,7 @@ object LakeTableIO {
            else (files ++ pending).distinct.sorted)
             .map(new Path(dir, _))
         }
-        LakeLog.current(dir, branch) match {
+        LakeLog.currentPruned(dir, branch, keepSeg) match {
           case Some(s) if branch.isEmpty =>
             (withPending(s.files), s.dvs, s.stats, s.parts)
           case Some(s) =>
@@ -1313,6 +1413,7 @@ object LakeTableIO {
               Map.empty)
         }
     }
+  }
 
   /** Write `df` through the CONNECTOR's writer (field-id footers; on
     * partitioned tables rows split per tuple) into `dir/_staging`,

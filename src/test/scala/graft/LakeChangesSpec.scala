@@ -25,6 +25,43 @@ class LakeChangesSpec extends SparkSpec {
     f(cat, root)
   }
 
+  test("page-level positional reads: a k-row MOR delete's pre-images " +
+       "read only the pages holding those positions (counterized " +
+       "sub-row-group I/O), with the event rows and _pos exact") {
+    val prevLimit = sys.props.get("graft.lake.page.row.limit")
+    sys.props("graft.lake.page.row.limit") = "100"
+    try withCatalog { (cat, root) =>
+      import graft.sources.dsv2.LakeTableIO
+      // one task -> one file; 10k rows at 100 rows/page -> ~100 pages
+      spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.p " +
+        "SELECT id, concat('v', id) FROM range(0, 10000, 1, 1)")
+      spark.sql(s"DELETE FROM $cat.db.p WHERE k IN (1234, 1250, 7777)")
+      val delVersion = LakeLog.current(s"$root/db/p").get.version
+      val selBefore = LakeTableIO.pagesSelected.get()
+      val availBefore = LakeTableIO.pagesAvailable.get()
+      val events = spark.read
+        .option("startingVersion", delVersion.toString)
+        .option("endingVersion", delVersion.toString)
+        .table(s"$cat.db.p.changes")
+        .selectExpr("k", "_change_type").collect()
+      val sel = LakeTableIO.pagesSelected.get() - selBefore
+      val avail = LakeTableIO.pagesAvailable.get() - availBefore
+      assert(events.map(_.getLong(0)).sorted.toSeq ==
+        Seq(1234L, 1250L, 7777L))
+      assert(events.forall(_.getString(1) == "delete"))
+      assert(avail >= 50, s"fixture must have many pages, saw $avail")
+      // 1234 and 1250 share a page; 7777 is its own -> 2 pages
+      assert(sel <= 3, s"positional read selected $sel of $avail pages")
+      // and the live scan (full-group path) is untouched
+      assert(spark.table(s"$cat.db.p").count() == 9997)
+    } finally prevLimit match {
+      case Some(v) => sys.props("graft.lake.page.row.limit") = v
+      case None    => sys.props.remove("graft.lake.page.row.limit")
+    }
+  }
+
   test("batch feed: appends are insert events, a MOR delete is delete " +
        "events carrying the pre-image rows, versions are exact, and " +
        "compaction contributes nothing") {

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.dsv2.{GraftCatalog, LakeLog}
+
+/** The manifest TREE ([[graft.sources.dsv2.LakeLog.SegRef]]): past the
+  * inline threshold a manifest stores a segment list instead of flat
+  * per-file maps — Iceberg's manifest-list/manifest-file split. The
+  * contracts pinned here are the two that make it worth having at 10⁶
+  * files:
+  *
+  *   - O(delta) COMMITS: a small append to a big table reuses every
+  *     parent segment and writes exactly one new sidecar; a replace
+  *     rewrites only the segments its removals touch;
+  *   - BOUNDED READS: a partition-filtered plan loads only segments
+  *     whose tuple summaries might match (counterized, like the
+  *     sweep-K planning pins).
+  *
+  * Plus the safety net: every lake behavior (time travel, expire,
+  * rollback, pruning) is unchanged under the tree — the threshold is a
+  * pure encoding switch.
+  */
+class LakeManifestTreeSpec extends SparkSpec {
+
+  private var n = 0
+  private def withTreeCatalog[A](threshold: Int)(
+      f: (String, String) => A): A = {
+    val prev = sys.props.get("graft.lake.manifest.inline.threshold")
+    sys.props("graft.lake.manifest.inline.threshold") = threshold.toString
+    try {
+      val root = Files.createTempDirectory("graft-mtree").toString
+      n += 1
+      val cat = s"mtreecat$n"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      f(cat, root)
+    } finally prev match {
+      case Some(v) =>
+        sys.props("graft.lake.manifest.inline.threshold") = v
+      case None =>
+        sys.props.remove("graft.lake.manifest.inline.threshold")
+    }
+  }
+
+  private def segFiles(dir: String): Set[String] = {
+    val d = new java.io.File(s"$dir/_log/seg")
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(_.getName).filter(_.startsWith("seg-")).toSet
+  }
+
+  private def manifestJson(dir: String, v: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dir/_log/v$v%020d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  test("past the threshold a manifest graduates to the tree: per-file " +
+       "maps live in segments, a small append reuses every parent " +
+       "segment and writes exactly ONE new sidecar, reads stay exact") {
+    withTreeCatalog(8) { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.t (g BIGINT, x BIGINT) " +
+        "PARTITIONED BY (g)")
+      val dir = s"$root/db/t"
+      // 16 partitions -> 16 files, past the threshold of 8
+      spark.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT id % 16, id FROM range(0, 1600, 1, 4)")
+      val h1 = LakeLog.current(dir).get
+      assert(h1.files.size == 16)
+      assert(h1.segments.nonEmpty, "manifest must be a tree")
+      assert(h1.segments.map(_.n).sum == 16)
+      assert(!manifestJson(dir, h1.version).contains("\"files\""),
+        "a tree manifest must not inline the flat file list")
+      assert(spark.table(s"$cat.db.t").count() == 1600)
+
+      // O(delta) commit: one partition's append = ONE new segment, all
+      // parent segments reused by reference
+      val segsBefore = segFiles(dir)
+      spark.sql(s"INSERT INTO $cat.db.t SELECT 3, id " +
+        "FROM range(1600, 1700)")
+      val h2 = LakeLog.current(dir).get
+      val segsAfter = segFiles(dir)
+      assert((segsAfter -- segsBefore).size == 1,
+        s"append must write exactly one segment, wrote " +
+          s"${(segsAfter -- segsBefore).size}")
+      assert(h1.segments.toSet.subsetOf(h2.segments.toSet),
+        "parent segments must be reused verbatim")
+      assert(spark.table(s"$cat.db.t").count() == 1700)
+      // history shares structure: both versions resolve, bit-exact
+      assert(LakeLog.snapshotAt(dir, h1.version).files == h1.files)
+
+      // a replace (copy-on-write DELETE) rewrites only the touched
+      // segments: untouched parents stay referenced
+      spark.sql(s"DELETE FROM $cat.db.t WHERE g = 5")
+      val h3 = LakeLog.current(dir).get
+      val untouched = h2.segments.filter(r =>
+        r.tuples.exists(_.forall(t => !t.exists(_.contains("5")))))
+      assert(untouched.nonEmpty &&
+        untouched.toSet.subsetOf(h3.segments.toSet),
+        "a partition-local replace must keep unrelated segments")
+      assert(spark.table(s"$cat.db.t").count() == 1700 - 100)
+    }
+  }
+
+  test("bounded manifest I/O: a partition-filtered plan on a many-file " +
+       "tree table loads only matching segments (counterized), with " +
+       "exact results; the unfiltered plan loads them all") {
+    withTreeCatalog(4) { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.b (g BIGINT, x BIGINT) " +
+        "PARTITIONED BY (g)")
+      val dir = s"$root/db/b"
+      // several commits x 16 partitions -> many segments
+      (0 until 3).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.db.b SELECT id % 16, id " +
+          s"FROM range(${i * 1600}, ${(i + 1) * 1600}, 1, 4)"))
+      val head = LakeLog.current(dir).get
+      val total = head.segments.size
+      assert(total >= 8, s"fixture needs many segments, got $total")
+
+      LakeLog.clearSegmentCache()
+      val b1 = LakeLog.segmentReads.get()
+      val one = spark.table(s"$cat.db.b").where("g = 7").count()
+      val filteredReads = LakeLog.segmentReads.get() - b1
+      assert(one == 300)
+      assert(filteredReads < total,
+        s"partition-filtered plan read $filteredReads of $total segments")
+      assert(filteredReads <= total / 2,
+        s"expected a bounded fraction, read $filteredReads of $total")
+
+      LakeLog.clearSegmentCache()
+      val b2 = LakeLog.segmentReads.get()
+      assert(spark.table(s"$cat.db.b").count() == 4800)
+      assert(LakeLog.segmentReads.get() - b2 == total.toLong,
+        "the unfiltered plan reads every segment exactly once")
+    }
+  }
+
+  test("the tree changes nothing observable: time travel, rollback, " +
+       "expire (with orphan-segment sweep), and file pruning behave " +
+       "exactly as on flat manifests") {
+    withTreeCatalog(4) { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.e (g BIGINT, x BIGINT) " +
+        "PARTITIONED BY (g)")
+      val dir = s"$root/db/e"
+      spark.sql(s"INSERT INTO $cat.db.e SELECT id % 8, id " +
+        "FROM range(0, 800, 1, 4)")
+      val v1 = LakeLog.current(dir).get.version
+      spark.sql(s"INSERT INTO $cat.db.e SELECT id % 8, id " +
+        "FROM range(800, 1200, 1, 4)")
+      // time travel across the tree
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.e VERSION AS OF $v1")
+        .head().getLong(0) == 800)
+      // rollback restores the exact old state
+      graft.operators.LakeSnapshots.rollback(dir, v1)
+      assert(spark.table(s"$cat.db.e").count() == 800)
+      assert(LakeLog.current(dir).get.files ==
+        LakeLog.snapshotAt(dir, v1).files)
+      // expire drops old manifests AND their now-orphaned segments;
+      // retained versions keep every referenced segment
+      spark.sql(s"INSERT INTO $cat.db.e SELECT id % 8, id " +
+        "FROM range(1200, 1600, 1, 4)")
+      val refsKept = LakeLog.current(dir).get.segments.map(_.name).toSet
+      graft.operators.LakeSnapshots.expire(dir, keepLast = 1,
+        graceMs = 0L)
+      val onDisk = segFiles(dir)
+      assert(refsKept.subsetOf(onDisk),
+        "expire deleted a referenced segment")
+      assert(onDisk == refsKept,
+        s"expire left ${(onDisk -- refsKept).size} orphan segments")
+      assert(spark.table(s"$cat.db.e").count() == 1200)
+      assert(spark.table(s"$cat.db.e").where("g = 3").count() == 150)
+    }
+  }
+}
