@@ -400,6 +400,33 @@ object LakeQueries {
       s.sql(s"SELECT pri, count(*) AS n FROM $tbl GROUP BY pri")
     }),
 
+    // DECIMAL through the full lake lifecycle: a money column stored
+    // as the connector's INT64-unscaled parquet DECIMAL, driven
+    // through load → merge-on-read DELETE → time-travel read, with an
+    // exact grouped sum over the survivors. Exactness is the point:
+    // decimal sums are fold-order-free, so bucketed/partitioned folds
+    // can never drift from the oracle (the failure class DOUBLE money
+    // exhibited in r11).
+    "lake_decimal_dml" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_dec")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING, " +
+        "price DECIMAL(12,2)) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "o_orderpriority AS pri",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
+        .createOrReplaceTempView("lake_dec_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_dec_src")
+      s.sql(s"DELETE FROM $tbl WHERE k % 7 = 3")
+      s.sql(s"SELECT pri, count(*) AS n, " +
+        s"CAST(sum(price) AS DOUBLE) AS total, " +
+        s"CAST(min(price) AS DOUBLE) AS lo, " +
+        s"CAST(max(price) AS DOUBLE) AS hi " +
+        s"FROM $tbl WHERE price > 1000.00 GROUP BY pri")
+    }),
+
     // GROUPED METADATA MIN/MAX: per-group extremes answered from
     // per-file manifest stats joined to partition tuples — the
     // per-file min/max folded within a tuple group IS the group
@@ -463,12 +490,17 @@ object LakeQueries {
       val dt = tableId(dir, "lake_spjd")
       s.sql(s"DROP TABLE IF EXISTS $ft")
       s.sql(s"DROP TABLE IF EXISTS $dt")
-      s.sql(s"CREATE TABLE $ft (ck BIGINT, price DOUBLE) " +
+      // a REAL DECIMAL money column (INT64-unscaled in the connector's
+      // parquet): exact sums are fold-order-free, so the storage-
+      // partitioned per-bucket fold can never diverge from DuckDB's
+      // scan order (r11's one red row, with DOUBLE storage)
+      s.sql(s"CREATE TABLE $ft (ck BIGINT, price DECIMAL(12,2)) " +
         "PARTITIONED BY (bucket(8, ck))")
       s.sql(s"CREATE TABLE $dt (ck BIGINT, seg STRING) " +
         "PARTITIONED BY (bucket(8, ck))")
       previous(s, dir)
-        .selectExpr("o_custkey AS ck", "o_totalprice AS price")
+        .selectExpr("o_custkey AS ck",
+          "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
         .createOrReplaceTempView("lake_spj_f")
       graft.Tables(s, dir, "customer")
         .selectExpr("c_custkey AS ck", "c_mktsegment AS seg")
@@ -479,13 +511,8 @@ object LakeQueries {
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         s.sql(
-          // exact DECIMAL money sum (the repo-wide convention): double
-          // sums are fold-order-dependent, so the storage-partitioned
-          // per-bucket fold diverged from DuckDB's scan order in low
-          // bits (r11's one red row); decimal sums are order-free
           s"""SELECT d.seg AS seg, count(*) AS n,
-             |       CAST(sum(CAST(f.price AS DECIMAL(18,2))) AS DOUBLE)
-             |         AS total
+             |       CAST(sum(f.price) AS DOUBLE) AS total
              |FROM $ft f JOIN $dt d ON f.ck = d.ck
              |GROUP BY d.seg""".stripMargin)
           .localCheckpoint(true) // materialize under the SPJ conf
@@ -953,6 +980,21 @@ object LakeQueries {
          |SELECT o_orderpriority AS pri, count(*) AS n
          |FROM prev WHERE o_orderkey % 4 <> 1
          |GROUP BY 1""".stripMargin,
+    // the surviving rows' exact decimal aggregate, restated over the
+    // source with the same cast
+    "lake_decimal_dml" ->
+      s"""$snapshotCte
+         |SELECT o_orderpriority AS pri, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS total,
+         |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS lo,
+         |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS hi
+         |FROM prev
+         |WHERE o_orderkey % 7 <> 3
+         |  AND CAST(o_totalprice AS DECIMAL(12,2)) > 1000.00
+         |GROUP BY 1""".stripMargin,
     // per-partition extremes, recomputed from the rows
     "lake_groupby_minmax_meta" ->
       s"""$snapshotCte
@@ -974,7 +1016,7 @@ object LakeQueries {
     "lake_spj" ->
       s"""$snapshotCte
          |SELECT c.c_mktsegment AS seg, count(*) AS n,
-         |       CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |       CAST(sum(CAST(f.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
          |         AS total
          |FROM prev f JOIN customer c ON f.o_custkey = c.c_custkey
          |GROUP BY 1""".stripMargin,

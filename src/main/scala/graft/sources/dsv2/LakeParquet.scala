@@ -90,6 +90,14 @@ object LakeParquet {
         case DateType =>
           named(Types.optional(PrimitiveTypeName.INT32)
             .as(LogicalTypeAnnotation.dateType()))
+        case d: org.apache.spark.sql.types.DecimalType
+            if d.precision <= 18 =>
+          // money columns: INT64 unscaled (the standard parquet
+          // encoding up to precision 18 — covers every realistic
+          // currency scale; wider decimals would need FIXED_LEN_BYTE_
+          // ARRAY and are rejected loud below)
+          named(Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)))
         case other => throw new UnsupportedOperationException(
           s"lake connector: unsupported column type $other (${f.name})")
       }
@@ -110,6 +118,10 @@ object LakeParquet {
           require(ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS,
             s"lake connector: non-micros timestamp ${t.getName}")
           if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case (PrimitiveTypeName.INT64,
+              dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          org.apache.spark.sql.types.DecimalType(
+            dec.getPrecision, dec.getScale)
         case (PrimitiveTypeName.INT64, _)  => LongType
         case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
           DateType
@@ -143,6 +155,9 @@ object LakeParquet {
           (g: Group, i: Int) => g.getFloat(i, 0)
         case StringType =>
           (g: Group, i: Int) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case d: org.apache.spark.sql.types.DecimalType =>
+          (g: Group, i: Int) => org.apache.spark.sql.types.Decimal(
+            g.getLong(i, 0), d.precision, d.scale)
         case other => throw new UnsupportedOperationException(other.toString)
       }
     }
@@ -175,6 +190,9 @@ object LakeParquet {
         case StringType =>
           (r: InternalRow, ri: Int, g: Group, gi: Int) =>
             g.add(gi, Binary.fromConstantByteArray(r.getUTF8String(ri).getBytes))
+        case d: org.apache.spark.sql.types.DecimalType =>
+          (r: InternalRow, ri: Int, g: Group, gi: Int) =>
+            g.add(gi, r.getDecimal(ri, d.precision, d.scale).toUnscaledLong)
         case other => throw new UnsupportedOperationException(other.toString)
       }
     }

@@ -62,8 +62,20 @@ object ScaleUp {
     // shared dims: copied once, unscaled
     write(t("region"), "region")
     write(t("nation"), "nation")
-    write(replicate(t("customer"), Map("c_custkey" -> custN)), "customer")
-    write(replicate(t("supplier"), Map("s_suppkey" -> suppN)), "supplier")
+    // entity NAMES regenerate from the offset key: a replica customer
+    // is a DISTINCT business, not ten co-named copies of one. Without
+    // this, name-blocked operators (record linkage, fuzzy join) see
+    // every blocking key's population grow K× — their candidate sets
+    // explode K² from a fixture artifact real growth doesn't have
+    // (TPC-H names diversify with keys; measured: func_edit_distance
+    // 0.9 s → 82 s at 10× under co-named replicas). Replica 0 is
+    // byte-identical either way (the source names ARE key-derived).
+    write(replicate(t("customer"), Map("c_custkey" -> custN))
+      .withColumn("c_name",
+        format_string("Customer#%09d", col("c_custkey"))), "customer")
+    write(replicate(t("supplier"), Map("s_suppkey" -> suppN))
+      .withColumn("s_name",
+        format_string("Supplier#%09d", col("s_suppkey"))), "supplier")
     write(replicate(t("part"), Map("p_partkey" -> partN)), "part")
     write(replicate(t("orders"),
       Map("o_orderkey" -> orderN, "o_custkey" -> custN)), "orders")

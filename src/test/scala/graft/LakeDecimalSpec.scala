@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.dsv2.{GraftCatalog, LakeLog}
+
+/** DECIMAL columns through the lake connector: INT64-unscaled parquet
+  * encoding (the standard up to precision 18), exact round-trips
+  * through DML / time travel / SPJ bucketing, loud rejection beyond
+  * the supported precision, and sound conservatism at the stats layer
+  * (decimal bounds are never harvested or consulted).
+  */
+class LakeDecimalSpec extends SparkSpec {
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = Files.createTempDirectory("graft-dec").toString
+    n += 1
+    val cat = s"deccat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  test("DECIMAL(12,2) round-trips exactly through write, MOR delete, " +
+       "filter, aggregate, and time travel — sums are order-free " +
+       "exact, never a double in sight") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, price DECIMAL(12,2)) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      // values exercising carry/negatives/zero cents
+      spark.sql(s"INSERT INTO $cat.db.m SELECT id, " +
+        "CAST((id * 137 % 100000) + 0.01 * (id % 100) AS DECIMAL(12,2)) " +
+        "FROM range(0, 5000, 1, 4)")
+      val v1 = LakeLog.current(s"$root/db/m").get.version
+      spark.sql(s"DELETE FROM $cat.db.m WHERE k % 3 = 1")
+      // exact sum agrees with the arithmetic restatement
+      val got = spark.sql(
+        s"SELECT sum(price) AS s, min(price) AS lo, max(price) AS hi " +
+          s"FROM $cat.db.m").head()
+      val want = spark.sql(
+        "SELECT sum(p) AS s, min(p) AS lo, max(p) AS hi FROM (" +
+          "SELECT CAST((id * 137 % 100000) + 0.01 * (id % 100) " +
+          "AS DECIMAL(12,2)) AS p FROM range(0, 5000) WHERE id % 3 != 1)")
+        .head()
+      assert(got.getDecimal(0) == want.getDecimal(0), s"$got vs $want")
+      assert(got.getDecimal(1) == want.getDecimal(1))
+      assert(got.getDecimal(2) == want.getDecimal(2))
+      // schema read back as the declared decimal, not long/double
+      assert(spark.table(s"$cat.db.m").schema("price").dataType ==
+        org.apache.spark.sql.types.DecimalType(12, 2))
+      // filters stay exact (residual re-apply; stats never consulted
+      // for decimals)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.m WHERE price > 50000.00")
+        .head().getLong(0) ==
+        spark.sql("SELECT count(*) FROM (SELECT id, " +
+          "CAST((id * 137 % 100000) + 0.01 * (id % 100) AS DECIMAL(12,2))" +
+          " AS p FROM range(0, 5000) WHERE id % 3 != 1) WHERE p > 50000.00")
+          .head().getLong(0))
+      // time travel to the pre-delete version sees every cent
+      val all = spark.sql(
+        s"SELECT sum(price) FROM $cat.db.m VERSION AS OF $v1").head()
+      val allWant = spark.sql("SELECT sum(CAST((id * 137 % 100000) + " +
+        "0.01 * (id % 100) AS DECIMAL(12,2))) FROM range(0, 5000)").head()
+      assert(all.getDecimal(0) == allWant.getDecimal(0))
+    }
+  }
+
+  test("precision past 18 is rejected loud at write time (INT64 " +
+       "unscaled cannot carry it), not silently truncated") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.w (x DECIMAL(25,4))")
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.w SELECT CAST(1.5 AS DECIMAL(25,4))")
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        c.isInstanceOf[UnsupportedOperationException] ||
+          String.valueOf(c.getMessage).contains("unsupported column type")),
+        s"expected a loud unsupported-type error, got $e")
+    }
+  }
+
+  test("decimal keys bucket correctly never (inadmissible transform " +
+       "source fails at CREATE), and decimal measures ride partitioned " +
+       "tables fine") {
+    withCatalog { (cat, root) =>
+      // decimal as a MEASURE on a partitioned table: fine
+      spark.sql(s"CREATE TABLE $cat.db.p (g BIGINT, price DECIMAL(10,2)) " +
+        "PARTITIONED BY (g)")
+      spark.sql(s"INSERT INTO $cat.db.p SELECT id % 4, " +
+        "CAST(id + 0.25 AS DECIMAL(10,2)) FROM range(100)")
+      assert(spark.sql(s"SELECT CAST(sum(price) AS DOUBLE) " +
+        s"FROM $cat.db.p WHERE g = 1").head().getDouble(0) ==
+        (1 until 100 by 4).map(_ + 0.25).sum)
+      assert(LakeLog.current(s"$root/db/p").get.parts.nonEmpty)
+    }
+  }
+}
