@@ -162,6 +162,33 @@ object LakeParquet {
       }
     }
 
+  /** Per-field decoder over parquet's COLUMN readers (the flat fast
+    * path: page-level value reads, no Group materialization or record
+    * assembly). Same type dispatch as [[decoders]].
+    */
+  def columnDecoders(projected: StructType)
+      : Array[org.apache.parquet.column.ColumnReader => Any] =
+    projected.fields.map { f =>
+      f.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          (cr: org.apache.parquet.column.ColumnReader) => cr.getLong
+        case IntegerType | DateType =>
+          (cr: org.apache.parquet.column.ColumnReader) => cr.getInteger
+        case DoubleType =>
+          (cr: org.apache.parquet.column.ColumnReader) => cr.getDouble
+        case FloatType =>
+          (cr: org.apache.parquet.column.ColumnReader) => cr.getFloat
+        case StringType =>
+          (cr: org.apache.parquet.column.ColumnReader) =>
+            UTF8String.fromBytes(cr.getBinary.getBytes)
+        case d: org.apache.spark.sql.types.DecimalType =>
+          (cr: org.apache.parquet.column.ColumnReader) =>
+            org.apache.spark.sql.types.Decimal(cr.getLong,
+              d.precision, d.scale)
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+    }
+
   def toInternalRow(g: Group, dec: Array[(Group, Int) => Any]): InternalRow = {
     val values = new Array[Any](dec.length)
     var i = 0

@@ -845,7 +845,44 @@ class LakeReaderFactory(projected: StructType)
           }
         }
       }
-      private val recordReader = new ColumnIOFactory()
+      // FAST PATH for the hot scan (non-positional reads): flat
+      // schemas decode COLUMN-BY-COLUMN straight off the page readers
+      // — no per-row Group materialization, no record assembly; a
+      // skipped row (merge-on-read DV) costs a value-skip, not a
+      // decode. Positional (CDC) reads keep the record reader: a
+      // FILTERED page store's columns can page-break at different
+      // rows, and only record assembly re-aligns them. Exactly ONE of
+      // the two consumes `pages` (PageReader is single-pass), so the
+      // record reader is LAZY and untouched on the fast path.
+      private val fastCols: Array[org.apache.parquet.column.ColumnReader] =
+        if (only != null ||
+            "false" == System.getProperty("graft.lake.reader.fast")) null
+        else {
+          val crs = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
+            pages, new GroupRecordConverter(requested).getRootConverter,
+            requested, reader.getFooter.getFileMetaData.getCreatedBy)
+          requested.getColumns.asScala.map(crs.getColumnReader).toArray
+        }
+      private val fastMaxDef: Array[Int] =
+        if (fastCols == null) null
+        else requested.getColumns.asScala
+          .map(_.getMaxDefinitionLevel).toArray
+      private val fastDec = LakeParquet.columnDecoders(requestedStruct)
+      /** Advance every column by one row; decode or value-skip. */
+      private def fastAdvance(decode: Boolean): Array[Any] = {
+        val vs = if (decode) new Array[Any](fastCols.length) else null
+        var i = 0
+        while (i < fastCols.length) {
+          val cr = fastCols(i)
+          if (cr.getCurrentDefinitionLevel == fastMaxDef(i)) {
+            if (decode) vs(i) = fastDec(i)(cr) else cr.skip()
+          }
+          cr.consume()
+          i += 1
+        }
+        vs
+      }
+      private lazy val recordReader = new ColumnIOFactory()
         .getColumnIO(requested)
         .getRecordReader(pages, new GroupRecordConverter(requested))
       private var remaining = pages.getRowCount
@@ -867,7 +904,6 @@ class LakeReaderFactory(projected: StructType)
           remaining = 0
           false
         } else {
-          val g = recordReader.read()
           remaining -= 1
           pos =
             if (rowIdxIter != null) groupStart + rowIdxIter.nextLong()
@@ -882,14 +918,20 @@ class LakeReaderFactory(projected: StructType)
           if (only != null && (onlyCursor >= only.length ||
               pos != only(onlyCursor))) {
             // CDC delete event: not one of the commit's DV'd positions
+            recordReader.read()
             next()
           } else if (only == null &&
               dvCursor < deleted.length && deleted(dvCursor) == pos) {
             dvCursor += 1 // row deleted by a merge-on-read DML: skip
+            fastAdvance(decode = false)
             next()
           } else {
             if (only != null) onlyCursor += 1
-            val inner = LakeParquet.toInternalRow(g, dec)
+            val inner: InternalRow =
+              if (fastCols != null)
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(fastAdvance(decode = true))
+              else LakeParquet.toInternalRow(recordReader.read(), dec)
             current =
               if (identityProjection) inner
               else {
