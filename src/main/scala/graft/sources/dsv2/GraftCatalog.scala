@@ -394,11 +394,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val widens = (from, to) match {
           case (IntegerType, LongType)  => true
           case (FloatType, DoubleType)  => true
+          // DECIMAL precision growth at the SAME scale: INT64-unscaled
+          // values are identical bytes under both types (scale changes
+          // would rescale every value — lossy, rewrite)
+          case (a: org.apache.spark.sql.types.DecimalType,
+                b: org.apache.spark.sql.types.DecimalType) =>
+            a.scale == b.scale && b.precision > a.precision &&
+              b.precision <= 18
           case _                        => false
         }
         require(widens,
           s"graft_lake: cannot change $name from $from to $to — only " +
-            "widening promotions (INT->BIGINT, FLOAT->DOUBLE) are " +
+            "widening promotions (INT->BIGINT, FLOAT->DOUBLE, " +
+            "DECIMAL(p,s)->DECIMAL(p+,s) up to 18) are " +
             "metadata-only; anything lossy needs a table rewrite")
         require(!specs.flatten.exists(t =>
             t.isInstanceOf[LakePartitioning.PBucket] &&

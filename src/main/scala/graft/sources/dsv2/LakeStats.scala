@@ -124,10 +124,11 @@ object LakeStats {
   }
 
   /** The stats kind of a primitive column, None when unharvestable.
-    * DECIMAL (int-backed unscaled values would compare wrongly against
-    * BigDecimal filter literals) and non-string binaries are skipped;
-    * DATE stats (physical epoch-day ints) are consulted by [[cmp]]
-    * against java Date/LocalDate literals — exact internal encodings.
+    * INT64-backed DECIMAL harvests as `dec:<scale>` (unscaled longs,
+    * compared exactly in decimal space by [[cmp]]); other decimal
+    * physicals and non-string binaries are skipped; DATE stats
+    * (physical epoch-day ints) are consulted by [[cmp]] against java
+    * Date/LocalDate literals — exact internal encodings.
     */
   private def kindOf(p: org.apache.parquet.schema.PrimitiveType)
       : Option[String] = {
@@ -135,6 +136,15 @@ object LakeStats {
     val isDecimal = logical
       .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
     p.getPrimitiveTypeName match {
+      // INT64-unscaled DECIMAL: the canonical stat is the unscaled
+      // long (signed order == numeric order at one scale), the kind
+      // carries the scale so comparisons against BigDecimal filter
+      // literals are EXACT in decimal space. Other decimal physicals
+      // (INT32/FIXED from foreign writers) stay unharvested.
+      case PrimitiveTypeName.INT64 if isDecimal =>
+        Some("dec:" + logical
+          .asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          .getScale)
       case _ if isDecimal            => None
       case PrimitiveTypeName.INT64   => Some("long")
       case PrimitiveTypeName.INT32   => Some("int")
@@ -197,6 +207,8 @@ object LakeStats {
     */
   private[dsv2] def cmpSame(kind: String, a: String, b: String): Int = kind match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case k if k.startsWith("dec:") =>
+      java.lang.Long.compare(a.toLong, b.toLong) // unscaled, one scale
     case "int"    => java.lang.Integer.compare(a.toInt, b.toInt)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case "float"  => java.lang.Float.compare(a.toFloat, b.toFloat)
@@ -294,6 +306,19 @@ object LakeStats {
           d.toLocalDate.toEpochDay.toInt))
       case ("int", d: java.time.LocalDate) =>
         Some(java.lang.Integer.compare(stat.toInt, d.toEpochDay.toInt))
+      // DECIMAL literals against INT64 unscaled stats: lift the stat
+      // into decimal space at the column's scale and compare exactly —
+      // a literal of ANY scale (even finer than the column's) compares
+      // correctly, no rounding heuristics
+      case (k, bd: java.math.BigDecimal) if k.startsWith("dec:") =>
+        val scale = k.substring(4).toInt
+        Some(new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(stat.toLong), scale).compareTo(bd))
+      case (k, bd: scala.math.BigDecimal) if k.startsWith("dec:") =>
+        val scale = k.substring(4).toInt
+        Some(new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(stat.toLong), scale)
+          .compareTo(bd.bigDecimal))
       case _ => None
     }
 

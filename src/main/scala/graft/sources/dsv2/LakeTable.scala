@@ -763,6 +763,15 @@ class LakeReaderFactory(projected: StructType)
               if (v == null) null else v.asInstanceOf[Int].toLong
             case (FloatType, DoubleType) => (v: Any) =>
               if (v == null) null else v.asInstanceOf[Float].toDouble
+            case (a: org.apache.spark.sql.types.DecimalType,
+                  b: org.apache.spark.sql.types.DecimalType)
+                if a.scale == b.scale && b.precision >= a.precision =>
+              // precision widening: same scale, identical unscaled value
+              (v: Any) =>
+                if (v == null) null
+                else org.apache.spark.sql.types.Decimal(
+                  v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                    .toUnscaledLong, b.precision, b.scale)
             case (a, b) => throw new IllegalStateException(
               s"file ${part.path} column ${rf.name} is $a but the " +
                 s"table expects $b — not a widening promotion")
@@ -1718,23 +1727,12 @@ object LakeTableIO {
           if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
       case _ => None
     }
-    // expected stats kind + output conversion per Spark type
+    // expected stats kind + output conversion per Spark type — the
+    // shared [[statKindFor]]/[[decodeStat]] rules (DECIMAL included)
     def kindFor(t: org.apache.spark.sql.types.DataType): Option[String] =
-      t match {
-        case LongType    => Some("long")
-        case IntegerType => Some("int")
-        case DateType    => Some("int") // internal = days since epoch
-        case StringType  => Some("str")
-        case _           => None
-      }
+      statKindFor(t)
     def decode(kind: String, t: org.apache.spark.sql.types.DataType,
-               s: String): Any = (kind, t) match {
-      case ("long", _)       => java.lang.Long.valueOf(s.toLong)
-      case ("int", _)        => java.lang.Integer.valueOf(s.toInt)
-      case ("str", _) =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      case _ => null
-    }
+               s: String): Any = decodeStat(kind, t, s)
     // (rows, ColStats) per file; None when ANY file lacks a resolvable
     // stats entry for the column — an absent entry is ambiguous between
     // "file predates the column" (all-null, answerable) and "bounds
@@ -1849,23 +1847,41 @@ object LakeTableIO {
       val kind = statKindFor(t).getOrElse(return None)
       Some((refs.getOrElse(name, return None), t, kind, isMin))
     }
-    // parsed aggregate slots: None = COUNT(*); Some(spec) = extremum
-    // over a provably-stats-backed column
-    val gaggs = exprs.zipWithIndex.map {
-      case (_: CountStar, i) => (None, s"count_$i")
+    // resolve a column's stats entry in one file (strict: id-first)
+    def colStatsIn(st: LakeStats.FileStats, ref: LakeColumnRef)
+        : Option[LakeStats.ColStats] = {
+      val hasIds = st.cols.values.exists(_.id >= 0)
+      if (hasIds && ref.id >= 0) st.cols.values.find(_.id == ref.id)
+      else ref.candidates.iterator.flatMap(st.cols.get).nextOption()
+    }
+    // parsed aggregate slots. COUNT(col) and MIN/MAX require ZERO
+    // deletion vectors: a DV'd row's null-ness / extremum membership
+    // is unknowable from metadata (COUNT(*) stays DV-exact — DV sizes
+    // are exact live-row corrections).
+    sealed trait GA
+    case object GStar extends GA
+    final case class GCnt(ref: LakeColumnRef) extends GA
+    final case class GExt(ref: LakeColumnRef,
+                          t: org.apache.spark.sql.types.DataType,
+                          kind: String, isMin: Boolean) extends GA
+    import org.apache.spark.sql.connector.expressions.aggregate.Count
+    val gaggs: Seq[(GA, String)] = exprs.zipWithIndex.map {
+      case (_: CountStar, i) => (GStar, s"count_$i")
+      case (c: Count, i) if !c.isDistinct && dvs.isEmpty =>
+        val name = colName(c.column).getOrElse(return None)
+        (GCnt(refs.getOrElse(name, return None)), s"count_$i")
       case (m: Min, i) if dvs.isEmpty =>
-        (Some(extremeOf(m.column, isMin = true).getOrElse(return None)),
-          s"min_$i")
+        val e = extremeOf(m.column, isMin = true).getOrElse(return None)
+        (GExt(e._1, e._2, e._3, e._4), s"min_$i")
       case (m: Max, i) if dvs.isEmpty =>
-        (Some(extremeOf(m.column, isMin = false).getOrElse(return None)),
-          s"max_$i")
+        val e = extremeOf(m.column, isMin = false).getOrElse(return None)
+        (GExt(e._1, e._2, e._3, e._4), s"max_$i")
       case _ => return None
     }
-    val extremes = gaggs.flatMap(_._1).distinct
     val currentId = specs.length - 1
-    // per file: tuple key, live rows, and — per extremum — its bound
-    // (None = provably all-null in this file; any unprovable case
-    // declines the whole push)
+    // per file: tuple key, live rows, and one contribution per agg
+    // slot (Long for counts, Option[String] bound for extremes — None
+    // = provably all-null here; any unprovable case declines the push)
     val perFile = files.map { f =>
       val tuple = parts.getOrElse(f.getName, return None)
       val (id, slots) = LakePartitioning.splitTuple(tuple)
@@ -1874,14 +1890,15 @@ object LakeTableIO {
         return None) // stat-less vintage: not provable
       val dead = dvs.get(f.getName)
         .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
-      val exVals: Seq[Option[String]] = extremes.map {
-        case (ref, _, kind, isMin) =>
-          val hasIds = st.cols.values.exists(_.id >= 0)
-          val cs =
-            (if (hasIds && ref.id >= 0)
-               st.cols.values.find(_.id == ref.id)
-             else ref.candidates.iterator.flatMap(st.cols.get)
-               .nextOption()).getOrElse(return None)
+      val contribs: Seq[Any] = gaggs.map {
+        case (GStar, _) =>
+          java.lang.Long.valueOf(math.max(0L, st.rows - dead))
+        case (GCnt(ref), _) =>
+          val cs = colStatsIn(st, ref).getOrElse(return None)
+          if (cs.nulls < 0) return None // unknown null count
+          java.lang.Long.valueOf(st.rows - cs.nulls)
+        case (GExt(ref, _, kind, isMin), _) =>
+          val cs = colStatsIn(st, ref).getOrElse(return None)
           if (cs.min.isDefined && cs.max.isDefined) {
             if (cs.kind != kind) return None // physical/logical mismatch
             Some(if (isMin) cs.min.get else cs.max.get)
@@ -1889,39 +1906,39 @@ object LakeTableIO {
           else return None // cannot prove the extremum
       }
       (slotIdx.map { case (_, i, _) => slots(i) },
-        math.max(0L, st.rows - dead), exVals)
+        math.max(0L, st.rows - dead), contribs)
     }
     val rows = perFile.groupBy(_._1).toSeq
       .map { case (key, fs0) =>
-        val n = fs0.map(_._2).sum
-        val exAgg: Seq[Any] = extremes.zipWithIndex.map {
-          case ((_, t, kind, isMin), ei) =>
-            val bs = fs0.flatMap(_._3(ei))
+        val agg: Seq[Any] = gaggs.zipWithIndex.map {
+          case ((GStar | GCnt(_), _), ai) =>
+            java.lang.Long.valueOf(fs0.map(
+              _._3(ai).asInstanceOf[java.lang.Long].longValue()).sum)
+          case ((GExt(_, t, kind, isMin), _), ai) =>
+            val bs = fs0.flatMap(
+              _._3(ai).asInstanceOf[Option[String]])
             if (bs.isEmpty) null // group all-null: SQL NULL
             else decodeStat(kind, t, bs.reduce((a, b) =>
               if ((LakeStats.cmpSame(kind, a, b) <= 0) == isMin) a
               else b))
         }
-        (key, n, exAgg)
+        (key, fs0.map(_._2).sum, agg)
       }
       .filter(_._2 > 0) // zero live rows: the group does not exist
       .sortBy(_._1.mkString(" "))
-      .map { case (key, n, exAgg) =>
+      .map { case (key, _, agg) =>
         slotIdx.zip(key).map { case ((_, i, _), slot) =>
           LakePartitioning.decodeSlot(bound(i), slot)
             .getOrElse(return None)
-        } ++ gaggs.map {
-          case (None, _)    => java.lang.Long.valueOf(n)
-          case (Some(e), _) => exAgg(extremes.indexOf(e))
-        }
+        } ++ agg
       }
     val schema0 = slotIdx.zipWithIndex.foldLeft(new StructType()) {
       case (st, ((c, _, t), _)) => st.add(c, t, nullable = true)
     }
     val schema = gaggs.foldLeft(schema0) {
-      case (st, (None, nm)) => st.add(nm, LongType, nullable = false)
-      case (st, (Some((_, t, _, _)), nm)) =>
-        st.add(nm, t, nullable = true)
+      case (st, (GStar, nm))   => st.add(nm, LongType, nullable = false)
+      case (st, (GCnt(_), nm)) => st.add(nm, LongType, nullable = false)
+      case (st, (GExt(_, t, _, _), nm)) => st.add(nm, t, nullable = true)
     }
     Some((schema, rows))
   }
@@ -1938,6 +1955,8 @@ object LakeTableIO {
       case IntegerType => Some("int")
       case DateType    => Some("int") // internal = days since epoch
       case StringType  => Some("str")
+      case d: org.apache.spark.sql.types.DecimalType
+          if d.precision <= 18 => Some("dec:" + d.scale)
       case _           => None
     }
   }
@@ -1949,6 +1968,9 @@ object LakeTableIO {
     case "long" => java.lang.Long.valueOf(s.toLong)
     case "int"  => java.lang.Integer.valueOf(s.toInt)
     case "str"  => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case k if k.startsWith("dec:") =>
+      val d = t.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+      org.apache.spark.sql.types.Decimal(s.toLong, d.precision, d.scale)
     case _      => null
   }
 
@@ -2277,6 +2299,8 @@ object LakeTableIO {
     case _: java.sql.Date | _: java.time.LocalDate => true
     case _: java.sql.Timestamp | _: java.time.Instant => true
     case _: java.time.LocalDateTime               => true // NTZ literals
+    case _: java.math.BigDecimal                  => true // DECIMAL
+    case _: scala.math.BigDecimal                 => true
     case _                                        => false
   }
 

@@ -67,6 +67,68 @@ class LakeDecimalSpec extends SparkSpec {
     }
   }
 
+  test("decimal manifest stats: a selective money filter prunes whole " +
+       "files without footer opens, comparisons against finer-scale " +
+       "literals stay exact, and MIN/MAX answers from metadata alone") {
+    withCatalog { (cat, root) =>
+      import graft.sources.dsv2.{LakeStats, LakeLog}
+      spark.sql(s"CREATE TABLE $cat.db.s (k BIGINT, price DECIMAL(12,2))")
+      // four disjoint price-range files (single-slice inserts)
+      (0 until 4).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.db.s SELECT id, " +
+          s"CAST(${i * 1000} + id % 1000 + 0.25 AS DECIMAL(12,2)) " +
+          s"FROM range(${i * 1000}, ${i * 1000 + 1000}, 1, 1)"))
+      val head = LakeLog.current(s"$root/db/s").get
+      assert(head.files.size == 4)
+      assert(head.stats.values.forall(
+        _.cols.get("price").exists(_.kind == "dec:2")),
+        s"price must harvest as dec:2 — ${head.stats.values.head.cols}")
+      val before = LakeStats.footerOpens.get()
+      val n = spark.sql(
+        s"SELECT count(*) FROM $cat.db.s WHERE price >= 3000.00")
+        .head().getLong(0)
+      val opens = LakeStats.footerOpens.get() - before
+      assert(n == 1000)
+      assert(opens <= 1, s"expected 3 of 4 files stats-pruned, opened " +
+        s"$opens footers")
+      // a literal FINER than the column scale compares exactly in
+      // decimal space (no rounding heuristics): 999.995 sits between
+      // 999.99 and 1000.00
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.s WHERE price > 999.995")
+        .head().getLong(0) == 3000)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.s WHERE price < 0.255")
+        .head().getLong(0) == 1)
+      // metadata-only global MIN/MAX on the decimal column
+      val b2 = LakeStats.footerOpens.get()
+      val mm = spark.sql(
+        s"SELECT min(price) AS lo, max(price) AS hi FROM $cat.db.s")
+      val r = mm.head()
+      assert(LakeStats.footerOpens.get() == b2,
+        "decimal metadata MIN/MAX opened footers")
+      assert(mm.queryExecution.executedPlan.toString
+        .contains("metadata-only global"))
+      assert(r.getDecimal(0) == new java.math.BigDecimal("0.25"))
+      assert(r.getDecimal(1) == new java.math.BigDecimal("3999.25"))
+      // grouped flavor over a partitioned decimal table
+      spark.sql(s"CREATE TABLE $cat.db.sg (g BIGINT, price DECIMAL(10,2)) " +
+        "PARTITIONED BY (g)")
+      spark.sql(s"INSERT INTO $cat.db.sg SELECT id % 3, " +
+        "CAST(id + 0.50 AS DECIMAL(10,2)) FROM range(0, 300, 1, 4)")
+      val b3 = LakeStats.footerOpens.get()
+      val gm = spark.sql(s"SELECT g, min(price) AS lo, max(price) AS hi " +
+        s"FROM $cat.db.sg GROUP BY g")
+      val rows = gm.collect().map(x => x.getLong(0) ->
+        (x.getDecimal(1), x.getDecimal(2))).toMap
+      assert(LakeStats.footerOpens.get() == b3)
+      assert(gm.queryExecution.executedPlan.toString
+        .contains("metadata-grouped"))
+      assert(rows(0L)._1 == new java.math.BigDecimal("0.50") &&
+        rows(2L)._2 == new java.math.BigDecimal("299.50"), rows.toString)
+    }
+  }
+
   test("precision past 18 is rejected loud at write time (INT64 " +
        "unscaled cannot carry it), not silently truncated") {
     withCatalog { (cat, _) =>

@@ -824,6 +824,65 @@ class LakePartitionSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY identity partition + COUNT(col) answers from per-file " +
+       "null counts (zero footer opens, DVs decline it), exact against " +
+       "the row scan") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.gc (region STRING, y BIGINT) " +
+        "PARTITIONED BY (region) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.gc SELECT concat('r', id % 3), " +
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id END " +
+        "FROM range(0, 300, 1, 4)")
+      val q = s"SELECT region, count(y) AS n FROM $cat.db.gc " +
+        "GROUP BY region"
+      val before = LakeStats.footerOpens.get()
+      val agg = spark.sql(q)
+      val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(LakeStats.footerOpens.get() == before,
+        "grouped COUNT(col) opened data-file footers")
+      assert(agg.queryExecution.executedPlan.toString
+        .contains("metadata-grouped"))
+      val ref = spark.table(s"$cat.db.gc").where("y IS NOT NULL")
+        .groupBy("region").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == ref)
+      // DVs make per-group null splits unknowable: decline, stay right
+      spark.sql(s"DELETE FROM $cat.db.gc WHERE y % 7 = 0")
+      val agg2 = spark.sql(q)
+      assert(!agg2.queryExecution.executedPlan.toString
+        .contains("metadata-grouped"))
+      assert(agg2.collect().map(_.getLong(1)).sum ==
+        spark.table(s"$cat.db.gc").where("y IS NOT NULL").count())
+    }
+  }
+
+  test("DECIMAL precision widening is metadata-only: old files upcast " +
+       "per vintage, values exact, scale changes refuse") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.dw (k BIGINT, p DECIMAL(10,2))")
+      spark.sql(s"INSERT INTO $cat.db.dw SELECT id, " +
+        "CAST(id + 0.75 AS DECIMAL(10,2)) FROM range(50)")
+      spark.sql(s"ALTER TABLE $cat.db.dw ALTER COLUMN p TYPE DECIMAL(15,2)")
+      spark.sql(s"INSERT INTO $cat.db.dw SELECT id, " +
+        "CAST(id * 1000000 + 0.25 AS DECIMAL(15,2)) FROM range(50, 60)")
+      assert(spark.table(s"$cat.db.dw").schema("p").dataType ==
+        org.apache.spark.sql.types.DecimalType(15, 2))
+      val s = spark.sql(s"SELECT sum(p) FROM $cat.db.dw").head().getDecimal(0)
+      val want = spark.sql("SELECT sum(v) FROM (" +
+        "SELECT CAST(id + 0.75 AS DECIMAL(15,2)) AS v FROM range(50) " +
+        "UNION ALL SELECT CAST(id * 1000000 + 0.25 AS DECIMAL(15,2)) " +
+        "FROM range(50, 60))").head().getDecimal(0)
+      assert(s == want, s"$s vs $want")
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.dw ALTER COLUMN p TYPE DECIMAL(15,4)")
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.dw ALTER COLUMN p TYPE DECIMAL(25,2)")
+      }
+    }
+  }
+
   test("multi-table transactions keep the partitioned layout: staged " +
        "appends split per tuple through the connector writer and the " +
        "applied commits carry the tuples") {
