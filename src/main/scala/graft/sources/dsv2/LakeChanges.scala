@@ -127,10 +127,12 @@ class LakeChangesScan(dir: String, projected: StructType,
     * the vacuum already removed.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val head = LakeLog.current(dir).getOrElse(
+    // version-only head resolution: a full current() would materialize
+    // every manifest segment just to learn the head number
+    val head = LakeLog.currentVersion(dir).getOrElse(
       throw new IllegalStateException(
         s"cannot read the change feed of unlogged directory $dir — " +
-          "one committed write bootstraps the log")).version
+          "one committed write bootstraps the log"))
     val earliest = LakeLog.contiguousStart(dir).getOrElse(0L)
     val from = startingVersion.getOrElse(earliest)
     val to = endingVersion.getOrElse(head)
@@ -143,11 +145,15 @@ class LakeChangesScan(dir: String, projected: StructType,
       s"change-feed range must go forward: $from .. $to")
     val cols = LakeTableIO.columnRefs(projected)
     (from to to).flatMap { v =>
-      val snap = LakeLog.snapshotAt(dir, v)
       // the default start on a trimmed log opens with the snapshot;
       // an EXPLICIT startingVersion is a delta cursor, like the stream's
       val asSnapshot =
         v == from && startingVersion.isEmpty && earliest > 0
+      // delta versions plan only their own files — the delta-shaped
+      // read loads O(commit) manifest segments, not O(table)
+      val snap =
+        if (asSnapshot) LakeLog.snapshotAt(dir, v)
+        else LakeLog.snapshotAtDelta(dir, v)
       if (skipReplaceCommits && snap.removed.nonEmpty && snap.dataChange
           && !asSnapshot)
         Seq.empty

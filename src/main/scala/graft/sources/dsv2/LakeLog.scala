@@ -168,7 +168,9 @@ object LakeLog {
     * serves re-reads.
     */
   final case class SegRef(name: String, n: Int,
-                          tuples: Option[Seq[Seq[String]]])
+                          tuples: Option[Seq[Seq[String]]],
+                          lo: Option[String] = None,
+                          hi: Option[String] = None)
 
   def logDir(dir: String): Path = new Path(dir, "_log")
 
@@ -281,6 +283,50 @@ object LakeLog {
   def currentPruned(dir: String, branch: Option[String],
                     keepSeg: SegRef => Boolean): Option[Snapshot] =
     headVersion(dir, branch).map(snapshotAtPruned(dir, _, branch, keepSeg))
+
+  /** DELTA-shaped snapshot read: the commit's inline fields (added/
+    * removed/dvs/dvAdded/...) complete, but per-file metadata (stats/
+    * tuples) loaded only for segments whose NAME RANGE intersects this
+    * commit's own files — the shape CDC planning needs. On a tree
+    * table a commit's files land in one fresh segment, so planning a
+    * delta version reads O(1) segments instead of O(table). Flat
+    * manifests return the full snapshot (one read either way).
+    */
+  def snapshotAtDelta(dir: String, version: Long,
+                      branch: Option[String] = None): Snapshot = {
+    val skeleton = snapshotAtPruned(dir, version, branch, _ => false)
+    if (skeleton.segments.isEmpty) return snapshotAt(dir, version, branch)
+    val wanted = (skeleton.added ++ skeleton.dvAdded.keys).toSet
+    if (wanted.isEmpty) return skeleton
+    // a commit's ADDED files live exactly in the segments it CREATED
+    // (kept parent segments hold only parent files, and commits dedupe
+    // their added set against the base) — diffing the parent's segment
+    // list identifies them without any name heuristics. UUID file
+    // names make pure range pruning weak, so the range check only has
+    // to cover dvAdded targets (pre-existing files) and the
+    // expired-parent fallback.
+    val parentRefs: Set[String] =
+      if (version <= 0) Set.empty
+      else
+        try snapshotAtPruned(dir, version - 1, branch, _ => false)
+          .segments.map(_.name).toSet
+        catch { case _: Exception => Set.empty } // expired: conservative
+    val dvWanted = skeleton.dvAdded.keySet
+    val rangeWanted = if (parentRefs.isEmpty) wanted else dvWanted
+    snapshotAtPruned(dir, version, branch, r =>
+      (parentRefs.nonEmpty && !parentRefs.contains(r.name)) ||
+        (rangeWanted.nonEmpty && ((r.lo, r.hi) match {
+          case (Some(lo), Some(hi)) =>
+            rangeWanted.exists(n => n >= lo && n <= hi)
+          case _ => true // summary-less: load conservatively
+        })))
+  }
+
+  /** Head VERSION without materializing the snapshot — what callers
+    * that only range over versions (CDC planning) should use on a
+    * tree table (a full `current()` loads every segment).
+    */
+  def currentVersion(dir: String): Option[Long] = headVersion(dir, None)
 
   /** Head VERSION resolution (hint + forward probe / listing fallback)
     * without reading any manifest.
@@ -427,7 +473,9 @@ object LakeLog {
             case _ => None
           }
           SegRef(String.valueOf(sm.get("name")),
-            sm.get("n").asInstanceOf[Number].intValue(), tuples)
+            sm.get("n").asInstanceOf[Number].intValue(), tuples,
+            Option(sm.get("lo")).map(String.valueOf),
+            Option(sm.get("hi")).map(String.valueOf))
         }
         var files = Vector.empty[String]
         var stats = Map.empty[String, LakeStats.FileStats]
@@ -570,7 +618,11 @@ object LakeLog {
             } else None
           segCache.put(p.toUri.toString,
             (chunk, chunkStats, chunkParts))
-          (SegRef(name, chunk.size, tuples), p)
+          // name-range summary: a delta read (CDC planning a commit's
+          // own files) loads only segments whose [lo, hi] intersects
+          // the wanted names — O(1) segments for a fresh commit
+          (SegRef(name, chunk.size, tuples,
+            Some(chunk.min), Some(chunk.max)), p)
         }
         val refs = kept ++ created.map(_._1)
         val segList = new ArrayList[Object](refs.size)
@@ -583,6 +635,8 @@ object LakeLog {
             ts.foreach(t => tl.add(jl(t)))
             sm.put("tuples", tl)
           }
+          r.lo.foreach(sm.put("lo", _))
+          r.hi.foreach(sm.put("hi", _))
           segList.add(sm)
         }
         m.put("segments", segList)

@@ -228,8 +228,12 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     if (cdc) {
       val cols = LakeTableIO.columnRefs(projected)
       return (a + 1 to b).flatMap { v =>
-        val snap = LakeLog.snapshotAt(dir, v)
         val asSnapshot = so.snapshotStart && v == a + 1
+        // delta commits plan only their own files (O(commit) manifest
+        // segments on a tree table); the opening snapshot needs all
+        val snap =
+          if (asSnapshot) LakeLog.snapshotAt(dir, v)
+          else LakeLog.snapshotAtDelta(dir, v)
         if (skipChangeCommits && snap.removed.nonEmpty &&
             snap.dataChange && !asSnapshot)
           Seq.empty
@@ -245,7 +249,12 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     val parts = scala.collection.mutable.Map.empty[String, Seq[String]]
     val dvs = scala.collection.mutable.Map.empty[String, Seq[String]]
     val added = (a + 1 to b).flatMap { v =>
-      val snap = LakeLog.snapshotAt(dir, v)
+      val asSnap = so.snapshotStart && v == a + 1
+      // delta commits contribute only their added files; the
+      // delta-shaped read loads O(commit) manifest segments
+      val snap =
+        if (asSnap) LakeLog.snapshotAt(dir, v)
+        else LakeLog.snapshotAtDelta(dir, v)
       stats ++= snap.stats
       parts ++= snap.parts
       if (so.snapshotStart && v == a + 1) {

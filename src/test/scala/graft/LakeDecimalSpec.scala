@@ -129,6 +129,54 @@ class LakeDecimalSpec extends SparkSpec {
     }
   }
 
+  test("decimal stats pruning soundness, randomized: whenever the " +
+       "pruner declares a file provably empty for a filter, brute-force " +
+       "evaluation over the actual decimal values agrees — across " +
+       "random scales and literals finer/coarser than the column") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.dsv2.{LakeColumnRef, LakeStats}
+    val rnd = new scala.util.Random(42)
+    val cols = Array(LakeColumnRef("p", -1, Array("p")))
+    var pruned = 0
+    (1 to 3000).foreach { trial =>
+      val scale = rnd.nextInt(4)
+      val n = 1 + rnd.nextInt(8)
+      val unscaled = Seq.fill(n)(rnd.nextInt(2001) - 1000L)
+      val values = unscaled.map(u =>
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(u), scale))
+      val st = LakeStats.FileStats(n.toLong, 1, Map("p" ->
+        LakeStats.ColStats(s"dec:$scale",
+          Some(unscaled.min.toString), Some(unscaled.max.toString),
+          0L, -1)))
+      // literal at a random scale — sometimes finer than the column
+      val lit = new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(rnd.nextInt(20001) - 10000L),
+        rnd.nextInt(5))
+      val f: Filter = rnd.nextInt(5) match {
+        case 0 => EqualTo("p", lit)
+        case 1 => GreaterThan("p", lit)
+        case 2 => GreaterThanOrEqual("p", lit)
+        case 3 => LessThan("p", lit)
+        case _ => LessThanOrEqual("p", lit)
+      }
+      val brute = values.exists(v => f match {
+        case EqualTo(_, x: java.math.BigDecimal)            => v.compareTo(x) == 0
+        case GreaterThan(_, x: java.math.BigDecimal)        => v.compareTo(x) > 0
+        case GreaterThanOrEqual(_, x: java.math.BigDecimal) => v.compareTo(x) >= 0
+        case LessThan(_, x: java.math.BigDecimal)           => v.compareTo(x) < 0
+        case LessThanOrEqual(_, x: java.math.BigDecimal)    => v.compareTo(x) <= 0
+        case _ => true
+      })
+      val verdict = LakeStats.mightMatchFile(st, cols, Array(f))
+      if (!verdict) pruned += 1
+      assert(verdict || !brute,
+        s"trial $trial: pruner dropped a matching file — scale=$scale " +
+          s"values=$values filter=$f")
+    }
+    // the pruner must actually prune (vacuous soundness is useless)
+    assert(pruned > 300, s"only $pruned of 3000 trials pruned")
+  }
+
   test("precision past 18 is rejected loud at write time (INT64 " +
        "unscaled cannot carry it), not silently truncated") {
     withCatalog { (cat, _) =>

@@ -135,6 +135,39 @@ class LakeManifestTreeSpec extends SparkSpec {
     }
   }
 
+  test("delta-shaped CDC reads on a tree table load O(commit) manifest " +
+       "segments, not O(table): one version's change feed touches only " +
+       "the segments holding that commit's files") {
+    withTreeCatalog(4) { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.c (g BIGINT, x BIGINT) " +
+        "PARTITIONED BY (g)")
+      val dir = s"$root/db/c"
+      (0 until 4).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.db.c SELECT id % 16, id " +
+          s"FROM range(${i * 800}, ${(i + 1) * 800}, 1, 4)"))
+      val head = LakeLog.current(dir).get
+      val total = head.segments.size
+      assert(total >= 10, s"fixture needs many segments, got $total")
+      // the LAST commit appended one partition's worth of files — its
+      // change feed must not read the whole tree
+      spark.sql(s"INSERT INTO $cat.db.c SELECT 3, id " +
+        "FROM range(3200, 3300)")
+      val v = LakeLog.current(dir).get.version
+      LakeLog.clearSegmentCache()
+      val b = LakeLog.segmentReads.get()
+      val events = spark.read
+        .option("startingVersion", v.toString)
+        .option("endingVersion", v.toString)
+        .table(s"$cat.db.c.changes")
+        .selectExpr("x", "_change_type").collect()
+      val reads = LakeLog.segmentReads.get() - b
+      assert(events.length == 100)
+      assert(events.forall(_.getString(1) == "insert"))
+      assert(reads <= 2,
+        s"delta CDC read loaded $reads of $total segments")
+    }
+  }
+
   test("the tree changes nothing observable: time travel, rollback, " +
        "expire (with orphan-segment sweep), and file pruning behave " +
        "exactly as on flat manifests") {
