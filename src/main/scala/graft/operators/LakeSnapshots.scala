@@ -241,6 +241,29 @@ object LakeSnapshots {
       f -> fs.getFileStatus(new Path(dir, f)).getLen).toMap
     val totalBytes = math.max(1L, sizeOf.values.sum)
     val stage = new Path(dir, s".zorder-${UUID.randomUUID()}")
+    // ONE z-value definition for every rewrite this call does (min/max
+    // normalized over the given frame): the in-layout groups and the
+    // migrated vintages must cluster under the same encoding, and the
+    // encoding carries history (the `1L <<` Int-wrap fix above) that
+    // must never fork
+    def withZ(df: DataFrame): DataFrame = {
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(c).cast("double").as(lo(i)),
+          max(c).cast("double").as(hi(i)))
+      }
+      val mm = df.agg(aggs.head, aggs.tail: _*)
+      val n = df.crossJoin(broadcast(mm))
+      val normed = cols.zipWithIndex.map { case (c, i) =>
+        floor((col(c).cast("double") - col(lo(i))) *
+          lit((1L << bits) - 1) /
+          greatest(col(hi(i)) - col(lo(i)), lit(1.0d))).cast("long")
+      }
+      val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {
+        case (nc, d) =>
+          shiftleft(shiftright(nc, b).bitwiseAND(1), b * cols.size + d)
+      }).reduce(_ + _)
+      n.withColumn(zCol, z)
+    }
     try {
       // cluster WITHIN each partition group (min/max normalization per
       // group — tighter rectangles than global bounds anyway); the
@@ -249,26 +272,11 @@ object LakeSnapshots {
         case ((tuple, files), gi) =>
           val df = spark.read.schema(LakeTableIO.tableSchema(dir))
             .parquet(files.map(f => s"$dir/$f"): _*)
-          val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-            Seq(min(c).cast("double").as(lo(i)),
-              max(c).cast("double").as(hi(i)))
-          }
-          val mm = df.agg(aggs.head, aggs.tail: _*)
-          val n = df.crossJoin(broadcast(mm))
-          val normed = cols.zipWithIndex.map { case (c, i) =>
-            floor((col(c).cast("double") - col(lo(i))) *
-              lit((1L << bits) - 1) /
-              greatest(col(hi(i)) - col(lo(i)), lit(1.0d))).cast("long")
-          }
-          val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {
-            case (nc, d) =>
-              shiftleft(shiftright(nc, b).bitwiseAND(1), b * cols.size + d)
-          }).reduce(_ + _)
           val nOut = math.max(1, math.round(targetFiles.toDouble *
             files.map(sizeOf).sum / totalBytes).toInt)
           val gStage = new Path(stage, s"g$gi")
           withMicrosTimestamps(spark) {
-            n.withColumn(zCol, z)
+            withZ(df)
               .repartitionByRange(nOut, col(zCol))
               .sortWithinPartitions(zCol)
               .select(df.columns.map(col): _*)
@@ -291,25 +299,10 @@ object LakeSnapshots {
           val boundSpec = LakePartitioning.bind(specs.last, schema)
           val df = spark.read.schema(schema)
             .parquet(migrate.map(f => s"$dir/$f"): _*)
-          val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-            Seq(min(c).cast("double").as(lo(i)),
-              max(c).cast("double").as(hi(i)))
-          }
-          val mm = df.agg(aggs.head, aggs.tail: _*)
-          val n = df.crossJoin(broadcast(mm))
-          val normed = cols.zipWithIndex.map { case (c, i) =>
-            floor((col(c).cast("double") - col(lo(i))) *
-              lit((1L << bits) - 1) /
-              greatest(col(hi(i)) - col(lo(i)), lit(1.0d))).cast("long")
-          }
-          val z = (0 until bits).flatMap(b => normed.zipWithIndex.map {
-            case (nc, d) =>
-              shiftleft(shiftright(nc, b).bitwiseAND(1), b * cols.size + d)
-          }).reduce(_ + _)
           val nOut = math.max(1, math.round(targetFiles.toDouble *
             migrate.map(sizeOf).sum / totalBytes).toInt)
           val cl = clusterExprs(boundSpec)
-          val clustered = n.withColumn(zCol, z)
+          val clustered = withZ(df)
             .repartition(nOut, cl: _*)
             .sortWithinPartitions(cl :+ col(zCol): _*)
             .select(df.columns.map(col): _*)

@@ -190,6 +190,19 @@ object Multimodal {
   private lazy val imageIoInit: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Decode any payload to a BufferedImage or null — NEVER a task
+    * failure: null/empty payloads, and the RuntimeExceptions imageio
+    * plugins throw on malformed-but-magic-valid containers
+    * (IllegalArgument, NegativeArraySize, IndexOutOfBounds), all yield
+    * null so the caller's sentinel/pass-through contract holds. One
+    * corrupt upload must not fail a 100 TB decode job.
+    */
+  private def decodeOrNull(p: Array[Byte]): java.awt.image.BufferedImage =
+    if (p == null || p.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      catch { case scala.util.control.NonFatal(_) => null }
+
   /** Deterministic REAL image fixture: one true PNG per document, with
     * oracle-computable header facts — width `2 + doc_id % 31`, height
     * `2 + n_chars % 17`, grayscale for odd ids and RGB for even. The
@@ -262,12 +275,7 @@ object Multimodal {
         imageIoInit
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, p, len) =>
-            val img =
-              if (p == null || p.isEmpty) null
-              else
-                try javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(p))
-                catch { case _: java.io.IOException => null }
+            val img = decodeOrNull(p)
             if (img == null) MediaMeta(id, len, 0L, 0L, "invalid")
             else MediaMeta(id, len, img.getWidth.toLong,
               img.getHeight.toLong,
@@ -294,18 +302,16 @@ object Multimodal {
       .mapPartitions { it =>
         imageIoInit
         it.map { case (id, kind, p, len) =>
-          val out =
-            try {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(p))
-              if (img == null) p
-              else {
+          val out = decodeOrNull(p) match {
+            case null => p // undecodable/null payload: pass through
+            case img =>
+              try {
                 val baos = new java.io.ByteArrayOutputStream()
                 if (javax.imageio.ImageIO.write(img, format, baos))
                   baos.toByteArray
                 else p
-              }
-            } catch { case _: java.io.IOException => p }
+              } catch { case scala.util.control.NonFatal(_) => p }
+          }
           (id, kind, out, len)
         }
       }
@@ -328,12 +334,7 @@ object Multimodal {
       .mapPartitions { it =>
         imageIoInit
         it.map { case (id, p) =>
-          val img =
-            if (p == null || p.isEmpty) null
-            else
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(p))
-              catch { case _: java.io.IOException => null }
+          val img = decodeOrNull(p)
           if (img == null) MediaHash(id, -1L)
           else {
             val gray = img.getColorModel.getNumComponents == 1
@@ -374,12 +375,7 @@ object Multimodal {
       .mapPartitions { it =>
         imageIoInit
         it.map { case (id, p) =>
-          val img =
-            if (p == null || p.isEmpty) null
-            else
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(p))
-              catch { case _: java.io.IOException => null }
+          val img = decodeOrNull(p)
           if (img == null) MediaHash(id, -1L)
           else {
             val w = img.getWidth; val hh = img.getHeight

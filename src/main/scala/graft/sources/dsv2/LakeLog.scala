@@ -295,7 +295,9 @@ object LakeLog {
   def snapshotAtDelta(dir: String, version: Long,
                       branch: Option[String] = None): Snapshot = {
     val skeleton = snapshotAtPruned(dir, version, branch, _ => false)
-    if (skeleton.segments.isEmpty) return snapshotAt(dir, version, branch)
+    // a flat manifest's "skeleton" IS the complete snapshot (keepSeg
+    // only applies to segment lists) — one read, done
+    if (skeleton.segments.isEmpty) return skeleton
     val wanted = (skeleton.added ++ skeleton.dvAdded.keys).toSet
     if (wanted.isEmpty) return skeleton
     // a commit's ADDED files live exactly in the segments it CREATED

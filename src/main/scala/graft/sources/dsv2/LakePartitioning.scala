@@ -620,8 +620,17 @@ object LakePartitioning {
     */
   def tupleMightMatch(tuple: Option[Seq[String]],
                       specs: IndexedSeq[Seq[Bound]],
-                      pushed: Array[Filter]): Boolean = {
-    if (specs.isEmpty || pushed.isEmpty) return true
+                      pushed: Array[Filter]): Boolean =
+    tupleJudge(specs, pushed)(tuple)
+
+  /** Curried form of [[tupleMightMatch]]: the filter→transform mapping
+    * is computed ONCE, the returned judge then evaluates many tuples
+    * cheaply (segment summaries carry up to 64 tuples each; a scan
+    * judges every segment's).
+    */
+  def tupleJudge(specs: IndexedSeq[Seq[Bound]], pushed: Array[Filter])
+      : Option[Seq[String]] => Boolean = {
+    if (specs.isEmpty || pushed.isEmpty) return _ => true
     val relevantBySpec: IndexedSeq[Array[(Filter, Seq[(Bound, Int)])]] =
       specs.map { bound =>
         val byCol = bound.zipWithIndex
@@ -630,7 +639,8 @@ object LakePartitioning {
           filterColumn(f).map(_.toLowerCase).flatMap(byCol.get)
             .map(bs => (f, bs)))
       }
-    judgeTuple(tuple, specs, relevantBySpec)
+    if (relevantBySpec.forall(_.isEmpty)) _ => true
+    else t => judgeTuple(t, specs, relevantBySpec)
   }
 
   private def judgeTuple(

@@ -192,7 +192,11 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     var v = from
     var spent = 0L
     while (v < head) {
-      val c = math.max(0L, cost(LakeLog.snapshotAt(dir, v + 1)))
+      // SKELETON read: the costs (addedRows / added.size) are INLINE
+      // manifest fields — materializing segments here would make every
+      // pacing trigger O(table) manifest I/O on a tree table
+      val c = math.max(0L,
+        cost(LakeLog.snapshotAtPruned(dir, v + 1, None, _ => false)))
       if (v > from && spent + c > budget) return v
       spent += c
       v += 1

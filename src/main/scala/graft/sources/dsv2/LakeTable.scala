@@ -932,7 +932,8 @@ class LakeReaderFactory(projected: StructType)
           } else if (only == null &&
               dvCursor < deleted.length && deleted(dvCursor) == pos) {
             dvCursor += 1 // row deleted by a merge-on-read DML: skip
-            fastAdvance(decode = false)
+            if (fastCols != null) fastAdvance(decode = false)
+            else recordReader.read() // escape-hatch path: consume too
             next()
           } else {
             if (only != null) onlyCursor += 1
@@ -1437,8 +1438,12 @@ object LakeTableIO {
             tableSchema(dir))
           catch { case _: Exception => IndexedSeq.empty }
         if (specs.isEmpty) _ => true
-        else r => r.tuples.forall(_.exists(t =>
-          LakePartitioning.tupleMightMatch(Some(t), specs, pushed)))
+        else {
+          // the filter→transform mapping computes once per scan; the
+          // judge then runs per summary tuple
+          val judge = LakePartitioning.tupleJudge(specs, pushed)
+          r => r.tuples.forall(_.exists(t => judge(Some(t))))
+        }
       }
     version match {
       case Some(v) =>

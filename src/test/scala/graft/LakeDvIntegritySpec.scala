@@ -81,6 +81,29 @@ class LakeDvIntegritySpec extends SparkSpec {
     }
   }
 
+  test("the record-assembly escape hatch (-Dgraft.lake.reader.fast=" +
+       "false) subtracts deletion vectors identically: same rows, same " +
+       "count, no reader misalignment (regression: the DV-skip branch " +
+       "once assumed the fast path)") {
+    withCatalog { (cat, _) =>
+      mkMor(cat, "eh")
+      spark.sql(s"INSERT INTO $cat.db.eh " +
+        "SELECT id, concat('v', id) FROM range(100)")
+      spark.sql(s"DELETE FROM $cat.db.eh WHERE k % 10 = 4")
+      val fast = spark.table(s"$cat.db.eh").collect().map(_.toSeq).toSet
+      val prev = System.getProperty("graft.lake.reader.fast")
+      System.setProperty("graft.lake.reader.fast", "false")
+      try {
+        val slow = spark.table(s"$cat.db.eh").collect().map(_.toSeq).toSet
+        assert(slow == fast, "escape-hatch path diverged from fast path")
+        assert(slow.size == 90)
+      } finally {
+        if (prev == null) System.clearProperty("graft.lake.reader.fast")
+        else System.setProperty("graft.lake.reader.fast", prev)
+      }
+    }
+  }
+
   test("rollback restores the target's DV map verbatim: back past a MOR " +
        "delete the rows RETURN; back across rewrite_deletes the rows " +
        "STAY deleted (old files re-attach their DVs)") {

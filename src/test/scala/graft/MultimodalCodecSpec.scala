@@ -58,6 +58,31 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(Multimodal.pixelHash64(junk).head().phash == -1L)
   }
 
+  test("codec robustness: null/garbage/truncated payloads never fail a " +
+       "task — decode yields the invalid sentinel, hashes yield -1, " +
+       "transcode passes the bytes through") {
+    val pngHead = media0.select("payload")
+      .as[Array[Byte]].head().take(24) // valid magic, truncated body
+    val rows = Seq(
+      (1L, "image", null.asInstanceOf[Array[Byte]], 10L),
+      (2L, "image", Array[Byte](1, 2, 3), 10L),
+      (3L, "image", pngHead, 10L))
+      .toDF("doc_id", "kind", "payload", "full_len")
+    val metas = Multimodal.decodeImage(rows).collect().sortBy(_.doc_id)
+    assert(metas.forall(_.mode == "invalid"), metas.mkString(", "))
+    assert(Multimodal.pixelHash64(rows).collect()
+      .forall(_.phash == -1L))
+    assert(Multimodal.ahash64(rows).collect().forall(_.phash == -1L))
+    val out = Multimodal.transcode(rows, "bmp")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(out(1L) == null, "null payload must pass through")
+    assert(out(2L).toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  private def media0 =
+    Multimodal.syntheticImageMedia(docs)
+
   test("ahash64 is a true perceptual hash: invariant under re-encode, " +
        "within 1-2 bits under mild pixel noise, far apart for opposite " +
        "structure") {
