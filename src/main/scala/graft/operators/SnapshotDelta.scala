@@ -129,14 +129,17 @@ object SnapshotDelta {
     // phase 1: the narrow join — key + 8-byte hash per side, nothing
     // else crosses the wire; distinct because a key with several
     // differing pairs must appear once in the steering set. Eagerly
-    // materialized (lineage-truncating checkpoint): the set steers the
-    // plan choice below AND seeds both semi-joins, so computing it once
-    // beats three lazy recomputations of the narrow join.
+    // materialized (persist + the guard's count below): the set steers
+    // the plan choice AND seeds both semi-joins, so computing it once
+    // beats three lazy recomputations of the narrow join. persist (not
+    // localCheckpoint) keeps the lineage: an executor lost mid-query on
+    // a long-running cluster recomputes the lost blocks instead of
+    // failing the job (checkpointed blocks are NOT fault-tolerant).
     val changed = n.select(col(s"n.$key").as("ck"), col(rowHash).as("nh"))
       .join(p.select(col(s"p.$key").as("ck"), col(rowHash).as("ph")), "ck")
       .where(col("nh") =!= col("ph"))
       .select(col("ck")).distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // RUNTIME GUARD on the broadcast contract: the phase-2 semi build
     // side is hinted broadcast, which is only sane while the CHANGED
     // key set is change-rate sized. At a pathological change rate
@@ -145,8 +148,10 @@ object SnapshotDelta {
     // is counted (free: it is already checkpointed) and past the
     // budget the operator routes to [[updated]]'s plain wide join,
     // which is exactly the right plan when most rows changed (the
-    // semi-joins would filter nothing). Budget default: the session's
-    // autoBroadcastJoinThreshold at a conservative 64 bytes/key.
+    // semi-joins would filter nothing). The count doubles as the
+    // persist's materialization, so the guard costs no extra job.
+    // Budget default: the session's autoBroadcastJoinThreshold at a
+    // conservative 64 bytes/key.
     val budget =
       if (maxChangedKeys >= 0L) maxChangedKeys
       else {
@@ -154,8 +159,10 @@ object SnapshotDelta {
           .autoBroadcastJoinThreshold
         if (t <= 0) 160000L else math.max(1L, t / 64L)
       }
-    if (changed.count() > budget)
+    if (changed.count() > budget) {
+      changed.unpersist(blocking = false) // routed away: drop the cache
       return updated(newest, previous, key, attrs, mode)
+    }
     // phase 2: shrink each wide side to the changed keys, then run the
     // exact pair-level logic of `updated` on what remains. The semi
     // build side is HINTED broadcast: size estimation cannot see that

@@ -312,7 +312,14 @@ object LakeLog {
       else
         try snapshotAtPruned(dir, version - 1, branch, _ => false)
           .segments.map(_.name).toSet
-        catch { case _: Exception => Set.empty } // expired: conservative
+        catch {
+          // ONLY the expiry signals degrade to name-range pruning (the
+          // result stays conservative); genuine corruption — a missing
+          // segment, a torn manifest — must surface, not be masked as
+          // "parent expired" (r12 advice)
+          case _: IllegalArgumentException       => Set.empty // expired
+          case _: java.io.FileNotFoundException  => Set.empty // vacuumed
+        }
     val dvWanted = skeleton.dvAdded.keySet
     val rangeWanted = if (parentRefs.isEmpty) wanted else dvWanted
     snapshotAtPruned(dir, version, branch, r =>
@@ -411,12 +418,18 @@ object LakeLog {
     // (caught live in LakeLogConcurrencySpec under 32-way commit
     // contention). Any read error on an existing manifest is therefore
     // transient; a bounded retry converges once the rename completes.
+    // EXCEPTION: a segment sidecar that is MISSING is permanent tree
+    // corruption (segments publish before the manifest that references
+    // them, so no rename race can hide one) — fail in one attempt,
+    // naming the segment, instead of burning 50 retries and reporting
+    // the manifest as the unreadable file.
     var lastErr: java.io.IOException = null
     var attempt = 0
     while (attempt < 50) {
       attempt += 1
       try return readManifestOnce(fs, dir, p, keepSeg)
       catch {
+        case e: SegmentMissingException => throw e
         case e: java.io.IOException =>
           lastErr = e
           Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
@@ -426,6 +439,18 @@ object LakeLog {
     throw new java.io.IOException(
       s"manifest $p unreadable after $attempt attempts", lastErr)
   }
+
+  /** A manifest references a segment sidecar that no longer exists —
+    * external deletion or disk corruption, never a publish race (the
+    * commit protocol writes all segments before renaming the manifest
+    * into place). Non-retryable; carries the failing segment path so
+    * tree corruption is diagnosable from the first error.
+    */
+  final class SegmentMissingException(p: Path,
+                                      cause: java.io.FileNotFoundException)
+    extends java.io.IOException(
+      s"segment sidecar $p referenced by a published manifest is " +
+        "missing (tree corruption or external deletion)", cause)
 
   private def readManifestOnce(fs: FileSystem, dir: String, p: Path,
                                keepSeg: SegRef => Boolean): Snapshot = {
@@ -503,7 +528,10 @@ object LakeLog {
     val cached = segCache.get(key)
     if (cached != null) return cached
     segmentReads.incrementAndGet()
-    val in = fs.open(p)
+    val in =
+      try fs.open(p)
+      catch { case e: java.io.FileNotFoundException =>
+        throw new SegmentMissingException(p, e) }
     val bytes = try in.readAllBytes() finally in.close()
     segmentBytes.addAndGet(bytes.length.toLong)
     val m = mapper.readValue(bytes, classOf[JMap[String, Object]])
@@ -590,7 +618,7 @@ object LakeLog {
         // tight and a partition-filtered read touches few segments),
         // chunked at the inline threshold
         val sorted = leftover.sortBy(f =>
-          (s.parts.getOrElse(f, Seq.empty).mkString(" "), f))
+          (s.parts.getOrElse(f, Seq.empty).mkString("\u0000"), f))
         val chunks = sorted.grouped(math.max(1, threshold)).toSeq
         val created = chunks.map { chunk =>
           val name = s"seg-${java.util.UUID.randomUUID()}.json"

@@ -822,10 +822,19 @@ class LakeReaderFactory(projected: StructType)
         val full = only == null
         if (full) reader.readRowGroup(part.rowGroup)
         else {
-          val oi =
-            try reader.readOffsetIndex(footerBlock.getColumns.get(0))
+          // readFilteredRowGroup consults EVERY column's offset index,
+          // not just the one RowRanges was built from — a foreign file
+          // indexed on column 0 but not on another projected column
+          // would throw mid-read. Probe them all; any miss falls back
+          // to the full-group read (r12 advice).
+          def offsetIndex(ci: Int) =
+            try reader.readOffsetIndex(footerBlock.getColumns.get(ci))
             catch { case _: java.io.IOException => null }
-          if (oi == null) reader.readRowGroup(part.rowGroup)
+          val oi = offsetIndex(0)
+          val allIndexed = oi != null &&
+            (1 until footerBlock.getColumns.size)
+              .forall(ci => offsetIndex(ci) != null)
+          if (!allIndexed) reader.readRowGroup(part.rowGroup)
           else {
             val nPages = oi.getPageCount
             // group-relative wanted positions -> page ordinals
@@ -850,7 +859,12 @@ class LakeReaderFactory(projected: StructType)
             val rr = org.apache.parquet.internal.filter2.columnindex
               .RowRanges.create(footerBlock.getRowCount,
                 java.util.Arrays.stream(sel.toArray).iterator(), oi)
-            reader.readFilteredRowGroup(part.rowGroup, rr)
+            // last-resort guard: a structurally odd foreign index that
+            // survived the per-column probe still degrades to the
+            // correct (if slower) full-group read, not a task failure
+            try reader.readFilteredRowGroup(part.rowGroup, rr)
+            catch { case scala.util.control.NonFatal(_) =>
+              reader.readRowGroup(part.rowGroup) }
           }
         }
       }
@@ -1709,9 +1723,10 @@ object LakeTableIO {
     *   - `MIN(col)` / `MAX(col)`: additionally needs usable bounds in
     *     every file (or the file provably all-null) and an exactly
     *     order-preserving kind: long/int/string (unsigned-UTF-8 order
-    *     — identical to UTF8String's) and DATE (int days). Floating
-    *     point never pushes (NaN ordering), DECIMAL/TIMESTAMP are
-    *     unharvested by design.
+    *     — identical to UTF8String's), DATE (int days), and DECIMAL
+    *     with precision ≤ 18 (`dec:<scale>` stats over the INT64
+    *     unscaled value — exact integer order). Floating point never
+    *     pushes (NaN ordering); TIMESTAMP stays unharvested by design.
     *
     * Returned values are Spark INTERNAL format (Long/Int/UTF8String,
     * null for empty/all-null), paired with their output type.

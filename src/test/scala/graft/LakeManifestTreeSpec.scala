@@ -205,4 +205,28 @@ class LakeManifestTreeSpec extends SparkSpec {
       assert(spark.table(s"$cat.db.e").where("g = 3").count() == 150)
     }
   }
+
+  test("a missing segment sidecar fails FAST with the segment named — " +
+       "not 50 transient-rename retries blaming the manifest") {
+    withTreeCatalog(4) { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.x (g BIGINT, x BIGINT) " +
+        "PARTITIONED BY (g)")
+      val dir = s"$root/db/x"
+      spark.sql(s"INSERT INTO $cat.db.x SELECT id % 8, id " +
+        "FROM range(0, 800, 1, 4)")
+      val victim = LakeLog.current(dir).get.segments.head.name
+      assert(new java.io.File(s"$dir/_log/seg/$victim").delete())
+      LakeLog.clearSegmentCache()
+      val t0 = System.nanoTime()
+      val e = intercept[LakeLog.SegmentMissingException] {
+        LakeLog.current(dir)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(e.getMessage.contains(victim),
+        s"error must name the missing segment: ${e.getMessage}")
+      // 50 retries sleep 1-10ms each (~250ms+); one attempt is <50ms
+      assert(elapsedMs < 200.0,
+        f"missing segment burned retries: $elapsedMs%.0f ms")
+    }
+  }
 }

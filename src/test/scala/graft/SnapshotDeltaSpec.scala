@@ -98,23 +98,31 @@ class SnapshotDeltaSpec extends SparkSpec {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec        => Seq(q.plan)
+        // descend into the persisted steering set's cached plan so its
+        // exchanges are width-checked too (they carry only (ck,hash))
+        case im: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => Seq(im.relation.cachedPlan)
         case other                    => other.children
       }
       p +: kids.flatMap(allNodes)
     }
     val widths = allNodes(df.queryExecution.executedPlan)
       .collect { case s: ShuffleExchangeLike => s.child.output.length }
-    // the steering set is an eagerly-materialized checkpoint now (its
-    // own narrow job carries the (key, hash) shuffles), so the final
-    // plan may be entirely exchange-free — the pin is that NO exchange,
-    // wherever one remains, ever carries the wide columns
+    // the steering set is an eagerly-materialized persisted set now
+    // (its own narrow job carries the (key, hash) shuffles), so the
+    // final plan may be entirely exchange-free — the pin is that NO
+    // exchange, anywhere incl. inside the cached steering plan, ever
+    // carries the wide columns
     assert(widths.forall(_ <= 3),
       s"a wide row crossed a shuffle: exchange widths $widths " +
         "(narrow plan must only ever shuffle key+hash)")
     // and the steering set genuinely arrived pre-materialized: the
-    // plan scans the checkpointed RDD instead of re-deriving the join
-    assert(df.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
-      "expected the checkpointed changed-key set in the final plan")
+    // plan reads the persisted set (recomputable lineage — survives
+    // executor loss, unlike a localCheckpoint) instead of re-deriving
+    // the narrow join inline
+    assert(df.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"),
+      "expected the persisted changed-key set in the final plan")
   }
 
   test("updatedNarrow runtime guard: a most-keys-change snapshot pair " +
