@@ -22,18 +22,46 @@ import java.util.concurrent.atomic.AtomicBoolean
   *     ("estimator": "min2_under_<budget>s").
   *   - a first run OVER the budget still earns ONE rescue rerun when it
   *     is plausibly transient noise (≤ 4× budget) and the global rescue
-  *     allowance isn't spent: a machine-contention spike during run 1
-  *     (observed: 47.8 s for a query that times 1.6 s in a quiet JVM)
+  *     allowance isn't spent — a machine-contention spike during run 1
   *     must not become the reported number when a rerun would correct
-  *     it. The allowance bounds worst-case added wall-clock, so a run
-  *     full of genuinely-slow queries can't starve the suite.
+  *     it. The allowance bounds worst-case added wall-clock.
+  *
+  * ISOLATION MODE (r12 verdict's gating item — the shared-JVM suite's
+  * session noise had grown past any real per-round movement: identical
+  * code ranged 202.6–217.3 s on totals, a single query 0.45 ↔ 3.4 s
+  * between runs). Two mechanisms, on by default:
+  *
+  *   - every timed sample runs in a FRESH `spark.newSession()` — its
+  *     own temp views, session conf, and catalog registrations, so a
+  *     query can never read (or pay for resolving) the 200 temp views
+  *     the preceding hundred queries leaked into a shared session. The
+  *     SparkContext is shared, which deliberately KEEPS the app-scoped
+  *     cache artifacts (CacheRegistry — indexes are built once per
+  *     corpus by design) and the block-manager/codegen warm state that
+  *     a long-lived production session would also have;
+  *   - `System.gc()` immediately before each sample: collects the
+  *     previous queries' garbage OUTSIDE the timed region (instead of
+  *     mid-query, where a full GC pause lands on whichever query is
+  *     unlucky) and lets the ContextCleaner reap dead shuffles and
+  *     broadcasts between queries rather than during one.
+  *
+  * FIXTURE / QUERY SPLIT: a query function `fn(spark, dir)` runs its
+  * eager fixture work (the lake queries' CTAS + DML; index builds) and
+  * returns the DataFrame; `.count()` on the result is the query. The
+  * two are timed separately: "queries" (and "value") carry ONLY the
+  * execution seconds; per-query fixture seconds sit in "fixtures"
+  * (with their sum in "fixture_total"), so a fixture-dominated number
+  * like lake_partitions_meta's 90%-CTAS 7 s no longer masquerades as
+  * query cost, and a genuine query regression is visible against a
+  * noisy fixture. "runs" keeps every raw sample as [build, exec]
+  * pairs so cold-start noise (e1 >> e2) stays distinguishable from a
+  * real regression (e1 ≈ e2, both slow) without a re-run.
   *
   * Warmup is a single pass over the base tables (parquet footers, scan
-  * codegen, JVM warm-in) instead of r5's full 155-query sweep — the
-  * first timed run of each query doubles as its own warmup sample and
-  * the min-of-2 keeps the steady-state number when it matters.
-  * Failures are NOT swallowed: a failed query is reported in "errors"
-  * and forces rc != 0 so a regression can't bench as "fast".
+  * codegen, JVM warm-in); the first timed run of each query doubles as
+  * its own warmup sample and the min-of-2 keeps the steady-state
+  * number. Failures are NOT swallowed: a failed query is reported in
+  * "errors" and forces rc != 0 so a regression can't bench as "fast".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,6 +73,8 @@ object Bench {
     // while a 165 s-class pathology (the r5 killer) is capped at ONE run
     val rerunBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET", "45.0").toDouble
+    val isolate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "true").toBoolean
     val spark = GraftSession.local(cpus, "graft-bench")
     // lake drift guard: a regenerated testdata dir with a flipped physical
     // type must fail here, named, not as a wrong-number bench (r8 lesson)
@@ -63,18 +93,19 @@ object Bench {
     // timings file so any kill leaves it current
     val summaryFile =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
-    val estimator = s"min2_under_${rerunBudget}s"
+    val estimator = s"min2_under_${rerunBudget}s" +
+      (if (isolate) "_isolated" else "")
     // results/errors are appended by the main loop and snapshotted by the
     // shutdown hook on SIGTERM — all access goes through `lock` so a
     // signal landing mid-append can't tear the hook's toList
     val lock = new Object
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    // every timed sample per query (run1 [+ run2 when taken]): the
-    // reported number stays min-of-2, but the full file keeps the raw
-    // runs so a reader can separate cold-start/VM noise (t1 >> t2) from
-    // a real regression (t1 ≈ t2, both slow) without a re-run
+    // name -> (reported exec secs, reported fixture-build secs)
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
+    // every raw sample per query as (build, exec) pairs — min-of-2 is
+    // the reported number, the file keeps the evidence
     val rawRuns = scala.collection.mutable.ArrayBuffer
-      .empty[(String, List[Double])]
+      .empty[(String, List[(Double, Double)])]
     // queries whose timed runs read an app-scoped cache artifact an
     // EARLIER query built (query -> artifact -> builder): their numbers
     // are PROBE cost; the build cost sits in the builder's run 1. Keeps
@@ -84,7 +115,7 @@ object Bench {
     var errors = List.empty[String]
     val done = new AtomicBoolean(false)
 
-    def snapshot(): (List[(String, Double)], List[String]) =
+    def snapshot(): (List[(String, (Double, Double))], List[String]) =
       lock.synchronized((results.toList, errors))
     def queriesJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => jq(k) + ":" + sec(v) }.mkString("{", ",", "}")
@@ -97,23 +128,26 @@ object Bench {
       val errJson = errs.reverse.map(jq).mkString("[", ",", "]")
       val runsJson = lock.synchronized(rawRuns.toList)
         .map { case (k, ts) =>
-          jq(k) + ":" + ts.map(sec).mkString("[", ",", "]") }
+          jq(k) + ":" + ts.map { case (b, e) =>
+            "[" + sec(b) + "," + sec(e) + "]" }.mkString("[", ",", "]") }
         .mkString("{", ",", "}")
       val cachedJson = lock.synchronized(cacheServed.toList)
         .map { case (k, m) =>
           jq(k) + ":" + m.toSeq.sorted.map { case (a, b) =>
             jq(a) + ":" + jq(b) }.mkString("{", ",", "}") }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":$partial,"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":${queriesJson(rs)},"runs":$runsJson,"cached":$cachedJson,"errors":$errJson,"sf":"$sfDir"}"""
+      val fixturesJson = queriesJson(rs.map { case (k, (_, b)) => k -> b })
+      s"""{"metric":"total","value":${sec(rs.map(_._2._1).sum)},"unit":"sec","partial":$partial,"estimator":${jq(estimator)},"isolated":$isolate,"n_queries":${rs.size},"fixture_total":${sec(rs.map(_._2._2).sum)},"queries":${queriesJson(rs.map { case (k, (e, _)) => k -> e })},"fixtures":$fixturesJson,"runs":$runsJson,"cached":$cachedJson,"errors":$errJson,"sf":"$sfDir"}"""
     }
     // total + errors + the 10 slowest + a pointer to the full per-query
     // file (the harness keeps only the last ~2000 chars of stdout — a
-    // full 178-query line would front-truncate into unparseable JSON)
+    // full 262-query line would front-truncate into unparseable JSON)
     def compactJson(): String = {
       val (rs, errs) = snapshot()
       val errJson = errs.reverse.map(jq).mkString("[", ",", "]")
-      val slowest = queriesJson(rs.sortBy(-_._2).take(10))
-      s"""{"metric":"total","value":${sec(rs.map(_._2).sum)},"unit":"sec","partial":${!done.get()},"estimator":${jq(estimator)},"n_queries":${rs.size},"queries":$slowest,"queries_file":${jq(outFile)},"errors":$errJson,"sf":"$sfDir"}"""
+      val slowest = queriesJson(
+        rs.map { case (k, (e, _)) => k -> e }.sortBy(-_._2).take(10))
+      s"""{"metric":"total","value":${sec(rs.map(_._2._1).sum)},"unit":"sec","partial":${!done.get()},"estimator":${jq(estimator)},"isolated":$isolate,"n_queries":${rs.size},"fixture_total":${sec(rs.map(_._2._2).sum)},"queries":$slowest,"queries_file":${jq(outFile)},"errors":$errJson,"sf":"$sfDir"}"""
     }
     def writeFile(partial: Boolean): Unit = {
       write(outFile, fullJson(partial))
@@ -153,30 +187,68 @@ object Bench {
       .foreach { case (name, fn) =>
       System.err.println(s"[bench] timing $name")
       CacheRegistry.setCurrent(name)
-      var failed = false
-      def once(): Double = {
+      var sampleErr: Throwable = null
+      // one sample = (fixture-build secs, exec secs): fn() runs the
+      // eager fixture DML and plan construction; count() executes.
+      // A failure in either half leaves sampleErr set for this sample.
+      def once(): (Double, Double) = {
+        sampleErr = null
+        // isolation: previous queries' garbage is collected OUTSIDE
+        // the timed region, and the query gets a pristine session
+        // state (shared SparkContext keeps app-scoped caches)
+        if (isolate) System.gc()
+        val qs = if (isolate) spark.newSession() else spark
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          if (!failed) {
-            val msg = s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')}"
-            lock.synchronized { errors ::= msg }
-          }
-          failed = true
+        val df =
+          try Some(fn(qs, sfDir))
+          catch { case e: Throwable => sampleErr = e; None }
+        val t1 = System.nanoTime()
+        df.foreach { d =>
+          try d.count()
+          catch { case e: Throwable => sampleErr = e }
         }
-        (System.nanoTime() - t0) / 1e9
+        val t2 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
       }
       // min-of-2 steady-state estimator, but only when the first run
       // (which doubles as this query's warmup) fits the budget — one
       // slow query costs ONE run, and can no longer starve the suite.
       // Over-budget first runs get a bounded rescue rerun (see scaladoc).
-      val t1 = once()
-      val rescue = !failed && t1 > rerunBudget && t1 <= rerunBudget * 4 &&
-        rescueSpent + t1 <= rescueAllowance
-      if (rescue) rescueSpent += t1
-      val secondRun = !failed && (t1 <= rerunBudget || rescue)
-      val samples = if (secondRun) List(t1, once()) else List(t1)
-      val t = samples.min
+      // The budget gates on build+exec (total wall-clock is what the
+      // allowance protects); build and exec each report their own min
+      // (both are independently noisy).
+      // A FAILED first sample gets exactly one retry before reporting:
+      // a 262-query shared-JVM session occasionally hits transient
+      // environment blips (observed live: ClosureCleaner's
+      // getResourceAsStream returning null under fd pressure) — a
+      // genuinely broken query fails BOTH samples and still reports.
+      var s1 = once()
+      val firstErr = sampleErr
+      if (firstErr != null) s1 = once()
+      val failed = sampleErr != null
+      if (failed) {
+        val e = firstErr
+        val msg = s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')}"
+        lock.synchronized { errors ::= msg }
+      } else if (firstErr != null)
+        System.err.println(s"[bench] $name: first sample failed " +
+          s"transiently, retry succeeded (${firstErr.getClass.getName})")
+      val w1 = s1._1 + s1._2
+      val rescue = !failed && firstErr == null && w1 > rerunBudget &&
+        w1 <= rerunBudget * 4 && rescueSpent + w1 <= rescueAllowance
+      if (rescue) rescueSpent += w1
+      val secondRun = !failed && firstErr == null &&
+        (w1 <= rerunBudget || rescue)
+      val samples =
+        if (!secondRun) List(s1)
+        else {
+          // a FAILED steady-state sample is discarded (its "timing" is
+          // a fast abort, which min() would happily report) — s1
+          // already proved the query works
+          val s2 = once()
+          if (sampleErr != null) List(s1) else List(s1, s2)
+        }
+      val t = (samples.map(_._2).min, samples.map(_._1).min)
       val served = CacheRegistry.servedFrom(name)
       lock.synchronized {
         results += (name -> t)

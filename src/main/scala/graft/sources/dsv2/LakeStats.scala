@@ -145,6 +145,14 @@ object LakeStats {
         Some("dec:" + logical
           .asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
           .getScale)
+      // wide decimals (p > 18, FIXED_LEN_BYTE_ARRAY big-endian two's
+      // complement): same dec:<scale> kind — the canonical string is
+      // the unscaled integer's decimal form, which [[cmpSame]]/[[cmp]]
+      // compare through BigInteger/BigDecimal, exactly
+      case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY if isDecimal =>
+        Some("dec:" + logical
+          .asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          .getScale)
       case _ if isDecimal            => None
       case PrimitiveTypeName.INT64   => Some("long")
       case PrimitiveTypeName.INT32   => Some("int")
@@ -155,6 +163,10 @@ object LakeStats {
           if logical
             .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         Some("str")
+      // opaque payload bytes: NULL COUNTS ONLY (kind "bin" stores no
+      // bounds — byte-order ranges over media blobs prune nothing and
+      // would bloat every manifest with payload prefixes)
+      case PrimitiveTypeName.BINARY  => Some("bin")
       case _ => None
     }
   }
@@ -177,7 +189,12 @@ object LakeStats {
       val s = chunk.getStatistics
       if (s == null) return None
       if (s.isNumNullsSet) nulls += s.getNumNulls else nullsKnown = false
-      if (s.hasNonNullValue) {
+      if (kind == "bin") {
+        // payload bytes: bounds are never harvested; the entry exists
+        // for its null count (IS [NOT] NULL pruning + COUNT(col)
+        // metadata answers). An unknown null count keeps the column
+        // conservative via nulls = -1 below.
+      } else if (s.hasNonNullValue) {
         val (lo, hi) = (enc(kind, s.genericGetMin),
           enc(kind, s.genericGetMax))
         if (lo.isEmpty || hi.isEmpty) return None // oversized string bound
@@ -197,6 +214,11 @@ object LakeStats {
     case ("str", b: Binary) =>
       val s = b.toStringUsingUTF8
       if (s.length <= MaxStatLen) Some(s) else None
+    // FLBA wide decimal: two's-complement big-endian unscaled bytes →
+    // the integer's decimal string (INT64 decimals hit the fallthrough
+    // with a Long, producing the same canonical form)
+    case (k, b: Binary) if k.startsWith("dec:") =>
+      Some(new java.math.BigInteger(b.getBytes).toString)
     case (_, other) => Some(String.valueOf(other))
   }
 
@@ -208,7 +230,9 @@ object LakeStats {
   private[dsv2] def cmpSame(kind: String, a: String, b: String): Int = kind match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
     case k if k.startsWith("dec:") =>
-      java.lang.Long.compare(a.toLong, b.toLong) // unscaled, one scale
+      // unscaled integers at one scale: integer order IS numeric
+      // order; BigInteger so wide (p > 18) decimals compare exactly
+      new java.math.BigInteger(a).compareTo(new java.math.BigInteger(b))
     case "int"    => java.lang.Integer.compare(a.toInt, b.toInt)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case "float"  => java.lang.Float.compare(a.toFloat, b.toFloat)
@@ -313,11 +337,11 @@ object LakeStats {
       case (k, bd: java.math.BigDecimal) if k.startsWith("dec:") =>
         val scale = k.substring(4).toInt
         Some(new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(stat.toLong), scale).compareTo(bd))
+          new java.math.BigInteger(stat), scale).compareTo(bd))
       case (k, bd: scala.math.BigDecimal) if k.startsWith("dec:") =>
         val scale = k.substring(4).toInt
         Some(new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(stat.toLong), scale)
+          new java.math.BigInteger(stat), scale)
           .compareTo(bd.bigDecimal))
       case _ => None
     }

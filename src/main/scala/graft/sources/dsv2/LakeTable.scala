@@ -758,7 +758,13 @@ class LakeReaderFactory(projected: StructType)
         requestedStruct.fields.zipWithIndex.map { case (rf, i) =>
           import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
           (rf.dataType, projected.fields(outIndex(i)).dataType) match {
-            case (a, b) if a == b => identity[Any] _
+            // sameType ignores NULLABILITY (nested containsNull /
+            // valueContainsNull drift: a writer that proved its values
+            // non-null wrote required leaves; reading them as the
+            // table's nullable type is always safe) — everything else
+            // (names, order, precision/scale) still compares strictly
+            case (a, b) if LakeParquet.sameTypeIgnoreNullability(a, b) =>
+              identity[Any] _
             case (IntegerType, LongType) => (v: Any) =>
               if (v == null) null else v.asInstanceOf[Int].toLong
             case (FloatType, DoubleType) => (v: Any) =>
@@ -779,7 +785,8 @@ class LakeReaderFactory(projected: StructType)
         }
       private val anyConvert =
         requestedStruct.fields.zipWithIndex.exists { case (rf, i) =>
-          rf.dataType != projected.fields(outIndex(i)).dataType
+          !LakeParquet.sameTypeIgnoreNullability(
+            rf.dataType, projected.fields(outIndex(i)).dataType)
         }
       private val identityProjection =
         !anyConvert && outIndex.length == part.cols.length &&
@@ -878,7 +885,7 @@ class LakeReaderFactory(projected: StructType)
       // the two consumes `pages` (PageReader is single-pass), so the
       // record reader is LAZY and untouched on the fast path.
       private val fastCols: Array[org.apache.parquet.column.ColumnReader] =
-        if (only != null ||
+        if (only != null || !LakeParquet.isFlat(requestedStruct) ||
             "false" == System.getProperty("graft.lake.reader.fast")) null
         else {
           val crs = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
@@ -890,7 +897,9 @@ class LakeReaderFactory(projected: StructType)
         if (fastCols == null) null
         else requested.getColumns.asScala
           .map(_.getMaxDefinitionLevel).toArray
-      private val fastDec = LakeParquet.columnDecoders(requestedStruct)
+      private val fastDec =
+        if (fastCols == null) null
+        else LakeParquet.columnDecoders(requestedStruct)
       /** Advance every column by one row; decode or value-skip. */
       private def fastAdvance(decode: Boolean): Array[Any] = {
         val vs = if (decode) new Array[Any](fastCols.length) else null
@@ -1975,8 +1984,11 @@ object LakeTableIO {
       case IntegerType => Some("int")
       case DateType    => Some("int") // internal = days since epoch
       case StringType  => Some("str")
-      case d: org.apache.spark.sql.types.DecimalType
-          if d.precision <= 18 => Some("dec:" + d.scale)
+      // any precision: narrow (INT64) and wide (FLBA) both harvest as
+      // dec:<scale> with the unscaled integer's decimal string —
+      // integer order IS numeric order at one scale
+      case d: org.apache.spark.sql.types.DecimalType =>
+        Some("dec:" + d.scale)
       case _           => None
     }
   }
@@ -1990,7 +2002,11 @@ object LakeTableIO {
     case "str"  => org.apache.spark.unsafe.types.UTF8String.fromString(s)
     case k if k.startsWith("dec:") =>
       val d = t.asInstanceOf[org.apache.spark.sql.types.DecimalType]
-      org.apache.spark.sql.types.Decimal(s.toLong, d.precision, d.scale)
+      // BigInteger path covers wide (p > 18) unscaled values; narrow
+      // stats are plain long strings and parse identically
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new java.math.BigInteger(s), d.scale),
+        d.precision, d.scale)
     case _      => null
   }
 
@@ -2371,14 +2387,16 @@ object LakeTableIO {
     * group.
     */
   def mightMatch(block: BlockMetaData, f: Filter): Boolean = {
-    def bounds(col: String): Option[(Comparable[Any], Comparable[Any])] =
+    def bounds(col: String): Option[(Comparable[Any], Comparable[Any],
+        org.apache.parquet.schema.PrimitiveType)] =
       block.getColumns.asScala
         .find(_.getPath.toDotString == col)
         .flatMap { c =>
           val s = c.getStatistics
           if (s == null || !s.hasNonNullValue) None
           else Some((s.genericGetMin.asInstanceOf[Comparable[Any]],
-                     s.genericGetMax.asInstanceOf[Comparable[Any]]))
+                     s.genericGetMax.asInstanceOf[Comparable[Any]],
+                     c.getPrimitiveType))
         }
     def lift(v: Any): Any = v match {
       case s: String => Binary.fromString(s)
@@ -2399,10 +2417,41 @@ object LakeTableIO {
     // (an ALTER-widened column read against a pre-promotion vintage:
     // Long literal vs INT32 stats) compares as "unknown" — keep the
     // group and let the residual filter decide, mirroring the
-    // manifest-stats path's kind-mismatch rule
-    def cmpSafe(a: Comparable[Any], v: Any): Option[Int] =
-      try Some(a.compareTo(lift(v)))
-      catch { case _: ClassCastException => None }
+    // manifest-stats path's kind-mismatch rule. DECIMAL stats (INT64
+    // unscaled or FLBA two's-complement bytes, per the column's
+    // logical annotation) lift into decimal space and compare EXACTLY
+    // against BigDecimal literals of any scale — the footer twin of
+    // LakeStats.cmp's dec:<scale> rule.
+    def cmpSafe(a: Comparable[Any], v: Any,
+                pt: org.apache.parquet.schema.PrimitiveType): Option[Int] = {
+      val decAnn = pt.getLogicalTypeAnnotation match {
+        case d: org.apache.parquet.schema.LogicalTypeAnnotation
+            .DecimalLogicalTypeAnnotation => Some(d)
+        case _ => None
+      }
+      val bdLit: Option[java.math.BigDecimal] = v match {
+        case bd: java.math.BigDecimal  => Some(bd)
+        case bd: scala.math.BigDecimal => Some(bd.bigDecimal)
+        case _                         => None
+      }
+      (decAnn, bdLit) match {
+        case (Some(ann), Some(bd)) =>
+          val unscaled = (a: Any) match {
+            case l: java.lang.Long =>
+              Some(java.math.BigInteger.valueOf(l))
+            case i: java.lang.Integer =>
+              Some(java.math.BigInteger.valueOf(i.longValue()))
+            case b: Binary =>
+              Some(new java.math.BigInteger(b.getBytes))
+            case _ => None
+          }
+          unscaled.map(u =>
+            new java.math.BigDecimal(u, ann.getScale).compareTo(bd))
+        case _ =>
+          try Some(a.compareTo(lift(v)))
+          catch { case _: ClassCastException => None }
+      }
+    }
     // null-count statistics: -1 = unknown (keep); row-group row count
     // comes from the block itself
     def nullsOf(col: String): Option[Long] =
@@ -2413,24 +2462,29 @@ object LakeTableIO {
           if (s == null || !s.isNumNullsSet) None else Some(s.getNumNulls)
         }
     f match {
-      case EqualTo(c, v) => bounds(c).forall { case (mn, mx) =>
-        cmpSafe(mn, v).forall(_ <= 0) && cmpSafe(mx, v).forall(_ >= 0) }
+      case EqualTo(c, v) => bounds(c).forall { case (mn, mx, pt) =>
+        cmpSafe(mn, v, pt).forall(_ <= 0) &&
+          cmpSafe(mx, v, pt).forall(_ >= 0) }
       case GreaterThan(c, v) =>
-        bounds(c).forall { case (_, mx) => cmpSafe(mx, v).forall(_ > 0) }
+        bounds(c).forall { case (_, mx, pt) =>
+          cmpSafe(mx, v, pt).forall(_ > 0) }
       case GreaterThanOrEqual(c, v) =>
-        bounds(c).forall { case (_, mx) => cmpSafe(mx, v).forall(_ >= 0) }
+        bounds(c).forall { case (_, mx, pt) =>
+          cmpSafe(mx, v, pt).forall(_ >= 0) }
       case LessThan(c, v) =>
-        bounds(c).forall { case (mn, _) => cmpSafe(mn, v).forall(_ < 0) }
+        bounds(c).forall { case (mn, _, pt) =>
+          cmpSafe(mn, v, pt).forall(_ < 0) }
       case LessThanOrEqual(c, v) =>
-        bounds(c).forall { case (mn, _) => cmpSafe(mn, v).forall(_ <= 0) }
+        bounds(c).forall { case (mn, _, pt) =>
+          cmpSafe(mn, v, pt).forall(_ <= 0) }
       case org.apache.spark.sql.sources.In(c, vs) =>
         // any non-null value inside the bounds keeps the group; an
         // all-null/empty list matches nothing
         vs.filter(_ != null) match {
           case Array() => false
-          case nn => bounds(c).forall { case (mn, mx) =>
-            nn.exists(v => cmpSafe(mn, v).forall(_ <= 0) &&
-              cmpSafe(mx, v).forall(_ >= 0))
+          case nn => bounds(c).forall { case (mn, mx, pt) =>
+            nn.exists(v => cmpSafe(mn, v, pt).forall(_ <= 0) &&
+              cmpSafe(mx, v, pt).forall(_ >= 0))
           }
         }
       case org.apache.spark.sql.sources.IsNull(c) =>

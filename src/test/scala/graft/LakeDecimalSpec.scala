@@ -177,19 +177,114 @@ class LakeDecimalSpec extends SparkSpec {
     assert(pruned > 300, s"only $pruned of 3000 trials pruned")
   }
 
-  test("precision past 18 is rejected loud at write time (INT64 " +
-       "unscaled cannot carry it), not silently truncated") {
-    withCatalog { (cat, _) =>
-      spark.sql(s"CREATE TABLE $cat.db.w (x DECIMAL(25,4))")
-      val e = intercept[Exception] {
-        spark.sql(s"INSERT INTO $cat.db.w SELECT CAST(1.5 AS DECIMAL(25,4))")
-      }
-      def causes(t: Throwable): Seq[Throwable] =
-        if (t == null) Seq.empty else t +: causes(t.getCause)
-      assert(causes(e).exists(c =>
-        c.isInstanceOf[UnsupportedOperationException] ||
-          String.valueOf(c.getMessage).contains("unsupported column type")),
-        s"expected a loud unsupported-type error, got $e")
+  test("DECIMAL(38,4) — FIXED_LEN_BYTE_ARRAY past Long range — " +
+       "round-trips exactly through write, MOR delete, and time " +
+       "travel; manifest stats prune files and metadata MIN/MAX " +
+       "answers without footers") {
+    withCatalog { (cat, root) =>
+      import graft.sources.dsv2.{LakeLog, LakeStats}
+      spark.sql(s"CREATE TABLE $cat.db.w (k BIGINT, amt DECIMAL(38,4)) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      // unscaled values of ~28 digits: (id+1)·10²⁰ + id%10·10⁻⁴ —
+      // far beyond any INT64 unscaled representation
+      val expr = "CAST(concat(cast(id + 1 AS STRING), " +
+        "'00000000000000000000.000', cast(id % 10 AS STRING)) " +
+        "AS DECIMAL(38,4))"
+      // four disjoint-range files (single-slice inserts)
+      (0 until 4).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.db.w SELECT id, $expr " +
+          s"FROM range(${i * 500}, ${i * 500 + 500}, 1, 1)"))
+      val dir = s"$root/db/w"
+      val v1 = LakeLog.current(dir).get.version
+      // exact agreement with a pure-Spark restatement
+      def want(pred: String) = spark.sql(
+        s"SELECT sum(a) AS s, min(a) AS lo, max(a) AS hi FROM " +
+          s"(SELECT id, $expr AS a FROM range(0, 2000)) WHERE $pred")
+        .head()
+      val got1 = spark.sql(
+        s"SELECT sum(amt) AS s, min(amt) AS lo, max(amt) AS hi " +
+          s"FROM $cat.db.w").head()
+      val want1 = want("true")
+      assert(got1.getDecimal(0) == want1.getDecimal(0),
+        s"$got1 vs $want1")
+      assert(got1.getDecimal(1) == want1.getDecimal(1))
+      assert(got1.getDecimal(2) == want1.getDecimal(2))
+      assert(spark.table(s"$cat.db.w").schema("amt").dataType ==
+        org.apache.spark.sql.types.DecimalType(38, 4))
+      // stats harvested as dec:4 with BigInteger canonical bounds
+      val head = LakeLog.current(dir).get
+      assert(head.stats.values.forall(
+        _.cols.get("amt").exists(cs => cs.kind == "dec:4" &&
+          cs.min.exists(_.length > 19))),
+        s"wide bounds must harvest: ${head.stats.values.head.cols}")
+      // a selective wide-decimal filter prunes 3 of 4 files from the
+      // manifest with at most one footer open
+      val before = LakeStats.footerOpens.get()
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.w WHERE amt >= " +
+        "CAST('150100000000000000000000' AS DECIMAL(38,4))")
+        .head().getLong(0) == 500)
+      assert(LakeStats.footerOpens.get() - before <= 1,
+        "wide-decimal manifest bounds must prune files")
+      // MOR delete: DVs subtract exactly; time travel restores
+      spark.sql(s"DELETE FROM $cat.db.w WHERE k % 3 = 1")
+      val got2 = spark.sql(
+        s"SELECT sum(amt) AS s, min(amt) AS lo, max(amt) AS hi " +
+          s"FROM $cat.db.w").head()
+      val want2 = want("id % 3 != 1")
+      assert(got2.getDecimal(0) == want2.getDecimal(0))
+      assert(got2.getDecimal(1) == want2.getDecimal(1))
+      assert(got2.getDecimal(2) == want2.getDecimal(2))
+      assert(spark.sql(
+        s"SELECT sum(amt) FROM $cat.db.w VERSION AS OF $v1")
+        .head().getDecimal(0) == want1.getDecimal(0))
+      // metadata-only MIN/MAX on the PRE-DELETE version (DVs block the
+      // fast path; the clean vintage answers from manifests alone)
+      val b2 = LakeStats.footerOpens.get()
+      val mm = spark.sql(s"SELECT min(amt) AS lo, max(amt) AS hi " +
+        s"FROM $cat.db.w VERSION AS OF $v1")
+      val r = mm.head()
+      assert(LakeStats.footerOpens.get() == b2,
+        "wide-decimal metadata MIN/MAX opened footers")
+      assert(mm.queryExecution.executedPlan.toString
+        .contains("metadata-only global"))
+      assert(r.getDecimal(0) == want1.getDecimal(1))
+      assert(r.getDecimal(1) == want1.getDecimal(2))
+    }
+  }
+
+  test("wide-decimal footer bounds prune ROW GROUPS: a range filter " +
+       "on a sorted multi-group file plans a strict subset of groups") {
+    withCatalog { (cat, root) =>
+      import graft.sources.dsv2.{LakeLog, LakeStats, LakeTableIO}
+      val prev = LakeTableIO.rowGroupBytes
+      LakeTableIO.rowGroupBytes = 16L << 10 // force several groups
+      try {
+        spark.sql(s"CREATE TABLE $cat.db.rg (k BIGINT, amt DECIMAL(38,4))")
+        // sorted single-slice insert → monotone per-group bounds
+        spark.sql(s"INSERT INTO $cat.db.rg SELECT id, " +
+          "CAST(concat(cast(id + 1 AS STRING), " +
+          "'00000000000000000000.0000') AS DECIMAL(38,4)) " +
+          "FROM range(0, 20000, 1, 1)")
+        val dir = s"$root/db/rg"
+        val head = LakeLog.current(dir).get
+        val refs = LakeTableIO.columnRefs(LakeTableIO.tableSchema(dir))
+        val lit = scala.math.BigDecimal(
+          new java.math.BigDecimal("1950000000000000000000000.0000"))
+        val pushed: Array[org.apache.spark.sql.sources.Filter] = Array(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("amt", lit))
+        val plan = LakeTableIO.planRowGroups(
+          head.files.map(f => new org.apache.hadoop.fs.Path(dir, f)),
+          refs, pushed, pruneGroups = true, stats = head.stats)
+        assert(plan.totalGroups >= 4,
+          s"fixture needs several row groups, got ${plan.totalGroups}")
+        assert(plan.parts.length < plan.totalGroups,
+          s"decimal footer bounds pruned nothing: " +
+            s"${plan.parts.length} of ${plan.totalGroups} groups kept")
+        // and the filtered read stays exact end-to-end
+        assert(spark.sql(s"SELECT count(*) FROM $cat.db.rg WHERE amt >= " +
+          "CAST('1950000000000000000000000' AS DECIMAL(38,4))")
+          .head().getLong(0) == 20000 - 19499)
+      } finally LakeTableIO.rowGroupBytes = prev
     }
   }
 
