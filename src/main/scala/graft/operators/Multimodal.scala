@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque `binary` column with a typed metadata struct beside it, and
   * decode / feature-extraction runs as *batched* partition-local
   * transforms — the Spark-side shape a real pipeline needs (schema,
-  * partitioning, batch size), with the actual codec behind a stub.
+  * partitioning, batch size).
   *
-  * ==== STUB BOUNDARY ====
-  * This container has no image/audio libraries. `decodeBatch` is a
-  * deterministic fake that reads "header" bytes off the payload; a real
-  * deployment swaps ONLY its body for a vectorized decoder (JNI/FFI),
-  * keeping the schema, the `mapPartitions` batching, and the plan shape
-  * unchanged. That batching is the point: per-batch amortized codec
-  * setup, bounded memory per task, no driver involvement.
+  * Codec status: the IMAGE half is REAL (javax.imageio — genuine
+  * PNG/BMP parse, pixel-exact hashes) and the AUDIO half is REAL
+  * (javax.sound.sampled — genuine WAV/AIFF parse, endian-normalized
+  * sample hashes); both are JDK built-ins, no external deps. Only the
+  * VIDEO-frame half remains a stub (`decodeBatch`/[[sampleFrames]]
+  * checksum header bytes — the JDK ships no video codec): a real
+  * deployment swaps ONLY that body for a vectorized decoder (JNI/FFI),
+  * keeping the schema, the `mapPartitions` batching, and the plan
+  * shape unchanged. That batching is the point: per-batch amortized
+  * codec setup, bounded memory per task, no driver involvement.
   *
   * Scale notes (100 TB): payloads never shuffle — decode is a narrow map
   * over the scan; only the small extracted-metadata rows flow onward into
@@ -424,6 +427,191 @@ object Multimodal {
             }
             MediaHash(id, bits)
           }
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  /** Typed metadata from a REAL audio container parse: sample rate in
+    * Hz, channel count, frame count, bits per sample — or the
+    * "invalid" sentinel for unparseable payloads.
+    */
+  final case class AudioMeta(doc_id: Long, sample_rate: Long,
+                             channels: Long, n_frames: Long, bits: Long,
+                             mode: String)
+
+  /** Parse a payload's audio container via javax.sound.sampled (JDK
+    * built-in — WAVE/AIFF/AU) or null; NEVER a task failure: null,
+    * empty, truncated, or magic-valid-but-malformed payloads all
+    * return null (the sampled SPI throws UnsupportedAudioFileException
+    * and raw RuntimeExceptions on hostile headers).
+    */
+  private def audioOrNull(p: Array[Byte])
+      : javax.sound.sampled.AudioInputStream =
+    if (p == null || p.isEmpty) null
+    else
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Deterministic REAL audio fixture: one true 16-bit PCM WAV per
+    * document, with oracle-computable header facts — sample rate
+    * `8000 · (1 + doc_id % 3)`, channels `1 + doc_id % 2`, frames
+    * `50 + n_chars % 100`. The first four samples carry the doc_id
+    * bytes (sign-extended), so no two documents share sample content
+    * (what makes [[sampleHash64]] groups exactly predictable); the
+    * rest is a deterministic integer wave. Encoding runs
+    * partition-local, where a real pipeline's media bytes enter.
+    */
+  def syntheticAudioMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val rate = 8000f * (1 + (id % 3))
+          val ch = 1 + (id % 2).toInt
+          val frames = (50 + nChars % 100).toInt
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate, 16, ch, true, false) // signed 16-bit PCM, little-endian
+          val data = new Array[Byte](frames * ch * 2)
+          var i = 0
+          var s = 0 // flat sample ordinal across frames × channels
+          while (i < frames) {
+            var c = 0
+            while (c < ch) {
+              val v: Int =
+                if (s < 4) ((id >> (8 * s)) & 0xffL).toInt - 128
+                else (((id * 31 + i * 7 + c * 13) % 32768L).toInt - 16384)
+              data(2 * (i * ch + c)) = (v & 0xff).toByte
+              data(2 * (i * ch + c) + 1) = ((v >> 8) & 0xff).toByte
+              c += 1; s += 1
+            }
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          (id, "audio", baos.toByteArray, frames.toLong)
+        }
+      }
+      .toDF("doc_id", "kind", "payload", "full_len")
+  }
+
+  /** REAL batched audio decode: the container header parses into
+    * genuine sample-rate / channels / frame-count / bit-depth facts.
+    * Same `grouped(batchSize)` loop as [[decodeImage]]; payloads never
+    * shuffle; malformed payloads yield the "invalid" sentinel row.
+    */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64)
+      : Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, p) =>
+            val ais = audioOrNull(p)
+            if (ais == null) AudioMeta(id, 0L, 0L, 0L, 0L, "invalid")
+            else
+              try {
+                val f = ais.getFormat
+                AudioMeta(id, f.getSampleRate.toLong,
+                  f.getChannels.toLong, ais.getFrameLength,
+                  f.getSampleSizeInBits.toLong, "pcm")
+              } finally ais.close()
+          }
+        }
+      }
+  }
+
+  /** Re-encode each audio payload into `tpe` (e.g. WAV → AIFF): the
+    * decoded samples are unchanged while every container byte — and
+    * the sample ENDIANNESS (AIFF is big-endian) — differs, which is
+    * what separates sample-level dedup from digest dedup. Rows that
+    * cannot decode or re-encode pass through unchanged.
+    */
+  def audioTranscode(media: DataFrame,
+                     tpe: String = "aiff"): DataFrame = {
+    val tpeName = tpe.toLowerCase // the Type object is not serializable
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("kind"), col("payload"),
+        col("full_len").cast("long"))
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        val fileType = tpeName match {
+          case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+          case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
+          case _      => javax.sound.sampled.AudioFileFormat.Type.WAVE
+        }
+        it.map { case (id, kind, p, len) =>
+          val ais = audioOrNull(p)
+          val out =
+            if (ais == null) p
+            else
+              try {
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(ais, fileType, baos)
+                baos.toByteArray
+              } catch { case scala.util.control.NonFatal(_) => p }
+              finally ais.close()
+          (id, kind, out, len)
+        }
+      }
+      .toDF("doc_id", "kind", "payload", "full_len")
+  }
+
+  /** Exact content hash over DECODED samples — container-invariant
+    * audio dedup: a WAV and an AIFF of the same PCM collide; any
+    * sample difference separates. Samples are normalized to signed
+    * 16-bit values in frame order (interleaved channels) RESPECTING
+    * the container's endianness, so the fold sees the audio, not the
+    * byte layout. Format facts are mixed in (the same samples at a
+    * different declared rate are different audio). Undecodable
+    * payloads hash to the -1 sentinel.
+    */
+  def sampleHash64(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val ais = audioOrNull(p)
+          if (ais == null) MediaHash(id, -1L)
+          else
+            try {
+              val f = ais.getFormat
+              if (f.getSampleSizeInBits != 16 ||
+                  f.getEncoding != javax.sound.sampled
+                    .AudioFormat.Encoding.PCM_SIGNED)
+                MediaHash(id, -2L) // out-of-scope encoding sentinel
+              else {
+                val bytes = ais.readAllBytes()
+                val big = f.isBigEndian
+                var h = 1125899906842597L
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  val v: Int =
+                    if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+                    else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+                  h = h * 1000003L + v
+                  i += 2
+                }
+                h = h * 31L + f.getSampleRate.toLong
+                h = h * 31L + f.getChannels
+                MediaHash(id, h)
+              }
+            } finally ais.close()
         }
       }
   }

@@ -411,19 +411,31 @@ object LakeQueries {
       LakeCatalogs.register(s)
       val tbl = tableId(dir, "lake_dec")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // two decimal vintages through one lifecycle: price is the
+      // INT64-unscaled narrow encoding, big is a DECIMAL(38,4) stored
+      // as FIXED_LEN_BYTE_ARRAY (unscaled values ~10²⁴ — far past any
+      // long) whose per-group sums/extremes must round-trip exactly;
+      // results ship as canonical strings so both engines state the
+      // full 38-digit value with no double conversion in the loop
       s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING, " +
-        "price DECIMAL(12,2)) " +
+        "price DECIMAL(12,2), big DECIMAL(38,4)) " +
         "TBLPROPERTIES ('write.mode'='merge-on-read')")
       previous(s, dir).selectExpr(s"$key AS k",
         "o_orderpriority AS pri",
-        "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price",
+        s"CAST(concat(cast($key AS STRING), " +
+          "'00000000000000000000.000', " +
+          s"cast($key % 10 AS STRING)) AS DECIMAL(38,4)) AS big")
         .createOrReplaceTempView("lake_dec_src")
       s.sql(s"INSERT INTO $tbl SELECT * FROM lake_dec_src")
       s.sql(s"DELETE FROM $tbl WHERE k % 7 = 3")
       s.sql(s"SELECT pri, count(*) AS n, " +
         s"CAST(sum(price) AS DOUBLE) AS total, " +
         s"CAST(min(price) AS DOUBLE) AS lo, " +
-        s"CAST(max(price) AS DOUBLE) AS hi " +
+        s"CAST(max(price) AS DOUBLE) AS hi, " +
+        s"CAST(sum(big) AS STRING) AS big_total, " +
+        s"CAST(min(big) AS STRING) AS big_lo, " +
+        s"CAST(max(big) AS STRING) AS big_hi " +
         s"FROM $tbl WHERE price > 1000.00 GROUP BY pri")
     }),
 
@@ -983,17 +995,23 @@ object LakeQueries {
     // the surviving rows' exact decimal aggregate, restated over the
     // source with the same cast
     "lake_decimal_dml" ->
-      s"""$snapshotCte
-         |SELECT o_orderpriority AS pri, count(*) AS n,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-         |    AS total,
-         |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-         |    AS lo,
-         |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-         |    AS hi
-         |FROM prev
-         |WHERE o_orderkey % 7 <> 3
-         |  AND CAST(o_totalprice AS DECIMAL(12,2)) > 1000.00
+      s"""$snapshotCte, decsrc AS (
+         |  SELECT o_orderpriority AS pri,
+         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         |    CAST(concat(CAST(o_orderkey AS VARCHAR),
+         |      '00000000000000000000.000',
+         |      CAST(o_orderkey % 10 AS VARCHAR)) AS DECIMAL(38,4)) AS big
+         |  FROM prev WHERE o_orderkey % 7 <> 3
+         |)
+         |SELECT pri, count(*) AS n,
+         |  CAST(sum(price) AS DOUBLE) AS total,
+         |  CAST(min(price) AS DOUBLE) AS lo,
+         |  CAST(max(price) AS DOUBLE) AS hi,
+         |  CAST(sum(big) AS VARCHAR) AS big_total,
+         |  CAST(min(big) AS VARCHAR) AS big_lo,
+         |  CAST(max(big) AS VARCHAR) AS big_hi
+         |FROM decsrc
+         |WHERE price > 1000.00
          |GROUP BY 1""".stripMargin,
     // per-partition extremes, recomputed from the rows
     "lake_groupby_minmax_meta" ->

@@ -122,4 +122,68 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hash(flipped) ^ hBase) >= 32,
       "structurally opposite images must be far apart")
   }
+
+  test("syntheticAudioMedia emits real WAVs: RIFF/WAVE magic present, " +
+       "javax.sound round-trips the formula rate/channels/frames; " +
+       "sampleHash64 is container- and ENDIANNESS-invariant (AIFF " +
+       "collides with its WAV), content-exact across documents") {
+    val media = Multimodal.syntheticAudioMedia(docs)
+    val rows = media.as[(Long, String, Array[Byte], Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, p, _) =>
+      p.take(4).sameElements("RIFF".getBytes) &&
+        p.slice(8, 12).sameElements("WAVE".getBytes)
+    }, "payloads must be genuine RIFF/WAVE containers")
+    val expect = docs.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap
+    Multimodal.decodeAudio(media).collect().foreach { m =>
+      assert(m.mode == "pcm", s"doc ${m.doc_id}")
+      assert(m.sample_rate == 8000 * (1 + m.doc_id % 3))
+      assert(m.channels == 1 + m.doc_id % 2)
+      assert(m.n_frames == 50 + expect(m.doc_id) % 100)
+      assert(m.bits == 16)
+    }
+    // sample-hash: unique per document (id-byte samples), and a
+    // WAV→AIFF transcode — different container, OPPOSITE byte order —
+    // collides with its original
+    val wavHash = Multimodal.sampleHash64(media).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    assert(wavHash.values.toSet.size == wavHash.size,
+      "id-byte samples must make every document's sample hash unique")
+    val aiff = Multimodal.audioTranscode(media, "aiff")
+    val aiffBytes = aiff.select("payload").as[Array[Byte]].head()
+    assert(aiffBytes.take(4).sameElements("FORM".getBytes),
+      "transcode must produce a genuine AIFF container")
+    val aiffHash = Multimodal.sampleHash64(aiff).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    assert(aiffHash == wavHash,
+      "sample hash must be container/endianness-invariant")
+    // while the DIGESTS all differ (the containers really changed)
+    val wavDigests = media.select(md5($"payload")).as[String].collect()
+    val aiffDigests = aiff.select(md5($"payload")).as[String].collect()
+    assert(wavDigests.toSet.intersect(aiffDigests.toSet).isEmpty)
+  }
+
+  test("audio codec robustness: null/garbage/truncated payloads never " +
+       "fail a task — decode yields the invalid sentinel, sampleHash64 " +
+       "yields -1, transcode passes bytes through") {
+    val wavHead = Multimodal.syntheticAudioMedia(docs)
+      .select("payload").as[Array[Byte]].head().take(16) // torn header
+    val rows = Seq(
+      (1L, "audio", null.asInstanceOf[Array[Byte]], 10L),
+      (2L, "audio", Array[Byte](1, 2, 3), 10L),
+      (3L, "audio", wavHead, 10L),
+      (4L, "audio", "RIFF0000WAVEjunk".getBytes, 10L))
+      .toDF("doc_id", "kind", "payload", "full_len")
+    val metas = Multimodal.decodeAudio(rows).collect()
+    assert(metas.length == 4)
+    assert(metas.forall(_.mode == "invalid"), metas.mkString(", "))
+    assert(Multimodal.sampleHash64(rows).collect()
+      .forall(_.phash == -1L))
+    val out = Multimodal.audioTranscode(rows, "aiff")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(out(1L) == null, "null payload must pass through")
+    assert(out(2L).toSeq == Seq[Byte](1, 2, 3))
+  }
 }
