@@ -400,6 +400,28 @@ object LakeQueries {
       s.sql(s"SELECT pri, count(*) AS n FROM $tbl GROUP BY pri")
     }),
 
+    // PARTITION-FILTERED METADATA AGGREGATE (r13): the filter on the
+    // identity-partition column is CONSUMED by the scan (tuple-exact
+    // enforcement — Spark drops its Filter node), which unlocks the
+    // aggregate pushdown: the grouped live counts answer from the
+    // manifest alone, loading only the matching partitions' segments
+    // (counterized in LakeMetaFilterSpec). The oracle restates the
+    // filtered counts from rows.
+    "lake_filtered_meta" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_fmeta")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (pri STRING, k BIGINT) " +
+        "PARTITIONED BY (pri) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      previous(s, dir).selectExpr("o_orderpriority AS pri", s"$key AS k")
+        .createOrReplaceTempView("lake_fmeta_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_fmeta_src")
+      s.sql(s"DELETE FROM $tbl WHERE k % 4 = 1")
+      s.sql(s"SELECT pri, count(*) AS n FROM $tbl " +
+        "WHERE pri IN ('1-URGENT', '3-MEDIUM') GROUP BY pri")
+    }),
+
     // DECIMAL through the full lake lifecycle: a money column stored
     // as the connector's INT64-unscaled parquet DECIMAL, driven
     // through load → merge-on-read DELETE → time-travel read, with an
@@ -985,6 +1007,13 @@ object LakeQueries {
          |         AS d_months,
          |       count(*) AS row_count
          |FROM prev WHERE o_orderkey % 4 <> 1
+         |GROUP BY 1""".stripMargin,
+    // the filtered partitions' live counts, recomputed from rows
+    "lake_filtered_meta" ->
+      s"""$snapshotCte
+         |SELECT o_orderpriority AS pri, count(*) AS n
+         |FROM prev WHERE o_orderkey % 4 <> 1
+         |  AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
          |GROUP BY 1""".stripMargin,
     // live per-partition counts, recomputed from the surviving rows
     "lake_groupby_meta" ->

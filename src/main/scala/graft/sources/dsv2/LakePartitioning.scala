@@ -613,6 +613,48 @@ object LakePartitioning {
     (kept, files.size - kept.size)
   }
 
+  /** Is `f`'s truth value decided EXACTLY by a file's partition tuple
+    * under EVERY spec vintage? True requires:
+    *
+    *   - a single-column filter of a supported shape whose literal(s)
+    *     lift losslessly into the source column's internal type (a
+    *     literal that doesn't lift would make [[judgeTuple]] keep the
+    *     file conservatively — might-match, not decided);
+    *   - the column carried by an IDENTITY transform in EVERY vintage
+    *     — identity makes a file's rows HOMOGENEOUS in the column
+    *     (tuple value = every row's value), so "might match" and
+    *     "must match" coincide and file-level pruning IS row-level
+    *     enforcement.
+    *
+    * This is the soundness test for CONSUMING a pushed filter (the
+    * scan enforces it; Spark drops its Filter node): consumption
+    * additionally requires every file in the snapshot to carry a tuple
+    * — the caller proves that from the manifest skeleton.
+    */
+  def exactlyDecidable(specs: IndexedSeq[Seq[Bound]], f: Filter): Boolean = {
+    if (specs.isEmpty) return false
+    val c = filterColumn(f).getOrElse(return false).toLowerCase
+    val idBounds = specs.map(_.filter(b =>
+      b.t.isInstanceOf[PIdentity] && b.t.col.toLowerCase == c))
+    if (idBounds.exists(_.isEmpty)) return false // a vintage lacks identity(c)
+    def liftsOk(b: Bound): Boolean = normalize(f) match {
+      case org.apache.spark.sql.sources.IsNull(_)    => true
+      case org.apache.spark.sql.sources.IsNotNull(_) => true
+      case EqualNullSafe(_, null)                    => true
+      case org.apache.spark.sql.sources.In(_, vs) =>
+        // null IN-values drop out (match nothing under 3VL); an
+        // all-null/empty list is the constant FALSE — also decided
+        vs.filter(_ != null).forall(v => liftLiteral(v, b.srcType).isDefined)
+      case EqualTo(_, v)            => liftLiteral(v, b.srcType).isDefined
+      case GreaterThan(_, v)        => liftLiteral(v, b.srcType).isDefined
+      case GreaterThanOrEqual(_, v) => liftLiteral(v, b.srcType).isDefined
+      case LessThan(_, v)           => liftLiteral(v, b.srcType).isDefined
+      case LessThanOrEqual(_, v)    => liftLiteral(v, b.srcType).isDefined
+      case _                        => false
+    }
+    idBounds.forall(_.forall(liftsOk))
+  }
+
   /** The per-tuple judgment [[prune]] applies per file, exposed for
     * callers that prune COARSER units sharing a tuple (manifest
     * segments): can a file carrying `tuple` match every relevant
@@ -712,6 +754,17 @@ object LakePartitioning {
         val (id, slots) = splitTuple(t)
         id == specs.length - 1 && slots.length == specs.last.length
       })
+
+  /** Every file carries a tuple whose layout resolves against a known
+    * spec vintage — the runtime precondition for CONSUMED filters: a
+    * missing/unresolvable tuple is kept conservatively by [[prune]],
+    * which would leak rows past a filter Spark no longer re-applies.
+    */
+  def allDecided(files: Seq[org.apache.hadoop.fs.Path],
+                 parts: Map[String, Seq[String]],
+                 specs: IndexedSeq[Seq[Bound]]): Boolean =
+    files.forall(f => parts.get(f.getName)
+      .exists(t => layoutOf(t, specs).isDefined))
 
   /** Current-spec slots of a stored tuple (only call under
     * [[fullyTupled]]).

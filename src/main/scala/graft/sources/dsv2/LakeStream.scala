@@ -67,7 +67,8 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
                            maxCommitsPerBatch: Long = 8L,
                            maxRowsPerTrigger: Option[Long] = None,
                            maxFilesPerTrigger: Option[Int] = None,
-                           cdc: Boolean = false)
+                           cdc: Boolean = false,
+                           consumed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** The limit Spark hands back to `latestOffset` on ordinary triggers:
@@ -304,6 +305,15 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       try LakePartitioning.bindAll(LakePartitioning.specsOf(dir),
         LakeTableIO.tableSchema(dir))
       catch { case _: Exception => IndexedSeq.empty }
+    // consumed-filter guard (batch scans disable consumption for
+    // stream-configured builders, but a plain readStream shares this
+    // path): any undecided file under consumed filters must fail LOUD,
+    // not leak rows past a filter Spark dropped
+    if (consumed.nonEmpty && !LakePartitioning.allDecided(
+        added.map(new Path(dir, _)), parts.toMap, specs))
+      throw new IllegalStateException(
+        s"graft_lake $dir stream: consumed partition filters cannot " +
+          "be enforced — a commit file carries no resolvable tuple")
     val (kept, _) = LakePartitioning.prune(
       added.map(new Path(dir, _)), parts.toMap, specs, pushed)
     LakeTableIO.planRowGroups(kept,

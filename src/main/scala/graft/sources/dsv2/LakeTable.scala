@@ -324,6 +324,9 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var projected: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  // the subset of `pushed` the scan ENFORCES (Spark drops its Filter
+  // node for these) — see [[pushFilters]]
+  private var consumed: Array[Filter] = Array.empty
   private var metaAgg: Option[(StructType, Seq[Seq[Any]], String)] = None
 
   /** Metadata-only global aggregates: the manifest knows every file's
@@ -356,17 +359,25 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
 
   private def tryMetaAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Seq[Any]], String)] =
-    if (pushed.nonEmpty || agg.aggregateExpressions.isEmpty) None
+      : Option[(StructType, Seq[Seq[Any]], String)] = {
+    // pushed filters are admissible ONLY when every one was CONSUMED
+    // (partition-decided): the aggregate then runs over exactly the
+    // matching files. Any merely-prunable (conservative) filter is
+    // residual, so Spark keeps a Filter node and never offers the
+    // aggregate push anyway — this check is the defensive twin.
+    val filteredOk = pushed.forall(f => consumed.exists(_ eq f))
+    val filtTag =
+      if (pushed.isEmpty) "" else s", partition-filtered(${pushed.length})"
+    if (!filteredOk || agg.aggregateExpressions.isEmpty) None
     else if (agg.groupByExpressions.isEmpty)
       LakeTableIO.metaAggregate(dir, tableSchema,
-        agg.aggregateExpressions.toSeq, pinnedVersion, branch)
+        agg.aggregateExpressions.toSeq, pinnedVersion, branch, pushed)
         .map { values =>
           val schema = values.zipWithIndex
             .foldLeft(new StructType()) { case (st, ((t, v), i)) =>
               st.add(s"agg_$i", t, nullable = v == null)
             }
-          (schema, Seq(values.map(_._2)), "metadata-only global")
+          (schema, Seq(values.map(_._2)), "metadata-only global" + filtTag)
         }
     else
       // GROUP BY identity-partition columns: per-partition COUNT(*)
@@ -374,10 +385,11 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       // DV sizes the exact live counts)
       LakeTableIO.groupedMetaAggregate(dir, tableSchema,
         agg.groupByExpressions.toSeq, agg.aggregateExpressions.toSeq,
-        pinnedVersion, branch)
+        pinnedVersion, branch, pushed)
         .map { case (schema, rows) =>
-          (schema, rows, "metadata-grouped per-partition")
+          (schema, rows, "metadata-grouped per-partition" + filtTag)
         }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order (parquet readers expect it); the
@@ -389,13 +401,65 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       LakeTableIO.metadataFields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
 
-  /** All filters stay residual (returned for Spark to re-apply); the
+  /** Most filters stay residual (returned for Spark to re-apply); the
     * supported comparisons are ALSO used for row-group stats pruning.
+    *
+    * EXCEPTION — partition-filter CONSUMPTION (the Hive/Iceberg
+    * contract): a filter whose truth is decided EXACTLY by every
+    * file's identity-partition tuple is fully enforced by file-level
+    * pruning (identity ⇒ a file's rows are homogeneous in the column),
+    * so the scan consumes it and Spark drops its Filter node — which
+    * is what unlocks METADATA AGGREGATES under partition filters
+    * (Spark only offers the aggregate push when no post-scan filters
+    * remain). Soundness preconditions, all checked here:
+    *
+    *   - [[LakePartitioning.exactlyDecidable]]: supported shape,
+    *     liftable literal, identity transform in EVERY spec vintage;
+    *   - every file carries a tuple, proved from the manifest SKELETON
+    *     (tree: every segment has a tuple summary — written only when
+    *     all its files are tupled; flat: the inline parts map covers
+    *     the file list) — bounded I/O, no segment reads;
+    *   - no pending multi-tx files (staged files carry no tuples until
+    *     published) and not a CDC-configured scan (change feeds range
+    *     over historical commits this skeleton does not vouch for).
+    *
+    * The scan re-verifies decidability per file at plan time and fails
+    * LOUD (never wrong) if a concurrent commit broke the premise.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(LakeTableIO.prunable)
-    filters
+    consumed =
+      if (pushed.isEmpty || skipChangeCommits || startingVersion.isDefined)
+        Array.empty
+      else {
+        val specs =
+          try LakePartitioning.bindAll(
+            LakePartitioning.specsOf(dir), tableSchema)
+          catch { case _: Exception => IndexedSeq.empty }
+        if (specs.isEmpty || !allFilesTupledSkeleton) Array.empty
+        else pushed.filter(f =>
+          LakePartitioning.exactlyDecidable(specs, f))
+      }
+    filters.filterNot(f => consumed.exists(_ eq f))
   }
+
+  /** Every snapshot file provably carries a partition tuple, judged
+    * from the manifest skeleton alone (zero segment reads).
+    */
+  private def allFilesTupledSkeleton: Boolean =
+    try {
+      if (LakeTx.pendingFor(dir).nonEmpty) return false
+      val s = pinnedVersion match {
+        case Some(v) =>
+          LakeLog.snapshotAtPruned(dir, v, branch, _ => false)
+        case None =>
+          LakeLog.currentPruned(dir, branch, _ => false)
+            .getOrElse(return false)
+      }
+      if (s.segments.nonEmpty) s.segments.forall(_.tuples.isDefined)
+      else s.files.forall(s.parts.contains)
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
@@ -412,7 +476,7 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       LakeTableIO.snapshotViewPruned(dir, pinnedVersion, branch, pushed)
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
-      startingVersion, branch, pacing, dvs, stats, parts)
+      startingVersion, branch, pacing, dvs, stats, parts, consumed)
   }
 }
 
@@ -469,7 +533,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                pacing: StreamPacing = StreamPacing(),
                dvs: Map[String, Seq[String]] = Map.empty,
                stats: Map[String, LakeStats.FileStats] = Map.empty,
-               parts: Map[String, Seq[String]] = Map.empty)
+               parts: Map[String, Seq[String]] = Map.empty,
+               consumed: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -483,7 +548,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
         s"branch first (cannot stream $dir@${branch.getOrElse("")})")
     new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits,
       startingVersion, pacing.maxCommitsPerBatch, pacing.maxRowsPerTrigger,
-      pacing.maxFilesPerTrigger)
+      pacing.maxFilesPerTrigger, consumed = consumed)
   }
 
   /** ALL hidden-partitioning specs (partition evolution keeps every
@@ -499,9 +564,22 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   /** PARTITION pruning first — exact tuple arithmetic on manifest
     * metadata, zero I/O per excluded file, before stats are even
     * consulted; each file judged by the spec it was written under.
+    * CONSUMED filters (Spark dropped their Filter node) make this the
+    * row-level enforcement too, so the plan first re-verifies that
+    * every file is tuple-decided and fails LOUD — never wrong — if a
+    * concurrent commit (bootstrap sweep, staged tx publish) broke the
+    * consumption premise checked at pushdown time.
     */
-  private lazy val (partFiles: Seq[Path], partPruned: Int) =
+  private lazy val (partFiles: Seq[Path], partPruned: Int) = {
+    if (consumed.nonEmpty &&
+        !LakePartitioning.allDecided(files, parts, specs))
+      throw new IllegalStateException(
+        s"graft_lake $dir: consumed partition filters " +
+          s"${consumed.mkString(", ")} cannot be enforced — a snapshot " +
+          "file carries no resolvable partition tuple (concurrent " +
+          "bootstrap/staged commit?); re-run the query")
     LakePartitioning.prune(files, parts, specs, pushed)
+  }
 
   // planned on the driver from MANIFEST stats first (whole-file pruning,
   // zero I/O per excluded file), then footer metadata of the survivors
@@ -1740,14 +1818,47 @@ object LakeTableIO {
     * Returned values are Spark INTERNAL format (Long/Int/UTF8String,
     * null for empty/all-null), paired with their output type.
     */
+  /** Snapshot view restricted to the files matching CONSUMED pushed
+    * filters: the manifest tree loads only segments whose tuple
+    * summaries might match (bounded I/O — the r12 verdict's rung 1),
+    * then each file is tuple-judged EXACTLY. None when any file is
+    * undecided (no tuple / unresolvable layout): the metadata answer
+    * declines and the row scan takes over (whose own loud guard
+    * covers the consumed-filter premise).
+    */
+  private def filteredView(
+      dir: String, version: Option[Long], branch: Option[String],
+      tableSchema: StructType, pushed: Array[Filter])
+      : Option[SnapView] = {
+    val v = snapshotViewPruned(dir, version, branch, pushed)
+    if (pushed.isEmpty) return Some(v)
+    val (files, dvs, stats, parts) = v
+    val specs =
+      try LakePartitioning.bindAll(
+        LakePartitioning.specsOf(dir), tableSchema)
+      catch { case _: Exception => return None }
+    if (specs.isEmpty ||
+        !LakePartitioning.allDecided(files, parts, specs)) return None
+    val (kept, _) = LakePartitioning.prune(files, parts, specs, pushed)
+    val names = kept.map(_.getName).toSet
+    // restrict the per-file maps too: an excluded file's deletion
+    // vectors must not block the DV-free answerability rules
+    Some((kept, dvs.filter { case (k, _) => names(k) },
+      stats.filter { case (k, _) => names(k) },
+      parts.filter { case (k, _) => names(k) }))
+  }
+
   def metaAggregate(
       dir: String, tableSchema: StructType,
       exprs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
-      version: Option[Long], branch: Option[String])
+      version: Option[Long], branch: Option[String],
+      pushed: Array[Filter] = Array.empty)
       : Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
-    val (files, dvs, stats, _) = snapshotView(dir, version, branch)
+    val (files, dvs, stats, _) =
+      filteredView(dir, version, branch, tableSchema, pushed)
+        .getOrElse(return None)
     val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap
     def colName(
         e: org.apache.spark.sql.connector.expressions.Expression)
@@ -1835,7 +1946,8 @@ object LakeTableIO {
       dir: String, tableSchema: StructType,
       groupBy: Seq[org.apache.spark.sql.connector.expressions.Expression],
       exprs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
-      version: Option[Long], branch: Option[String])
+      version: Option[Long], branch: Option[String],
+      pushed: Array[Filter] = Array.empty)
       : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
@@ -1857,7 +1969,9 @@ object LakeTableIO {
         (c, i, bound(i).outType)
       case _ => return None
     }
-    val (files, dvs, stats, parts) = snapshotView(dir, version, branch)
+    val (files, dvs, stats, parts) =
+      filteredView(dir, version, branch, tableSchema, pushed)
+        .getOrElse(return None)
     val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap
     def colName(
         e: org.apache.spark.sql.connector.expressions.Expression)
