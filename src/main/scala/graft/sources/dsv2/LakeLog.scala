@@ -360,6 +360,62 @@ object LakeLog {
         }
     }
 
+  /** version → operation string for every retained MAIN manifest,
+    * served from a lazily-extended hint (`_log/_ops.json` — the
+    * epoch-ref pattern): a call reads the hint, loads only manifests
+    * ABOVE its high-water as SKELETONS (zero segment I/O), and
+    * rewrites the hint covering the new head. Amortized manifest reads
+    * per call = new versions since the last call — what lets
+    * [[LakeTx.consistentView]] and [[expire]]'s marker scan plan cuts
+    * on a long history without touching every manifest. The hint is
+    * derived data over immutable manifests: racing writers converge,
+    * a torn/missing hint just means a full (skeleton) rescan, and
+    * entries for expired versions drop out on rewrite.
+    */
+  def operations(dir: String): Seq[(Long, String)] = {
+    val fs = fsFor(dir)
+    val vs = versions(dir)
+    if (vs.isEmpty) return Seq.empty
+    val p = new Path(logDir(dir), "_ops.json")
+    val cached: Map[Long, String] =
+      try {
+        if (!fs.exists(p)) Map.empty
+        else {
+          val in = fs.open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          mapper.readValue(bytes, classOf[JMap[String, Object]])
+            .asScala.map { case (k, v) =>
+              k.toLong -> String.valueOf(v) }.toMap
+        }
+      } catch { case _: Exception => Map.empty } // torn: full rescan
+    var fresh = 0
+    val entries = vs.map { v =>
+      v -> cached.getOrElse(v, {
+        fresh += 1
+        snapshotAtPruned(dir, v, None, _ => false).operation
+      })
+    }
+    // rewrite when anything changed: new versions appended or expired
+    // ones dropped (keeps the hint from growing past retention)
+    if (fresh > 0 || cached.size != entries.size)
+      try {
+        val m = new JHashMap[String, Object]()
+        entries.foreach { case (v, op) => m.put(v.toString, op) }
+        val tmp = new Path(logDir(dir),
+          s".tmp-ops-${java.util.UUID.randomUUID()}.json")
+        val out = fs.create(tmp, true)
+        try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+        if ("file".equalsIgnoreCase(fs.getScheme))
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else { fs.delete(p, false); fs.rename(tmp, p) }
+      } catch { case _: Exception => () } // best-effort: derived data
+    entries
+  }
+
   private def headHintPath(dir: String): Path =
     new Path(logDir(dir), "_head.json")
 
@@ -1208,9 +1264,10 @@ object LakeLog {
     // ref is written right after each commit) is redundant and expires
     // normally, so dead queries don't pin history; only the
     // crash-window marker survives, until the query's next epoch.
-    // O(versions) metadata reads, maintenance-path only.
-    val newestMarker: Set[Long] = vs.flatMap { v =>
-      snapshotAt(dir, v).operation match {
+    // amortized O(new versions) metadata reads via the ops hint —
+    // skeletons only, zero segment I/O
+    val newestMarker: Set[Long] = operations(dir).flatMap {
+      case (v, op) => op match {
         case EpochOpRe(q, e) => Some((q, e.toLong, v))
         case _               => None
       }

@@ -307,12 +307,17 @@ object LakeTx {
     val fs = fsFor(root)
     // per table: version -> txid for every retained txn-tagged manifest
     val TxnOp = """txn\(([0-9a-f-]+)\)""".r
+    // operations come from the lazily-extended ops hint: manifests are
+    // read as SKELETONS and only the versions the hint hasn't covered
+    // yet — a long-history table plans its cut without touching every
+    // manifest (or any segment)
     val txnAt: Map[String, Seq[(Long, String)]] = dirs.map { d =>
-      d -> LakeLog.versions(d).flatMap(v =>
-        LakeLog.snapshotAt(d, v).operation match {
+      d -> LakeLog.operations(d).flatMap { case (v, op) =>
+        op match {
           case TxnOp(id) => Some(v -> id)
           case _         => None
-        })
+        }
+      }
     }.toMap
     val heads: Map[String, Long] =
       dirs.map(d => d -> LakeLog.versions(d).lastOption.getOrElse(-1L)).toMap
@@ -326,11 +331,10 @@ object LakeTx {
           val (txid, appends) = readMarker(fs, m.getPath)
           val appliedAll = appends.forall(a =>
             txnAt.getOrElse(a.dir, Seq.empty).exists(_._2 == txid) ||
-              // participant outside `dirs`: check its log directly
-              (!dirs.contains(a.dir) && LakeLog.versions(a.dir)
-                .reverseIterator.map(v =>
-                  LakeLog.snapshotAt(a.dir, v).operation)
-                .contains(s"txn($txid)")))
+              // participant outside `dirs`: check its log (same
+              // hint-served skeleton reads)
+              (!dirs.contains(a.dir) && LakeLog.operations(a.dir)
+                .exists(_._2 == s"txn($txid)")))
           if (appliedAll) None else Some(txid)
         }.toSet
     val cut = scala.collection.mutable.Map.from(heads)
