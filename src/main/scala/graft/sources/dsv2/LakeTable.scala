@@ -774,6 +774,22 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
 
 class LakeReaderFactory(projected: StructType)
     extends PartitionReaderFactory {
+
+  /** Columnar when the scan shape admits it (flat primitives, no CDC
+    * positions, no synthesized metadata columns) — [[LakeColumnarReader]]
+    * holds the eligibility rules and the vectorized decode. Spark
+    * requires the answer to be uniform across a scan's partitions;
+    * eligibility therefore consults only scan-shaped facts.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    LakeColumnarReader.eligible(
+      p.asInstanceOf[LakeInputPartition], projected)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new LakeColumnarPartitionReader(
+      p.asInstanceOf[LakeInputPartition], projected)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[LakeInputPartition]
     new PartitionReader[InternalRow] {

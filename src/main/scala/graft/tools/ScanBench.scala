@@ -2,18 +2,22 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Decode-path microbench: CTAS `orders` into a connector table once,
-  * then time FULL row scans (a residual filter keeps the metadata
-  * aggregate from short-circuiting the read). Isolates the
-  * PartitionReader's value-decode cost from fixture/planning noise —
-  * the number that moves when the read path changes.
+/** Decode-path microbench: CTAS `orders` (optionally replicated to the
+  * target row count) into a connector table once, then time FULL scans
+  * (a residual filter keeps the metadata aggregate from
+  * short-circuiting the read) under BOTH read paths — vectorized
+  * ColumnarBatch (default) and the row fast path (kill switch) —
+  * isolating the PartitionReader's value-decode cost from
+  * fixture/planning noise. The wide aggregate touches 5 columns of
+  * every surviving row.
   *
-  * Usage: runMain graft.tools.ScanBench <sfDir> [runs=5]
+  * Usage: runMain graft.tools.ScanBench <sfDir> [runs=5] [replicate=1]
   */
 object ScanBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val runs = args.lift(1).map(_.toInt).getOrElse(5)
+    val replicate = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.GraftSession.local(cpus, "graft-scanbench")
     import graft.sources.dsv2.LakeCatalogs
@@ -21,21 +25,36 @@ object ScanBench {
     val ns = LakeCatalogs.ns(sfDir)
     val tbl = s"${LakeCatalogs.CatalogName}.$ns.scanbench_orders"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    graft.Tables(spark, sfDir, "orders").writeTo(tbl).create()
-    // wide decode: every column of every row crosses the reader
-    val q = spark.table(tbl)
-      .where(col("o_orderkey") >= 0L) // residual: forces the row scan
+    val base = graft.Tables(spark, sfDir, "orders")
+    val src =
+      if (replicate <= 1) base
+      else (1 until replicate).foldLeft(base)((acc, i) =>
+        acc.unionByName(base.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i * 100000000L))))
+    src.writeTo(tbl).create()
+    val n = spark.table(tbl).count()
+    println(s"SCANB rows=$n")
+    // wide decode: 5 columns of every row cross the reader
+    def q = spark.table(tbl)
+      .where(col("o_orderkey") >= 0L) // residual: forces the scan
       .agg(count(lit(1)), sum("o_custkey"),
         sum(length(col("o_orderstatus"))),
         min("o_orderdate"), sum(col("o_totalprice")))
-    (1 to runs).foreach { i =>
+    def time(label: String): Unit = (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val r = q.collect()
-      println(f"SCANB run$i ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      println(f"SCANB $label run$i ${(System.nanoTime() - t0) / 1e9}%.3f s " +
         s"row=${r.head}")
     }
-    println("SCANB plan " + q.queryExecution.executedPlan.toString
-      .linesIterator.filter(_.contains("Scan")).mkString(" | "))
+    System.setProperty("graft.lake.reader.columnar", "true")
+    println("SCANB plan(columnar) " + q.queryExecution.executedPlan
+      .toString.linesIterator
+      .filter(l => l.contains("Scan") || l.contains("ColumnarToRow"))
+      .mkString(" | ").take(300))
+    time("columnar")
+    System.setProperty("graft.lake.reader.columnar", "false")
+    time("row")
+    System.clearProperty("graft.lake.reader.columnar")
     spark.stop()
   }
 }
