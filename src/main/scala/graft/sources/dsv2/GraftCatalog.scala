@@ -394,19 +394,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val widens = (from, to) match {
           case (IntegerType, LongType)  => true
           case (FloatType, DoubleType)  => true
-          // DECIMAL precision growth at the SAME scale: INT64-unscaled
-          // values are identical bytes under both types (scale changes
-          // would rescale every value — lossy, rewrite)
+          // DECIMAL precision growth at the SAME scale: the unscaled
+          // value is identical under both types (scale changes would
+          // rescale every value — lossy, rewrite). Both readers widen
+          // across the INT64↔FLBA encoding boundary: new files encode
+          // per the NEW precision, old vintages decode per their own
+          // footer physical type.
           case (a: org.apache.spark.sql.types.DecimalType,
                 b: org.apache.spark.sql.types.DecimalType) =>
             a.scale == b.scale && b.precision > a.precision &&
-              b.precision <= 18
+              b.precision <= 38
           case _                        => false
         }
         require(widens,
           s"graft_lake: cannot change $name from $from to $to — only " +
             "widening promotions (INT->BIGINT, FLOAT->DOUBLE, " +
-            "DECIMAL(p,s)->DECIMAL(p+,s) up to 18) are " +
+            "DECIMAL(p,s)->DECIMAL(p+,s) up to 38) are " +
             "metadata-only; anything lossy needs a table rewrite")
         require(!specs.flatten.exists(t =>
             t.isInstanceOf[LakePartitioning.PBucket] &&

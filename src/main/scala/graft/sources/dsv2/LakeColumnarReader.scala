@@ -73,6 +73,10 @@ object LakeColumnarReader {
     */
   def eligible(part: LakeInputPartition, projected: StructType): Boolean =
     enabled && part.cdc.isEmpty &&
+      // empty projections (count-only scans where the metadata answer
+      // declined) stay on the row path: nothing to decode either way,
+      // and the row reader's empty-requested handling is battle-tested
+      projected.fields.nonEmpty &&
       part.cols.forall(ref => !metaNames.contains(ref.name)) &&
       LakeParquet.isFlat(projected) &&
       projected.fields.forall(f => supportedType(f.dataType))
@@ -101,18 +105,29 @@ object LakeColumnarReader {
     def write(vr: ValuesReader, v: OnHeapColumnVector, i: Int): Unit
   }
 
-  private[dsv2] def vWriterFor(fileDt: DataType, tableDt: DataType)
-      : VWriter =
+  /** The admissible (file, table) type pairs are EXACTLY the row
+    * path's widening matrix — identical types, INT32→LONG,
+    * FLOAT→DOUBLE, same-scale decimal precision widening; anything
+    * else fails loud as "not a widening promotion" instead of silently
+    * mis-decoding a foreign vintage. Decimal arms dispatch on the
+    * file's PHYSICAL type (a foreign FLBA-backed small-precision
+    * decimal decodes as bytes, never misread by our own precision
+    * convention).
+    */
+  private[dsv2] def vWriterFor(physical: org.apache.parquet.schema
+        .PrimitiveType.PrimitiveTypeName,
+      fileDt: DataType, tableDt: DataType): VWriter =
     (fileDt, tableDt) match {
-      case (LongType | TimestampType | TimestampNTZType, _) =>
+      case (LongType, LongType) | (TimestampType, TimestampType) |
+           (TimestampNTZType, TimestampNTZType) =>
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putLong(i, vr.readLong()) }
-      case (IntegerType | DateType, LongType) => // widened vintage
+      case (IntegerType, LongType) => // widened vintage
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putLong(i, vr.readInteger().toLong) }
-      case (IntegerType | DateType, _) =>
+      case (IntegerType, IntegerType) | (DateType, DateType) =>
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putInt(i, vr.readInteger()) }
@@ -120,19 +135,19 @@ object LakeColumnarReader {
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putDouble(i, vr.readFloat().toDouble) }
-      case (DoubleType, _) =>
+      case (DoubleType, DoubleType) =>
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putDouble(i, vr.readDouble()) }
-      case (FloatType, _) =>
+      case (FloatType, FloatType) =>
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putFloat(i, vr.readFloat()) }
-      case (BooleanType, _) =>
+      case (BooleanType, BooleanType) =>
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putBoolean(i, vr.readBoolean()) }
-      case (StringType | BinaryType, _) =>
+      case (StringType, StringType) | (BinaryType, BinaryType) =>
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit = {
           val b = vr.readBytes()
@@ -148,41 +163,48 @@ object LakeColumnarReader {
             v.putByteArray(i, a, 0, a.length)
           }
         } }
-      case (a: DecimalType, b: DecimalType) if a.precision <= 18 =>
-        // INT64 unscaled; same scale, possibly widened precision
+      case (a: DecimalType, b: DecimalType)
+          if a.scale == b.scale && b.precision >= a.precision &&
+            physical == org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT64 =>
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putDecimal(i, org.apache.spark.sql.types.Decimal(
             vr.readLong(), b.precision, b.scale), b.precision) }
-      case (_: DecimalType, b: DecimalType) =>
+      case (a: DecimalType, b: DecimalType)
+          if a.scale == b.scale && b.precision >= a.precision =>
         new VWriter { def write(vr: ValuesReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putDecimal(i, LakeParquet.decimalFromBytes(
             vr.readBytes().getBytes, b.precision, b.scale),
             b.precision) }
       case (a, b) => throw new IllegalStateException(
-        s"columnar reader: no writer for $a -> $b")
+        s"columnar reader: file column is $a but the table expects " +
+          s"$b — not a widening promotion")
     }
 
   /** ColumnReader-based writer for the fallback cursor (exotic
-    * encodings): same dispatch, reads off the generic reader.
+    * encodings): same widening matrix and decimal physical dispatch,
+    * reads off the generic reader.
     */
   private[dsv2] abstract class CWriter {
     def write(cr: ColumnReader, v: OnHeapColumnVector, i: Int): Unit
   }
 
-  private[dsv2] def cWriterFor(fileDt: DataType, tableDt: DataType)
-      : CWriter =
+  private[dsv2] def cWriterFor(physical: org.apache.parquet.schema
+        .PrimitiveType.PrimitiveTypeName,
+      fileDt: DataType, tableDt: DataType): CWriter =
     (fileDt, tableDt) match {
-      case (LongType | TimestampType | TimestampNTZType, _) =>
+      case (LongType, LongType) | (TimestampType, TimestampType) |
+           (TimestampNTZType, TimestampNTZType) =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putLong(i, cr.getLong) }
-      case (IntegerType | DateType, LongType) =>
+      case (IntegerType, LongType) =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putLong(i, cr.getInteger.toLong) }
-      case (IntegerType | DateType, _) =>
+      case (IntegerType, IntegerType) | (DateType, DateType) =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putInt(i, cr.getInteger) }
@@ -190,36 +212,41 @@ object LakeColumnarReader {
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putDouble(i, cr.getFloat.toDouble) }
-      case (DoubleType, _) =>
+      case (DoubleType, DoubleType) =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putDouble(i, cr.getDouble) }
-      case (FloatType, _) =>
+      case (FloatType, FloatType) =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putFloat(i, cr.getFloat) }
-      case (BooleanType, _) =>
+      case (BooleanType, BooleanType) =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putBoolean(i, cr.getBoolean) }
-      case (StringType | BinaryType, _) =>
+      case (StringType, StringType) | (BinaryType, BinaryType) =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit = {
           val b = cr.getBinary.getBytes
           v.putByteArray(i, b, 0, b.length)
         } }
-      case (a: DecimalType, b: DecimalType) if a.precision <= 18 =>
+      case (a: DecimalType, b: DecimalType)
+          if a.scale == b.scale && b.precision >= a.precision &&
+            physical == org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT64 =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putDecimal(i, org.apache.spark.sql.types.Decimal(cr.getLong,
             b.precision, b.scale), b.precision) }
-      case (_: DecimalType, b: DecimalType) =>
+      case (a: DecimalType, b: DecimalType)
+          if a.scale == b.scale && b.precision >= a.precision =>
         new CWriter { def write(cr: ColumnReader,
             v: OnHeapColumnVector, i: Int): Unit =
           v.putDecimal(i, LakeParquet.decimalFromBytes(
             cr.getBinary.getBytes, b.precision, b.scale), b.precision) }
       case (a, b) => throw new IllegalStateException(
-        s"columnar reader: no writer for $a -> $b")
+        s"columnar reader: file column is $a but the table expects " +
+          s"$b — not a widening promotion")
     }
 
   /** One column's streaming decode cursor: write the next value (or
@@ -391,7 +418,8 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
       if (allBulk)
         descs.zipWithIndex.map { case (d, i) =>
           new BulkCursor(d, pages.getPageReader(d),
-            vWriterFor(requestedStruct.fields(i).dataType,
+            vWriterFor(d.getPrimitiveType.getPrimitiveTypeName,
+              requestedStruct.fields(i).dataType,
               projected.fields(outIndex(i)).dataType)): Cursor
         }
       else {
@@ -404,7 +432,8 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
         descs.zipWithIndex.map { case (d, i) =>
           new StepCursor(crs.getColumnReader(d),
             d.getMaxDefinitionLevel,
-            cWriterFor(requestedStruct.fields(i).dataType,
+            cWriterFor(d.getPrimitiveType.getPrimitiveTypeName,
+              requestedStruct.fields(i).dataType,
               projected.fields(outIndex(i)).dataType)): Cursor
         }
       }

@@ -314,11 +314,18 @@ object LakeLog {
           .segments.map(_.name).toSet
         catch {
           // ONLY the expiry signals degrade to name-range pruning (the
-          // result stays conservative); genuine corruption — a missing
-          // segment, a torn manifest — must surface, not be masked as
-          // "parent expired" (r12 advice)
-          case _: IllegalArgumentException       => Set.empty // expired
-          case _: java.io.FileNotFoundException  => Set.empty // vacuumed
+          // result stays conservative); genuine corruption of a
+          // still-retained parent must surface, not be masked as
+          // "expired" (r12 advice). A mid-read vacuum race surfaces as
+          // an IOException (readManifest's retry exhausts, or a
+          // SegmentMissingException) — disambiguate by probing whether
+          // the parent manifest still exists: gone = expiry, present =
+          // real corruption.
+          case _: IllegalArgumentException => Set.empty // expired
+          case e: java.io.IOException =>
+            if (!fsFor(dir).exists(new Path(ld(dir, branch),
+                manifestName(version - 1)))) Set.empty // vacuum race
+            else throw e
         }
     val dvWanted = skeleton.dvAdded.keySet
     val rangeWanted = if (parentRefs.isEmpty) wanted else dvWanted

@@ -75,8 +75,6 @@ object LakeParquet {
 
   private def toParquetField(name: String, dt: DataType,
                              required: Boolean, id: Option[Int]): Type = {
-    def rep(b: Types.PrimitiveBuilder[
-        org.apache.parquet.schema.PrimitiveType]) = b
     def prim(t: PrimitiveTypeName) =
       if (required) Types.required(t) else Types.optional(t)
     def named(tb: Types.PrimitiveBuilder[
@@ -110,11 +108,11 @@ object LakeParquet {
               required = !valueContainsNull, None))
             .named("key_value"))
         namedG(gb)
-      case LongType => named(rep(prim(PrimitiveTypeName.INT64)))
-      case IntegerType => named(rep(prim(PrimitiveTypeName.INT32)))
-      case DoubleType => named(rep(prim(PrimitiveTypeName.DOUBLE)))
-      case FloatType => named(rep(prim(PrimitiveTypeName.FLOAT)))
-      case BooleanType => named(rep(prim(PrimitiveTypeName.BOOLEAN)))
+      case LongType => named((prim(PrimitiveTypeName.INT64)))
+      case IntegerType => named((prim(PrimitiveTypeName.INT32)))
+      case DoubleType => named((prim(PrimitiveTypeName.DOUBLE)))
+      case FloatType => named((prim(PrimitiveTypeName.FLOAT)))
+      case BooleanType => named((prim(PrimitiveTypeName.BOOLEAN)))
       case StringType =>
         named(prim(PrimitiveTypeName.BINARY)
           .as(LogicalTypeAnnotation.stringType()))
@@ -222,6 +220,14 @@ object LakeParquet {
         case (PrimitiveTypeName.INT64, _)  => LongType
         case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
           DateType
+        // a foreign INT32-backed decimal must NOT surface as a raw int
+        // (the unscaled value would silently read as the number) —
+        // reject loud until an int32-decimal decode path exists
+        case (PrimitiveTypeName.INT32,
+              dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          throw new UnsupportedOperationException(
+            s"lake connector: INT32-backed decimal ${t.getName} " +
+              s"($dec) unsupported")
         case (PrimitiveTypeName.INT32, _)  => IntegerType
         case (PrimitiveTypeName.DOUBLE, _) => DoubleType
         case (PrimitiveTypeName.FLOAT, _)  => FloatType
@@ -246,6 +252,13 @@ object LakeParquet {
           MapType(toDataType(kv.getType(0)), toDataType(v),
             valueContainsNull = v.getRepetition != Type.Repetition.REQUIRED)
         case _ =>
+          // a REPEATED group with no LIST/MAP annotation is the legacy
+          // 2-level list layout (pre-modern foreign writers) — reading
+          // it as a struct would silently surface only element 0, so
+          // reject loud (the pre-nested codec rejected ALL groups)
+          require(t.getRepetition != Type.Repetition.REPEATED,
+            s"lake connector: legacy 2-level repeated group " +
+              s"${t.getName} (unannotated list) unsupported")
           StructType(g.getFields.toArray(Array.empty[Type]).map(ft =>
             StructField(ft.getName, toDataType(ft),
               nullable = ft.getRepetition != Type.Repetition.REQUIRED)))
@@ -261,6 +274,46 @@ object LakeParquet {
     */
   def decoders(projected: StructType): Array[(Group, Int) => Any] =
     projected.fields.map(f => valueDecoder(f.dataType))
+
+  /** [[decoders]] with the FILE's message type: top-level DECIMAL
+    * columns dispatch on the file's PHYSICAL type (a foreign
+    * FLBA-backed small-precision decimal decodes as bytes, never
+    * misread as INT64 by our own precision convention). Nested
+    * decimals keep the convention — they only occur in
+    * connector-written files.
+    */
+  def decoders(projected: StructType, message: MessageType)
+      : Array[(Group, Int) => Any] =
+    projected.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          decimalPhysical(message, i) match {
+            case PrimitiveTypeName.INT64 =>
+              (g: Group, j: Int) => org.apache.spark.sql.types.Decimal(
+                g.getLong(j, 0), d.precision, d.scale)
+            case _ => // FLBA (and BINARY-backed foreign decimals)
+              (g: Group, j: Int) => decimalFromBytes(
+                g.getBinary(j, 0).getBytes, d.precision, d.scale)
+          }
+        case _ => valueDecoder(f.dataType)
+      }
+    }
+
+  /** The physical type carrying a top-level decimal column, validated
+    * to one of the decodable encodings.
+    */
+  private def decimalPhysical(message: MessageType,
+                              i: Int): PrimitiveTypeName = {
+    val pt = message.getType(i).asPrimitiveType().getPrimitiveTypeName
+    pt match {
+      case PrimitiveTypeName.INT64 |
+           PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY |
+           PrimitiveTypeName.BINARY => pt
+      case other => throw new UnsupportedOperationException(
+        s"lake connector: decimal column ${message.getType(i).getName} " +
+          s"backed by $other unsupported")
+    }
+  }
 
   private def valueDecoder(dt: DataType): (Group, Int) => Any = dt match {
     case LongType | TimestampType | TimestampNTZType =>
@@ -337,10 +390,29 @@ object LakeParquet {
     * assembly). Same type dispatch as [[decoders]]; callers gate on
     * [[isFlat]] — nested schemas never reach here.
     */
-  def columnDecoders(projected: StructType)
+  def columnDecoders(projected: StructType,
+                     message: MessageType)
       : Array[org.apache.parquet.column.ColumnReader => Any] =
-    projected.fields.map { f =>
+    projected.fields.zipWithIndex.map { case (f, i) =>
       f.dataType match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          decimalPhysical(message, i) match {
+            case PrimitiveTypeName.INT64 =>
+              (cr: org.apache.parquet.column.ColumnReader) =>
+                org.apache.spark.sql.types.Decimal(cr.getLong,
+                  d.precision, d.scale)
+            case _ =>
+              (cr: org.apache.parquet.column.ColumnReader) =>
+                decimalFromBytes(cr.getBinary.getBytes,
+                  d.precision, d.scale)
+          }
+        case _ => columnDecoder(f.dataType)
+      }
+    }
+
+  private def columnDecoder(dt: DataType)
+      : org.apache.parquet.column.ColumnReader => Any =
+      dt match {
         case LongType | TimestampType | TimestampNTZType =>
           (cr: org.apache.parquet.column.ColumnReader) => cr.getLong
         case IntegerType | DateType =>
@@ -359,6 +431,7 @@ object LakeParquet {
             cr.getBinary.getBytes
         case d: org.apache.spark.sql.types.DecimalType
             if d.precision <= 18 =>
+          // convention fallback (no physical info): our own files
           (cr: org.apache.parquet.column.ColumnReader) =>
             org.apache.spark.sql.types.Decimal(cr.getLong,
               d.precision, d.scale)
@@ -367,7 +440,6 @@ object LakeParquet {
             decimalFromBytes(cr.getBinary.getBytes, d.precision, d.scale)
         case other => throw new UnsupportedOperationException(other.toString)
       }
-    }
 
   def toInternalRow(g: Group, dec: Array[(Group, Int) => Any]): InternalRow = {
     val values = new Array[Any](dec.length)

@@ -837,7 +837,7 @@ class LakeReaderFactory(projected: StructType)
       }
       reader.setRequestedSchema(requested)
       private val requestedStruct = LakeParquet.toStructType(requested)
-      private val dec = LakeParquet.decoders(requestedStruct)
+      private val dec = LakeParquet.decoders(requestedStruct, requested)
       // projection order may differ from file order: map file-projected
       // positions to output positions once; output slots no file column
       // maps to stay null (the back-fill)
@@ -866,12 +866,14 @@ class LakeReaderFactory(projected: StructType)
             case (a: org.apache.spark.sql.types.DecimalType,
                   b: org.apache.spark.sql.types.DecimalType)
                 if a.scale == b.scale && b.precision >= a.precision =>
-              // precision widening: same scale, identical unscaled value
+              // precision widening: same scale, identical value — via
+              // BigDecimal, NOT toUnscaledLong, so wide (p > 18 FLBA)
+              // vintages widen too instead of overflowing
               (v: Any) =>
                 if (v == null) null
                 else org.apache.spark.sql.types.Decimal(
                   v.asInstanceOf[org.apache.spark.sql.types.Decimal]
-                    .toUnscaledLong, b.precision, b.scale)
+                    .toJavaBigDecimal, b.precision, b.scale)
             case (a, b) => throw new IllegalStateException(
               s"file ${part.path} column ${rf.name} is $a but the " +
                 s"table expects $b — not a widening promotion")
@@ -991,9 +993,10 @@ class LakeReaderFactory(projected: StructType)
         if (fastCols == null) null
         else requested.getColumns.asScala
           .map(_.getMaxDefinitionLevel).toArray
-      private val fastDec =
+      private val fastDec: Array[
+          org.apache.parquet.column.ColumnReader => Any] =
         if (fastCols == null) null
-        else LakeParquet.columnDecoders(requestedStruct)
+        else LakeParquet.columnDecoders(requestedStruct, requested)
       /** Advance every column by one row; decode or value-skip. */
       private def fastAdvance(decode: Boolean): Array[Any] = {
         val vs = if (decode) new Array[Any](fastCols.length) else null

@@ -5,10 +5,11 @@ import java.nio.file.Files
 import graft.sources.dsv2.{GraftCatalog, LakeLog}
 
 /** DECIMAL columns through the lake connector: INT64-unscaled parquet
-  * encoding (the standard up to precision 18), exact round-trips
-  * through DML / time travel / SPJ bucketing, loud rejection beyond
-  * the supported precision, and sound conservatism at the stats layer
-  * (decimal bounds are never harvested or consulted).
+  * encoding up to precision 18 and FIXED_LEN_BYTE_ARRAY beyond (to
+  * 38), exact round-trips through DML / time travel / SPJ bucketing,
+  * exact stats pruning in decimal space at both the manifest and
+  * footer layers, precision widening across the encoding boundary,
+  * and metadata MIN/MAX for any precision.
   */
 class LakeDecimalSpec extends SparkSpec {
 
@@ -249,6 +250,38 @@ class LakeDecimalSpec extends SparkSpec {
         .contains("metadata-only global"))
       assert(r.getDecimal(0) == want1.getDecimal(1))
       assert(r.getDecimal(1) == want1.getDecimal(2))
+    }
+  }
+
+  test("wide-decimal PRECISION WIDENING: DECIMAL(20,2) vintages read " +
+       "exactly as DECIMAL(30,2) through BOTH the columnar and the " +
+       "row reader (the r13 review's toUnscaledLong overflow)") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.ww (k BIGINT, amt DECIMAL(20,2))")
+      // unscaled parts beyond Long range: (id+1)·10¹⁵ + .25
+      spark.sql(s"INSERT INTO $cat.db.ww SELECT id, " +
+        "CAST(concat(cast(id + 1 AS STRING), " +
+        "'000000000000000.25') AS DECIMAL(20,2)) " +
+        "FROM range(0, 300, 1, 2)")
+      spark.sql(s"ALTER TABLE $cat.db.ww ALTER COLUMN amt " +
+        "TYPE DECIMAL(30,2)")
+      val want = spark.sql("SELECT sum(CAST(concat(" +
+        "cast(id + 1 AS STRING), '000000000000000.25') " +
+        "AS DECIMAL(30,2))) FROM range(0, 300)").head().getDecimal(0)
+      def total() = spark.sql(
+        s"SELECT sum(amt) FROM $cat.db.ww WHERE k >= 0")
+        .head().getDecimal(0)
+      assert(spark.table(s"$cat.db.ww").schema("amt").dataType ==
+        org.apache.spark.sql.types.DecimalType(30, 2))
+      assert(total() == want, "columnar widened read drifted")
+      val prev = System.getProperty("graft.lake.reader.columnar")
+      System.setProperty("graft.lake.reader.columnar", "false")
+      try assert(total() == want, "row-path widened read drifted")
+      finally {
+        if (prev == null)
+          System.clearProperty("graft.lake.reader.columnar")
+        else System.setProperty("graft.lake.reader.columnar", prev)
+      }
     }
   }
 

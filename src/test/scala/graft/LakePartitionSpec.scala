@@ -877,9 +877,20 @@ class LakePartitionSpec extends SparkSpec {
       intercept[Exception] {
         spark.sql(s"ALTER TABLE $cat.db.dw ALTER COLUMN p TYPE DECIMAL(15,4)")
       }
-      intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.db.dw ALTER COLUMN p TYPE DECIMAL(25,2)")
-      }
+      // past-18 precision widening is supported since r13 (new files
+      // encode FLBA, old INT64 vintages decode per their own footer):
+      // widen and re-read exactly
+      spark.sql(s"ALTER TABLE $cat.db.dw ALTER COLUMN p TYPE DECIMAL(25,2)")
+      assert(spark.table(s"$cat.db.dw").schema("p").dataType ==
+        org.apache.spark.sql.types.DecimalType(25, 2))
+      assert(spark.sql(s"SELECT sum(p) FROM $cat.db.dw")
+        .head().getDecimal(0) == want)
+      // and new past-Long-unscaled values land beside the old vintage
+      spark.sql(s"INSERT INTO $cat.db.dw SELECT 1, " +
+        "CAST('10000000000000000000000.50' AS DECIMAL(25,2))")
+      assert(spark.sql(s"SELECT sum(p) FROM $cat.db.dw")
+        .head().getDecimal(0) ==
+        want.add(new java.math.BigDecimal("10000000000000000000000.50")))
     }
   }
 
