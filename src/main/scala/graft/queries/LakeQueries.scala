@@ -445,7 +445,11 @@ object LakeQueries {
       previous(s, dir).selectExpr(s"$key AS k",
         "o_orderpriority AS pri",
         "CAST(o_totalprice AS DECIMAL(12,2)) AS price",
-        s"CAST(concat(cast($key AS STRING), " +
+        // magnitude from key % 100000, NOT the raw key: per-group sums
+        // must stay inside DECIMAL(38,4) (34 integer digits) at ANY
+        // scale factor — the raw key grows with sf and a 10x replica's
+        // 9-digit keys would overflow the grouped sum under ANSI
+        s"CAST(concat(cast($key % 100000 AS STRING), " +
           "'00000000000000000000.000', " +
           s"cast($key % 10 AS STRING)) AS DECIMAL(38,4)) AS big")
         .createOrReplaceTempView("lake_dec_src")
@@ -1027,7 +1031,7 @@ object LakeQueries {
       s"""$snapshotCte, decsrc AS (
          |  SELECT o_orderpriority AS pri,
          |    CAST(o_totalprice AS DECIMAL(12,2)) AS price,
-         |    CAST(concat(CAST(o_orderkey AS VARCHAR),
+         |    CAST(concat(CAST(o_orderkey % 100000 AS VARCHAR),
          |      '00000000000000000000.000',
          |      CAST(o_orderkey % 10 AS VARCHAR)) AS DECIMAL(38,4)) AS big
          |  FROM prev WHERE o_orderkey % 7 <> 3
