@@ -422,6 +422,31 @@ object LakeQueries {
         "WHERE pri IN ('1-URGENT', '3-MEDIUM') GROUP BY pri")
     }),
 
+    // HIDDEN-PARTITIONING FILTERED METADATA AGGREGATE (r13): the range
+    // filter on the months(d)-bucketed DATE column is month-ALIGNED, so
+    // the scan consumes it outright (strict projection: each month
+    // partition falls wholly in or out of the range — no identity
+    // column involved), which lets the COUNT/MIN/MAX answer from the
+    // manifest alone, loading only the matching months' segments (plan
+    // + segment-read pins in LakeHiddenConsumptionSpec). The
+    // month-aligned DELETE drops whole partitions copy-on-write — the
+    // metadata answer must see them gone. The oracle restates the
+    // surviving range from rows.
+    "lake_hidden_meta" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_hmeta")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, d DATE) " +
+        "PARTITIONED BY (months(d))")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderdate AS d")
+        .createOrReplaceTempView("lake_hmeta_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_hmeta_src")
+      s.sql(s"DELETE FROM $tbl WHERE d < DATE'1995-07-01'")
+      s.sql(s"SELECT count(*) AS n, min(k) AS lo_k, max(k) AS hi_k, " +
+        "min(d) AS lo_d, max(d) AS hi_d " +
+        s"FROM $tbl WHERE d >= DATE'1995-01-01' AND d < DATE'1998-01-01'")
+    }),
+
     // DECIMAL through the full lake lifecycle: a money column stored
     // as the connector's INT64-unscaled parquet DECIMAL, driven
     // through load → merge-on-read DELETE → time-travel read, with an
@@ -1025,6 +1050,16 @@ object LakeQueries {
          |SELECT o_orderpriority AS pri, count(*) AS n
          |FROM prev WHERE o_orderkey % 4 <> 1
          |GROUP BY 1""".stripMargin,
+    // the surviving month range recomputed from rows (the DELETE
+    // removed everything before 1995-07-01, inside the queried range)
+    "lake_hidden_meta" ->
+      s"""$snapshotCte
+         |SELECT count(*) AS n, min(o_orderkey) AS lo_k,
+         |       max(o_orderkey) AS hi_k,
+         |       min(o_orderdate) AS lo_d, max(o_orderdate) AS hi_d
+         |FROM prev
+         |WHERE o_orderdate >= DATE '1995-07-01'
+         |  AND o_orderdate < DATE '1998-01-01'""".stripMargin,
     // the surviving rows' exact decimal aggregate, restated over the
     // source with the same cast
     "lake_decimal_dml" ->

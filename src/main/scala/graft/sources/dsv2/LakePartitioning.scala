@@ -614,17 +614,28 @@ object LakePartitioning {
   }
 
   /** Is `f`'s truth value decided EXACTLY by a file's partition tuple
-    * under EVERY spec vintage? True requires:
+    * under EVERY spec vintage? True requires a single-column filter
+    * whose (shape, literal) pair some transform on the column decides
+    * EXACTLY — i.e. [[slotMightMatch]] ≡ [[slotMustMatch]] for every
+    * possible tuple slot, per [[decidesExactly]]:
     *
-    *   - a single-column filter of a supported shape whose literal(s)
-    *     lift losslessly into the source column's internal type (a
-    *     literal that doesn't lift would make [[judgeTuple]] keep the
-    *     file conservatively — might-match, not decided);
-    *   - the column carried by an IDENTITY transform in EVERY vintage
-    *     — identity makes a file's rows HOMOGENEOUS in the column
-    *     (tuple value = every row's value), so "might match" and
-    *     "must match" coincide and file-level pruning IS row-level
-    *     enforcement.
+    *   - EXACT transforms (identity; days over DATE): every supported
+    *     shape — a file's rows are homogeneous in the transform OUTPUT
+    *     and the output determines the source value;
+    *   - MONOTONIC transforms (truncate, days/months/years/hours) —
+    *     Spark's hidden-partitioning rewrites land here: a range
+    *     comparison whose literal sits ON the partition boundary the
+    *     comparison needs (`d >= 2024-02-01` under `months(d)` — the
+    *     floor; `d <= 2024-02-29` — the ceiling). Then every partition
+    *     is wholly inside or wholly outside the range;
+    *   - ANY transform: IS NULL / IS NOT NULL / `<=> NULL` — the
+    *     writer maps a null source to the null slot under every
+    *     transform kind, so null-ness is always tuple-exact.
+    *
+    * One deciding transform per vintage suffices: files are KEPT only
+    * when every bound on the column might-match, might ≡ must on the
+    * deciding bound makes every kept file all-rows-matching, and the
+    * other bounds only prune files that provably cannot match.
     *
     * This is the soundness test for CONSUMING a pushed filter (the
     * scan enforces it; Spark drops its Filter node): consumption
@@ -634,25 +645,55 @@ object LakePartitioning {
   def exactlyDecidable(specs: IndexedSeq[Seq[Bound]], f: Filter): Boolean = {
     if (specs.isEmpty) return false
     val c = filterColumn(f).getOrElse(return false).toLowerCase
-    val idBounds = specs.map(_.filter(b =>
-      b.t.isInstanceOf[PIdentity] && b.t.col.toLowerCase == c))
-    if (idBounds.exists(_.isEmpty)) return false // a vintage lacks identity(c)
-    def liftsOk(b: Bound): Boolean = normalize(f) match {
-      case org.apache.spark.sql.sources.IsNull(_)    => true
-      case org.apache.spark.sql.sources.IsNotNull(_) => true
-      case EqualNullSafe(_, null)                    => true
-      case org.apache.spark.sql.sources.In(_, vs) =>
-        // null IN-values drop out (match nothing under 3VL); an
-        // all-null/empty list is the constant FALSE — also decided
-        vs.filter(_ != null).forall(v => liftLiteral(v, b.srcType).isDefined)
-      case EqualTo(_, v)            => liftLiteral(v, b.srcType).isDefined
-      case GreaterThan(_, v)        => liftLiteral(v, b.srcType).isDefined
-      case GreaterThanOrEqual(_, v) => liftLiteral(v, b.srcType).isDefined
-      case LessThan(_, v)           => liftLiteral(v, b.srcType).isDefined
-      case LessThanOrEqual(_, v)    => liftLiteral(v, b.srcType).isDefined
-      case _                        => false
+    specs.forall(_.exists(b =>
+      b.t.col.toLowerCase == c && decidesExactly(b, f)))
+  }
+
+  /** Does transform `b` decide `f` exactly — might-match ≡ must-match
+    * for every slot value? The analytic derivation from the
+    * [[slotMightMatch]]/[[slotMustMatch]] pair (exact bounds have
+    * constant-true floor/ceiling predicates, so one rule covers both
+    * tiers). Null slots compare-false on both sides of every
+    * comparison, so only the boundary cases matter.
+    */
+  private def decidesExactly(b: Bound, f0: Filter): Boolean = {
+    val f = normalize(f0)
+    f match {
+      // null-ness is tuple-exact under EVERY transform: the writer
+      // splits rows per tuple and a null source maps to the null slot
+      case org.apache.spark.sql.sources.IsNull(_)    => return true
+      case org.apache.spark.sql.sources.IsNotNull(_) => return true
+      case EqualNullSafe(_, null)                    => return true
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        // membership = a disjunction of equalities: each non-null
+        // value must decide (null IN-values drop out under 3VL; an
+        // empty/all-null list is the constant FALSE — decided anywhere)
+        val nn = vs.filter(_ != null)
+        return nn.forall(v => decidesExactly(b, EqualTo(c, v)))
+      case _ => ()
     }
-    idBounds.forall(_.forall(liftsOk))
+    val lit = f match {
+      case EqualTo(_, v)            => v
+      case GreaterThan(_, v)        => v
+      case GreaterThanOrEqual(_, v) => v
+      case LessThan(_, v)           => v
+      case LessThanOrEqual(_, v)    => v
+      case _                        => return false
+    }
+    val internal = liftLiteral(lit, b.srcType).getOrElse(return false)
+    f match {
+      // equality needs the output to determine the source value
+      case _: EqualTo => b.exact
+      // strict-projection boundary rule: `>= L` / `< L` split cleanly
+      // exactly when L is its partition's FLOOR, `> L` / `<= L` when
+      // L is the CEILING (for exact transforms both predicates are
+      // constantly true, so identity/days-DATE admit any literal)
+      case _: GreaterThanOrEqual => b.monotonic && b.isFloorOf(internal)
+      case _: LessThan           => b.monotonic && b.isFloorOf(internal)
+      case _: GreaterThan        => b.monotonic && b.isCeilOf(internal)
+      case _: LessThanOrEqual    => b.monotonic && b.isCeilOf(internal)
+      case _                     => false
+    }
   }
 
   /** The per-tuple judgment [[prune]] applies per file, exposed for

@@ -406,15 +406,19 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     *
     * EXCEPTION — partition-filter CONSUMPTION (the Hive/Iceberg
     * contract): a filter whose truth is decided EXACTLY by every
-    * file's identity-partition tuple is fully enforced by file-level
-    * pruning (identity ⇒ a file's rows are homogeneous in the column),
+    * file's partition tuple is fully enforced by file-level pruning,
     * so the scan consumes it and Spark drops its Filter node — which
     * is what unlocks METADATA AGGREGATES under partition filters
     * (Spark only offers the aggregate push when no post-scan filters
-    * remain). Soundness preconditions, all checked here:
+    * remain). Decidability covers identity transforms (any supported
+    * shape — rows are homogeneous in the column), HIDDEN-PARTITIONING
+    * ranges (a months()/days()/truncate() literal sitting on the
+    * partition boundary the comparison needs — Iceberg's strict
+    * projection), and null tests under any transform (null slots are
+    * tuple-exact). Soundness preconditions, all checked here:
     *
     *   - [[LakePartitioning.exactlyDecidable]]: supported shape,
-    *     liftable literal, identity transform in EVERY spec vintage;
+    *     liftable literal, a deciding transform in EVERY spec vintage;
     *   - every file carries a tuple, proved from the manifest SKELETON
     *     (tree: every segment has a tuple summary — written only when
     *     all its files are tupled; flat: the inline parts map covers
