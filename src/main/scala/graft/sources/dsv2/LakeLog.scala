@@ -677,12 +677,34 @@ object LakeLog {
         val covered = kept.flatMap(r => readSegment(fs, dir, r.name)._1)
           .toSet
         val leftover = s.files.filterNot(covered)
-        // new segments: grouped by partition tuple (so summaries stay
-        // tight and a partition-filtered read touches few segments),
-        // chunked at the inline threshold
-        val sorted = leftover.sortBy(f =>
-          (s.parts.getOrElse(f, Seq.empty).mkString("\u0000"), f))
-        val chunks = sorted.grouped(math.max(1, threshold)).toSeq
+        // new segments: whole partition-tuple GROUPS bin-packed to the
+        // inline threshold — a chunk boundary never splits a group, so
+        // a group at or past the threshold yields exactly-single-tuple
+        // segments (its < cap remainder rejoins the small-group flow)
+        // and a partition-filtered plan skips non-matching segments
+        // without loading them. Small groups pack together in tuple
+        // order; a bin flushes only when the next group overflows it,
+        // so segment count stays within 2x of the unconstrained
+        // chunking (and equals it for per-partition commit shapes).
+        val cap = math.max(1, threshold)
+        val groups: Seq[Seq[String]] = leftover
+          .groupBy(f => s.parts.getOrElse(f, Seq.empty).mkString("\u0000"))
+          .toSeq.sortBy(_._1).map(_._2.sorted)
+        val chunksB = Seq.newBuilder[Seq[String]]
+        var bin = Vector.empty[String]
+        groups.foreach { g0 =>
+          val full = g0.size / cap * cap
+          g0.take(full).grouped(cap).foreach(chunksB += _)
+          val g = g0.drop(full)
+          if (g.nonEmpty) {
+            if (bin.nonEmpty && bin.size + g.size > cap) {
+              chunksB += bin; bin = Vector.empty
+            }
+            bin ++= g
+          }
+        }
+        if (bin.nonEmpty) chunksB += bin
+        val chunks = chunksB.result()
         val created = chunks.map { chunk =>
           val name = s"seg-${java.util.UUID.randomUUID()}.json"
           val sm = new JHashMap[String, Object]()

@@ -169,6 +169,38 @@ class LakeHiddenConsumptionSpec extends SparkSpec {
     }
   }
 
+  test("a months-range-filtered stream stays exact across commits " +
+       "(today Spark keeps micro-batch filters post-scan; the stream's " +
+       "consumed-filter guard covers the release that pushes them)") {
+    withCatalog(1000) { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.st (k BIGINT, d DATE) " +
+        "PARTITIONED BY (months(d))")
+      // two commits so the stream replays more than one batch source
+      (0 until 2).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.db.st SELECT id, " +
+          "date_add(DATE'1994-01-01', CAST(id % 360 AS INT)) " +
+          s"FROM range(${i * 500}, ${(i + 1) * 500}, 1, 4)"))
+      val out = Files.createTempDirectory("graft-hidden-st").toString
+      val q = spark.readStream.table(s"$cat.db.st")
+        .where("d >= DATE'1994-03-01' AND d < DATE'1994-06-01'")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(s"$out/data")
+        .collect().map(_.getLong(0)).toSet
+      val want = (0L until 1000L).filter { id =>
+        val doy = (id % 360).toInt
+        doy >= 59 && doy < 151 // [Mar 1, Jun 1)
+      }.toSet
+      assert(got == want,
+        s"stream leaked/lost rows: extra=${(got -- want).take(5)} " +
+          s"missing=${(want -- got).take(5)}")
+    }
+  }
+
   test("truncate(10, k): stride-aligned range filters consume; " +
        "mid-stride stays residual; both exact") {
     withCatalog(1000) { (cat, _) =>

@@ -102,6 +102,49 @@ class LakeManifestTreeSpec extends SparkSpec {
     }
   }
 
+  test("segment bin-packing keeps partition-tuple groups whole: a " +
+       "commit whose groups exceed the threshold yields single-tuple " +
+       "segments for every full chunk, remainders pack together, and " +
+       "segment count stays within the 2x bound") {
+    withTreeCatalog(4) { (_, root) =>
+      val dir = s"$root/packing"
+      new java.io.File(dir).mkdirs()
+      // 3 partition groups x 6 synthetic files at threshold 4: the
+      // old boundary-oblivious chunker would straddle partitions in 2
+      // of 5 chunks; whole-group packing must emit one straddling BIN
+      // at most (the 2+2 remainders), everything else single-tuple
+      val parts = (for {
+        p <- 0 until 3; i <- 0 until 6
+      } yield f"f$p$i.parquet" -> Seq(s"vp$p")).toMap
+      LakeLog.commit(dir, "pack-test", parts.keys.toSeq.sorted,
+        Seq.empty, 18L, addedParts = parts)
+      val head = LakeLog.current(dir).get
+      assert(head.files.size == 18)
+      assert(head.segments.nonEmpty, "18 files at threshold 4 -> tree")
+      assert(head.segments.map(_.n).sum == 18)
+      assert(head.segments.size <= 6, // ceil(18/4) + 1: the 2x bound
+        s"packing must not blow up segment count: ${head.segments.size}")
+      val summaries = head.segments.map(_.tuples.getOrElse(fail(
+        "all files tupled -> every segment needs a prune summary")))
+      val single = summaries.count(_.size == 1)
+      assert(single >= 4,
+        s"full chunks must be single-tuple: only $single of " +
+          s"${summaries.size} are")
+      assert(summaries.count(_.size > 1) <= 1,
+        "at most the remainder bin may straddle tuples: " +
+          summaries.map(_.size).mkString(","))
+      // every group's files land in segments that list its tuple —
+      // proved through the pruned-read path (keep only the segments
+      // summarizing vpN, the files must all be there)
+      (0 until 3).foreach { p =>
+        val s = LakeLog.snapshotAtPruned(dir, head.version, None,
+          r => r.tuples.exists(_.contains(Seq(s"vp$p"))))
+        assert((0 until 6).forall(i => s.files.contains(f"f$p$i.parquet")),
+          s"partition $p's files must be fully covered by its segments")
+      }
+    }
+  }
+
   test("bounded manifest I/O: a partition-filtered plan on a many-file " +
        "tree table loads only matching segments (counterized), with " +
        "exact results; the unfiltered plan loads them all") {
