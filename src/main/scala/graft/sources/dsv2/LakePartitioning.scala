@@ -344,19 +344,23 @@ object LakePartitioning {
     case other          => "v" + other.toString
   }
 
-  /** Decode a slot back to the transform's INTERNAL output value. */
+  /** Decode a slot back to the transform's INTERNAL output value.
+    * Total: an unknown encoding OR an unparseable body yields None
+    * (pruning keeps such files conservatively; [[allDecided]] treats
+    * them as undecided so consumed filters fail loud, never wrong).
+    */
   def decodeSlot(b: Bound, s: String): Option[Any] =
     if (s == "n") Some(null)
     else if (!s.startsWith("v")) None // unknown vintage encoding: opaque
     else {
       val body = s.substring(1)
-      b.outType match {
+      try b.outType match {
         case IntegerType | DateType => Some(body.toInt)
         case LongType | TimestampType | TimestampNTZType =>
           Some(body.toLong)
         case StringType => Some(UTF8String.fromString(body))
         case _          => None
-      }
+      } catch { case _: NumberFormatException => None }
     }
 
   def encodeTuple(values: Seq[Any]): Seq[String] = values.map(encodeSlot)
@@ -419,6 +423,20 @@ object LakePartitioning {
     case other                            => other
   }
 
+  /** The comparison literal of a single-bound shape; None for every
+    * other filter. Shared by [[slotMightMatch]] / [[slotMustMatch]] /
+    * [[decidesExactly]] so the trio can never diverge on which shapes
+    * they admit — the might ≡ must equivalence consumption rests on.
+    */
+  private def litOf(f: Filter): Option[Any] = f match {
+    case EqualTo(_, v)            => Some(v)
+    case GreaterThan(_, v)        => Some(v)
+    case GreaterThanOrEqual(_, v) => Some(v)
+    case LessThan(_, v)           => Some(v)
+    case LessThanOrEqual(_, v)    => Some(v)
+    case _                        => None
+  }
+
   private def slotMightMatch(b: Bound, slot: String, f0: Filter): Boolean = {
     val f = normalize(f0)
     f match {
@@ -436,14 +454,7 @@ object LakePartitioning {
           nn.exists(v => slotMightMatch(b, slot, EqualTo(c, v)))
       case _                      => ()
     }
-    val lit = f match {
-      case EqualTo(_, v)            => v
-      case GreaterThan(_, v)        => v
-      case GreaterThanOrEqual(_, v) => v
-      case LessThan(_, v)           => v
-      case LessThanOrEqual(_, v)    => v
-      case _                        => return true
-    }
+    val lit = litOf(f).getOrElse(return true)
     val internal = liftLiteral(lit, b.srcType).getOrElse(return true)
     val p = decodeSlot(b, slot).getOrElse(return true)
     // a null slot means every row's source value is null in this file —
@@ -495,14 +506,7 @@ object LakePartitioning {
           .exists(v => slotMustMatch(b, slot, EqualTo(c, v)))
       case _                      => ()
     }
-    val lit = f match {
-      case EqualTo(_, v)            => v
-      case GreaterThan(_, v)        => v
-      case GreaterThanOrEqual(_, v) => v
-      case LessThan(_, v)           => v
-      case LessThanOrEqual(_, v)    => v
-      case _                        => return false
-    }
+    val lit = litOf(f).getOrElse(return false)
     val internal = liftLiteral(lit, b.srcType).getOrElse(return false)
     val p = decodeSlot(b, slot).getOrElse(return false)
     if (p == null) return false // null rows fail every comparison
@@ -672,14 +676,7 @@ object LakePartitioning {
         return nn.forall(v => decidesExactly(b, EqualTo(c, v)))
       case _ => ()
     }
-    val lit = f match {
-      case EqualTo(_, v)            => v
-      case GreaterThan(_, v)        => v
-      case GreaterThanOrEqual(_, v) => v
-      case LessThan(_, v)           => v
-      case LessThanOrEqual(_, v)    => v
-      case _                        => return false
-    }
+    val lit = litOf(f).getOrElse(return false)
     val internal = liftLiteral(lit, b.srcType).getOrElse(return false)
     f match {
       // equality needs the output to determine the source value
@@ -797,15 +794,21 @@ object LakePartitioning {
       })
 
   /** Every file carries a tuple whose layout resolves against a known
-    * spec vintage — the runtime precondition for CONSUMED filters: a
-    * missing/unresolvable tuple is kept conservatively by [[prune]],
-    * which would leak rows past a filter Spark no longer re-applies.
+    * spec vintage AND whose every slot decodes — the runtime
+    * precondition for CONSUMED filters: a missing/unresolvable tuple
+    * OR an undecodable slot (foreign encoding, corrupt body) is kept
+    * conservatively by [[prune]], which would leak rows past a filter
+    * Spark no longer re-applies.
     */
   def allDecided(files: Seq[org.apache.hadoop.fs.Path],
                  parts: Map[String, Seq[String]],
                  specs: IndexedSeq[Seq[Bound]]): Boolean =
     files.forall(f => parts.get(f.getName)
-      .exists(t => layoutOf(t, specs).isDefined))
+      .exists(t => layoutOf(t, specs).exists { case (bound, slots) =>
+        bound.zip(slots).forall { case (b, s) =>
+          decodeSlot(b, s).isDefined
+        }
+      }))
 
   /** Current-spec slots of a stored tuple (only call under
     * [[fullyTupled]]).

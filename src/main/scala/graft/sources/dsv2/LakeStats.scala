@@ -284,6 +284,11 @@ object LakeStats {
       case GreaterThanOrEqual(col, v) => cmpOne(col, v, f)
       case LessThan(col, v)           => cmpOne(col, v, f)
       case LessThanOrEqual(col, v)    => cmpOne(col, v, f)
+      // `<=> NULL` prunes as IS NULL; `<=> v` as the equality it is
+      case org.apache.spark.sql.sources.EqualNullSafe(c, null) =>
+        one(org.apache.spark.sql.sources.IsNull(c))
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v) =>
+        cmpOne(c, v, EqualTo(c, v))
       case _                          => true // unprunable shape
     }
     def cmpOne(col: String, v: Any, f: Filter): Boolean =

@@ -1686,6 +1686,8 @@ object LakeTableIO {
       org.apache.spark.sql.sources.IsNull(to)
     case org.apache.spark.sql.sources.IsNotNull(_) =>
       org.apache.spark.sql.sources.IsNotNull(to)
+    case org.apache.spark.sql.sources.EqualNullSafe(_, v) =>
+      org.apache.spark.sql.sources.EqualNullSafe(to, v)
     case other                    => other
   }
 
@@ -1705,6 +1707,7 @@ object LakeTableIO {
     case org.apache.spark.sql.sources.In(c, _)      => Some(c)
     case org.apache.spark.sql.sources.IsNull(c)     => Some(c)
     case org.apache.spark.sql.sources.IsNotNull(c)  => Some(c)
+    case org.apache.spark.sql.sources.EqualNullSafe(c, _) => Some(c)
     case _                        => None
   }
 
@@ -2463,6 +2466,11 @@ object LakeTableIO {
     // prune from null counts / null tuple slots
     case org.apache.spark.sql.sources.In(_, vs) =>
       vs.forall(v => v == null || comparable(v))
+    // `<=> NULL` names exactly the null partition; `<=> v` prunes as
+    // the equality it is (the tuple layer normalizes it) — stats
+    // layers keep it conservatively via their unprunable-shape default
+    case org.apache.spark.sql.sources.EqualNullSafe(_, v) =>
+      v == null || comparable(v)
     case org.apache.spark.sql.sources.IsNull(_)    => true
     case org.apache.spark.sql.sources.IsNotNull(_) => true
     case _                        => false
@@ -2628,6 +2636,11 @@ object LakeTableIO {
         nullsOf(c).forall(_ > 0)
       case org.apache.spark.sql.sources.IsNotNull(c) =>
         nullsOf(c).forall(_ < block.getRowCount)
+      // `<=> NULL` prunes as IS NULL; `<=> v` as the equality it is
+      case org.apache.spark.sql.sources.EqualNullSafe(c, null) =>
+        nullsOf(c).forall(_ > 0)
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v) =>
+        mightMatch(block, EqualTo(c, v))
       case _ => true
     }
   }

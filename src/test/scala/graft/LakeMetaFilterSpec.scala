@@ -161,6 +161,57 @@ class LakeMetaFilterSpec extends SparkSpec {
     }
   }
 
+  test("an UNDECODABLE tuple slot fails a consumed scan LOUD, never " +
+       "wrong: a resolvable-layout tuple whose slot body cannot parse " +
+       "is undecided — the plan must refuse, not leak the file's rows " +
+       "past the dropped Filter node") {
+    withTreeCatalog(1000) { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.g (k BIGINT, v STRING) " +
+        "PARTITIONED BY (k)")
+      spark.sql(s"INSERT INTO $cat.db.g SELECT id % 4, concat('v', id) " +
+        "FROM range(0, 100, 1, 2)")
+      val dir = s"$root/db/g"
+      // external commit: right arity (spec 0, one slot) but a slot
+      // body that cannot decode as the LongType transform output
+      LakeLog.commit(dir, "external", Seq("garbage-slot.parquet"),
+        Seq.empty, 1L,
+        addedParts = Map("garbage-slot.parquet" -> Seq("vGARBAGE")))
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT v FROM $cat.db.g WHERE k = 2").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("cannot be enforced")),
+        s"expected the loud consumed-filter guard, got: ${messages(e)}")
+    }
+  }
+
+  test("null-safe equality: `<=> NULL` is consumed (names exactly the " +
+       "null partition), `<=> v` consumes as the equality it is — " +
+       "both exact") {
+    withTreeCatalog(1000) { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.ns (g STRING, k BIGINT) " +
+        "PARTITIONED BY (g)")
+      spark.sql(s"INSERT INTO $cat.db.ns SELECT " +
+        "CASE WHEN id % 5 = 4 THEN NULL ELSE concat('p', id % 5) END, " +
+        "id FROM range(0, 500, 1, 4)")
+      def run(pred: String): (Set[Long], String) = {
+        val df = spark.sql(s"SELECT k FROM $cat.db.ns WHERE $pred")
+        (df.collect().map(_.getLong(0)).toSet,
+          df.queryExecution.executedPlan.toString)
+      }
+      val (a, pa) = run("g <=> NULL")
+      assert(!pa.contains("Filter ("),
+        s"<=> NULL must be consumed:\n${pa.take(400)}")
+      assert(a == (0L until 500L).filter(_ % 5 == 4).toSet)
+      val (b, pb) = run("g <=> 'p2'")
+      assert(!pb.contains("Filter ("),
+        s"<=> v must consume as equality:\n${pb.take(400)}")
+      assert(b == (0L until 500L).filter(_ % 5 == 2).toSet)
+    }
+  }
+
   test("tuple-less files disable consumption: after an external " +
        "(untupled) file commits, partition filters stay residual — " +
        "exact results through Spark's re-applied Filter, never a leak") {
