@@ -9,16 +9,20 @@ import org.apache.spark.sql.functions._
   * transforms — the Spark-side shape a real pipeline needs (schema,
   * partitioning, batch size).
   *
-  * Codec status: the IMAGE half is REAL (javax.imageio — genuine
-  * PNG/BMP parse, pixel-exact hashes) and the AUDIO half is REAL
-  * (javax.sound.sampled — genuine WAV/AIFF parse, endian-normalized
-  * sample hashes); both are JDK built-ins, no external deps. Only the
-  * VIDEO-frame half remains a stub (`decodeBatch`/[[sampleFrames]]
-  * checksum header bytes — the JDK ships no video codec): a real
-  * deployment swaps ONLY that body for a vectorized decoder (JNI/FFI),
-  * keeping the schema, the `mapPartitions` batching, and the plan
-  * shape unchanged. That batching is the point: per-batch amortized
-  * codec setup, bounded memory per task, no driver involvement.
+  * Codec status — all three halves now run REAL JDK codecs, no
+  * external deps: IMAGE via javax.imageio (genuine PNG/BMP parse,
+  * pixel-exact hashes), AUDIO via javax.sound.sampled (genuine
+  * WAV/AIFF parse, endian-normalized sample hashes), and VIDEO via
+  * javax.imageio's multi-frame containers (animated GIF / multi-page
+  * TIFF: genuine frame-directory walks, per-frame pixel folds —
+  * [[decodeVideo]]/[[sampleVideoFrames]]/[[videoHash64]]). The JDK
+  * ships no MP4/H.264 decoder, so a production deployment swaps the
+  * container codec for a vectorized one (JNI/FFI) behind the SAME
+  * schema, `mapPartitions` batching, and plan shape; the original
+  * byte-range stubs (`decodeBatch`/[[sampleFrames]]) remain for
+  * virtual-frame workloads. That batching is the point: per-batch
+  * amortized codec setup, bounded memory per task, no driver
+  * involvement.
   *
   * Scale notes (100 TB): payloads never shuffle — decode is a narrow map
   * over the scan; only the small extracted-metadata rows flow onward into
@@ -612,6 +616,251 @@ object Multimodal {
                 MediaHash(id, h)
               }
             } finally ais.close()
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------- video
+
+  /** Typed metadata from a REAL multi-frame container parse: frame
+    * count from the container's own image directory, first-frame
+    * dimensions — or the "invalid" sentinel.
+    */
+  final case class VideoMeta(doc_id: Long, n_frames: Long, width: Long,
+                             height: Long, mode: String)
+
+  /** One genuinely decoded sampled frame: index + an exact fold over
+    * its colormodel-resolved pixels (container-invariant: a GIF frame
+    * and its TIFF twin hash identically).
+    */
+  final case class FrameHash(doc_id: Long, frame_idx: Long, fhash: Long)
+
+  /** 256-level grayscale palette: GIF stores indexed natively, so
+    * samples round-trip EXACTLY (GIF is lossless at <=256 colors) and
+    * `getRGB` resolves to the same (v,v,v) under every container.
+    */
+  private lazy val gray256: java.awt.image.IndexColorModel = {
+    val v = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, v, v, v)
+  }
+
+  /** Encode `frames` as one multi-frame container via the JDK's own
+    * sequence writers (GIF and multi-page TIFF both ship in
+    * javax.imageio).
+    */
+  private def writeFrames(frames: Seq[java.awt.image.BufferedImage],
+                          format: String): Array[Byte] = {
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+    require(writers.hasNext, s"no ImageIO sequence writer for $format")
+    val writer = writers.next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Parse a multi-frame payload into its frames, or null — NEVER a
+    * task failure (same contract as [[decodeOrNull]]): null/empty
+    * bytes, unknown magic, and plugin RuntimeExceptions on hostile
+    * containers all yield null. `getNumImages(true)` walks the
+    * container's own frame directory — the count is decoded fact, not
+    * metadata trust.
+    */
+  private def readFramesOrNull(p: Array[Byte])
+      : Seq[java.awt.image.BufferedImage] =
+    if (p == null || p.isEmpty) null
+    else
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); null }
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            (0 until n).map(r.read(_))
+          } finally { r.dispose(); iis.close() }
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Deterministic REAL video fixture: one animated GIF per document
+    * with oracle-computable facts — frames `2 + doc_id % 4`, width
+    * `4 + doc_id % 9`, height `4 + n_chars % 7`. Every frame's first
+    * four pixels spell the doc_id bytes (no two documents share frame
+    * content); the rest of frame `i` depends only on `i % 3`, so
+    * frames 3 cycles apart are pixel-identical — what makes per-video
+    * distinct-frame counts exactly `least(n_frames, 3)`.
+    */
+  def syntheticVideoMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        imageIoInit
+        it.map { case (id, nChars) =>
+          val n = 2 + (id % 4).toInt
+          val w = 4 + (id % 9).toInt
+          val hgt = 4 + (nChars % 7).toInt
+          val frames = (0 until n).map { i =>
+            val img = new java.awt.image.BufferedImage(w, hgt,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gray256)
+            var idx = 0
+            var y = 0
+            while (y < hgt) {
+              var x = 0
+              while (x < w) {
+                val v =
+                  if (idx < 4) ((id >> (8 * idx)) & 0xffL).toInt
+                  else (x * 7 + y * 13 + (i % 3) * 97 +
+                    (id & 0xffL).toInt) & 0xff
+                img.getRaster.setSample(x, y, 0, v)
+                idx += 1; x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          (id, "video", writeFrames(frames, "gif"), n.toLong)
+        }
+      }
+      .toDF("doc_id", "kind", "payload", "full_len")
+  }
+
+  /** REAL batched video decode: the container's frame directory and
+    * first-frame header parse into genuine frame-count / dimension
+    * facts. Same `grouped(batchSize)` loop as [[decodeImage]];
+    * payloads never shuffle; malformed payloads yield the "invalid"
+    * sentinel row.
+    */
+  def decodeVideo(media: DataFrame, batchSize: Int = 64)
+      : Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoInit
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, p) =>
+            val frames = readFramesOrNull(p)
+            if (frames == null || frames.isEmpty)
+              VideoMeta(id, 0L, 0L, 0L, "invalid")
+            else VideoMeta(id, frames.length.toLong,
+              frames.head.getWidth.toLong, frames.head.getHeight.toLong,
+              "video")
+          }
+        }
+      }
+  }
+
+  /** Re-encode each multi-frame payload into `format` (GIF → "tiff"):
+    * identical frames, completely different container bytes — the
+    * video twin of [[transcode]]/[[audioTranscode]]. Undecodable rows
+    * pass through unchanged.
+    */
+  def videoTranscode(media: DataFrame, format: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("kind"), col("payload"),
+        col("full_len").cast("long"))
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        imageIoInit
+        it.map { case (id, kind, p, len) =>
+          val out = readFramesOrNull(p) match {
+            case null => p
+            case frames =>
+              try writeFrames(frames, format)
+              catch { case scala.util.control.NonFatal(_) => p }
+          }
+          (id, kind, out, len)
+        }
+      }
+      .toDF("doc_id", "kind", "payload", "full_len")
+  }
+
+  /** Exact fold over one frame's colormodel-resolved pixels —
+    * container-invariant (an indexed GIF frame and its TIFF twin
+    * resolve to the same RGB triples).
+    */
+  private def frameFold(img: java.awt.image.BufferedImage): Long = {
+    var h = 1125899906842597L
+    h = h * 31L + img.getWidth
+    h = h * 31L + img.getHeight
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h = h * 1000003L + (img.getRGB(x, y) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Exact content hash over ALL decoded frames — container-invariant
+    * video dedup: a GIF and a multi-page TIFF of the same frames
+    * collide; any pixel or frame-count difference separates.
+    * Undecodable payloads hash to the -1 sentinel.
+    */
+  def videoHash64(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoInit
+        it.map { case (id, p) =>
+          val frames = readFramesOrNull(p)
+          if (frames == null || frames.isEmpty) MediaHash(id, -1L)
+          else {
+            var h = frames.length.toLong
+            frames.foreach(f => h = h * 1000003L + frameFold(f))
+            MediaHash(id, h)
+          }
+        }
+      }
+  }
+
+  /** REAL frame sampling: decode the container, emit every `every`-th
+    * frame's index + exact pixel fold. Sampling happens AT the decode
+    * boundary (unsampled frames decode but never materialize as rows)
+    * — at 100 TB only the small (id, idx, hash) rows flow onward. The
+    * byte-range [[sampleFrames]] stub remains for virtual-frame
+    * workloads; this is the genuine-codec path.
+    */
+  def sampleVideoFrames(media: DataFrame, every: Int = 1,
+                        batchSize: Int = 64): Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoInit
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, p) =>
+            readFramesOrNull(p) match {
+              case null => Nil
+              case frames =>
+                frames.zipWithIndex
+                  .filter(_._2 % every == 0)
+                  .map { case (f, i) => FrameHash(id, i.toLong, frameFold(f)) }
+            }
+          }
         }
       }
   }

@@ -175,6 +175,56 @@ object MultimodalQueries {
         .select(col("n_items"), col("n_digests"), col("min_doc"))
     }),
 
+    // REAL video decode (closes the last multimodal stub): frame count
+    // read from the GIF container's own frame directory, dimensions
+    // from the first decoded frame — both must equal the generation
+    // formula or the hash mismatches. The JDK's ImageIO reads animated
+    // GIF natively; no external codec.
+    "mm_video_meta" -> ((s, dir) =>
+      Multimodal.decodeVideo(
+        Multimodal.syntheticVideoMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("width"),
+          col("height"))),
+
+    // per-frame GENUINE decode: every frame's exact pixel fold, with
+    // within-video duplicate frames (the fixture repeats content every
+    // 3 frames) collapsing under countDistinct — n_uniq must be
+    // exactly least(n_frames, 3), which only holds if frames really
+    // decode to their generated pixels.
+    "mm_video_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+        Multimodal.syntheticVideoMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct("fhash").as("n_uniq"))),
+
+    // container-invariant video dedup over GENUINELY DECODED FRAMES:
+    // every 12th GIF re-arrives as a multi-page TIFF transcode —
+    // identical frames, disjoint container bytes — so digest dedup is
+    // blind while videoHash64 (frame-count + per-frame pixel folds)
+    // collapses the pair; n_digests = 2 proves the containers differ.
+    "mm_video_dedup" -> ((s, dir) => {
+      val media = Multimodal.syntheticVideoMedia(
+        Tables(s, dir, "documents"))
+      val reenc = Multimodal.videoTranscode(
+          media.where(col("doc_id") % 12 === 0), "tiff")
+        .select((col("doc_id") + 800000).as("doc_id"), col("kind"),
+          col("payload"), col("full_len"))
+      val all = media.unionByName(reenc)
+      val hashed = Multimodal.videoHash64(all).toDF()
+      val digests = all.select(col("doc_id"),
+        md5(col("payload")).as("digest"))
+      hashed.join(digests, "doc_id")
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct("digest").as("n_digests"),
+          min("doc_id").as("min_doc"))
+        .where(col("n_items") > 1)
+        .select(col("n_items"), col("n_digests"), col("min_doc"))
+    }),
+
     // MEDIA PAYLOADS AS FIRST-CLASS LAKE COLUMNS (closes the r12
     // verdict's gap #1): the payload table lives INSIDE the connector
     // — a BINARY column written through the DSv2 write path, masked by
@@ -285,6 +335,33 @@ object MultimodalQueries {
       """SELECT CAST(2 AS BIGINT) AS n_items,
         |  CAST(2 AS BIGINT) AS n_digests, doc_id AS min_doc
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // genuinely decoded container facts, stated from the generation
+    // formula: frames 2 + id % 4, width 4 + id % 9, height
+    // 4 + n_chars % 7
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+        |  CAST(4 + doc_id % 9 AS BIGINT) AS width,
+        |  CAST(4 + n_chars % 7 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+    // frame content repeats every 3 frames by construction, so the
+    // per-video distinct-frame count is exactly least(n_frames, 3)
+    "mm_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+        |  CAST(least(2 + doc_id % 4, 3) AS BIGINT) AS n_uniq
+        |FROM documents""".stripMargin,
+
+    // the frame-hash groups are EXACTLY the GIF→TIFF transcode pairs:
+    // id-byte pixels in every frame make each document's frame content
+    // unique, and a transcode keeps frames while changing every
+    // container byte
+    "mm_video_dedup" ->
+      """SELECT CAST(2 AS BIGINT) AS n_items,
+        |  CAST(2 AS BIGINT) AS n_digests, doc_id AS min_doc
+        |FROM documents WHERE doc_id % 12 = 0""".stripMargin,
 
     // decoded header facts over the rows SURVIVING the lake DELETE,
     // restated from the generation formula (the connector table's DVs

@@ -123,6 +123,76 @@ class MultimodalCodecSpec extends SparkSpec {
       "structurally opposite images must be far apart")
   }
 
+  test("syntheticVideoMedia emits real animated GIFs: magic present, " +
+       "the container's own frame directory round-trips the formula " +
+       "frame count and dims") {
+    val media = Multimodal.syntheticVideoMedia(docs)
+    val rows = media.as[(Long, String, Array[Byte], Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => new String(r._3.take(3), "US-ASCII") == "GIF"),
+      "payloads must be genuine GIF containers")
+    val meta = Multimodal.decodeVideo(media).collect()
+    val expect = docs.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap
+    meta.foreach { m =>
+      val nChars = expect(m.doc_id)
+      assert(m.n_frames == 2 + m.doc_id % 4, s"doc ${m.doc_id} frames")
+      assert(m.width == 4 + m.doc_id % 9, s"doc ${m.doc_id} width")
+      assert(m.height == 4 + nChars % 7, s"doc ${m.doc_id} height")
+      assert(m.mode == "video")
+    }
+  }
+
+  test("videoHash64 is container-invariant and content-exact: a " +
+       "multi-page TIFF transcode collides with its GIF, distinct " +
+       "documents never collide, and per-frame folds see the 3-cycle " +
+       "content repetition exactly") {
+    val media = Multimodal.syntheticVideoMedia(docs)
+    val gif = Multimodal.videoHash64(media).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    assert(gif.values.toSet.size == gif.size,
+      "id-byte frame pixels must make every document's video hash unique")
+    val tiff = Multimodal.videoTranscode(media, "tiff")
+    val tiffBytes = tiff.select("payload").as[Array[Byte]].head()
+    val magic = tiffBytes.take(2).map(_.toChar).mkString
+    assert(magic == "II" || magic == "MM",
+      "transcode must produce a genuine TIFF container")
+    Multimodal.videoHash64(tiff).collect().foreach(h =>
+      assert(h.phash == gif(h.doc_id),
+        s"doc ${h.doc_id}: TIFF frames must hash like the GIF"))
+    // per-frame sampling: distinct folds per video = least(n, 3)
+    val perDoc = Multimodal.sampleVideoFrames(media).collect()
+      .groupBy(_.doc_id)
+    val expect = docs.select("doc_id").as[Long].collect().toSet
+    assert(perDoc.keySet == expect)
+    perDoc.foreach { case (id, fs) =>
+      val n = 2 + id % 4
+      assert(fs.length == n, s"doc $id must emit $n frames")
+      assert(fs.map(_.fhash).distinct.length == math.min(n, 3L),
+        s"doc $id distinct frames")
+    }
+  }
+
+  test("video codec robustness: null/garbage/truncated payloads never " +
+       "fail a task — decode yields the invalid sentinel, hashes -1, " +
+       "transcode passes bytes through, sampling emits nothing") {
+    val gifHead = Multimodal.syntheticVideoMedia(docs.limit(1))
+      .select("payload").as[Array[Byte]].head().take(10)
+    val rows = Seq(
+      (1L, "video", null.asInstanceOf[Array[Byte]], 3L),
+      (2L, "video", Array[Byte](1, 2, 3), 3L),
+      (3L, "video", gifHead, 3L)) // valid magic, torn body
+      .toDF("doc_id", "kind", "payload", "full_len")
+    val metas = Multimodal.decodeVideo(rows).collect()
+    assert(metas.forall(_.mode == "invalid"), metas.mkString(", "))
+    assert(Multimodal.videoHash64(rows).collect().forall(_.phash == -1L))
+    assert(Multimodal.sampleVideoFrames(rows).collect().isEmpty)
+    val out = Multimodal.videoTranscode(rows, "tiff")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(out(1L) == null && out(2L).toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("syntheticAudioMedia emits real WAVs: RIFF/WAVE magic present, " +
        "javax.sound round-trips the formula rate/channels/frames; " +
        "sampleHash64 is container- and ENDIANNESS-invariant (AIFF " +
