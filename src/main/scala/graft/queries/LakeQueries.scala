@@ -422,6 +422,28 @@ object LakeQueries {
         "WHERE pri IN ('1-URGENT', '3-MEDIUM') GROUP BY pri")
     }),
 
+    // PER-FILE BLOOM INDEX point lookup (r13): the load is spread
+    // round-robin so every file's o_orderkey range overlaps every
+    // literal — min/max bounds prune nothing and only the
+    // writer-built blooms keep the lookup from opening every footer
+    // (footer-open pins in LakeBloomSpec). The oracle restates the
+    // IN-list over the source rows; keys absent at a given scale
+    // factor simply match nothing on both sides.
+    "lake_bloom_lookup" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_bloom")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING, price DOUBLE) " +
+        "TBLPROPERTIES ('bloom.columns'='k')")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "o_orderpriority AS pri", "o_totalprice AS price")
+        .repartition(8)
+        .createOrReplaceTempView("lake_bloom_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_bloom_src")
+      s.sql(s"SELECT k, pri, price FROM $tbl " +
+        "WHERE k IN (1, 2, 3, 5, 7, 32, 33, 34, 68, 999999999)")
+    }),
+
     // HIDDEN-PARTITIONING FILTERED METADATA AGGREGATE (r13): the range
     // filter on the months(d)-bucketed DATE column is month-ALIGNED, so
     // the scan consumes it outright (strict projection: each month
@@ -1050,6 +1072,14 @@ object LakeQueries {
          |SELECT o_orderpriority AS pri, count(*) AS n
          |FROM prev WHERE o_orderkey % 4 <> 1
          |GROUP BY 1""".stripMargin,
+    // the same point-lookup IN-list over the source rows
+    "lake_bloom_lookup" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |       o_totalprice AS price
+         |FROM prev
+         |WHERE o_orderkey IN (1, 2, 3, 5, 7, 32, 33, 34, 68,
+         |                     999999999)""".stripMargin,
     // the surviving month range recomputed from rows (the DELETE
     // removed everything before 1995-07-01, inside the queried range)
     "lake_hidden_meta" ->

@@ -180,10 +180,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         s"graft_lake: write.mode must be merge-on-read or " +
           s"copy-on-write, got '$m'")
     }
+    // bloom-indexed columns validated NOW (a bad column/type must fail
+    // at CREATE, not silently build no index at first INSERT)
+    val bloomCols = Option(info.properties().get(LakeBloom.ColKey))
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+      require(f.isDefined,
+        s"graft_lake: ${LakeBloom.ColKey} names unknown column '$c'")
+      require(LakeBloom.admits(f.get.dataType),
+        s"graft_lake: ${LakeBloom.ColKey} column '$c' has type " +
+          s"${f.get.dataType.simpleString} — blooms admit " +
+          "int/bigint/string/date/timestamp")
+    }
     val props =
       mode.filter(_ == "merge-on-read").map("write.mode" -> _).toMap ++
         (if (spec.isEmpty) Map.empty
-         else Map(LakePartitioning.SpecKey -> LakePartitioning.show(spec)))
+         else Map(LakePartitioning.SpecKey ->
+           LakePartitioning.show(spec))) ++
+        (if (bloomCols.isEmpty) Map.empty
+         else Map(LakeBloom.ColKey -> bloomCols.mkString(",")))
     if (props.nonEmpty) LakeTableIO.writeProps(dir.toString, props)
     // v0 = the empty table: history (and any stream) starts at creation
     LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)

@@ -788,7 +788,10 @@ object LakeLog {
              updatePost: Seq[String] = Seq.empty,
              dedupeOnOperation: Boolean = false,
              addedParts: Map[String, Seq[String]] = Map.empty,
-             dvsOverride: Option[Map[String, Seq[String]]] = None)
+             dvsOverride: Option[Map[String, Seq[String]]] = None,
+             // writer-built bloom filters per added file (col → base64),
+             // attached to the harvested stats under field-id resolution
+             addedBlooms: Map[String, Map[String, String]] = Map.empty)
       : Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
@@ -805,8 +808,15 @@ object LakeLog {
         updatePost.filterNot(added.contains).mkString(", "))
     // manifest stats for this commit's files: ONE local footer read per
     // added file, at write time, so no scan ever has to — hoisted out
-    // of the retry loop (the added set never changes across attempts)
-    val addedStats = LakeStats.harvest(dir, added)
+    // of the retry loop (the added set never changes across attempts).
+    // Writer-built blooms attach to their column's stats entry (keyed
+    // by the file-local name the writer used, which is the footer's).
+    val addedStats = LakeStats.harvest(dir, added).map { case (f, st) =>
+      f -> addedBlooms.get(f).fold(st)(bl => st.copy(cols =
+        st.cols.map { case (name, cs) =>
+          name -> bl.get(name).fold(cs)(b => cs.copy(bloom = Some(b)))
+        }))
+    }
     var attempt = 0
     // The loser of a version race retries against the new head. Under
     // N-way contention a writer can lose N-1 straight races, so the cap

@@ -97,12 +97,13 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
       // publish insert + update-post files (stage-then-publish, as the
       // batch write); post-image files are tracked apart so the commit
       // can annotate them for the change feed
-      def publish(s: StagedLakeFile): (String, Long, Option[Seq[String]]) = {
+      def publish(s: StagedLakeFile)
+          : (String, Long, Option[Seq[String]], Map[String, String]) = {
         val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
         if (!fs.rename(new Path(s.stagedPath), dest))
           throw new java.io.IOException(
             s"failed to publish ${s.stagedPath} -> $dest")
-        (dest.getName, s.rows, s.tuple)
+        (dest.getName, s.rows, s.tuple, s.blooms)
       }
       val published = msgs.flatMap(_.staged).map(publish)
       val publishedPost = msgs.flatMap(_.stagedUpdates).map(publish)
@@ -137,14 +138,17 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
         dvAdded = dvAdded, updatePre = updateDv,
         updatePost = publishedPost.map(_._1).toSeq,
         addedParts = allFiles.collect {
-          case (n, _, Some(t)) => n -> t
+          case (n, _, Some(t), _) => n -> t
+        }.toMap,
+        addedBlooms = allFiles.collect {
+          case (n, _, _, bl) if bl.nonEmpty => n -> bl
         }.toMap)
       catch {
         case e: Throwable =>
           // conflict (a covered file was rewritten concurrently): the
           // published inserts and freshly-written DVs are in no
           // manifest — remove them and abort loud
-          allFiles.foreach { case (n, _, _) =>
+          allFiles.foreach { case (n, _, _, _) =>
             try fs.delete(new Path(dir, n), false)
             catch { case _: java.io.IOException => () }
           }

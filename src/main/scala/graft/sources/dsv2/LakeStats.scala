@@ -63,7 +63,8 @@ object LakeStats {
     * `id` is the parquet field id (-1 for id-less files).
     */
   final case class ColStats(kind: String, min: Option[String],
-                            max: Option[String], nulls: Long, id: Int)
+                            max: Option[String], nulls: Long, id: Int,
+                            bloom: Option[String] = None)
 
   /** One data file's manifest statistics. `rows`/`groups` come from the
     * footer (physical rows — deletion vectors are accounted separately
@@ -256,6 +257,12 @@ object LakeStats {
       if (hasIds && ref.id >= 0)
         st.cols.values.find(_.id == ref.id)
       else ref.candidates.iterator.flatMap(st.cols.get).nextOption()
+    // can the file contain literal `v` per its bloom? TRUE unless the
+    // bloom proves absence (no bloom / unhashable literal / malformed
+    // bits all keep — conservatism contract)
+    def bloomKeeps(cs: ColStats, v: Any): Boolean =
+      cs.bloom.forall(b64 => LakeBloom.hashLiteral(v).forall(h =>
+        LakeBloom.mightContain(LakeBloom.decode(b64), h)))
     // per-filter verdict, a TOTAL function so a multi-filter
     // conjunction composes every filter's pruning power (an early
     // method return would short-circuit the rest)
@@ -271,13 +278,17 @@ object LakeStats {
         if (nn.isEmpty) false // IN () / IN (NULL): matches nothing
         else refByName.get(c).forall(ref => resolve(ref).forall { cs =>
           if (cs.min.isEmpty || cs.max.isEmpty)
-            !(cs.nulls >= 0 && cs.nulls == st.rows)
+            // no bounds: all-null excludes; else a bloom (built from the
+            // actual values, even bound-unharvestable ones) can still
+            // answer membership for every listed value
+            (!(cs.nulls >= 0 && cs.nulls == st.rows)) &&
+              nn.exists(v => bloomKeeps(cs, v))
           else nn.exists(v =>
-            (cmp(cs.kind, cs.min.get, v),
-             cmp(cs.kind, cs.max.get, v)) match {
+            ((cmp(cs.kind, cs.min.get, v),
+              cmp(cs.kind, cs.max.get, v)) match {
               case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
               case _                    => true
-            })
+            }) && bloomKeeps(cs, v))
         })
       case EqualTo(col, v)            => cmpOne(col, v, f)
       case GreaterThan(col, v)        => cmpOne(col, v, f)
@@ -294,20 +305,30 @@ object LakeStats {
     def cmpOne(col: String, v: Any, f: Filter): Boolean =
       refByName.get(col).forall { ref =>
         resolve(ref).forall { cs =>
-          if (cs.min.isEmpty || cs.max.isEmpty)
-            // comparisons never match NULL: a provably all-null column
-            // excludes the file; unknown bounds keep it
-            !(cs.nulls >= 0 && cs.nulls == st.rows)
-          else (cmp(cs.kind, cs.min.get, v), cmp(cs.kind, cs.max.get, v)) match {
-            case (Some(lo), Some(hi)) => f match {
-              case _: EqualTo            => lo <= 0 && hi >= 0
-              case _: GreaterThan        => hi > 0 // max > v
-              case _: GreaterThanOrEqual => hi >= 0
-              case _: LessThan           => lo < 0 // min < v
-              case _: LessThanOrEqual    => lo <= 0
-              case _                     => true
+          // per-file bloom: an equality whose literal is provably
+          // absent excludes the file even when min/max can't (unsorted
+          // keys overlap every file's bounds) — the point-lookup prune
+          val bloomOk = f match {
+            case _: EqualTo => bloomKeeps(cs, v)
+            case _          => true // range shapes: bounds only
+          }
+          bloomOk && {
+            if (cs.min.isEmpty || cs.max.isEmpty)
+              // comparisons never match NULL: a provably all-null column
+              // excludes the file; unknown bounds keep it
+              !(cs.nulls >= 0 && cs.nulls == st.rows)
+            else (cmp(cs.kind, cs.min.get, v),
+                  cmp(cs.kind, cs.max.get, v)) match {
+              case (Some(lo), Some(hi)) => f match {
+                case _: EqualTo            => lo <= 0 && hi >= 0
+                case _: GreaterThan        => hi > 0 // max > v
+                case _: GreaterThanOrEqual => hi >= 0
+                case _: LessThan           => lo < 0 // min < v
+                case _: LessThanOrEqual    => lo <= 0
+                case _                     => true
+              }
+              case _ => true // filter literal class ≠ column kind: keep
             }
-            case _ => true // filter literal class ≠ column kind: keep
           }
         }
       }
@@ -370,6 +391,7 @@ object LakeStats {
         cs.max.foreach(c.put("max", _))
         c.put("nulls", java.lang.Long.valueOf(cs.nulls))
         if (cs.id >= 0) c.put("id", java.lang.Integer.valueOf(cs.id))
+        cs.bloom.foreach(c.put("bloom", _))
         cm.put(col, c)
       }
       fm.put("cols", cm)
@@ -406,7 +428,8 @@ object LakeStats {
                         case n: Number => n.intValue(); case _ => -1
                       }
                       Some(String.valueOf(col) ->
-                        ColStats(kind, str("min"), str("max"), nulls, id))
+                        ColStats(kind, str("min"), str("max"), nulls, id,
+                          str("bloom")))
                     case _ => None
                   }
                 }.toMap

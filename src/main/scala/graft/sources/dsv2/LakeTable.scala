@@ -1096,7 +1096,8 @@ class LakeReaderFactory(projected: StructType)
   * spec order — see [[LakePartitioning]]).
   */
 case class StagedLakeFile(stagedPath: String, rows: Long,
-                          tuple: Option[Seq[String]] = None)
+                          tuple: Option[Seq[String]] = None,
+                          blooms: Map[String, String] = Map.empty)
 
 /** Commit message: this task's staged files — one for an unpartitioned
   * write, one PER PARTITION TUPLE the task's rows touched for a
@@ -1200,17 +1201,20 @@ class LakeWrite(dir: String, writeSchema: StructType,
           if (!fs.rename(new Path(s.stagedPath), dest))
             throw new java.io.IOException(
               s"failed to publish ${s.stagedPath} -> $dest")
-          (dest.getName, s.rows, s.tuple)
+          (dest.getName, s.rows, s.tuple, s.blooms)
         }
         try LakeLog.commit(dir, epochOp(epochId),
           published.map(_._1).toSeq, Seq.empty,
           published.map(_._2).sum, branch = branch,
           addedParts = published.collect {
-            case (n, _, Some(t)) => n -> t
+            case (n, _, Some(t), _) => n -> t
+          }.toMap,
+          addedBlooms = published.collect {
+            case (n, _, _, bl) if bl.nonEmpty => n -> bl
           }.toMap)
         catch {
           case e: Throwable =>
-            published.foreach { case (n, _, _) =>
+            published.foreach { case (n, _, _, _) =>
               try fs.delete(new Path(dir, n), false)
               catch { case _: java.io.IOException => () }
             }
@@ -1250,7 +1254,7 @@ class LakeWrite(dir: String, writeSchema: StructType,
         if (!fs.rename(new Path(s.stagedPath), dest))
           throw new java.io.IOException(
             s"failed to publish ${s.stagedPath} -> $dest")
-        (dest.getName, s.rows, s.tuple)
+        (dest.getName, s.rows, s.tuple, s.blooms)
       }
       // the replaced groups leave the MANIFEST only — their bytes remain
       // for time travel until an explicit expire. For overwrites the
@@ -1267,7 +1271,7 @@ class LakeWrite(dir: String, writeSchema: StructType,
       // no manifest, so deleting them is safe and keeps the table dir
       // free of invisible orphans
       def cleanupPublished(): Unit =
-        published.foreach { case (n, _, _) =>
+        published.foreach { case (n, _, _, _) =>
           try fs.delete(new Path(dir, n), false)
           catch { case _: java.io.IOException => () }
         }
@@ -1300,7 +1304,8 @@ class LakeWrite(dir: String, writeSchema: StructType,
                 " cannot be matched to written partitions; CALL " +
                 "system.compact first (it migrates old layouts to the " +
                 "current spec)")
-            val written = published.collect { case (_, _, Some(t)) => t }
+            val written = published.collect {
+              case (_, _, Some(t), _) => t }
               .toSet
             cur.filter(f => parts.get(f).exists(written.contains))
           case LakeOverwrite.ByFilters(filters)
@@ -1326,7 +1331,10 @@ class LakeWrite(dir: String, writeSchema: StructType,
       try LakeLog.commit(dir, opName, published.map(_._1).toSeq, removed,
         published.map(_._2).sum, branch = branch,
         addedParts = published.collect {
-          case (n, _, Some(t)) => n -> t
+          case (n, _, Some(t), _) => n -> t
+        }.toMap,
+        addedBlooms = published.collect {
+          case (n, _, _, bl) if bl.nonEmpty => n -> bl
         }.toMap)
       catch {
         case e: Throwable => cleanupPublished(); throw e
@@ -1378,6 +1386,20 @@ class LakeWriterFactory(dir: String, schema: StructType)
     else (LakePartitioning.bind(specs.last, idSchema), specs.length - 1)
   }
 
+  /** Bloom-indexed columns present in THIS write's schema, resolved
+    * ONCE at factory construction on the driver (the factory
+    * serializes to executors): (name, type, schema ordinal). A delta
+    * writer whose sub-schema omits a configured column simply builds
+    * no bloom for it (its files stay conservatively kept).
+    */
+  private val bloomCols: Seq[(String, org.apache.spark.sql.types.DataType,
+      Int)] =
+    try LakeBloom.configured(dir).flatMap { c =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0 || !LakeBloom.admits(schema.fields(i).dataType)) None
+      else Some((schema.fields(i).name, schema.fields(i).dataType, i))
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -1388,6 +1410,10 @@ class LakeWriterFactory(dir: String, schema: StructType)
         * for unpartitioned writes).
         */
       private final class OneFile(val tuple: Option[Seq[String]]) {
+        // one builder per bloom column, fed as rows stream through —
+        // zero extra read I/O (the 100 TB way to build an index)
+        val blooms: Array[LakeBloom.Builder] =
+          Array.fill(bloomCols.length)(new LakeBloom.Builder())
         val staged = new Path(
           s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
         var rows = 0L
@@ -1437,13 +1463,23 @@ class LakeWriterFactory(dir: String, schema: StructType)
         }
         val f = fileFor(row, off)
         f.writer.write(LakeParquet.toGroup(row, message, enc, off))
+        var b = 0
+        while (b < bloomCols.length) {
+          val (_, dt, ord) = bloomCols(b)
+          if (!row.isNullAt(ord + off))
+            LakeBloom.hashInternal(dt, row, ord + off)
+              .foreach(f.blooms(b).add)
+          b += 1
+        }
         f.rows += 1
       }
       override def commit(): WriterCommitMessage = {
         val staged = open.values.toSeq.flatMap { f =>
           if (f.rows > 0) {
             f.close(delete = false)
-            Some(StagedLakeFile(f.staged.toString, f.rows, f.tuple))
+            Some(StagedLakeFile(f.staged.toString, f.rows, f.tuple,
+              bloomCols.indices
+                .map(i => bloomCols(i)._1 -> f.blooms(i).toBase64).toMap))
           } else { f.close(delete = true); None }
         }
         LakeFileMessage(staged)
