@@ -469,6 +469,70 @@ object LakeQueries {
         s"FROM $tbl WHERE d >= DATE'1995-01-01' AND d < DATE'1998-01-01'")
     }),
 
+    // PUSHED-LIMIT FILE BOUNDING (r13): a bare LIMIT probe plans only
+    // the files whose exact proven live rows cover the limit (one or
+    // two of the eight here — plan pins in LakeLimitSpec), the
+    // interactive `LIMIT 10` contract a 100 TB table breaks without
+    // it. The count wrapper makes the nondeterministic row choice
+    // deterministic: min(limit, table rows) on both engines at every
+    // scale factor (below 2500 rows the bounding keeps everything and
+    // the count is the table's).
+    "lake_limit_probe" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_lim")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING)")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderpriority AS pri")
+        .repartition(8)
+        .createOrReplaceTempView("lake_lim_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_lim_src")
+      s.sql(s"SELECT count(*) AS n " +
+        s"FROM (SELECT k FROM $tbl LIMIT 2500) probe")
+    }),
+
+    // PUSHED TOP-N FILE BOUNDING (r13): ORDER BY k LIMIT n against a
+    // key-range-clustered load (the layout a time/sequence-ordered
+    // ingest produces) plans only the files whose manifest bounds can
+    // reach the top n — best-bound-beaten arithmetic over file stats,
+    // Spark's TakeOrdered re-sorts the survivors (plan + null-tier +
+    // DV-conservatism pins in LakeLimitSpec). Unique keys make the
+    // result deterministic; the oracle restates it over the source.
+    "lake_topn_keys" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_topn")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING, price DOUBLE)")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "o_orderpriority AS pri", "o_totalprice AS price")
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .createOrReplaceTempView("lake_topn_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_topn_src")
+      s.sql(s"SELECT k, pri, price FROM $tbl ORDER BY k LIMIT 25")
+    }),
+
+    // FILE-INVENTORY METADATA TABLE (r13): `db.t.files` — one row per
+    // live data file with physical/live rows, DV debt, size, stats
+    // coverage (the changes/partitions/files metadata family,
+    // Iceberg's spellings). Pure manifest + one listing; the aggregate
+    // here pins the inventory's arithmetic against the oracle's row
+    // recount: 8 files from the 8-task load, each carrying one DV
+    // after the MOR delete, live = physical minus deleted.
+    "lake_files_inventory" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_finv")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderpriority AS pri")
+        .repartition(8)
+        .createOrReplaceTempView("lake_finv_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_finv_src")
+      s.sql(s"DELETE FROM $tbl WHERE k % 5 = 2")
+      s.table(s"$tbl.files").selectExpr(
+        "count(*) AS files", "sum(rows) AS physical",
+        "sum(live_rows) AS live", "sum(dv_count) AS dvs")
+    }),
+
     // DECIMAL through the full lake lifecycle: a money column stored
     // as the connector's INT64-unscaled parquet DECIMAL, driven
     // through load → merge-on-read DELETE → time-travel read, with an
@@ -1090,6 +1154,28 @@ object LakeQueries {
          |FROM prev
          |WHERE o_orderdate >= DATE '1995-07-01'
          |  AND o_orderdate < DATE '1998-01-01'""".stripMargin,
+    // min(2500, source rows) — the LIMIT subquery stated identically
+    "lake_limit_probe" ->
+      s"""$snapshotCte
+         |SELECT count(*) AS n
+         |FROM (SELECT o_orderkey FROM prev LIMIT 2500) probe""".stripMargin,
+    // the same unique-key top-25, restated over the source rows
+    "lake_topn_keys" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |       o_totalprice AS price
+         |FROM prev ORDER BY o_orderkey LIMIT 25""".stripMargin,
+    // the inventory arithmetic recounted from rows: 8 files / 8 DVs by
+    // fixture construction, physical = all loaded rows (MOR deletes
+    // never rewrite), live = physical minus the deleted keys
+    "lake_files_inventory" ->
+      s"""$snapshotCte
+         |SELECT CAST(8 AS BIGINT) AS files,
+         |       CAST(count(*) AS BIGINT) AS physical,
+         |       CAST(sum(CASE WHEN o_orderkey % 5 <> 2 THEN 1 ELSE 0
+         |                END) AS BIGINT) AS live,
+         |       CAST(8 AS BIGINT) AS dvs
+         |FROM prev""".stripMargin,
     // the surviving rows' exact decimal aggregate, restated over the
     // source with the same cast
     "lake_decimal_dml" ->

@@ -108,6 +108,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             (catalogName +: ident.namespace.toSeq :+ "partitions")
               .mkString("."), parentDir.toString)
       }
+      // `db.t.files` — the file-inventory metadata table
+      if (ident.name == "files" && ident.namespace.nonEmpty) {
+        val parentIdent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        val parentDir = tableDir(parentIdent)
+        if (fs.exists(parentDir))
+          return new LakeFilesTable(
+            (catalogName +: ident.namespace.toSeq :+ "files")
+              .mkString("."), parentDir.toString)
+      }
       throw new NoSuchTableException(ident)
     }
     new LakeTable((catalogName +: ident.namespace.toSeq :+ ident.name)

@@ -116,6 +116,97 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
     }
 }
 
+/** `db.t.files` — the file-inventory METADATA table (Iceberg's
+  * spelling): one row per live data file with its physical and LIVE
+  * row counts, deletion-vector sidecar count, on-disk size, partition
+  * tuple (raw slot rendering; null for unpartitioned/tuple-less
+  * files), and whether manifest stats back it. The ops surface a
+  * 100 TB table is administered through — small-file skew, DV debt
+  * before a rewrite_deletes, stats coverage before relying on
+  * metadata aggregates — all answered from the manifest plus ONE
+  * directory listing (sizes), no data file opened when stats cover
+  * the snapshot (stat-less legacy files cost one footer read each,
+  * the same fallback the partitions table takes).
+  */
+class LakeFilesTable(tableName: String, dir: String) extends Table
+    with SupportsRead {
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = StructType(Seq(
+    StructField("file", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("partition", org.apache.spark.sql.types.StringType,
+      nullable = true),
+    StructField("rows", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false),
+    StructField("dv_count", org.apache.spark.sql.types.IntegerType,
+      nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("has_stats", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new Scan with Batch {
+      override def readSchema(): StructType = schema
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"graft_lake files metadata of $dir"
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val (files, dvs, stats, parts) = LakeTableIO.snapshotView(dir)
+        // one listing for every size — O(1) remote calls, not O(files)
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val sizes: Map[String, Long] =
+          try fs.listStatus(path)
+            .map(st => st.getPath.getName -> st.getLen).toMap
+          catch { case scala.util.control.NonFatal(_) => Map.empty }
+        val rows = files.map { f =>
+          val n = f.getName
+          val st = stats.get(n)
+          val physical = st.map(_.rows)
+            .getOrElse(LakeTableIO.footerRows(Seq(f)))
+          val dvFiles = dvs.getOrElse(n, Seq.empty)
+          val dead =
+            if (dvFiles.isEmpty) 0L
+            else LakeDv.positions(dir, dvFiles).length.toLong
+          Seq[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            parts.get(n).map(t =>
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(t.mkString("/"))).orNull,
+            physical,
+            math.max(0L, physical - dead),
+            dvFiles.size,
+            sizes.getOrElse(n, -1L),
+            st.isDefined)
+        }
+        Array(LakeMetaRowsPartition(rows))
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(
+              p: InputPartition): PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val it =
+                p.asInstanceOf[LakeMetaRowsPartition].rows.iterator
+              private var cur: InternalRow = _
+              override def next(): Boolean = it.hasNext && {
+                cur = InternalRow.fromSeq(it.next()); true
+              }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+        }
+    }
+}
+
 /** Driver-computed metadata rows, shipped pre-decoded (internal
   * values) in the single partition.
   */

@@ -243,6 +243,18 @@ object LakeStats {
 
   // ---------------------------------------------------------------- pruning
 
+  /** Resolve a table column to `st`'s stats entry — by FIELD ID when the
+    * file's stats carry ids, else current-then-prior name (the exact
+    * resolution [[LakeTableIO.resolveInFile]] applies to data reads, so
+    * stats can never be consulted for a different column than the read
+    * would decode). None = no usable entry (conservative callers keep).
+    */
+  def resolveCol(st: FileStats, ref: LakeColumnRef): Option[ColStats] = {
+    val hasIds = st.cols.values.exists(_.id >= 0)
+    if (hasIds && ref.id >= 0) st.cols.values.find(_.id == ref.id)
+    else ref.candidates.iterator.flatMap(st.cols.get).nextOption()
+  }
+
   /** Can `file` contain any row matching ALL of `pushed`, judged from
     * manifest stats alone? True (keep) on any uncertainty; false means
     * PROVABLY empty — the planner skips the file without a footer read.
@@ -252,11 +264,7 @@ object LakeStats {
   def mightMatchFile(st: FileStats, cols: Array[LakeColumnRef],
                      pushed: Array[Filter]): Boolean = {
     val refByName = cols.map(r => r.name -> r).toMap
-    val hasIds = st.cols.values.exists(_.id >= 0)
-    def resolve(ref: LakeColumnRef): Option[ColStats] =
-      if (hasIds && ref.id >= 0)
-        st.cols.values.find(_.id == ref.id)
-      else ref.candidates.iterator.flatMap(st.cols.get).nextOption()
+    def resolve(ref: LakeColumnRef): Option[ColStats] = resolveCol(st, ref)
     // can the file contain literal `v` per its bloom? TRUE unless the
     // bloom proves absence (no bloom / unhashable literal / malformed
     // bits all keep — conservatism contract)

@@ -321,13 +321,80 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
                       pacing: StreamPacing = StreamPacing())
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var projected: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   // the subset of `pushed` the scan ENFORCES (Spark drops its Filter
   // node for these) — see [[pushFilters]]
   private var consumed: Array[Filter] = Array.empty
   private var metaAgg: Option[(StructType, Seq[Seq[Any]], String)] = None
+  private var limitN: Option[Int] = None
+  private var topN: Option[LakeLimits.TopNPush] = None
+
+  /** LIMIT / ORDER-BY-LIMIT file bounding ([[LakeLimits]]) is accepted
+    * only when every pushed filter was CONSUMED (a residual filter
+    * keeps a Filter node above the scan, so Spark never offers these
+    * pushes — the check is the defensive twin, because a residual
+    * filter would break the "kept files' rows are all result rows"
+    * premise) and the scan is a plain table read: CDC / streaming
+    * shapes range over commits, not one snapshot's file list, and an
+    * already-pushed aggregate changes what the operators above see
+    * (V2ScanRelationPushDown offers limit AFTER aggregates on the same
+    * builder — bounding then would corrupt the one-row answer).
+    */
+  private def boundEligible: Boolean =
+    metaAgg.isEmpty && !skipChangeCommits && startingVersion.isEmpty &&
+      pushed.forall(f => consumed.exists(_ eq f))
+
+  override def pushLimit(limit: Int): Boolean =
+    boundEligible && limit > 0 && { limitN = Some(limit); true }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    boundEligible && limit > 0 && (orders match {
+      case Array(o) =>
+        val col = o.expression match {
+          case nr: NamedReference if nr.fieldNames.length == 1 =>
+            Some(nr.fieldNames()(0))
+          case _ => None
+        }
+        col.flatMap(c => tableSchema.fields.find(_.name == c)) match {
+          // float/double never bound (NaN vs parquet-stats ordering —
+          // the metaAggregate exclusion); binary/nested carry no bounds.
+          // The allow-list mirrors the stats kinds [[LakeStats.kindOf]]
+          // harvests comparably: integral, string, bool, date/timestamp
+          // (int/long physicals), decimal (dec:<scale>).
+          case Some(f) if (f.dataType match {
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.StringType |
+                   org.apache.spark.sql.types.BooleanType |
+                   org.apache.spark.sql.types.DateType |
+                   org.apache.spark.sql.types.TimestampType => true
+              case _: org.apache.spark.sql.types.DecimalType => true
+              case _ => false
+            }) =>
+            topN = Some(LakeLimits.TopNPush(f.name,
+              o.direction == SortDirection.ASCENDING,
+              o.nullOrdering == NullOrdering.NULLS_FIRST, limit))
+            true
+          case _ => false
+        }
+      case _ => false
+    })
+  }
+
+  /** Both pushes are PARTIAL: Spark retains its Limit / TakeOrdered
+    * operator and this scan only bounds the planned FILE set (inherited
+    * by both traits — the diamond must be resolved explicitly).
+    */
+  override def isPartiallyPushed(): Boolean = true
 
   /** Metadata-only global aggregates: the manifest knows every file's
     * row count, per-column null counts and min/max bounds (stats
@@ -368,6 +435,9 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     val filteredOk = pushed.forall(f => consumed.exists(_ eq f))
     val filtTag =
       if (pushed.isEmpty) "" else s", partition-filtered(${pushed.length})"
+    // defensive: aggregates push before limit/TopN on this builder, but
+    // a bounded file set must never feed a metadata answer
+    if (limitN.isDefined || topN.isDefined) return None
     if (!filteredOk || agg.aggregateExpressions.isEmpty) None
     else if (agg.groupByExpressions.isEmpty)
       LakeTableIO.metaAggregate(dir, tableSchema,
@@ -480,7 +550,8 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       LakeTableIO.snapshotViewPruned(dir, pinnedVersion, branch, pushed)
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
-      startingVersion, branch, pacing, dvs, stats, parts, consumed)
+      startingVersion, branch, pacing, dvs, stats, parts, consumed,
+      limitN, topN)
   }
 }
 
@@ -538,7 +609,9 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                dvs: Map[String, Seq[String]] = Map.empty,
                stats: Map[String, LakeStats.FileStats] = Map.empty,
                parts: Map[String, Seq[String]] = Map.empty,
-               consumed: Array[Filter] = Array.empty)
+               consumed: Array[Filter] = Array.empty,
+               limitN: Option[Int] = None,
+               topN: Option[LakeLimits.TopNPush] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -585,10 +658,38 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     LakePartitioning.prune(files, parts, specs, pushed)
   }
 
+  /** Pushed-LIMIT / TopN FILE bounding ([[LakeLimits]]) — after
+    * partition pruning, before row-group planning, manifest metadata
+    * only. Both pushes are partial (Spark retains the operator), so the
+    * bounded set only has to provably CONTAIN an answer: LIMIT keeps
+    * files until exact proven live counts cover n; TopN drops files
+    * whose best sort bound is beaten by >= n rows elsewhere. Runtime
+    * filtering ([[filter]]) deliberately ignores this layer and narrows
+    * the FULL partition-pruned set instead — a runtime-filtered scan
+    * sits under a join, where the limit's row guarantee no longer
+    * gates correctness but the superset contract still does.
+    */
+  private lazy val (boundedFiles: Seq[Path], limitPruned: Int) = {
+    val afterTopN = topN match {
+      case Some(t) =>
+        LakeTableIO.columnRefs(tableSchema).find(_.name == t.col) match {
+          case Some(ref) =>
+            LakeLimits.topNBound(partFiles, stats, dvs, ref, t)
+          case None => partFiles
+        }
+      case None => partFiles
+    }
+    val bounded = limitN match {
+      case Some(n) => LakeLimits.limitBound(afterTopN, stats, dvs, n)
+      case None    => afterTopN
+    }
+    (bounded, partFiles.size - bounded.size)
+  }
+
   // planned on the driver from MANIFEST stats first (whole-file pruning,
   // zero I/O per excluded file), then footer metadata of the survivors
   private lazy val plan: LakeTableIO.ScanPlan =
-    LakeTableIO.planRowGroups(partFiles,
+    LakeTableIO.planRowGroups(boundedFiles,
       LakeTableIO.columnRefs(projected), pushed, pruneGroups, dvs, stats)
 
   /** Stamp each split with its file's decoded partition KEY when the
@@ -612,7 +713,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
 
   /** Input partitions of the static plan, keyed when possible. */
   private lazy val keyedParts: Array[InputPartition] =
-    stampKeys(plan.parts, partFiles)
+    stampKeys(plan.parts, boundedFiles)
 
   // ---- DYNAMIC (runtime) file pruning — DPP for the lake scan ------
   //
@@ -731,7 +832,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     val keyed =
-      try LakePartitioning.fullyTupled(partFiles, parts, specs) &&
+      try LakePartitioning.fullyTupled(boundedFiles, parts, specs) &&
         keyedParts.nonEmpty
       catch { case _: IllegalStateException => false }
     if (!keyed) new UnknownPartitioning(plan.parts.length)
@@ -771,8 +872,13 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       s"cols=[${projected.fieldNames.mkString(",")}] " +
       s"rowgroups=$n/${plan.totalGroups} " +
       s"files_pruned_by_partition=$partPruned/${files.size} " +
-      s"files_pruned_by_stats=${plan.statsPrunedFiles}/${partFiles.size} " +
-      s"pushed=[${pushed.mkString(",")}]"
+      s"files_pruned_by_limit=$limitPruned/${partFiles.size} " +
+      s"files_pruned_by_stats=${plan.statsPrunedFiles}/${boundedFiles.size} " +
+      s"pushed=[${pushed.mkString(",")}]" +
+      limitN.fold("")(n => s" pushed_limit=$n") +
+      topN.fold("")(t => s" pushed_topn=[${t.col} " +
+        s"${if (t.asc) "ASC" else "DESC"} NULLS " +
+        s"${if (t.nullsFirst) "FIRST" else "LAST"}, n=${t.n}]")
   }
 }
 

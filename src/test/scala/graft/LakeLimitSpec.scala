@@ -1,0 +1,246 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.dsv2.{GraftCatalog, LakeLog}
+
+/** Pushed LIMIT / ORDER-BY-LIMIT file bounding
+  * ([[graft.sources.dsv2.LakeLimits]]) — the interactive-probe
+  * contract: `LIMIT 10` against a many-file table plans only the files
+  * whose exact proven live rows cover the limit, and `ORDER BY k
+  * LIMIT n` on a range-clustered table plans only the files whose
+  * bounds can reach the top n. Both pushes are PARTIAL (Spark retains
+  * its Limit/TakeOrdered operator), so every pin here checks BOTH the
+  * bounded plan and the exact result. Contracts:
+  *
+  *   - LIMIT keeps files in snapshot order until proven live counts
+  *     cover n; the result still has exactly min(n, live) rows;
+  *   - TopN prunes by best-bound-beaten arithmetic in BOTH directions
+  *     and under BOTH null orderings (nulls are a rank tier, not a
+  *     value);
+  *   - conservatism: DV'd files never vouch for rows (but remain
+  *     prunable), stats-less external files are always kept, and a
+  *     too-large limit simply keeps everything;
+  *   - composition: a CONSUMED partition filter narrows first, the
+  *     limit bounds within the matching files only.
+  */
+class LakeLimitSpec extends SparkSpec {
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = Files.createTempDirectory("graft-limit").toString
+    n += 1
+    val cat = s"limitcat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  private def planOf(sql: String): (org.apache.spark.sql.DataFrame, String) = {
+    val df = spark.sql(sql)
+    (df, df.queryExecution.executedPlan.toString)
+  }
+
+  test("plain LIMIT plans one file of eight (pushed_limit in the plan, " +
+       "exact row count), and a limit past the table keeps everything") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
+      // 8 tasks -> 8 files x 1000 rows, each stats-backed by the writer
+      spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('v', id) " +
+        "FROM range(0, 8000, 1, 8)")
+      assert(LakeLog.current(s"$root/db/t").get.files.size == 8)
+
+      val (df, plan) = planOf(s"SELECT k, v FROM $cat.db.t LIMIT 10")
+      assert(plan.contains("pushed_limit=10"), plan)
+      assert(plan.contains("files_pruned_by_limit=7/8"),
+        s"LIMIT 10 must plan exactly one 1000-row file:\n$plan")
+      val rows = df.collect()
+      assert(rows.length == 10)
+      // the kept file's rows are real table rows
+      val all = (0L until 8000L).toSet
+      assert(rows.forall(r => all.contains(r.getLong(0))))
+
+      // limit past the table: nothing prunable, still min(n, rows) rows
+      val (big, bigPlan) =
+        planOf(s"SELECT k FROM $cat.db.t LIMIT 9999")
+      assert(bigPlan.contains("files_pruned_by_limit=0/8"), bigPlan)
+      assert(big.count() == 8000L)
+    }
+  }
+
+  test("TopN plans only reachable files in both directions; results " +
+       "equal the full sort (unique keys make them deterministic)") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.s (k BIGINT, v STRING)")
+      // range slices are contiguous: 8 files with disjoint sorted ranges
+      spark.sql(s"INSERT INTO $cat.db.s SELECT id, concat('v', id) " +
+        "FROM range(0, 8000, 1, 8)")
+
+      val (asc, ascPlan) =
+        planOf(s"SELECT k FROM $cat.db.s ORDER BY k LIMIT 5")
+      assert(ascPlan.contains("pushed_topn=[k ASC"), ascPlan)
+      assert(ascPlan.contains("files_pruned_by_limit=7/8"),
+        s"top-5 ascending lives wholly in the first file:\n$ascPlan")
+      assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+
+      val (desc, descPlan) =
+        planOf(s"SELECT k FROM $cat.db.s ORDER BY k DESC LIMIT 5")
+      assert(descPlan.contains("pushed_topn=[k DESC"), descPlan)
+      assert(descPlan.contains("files_pruned_by_limit=7/8"), descPlan)
+      assert(desc.collect().map(_.getLong(0)).toSeq ==
+        (7999L to 7995L by -1L))
+
+      // a mid-table bound needing two files: top 1200 spans file 0 + 1
+      val (two, twoPlan) =
+        planOf(s"SELECT k FROM $cat.db.s ORDER BY k LIMIT 1200")
+      assert(twoPlan.contains("files_pruned_by_limit=6/8"), twoPlan)
+      assert(two.collect().map(_.getLong(0)).toSeq == (0L until 1200L))
+    }
+  }
+
+  test("null ordering is a rank tier: NULLS FIRST answers from the " +
+       "null-carrying file, NULLS LAST from the value files; a file " +
+       "that MIGHT hold nulls is never pruned under NULLS FIRST") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.nt (k BIGINT, tag STRING)")
+      // file A: values 0..999; file B: 10 NULL keys
+      spark.sql(s"INSERT INTO $cat.db.nt SELECT id, 'a' " +
+        "FROM range(0, 1000, 1, 1)")
+      spark.sql(s"INSERT INTO $cat.db.nt " +
+        "SELECT CAST(NULL AS BIGINT), concat('b', id) " +
+        "FROM range(0, 10, 1, 1)")
+
+      // ASC NULLS FIRST (Spark's asc default): top 3 are nulls — the
+      // all-values file is provably beaten by B's 10 proven nulls
+      val (nf, nfPlan) = planOf(
+        s"SELECT k, tag FROM $cat.db.nt ORDER BY k NULLS FIRST LIMIT 3")
+      assert(nfPlan.contains("NULLS FIRST"), nfPlan)
+      assert(nfPlan.contains("files_pruned_by_limit=1/2"),
+        s"the value file cannot reach a null-first top-3:\n$nfPlan")
+      val nfRows = nf.collect()
+      assert(nfRows.length == 3 && nfRows.forall(_.isNullAt(0)))
+      assert(nfRows.forall(_.getString(1).startsWith("b")))
+
+      // ASC NULLS LAST: top 3 are 0,1,2 — the all-null file is beaten
+      // by A's 1000 proven value rows
+      val (nl, nlPlan) = planOf(
+        s"SELECT k, tag FROM $cat.db.nt ORDER BY k NULLS LAST LIMIT 3")
+      assert(nlPlan.contains("NULLS LAST"), nlPlan)
+      assert(nlPlan.contains("files_pruned_by_limit=1/2"), nlPlan)
+      assert(nl.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+
+      // nulls needed past the null file's supply: B's 10 nulls cannot
+      // prove a 12-deep cut alone, A must stay planned
+      val (deep, deepPlan) = planOf(
+        s"SELECT k FROM $cat.db.nt ORDER BY k NULLS FIRST LIMIT 12")
+      assert(deepPlan.contains("files_pruned_by_limit=0/2"), deepPlan)
+      val deepRows = deep.collect()
+      assert(deepRows.count(_.isNullAt(0)) == 10)
+      assert(deepRows.filterNot(_.isNullAt(0)).map(_.getLong(0)).toSeq
+        == Seq(0L, 1L))
+    }
+  }
+
+  test("DV'd files never vouch (but stay prunable) and stats-less " +
+       "external files are always kept — results stay exact") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.d SELECT id, concat('v', id) " +
+        "FROM range(0, 8000, 1, 8)")
+      // DV the head file's low keys: its stats still say min=0, so it
+      // must stay planned, but its 1000 physical rows may no longer
+      // prove anything — top-10 needs file 1 AND file 2 planned
+      spark.sql(s"DELETE FROM $cat.db.d WHERE k < 50")
+      val (df, plan) =
+        planOf(s"SELECT k FROM $cat.db.d ORDER BY k LIMIT 10")
+      assert(plan.contains("files_pruned_by_limit=6/8"),
+        s"DV'd file keeps itself + its un-vouched successor:\n$plan")
+      assert(df.collect().map(_.getLong(0)).toSeq == (50L until 60L))
+
+      // plain LIMIT against the DV'd table: every file's proof is void
+      // where DV'd, but the retained Limit still caps exactly
+      assert(spark.sql(s"SELECT k FROM $cat.db.d LIMIT 7900")
+        .count() == 7900L)
+
+      // an externally committed file holding the new minimum: its
+      // harvested stats join the arithmetic and the answer moves to it
+      val dir = s"$root/db/d"
+      val tmp = Files.createTempDirectory("graft-limit-ext").toString
+      spark.range(-100, -90).selectExpr("id AS k", "concat('x', id) AS v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.rename(new org.apache.hadoop.fs.Path(src.getAbsolutePath),
+        new org.apache.hadoop.fs.Path(dir, "external.parquet"))
+      LakeLog.commit(dir, "external", Seq("external.parquet"),
+        Seq.empty, 10L)
+      val low = spark.sql(s"SELECT k FROM $cat.db.d ORDER BY k LIMIT 3")
+        .collect().map(_.getLong(0)).toSeq
+      assert(low == Seq(-100L, -99L, -98L),
+        s"the external file holds the new minimum: $low")
+    }
+  }
+
+  test("unit conservatism: stats-less files are never dropped and " +
+       "never vouch; mixed stats kinds disable value proofs but not " +
+       "null-tier proofs; DV'd files vouch nothing") {
+    import graft.sources.dsv2.{LakeColumnRef, LakeLimits, LakeStats}
+    import org.apache.hadoop.fs.Path
+    def cs(kind: String, min: String, max: String, nulls: Long) =
+      LakeStats.ColStats(kind, Option(min), Option(max), nulls, -1)
+    def fs(rows: Long, c: LakeStats.ColStats) =
+      LakeStats.FileStats(rows, 1, Map("k" -> c))
+    val ref = LakeColumnRef("k", -1, Array("k"))
+    val files = Seq("a", "b", "c").map(new Path(_))
+    def topn(stats: Map[String, LakeStats.FileStats],
+             dvs: Map[String, Seq[String]] = Map.empty,
+             t: LakeLimits.TopNPush =
+               LakeLimits.TopNPush("k", asc = true, nullsFirst = false,
+                 n = 5)) =
+      LakeLimits.topNBound(files, stats, dvs, ref, t).map(_.getName)
+
+    // clean case: a(0..9, 10 rows) proves b(100..) and c(200..) out
+    val clean = Map(
+      "a" -> fs(10, cs("long", "0", "9", 0)),
+      "b" -> fs(10, cs("long", "100", "199", 0)),
+      "c" -> fs(10, cs("long", "200", "299", 0)))
+    assert(topn(clean) == Seq("a"))
+    // stats-less c: kept (best unknowable) but still prunes b via a
+    assert(topn(clean - "c") == Seq("a", "c"))
+    // DV on a: a's rows vouch nothing, so b survives (only a's bounds
+    // could beat it) — but b, un-DV'd, still proves c out
+    assert(topn(clean, dvs = Map("a" -> Seq("dv"))) == Seq("a", "b"))
+    // mixed kinds (schema-widened vintages): value proofs off, all kept
+    val mixed = clean.updated("a", fs(10, cs("int", "0", "9", 0)))
+    assert(topn(mixed) == Seq("a", "b", "c"))
+    // limitBound: stats-less files contribute zero and stay kept when
+    // reached before coverage
+    val lim = LakeLimits.limitBound(files, clean - "a", Map.empty, 15)
+      .map(_.getName)
+    assert(lim == Seq("a", "b", "c"),
+      s"a proves nothing, b+c must both be taken: $lim")
+    assert(LakeLimits.limitBound(files, clean, Map.empty, 15)
+      .map(_.getName) == Seq("a", "b"))
+  }
+
+  test("composition with a CONSUMED partition filter: the limit bounds " +
+       "within the matching partition's files only") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.p (pri STRING, k BIGINT) " +
+        "PARTITIONED BY (pri)")
+      spark.sql(s"INSERT INTO $cat.db.p SELECT " +
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id " +
+        "FROM range(0, 4000, 1, 4)")
+      val (df, plan) = planOf(
+        s"SELECT k FROM $cat.db.p WHERE pri = 'even' LIMIT 5")
+      // the filter was consumed (no Filter node) AND the limit pushed
+      assert(plan.contains("pushed_limit=5"), plan)
+      assert(!plan.contains("Filter ("), s"consumed filter expected:\n$plan")
+      val rows = df.collect().map(_.getLong(0))
+      assert(rows.length == 5 && rows.forall(_ % 2 == 0))
+    }
+  }
+}

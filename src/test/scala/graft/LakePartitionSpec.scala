@@ -941,4 +941,42 @@ class LakePartitionSpec extends SparkSpec {
       }
     }
   }
+
+  test("db.t.files inventory: one row per live file with exact " +
+       "physical/live counts, DV debt, sizes, partition slots, stats " +
+       "coverage — and maintenance reshapes it coherently") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.inv (pri STRING, k BIGINT) " +
+        "PARTITIONED BY (pri) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.inv SELECT " +
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id " +
+        "FROM range(0, 1000, 1, 4)")
+      def inv() = spark.table(s"$cat.db.inv.files").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+          r.getLong(3), r.getInt(4), r.getLong(5), r.getBoolean(6)))
+      val before = inv()
+      // partitioned write: per-tuple files, all stats-backed, no DVs,
+      // physical == live, real on-disk sizes
+      assert(before.map(_._3).sum == 1000L)
+      assert(before.forall(f => f._3 == f._4 && f._5 == 0))
+      assert(before.forall(_._7), "every writer file is stats-backed")
+      assert(before.forall(_._6 > 0L), "sizes come from the listing")
+      assert(before.forall(_._2.exists(s =>
+        s.contains("even") || s.contains("odd"))),
+        s"partition slots must render: ${before.map(_._2).toSeq}")
+      // MOR delete: DV debt appears, live drops, physical does not
+      spark.sql(s"DELETE FROM $cat.db.inv WHERE k % 10 = 3")
+      val dv = inv()
+      assert(dv.map(_._3).sum == 1000L)
+      assert(dv.map(_._4).sum == 900L)
+      assert(dv.exists(_._5 > 0), "deleted files must show DV debt")
+      // rewrite_deletes: debt cleared, live == physical == 900
+      spark.sql(s"CALL $cat.system.rewrite_deletes('db.inv')")
+      val after = inv()
+      assert(after.forall(_._5 == 0))
+      assert(after.map(_._4).sum == 900L)
+      assert(after.forall(f => f._3 == f._4))
+    }
+  }
 }
