@@ -2,53 +2,89 @@ package graft.sources.dsv2
 
 import org.apache.hadoop.fs.Path
 
-/** Planning-time FILE bounding for pushed LIMIT / ORDER-BY-LIMIT —
-  * manifest metadata only, zero file I/O.
+/** Planning-time unit bounding for pushed LIMIT / ORDER-BY-LIMIT —
+  * manifest/footer metadata only, applied at TWO granularities: whole
+  * files (manifest stats, before any footer opens) and row groups
+  * (footer stats of the surviving files, already in hand for group
+  * pruning).
   *
   * Both pushes are PARTIAL (Spark retains its Limit / TakeOrdered
   * operator above the scan), so this layer never computes an answer; it
-  * only shrinks the planned file set to a SUPERSET that provably still
+  * only shrinks the planned unit set to a SUPERSET that provably still
   * contains one. That makes the soundness obligations small and
   * checkable:
   *
-  *   - [[limitBound]]: the kept files must contain at least
-  *     `min(n, total live rows)` rows. Files are taken in snapshot
-  *     order until their EXACT proven live counts cover `n`; a file
-  *     whose live count is not provable from the manifest (no stats
-  *     entry, or any deletion vector — the DV's cardinality lives in
-  *     the sidecar, not the manifest) contributes zero and is simply
-  *     kept, so uncertainty can only ever KEEP more files.
-  *   - [[topNBound]]: a file may be dropped only when at least `n` rows
-  *     in OTHER kept-eligible files provably rank less-than-or-equal to
-  *     EVERY row the file could contain (judged from its best possible
-  *     sort bound). Rows that tie are interchangeable for a top-n
-  *     (Spark's own tie selection is arbitrary), so a valid top-n
-  *     exists entirely outside the dropped file.
+  *   - [[limitBound]]: the kept units must contain at least
+  *     `min(n, total live rows)` rows. Units are taken in plan order
+  *     until their proven live counts cover `n`; a unit whose live
+  *     count is not provable contributes zero and is simply kept, so
+  *     uncertainty can only ever KEEP more units.
+  *   - [[topNKeepMask]]: the CUTOFF formulation. Sort proof units by
+  *     their WORST sort bound (every proven row ranks at-or-before its
+  *     unit's worst), accumulate proven live rows in that order until
+  *     they cover `n`; the bound W where coverage lands is a rank that
+  *     provably has >= n rows at-or-before it. A unit is dropped only
+  *     when its BEST possible row ranks STRICTLY after W — its rows
+  *     then rank strictly after n kept rows, so no valid top-n needs
+  *     them. Strictness is what makes this sound under TIES, and the
+  *     cutoff shape is what makes it non-circular: every proof unit
+  *     has worst <= W, hence best <= W, hence is itself KEPT — the n
+  *     vouched rows are always in the planned set. (The tempting
+  *     per-unit formulation — drop U when >= n rows ELSEWHERE rank <=
+  *     U's best — is unsound exactly there: two files with identical
+  *     constant bounds each prove the other out and the true top row
+  *     is lost.)
+  *
+  * Nulls are a rank TIER, not a value: under NULLS FIRST every null
+  * ranks before every value (proof accumulation starts from proven
+  * null counts; if nulls alone cover n, only units that might hold a
+  * null survive), under NULLS LAST nulls rank after every value (an
+  * all-null unit is dropped once value rows alone cover n; if they do
+  * not, nothing is dropped — any value beats the proof nulls, so every
+  * value-bearing unit may contribute).
   *
   * Why this matters at scale: `LIMIT 10` against a million-file table
   * should plan ONE file, and `ORDER BY ts LIMIT 100` against a
-  * time-clustered table should plan only the files whose `ts` bounds
-  * can reach the top 100 — the interactive-probe contract every
-  * warehouse honors and a naive DSv2 source breaks by planning the
-  * whole snapshot behind a retained Limit.
+  * time-clustered table should plan only the files — and within the
+  * survivors, only the row groups — whose `ts` bounds can reach the
+  * top 100; the interactive-probe contract every warehouse honors and
+  * a naive DSv2 source breaks by planning the whole snapshot behind a
+  * retained Limit.
   *
-  * Proof-side conservatism mirrors [[LakeStats]]: only DV-free files
-  * with a manifest stats entry and a KNOWN null count may vouch for
-  * rows; value-bound proofs additionally require every bounds-carrying
-  * file to share ONE comparable stats kind (schema widening can mix
-  * `int`/`long` vintages — cross-kind canonical strings do not compare)
-  * and refuse float/double outright (NaN ordering diverges from parquet
-  * stats, the same exclusion [[LakeTableIO.metaAggregate]] applies).
+  * Proof-side conservatism mirrors [[LakeStats]]: only units whose
+  * live row and null counts are provable may vouch (file level: DV-free
+  * + manifest stats; group level: footer counts with the file's DV
+  * positions intersected per group), value-bound proofs additionally
+  * require every bounds-carrying unit to share ONE comparable stats
+  * kind (schema widening can mix `int`/`long` vintages — cross-kind
+  * canonical strings do not compare) and refuse float/double outright
+  * (NaN ordering diverges from parquet stats, the same exclusion
+  * [[LakeTableIO.metaAggregate]] applies).
   */
 object LakeLimits {
 
   /** One pushed ORDER BY <col> LIMIT n: single top-level sort column,
-    * direction, null placement. (Multi-column orders never prune files:
-    * the secondary key cannot break ties from file bounds alone, so the
+    * direction, null placement. (Multi-column orders never prune units:
+    * the secondary key cannot break ties from bounds alone, so the
     * builder refuses the push and Spark keeps the full sort.)
     */
   final case class TopNPush(col: String, asc: Boolean,
                             nullsFirst: Boolean, n: Int)
+
+  /** One boundable unit — a whole file or a single row group — in the
+    * TopN arithmetic.
+    *
+    * @param rows        physical rows, -1 when unknown
+    * @param cs          the sort column's resolved stats (bounds, null
+    *                    count, kind); None = nothing known, unit is
+    *                    unconditionally kept and vouches nothing
+    * @param proverNulls null rows provably LIVE in this unit
+    * @param proverVals  non-null rows provably LIVE in this unit
+    *                    (countable against the unit's WORST bound when
+    *                    bounds are known)
+    */
+  final case class TopNUnit(rows: Long, cs: Option[LakeStats.ColStats],
+                            proverNulls: Long, proverVals: Long)
 
   /** Exact proven live rows of `name`: the manifest footer row count
     * when the file is DV-free and stats-backed; 0 (nothing provable)
@@ -80,128 +116,132 @@ object LakeLimits {
     if (done) keep.result() else files
   }
 
-  /** Drop every file whose BEST possible rank under the pushed order is
-    * provably beaten (or tied) by at least `t.n` rows in other files.
-    * O(F log F): proof files sort once by their worst bound in rank
-    * order and a prefix sum answers each candidate's count — the shape
-    * that survives a million-file manifest, not an all-pairs sweep.
+  /** [[limitBound]] at an arbitrary unit granularity: keep units in
+    * plan order until `live` (proven live rows per unit, 0 = unknown)
+    * covers `n`. Returns the keep mask.
     */
-  def topNBound(files: Seq[Path],
-                stats: Map[String, LakeStats.FileStats],
-                dvs: Map[String, Seq[String]], ref: LakeColumnRef,
-                t: TopNPush): Seq[Path] = {
-    if (files.size <= 1) return files
+  def limitMask(live: IndexedSeq[Long], n: Int): IndexedSeq[Boolean] = {
+    var acc = 0L
+    var cut = live.size // first index NOT kept
+    var i = 0
+    while (i < live.size && acc < n) { acc += live(i); i += 1 }
+    if (acc >= n) cut = i
+    live.indices.map(_ < cut)
+  }
 
-    // resolved per-file column stats (field-id first, names for legacy
-    // files — the same resolution row reads use)
-    val entries: Map[String, (Long, Option[LakeStats.ColStats])] =
-      files.map { f =>
-        val st = stats.get(f.getName)
-        f.getName -> (st.map(_.rows).getOrElse(-1L),
-          st.flatMap(LakeStats.resolveCol(_, ref)))
-      }.toMap
+  /** The cutoff-based TopN keep mask over abstract units (see class
+    * doc for the soundness argument). True = keep.
+    */
+  def topNKeepMask(units: IndexedSeq[TopNUnit],
+                   t: TopNPush): IndexedSeq[Boolean] = {
+    if (units.size <= 1) return units.map(_ => true)
 
-    // ONE comparable kind across every bounds-carrying file, or no
-    // value proofs at all (null-tier proofs below are kind-free)
-    val kinds = entries.values.flatMap(_._2)
+    // ONE comparable kind across every bounds-carrying unit, or no
+    // value proofs at all (null-tier proofs are kind-free)
+    val kinds = units.flatMap(_.cs)
       .filter(cs => cs.min.isDefined || cs.max.isDefined)
-      .map(_.kind).toSeq.distinct
+      .map(_.kind).distinct
     val valueKind: Option[String] = kinds match {
       case Seq(k) if k != "double" && k != "float" && k != "bin" => Some(k)
       case _ => None
     }
-
-    // rank comparison on canonical stat strings: DESC flips the sign
     val dir = if (t.asc) 1 else -1
-    def cmpRank(k: String, a: String, b: String): Int =
-      LakeStats.cmpSame(k, a, b) * dir
+    def cmpRank(a: String, b: String): Int =
+      LakeStats.cmpSame(valueKind.get, a, b) * dir
     def bestOf(cs: LakeStats.ColStats): Option[String] =
       if (t.asc) cs.min else cs.max
     def worstOf(cs: LakeStats.ColStats): Option[String] =
       if (t.asc) cs.max else cs.min
 
-    // ---- proof side: what each file can vouch for --------------------
-    // A prover must be DV-free (a DV could have deleted the vouched
-    // rows) with known row and null counts. `vals` rows are proven
-    // non-null; they rank <= v when the file's WORST bound ranks <= v.
-    final case class Prover(name: String, nulls: Long, vals: Long,
-                            worst: Option[String])
-    val provers = files.flatMap { f =>
-      val name = f.getName
-      val (rows, cs) = entries(name)
-      if (dvs.contains(name) || rows < 0) None
-      else cs match {
-        case Some(c) if c.nulls >= 0 =>
-          val worst = valueKind.flatMap(k =>
-            if (c.kind == k) worstOf(c) else None)
-          Some(Prover(name, c.nulls, rows - c.nulls, worst))
-        case _ => None
-      }
-    }
-    val totalNulls = provers.map(_.nulls).sum
-    val totalRows = provers.map(p => p.nulls + p.vals).sum
-    val proverByName = provers.map(p => p.name -> p).toMap
+    // ---- the cutoff W: walk proof rows in pessimistic rank order ----
+    // value provers: (worst bound, proven live non-null rows)
+    val valProvers: Seq[(String, Long)] =
+      if (valueKind.isEmpty) Seq.empty
+      else units.flatMap { u =>
+        u.cs match {
+          case Some(c) if c.kind == valueKind.get && u.proverVals > 0 =>
+            worstOf(c).map(_ -> u.proverVals)
+          case _ => None
+        }
+      }.sortWith((a, b) => cmpRank(a._1, b._1) < 0)
+    val totalNullProofs = units.map(_.proverNulls).sum
 
-    // value provers sorted by worst bound in rank order + prefix sums;
-    // valsLeq(v) = rows proven non-null and ranked <= v, via binary
-    // search for the first worst-bound past v
-    val valProvers = valueKind.fold(Seq.empty[Prover])(k =>
-      provers.filter(_.worst.isDefined)
-        .sortWith((a, b) => cmpRank(k, a.worst.get, b.worst.get) < 0))
-    val prefix = valProvers.scanLeft(0L)(_ + _.vals).toArray
-    def valsLeq(v: String): Long = valueKind.fold(0L) { k =>
-      var lo = 0; var hi = valProvers.size // first index with worst > v
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (cmpRank(k, valProvers(mid).worst.get, v) <= 0) lo = mid + 1
-        else hi = mid
+    // the cutoff as (coveredByNullTier, valueBound): under NULLS FIRST
+    // nulls rank before every value, under NULLS LAST after
+    sealed trait Cutoff
+    case object AtNullTier extends Cutoff   // W = the null tier itself
+    case class AtValue(w: String) extends Cutoff
+    case object NoCutoff extends Cutoff     // proofs never cover n
+
+    def valueCutoff(need: Long): Cutoff = {
+      var acc = 0L
+      for ((w, c) <- valProvers) {
+        acc += c
+        if (acc >= need) return AtValue(w)
       }
-      prefix(lo)
+      NoCutoff
     }
-    // f's own contribution to valsLeq(v) — subtracted for "other files"
-    def ownValsLeq(name: String, v: String): Long =
-      proverByName.get(name) match {
-        case Some(p) if p.worst.isDefined && valueKind.exists(k =>
-            cmpRank(k, p.worst.get, v) <= 0) => p.vals
-        case _ => 0L
+    val cutoff: Cutoff =
+      if (t.nullsFirst) {
+        if (totalNullProofs >= t.n) AtNullTier
+        else valueCutoff(t.n - totalNullProofs)
+      } else {
+        // NULLS LAST: if value proofs alone cover n the cutoff is a
+        // value bound (all-null units drop); otherwise nulls would
+        // land the cutoff at the null tier, after every value — no
+        // unit ranks strictly past it, nothing drops
+        valueCutoff(t.n.toLong)
       }
 
-    // ---- candidate side: keep unless provably out of the top n -------
-    files.filter { f =>
-      val name = f.getName
-      val (rows, cs) = entries(name)
-      cs match {
-        case None => true // no stats: best rank unknowable, keep
+    // ---- keep decision: drop only when best rank STRICTLY after W ----
+    units.map { u =>
+      u.cs match {
+        case None => true // nothing known: best unknowable, keep
         case Some(c) =>
-          val mayHaveNull = c.nulls != 0
-          val allNull = c.nulls >= 0 && rows >= 0 && c.nulls == rows
-          val beaten: Long =
-            if (t.nullsFirst) {
-              if (mayHaveNull)
-                // best tier is NULL: only other nulls rank <= it
-                totalNulls -
-                  proverByName.get(name).map(_.nulls).getOrElse(0L)
+          val mayHaveNull = c.nulls != 0 // >0 or unknown (-1)
+          val allNull = c.nulls >= 0 && u.rows >= 0 && c.nulls == u.rows
+          cutoff match {
+            case NoCutoff => true
+            case AtNullTier =>
+              // W is the null tier (NULLS FIRST): only a unit that
+              // cannot hold a null ranks strictly after it
+              mayHaveNull
+            case AtValue(w) =>
+              if (t.nullsFirst && mayHaveNull) true // null tier <= W
+              else if (!t.nullsFirst && allNull) false // null tier > W
               else bestOf(c) match {
                 case Some(v) if valueKind.contains(c.kind) =>
-                  (totalNulls -
-                    proverByName.get(name).map(_.nulls).getOrElse(0L)) +
-                    (valsLeq(v) - ownValsLeq(name, v))
-                case _ => -1L // unbounded best: keep
+                  cmpRank(v, w) <= 0 // keep unless strictly past W
+                case _ => true // unbounded/mismatched best: keep
               }
-            } else {
-              if (allNull)
-                // best tier is NULL (last): every proven row — values
-                // rank before it, nulls tie
-                totalRows - proverByName.get(name)
-                  .map(p => p.nulls + p.vals).getOrElse(0L)
-              else bestOf(c) match {
-                case Some(v) if valueKind.contains(c.kind) =>
-                  valsLeq(v) - ownValsLeq(name, v)
-                case _ => -1L
-              }
-            }
-          beaten < t.n
+          }
       }
     }
+  }
+
+  /** File-granularity TopN bounding from manifest stats: adapt each
+    * file to a [[TopNUnit]] (DV-free + stats-backed files vouch their
+    * exact null/value splits; anything else vouches nothing but is
+    * judged as a candidate by whatever stats it has) and apply the
+    * cutoff mask.
+    */
+  def topNBound(files: Seq[Path],
+                stats: Map[String, LakeStats.FileStats],
+                dvs: Map[String, Seq[String]], ref: LakeColumnRef,
+                t: TopNPush): Seq[Path] = {
+    val units = files.toIndexedSeq.map { f =>
+      val name = f.getName
+      val st = stats.get(name)
+      val rows = st.map(_.rows).getOrElse(-1L)
+      val cs = st.flatMap(LakeStats.resolveCol(_, ref))
+      val (pn, pv) = cs match {
+        case Some(c) if !dvs.contains(name) && rows >= 0 && c.nulls >= 0 =>
+          (c.nulls, rows - c.nulls)
+        case _ => (0L, 0L)
+      }
+      TopNUnit(rows, cs, pn, pv)
+    }
+    val mask = topNKeepMask(units, t)
+    files.toIndexedSeq.zip(mask).collect { case (f, true) => f }
   }
 }

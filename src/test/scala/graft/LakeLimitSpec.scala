@@ -226,6 +226,33 @@ class LakeLimitSpec extends SparkSpec {
       .map(_.getName) == Seq("a", "b"))
   }
 
+  test("TIES are never lost (the cutoff soundness case): units with " +
+       "identical constant bounds cannot prove each other out, and two " +
+       "null-carrying files both survive NULLS FIRST") {
+    withCatalog { (cat, _) =>
+      // two files, every row k=5: a per-unit "beaten by >= n elsewhere"
+      // rule would drop BOTH and lose the top-1 entirely
+      spark.sql(s"CREATE TABLE $cat.db.tie (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.db.tie SELECT 5, concat('a', id) " +
+        "FROM range(0, 10, 1, 1)")
+      spark.sql(s"INSERT INTO $cat.db.tie SELECT 5, concat('b', id) " +
+        "FROM range(0, 10, 1, 1)")
+      val top = spark.sql(s"SELECT k FROM $cat.db.tie ORDER BY k LIMIT 1")
+      assert(top.collect().map(_.getLong(0)).toSeq == Seq(5L),
+        "the tied top row must survive file bounding")
+      // both null-carrying files tie at the null tier
+      spark.sql(s"CREATE TABLE $cat.db.ntie (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.db.ntie " +
+        "SELECT CAST(NULL AS BIGINT), 'a' FROM range(0, 5, 1, 1)")
+      spark.sql(s"INSERT INTO $cat.db.ntie " +
+        "SELECT CAST(NULL AS BIGINT), 'b' FROM range(0, 5, 1, 1)")
+      val nt = spark.sql(
+        s"SELECT k FROM $cat.db.ntie ORDER BY k NULLS FIRST LIMIT 1")
+      assert(nt.collect().length == 1,
+        "the tied null tier must survive file bounding")
+    }
+  }
+
   test("composition with a CONSUMED partition filter: the limit bounds " +
        "within the matching partition's files only") {
     withCatalog { (cat, _) =>
