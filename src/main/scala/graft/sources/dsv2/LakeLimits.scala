@@ -86,6 +86,24 @@ object LakeLimits {
   final case class TopNUnit(rows: Long, cs: Option[LakeStats.ColStats],
                             proverNulls: Long, proverVals: Long)
 
+  /** The pushed bounds a batch scan threads into row-group planning:
+    * at most one of limit/topN is set by Spark, both carried for
+    * orthogonality. `topN._2` is the sort column's resolution ref
+    * (the column need not be projected-first; refs come from the TABLE
+    * schema).
+    */
+  final case class ScanBound(limit: Option[Int],
+                             topN: Option[(TopNPush, LakeColumnRef)]) {
+    def isEmpty: Boolean = limit.isEmpty && topN.isEmpty
+  }
+
+  /** One planned row group's bounding facts: its [[TopNUnit]] view, its
+    * EXACT live rows (physical minus the file's DV positions falling in
+    * the group's row range — always known at this granularity), and its
+    * projected bytes (so trimmed plans report trimmed statistics).
+    */
+  final case class GroupFact(unit: TopNUnit, live: Long, bytes: Long)
+
   /** Exact proven live rows of `name`: the manifest footer row count
     * when the file is DV-free and stats-backed; 0 (nothing provable)
     * otherwise. Never an estimate — limitBound's guarantee rides on it.

@@ -131,7 +131,7 @@ object LakeStats {
     * (physical epoch-day ints) are consulted by [[cmp]] against java
     * Date/LocalDate literals — exact internal encodings.
     */
-  private def kindOf(p: org.apache.parquet.schema.PrimitiveType)
+  private[dsv2] def kindOf(p: org.apache.parquet.schema.PrimitiveType)
       : Option[String] = {
     val logical = p.getLogicalTypeAnnotation
     val isDecimal = logical
@@ -177,7 +177,7 @@ object LakeStats {
     * column (None — conservative keep at plan time); a group that is
     * provably all-null contributes only nulls.
     */
-  private def mergeBlocks(
+  private[dsv2] def mergeBlocks(
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
       col: String, kind: String, fileRows: Long): Option[ColStats] = {
     var min: Option[String] = None

@@ -669,15 +669,14 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     * sits under a join, where the limit's row guarantee no longer
     * gates correctness but the superset contract still does.
     */
+  private lazy val topNRef: Option[LakeColumnRef] = topN.flatMap(t =>
+    LakeTableIO.columnRefs(tableSchema).find(_.name == t.col))
+
   private lazy val (boundedFiles: Seq[Path], limitPruned: Int) = {
-    val afterTopN = topN match {
-      case Some(t) =>
-        LakeTableIO.columnRefs(tableSchema).find(_.name == t.col) match {
-          case Some(ref) =>
-            LakeLimits.topNBound(partFiles, stats, dvs, ref, t)
-          case None => partFiles
-        }
-      case None => partFiles
+    val afterTopN = (topN, topNRef) match {
+      case (Some(t), Some(ref)) =>
+        LakeLimits.topNBound(partFiles, stats, dvs, ref, t)
+      case _ => partFiles
     }
     val bounded = limitN match {
       case Some(n) => LakeLimits.limitBound(afterTopN, stats, dvs, n)
@@ -687,10 +686,15 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   }
 
   // planned on the driver from MANIFEST stats first (whole-file pruning,
-  // zero I/O per excluded file), then footer metadata of the survivors
+  // zero I/O per excluded file), then footer metadata of the survivors —
+  // where pushed LIMIT/TopN bounds trim provably-unneeded row GROUPS too
   private lazy val plan: LakeTableIO.ScanPlan =
     LakeTableIO.planRowGroups(boundedFiles,
-      LakeTableIO.columnRefs(projected), pushed, pruneGroups, dvs, stats)
+      LakeTableIO.columnRefs(projected), pushed, pruneGroups, dvs, stats,
+      bound =
+        if (limitN.isEmpty && topN.isEmpty) None
+        else Some(LakeLimits.ScanBound(limitN,
+          topN.flatMap(t => topNRef.map(t -> _)))))
 
   /** Stamp each split with its file's decoded partition KEY when the
     * planned file set is fully tupled — the handle Spark's
@@ -874,6 +878,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       s"files_pruned_by_partition=$partPruned/${files.size} " +
       s"files_pruned_by_limit=$limitPruned/${partFiles.size} " +
       s"files_pruned_by_stats=${plan.statsPrunedFiles}/${boundedFiles.size} " +
+      (if (plan.boundPrunedGroups > 0)
+        s"rowgroups_pruned_by_limit=${plan.boundPrunedGroups} " else "") +
       s"pushed=[${pushed.mkString(",")}]" +
       limitN.fold("")(n => s" pushed_limit=$n") +
       topN.fold("")(t => s" pushed_topn=[${t.col} " +
@@ -1781,7 +1787,8 @@ object LakeTableIO {
     */
   final case class ScanPlan(parts: Array[InputPartition], totalGroups: Int,
                             keptRows: Long, keptBytes: Long,
-                            statsPrunedFiles: Int = 0)
+                            statsPrunedFiles: Int = 0,
+                            boundPrunedGroups: Int = 0)
 
   /** Column-resolution refs for a (projected) schema: output name,
     * field id from metadata, and the name-candidate chain legacy files
@@ -1865,18 +1872,25 @@ object LakeTableIO {
                     pushed: Array[Filter], pruneGroups: Boolean,
                     dvs: Map[String, Seq[String]] = Map.empty,
                     stats: Map[String, LakeStats.FileStats] = Map.empty,
-                    onlyPositions: Option[Array[Long]] = None)
+                    onlyPositions: Option[Array[Long]] = None,
+                    bound: Option[LakeLimits.ScanBound] = None)
       : ScanPlan = {
     val conf = new Configuration()
     val refByName = cols.map(r => r.name -> r).toMap
     // one file's plan contribution: its surviving splits + counters —
     // independent footer I/O, computed in PARALLEL below (bounded
-    // pool) and folded back in file order so the plan is deterministic
+    // pool) and folded back in file order so the plan is deterministic.
+    // `facts` (1:1 with parts) carry each group's bounding view when a
+    // pushed LIMIT/TopN is in play — the footer is already open, so the
+    // group layer of [[LakeLimits]] costs zero extra I/O.
     final case class FilePlan(parts: Seq[InputPartition], total: Int,
                               rows: Long, bytes: Long,
-                              statsPruned: Boolean)
+                              statsPruned: Boolean,
+                              facts: Seq[LakeLimits.GroupFact] = Seq.empty)
+    val bounding = bound.exists(!_.isEmpty)
     def planFile(file: Path): FilePlan = {
       val parts = mutable.ArrayBuffer.empty[InputPartition]
+      val facts = mutable.ArrayBuffer.empty[LakeLimits.GroupFact]
       var total = 0
       var rows = 0L
       var bytes = 0L
@@ -1917,10 +1931,24 @@ object LakeTableIO {
           total += blocks.size
           // stats: subtract this file's deleted-row count once (spread
           // across groups is unknowable from metadata; the estimate only
-          // feeds join-size planning)
-          val dvCount =
-            if (fileDvs.isEmpty) 0L
-            else LakeDv.positions(file.getParent.toString, fileDvs).length.toLong
+          // feeds join-size planning). The sorted position array also
+          // gives the bounding layer EXACT per-group dead counts.
+          val dvPos: Array[Long] =
+            if (fileDvs.isEmpty) Array.empty
+            else LakeDv.positions(file.getParent.toString, fileDvs)
+          val dvCount = dvPos.length.toLong
+          // group-bounding resolution: the sort column's file-local name
+          // and stats kind (None = column absent/unharvestable in this
+          // file — its groups are kept and vouch nothing)
+          val topNLocal: Option[(String, String)] =
+            bound.flatMap(_.topN).flatMap { case (_, ref) =>
+              resolveInFile(fileSchema, ref).flatMap { localName =>
+                fileSchema.getFields.asScala
+                  .find(f => f.isPrimitive && f.getName == localName)
+                  .flatMap(f => LakeStats.kindOf(f.asPrimitiveType()))
+                  .map(localName -> _)
+              }
+            }
           var fileKeptRows = 0L
           // positional reads (CDC delete / update-preimage events) only
           // touch row groups whose row range intersects the sorted
@@ -1929,9 +1957,10 @@ object LakeTableIO {
           // file-relative, so the cumulative row offset is the range)
           var groupStart = 0L
           blocks.zipWithIndex.foreach { case (block, idx) =>
+            val gStart = groupStart // this group's file-relative range
             val groupEnd = groupStart + block.getRowCount
             val positionHit = onlyPositions.forall { ps =>
-              val i = java.util.Arrays.binarySearch(ps, groupStart)
+              val i = java.util.Arrays.binarySearch(ps, gStart)
               val at = if (i >= 0) i else -i - 1
               at < ps.length && ps(at) < groupEnd
             }
@@ -1941,15 +1970,42 @@ object LakeTableIO {
             if (keep) {
               parts += LakeInputPartition(file.toString, idx, cols, fileDvs)
               fileKeptRows += block.getRowCount
-              bytes += block.getColumns.asScala
+              val groupBytes = block.getColumns.asScala
                 .filter(c => localNames.contains(c.getPath.toDotString))
                 .map(_.getTotalUncompressedSize).sum
+              bytes += groupBytes
+              if (bounding) {
+                // exact live rows: DV positions inside this group's
+                // file-relative row range (sorted distinct → insertion
+                // points count exactly)
+                def ip(x: Long): Int = {
+                  val i = java.util.Arrays.binarySearch(dvPos, x)
+                  if (i >= 0) i else -i - 1
+                }
+                val dead = (ip(groupEnd) - ip(gStart)).toLong
+                val gRows = block.getRowCount
+                val cs = topNLocal.flatMap { case (localName, kind) =>
+                  LakeStats.mergeBlocks(Seq(block), localName, kind, gRows)
+                }
+                // prover lower bounds hold for EVERY split of the dead
+                // rows between nulls and values (worst case each side)
+                val (pn, pv) = cs match {
+                  case Some(c) if c.nulls >= 0 =>
+                    (math.max(0L, c.nulls - dead),
+                      math.max(0L, gRows - c.nulls - dead))
+                  case _ => (0L, 0L)
+                }
+                facts += LakeLimits.GroupFact(
+                  LakeLimits.TopNUnit(gRows, cs, pn, pv),
+                  math.max(0L, gRows - dead), groupBytes)
+              }
             }
           }
           rows += math.max(0L, fileKeptRows - dvCount)
         } finally reader.close()
       }
-      FilePlan(parts.toSeq, total, rows, bytes, statsPruned0 > 0)
+      FilePlan(parts.toSeq, total, rows, bytes, statsPruned0 > 0,
+        facts.toSeq)
     }
     val perFile: Seq[FilePlan] =
       if (files.size < 4) files.map(planFile)
@@ -1961,9 +2017,35 @@ object LakeTableIO {
           Future.traverse(files.toList)(f => Future(planFile(f))),
           Duration.Inf)
       }
-    ScanPlan(perFile.flatMap(_.parts).toArray, perFile.map(_.total).sum,
-      perFile.map(_.rows).sum, perFile.map(_.bytes).sum,
-      perFile.count(_.statsPruned))
+    val allParts = perFile.flatMap(_.parts).toIndexedSeq
+    val allFacts = perFile.flatMap(_.facts).toIndexedSeq
+    // ROW-GROUP bounding (the second granularity of [[LakeLimits]]):
+    // the file layer already bounded the manifest; here the survivors'
+    // own footer stats trim groups a pushed TopN provably cannot need
+    // (one giant sorted post-compaction file plans its head groups, not
+    // all of them) and a pushed LIMIT stops at exact live coverage.
+    if (!bounding || allFacts.size != allParts.size)
+      ScanPlan(allParts.toArray, perFile.map(_.total).sum,
+        perFile.map(_.rows).sum, perFile.map(_.bytes).sum,
+        perFile.count(_.statsPruned))
+    else {
+      val topMask: IndexedSeq[Boolean] = bound.get.topN match {
+        case Some((t, _)) =>
+          LakeLimits.topNKeepMask(allFacts.map(_.unit), t)
+        case None => allParts.map(_ => true)
+      }
+      val afterTop = allParts.zip(allFacts).zip(topMask)
+        .collect { case (pf, true) => pf }
+      val limMask: IndexedSeq[Boolean] = bound.get.limit match {
+        case Some(n) => LakeLimits.limitMask(afterTop.map(_._2.live), n)
+        case None    => afterTop.map(_ => true)
+      }
+      val kept = afterTop.zip(limMask).collect { case (pf, true) => pf }
+      ScanPlan(kept.map(_._1).toArray, perFile.map(_.total).sum,
+        kept.map(_._2.live).sum, kept.map(_._2.bytes).sum,
+        perFile.count(_.statsPruned),
+        boundPrunedGroups = allParts.size - kept.size)
+    }
   }
 
   /** Evaluate a global aggregation from manifest metadata alone, or

@@ -253,6 +253,58 @@ class LakeLimitSpec extends SparkSpec {
     }
   }
 
+  test("ROW-GROUP layer: within one giant sorted file, TopN plans only " +
+       "the reachable head groups and plain LIMIT stops at exact live " +
+       "coverage — and a DV'd head group still vouches its reduced count") {
+    import graft.sources.dsv2.LakeTableIO
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.g (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      // tiny row groups + sorted single-task input -> one file, many
+      // groups with disjoint k ranges (the post-compaction shape)
+      LakeTableIO.rowGroupBytes = 16L << 10
+      try spark.sql(s"INSERT INTO $cat.db.g " +
+        "SELECT id, concat('v', id) FROM range(0, 100000, 1, 1) " +
+        "ORDER BY id")
+      finally LakeTableIO.rowGroupBytes = 128L << 20
+      def groups(plan: String): (Int, Int) = {
+        val m = "rowgroups=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+        (m.group(1).toInt, m.group(2).toInt)
+      }
+      val (top, topPlan) =
+        planOf(s"SELECT k FROM $cat.db.g ORDER BY k LIMIT 5")
+      val (planned, total) = groups(topPlan)
+      assert(total >= 4, s"fixture wants many groups:\n$topPlan")
+      assert(planned == 1,
+        s"top-5 of a sorted file lives in its head group:\n$topPlan")
+      assert(topPlan.contains("rowgroups_pruned_by_limit="), topPlan)
+      assert(top.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+
+      val (desc5, descPlan) =
+        planOf(s"SELECT k FROM $cat.db.g ORDER BY k DESC LIMIT 5")
+      assert(groups(descPlan)._1 == 1,
+        s"bottom-5 lives in the tail group:\n$descPlan")
+      assert(desc5.collect().map(_.getLong(0)).toSeq ==
+        (99999L to 99995L by -1L))
+
+      val (lim, limPlan) = planOf(s"SELECT k FROM $cat.db.g LIMIT 10")
+      assert(groups(limPlan)._1 == 1,
+        s"LIMIT 10 needs one group's exact live rows:\n$limPlan")
+      assert(lim.count() == 10L)
+
+      // DV the head group's low keys: per-group dead counts are EXACT,
+      // so the head group vouches its reduced live count and STILL
+      // covers a top-10 alone (unlike the file layer, where a DV voids
+      // the whole file's proof)
+      spark.sql(s"DELETE FROM $cat.db.g WHERE k < 50")
+      val (dv, dvPlan) =
+        planOf(s"SELECT k FROM $cat.db.g ORDER BY k LIMIT 10")
+      assert(groups(dvPlan)._1 == 1,
+        s"the DV'd head group still vouches exactly:\n$dvPlan")
+      assert(dv.collect().map(_.getLong(0)).toSeq == (50L until 60L))
+    }
+  }
+
   test("composition with a CONSUMED partition filter: the limit bounds " +
        "within the matching partition's files only") {
     withCatalog { (cat, _) =>
