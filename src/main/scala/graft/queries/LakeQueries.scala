@@ -533,6 +533,26 @@ object LakeQueries {
         "sum(live_rows) AS live", "sum(dv_count) AS dvs")
     }),
 
+    // DECLARED WRITE SORT ORDER (r13): `write.sort.columns` makes every
+    // INSERT request an ordered (range) write distribution, so a
+    // deliberately scrambled load still lands range-disjoint sorted
+    // files — the layout that gives min/max pruning, row-group
+    // pruning, and LIMIT/TopN bounding their power (disjointness +
+    // plan pins in LakeLimitSpec). The range probe here reads back
+    // exactly the keyspace slice; the oracle restates it from rows.
+    "lake_sorted_write" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_sorted")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING) " +
+        "TBLPROPERTIES ('write.sort.columns'='k')")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderpriority AS pri")
+        .repartition(8)
+        .createOrReplaceTempView("lake_sorted_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_sorted_src")
+      s.sql(s"SELECT k, pri FROM $tbl WHERE k >= 100 AND k < 700")
+    }),
+
     // DECIMAL through the full lake lifecycle: a money column stored
     // as the connector's INT64-unscaled parquet DECIMAL, driven
     // through load → merge-on-read DELETE → time-travel read, with an
@@ -1176,6 +1196,11 @@ object LakeQueries {
          |                END) AS BIGINT) AS live,
          |       CAST(8 AS BIGINT) AS dvs
          |FROM prev""".stripMargin,
+    // the keyspace slice restated over the source rows
+    "lake_sorted_write" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey AS k, o_orderpriority AS pri
+         |FROM prev WHERE o_orderkey >= 100 AND o_orderkey < 700""".stripMargin,
     // the surviving rows' exact decimal aggregate, restated over the
     // source with the same cast
     "lake_decimal_dml" ->

@@ -203,13 +203,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"${f.get.dataType.simpleString} — blooms admit " +
           "int/bigint/string/date/timestamp")
     }
+    // write sort order validated NOW: names must resolve (the ordered
+    // write distribution would otherwise fail at first INSERT)
+    val sortCols = Option(info.properties().get(LakeTableIO.SortColsKey))
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    sortCols.foreach { c =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"graft_lake: ${LakeTableIO.SortColsKey} names unknown " +
+          s"column '$c'")
+    }
     val props =
       mode.filter(_ == "merge-on-read").map("write.mode" -> _).toMap ++
         (if (spec.isEmpty) Map.empty
          else Map(LakePartitioning.SpecKey ->
            LakePartitioning.show(spec))) ++
         (if (bloomCols.isEmpty) Map.empty
-         else Map(LakeBloom.ColKey -> bloomCols.mkString(",")))
+         else Map(LakeBloom.ColKey -> bloomCols.mkString(","))) ++
+        (if (sortCols.isEmpty) Map.empty
+         else Map(LakeTableIO.SortColsKey -> sortCols.mkString(",")))
     if (props.nonEmpty) LakeTableIO.writeProps(dir.toString, props)
     // v0 = the empty table: history (and any stream) starts at creation
     LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)

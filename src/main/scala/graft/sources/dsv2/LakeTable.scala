@@ -1255,18 +1255,44 @@ class LakeWrite(dir: String, writeSchema: StructType,
     * efficiency contract: the writer splits by tuple per row either
     * way, so correctness never rides on the distribution.
     */
+  /** The write sort order ([[LakeTableIO.SortColsKey]]) as connector
+    * SortOrders: partition transforms first (rows group by tuple), then
+    * the declared sort columns — empty when the property is unset.
+    */
+  private def declaredSortOrders
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val sortCols = LakeTableIO.sortColumnsOf(dir)
+    if (sortCols.isEmpty) Array.empty
+    else {
+      val partOrders = LakePartitioning
+        .toTransforms(LakePartitioning.specOf(dir))
+        .map(t => Expressions.sort(t, SortDirection.ASCENDING))
+      val colOrders = sortCols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      (partOrders ++ colOrders).toArray
+    }
+  }
+
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution = {
     import org.apache.spark.sql.connector.distributions.Distributions
     val spec = LakePartitioning.specOf(dir)
-    if (spec.isEmpty) Distributions.unspecified()
+    val sorts = declaredSortOrders
+    // a declared write sort order asks for an ORDERED (range)
+    // distribution over (transforms, sort columns): files land
+    // range-DISJOINT and internally sorted — the layout every pruning
+    // layer (min/max stats, row groups, LIMIT/TopN bounding) exploits.
+    // Purely an efficiency contract, like the clustered case below.
+    if (sorts.nonEmpty) Distributions.ordered(sorts)
+    else if (spec.isEmpty) Distributions.unspecified()
     else Distributions.clustered(LakePartitioning.toTransforms(spec)
       .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
   }
   override def requiredNumPartitions(): Int = 0
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    declaredSortOrders
 
   /** Streaming flavor: each epoch publishes like a batch and seals a
     * manifest whose operation carries `(queryId, epochId)` — a replayed
@@ -2609,6 +2635,23 @@ object LakeTableIO {
     * any future table-level knobs. Atomic overwrite like the schema
     * sidecar; absent file = empty map (copy-on-write defaults).
     */
+  /** `write.sort.columns` — the table's WRITE SORT ORDER (Iceberg's
+    * SORTED BY): every batch write requests an ORDERED distribution on
+    * (partition transforms, then these columns), so ingest produces
+    * range-disjoint, internally-sorted files no matter how the input
+    * arrives. That layout is what gives min/max stats, row-group
+    * pruning, and the LIMIT/TopN bounding layers their power — with it,
+    * `ORDER BY k LIMIT n` plans one file and a point filter prunes by
+    * bounds alone; declared as a property so the guarantee survives
+    * every writer, not just pre-sorted inputs.
+    */
+  val SortColsKey = "write.sort.columns"
+
+  /** The declared write-sort columns, empty when unset. */
+  def sortColumnsOf(dir: String): Seq[String] =
+    tableProps(dir).get(SortColsKey).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   def tableProps(dir: String): Map[String, String] = {
     val p = new Path(dir, "_props.json")
     val fs = p.getFileSystem(new Configuration())

@@ -305,6 +305,65 @@ class LakeLimitSpec extends SparkSpec {
     }
   }
 
+  test("write.sort.columns: a shuffled INSERT lands range-DISJOINT " +
+       "sorted files (ordered write distribution), so TopN plans one " +
+       "file and a point filter prunes by bounds alone; CREATE " +
+       "validates the column") {
+    import graft.sources.dsv2.{LakeLog, LakeStats}
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.so (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.sort.columns'='k')")
+      // deliberately scrambled, round-robin input: WITHOUT the ordered
+      // distribution every file would cover the full key range
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try spark.sql(s"INSERT INTO $cat.db.so SELECT " +
+        "(id * 2654435761) % 1000003 AS k, concat('v', id) AS v " +
+        "FROM range(0, 100000, 1, 8)")
+      finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+      }
+      val head = LakeLog.current(s"$root/db/so").get
+      assert(head.files.size >= 2, s"fixture wants >1 file: ${head.files}")
+      // manifest bounds are pairwise disjoint (unique keys): the
+      // ordered distribution, not luck
+      val bounds = head.files.map { f =>
+        val cs = head.stats(f).cols("k")
+        (cs.min.get.toLong, cs.max.get.toLong)
+      }.sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          assert(hi < lo, s"files overlap in k: $bounds")
+        case _ =>
+      }
+      val n = head.files.size
+      val (top, topPlan) =
+        planOf(s"SELECT k FROM $cat.db.so ORDER BY k LIMIT 3")
+      assert(topPlan.contains(s"files_pruned_by_limit=${n - 1}/$n"),
+        s"sorted layout must bound the top-3 to one file:\n$topPlan")
+      val expected = (0L until 100000L).map(i => (i * 2654435761L) % 1000003L)
+        .sorted.take(3)
+      assert(top.collect().map(_.getLong(0)).toSeq == expected)
+      // point filter: bounds alone prune all files but one
+      val probe = expected.head
+      val (pt, ptPlan) =
+        planOf(s"SELECT v FROM $cat.db.so WHERE k = $probe")
+      assert(pt.count() >= 1)
+      assert(s"files_pruned_by_stats=(\\d+)/$n".r
+        .findFirstMatchIn(ptPlan).exists(_.group(1).toInt == n - 1),
+        s"disjoint bounds must isolate the point lookup:\n$ptPlan")
+      // unknown sort column fails at CREATE, loud
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.bad (k BIGINT) " +
+          "TBLPROPERTIES ('write.sort.columns'='nope')")
+      }
+      assert(e.getMessage.contains("unknown column"), e.getMessage)
+    }
+  }
+
   test("composition with a CONSUMED partition filter: the limit bounds " +
        "within the matching partition's files only") {
     withCatalog { (cat, _) =>
