@@ -458,26 +458,60 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           f.copy(dataType = to)))
         audits += s"alter_widen($name:${from.simpleString}->${to.simpleString})"
       case sp: TableChange.SetProperty =>
-        require(sp.property() == "write.mode",
+        // the three user knobs evolve by ALTER; everything else is
+        // engine-owned state. Sort-order and bloom changes are
+        // metadata-only and FORWARD-looking (Iceberg's semantics):
+        // future writes pick them up, existing files stay readable and
+        // conservatively judged (bloomless/unsorted vintages keep).
+        val knobs = Set("write.mode", LakeTableIO.SortColsKey,
+          LakeBloom.ColKey)
+        require(knobs.contains(sp.property()),
           s"graft_lake: unknown table property '${sp.property()}' " +
-            "(only write.mode)")
-        require(sp.value() == "merge-on-read" ||
-            sp.value() == "copy-on-write",
-          s"graft_lake: write.mode must be merge-on-read or " +
-            s"copy-on-write, got '${sp.value()}'")
+            s"(settable: ${knobs.toSeq.sorted.mkString(", ")})")
+        val cols = sp.value().split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        def fieldOf(c: String) =
+          schema.fields.find(_.name.equalsIgnoreCase(c))
+        sp.property() match {
+          case "write.mode" =>
+            require(sp.value() == "merge-on-read" ||
+                sp.value() == "copy-on-write",
+              s"graft_lake: write.mode must be merge-on-read or " +
+                s"copy-on-write, got '${sp.value()}'")
+          case LakeTableIO.SortColsKey =>
+            cols.foreach(c => require(fieldOf(c).isDefined,
+              s"graft_lake: ${LakeTableIO.SortColsKey} names unknown " +
+                s"column '$c'"))
+          case _ =>
+            cols.foreach { c =>
+              val f = fieldOf(c)
+              require(f.isDefined,
+                s"graft_lake: ${LakeBloom.ColKey} names unknown " +
+                  s"column '$c'")
+              require(LakeBloom.admits(f.get.dataType),
+                s"graft_lake: ${LakeBloom.ColKey} column '$c' has " +
+                  s"type ${f.get.dataType.simpleString} — blooms " +
+                  "admit int/bigint/string/date/timestamp")
+            }
+        }
         // merge, never replace: other persisted props (the partition
-        // spec) survive a write-mode flip
-        val base = LakeTableIO.tableProps(dir.toString) - "write.mode"
+        // spec, sibling knobs — including one set earlier in THIS
+        // multi-change ALTER) survive a single-knob flip
+        val base = propsAfter
+          .getOrElse(LakeTableIO.tableProps(dir.toString)) - sp.property()
         propsAfter = Some(
-          if (sp.value() == "merge-on-read")
-            base + ("write.mode" -> sp.value())
-          else base)
-        audits += s"alter_set(write.mode=${sp.value()})"
+          if (sp.property() == "write.mode" &&
+              sp.value() == "copy-on-write") base // the default: unset
+          else base + (sp.property() -> sp.value()))
+        audits += s"alter_set(${sp.property()}=${sp.value()})"
       case rp: TableChange.RemoveProperty =>
-        require(rp.property() == "write.mode",
+        val knobs = Set("write.mode", LakeTableIO.SortColsKey,
+          LakeBloom.ColKey)
+        require(knobs.contains(rp.property()),
           s"graft_lake: unknown table property '${rp.property()}'")
-        propsAfter = Some(LakeTableIO.tableProps(dir.toString) - "write.mode")
-        audits += "alter_unset(write.mode)"
+        propsAfter = Some(propsAfter
+          .getOrElse(LakeTableIO.tableProps(dir.toString)) - rp.property())
+        audits += s"alter_unset(${rp.property()})"
       case other =>
         throw new UnsupportedOperationException(
           s"graft_lake: unsupported ALTER ${other.getClass.getSimpleName}" +

@@ -183,6 +183,32 @@ class LakeBloomSpec extends SparkSpec {
       // range must still find the row
       assert(spark.sql(s"SELECT v FROM $cat.db.c WHERE k = 150")
         .head().getString(0) == "x150")
+      // bloom EVOLUTION by ALTER: enable after create — the next
+      // write's files carry blooms, the older bloomless vintage stays
+      // conservatively kept (results exact either way)
+      spark.sql(s"CREATE TABLE $cat.db.ev (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.ev SELECT id FROM range(0, 50, 1, 1)")
+      spark.sql(s"ALTER TABLE $cat.db.ev SET TBLPROPERTIES " +
+        s"('${LakeBloom.ColKey}'='k')")
+      spark.sql(s"INSERT INTO $cat.db.ev " +
+        "SELECT 100 + id FROM range(0, 50, 1, 1)")
+      val ev = LakeLog.current(s"$root/db/ev").get
+      val bloomed = ev.stats.values.count(_.cols.get("k")
+        .exists(_.bloom.isDefined))
+      assert(bloomed == 1,
+        s"only the post-ALTER file carries a bloom: $bloomed of ${ev.files.size}")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.ev WHERE k = 25")
+        .head.getLong(0) == 1L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.ev WHERE k = 125")
+        .head.getLong(0) == 1L)
+      // ALTER validates types like CREATE does
+      val eb = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.evd (d DOUBLE)")
+        spark.sql(s"ALTER TABLE $cat.db.evd SET TBLPROPERTIES " +
+          s"('${LakeBloom.ColKey}'='d')")
+      }
+      assert(eb.getMessage.contains("blooms admit"), eb.getMessage)
+
       // validation at CREATE
       val e1 = intercept[Exception] {
         spark.sql(s"CREATE TABLE $cat.db.bad1 (k BIGINT) " +

@@ -364,6 +364,64 @@ class LakeLimitSpec extends SparkSpec {
     }
   }
 
+  test("sort-order EVOLUTION by ALTER: set after create, forward-looking " +
+       "only — new files land disjoint, old overlapping vintages stay " +
+       "readable and conservatively kept; unknown column rejects") {
+    import graft.sources.dsv2.LakeLog
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.ev (k BIGINT, v STRING)")
+      // unsorted vintage first: full-range files
+      spark.sql(s"INSERT INTO $cat.db.ev SELECT " +
+        "(id * 2654435761) % 1000003 AS k, concat('o', id) AS v " +
+        "FROM range(0, 2000, 1, 2)")
+      spark.sql(s"ALTER TABLE $cat.db.ev SET TBLPROPERTIES " +
+        "('write.sort.columns'='k')")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try spark.sql(s"INSERT INTO $cat.db.ev SELECT " +
+        "1000003 + id AS k, concat('n', id) AS v " +
+        "FROM range(0, 40000, 1, 4)")
+      finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+      }
+      val head = LakeLog.current(s"$root/db/ev").get
+      // the NEW vintage (keys >= 1000003) is range-disjoint
+      val newBounds = head.files.flatMap(f =>
+        head.stats.get(f).map(_.cols("k")))
+        .filter(_.min.get.toLong >= 1000003L)
+        .map(cs => (cs.min.get.toLong, cs.max.get.toLong)).sortBy(_._1)
+      assert(newBounds.size >= 2, s"sorted insert wants >1 file: $newBounds")
+      newBounds.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) => assert(hi < lo,
+          s"post-ALTER files overlap: $newBounds")
+        case _ =>
+      }
+      // both vintages read exactly
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.ev").head.getLong(0)
+        == 42000L)
+      // a probe into the new keyspace plans old full-range files OUT by
+      // bounds (old vintage tops out below 1000003)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.ev WHERE k = 1000010").head
+        .getLong(0) == 1L)
+      // unknown column rejects loud
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.ev SET TBLPROPERTIES " +
+          "('write.sort.columns'='nope')")
+      }
+      assert(e.getMessage.contains("unknown column"), e.getMessage)
+      // unset: back to clustered/unspecified writes, table still reads
+      spark.sql(s"ALTER TABLE $cat.db.ev UNSET TBLPROPERTIES " +
+        "('write.sort.columns')")
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (5000000, 'z')")
+      assert(spark.sql(s"SELECT v FROM $cat.db.ev WHERE k = 5000000")
+        .head.getString(0) == "z")
+    }
+  }
+
   test("composition with a CONSUMED partition filter: the limit bounds " +
        "within the matching partition's files only") {
     withCatalog { (cat, _) =>
