@@ -388,16 +388,26 @@ object LakeSnapshots {
     val srcRows = LakeTableIO.footerRows(compacted.map(new Path(dir, _)))
     val stage = new Path(dir, s".compact-${UUID.randomUUID()}")
     try {
+      // a declared write sort order ([[LakeTableIO.SortColsKey]]) is a
+      // LAYOUT INVARIANT: compaction merges by range + within-file sort
+      // instead of round-robin, so the merged files stay range-disjoint
+      // and internally sorted — otherwise the maintenance pass would
+      // destroy the very layout the pruning stack rides on
+      val sortCols = LakeTableIO.sortColumnsOf(dir)
       val stagedByGroup = groups.zipWithIndex.map {
         case ((tuple, files), gi) =>
           val nOut = math.max(1, math.ceil(
             files.map(sizeOf).sum.toDouble / targetBytes).toInt)
           val gStage = new Path(stage, s"g$gi")
           withMicrosTimestamps(spark) {
-            spark.read.schema(LakeTableIO.tableSchema(dir))
+            val merged = spark.read.schema(LakeTableIO.tableSchema(dir))
               .parquet(files.map(f => s"$dir/$f"): _*)
-              .repartition(nOut)
-              .write.parquet(gStage.toString)
+            val shaped =
+              if (sortCols.isEmpty) merged.repartition(nOut)
+              else merged
+                .repartitionByRange(nOut, sortCols.map(col): _*)
+                .sortWithinPartitions(sortCols.map(col): _*)
+            shaped.write.parquet(gStage.toString)
           }
           fs.listStatus(gStage).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -417,8 +427,14 @@ object LakeSnapshots {
               .sum.toDouble / targetBytes).toInt)
           val df0 = spark.read.schema(schema)
             .parquet(migrate.map(f => s"$dir/$f"): _*)
-          val clustered =
+          val clustered0 =
             df0.repartition(nOut, clusterExprs(bound): _*)
+          // within each task: group by tuple, then the declared sort —
+          // migrated files come out sorted too
+          val clustered =
+            if (sortCols.isEmpty) clustered0
+            else clustered0.sortWithinPartitions(
+              (clusterExprs(bound) ++ sortCols.map(col)): _*)
           withMicrosTimestamps(spark) {
             LakeTableIO.stageThroughConnector(clustered, dir)
           }.map(s => (new Path(s.stagedPath), s.tuple))

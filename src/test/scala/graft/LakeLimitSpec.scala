@@ -422,6 +422,53 @@ class LakeLimitSpec extends SparkSpec {
     }
   }
 
+  test("compaction preserves the declared sort order: merging two " +
+       "interleaved sorted vintages yields range-disjoint sorted files " +
+       "again, and the top-n bound still plans one file") {
+    import graft.sources.dsv2.LakeLog
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.cp (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.sort.columns'='k')")
+      // two single-file inserts with INTERLEAVED keyspaces: each file
+      // is sorted, but the two overlap completely — a round-robin
+      // compaction would merge them into full-range files
+      spark.sql(s"INSERT INTO $cat.db.cp SELECT 2 * id, concat('e', id) " +
+        "FROM range(0, 30000, 1, 1)")
+      spark.sql(s"INSERT INTO $cat.db.cp SELECT 2 * id + 1, " +
+        "concat('o', id) FROM range(0, 30000, 1, 1)")
+      val dir = s"$root/db/cp"
+      val before = LakeLog.current(dir).get
+      assert(before.files.size == 2)
+      val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+      val sum = before.files.map(f => fsys.getFileStatus(
+        new org.apache.hadoop.fs.Path(dir, f)).getLen).sum
+      // target below the pair's sum and above each file: both classify
+      // small, the merge emits two outputs
+      spark.sql(s"CALL $cat.system.compact(table => 'db.cp', " +
+        s"target_bytes => ${sum * 2 / 3})")
+      val after = LakeLog.current(dir).get
+      assert(after.files.size >= 2, s"merge should emit 2+: ${after.files}")
+      val bounds = after.files.map { f =>
+        val cs = after.stats(f).cols("k")
+        (cs.min.get.toLong, cs.max.get.toLong)
+      }.sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          assert(hi < lo, s"compacted files overlap in k: $bounds")
+        case _ =>
+      }
+      val n = after.files.size
+      val (top, topPlan) =
+        planOf(s"SELECT k FROM $cat.db.cp ORDER BY k LIMIT 3")
+      assert(topPlan.contains(s"files_pruned_by_limit=${n - 1}/$n"),
+        s"post-compaction layout must still bound the top-3:\n$topPlan")
+      assert(top.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.cp").head.getLong(0)
+        == 60000L)
+    }
+  }
+
   test("composition with a CONSUMED partition filter: the limit bounds " +
        "within the matching partition's files only") {
     withCatalog { (cat, _) =>
