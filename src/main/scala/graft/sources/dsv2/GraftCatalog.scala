@@ -312,6 +312,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       s.fields.flatMap(LakeParquet.priorNames).map(_.toLowerCase).toSet
     val audits = scala.collection.mutable.ArrayBuffer.empty[String]
     var propsAfter: Option[Map[String, String]] = None
+    // rewrite the column-list knobs (write.sort.columns, bloom.columns)
+    // through `f` — Some(newName) keeps/renames an entry, None drops it;
+    // an emptied knob unsets. Chained through propsAfter so it composes
+    // with SetProperty changes in the same ALTER.
+    def editColKnobs(f: String => Option[String]): Unit = {
+      val base = propsAfter.getOrElse(LakeTableIO.tableProps(dir.toString))
+      val next = Seq(LakeTableIO.SortColsKey, LakeBloom.ColKey)
+        .foldLeft(base) { (props, key) =>
+          props.get(key) match {
+            case None => props
+            case Some(v) =>
+              val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+                .toSeq.flatMap(f(_))
+              if (cols.isEmpty) props - key
+              else props + (key -> cols.mkString(","))
+          }
+        }
+      if (next != base) propsAfter = Some(next)
+    }
     // hidden partitioning interplay: specs reference source columns by
     // name, so a RENAME rewrites EVERY spec with it (evolution keeps
     // old layouts readable, so historical specs evolve in lockstep
@@ -368,6 +387,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               s"(${spec.map(_.show).mkString(",")}) — the table's " +
               "layout depends on it; rewrite to a new spec instead")
           schema = StructType(schema.fields.patch(idx, Nil, 1))
+          // the forward-looking knobs shed the dropped column (a
+          // dangling name would wedge every subsequent write: the
+          // ordered distribution / bloom harvest resolve by name)
+          editColKnobs(c =>
+            if (c.equalsIgnoreCase(name)) None else Some(c))
           audits += s"alter_drop($name)"
         }
       case ren: TableChange.RenameColumn =>
@@ -413,6 +437,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             }
           case t => t
         })
+        // sort/bloom knobs follow the rename like the specs do
+        editColKnobs(c =>
+          if (c.equalsIgnoreCase(from)) Some(to) else Some(c))
         audits += s"alter_rename($from->$to)"
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1,

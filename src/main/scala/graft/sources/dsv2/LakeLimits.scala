@@ -63,10 +63,13 @@ import org.apache.hadoop.fs.Path
   */
 object LakeLimits {
 
-  /** One pushed ORDER BY <col> LIMIT n: single top-level sort column,
-    * direction, null placement. (Multi-column orders never prune units:
-    * the secondary key cannot break ties from bounds alone, so the
-    * builder refuses the push and Spark keeps the full sort.)
+  /** One pushed ORDER BY <col>[, …] LIMIT n, reduced to its FIRST sort
+    * column: direction and null placement of that column. A
+    * multi-column order bounds soundly on the first key alone because
+    * the cutoff is STRICT — dropped units rank strictly past W on the
+    * first key, where >= n rows rank at-or-before it, so tie-breaker
+    * columns can never promote a dropped row; units tying AT W survive
+    * and Spark's retained TakeOrdered re-sorts on the full order.
     */
   final case class TopNPush(col: String, asc: Boolean,
                             nullsFirst: Boolean, n: Int)

@@ -355,8 +355,14 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    boundEligible && limit > 0 && (orders match {
-      case Array(o) =>
+    // multi-column orders bound by their FIRST column alone: the
+    // cutoff drops only units whose best first-key ranks STRICTLY past
+    // W, and >= n rows rank at-or-before W on the first key — strictly
+    // before every dropped row, so the tie-breaker columns can never
+    // promote a dropped row into the top n. (Ties AT W survive to be
+    // sorted by the remaining columns — Spark re-sorts on all of them.)
+    boundEligible && limit > 0 && (orders.toSeq match {
+      case o +: _ =>
         val col = o.expression match {
           case nr: NamedReference if nr.fieldNames.length == 1 =>
             Some(nr.fieldNames()(0))
@@ -1258,8 +1264,11 @@ class LakeWrite(dir: String, writeSchema: StructType,
   /** The write sort order ([[LakeTableIO.SortColsKey]]) as connector
     * SortOrders: partition transforms first (rows group by tuple), then
     * the declared sort columns — empty when the property is unset.
+    * Computed ONCE per write (lazy val): Spark consults it from both
+    * requiredDistribution and requiredOrdering, and the knob cannot
+    * change mid-write — no reason to re-read _props per call.
     */
-  private def declaredSortOrders
+  private lazy val declaredSortOrders
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     val sortCols = LakeTableIO.sortColumnsOf(dir)

@@ -240,6 +240,13 @@ class LakeLimitSpec extends SparkSpec {
       val top = spark.sql(s"SELECT k FROM $cat.db.tie ORDER BY k LIMIT 1")
       assert(top.collect().map(_.getLong(0)).toSeq == Seq(5L),
         "the tied top row must survive file bounding")
+      // multi-column order over the all-ties table: bounding by the
+      // first key must keep BOTH files (everything ties at W), and the
+      // retained sort breaks ties on v across them
+      val mc = spark.sql(
+        s"SELECT v FROM $cat.db.tie ORDER BY k, v LIMIT 2")
+      assert(mc.collect().map(_.getString(0)).toSeq == Seq("a0", "a1"),
+        "tie-breaker column must see rows from both files")
       // both null-carrying files tie at the null tier
       spark.sql(s"CREATE TABLE $cat.db.ntie (k BIGINT, v STRING)")
       spark.sql(s"INSERT INTO $cat.db.ntie " +
@@ -419,6 +426,43 @@ class LakeLimitSpec extends SparkSpec {
       spark.sql(s"INSERT INTO $cat.db.ev VALUES (5000000, 'z')")
       assert(spark.sql(s"SELECT v FROM $cat.db.ev WHERE k = 5000000")
         .head.getString(0) == "z")
+    }
+  }
+
+  test("knob/schema interplay: RENAME COLUMN follows write.sort.columns " +
+       "and bloom.columns; DROP COLUMN sheds its knob entries — no " +
+       "dangling name ever wedges a write") {
+    import graft.sources.dsv2.LakeTableIO
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.kn (k BIGINT, tag BIGINT, " +
+        "v STRING) TBLPROPERTIES ('write.sort.columns'='k,tag', " +
+        "'bloom.columns'='k')")
+      spark.sql(s"ALTER TABLE $cat.db.kn RENAME COLUMN k TO id")
+      val dir = s"$root/db/kn"
+      assert(LakeTableIO.sortColumnsOf(dir) == Seq("id", "tag"),
+        s"sort knob must follow the rename: ${LakeTableIO.tableProps(dir)}")
+      assert(LakeTableIO.tableProps(dir).get("bloom.columns")
+        .contains("id"))
+      // a write after the rename resolves the renamed sort column
+      spark.sql(s"INSERT INTO $cat.db.kn SELECT id, id % 7, " +
+        "concat('v', id) FROM range(0, 100, 1, 2)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.kn").head
+        .getLong(0) == 100L)
+      // dropping a knob column sheds exactly its entries
+      spark.sql(s"ALTER TABLE $cat.db.kn DROP COLUMN tag")
+      assert(LakeTableIO.sortColumnsOf(dir) == Seq("id"),
+        s"drop must shed tag: ${LakeTableIO.tableProps(dir)}")
+      spark.sql(s"INSERT INTO $cat.db.kn VALUES (500, 'z')")
+      assert(spark.sql(s"SELECT v FROM $cat.db.kn WHERE id = 500")
+        .head.getString(0) == "z")
+      // dropping the LAST sort column unsets the knob entirely
+      spark.sql(s"CREATE TABLE $cat.db.kn2 (a BIGINT, b STRING) " +
+        "TBLPROPERTIES ('write.sort.columns'='a')")
+      spark.sql(s"ALTER TABLE $cat.db.kn2 DROP COLUMN a")
+      assert(LakeTableIO.sortColumnsOf(s"$root/db/kn2").isEmpty)
+      spark.sql(s"INSERT INTO $cat.db.kn2 VALUES ('x')")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.kn2").head
+        .getLong(0) == 1L)
     }
   }
 
