@@ -617,6 +617,30 @@ object LakeQueries {
         s"FROM $tbl GROUP BY pri")
     }),
 
+    // GROUPED METADATA SUM/AVG: per-partition sums answered from
+    // WRITER-harvested exact per-file column sums in the manifest
+    // (parquet footers carry no sums — the writer folds them as rows
+    // stream through, zero extra read I/O), plus exact COUNT. The
+    // abs-sum bound proves the row scan could not have overflowed in
+    // any fold order, so the metadata answer is exact under ANSI and
+    // legacy alike (zero footer opens + overflow/DV/compaction decline
+    // pins in LakeSumMetaSpec). The oracle recomputes the sums from
+    // rows; the decimal total ships as a canonical string.
+    "lake_sum_meta" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_summ")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (pri STRING, k BIGINT, " +
+        "price DECIMAL(12,2)) PARTITIONED BY (pri)")
+      previous(s, dir).selectExpr("o_orderpriority AS pri",
+        s"$key AS k", "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
+        .createOrReplaceTempView("lake_summ_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_summ_src")
+      s.sql(s"SELECT pri, count(*) AS n, sum(k) AS sum_k, " +
+        s"avg(k) AS avg_k, CAST(sum(price) AS STRING) AS total " +
+        s"FROM $tbl GROUP BY pri")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
     // exactly the partitions the write PRODUCES (here the single
     // '1-URGENT' identity partition), never the rest — resolved to a
@@ -1228,6 +1252,15 @@ object LakeQueries {
          |SELECT o_orderpriority AS pri, count(*) AS n,
          |       min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
          |       min(o_orderdate) AS min_d, max(o_orderdate) AS max_d
+         |FROM prev GROUP BY 1""".stripMargin,
+    // per-partition sums/averages, recomputed from the rows
+    "lake_sum_meta" ->
+      s"""$snapshotCte
+         |SELECT o_orderpriority AS pri, count(*) AS n,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+         |       avg(o_orderkey) AS avg_k,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |         AS VARCHAR) AS total
          |FROM prev GROUP BY 1""".stripMargin,
     // untouched partitions from the load + the overwritten one anew
     "lake_dynamic_overwrite" ->

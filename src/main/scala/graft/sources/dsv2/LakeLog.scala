@@ -791,7 +791,12 @@ object LakeLog {
              dvsOverride: Option[Map[String, Seq[String]]] = None,
              // writer-built bloom filters per added file (col → base64),
              // attached to the harvested stats under field-id resolution
-             addedBlooms: Map[String, Map[String, String]] = Map.empty)
+             addedBlooms: Map[String, Map[String, String]] = Map.empty,
+             // writer-harvested exact column sums per added file
+             // (col → (sum, abs-sum) decimal integer strings) — the
+             // metadata-SUM/AVG facts; same attach rules as blooms
+             addedSums: Map[String, Map[String, (String, String)]] =
+               Map.empty)
       : Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
@@ -812,10 +817,15 @@ object LakeLog {
     // Writer-built blooms attach to their column's stats entry (keyed
     // by the file-local name the writer used, which is the footer's).
     val addedStats = LakeStats.harvest(dir, added).map { case (f, st) =>
-      f -> addedBlooms.get(f).fold(st)(bl => st.copy(cols =
-        st.cols.map { case (name, cs) =>
-          name -> bl.get(name).fold(cs)(b => cs.copy(bloom = Some(b)))
-        }))
+      val bl = addedBlooms.getOrElse(f, Map.empty)
+      val sm = addedSums.getOrElse(f, Map.empty)
+      if (bl.isEmpty && sm.isEmpty) f -> st
+      else f -> st.copy(cols = st.cols.map { case (name, cs) =>
+        val withBloom = bl.get(name).fold(cs)(b => cs.copy(bloom = Some(b)))
+        name -> sm.get(name).fold(withBloom) { case (s, a) =>
+          withBloom.copy(sum = Some(s), asum = Some(a))
+        }
+      })
     }
     var attempt = 0
     // The loser of a version race retries against the new head. Under

@@ -56,15 +56,42 @@ object LakeStats {
     */
   val footerOpens = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Planning-side footer-open bookkeeping (optionally traced via
+    * -Dgraft.debug.footer.trace for test forensics).
+    */
+  def noteFooterOpen(): Unit = {
+    if (sys.props.contains("graft.debug.footer.trace") ||
+        sys.env.contains("GRAFT_FOOTER_TRACE"))
+      new Exception("footer open").printStackTrace()
+    footerOpens.incrementAndGet()
+  }
+
   /** One column's bounds under its FILE-LOCAL name. `kind` tags the
     * decode ("long"|"int"|"double"|"float"|"bool"|"str"); `min`/`max`
     * are canonical strings of that kind, absent (None) when the column
     * is all-null or bounds were unusable; `nulls` is -1 when unknown;
     * `id` is the parquet field id (-1 for id-less files).
+    *
+    * `sum`/`asum` are WRITER-harvested exact column sums (parquet
+    * footers carry no sums, so only files written through
+    * [[LakeWriterFactory]] have them): the exact integer sum of the
+    * file's non-null values and the sum of their absolute values, both
+    * as decimal strings of the EXACT integer (unscaled integer for
+    * `dec:<scale>` columns, the value itself for int/long). They are
+    * what makes metadata-only SUM/AVG answerable ([[LakeTableIO
+    * .metaAggregate]]): per-file exact sums fold associatively, and the
+    * absolute sum bounds every PARTIAL sum a row scan could form, so
+    * the metadata answer can prove the scan would not have overflowed
+    * (ANSI and legacy modes agree exactly inside that region). Files
+    * from external writers, compaction rewrites (plain `df.write`
+    * output), or pre-sum vintages simply lack the fields — the SUM
+    * answer declines conservatively, never guesses.
     */
   final case class ColStats(kind: String, min: Option[String],
                             max: Option[String], nulls: Long, id: Int,
-                            bloom: Option[String] = None)
+                            bloom: Option[String] = None,
+                            sum: Option[String] = None,
+                            asum: Option[String] = None)
 
   /** One data file's manifest statistics. `rows`/`groups` come from the
     * footer (physical rows — deletion vectors are accounted separately
@@ -72,6 +99,45 @@ object LakeStats {
     */
   final case class FileStats(rows: Long, groups: Int,
                              cols: Map[String, ColStats])
+
+  /** Exact-numeric types the writer harvests sums for (the metadata
+    * SUM/AVG candidates): int/long and decimal of any supported
+    * precision. Floating point is excluded by design — FP addition is
+    * order-dependent, so no metadata sum could claim to equal the row
+    * scan's answer; byte/short are excluded because the stats kinds
+    * never distinguish them from int (conservative, like MIN/MAX).
+    */
+  def sumAdmits(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType =>
+        d.precision <= 38
+      case _ => false
+    }
+
+  /** Exact integer accumulator for writer-side sum harvesting: a Long
+    * fast path (one `addExact` per row, allocation-free) that promotes
+    * to BigInteger on overflow — exact at any magnitude. Not
+    * thread-safe; one instance per (file, column) inside a single
+    * writer task.
+    */
+  final class ExactSum {
+    private var l = 0L
+    private var big: java.math.BigInteger = null
+    def add(v: Long): Unit =
+      if (big == null) {
+        try l = Math.addExact(l, v)
+        catch { case _: ArithmeticException =>
+          big = java.math.BigInteger.valueOf(l)
+            .add(java.math.BigInteger.valueOf(v)) }
+      } else big = big.add(java.math.BigInteger.valueOf(v))
+    def add(v: java.math.BigInteger): Unit =
+      big = (if (big == null) java.math.BigInteger.valueOf(l) else big)
+        .add(v)
+    def toDecimalString: String =
+      if (big == null) l.toString else big.toString
+  }
 
   // ---------------------------------------------------------------- harvest
 
@@ -400,6 +466,8 @@ object LakeStats {
         c.put("nulls", java.lang.Long.valueOf(cs.nulls))
         if (cs.id >= 0) c.put("id", java.lang.Integer.valueOf(cs.id))
         cs.bloom.foreach(c.put("bloom", _))
+        cs.sum.foreach(c.put("sum", _))
+        cs.asum.foreach(c.put("asum", _))
         cm.put(col, c)
       }
       fm.put("cols", cm)
@@ -437,7 +505,7 @@ object LakeStats {
                       }
                       Some(String.valueOf(col) ->
                         ColStats(kind, str("min"), str("max"), nulls, id,
-                          str("bloom")))
+                          str("bloom"), str("sum"), str("asum")))
                     case _ => None
                   }
                 }.toMap

@@ -1215,7 +1215,10 @@ class LakeReaderFactory(projected: StructType)
   */
 case class StagedLakeFile(stagedPath: String, rows: Long,
                           tuple: Option[Seq[String]] = None,
-                          blooms: Map[String, String] = Map.empty)
+                          blooms: Map[String, String] = Map.empty,
+                          // col → (exact sum, exact abs-sum) as decimal
+                          // integer strings — see LakeStats.ColStats
+                          sums: Map[String, (String, String)] = Map.empty)
 
 /** Commit message: this task's staged files — one for an unpartitioned
   * write, one PER PARTITION TUPLE the task's rows touched for a
@@ -1348,20 +1351,23 @@ class LakeWrite(dir: String, writeSchema: StructType,
           if (!fs.rename(new Path(s.stagedPath), dest))
             throw new java.io.IOException(
               s"failed to publish ${s.stagedPath} -> $dest")
-          (dest.getName, s.rows, s.tuple, s.blooms)
+          (dest.getName, s)
         }
         try LakeLog.commit(dir, epochOp(epochId),
           published.map(_._1).toSeq, Seq.empty,
-          published.map(_._2).sum, branch = branch,
+          published.map(_._2.rows).sum, branch = branch,
           addedParts = published.collect {
-            case (n, _, Some(t), _) => n -> t
+            case (n, s) if s.tuple.isDefined => n -> s.tuple.get
           }.toMap,
           addedBlooms = published.collect {
-            case (n, _, _, bl) if bl.nonEmpty => n -> bl
+            case (n, s) if s.blooms.nonEmpty => n -> s.blooms
+          }.toMap,
+          addedSums = published.collect {
+            case (n, s) if s.sums.nonEmpty => n -> s.sums
           }.toMap)
         catch {
           case e: Throwable =>
-            published.foreach { case (n, _, _, _) =>
+            published.foreach { case (n, _) =>
               try fs.delete(new Path(dir, n), false)
               catch { case _: java.io.IOException => () }
             }
@@ -1401,7 +1407,7 @@ class LakeWrite(dir: String, writeSchema: StructType,
         if (!fs.rename(new Path(s.stagedPath), dest))
           throw new java.io.IOException(
             s"failed to publish ${s.stagedPath} -> $dest")
-        (dest.getName, s.rows, s.tuple, s.blooms)
+        (dest.getName, s)
       }
       // the replaced groups leave the MANIFEST only — their bytes remain
       // for time travel until an explicit expire. For overwrites the
@@ -1418,7 +1424,7 @@ class LakeWrite(dir: String, writeSchema: StructType,
       // no manifest, so deleting them is safe and keeps the table dir
       // free of invisible orphans
       def cleanupPublished(): Unit =
-        published.foreach { case (n, _, _, _) =>
+        published.foreach { case (n, _) =>
           try fs.delete(new Path(dir, n), false)
           catch { case _: java.io.IOException => () }
         }
@@ -1451,9 +1457,7 @@ class LakeWrite(dir: String, writeSchema: StructType,
                 " cannot be matched to written partitions; CALL " +
                 "system.compact first (it migrates old layouts to the " +
                 "current spec)")
-            val written = published.collect {
-              case (_, _, Some(t), _) => t }
-              .toSet
+            val written = published.flatMap(_._2.tuple).toSet
             cur.filter(f => parts.get(f).exists(written.contains))
           case LakeOverwrite.ByFilters(filters)
               if filters.forall(_.isInstanceOf[
@@ -1476,12 +1480,15 @@ class LakeWrite(dir: String, writeSchema: StructType,
             }
         } catch { case e: Throwable => cleanupPublished(); throw e }
       try LakeLog.commit(dir, opName, published.map(_._1).toSeq, removed,
-        published.map(_._2).sum, branch = branch,
+        published.map(_._2.rows).sum, branch = branch,
         addedParts = published.collect {
-          case (n, _, Some(t), _) => n -> t
+          case (n, s) if s.tuple.isDefined => n -> s.tuple.get
         }.toMap,
         addedBlooms = published.collect {
-          case (n, _, _, bl) if bl.nonEmpty => n -> bl
+          case (n, s) if s.blooms.nonEmpty => n -> s.blooms
+        }.toMap,
+        addedSums = published.collect {
+          case (n, s) if s.sums.nonEmpty => n -> s.sums
         }.toMap)
       catch {
         case e: Throwable => cleanupPublished(); throw e
@@ -1547,6 +1554,19 @@ class LakeWriterFactory(dir: String, schema: StructType)
       else Some((schema.fields(i).name, schema.fields(i).dataType, i))
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+  /** Exact-numeric columns whose per-file sums are harvested as rows
+    * stream through (zero extra read I/O — same contract as blooms):
+    * these are the facts that make metadata-only SUM/AVG answerable.
+    * Always on for admissible types; the cost is one exact integer add
+    * per (row, numeric column), noise against parquet encoding.
+    */
+  private val sumCols: Seq[(String, org.apache.spark.sql.types.DataType,
+      Int)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if LakeStats.sumAdmits(f.dataType) =>
+        (f.name, f.dataType, i)
+    }.toSeq
+
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -1561,6 +1581,11 @@ class LakeWriterFactory(dir: String, schema: StructType)
         // zero extra read I/O (the 100 TB way to build an index)
         val blooms: Array[LakeBloom.Builder] =
           Array.fill(bloomCols.length)(new LakeBloom.Builder())
+        // exact (sum, abs-sum) accumulators per exact-numeric column
+        val sums: Array[LakeStats.ExactSum] =
+          Array.fill(sumCols.length)(new LakeStats.ExactSum)
+        val asums: Array[LakeStats.ExactSum] =
+          Array.fill(sumCols.length)(new LakeStats.ExactSum)
         val staged = new Path(
           s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
         var rows = 0L
@@ -1618,6 +1643,36 @@ class LakeWriterFactory(dir: String, schema: StructType)
               .foreach(f.blooms(b).add)
           b += 1
         }
+        var sc = 0
+        while (sc < sumCols.length) {
+          val (_, dt, ord) = sumCols(sc)
+          if (!row.isNullAt(ord + off)) dt match {
+            case org.apache.spark.sql.types.IntegerType =>
+              val v = row.getInt(ord + off).toLong
+              f.sums(sc).add(v); f.asums(sc).add(math.abs(v))
+            case org.apache.spark.sql.types.LongType =>
+              val v = row.getLong(ord + off)
+              f.sums(sc).add(v)
+              // |Long.MinValue| overflows the long fast path
+              if (v == Long.MinValue)
+                f.asums(sc).add(java.math.BigInteger.valueOf(v).abs())
+              else f.asums(sc).add(math.abs(v))
+            case d: org.apache.spark.sql.types.DecimalType =>
+              val dec = row.getDecimal(ord + off, d.precision, d.scale)
+              if (d.precision <= 18) {
+                val u = dec.toUnscaledLong
+                f.sums(sc).add(u)
+                if (u == Long.MinValue)
+                  f.asums(sc).add(java.math.BigInteger.valueOf(u).abs())
+                else f.asums(sc).add(math.abs(u))
+              } else {
+                val u = dec.toJavaBigDecimal.unscaledValue()
+                f.sums(sc).add(u); f.asums(sc).add(u.abs())
+              }
+            case _ => () // sumAdmits admits nothing else
+          }
+          sc += 1
+        }
         f.rows += 1
       }
       override def commit(): WriterCommitMessage = {
@@ -1626,7 +1681,10 @@ class LakeWriterFactory(dir: String, schema: StructType)
             f.close(delete = false)
             Some(StagedLakeFile(f.staged.toString, f.rows, f.tuple,
               bloomCols.indices
-                .map(i => bloomCols(i)._1 -> f.blooms(i).toBase64).toMap))
+                .map(i => bloomCols(i)._1 -> f.blooms(i).toBase64).toMap,
+              sumCols.indices.map(i => sumCols(i)._1 ->
+                (f.sums(i).toDecimalString,
+                  f.asums(i).toDecimalString)).toMap))
           } else { f.close(delete = true); None }
         }
         LakeFileMessage(staged)
@@ -1943,7 +2001,7 @@ object LakeTableIO {
         total += fileStats.get.groups
         statsPruned0 += 1
       } else {
-        LakeStats.footerOpens.incrementAndGet()
+        LakeStats.noteFooterOpen()
         val in = HadoopInputFile.fromPath(file, conf)
         val reader = ParquetFileReader.open(in)
         try {
@@ -2198,6 +2256,16 @@ object LakeTableIO {
       case m: Max if dvs.isEmpty =>
         metaExtreme(colName(m.column), colStatsAll, kindFor, decode,
           tableSchema, isMin = false).getOrElse(return None)
+      // SUM / AVG from writer-harvested exact per-file sums — same
+      // zero-DV rule (a DV'd row's contribution is unknowable)
+      case s: org.apache.spark.sql.connector.expressions.aggregate.Sum
+          if !s.isDistinct && dvs.isEmpty =>
+        metaSum(colName(s.column), colStatsAll, tableSchema,
+          wantAvg = false).getOrElse(return None)
+      case a: org.apache.spark.sql.connector.expressions.aggregate.Avg
+          if !a.isDistinct && dvs.isEmpty =>
+        metaSum(colName(a.column), colStatsAll, tableSchema,
+          wantAvg = true).getOrElse(return None)
       case _ => return None
     }
     Some(values)
@@ -2292,7 +2360,26 @@ object LakeTableIO {
     final case class GExt(ref: LakeColumnRef,
                           t: org.apache.spark.sql.types.DataType,
                           kind: String, isMin: Boolean) extends GA
-    import org.apache.spark.sql.connector.expressions.aggregate.Count
+    // SUM/AVG from writer-harvested exact per-file sums; the
+    // no-overflow guards apply PER GROUP at fold time (the row scan's
+    // per-group fold only ever sees that group's rows)
+    final case class GSum(ref: LakeColumnRef,
+                          t: org.apache.spark.sql.types.DataType,
+                          kind: String, isAvg: Boolean) extends GA
+    def sumSlot(
+        e: org.apache.spark.sql.connector.expressions.Expression,
+        isAvg: Boolean): Option[GSum] = {
+      import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+      val name = colName(e).getOrElse(return None)
+      val t = tableSchema.fields.find(_.name == name)
+        .map(_.dataType).getOrElse(return None)
+      val integral = t == IntegerType || t == LongType
+      if (!integral && !t.isInstanceOf[DecimalType]) return None
+      if (isAvg && !integral) return None // decimal divide: decline
+      val kind = statKindFor(t).getOrElse(return None)
+      Some(GSum(refs.getOrElse(name, return None), t, kind, isAvg))
+    }
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, Sum}
     val gaggs: Seq[(GA, String)] = exprs.zipWithIndex.map {
       case (_: CountStar, i) => (GStar, s"count_$i")
       case (c: Count, i) if !c.isDistinct && dvs.isEmpty =>
@@ -2304,6 +2391,12 @@ object LakeTableIO {
       case (m: Max, i) if dvs.isEmpty =>
         val e = extremeOf(m.column, isMin = false).getOrElse(return None)
         (GExt(e._1, e._2, e._3, e._4), s"max_$i")
+      case (s: Sum, i) if !s.isDistinct && dvs.isEmpty =>
+        (sumSlot(s.column, isAvg = false).getOrElse(return None),
+          s"sum_$i")
+      case (a: Avg, i) if !a.isDistinct && dvs.isEmpty =>
+        (sumSlot(a.column, isAvg = true).getOrElse(return None),
+          s"avg_$i")
       case _ => return None
     }
     val currentId = specs.length - 1
@@ -2332,6 +2425,13 @@ object LakeTableIO {
             Some(if (isMin) cs.min.get else cs.max.get)
           } else if (cs.nulls == st.rows) None // provably all-null
           else return None // cannot prove the extremum
+        case (GSum(ref, _, kind, _), _) =>
+          val cs = colStatsIn(st, ref).getOrElse(return None)
+          if (cs.kind != kind) return None // physical/logical mismatch
+          if (cs.nulls < 0) return None    // unknown null split
+          (new java.math.BigInteger(cs.sum.getOrElse(return None)),
+            new java.math.BigInteger(cs.asum.getOrElse(return None)),
+            st.rows - cs.nulls)
       }
       (slotIdx.map { case (_, i, _) => slots(i) },
         math.max(0L, st.rows - dead), contribs)
@@ -2349,6 +2449,32 @@ object LakeTableIO {
             else decodeStat(kind, t, bs.reduce((a, b) =>
               if ((LakeStats.cmpSame(kind, a, b) <= 0) == isMin) a
               else b))
+          case ((GSum(_, t, _, isAvg), _), ai) =>
+            import org.apache.spark.sql.types.DecimalType
+            var total = java.math.BigInteger.ZERO
+            var atotal = java.math.BigInteger.ZERO
+            var nonNull = 0L
+            fs0.foreach { f =>
+              val (s, a, nn) = f._3(ai).asInstanceOf[
+                (java.math.BigInteger, java.math.BigInteger, Long)]
+              total = total.add(s); atotal = atotal.add(a); nonNull += nn
+            }
+            if (nonNull == 0L) null // group all-null: SQL NULL
+            else if (isAvg) {
+              if (atotal.compareTo(DoubleExactAbs) > 0) return None
+              java.lang.Double.valueOf(
+                total.doubleValue() / nonNull.toDouble)
+            } else t match {
+              case d: DecimalType =>
+                val outP = math.min(38, d.precision + 10)
+                if (atotal.toString.length > outP) return None
+                org.apache.spark.sql.types.Decimal(
+                  new java.math.BigDecimal(total, d.scale), outP, d.scale)
+              case _ =>
+                if (atotal.compareTo(java.math.BigInteger
+                    .valueOf(Long.MaxValue)) > 0) return None
+                java.lang.Long.valueOf(total.longValueExact())
+            }
         }
         (key, fs0.map(_._2).sum, agg)
       }
@@ -2367,6 +2493,16 @@ object LakeTableIO {
       case (st, (GStar, nm))   => st.add(nm, LongType, nullable = false)
       case (st, (GCnt(_), nm)) => st.add(nm, LongType, nullable = false)
       case (st, (GExt(_, t, _, _), nm)) => st.add(nm, t, nullable = true)
+      case (st, (GSum(_, t, _, isAvg), nm)) =>
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val out =
+          if (isAvg) DoubleType
+          else t match {
+            case d: DecimalType =>
+              DecimalType(math.min(38, d.precision + 10), d.scale)
+            case _ => LongType
+          }
+        st.add(nm, out, nullable = true)
     }
     Some((schema, rows))
   }
@@ -2439,6 +2575,87 @@ object LakeTableIO {
       else decode(kind, t, bounds.reduce((a, b) =>
         if ((LakeStats.cmpSame(kind, a, b) <= 0) == isMin) a else b))
     Some((t, v))
+  }
+
+  /** Largest double-exact integer (2⁵³): below it in absolute-sum, a
+    * double accumulation of integers is EXACT in any fold order — the
+    * region where a metadata AVG can claim the row scan's answer.
+    */
+  private val DoubleExactAbs =
+    java.math.BigInteger.valueOf(1L << 53)
+
+  /** Metadata-only SUM / AVG over writer-harvested exact per-file sums
+    * ([[LakeStats.ColStats.sum]]/`asum`). Strict answerability, all
+    * checked per file: kind matches the table type, known null count,
+    * and a sum entry present (files from external writers, compaction
+    * rewrites, or pre-sum vintages lack one — decline, never guess).
+    * The ABSOLUTE sum bounds every partial sum ANY fold order could
+    * form, so the no-overflow proofs below hold for the row scan Spark
+    * would otherwise run — inside them ANSI and legacy modes agree
+    * exactly, outside them the push declines and the scan's own
+    * semantics (error vs wrap/null) apply:
+    *
+    *   - SUM(int/long) → LongType; requires Σ|v| ≤ Long.MaxValue.
+    *   - SUM(dec(p,s)) → DecimalType(min(38,p+10), s) (Spark's result
+    *     type); requires Σ|unscaled| to fit that precision.
+    *   - AVG(int/long) → DoubleType = exactSum / count; requires
+    *     Σ|v| ≤ 2⁵³, where double accumulation of integers is exact
+    *     (every partial is an integer below the mantissa limit) and so
+    *     equals the exact integer sum. AVG over decimal declines —
+    *     Spark's decimal divide rounding is not worth re-implementing
+    *     to claim exactness.
+    *
+    * SQL null semantics: sums ignore nulls; zero non-null rows → NULL.
+    */
+  private def metaSum(
+      name0: Option[String],
+      colStatsAll: String => Option[Seq[(Long, LakeStats.ColStats)]],
+      tableSchema: StructType, wantAvg: Boolean)
+      : Option[(org.apache.spark.sql.types.DataType, Any)] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+    val name = name0.getOrElse(return None)
+    val t = tableSchema.fields.find(_.name == name)
+      .map(_.dataType).getOrElse(return None)
+    val kind = statKindFor(t).getOrElse(return None)
+    val integral = t == IntegerType || t == LongType
+    if (!integral && !t.isInstanceOf[DecimalType]) return None
+    if (wantAvg && !integral) return None // decimal divide: decline
+    val per = colStatsAll(name).getOrElse(return None)
+    var total = java.math.BigInteger.ZERO
+    var atotal = java.math.BigInteger.ZERO
+    var nonNull = 0L
+    per.foreach { case (rows, cs) =>
+      if (cs.kind != kind) return None // physical/logical mismatch
+      if (cs.nulls < 0) return None    // unknown null split
+      val s = cs.sum.getOrElse(return None)
+      val a = cs.asum.getOrElse(return None)
+      total = total.add(new java.math.BigInteger(s))
+      atotal = atotal.add(new java.math.BigInteger(a))
+      nonNull += rows - cs.nulls
+    }
+    val outType = (t, wantAvg) match {
+      case (_, true)             => DoubleType
+      case (d: DecimalType, _)   =>
+        DecimalType(math.min(38, d.precision + 10), d.scale)
+      case _                     => LongType
+    }
+    if (nonNull == 0L) return Some((outType, null)) // SQL NULL
+    if (wantAvg) {
+      if (atotal.compareTo(DoubleExactAbs) > 0) return None
+      Some((DoubleType, java.lang.Double.valueOf(
+        total.doubleValue() / nonNull.toDouble)))
+    } else if (integral) {
+      if (atotal.compareTo(
+          java.math.BigInteger.valueOf(Long.MaxValue)) > 0) return None
+      Some((LongType, java.lang.Long.valueOf(total.longValueExact())))
+    } else {
+      val d = outType.asInstanceOf[DecimalType]
+      // digits of the abs bound must fit the result precision (a
+      // partial can't have more digits than the abs-sum's)
+      if (atotal.toString.length > d.precision) return None
+      Some((d, org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(total, d.scale), d.precision, d.scale)))
+    }
   }
 
   /** Plan ONE commit's change events ([[LakeCdcInfo]]-annotated
@@ -2787,7 +3004,7 @@ object LakeTableIO {
           st, Array(ref), Array(EqualTo(ref.name, v)))))
         return false
     }
-    LakeStats.footerOpens.incrementAndGet()
+    LakeStats.noteFooterOpen()
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
     try {
