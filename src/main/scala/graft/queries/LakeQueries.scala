@@ -641,6 +641,57 @@ object LakeQueries {
         s"FROM $tbl GROUP BY pri")
     }),
 
+    // COST-BASED OPTIMIZATION over lake tables: the three relations
+    // carry writer-built KMV distinct-count sketches on their join
+    // keys ('stats.ndv.columns'), reported through the DSv2 column-
+    // statistics surface into catalyst ColumnStat — under
+    // spark.sql.cbo.enabled (+ joinReorder) the optimizer estimates
+    // join cardinalities from real NDV instead of assuming worst-case
+    // key multiplicity (consumption + estimate-accuracy pins in
+    // LakeCboStatsSpec). Statistics steer plan CHOICE only, so the
+    // oracle proves whatever plan CBO picked computes the exact join.
+    "lake_cbo_join" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val ft = tableId(dir, "lake_cbof")
+      val ct = tableId(dir, "lake_cboc")
+      val nt = tableId(dir, "lake_cbon")
+      Seq(ft, ct, nt).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      s.sql(s"CREATE TABLE $ft (ck BIGINT, price DECIMAL(12,2)) " +
+        "TBLPROPERTIES ('stats.ndv.columns'='ck')")
+      s.sql(s"CREATE TABLE $ct (ck BIGINT, nk BIGINT) " +
+        "TBLPROPERTIES ('stats.ndv.columns'='ck,nk')")
+      s.sql(s"CREATE TABLE $nt (nk BIGINT, nation STRING) " +
+        "TBLPROPERTIES ('stats.ndv.columns'='nk')")
+      previous(s, dir).selectExpr("o_custkey AS ck",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
+        .createOrReplaceTempView("lake_cbo_f")
+      graft.Tables(s, dir, "customer")
+        .selectExpr("c_custkey AS ck", "c_nationkey AS nk")
+        .createOrReplaceTempView("lake_cbo_c")
+      graft.Tables(s, dir, "nation")
+        .selectExpr("n_nationkey AS nk", "n_name AS nation")
+        .createOrReplaceTempView("lake_cbo_n")
+      s.sql(s"INSERT INTO $ft SELECT * FROM lake_cbo_f")
+      s.sql(s"INSERT INTO $ct SELECT * FROM lake_cbo_c")
+      s.sql(s"INSERT INTO $nt SELECT * FROM lake_cbo_n")
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      val prevJr = s.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        s.sql(
+          s"""SELECT n.nation AS nation, count(*) AS n,
+             |       CAST(sum(f.price) AS DOUBLE) AS total
+             |FROM $ft f JOIN $ct c ON f.ck = c.ck
+             |           JOIN $nt n ON c.nk = n.nk
+             |GROUP BY n.nation""".stripMargin)
+          .localCheckpoint(true) // materialize under the CBO confs
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", prevCbo)
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", prevJr)
+      }
+    }),
+
     // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
     // exactly the partitions the write PRODUCES (here the single
     // '1-URGENT' identity partition), never the rest — resolved to a
@@ -1262,6 +1313,16 @@ object LakeQueries {
          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
          |         AS VARCHAR) AS total
          |FROM prev GROUP BY 1""".stripMargin,
+    // the CBO-planned 3-relation join, restated over the sources
+    "lake_cbo_join" ->
+      s"""$snapshotCte
+         |SELECT n_name AS nation, count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |         AS DOUBLE) AS total
+         |FROM prev
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin,
     // untouched partitions from the load + the overwritten one anew
     "lake_dynamic_overwrite" ->
       s"""$snapshotCte

@@ -212,6 +212,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         s"graft_lake: ${LakeTableIO.SortColsKey} names unknown " +
           s"column '$c'")
     }
+    // NDV-sketched columns: same CREATE-grade validation as blooms
+    val ndvCols = Option(info.properties().get(LakeNdv.ColKey))
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    ndvCols.foreach { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+      require(f.isDefined,
+        s"graft_lake: ${LakeNdv.ColKey} names unknown column '$c'")
+      require(LakeNdv.admits(f.get.dataType),
+        s"graft_lake: ${LakeNdv.ColKey} column '$c' has type " +
+          s"${f.get.dataType.simpleString} — NDV sketches admit " +
+          "int/bigint/string/date/timestamp")
+    }
     val props =
       mode.filter(_ == "merge-on-read").map("write.mode" -> _).toMap ++
         (if (spec.isEmpty) Map.empty
@@ -220,7 +232,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         (if (bloomCols.isEmpty) Map.empty
          else Map(LakeBloom.ColKey -> bloomCols.mkString(","))) ++
         (if (sortCols.isEmpty) Map.empty
-         else Map(LakeTableIO.SortColsKey -> sortCols.mkString(",")))
+         else Map(LakeTableIO.SortColsKey -> sortCols.mkString(","))) ++
+        (if (ndvCols.isEmpty) Map.empty
+         else Map(LakeNdv.ColKey -> ndvCols.mkString(",")))
     if (props.nonEmpty) LakeTableIO.writeProps(dir.toString, props)
     // v0 = the empty table: history (and any stream) starts at creation
     LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)
@@ -318,7 +332,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // with SetProperty changes in the same ALTER.
     def editColKnobs(f: String => Option[String]): Unit = {
       val base = propsAfter.getOrElse(LakeTableIO.tableProps(dir.toString))
-      val next = Seq(LakeTableIO.SortColsKey, LakeBloom.ColKey)
+      val next = Seq(LakeTableIO.SortColsKey, LakeBloom.ColKey,
+          LakeNdv.ColKey)
         .foldLeft(base) { (props, key) =>
           props.get(key) match {
             case None => props
@@ -491,7 +506,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // future writes pick them up, existing files stay readable and
         // conservatively judged (bloomless/unsorted vintages keep).
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
-          LakeBloom.ColKey)
+          LakeBloom.ColKey, LakeNdv.ColKey)
         require(knobs.contains(sp.property()),
           s"graft_lake: unknown table property '${sp.property()}' " +
             s"(settable: ${knobs.toSeq.sorted.mkString(", ")})")
@@ -509,15 +524,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             cols.foreach(c => require(fieldOf(c).isDefined,
               s"graft_lake: ${LakeTableIO.SortColsKey} names unknown " +
                 s"column '$c'"))
-          case _ =>
+          case key @ (LakeBloom.ColKey | LakeNdv.ColKey) =>
+            val (admits, what) =
+              if (key == LakeBloom.ColKey)
+                (LakeBloom.admits _, "blooms")
+              else (LakeNdv.admits _, "NDV sketches")
             cols.foreach { c =>
               val f = fieldOf(c)
               require(f.isDefined,
-                s"graft_lake: ${LakeBloom.ColKey} names unknown " +
-                  s"column '$c'")
-              require(LakeBloom.admits(f.get.dataType),
-                s"graft_lake: ${LakeBloom.ColKey} column '$c' has " +
-                  s"type ${f.get.dataType.simpleString} — blooms " +
+                s"graft_lake: $key names unknown column '$c'")
+              require(admits(f.get.dataType),
+                s"graft_lake: $key column '$c' has " +
+                  s"type ${f.get.dataType.simpleString} — $what " +
                   "admit int/bigint/string/date/timestamp")
             }
         }
@@ -533,7 +551,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         audits += s"alter_set(${sp.property()}=${sp.value()})"
       case rp: TableChange.RemoveProperty =>
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
-          LakeBloom.ColKey)
+          LakeBloom.ColKey, LakeNdv.ColKey)
         require(knobs.contains(rp.property()),
           s"graft_lake: unknown table property '${rp.property()}'")
         propsAfter = Some(propsAfter

@@ -796,7 +796,10 @@ object LakeLog {
              // (col → (sum, abs-sum) decimal integer strings) — the
              // metadata-SUM/AVG facts; same attach rules as blooms
              addedSums: Map[String, Map[String, (String, String)]] =
-               Map.empty)
+               Map.empty,
+             // writer-built KMV distinct-count sketches per added file
+             // (col → base64) — the CBO column-statistics facts
+             addedNdvs: Map[String, Map[String, String]] = Map.empty)
       : Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
@@ -819,12 +822,14 @@ object LakeLog {
     val addedStats = LakeStats.harvest(dir, added).map { case (f, st) =>
       val bl = addedBlooms.getOrElse(f, Map.empty)
       val sm = addedSums.getOrElse(f, Map.empty)
-      if (bl.isEmpty && sm.isEmpty) f -> st
+      val nd = addedNdvs.getOrElse(f, Map.empty)
+      if (bl.isEmpty && sm.isEmpty && nd.isEmpty) f -> st
       else f -> st.copy(cols = st.cols.map { case (name, cs) =>
         val withBloom = bl.get(name).fold(cs)(b => cs.copy(bloom = Some(b)))
-        name -> sm.get(name).fold(withBloom) { case (s, a) =>
+        val withSum = sm.get(name).fold(withBloom) { case (s, a) =>
           withBloom.copy(sum = Some(s), asum = Some(a))
         }
+        name -> nd.get(name).fold(withSum)(n => withSum.copy(ndv = Some(n)))
       })
     }
     var attempt = 0

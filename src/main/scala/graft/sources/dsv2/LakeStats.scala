@@ -91,7 +91,10 @@ object LakeStats {
                             max: Option[String], nulls: Long, id: Int,
                             bloom: Option[String] = None,
                             sum: Option[String] = None,
-                            asum: Option[String] = None)
+                            asum: Option[String] = None,
+                            // writer-built KMV distinct-count sketch
+                            // (stats.ndv.columns) — see [[LakeNdv]]
+                            ndv: Option[String] = None)
 
   /** One data file's manifest statistics. `rows`/`groups` come from the
     * footer (physical rows — deletion vectors are accounted separately
@@ -468,6 +471,7 @@ object LakeStats {
         cs.bloom.foreach(c.put("bloom", _))
         cs.sum.foreach(c.put("sum", _))
         cs.asum.foreach(c.put("asum", _))
+        cs.ndv.foreach(c.put("ndv", _))
         cm.put(col, c)
       }
       fm.put("cols", cm)
@@ -505,7 +509,8 @@ object LakeStats {
                       }
                       Some(String.valueOf(col) ->
                         ColStats(kind, str("min"), str("max"), nulls, id,
-                          str("bloom"), str("sum"), str("asum")))
+                          str("bloom"), str("sum"), str("asum"),
+                          str("ndv")))
                     case _ => None
                   }
                 }.toMap

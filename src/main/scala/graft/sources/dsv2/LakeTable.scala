@@ -865,11 +865,110 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     * (or well-filtered) lake table instead of defaulting the side to
     * "unknown = infinite" and shuffling both.
     */
+  /** DSv2 COLUMN statistics for the cost-based optimizer — the report
+    * `DataSourceV2Relation.transformV2Stats` turns into catalyst
+    * `ColumnStat` (join reordering, join-cardinality and filter-
+    * selectivity estimation under spark.sql.cbo.enabled). Reported
+    * per projected column, from the PLANNED file set's manifest
+    * entries, all-or-nothing per fact so a file whose values are
+    * unaccounted can never skew an estimate downward:
+    *
+    *   - distinctCount: the merged KMV sketches ([[LakeNdv]]) of every
+    *     planned file — only when every file carries one (opt-in
+    *     `stats.ndv.columns` tables; sketch-less vintages withhold);
+    *   - nullCount: summed exact per-file null counts when all known;
+    *   - min/max: folded per-file bounds in INTERNAL form (what
+    *     catalyst ColumnStat holds), only for the exactly-ordered
+    *     kinds the metadata aggregates trust, when every file has
+    *     usable bounds or is provably all-null.
+    *
+    * ESTIMATES, not results: they steer plan choice only, so deletion
+    * vectors are deliberately ignored (counts/NDV then upper-bound the
+    * live values) — unlike the metadata AGGREGATES above, which return
+    * answers and therefore decline on DVs.
+    */
+  private lazy val reportedColumnStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import java.util.{Optional, OptionalLong}
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      ColumnStatistics]()
+    val fs0 = boundedFiles
+    val refs = LakeTableIO.columnRefs(projected).filterNot(r =>
+      r.name == LakeTableIO.MetaFile || r.name == LakeTableIO.MetaPos)
+    refs.foreach { ref =>
+      val per = fs0.map(f => stats.get(f.getName).flatMap(st =>
+        LakeStats.resolveCol(st, ref).map(cs => (st.rows, cs))))
+      if (fs0.nonEmpty && per.forall(_.isDefined)) {
+        val resolved = per.flatten
+        val nulls: Option[Long] =
+          if (resolved.forall(_._2.nulls >= 0))
+            Some(resolved.map(_._2.nulls).sum)
+          else None
+        val ndvEst: Option[Long] =
+          if (resolved.forall(_._2.ndv.isDefined))
+            LakeNdv.estimate(resolved.map(r => LakeNdv.decode(r._2.ndv.get)))
+          else None
+        // bounds: the metaExtreme rules — exactly-ordered kind, every
+        // file usable bounds or provably all-null
+        val t = projected.fields.find(_.name == ref.name).map(_.dataType)
+        val extremes: Option[(Any, Any)] = for {
+          tt <- t
+          kind <- LakeTableIO.statKindFor(tt)
+          bounds <- {
+            val bs = resolved.map { case (rows, cs) =>
+              if (cs.min.isDefined && cs.max.isDefined)
+                if (cs.kind == kind) Some(Some((cs.min.get, cs.max.get)))
+                else None // kind mismatch: withhold
+              else if (cs.nulls == rows) Some(None) // all-null file
+              else None // unusable bounds: withhold
+            }
+            if (bs.exists(_.isEmpty)) None
+            else {
+              val usable = bs.flatten.flatten
+              if (usable.isEmpty) None // empty/all-null: no bounds
+              else Some((
+                LakeTableIO.decodeStat(kind, tt, usable.map(_._1)
+                  .reduce((a, b) =>
+                    if (LakeStats.cmpSame(kind, a, b) <= 0) a else b)),
+                LakeTableIO.decodeStat(kind, tt, usable.map(_._2)
+                  .reduce((a, b) =>
+                    if (LakeStats.cmpSame(kind, a, b) >= 0) a else b))))
+            }
+          }
+        } yield bounds
+        if (nulls.isDefined || ndvEst.isDefined || extremes.isDefined)
+          m.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(ref.name),
+            new ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                ndvEst.map(OptionalLong.of)
+                  .getOrElse(OptionalLong.empty())
+              override def nullCount(): OptionalLong =
+                nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def min(): Optional[Object] =
+                extremes.map(e => Optional.of(e._1.asInstanceOf[Object]))
+                  .getOrElse(Optional.empty())
+              override def max(): Optional[Object] =
+                extremes.map(e => Optional.of(e._2.asInstanceOf[Object]))
+                  .getOrElse(Optional.empty())
+            })
+      }
+    }
+    m
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(plan.keptBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(plan.keptRows)
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      reportedColumnStats
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1218,7 +1317,9 @@ case class StagedLakeFile(stagedPath: String, rows: Long,
                           blooms: Map[String, String] = Map.empty,
                           // col → (exact sum, exact abs-sum) as decimal
                           // integer strings — see LakeStats.ColStats
-                          sums: Map[String, (String, String)] = Map.empty)
+                          sums: Map[String, (String, String)] = Map.empty,
+                          // col → base64 KMV sketch — see LakeNdv
+                          ndvs: Map[String, String] = Map.empty)
 
 /** Commit message: this task's staged files — one for an unpartitioned
   * write, one PER PARTITION TUPLE the task's rows touched for a
@@ -1364,6 +1465,9 @@ class LakeWrite(dir: String, writeSchema: StructType,
           }.toMap,
           addedSums = published.collect {
             case (n, s) if s.sums.nonEmpty => n -> s.sums
+          }.toMap,
+          addedNdvs = published.collect {
+            case (n, s) if s.ndvs.nonEmpty => n -> s.ndvs
           }.toMap)
         catch {
           case e: Throwable =>
@@ -1489,6 +1593,9 @@ class LakeWrite(dir: String, writeSchema: StructType,
         }.toMap,
         addedSums = published.collect {
           case (n, s) if s.sums.nonEmpty => n -> s.sums
+        }.toMap,
+        addedNdvs = published.collect {
+          case (n, s) if s.ndvs.nonEmpty => n -> s.ndvs
         }.toMap)
       catch {
         case e: Throwable => cleanupPublished(); throw e
@@ -1567,6 +1674,17 @@ class LakeWriterFactory(dir: String, schema: StructType)
         (f.name, f.dataType, i)
     }.toSeq
 
+  /** NDV-sketched columns present in this write's schema (opt-in via
+    * stats.ndv.columns — the bloom.columns resolution pattern).
+    */
+  private val ndvCols: Seq[(String, org.apache.spark.sql.types.DataType,
+      Int)] =
+    try LakeNdv.configured(dir).flatMap { c =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0 || !LakeNdv.admits(schema.fields(i).dataType)) None
+      else Some((schema.fields(i).name, schema.fields(i).dataType, i))
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -1586,6 +1704,9 @@ class LakeWriterFactory(dir: String, schema: StructType)
           Array.fill(sumCols.length)(new LakeStats.ExactSum)
         val asums: Array[LakeStats.ExactSum] =
           Array.fill(sumCols.length)(new LakeStats.ExactSum)
+        // one KMV distinct-count sketch per configured NDV column
+        val ndvs: Array[LakeNdv.Builder] =
+          Array.fill(ndvCols.length)(new LakeNdv.Builder())
         val staged = new Path(
           s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
         var rows = 0L
@@ -1673,6 +1794,13 @@ class LakeWriterFactory(dir: String, schema: StructType)
           }
           sc += 1
         }
+        var nv = 0
+        while (nv < ndvCols.length) {
+          val (_, dt, ord) = ndvCols(nv)
+          if (!row.isNullAt(ord + off))
+            LakeNdv.hash64(dt, row, ord + off).foreach(f.ndvs(nv).add)
+          nv += 1
+        }
         f.rows += 1
       }
       override def commit(): WriterCommitMessage = {
@@ -1684,7 +1812,9 @@ class LakeWriterFactory(dir: String, schema: StructType)
                 .map(i => bloomCols(i)._1 -> f.blooms(i).toBase64).toMap,
               sumCols.indices.map(i => sumCols(i)._1 ->
                 (f.sums(i).toDecimalString,
-                  f.asums(i).toDecimalString)).toMap))
+                  f.asums(i).toDecimalString)).toMap,
+              ndvCols.indices
+                .map(i => ndvCols(i)._1 -> f.ndvs(i).toBase64).toMap))
           } else { f.close(delete = true); None }
         }
         LakeFileMessage(staged)
@@ -2511,7 +2641,7 @@ object LakeTableIO {
     * fast paths (floating point never qualifies: NaN ordering diverges
     * between engines and parquet stats).
     */
-  private def statKindFor(
+  private[dsv2] def statKindFor(
       t: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
     t match {
@@ -2529,7 +2659,7 @@ object LakeTableIO {
   }
 
   /** Decode a manifest-stats bound into Spark's INTERNAL value form. */
-  private def decodeStat(kind: String,
+  private[dsv2] def decodeStat(kind: String,
                          t: org.apache.spark.sql.types.DataType,
                          s: String): Any = kind match {
     case "long" => java.lang.Long.valueOf(s.toLong)
