@@ -692,6 +692,38 @@ object LakeQueries {
       }
     }),
 
+    // CHECK CONSTRAINTS (Delta's ADD CONSTRAINT, as check.<name>
+    // properties): every row-writing path enforces per row — the
+    // violating INSERT below must fail loud and land NOTHING (a
+    // leaked row breaks n/total against the oracle) — and a filter
+    // provably contradicting the declared domain (price < 0 under
+    // check 'price >= 0') plans ZERO files, answered as the n_neg
+    // scalar subquery (enforcement + pruning + time-travel-soundness
+    // pins in LakeChecksSpec).
+    "lake_check_enforce" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_chk")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, price DECIMAL(12,2)) " +
+        "TBLPROPERTIES ('check.price_pos'='price >= 0.00')")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
+        .createOrReplaceTempView("lake_chk_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_chk_src")
+      // the violating write must fail and leave the table untouched
+      try {
+        s.sql(s"INSERT INTO $tbl VALUES (999999999, -1.00)")
+        throw new IllegalStateException(
+          "check constraint failed to enforce — the violating row landed")
+      } catch {
+        case e: IllegalStateException => throw e
+        case _: Exception => () // the enforcement failure, expected
+      }
+      s.sql(s"SELECT count(*) AS n, CAST(sum(price) AS STRING) AS total, " +
+        s"(SELECT count(*) FROM $tbl WHERE price < 0.00) AS n_neg " +
+        s"FROM $tbl")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
     // exactly the partitions the write PRODUCES (here the single
     // '1-URGENT' identity partition), never the rest — resolved to a
@@ -1323,6 +1355,15 @@ object LakeQueries {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1""".stripMargin,
+    // the post-enforcement end state: only the valid load, zero
+    // negative prices by guarantee
+    "lake_check_enforce" ->
+      s"""$snapshotCte
+         |SELECT count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |         AS VARCHAR) AS total,
+         |       CAST(0 AS BIGINT) AS n_neg
+         |FROM prev""".stripMargin,
     // untouched partitions from the load + the overwritten one anew
     "lake_dynamic_overwrite" ->
       s"""$snapshotCte

@@ -224,6 +224,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"${f.get.dataType.simpleString} — NDV sketches admit " +
           "int/bigint/string/date/timestamp")
     }
+    // CHECK constraints validated NOW (parse/resolve/boolean against
+    // the new schema); the table is empty, so the guarantee holds from
+    // the first row — every write path enforces per row
+    val checkProps = {
+      import scala.jdk.CollectionConverters._
+      info.properties().asScala.toMap.filter { case (k, _) =>
+        k.startsWith(LakeChecks.Prefix) &&
+          k.length > LakeChecks.Prefix.length
+      }
+    }
+    checkProps.foreach { case (k, text) =>
+      LakeChecks.resolve(org.apache.spark.sql.SparkSession.active,
+        schema, k.substring(LakeChecks.Prefix.length), text)
+    }
     val props =
       mode.filter(_ == "merge-on-read").map("write.mode" -> _).toMap ++
         (if (spec.isEmpty) Map.empty
@@ -234,7 +248,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         (if (sortCols.isEmpty) Map.empty
          else Map(LakeTableIO.SortColsKey -> sortCols.mkString(","))) ++
         (if (ndvCols.isEmpty) Map.empty
-         else Map(LakeNdv.ColKey -> ndvCols.mkString(",")))
+         else Map(LakeNdv.ColKey -> ndvCols.mkString(","))) ++
+        checkProps
     if (props.nonEmpty) LakeTableIO.writeProps(dir.toString, props)
     // v0 = the empty table: history (and any stream) starts at creation
     LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)
@@ -346,6 +361,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         }
       if (next != base) propsAfter = Some(next)
     }
+    // CHECK constraints in the EVOLVING property state (a constraint
+    // set earlier in this multi-change ALTER counts); a column one of
+    // them references cannot be renamed or dropped — SQL-text rewrite
+    // is fragile, so the constraint must be dropped first, loud
+    def requireNoCheckOn(col: String, action: String): Unit = {
+      val props = propsAfter.getOrElse(LakeTableIO.tableProps(dir.toString))
+      val pinned = props.toSeq.collect {
+        case (k, text) if k.startsWith(LakeChecks.Prefix) &&
+            k.length > LakeChecks.Prefix.length &&
+            (try LakeChecks.referencedColumns(
+              org.apache.spark.sql.SparkSession.active, text)
+              .exists(_.equalsIgnoreCase(col))
+            // unparseable text: pin conservatively, never silently break
+            catch { case scala.util.control.NonFatal(_) => true }) =>
+          k.substring(LakeChecks.Prefix.length)
+      }
+      require(pinned.isEmpty,
+        s"graft_lake: cannot $action column '$col' — check " +
+          s"constraint(s) ${pinned.mkString(", ")} reference it; " +
+          "UNSET the constraint first")
+    }
     // hidden partitioning interplay: specs reference source columns by
     // name, so a RENAME rewrites EVERY spec with it (evolution keeps
     // old layouts readable, so historical specs evolve in lockstep
@@ -401,6 +437,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             s"graft_lake: $name is a partition source column " +
               s"(${spec.map(_.show).mkString(",")}) — the table's " +
               "layout depends on it; rewrite to a new spec instead")
+          requireNoCheckOn(name, "drop")
           schema = StructType(schema.fields.patch(idx, Nil, 1))
           // the forward-looking knobs shed the dropped column (a
           // dangling name would wedge every subsequent write: the
@@ -418,6 +455,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         require(idx >= 0, s"graft_lake: no column $from to rename")
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
           s"graft_lake: column $to already exists")
+        requireNoCheckOn(from, "rename")
         val f = schema.fields(idx)
         // renaming back to one of this column's OWN prior names is a
         // clean round-trip; a prior name of ANOTHER column is rejected
@@ -507,9 +545,34 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // conservatively judged (bloomless/unsorted vintages keep).
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
           LakeBloom.ColKey, LakeNdv.ColKey)
-        require(knobs.contains(sp.property()),
+        val isCheck = sp.property().startsWith(LakeChecks.Prefix) &&
+          sp.property().length > LakeChecks.Prefix.length
+        require(knobs.contains(sp.property()) || isCheck,
           s"graft_lake: unknown table property '${sp.property()}' " +
-            s"(settable: ${knobs.toSeq.sorted.mkString(", ")})")
+            s"(settable: ${knobs.toSeq.sorted.mkString(", ")}, " +
+            s"${LakeChecks.Prefix}<name>)")
+        if (isCheck) {
+          // ADD CONSTRAINT on a live table: resolve against the
+          // (possibly just-evolved) schema, then validate the EXISTING
+          // rows once — Delta's semantics: a declared constraint is a
+          // table-wide guarantee from the moment it exists
+          val cname = sp.property().substring(LakeChecks.Prefix.length)
+          val spark = org.apache.spark.sql.SparkSession.active
+          LakeChecks.resolve(spark, schema, cname, sp.value())
+          val fq = (catalogName +: ident.namespace.toSeq :+ ident.name)
+            .map(p => s"`$p`").mkString(".")
+          val violations = spark.sql(
+            s"SELECT count(*) FROM $fq WHERE NOT (${sp.value()}) " +
+              s"AND (${sp.value()}) IS NOT NULL")
+            .collect().head.getLong(0)
+          require(violations == 0L,
+            s"graft_lake: cannot add check constraint '$cname' — " +
+              s"$violations existing row(s) violate (${sp.value()})")
+          val base = propsAfter
+            .getOrElse(LakeTableIO.tableProps(dir.toString))
+          propsAfter = Some(base + (sp.property() -> sp.value()))
+          audits += s"alter_set(${sp.property()}=${sp.value()})"
+        } else {
         val cols = sp.value().split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
         def fieldOf(c: String) =
@@ -549,10 +612,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               sp.value() == "copy-on-write") base // the default: unset
           else base + (sp.property() -> sp.value()))
         audits += s"alter_set(${sp.property()}=${sp.value()})"
+        }
       case rp: TableChange.RemoveProperty =>
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
           LakeBloom.ColKey, LakeNdv.ColKey)
-        require(knobs.contains(rp.property()),
+        require(knobs.contains(rp.property()) ||
+          (rp.property().startsWith(LakeChecks.Prefix) &&
+            rp.property().length > LakeChecks.Prefix.length),
           s"graft_lake: unknown table property '${rp.property()}'")
         propsAfter = Some(propsAfter
           .getOrElse(LakeTableIO.tableProps(dir.toString)) - rp.property())

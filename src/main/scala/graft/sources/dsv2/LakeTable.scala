@@ -548,6 +548,28 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
         s"graft_lake $dir PushedAggregates=[$desc, " +
           s"${rows.size} rows]")
     }
+    // CHECK-constraint contradiction ([[LakeChecks]]): a pushed filter
+    // provably unsatisfiable under the table's declared constraints
+    // (WHERE qty < 0 on a table guaranteeing qty >= 0) plans ZERO
+    // files — driver arithmetic, no manifest segment reads. HEAD reads
+    // only: an older snapshot or branch may hold rows deleted before
+    // the constraint was added+validated, so time travel keeps the
+    // scan. Any lift/parse uncertainty keeps the scan (conservative).
+    if (pushed.nonEmpty && pinnedVersion.isEmpty && branch.isEmpty &&
+        startingVersion.isEmpty && !skipChangeCommits) {
+      val contradicted =
+        try {
+          val texts = LakeChecks.configured(dir).map(_._2)
+          texts.nonEmpty && LakeChecks.contradicts(
+            LakeChecks.domains(
+              org.apache.spark.sql.SparkSession.active, texts), pushed)
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (contradicted)
+        return new LakeScan(dir, Seq.empty, tableSchema, projected,
+          pushed, pruneGroups = true, pinnedVersion, skipChangeCommits,
+          startingVersion, branch, pacing, Map.empty, Map.empty,
+          Map.empty, consumed, limitN, topN, checkPruned = true)
+    }
     // manifest-tree fast path: pushed partition filters prune whole
     // SEGMENTS before their file entries are even read — on a
     // many-file table the plan's manifest I/O is bounded by the
@@ -617,7 +639,10 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                parts: Map[String, Seq[String]] = Map.empty,
                consumed: Array[Filter] = Array.empty,
                limitN: Option[Int] = None,
-               topN: Option[LakeLimits.TopNPush] = None)
+               topN: Option[LakeLimits.TopNPush] = None,
+               // the whole file set was pruned by a CHECK-constraint
+               // contradiction (explain evidence only)
+               checkPruned: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -985,6 +1010,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       s"files_pruned_by_stats=${plan.statsPrunedFiles}/${boundedFiles.size} " +
       (if (plan.boundPrunedGroups > 0)
         s"rowgroups_pruned_by_limit=${plan.boundPrunedGroups} " else "") +
+      (if (checkPruned) "pruned_by_check=all " else "") +
       s"pushed=[${pushed.mkString(",")}]" +
       limitN.fold("")(n => s" pushed_limit=$n") +
       topN.fold("")(t => s" pushed_topn=[${t.col} " +
@@ -1685,6 +1711,34 @@ class LakeWriterFactory(dir: String, schema: StructType)
       else Some((schema.fields(i).name, schema.fields(i).dataType, i))
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+  /** CHECK constraints resolved against this write's schema on the
+    * driver (the factory is constructed there); every row-writing path
+    * funnels through this factory, so per-row enforcement in write()
+    * IS the table-wide guarantee. A constraint that fails to RESOLVE
+    * here (e.g. the delta writer's empty pure-DELETE row schema, which
+    * writes no rows) is kept as a poison entry that fails the FIRST
+    * row loud — silent un-enforcement is never an option.
+    */
+  private val checkViolations: Seq[(String, Either[String,
+      org.apache.spark.sql.catalyst.expressions.Expression])] = {
+    val texts =
+      try LakeChecks.configured(dir)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (texts.isEmpty) Seq.empty
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      texts.map { case (name, text) =>
+        name -> (try Right(LakeChecks.violationExpr(
+          spark, schema, name, text))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Left(s"check constraint '$name' ($text) cannot be " +
+              s"enforced on this write: ${e.getMessage}")
+        })
+      }
+    }
+  }
+
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -1727,6 +1781,25 @@ class LakeWriterFactory(dir: String, schema: StructType)
             staged.getFileSystem(new Configuration()).delete(staged, false)
         }
       }
+      // compiled CHECK predicates, one set per observed row offset
+      // (a leading __row_operation column shifts every ordinal by one);
+      // a poison (unresolvable) constraint throws at the FIRST row
+      private val compiledChecks = mutable.Map.empty[Int,
+        Seq[(String, org.apache.spark.sql.catalyst.expressions.BasePredicate)]]
+      private def checksFor(off: Int) =
+        compiledChecks.getOrElseUpdate(off, checkViolations.map {
+          case (name, Right(e)) =>
+            val shifted =
+              if (off == 0) e
+              else e.transform {
+                case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+                  b.copy(ordinal = b.ordinal + off)
+              }
+            name -> LakeChecks.compile(shifted)
+          case (_, Left(msg)) =>
+            throw new IllegalStateException(s"graft_lake: $msg")
+        })
+
       private val open = mutable.LinkedHashMap.empty[Seq[String], OneFile]
       private def fileFor(row: InternalRow, off: Int): OneFile =
         if (bound.isEmpty)
@@ -1753,6 +1826,19 @@ class LakeWriterFactory(dir: String, schema: StructType)
           val op = row.getInt(0)
           require(op == 5 || op == 6,
             s"unexpected __row_operation $op in group-based write")
+        }
+        // CHECK enforcement: a violating row fails the WRITE (task
+        // abort → staged files dropped, nothing published)
+        if (checkViolations.nonEmpty) {
+          val preds = checksFor(off)
+          var ci = 0
+          while (ci < preds.length) {
+            if (preds(ci)._2.eval(row))
+              throw new IllegalArgumentException(
+                s"graft_lake: check constraint '${preds(ci)._1}' " +
+                  s"violated by a written row in $dir")
+            ci += 1
+          }
         }
         val f = fileFor(row, off)
         f.writer.write(LakeParquet.toGroup(row, message, enc, off))

@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.dsv2.{GraftCatalog, LakeLog}
+
+/** CHECK constraints ([[graft.sources.dsv2.LakeChecks]], `check.<name>`
+  * table properties): write-time per-row enforcement on every row-
+  * writing path, ALTER-time validation of existing rows (the Delta
+  * semantics that make a declared constraint a table-wide guarantee),
+  * and scan-time contradiction pruning — a filter provably
+  * unsatisfiable under the constraints plans zero files. Soundness
+  * pins: NULL passes (SQL CHECK), failed writes publish nothing, and
+  * time travel / branches never ride a guarantee younger than the
+  * snapshot they read.
+  */
+class LakeChecksSpec extends SparkSpec {
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = Files.createTempDirectory("graft-checks").toString
+    n += 1
+    val cat = s"chkcat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  test("write-time enforcement: a violating INSERT fails loud with the " +
+       "constraint name and publishes NOTHING; NULL passes (SQL CHECK)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, qty INT) " +
+        "TBLPROPERTIES ('check.qty_pos'='qty >= 0')")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 5), (2, 0), (3, NULL)")
+      assert(spark.table(s"$cat.db.t").count() == 3,
+        "valid and NULL rows land")
+      val before = LakeLog.current(s"$root/db/t").get.files.size
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 1), (5, -2)")
+      }
+      assert(exists(e, "qty_pos"), s"names the constraint: $e")
+      assert(spark.table(s"$cat.db.t").count() == 3,
+        "the failed write must land no rows")
+      assert(LakeLog.current(s"$root/db/t").get.files.size == before,
+        "no partial files published")
+    }
+  }
+  private def exists(e: Throwable, s: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => Option(t.getMessage).exists(_.contains(s)))
+
+  test("ALTER ADD validates EXISTING rows (fails with the violation " +
+       "count), and once added the guarantee covers UPDATE post-images " +
+       "and MERGE inserts (the delta-writer path)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, qty INT) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.m VALUES (1, 5), (2, -3), (3, 7)")
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.m SET TBLPROPERTIES " +
+          "('check.qty_pos'='qty >= 0')")
+      }
+      assert(exists(e, "1 existing row"), s"counts violations: $e")
+      spark.sql(s"DELETE FROM $cat.db.m WHERE qty < 0")
+      spark.sql(s"ALTER TABLE $cat.db.m SET TBLPROPERTIES " +
+        "('check.qty_pos'='qty >= 0')")
+      // MOR UPDATE post-image violating → the write fails
+      val e2 = intercept[Exception] {
+        spark.sql(s"UPDATE $cat.db.m SET qty = qty - 100 WHERE k = 1")
+      }
+      assert(exists(e2, "qty_pos"), s"$e2")
+      assert(spark.sql(s"SELECT qty FROM $cat.db.m WHERE k = 1")
+        .collect().head.getInt(0) == 5, "failed update left the row")
+      // MERGE NOT-MATCHED insert violating → fails; a valid merge lands
+      spark.sql("SELECT 9L AS k, -1 AS qty").createOrReplaceTempView("bad")
+      val e3 = intercept[Exception] {
+        spark.sql(s"MERGE INTO $cat.db.m t USING bad s ON t.k = s.k " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(exists(e3, "qty_pos"), s"$e3")
+      spark.sql("SELECT 9L AS k, 42 AS qty").createOrReplaceTempView("good")
+      spark.sql(s"MERGE INTO $cat.db.m t USING good s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(spark.table(s"$cat.db.m").count() == 3)
+    }
+  }
+
+  test("scan-time contradiction: a filter provably outside the declared " +
+       "domain plans zero files (explain-visible), non-contradicting " +
+       "filters scan normally, and time travel predating the constraint " +
+       "is NEVER pruned") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, qty BIGINT) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      // v1: a negative row exists; v2 deletes it; v3 adds the constraint
+      spark.sql(s"INSERT INTO $cat.db.p VALUES (1, 10), (2, -7), (3, 20)")
+      spark.sql(s"DELETE FROM $cat.db.p WHERE qty < 0")
+      spark.sql(s"ALTER TABLE $cat.db.p SET TBLPROPERTIES " +
+        "('check.qty_pos'='qty >= 0 AND qty < 1000')")
+      val q = spark.sql(s"SELECT * FROM $cat.db.p WHERE qty < 0")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("pruned_by_check=all"), plan)
+      assert(q.collect().isEmpty)
+      // both constraint bounds prune; = and IN shapes too
+      assert(spark.sql(s"SELECT * FROM $cat.db.p WHERE qty >= 1000")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+      assert(spark.sql(s"SELECT * FROM $cat.db.p WHERE qty = -5")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+      assert(spark.sql(s"SELECT * FROM $cat.db.p WHERE qty IN (-5, 2000)")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+      // a satisfiable filter scans normally
+      val ok = spark.sql(s"SELECT k FROM $cat.db.p WHERE qty >= 15")
+      assert(!ok.queryExecution.executedPlan.toString
+        .contains("pruned_by_check"))
+      assert(ok.collect().map(_.getLong(0)).toSeq == Seq(3L))
+      // SOUNDNESS: v1 still holds the negative row — time travel must
+      // keep the scan (the guarantee is younger than the snapshot)
+      val tt = spark.sql(
+        s"SELECT k FROM $cat.db.p VERSION AS OF 1 WHERE qty < 0")
+      assert(!tt.queryExecution.executedPlan.toString
+        .contains("pruned_by_check"), "time travel never check-prunes")
+      assert(tt.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    }
+  }
+
+  test("validation is CREATE/ALTER-grade: unparseable, unresolvable, " +
+       "and non-boolean constraints fail loud; RENAME/DROP of a " +
+       "referenced column is rejected until the constraint is unset") {
+    withCatalog { (cat, root) =>
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.bad1 (k BIGINT) " +
+          "TBLPROPERTIES ('check.c'='k >=')") // unparseable
+      }
+      spark.sql(s"SHOW TABLES IN $cat.db").collect() // catalog still sane
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.bad2 (k BIGINT) " +
+          "TBLPROPERTIES ('check.c'='nope > 0')") // unresolvable
+      }
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.bad3 (k BIGINT) " +
+          "TBLPROPERTIES ('check.c'='k + 1')") // not boolean
+      }
+      spark.sql(s"CREATE TABLE $cat.db.ok (k BIGINT, qty INT) " +
+        "TBLPROPERTIES ('check.qpos'='qty > 0')")
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.ok RENAME COLUMN qty TO amount")
+      }
+      assert(exists(e, "qpos"), s"$e")
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.ok DROP COLUMN qty")
+      }
+      assert(exists(e2, "qpos"), s"$e2")
+      spark.sql(s"ALTER TABLE $cat.db.ok UNSET TBLPROPERTIES " +
+        "('check.qpos')")
+      spark.sql(s"ALTER TABLE $cat.db.ok RENAME COLUMN qty TO amount")
+      // unconstrained again: negative rows land
+      spark.sql(s"INSERT INTO $cat.db.ok VALUES (1, -5)")
+      assert(spark.table(s"$cat.db.ok").count() == 1)
+    }
+  }
+
+  test("string and date domains prune contradictions in their own " +
+       "order; doubles never lift (conservative)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.s " +
+        "(grade STRING, d DATE, score DOUBLE) TBLPROPERTIES (" +
+        "'check.g'=\"grade >= 'B' AND grade <= 'F'\", " +
+        "'check.d'=\"d >= DATE '2020-01-01'\", " +
+        "'check.s'='score >= 0.0')")
+      spark.sql(s"INSERT INTO $cat.db.s VALUES " +
+        "('B', DATE '2021-06-01', 1.5), ('F', DATE '2020-01-01', 0.0)")
+      assert(spark.sql(s"SELECT * FROM $cat.db.s WHERE grade = 'A'")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+      assert(spark.sql(
+        s"SELECT * FROM $cat.db.s WHERE d < DATE '2019-06-01'")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+      // double constraints are enforcement-only — never lifted
+      val dq = spark.sql(s"SELECT * FROM $cat.db.s WHERE score < 0.0")
+      assert(!dq.queryExecution.executedPlan.toString
+        .contains("pruned_by_check"))
+      assert(dq.collect().isEmpty)
+      // and the double constraint still ENFORCES
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.s VALUES ('C', DATE '2022-01-01', -1.0)")
+      }
+      assert(exists(e, "check constraint 's'"), s"$e")
+    }
+  }
+}
