@@ -724,6 +724,32 @@ object LakeQueries {
         s"FROM $tbl")
     }),
 
+    // ANALYZE BACKFILL (CALL system.analyze): compaction rewrites are
+    // plain df.write output — correct rows, no write-time facts — so
+    // the compacted table DECLINES metadata SUM until one analyze scan
+    // recomputes exact per-file sums from the immutable bytes and
+    // amends the manifest (dataChange=false). The final aggregate must
+    // then serve from the manifest with the same exactness the oracle
+    // recomputes from rows (decline/restore/DV-skip/tree-segment pins
+    // in LakeAnalyzeSpec).
+    "lake_analyze_meta" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_anlz")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, price DECIMAL(12,2))")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
+        .repartition(4)
+        .createOrReplaceTempView("lake_anlz_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_anlz_src")
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.compact(" +
+        s"'${LakeCatalogs.ns(dir)}.lake_anlz', 134217728)")
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.analyze(" +
+        s"'${LakeCatalogs.ns(dir)}.lake_anlz')")
+      s.sql(s"SELECT count(*) AS n, sum(k) AS sum_k, avg(k) AS avg_k, " +
+        s"CAST(sum(price) AS STRING) AS total FROM $tbl")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
     // exactly the partitions the write PRODUCES (here the single
     // '1-URGENT' identity partition), never the rest — resolved to a
@@ -1363,6 +1389,15 @@ object LakeQueries {
          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
          |         AS VARCHAR) AS total,
          |       CAST(0 AS BIGINT) AS n_neg
+         |FROM prev""".stripMargin,
+    // the analyze-restored metadata aggregate, recomputed from rows
+    "lake_analyze_meta" ->
+      s"""$snapshotCte
+         |SELECT count(*) AS n,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+         |       avg(o_orderkey) AS avg_k,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |         AS VARCHAR) AS total
          |FROM prev""".stripMargin,
     // untouched partitions from the load + the overwritten one anew
     "lake_dynamic_overwrite" ->

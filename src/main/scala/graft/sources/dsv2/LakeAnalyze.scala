@@ -1,0 +1,290 @@
+package graft.sources.dsv2
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `CALL system.analyze('db.t')` — backfill the WRITE-TIME facts for
+  * files that lack them, from their immutable bytes:
+  *
+  *   - exact (sum, abs-sum) per exact-numeric column → metadata-only
+  *     SUM/AVG ([[LakeTableIO.metaAggregate]]) answers again;
+  *   - KMV distinct-count sketches for `stats.ndv.columns` → the CBO
+  *     column-statistics report covers every file again;
+  *   - bloom filters for `bloom.columns` → point-lookup pruning;
+  *   - and for files with NO manifest stats at all (external
+  *     bootstrap vintages), the plain footer harvest (rows, bounds,
+  *     null counts) that unlocks metadata COUNT/MIN/MAX.
+  *
+  * Who lacks facts: compaction/zorder/rewrite outputs (plain
+  * `df.write` rewrites — correct rows, no harvest), externally-added
+  * bootstrap files, and any vintage that predates a knob. Without
+  * analyze those files decline the fast paths FOREVER (the strict
+  * all-files answerability rules); one table scan restores them.
+  *
+  * Soundness rules, all conservative:
+  *
+  *   - facts describe PHYSICAL file contents, but this pass reads LIVE
+  *     rows — files carrying deletion vectors are therefore SKIPPED
+  *     (rewrite_deletes first, then analyze);
+  *   - a column participates only when the file's stats entry exists
+  *     under the column's CURRENT name with the kind the table type
+  *     implies — the stock reader used here resolves by name, so a
+  *     renamed-column legacy file (prior-name resolution) or a foreign
+  *     physical encoding is skipped rather than misread;
+  *   - the amendment commits through the log's normal retry loop
+  *     ([[LakeLog.commit]] `statsAmend`): files replaced concurrently
+  *     drop out silently (their stats left with them), and manifest-
+  *     tree segments holding amended files rewrite so no reused
+  *     segment can serve stale facts.
+  *
+  * Scale shape: ONE distributed scan of only the files needing facts
+  * (grouped per file via `_metadata.file_name`), driver collect of
+  * O(target files) fact rows, one commit. The same cost class as
+  * Delta/Iceberg's ANALYZE/compute-stats actions.
+  */
+object LakeAnalyze {
+
+  /** KMV sketch accumulator over pre-hashed values: the K smallest
+    * DISTINCT hashes in unsigned order, as the writer's builder keeps
+    * ([[LakeNdv.Builder]]) — finish() emits the same base64 form.
+    */
+  final class NdvUdaf(k: Int = LakeNdv.K)
+      extends Aggregator[java.lang.Long, Array[Long], String] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], h: java.lang.Long): Array[Long] =
+      if (h == null) b else insert(b, h.longValue())
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(insert)
+    private def insert(b: Array[Long], h: Long): Array[Long] = {
+      // unsigned-sorted array; binary search for membership/slot
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Long.compareUnsigned(b(mid), h)
+        if (c < 0) lo = mid + 1
+        else if (c > 0) hi = mid
+        else return b // already present
+      }
+      if (b.length == k && lo == k) return b // can't enter the bottom-k
+      val out = new Array[Long](math.min(k, b.length + 1))
+      System.arraycopy(b, 0, out, 0, lo)
+      out(lo) = h
+      System.arraycopy(b, lo, out, lo + 1,
+        math.min(b.length, k - 1) - lo)
+      out
+    }
+    override def finish(b: Array[Long]): String = {
+      val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+      b.foreach(bb.putLong)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    override def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: ExpressionEncoder[String] =
+      ExpressionEncoder[String]()
+  }
+
+  /** Bloom accumulator over the same pre-hashed values: the hash is
+    * the writer's (h1, h2) pair recombined, so splitting it back and
+    * setting the same double-hash probes yields bit-identical filters.
+    */
+  final class BloomUdaf(nbits: Int)
+      extends Aggregator[java.lang.Long, Array[Long], String] {
+    override def zero: Array[Long] = new Array[Long](nbits >> 6)
+    override def reduce(b: Array[Long], h: java.lang.Long): Array[Long] = {
+      if (h != null) {
+        val pair = ((h.longValue() >>> 32).toInt, h.intValue())
+        val mask = nbits - 1
+        var i = 0
+        while (i < LakeBloom.Hashes) {
+          val idx = (pair._1 + i * pair._2) & mask
+          b(idx >> 6) |= 1L << (idx & 63)
+          i += 1
+        }
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): String = {
+      val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+      b.foreach(bb.putLong)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    override def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: ExpressionEncoder[String] =
+      ExpressionEncoder[String]()
+  }
+
+  /** Canonical 64-bit hash of an EXTERNAL column value — must equal
+    * the writer's internal-value hash bit for bit, which it does by
+    * construction: both sides canonicalize through [[LakeBloom]]
+    * (hashLiteral ≡ hashInternal on the same logical value; the
+    * 32-bit lanes recombine exactly as [[LakeNdv.hash64]]).
+    */
+  private def hashColumn(dt: DataType, c: Column): Option[Column] = {
+    def recomb(p: Option[(Int, Int)]): java.lang.Long = p match {
+      case Some((a, b)) =>
+        java.lang.Long.valueOf((a.toLong << 32) | (b & 0xffffffffL))
+      case None => null
+    }
+    val longHash = udf((v: java.lang.Long) =>
+      if (v == null) null
+      else recomb(LakeBloom.hashLiteral(v.longValue())))
+    dt match {
+      case LongType    => Some(longHash(c))
+      case IntegerType => Some(longHash(c.cast(LongType)))
+      case StringType  => Some(udf((v: String) =>
+        if (v == null) null else recomb(LakeBloom.hashLiteral(v))).apply(c))
+      // date/timestamp: convert to the INTERNAL numerics (epoch days /
+      // micros) with built-ins first — the writer hashes exactly those,
+      // and it sidesteps the java8API-dependent external types a typed
+      // UDF would otherwise have to guess
+      case DateType =>
+        Some(longHash(datediff(c, to_date(lit("1970-01-01")))
+          .cast(LongType)))
+      case TimestampType => Some(longHash(unix_micros(c)))
+      case _ => None
+    }
+  }
+
+  /** Run the backfill; returns (files amended, facts added). */
+  def analyze(spark: SparkSession, dir: String): (Int, Int) = {
+    val head = LakeLog.current(dir).getOrElse(
+      throw new IllegalStateException(s"$dir has no snapshot log"))
+    val schema = LakeTableIO.tableSchema(dir)
+    // footer harvest for files with no manifest stats at all (external
+    // bootstrap vintages): rows/bounds/null-counts — the base the
+    // fact amendments hang on
+    val missing = head.files.filterNot(head.stats.contains)
+    val harvested = LakeStats.harvest(dir, missing)
+    val baseStats = head.stats ++ harvested
+    val sumCols = schema.fields.filter(f =>
+      LakeStats.sumAdmits(f.dataType)).toSeq
+    val ndvNames = LakeNdv.configured(dir).map(_.toLowerCase).toSet
+    val bloomNames = LakeBloom.configured(dir).map(_.toLowerCase).toSet
+    val ndvCols = schema.fields.filter(f =>
+      ndvNames(f.name.toLowerCase) && LakeNdv.admits(f.dataType)).toSeq
+    val bloomCols = schema.fields.filter(f =>
+      bloomNames(f.name.toLowerCase) && LakeBloom.admits(f.dataType)).toSeq
+    // a (file, column) pairs up only when the file's stats entry sits
+    // under the CURRENT name with the kind the table type implies —
+    // the name-resolving stock reader then decodes the same column the
+    // connector would
+    def entry(f: String, c: StructField): Option[LakeStats.ColStats] =
+      baseStats.get(f).flatMap(_.cols.get(c.name))
+    def kindOk(f: String, c: StructField, expect: Option[String]): Boolean =
+      expect.exists(k => entry(f, c).exists(_.kind == k))
+    def hashKind(dt: DataType): Option[String] = dt match {
+      case LongType | TimestampType => Some("long")
+      case IntegerType | DateType   => Some("int")
+      case StringType               => Some("str")
+      case _                        => None
+    }
+    def needsFacts(f: String): Boolean =
+      sumCols.exists(c =>
+        kindOk(f, c, LakeTableIO.statKindFor(c.dataType)) &&
+          entry(f, c).exists(cs => cs.sum.isEmpty || cs.asum.isEmpty)) ||
+      ndvCols.exists(c => kindOk(f, c, hashKind(c.dataType)) &&
+        entry(f, c).exists(_.ndv.isEmpty)) ||
+      bloomCols.exists(c => kindOk(f, c, hashKind(c.dataType)) &&
+        entry(f, c).exists(_.bloom.isEmpty))
+    // DV'd files: live rows != physical facts — skipped (rewrite
+    // deletes first). Stats-less-after-harvest files (unreadable)
+    // cannot be amended either.
+    val targets = head.files.filter(f =>
+      !head.dvs.contains(f) && baseStats.contains(f) && needsFacts(f))
+    if (targets.isEmpty && harvested.isEmpty) return (0, 0)
+    var facts = 0
+    val amendments: Map[String, LakeStats.FileStats] =
+      if (targets.isEmpty) Map.empty
+      else {
+        val raw = spark.read.schema(schema)
+          .parquet(targets.map(n => s"$dir/$n"): _*)
+          .withColumn("__file", col("_metadata.file_name"))
+        val aggs = Seq.newBuilder[Column]
+        sumCols.foreach { c =>
+          val s = c.dataType match {
+            case d: DecimalType => d.scale
+            case _              => 0
+          }
+          val cast = col(c.name).cast(DecimalType(38, s))
+          aggs += coalesce(sum(cast), lit(0).cast(DecimalType(38, s)))
+            .as(s"sum__${c.name}")
+          aggs += coalesce(sum(abs(cast)), lit(0).cast(DecimalType(38, s)))
+            .as(s"asum__${c.name}")
+        }
+        ndvCols.foreach(c => hashColumn(c.dataType, col(c.name)).foreach(h =>
+          aggs += udaf(new NdvUdaf(), Encoders.LONG).apply(h)
+            .as(s"ndv__${c.name}")))
+        bloomCols.foreach(c => hashColumn(c.dataType, col(c.name)).foreach(h =>
+          aggs += udaf(new BloomUdaf(LakeBloom.bits), Encoders.LONG)
+            .apply(h).as(s"bloom__${c.name}")))
+        val aggList = aggs.result()
+        if (aggList.isEmpty) Map.empty
+        else {
+          val rows = raw.groupBy(col("__file"))
+            .agg(aggList.head, aggList.tail: _*).collect()
+          rows.map { r =>
+            val f = r.getString(r.fieldIndex("__file"))
+            val st = baseStats(f)
+            var cols = st.cols
+            def amend(name: String,
+                      f2: LakeStats.ColStats => LakeStats.ColStats): Unit =
+              cols.get(name).foreach { cs =>
+                val next = f2(cs)
+                if (next ne cs) { cols = cols.updated(name, next); facts += 1 }
+              }
+            sumCols.foreach { c =>
+              if (kindOk(f, c, LakeTableIO.statKindFor(c.dataType))) {
+                val scale = c.dataType match {
+                  case d: DecimalType => d.scale
+                  case _              => 0
+                }
+                val s = r.getDecimal(r.fieldIndex(s"sum__${c.name}"))
+                val a = r.getDecimal(r.fieldIndex(s"asum__${c.name}"))
+                if (s != null && a != null) amend(c.name, cs =>
+                  if (cs.sum.isDefined && cs.asum.isDefined) cs
+                  else cs.copy(
+                    sum = Some(s.setScale(scale).unscaledValue().toString),
+                    asum = Some(a.setScale(scale).unscaledValue().toString)))
+              }
+            }
+            ndvCols.foreach { c =>
+              if (kindOk(f, c, hashKind(c.dataType))) {
+                val v = r.getString(r.fieldIndex(s"ndv__${c.name}"))
+                if (v != null) amend(c.name, cs =>
+                  if (cs.ndv.isDefined) cs else cs.copy(ndv = Some(v)))
+              }
+            }
+            bloomCols.foreach { c =>
+              if (kindOk(f, c, hashKind(c.dataType))) {
+                val v = r.getString(r.fieldIndex(s"bloom__${c.name}"))
+                if (v != null) amend(c.name, cs =>
+                  if (cs.bloom.isDefined) cs else cs.copy(bloom = Some(v)))
+              }
+            }
+            f -> st.copy(cols = cols)
+          }.toMap
+        }
+      }
+    // the harvested base stats for previously stats-less files are
+    // amendments too (COUNT/MIN/MAX metadata for bootstrap vintages),
+    // even when no fact columns applied
+    val allAmend = harvested.map { case (f, st) =>
+      f -> amendments.getOrElse(f, st)
+    } ++ amendments
+    facts += harvested.size
+    if (allAmend.isEmpty) return (0, 0)
+    LakeLog.commit(dir, "analyze", Seq.empty, Seq.empty, 0L,
+      dataChange = false, statsAmend = allAmend)
+    (allAmend.size, facts)
+  }
+}

@@ -799,7 +799,16 @@ object LakeLog {
                Map.empty,
              // writer-built KMV distinct-count sketches per added file
              // (col → base64) — the CBO column-statistics facts
-             addedNdvs: Map[String, Map[String, String]] = Map.empty)
+             addedNdvs: Map[String, Map[String, String]] = Map.empty,
+             // ANALYZE backfill: full replacement FileStats for files
+             // already in the snapshot (facts recomputed from their
+             // immutable bytes — sums, sketches, blooms for vintages
+             // that predate write-time harvesting). Entries for files
+             // no longer current at commit time drop silently (their
+             // stats left with them); on manifest-tree tables the
+             // segments holding amended files REWRITE (stats live in
+             // segments — a reused segment would serve stale facts).
+             statsAmend: Map[String, LakeStats.FileStats] = Map.empty)
       : Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
@@ -938,12 +947,27 @@ object LakeLog {
       }
       // stats follow the file set: replaced files drop theirs, added
       // files bring freshly-harvested ones; files that predate stats
-      // simply stay absent (footer-fallback planning)
+      // simply stay absent (footer-fallback planning). ANALYZE
+      // amendments replace entries for files still current.
+      val liveAmend = statsAmend.view.filterKeys(f =>
+        base.contains(f) && !removed.contains(f)).toMap
       val nextStats = (head.map(_.stats).getOrElse(Map.empty) -- removed) ++
-        addedStats.view.filterKeys(addedNew.contains)
+        addedStats.view.filterKeys(addedNew.contains) ++ liveAmend
       // partition tuples follow the file set exactly like stats
       val nextParts = (head.map(_.parts).getOrElse(Map.empty) -- removed) ++
         addedParts.view.filterKeys(addedNew.contains)
+      // the parent's segment list is the REUSE base for the manifest
+      // tree (writeManifest keeps every segment the delta left whole);
+      // a segment holding an AMENDED file must rewrite — its embedded
+      // stats are stale the moment the amendment lands
+      val reuseBase = {
+        val segs = head.map(_.segments).getOrElse(Seq.empty)
+        if (liveAmend.isEmpty) segs
+        else segs.filter { r =>
+          try !readSegment(fs, dir, r.name)._1.exists(liveAmend.contains)
+          catch { case _: java.io.IOException => false }
+        }
+      }
       val next = Snapshot(
         head.map(_.version + 1).getOrElse(0L),
         now(head.map(_.timestampMs)), operation,
@@ -951,9 +975,7 @@ object LakeLog {
         addedNew, removed.sorted, addedRows, dataChange, nextDvs, dvAdded,
         nextStats, updatePre, updatePost.filter(addedNew.contains),
         nextParts,
-        // the parent's segment list is the REUSE base for the manifest
-        // tree (writeManifest keeps every segment the delta left whole)
-        head.map(_.segments).getOrElse(Seq.empty))
+        reuseBase)
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry

@@ -174,13 +174,20 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
 
 class LakeDeltaWriterFactory(dir: String, rowSchema: StructType)
     extends DeltaWriterFactory {
+  // constructed on the DRIVER (this factory is built there and
+  // serialized to tasks): the inner writer resolves driver-only state
+  // at construction — CHECK constraints through the session's analyzer,
+  // field-id grafting, the partition spec — none of which exists on an
+  // executor. Its serializability is the same contract every batch
+  // write already ships.
+  private val factory = new LakeWriterFactory(dir, rowSchema)
+
   override def createWriter(partitionId: Int,
                             taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       // inserts and update post-images reuse the ordinary
       // stage-then-publish parquet writer — two instances, because the
       // files must stay apart for the commit's update annotation
-      private val factory = new LakeWriterFactory(dir, rowSchema)
       private val insertWriter = factory.createWriter(partitionId, taskId)
       private val updateWriter = factory.createWriter(partitionId, taskId)
       private val deletes =

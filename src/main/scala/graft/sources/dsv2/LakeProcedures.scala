@@ -35,7 +35,7 @@ object LakeProcedures {
 
   def names: Seq[String] =
     Seq("history", "rollback", "expire", "compact", "zorder",
-      "rewrite_deletes", "tag", "drop_tag", "tags", "branch",
+      "rewrite_deletes", "analyze", "tag", "drop_tag", "tags", "branch",
       "drop_branch", "fast_forward", "branches",
       "add_partition_field", "drop_partition_field")
 
@@ -125,6 +125,16 @@ object LakeProcedures {
           val (files, positions) = LakeSnapshots.rewriteDeletes(
             SparkSession.active, dirOf(str(in, 0)))
           Seq(new GenericInternalRow(Array[Any](files, positions)))
+        })
+      case "analyze" => new LakeProcedure("analyze",
+        Array(param("table", StringType)),
+        StructType(Seq(
+          StructField("files_amended", IntegerType, nullable = false),
+          StructField("facts_added", IntegerType, nullable = false))),
+        in => {
+          val (files, facts) = LakeAnalyze.analyze(
+            SparkSession.active, dirOf(str(in, 0)))
+          Seq(new GenericInternalRow(Array[Any](files, facts)))
         })
       case "zorder" => new LakeProcedure("zorder",
         Array(param("table", StringType), param("columns", StringType),
