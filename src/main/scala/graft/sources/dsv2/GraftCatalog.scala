@@ -249,7 +249,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
          else Map(LakeTableIO.SortColsKey -> sortCols.mkString(","))) ++
         (if (ndvCols.isEmpty) Map.empty
          else Map(LakeNdv.ColKey -> ndvCols.mkString(","))) ++
-        checkProps
+        checkProps ++
+        // validation watermark v0: the guarantee holds from creation
+        // (before any data) — see LakeChecks.MetaPrefix
+        checkProps.keys.map(k => (LakeChecks.MetaPrefix +
+          k.substring(LakeChecks.Prefix.length)) -> "0").toMap
     if (props.nonEmpty) LakeTableIO.writeProps(dir.toString, props)
     // v0 = the empty table: history (and any stream) starts at creation
     LakeLog.commit(dir.toString, "create", Seq.empty, Seq.empty, 0L)
@@ -340,6 +344,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     def allPriorNames(s: StructType): Set[String] =
       s.fields.flatMap(LakeParquet.priorNames).map(_.toLowerCase).toSet
     val audits = scala.collection.mutable.ArrayBuffer.empty[String]
+    // CHECK constraints added in THIS alter — re-validated once more
+    // AFTER the properties land (see the re-validation block below)
+    val addedChecks =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var propsAfter: Option[Map[String, String]] = None
     // rewrite the column-list knobs (write.sort.columns, bloom.columns)
     // through `f` — Some(newName) keeps/renames an entry, None drops it;
@@ -568,9 +576,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           require(violations == 0L,
             s"graft_lake: cannot add check constraint '$cname' — " +
               s"$violations existing row(s) violate (${sp.value()})")
+          // validation watermark: the head the count ran over — what
+          // arms contradiction pruning (a later rollback/fast_forward
+          // graft past it disarms; re-running this ALTER re-arms)
+          val validatedAt = LakeLog.current(dir.toString)
+            .map(_.version).getOrElse(0L)
           val base = propsAfter
             .getOrElse(LakeTableIO.tableProps(dir.toString))
-          propsAfter = Some(base + (sp.property() -> sp.value()))
+          propsAfter = Some(base + (sp.property() -> sp.value()) +
+            ((LakeChecks.MetaPrefix + cname) -> validatedAt.toString))
+          addedChecks += ((cname, sp.value()))
           audits += s"alter_set(${sp.property()}=${sp.value()})"
         } else {
         val cols = sp.value().split(",").map(_.trim)
@@ -616,12 +631,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case rp: TableChange.RemoveProperty =>
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
           LakeBloom.ColKey, LakeNdv.ColKey)
-        require(knobs.contains(rp.property()) ||
-          (rp.property().startsWith(LakeChecks.Prefix) &&
-            rp.property().length > LakeChecks.Prefix.length),
+        val isCheckRm = rp.property().startsWith(LakeChecks.Prefix) &&
+          rp.property().length > LakeChecks.Prefix.length
+        require(knobs.contains(rp.property()) || isCheckRm,
           s"graft_lake: unknown table property '${rp.property()}'")
-        propsAfter = Some(propsAfter
-          .getOrElse(LakeTableIO.tableProps(dir.toString)) - rp.property())
+        val dropped = propsAfter
+          .getOrElse(LakeTableIO.tableProps(dir.toString)) - rp.property()
+        propsAfter = Some(
+          if (!isCheckRm) dropped
+          // the constraint's validation watermark retires with it
+          else dropped - (LakeChecks.MetaPrefix +
+            rp.property().substring(LakeChecks.Prefix.length)))
         audits += s"alter_unset(${rp.property()})"
       case other =>
         throw new UnsupportedOperationException(
@@ -647,6 +667,38 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           else withCur - LakePartitioning.SpecsKey
         }
       LakeTableIO.writeProps(dir.toString, next)
+    }
+    // ADD-CONSTRAINT race closure: re-validate AFTER the properties
+    // landed. A writer whose factory predates the property write
+    // enforces nothing and may commit rows between our first
+    // validation and the props write; now that (a) the props are
+    // visible (later-planned writes enforce; in-flight writes fail
+    // their commit-time constraint-set re-check) and (b) we count
+    // again, a violating row that slipped into that window is caught
+    // here — the constraint is rolled back off the table and the
+    // ALTER fails loud instead of declaring a broken guarantee.
+    if (addedChecks.nonEmpty) {
+      val fq = (catalogName +: ident.namespace.toSeq :+ ident.name)
+        .map(p => s"`$p`").mkString(".")
+      val spark = org.apache.spark.sql.SparkSession.active
+      addedChecks.foreach { case (cname, text) =>
+        val violations =
+          try spark.sql(s"SELECT count(*) FROM $fq WHERE NOT ($text) " +
+            s"AND ($text) IS NOT NULL").collect().head.getLong(0)
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        if (violations != 0L) {
+          val cur = LakeTableIO.tableProps(dir.toString)
+          LakeTableIO.writeProps(dir.toString,
+            cur - (LakeChecks.Prefix + cname) -
+              (LakeChecks.MetaPrefix + cname))
+          throw new IllegalStateException(
+            s"graft_lake: check constraint '$cname' rolled back — a " +
+              s"concurrent write landed " +
+              s"${if (violations < 0) "rows it could not re-validate"
+                else s"$violations violating row(s)"} between " +
+              "validation and declaration; retry the ALTER")
+        }
+      }
     }
     audits.foreach(op => LakeLog.commit(dir.toString, op, Seq.empty,
       Seq.empty, 0L, dataChange = false))

@@ -151,6 +151,11 @@ object LakeAnalyze {
         Some(longHash(datediff(c, to_date(lit("1970-01-01")))
           .cast(LongType)))
       case TimestampType => Some(longHash(unix_micros(c)))
+      // TIMESTAMP_NTZ externals are ALWAYS java.time.LocalDateTime
+      // (the type postdates the java8API split), and hashLiteral's
+      // UTC lift equals the internal local-micros encoding exactly
+      case TimestampNTZType => Some(udf((v: java.time.LocalDateTime) =>
+        if (v == null) null else recomb(LakeBloom.hashLiteral(v))).apply(c))
       case _ => None
     }
   }
@@ -183,7 +188,7 @@ object LakeAnalyze {
     def kindOk(f: String, c: StructField, expect: Option[String]): Boolean =
       expect.exists(k => entry(f, c).exists(_.kind == k))
     def hashKind(dt: DataType): Option[String] = dt match {
-      case LongType | TimestampType => Some("long")
+      case LongType | TimestampType | TimestampNTZType => Some("long")
       case IntegerType | DateType   => Some("int")
       case StringType               => Some("str")
       case _                        => None
@@ -215,11 +220,14 @@ object LakeAnalyze {
             case d: DecimalType => d.scale
             case _              => 0
           }
+          // NO coalesce on the sums: a null sum is ambiguous between
+          // "all null" (fact 0) and a legacy-mode decimal-38 OVERFLOW
+          // (fact unknowable here) — the count disambiguates on the
+          // driver, and ANSI mode turns the overflow into a loud abort
           val cast = col(c.name).cast(DecimalType(38, s))
-          aggs += coalesce(sum(cast), lit(0).cast(DecimalType(38, s)))
-            .as(s"sum__${c.name}")
-          aggs += coalesce(sum(abs(cast)), lit(0).cast(DecimalType(38, s)))
-            .as(s"asum__${c.name}")
+          aggs += sum(cast).as(s"sum__${c.name}")
+          aggs += sum(abs(cast)).as(s"asum__${c.name}")
+          aggs += count(col(c.name)).as(s"cnt__${c.name}")
         }
         ndvCols.foreach(c => hashColumn(c.dataType, col(c.name)).foreach(h =>
           aggs += udaf(new NdvUdaf(), Encoders.LONG).apply(h)
@@ -250,11 +258,23 @@ object LakeAnalyze {
                 }
                 val s = r.getDecimal(r.fieldIndex(s"sum__${c.name}"))
                 val a = r.getDecimal(r.fieldIndex(s"asum__${c.name}"))
-                if (s != null && a != null) amend(c.name, cs =>
-                  if (cs.sum.isDefined && cs.asum.isDefined) cs
-                  else cs.copy(
-                    sum = Some(s.setScale(scale).unscaledValue().toString),
-                    asum = Some(a.setScale(scale).unscaledValue().toString)))
+                val cnt = r.getLong(r.fieldIndex(s"cnt__${c.name}"))
+                if (cnt == 0L)
+                  // all-null column: the exact fact is zero
+                  amend(c.name, cs =>
+                    if (cs.sum.isDefined && cs.asum.isDefined) cs
+                    else cs.copy(sum = Some("0"), asum = Some("0")))
+                else if (s != null && a != null)
+                  amend(c.name, cs =>
+                    if (cs.sum.isDefined && cs.asum.isDefined) cs
+                    else cs.copy(
+                      sum = Some(s.setScale(scale)
+                        .unscaledValue().toString),
+                      asum = Some(a.setScale(scale)
+                        .unscaledValue().toString)))
+                // else: null sum with non-null rows = legacy-mode
+                // decimal-38 overflow — the fact is unknowable at this
+                // width; skip (conservative decline stands)
               }
             }
             ndvCols.foreach { c =>

@@ -46,9 +46,52 @@ object LakeChecks {
   /** Property prefix: `check.<name>` → constraint SQL text. */
   val Prefix = "check."
 
+  /** Engine-owned sibling: `checkmeta.<name>` → the MAIN version at
+    * which the constraint's table-wide guarantee was ESTABLISHED
+    * (0 at CREATE — before any data; the validated head at ALTER).
+    * What it buys: contradiction PRUNING must know the guarantee
+    * covers every live row, and a `rollback` / `fast_forward` can
+    * graft pre-validation state back into head — [[pruneArmed]]
+    * compares this watermark against the log's history-graft marker
+    * and disarms pruning (enforcement continues) when any graft
+    * postdates any validation. Re-running ALTER SET on the constraint
+    * re-validates and re-arms. Not user-settable (not in the knob
+    * allow-list); note "checkmeta." does not match the `check.`
+    * prefix test, so these entries are never parsed as constraints.
+    */
+  val MetaPrefix = "checkmeta."
+
+  /** May the scan-time contradiction prune fire? Only when every
+    * declared constraint carries a validation watermark AND no
+    * history graft (rollback / fast_forward) postdates the oldest one.
+    * Any uncertainty — legacy constraint without a watermark,
+    * unreadable marker — disarms (the scan runs; merely slower).
+    */
+  def pruneArmed(dir: String): Boolean = {
+    val props = LakeTableIO.tableProps(dir)
+    val checks = fromProps(props)
+    if (checks.isEmpty) return false
+    val metas = checks.map { case (name, _) =>
+      props.get(MetaPrefix + name).flatMap(_.toLongOption) }
+    if (metas.exists(_.isEmpty)) return false
+    val minValidated = metas.flatten.min
+    LakeLog.historyGraftVersion(dir).forall(_ <= minValidated)
+  }
+
   /** Declared constraints of a table: (name, SQL text), name-sorted. */
   def configured(dir: String): Seq[(String, String)] =
-    LakeTableIO.tableProps(dir).toSeq.collect {
+    fromProps(LakeTableIO.tableProps(dir))
+
+  /** [[configured]] over the STRICT props reader: a torn/unreadable
+    * properties file THROWS instead of yielding "no constraints" — the
+    * enforcement consumer must fail the write loud rather than
+    * silently un-enforce a declared guarantee.
+    */
+  def configuredStrict(dir: String): Seq[(String, String)] =
+    fromProps(LakeTableIO.tablePropsStrict(dir))
+
+  private def fromProps(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect {
       case (k, v) if k.startsWith(Prefix) && k.length > Prefix.length =>
         (k.substring(Prefix.length), v)
     }.sortBy(_._1)

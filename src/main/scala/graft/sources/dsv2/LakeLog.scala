@@ -423,6 +423,64 @@ object LakeLog {
     entries
   }
 
+  /** History-graft marker (`_log/_histgraft.json`): the highest MAIN
+    * version at which non-linear history was introduced — a rollback
+    * restoring a past state, or a fast_forward publishing branch
+    * commits. Consumers that ride "every live row passed through an
+    * enforced write after time T" guarantees (the CHECK-constraint
+    * contradiction prune) compare their validation watermark against
+    * it. Written BEFORE the grafting commit publishes, so a crash
+    * between the two only over-disarms (the marker claims a graft
+    * that never landed — conservative); an unreadable marker reports
+    * Long.MaxValue for the same reason. Missing = no grafts ever.
+    */
+  private def histGraftPath(dir: String): Path =
+    new Path(logDir(dir), "_histgraft.json")
+
+  def historyGraftVersion(dir: String): Option[Long] = {
+    val fs = fsFor(dir)
+    val p = histGraftPath(dir)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        Some(mapper.readValue(bytes, classOf[JMap[String, Object]])
+          .get("version").asInstanceOf[Number].longValue())
+      }
+    } catch { case _: Exception => Some(Long.MaxValue) } // conservative
+  }
+
+  /** Record a graft at `version` (monotonic max); throws on failure —
+    * the caller must NOT publish the grafting commit without the
+    * marker, or a constraint prune could serve wrong answers.
+    */
+  private[dsv2] def noteHistoryGraft(dir: String, version: Long): Unit = {
+    val fs = fsFor(dir)
+    val cur = historyGraftVersion(dir).getOrElse(-1L)
+    if (cur >= version && cur != Long.MaxValue) return
+    fs.mkdirs(logDir(dir))
+    val m = new JHashMap[String, Object]()
+    m.put("version", java.lang.Long.valueOf(
+      math.max(version, if (cur == Long.MaxValue) version else cur)))
+    val tmp = new Path(logDir(dir),
+      s".tmp-histgraft-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+    if ("file".equalsIgnoreCase(fs.getScheme))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(histGraftPath(dir).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      fs.delete(histGraftPath(dir), false)
+      if (!fs.rename(tmp, histGraftPath(dir)))
+        throw new java.io.IOException(
+          s"failed to record history graft for $dir")
+    }
+  }
+
   private def headHintPath(dir: String): Path =
     new Path(logDir(dir), "_head.json")
 
@@ -1100,6 +1158,9 @@ object LakeLog {
           s"v${mainHead.version} past the fork point v$fork — " +
           "re-branch and replay")
     val fs = fsFor(dir)
+    // graft marker FIRST (see rollback): branch commits may hold rows
+    // written before a constraint was declared+validated on main
+    if (bvs.tail.nonEmpty) noteHistoryGraft(dir, bvs.last)
     bvs.tail.foreach { v =>
       val s = snapshotAt(dir, v, Some(name))
       tryPublish(fs, dir, s, None).getOrElse(
@@ -1294,6 +1355,10 @@ object LakeLog {
     // re-adding old files stripped of their DVs), and the target's
     // partition tuples for the re-added files (else pruning/SPJ lose
     // the restored files' layout).
+    // graft marker FIRST: the restored state may predate guarantees
+    // validated later (CHECK pruning) — a crash after the marker but
+    // before the commit only over-disarms
+    noteHistoryGraft(dir, head.version + 1)
     commit(dir, s"rollback(v$version)",
       added = target.files.filterNot(head.files.contains),
       removed = head.files.filterNot(target.files.contains),

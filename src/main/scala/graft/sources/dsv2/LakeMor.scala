@@ -86,6 +86,13 @@ case class LakeDeltaMessage(staged: Seq[StagedLakeFile],
 
 class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
                      branch: Option[String]) extends DeltaWrite {
+  // mid-write ADD CONSTRAINT guard — same contract as LakeWrite: the
+  // commit fails loud (nothing publishes) when a constraint appeared
+  // after this write was planned, because its staged rows were neither
+  // validated by the ALTER nor enforced by the writer
+  private val checksAtPlan: Set[String] =
+    LakeChecks.configuredStrict(dir).map(_._1).toSet
+
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DeltaWriterFactory =
@@ -94,16 +101,26 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(new Configuration())
       val msgs = messages.collect { case m: LakeDeltaMessage => m }
+      val nowChecks = LakeChecks.configuredStrict(dir).map(_._1).toSet
+      if ((nowChecks -- checksAtPlan).nonEmpty) {
+        msgs.foreach(m => (m.staged ++ m.stagedUpdates).foreach { s =>
+          try fs.delete(new Path(s.stagedPath), false)
+          catch { case _: java.io.IOException => () }
+        })
+        throw new java.util.ConcurrentModificationException(
+          s"graft_lake: check constraint(s) " +
+            s"${(nowChecks -- checksAtPlan).mkString(", ")} were added " +
+            s"to $dir while this DML was in flight — retry")
+      }
       // publish insert + update-post files (stage-then-publish, as the
       // batch write); post-image files are tracked apart so the commit
       // can annotate them for the change feed
-      def publish(s: StagedLakeFile)
-          : (String, Long, Option[Seq[String]], Map[String, String]) = {
+      def publish(s: StagedLakeFile): (String, StagedLakeFile) = {
         val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
         if (!fs.rename(new Path(s.stagedPath), dest))
           throw new java.io.IOException(
             s"failed to publish ${s.stagedPath} -> $dest")
-        (dest.getName, s.rows, s.tuple, s.blooms)
+        (dest.getName, s)
       }
       val published = msgs.flatMap(_.staged).map(publish)
       val publishedPost = msgs.flatMap(_.stagedUpdates).map(publish)
@@ -133,22 +150,32 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
         }.toMap
       val allFiles = published ++ publishedPost
       if (allFiles.isEmpty && dvAdded.isEmpty) return // no-op DML
+      // the full fact set rides the commit exactly as in the batch
+      // write: blooms AND exact sums AND NDV sketches (the inner
+      // writer harvested them all — dropping any here would strand
+      // MOR-written files outside the metadata fast paths)
       try LakeLog.commit(dir, opName, allFiles.map(_._1).toSeq,
-        Seq.empty, allFiles.map(_._2).sum, branch = branch,
+        Seq.empty, allFiles.map(_._2.rows).sum, branch = branch,
         dvAdded = dvAdded, updatePre = updateDv,
         updatePost = publishedPost.map(_._1).toSeq,
         addedParts = allFiles.collect {
-          case (n, _, Some(t), _) => n -> t
+          case (n, s) if s.tuple.isDefined => n -> s.tuple.get
         }.toMap,
         addedBlooms = allFiles.collect {
-          case (n, _, _, bl) if bl.nonEmpty => n -> bl
+          case (n, s) if s.blooms.nonEmpty => n -> s.blooms
+        }.toMap,
+        addedSums = allFiles.collect {
+          case (n, s) if s.sums.nonEmpty => n -> s.sums
+        }.toMap,
+        addedNdvs = allFiles.collect {
+          case (n, s) if s.ndvs.nonEmpty => n -> s.ndvs
         }.toMap)
       catch {
         case e: Throwable =>
           // conflict (a covered file was rewritten concurrently): the
           // published inserts and freshly-written DVs are in no
           // manifest — remove them and abort loud
-          allFiles.foreach { case (n, _, _, _) =>
+          allFiles.foreach { case (n, _) =>
             try fs.delete(new Path(dir, n), false)
             catch { case _: java.io.IOException => () }
           }

@@ -559,10 +559,15 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
         startingVersion.isEmpty && !skipChangeCommits) {
       val contradicted =
         try {
-          val texts = LakeChecks.configured(dir).map(_._2)
-          texts.nonEmpty && LakeChecks.contradicts(
-            LakeChecks.domains(
-              org.apache.spark.sql.SparkSession.active, texts), pushed)
+          // pruneArmed: every constraint validation-watermarked and no
+          // rollback/fast_forward graft past it — a restored HEAD can
+          // hold pre-validation rows the guarantee never covered
+          LakeChecks.pruneArmed(dir) && {
+            val texts = LakeChecks.configured(dir).map(_._2)
+            texts.nonEmpty && LakeChecks.contradicts(
+              LakeChecks.domains(
+                org.apache.spark.sql.SparkSession.active, texts), pushed)
+          }
         } catch { case scala.util.control.NonFatal(_) => false }
       if (contradicted)
         return new LakeScan(dir, Seq.empty, tableSchema, projected,
@@ -1383,6 +1388,28 @@ class LakeWrite(dir: String, writeSchema: StructType,
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
+  /** CHECK-constraint names visible when this write was PLANNED — the
+    * set the writer factory compiled enforcement for (it reads the
+    * same props moments later). The commit re-reads and fails loud if
+    * a constraint appeared MID-WRITE: rows staged before the ALTER's
+    * validation query ran would otherwise land unvalidated AND
+    * unenforced, silently breaking the just-declared guarantee. The
+    * loser retries the whole write under the new constraint set.
+    */
+  private val checksAtPlan: Set[String] =
+    LakeChecks.configuredStrict(dir).map(_._1).toSet
+
+  private def requireNoNewChecks(): Unit = {
+    val now = LakeChecks.configuredStrict(dir).map(_._1).toSet
+    val added = now -- checksAtPlan
+    if (added.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"graft_lake: check constraint(s) ${added.mkString(", ")} " +
+          s"were added to $dir while this write was in flight — " +
+          "the staged rows were not enforced against them; retry " +
+          "the write")
+  }
+
   /** Partitioned tables ask Spark to CLUSTER incoming rows by the
     * partition transforms before the write (resolved through the
     * catalog's V2 functions) — so each task sees whole tuples and
@@ -1461,6 +1488,14 @@ class LakeWrite(dir: String, writeSchema: StructType,
         val collected = messages.collect {
           case LakeFileMessage(staged) => staged
         }.flatten
+        // mid-write ADD CONSTRAINT: fail before publishing anything
+        try requireNoNewChecks()
+        catch { case e: Throwable =>
+          collected.foreach(s =>
+            try fs.delete(new Path(s.stagedPath), false)
+            catch { case _: java.io.IOException => () })
+          throw e
+        }
         // replay check: the per-query epoch ref (O(1), survives expire)
         // backed by a newest-first marker scan that stops at this
         // query's previous epoch — not the old every-manifest sweep,
@@ -1532,6 +1567,14 @@ class LakeWrite(dir: String, writeSchema: StructType,
       val collected = messages.collect {
         case LakeFileMessage(staged) => staged
       }.flatten
+      // mid-write ADD CONSTRAINT: fail before publishing anything
+      try requireNoNewChecks()
+      catch { case e: Throwable =>
+        collected.foreach(s =>
+          try fs.delete(new Path(s.stagedPath), false)
+          catch { case _: java.io.IOException => () })
+        throw e
+      }
       val published = collected.map { s =>
         val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
         if (!fs.rename(new Path(s.stagedPath), dest))
@@ -1721,9 +1764,10 @@ class LakeWriterFactory(dir: String, schema: StructType)
     */
   private val checkViolations: Seq[(String, Either[String,
       org.apache.spark.sql.catalyst.expressions.Expression])] = {
-    val texts =
-      try LakeChecks.configured(dir)
-      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    // STRICT read: a torn/unreadable properties file fails the write
+    // loud (retryable) — a lenient empty default would silently
+    // un-enforce a declared guarantee
+    val texts = LakeChecks.configuredStrict(dir)
     if (texts.isEmpty) Seq.empty
     else {
       val spark = org.apache.spark.sql.SparkSession.active
@@ -3106,6 +3150,26 @@ object LakeTableIO {
           .readValue(bytes, classOf[java.util.Map[String, String]])
           .asScala.toMap
       } catch { case _: Exception => Map.empty } // torn read: defaults
+  }
+
+  /** [[tableProps]] with STRICT error semantics: a missing file is the
+    * legitimate "no properties" state, but a read/parse failure THROWS
+    * instead of defaulting — for consumers where silently-empty is not
+    * conservative (CHECK-constraint enforcement: an empty default
+    * would un-enforce a declared guarantee; the knobs that only add
+    * optional pruning keep the lenient reader).
+    */
+  def tablePropsStrict(dir: String): Map[String, String] = {
+    val p = new Path(dir, "_props.json")
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(bytes, classOf[java.util.Map[String, String]])
+        .asScala.toMap
+    }
   }
 
   def writeProps(dir: String, props: Map[String, String]): Unit = {

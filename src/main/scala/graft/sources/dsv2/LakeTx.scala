@@ -73,6 +73,15 @@ object LakeTx {
     * lists them; vacuum-reclaimable orphans on abort). Id-less files —
     * the reader's legacy name resolution covers them, same as any
     * externally produced file.
+    *
+    * The writer-harvested FACTS (exact sums, NDV sketches, blooms) are
+    * deliberately NOT carried through the transaction marker — the
+    * marker is a persisted crash-recovery format and widening it for
+    * derived data isn't worth the compatibility surface. Tx-appended
+    * files therefore decline the metadata fast paths conservatively
+    * (never wrongly) until a `CALL system.analyze` backfills them.
+    * CHECK constraints ARE enforced (per row, in the connector writer
+    * this stages through).
     */
   def stageAppend(spark: SparkSession, df: DataFrame, dir: String,
                   operation: String): TableAppend = {

@@ -162,6 +162,57 @@ class LakeAnalyzeSpec extends SparkSpec {
     }
   }
 
+  test("overflow and null disambiguation: an all-null column backfills " +
+       "the exact zero fact, while a decimal-38 overflow (null sum " +
+       "with rows present) is skipped, never recorded as 0") {
+    withCatalog { (cat, root) =>
+      val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+      try {
+        // legacy mode so the overflow yields NULL (ANSI would abort
+        // the analyze loud — also correct, but not this pin)
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.sql(s"CREATE TABLE $cat.db.ov " +
+          "(big DECIMAL(38,0), nul BIGINT)")
+        spark.sql(s"INSERT INTO $cat.db.ov VALUES " +
+          "(90000000000000000000000000000000000000, NULL), " +
+          "(90000000000000000000000000000000000000, NULL)")
+        spark.sql(s"CALL $cat.system.compact('db.ov', 134217728)")
+        spark.sql(s"CALL $cat.system.analyze('db.ov')")
+        val head = LakeLog.current(s"$root/db/ov").get
+        val cols = head.stats(head.files.head).cols
+        assert(cols("big").sum.isEmpty,
+          s"overflowed sum must NOT be recorded: ${cols("big")}")
+        assert(cols("nul").sum.contains("0") &&
+          cols("nul").asum.contains("0"),
+          s"all-null column's exact fact is zero: ${cols("nul")}")
+      } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    }
+  }
+
+  test("TIMESTAMP_NTZ sketches backfill (admits and analyze agree on " +
+       "the type surface)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.ntz (k BIGINT, t TIMESTAMP_NTZ) " +
+        "TBLPROPERTIES ('stats.ndv.columns'='t')")
+      spark.sql(s"INSERT INTO $cat.db.ntz SELECT id, " +
+        "timestampadd(SECOND, CAST(id % 200 AS INT), " +
+        "TIMESTAMP_NTZ '2024-01-01 00:00:00') FROM range(1000)")
+      spark.sql(s"CALL $cat.system.compact('db.ntz', 134217728)")
+      spark.sql(s"CALL $cat.system.analyze('db.ntz')")
+      val head = LakeLog.current(s"$root/db/ntz").get
+      assert(head.files.forall(f =>
+        head.stats(f).cols("t").ndv.isDefined),
+        "NTZ sketch backfilled")
+      // estimate tracks the true 200 distinct values — and because the
+      // backfill hashes the same canonical micros as the writer, the
+      // union with writer-built sketches stays coherent
+      val est = graft.sources.dsv2.LakeNdv.estimate(head.files.toSeq.map(
+        f => graft.sources.dsv2.LakeNdv.decode(
+          head.stats(f).cols("t").ndv.get))).get
+      assert(est == 200L, s"below-K exact: $est")
+    }
+  }
+
   test("manifest-tree tables: amended files force their segments to " +
        "rewrite — the amended facts are visible through the tree read") {
     val prev = sys.props.get("graft.lake.manifest.inline.threshold")

@@ -126,6 +126,47 @@ class LakeChecksSpec extends SparkSpec {
     }
   }
 
+  test("rollback disarms contradiction pruning: a restored pre-" +
+       "validation state stays scannable, and re-validating re-arms") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.rb (k BIGINT, qty BIGINT) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.rb VALUES (1, 10), (2, -7)")
+      spark.sql(s"DELETE FROM $cat.db.rb WHERE qty < 0")
+      spark.sql(s"ALTER TABLE $cat.db.rb SET TBLPROPERTIES " +
+        "('check.qty_pos'='qty >= 0')")
+      // armed: contradiction prunes at the validated head
+      assert(spark.sql(s"SELECT * FROM $cat.db.rb WHERE qty < 0")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+      // rollback restores the state holding the -7 row — the graft
+      // marker must DISARM pruning, and the row must be reachable
+      spark.sql(s"CALL $cat.system.rollback('db.rb', 1)")
+      val q = spark.sql(s"SELECT k FROM $cat.db.rb WHERE qty < 0")
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("pruned_by_check"),
+        "a graft past validation must disarm the prune")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L),
+        "the restored pre-validation row must be reachable")
+      // re-validation FAILS while the violating row is live (and
+      // rolls the constraint declaration back off the table)
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.rb SET TBLPROPERTIES " +
+          "('check.qty_pos'='qty >= 0')")
+      }
+      assert(exists(e, "violate") || exists(e, "violating"), s"$e")
+      // delete the bad row, re-validate → pruning re-arms
+      spark.sql(s"DELETE FROM $cat.db.rb WHERE qty < 0")
+      spark.sql(s"ALTER TABLE $cat.db.rb SET TBLPROPERTIES " +
+        "('check.qty_pos'='qty >= 0')")
+      val q2 = spark.sql(s"SELECT * FROM $cat.db.rb WHERE qty < 0")
+      assert(q2.queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"),
+        "a fresh validation past the graft re-arms the prune")
+      assert(q2.collect().isEmpty)
+    }
+  }
+
   test("validation is CREATE/ALTER-grade: unparseable, unresolvable, " +
        "and non-boolean constraints fail loud; RENAME/DROP of a " +
        "referenced column is rejected until the constraint is unset") {

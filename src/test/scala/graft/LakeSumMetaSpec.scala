@@ -188,6 +188,29 @@ class LakeSumMetaSpec extends SparkSpec {
     }
   }
 
+  test("the MOR delta writer carries the facts too: a MERGE whose only " +
+       "action is NOT-MATCHED INSERT (no DVs) keeps the table " +
+       "metadata-SUM answerable, post-merge files included") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.mi (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.mi SELECT id, id * 2 FROM range(50)")
+      spark.range(100, 120).selectExpr("id AS k", "id * 3 AS v")
+        .createOrReplaceTempView("mi_src")
+      spark.sql(s"MERGE INTO $cat.db.mi t USING mi_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val head = LakeLog.current(s"$root/db/mi").get
+      assert(head.dvs.isEmpty, "insert-only merge writes no DVs")
+      assert(head.files.forall(f =>
+        head.stats(f).cols("v").sum.isDefined),
+        "the delta-writer-published insert file carries sums")
+      val q = spark.sql(s"SELECT sum(v) FROM $cat.db.mi")
+      assert(pushed(q), q.queryExecution.executedPlan)
+      assert(q.collect().head.getLong(0) ==
+        (0L until 50L).map(_ * 2).sum + (100L until 120L).map(_ * 3).sum)
+    }
+  }
+
   test("grouped metadata SUM/AVG: per-partition sums fold from per-file " +
        "facts with zero footer opens; a partition filter narrows the " +
        "answer to the matching segments") {
