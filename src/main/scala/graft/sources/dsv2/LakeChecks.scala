@@ -187,7 +187,11 @@ object LakeChecks {
   final case class Dom(lo: Option[(BigDecimal, Boolean)],
                        hi: Option[(BigDecimal, Boolean)],
                        sLo: Option[(String, Boolean)],
-                       sHi: Option[(String, Boolean)])
+                       sHi: Option[(String, Boolean)],
+                       // an explicit `col IS NOT NULL` conjunct — the
+                       // ONLY shape that proves non-nullness (a range
+                       // constraint does NOT: NULL passes SQL CHECK)
+                       notNull: Boolean = false)
 
   /** Lift the comparison-shaped conjuncts of every declared constraint
     * into per-column domains. Parse-only (no analyzer — the scan may
@@ -199,6 +203,8 @@ object LakeChecks {
     import org.apache.spark.sql.catalyst.{expressions => E}
     val empty = Dom(None, None, None, None)
     var doms = Map.empty[String, Dom].withDefaultValue(empty)
+    def markNotNull(col: String): Unit =
+      doms = doms.updated(col, doms(col).copy(notNull = true))
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
@@ -295,6 +301,7 @@ object LakeChecks {
           colOf(c).foreach(apply1(_, "=", l))
         case E.EqualTo(l: E.Literal, c) =>
           colOf(c).foreach(apply1(_, "=", l))
+        case E.IsNotNull(c) => colOf(c).foreach(markNotNull)
         case _ => () // unliftable conjunct: enforcement-only
       }
     }
@@ -347,6 +354,11 @@ object LakeChecks {
     def one(f: Filter): Boolean = f match {
       case EqualTo(c, v) if v != null       => eqImpossible(c, v)
       case EqualNullSafe(c, v) if v != null => eqImpossible(c, v)
+      // a guaranteed-non-null column can't satisfy IS NULL / <=> NULL
+      case org.apache.spark.sql.sources.IsNull(c) =>
+        doms.get(c).exists(_.notNull)
+      case EqualNullSafe(c, null) =>
+        doms.get(c).exists(_.notNull)
       case In(c, vs) =>
         val nn = vs.filter(_ != null)
         nn.nonEmpty && nn.forall(eqImpossible(c, _))

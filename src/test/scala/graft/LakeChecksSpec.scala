@@ -232,4 +232,31 @@ class LakeChecksSpec extends SparkSpec {
       assert(exists(e, "check constraint 's'"), s"$e")
     }
   }
+
+  test("IS NOT NULL constraints prune IS NULL probes — and ONLY an " +
+       "explicit IS NOT NULL does (a range constraint lets NULL pass " +
+       "per SQL CHECK, so it must never prune the null probe)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.nn " +
+        "(id BIGINT, qty BIGINT) TBLPROPERTIES (" +
+        "'check.id_req'='id IS NOT NULL AND id >= 0', " +
+        "'check.qty_rng'='qty >= 0')")
+      spark.sql(s"INSERT INTO $cat.db.nn VALUES (1, 5), (2, NULL)")
+      // the unliftable-to-liftable mix: IS NOT NULL lifts, the range
+      // rides alongside
+      assert(spark.sql(s"SELECT * FROM $cat.db.nn WHERE id IS NULL")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+      assert(spark.sql(s"SELECT * FROM $cat.db.nn WHERE id <=> NULL")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+      // qty >= 0 is range-only: NULL passes CHECK, so the null probe
+      // must SCAN (and find the null row)
+      val q = spark.sql(s"SELECT id FROM $cat.db.nn WHERE qty IS NULL")
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("pruned_by_check"),
+        "a range constraint must never prune IS NULL")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    }
+  }
 }
