@@ -750,6 +750,30 @@ object LakeQueries {
         s"CAST(sum(price) AS STRING) AS total FROM $tbl")
     }),
 
+    // STATS-PROVEN FILTER CONSUMPTION: the WHERE clause is provable
+    // from per-file manifest facts (known-zero nulls, whole [min,max]
+    // inside the filter region), so the scan CONSUMES it — Spark
+    // drops the Filter node and the aggregate still pushes, answering
+    // count/sums from the manifest with zero data read UNDER the
+    // filter. No contract trust: the proof is re-verified per plan and
+    // declines loud on any file it can't vouch for (proof/residual/
+    // null/time-travel/analyze-composition pins in
+    // LakeProofConsumptionSpec). The oracle restates the filtered
+    // aggregate from rows.
+    "lake_proven_filter" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_prov")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, price DECIMAL(12,2))")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
+        .createOrReplaceTempView("lake_prov_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_prov_src")
+      s.sql(s"SELECT count(*) AS n, sum(k) AS sum_k, " +
+        s"CAST(sum(price) AS STRING) AS total FROM $tbl " +
+        s"WHERE k >= 0 AND price IS NOT NULL")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE: the INSERT OVERWRITE replaces
     // exactly the partitions the write PRODUCES (here the single
     // '1-URGENT' identity partition), never the rest — resolved to a
@@ -1399,6 +1423,17 @@ object LakeQueries {
          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
          |         AS VARCHAR) AS total
          |FROM prev""".stripMargin,
+    // the filtered aggregate, recomputed from rows (the predicates are
+    // no-ops over the data by construction — which is exactly what
+    // makes them provable)
+    "lake_proven_filter" ->
+      s"""$snapshotCte
+         |SELECT count(*) AS n,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |         AS VARCHAR) AS total
+         |FROM prev
+         |WHERE o_orderkey >= 0 AND o_totalprice IS NOT NULL""".stripMargin,
     // untouched partitions from the load + the overwritten one anew
     "lake_dynamic_overwrite" ->
       s"""$snapshotCte

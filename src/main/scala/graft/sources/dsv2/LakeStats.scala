@@ -412,6 +412,67 @@ object LakeStats {
     pushed.forall(one)
   }
 
+  /** Can the manifest PROVE every physical row of `file` matches `f`?
+    * The dual of [[mightMatchFile]]: false on ANY uncertainty (the
+    * caller keeps the filter residual — merely slower), true only when
+    * the stats entry resolves, the null count is known ZERO (SQL
+    * comparisons never match NULL, so one unaccounted null breaks
+    * universality — IS NOT NULL needs exactly this too), bounds are
+    * present, and the bound comparison holds for the WHOLE [min, max]
+    * interval. Exact kinds only: long/int/str/dec (floating point
+    * never proves — NaN sits outside the stats order). This is what
+    * lets the scan CONSUME a pushed filter ([[LakeScanBuilder]]'s
+    * stats-proven consumption): per-file facts of the immutable bytes,
+    * no contract trust — sound under external commits, rollbacks,
+    * branches, and time travel (each snapshot proves with its own
+    * stats). Deletion vectors only remove rows, so a proof over
+    * physical rows covers the live subset.
+    */
+  def mustMatchFile(st: FileStats, cols: Array[LakeColumnRef],
+                    f: Filter): Boolean = {
+    val refByName = cols.map(r => r.name -> r).toMap
+    def entry(c: String): Option[ColStats] =
+      refByName.get(c).flatMap(ref => resolveCol(st, ref))
+    def provableKind(k: String): Boolean =
+      k == "long" || k == "int" || k == "str" || k.startsWith("dec:")
+    def noNulls(cs: ColStats): Boolean = cs.nulls == 0
+    def bounds(cs: ColStats): Option[(String, String)] =
+      if (provableKind(cs.kind)) cs.min.zip(cs.max) else None
+    def cmpBoth(cs: ColStats, v: Any): Option[(Int, Int)] =
+      bounds(cs).flatMap { case (lo, hi) =>
+        cmp(cs.kind, lo, v).zip(cmp(cs.kind, hi, v))
+      }
+    f match {
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        entry(c).exists(noNulls)
+      case EqualTo(c, v) if v != null =>
+        entry(c).exists(cs => noNulls(cs) &&
+          cmpBoth(cs, v).exists { case (lo, hi) => lo == 0 && hi == 0 })
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v) if v != null =>
+        entry(c).exists(cs => noNulls(cs) &&
+          cmpBoth(cs, v).exists { case (lo, hi) => lo == 0 && hi == 0 })
+      case GreaterThan(c, v) =>
+        entry(c).exists(cs => noNulls(cs) &&
+          cmpBoth(cs, v).exists(_._1 > 0)) // min > v
+      case GreaterThanOrEqual(c, v) =>
+        entry(c).exists(cs => noNulls(cs) &&
+          cmpBoth(cs, v).exists(_._1 >= 0))
+      case LessThan(c, v) =>
+        entry(c).exists(cs => noNulls(cs) &&
+          cmpBoth(cs, v).exists(_._2 < 0)) // max < v
+      case LessThanOrEqual(c, v) =>
+        entry(c).exists(cs => noNulls(cs) &&
+          cmpBoth(cs, v).exists(_._2 <= 0))
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        // provable only in the degenerate constant-column case
+        val nn = vs.filter(_ != null)
+        nn.nonEmpty && entry(c).exists(cs => noNulls(cs) &&
+          nn.exists(v =>
+            cmpBoth(cs, v).exists { case (lo, hi) => lo == 0 && hi == 0 }))
+      case _ => false
+    }
+  }
+
   /** `stat` (canonical string of `kind`) compared to the pushed filter
     * literal `v`; None when the literal's class does not match the
     * column kind (conservative keep — mirrors the row-group path where

@@ -68,7 +68,8 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
                            maxRowsPerTrigger: Option[Long] = None,
                            maxFilesPerTrigger: Option[Int] = None,
                            cdc: Boolean = false,
-                           consumed: Array[Filter] = Array.empty)
+                           consumed: Array[Filter] = Array.empty,
+                           proven: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** The limit Spark hands back to `latestOffset` on ordinary triggers:
@@ -314,6 +315,21 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       throw new IllegalStateException(
         s"graft_lake $dir stream: consumed partition filters cannot " +
           "be enforced — a commit file carries no resolvable tuple")
+    // stats-proven consumed filters: every batch's files must prove
+    // them too (the pushdown-time proof only saw the then-current
+    // snapshot; later commits are this stream's whole point) — same
+    // loud contract as the partition guard
+    if (proven.nonEmpty) {
+      val refs = LakeTableIO.columnRefs(
+        LakeTableIO.tableSchema(dir))
+      added.find(f => !stats.get(f).exists(st =>
+        proven.forall(p => graft.sources.dsv2.LakeStats
+          .mustMatchFile(st, refs, p))))
+        .foreach(f => throw new IllegalStateException(
+          s"graft_lake $dir stream: stats-consumed filters " +
+            s"${proven.mkString(", ")} cannot be enforced — commit " +
+            s"file $f has no proving stats entry"))
+    }
     val (kept, _) = LakePartitioning.prune(
       added.map(new Path(dir, _)), parts.toMap, specs, pushed)
     LakeTableIO.planRowGroups(kept,

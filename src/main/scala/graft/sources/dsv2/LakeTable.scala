@@ -329,6 +329,10 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   // the subset of `pushed` the scan ENFORCES (Spark drops its Filter
   // node for these) — see [[pushFilters]]
   private var consumed: Array[Filter] = Array.empty
+  // the subset CONSUMED BY STATS PROOF: every snapshot file's manifest
+  // stats prove every row matches ([[LakeStats.mustMatchFile]]) — see
+  // [[pushFilters]]
+  private var proven: Array[Filter] = Array.empty
   private var metaAgg: Option[(StructType, Seq[Seq[Any]], String)] = None
   private var limitN: Option[Int] = None
   private var topN: Option[LakeLimits.TopNPush] = None
@@ -346,7 +350,8 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     */
   private def boundEligible: Boolean =
     metaAgg.isEmpty && !skipChangeCommits && startingVersion.isEmpty &&
-      pushed.forall(f => consumed.exists(_ eq f))
+      pushed.forall(f => consumed.exists(_ eq f) ||
+        proven.exists(_ eq f))
 
   override def pushLimit(limit: Int): Boolean =
     boundEligible && limit > 0 && { limitN = Some(limit); true }
@@ -433,21 +438,28 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   private def tryMetaAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Seq[Any]], String)] = {
-    // pushed filters are admissible ONLY when every one was CONSUMED
-    // (partition-decided): the aggregate then runs over exactly the
-    // matching files. Any merely-prunable (conservative) filter is
-    // residual, so Spark keeps a Filter node and never offers the
-    // aggregate push anyway — this check is the defensive twin.
-    val filteredOk = pushed.forall(f => consumed.exists(_ eq f))
+    // pushed filters are admissible ONLY when every one was CONSUMED —
+    // partition-decided (the aggregate runs over exactly the matching
+    // files) or STATS-PROVEN (every file's rows match: no restriction
+    // needed, re-verified below against the aggregate's own snapshot).
+    // Any merely-prunable (conservative) filter is residual, so Spark
+    // keeps a Filter node and never offers the aggregate push anyway —
+    // this check is the defensive twin.
+    val filteredOk = pushed.forall(f =>
+      consumed.exists(_ eq f) || proven.exists(_ eq f))
+    val partConsumed = pushed.filter(f => consumed.exists(_ eq f))
     val filtTag =
-      if (pushed.isEmpty) "" else s", partition-filtered(${pushed.length})"
+      (if (partConsumed.isEmpty) ""
+       else s", partition-filtered(${partConsumed.length})") +
+      (if (proven.isEmpty) "" else s", stats-proven(${proven.length})")
     // defensive: aggregates push before limit/TopN on this builder, but
     // a bounded file set must never feed a metadata answer
     if (limitN.isDefined || topN.isDefined) return None
     if (!filteredOk || agg.aggregateExpressions.isEmpty) None
     else if (agg.groupByExpressions.isEmpty)
       LakeTableIO.metaAggregate(dir, tableSchema,
-        agg.aggregateExpressions.toSeq, pinnedVersion, branch, pushed)
+        agg.aggregateExpressions.toSeq, pinnedVersion, branch,
+        partConsumed, proven)
         .map { values =>
           val schema = values.zipWithIndex
             .foldLeft(new StructType()) { case (st, ((t, v), i)) =>
@@ -461,7 +473,7 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       // DV sizes the exact live counts)
       LakeTableIO.groupedMetaAggregate(dir, tableSchema,
         agg.groupByExpressions.toSeq, agg.aggregateExpressions.toSeq,
-        pinnedVersion, branch, pushed)
+        pinnedVersion, branch, partConsumed, proven)
         .map { case (schema, rows) =>
           (schema, rows, "metadata-grouped per-partition" + filtTag)
         }
@@ -520,7 +532,37 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
         else pushed.filter(f =>
           LakePartitioning.exactlyDecidable(specs, f))
       }
-    filters.filterNot(f => consumed.exists(_ eq f))
+    // STATS-PROVEN consumption: a remaining pushed filter is consumed
+    // when EVERY snapshot file's manifest stats PROVE all its rows
+    // match ([[LakeStats.mustMatchFile]] — known-zero nulls + whole
+    // [min,max] interval inside the filter's region, exact kinds
+    // only). Per-file facts of the immutable bytes — no contract
+    // trust, so it is sound under time travel and branches (each
+    // snapshot proves with its own stats); files without stats
+    // (staged tx, bootstrap, legacy) fail the proof and keep the
+    // filter residual. The scan re-verifies per planned file and
+    // fails LOUD if a concurrent commit broke the premise. What this
+    // buys beyond dropping a no-op Filter node: metadata aggregates
+    // and LIMIT/TopN bounding stay available under the filter.
+    proven =
+      if (skipChangeCommits || startingVersion.isDefined) Array.empty
+      else {
+        val remaining = pushed.filterNot(f => consumed.exists(_ eq f))
+        if (remaining.isEmpty) Array.empty
+        else try {
+          val (files, _, stats, _) = LakeTableIO.snapshotViewPruned(
+            dir, pinnedVersion, branch, Array.empty)
+          if (files.isEmpty) Array.empty // empty table: nothing proven
+          else {
+            val refs = LakeTableIO.columnRefs(tableSchema)
+            remaining.filter(f => files.forall(p =>
+              stats.get(p.getName).exists(st =>
+                LakeStats.mustMatchFile(st, refs, f))))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Array.empty }
+      }
+    filters.filterNot(f =>
+      consumed.exists(_ eq f) || proven.exists(_ eq f))
   }
 
   /** Every snapshot file provably carries a partition tuple, judged
@@ -584,7 +626,7 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
       startingVersion, branch, pacing, dvs, stats, parts, consumed,
-      limitN, topN)
+      limitN, topN, proven = proven)
   }
 }
 
@@ -647,7 +689,10 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                topN: Option[LakeLimits.TopNPush] = None,
                // the whole file set was pruned by a CHECK-constraint
                // contradiction (explain evidence only)
-               checkPruned: Boolean = false)
+               checkPruned: Boolean = false,
+               // filters CONSUMED BY STATS PROOF at pushdown — the
+               // plan re-verifies them per file and fails loud
+               proven: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -661,7 +706,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
         s"branch first (cannot stream $dir@${branch.getOrElse("")})")
     new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits,
       startingVersion, pacing.maxCommitsPerBatch, pacing.maxRowsPerTrigger,
-      pacing.maxFilesPerTrigger, consumed = consumed)
+      pacing.maxFilesPerTrigger, consumed = consumed, proven = proven)
   }
 
   /** ALL hidden-partitioning specs (partition evolution keeps every
@@ -691,6 +736,20 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
           s"${consumed.mkString(", ")} cannot be enforced — a snapshot " +
           "file carries no resolvable partition tuple (concurrent " +
           "bootstrap/staged commit?); re-run the query")
+    // stats-proven consumed filters: re-verify the proof against THIS
+    // plan's file set (a concurrent commit may have added a file the
+    // pushdown-time proof never saw) — fail LOUD, never leak rows
+    // past a Filter node Spark dropped
+    if (proven.nonEmpty) {
+      val refs = LakeTableIO.columnRefs(tableSchema)
+      files.find(p => !stats.get(p.getName).exists(st =>
+        proven.forall(f => LakeStats.mustMatchFile(st, refs, f))))
+        .foreach(p => throw new IllegalStateException(
+          s"graft_lake $dir: stats-consumed filters " +
+            s"${proven.mkString(", ")} cannot be enforced — " +
+            s"${p.getName} has no proving stats entry (concurrent " +
+            "commit?); re-run the query"))
+    }
     LakePartitioning.prune(files, parts, specs, pushed)
   }
 
@@ -1016,6 +1075,8 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       (if (plan.boundPrunedGroups > 0)
         s"rowgroups_pruned_by_limit=${plan.boundPrunedGroups} " else "") +
       (if (checkPruned) "pruned_by_check=all " else "") +
+      (if (proven.nonEmpty)
+        s"consumed_by_stats=[${proven.mkString(",")}] " else "") +
       s"pushed=[${pushed.mkString(",")}]" +
       limitN.fold("")(n => s" pushed_limit=$n") +
       topN.fold("")(t => s" pushed_topn=[${t.col} " +
@@ -2455,13 +2516,23 @@ object LakeTableIO {
       dir: String, tableSchema: StructType,
       exprs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
       version: Option[Long], branch: Option[String],
-      pushed: Array[Filter] = Array.empty)
+      pushed: Array[Filter] = Array.empty,
+      // stats-PROVEN consumed filters: no file restriction (every row
+      // matches), but the proof is re-verified against THIS call's
+      // snapshot below — decline on any file it can't vouch for
+      proven: Array[Filter] = Array.empty)
       : Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
     val (files, dvs, stats, _) =
       filteredView(dir, version, branch, tableSchema, pushed)
         .getOrElse(return None)
+    if (proven.nonEmpty) {
+      val refs0 = columnRefs(tableSchema)
+      if (!files.forall(p => stats.get(p.getName).exists(st =>
+          proven.forall(f => LakeStats.mustMatchFile(st, refs0, f)))))
+        return None
+    }
     val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap
     def colName(
         e: org.apache.spark.sql.connector.expressions.Expression)
@@ -2560,7 +2631,8 @@ object LakeTableIO {
       groupBy: Seq[org.apache.spark.sql.connector.expressions.Expression],
       exprs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
       version: Option[Long], branch: Option[String],
-      pushed: Array[Filter] = Array.empty)
+      pushed: Array[Filter] = Array.empty,
+      proven: Array[Filter] = Array.empty)
       : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
@@ -2585,6 +2657,12 @@ object LakeTableIO {
     val (files, dvs, stats, parts) =
       filteredView(dir, version, branch, tableSchema, pushed)
         .getOrElse(return None)
+    if (proven.nonEmpty) {
+      val refs0 = columnRefs(tableSchema)
+      if (!files.forall(p => stats.get(p.getName).exists(st =>
+          proven.forall(f => LakeStats.mustMatchFile(st, refs0, f)))))
+        return None
+    }
     val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap
     def colName(
         e: org.apache.spark.sql.connector.expressions.Expression)
