@@ -429,7 +429,9 @@ object LakeStats {
     * physical rows covers the live subset.
     */
   def mustMatchFile(st: FileStats, cols: Array[LakeColumnRef],
-                    f: Filter): Boolean = {
+                    filters: Array[Filter]): Boolean = {
+    // one name→ref map per FILE, shared by every filter (mirrors the
+    // dual mightMatchFile — verify sites loop files × filters)
     val refByName = cols.map(r => r.name -> r).toMap
     def entry(c: String): Option[ColStats] =
       refByName.get(c).flatMap(ref => resolveCol(st, ref))
@@ -442,7 +444,7 @@ object LakeStats {
       bounds(cs).flatMap { case (lo, hi) =>
         cmp(cs.kind, lo, v).zip(cmp(cs.kind, hi, v))
       }
-    f match {
+    def one(f: Filter): Boolean = f match {
       case org.apache.spark.sql.sources.IsNotNull(c) =>
         entry(c).exists(noNulls)
       case EqualTo(c, v) if v != null =>
@@ -469,6 +471,31 @@ object LakeStats {
         nn.nonEmpty && entry(c).exists(cs => noNulls(cs) &&
           nn.exists(v =>
             cmpBoth(cs, v).exists { case (lo, hi) => lo == 0 && hi == 0 }))
+      case _ => false
+    }
+    filters.forall(one)
+  }
+
+  /** Could [[mustMatchFile]] EVER prove `f`, regardless of stats? A
+    * cheap pre-gate so the pushdown path skips the snapshot+stats
+    * read entirely when no remaining filter has a provable shape
+    * (IsNull / float literals / unknown shapes never prove).
+    */
+  def provableShape(f: Filter): Boolean = {
+    def lit(v: Any): Boolean = v match {
+      case null => false
+      case _: java.lang.Double | _: java.lang.Float => false // NaN order
+      case _ => true
+    }
+    f match {
+      case org.apache.spark.sql.sources.IsNotNull(_)        => true
+      case EqualTo(_, v)                                    => lit(v)
+      case org.apache.spark.sql.sources.EqualNullSafe(_, v) => lit(v)
+      case GreaterThan(_, v)                                => lit(v)
+      case GreaterThanOrEqual(_, v)                         => lit(v)
+      case LessThan(_, v)                                   => lit(v)
+      case LessThanOrEqual(_, v)                            => lit(v)
+      case org.apache.spark.sql.sources.In(_, vs) => vs.exists(lit)
       case _ => false
     }
   }

@@ -315,23 +315,24 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       throw new IllegalStateException(
         s"graft_lake $dir stream: consumed partition filters cannot " +
           "be enforced — a commit file carries no resolvable tuple")
-    // stats-proven consumed filters: every batch's files must prove
-    // them too (the pushdown-time proof only saw the then-current
-    // snapshot; later commits are this stream's whole point) — same
+    val (kept, _) = LakePartitioning.prune(
+      added.map(new Path(dir, _)), parts.toMap, specs, pushed)
+    // stats-proven consumed filters: every batch's KEPT files must
+    // prove them too (the pushdown-time proof only saw the
+    // then-current snapshot; later commits are this stream's whole
+    // point) — verified after partition pruning, because a file the
+    // exactly-enforced partition filters drop feeds no rows; same
     // loud contract as the partition guard
     if (proven.nonEmpty) {
       val refs = LakeTableIO.columnRefs(
         LakeTableIO.tableSchema(dir))
-      added.find(f => !stats.get(f).exists(st =>
-        proven.forall(p => graft.sources.dsv2.LakeStats
-          .mustMatchFile(st, refs, p))))
-        .foreach(f => throw new IllegalStateException(
+      kept.find(p => !stats.get(p.getName).exists(st =>
+        LakeStats.mustMatchFile(st, refs, proven)))
+        .foreach(p => throw new IllegalStateException(
           s"graft_lake $dir stream: stats-consumed filters " +
             s"${proven.mkString(", ")} cannot be enforced — commit " +
-            s"file $f has no proving stats entry"))
+            s"file ${p.getName}'s stats cannot prove them"))
     }
-    val (kept, _) = LakePartitioning.prune(
-      added.map(new Path(dir, _)), parts.toMap, specs, pushed)
     LakeTableIO.planRowGroups(kept,
       LakeTableIO.columnRefs(projected), pushed, pruneGroups = true,
       dvs = dvs.toMap, stats = stats.toMap).parts

@@ -548,16 +548,36 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       if (skipChangeCommits || startingVersion.isDefined) Array.empty
       else {
         val remaining = pushed.filterNot(f => consumed.exists(_ eq f))
+          .filter(LakeStats.provableShape) // cheap pre-gate: skip the
+            // snapshot read when nothing could ever prove
         if (remaining.isEmpty) Array.empty
         else try {
-          val (files, _, stats, _) = LakeTableIO.snapshotViewPruned(
-            dir, pinnedVersion, branch, Array.empty)
-          if (files.isEmpty) Array.empty // empty table: nothing proven
+          val (files0, _, stats, parts0) = LakeTableIO.snapshotViewPruned(
+            dir, pinnedVersion, branch, consumed)
+          // restrict the proof DOMAIN to the files the partition-
+          // CONSUMED filters keep: those filters are exactly enforced
+          // by pruning, so excluded files feed no rows — a filter only
+          // needs proving where rows can come from (the composition
+          // the grouped metadata aggregate relies on)
+          val files =
+            if (consumed.isEmpty) files0
+            else {
+              val specs =
+                try LakePartitioning.bindAll(
+                  LakePartitioning.specsOf(dir), tableSchema)
+                catch { case _: Exception => IndexedSeq.empty }
+              if (specs.isEmpty ||
+                  !LakePartitioning.allDecided(files0, parts0, specs))
+                files0 // undecided: prove over everything (conservative)
+              else LakePartitioning.prune(files0, parts0, specs,
+                consumed)._1
+            }
+          if (files.isEmpty) Array.empty // empty domain: nothing proven
           else {
             val refs = LakeTableIO.columnRefs(tableSchema)
             remaining.filter(f => files.forall(p =>
               stats.get(p.getName).exists(st =>
-                LakeStats.mustMatchFile(st, refs, f))))
+                LakeStats.mustMatchFile(st, refs, Array(f)))))
           }
         } catch { case scala.util.control.NonFatal(_) => Array.empty }
       }
@@ -612,10 +632,14 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
           }
         } catch { case scala.util.control.NonFatal(_) => false }
       if (contradicted)
+        // proven rides along: the batch plan is empty either way, but
+        // a STREAM built from this scan still needs the per-batch
+        // proof guard for filters Spark already dropped
         return new LakeScan(dir, Seq.empty, tableSchema, projected,
           pushed, pruneGroups = true, pinnedVersion, skipChangeCommits,
           startingVersion, branch, pacing, Map.empty, Map.empty,
-          Map.empty, consumed, limitN, topN, checkPruned = true)
+          Map.empty, consumed, limitN, topN, checkPruned = true,
+          proven = proven)
     }
     // manifest-tree fast path: pushed partition filters prune whole
     // SEGMENTS before their file entries are even read — on a
@@ -736,21 +760,25 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
           s"${consumed.mkString(", ")} cannot be enforced — a snapshot " +
           "file carries no resolvable partition tuple (concurrent " +
           "bootstrap/staged commit?); re-run the query")
+    val pruned = LakePartitioning.prune(files, parts, specs, pushed)
     // stats-proven consumed filters: re-verify the proof against THIS
     // plan's file set (a concurrent commit may have added a file the
     // pushdown-time proof never saw) — fail LOUD, never leak rows
-    // past a Filter node Spark dropped
+    // past a Filter node Spark dropped. Verified AFTER partition
+    // pruning: a file the (exactly-enforced) partition filters
+    // exclude feeds no rows, so it needs no proof — a concurrent
+    // append to an excluded partition must not abort the query.
     if (proven.nonEmpty) {
       val refs = LakeTableIO.columnRefs(tableSchema)
-      files.find(p => !stats.get(p.getName).exists(st =>
-        proven.forall(f => LakeStats.mustMatchFile(st, refs, f))))
+      pruned._1.find(p => !stats.get(p.getName).exists(st =>
+        LakeStats.mustMatchFile(st, refs, proven)))
         .foreach(p => throw new IllegalStateException(
           s"graft_lake $dir: stats-consumed filters " +
             s"${proven.mkString(", ")} cannot be enforced — " +
-            s"${p.getName} has no proving stats entry (concurrent " +
+            s"${p.getName}'s stats cannot prove them (concurrent " +
             "commit?); re-run the query"))
     }
-    LakePartitioning.prune(files, parts, specs, pushed)
+    pruned
   }
 
   /** Pushed-LIMIT / TopN FILE bounding ([[LakeLimits]]) — after
@@ -2530,7 +2558,7 @@ object LakeTableIO {
     if (proven.nonEmpty) {
       val refs0 = columnRefs(tableSchema)
       if (!files.forall(p => stats.get(p.getName).exists(st =>
-          proven.forall(f => LakeStats.mustMatchFile(st, refs0, f)))))
+          LakeStats.mustMatchFile(st, refs0, proven))))
         return None
     }
     val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap
@@ -2660,7 +2688,7 @@ object LakeTableIO {
     if (proven.nonEmpty) {
       val refs0 = columnRefs(tableSchema)
       if (!files.forall(p => stats.get(p.getName).exists(st =>
-          proven.forall(f => LakeStats.mustMatchFile(st, refs0, f)))))
+          LakeStats.mustMatchFile(st, refs0, proven))))
         return None
     }
     val refs = columnRefs(tableSchema).map(r => r.name -> r).toMap

@@ -139,14 +139,18 @@ class LakeProofConsumptionSpec extends SparkSpec {
     }
   }
 
-  test("composition with partition consumption: a partition-decided " +
-       "filter restricts the files, a stats-proven one rides free, and " +
-       "the grouped metadata aggregate answers under both") {
+  test("composition with partition consumption: the proof domain is " +
+       "the files the partition-decided filter keeps — a filter " +
+       "provable only INSIDE the selected partition still consumes " +
+       "(the excluded partition's violating rows feed nothing)") {
     withCatalog { (cat, root) =>
       spark.sql(s"CREATE TABLE $cat.db.c (pri STRING, k BIGINT) " +
         "PARTITIONED BY (pri)")
+      // partition 'b' holds NEGATIVE keys: k >= 0 is NOT table-wide —
+      // it must still prove over the pri='a' files alone
       spark.range(0, 1000).selectExpr(
-        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS pri", "id AS k")
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS pri",
+        "CASE WHEN id % 2 = 0 THEN id ELSE -id END AS k")
         .createOrReplaceTempView("c_src")
       spark.sql(s"INSERT INTO $cat.db.c SELECT * FROM c_src")
       val q = spark.sql(s"SELECT count(*), min(k), sum(k) " +
@@ -159,6 +163,12 @@ class LakeProofConsumptionSpec extends SparkSpec {
       val evens = (0L until 1000L).filter(_ % 2 == 0)
       assert(r.getLong(0) == evens.length && r.getLong(1) == 0 &&
         r.getLong(2) == evens.sum)
+      // without the partition restriction the same filter is NOT
+      // table-wide provable: the comparison stays residual and exact
+      val qw = spark.sql(s"SELECT count(*) FROM $cat.db.c WHERE k >= 0")
+      assert(!plan(qw).contains("consumed_by_stats=[GreaterThanOrEqual"),
+        plan(qw))
+      assert(qw.collect().head.getLong(0) == evens.length)
     }
   }
 }
