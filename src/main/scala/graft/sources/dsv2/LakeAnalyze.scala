@@ -179,6 +179,7 @@ object LakeAnalyze {
       ndvNames(f.name.toLowerCase) && LakeNdv.admits(f.dataType)).toSeq
     val bloomCols = schema.fields.filter(f =>
       bloomNames(f.name.toLowerCase) && LakeBloom.admits(f.dataType)).toSeq
+    val lenCols = schema.fields.filter(_.dataType == StringType).toSeq
     // a (file, column) pairs up only when the file's stats entry sits
     // under the CURRENT name with the kind the table type implies —
     // the name-resolving stock reader then decodes the same column the
@@ -200,7 +201,9 @@ object LakeAnalyze {
       ndvCols.exists(c => kindOk(f, c, hashKind(c.dataType)) &&
         entry(f, c).exists(_.ndv.isEmpty)) ||
       bloomCols.exists(c => kindOk(f, c, hashKind(c.dataType)) &&
-        entry(f, c).exists(_.bloom.isEmpty))
+        entry(f, c).exists(_.bloom.isEmpty)) ||
+      lenCols.exists(c => kindOk(f, c, Some("str")) &&
+        entry(f, c).exists(cs => cs.tlen.isEmpty || cs.mlen.isEmpty))
     // DV'd files: live rows != physical facts — skipped (rewrite
     // deletes first). Stats-less-after-harvest files (unreadable)
     // cannot be amended either.
@@ -232,6 +235,14 @@ object LakeAnalyze {
         ndvCols.foreach(c => hashColumn(c.dataType, col(c.name)).foreach(h =>
           aggs += udaf(new NdvUdaf(), Encoders.LONG).apply(h)
             .as(s"ndv__${c.name}")))
+        lenCols.foreach { c =>
+          // byte lengths (octet_length) — the writer counts UTF-8
+          // bytes, so the backfilled facts merge coherently
+          aggs += coalesce(sum(octet_length(col(c.name))), lit(0L))
+            .cast(LongType).as(s"tlen__${c.name}")
+          aggs += coalesce(max(octet_length(col(c.name))), lit(0))
+            .cast(LongType).as(s"mlen__${c.name}")
+        }
         bloomCols.foreach(c => hashColumn(c.dataType, col(c.name)).foreach(h =>
           aggs += udaf(new BloomUdaf(LakeBloom.bits), Encoders.LONG)
             .apply(h).as(s"bloom__${c.name}")))
@@ -289,6 +300,16 @@ object LakeAnalyze {
                 val v = r.getString(r.fieldIndex(s"bloom__${c.name}"))
                 if (v != null) amend(c.name, cs =>
                   if (cs.bloom.isDefined) cs else cs.copy(bloom = Some(v)))
+              }
+            }
+            lenCols.foreach { c =>
+              if (kindOk(f, c, Some("str"))) {
+                val t = r.getLong(r.fieldIndex(s"tlen__${c.name}"))
+                val mx = r.getLong(r.fieldIndex(s"mlen__${c.name}"))
+                amend(c.name, cs =>
+                  if (cs.tlen.isDefined && cs.mlen.isDefined) cs
+                  else cs.copy(tlen = Some(t.toString),
+                    mlen = Some(mx.toString)))
               }
             }
             f -> st.copy(cols = cols)

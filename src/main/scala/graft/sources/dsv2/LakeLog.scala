@@ -858,6 +858,10 @@ object LakeLog {
              // writer-built KMV distinct-count sketches per added file
              // (col → base64) — the CBO column-statistics facts
              addedNdvs: Map[String, Map[String, String]] = Map.empty,
+             // string (total, max) byte lengths per added file — the
+             // CBO avgLen/maxLen facts
+             addedLens: Map[String, Map[String, (String, String)]] =
+               Map.empty,
              // ANALYZE backfill: full replacement FileStats for files
              // already in the snapshot (facts recomputed from their
              // immutable bytes — sums, sketches, blooms for vintages
@@ -890,13 +894,18 @@ object LakeLog {
       val bl = addedBlooms.getOrElse(f, Map.empty)
       val sm = addedSums.getOrElse(f, Map.empty)
       val nd = addedNdvs.getOrElse(f, Map.empty)
-      if (bl.isEmpty && sm.isEmpty && nd.isEmpty) f -> st
+      val ln = addedLens.getOrElse(f, Map.empty)
+      if (bl.isEmpty && sm.isEmpty && nd.isEmpty && ln.isEmpty) f -> st
       else f -> st.copy(cols = st.cols.map { case (name, cs) =>
         val withBloom = bl.get(name).fold(cs)(b => cs.copy(bloom = Some(b)))
         val withSum = sm.get(name).fold(withBloom) { case (s, a) =>
           withBloom.copy(sum = Some(s), asum = Some(a))
         }
-        name -> nd.get(name).fold(withSum)(n => withSum.copy(ndv = Some(n)))
+        val withNdv =
+          nd.get(name).fold(withSum)(n => withSum.copy(ndv = Some(n)))
+        name -> ln.get(name).fold(withNdv) { case (t, mx) =>
+          withNdv.copy(tlen = Some(t), mlen = Some(mx))
+        }
       })
     }
     var attempt = 0

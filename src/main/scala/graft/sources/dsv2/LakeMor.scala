@@ -169,6 +169,9 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
         }.toMap,
         addedNdvs = allFiles.collect {
           case (n, s) if s.ndvs.nonEmpty => n -> s.ndvs
+        }.toMap,
+        addedLens = allFiles.collect {
+          case (n, s) if s.lens.nonEmpty => n -> s.lens
         }.toMap)
       catch {
         case e: Throwable =>

@@ -94,7 +94,13 @@ object LakeStats {
                             asum: Option[String] = None,
                             // writer-built KMV distinct-count sketch
                             // (stats.ndv.columns) — see [[LakeNdv]]
-                            ndv: Option[String] = None)
+                            ndv: Option[String] = None,
+                            // string columns: total + max UTF-8 BYTE
+                            // length of non-null values (mergeable →
+                            // snapshot avgLen/maxLen for the CBO
+                            // column-statistics report)
+                            tlen: Option[String] = None,
+                            mlen: Option[String] = None)
 
   /** One data file's manifest statistics. `rows`/`groups` come from the
     * footer (physical rows — deletion vectors are accounted separately
@@ -560,6 +566,8 @@ object LakeStats {
         cs.sum.foreach(c.put("sum", _))
         cs.asum.foreach(c.put("asum", _))
         cs.ndv.foreach(c.put("ndv", _))
+        cs.tlen.foreach(c.put("tlen", _))
+        cs.mlen.foreach(c.put("mlen", _))
         cm.put(col, c)
       }
       fm.put("cols", cm)
@@ -598,7 +606,7 @@ object LakeStats {
                       Some(String.valueOf(col) ->
                         ColStats(kind, str("min"), str("max"), nulls, id,
                           str("bloom"), str("sum"), str("asum"),
-                          str("ndv")))
+                          str("ndv"), str("tlen"), str("mlen")))
                     case _ => None
                   }
                 }.toMap

@@ -1056,7 +1056,22 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
             }
           }
         } yield bounds
-        if (nulls.isDefined || ndvEst.isDefined || extremes.isDefined)
+        // string length facts: avg = Σ total bytes / Σ non-null rows,
+        // max = max of per-file maxima — only when every file carries
+        // the fact and the null split is known
+        val lenFacts: Option[(Long, Long)] =
+          if (resolved.forall(r => r._2.tlen.isDefined &&
+              r._2.mlen.isDefined) && nulls.isDefined) {
+            val nonNull = resolved.map(_._1).sum - nulls.get
+            if (nonNull <= 0) None
+            else Some((
+              math.max(1L, math.round(
+                resolved.map(_._2.tlen.get.toLong).sum.toDouble /
+                  nonNull.toDouble)),
+              resolved.map(_._2.mlen.get.toLong).max))
+          } else None
+        if (nulls.isDefined || ndvEst.isDefined || extremes.isDefined ||
+            lenFacts.isDefined)
           m.put(org.apache.spark.sql.connector.expressions.Expressions
             .column(ref.name),
             new ColumnStatistics {
@@ -1071,6 +1086,12 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
               override def max(): Optional[Object] =
                 extremes.map(e => Optional.of(e._2.asInstanceOf[Object]))
                   .getOrElse(Optional.empty())
+              override def avgLen(): OptionalLong =
+                lenFacts.map(l => OptionalLong.of(l._1))
+                  .getOrElse(OptionalLong.empty())
+              override def maxLen(): OptionalLong =
+                lenFacts.map(l => OptionalLong.of(l._2))
+                  .getOrElse(OptionalLong.empty())
             })
       }
     }
@@ -1439,7 +1460,10 @@ case class StagedLakeFile(stagedPath: String, rows: Long,
                           // integer strings — see LakeStats.ColStats
                           sums: Map[String, (String, String)] = Map.empty,
                           // col → base64 KMV sketch — see LakeNdv
-                          ndvs: Map[String, String] = Map.empty)
+                          ndvs: Map[String, String] = Map.empty,
+                          // string col → (total, max) UTF-8 byte
+                          // lengths of non-null values
+                          lens: Map[String, (String, String)] = Map.empty)
 
 /** Commit message: this task's staged files — one for an unpartitioned
   * write, one PER PARTITION TUPLE the task's rows touched for a
@@ -1618,6 +1642,9 @@ class LakeWrite(dir: String, writeSchema: StructType,
           }.toMap,
           addedNdvs = published.collect {
             case (n, s) if s.ndvs.nonEmpty => n -> s.ndvs
+          }.toMap,
+          addedLens = published.collect {
+            case (n, s) if s.lens.nonEmpty => n -> s.lens
           }.toMap)
         catch {
           case e: Throwable =>
@@ -1754,6 +1781,9 @@ class LakeWrite(dir: String, writeSchema: StructType,
         }.toMap,
         addedNdvs = published.collect {
           case (n, s) if s.ndvs.nonEmpty => n -> s.ndvs
+        }.toMap,
+        addedLens = published.collect {
+          case (n, s) if s.lens.nonEmpty => n -> s.lens
         }.toMap)
       catch {
         case e: Throwable => cleanupPublished(); throw e
@@ -1843,6 +1873,16 @@ class LakeWriterFactory(dir: String, schema: StructType)
       else Some((schema.fields(i).name, schema.fields(i).dataType, i))
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+  /** String columns — always-on (total, max) UTF-8 byte-length
+    * harvesting (two integer ops per row; completes the CBO
+    * ColumnStatistics report's avgLen/maxLen fields).
+    */
+  private val lenCols: Seq[(String, Int)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == org.apache.spark.sql.types.StringType =>
+        (f.name, i)
+    }.toSeq
+
   /** CHECK constraints resolved against this write's schema on the
     * driver (the factory is constructed there); every row-writing path
     * funnels through this factory, so per-row enforcement in write()
@@ -1894,6 +1934,9 @@ class LakeWriterFactory(dir: String, schema: StructType)
         // one KMV distinct-count sketch per configured NDV column
         val ndvs: Array[LakeNdv.Builder] =
           Array.fill(ndvCols.length)(new LakeNdv.Builder())
+        // (total, max) byte lengths per string column
+        val tlens: Array[Long] = new Array[Long](lenCols.length)
+        val mlens: Array[Int] = new Array[Int](lenCols.length)
         val staged = new Path(
           s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
         var rows = 0L
@@ -2020,6 +2063,16 @@ class LakeWriterFactory(dir: String, schema: StructType)
             LakeNdv.hash64(dt, row, ord + off).foreach(f.ndvs(nv).add)
           nv += 1
         }
+        var lc = 0
+        while (lc < lenCols.length) {
+          val ord = lenCols(lc)._2 + off
+          if (!row.isNullAt(ord)) {
+            val n = row.getUTF8String(ord).numBytes()
+            f.tlens(lc) += n
+            if (n > f.mlens(lc)) f.mlens(lc) = n
+          }
+          lc += 1
+        }
         f.rows += 1
       }
       override def commit(): WriterCommitMessage = {
@@ -2033,7 +2086,9 @@ class LakeWriterFactory(dir: String, schema: StructType)
                 (f.sums(i).toDecimalString,
                   f.asums(i).toDecimalString)).toMap,
               ndvCols.indices
-                .map(i => ndvCols(i)._1 -> f.ndvs(i).toBase64).toMap))
+                .map(i => ndvCols(i)._1 -> f.ndvs(i).toBase64).toMap,
+              lenCols.indices.map(i => lenCols(i)._1 ->
+                (f.tlens(i).toString, f.mlens(i).toString)).toMap))
           } else { f.close(delete = true); None }
         }
         LakeFileMessage(staged)

@@ -107,6 +107,14 @@ class LakeCboStatsSpec extends SparkSpec {
         // ~2700 distinct non-null vs
         val vndv = v.distinctCount.get.toLong
         assert(math.abs(vndv - 2700.0) / 2700.0 < 0.15, s"ndv(v)=$vndv")
+        // string length facts complete the ColumnStatistics surface:
+        // avgLen = round(Σ bytes / non-null), maxLen exact
+        val lens = (0 until 3000).filter(_ % 10 != 0)
+          .map(i => s"v$i".length.toLong)
+        assert(v.avgLen.contains(BigInt(
+          math.round(lens.sum.toDouble / lens.length.toDouble))),
+          s"avgLen=${v.avgLen}")
+        assert(v.maxLen.contains(BigInt(5)), s"maxLen=${v.maxLen}")
         // w: no sketch configured — nullCount/bounds still report,
         // distinctCount stays absent
         byName.get("w").foreach(cs => assert(cs.distinctCount.isEmpty))
