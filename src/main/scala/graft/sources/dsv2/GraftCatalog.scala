@@ -576,15 +576,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           require(violations == 0L,
             s"graft_lake: cannot add check constraint '$cname' — " +
               s"$violations existing row(s) violate (${sp.value()})")
-          // validation watermark: the head the count ran over — what
-          // arms contradiction pruning (a later rollback/fast_forward
-          // graft past it disarms; re-running this ALTER re-arms)
-          val validatedAt = LakeLog.current(dir.toString)
-            .map(_.version).getOrElse(0L)
+          // NO validation watermark yet: the watermark is what arms
+          // contradiction pruning, and writing it alongside the
+          // constraint text would make the post-props re-validation
+          // below vacuous — `SELECT count(*) WHERE NOT (text)` is
+          // exactly the filter shape the armed prune rewrites to zero
+          // files, so the count would always "pass" without scanning.
+          // The watermark lands only AFTER that re-count really ran
+          // (pruneArmed stays false while it is missing). Stale sibling
+          // watermark from a dropped+re-added same-name constraint is
+          // scrubbed for the same reason.
           val base = propsAfter
             .getOrElse(LakeTableIO.tableProps(dir.toString))
-          propsAfter = Some(base + (sp.property() -> sp.value()) +
-            ((LakeChecks.MetaPrefix + cname) -> validatedAt.toString))
+          propsAfter = Some(base + (sp.property() -> sp.value()) -
+            (LakeChecks.MetaPrefix + cname))
           addedChecks += ((cname, sp.value()))
           audits += s"alter_set(${sp.property()}=${sp.value()})"
         } else {
@@ -678,10 +683,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // here — the constraint is rolled back off the table and the
     // ALTER fails loud instead of declaring a broken guarantee.
     if (addedChecks.nonEmpty) {
+      // test seam: fires after the properties landed and BEFORE the
+      // re-validation — lets a spec inject exactly the concurrent
+      // commit the re-validation exists to catch (production no-op)
+      GraftCatalog.midAlterHook()
       val fq = (catalogName +: ident.namespace.toSeq :+ ident.name)
         .map(p => s"`$p`").mkString(".")
       val spark = org.apache.spark.sql.SparkSession.active
-      addedChecks.foreach { case (cname, text) =>
+      // the head each re-count provably covers, read BEFORE the count:
+      // this becomes the constraint's validation watermark. Rows that
+      // commit after this read were planned with the check.<name>
+      // property visible (enforced) or fail their commit-time
+      // constraint-set re-check — either way the guarantee holds past
+      // the watermark, so stamping the pre-count head is sound.
+      val watermarks = addedChecks.map { case (cname, text) =>
+        val wm = LakeLog.current(dir.toString)
+          .map(_.version).getOrElse(0L)
         val violations =
           try spark.sql(s"SELECT count(*) FROM $fq WHERE NOT ($text) " +
             s"AND ($text) IS NOT NULL").collect().head.getLong(0)
@@ -698,7 +715,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                 else s"$violations violating row(s)"} between " +
               "validation and declaration; retry the ALTER")
         }
+        (LakeChecks.MetaPrefix + cname) -> wm.toString
       }
+      // every re-count ran over a REAL scan (pruneArmed was false —
+      // no watermark existed for the new constraints) and passed:
+      // NOW arm contradiction pruning by publishing the watermarks
+      LakeTableIO.writeProps(dir.toString,
+        LakeTableIO.tableProps(dir.toString) ++ watermarks)
     }
     audits.foreach(op => LakeLog.commit(dir.toString, op, Seq.empty,
       Seq.empty, 0L, dataChange = false))
@@ -730,4 +753,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       LakeFunctions.names.map(Identifier.of(namespace, _)).toArray
     else throw new NoSuchNamespaceException(namespace)
+}
+
+object GraftCatalog {
+  /** Test seam for the ADD-CONSTRAINT race-closure re-validation: fires
+    * between the ALTER's property write and its post-props re-count,
+    * so a spec can land the concurrent unenforced commit that window
+    * admits and assert the ALTER rolls the constraint back loud. A
+    * production no-op.
+    */
+  private[graft] var midAlterHook: () => Unit = () => ()
 }

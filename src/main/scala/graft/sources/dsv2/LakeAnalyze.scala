@@ -210,12 +210,47 @@ object LakeAnalyze {
     val targets = head.files.filter(f =>
       !head.dvs.contains(f) && baseStats.contains(f) && needsFacts(f))
     if (targets.isEmpty && harvested.isEmpty) return (0, 0)
-    var facts = 0
-    val amendments: Map[String, LakeStats.FileStats] =
-      if (targets.isEmpty) Map.empty
-      else {
-        val raw = spark.read.schema(schema)
-          .parquet(targets.map(n => s"$dir/$n"): _*)
+    // Bounded driver memory: the per-collect fact rows are O(chunk), not
+    // O(all stats-less files) — a 10⁶-file bootstrap backfill commits
+    // incrementally (one amendment commit per chunk; a killed run
+    // resumes where it left because needsFacts re-derives from the new
+    // head, and a re-run over already-amended files is a no-op).
+    val chunkFiles = spark.conf
+      .getOption("spark.graft.analyze.chunkFiles")
+      .map(_.toInt).getOrElse(10000)
+    require(chunkFiles >= 1,
+      s"spark.graft.analyze.chunkFiles must be >= 1, got $chunkFiles")
+    var totalFiles = 0
+    var totalFacts = 0
+    // harvested footer stats for previously stats-less files ride the
+    // FIRST commit (alone when there are no fact targets at all)
+    var harvestedPending: Map[String, LakeStats.FileStats] = harvested
+    def commitAmend(amendments: Map[String, LakeStats.FileStats],
+                    facts: Int): Unit = {
+      val allAmend = harvestedPending.map { case (f, st) =>
+        f -> amendments.getOrElse(f, st)
+      } ++ amendments
+      if (allAmend.nonEmpty) {
+        LakeLog.commit(dir, "analyze", Seq.empty, Seq.empty, 0L,
+          dataChange = false, statsAmend = allAmend)
+        totalFiles += allAmend.size
+        totalFacts += facts + harvestedPending.size
+        harvestedPending = Map.empty
+      }
+    }
+    def factsForChunk(chunk: Seq[String])
+        : (Map[String, LakeStats.FileStats], Int) = {
+        var facts = 0
+        // field-id metadata is STRIPPED from the read schema: this pass
+        // resolves BY NAME by contract (the kindOk guard above already
+        // excludes files whose column names predate a rename), and an
+        // id-carrying schema would refuse to read externally-registered
+        // id-less files — the exact bootstrap vintages analyze exists
+        // to backfill
+        val nameSchema = StructType(schema.fields.map(f =>
+          f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+        val raw = spark.read.schema(nameSchema)
+          .parquet(chunk.map(n => s"$dir/$n"): _*)
           .withColumn("__file", col("_metadata.file_name"))
         val aggs = Seq.newBuilder[Column]
         sumCols.foreach { c =>
@@ -247,11 +282,10 @@ object LakeAnalyze {
           aggs += udaf(new BloomUdaf(LakeBloom.bits), Encoders.LONG)
             .apply(h).as(s"bloom__${c.name}")))
         val aggList = aggs.result()
-        if (aggList.isEmpty) Map.empty
-        else {
-          val rows = raw.groupBy(col("__file"))
+        if (aggList.isEmpty) return (Map.empty, 0)
+        val rows = raw.groupBy(col("__file"))
             .agg(aggList.head, aggList.tail: _*).collect()
-          rows.map { r =>
+        val amended = rows.map { r =>
             val f = r.getString(r.fieldIndex("__file"))
             val st = baseStats(f)
             var cols = st.cols
@@ -313,19 +347,62 @@ object LakeAnalyze {
               }
             }
             f -> st.copy(cols = cols)
-          }.toMap
-        }
-      }
-    // the harvested base stats for previously stats-less files are
-    // amendments too (COUNT/MIN/MAX metadata for bootstrap vintages),
-    // even when no fact columns applied
-    val allAmend = harvested.map { case (f, st) =>
-      f -> amendments.getOrElse(f, st)
-    } ++ amendments
-    facts += harvested.size
-    if (allAmend.isEmpty) return (0, 0)
-    LakeLog.commit(dir, "analyze", Seq.empty, Seq.empty, 0L,
-      dataChange = false, statsAmend = allAmend)
-    (allAmend.size, facts)
+        }.toMap
+        // A ZERO-ROW target file yields no groupBy('__file') row — it
+        // provably contributed no rows to this unfiltered scan, so its
+        // exact facts are the zeros: sum=0/asum=0, tlen=0/mlen=0, the
+        // empty KMV sketch (NDV exactly 0) and the all-zero bloom
+        // (matches nothing — correct: the file holds no values).
+        // Without the synthesis, needsFacts selects the file forever
+        // (every ANALYZE rescans it) and metadata SUM/AVG stays
+        // declined on any table containing an empty file.
+        val zeroNdv = "" // Base64 of zero bytes = the empty sketch
+        val zeroBloom = java.util.Base64.getEncoder
+          .encodeToString(new Array[Byte](LakeBloom.bits >> 3))
+        val zeroed = chunk.filterNot(amended.keySet).flatMap { f =>
+          val st = baseStats(f)
+          var cols = st.cols
+          var changed = false
+          def amendZ(name: String,
+                     f2: LakeStats.ColStats => LakeStats.ColStats): Unit =
+            cols.get(name).foreach { cs =>
+              val next = f2(cs)
+              if (next ne cs) {
+                cols = cols.updated(name, next); facts += 1; changed = true
+              }
+            }
+          sumCols.foreach { c =>
+            if (kindOk(f, c, LakeTableIO.statKindFor(c.dataType)))
+              amendZ(c.name, cs =>
+                if (cs.sum.isDefined && cs.asum.isDefined) cs
+                else cs.copy(sum = Some("0"), asum = Some("0")))
+          }
+          ndvCols.foreach { c =>
+            if (kindOk(f, c, hashKind(c.dataType)))
+              amendZ(c.name, cs =>
+                if (cs.ndv.isDefined) cs else cs.copy(ndv = Some(zeroNdv)))
+          }
+          bloomCols.foreach { c =>
+            if (kindOk(f, c, hashKind(c.dataType)))
+              amendZ(c.name, cs =>
+                if (cs.bloom.isDefined) cs
+                else cs.copy(bloom = Some(zeroBloom)))
+          }
+          lenCols.foreach { c =>
+            if (kindOk(f, c, Some("str")))
+              amendZ(c.name, cs =>
+                if (cs.tlen.isDefined && cs.mlen.isDefined) cs
+                else cs.copy(tlen = Some("0"), mlen = Some("0")))
+          }
+          if (changed) Some(f -> st.copy(cols = cols)) else None
+        }.toMap
+        (amended ++ zeroed, facts)
+    }
+    if (targets.isEmpty) commitAmend(Map.empty, 0)
+    else targets.grouped(chunkFiles).foreach { chunk =>
+      val (amendments, facts) = factsForChunk(chunk)
+      commitAmend(amendments, facts)
+    }
+    (totalFiles, totalFacts)
   }
 }

@@ -90,6 +90,34 @@ object LakeChecks {
   def configuredStrict(dir: String): Seq[(String, String)] =
     fromProps(LakeTableIO.tablePropsStrict(dir))
 
+  /** The constraint set a write was PLANNED under, as a full
+    * name → text map — what the commit-time guard compares against.
+    */
+  def planSet(dir: String): Map[String, String] =
+    configuredStrict(dir).toMap
+
+  /** Commit-time guard: fail loud when the live constraint set differs
+    * from the planned one in a way that would publish UNENFORCED rows —
+    * an ADDED name, or a CHANGED text (`ALTER … SET check.x = '<new>'`
+    * replacing a constraint mid-write: rows staged under the old text
+    * would land under the new declaration unvalidated). A DROPPED
+    * constraint is benign (the staged rows were over-enforced).
+    * Compares full entries, never just names.
+    */
+  def requireUnchangedForWrite(dir: String,
+                               atPlan: Map[String, String]): Unit = {
+    val now = configuredStrict(dir).toMap
+    val offending = now.collect {
+      case (n, t) if !atPlan.get(n).contains(t) => n
+    }
+    if (offending.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"graft_lake: check constraint(s) " +
+          s"${offending.toSeq.sorted.mkString(", ")} were added or " +
+          s"re-declared on $dir while this write was in flight — the " +
+          "staged rows were not enforced against them; retry the write")
+  }
+
   private def fromProps(props: Map[String, String]): Seq[(String, String)] =
     props.toSeq.collect {
       case (k, v) if k.startsWith(Prefix) && k.length > Prefix.length =>

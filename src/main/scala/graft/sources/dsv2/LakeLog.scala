@@ -434,51 +434,108 @@ object LakeLog {
     * that never landed — conservative); an unreadable marker reports
     * Long.MaxValue for the same reason. Missing = no grafts ever.
     */
-  private def histGraftPath(dir: String): Path =
+  // Legacy single-file marker (pre-r14 layout): still READ for tables
+  // that carry one, never written anymore — its delete-then-rename
+  // update on non-local filesystems had a window where a concurrent
+  // historyGraftVersion saw NO marker ('no grafts ever') and wrongly
+  // re-armed contradiction pruning. New markers are monotonically-NAMED
+  // write-once files (`_histgraft-<version>.json`); readers take the
+  // max over a listing, so an old marker is never invisible while a
+  // newer one lands.
+  private def histGraftLegacyPath(dir: String): Path =
     new Path(logDir(dir), "_histgraft.json")
+
+  private val HistGraftPrefix = "_histgraft-"
+
+  private def histGraftVersionedPath(dir: String, v: Long): Path =
+    new Path(logDir(dir), f"$HistGraftPrefix$v%020d.json")
 
   def historyGraftVersion(dir: String): Option[Long] = {
     val fs = fsFor(dir)
-    val p = histGraftPath(dir)
     try {
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        Some(mapper.readValue(bytes, classOf[JMap[String, Object]])
-          .get("version").asInstanceOf[Number].longValue())
+      val ld0 = logDir(dir)
+      val versioned: Seq[Long] =
+        if (!fs.exists(ld0)) Seq.empty
+        else fs.listStatus(ld0).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith(HistGraftPrefix) && n.endsWith(".json"))
+          .map(_.stripPrefix(HistGraftPrefix).stripSuffix(".json"))
+          .map(s => s.toLongOption.getOrElse(Long.MaxValue)) // torn name:
+          // conservative (claims a graft newer than any watermark)
+      val legacy: Option[Long] = {
+        val p = histGraftLegacyPath(dir)
+        if (!fs.exists(p)) None
+        else try {
+          val in = fs.open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          Some(mapper.readValue(bytes, classOf[JMap[String, Object]])
+            .get("version").asInstanceOf[Number].longValue())
+        } catch { case _: Exception => Some(Long.MaxValue) } // conservative
       }
+      (versioned ++ legacy).maxOption
     } catch { case _: Exception => Some(Long.MaxValue) } // conservative
   }
 
   /** Record a graft at `version` (monotonic max); throws on failure —
     * the caller must NOT publish the grafting commit without the
-    * marker, or a constraint prune could serve wrong answers.
+    * marker, or a constraint prune could serve wrong answers. The new
+    * marker is a write-once versioned file put IN PLACE before any
+    * older markers are (best-effort) cleaned up, so concurrent readers
+    * always see at least one marker ≥ the pre-existing maximum.
     */
-  private[dsv2] def noteHistoryGraft(dir: String, version: Long): Unit = {
+  private[graft] def noteHistoryGraft(dir: String, version: Long): Unit = {
     val fs = fsFor(dir)
     val cur = historyGraftVersion(dir).getOrElse(-1L)
     if (cur >= version && cur != Long.MaxValue) return
     fs.mkdirs(logDir(dir))
-    val m = new JHashMap[String, Object]()
-    m.put("version", java.lang.Long.valueOf(
-      math.max(version, if (cur == Long.MaxValue) version else cur)))
-    val tmp = new Path(logDir(dir),
-      s".tmp-histgraft-${java.util.UUID.randomUUID()}.json")
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(m)) finally out.close()
-    if ("file".equalsIgnoreCase(fs.getScheme))
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(histGraftPath(dir).toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else {
-      fs.delete(histGraftPath(dir), false)
-      if (!fs.rename(tmp, histGraftPath(dir)))
-        throw new java.io.IOException(
-          s"failed to record history graft for $dir")
+    val noted =
+      math.max(version, if (cur == Long.MaxValue) version else cur)
+    val dest = histGraftVersionedPath(dir, noted)
+    if (!fs.exists(dest)) {
+      val m = new JHashMap[String, Object]()
+      m.put("version", java.lang.Long.valueOf(noted))
+      val tmp = new Path(logDir(dir),
+        s".tmp-histgraft-${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+      if ("file".equalsIgnoreCase(fs.getScheme))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else if (!fs.rename(tmp, dest)) {
+        // a concurrent graft may have placed the same versioned name —
+        // that marker serves identically; anything else fails loud
+        fs.delete(tmp, false)
+        if (!fs.exists(dest))
+          throw new java.io.IOException(
+            s"failed to record history graft for $dir")
+      }
     }
+    // the new marker is visible: retiring older ones (and the legacy
+    // single-file marker) is pure cleanup — failures are harmless
+    // because readers take the max over whatever remains
+    try {
+      fs.listStatus(logDir(dir)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(HistGraftPrefix) && n.endsWith(".json") &&
+            n != dest.getName &&
+            n.stripPrefix(HistGraftPrefix).stripSuffix(".json")
+              .toLongOption.exists(_ < noted))
+          fs.delete(st.getPath, false)
+      }
+      // the legacy marker retires only when READABLE and covered by the
+      // new one — deleting an unreadable legacy file would downgrade
+      // its conservative Long.MaxValue claim to `noted`
+      val lp = histGraftLegacyPath(dir)
+      if (fs.exists(lp)) {
+        val in = fs.open(lp)
+        val bytes = try in.readAllBytes() finally in.close()
+        val v = mapper.readValue(bytes, classOf[JMap[String, Object]])
+          .get("version").asInstanceOf[Number].longValue()
+        if (v <= noted) fs.delete(lp, false)
+      }
+    } catch { case _: Exception => () }
   }
 
   private def headHintPath(dir: String): Path =
@@ -870,7 +927,16 @@ object LakeLog {
              // stats left with them); on manifest-tree tables the
              // segments holding amended files REWRITE (stats live in
              // segments — a reused segment would serve stale facts).
-             statsAmend: Map[String, LakeStats.FileStats] = Map.empty)
+             statsAmend: Map[String, LakeStats.FileStats] = Map.empty,
+             // invoked inside the retry loop IMMEDIATELY before each
+             // publish attempt — the write paths pass their constraint-
+             // set guard here so the enforced-set read and the manifest
+             // publish are adjacent on every attempt (a check hoisted
+             // before the loop is a TOCTOU: a constraint added during
+             // a lost version race would let unenforced rows publish
+             // on the retry). Throwing aborts the commit; the caller's
+             // cleanup path removes the published-but-uncommitted files.
+             prePublish: () => Unit = () => ())
       : Snapshot = {
     val fs = fsFor(dir)
     fs.mkdirs(ld(dir, branch))
@@ -1043,6 +1109,7 @@ object LakeLog {
         nextStats, updatePre, updatePost.filter(addedNew.contains),
         nextParts,
         reuseBase)
+      prePublish()
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
         case None    => () // another writer took this version; retry

@@ -86,12 +86,14 @@ case class LakeDeltaMessage(staged: Seq[StagedLakeFile],
 
 class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
                      branch: Option[String]) extends DeltaWrite {
-  // mid-write ADD CONSTRAINT guard — same contract as LakeWrite: the
-  // commit fails loud (nothing publishes) when a constraint appeared
-  // after this write was planned, because its staged rows were neither
-  // validated by the ALTER nor enforced by the writer
-  private val checksAtPlan: Set[String] =
-    LakeChecks.configuredStrict(dir).map(_._1).toSet
+  // mid-write ADD/RE-DECLARE CONSTRAINT guard — same contract as
+  // LakeWrite: the commit fails loud (nothing publishes) when a
+  // constraint appeared or changed text after this write was planned,
+  // because its staged rows were neither validated by the ALTER nor
+  // enforced by the writer. Full name → text comparison (a SET that
+  // replaces an existing constraint's text counts), checked both
+  // before publish and inside the log's retry loop (prePublish).
+  private val checksAtPlan: Map[String, String] = LakeChecks.planSet(dir)
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(
@@ -101,16 +103,13 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(new Configuration())
       val msgs = messages.collect { case m: LakeDeltaMessage => m }
-      val nowChecks = LakeChecks.configuredStrict(dir).map(_._1).toSet
-      if ((nowChecks -- checksAtPlan).nonEmpty) {
+      try LakeChecks.requireUnchangedForWrite(dir, checksAtPlan)
+      catch { case e: Throwable =>
         msgs.foreach(m => (m.staged ++ m.stagedUpdates).foreach { s =>
           try fs.delete(new Path(s.stagedPath), false)
           catch { case _: java.io.IOException => () }
         })
-        throw new java.util.ConcurrentModificationException(
-          s"graft_lake: check constraint(s) " +
-            s"${(nowChecks -- checksAtPlan).mkString(", ")} were added " +
-            s"to $dir while this DML was in flight — retry")
+        throw e
       }
       // publish insert + update-post files (stage-then-publish, as the
       // batch write); post-image files are tracked apart so the commit
@@ -172,7 +171,9 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
         }.toMap,
         addedLens = allFiles.collect {
           case (n, s) if s.lens.nonEmpty => n -> s.lens
-        }.toMap)
+        }.toMap,
+        prePublish =
+          () => LakeChecks.requireUnchangedForWrite(dir, checksAtPlan))
       catch {
         case e: Throwable =>
           // conflict (a covered file was rewritten concurrently): the

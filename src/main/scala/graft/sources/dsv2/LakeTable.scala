@@ -1501,27 +1501,23 @@ class LakeWrite(dir: String, writeSchema: StructType,
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-  /** CHECK-constraint names visible when this write was PLANNED — the
-    * set the writer factory compiled enforcement for (it reads the
-    * same props moments later). The commit re-reads and fails loud if
-    * a constraint appeared MID-WRITE: rows staged before the ALTER's
-    * validation query ran would otherwise land unvalidated AND
-    * unenforced, silently breaking the just-declared guarantee. The
-    * loser retries the whole write under the new constraint set.
+  /** CHECK constraints visible when this write was PLANNED, as the
+    * full name → text map the writer factory compiled enforcement for
+    * (it reads the same props moments later). The commit re-reads and
+    * fails loud if a constraint appeared OR was re-declared with new
+    * text MID-WRITE: rows staged before the ALTER's validation query
+    * ran would otherwise land unvalidated AND unenforced, silently
+    * breaking the just-declared guarantee. The loser retries the whole
+    * write under the new constraint set. Checked once before files
+    * publish (cheap early abort keeps staged files out of the data
+    * dir) and again INSIDE the log's commit retry loop immediately
+    * before every publish attempt ([[LakeLog.commit]] `prePublish`) —
+    * the early check alone is a TOCTOU across the version-race window.
     */
-  private val checksAtPlan: Set[String] =
-    LakeChecks.configuredStrict(dir).map(_._1).toSet
+  private val checksAtPlan: Map[String, String] = LakeChecks.planSet(dir)
 
-  private def requireNoNewChecks(): Unit = {
-    val now = LakeChecks.configuredStrict(dir).map(_._1).toSet
-    val added = now -- checksAtPlan
-    if (added.nonEmpty)
-      throw new java.util.ConcurrentModificationException(
-        s"graft_lake: check constraint(s) ${added.mkString(", ")} " +
-          s"were added to $dir while this write was in flight — " +
-          "the staged rows were not enforced against them; retry " +
-          "the write")
-  }
+  private def requireNoNewChecks(): Unit =
+    LakeChecks.requireUnchangedForWrite(dir, checksAtPlan)
 
   /** Partitioned tables ask Spark to CLUSTER incoming rows by the
     * partition transforms before the write (resolved through the
@@ -1645,7 +1641,8 @@ class LakeWrite(dir: String, writeSchema: StructType,
           }.toMap,
           addedLens = published.collect {
             case (n, s) if s.lens.nonEmpty => n -> s.lens
-          }.toMap)
+          }.toMap,
+          prePublish = () => requireNoNewChecks())
         catch {
           case e: Throwable =>
             published.foreach { case (n, _) =>
@@ -1784,7 +1781,8 @@ class LakeWrite(dir: String, writeSchema: StructType,
         }.toMap,
         addedLens = published.collect {
           case (n, s) if s.lens.nonEmpty => n -> s.lens
-        }.toMap)
+        }.toMap,
+        prePublish = () => requireNoNewChecks())
       catch {
         case e: Throwable => cleanupPublished(); throw e
       }

@@ -239,4 +239,99 @@ class LakeAnalyzeSpec extends SparkSpec {
         sys.props.remove("graft.lake.manifest.inline.threshold")
     }
   }
+
+  test("a ZERO-ROW file gets its zero facts synthesized (it yields no " +
+       "groupBy row — it provably contributed no rows): metadata SUM " +
+       "answers over it, the sketch reports NDV 0, and a second " +
+       "analyze is a no-op instead of rescanning it forever") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.z (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('stats.ndv.columns'='k', 'bloom.columns'='k')")
+      spark.sql(s"INSERT INTO $cat.db.z VALUES (1, 'a'), (2, 'bb')")
+      val dir = s"$root/db/z"
+      // inject an EXTERNAL zero-row file (a compaction of an emptied
+      // partition, a foreign writer's empty output): footer stats
+      // harvest fine (0 rows, no bounds) but every fact is missing
+      val tmp = Files.createTempDirectory("zero-src").toString
+      spark.table(s"$cat.db.z").limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val zname = "part-zero-row.parquet"
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, zname))
+      LakeLog.commit(dir, "sneak-zero", Seq(zname), Seq.empty, 0L)
+      assert(!pushed(spark.sql(s"SELECT sum(k) FROM $cat.db.z")),
+        "the fact-less zero-row file must decline metadata SUM")
+      val r1 = spark.sql(s"CALL $cat.system.analyze('db.z')")
+        .collect().head
+      assert(r1.getInt(0) >= 1 && r1.getInt(1) >= 1,
+        s"the zero-row file must be amended: $r1")
+      // zero facts landed: sum rides metadata and is exact
+      val q = spark.sql(s"SELECT sum(k), count(k) FROM $cat.db.z")
+      assert(pushed(q), q.queryExecution.executedPlan)
+      val row = q.collect().head
+      assert(row.getLong(0) == 3L && row.getLong(1) == 2L)
+      // the synthesized facts are the exact zeros
+      val head = LakeLog.current(dir).get
+      val zc = head.stats(zname).cols
+      assert(zc("k").sum.contains("0") && zc("k").asum.contains("0"))
+      assert(zc("k").ndv.contains(""), "empty KMV sketch = exact NDV 0")
+      assert(zc("k").bloom.exists(b => graft.sources.dsv2.LakeBloom
+        .decode(b).forall(_ == 0L)), "all-zero bloom matches nothing")
+      assert(zc("v").tlen.contains("0") && zc("v").mlen.contains("0"))
+      // THE pin: no perpetual rescan — the second run finds nothing
+      val r2 = spark.sql(s"CALL $cat.system.analyze('db.z')")
+        .collect().head
+      assert(r2.getInt(0) == 0 && r2.getInt(1) == 0,
+        s"zero-row files must not be rescanned forever: $r2")
+    }
+  }
+
+  test("chunked amend: analyze with chunkFiles=1 commits per chunk, " +
+       "lands the SAME end state as one-shot, and is idempotent — the " +
+       "driver collect is bounded by the chunk, not the backlog") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.ch (k BIGINT) " +
+        "TBLPROPERTIES ('stats.ndv.columns'='k')")
+      val dir = s"$root/db/ch"
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+      // a 3-file fact-less backlog: external commits carry footer
+      // stats (harvested at commit) but none of the write-time facts
+      (0 until 3).foreach { i =>
+        val tmp = Files.createTempDirectory(s"ch-src$i").toString
+        spark.range(i * 100, (i + 1) * 100).selectExpr("id AS k")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val name = s"part-ext-$i.parquet"
+        fs.rename(part, new org.apache.hadoop.fs.Path(dir, name))
+        LakeLog.commit(dir, s"sneak-$i", Seq(name), Seq.empty, 100L)
+      }
+      assert(!pushed(spark.sql(s"SELECT sum(k) FROM $cat.db.ch")))
+      val stale = LakeLog.current(dir).get.files.count(f =>
+        LakeLog.current(dir).get.stats(f).cols("k").sum.isEmpty)
+      assert(stale == 3, s"need a 3-file fact backlog, got $stale")
+      val vBefore = LakeLog.current(dir).get.version
+      spark.conf.set("spark.graft.analyze.chunkFiles", "1")
+      try {
+        val r = spark.sql(s"CALL $cat.system.analyze('db.ch')")
+          .collect().head
+        assert(r.getInt(0) == stale, r.toString)
+        // one amendment commit PER CHUNK (bounded driver memory)
+        val commits = LakeLog.current(dir).get.version - vBefore
+        assert(commits == stale,
+          s"expected $stale chunked commits, saw $commits")
+        val q = spark.sql(s"SELECT sum(k), avg(k) FROM $cat.db.ch")
+        assert(pushed(q), q.queryExecution.executedPlan)
+        assert(q.collect().head.getLong(0) == (0L until 300L).sum)
+        // idempotent: everything amended, nothing left
+        val r2 = spark.sql(s"CALL $cat.system.analyze('db.ch')")
+          .collect().head
+        assert(r2.getInt(0) == 0 && r2.getInt(1) == 0, r2.toString)
+      } finally spark.conf.unset("spark.graft.analyze.chunkFiles")
+    }
+  }
 }

@@ -259,4 +259,162 @@ class LakeChecksSpec extends SparkSpec {
       assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
     }
   }
+
+  test("ADD-CONSTRAINT race closure is NOT vacuous: a violating row " +
+       "committed between the property write and the re-validation is " +
+       "CAUGHT (the re-count really scans — the watermark that would " +
+       "contradiction-prune it lands only after the count passes), the " +
+       "constraint rolls back, and the row stays reachable") {
+    withCatalog { (cat, root) =>
+      import graft.sources.dsv2.{GraftCatalog => GC, LakeTableIO}
+      spark.sql(s"CREATE TABLE $cat.db.race (k BIGINT, qty BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.race VALUES (1, 10), (2, 20)")
+      val dir = s"$root/db/race"
+      // stage a VIOLATING file the way an in-flight writer planned
+      // before the constraint would: bytes in the table dir, committed
+      // straight through the log (no constraint enforcement)
+      val tmp = Files.createTempDirectory("race-sneak").toString
+      spark.sql("SELECT CAST(3 AS BIGINT) AS k, CAST(-7 AS BIGINT) AS qty")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val sneak = "part-sneak-race.parquet"
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, sneak))
+      GC.midAlterHook = () =>
+        LakeLog.commit(dir, "sneak", Seq(sneak), Seq.empty, 1L)
+      try {
+        val e = intercept[Exception] {
+          spark.sql(s"ALTER TABLE $cat.db.race SET TBLPROPERTIES " +
+            "('check.qty_pos'='qty >= 0')")
+        }
+        assert(exists(e, "rolled back"),
+          s"the re-validation must catch the raced row: $e")
+      } finally GC.midAlterHook = () => ()
+      // the broken guarantee was NEVER declared: no constraint, no
+      // watermark, and the violating row is reachable (no wrong prune)
+      val props = LakeTableIO.tableProps(dir)
+      assert(!props.contains("check.qty_pos") &&
+        !props.contains("checkmeta.qty_pos"), props.toString)
+      val q = spark.sql(s"SELECT k FROM $cat.db.race WHERE qty < 0")
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("pruned_by_check"))
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(3L),
+        "the raced row must be visible — nothing may prune it")
+      // cleanup leaves a sound table: the row deleted, the same ALTER
+      // then succeeds and arms pruning (watermark present)
+      spark.sql(s"DELETE FROM $cat.db.race WHERE qty < 0")
+      spark.sql(s"ALTER TABLE $cat.db.race SET TBLPROPERTIES " +
+        "('check.qty_pos'='qty >= 0')")
+      assert(LakeTableIO.tableProps(dir).contains("checkmeta.qty_pos"))
+      assert(spark.sql(s"SELECT * FROM $cat.db.race WHERE qty < 0")
+        .queryExecution.executedPlan.toString
+        .contains("pruned_by_check=all"))
+    }
+  }
+
+  test("commit-time constraint guard compares full name→text entries: " +
+       "a RE-DECLARED constraint (same name, new text) fails the " +
+       "in-flight write like an added one; a DROPPED one is benign") {
+    withCatalog { (cat, root) =>
+      import graft.sources.dsv2.{LakeChecks, LakeTableIO}
+      spark.sql(s"CREATE TABLE $cat.db.tg (qty BIGINT) " +
+        "TBLPROPERTIES ('check.q'='qty >= 0')")
+      val dir = s"$root/db/tg"
+      val atPlan = LakeChecks.planSet(dir)
+      assert(atPlan == Map("q" -> "qty >= 0"))
+      // unchanged: passes
+      LakeChecks.requireUnchangedForWrite(dir, atPlan)
+      // re-declared text: the staged rows were enforced against the
+      // OLD text — must fail, even though the NAME set is identical
+      LakeTableIO.writeProps(dir,
+        LakeTableIO.tableProps(dir) + ("check.q" -> "qty >= 10"))
+      val e = intercept[java.util.ConcurrentModificationException] {
+        LakeChecks.requireUnchangedForWrite(dir, atPlan)
+      }
+      assert(e.getMessage.contains("q"), e.getMessage)
+      // added name: fails
+      LakeTableIO.writeProps(dir, LakeTableIO.tableProps(dir) +
+        ("check.q" -> "qty >= 0") + ("check.r" -> "qty < 100"))
+      intercept[java.util.ConcurrentModificationException] {
+        LakeChecks.requireUnchangedForWrite(dir, atPlan)
+      }
+      // dropped: benign (over-enforced rows)
+      LakeTableIO.writeProps(dir,
+        LakeTableIO.tableProps(dir) - "check.q" - "check.r")
+      LakeChecks.requireUnchangedForWrite(dir, atPlan)
+    }
+  }
+
+  test("the constraint guard runs INSIDE the commit retry loop " +
+       "(prePublish): it re-fires on EVERY publish attempt — a lost " +
+       "version race re-checks before retrying — and a throwing guard " +
+       "aborts the commit with no manifest published") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.pp (k BIGINT)")
+      val dir = s"$root/db/pp"
+      val v0 = LakeLog.current(dir).get.version
+      // the hook itself steals the version on its first firing: the
+      // outer tryPublish must LOSE, retry, and re-run the hook
+      var calls = 0
+      val snap = LakeLog.commit(dir, "outer", Seq.empty, Seq.empty, 0L,
+        dataChange = false, prePublish = () => {
+          calls += 1
+          if (calls == 1)
+            LakeLog.commit(dir, "inner", Seq.empty, Seq.empty, 0L,
+              dataChange = false)
+        })
+      assert(calls >= 2,
+        s"prePublish must re-run after the lost race (ran $calls time)")
+      assert(snap.operation == "outer" && snap.version == v0 + 2)
+      // a throwing guard aborts: nothing publishes
+      val before = LakeLog.current(dir).get.version
+      intercept[IllegalStateException] {
+        LakeLog.commit(dir, "blocked", Seq.empty, Seq.empty, 0L,
+          dataChange = false,
+          prePublish = () => throw new IllegalStateException("guard"))
+      }
+      assert(LakeLog.current(dir).get.version == before,
+        "a pre-publish abort must leave the log untouched")
+    }
+  }
+
+  test("history-graft markers are write-once versioned files: the max " +
+       "over a listing is never transiently invisible, legacy markers " +
+       "still read, and an UNREADABLE legacy marker keeps its " +
+       "conservative claim after a new graft is noted") {
+    val dir = Files.createTempDirectory("graft-marker").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    import graft.sources.dsv2.LakeLog
+    assert(LakeLog.historyGraftVersion(dir).isEmpty, "no grafts ever")
+    LakeLog.noteHistoryGraft(dir, 5L)
+    assert(LakeLog.historyGraftVersion(dir).contains(5L))
+    // monotonic: an older graft never lowers the claim
+    LakeLog.noteHistoryGraft(dir, 3L)
+    assert(LakeLog.historyGraftVersion(dir).contains(5L))
+    LakeLog.noteHistoryGraft(dir, 9L)
+    assert(LakeLog.historyGraftVersion(dir).contains(9L))
+    // the marker is a versioned write-once file, not a rewritten single
+    // name (the delete-then-rename window was the bug)
+    val log = new org.apache.hadoop.fs.Path(dir, "_log")
+    val names = fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.startsWith("_histgraft-")).toSeq
+    assert(names.nonEmpty && names.forall(_.endsWith(".json")), names)
+    // legacy single-file marker (pre-r14 layout) still reads, and wins
+    // when newer than any versioned marker
+    val legacy = new org.apache.hadoop.fs.Path(log, "_histgraft.json")
+    val out = fs.create(legacy, true)
+    out.write("""{"version": 12}""".getBytes("UTF-8")); out.close()
+    assert(LakeLog.historyGraftVersion(dir).contains(12L))
+    // an UNREADABLE legacy marker claims MaxValue (conservative) and a
+    // new note must NOT delete it (that would downgrade the claim)
+    val out2 = fs.create(legacy, true)
+    out2.write("not json".getBytes("UTF-8")); out2.close()
+    assert(LakeLog.historyGraftVersion(dir).contains(Long.MaxValue))
+    LakeLog.noteHistoryGraft(dir, 15L)
+    assert(LakeLog.historyGraftVersion(dir).contains(Long.MaxValue),
+      "the unreadable legacy marker's conservative claim must survive")
+  }
 }
