@@ -469,6 +469,29 @@ object LakeQueries {
         s"FROM $tbl WHERE d >= DATE'1995-01-01' AND d < DATE'1998-01-01'")
     }),
 
+    // V2 TRANSFORM-PREDICATE PUSHDOWN (r14): an EXPLICITLY-written
+    // transform predicate over the catalog's own bound function —
+    // `years(d) = 25` — prunes the years-partitioned table to the
+    // matching year's files, a shape the V1 Filter API structurally
+    // cannot carry (SupportsPushDownV2Filters delivers it as a
+    // UserDefinedScalarFunc equality; counterized file-pruning pins in
+    // LakeV2PredicateSpec). The predicate stays RESIDUAL (Spark
+    // re-evaluates rows), so correctness never rides on the pruning —
+    // the oracle restates the year split declaratively.
+    "lake_v2_predicate" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_v2p")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, d DATE) " +
+        "PARTITIONED BY (years(d))")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderdate AS d")
+        .createOrReplaceTempView("lake_v2p_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_v2p_src")
+      // years() ordinals count from 1970: 1995 -> 25
+      s.sql(s"SELECT count(*) AS n, min(k) AS lo_k, max(k) AS hi_k " +
+        s"FROM $tbl WHERE ${LakeCatalogs.CatalogName}.system.years(d) = 25")
+    }),
+
     // PUSHED-LIMIT FILE BOUNDING (r13): a bare LIMIT probe plans only
     // the files whose exact proven live rows cover the limit (one or
     // two of the eight here — plan pins in LakeLimitSpec), the
@@ -1331,6 +1354,15 @@ object LakeQueries {
          |FROM prev
          |WHERE o_orderdate >= DATE '1995-07-01'
          |  AND o_orderdate < DATE '1998-01-01'""".stripMargin,
+    // the 1995 year-slice restated declaratively over the source rows
+    // (the transform predicate is hidden partitioning's years() — the
+    // oracle states the calendar year directly)
+    "lake_v2_predicate" ->
+      s"""$snapshotCte
+         |SELECT count(*) AS n, min(o_orderkey) AS lo_k,
+         |       max(o_orderkey) AS hi_k
+         |FROM prev
+         |WHERE date_part('year', o_orderdate) = 1995""".stripMargin,
     // min(2500, source rows) — the LIMIT subquery stated identically
     "lake_limit_probe" ->
       s"""$snapshotCte

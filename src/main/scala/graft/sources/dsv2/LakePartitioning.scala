@@ -617,6 +617,86 @@ object LakePartitioning {
     (kept, files.size - kept.size)
   }
 
+  // ---------------------------------------------------------------------
+  // EXPLICIT transform predicates (V2 pushdown): a user-written
+  // `bucket(8, k) = 3` / `years(ts) = 54` over the catalog's own bound
+  // functions. The V1 Filter API cannot carry these (no function-call
+  // shape), but SupportsPushDownV2Filters delivers them as
+  // UserDefinedScalarFunc equality predicates — recognized into this
+  // form and pruned against the manifest tuples directly: the
+  // predicate compares the transform OUTPUT, which is exactly what a
+  // file's tuple slot stores.
+  // ---------------------------------------------------------------------
+
+  /** One recognized transform-equality predicate: function name
+    * (lower-case), its width/bucket-count parameter (None for the time
+    * transforms), the source column, and the expected transform OUTPUT
+    * in Catalyst internal form (Int/Long/UTF8String — V2 LiteralValue
+    * carries internal values). Always RESIDUAL: pruning is best-effort
+    * per file (Spark keeps its Filter node and re-evaluates rows), so
+    * correctness never rides on it — mixed spec vintages and tuple-less
+    * files are simply kept.
+    */
+  final case class TransformPred(fn: String, param: Option[Int],
+                                 col: String, value: Any,
+                                 shown: String)
+
+  private def boundMatches(b: Bound, tp: TransformPred): Boolean =
+    (b.t, tp.fn, tp.param) match {
+      case (PBucket(n, c), "bucket", Some(p)) =>
+        n == p && c.equalsIgnoreCase(tp.col)
+      case (PTruncate(w, c), "truncate", Some(p)) =>
+        w == p && c.equalsIgnoreCase(tp.col)
+      case (PDays(c), "days", None)     => c.equalsIgnoreCase(tp.col)
+      case (PMonths(c), "months", None) => c.equalsIgnoreCase(tp.col)
+      case (PYears(c), "years", None)   => c.equalsIgnoreCase(tp.col)
+      case (PHours(c), "hours", None)   => c.equalsIgnoreCase(tp.col)
+      case _ => false
+    }
+
+  /** Internal-value equality with int/long widening (a predicate
+    * literal may arrive narrower than the transform output).
+    */
+  private def eqInternal(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Int, y: Long)  => x.toLong == y
+    case (x: Long, y: Int)  => x == y.toLong
+    case _                  => a == b
+  }
+
+  /** Prune `files` against recognized transform predicates: a file is
+    * dropped when its own layout carries the SAME transform (name +
+    * parameter + source column) and the decoded slot provably differs
+    * from the predicate's expected output (a null slot differs too —
+    * the transform of a null source is null, never equal to the
+    * non-null literal). Anything undecidable — no tuple, foreign
+    * layout, undecodable slot, transform absent from the file's
+    * vintage — keeps the file (the predicate stays residual).
+    */
+  def pruneTransform(files: Seq[org.apache.hadoop.fs.Path],
+                     parts: Map[String, Seq[String]],
+                     specs: IndexedSeq[Seq[Bound]],
+                     tps: Seq[TransformPred])
+      : (Seq[org.apache.hadoop.fs.Path], Int) = {
+    if (specs.isEmpty || tps.isEmpty || parts.isEmpty) return (files, 0)
+    def keeps(file: org.apache.hadoop.fs.Path): Boolean = {
+      val layout = parts.get(file.getName)
+        .flatMap(layoutOf(_, specs)).getOrElse(return true)
+      val (bounds, slots) = layout
+      tps.forall { tp =>
+        bounds.zipWithIndex.find(bi => boundMatches(bi._1, tp)) match {
+          case None => true // vintage lacks the transform: keep
+          case Some((b, i)) => decodeSlot(b, slots(i)) match {
+            case Some(null) => false // null output ≠ non-null literal
+            case Some(v)    => eqInternal(v, tp.value)
+            case None       => true // undecodable: keep
+          }
+        }
+      }
+    }
+    val kept = files.filter(keeps)
+    (kept, files.size - kept.size)
+  }
+
   /** Is `f`'s truth value decided EXACTLY by a file's partition tuple
     * under EVERY spec vintage? True requires a single-column filter
     * whose (shape, literal) pair some transform on the column decides

@@ -320,12 +320,22 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
                       branch: Option[String] = None,
                       pacing: StreamPacing = StreamPacing())
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var projected: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  // the V2 predicates reported back to Spark (the V1-convertible ones
+  // that pruning accepted, plus recognized transform predicates)
+  private var pushedV2
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  // explicit transform-equality predicates (`bucket(8,k) = 3`) the V1
+  // Filter API cannot carry — pruned per file, ALWAYS residual
+  private var transformPreds: Seq[LakePartitioning.TransformPred] =
+    Seq.empty
   // the subset of `pushed` the scan ENFORCES (Spark drops its Filter
   // node for these) — see [[pushFilters]]
   private var consumed: Array[Filter] = Array.empty
@@ -350,6 +360,9 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     */
   private def boundEligible: Boolean =
     metaAgg.isEmpty && !skipChangeCommits && startingVersion.isEmpty &&
+      transformPreds.isEmpty && // residual by construction: a bounded
+        // file set must hold ALL result rows, which a transform
+        // predicate's row-level re-check would break
       pushed.forall(f => consumed.exists(_ eq f) ||
         proven.exists(_ eq f))
 
@@ -453,8 +466,11 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
        else s", partition-filtered(${partConsumed.length})") +
       (if (proven.isEmpty) "" else s", stats-proven(${proven.length})")
     // defensive: aggregates push before limit/TopN on this builder, but
-    // a bounded file set must never feed a metadata answer
-    if (limitN.isDefined || topN.isDefined) return None
+    // a bounded file set must never feed a metadata answer; a residual
+    // transform predicate likewise blocks (Spark keeps a Filter node,
+    // so it never offers the push — defensive twin)
+    if (limitN.isDefined || topN.isDefined || transformPreds.nonEmpty)
+      return None
     if (!filteredOk || agg.aggregateExpressions.isEmpty) None
     else if (agg.groupByExpressions.isEmpty)
       LakeTableIO.metaAggregate(dir, tableSchema,
@@ -517,8 +533,16 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     *
     * The scan re-verifies decidability per file at plan time and fails
     * LOUD (never wrong) if a concurrent commit broke the premise.
+    *
+    * ENTRY POINT is now the V2 predicate API ([[pushPredicates]] —
+    * Spark dispatches V2 when the builder implements it): every
+    * incoming predicate convertible to a V1 Filter routes through this
+    * method unchanged (all consumption/proof/pruning semantics keyed
+    * off V1 Filters stay intact), and the V2-only shapes — explicit
+    * transform calls over the catalog's own bound functions — are
+    * recognized apart ([[asTransformPred]]).
     */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+  private def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(LakeTableIO.prunable)
     consumed =
       if (pushed.isEmpty || skipChangeCommits || startingVersion.isDefined)
@@ -602,7 +626,100 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       else s.files.forall(s.parts.contains)
     } catch { case scala.util.control.NonFatal(_) => false }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  /** V2 predicate pushdown ([[org.apache.spark.sql.connector.read.SupportsPushDownV2Filters]]):
+    * the one entry point Spark dispatches (V2 supersedes V1 when both
+    * could apply — this builder implements only V2). Three-way split:
+    *
+    *   - predicates CONVERTIBLE to V1 Filters route through the
+    *     existing [[pushFilters]] logic verbatim — pruning,
+    *     partition-filter consumption, stats-proven consumption, the
+    *     CHECK-contradiction domains all keyed off V1 Filters are
+    *     untouched, and their residual decision is mirrored back;
+    *   - TRANSFORM-EQUALITY predicates over the catalog's own bound
+    *     functions (`bucket(8, k) = 3`, `years(ts) = 54` — shapes the
+    *     V1 API structurally cannot carry) prune files against their
+    *     manifest tuples ([[LakePartitioning.pruneTransform]]) and stay
+    *     RESIDUAL: Spark keeps its Filter node and re-evaluates rows,
+    *     so mixed spec vintages and tuple-less files are simply kept;
+    *   - anything else is returned un-pushed.
+    */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val conv = predicates.map(p => p -> LakeV2Filters.toV1(p))
+    val residualV1 =
+      pushFilters(conv.collect { case (_, Some(f)) => f })
+    // CDC / starting-version streams range over commits, not one
+    // snapshot's file list — transform pruning stays off there (the
+    // predicates remain residual either way)
+    val recognized: Seq[(org.apache.spark.sql.connector.expressions.filter.Predicate,
+        LakePartitioning.TransformPred)] =
+      if (skipChangeCommits || startingVersion.isDefined) Seq.empty
+      else conv.collect {
+        case (p, None) => asTransformPred(p).map(p -> _)
+      }.flatten.toSeq
+    transformPreds = recognized.map(_._2)
+    pushedV2 = conv.collect {
+      case (p, Some(f)) if pushed.exists(_ eq f) => p
+      case (p, None) if recognized.exists(_._1 eq p) => p
+    }
+    conv.collect {
+      // V1-convertible: residual iff the V1 logic returned it
+      case (p, Some(f)) if residualV1.exists(_ eq f) => p
+      // V2-only shapes: ALWAYS residual (transform pruning is
+      // best-effort; Spark re-evaluates the predicate per row)
+      case (p, None) => p
+    }
+  }
+
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushedV2
+
+  /** Recognize `transform(args…) = literal` (either side; `<=>` with a
+    * non-null literal is equivalent) over THIS catalog's functions —
+    * the canonicalName prefix pins the function family, so a foreign
+    * catalog's same-named `bucket` can never drive pruning against our
+    * murmur3 tuples. Only single-part column references and non-null
+    * literals qualify; the literal arrives in Catalyst INTERNAL form
+    * (exactly what [[LakePartitioning.decodeSlot]] produces).
+    */
+  private def asTransformPred(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[LakePartitioning.TransformPred] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral, NamedReference, UserDefinedScalarFunc}
+    def fromCall(u: UserDefinedScalarFunc, l: VLiteral[_])
+        : Option[LakePartitioning.TransformPred] = {
+      if (l.value == null) return None
+      if (!u.canonicalName().startsWith("graft.")) return None
+      def col(e: VExpr): Option[String] = e match {
+        case fr: NamedReference if fr.fieldNames.length == 1 =>
+          Some(fr.fieldNames()(0))
+        case _ => None
+      }
+      val fn = u.name().toLowerCase
+      (fn, u.children()) match {
+        case ("bucket" | "truncate",
+            Array(pl: VLiteral[_], c)) if pl.value.isInstanceOf[Int] =>
+          col(c).map(LakePartitioning.TransformPred(fn,
+            Some(pl.value.asInstanceOf[Int]), _, l.value, p.toString))
+        case ("days" | "months" | "years" | "hours", Array(c)) =>
+          col(c).map(LakePartitioning.TransformPred(fn, None, _,
+            l.value, p.toString))
+        case _ => None
+      }
+    }
+    p.name() match {
+      case "=" | "<=>" => p.children() match {
+        case Array(u: UserDefinedScalarFunc, l: VLiteral[_]) =>
+          fromCall(u, l)
+        case Array(l: VLiteral[_], u: UserDefinedScalarFunc) =>
+          fromCall(u, l)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 
   override def build(): Scan = {
     metaAgg.foreach { case (schema, rows, desc) =>
@@ -650,7 +767,7 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
       startingVersion, branch, pacing, dvs, stats, parts, consumed,
-      limitN, topN, proven = proven)
+      limitN, topN, proven = proven, transformPreds = transformPreds)
   }
 }
 
@@ -716,7 +833,11 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                checkPruned: Boolean = false,
                // filters CONSUMED BY STATS PROOF at pushdown — the
                // plan re-verifies them per file and fails loud
-               proven: Array[Filter] = Array.empty)
+               proven: Array[Filter] = Array.empty,
+               // recognized V2 transform predicates (bucket(8,k)=3):
+               // file pruning only — always residual above the scan
+               transformPreds: Seq[LakePartitioning.TransformPred] =
+                 Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -760,7 +881,15 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
           s"${consumed.mkString(", ")} cannot be enforced — a snapshot " +
           "file carries no resolvable partition tuple (concurrent " +
           "bootstrap/staged commit?); re-run the query")
-    val pruned = LakePartitioning.prune(files, parts, specs, pushed)
+    val pruned0 = LakePartitioning.prune(files, parts, specs, pushed)
+    // explicit transform predicates (V2 pushdown): best-effort file
+    // pruning against the manifest tuples — residual above the scan,
+    // so undecidable files are simply kept (never loud, never wrong)
+    val pruned = {
+      val (kept, n) = LakePartitioning.pruneTransform(
+        pruned0._1, parts, specs, transformPreds)
+      (kept, pruned0._2 + n)
+    }
     // stats-proven consumed filters: re-verify the proof against THIS
     // plan's file set (a concurrent commit may have added a file the
     // pushdown-time proof never saw) — fail LOUD, never leak rows
@@ -1126,6 +1255,9 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       (if (checkPruned) "pruned_by_check=all " else "") +
       (if (proven.nonEmpty)
         s"consumed_by_stats=[${proven.mkString(",")}] " else "") +
+      (if (transformPreds.nonEmpty)
+        s"pushed_transform=[${transformPreds.map(_.shown).mkString(",")}] "
+       else "") +
       s"pushed=[${pushed.mkString(",")}]" +
       limitN.fold("")(n => s" pushed_limit=$n") +
       topN.fold("")(t => s" pushed_topn=[${t.col} " +
