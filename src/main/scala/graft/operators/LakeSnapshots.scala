@@ -50,6 +50,20 @@ object LakeSnapshots {
               toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"changes($fromVersion -> $toVersion): range must go forward")
+    // an equality-delete commit changes NO files, so a file-diff feed
+    // would silently MISS its deleted rows; loud until retired (a
+    // rewrite materializes them as ordinary file replacements)
+    ((fromVersion + 1) to toVersion).foldLeft(
+      LakeLog.snapshotAtPruned(dir, fromVersion, None, _ => false).eqs) {
+      (prev, v) =>
+        val cur = LakeLog.snapshotAtPruned(dir, v, None, _ => false).eqs
+        require(prev == cur,
+          s"graft_lake $dir: version $v changed the equality-delete " +
+            "set — the change feed cannot represent equality-delete " +
+            "commits; CALL system.rewrite_deletes and diff across the " +
+            "rewrite instead")
+        cur
+    }
     val from = LakeLog.snapshotAt(dir, fromVersion)
     val to = LakeLog.snapshotAt(dir, toVersion)
     val before = from.files.toSet
@@ -198,6 +212,12 @@ object LakeSnapshots {
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
     val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
       s"$dir has no snapshot log to cluster"))
+    // the plain parquet rewrite cannot subtract equality deletes, and
+    // its outputs' fresh add versions would detach them from every
+    // live ref — deleted rows would resurrect. Same remedy as DVs.
+    require(head.eqs.isEmpty,
+      s"graft_lake $dir holds live equality deletes — CALL " +
+        "system.rewrite_deletes before zorder")
     if (head.files.isEmpty) return (0, 0)
     val fs = new Path(dir).getFileSystem(new Configuration())
     // files carrying deletion vectors are excluded — the plain parquet
@@ -353,6 +373,13 @@ object LakeSnapshots {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
       s"$dir has no snapshot log to compact"))
+    // merged outputs get a fresh add version past every live eq ref —
+    // compacting under live equality deletes would resurrect deleted
+    // rows (and the raw rewrite cannot subtract them). Same guard
+    // class as DV'd files, lifted to the whole pass for sequencing.
+    require(head.eqs.isEmpty,
+      s"graft_lake $dir holds live equality deletes — CALL " +
+        "system.rewrite_deletes before compact")
     val fs = new Path(dir).getFileSystem(new Configuration())
     val sized = head.files.map(f =>
       f -> fs.getFileStatus(new Path(dir, f)).getLen)
@@ -514,41 +541,121 @@ object LakeSnapshots {
     * (Delta's PURGE, Iceberg's rewrite_position_delete_files).
     */
   def rewriteDeletes(spark: SparkSession, dir: String): (Int, Long) = {
+    import graft.sources.dsv2.LakeEq
     val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
       s"$dir has no snapshot log"))
-    if (head.dvs.isEmpty) return (0, 0L)
+    if (head.dvs.isEmpty && head.eqs.isEmpty) return (0, 0L)
     val fs = new Path(dir).getFileSystem(new Configuration())
     val schema = LakeTableIO.tableSchema(dir)
     val stage = new Path(dir, s".rewrite-dv-${UUID.randomUUID()}")
-    val targets = head.dvs.keys.toSeq.sorted
+    // EQUALITY-DELETE retirement: every file a live ref applies to
+    // (sequencing rule) rewrites with its matching keys subtracted;
+    // the commit then retires the WHOLE ref list — remaining files
+    // provably predate no ref, rewritten files get a fresh add version
+    // past every ref. Sequenceability is a precondition, loud.
+    LakeEq.requireSequenceable(dir, head.eqs, head.files, head.stats)
+    val eqApplicable: Map[String, Seq[String]] =
+      if (head.eqs.isEmpty) Map.empty
+      else head.files.iterator.map { f =>
+        f -> LakeEq.applicable(head.eqs, head.stats(f).addV).map(_.name)
+      }.filter(_._2.nonEmpty).toMap
+    val targets =
+      (head.dvs.keys ++ eqApplicable.keys).toSeq.distinct.sorted
+    // the eq-set-stability guard: a concurrent upsert epoch appending
+    // a NEW ref between our head read and the publish must fail THIS
+    // commit (our eqsOverride would silently wipe it — resurrecting
+    // that epoch's deletes); re-checked adjacent to every publish
+    // attempt, where the version CAS makes it airtight
+    val eqGuard: () => Unit = () => {
+      val now = LakeLog.current(dir).map(_.eqs).getOrElse(Seq.empty)
+      if (now != head.eqs)
+        throw new java.util.ConcurrentModificationException(
+          s"rewrite_deletes of $dir: the equality-delete set changed " +
+            "mid-rewrite (concurrent upsert epoch?) — re-run")
+    }
+    if (targets.isEmpty) {
+      // refs exist but apply to nothing (every file postdates them):
+      // retire the dead list without touching any bytes
+      if (head.eqs.nonEmpty)
+        LakeLog.commit(dir, "rewrite_deletes", Seq.empty, Seq.empty, 0L,
+          dataChange = false, eqsOverride = Some(Seq.empty),
+          prePublish = eqGuard)
+      return (0, 0L)
+    }
     val deadByFile = targets.map(f =>
-      f -> graft.sources.dsv2.LakeDv
-        .positions(dir, head.dvs(f)).length.toLong).toMap
+      f -> head.dvs.get(f).map(vs => graft.sources.dsv2.LakeDv
+        .positions(dir, vs).length.toLong).getOrElse(0L)).toMap
     val liveRows = LakeTableIO.footerRows(
       targets.map(new Path(dir, _))) - deadByFile.values.sum
+    // the eq membership machinery, shared by every group's job: one
+    // canonical key column per distinct keyCols shape (encoded exactly
+    // as the reader/writer canon — int/long/string decimal strings,
+    // dates as epoch days; any null key value → null → never matches)
+    import org.apache.spark.sql.functions.{array, col, concat_ws, datediff, lit, to_date, udf, when}
+    val kcShapes: Seq[Seq[String]] = head.eqs.map(_.keyCols).distinct
+    val shapeOf: Map[String, Int] = head.eqs.map(r =>
+      r.name -> kcShapes.indexOf(r.keyCols)).toMap
+    val keySets: Map[String, Set[String]] =
+      head.eqs.map(r => r.name -> LakeEq.read(dir, r.name)._2).toMap
+    def canonCol(name: String): org.apache.spark.sql.Column = {
+      val f = schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalStateException(
+          s"rewrite_deletes of $dir: eq key column '$name' missing"))
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType => col(f.name)
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(f.name), to_date(lit("1970-01-01"))).cast("string")
+        case _ => col(f.name).cast("string")
+      }
+    }
+    def keyExpr(cols: Seq[String]): org.apache.spark.sql.Column = {
+      val anyNull = cols.map(col(_).isNull).reduce(_ || _)
+      when(anyNull, lit(null: String))
+        .otherwise(concat_ws("\u0000", cols.map(canonCol): _*))
+    }
+    val applicableB = eqApplicable
+    val keySetsB = keySets
+    val shapeOfB = shapeOf
+    val isEqDeleted = udf((f: String, eks: Seq[String]) =>
+      applicableB.getOrElse(f, Seq.empty).exists { n =>
+        val k = eks(shapeOfB(n))
+        k != null && keySetsB(n).contains(k)
+      })
     try {
       // read THROUGH the stock parquet source with `_metadata
       // .row_index` and subtract each file's positions — the same
       // position semantics the connector's reader applies (its _pos IS
-      // the parquet row index). Rewrites run per partition GROUP so the
-      // materialized files inherit their tuple.
-      import org.apache.spark.sql.functions.col
+      // the parquet row index) — then the eq membership filter, the
+      // same canonical-key semantics the connector reader applies.
+      // Rewrites run per partition GROUP so the materialized files
+      // inherit their tuple.
       val groups = byTuple(head.parts, targets)
+      var eqRemoved = 0L
       val stagedByGroup = groups.zipWithIndex.map {
         case ((tuple, files), gi) =>
           val dvRows = files.flatMap(f =>
-            graft.sources.dsv2.LakeDv.positions(dir, head.dvs(f))
+            head.dvs.get(f).toSeq.flatMap(vs =>
+              graft.sources.dsv2.LakeDv.positions(dir, vs))
               .map(p => (f, p)))
-          val dvDf = spark.createDataFrame(dvRows).toDF("__f", "__p")
+          val dvDf = spark.createDataFrame(
+            if (dvRows.isEmpty) Seq(("", -1L)) else dvRows)
+            .toDF("__f", "__p")
           val gStage = new Path(stage, s"g$gi")
           withMicrosTimestamps(spark) {
-            spark.read.schema(schema)
+            val afterDv = spark.read.schema(schema)
               .parquet(files.map(f => s"$dir/$f"): _*)
               .withColumn("__f", col("_metadata.file_name"))
               .withColumn("__p", col("_metadata.row_index"))
               .join(org.apache.spark.sql.functions.broadcast(dvDf),
                 Seq("__f", "__p"), "left_anti")
-              .drop("__f", "__p")
+            val withFlag =
+              if (head.eqs.isEmpty) afterDv.withColumn("__eqd", lit(false))
+              else afterDv.withColumn("__eqd", isEqDeleted(col("__f"),
+                array(kcShapes.map(keyExpr): _*)))
+            if (head.eqs.nonEmpty)
+              eqRemoved += withFlag.filter(col("__eqd")).count()
+            withFlag.filter(!col("__eqd"))
+              .drop("__f", "__p", "__eqd")
               .write.parquet(gStage.toString)
           }
           val staged = fs.listStatus(gStage).toSeq
@@ -557,9 +664,9 @@ object LakeSnapshots {
           (tuple, staged)
       }
       val stagedRows = LakeTableIO.footerRows(stagedByGroup.flatMap(_._2))
-      require(stagedRows == liveRows,
+      require(stagedRows == liveRows - eqRemoved,
         s"rewriteDeletes would change contents: staged $stagedRows " +
-          s"!= live $liveRows")
+          s"!= live $liveRows - eq-deleted $eqRemoved")
       val published = stagedByGroup.flatMap { case (tuple, staged) =>
         staged.map { p =>
           val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
@@ -572,10 +679,13 @@ object LakeSnapshots {
         targets, addedRows = 0L, dataChange = false,
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
-        }.toMap)
+        }.toMap,
+        eqsOverride =
+          if (head.eqs.isEmpty) None else Some(Seq.empty),
+        prePublish = if (head.eqs.isEmpty) () => () else eqGuard)
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
-      (targets.size, deadByFile.values.sum)
+      (targets.size, deadByFile.values.sum + eqRemoved)
     } finally fs.delete(stage, true)
   }
 }

@@ -469,6 +469,55 @@ object LakeQueries {
         s"FROM $tbl WHERE d >= DATE'1995-01-01' AND d < DATE'1998-01-01'")
     }),
 
+    // NATIVE STREAMING UPSERT (r14): a keyed CDC stream (insert/
+    // update/delete events over three commits = three epochs) folds
+    // into a lake table through the equality-delete sink
+    // ([[graft.sources.dsv2.LakeUpsertWrite]]) — each epoch commits
+    // O(epoch) work (one key-tombstone sidecar + surviving post-
+    // images), NOT a foreachBatch MERGE's O(table) join; readers
+    // subtract tombstoned keys per file by the sequencing rule. The
+    // oracle restates the fold declaratively: last event per key,
+    // deletes absent — the batch-MERGE semantics.
+    "stream_lake_upsert" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val src = tableId(dir, "lake_upsrc")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"CREATE TABLE $src (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "o_orderstatus AS status", "o_totalprice AS price",
+        "'insert' AS op", "CAST(1 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_ups_e1")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_ups_e1")
+      previous(s, dir).where(col(key) % 3 === 0).selectExpr(
+        s"$key AS k", "o_orderstatus AS status",
+        "o_totalprice * 2 AS price", "'update' AS op",
+        "CAST(2 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_ups_e2")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_ups_e2")
+      previous(s, dir).where(col(key) % 5 === 2).selectExpr(
+        s"$key AS k", "CAST(null AS STRING) AS status",
+        "CAST(null AS DOUBLE) AS price", "'delete' AS op",
+        "CAST(3 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_ups_e3")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_ups_e3")
+      val dst = tableId(dir, "lake_upsdst")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $dst (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      val out = freshDir("upsert", dir)
+      val q = s.readStream.option("maxCommitsPerBatch", 1).table(src)
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .option("upsert.tombstone", "op = 'delete'")
+        .trigger(Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+      s.table(dst)
+    }),
+
     // V2 TRANSFORM-PREDICATE PUSHDOWN (r14): an EXPLICITLY-written
     // transform predicate over the catalog's own bound function —
     // `years(d) = 25` — prunes the years-partitioned table to the
@@ -1354,6 +1403,19 @@ object LakeQueries {
          |FROM prev
          |WHERE o_orderdate >= DATE '1995-07-01'
          |  AND o_orderdate < DATE '1998-01-01'""".stripMargin,
+    // the keyed fold restated declaratively: last event per key wins
+    // (updates for keys % 3 = 0, inserts otherwise), deleted keys
+    // (% 5 = 2) absent — exactly the batch-MERGE end state
+    "stream_lake_upsert" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey AS k, o_orderstatus AS status,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+         |       ELSE o_totalprice END AS price,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN 'update'
+         |       ELSE 'insert' END AS op,
+         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END
+         |       AS BIGINT) AS seq
+         |FROM prev WHERE o_orderkey % 5 <> 2""".stripMargin,
     // the 1995 year-slice restated declaratively over the source rows
     // (the transform predicate is hidden partitioning's years() — the
     // oracle states the calendar year directly)

@@ -208,7 +208,14 @@ object LakeAnalyze {
     // deletes first). Stats-less-after-harvest files (unreadable)
     // cannot be amended either.
     val targets = head.files.filter(f =>
-      !head.dvs.contains(f) && baseStats.contains(f) && needsFacts(f))
+      !head.dvs.contains(f) && baseStats.contains(f) &&
+      // equality deletes: the scan below reads LIVE rows (subtraction
+      // applied), but facts describe PHYSICAL contents — a file any
+      // live eq ref applies to (or whose add version is unknown under
+      // live refs) is skipped, like DV'd files (rewrite_deletes first)
+      (head.eqs.isEmpty || (baseStats(f).addV >= 0 &&
+        LakeEq.applicable(head.eqs, baseStats(f).addV).isEmpty)) &&
+      needsFacts(f))
     if (targets.isEmpty && harvested.isEmpty) return (0, 0)
     // Bounded driver memory: the per-collect fact rows are O(chunk), not
     // O(all stats-less files) — a 10⁶-file bootstrap backfill commits

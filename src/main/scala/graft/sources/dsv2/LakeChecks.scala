@@ -205,6 +205,27 @@ object LakeChecks {
       : org.apache.spark.sql.catalyst.expressions.BasePredicate =
     Predicate.create(violation)
 
+  /** Driver-resolved, executor-evaluable ROW predicate: true iff `text`
+    * evaluates to TRUE for the row (NULL reads as false — the match
+    * semantics a tombstone predicate wants). Same CREATE-grade
+    * validation and positional binding as [[violationExpr]]; the
+    * upsert sink's `upsert.tombstone` compiles through this.
+    */
+  def rowPredicate(spark: SparkSession, schema: StructType,
+                   name: String, text: String): Expression = {
+    val cond = resolve(spark, schema, name, text)
+    val byName = schema.fieldNames.zipWithIndex.toMap
+    val positional = cond.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        val i = byName.getOrElse(a.name, throw new IllegalStateException(
+          s"graft_lake: predicate '$name' references '${a.name}' " +
+            "missing from the write schema"))
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, a.dataType, a.nullable)
+    }
+    And(IsNotNull(positional), positional)
+  }
+
   // ----------------------------------------------------- contradiction
 
   /** Best-effort domain interval [lo, hi] a constraint proves for one

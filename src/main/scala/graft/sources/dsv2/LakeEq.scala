@@ -1,0 +1,223 @@
+package graft.sources.dsv2
+
+import java.util.{ArrayList, HashMap => JHashMap, List => JList, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType}
+
+/** EQUALITY DELETES — Iceberg v2's second delete contract, beside the
+  * positional deletion vectors ([[LakeDv]]). An equality-delete file is
+  * a set of KEY VALUES: every row (in scope) whose key columns match a
+  * listed key is deleted, without anyone ever locating its file or
+  * position. That asymmetry is the point: a positional delete costs a
+  * scan per epoch to FIND the rows (the foreachBatch-MERGE shape —
+  * O(table) per epoch), while an equality delete costs O(epoch) to
+  * WRITE and defers the matching to readers — the contract that makes
+  * a keyed streaming upsert sink cheap at 100 TB. The read-side cost is
+  * bounded by retirement: `CALL system.rewrite_deletes` materializes
+  * and retires them (compaction's dual).
+  *
+  * SCOPE (the sequencing rule): an eq-delete committed at snapshot
+  * version V applies to a data file iff the file's add version
+  * ([[LakeStats.FileStats.addV]]) is KNOWN and < V. The same commit's
+  * own post-image files (addV = V) and all later rows are never
+  * affected — exactly Iceberg's data-vs-delete sequence-number rule.
+  * A file with UNKNOWN addV under a live eq-delete is un-sequenceable
+  * (applying could eat newer rows; skipping could resurrect deleted
+  * ones), so both the eq commit and the scan fail LOUD on that state
+  * rather than guess — [[requireSequenceable]].
+  *
+  * SIDECAR format (`eq-<uuid>.json` in the table dir, write-once like
+  * DV sidecars): `{"keyCols": [...], "keys": ["<enc>", ...]}` where
+  * each key is the canonical ENCODING of its column values
+  * ([[encodeKey]] — the same canonical strings both the writer's
+  * internal values and the reader's decoded values map to), multi-col
+  * values joined by U+0000. Admitted key types are the exactly-
+  * canonical ones: int/long/string/date; keys are non-null by
+  * contract (the sink rejects null keys loud).
+  */
+object LakeEq {
+
+  /** One equality-delete file as the manifest carries it: sidecar name,
+    * the snapshot version it committed at (fills in at commit), its key
+    * columns, and the key count (bookkeeping/inventory).
+    */
+  final case class EqRef(name: String, version: Long,
+                         keyCols: Seq[String], n: Long)
+
+  private val mapper = new ObjectMapper()
+
+  /** Key column types whose canonical encoding is exact. */
+  def admits(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType | DateType => true
+    case _ => false
+  }
+
+  /** Canonical string of one INTERNAL key value (Int / Long /
+    * UTF8String; DateType's internal is the epoch-day Int). Null keys
+    * are a contract violation — fail loud, a silent mis-encoding would
+    * tombstone the wrong rows.
+    */
+  def encodeValue(v: Any): String = v match {
+    case null => throw new IllegalArgumentException(
+      "graft_lake equality delete: key value is NULL — upsert keys " +
+        "must be non-null")
+    case i: Int => i.toString
+    case l: Long => l.toString
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case other => throw new IllegalArgumentException(
+      s"graft_lake equality delete: unencodable key value class " +
+        s"${other.getClass.getName}")
+  }
+
+  /** Canonical multi-column key: values joined by NUL (unambiguous —
+    * no admitted type's encoding contains NUL).
+    */
+  def encodeKey(values: Seq[Any]): String =
+    values.map(encodeValue).mkString("\u0000")
+
+  /** Write one sidecar; returns its name. Write-once (never
+    * overwritten), staged content — orphaned by a lost commit race and
+    * reclaimed by the expire vacuum like any unpublished file.
+    */
+  def write(dir: String, keyCols: Seq[String],
+            keys: Iterable[String]): String = {
+    val name = s"eq-${java.util.UUID.randomUUID()}.json"
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val m = new JHashMap[String, Object]()
+    val kc = new ArrayList[String](keyCols.size)
+    keyCols.foreach(kc.add)
+    m.put("keyCols", kc)
+    val ks = new ArrayList[String]()
+    keys.foreach(ks.add)
+    m.put("keys", ks)
+    val out = fs.create(new Path(dir, name), false)
+    try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+    name
+  }
+
+  /** Read one sidecar: (keyCols, canonical key set). Fails loud — a
+    * missing/torn eq sidecar under a live ref means deleted rows would
+    * resurrect; there is no conservative direction.
+    */
+  def read(dir: String, name: String): (Seq[String], Set[String]) = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val in = fs.open(new Path(dir, name))
+    val bytes = try in.readAllBytes() finally in.close()
+    val m = mapper.readValue(bytes, classOf[JMap[String, Object]])
+    val cols = m.get("keyCols") match {
+      case l: JList[_] => l.asScala.map(_.toString).toSeq
+      case _ => throw new java.io.IOException(
+        s"graft_lake: eq sidecar $name has no keyCols")
+    }
+    val keys = m.get("keys") match {
+      case l: JList[_] => l.asScala.map(_.toString).toSet
+      case _ => throw new java.io.IOException(
+        s"graft_lake: eq sidecar $name has no keys")
+    }
+    (cols, keys)
+  }
+
+  // Executor-wide sidecar cache: eq files are immutable write-once
+  // content read by every task scanning an affected file — one read
+  // per executor, not per split. Crude size cap (clear past 256
+  // entries): refs retire via rewrite_deletes, so steady state is the
+  // handful of un-retired epochs.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[String], Set[String])]()
+
+  def cached(dir: String, name: String): (Seq[String], Set[String]) = {
+    if (cache.size > 256) cache.clear()
+    cache.computeIfAbsent(new Path(dir, name).toUri.toString,
+      _ => read(dir, name))
+  }
+
+  /** The eq-deletes applicable to a file added at `addV` (see the
+    * sequencing rule above). Callers must have proven sequenceability
+    * first — an unknown addV under a non-empty ref list is the loud
+    * state, not a silent skip.
+    */
+  def applicable(refs: Seq[EqRef], addV: Long): Seq[EqRef] =
+    refs.filter(r => addV >= 0 && addV < r.version)
+
+  /** Fail loud when any current file cannot be SEQUENCED against the
+    * eq-delete list (unknown add version) — checked at eq commit time
+    * (friendly error, with the remedy) and re-checked at scan plan
+    * time (a concurrent bootstrap sweep can add sequence-less files).
+    */
+  def requireSequenceable(dir: String, refs: Seq[EqRef],
+                          files: Seq[String],
+                          stats: Map[String, LakeStats.FileStats]): Unit =
+    if (refs.nonEmpty) {
+      val bad = files.filter(f => !stats.get(f).exists(_.addV >= 0))
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"graft_lake $dir: equality deletes are live but " +
+            s"${bad.take(3).mkString(", ")}${if (bad.size > 3) ", …" else ""}" +
+            " carry no add version — the deletes cannot be sequenced " +
+            "against them (applying could delete newer rows; skipping " +
+            "would resurrect deleted ones). CALL system.rewrite_deletes" +
+            " / system.compact to rewrite those vintages first")
+    }
+
+  /** Manifest encoding of the ref list. */
+  def toJson(refs: Seq[EqRef]): ArrayList[Object] = {
+    val l = new ArrayList[Object](refs.size)
+    refs.foreach { r =>
+      val m = new JHashMap[String, Object]()
+      m.put("name", r.name)
+      m.put("version", java.lang.Long.valueOf(r.version))
+      val kc = new ArrayList[String](r.keyCols.size)
+      r.keyCols.foreach(kc.add)
+      m.put("keyCols", kc)
+      m.put("n", java.lang.Long.valueOf(r.n))
+      l.add(m)
+    }
+    l
+  }
+
+  def fromJson(v: Object): Seq[EqRef] = v match {
+    case l: JList[_] => l.asScala.toSeq.flatMap {
+      case m: JMap[_, _] =>
+        val mm = m.asInstanceOf[JMap[String, Object]]
+        val ver = mm.get("version") match {
+          case n: Number => n.longValue(); case _ => -1L
+        }
+        val cols = mm.get("keyCols") match {
+          case kl: JList[_] => kl.asScala.map(_.toString).toSeq
+          case _            => Seq.empty
+        }
+        val n = mm.get("n") match {
+          case x: Number => x.longValue(); case _ => 0L
+        }
+        if (ver >= 0 && cols.nonEmpty)
+          Some(EqRef(String.valueOf(mm.get("name")), ver, cols, n))
+        else None
+      case _ => None
+    }
+    case _ => Seq.empty
+  }
+
+  /** Resolve `keyCols` to their schema ordinals + types, validating the
+    * admitted kinds — the write-side fold and the read-side membership
+    * test both bind through this.
+    */
+  def bindKeys(schema: StructType, keyCols: Seq[String])
+      : Seq[(Int, DataType)] =
+    keyCols.map { c =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      require(i >= 0,
+        s"graft_lake upsert: key column '$c' is missing from schema " +
+          s"[${schema.fieldNames.mkString(",")}]")
+      val dt = schema.fields(i).dataType
+      require(admits(dt),
+        s"graft_lake upsert: key column '$c' has type " +
+          s"${dt.simpleString} — upsert keys admit int/bigint/string/date")
+      (i, dt)
+    }
+}

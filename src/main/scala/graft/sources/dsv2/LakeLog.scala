@@ -146,7 +146,15 @@ object LakeLog {
                             updatePre: Map[String, Seq[String]] = Map.empty,
                             updatePost: Seq[String] = Seq.empty,
                             parts: Map[String, Seq[String]] = Map.empty,
-                            segments: Seq[SegRef] = Seq.empty)
+                            segments: Seq[SegRef] = Seq.empty,
+                            // live EQUALITY-DELETE files ([[LakeEq]]):
+                            // each applies to data files with a KNOWN
+                            // add version < its commit version. Carried
+                            // forward commit to commit (O(#deletes)
+                            // manifest space, never O(files)); retired
+                            // only by rewrite_deletes / restored
+                            // verbatim by rollback (eqsOverride).
+                            eqs: Seq[LakeEq.EqRef] = Seq.empty)
 
   /** One MANIFEST-TREE segment reference: an immutable, content-
     * addressed sidecar (`_log/seg/<uuid>.json`) holding a slice of the
@@ -663,7 +671,8 @@ object LakeLog {
       dvMap("dvs"), dvMap("dvAdded"),
       LakeStats.fromJson(m.get("stats")), // pre-stats manifests: empty
       dvMap("updatePre"), strs("updatePost"), // pre-pairing: empty
-      dvMap("parts")) // pre-partitioning manifests: empty
+      dvMap("parts"), // pre-partitioning manifests: empty
+      eqs = LakeEq.fromJson(m.get("eqs"))) // pre-eq manifests: empty
     m.get("segments") match {
       case l: JList[_] =>
         // manifest tree: the flat per-file maps live in segment
@@ -769,6 +778,7 @@ object LakeLog {
     putDvMap("dvAdded", s.dvAdded)
     putDvMap("updatePre", s.updatePre)
     if (s.updatePost.nonEmpty) m.put("updatePost", jl(s.updatePost))
+    if (s.eqs.nonEmpty) m.put("eqs", LakeEq.toJson(s.eqs))
     val threshold = inlineThreshold
     val (result, created) =
       if (s.files.size <= threshold) {
@@ -928,6 +938,25 @@ object LakeLog {
              // segments holding amended files REWRITE (stats live in
              // segments — a reused segment would serve stale facts).
              statsAmend: Map[String, LakeStats.FileStats] = Map.empty,
+             // EQUALITY-DELETE files committing WITH this commit
+             // ([[LakeEq]]): (sidecar name, key columns, key count) —
+             // their EqRef version is stamped with THIS commit's
+             // version inside the retry loop, so the sequencing rule
+             // ("applies to files added strictly before me") holds
+             // even after a lost version race. The same commit's own
+             // added files (the upsert's post-images) get addV = the
+             // same version and are therefore never affected.
+             eqAdded: Seq[(String, Seq[String], Long)] = Seq.empty,
+             // rewrite_deletes retirement / rollback restore: replace
+             // the carried eq list verbatim (like dvsOverride)
+             eqsOverride: Option[Seq[LakeEq.EqRef]] = None,
+             // rollback: the TARGET snapshot's per-file stats applied
+             // verbatim for files in the next set — facts and the add
+             // version are facts of the immutable bytes + the original
+             // commit sequencing, and re-stamping a restored file's
+             // addV would detach it from the restored eq-delete list
+             // (equality-deleted rows would resurrect)
+             statsRestore: Map[String, LakeStats.FileStats] = Map.empty,
              // invoked inside the retry loop IMMEDIATELY before each
              // publish attempt — the write paths pass their constraint-
              // set guard here so the enforced-set read and the manifest
@@ -1084,8 +1113,29 @@ object LakeLog {
       // amendments replace entries for files still current.
       val liveAmend = statsAmend.view.filterKeys(f =>
         base.contains(f) && !removed.contains(f)).toMap
+      val nextVersion = head.map(_.version + 1).getOrElse(0L)
+      // stamp each added file's ADD VERSION — the equality-delete
+      // sequencing fact ([[LakeEq]]); stamped inside the loop because
+      // a lost version race changes the version this commit lands at
+      val nextFileSet =
+        (base.filterNot(removed.toSet) ++ addedNew).toSet
       val nextStats = (head.map(_.stats).getOrElse(Map.empty) -- removed) ++
-        addedStats.view.filterKeys(addedNew.contains) ++ liveAmend
+        addedStats.view.filterKeys(addedNew.contains)
+          .mapValues(_.copy(addV = nextVersion)) ++ liveAmend ++
+        statsRestore.view.filterKeys(nextFileSet)
+      // equality deletes: refuse to commit one against a snapshot
+      // holding files the delete cannot be SEQUENCED with (unknown add
+      // version — legacy vintages, bootstrap sweeps). Checked against
+      // the POST-commit current set minus this commit's own files.
+      if (eqAdded.nonEmpty)
+        LakeEq.requireSequenceable(dir,
+          Seq(LakeEq.EqRef("pending", nextVersion, Seq.empty, 0L)),
+          base.filterNot(removed.toSet).filterNot(addedNew.contains),
+          head.map(_.stats).getOrElse(Map.empty))
+      val nextEqs = eqsOverride.getOrElse(
+        head.map(_.eqs).getOrElse(Seq.empty) ++
+          eqAdded.map { case (n, kc, cnt) =>
+            LakeEq.EqRef(n, nextVersion, kc, cnt) })
       // partition tuples follow the file set exactly like stats
       val nextParts = (head.map(_.parts).getOrElse(Map.empty) -- removed) ++
         addedParts.view.filterKeys(addedNew.contains)
@@ -1102,13 +1152,13 @@ object LakeLog {
         }
       }
       val next = Snapshot(
-        head.map(_.version + 1).getOrElse(0L),
+        nextVersion,
         now(head.map(_.timestampMs)), operation,
         (base.filterNot(removed.toSet) ++ addedNew).distinct.sorted,
         addedNew, removed.sorted, addedRows, dataChange, nextDvs, dvAdded,
         nextStats, updatePre, updatePost.filter(addedNew.contains),
         nextParts,
-        reuseBase)
+        reuseBase, eqs = nextEqs)
       prePublish()
       tryPublish(fs, dir, next, branch) match {
         case Some(s) => return s
@@ -1440,7 +1490,12 @@ object LakeLog {
       removed = head.files.filterNot(target.files.contains),
       addedRows = -1L,
       addedParts = target.parts,
-      dvsOverride = Some(target.dvs))
+      dvsOverride = Some(target.dvs),
+      // equality deletes restore VERBATIM like DVs, and the restored
+      // files keep the target's per-file stats — including addV, the
+      // sequencing fact the restored eq list applies through
+      eqsOverride = Some(target.eqs),
+      statsRestore = target.stats)
   }
 
   /** Expire history: keep the newest `keepLast` snapshots PLUS any
@@ -1510,13 +1565,17 @@ object LakeLog {
     // the grace window covers publish→commit races, not crash windows
     // of unbounded duration.
     val txPending = LakeTx.pendingFor(dir).flatMap(_.added).toSet
+    // equality-delete sidecars of retained snapshots (and branches) are
+    // live delete state — vacuuming one resurrects its deleted rows
+    val branchEqs = branchSnaps.flatMap(_.eqs.map(_.name)).toSet
     val referenced = keptSnaps.flatMap(s =>
-      s.files ++ s.dvs.values.flatten).toSet ++ branchFiles ++ txPending
+      s.files ++ s.dvs.values.flatten ++ s.eqs.map(_.name)).toSet ++
+      branchFiles ++ branchEqs ++ txPending
     val horizon = System.currentTimeMillis() - graceMs
     def aged(f: String): Boolean =
       try fs.getFileStatus(new Path(dir, f)).getModificationTime < horizon
       catch { case _: java.io.IOException => false } // vanished: skip
-    val orphans = (rawDataFiles(dir) ++ rawDvFiles(dir))
+    val orphans = (rawDataFiles(dir) ++ rawDvFiles(dir) ++ rawEqFiles(dir))
       .filterNot(referenced).filter(aged)
     drop.foreach(v =>
       fs.delete(new Path(logDir(dir), manifestName(v)), false))
@@ -1560,6 +1619,20 @@ object LakeLog {
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && (s.getPath.getName.endsWith(".dv.json") ||
         s.getPath.getName.endsWith(".dv.bin")))
+      .map(_.getPath.getName)
+      .sorted
+  }
+
+  /** Equality-delete sidecars on disk (the vacuum's orphan-candidate
+    * source, like [[rawDvFiles]]; never part of bootstrap).
+    */
+  def rawEqFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsFor(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("eq-") &&
+        s.getPath.getName.endsWith(".json"))
       .map(_.getPath.getName)
       .sorted
   }

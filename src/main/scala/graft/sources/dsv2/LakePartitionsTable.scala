@@ -158,6 +158,12 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
         s"graft_lake files metadata of $dir"
 
       override def planInputPartitions(): Array[InputPartition] = {
+        // live_rows is a PROMISE: equality deletes make it unknowable
+        // from metadata (key matches need a scan) — decline loud
+        require(LakeTableIO.snapshotEqs(dir).isEmpty,
+          s"graft_lake $dir holds live equality deletes — the files " +
+            "inventory's live_rows cannot account them; CALL " +
+            "system.rewrite_deletes first")
         val (files, dvs, stats, parts) = LakeTableIO.snapshotView(dir)
         // one listing for every size — O(1) remote calls, not O(files)
         val path = new org.apache.hadoop.fs.Path(dir)

@@ -107,7 +107,16 @@ object LakeStats {
     * by the planner); `cols` holds only columns with harvestable kinds.
     */
   final case class FileStats(rows: Long, groups: Int,
-                             cols: Map[String, ColStats])
+                             cols: Map[String, ColStats],
+                             // the snapshot VERSION that added the file
+                             // (-1 = unknown: legacy vintages, bootstrap
+                             // sweeps). The equality-delete sequencing
+                             // fact: an eq-delete committed at version V
+                             // applies to files with addV < V — the same
+                             // commit's post-images (addV = V) and later
+                             // rows are never affected (Iceberg's
+                             // data-vs-delete sequence-number rule).
+                             addV: Long = -1L)
 
   /** Exact-numeric types the writer harvests sums for (the metadata
     * SUM/AVG candidates): int/long and decimal of any supported
@@ -554,6 +563,7 @@ object LakeStats {
       val fm = new java.util.HashMap[String, Object]()
       fm.put("rows", java.lang.Long.valueOf(fs.rows))
       fm.put("groups", java.lang.Integer.valueOf(fs.groups))
+      if (fs.addV >= 0) fm.put("addV", java.lang.Long.valueOf(fs.addV))
       val cm = new java.util.HashMap[String, Object]()
       fs.cols.toSeq.sortBy(_._1).foreach { case (col, cs) =>
         val c = new java.util.HashMap[String, Object]()
@@ -615,7 +625,8 @@ object LakeStats {
             val groups = f.get("groups") match {
               case n: Number => n.intValue(); case _ => 1
             }
-            Some(String.valueOf(file) -> FileStats(lng("rows"), groups, cols))
+            Some(String.valueOf(file) ->
+              FileStats(lng("rows"), groups, cols, lng("addV")))
           case _ => None
         }
       }.toMap

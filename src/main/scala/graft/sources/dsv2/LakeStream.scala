@@ -240,6 +240,14 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
         val snap =
           if (asSnapshot) LakeLog.snapshotAt(dir, v)
           else LakeLog.snapshotAtDelta(dir, v)
+        // an equality-delete commit changes no files, so no change
+        // EVENTS can be derived for it — and rows already emitted
+        // cannot be retracted. Loud with the remedy (same contract as
+        // the batch change feed).
+        require(snap.eqs.isEmpty,
+          s"graft_lake $dir: version $v carries live equality " +
+            "deletes — a change-feed stream cannot represent them; " +
+            "CALL system.rewrite_deletes and restart past the rewrite")
         if (skipChangeCommits && snap.removed.nonEmpty &&
             snap.dataChange && !asSnapshot)
           Seq.empty
@@ -261,6 +269,12 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       val snap =
         if (asSnap) LakeLog.snapshotAt(dir, v)
         else LakeLog.snapshotAtDelta(dir, v)
+      // append-only replay: an equality-delete commit would silently
+      // delete rows this stream already emitted — loud, never wrong
+      require(snap.eqs.isEmpty,
+        s"graft_lake $dir: version $v carries live equality deletes — " +
+          "a streaming read cannot apply them retroactively; CALL " +
+          "system.rewrite_deletes and restart past the rewrite")
       stats ++= snap.stats
       parts ++= snap.parts
       if (so.snapshotStart && v == a + 1) {

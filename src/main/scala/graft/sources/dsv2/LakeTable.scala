@@ -133,6 +133,24 @@ class LakeTable(tableName: String, val dir: String,
     // truncate) — both resolve to a file-level replace at commit time
     // ([[LakeOverwrite]]), atomic under the same manifest conflict
     // rules as DML.
+    // NATIVE STREAMING UPSERT ([[LakeUpsertWrite]]): opt-in via write
+    // options — `upsert.keys` switches the whole write to the keyed
+    // fold + equality-delete epoch shape (streaming-only; batch
+    // upserts are MERGE INTO)
+    Option(info.options.get("upsert.keys")).foreach { keys =>
+      val order = Option(info.options.get("upsert.order")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft_lake upsert: option 'upsert.order' (a per-key " +
+            "sequence column) is required — without it the winning " +
+            "event per key within an epoch is undefined"))
+      val tomb = Option(info.options.get("upsert.tombstone"))
+      return new WriteBuilder {
+        override def build(): Write = new LakeUpsertWrite(dir,
+          info.schema(),
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          order, tomb, info.queryId())
+      }
+    }
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
         with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -166,6 +184,13 @@ class LakeTable(tableName: String, val dir: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot run DML against time-travel read $name")
+    // both DML paths rewrite or re-scan whole files and would
+    // MATERIALIZE equality-deleted rows back to life (the rewrite's
+    // outputs get a fresh add version past every live ref) — decline
+    // loud with the remedy until the deletes are retired
+    require(LakeTableIO.snapshotEqs(dir, None, branch).isEmpty,
+      s"graft_lake $name holds live equality deletes — row-level DML " +
+        "over them is not supported; CALL system.rewrite_deletes first")
     // DML mode is a TABLE property: merge-on-read routes to the
     // delta-based operation (deletion vectors — SupportsDelta), the
     // default stays group-based copy-on-write. Same switch Iceberg
@@ -336,6 +361,17 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   // Filter API cannot carry — pruned per file, ALWAYS residual
   private var transformPreds: Seq[LakePartitioning.TransformPred] =
     Seq.empty
+  // live equality deletes ([[LakeEq]]): loaded once per scan build;
+  // a read failure memoizes as the throw — a scan that cannot learn
+  // its delete state must not plan (silently assuming "none" is the
+  // one direction that resurrects deleted rows)
+  private lazy val snapEqs: Seq[LakeEq.EqRef] =
+    LakeTableIO.snapshotEqs(dir, pinnedVersion, branch)
+  // decline-shaped twin for the bounding paths: any uncertainty reads
+  // as "deletes present" (the offer is declined; merely slower)
+  private def eqFree: Boolean =
+    try snapEqs.isEmpty
+    catch { case scala.util.control.NonFatal(_) => false }
   // the subset of `pushed` the scan ENFORCES (Spark drops its Filter
   // node for these) — see [[pushFilters]]
   private var consumed: Array[Filter] = Array.empty
@@ -363,6 +399,8 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       transformPreds.isEmpty && // residual by construction: a bounded
         // file set must hold ALL result rows, which a transform
         // predicate's row-level re-check would break
+      eqFree && // equality deletes make per-file live counts unknown —
+        // LIMIT/TopN bounding arithmetic would over-trust them
       pushed.forall(f => consumed.exists(_ eq f) ||
         proven.exists(_ eq f))
 
@@ -756,7 +794,7 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
           pushed, pruneGroups = true, pinnedVersion, skipChangeCommits,
           startingVersion, branch, pacing, Map.empty, Map.empty,
           Map.empty, consumed, limitN, topN, checkPruned = true,
-          proven = proven)
+          proven = proven, eqs = snapEqs)
     }
     // manifest-tree fast path: pushed partition filters prune whole
     // SEGMENTS before their file entries are even read — on a
@@ -767,7 +805,8 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
     new LakeScan(dir, files, tableSchema, projected, pushed,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
       startingVersion, branch, pacing, dvs, stats, parts, consumed,
-      limitN, topN, proven = proven, transformPreds = transformPreds)
+      limitN, topN, proven = proven, transformPreds = transformPreds,
+      eqs = snapEqs)
   }
 }
 
@@ -800,7 +839,15 @@ case class LakeInputPartition(path: String, rowGroup: Int,
                               cols: Array[LakeColumnRef],
                               dvFiles: Seq[String] = Seq.empty,
                               cdc: Option[LakeCdcInfo] = None,
-                              pkey: Array[Any] = null)
+                              pkey: Array[Any] = null,
+                              // EQUALITY-DELETE sidecars applicable to
+                              // this file ([[LakeEq]] sequencing rule,
+                              // resolved at plan time) + resolution
+                              // refs for every involved key column —
+                              // the reader decodes keys (hidden when
+                              // not projected) and skips matching rows
+                              eqFiles: Seq[String] = Seq.empty,
+                              eqCols: Array[LakeColumnRef] = Array.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Partition key for storage-partitioned-join grouping — decoded
@@ -837,7 +884,12 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                // recognized V2 transform predicates (bucket(8,k)=3):
                // file pruning only — always residual above the scan
                transformPreds: Seq[LakePartitioning.TransformPred] =
-                 Seq.empty)
+                 Seq.empty,
+               // live equality deletes ([[LakeEq]]) of the scanned
+               // snapshot: applied per file by the reader (sequencing
+               // rule addV < ref version); plan fails loud on any
+               // file it cannot sequence
+               eqs: Seq[LakeEq.EqRef] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -849,6 +901,13 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     require(branch.isEmpty,
       "streaming reads follow MAIN history only — fast-forward the " +
         s"branch first (cannot stream $dir@${branch.getOrElse("")})")
+    // a commit-replaying stream has no sound way to apply an equality
+    // delete retroactively (earlier batches already emitted the rows);
+    // loud, with the remedy — rewrite_deletes materializes and retires
+    require(eqs.isEmpty,
+      s"graft_lake $dir holds live equality deletes — a streaming " +
+        "read cannot apply them retroactively; CALL " +
+        "system.rewrite_deletes first")
     new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits,
       startingVersion, pacing.maxCommitsPerBatch, pacing.maxRowsPerTrigger,
       pacing.maxFilesPerTrigger, consumed = consumed, proven = proven)
@@ -907,8 +966,39 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
             s"${p.getName}'s stats cannot prove them (concurrent " +
             "commit?); re-run the query"))
     }
+    // equality deletes: every PLANNED file must be sequenceable against
+    // the live refs (unknown add version = cannot tell whether the
+    // delete predates or postdates the rows) — loud, never wrong
+    LakeEq.requireSequenceable(dir, eqs, pruned._1.map(_.getName), stats)
     pruned
   }
+
+  /** Attach each split's applicable equality deletes (sequencing rule:
+    * refs committed AFTER the file's add version) plus the resolution
+    * refs of every involved key column — hidden columns the reader
+    * decodes without emitting.
+    */
+  private def withEq(ps: Array[InputPartition]): Array[InputPartition] =
+    if (eqs.isEmpty) ps
+    else {
+      val allRefs = LakeTableIO.columnRefs(tableSchema)
+      ps.map { p =>
+        val lp = p.asInstanceOf[LakeInputPartition]
+        val addV = stats.get(new Path(lp.path).getName)
+          .map(_.addV).getOrElse(-1L)
+        val applicable = LakeEq.applicable(eqs, addV)
+        if (applicable.isEmpty) p
+        else {
+          val keyCols = applicable.flatMap(_.keyCols).distinct
+          val refs = keyCols.map(c => allRefs.find(_.name == c)
+            .getOrElse(throw new IllegalStateException(
+              s"graft_lake $dir: equality-delete key column '$c' is " +
+                "missing from the table schema")))
+          lp.copy(eqFiles = applicable.map(_.name),
+            eqCols = refs.toArray): InputPartition
+        }
+      }
+    }
 
   /** Pushed-LIMIT / TopN FILE bounding ([[LakeLimits]]) — after
     * partition pruning, before row-group planning, manifest metadata
@@ -1061,7 +1151,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     catch { case _: IllegalStateException => false }
 
   override def planInputPartitions(): Array[InputPartition] =
-    runtimeKept match {
+    withEq(runtimeKept match {
       case Some(kept) =>
         val ps = LakeTableIO.planRowGroups(kept,
           LakeTableIO.columnRefs(projected), pushed, pruneGroups, dvs,
@@ -1072,7 +1162,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       case None =>
         try keyedParts
         catch { case _: IllegalStateException => plan.parts }
-    }
+    })
 
   /** STORAGE-PARTITIONED JOIN contract
     * ([[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]):
@@ -1239,7 +1329,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(projected)
+    new LakeReaderFactory(projected, anyEq = eqs.nonEmpty)
 
   // explain-visible evidence: projected columns + planned/total groups
   override def description(): String = {
@@ -1258,6 +1348,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       (if (transformPreds.nonEmpty)
         s"pushed_transform=[${transformPreds.map(_.shown).mkString(",")}] "
        else "") +
+      (if (eqs.nonEmpty) s"eq_deletes=${eqs.size} " else "") +
       s"pushed=[${pushed.mkString(",")}]" +
       limitN.fold("")(n => s" pushed_limit=$n") +
       topN.fold("")(t => s" pushed_topn=[${t.col} " +
@@ -1266,17 +1357,25 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   }
 }
 
-class LakeReaderFactory(projected: StructType)
+class LakeReaderFactory(projected: StructType,
+                        // live equality deletes anywhere in the scanned
+                        // snapshot: the WHOLE scan stays on the row
+                        // path (Spark requires a uniform columnar
+                        // answer across partitions, and eq membership
+                        // tests over hidden key columns are the row
+                        // reader's job)
+                        anyEq: Boolean = false)
     extends PartitionReaderFactory {
 
   /** Columnar when the scan shape admits it (flat primitives, no CDC
     * positions, no synthesized metadata columns) — [[LakeColumnarReader]]
     * holds the eligibility rules and the vectorized decode. Spark
     * requires the answer to be uniform across a scan's partitions;
-    * eligibility therefore consults only scan-shaped facts.
+    * eligibility therefore consults only scan-shaped facts (the
+    * equality-delete state is scan-level for the same reason).
     */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    LakeColumnarReader.eligible(
+    !anyEq && LakeColumnarReader.eligible(
       p.asInstanceOf[LakeInputPartition], projected)
 
   override def createColumnarReader(p: InputPartition)
@@ -1301,9 +1400,19 @@ class LakeReaderFactory(projected: StructType)
         reader.getFooter.getFileMetaData.getSchema
       private def isMeta(n: String) =
         n == LakeTableIO.MetaFile || n == LakeTableIO.MetaPos
-      // file column name -> output position, via per-column resolution
+      // EVALUATION columns: the projection, plus — when equality
+      // deletes apply to this file — any involved key column the
+      // projection lacks, appended HIDDEN (decoded for the membership
+      // test, never emitted). The prefix invariant (evalCols starts
+      // with part.cols verbatim) is what keeps every eval index below
+      // part.cols.length an output ordinal.
+      private val evalCols: Array[LakeColumnRef] =
+        if (part.eqFiles.isEmpty) part.cols
+        else part.cols ++ part.eqCols.filter(ec =>
+          !part.cols.exists(_.name == ec.name))
+      // file column name -> eval position, via per-column resolution
       private val filePos: Map[String, Int] =
-        part.cols.zipWithIndex.flatMap { case (ref, i) =>
+        evalCols.zipWithIndex.flatMap { case (ref, i) =>
           if (isMeta(ref.name)) None
           else LakeTableIO.resolveInFile(fileSchema, ref).map(_ -> i)
         }.toMap
@@ -1345,6 +1454,11 @@ class LakeReaderFactory(projected: StructType)
       private val convert: Array[Any => Any] =
         requestedStruct.fields.zipWithIndex.map { case (rf, i) =>
           import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+          if (outIndex(i) >= part.cols.length)
+            identity[Any] _ // hidden eq-key column: compared raw,
+              // never emitted (canonical key strings are equal across
+              // the admitted widenings)
+          else
           (rf.dataType, projected.fields(outIndex(i)).dataType) match {
             // sameType ignores NULLABILITY (nested containsNull /
             // valueContainsNull drift: a writer that proved its values
@@ -1375,12 +1489,54 @@ class LakeReaderFactory(projected: StructType)
         }
       private val anyConvert =
         requestedStruct.fields.zipWithIndex.exists { case (rf, i) =>
+          outIndex(i) < part.cols.length &&
           !LakeParquet.sameTypeIgnoreNullability(
             rf.dataType, projected.fields(outIndex(i)).dataType)
         }
       private val identityProjection =
-        !anyConvert && outIndex.length == part.cols.length &&
+        !anyConvert && part.eqFiles.isEmpty &&
+          outIndex.length == part.cols.length &&
           outIndex.zipWithIndex.forall { case (o, i) => o == i }
+      // equality-delete membership tests: per applicable sidecar, the
+      // requested-struct positions of its key columns + the canonical
+      // key set. A sidecar whose key column the FILE cannot resolve is
+      // dropped — every row's key value there is null (the file
+      // predates the column), and null never matches a non-null key.
+      private val eqTests: Array[(Array[Int], Set[String])] =
+        if (part.eqFiles.isEmpty) Array.empty
+        else {
+          val reqPosByEval: Map[Int, Int] =
+            outIndex.zipWithIndex.map { case (e, r) => e -> r }.toMap
+          val tableDir = new Path(part.path).getParent.toString
+          part.eqFiles.flatMap { name =>
+            val (cols, keys) = LakeEq.cached(tableDir, name)
+            val positions = cols.map { c =>
+              val e = evalCols.indexWhere(_.name.equalsIgnoreCase(c))
+              if (e < 0) -1 else reqPosByEval.getOrElse(e, -1)
+            }
+            if (positions.contains(-1)) None
+            else Some((positions.toArray, keys))
+          }.toArray
+        }
+      private def eqDeleted(inner: InternalRow): Boolean = {
+        var i = 0
+        while (i < eqTests.length) {
+          val (pos, keys) = eqTests(i)
+          val values = new Array[Any](pos.length)
+          var j = 0
+          var nullKey = false
+          while (j < pos.length && !nullKey) {
+            if (inner.isNullAt(pos(j))) nullKey = true
+            else values(j) = inner.get(pos(j),
+              requestedStruct.fields(pos(j)).dataType)
+            j += 1
+          }
+          if (!nullKey && keys.contains(LakeEq.encodeKey(values.toSeq)))
+            return true
+          i += 1
+        }
+        false
+      }
       // merge-on-read: the union of this file's deletion vectors,
       // restricted to this row group's position range, applied with an
       // advancing cursor (positions are sorted, the scan is sequential
@@ -1556,14 +1712,18 @@ class LakeReaderFactory(projected: StructType)
                 new org.apache.spark.sql.catalyst.expressions
                   .GenericInternalRow(fastAdvance(decode = true))
               else LakeParquet.toInternalRow(recordReader.read(), dec)
+            if (eqTests.nonEmpty && eqDeleted(inner))
+              next() // equality-deleted row: skip
+            else {
             current =
               if (identityProjection) inner
               else {
                 val values = new Array[Any](part.cols.length)
                 var i = 0
                 while (i < outIndex.length) {
-                  values(outIndex(i)) = convert(i)(
-                    inner.get(i, requestedStruct.fields(i).dataType))
+                  if (outIndex(i) < part.cols.length) // hidden eq-key
+                    values(outIndex(i)) = convert(i)( // cols never emit
+                      inner.get(i, requestedStruct.fields(i).dataType))
                   i += 1
                 }
                 if (fileIdx >= 0) values(fileIdx) = fileValue
@@ -1573,6 +1733,7 @@ class LakeReaderFactory(projected: StructType)
                 new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
               }
             true
+            }
           }
         }
       override def get(): InternalRow = current
@@ -2703,10 +2864,33 @@ object LakeTableIO {
     * declines and the row scan takes over (whose own loud guard
     * covers the consumed-filter premise).
     */
+  /** The snapshot's live equality-delete refs ([[LakeEq]]), from the
+    * manifest SKELETON alone — zero segment reads. No log = no eqs;
+    * any other read failure propagates (callers pick their own
+    * conservative direction: metadata paths decline, scans fail loud —
+    * swallowing here would default to "no deletes", the one direction
+    * that resurrects rows).
+    */
+  def snapshotEqs(dir: String, version: Option[Long] = None,
+                  branch: Option[String] = None): Seq[LakeEq.EqRef] =
+    version match {
+      case Some(v) =>
+        LakeLog.snapshotAtPruned(dir, v, branch, _ => false).eqs
+      case None =>
+        LakeLog.currentPruned(dir, branch, _ => false)
+          .map(_.eqs).getOrElse(Seq.empty)
+    }
+
   private def filteredView(
       dir: String, version: Option[Long], branch: Option[String],
       tableSchema: StructType, pushed: Array[Filter])
       : Option[SnapView] = {
+    // live equality deletes make every physical fact (counts, bounds,
+    // sums, live-row arithmetic) potentially stale for the files they
+    // apply to — the metadata fast paths DECLINE rather than guess
+    if ((try snapshotEqs(dir, version, branch)
+         catch { case scala.util.control.NonFatal(_) => return None })
+        .nonEmpty) return None
     val v = snapshotViewPruned(dir, version, branch, pushed)
     if (pushed.isEmpty) return Some(v)
     val (files, dvs, stats, parts) = v

@@ -1,0 +1,282 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.dsv2.{GraftCatalog, LakeEq, LakeLog}
+
+/** Equality deletes ([[graft.sources.dsv2.LakeEq]]) and the native
+  * streaming upsert sink ([[graft.sources.dsv2.LakeUpsertWrite]]):
+  * each epoch commits O(epoch) work — one key-tombstone sidecar plus
+  * the surviving post-images — instead of a foreachBatch MERGE's
+  * O(table) join. Soundness pins: the sequencing rule (a delete never
+  * touches the same commit's own post-images or later rows), read-side
+  * subtraction everywhere (head, time travel, rollback), retirement
+  * via rewrite_deletes, and LOUD declines on every surface whose
+  * contract live equality deletes would silently break (metadata
+  * aggregates, LIMIT bounding, compact/zorder, DML, change feeds,
+  * streaming reads, the files inventory).
+  */
+class LakeEqDeleteSpec extends SparkSpec {
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = Files.createTempDirectory("graft-eq").toString
+    n += 1
+    val cat = s"eqcat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  private def freshDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-eq-$name")
+    p.toString
+  }
+
+  private def exists(e: Throwable, s: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+      .exists(t => Option(t.getMessage).exists(_.contains(s)))
+
+  /** Drive a keyed CDC stream (3 commits = 3 epochs) into `dst`. */
+  private def runUpsert(cat: String, src: String, dst: String): Unit = {
+    val out = freshDir("ckpt")
+    val q = spark.readStream.option("maxCommitsPerBatch", 1)
+      .table(src)
+      .writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .option("upsert.keys", "k")
+      .option("upsert.order", "seq")
+      .option("upsert.tombstone", "op = 'delete'")
+      .trigger(Trigger.AvailableNow())
+      .toTable(dst)
+    q.awaitTermination()
+  }
+
+  test("streaming upsert folds a keyed CDC stream at O(epoch): " +
+       "insert/update/delete epochs land as eq-tombstones + " +
+       "post-images, the final state equals the batch MERGE semantics, " +
+       "and the same epoch's own post-images are never self-deleted") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      // epoch 1: inserts for keys 1..6 — PLUS a same-epoch update of
+      // key 1 (the within-epoch fold: seq 2 wins, seq 1 never lands)
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1), " +
+        "(3, 'c1', 'insert', 1), (4, 'd1', 'insert', 1), " +
+        "(5, 'e1', 'insert', 1), (6, 'f1', 'insert', 1), " +
+        "(1, 'a2', 'update', 2)")
+      // epoch 2: update keys 2 and 3 (their epoch-1 rows must
+      // eq-delete), delete key 4
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(2, 'b2', 'update', 3), (3, 'c2', 'update', 3), " +
+        "(4, null, 'delete', 3)")
+      // epoch 3: re-insert key 4 (a delete then re-insert), delete 6
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(4, 'd3', 'insert', 4), (6, null, 'delete', 4)")
+      spark.sql(s"CREATE TABLE $cat.db.dst " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.dst")
+      val got = spark.table(s"$cat.db.dst")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a2", 2L -> "b2", 3L -> "c2",
+        4L -> "d3", 5L -> "e1"),
+        s"fold result wrong: $got")
+      // the log shape: three epoch commits, each carrying ONE eq ref;
+      // refs accumulate until retirement
+      val dir = s"$root/db/dst"
+      val head = LakeLog.current(dir).get
+      assert(head.eqs.size == 3, s"three epochs' refs live: ${head.eqs}")
+      assert(head.eqs.forall(_.keyCols == Seq("k")))
+      // physically the superseded rows are still in their files — the
+      // READER subtracts them (count must come from a scan, not
+      // metadata: the fast path declines under live eqs)
+      val cq = spark.sql(s"SELECT count(*) FROM $cat.db.dst")
+      assert(!cq.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"),
+        "metadata COUNT must decline under live equality deletes")
+      assert(cq.collect().head.getLong(0) == 5L)
+      // explain evidence
+      val desc = spark.table(s"$cat.db.dst")
+        .queryExecution.executedPlan.toString
+      assert(desc.contains("eq_deletes=3"), desc)
+    }
+  }
+
+  test("retirement: rewrite_deletes materializes the tombstones, " +
+       "retires every ref, preserves the exact state, and restores the " +
+       "metadata fast paths; a second rewrite is a no-op") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1), " +
+        "(3, 'c1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2), (2, null, 'delete', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.d2 " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.d2")
+      val dir = s"$root/db/d2"
+      val before = spark.table(s"$cat.db.d2")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(before == Map(1L -> "a2", 3L -> "c1"))
+      val r = spark.sql(s"CALL $cat.system.rewrite_deletes('db.d2')")
+        .collect().head
+      assert(r.getInt(0) >= 1 && r.getLong(1) >= 2L,
+        s"files rewritten + eq rows materialized: $r")
+      assert(LakeLog.current(dir).get.eqs.isEmpty, "refs retired")
+      val after = spark.table(s"$cat.db.d2")
+        .selectExpr("k", "v").collect()
+        .map(r2 => r2.getLong(0) -> r2.getString(1)).toMap
+      assert(after == before, "rewrite must preserve the exact state")
+      // fast paths restored
+      val cq = spark.sql(s"SELECT count(*) FROM $cat.db.d2")
+      assert(cq.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"),
+        cq.queryExecution.executedPlan.toString)
+      assert(cq.collect().head.getLong(0) == 2L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.d2.files")
+        .collect().head.getLong(0) >= 1L, "inventory readable again")
+      // idempotent
+      val r2 = spark.sql(s"CALL $cat.system.rewrite_deletes('db.d2')")
+        .collect().head
+      assert(r2.getInt(0) == 0 && r2.getLong(1) == 0L)
+    }
+  }
+
+  test("sequencing under time travel and rollback: each snapshot " +
+       "applies exactly ITS OWN refs — an earlier version ignores " +
+       "later tombstones, and rollback restores the eq list AND the " +
+       "restored files' add versions verbatim (deleted rows stay " +
+       "deleted after the restore)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.tt " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.tt")
+      def vmap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+        df.selectExpr("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // head (v2): epoch-2's tombstone deleted a1, post-image a2 lives
+      assert(vmap(spark.table(s"$cat.db.tt")) ==
+        Map(1L -> "a2", 2L -> "b1"))
+      // v1: epoch-2's ref is NOT in v1's manifest — a1 still live
+      assert(vmap(spark.sql(
+        s"SELECT * FROM $cat.db.tt VERSION AS OF 1")) ==
+        Map(1L -> "a1", 2L -> "b1"))
+      val dir = s"$root/db/tt"
+      // rollback to v2 is a no-op state-wise, but the CRITICAL pin is
+      // rolling back to v1 then to v2 again: the re-added epoch-1 file
+      // must keep its ORIGINAL add version so v2's restored ref still
+      // deletes a1 (a re-stamped addV would resurrect it)
+      spark.sql(s"CALL $cat.system.rollback('db.tt', 1)")
+      assert(vmap(spark.table(s"$cat.db.tt")) ==
+        Map(1L -> "a1", 2L -> "b1"),
+        "pre-tombstone state restored whole")
+      spark.sql(s"CALL $cat.system.rollback('db.tt', 2)")
+      assert(vmap(spark.table(s"$cat.db.tt")) ==
+        Map(1L -> "a2", 2L -> "b1"),
+        "the restored ref must still delete the restored file's row")
+      val head = LakeLog.current(dir).get
+      assert(head.eqs.size == 2, s"v2's refs restored: ${head.eqs}")
+    }
+  }
+
+  test("LOUD declines under live equality deletes: metadata " +
+       "aggregates, LIMIT bounding, compact, zorder, row-level DML, " +
+       "the change feed, streaming reads, and the files inventory all " +
+       "refuse rather than guess — and results stay exact throughout") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.dd " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.dd")
+      val dir = s"$root/db/dd"
+      assert(LakeLog.current(dir).get.eqs.nonEmpty)
+      // LIMIT file bounding declines (no pushed_limit), answer exact
+      val lq = spark.sql(s"SELECT k FROM $cat.db.dd LIMIT 5")
+      assert(!lq.queryExecution.executedPlan.toString
+        .contains("pushed_limit"))
+      assert(lq.collect().length == 2)
+      // maintenance + DML + feeds: loud with the remedy
+      val eCompact = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.compact('db.dd', 134217728)")
+      }
+      assert(exists(eCompact, "rewrite_deletes"), s"$eCompact")
+      val eZorder = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.zorder('db.dd', 'k', 2)")
+      }
+      assert(exists(eZorder, "rewrite_deletes"), s"$eZorder")
+      val eDml = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.db.dd WHERE k = 2")
+      }
+      assert(exists(eDml, "rewrite_deletes"), s"$eDml")
+      val eChanges = intercept[Exception] {
+        graft.operators.LakeSnapshots.changes(spark, dir, 1, 2).collect()
+      }
+      assert(exists(eChanges, "equality-delete"), s"$eChanges")
+      val eInv = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.db.dd.files").collect()
+      }
+      assert(exists(eInv, "rewrite_deletes"), s"$eInv")
+      val eStream = intercept[Exception] {
+        val out = freshDir("sread")
+        val q = spark.readStream.table(s"$cat.db.dd")
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      assert(exists(eStream, "equality deletes"), s"$eStream")
+      // ANALYZE skips eq-affected files instead of faking facts
+      spark.sql(s"CALL $cat.system.analyze('db.dd')")
+      assert(!spark.sql(s"SELECT sum(k) FROM $cat.db.dd")
+        .queryExecution.executedPlan.toString
+        .contains("PushedAggregates"),
+        "metadata SUM must stay declined while refs live")
+      // after retirement everything works again (compact as the probe)
+      spark.sql(s"CALL $cat.system.rewrite_deletes('db.dd')")
+      spark.sql(s"CALL $cat.system.compact('db.dd', 134217728)")
+      assert(spark.table(s"$cat.db.dd").count() == 2L)
+    }
+  }
+
+  test("an equality delete cannot commit against (or plan over) files " +
+       "with no add version — the sequencing precondition is loud at " +
+       "both ends, with the remedy") {
+    val dir = Files.createTempDirectory("graft-eq-seq").toString
+    // bootstrap vintage: raw files swept into v0 with NO stats → no
+    // add version
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+    LakeLog.commit(dir, "noop", Seq.empty, Seq.empty, 0L) // bootstrap v0
+    val side = LakeEq.write(dir, Seq("k"), Seq("1"))
+    val e = intercept[IllegalStateException] {
+      LakeLog.commit(dir, "upsert-attempt", Seq.empty, Seq.empty, 0L,
+        eqAdded = Seq((side, Seq("k"), 1L)))
+    }
+    assert(e.getMessage.contains("add version") &&
+      e.getMessage.contains("rewrite_deletes"), e.getMessage)
+  }
+}
