@@ -19,7 +19,14 @@ import java.util.concurrent.atomic.AtomicBoolean
   *     per-query budget: fast queries get the min-of-2 steady-state
   *     estimator, a pathological query costs one run, not three. The
   *     estimator per query is visible in the JSON tag
-  *     ("estimator": "min2_under_<budget>s").
+  *     ("estimator": "min2_median3_under_<budget>s").
+  *   - MEDIAN-OF-3 when the two exec samples disagree by >25 % on a
+  *     ≥0.3 s query (r13 verdict item 5: the graph family's ±3 s
+  *     same-code swing was the largest error term in round-over-round
+  *     comparison): a third sample runs (billed to the rescue
+  *     allowance) and the MEDIAN reports — min-of-2 under that much
+  *     spread just mints whichever run got lucky. All three raw
+  *     samples stay visible in "runs".
   *   - a first run OVER the budget still earns ONE rescue rerun when it
   *     is plausibly transient noise (≤ 4× budget) and the global rescue
   *     allowance isn't spent — a machine-contention spike during run 1
@@ -93,7 +100,7 @@ object Bench {
     // timings file so any kill leaves it current
     val summaryFile =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
-    val estimator = s"min2_under_${rerunBudget}s" +
+    val estimator = s"min2_median3_under_${rerunBudget}s" +
       (if (isolate) "_isolated" else "")
     // results/errors are appended by the main loop and snapshotted by the
     // shutdown hook on SIGTERM — all access goes through `lock` so a
@@ -239,7 +246,7 @@ object Bench {
       if (rescue) rescueSpent += w1
       val secondRun = !failed && firstErr == null &&
         (w1 <= rerunBudget || rescue)
-      val samples =
+      val samples0 =
         if (!secondRun) List(s1)
         else {
           // a FAILED steady-state sample is discarded (its "timing" is
@@ -248,7 +255,34 @@ object Bench {
           val s2 = once()
           if (sampleErr != null) List(s1) else List(s1, s2)
         }
-      val t = (samples.map(_._2).min, samples.map(_._1).min)
+      // MEDIAN-OF-3 for noisy queries: when the two exec samples
+      // disagree by >25 % (and the query is big enough for relative
+      // noise to mean anything), a third sample breaks the tie and the
+      // MEDIAN reports — min-of-2 under that much spread just mints
+      // whichever run got lucky, and the top of the table was absorbing
+      // ±3 s of same-code JIT/GC swing (r13's graph family). The extra
+      // run bills the rescue allowance, so a noisy-but-huge query can't
+      // starve the suite.
+      val samples =
+        if (samples0.size < 2) samples0
+        else {
+          val (a, b) = (samples0(0)._2, samples0(1)._2)
+          val spread = math.abs(a - b) / math.max(math.min(a, b), 1e-9)
+          val w = samples0.map(s => s._1 + s._2).max
+          if (spread > 0.25 && math.max(a, b) >= 0.3 &&
+              rescueSpent + w <= rescueAllowance) {
+            rescueSpent += w
+            System.err.println(f"[bench] $name: exec spread " +
+              f"${spread * 100}%.0f%% — taking a third sample (median)")
+            val s3 = once()
+            if (sampleErr != null) samples0 else samples0 :+ s3
+          } else samples0
+        }
+      val t =
+        if (samples.size == 3)
+          (samples.map(_._2).sorted.apply(1), // median exec
+            samples.map(_._1).min)
+        else (samples.map(_._2).min, samples.map(_._1).min)
       val served = CacheRegistry.servedFrom(name)
       lock.synchronized {
         results += (name -> t)

@@ -238,8 +238,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       LakeChecks.resolve(org.apache.spark.sql.SparkSession.active,
         schema, k.substring(LakeChecks.Prefix.length), text)
     }
+    // writer knobs validated NOW (CREATE-grade), persisted below
+    val compression =
+      Option(info.properties().get(LakeTableIO.CompressionKey))
+    compression.foreach(LakeTableIO.validateCompression)
+    val targetBytes =
+      Option(info.properties().get(LakeTableIO.TargetFileBytesKey))
+    targetBytes.foreach(LakeTableIO.validateTargetFileBytes)
     val props =
-      mode.filter(_ == "merge-on-read").map("write.mode" -> _).toMap ++
+      compression.map(LakeTableIO.CompressionKey -> _).toMap ++
+        targetBytes.map(LakeTableIO.TargetFileBytesKey -> _).toMap ++
+        mode.filter(_ == "merge-on-read").map("write.mode" -> _).toMap ++
         (if (spec.isEmpty) Map.empty
          else Map(LakePartitioning.SpecKey ->
            LakePartitioning.show(spec))) ++
@@ -552,7 +561,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // future writes pick them up, existing files stay readable and
         // conservatively judged (bloomless/unsorted vintages keep).
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
-          LakeBloom.ColKey, LakeNdv.ColKey)
+          LakeBloom.ColKey, LakeNdv.ColKey,
+          LakeTableIO.CompressionKey, LakeTableIO.TargetFileBytesKey)
         val isCheck = sp.property().startsWith(LakeChecks.Prefix) &&
           sp.property().length > LakeChecks.Prefix.length
         require(knobs.contains(sp.property()) || isCheck,
@@ -603,6 +613,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                 sp.value() == "copy-on-write",
               s"graft_lake: write.mode must be merge-on-read or " +
                 s"copy-on-write, got '${sp.value()}'")
+          case LakeTableIO.CompressionKey =>
+            LakeTableIO.validateCompression(sp.value())
+          case LakeTableIO.TargetFileBytesKey =>
+            LakeTableIO.validateTargetFileBytes(sp.value())
           case LakeTableIO.SortColsKey =>
             cols.foreach(c => require(fieldOf(c).isDefined,
               s"graft_lake: ${LakeTableIO.SortColsKey} names unknown " +
@@ -635,7 +649,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         }
       case rp: TableChange.RemoveProperty =>
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
-          LakeBloom.ColKey, LakeNdv.ColKey)
+          LakeBloom.ColKey, LakeNdv.ColKey,
+          LakeTableIO.CompressionKey, LakeTableIO.TargetFileBytesKey)
         val isCheckRm = rp.property().startsWith(LakeChecks.Prefix) &&
           rp.property().length > LakeChecks.Prefix.length
         require(knobs.contains(rp.property()) || isCheckRm,

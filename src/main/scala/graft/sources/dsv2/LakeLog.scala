@@ -375,23 +375,28 @@ object LakeLog {
         }
     }
 
-  /** version → operation string for every retained MAIN manifest,
-    * served from a lazily-extended hint (`_log/_ops.json` — the
-    * epoch-ref pattern): a call reads the hint, loads only manifests
-    * ABOVE its high-water as SKELETONS (zero segment I/O), and
-    * rewrites the hint covering the new head. Amortized manifest reads
-    * per call = new versions since the last call — what lets
-    * [[LakeTx.consistentView]] and [[expire]]'s marker scan plan cuts
-    * on a long history without touching every manifest. The hint is
+  /** version → operation string for every retained manifest of a REF
+    * (main or a branch — r13 verdict item 7 extended the index per
+    * branch, so branch-heavy WAP workflows keep O(new-versions)
+    * planning too), served from a lazily-extended hint (`_ops.json`
+    * in the ref's own log dir — the epoch-ref pattern): a call reads
+    * the hint, loads only manifests ABOVE its high-water as SKELETONS
+    * (zero segment I/O), and rewrites the hint covering the new head.
+    * Amortized manifest reads per call = new versions since the last
+    * call — what lets [[LakeTx.consistentView]], [[expire]]'s marker
+    * scan, and [[lastCommittedEpoch]]'s branch fallback plan cuts on a
+    * long history without touching every manifest. The hint is
     * derived data over immutable manifests: racing writers converge,
-    * a torn/missing hint just means a full (skeleton) rescan, and
-    * entries for expired versions drop out on rewrite.
+    * a torn/missing hint just means a full (skeleton) rescan, entries
+    * for expired versions drop out on rewrite, and a dropped branch
+    * takes its hint with its log dir.
     */
-  def operations(dir: String): Seq[(Long, String)] = {
+  def operations(dir: String,
+                 branch: Option[String] = None): Seq[(Long, String)] = {
     val fs = fsFor(dir)
-    val vs = versions(dir)
+    val vs = versions(dir, branch)
     if (vs.isEmpty) return Seq.empty
-    val p = new Path(logDir(dir), "_ops.json")
+    val p = new Path(ld(dir, branch), "_ops.json")
     val cached: Map[Long, String] =
       try {
         if (!fs.exists(p)) Map.empty
@@ -407,7 +412,7 @@ object LakeLog {
     val entries = vs.map { v =>
       v -> cached.getOrElse(v, {
         fresh += 1
-        snapshotAtPruned(dir, v, None, _ => false).operation
+        snapshotAtPruned(dir, v, branch, _ => false).operation
       })
     }
     // rewrite when anything changed: new versions appended or expired
@@ -416,7 +421,7 @@ object LakeLog {
       try {
         val m = new JHashMap[String, Object]()
         entries.foreach { case (v, op) => m.put(v.toString, op) }
-        val tmp = new Path(logDir(dir),
+        val tmp = new Path(ld(dir, branch),
           s".tmp-ops-${java.util.UUID.randomUUID()}.json")
         val out = fs.create(tmp, true)
         try out.write(mapper.writeValueAsBytes(m)) finally out.close()
@@ -1457,10 +1462,14 @@ object LakeLog {
           Some(j.get("epoch").asInstanceOf[Number].longValue())
         }
       } catch { case _: Exception => None } // torn/absent: log decides
-    val fromLog = versions(dir, branch).reverseIterator.map(v =>
-      snapshotAt(dir, v, branch).operation).collectFirst {
-        case EpochOpRe(q, e) if q == queryId => e.toLong
-      }
+    // ops-hint-backed fallback: amortized O(new versions) manifest
+    // skeletons on BOTH main and branch refs (a fresh stream's first
+    // epoch on a 10⁶-commit history reads the hint, not the history);
+    // the old newest-first manifest walk was O(history) exactly when
+    // the query had no prior epoch — every stream's first commit
+    val fromLog = operations(dir, branch).reverseIterator.collectFirst {
+      case (_, EpochOpRe(q, e)) if q == queryId => e.toLong
+    }
     (ref.toSeq ++ fromLog.toSeq).maxOption
   }
 

@@ -2203,6 +2203,17 @@ class LakeWriterFactory(dir: String, schema: StructType)
     }
   }
 
+  // writer knobs, resolved ONCE at factory construction on the driver
+  // (validated at CREATE/ALTER; see [[LakeTableIO.CompressionKey]] /
+  // [[LakeTableIO.TargetFileBytesKey]])
+  private val codec: CompressionCodecName =
+    try LakeTableIO.codecOf(dir)
+    catch { case scala.util.control.NonFatal(_) =>
+      CompressionCodecName.SNAPPY }
+  private val targetFileBytes: Long =
+    try LakeTableIO.targetFileBytesOf(dir)
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -2237,7 +2248,7 @@ class LakeWriterFactory(dir: String, schema: StructType)
           ExampleParquetWriter
             .builder(HadoopOutputFile.fromPath(staged, new Configuration()))
             .withType(message)
-            .withCompressionCodec(CompressionCodecName.SNAPPY)
+            .withCompressionCodec(codec)
             .withRowGroupSize(LakeTableIO.rowGroupBytes)
             .withPageRowCountLimit(LakeTableIO.pageRowLimit)
             .build()
@@ -2268,6 +2279,9 @@ class LakeWriterFactory(dir: String, schema: StructType)
         })
 
       private val open = mutable.LinkedHashMap.empty[Seq[String], OneFile]
+      // files SEALED by the roll target mid-write (closed, rows > 0) —
+      // they commit alongside the still-open tail files
+      private val rolled = mutable.ArrayBuffer.empty[OneFile]
       private def fileFor(row: InternalRow, off: Int): OneFile =
         if (bound.isEmpty)
           open.getOrElseUpdate(Nil, new OneFile(None))
@@ -2275,6 +2289,18 @@ class LakeWriterFactory(dir: String, schema: StructType)
           val tuple = LakePartitioning.versionedTuple(specId,
             LakePartitioning.encodeTuple(bound.map(_.evalRow(row, off))))
           open.getOrElseUpdate(tuple, new OneFile(Some(tuple)))
+        }
+      /** Roll `f` when it passed the size target: seal it (its
+        * per-file facts seal with it) and let the next row open a
+        * fresh file for the tuple. Size probed every 256 rows —
+        * getDataSize sums the column buffers, too hot per row.
+        */
+      private def maybeRoll(f: OneFile): Unit =
+        if (targetFileBytes > 0 && (f.rows & 0xffL) == 0L &&
+            f.writer.getDataSize >= targetFileBytes) {
+          f.close(delete = false)
+          rolled += f
+          open.remove(f.tuple.getOrElse(Nil))
         }
 
       override def write(row: InternalRow): Unit = {
@@ -2365,9 +2391,22 @@ class LakeWriterFactory(dir: String, schema: StructType)
           lc += 1
         }
         f.rows += 1
+        maybeRoll(f)
       }
       override def commit(): WriterCommitMessage = {
-        val staged = open.values.toSeq.flatMap { f =>
+        val sealedStaged = rolled.toSeq.map { f =>
+          StagedLakeFile(f.staged.toString, f.rows, f.tuple,
+            bloomCols.indices
+              .map(i => bloomCols(i)._1 -> f.blooms(i).toBase64).toMap,
+            sumCols.indices.map(i => sumCols(i)._1 ->
+              (f.sums(i).toDecimalString,
+                f.asums(i).toDecimalString)).toMap,
+            ndvCols.indices
+              .map(i => ndvCols(i)._1 -> f.ndvs(i).toBase64).toMap,
+            lenCols.indices.map(i => lenCols(i)._1 ->
+              (f.tlens(i).toString, f.mlens(i).toString)).toMap)
+        }
+        val staged = sealedStaged ++ open.values.toSeq.flatMap { f =>
           if (f.rows > 0) {
             f.close(delete = false)
             Some(StagedLakeFile(f.staged.toString, f.rows, f.tuple,
@@ -2384,13 +2423,64 @@ class LakeWriterFactory(dir: String, schema: StructType)
         }
         LakeFileMessage(staged)
       }
-      override def abort(): Unit =
+      override def abort(): Unit = {
         open.values.foreach(_.close(delete = true))
+        // rolled files are already closed; delete their staged bytes
+        rolled.foreach(f =>
+          try f.staged.getFileSystem(new Configuration())
+            .delete(f.staged, false)
+          catch { case _: java.io.IOException => () })
+      }
       override def close(): Unit = ()
     }
 }
 
 object LakeTableIO {
+  /** `write.compression` — the writer's parquet codec (zstd | snappy |
+    * gzip; default snappy). Per-FILE, footer-recorded: mixed-codec
+    * vintages always read together (every reader consults the footer),
+    * so flipping the knob needs no rewrite.
+    */
+  val CompressionKey = "write.compression"
+
+  /** `write.target-file-bytes` — the writer ROLLS to a new staged file
+    * once the current one's buffered+written size passes this target
+    * (per (task, partition-tuple) stream; manifest facts — blooms,
+    * sums, sketches, lengths — restart per rolled file because they
+    * are per-file facts). Unset = one file per (task, tuple), the
+    * historical shape. Compaction keeps its own target.
+    */
+  val TargetFileBytesKey = "write.target-file-bytes"
+
+  private val codecs = Map(
+    "snappy" -> CompressionCodecName.SNAPPY,
+    "zstd" -> CompressionCodecName.ZSTD,
+    "gzip" -> CompressionCodecName.GZIP)
+
+  def validateCompression(v: String): Unit =
+    require(codecs.contains(v.toLowerCase),
+      s"graft_lake: $CompressionKey must be one of " +
+        s"${codecs.keys.toSeq.sorted.mkString(", ")}, got '$v'")
+
+  def validateTargetFileBytes(v: String): Unit =
+    require(v.toLongOption.exists(_ >= (1L << 20)),
+      s"graft_lake: $TargetFileBytesKey must be an integer >= 1048576 " +
+        s"(1 MiB — smaller targets shred the table), got '$v'")
+
+  /** The writer codec for `dir` (validated at CREATE/ALTER; an
+    * unparseable stray value falls back to the default rather than
+    * failing a write).
+    */
+  def codecOf(dir: String): CompressionCodecName =
+    tableProps(dir).get(CompressionKey)
+      .flatMap(v => codecs.get(v.toLowerCase))
+      .getOrElse(CompressionCodecName.SNAPPY)
+
+  /** The roll target for `dir`; 0 = never roll. */
+  def targetFileBytesOf(dir: String): Long =
+    tableProps(dir).get(TargetFileBytesKey)
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L)
+
   /** Writer row-group size — settable (bytes) so fixtures can force a
     * multi-row-group layout at test scale; production default 128 MB.
     */

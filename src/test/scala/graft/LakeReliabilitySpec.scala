@@ -344,4 +344,42 @@ class LakeReliabilitySpec extends SparkSpec {
       }
     }
   }
+
+  test("ops hint covers BRANCH refs: on a 20-commit branch the " +
+       "version→operation index answers from the hint — amortized " +
+       "manifest reads per call are O(new versions), not O(history)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.b20 (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.b20 VALUES (0)")
+      val dir = s"$root/db/b20"
+      spark.sql(s"CALL $cat.system.branch('db.b20', 'wap')")
+      (1 to 20).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.db.b20.branch_wap VALUES ($i)"))
+      // first call builds the branch hint (pays the history once)
+      val ops1 = LakeLog.operations(dir, Some("wap"))
+      assert(ops1.size == 21, s"${ops1.size}") // fork marker + 20
+      // a hint-covered re-read: ZERO manifest reads
+      val before = LakeLog.manifestReads.get()
+      val ops2 = LakeLog.operations(dir, Some("wap"))
+      assert(ops2 == ops1)
+      val covered = LakeLog.manifestReads.get() - before
+      assert(covered == 0,
+        s"a hint-covered call must read no manifests, read $covered")
+      // one more branch commit: amortized O(new) — a small constant,
+      // never the 22-manifest history
+      spark.sql(s"INSERT INTO $cat.db.b20.branch_wap VALUES (99)")
+      val before2 = LakeLog.manifestReads.get()
+      val ops3 = LakeLog.operations(dir, Some("wap"))
+      assert(ops3.size == 22)
+      val delta = LakeLog.manifestReads.get() - before2
+      assert(delta <= 3,
+        s"amortized O(new versions): expected <= 3 manifest reads " +
+          s"for one new commit, read $delta")
+      // the hint lives in the BRANCH's own log dir and retires with it
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+      spark.sql(s"CALL $cat.system.fast_forward('db.b20', 'wap')")
+      assert(spark.table(s"$cat.db.b20").count() == 22L)
+    }
+  }
 }
