@@ -224,6 +224,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"${f.get.dataType.simpleString} — NDV sketches admit " +
           "int/bigint/string/date/timestamp")
     }
+    // histogram-sampled columns: same CREATE-grade validation
+    val histCols = Option(info.properties().get(LakeHist.ColKey))
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    histCols.foreach { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+      require(f.isDefined,
+        s"graft_lake: ${LakeHist.ColKey} names unknown column '$c'")
+      require(LakeHist.admits(f.get.dataType),
+        s"graft_lake: ${LakeHist.ColKey} column '$c' has type " +
+          s"${f.get.dataType.simpleString} — histogram samples admit " +
+          "int/bigint/date/timestamp")
+    }
     // CHECK constraints validated NOW (parse/resolve/boolean against
     // the new schema); the table is empty, so the guarantee holds from
     // the first row — every write path enforces per row
@@ -258,6 +270,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
          else Map(LakeTableIO.SortColsKey -> sortCols.mkString(","))) ++
         (if (ndvCols.isEmpty) Map.empty
          else Map(LakeNdv.ColKey -> ndvCols.mkString(","))) ++
+        (if (histCols.isEmpty) Map.empty
+         else Map(LakeHist.ColKey -> histCols.mkString(","))) ++
         checkProps ++
         // validation watermark v0: the guarantee holds from creation
         // (before any data) — see LakeChecks.MetaPrefix
@@ -365,7 +379,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     def editColKnobs(f: String => Option[String]): Unit = {
       val base = propsAfter.getOrElse(LakeTableIO.tableProps(dir.toString))
       val next = Seq(LakeTableIO.SortColsKey, LakeBloom.ColKey,
-          LakeNdv.ColKey)
+          LakeNdv.ColKey, LakeHist.ColKey)
         .foldLeft(base) { (props, key) =>
           props.get(key) match {
             case None => props
@@ -561,7 +575,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // future writes pick them up, existing files stay readable and
         // conservatively judged (bloomless/unsorted vintages keep).
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
-          LakeBloom.ColKey, LakeNdv.ColKey,
+          LakeBloom.ColKey, LakeNdv.ColKey, LakeHist.ColKey,
           LakeTableIO.CompressionKey, LakeTableIO.TargetFileBytesKey)
         val isCheck = sp.property().startsWith(LakeChecks.Prefix) &&
           sp.property().length > LakeChecks.Prefix.length
@@ -621,10 +635,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             cols.foreach(c => require(fieldOf(c).isDefined,
               s"graft_lake: ${LakeTableIO.SortColsKey} names unknown " +
                 s"column '$c'"))
-          case key @ (LakeBloom.ColKey | LakeNdv.ColKey) =>
+          case key @ (LakeBloom.ColKey | LakeNdv.ColKey |
+                      LakeHist.ColKey) =>
             val (admits, what) =
               if (key == LakeBloom.ColKey)
                 (LakeBloom.admits _, "blooms")
+              else if (key == LakeHist.ColKey)
+                (LakeHist.admits _, "histogram samples")
               else (LakeNdv.admits _, "NDV sketches")
             cols.foreach { c =>
               val f = fieldOf(c)
@@ -632,8 +649,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                 s"graft_lake: $key names unknown column '$c'")
               require(admits(f.get.dataType),
                 s"graft_lake: $key column '$c' has " +
-                  s"type ${f.get.dataType.simpleString} — $what " +
-                  "admit int/bigint/string/date/timestamp")
+                  s"type ${f.get.dataType.simpleString} — not an " +
+                  s"admitted type for $what")
             }
         }
         // merge, never replace: other persisted props (the partition
@@ -649,7 +666,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         }
       case rp: TableChange.RemoveProperty =>
         val knobs = Set("write.mode", LakeTableIO.SortColsKey,
-          LakeBloom.ColKey, LakeNdv.ColKey,
+          LakeBloom.ColKey, LakeNdv.ColKey, LakeHist.ColKey,
           LakeTableIO.CompressionKey, LakeTableIO.TargetFileBytesKey)
         val isCheckRm = rp.property().startsWith(LakeChecks.Prefix) &&
           rp.property().length > LakeChecks.Prefix.length

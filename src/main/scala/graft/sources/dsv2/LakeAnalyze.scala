@@ -123,6 +123,53 @@ object LakeAnalyze {
       ExpressionEncoder[String]()
   }
 
+  /** Reservoir-sample accumulator over the histogram DOUBLE projection
+    * ([[LakeHist]]): buffer slot 0 carries the seen count, the rest
+    * the samples. Merge concatenates and uniformly down-samples —
+    * approximately algorithm R across partial aggregations of one
+    * file's rows (estimate-grade, like the histogram itself).
+    */
+  final class SampleUdaf(k: Int = LakeHist.K)
+      extends Aggregator[java.lang.Double, Array[Double], String] {
+    override def zero: Array[Double] = Array(0.0)
+    override def reduce(b: Array[Double],
+                        v: java.lang.Double): Array[Double] =
+      if (v == null) b
+      else {
+        val n = b(0).toLong
+        val out =
+          if (b.length - 1 < k) b :+ v.doubleValue()
+          else {
+            val j = (rnd(b).nextDouble() * (n + 1)).toLong
+            if (j < k) b.updated(1 + j.toInt, v.doubleValue()) else b
+          }
+        out(0) = n + 1
+        out
+      }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      val all = a.drop(1) ++ b.drop(1)
+      val n = a(0) + b(0)
+      val kept =
+        if (all.length <= k) all
+        else {
+          val r = new java.util.Random(
+            java.lang.Double.doubleToLongBits(n) ^ all.length)
+          val idx = r.ints(0, all.length).distinct().limit(k).toArray
+          idx.map(all(_))
+        }
+      Array(n) ++ kept
+    }
+    private def rnd(b: Array[Double]): java.util.Random =
+      new java.util.Random(java.lang.Double.doubleToLongBits(b(0))
+        ^ 0x9e3779b97f4a7c15L)
+    override def finish(b: Array[Double]): String =
+      LakeHist.encode(b.drop(1))
+    override def bufferEncoder: ExpressionEncoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: ExpressionEncoder[String] =
+      ExpressionEncoder[String]()
+  }
+
   /** Canonical 64-bit hash of an EXTERNAL column value — must equal
     * the writer's internal-value hash bit for bit, which it does by
     * construction: both sides canonicalize through [[LakeBloom]]
@@ -180,6 +227,9 @@ object LakeAnalyze {
     val bloomCols = schema.fields.filter(f =>
       bloomNames(f.name.toLowerCase) && LakeBloom.admits(f.dataType)).toSeq
     val lenCols = schema.fields.filter(_.dataType == StringType).toSeq
+    val histNames = LakeHist.configured(dir).map(_.toLowerCase).toSet
+    val histCols = schema.fields.filter(f =>
+      histNames(f.name.toLowerCase) && LakeHist.admits(f.dataType)).toSeq
     // a (file, column) pairs up only when the file's stats entry sits
     // under the CURRENT name with the kind the table type implies —
     // the name-resolving stock reader then decodes the same column the
@@ -194,6 +244,11 @@ object LakeAnalyze {
       case StringType               => Some("str")
       case _                        => None
     }
+    def histKind(dt: DataType): Option[String] = dt match {
+      case LongType | TimestampType | TimestampNTZType => Some("long")
+      case IntegerType | DateType   => Some("int")
+      case _                        => None
+    }
     def needsFacts(f: String): Boolean =
       sumCols.exists(c =>
         kindOk(f, c, LakeTableIO.statKindFor(c.dataType)) &&
@@ -203,7 +258,9 @@ object LakeAnalyze {
       bloomCols.exists(c => kindOk(f, c, hashKind(c.dataType)) &&
         entry(f, c).exists(_.bloom.isEmpty)) ||
       lenCols.exists(c => kindOk(f, c, Some("str")) &&
-        entry(f, c).exists(cs => cs.tlen.isEmpty || cs.mlen.isEmpty))
+        entry(f, c).exists(cs => cs.tlen.isEmpty || cs.mlen.isEmpty)) ||
+      histCols.exists(c => kindOk(f, c, histKind(c.dataType)) &&
+        entry(f, c).exists(_.hsample.isEmpty))
     // DV'd files: live rows != physical facts — skipped (rewrite
     // deletes first). Stats-less-after-harvest files (unreadable)
     // cannot be amended either.
@@ -288,6 +345,21 @@ object LakeAnalyze {
         bloomCols.foreach(c => hashColumn(c.dataType, col(c.name)).foreach(h =>
           aggs += udaf(new BloomUdaf(LakeBloom.bits), Encoders.LONG)
             .apply(h).as(s"bloom__${c.name}")))
+        histCols.foreach { c =>
+          // the writer samples INTERNAL numerics: epoch days for DATE,
+          // micros for timestamps — match them exactly
+          val d = c.dataType match {
+            case DateType =>
+              datediff(col(c.name), to_date(lit("1970-01-01")))
+                .cast(DoubleType)
+            case TimestampType => unix_micros(col(c.name)).cast(DoubleType)
+            case TimestampNTZType =>
+              unix_micros(col(c.name).cast(TimestampType)).cast(DoubleType)
+            case _ => col(c.name).cast(DoubleType)
+          }
+          aggs += udaf(new SampleUdaf(), Encoders.DOUBLE).apply(d)
+            .as(s"hist__${c.name}")
+        }
         val aggList = aggs.result()
         if (aggList.isEmpty) return (Map.empty, 0)
         val rows = raw.groupBy(col("__file"))
@@ -353,6 +425,14 @@ object LakeAnalyze {
                     mlen = Some(mx.toString)))
               }
             }
+            histCols.foreach { c =>
+              if (kindOk(f, c, histKind(c.dataType))) {
+                val v = r.getString(r.fieldIndex(s"hist__${c.name}"))
+                if (v != null) amend(c.name, cs =>
+                  if (cs.hsample.isDefined) cs
+                  else cs.copy(hsample = Some(v)))
+              }
+            }
             f -> st.copy(cols = cols)
         }.toMap
         // A ZERO-ROW target file yields no groupBy('__file') row — it
@@ -400,6 +480,12 @@ object LakeAnalyze {
               amendZ(c.name, cs =>
                 if (cs.tlen.isDefined && cs.mlen.isDefined) cs
                 else cs.copy(tlen = Some("0"), mlen = Some("0")))
+          }
+          histCols.foreach { c =>
+            if (kindOk(f, c, histKind(c.dataType)))
+              amendZ(c.name, cs =>
+                if (cs.hsample.isDefined) cs
+                else cs.copy(hsample = Some(""))) // the empty sample
           }
           if (changed) Some(f -> st.copy(cols = cols)) else None
         }.toMap

@@ -934,6 +934,9 @@ object LakeLog {
              // CBO avgLen/maxLen facts
              addedLens: Map[String, Map[String, (String, String)]] =
                Map.empty,
+             // writer-sampled value reservoirs per added file (col →
+             // base64 doubles) — the CBO histogram facts ([[LakeHist]])
+             addedHists: Map[String, Map[String, String]] = Map.empty,
              // ANALYZE backfill: full replacement FileStats for files
              // already in the snapshot (facts recomputed from their
              // immutable bytes — sums, sketches, blooms for vintages
@@ -995,7 +998,9 @@ object LakeLog {
       val sm = addedSums.getOrElse(f, Map.empty)
       val nd = addedNdvs.getOrElse(f, Map.empty)
       val ln = addedLens.getOrElse(f, Map.empty)
-      if (bl.isEmpty && sm.isEmpty && nd.isEmpty && ln.isEmpty) f -> st
+      val hs = addedHists.getOrElse(f, Map.empty)
+      if (bl.isEmpty && sm.isEmpty && nd.isEmpty && ln.isEmpty &&
+          hs.isEmpty) f -> st
       else f -> st.copy(cols = st.cols.map { case (name, cs) =>
         val withBloom = bl.get(name).fold(cs)(b => cs.copy(bloom = Some(b)))
         val withSum = sm.get(name).fold(withBloom) { case (s, a) =>
@@ -1003,9 +1008,11 @@ object LakeLog {
         }
         val withNdv =
           nd.get(name).fold(withSum)(n => withSum.copy(ndv = Some(n)))
-        name -> ln.get(name).fold(withNdv) { case (t, mx) =>
+        val withLen = ln.get(name).fold(withNdv) { case (t, mx) =>
           withNdv.copy(tlen = Some(t), mlen = Some(mx))
         }
+        name -> hs.get(name).fold(withLen)(h =>
+          withLen.copy(hsample = Some(h)))
       })
     }
     var attempt = 0

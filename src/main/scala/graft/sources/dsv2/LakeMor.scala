@@ -172,6 +172,9 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
         addedLens = allFiles.collect {
           case (n, s) if s.lens.nonEmpty => n -> s.lens
         }.toMap,
+        addedHists = allFiles.collect {
+          case (n, s) if s.hists.nonEmpty => n -> s.hists
+        }.toMap,
         prePublish =
           () => LakeChecks.requireUnchangedForWrite(dir, checksAtPlan))
       catch {

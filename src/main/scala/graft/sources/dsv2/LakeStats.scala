@@ -100,7 +100,12 @@ object LakeStats {
                             // snapshot avgLen/maxLen for the CBO
                             // column-statistics report)
                             tlen: Option[String] = None,
-                            mlen: Option[String] = None)
+                            mlen: Option[String] = None,
+                            // bounded reservoir sample of the column's
+                            // values (stats.histogram.columns) — the
+                            // CBO equi-height histogram fact, see
+                            // [[LakeHist]]
+                            hsample: Option[String] = None)
 
   /** One data file's manifest statistics. `rows`/`groups` come from the
     * footer (physical rows — deletion vectors are accounted separately
@@ -578,6 +583,7 @@ object LakeStats {
         cs.ndv.foreach(c.put("ndv", _))
         cs.tlen.foreach(c.put("tlen", _))
         cs.mlen.foreach(c.put("mlen", _))
+        cs.hsample.foreach(c.put("hsample", _))
         cm.put(col, c)
       }
       fm.put("cols", cm)
@@ -616,7 +622,8 @@ object LakeStats {
                       Some(String.valueOf(col) ->
                         ColStats(kind, str("min"), str("max"), nulls, id,
                           str("bloom"), str("sum"), str("asum"),
-                          str("ndv"), str("tlen"), str("mlen")))
+                          str("ndv"), str("tlen"), str("mlen"),
+                          str("hsample")))
                     case _ => None
                   }
                 }.toMap

@@ -1289,8 +1289,69 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                   nonNull.toDouble)),
               resolved.map(_._2.mlen.get.toLong).max))
           } else None
+        // EQUI-HEIGHT HISTOGRAM (the seventh ColumnStat field): every
+        // planned file's value reservoir ([[LakeHist]]) merged
+        // weighted by its non-null count — only when every file
+        // carries a sample AND a known null split (all-or-nothing: an
+        // unaccounted file must not skew the shape). This is what
+        // rescues selectivity estimates under skew, where min/max's
+        // uniform interpolation is off by orders of magnitude.
+        // the histogram must SPAN the exact [min, max] (catalyst clamps
+        // filter literals to the ColumnStat bounds and ASSERTS the
+        // range fits the bins — a reservoir sample that missed an
+        // extreme would trip it), so the outer bins stretch to the
+        // reported extremes; no extremes → no histogram (catalyst
+        // never consults one without bounds anyway)
+        def spanDouble(v: Any): Option[Double] = v match {
+          case i: Int  => Some(i.toDouble)
+          case l: Long => Some(l.toDouble)
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+          case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+          case t: java.sql.Timestamp => Some(
+            (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toDouble)
+          case t: java.time.Instant => Some(
+            (t.getEpochSecond * 1000000L + t.getNano / 1000L).toDouble)
+          case t: java.time.LocalDateTime => Some(
+            (t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond *
+              1000000L + t.getNano / 1000L).toDouble)
+          case _ => None
+        }
+        val histo: Option[
+            org.apache.spark.sql.connector.read.colstats.Histogram] =
+          if (resolved.nonEmpty &&
+              resolved.forall(r => r._2.hsample.isDefined &&
+                r._2.nulls >= 0)) {
+            val perFile = resolved.map { case (rows, cs) =>
+              (rows - cs.nulls, LakeHist.decode(cs.hsample.get))
+            }
+            if (perFile.exists(_._2 == null)) None // torn: withhold
+            else for {
+              e <- extremes
+              loD <- spanDouble(e._1)
+              hiD <- spanDouble(e._2)
+              hb <- LakeHist.equiHeight(perFile)
+            } yield {
+              val (h, bs0) = hb
+              val bs = bs0.zipWithIndex.map { case ((l, u, d), i) =>
+                (if (i == 0) math.min(l, loD) else l,
+                  if (i == bs0.size - 1) math.max(u, hiD) else u, d)
+              }
+              new org.apache.spark.sql.connector.read.colstats.Histogram {
+                override def height(): Double = h
+                override def bins(): Array[
+                    org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                  bs.map { case (l, u, d) =>
+                    new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                      override def lo(): Double = l
+                      override def hi(): Double = u
+                      override def ndv(): Long = d
+                    }
+                  }.toArray
+              }
+            }
+          } else None
         if (nulls.isDefined || ndvEst.isDefined || extremes.isDefined ||
-            lenFacts.isDefined)
+            lenFacts.isDefined || histo.isDefined)
           m.put(org.apache.spark.sql.connector.expressions.Expressions
             .column(ref.name),
             new ColumnStatistics {
@@ -1311,6 +1372,11 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
               override def maxLen(): OptionalLong =
                 lenFacts.map(l => OptionalLong.of(l._2))
                   .getOrElse(OptionalLong.empty())
+              override def histogram(): Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                histo.map(Optional.of[
+                    org.apache.spark.sql.connector.read.colstats.Histogram])
+                  .getOrElse(Optional.empty())
             })
       }
     }
@@ -1756,7 +1822,10 @@ case class StagedLakeFile(stagedPath: String, rows: Long,
                           ndvs: Map[String, String] = Map.empty,
                           // string col → (total, max) UTF-8 byte
                           // lengths of non-null values
-                          lens: Map[String, (String, String)] = Map.empty)
+                          lens: Map[String, (String, String)] = Map.empty,
+                          // col → base64 value reservoir — the CBO
+                          // histogram fact (stats.histogram.columns)
+                          hists: Map[String, String] = Map.empty)
 
 /** Commit message: this task's staged files — one for an unpartitioned
   * write, one PER PARTITION TUPLE the task's rows touched for a
@@ -1935,6 +2004,9 @@ class LakeWrite(dir: String, writeSchema: StructType,
           addedLens = published.collect {
             case (n, s) if s.lens.nonEmpty => n -> s.lens
           }.toMap,
+          addedHists = published.collect {
+            case (n, s) if s.hists.nonEmpty => n -> s.hists
+          }.toMap,
           prePublish = () => requireNoNewChecks())
         catch {
           case e: Throwable =>
@@ -2075,6 +2147,9 @@ class LakeWrite(dir: String, writeSchema: StructType,
         addedLens = published.collect {
           case (n, s) if s.lens.nonEmpty => n -> s.lens
         }.toMap,
+        addedHists = published.collect {
+          case (n, s) if s.hists.nonEmpty => n -> s.hists
+        }.toMap,
         prePublish = () => requireNoNewChecks())
       catch {
         case e: Throwable => cleanupPublished(); throw e
@@ -2164,6 +2239,18 @@ class LakeWriterFactory(dir: String, schema: StructType)
       else Some((schema.fields(i).name, schema.fields(i).dataType, i))
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+  /** Histogram-sampled columns present in this write's schema (opt-in
+    * via stats.histogram.columns — the stats.ndv.columns pattern):
+    * a bounded value reservoir per (file, column), O(1) per row.
+    */
+  private val histCols: Seq[(String, org.apache.spark.sql.types.DataType,
+      Int)] =
+    try LakeHist.configured(dir).flatMap { c =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0 || !LakeHist.admits(schema.fields(i).dataType)) None
+      else Some((schema.fields(i).name, schema.fields(i).dataType, i))
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   /** String columns — always-on (total, max) UTF-8 byte-length
     * harvesting (two integer ops per row; completes the CBO
     * ColumnStatistics report's avgLen/maxLen fields).
@@ -2239,6 +2326,9 @@ class LakeWriterFactory(dir: String, schema: StructType)
         // (total, max) byte lengths per string column
         val tlens: Array[Long] = new Array[Long](lenCols.length)
         val mlens: Array[Int] = new Array[Int](lenCols.length)
+        // one value reservoir per configured histogram column
+        val hists: Array[LakeHist.Builder] =
+          Array.fill(histCols.length)(new LakeHist.Builder)
         val staged = new Path(
           s"$dir/_staging/t$taskId-p$partitionId-${UUID.randomUUID()}")
         var rows = 0L
@@ -2390,6 +2480,13 @@ class LakeWriterFactory(dir: String, schema: StructType)
           }
           lc += 1
         }
+        var hc = 0
+        while (hc < histCols.length) {
+          val (_, dt, ord) = histCols(hc)
+          if (!row.isNullAt(ord + off))
+            f.hists(hc).add(LakeHist.toDouble(dt, row, ord + off))
+          hc += 1
+        }
         f.rows += 1
         maybeRoll(f)
       }
@@ -2404,7 +2501,9 @@ class LakeWriterFactory(dir: String, schema: StructType)
             ndvCols.indices
               .map(i => ndvCols(i)._1 -> f.ndvs(i).toBase64).toMap,
             lenCols.indices.map(i => lenCols(i)._1 ->
-              (f.tlens(i).toString, f.mlens(i).toString)).toMap)
+              (f.tlens(i).toString, f.mlens(i).toString)).toMap,
+            histCols.indices
+              .map(i => histCols(i)._1 -> f.hists(i).toBase64).toMap)
         }
         val staged = sealedStaged ++ open.values.toSeq.flatMap { f =>
           if (f.rows > 0) {
@@ -2418,7 +2517,9 @@ class LakeWriterFactory(dir: String, schema: StructType)
               ndvCols.indices
                 .map(i => ndvCols(i)._1 -> f.ndvs(i).toBase64).toMap,
               lenCols.indices.map(i => lenCols(i)._1 ->
-                (f.tlens(i).toString, f.mlens(i).toString)).toMap))
+                (f.tlens(i).toString, f.mlens(i).toString)).toMap,
+              histCols.indices
+                .map(i => histCols(i)._1 -> f.hists(i).toBase64).toMap))
           } else { f.close(delete = true); None }
         }
         LakeFileMessage(staged)

@@ -167,6 +167,9 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
         addedLens = published.collect {
           case (n, s) if s.lens.nonEmpty => n -> s.lens
         }.toMap,
+        addedHists = published.collect {
+          case (n, s) if s.hists.nonEmpty => n -> s.hists
+        }.toMap,
         eqAdded = Seq((sidecar, keyCols, seen.size.toLong)),
         prePublish =
           () => LakeChecks.requireUnchangedForWrite(dir, checksAtPlan))

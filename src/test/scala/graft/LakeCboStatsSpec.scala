@@ -226,4 +226,72 @@ class LakeCboStatsSpec extends SparkSpec {
       assert(LakeNdv.configured(s"$root/db/e").isEmpty)
     }
   }
+
+  test("equi-height HISTOGRAM (the seventh ColumnStat field): under a " +
+       "skewed distribution the histogram-backed selectivity estimate " +
+       "tracks the real split where min/max's uniform interpolation is " +
+       "off by >5x; sample-less vintages withhold; ANALYZE backfills") {
+    withCatalog { (cat, root) =>
+      import graft.sources.dsv2.LakeHist
+      // SKEW: 90% of values in [0, 100), 10% in [1M, 2M) — uniform
+      // interpolation over [0, 2M) puts ~0.005% of rows under 100
+      spark.sql(s"CREATE TABLE $cat.db.h (v BIGINT, pad STRING) " +
+        s"TBLPROPERTIES ('${LakeHist.ColKey}'='v', " +
+        s"'${LakeNdv.ColKey}'='v')")
+      spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN id % 100 " +
+          "ELSE 1000000 + (id % 1000) * 1000 END AS v",
+        "repeat('x', 8) AS pad").coalesce(2)
+        .createOrReplaceTempView("h_src")
+      spark.sql(s"INSERT INTO $cat.db.h SELECT * FROM h_src")
+      // twin table WITHOUT the histogram knob (NDV + min/max only):
+      // FilterEstimation then interpolates UNIFORMLY over the range
+      spark.sql(s"CREATE TABLE $cat.db.h0 (v BIGINT, pad STRING) " +
+        s"TBLPROPERTIES ('${LakeNdv.ColKey}'='v')")
+      spark.sql(s"INSERT INTO $cat.db.h0 SELECT * FROM h_src")
+      withCbo {
+        def est(tbl: String): BigInt =
+          spark.sql(s"SELECT * FROM $cat.db.$tbl WHERE v < 100")
+            .queryExecution.optimizedPlan.stats.rowCount
+            .getOrElse(fail(s"no rowCount under CBO for $tbl"))
+        val actual = 9000.0
+        val withHist = est("h").toDouble
+        val minMaxOnly = est("h0").toDouble
+        assert(actual / minMaxOnly > 5.0,
+          s"fixture: uniform interpolation must be >5x off, " +
+            s"est=$minMaxOnly vs actual=$actual")
+        assert(withHist / actual > 0.5 && withHist / actual < 2.0,
+          s"histogram estimate must track the skewed split: " +
+            s"est=$withHist vs actual=$actual (min/max-only: $minMaxOnly)")
+      }
+      // conservatism: a sample-less vintage (raw-rewrite compaction)
+      // withholds the histogram — then ANALYZE backfills it
+      spark.sql(s"CALL $cat.system.compact('db.h', 134217728)")
+      withCbo {
+        val stats = spark.table(s"$cat.db.h")
+          .queryExecution.optimizedPlan.stats
+        val hist = stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == "v" => cs.histogram
+        }.flatten
+        assert(hist.isEmpty,
+          "a sample-less compacted file must withhold the histogram")
+      }
+      spark.sql(s"CALL $cat.system.analyze('db.h')")
+      withCbo {
+        def est(tbl: String): BigInt =
+          spark.sql(s"SELECT * FROM $cat.db.$tbl WHERE v < 100")
+            .queryExecution.optimizedPlan.stats.rowCount
+            .getOrElse(fail("no rowCount"))
+        val back = est("h").toDouble
+        assert(back / 9000.0 > 0.5 && back / 9000.0 < 2.0,
+          s"analyze-backfilled histogram must restore the estimate: $back")
+      }
+      // validation: unknown column / inadmissible type fail loud
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.h SET TBLPROPERTIES " +
+          s"('${LakeHist.ColKey}'='pad')")
+      }
+      assert(e.getMessage.contains("histogram"), s"$e")
+    }
+  }
 }
