@@ -260,6 +260,19 @@ object LakeColumnarReader {
   /** Bulk cursor: pages decoded through ValuesReader directly —
     * definition levels from the page's own RLE section, values from
     * plain/dictionary readers; no ColumnReaderImpl in the loop.
+    *
+    * PROFITABILITY RECEIPT (r14, closing the r13 "bulk decoder" rung):
+    * run-length null stripes + word-aligned value memcpy were gated on
+    * a measured ≥20 % win on a genuinely scan-bound shape. ScanBench
+    * at the densest shape available — 10.5 M rows COMPACTED to 16
+    * files (the new compactFiles knob removes the 700-footer planning
+    * noise), 5-column wide aggregate, local[16] — times columnar at
+    * 0.64–0.78 s vs the row path's 0.70–0.80 s: the two paths sit
+    * INSIDE each other's noise band, so per-value decode is not the
+    * bottleneck even with planning amortized away (snappy
+    * decompression + aggregation dominate). The precondition is
+    * unmeetable; the rung stays closed with these numbers rather than
+    * adopted on faith.
     */
   private[dsv2] final class BulkCursor(desc: ColumnDescriptor,
                                        pr: PageReader,

@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   * every surviving row.
   *
   * Usage: runMain graft.tools.ScanBench <sfDir> [runs=5] [replicate=1]
+  *        [compactFiles=0]
+  * compactFiles > 0 bin-packs the CTAS'd table toward that many files
+  * first — the genuinely scan-bound shape (replication writes one
+  * small file per replica, and 700 footers of planning noise would
+  * otherwise drown the decode cost this tool exists to measure).
   */
 object ScanBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val runs = args.lift(1).map(_.toInt).getOrElse(5)
     val replicate = args.lift(2).map(_.toInt).getOrElse(1)
+    val compactFiles = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.GraftSession.local(cpus, "graft-scanbench")
     import graft.sources.dsv2.LakeCatalogs
@@ -32,6 +38,17 @@ object ScanBench {
         acc.unionByName(base.withColumn("o_orderkey",
           col("o_orderkey") + lit(i * 100000000L))))
     src.writeTo(tbl).create()
+    if (compactFiles > 0) {
+      val dir = graft.sources.dsv2.LakeCatalogs.tablePath(
+        sfDir, "scanbench_orders")
+      val total = graft.sources.dsv2.LakeLog.current(dir).get.files
+        .map(f => new org.apache.hadoop.fs.Path(dir, f))
+        .map(p => p.getFileSystem(new org.apache.hadoop.conf
+          .Configuration()).getFileStatus(p).getLen).sum
+      val (b, a) = graft.operators.LakeSnapshots.compact(
+        spark, dir, math.max(1L, total / compactFiles) + (32L << 10))
+      println(s"SCANB compacted files $b -> $a")
+    }
     val n = spark.table(tbl).count()
     println(s"SCANB rows=$n")
     // wide decode: 5 columns of every row cross the reader
