@@ -348,7 +348,12 @@ object LakeSnapshots {
         dataChange = false,
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
-        }.toMap)
+        }.toMap,
+        // an eq ref committed mid-zorder would be detached from the
+        // rewritten rows (deleted rows resurrect) — re-checked per
+        // publish attempt, the rewrite_deletes eqGuard's twin
+        prePublish = () => graft.sources.dsv2.LakeEq
+          .requireStillNone(dir, None, "zorder"))
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
       (head.files.size, head.files.size - zFiles.size + published.size)
@@ -480,7 +485,12 @@ object LakeSnapshots {
         addedRows = 0L, dataChange = false,
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
-        }.toMap)
+        }.toMap,
+        // same mid-operation eq guard as zorder/rewrite_deletes: the
+        // merged outputs' fresh add versions would escape a ref
+        // committed during the (long) rewrite window
+        prePublish = () => graft.sources.dsv2.LakeEq
+          .requireStillNone(dir, None, "compact"))
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
       (head.files.size, head.files.size - compacted.size + published.size)
@@ -652,11 +662,23 @@ object LakeSnapshots {
               if (head.eqs.isEmpty) afterDv.withColumn("__eqd", lit(false))
               else afterDv.withColumn("__eqd", isEqDeleted(col("__f"),
                 array(kcShapes.map(keyExpr): _*)))
-            if (head.eqs.nonEmpty)
-              eqRemoved += withFlag.filter(col("__eqd")).count()
-            withFlag.filter(!col("__eqd"))
-              .drop("__f", "__p", "__eqd")
-              .write.parquet(gStage.toString)
+            if (head.eqs.nonEmpty) {
+              // the removed-count action and the write share ONE scan
+              // via a spill-safe persist — re-reading the group (scan +
+              // anti-join + key UDF) twice doubles the retirement
+              // pass's I/O for a consistency counter
+              withFlag.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                eqRemoved += withFlag.filter(col("__eqd")).count()
+                withFlag.filter(!col("__eqd"))
+                  .drop("__f", "__p", "__eqd")
+                  .write.parquet(gStage.toString)
+              } finally withFlag.unpersist()
+            } else
+              withFlag.filter(!col("__eqd"))
+                .drop("__f", "__p", "__eqd")
+                .write.parquet(gStage.toString)
           }
           val staged = fs.listStatus(gStage).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

@@ -63,8 +63,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
+  /** A raw `fs.exists(dir)` alone would report FALSE for the VIRTUAL
+    * spellings loadTable resolves (`db.t.branch_dev`, `db.t.changes`,
+    * `db.t.files`, `db.t.partitions`) — and `writeStream.toTable`
+    * consults tableExists before loadTable, so it would silently
+    * CREATE a real table shadowing the spelling: a streaming write
+    * aimed at a branch would land in a brand-new table named
+    * `branch_dev` instead (caught live by the WAP upsert pin).
+    */
   override def tableExists(ident: Identifier): Boolean =
-    fs.exists(tableDir(ident))
+    fs.exists(tableDir(ident)) || {
+      ident.namespace.nonEmpty && {
+        val parentDir = tableDir(Identifier.of(
+          ident.namespace.dropRight(1), ident.namespace.last))
+        fs.exists(parentDir) && (ident.name match {
+          case n if n.startsWith("branch_") =>
+            LakeLog.branches(parentDir.toString)
+              .contains(n.stripPrefix("branch_"))
+          case "changes" | "files" | "partitions" => true
+          case _ => false
+        })
+      }
+    }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)

@@ -147,15 +147,26 @@ object LakeAnalyze {
         out
       }
     override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-      val all = a.drop(1) ++ b.drop(1)
+      // WEIGHTED merge: each side contributes slots in proportion to
+      // its seen count — a uniform pick over the concatenation would
+      // let a 200-row tail partial swamp a million-row partner
+      // (unbounded bias toward whichever side happened to be smaller)
+      val sa = a.drop(1); val sb = b.drop(1)
       val n = a(0) + b(0)
       val kept =
-        if (all.length <= k) all
+        if (sa.length + sb.length <= k) sa ++ sb
         else {
+          val wa = if (n <= 0) 0.5 else a(0) / n
           val r = new java.util.Random(
-            java.lang.Double.doubleToLongBits(n) ^ all.length)
-          val idx = r.ints(0, all.length).distinct().limit(k).toArray
-          idx.map(all(_))
+            java.lang.Double.doubleToLongBits(n) ^ (sa.length << 16)
+              ^ sb.length)
+          def pick(src: Array[Double], m: Int): Array[Double] = {
+            val idx = r.ints(0, src.length).distinct().limit(m).toArray
+            idx.map(src(_))
+          }
+          val ka = math.min(sa.length, math.round(k * wa).toInt)
+          val kb = math.min(sb.length, k - ka)
+          pick(sa, ka) ++ pick(sb, kb)
         }
       Array(n) ++ kept
     }
@@ -353,8 +364,18 @@ object LakeAnalyze {
               datediff(col(c.name), to_date(lit("1970-01-01")))
                 .cast(DoubleType)
             case TimestampType => unix_micros(col(c.name)).cast(DoubleType)
+            // NTZ: cast-to-timestamp would reinterpret the wall clock
+            // in the SESSION zone, shifting every backfilled sample vs
+            // the writer's raw local-micros internals — lift the
+            // always-LocalDateTime external at UTC instead (the same
+            // care the NDV/bloom hash path takes)
             case TimestampNTZType =>
-              unix_micros(col(c.name).cast(TimestampType)).cast(DoubleType)
+              udf((v: java.time.LocalDateTime) =>
+                if (v == null) null
+                else java.lang.Double.valueOf(
+                  (v.toInstant(java.time.ZoneOffset.UTC).getEpochSecond *
+                    1000000L + v.getNano / 1000L).toDouble))
+                .apply(col(c.name))
             case _ => col(c.name).cast(DoubleType)
           }
           aggs += udaf(new SampleUdaf(), Encoders.DOUBLE).apply(d)

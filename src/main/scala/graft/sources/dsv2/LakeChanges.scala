@@ -154,6 +154,14 @@ class LakeChangesScan(dir: String, projected: StructType,
       val snap =
         if (asSnapshot) LakeLog.snapshotAt(dir, v)
         else LakeLog.snapshotAtDelta(dir, v)
+      // an equality-delete commit changes NO files, so no change
+      // events can be derived for it — silently omitting the
+      // tombstones would feed a consumer every deleted row. Loud,
+      // with the remedy (same contract as the streaming CDC path).
+      require(snap.eqs.isEmpty,
+        s"graft_lake $dir: version $v carries live equality deletes — " +
+          "the change feed cannot represent them; CALL " +
+          "system.rewrite_deletes and read the feed across the rewrite")
       if (skipReplaceCommits && snap.removed.nonEmpty && snap.dataChange
           && !asSnapshot)
         Seq.empty

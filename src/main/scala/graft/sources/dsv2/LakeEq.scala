@@ -165,6 +165,29 @@ object LakeEq {
             " / system.compact to rewrite those vintages first")
     }
 
+  /** Commit-time guard for REWRITE operations that MATERIALIZE
+    * existing physical rows into new files (copy-on-write DML, MOR
+    * post-images, compact, zorder): their outputs get a fresh add
+    * version past every eq ref, so an equality delete committed
+    * BETWEEN the operation's plan (which saw no refs — the plan-time
+    * decline) and its publish would be silently detached from the
+    * rewritten rows — deleted rows resurrect. Re-checked inside the
+    * log's commit retry loop adjacent to every publish attempt
+    * (prePublish), where the version CAS makes it airtight: a racing
+    * eq commit takes the contended version, this publish loses, the
+    * retry re-runs the guard and fails loud.
+    */
+  def requireStillNone(dir: String, branch: Option[String] = None,
+                       what: String): Unit = {
+    val now = LakeLog.current(dir, branch).map(_.eqs).getOrElse(Seq.empty)
+    if (now.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"graft_lake $dir: equality deletes were committed while " +
+          s"$what was in flight — its rewritten rows would escape " +
+          "them (deleted rows would resurrect); re-run after " +
+          "CALL system.rewrite_deletes")
+  }
+
   /** Manifest encoding of the ref list. */
   def toJson(refs: Seq[EqRef]): ArrayList[Object] = {
     val l = new ArrayList[Object](refs.size)

@@ -175,8 +175,13 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
         addedHists = allFiles.collect {
           case (n, s) if s.hists.nonEmpty => n -> s.hists
         }.toMap,
-        prePublish =
-          () => LakeChecks.requireUnchangedForWrite(dir, checksAtPlan))
+        prePublish = () => {
+          LakeChecks.requireUnchangedForWrite(dir, checksAtPlan)
+          // MOR post-images are copies of scanned (pre-eq) rows in
+          // fresh files — an eq ref committed mid-DML would be
+          // detached from them (the plan-time decline's TOCTOU twin)
+          LakeEq.requireStillNone(dir, branch, opName)
+        })
       catch {
         case e: Throwable =>
           // conflict (a covered file was rewritten concurrently): the

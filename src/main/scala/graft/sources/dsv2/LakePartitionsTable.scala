@@ -63,6 +63,12 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
         s"graft_lake partitions metadata of $dir"
 
       override def planInputPartitions(): Array[InputPartition] = {
+        // row_count is a PROMISE like the files inventory's live_rows:
+        // equality deletes make it unknowable from metadata — loud
+        require(LakeTableIO.snapshotEqs(dir).isEmpty,
+          s"graft_lake $dir holds live equality deletes — the " +
+            "partitions table's row_count cannot account them; CALL " +
+            "system.rewrite_deletes first")
         val (files, dvs, stats, parts) = LakeTableIO.snapshotView(dir)
         def liveRows(fileName: String, path: org.apache.hadoop.fs.Path)
             : Long = {

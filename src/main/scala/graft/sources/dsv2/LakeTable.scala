@@ -148,7 +148,7 @@ class LakeTable(tableName: String, val dir: String,
         override def build(): Write = new LakeUpsertWrite(dir,
           info.schema(),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          order, tomb, info.queryId())
+          order, tomb, info.queryId(), branch)
       }
     }
     new WriteBuilder
@@ -2150,7 +2150,15 @@ class LakeWrite(dir: String, writeSchema: StructType,
         addedHists = published.collect {
           case (n, s) if s.hists.nonEmpty => n -> s.hists
         }.toMap,
-        prePublish = () => requireNoNewChecks())
+        prePublish = () => {
+          requireNoNewChecks()
+          // copy-on-write DML materializes existing rows into fresh
+          // files — an eq ref committed mid-operation would be
+          // detached from them (the plan-time decline's TOCTOU twin);
+          // plain appends/overwrites write only NEW data and skip it
+          if (replaceFiles != null)
+            LakeEq.requireStillNone(dir, branch, opName)
+        })
       catch {
         case e: Throwable => cleanupPublished(); throw e
       }

@@ -51,7 +51,12 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, St
   */
 class LakeUpsertWrite(dir: String, rowSchema: StructType,
                       keyCols: Seq[String], orderCol: String,
-                      tombstoneText: Option[String], queryId: String)
+                      tombstoneText: Option[String], queryId: String,
+                      // WAP: an upsert through the branch spelling
+                      // commits its epochs, post-images, and eq refs
+                      // to the BRANCH ref, exactly like the plain
+                      // streaming sink
+                      branch: Option[String] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -127,7 +132,7 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
       }
       if (seen.isEmpty) return // empty epoch: nothing to commit
       // exactly-once: a replayed epoch is a clean no-op
-      if (LakeLog.lastCommittedEpoch(dir, queryId, None)
+      if (LakeLog.lastCommittedEpoch(dir, queryId, branch)
           .exists(epochId <= _)) {
         dropStaged()
         return
@@ -151,7 +156,7 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
       }
       try LakeLog.commit(dir, LakeLog.epochOp(queryId, epochId),
         published.map(_._1).toSeq, Seq.empty,
-        published.map(_._2.rows).sum,
+        published.map(_._2.rows).sum, branch = branch,
         addedParts = published.collect {
           case (n, s) if s.tuple.isDefined => n -> s.tuple.get
         }.toMap,

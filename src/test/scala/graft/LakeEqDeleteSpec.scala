@@ -231,6 +231,23 @@ class LakeEqDeleteSpec extends SparkSpec {
         graft.operators.LakeSnapshots.changes(spark, dir, 1, 2).collect()
       }
       assert(exists(eChanges, "equality-delete"), s"$eChanges")
+      // the BATCH change-feed table spelling declines too (review
+      // finding: it planned per version with no eq guard and silently
+      // omitted every tombstone)
+      val eChangesTbl = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.db.dd.changes").collect()
+      }
+      assert(exists(eChangesTbl, "equality deletes"), s"$eChangesTbl")
+      // the partitions metadata table's row_count promise declines
+      val ePart = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.db.dd.partitions").collect()
+      }
+      assert(exists(ePart, "rewrite_deletes"), s"$ePart")
+      // the rewrite-guard primitive: a live ref fails the mid-rewrite
+      // re-check loud (compact/zorder/DML pass it as prePublish)
+      intercept[java.util.ConcurrentModificationException] {
+        LakeEq.requireStillNone(dir, None, "test-rewrite")
+      }
       val eInv = intercept[Exception] {
         spark.sql(s"SELECT * FROM $cat.db.dd.files").collect()
       }
@@ -257,6 +274,69 @@ class LakeEqDeleteSpec extends SparkSpec {
       spark.sql(s"CALL $cat.system.compact('db.dd', 134217728)")
       assert(spark.table(s"$cat.db.dd").count() == 2L)
     }
+  }
+
+  test("WAP: an upsert through the BRANCH spelling commits epochs, " +
+       "post-images, and eq refs to the branch — main never sees a " +
+       "byte until fast_forward publishes the fold atomically") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2), (2, null, 'delete', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.wap " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"CALL $cat.system.branch('db.wap', 'audit')")
+      val out = freshDir("wapups")
+      val q = spark.readStream.option("maxCommitsPerBatch", 1)
+        .table(s"$cat.db.src")
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .option("upsert.tombstone", "op = 'delete'")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.wap.branch_audit")
+      q.awaitTermination()
+      val dir = s"$root/db/wap"
+      assert(spark.table(s"$cat.db.wap").count() == 0L,
+        "main must not see branch upserts")
+      assert(LakeLog.current(dir).get.eqs.isEmpty,
+        "main's eq list untouched")
+      assert(LakeLog.current(dir, Some("audit")).get.eqs.size == 2,
+        "the branch carries the epochs' refs")
+      // AUDIT the staged fold, then publish
+      val staged = spark.sql(
+        s"SELECT k, v FROM $cat.db.wap.branch_audit ORDER BY k")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(staged == Map(1L -> "a2"), s"$staged")
+      spark.sql(s"CALL $cat.system.fast_forward('db.wap', 'audit')")
+      val main = spark.table(s"$cat.db.wap")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(main == Map(1L -> "a2"),
+        "fast-forward publishes the fold with its refs and addVs intact")
+    }
+  }
+
+  test("SampleUdaf merges reservoirs WEIGHTED by seen counts: a tiny " +
+       "partial cannot swamp a million-row partner") {
+    import graft.sources.dsv2.{LakeAnalyze, LakeHist}
+    val u = new LakeAnalyze.SampleUdaf()
+    // side A: 1M rows of value 1.0; side B: 200 rows of value 100.0
+    val a = Array(1000000.0) ++ Array.fill(LakeHist.K)(1.0)
+    val b = Array(200.0) ++ Array.fill(LakeHist.K)(100.0)
+    val merged = u.merge(a, b)
+    assert(merged(0) == 1000200.0)
+    val kept = merged.drop(1)
+    val fromB = kept.count(_ == 100.0)
+    // proportional: B deserves 200/1000200 of 64 slots ≈ 0 — a uniform
+    // concat-pick would have given it ~half
+    assert(fromB <= 2,
+      s"a 200-row partial took $fromB of ${kept.length} slots")
+    assert(kept.count(_ == 1.0) >= kept.length - 2)
   }
 
   test("an equality delete cannot commit against (or plan over) files " +
