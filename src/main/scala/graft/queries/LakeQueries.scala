@@ -605,6 +605,43 @@ object LakeQueries {
         "sum(live_rows) AS live", "sum(dv_count) AS dvs")
     }),
 
+    // DELETE-DEBT INVENTORY (r14): `db.t.deletes` — one row per live
+    // delete artifact of BOTH contracts: position DVs (target file +
+    // position count) and equality refs (commit version, key columns,
+    // key count, how many current files the sequencing rule makes
+    // them apply to — what a rewrite_deletes would touch). THE
+    // retirement-planning surface: the files/partitions inventories
+    // decline under live eq refs precisely because their live-count
+    // promises break, and this table is how a user SEES the debt those
+    // declines point at. Fixture: a MOR DELETE (8 DV sidecars by the
+    // files-inventory construction) plus one engine-committed eq ref
+    // tombstoning 3 keys; the oracle restates the arithmetic.
+    "lake_deletes_inventory" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_dinv")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderpriority AS pri")
+        .repartition(8)
+        .createOrReplaceTempView("lake_dinv_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_dinv_src")
+      s.sql(s"DELETE FROM $tbl WHERE k % 5 = 2")
+      // one equality ref tombstoning keys 1..3, committed through the
+      // engine's own channel (what an upsert epoch seals)
+      val path = tablePath(dir, "lake_dinv")
+      val side = graft.sources.dsv2.LakeEq.write(path, Seq("k"),
+        Seq("1", "2", "3"))
+      graft.sources.dsv2.LakeLog.commit(path, "eq_fixture", Seq.empty,
+        Seq.empty, 0L, dataChange = false,
+        eqAdded = Seq((side, Seq("k"), 3L)))
+      s.table(s"$tbl.deletes").groupBy("kind").agg(
+        count(lit(1)).as("refs"),
+        sum(col("entries")).as("entries"),
+        sum(col("applies_to_files")).as("applies"))
+        .orderBy("kind")
+    }),
+
     // DECLARED WRITE SORT ORDER (r13): `write.sort.columns` makes every
     // INSERT request an ordered (range) write distribution, so a
     // deliberately scrambled load still lands range-disjoint sorted
@@ -1447,6 +1484,20 @@ object LakeQueries {
          |                END) AS BIGINT) AS live,
          |       CAST(8 AS BIGINT) AS dvs
          |FROM prev""".stripMargin,
+    // the debt arithmetic restated: one eq ref (3 keys, applying to
+    // all 8 insert-vintage files), 8 DV sidecars holding exactly the
+    // deleted keys' positions
+    "lake_deletes_inventory" ->
+      s"""$snapshotCte
+         |SELECT 'equality' AS kind, CAST(1 AS BIGINT) AS refs,
+         |       CAST(3 AS BIGINT) AS entries, CAST(8 AS BIGINT) AS applies
+         |UNION ALL
+         |SELECT 'position', CAST(8 AS BIGINT),
+         |       CAST(sum(CASE WHEN o_orderkey % 5 = 2 THEN 1 ELSE 0 END)
+         |            AS BIGINT),
+         |       CAST(8 AS BIGINT)
+         |FROM prev
+         |ORDER BY kind""".stripMargin,
     // the keyspace slice restated over the source rows
     "lake_sorted_write" ->
       s"""$snapshotCte

@@ -80,7 +80,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           case n if n.startsWith("branch_") =>
             LakeLog.branches(parentDir.toString)
               .contains(n.stripPrefix("branch_"))
-          case "changes" | "files" | "partitions" => true
+          case "changes" | "files" | "partitions" | "deletes" => true
           case _ => false
         })
       }
@@ -116,6 +116,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (fs.exists(parentDir))
           return new LakeChangesTable(
             (catalogName +: ident.namespace.toSeq :+ "changes")
+              .mkString("."), parentDir.toString)
+      }
+      // `db.t.deletes` — the delete-debt inventory (both contracts:
+      // equality refs + position DVs), the retirement-planning surface
+      if (ident.name == "deletes" && ident.namespace.nonEmpty) {
+        val parentIdent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        val parentDir = tableDir(parentIdent)
+        if (fs.exists(parentDir))
+          return new LakeDeletesTable(
+            (catalogName +: ident.namespace.toSeq :+ "deletes")
               .mkString("."), parentDir.toString)
       }
       // `db.t.partitions` — the partition-inventory metadata table

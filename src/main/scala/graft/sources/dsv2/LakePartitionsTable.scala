@@ -219,6 +219,64 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
     }
 }
 
+/** `db.t.deletes` — the DELETE-DEBT inventory: one row per live
+  * delete artifact, both contracts. Equality refs ([[LakeEq]]) show
+  * their commit version, key columns, key count, and how many CURRENT
+  * files they apply to (the sequencing rule — what a rewrite_deletes
+  * would touch); position DVs show their target file and position
+  * count. THE ops surface for retirement planning: the files and
+  * partitions inventories decline under live eq refs precisely
+  * because their live-count promises break — this table is how a user
+  * SEES the debt those declines point at. Driver metadata only (eq
+  * facts live in the manifest; DV sidecars are O(positions) reads).
+  */
+class LakeDeletesTable(tableName: String, dir: String) extends Table
+    with SupportsRead {
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = StructType(Seq(
+    StructField("kind", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("ref", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("version", LongType, nullable = true),
+    StructField("key_cols", org.apache.spark.sql.types.StringType,
+      nullable = true),
+    StructField("entries", LongType, nullable = false),
+    StructField("target_file", org.apache.spark.sql.types.StringType,
+      nullable = true),
+    StructField("applies_to_files", LongType, nullable = true)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () => {
+    def utf8(s: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val head = LakeLog.current(dir)
+    val rows: Seq[Seq[Any]] = head.toSeq.flatMap { s =>
+      val eqRows = s.eqs.map { r =>
+        val applies = s.files.count(f =>
+          s.stats.get(f).exists(st =>
+            LakeEq.applicable(Seq(r), st.addV).nonEmpty))
+        Seq[Any](utf8("equality"), utf8(r.name), r.version,
+          utf8(r.keyCols.mkString(",")), r.n, null, applies.toLong)
+      }
+      val dvRows = s.dvs.toSeq.sortBy(_._1).flatMap { case (f, vs) =>
+        vs.map { v =>
+          Seq[Any](utf8("position"), utf8(v), null, null,
+            LakeDv.positions(dir, Seq(v)).length.toLong, utf8(f), 1L)
+        }
+      }
+      eqRows ++ dvRows
+    }
+    new LakeLocalRowsScan(schema, rows,
+      s"graft_lake deletes inventory of $dir (${rows.size} artifacts)")
+  }
+}
+
 /** Driver-computed metadata rows, shipped pre-decoded (internal
   * values) in the single partition.
   */

@@ -263,6 +263,18 @@ class LakeEqDeleteSpec extends SparkSpec {
         q.awaitTermination()
       }
       assert(exists(eStream, "equality deletes"), s"$eStream")
+      // the DELETES inventory is the one metadata table that stays
+      // readable — it EXISTS to show the debt the other inventories'
+      // declines point at: one eq ref per epoch (2 insert keys, then
+      // 1 update key)
+      val debt = spark.sql(s"SELECT kind, ref, version, key_cols, " +
+        s"entries FROM $cat.db.dd.deletes ORDER BY version")
+        .collect()
+      assert(debt.length == 2 && debt.forall(_.getString(0) == "equality"),
+        debt.mkString(";"))
+      assert(debt.forall(_.getString(3) == "k"))
+      assert(debt.map(_.getLong(4)).toSeq == Seq(2L, 1L),
+        debt.mkString(";"))
       // ANALYZE skips eq-affected files instead of faking facts
       spark.sql(s"CALL $cat.system.analyze('db.dd')")
       assert(!spark.sql(s"SELECT sum(k) FROM $cat.db.dd")
