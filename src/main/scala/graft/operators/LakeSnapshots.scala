@@ -662,23 +662,20 @@ object LakeSnapshots {
               if (head.eqs.isEmpty) afterDv.withColumn("__eqd", lit(false))
               else afterDv.withColumn("__eqd", isEqDeleted(col("__f"),
                 array(kcShapes.map(keyExpr): _*)))
-            if (head.eqs.nonEmpty) {
-              // the removed-count action and the write share ONE scan
-              // via a spill-safe persist — re-reading the group (scan +
-              // anti-join + key UDF) twice doubles the retirement
-              // pass's I/O for a consistency counter
-              withFlag.persist(
-                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
+            // the removed-count action and the write share ONE scan
+            // via a spill-safe persist — re-reading the group (scan +
+            // anti-join + key UDF) twice doubles the retirement pass's
+            // I/O for a consistency counter; the write pipeline itself
+            // is single-sourced across both modes
+            if (head.eqs.nonEmpty) withFlag.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (head.eqs.nonEmpty)
                 eqRemoved += withFlag.filter(col("__eqd")).count()
-                withFlag.filter(!col("__eqd"))
-                  .drop("__f", "__p", "__eqd")
-                  .write.parquet(gStage.toString)
-              } finally withFlag.unpersist()
-            } else
               withFlag.filter(!col("__eqd"))
                 .drop("__f", "__p", "__eqd")
                 .write.parquet(gStage.toString)
+            } finally if (head.eqs.nonEmpty) withFlag.unpersist()
           }
           val staged = fs.listStatus(gStage).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

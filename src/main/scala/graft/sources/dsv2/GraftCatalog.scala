@@ -76,7 +76,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       ident.namespace.nonEmpty && {
         val parentDir = tableDir(Identifier.of(
           ident.namespace.dropRight(1), ident.namespace.last))
-        fs.exists(parentDir) && (ident.name match {
+        // affirm only what the spelling can actually SERVE: the parent
+        // must be a LOGGED lake table (a bare namespace dir, or a raw
+        // parquet dir, would resolve to a feed that throws on read —
+        // and affirming it would block creating real tables under a
+        // namespace that happens to share a name). Under a logged
+        // table the four metadata names are RESERVED (like Iceberg's
+        // metadata tables): a real child table cannot shadow them.
+        fs.exists(new Path(parentDir, "_log")) && (ident.name match {
           case n if n.startsWith("branch_") =>
             LakeLog.branches(parentDir.toString)
               .contains(n.stripPrefix("branch_"))

@@ -154,14 +154,24 @@ class LakeChangesScan(dir: String, projected: StructType,
       val snap =
         if (asSnapshot) LakeLog.snapshotAt(dir, v)
         else LakeLog.snapshotAtDelta(dir, v)
-      // an equality-delete commit changes NO files, so no change
-      // events can be derived for it — silently omitting the
-      // tombstones would feed a consumer every deleted row. Loud,
-      // with the remedy (same contract as the streaming CDC path).
-      require(snap.eqs.isEmpty,
-        s"graft_lake $dir: version $v carries live equality deletes — " +
+      // an equality-delete COMMIT changes no files, so no change
+      // events can be derived for the rows it kills — loud on the
+      // version that ADDED a ref (detectable from the snapshot itself:
+      // a carried ref stamped with this version). Versions that merely
+      // CARRY earlier refs are representable: their added files
+      // postdate every carried ref (addV ≥ version > ref version), so
+      // the per-version insert events are exact — and retirement
+      // (dataChange=false) traverses cleanly. The OPENING snapshot is
+      // the exception: it emits complete live state, which would need
+      // eq subtraction — it requires an eq-free version outright.
+      require(!snap.eqs.exists(_.version == v),
+        s"graft_lake $dir: version $v committed equality deletes — " +
           "the change feed cannot represent them; CALL " +
           "system.rewrite_deletes and read the feed across the rewrite")
+      require(!asSnapshot || snap.eqs.isEmpty,
+        s"graft_lake $dir: the opening snapshot at v$v carries live " +
+          "equality deletes its complete-state events cannot " +
+          "subtract; CALL system.rewrite_deletes first")
       if (skipReplaceCommits && snap.removed.nonEmpty && snap.dataChange
           && !asSnapshot)
         Seq.empty

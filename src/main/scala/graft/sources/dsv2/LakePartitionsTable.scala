@@ -252,29 +252,59 @@ class LakeDeletesTable(tableName: String, dir: String) extends Table
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder = () => {
-    def utf8(s: String) =
-      org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    val head = LakeLog.current(dir)
-    val rows: Seq[Seq[Any]] = head.toSeq.flatMap { s =>
-      val eqRows = s.eqs.map { r =>
-        val applies = s.files.count(f =>
-          s.stats.get(f).exists(st =>
-            LakeEq.applicable(Seq(r), st.addV).nonEmpty))
-        Seq[Any](utf8("equality"), utf8(r.name), r.version,
-          utf8(r.keyCols.mkString(",")), r.n, null, applies.toLong)
-      }
-      val dvRows = s.dvs.toSeq.sortBy(_._1).flatMap { case (f, vs) =>
-        vs.map { v =>
-          Seq[Any](utf8("position"), utf8(v), null, null,
-            LakeDv.positions(dir, Seq(v)).length.toLong, utf8(f), 1L)
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new Scan with Batch {
+      override def readSchema(): StructType = schema
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"graft_lake deletes inventory of $dir"
+      // rows build at EXECUTION (planInputPartitions), not at scan
+      // construction — EXPLAIN must not pay one sidecar read per DV
+      override def planInputPartitions(): Array[InputPartition] = {
+        def utf8(s: String) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        val head = LakeLog.current(dir)
+        val rows: Seq[Seq[Any]] = head.toSeq.flatMap { s =>
+          val eqRows = s.eqs.map { r =>
+            // a file the ref provably applies to, OR one it cannot be
+            // SEQUENCED with (no add version) — the latter BLOCKS a
+            // rewrite loud, so under-reporting it would advertise a
+            // retirement scope the operation will never honor
+            val applies = s.files.count(f =>
+              s.stats.get(f) match {
+                case Some(st) if st.addV >= 0 =>
+                  LakeEq.applicable(Seq(r), st.addV).nonEmpty
+                case _ => true // unsequenceable: the rewrite must face it
+              })
+            Seq[Any](utf8("equality"), utf8(r.name), r.version,
+              utf8(r.keyCols.mkString(",")), r.n, null, applies.toLong)
+          }
+          val dvRows = s.dvs.toSeq.sortBy(_._1).flatMap { case (f, vs) =>
+            vs.map { v =>
+              Seq[Any](utf8("position"), utf8(v), null, null,
+                LakeDv.positions(dir, Seq(v)).length.toLong, utf8(f), 1L)
+            }
+          }
+          eqRows ++ dvRows
         }
+        Array(LakeMetaRowsPartition(rows))
       }
-      eqRows ++ dvRows
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(
+              p: InputPartition): PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val it =
+                p.asInstanceOf[LakeMetaRowsPartition].rows.iterator
+              private var cur: InternalRow = _
+              override def next(): Boolean = it.hasNext && {
+                cur = InternalRow.fromSeq(it.next()); true
+              }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+        }
     }
-    new LakeLocalRowsScan(schema, rows,
-      s"graft_lake deletes inventory of $dir (${rows.size} artifacts)")
-  }
 }
 
 /** Driver-computed metadata rows, shipped pre-decoded (internal

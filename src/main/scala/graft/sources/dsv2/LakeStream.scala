@@ -240,14 +240,20 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
         val snap =
           if (asSnapshot) LakeLog.snapshotAt(dir, v)
           else LakeLog.snapshotAtDelta(dir, v)
-        // an equality-delete commit changes no files, so no change
-        // EVENTS can be derived for it — and rows already emitted
-        // cannot be retracted. Loud with the remedy (same contract as
-        // the batch change feed).
-        require(snap.eqs.isEmpty,
-          s"graft_lake $dir: version $v carries live equality " +
+        // loud on the version that ADDED an eq ref (its deletes have
+        // no events; rows already emitted cannot be retracted);
+        // carried-only versions are representable — their added files
+        // postdate every carried ref — and the opening snapshot
+        // requires an eq-free version (complete-state events cannot
+        // subtract keys). Same contract as the batch change feed.
+        require(!snap.eqs.exists(_.version == v),
+          s"graft_lake $dir: version $v committed equality " +
             "deletes — a change-feed stream cannot represent them; " +
             "CALL system.rewrite_deletes and restart past the rewrite")
+        require(!asSnapshot || snap.eqs.isEmpty,
+          s"graft_lake $dir: the opening snapshot at v$v carries " +
+            "live equality deletes its complete-state events cannot " +
+            "subtract; CALL system.rewrite_deletes first")
         if (skipChangeCommits && snap.removed.nonEmpty &&
             snap.dataChange && !asSnapshot)
           Seq.empty
@@ -269,12 +275,19 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       val snap =
         if (asSnap) LakeLog.snapshotAt(dir, v)
         else LakeLog.snapshotAtDelta(dir, v)
-      // append-only replay: an equality-delete commit would silently
-      // delete rows this stream already emitted — loud, never wrong
-      require(snap.eqs.isEmpty,
-        s"graft_lake $dir: version $v carries live equality deletes — " +
+      // append-only replay: a version that ADDED an eq ref silently
+      // deletes rows this stream already emitted — loud, never wrong;
+      // carried-only versions replay exactly (their added files
+      // postdate every carried ref), and the opening snapshot needs
+      // an eq-free version (its complete state cannot subtract keys)
+      require(!snap.eqs.exists(_.version == v),
+        s"graft_lake $dir: version $v committed equality deletes — " +
           "a streaming read cannot apply them retroactively; CALL " +
           "system.rewrite_deletes and restart past the rewrite")
+      require(!asSnap || snap.eqs.isEmpty,
+        s"graft_lake $dir: the opening snapshot at v$v carries live " +
+          "equality deletes its complete state cannot subtract; CALL " +
+          "system.rewrite_deletes first")
       stats ++= snap.stats
       parts ++= snap.parts
       if (so.snapshotStart && v == a + 1) {
