@@ -564,10 +564,18 @@ object LakeSnapshots {
     // provably predate no ref, rewritten files get a fresh add version
     // past every ref. Sequenceability is a precondition, loud.
     LakeEq.requireSequenceable(dir, head.eqs, head.files, head.stats)
+    val eqTableCols = LakeTableIO.columnRefs(schema)
     val eqApplicable: Map[String, Seq[String]] =
       if (head.eqs.isEmpty) Map.empty
       else head.files.iterator.map { f =>
-        f -> LakeEq.applicable(head.eqs, head.stats(f).addV).map(_.name)
+        // key-statistics scoping ([[LakeEq.scopedApplicable]]): a file
+        // whose key-column bounds/blooms provably hold none of a ref's
+        // keys need not rewrite — retiring the ref cannot resurrect
+        // anything there. Same scope the scan attaches and the
+        // `db.t.deletes` inventory advertises.
+        f -> LakeEq.scopedApplicable(dir, head.eqs,
+          head.stats(f).addV, head.stats.get(f), eqTableCols, schema)
+          .map(_.name)
       }.filter(_._2.nonEmpty).toMap
     val targets =
       (head.dvs.keys ++ eqApplicable.keys).toSeq.distinct.sorted

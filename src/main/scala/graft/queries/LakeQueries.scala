@@ -608,14 +608,17 @@ object LakeQueries {
     // DELETE-DEBT INVENTORY (r14): `db.t.deletes` — one row per live
     // delete artifact of BOTH contracts: position DVs (target file +
     // position count) and equality refs (commit version, key columns,
-    // key count, how many current files the sequencing rule makes
-    // them apply to — what a rewrite_deletes would touch). THE
-    // retirement-planning surface: the files/partitions inventories
-    // decline under live eq refs precisely because their live-count
-    // promises break, and this table is how a user SEES the debt those
-    // declines point at. Fixture: a MOR DELETE (8 DV sidecars by the
-    // files-inventory construction) plus one engine-committed eq ref
-    // tombstoning 3 keys; the oracle restates the arithmetic.
+    // key count, how many current files the sequencing rule AND
+    // key-statistics scoping (r15, [[LakeEq.scopedApplicable]]) make
+    // them apply to — exactly what a rewrite_deletes would touch).
+    // THE retirement-planning surface: the files/partitions
+    // inventories decline under live eq refs precisely because their
+    // live-count promises break, and this table is how a user SEES
+    // the debt those declines point at. Fixture: a key-range-
+    // clustered MOR load (8 range-disjoint files, each DV'd by the
+    // DELETE) plus one engine-committed eq ref tombstoning keys 1..3
+    // — key stats scope it to the ONE file whose band holds those
+    // keys; the oracle restates the arithmetic.
     "lake_deletes_inventory" -> ((s, dir) => {
       LakeCatalogs.register(s)
       val tbl = tableId(dir, "lake_dinv")
@@ -623,7 +626,7 @@ object LakeQueries {
       s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING) " +
         "TBLPROPERTIES ('write.mode'='merge-on-read')")
       previous(s, dir).selectExpr(s"$key AS k", "o_orderpriority AS pri")
-        .repartition(8)
+        .repartitionByRange(8, col("k"))
         .createOrReplaceTempView("lake_dinv_src")
       s.sql(s"INSERT INTO $tbl SELECT * FROM lake_dinv_src")
       s.sql(s"DELETE FROM $tbl WHERE k % 5 = 2")
@@ -1490,7 +1493,7 @@ object LakeQueries {
     "lake_deletes_inventory" ->
       s"""$snapshotCte
          |SELECT 'equality' AS kind, CAST(1 AS BIGINT) AS refs,
-         |       CAST(3 AS BIGINT) AS entries, CAST(8 AS BIGINT) AS applies
+         |       CAST(3 AS BIGINT) AS entries, CAST(1 AS BIGINT) AS applies
          |UNION ALL
          |SELECT 'position', CAST(8 AS BIGINT),
          |       CAST(sum(CASE WHEN o_orderkey % 5 = 2 THEN 1 ELSE 0 END)

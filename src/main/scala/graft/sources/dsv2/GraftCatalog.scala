@@ -451,6 +451,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"constraint(s) ${pinned.mkString(", ")} reference it; " +
           "UNSET the constraint first")
     }
+    // live EQUALITY-DELETE refs bind their key columns by name: a
+    // RENAME or DROP of a key column under live refs leaves refs that
+    // can never re-bind — every read of an affected file fails, and
+    // (unlike a bad commit) rollback stops helping once later commits
+    // land. Retirement is cheap and restores full ALTER freedom.
+    def requireNoEqOn(col: String, action: String): Unit = {
+      val live = LakeLog.current(dir.toString).map(_.eqs)
+        .getOrElse(Seq.empty)
+        .filter(_.keyCols.exists(_.equalsIgnoreCase(col)))
+      require(live.isEmpty,
+        s"graft_lake: cannot $action column '$col' — live equality-" +
+          s"delete ref(s) ${live.map(_.name).take(3).mkString(", ")} " +
+          "key on it; CALL system.rewrite_deletes first")
+    }
     // hidden partitioning interplay: specs reference source columns by
     // name, so a RENAME rewrites EVERY spec with it (evolution keeps
     // old layouts readable, so historical specs evolve in lockstep
@@ -507,6 +521,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               s"(${spec.map(_.show).mkString(",")}) — the table's " +
               "layout depends on it; rewrite to a new spec instead")
           requireNoCheckOn(name, "drop")
+          requireNoEqOn(name, "drop")
           schema = StructType(schema.fields.patch(idx, Nil, 1))
           // the forward-looking knobs shed the dropped column (a
           // dangling name would wedge every subsequent write: the
@@ -525,6 +540,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
           s"graft_lake: column $to already exists")
         requireNoCheckOn(from, "rename")
+        requireNoEqOn(from, "rename")
         val f = schema.fields(idx)
         // renaming back to one of this column's OWN prior names is a
         // clean round-trip; a prior name of ANOTHER column is rejected

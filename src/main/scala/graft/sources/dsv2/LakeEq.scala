@@ -145,6 +145,130 @@ object LakeEq {
   def applicable(refs: Seq[EqRef], addV: Long): Seq[EqRef] =
     refs.filter(r => addV >= 0 && addV < r.version)
 
+  // ------------------------------------------------- key-stat scoping
+
+  /** Per-value In-list cap for key-statistics scoping: refs with more
+    * keys than this scope by per-column RANGE only (two comparisons
+    * per file instead of O(keys) bound/bloom probes) — pruning power
+    * degrades gracefully, per-file planning cost stays O(1).
+    */
+  private val ScopeInCap = 1024
+
+  // driver-side decoded-literals cache (sidecar URI → per-column
+  // literal arrays); sidecars are immutable write-once content
+  private val scopeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Decode one sidecar's canonical keys back into per-COLUMN typed
+    * literal arrays (the classes [[LakeStats.mightMatchFile]] and
+    * [[LakeBloom.hashLiteral]] compare exactly: Int/Long/String/
+    * LocalDate). None when any key fails to decode (foreign sidecar,
+    * drifted schema) — callers attach conservatively.
+    */
+  def scopeValues(dir: String, name: String,
+                  types: Seq[DataType]): Option[Seq[Array[Any]]] = {
+    if (scopeCache.size > 256) scopeCache.clear()
+    scopeCache.computeIfAbsent(new Path(dir, name).toUri.toString,
+      _ => try {
+        val keys = cached(dir, name)._2
+        val cols = Array.fill(types.size)(
+          Array.newBuilder[Any])
+        val it = keys.iterator
+        while (it.hasNext) {
+          // -1: a trailing empty string value must survive the split
+          val parts =
+            if (types.size == 1) Array(it.next())
+            else it.next().split("\u0000", -1)
+          if (parts.length != types.size) throw new MatchError(parts)
+          var i = 0
+          while (i < types.size) {
+            cols(i) += (types(i) match {
+              case IntegerType => parts(i).toInt
+              case LongType    => parts(i).toLong
+              case StringType  => parts(i)
+              case DateType    =>
+                java.time.LocalDate.ofEpochDay(parts(i).toLong)
+              case other => throw new MatchError(other)
+            })
+            i += 1
+          }
+        }
+        Some(cols.map(_.result()).toSeq): AnyRef
+      } catch { case scala.util.control.NonFatal(_) => None: AnyRef })
+      .asInstanceOf[Option[Seq[Array[Any]]]]
+  }
+
+  /** Can `file` (judged from its manifest stats) contain ANY of `ref`'s
+    * keys? True on any uncertainty — skipping attachment is the
+    * dangerous direction (a skipped ref resurrects deleted rows), so
+    * false only on PROOF: every key column's value set provably absent
+    * by min/max bounds (and blooms, for refs within [[ScopeInCap]]).
+    * On a sorted or bloom-indexed 100 TB table this is what keeps an
+    * upsert epoch's read debt local to the files that hold its keys
+    * instead of attaching key-probe work to every sequenced file.
+    */
+  def mayApply(dir: String, ref: EqRef, st: LakeStats.FileStats,
+               tableCols: Array[LakeColumnRef],
+               schema: StructType): Boolean = {
+    val bound =
+      try bindKeys(schema, ref.keyCols)
+      catch { case scala.util.control.NonFatal(_) => return true }
+    scopeValues(dir, ref.name, bound.map(_._2)) match {
+      case None => true
+      case Some(perCol) =>
+        val filters: Array[org.apache.spark.sql.sources.Filter] =
+          bound.zip(perCol).map { case ((idx, _), vals) =>
+            // the schema-canonical spelling — mightMatchFile resolves
+            // stats entries by the table ref's exact name
+            val name = schema.fields(idx).name
+            if (vals.isEmpty)
+              // an empty key set matches nothing anywhere
+              org.apache.spark.sql.sources.In(name, Array.empty[Any])
+            else if (vals.length <= ScopeInCap)
+              org.apache.spark.sql.sources.In(name, vals)
+            else {
+              // large ref: range-only scoping, O(1) per file
+              val ord = scopeOrdering(vals(0))
+              org.apache.spark.sql.sources
+                .GreaterThanOrEqual(name, vals.min(ord))
+            }
+          }.toArray ++ bound.zip(perCol).collect {
+            case ((idx, _), vals) if vals.length > ScopeInCap =>
+              val ord = scopeOrdering(vals(0))
+              org.apache.spark.sql.sources
+                .LessThanOrEqual(schema.fields(idx).name, vals.max(ord))
+          }
+        LakeStats.mightMatchFile(st, tableCols, filters)
+    }
+  }
+
+  private def scopeOrdering(sample: Any): Ordering[Any] = (sample match {
+    case _: Int    => Ordering.Int.on((v: Any) => v.asInstanceOf[Int])
+    case _: Long   => Ordering.Long.on((v: Any) => v.asInstanceOf[Long])
+    case _: java.time.LocalDate =>
+      Ordering.Long.on((v: Any) =>
+        v.asInstanceOf[java.time.LocalDate].toEpochDay)
+    // parquet's unsigned UTF-8 byte order — the stats' own comparator
+    case _ => Ordering.comparatorToOrdering(
+      java.util.Comparator.comparing((v: Any) =>
+        org.apache.parquet.io.api.Binary.fromString(
+          v.asInstanceOf[String])))
+  })
+
+  /** The refs of `refs` that BOTH apply to a file by the sequencing
+    * rule AND may hold one of its keys per the file's statistics — the
+    * single scoping entry the scan's attachment, `rewrite_deletes`'
+    * target set, and the `db.t.deletes` inventory all share (the
+    * inventory advertises exactly what a rewrite would touch).
+    * `st` None (no stats entry) attaches conservatively.
+    */
+  def scopedApplicable(dir: String, refs: Seq[EqRef], addV: Long,
+                       st: Option[LakeStats.FileStats],
+                       tableCols: Array[LakeColumnRef],
+                       schema: StructType): Seq[EqRef] =
+    applicable(refs, addV).filter(r =>
+      st.forall(s => mayApply(dir, r, s, tableCols, schema)))
+
   /** Fail loud when any current file cannot be SEQUENCED against the
     * eq-delete list (unknown add version) — checked at eq commit time
     * (friendly error, with the remedy) and re-checked at scan plan

@@ -270,10 +270,18 @@ class LakeDeletesTable(tableName: String, dir: String) extends Table
             // SEQUENCED with (no add version) — the latter BLOCKS a
             // rewrite loud, so under-reporting it would advertise a
             // retirement scope the operation will never honor
+            // key-statistics scoping mirrors the scan's attachment AND
+            // rewrite_deletes' target set exactly ([[LakeEq
+            // .scopedApplicable]]) — the inventory must advertise what
+            // a retirement would actually touch, no more, no less
+            lazy val tableCols = LakeTableIO.columnRefs(
+              LakeTableIO.tableSchema(dir))
+            lazy val tschema = LakeTableIO.tableSchema(dir)
             val applies = s.files.count(f =>
               s.stats.get(f) match {
                 case Some(st) if st.addV >= 0 =>
-                  LakeEq.applicable(Seq(r), st.addV).nonEmpty
+                  LakeEq.scopedApplicable(dir, Seq(r), st.addV,
+                    Some(st), tableCols, tschema).nonEmpty
                 case _ => true // unsequenceable: the rewrite must face it
               })
             Seq[Any](utf8("equality"), utf8(r.name), r.version,

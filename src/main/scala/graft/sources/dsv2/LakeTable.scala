@@ -984,13 +984,23 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
       val allRefs = LakeTableIO.columnRefs(tableSchema)
       ps.map { p =>
         val lp = p.asInstanceOf[LakeInputPartition]
-        val addV = stats.get(new Path(lp.path).getName)
-          .map(_.addV).getOrElse(-1L)
-        val applicable = LakeEq.applicable(eqs, addV)
+        val fstats = stats.get(new Path(lp.path).getName)
+        val addV = fstats.map(_.addV).getOrElse(-1L)
+        // sequencing rule + KEY-STATISTICS scoping: a file whose key-
+        // column bounds/blooms provably contain none of a ref's keys
+        // skips decode-and-probe entirely (on a sorted/bloomed table
+        // the epoch's read debt stays local to the files holding its
+        // keys); attach conservatively on any uncertainty
+        val applicable = LakeEq.scopedApplicable(dir, eqs, addV,
+          fstats, allRefs, tableSchema)
         if (applicable.isEmpty) p
         else {
           val keyCols = applicable.flatMap(_.keyCols).distinct
-          val refs = keyCols.map(c => allRefs.find(_.name == c)
+          // case-insensitive, matching the task-side reader's key
+          // resolution — pre-canonicalization sidecars (user-spelled
+          // key names) must keep reading
+          val refs = keyCols.map(c =>
+            allRefs.find(_.name.equalsIgnoreCase(c))
             .getOrElse(throw new IllegalStateException(
               s"graft_lake $dir: equality-delete key column '$c' is " +
                 "missing from the table schema")))

@@ -63,6 +63,14 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
   // resolve + validate everything DRIVER-side at plan time, loud
   private val keyIdx: Seq[(Int, DataType)] =
     LakeEq.bindKeys(rowSchema, keyCols)
+  // SCHEMA-CANONICAL key spellings: bindKeys resolved the user's
+  // `upsert.keys` case-insensitively, but the sidecar + manifest must
+  // carry the schema's own spelling — a verbatim `K` against column
+  // `k` would commit fine and then brick every read of affected files
+  // at the plan-side case-exact ref resolution (accepted input must
+  // never become a self-inflicted outage)
+  private val canonKeys: Seq[String] =
+    keyIdx.map { case (i, _) => rowSchema.fields(i).name }
   private val orderIdx: Int = {
     val i = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(orderCol))
     require(i >= 0,
@@ -89,7 +97,7 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
     * cross-epoch delete semantics) are per-key.
     */
   override def requiredDistribution(): Distribution =
-    Distributions.clustered(keyCols.map(c =>
+    Distributions.clustered(canonKeys.map(c =>
       Expressions.column(c)
         : org.apache.spark.sql.connector.expressions.Expression).toArray)
   override def requiredNumPartitions(): Int = 0
@@ -145,7 +153,7 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
             s"failed to publish ${s.stagedPath} -> $dest")
         (dest.getName, s)
       }
-      val sidecar = LakeEq.write(dir, keyCols, seen)
+      val sidecar = LakeEq.write(dir, canonKeys, seen)
       def cleanup(): Unit = {
         published.foreach { case (n, _) =>
           try fs.delete(new Path(dir, n), false)
@@ -175,7 +183,7 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
         addedHists = published.collect {
           case (n, s) if s.hists.nonEmpty => n -> s.hists
         }.toMap,
-        eqAdded = Seq((sidecar, keyCols, seen.size.toLong)),
+        eqAdded = Seq((sidecar, canonKeys, seen.size.toLong)),
         prePublish =
           () => LakeChecks.requireUnchangedForWrite(dir, checksAtPlan))
       catch { case e: Throwable => cleanup(); throw e }

@@ -371,4 +371,125 @@ class LakeEqDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("add version") &&
       e.getMessage.contains("rewrite_deletes"), e.getMessage)
   }
+
+  test("mixed-case upsert.keys round-trips: the sidecar and manifest " +
+       "carry the SCHEMA-canonical spelling, so every subsequent read " +
+       "of affected files plans green (accepted input must never " +
+       "become a self-inflicted outage)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.mc " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      // the user spells the key column 'K' against schema column 'k'
+      val out = freshDir("ckpt-mc")
+      val q = spark.readStream.option("maxCommitsPerBatch", 1)
+        .table(s"$cat.db.src")
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "K")
+        .option("upsert.order", "SEQ")
+        .option("upsert.tombstone", "op = 'delete'")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.mc")
+      q.awaitTermination()
+      val dir = s"$root/db/mc"
+      val head = LakeLog.current(dir).get
+      assert(head.eqs.nonEmpty &&
+        head.eqs.forall(_.keyCols == Seq("k")),
+        s"manifest refs must carry the schema spelling: ${head.eqs}")
+      assert(head.eqs.forall(r =>
+        LakeEq.read(dir, r.name)._1 == Seq("k")),
+        "sidecar keyCols must carry the schema spelling")
+      // and the read is green with exact subtraction
+      val got = spark.table(s"$cat.db.mc")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a2", 2L -> "b1"), s"$got")
+    }
+  }
+
+  test("ALTER TABLE guards live eq-ref key columns: RENAME/DROP of a " +
+       "key column under live refs is rejected loud (refs could never " +
+       "re-bind); after rewrite_deletes retires them the ALTER " +
+       "proceeds") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.ag " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.ag")
+      assert(LakeLog.current(s"$root/db/ag").get.eqs.nonEmpty)
+      val eRen = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.ag RENAME COLUMN k TO kk")
+      }
+      assert(exists(eRen, "equality") &&
+        exists(eRen, "rewrite_deletes"), eRen.getMessage)
+      val eDrop = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.ag DROP COLUMN k")
+      }
+      assert(exists(eDrop, "equality"), eDrop.getMessage)
+      // a NON-key column stays alterable under live refs
+      spark.sql(s"ALTER TABLE $cat.db.ag RENAME COLUMN v TO vv")
+      // retirement restores full ALTER freedom
+      spark.sql(s"CALL $cat.system.rewrite_deletes('db.ag')")
+      spark.sql(s"ALTER TABLE $cat.db.ag RENAME COLUMN k TO kk")
+      assert(spark.table(s"$cat.db.ag").columns.toSeq ==
+        Seq("kk", "vv", "op", "seq"))
+    }
+  }
+
+  test("key-statistics scoping: on a key-range-disjoint layout an " +
+       "epoch's ref attaches (scan, inventory, rewrite) only to the " +
+       "files whose bounds admit its keys — a strict subset of the " +
+       "sequenced files — and row results stay exact") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      // four range-disjoint base files (one commit each: 0-9, 10-19,
+      // 20-29, 30-39), then one epoch touching keys 11 and 12 only
+      for (lo <- Seq(0, 10, 20, 30))
+        spark.sql(s"INSERT INTO $cat.db.src " +
+          s"SELECT id AS k, concat('v', id) AS v, 'insert' AS op, " +
+          s"CAST(1 AS BIGINT) AS seq FROM range(${lo}, ${lo + 10})")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(11, 'u11', 'update', 2), (12, null, 'delete', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.sc " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.sc")
+      val dir = s"$root/db/sc"
+      val head = LakeLog.current(dir).get
+      // the LAST epoch's ref (keys 11, 12) sequences against every
+      // earlier file, but key stats scope it to the 10-19 band only
+      val lastRef = head.eqs.maxBy(_.version)
+      val seqFiles = head.files.count(f =>
+        head.stats.get(f).exists(st =>
+          st.addV >= 0 && st.addV < lastRef.version))
+      val inv = spark.table(s"$cat.db.sc.deletes")
+        .where(s"ref = '${lastRef.name}'")
+        .selectExpr("applies_to_files").collect().head.getLong(0)
+      assert(inv < seqFiles,
+        s"scoping must attach a STRICT subset: $inv of $seqFiles")
+      assert(inv >= 1, "the 10-19 band genuinely holds the keys")
+      // row results exact despite the pruned attachment
+      val got = spark.table(s"$cat.db.sc")
+        .where("k >= 10 AND k < 14").selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(10L -> "v10", 11L -> "u11", 13L -> "v13"),
+        s"$got")
+      // rewrite honors the same scope and preserves state
+      spark.sql(s"CALL $cat.system.rewrite_deletes('db.sc')")
+      assert(LakeLog.current(dir).get.eqs.isEmpty)
+      val after = spark.table(s"$cat.db.sc").count()
+      assert(after == 39L, s"40 keys minus one delete: $after")
+    }
+  }
 }
