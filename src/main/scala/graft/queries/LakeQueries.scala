@@ -518,6 +518,59 @@ object LakeQueries {
       s.table(dst)
     }),
 
+    // CDC THROUGH EQUALITY DELETES (r15): the upsert sink's own table
+    // is CDC-able onward — lake-to-lake pipelines no longer dead-end
+    // at the flagship sink. Each epoch's events reconstruct from
+    // commit metadata alone: the ref's key set is the delete side
+    // (pre-images from prior files, scoped by sequencing + key
+    // statistics), the epoch's own post-images the insert side
+    // (collapsed insert/delete typing). The oracle restates the event
+    // arithmetic declaratively: inserts = every epoch's post-images;
+    // deletes = each epoch's keys that had a LIVE prior version.
+    "stream_lake_upsert_cdc" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val src = tableId(dir, "lake_ucsrc")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"CREATE TABLE $src (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "o_orderstatus AS status", "o_totalprice AS price",
+        "'insert' AS op", "CAST(1 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_uc_e1")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_uc_e1")
+      previous(s, dir).where(col(key) % 3 === 0).selectExpr(
+        s"$key AS k", "o_orderstatus AS status",
+        "o_totalprice * 2 AS price", "'update' AS op",
+        "CAST(2 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_uc_e2")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_uc_e2")
+      previous(s, dir).where(col(key) % 5 === 2).selectExpr(
+        s"$key AS k", "CAST(null AS STRING) AS status",
+        "CAST(null AS DOUBLE) AS price", "'delete' AS op",
+        "CAST(3 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_uc_e3")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_uc_e3")
+      val dst = tableId(dir, "lake_ucdst")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $dst (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      val out = freshDir("upsert_cdc", dir)
+      val q = s.readStream.option("maxCommitsPerBatch", 1).table(src)
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .option("upsert.tombstone", "op = 'delete'")
+        .trigger(Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+      s.table(s"$dst.changes")
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("change_type")
+    }),
+
     // V2 TRANSFORM-PREDICATE PUSHDOWN (r14): an EXPLICITLY-written
     // transform predicate over the catalog's own bound function —
     // `years(d) = 25` — prunes the years-partitioned table to the
@@ -1456,6 +1509,30 @@ object LakeQueries {
          |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END
          |       AS BIGINT) AS seq
          |FROM prev WHERE o_orderkey % 5 <> 2""".stripMargin,
+    // the event arithmetic restated declaratively: inserts = epoch-1
+    // post-images (all keys) + epoch-2 post-images (k%3=0); deletes =
+    // epoch-2 pre-images (k%3=0, all had live epoch-1 versions) +
+    // epoch-3 pre-images (k%5=2 — exactly one live version per key,
+    // whichever epoch it came from). Epoch 1's ref finds no prior
+    // rows; epoch 3 has no post-images (pure tombstones).
+    "stream_lake_upsert_cdc" ->
+      s"""$snapshotCte, base AS (SELECT o_orderkey AS k FROM prev)
+         |SELECT 'delete' AS change_type,
+         |  CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)
+         |     + sum(CASE WHEN k % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n,
+         |  CAST(sum(CASE WHEN k % 3 = 0 THEN k ELSE 0 END)
+         |     + sum(CASE WHEN k % 5 = 2 THEN k ELSE 0 END) AS BIGINT)
+         |    AS sum_k
+         |FROM base
+         |UNION ALL
+         |SELECT 'insert',
+         |  CAST(count(*)
+         |     + sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(sum(k)
+         |     + sum(CASE WHEN k % 3 = 0 THEN k ELSE 0 END) AS BIGINT)
+         |FROM base
+         |ORDER BY change_type""".stripMargin,
     // the 1995 year-slice restated declaratively over the source rows
     // (the transform predicate is hidden partitioning's years() — the
     // oracle states the calendar year directly)

@@ -154,26 +154,16 @@ class LakeChangesScan(dir: String, projected: StructType,
       val snap =
         if (asSnapshot) LakeLog.snapshotAt(dir, v)
         else LakeLog.snapshotAtDelta(dir, v)
-      // an equality-delete COMMIT changes no files, so no change
-      // events can be derived for the rows it kills — loud on the
-      // version that ADDED a ref (detectable from the snapshot itself:
-      // a carried ref stamped with this version). Versions that merely
-      // CARRY earlier refs are representable: their added files
-      // postdate every carried ref (addV ≥ version > ref version), so
-      // the per-version insert events are exact — and retirement
-      // (dataChange=false) traverses cleanly. The OPENING snapshot is
-      // the exception: it emits complete live state, which would need
-      // eq subtraction — it requires an eq-free version outright.
-      require(!snap.eqs.exists(_.version == v),
-        s"graft_lake $dir: version $v committed equality deletes — " +
-          "the change feed cannot represent them; CALL " +
-          "system.rewrite_deletes and read the feed across the rewrite")
-      require(!asSnapshot || snap.eqs.isEmpty,
-        s"graft_lake $dir: the opening snapshot at v$v carries live " +
-          "equality deletes its complete-state events cannot " +
-          "subtract; CALL system.rewrite_deletes first")
-      if (skipReplaceCommits && snap.removed.nonEmpty && snap.dataChange
-          && !asSnapshot)
+      // equality-delete commits (the upsert-epoch shape) are fully
+      // representable (r15): planCdcVersion derives the delete side
+      // from the refs' key sets (pre-images from prior files, scoped
+      // by sequencing + key statistics) and the insert side from the
+      // commit's own post-images; the opening snapshot subtracts
+      // carried refs exactly like the batch scan. skipChangeCommits
+      // skips ref-adding versions like any other change commit.
+      if (skipReplaceCommits && !asSnapshot &&
+          ((snap.removed.nonEmpty && snap.dataChange) ||
+           snap.eqs.exists(_.version == v)))
         Seq.empty
       else
         LakeTableIO.planCdcVersion(dir, snap, cols, pushed, asSnapshot)

@@ -381,6 +381,13 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
     extends PartitionReader[ColumnarBatch] {
   import LakeColumnarReader._
 
+  // belt-and-braces: a columnar read of an eq-attached or CDC split
+  // would silently skip the membership/emit tests — the factory's
+  // anyEq flag and `eligible` must have routed those to the row path
+  require(part.eqFiles.isEmpty && part.cdc.isEmpty,
+    s"columnar read planned over an eq/CDC split of ${part.path} — " +
+      "row-path routing bug")
+
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema

@@ -240,22 +240,16 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
         val snap =
           if (asSnapshot) LakeLog.snapshotAt(dir, v)
           else LakeLog.snapshotAtDelta(dir, v)
-        // loud on the version that ADDED an eq ref (its deletes have
-        // no events; rows already emitted cannot be retracted);
-        // carried-only versions are representable — their added files
-        // postdate every carried ref — and the opening snapshot
-        // requires an eq-free version (complete-state events cannot
-        // subtract keys). Same contract as the batch change feed.
-        require(!snap.eqs.exists(_.version == v),
-          s"graft_lake $dir: version $v committed equality " +
-            "deletes — a change-feed stream cannot represent them; " +
-            "CALL system.rewrite_deletes and restart past the rewrite")
-        require(!asSnapshot || snap.eqs.isEmpty,
-          s"graft_lake $dir: the opening snapshot at v$v carries " +
-            "live equality deletes its complete-state events cannot " +
-            "subtract; CALL system.rewrite_deletes first")
-        if (skipChangeCommits && snap.removed.nonEmpty &&
-            snap.dataChange && !asSnapshot)
+        // equality-delete commits (the upsert-epoch shape) are fully
+        // representable (r15): planCdcVersion derives delete events
+        // from the refs' key sets and insert events from the commit's
+        // own post-images; the opening snapshot subtracts carried
+        // refs like the batch scan. skipChangeCommits skips
+        // ref-adding versions like any other change commit. Same
+        // contract as the batch change feed.
+        if (skipChangeCommits && !asSnapshot &&
+            ((snap.removed.nonEmpty && snap.dataChange) ||
+             snap.eqs.exists(_.version == v)))
           Seq.empty
         else
           LakeTableIO.planCdcVersion(dir, snap, cols, pushed, asSnapshot)
@@ -268,6 +262,10 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
       .empty[String, LakeStats.FileStats]
     val parts = scala.collection.mutable.Map.empty[String, Seq[String]]
     val dvs = scala.collection.mutable.Map.empty[String, Seq[String]]
+    // live refs of the OPENING snapshot (subtracted from its
+    // complete-state emit below, like the batch scan); later deltas'
+    // added files postdate every carried ref by the sequencing rule
+    var openEqs: Seq[LakeEq.EqRef] = Seq.empty
     val added = (a + 1 to b).flatMap { v =>
       val asSnap = so.snapshotStart && v == a + 1
       // delta commits contribute only their added files; the
@@ -276,18 +274,21 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
         if (asSnap) LakeLog.snapshotAt(dir, v)
         else LakeLog.snapshotAtDelta(dir, v)
       // append-only replay: a version that ADDED an eq ref silently
-      // deletes rows this stream already emitted — loud, never wrong;
-      // carried-only versions replay exactly (their added files
-      // postdate every carried ref), and the opening snapshot needs
-      // an eq-free version (its complete state cannot subtract keys)
-      require(!snap.eqs.exists(_.version == v),
+      // deletes rows this stream already emitted — loud by default
+      // (never wrong); under skipChangeCommits its post-images flow
+      // and the deletes are skipped, exactly the merge-on-read
+      // treatment below ("inserts flow, deletes don't"). Carried-only
+      // versions replay exactly (their added files postdate every
+      // carried ref); the CDC view represents the deletes too.
+      // the OPENING snapshot is exempt: it emits complete state (all
+      // refs subtracted below), not a delta over already-emitted rows
+      require(asSnap || skipChangeCommits ||
+          !snap.eqs.exists(_.version == v),
         s"graft_lake $dir: version $v committed equality deletes — " +
-          "a streaming read cannot apply them retroactively; CALL " +
+          "a streaming read cannot apply them retroactively; set " +
+          "skipChangeCommits=true for the append-only view, stream " +
+          "the CDC view (db.t.changes), or CALL " +
           "system.rewrite_deletes and restart past the rewrite")
-      require(!asSnap || snap.eqs.isEmpty,
-        s"graft_lake $dir: the opening snapshot at v$v carries live " +
-          "equality deletes its complete state cannot subtract; CALL " +
-          "system.rewrite_deletes first")
       stats ++= snap.stats
       parts ++= snap.parts
       if (so.snapshotStart && v == a + 1) {
@@ -296,7 +297,10 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
         // its deletion vectors subtracted, or a fresh stream on a
         // merge-on-read table would emit rows already deleted before
         // the stream started (later deltas stay append-only: their
-        // added files carry no DVs at their own commit)
+        // added files carry no DVs at their own commit). Live
+        // equality refs subtract the same way (sequenceability loud).
+        LakeEq.requireSequenceable(dir, snap.eqs, snap.files, snap.stats)
+        openEqs = snap.eqs
         dvs ++= snap.dvs
         snap.files
       }
@@ -360,13 +364,29 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
             s"${proven.mkString(", ")} cannot be enforced — commit " +
             s"file ${p.getName}'s stats cannot prove them"))
     }
-    LakeTableIO.planRowGroups(kept,
+    val planned = LakeTableIO.planRowGroups(kept,
       LakeTableIO.columnRefs(projected), pushed, pruneGroups = true,
       dvs = dvs.toMap, stats = stats.toMap).parts
+    // opening-snapshot eq subtraction (no-op when openEqs is empty;
+    // delta files postdate every carried ref, so only snapshot files
+    // attach)
+    if (openEqs.isEmpty) planned
+    else LakeTableIO.attachEq(dir, planned, openEqs, stats.toMap,
+      LakeTableIO.tableSchema(dir))
   }
 
+  /** Row path whenever the table holds live equality refs at stream
+    * start: the opening-snapshot batch may attach eq subtraction, and
+    * Spark requires a UNIFORM columnar answer across a batch's
+    * partitions — a columnar read of an eq-attached split would skip
+    * the membership test (caught live by LakeUpsertCdcSpec's opening-
+    * snapshot pin). Later eq attachments cannot appear: ref-adding
+    * versions decline/skip in append mode, and CDC-mode eq partitions
+    * carry a cdc annotation, which is columnar-ineligible already.
+    */
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(projected)
+    new LakeReaderFactory(projected,
+      anyEq = LakeLog.current(dir).exists(_.eqs.nonEmpty))
 
   override def commit(offset: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -833,7 +833,15 @@ case class LakeColumnRef(name: String, id: Int, candidates: Array[String])
   * (later deletes are later events, not retroactive edits).
   */
 case class LakeCdcInfo(changeType: String, version: Long,
-                       onlyPositions: Option[Array[Long]] = None)
+                       onlyPositions: Option[Array[Long]] = None,
+                       // EQUALITY-delete event read (the upsert-epoch
+                       // commit): emit ONLY rows whose key matches one
+                       // of these sidecars' key sets — the pre-images
+                       // the commit's refs tombstoned. Unlike
+                       // onlyPositions there is nothing positional to
+                       // page-prune; key-stat scoping bounds the FILE
+                       // set instead.
+                       onlyEqFiles: Seq[String] = Seq.empty)
 
 case class LakeInputPartition(path: String, rowGroup: Int,
                               cols: Array[LakeColumnRef],
@@ -901,13 +909,12 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     require(branch.isEmpty,
       "streaming reads follow MAIN history only — fast-forward the " +
         s"branch first (cannot stream $dir@${branch.getOrElse("")})")
-    // a commit-replaying stream has no sound way to apply an equality
-    // delete retroactively (earlier batches already emitted the rows);
-    // loud, with the remedy — rewrite_deletes materializes and retires
-    require(eqs.isEmpty,
-      s"graft_lake $dir holds live equality deletes — a streaming " +
-        "read cannot apply them retroactively; CALL " +
-        "system.rewrite_deletes first")
+    // live equality deletes are handled per VERSION inside the stream
+    // (r15): the opening snapshot subtracts carried refs, carried-only
+    // versions replay exactly, and a version that ADDED a ref fails
+    // loud at its batch unless skipChangeCommits flows its post-images
+    // — a blanket head-refs decline here would wrongly block streams
+    // positioned entirely past the eq commits
     new LakeMicroBatchStream(dir, projected, pushed, skipChangeCommits,
       startingVersion, pacing.maxCommitsPerBatch, pacing.maxRowsPerTrigger,
       pacing.maxFilesPerTrigger, consumed = consumed, proven = proven)
@@ -979,36 +986,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     * decodes without emitting.
     */
   private def withEq(ps: Array[InputPartition]): Array[InputPartition] =
-    if (eqs.isEmpty) ps
-    else {
-      val allRefs = LakeTableIO.columnRefs(tableSchema)
-      ps.map { p =>
-        val lp = p.asInstanceOf[LakeInputPartition]
-        val fstats = stats.get(new Path(lp.path).getName)
-        val addV = fstats.map(_.addV).getOrElse(-1L)
-        // sequencing rule + KEY-STATISTICS scoping: a file whose key-
-        // column bounds/blooms provably contain none of a ref's keys
-        // skips decode-and-probe entirely (on a sorted/bloomed table
-        // the epoch's read debt stays local to the files holding its
-        // keys); attach conservatively on any uncertainty
-        val applicable = LakeEq.scopedApplicable(dir, eqs, addV,
-          fstats, allRefs, tableSchema)
-        if (applicable.isEmpty) p
-        else {
-          val keyCols = applicable.flatMap(_.keyCols).distinct
-          // case-insensitive, matching the task-side reader's key
-          // resolution — pre-canonicalization sidecars (user-spelled
-          // key names) must keep reading
-          val refs = keyCols.map(c =>
-            allRefs.find(_.name.equalsIgnoreCase(c))
-            .getOrElse(throw new IllegalStateException(
-              s"graft_lake $dir: equality-delete key column '$c' is " +
-                "missing from the table schema")))
-          lp.copy(eqFiles = applicable.map(_.name),
-            eqCols = refs.toArray): InputPartition
-        }
-      }
-    }
+    LakeTableIO.attachEq(dir, ps, eqs, stats, tableSchema)
 
   /** Pushed-LIMIT / TopN FILE bounding ([[LakeLimits]]) — after
     * partition pruning, before row-group planning, manifest metadata
@@ -1482,8 +1460,10 @@ class LakeReaderFactory(projected: StructType,
       // test, never emitted). The prefix invariant (evalCols starts
       // with part.cols verbatim) is what keeps every eval index below
       // part.cols.length an output ordinal.
+      private val needEqCols =
+        part.eqFiles.nonEmpty || part.cdc.exists(_.onlyEqFiles.nonEmpty)
       private val evalCols: Array[LakeColumnRef] =
-        if (part.eqFiles.isEmpty) part.cols
+        if (!needEqCols) part.cols
         else part.cols ++ part.eqCols.filter(ec =>
           !part.cols.exists(_.name == ec.name))
       // file column name -> eval position, via per-column resolution
@@ -1578,13 +1558,17 @@ class LakeReaderFactory(projected: StructType,
       // key set. A sidecar whose key column the FILE cannot resolve is
       // dropped — every row's key value there is null (the file
       // predates the column), and null never matches a non-null key.
-      private val eqTests: Array[(Array[Int], Set[String])] =
-        if (part.eqFiles.isEmpty) Array.empty
+      // Shared by BOTH test classes: part.eqFiles SUBTRACT matching
+      // rows; the CDC annotation's onlyEqFiles EMIT only matching rows
+      // (the pre-images an upsert epoch's refs tombstoned).
+      private def eqTestsOf(names: Seq[String])
+          : Array[(Array[Int], Set[String])] =
+        if (names.isEmpty) Array.empty
         else {
           val reqPosByEval: Map[Int, Int] =
             outIndex.zipWithIndex.map { case (e, r) => e -> r }.toMap
           val tableDir = new Path(part.path).getParent.toString
-          part.eqFiles.flatMap { name =>
+          names.flatMap { name =>
             val (cols, keys) = LakeEq.cached(tableDir, name)
             val positions = cols.map { c =>
               val e = evalCols.indexWhere(_.name.equalsIgnoreCase(c))
@@ -1594,10 +1578,20 @@ class LakeReaderFactory(projected: StructType,
             else Some((positions.toArray, keys))
           }.toArray
         }
-      private def eqDeleted(inner: InternalRow): Boolean = {
+      private val eqTests: Array[(Array[Int], Set[String])] =
+        eqTestsOf(part.eqFiles)
+      // CDC pre-image emit filter; when the flag is set but no test
+      // resolved (the file predates every key column), NO row can
+      // match a non-null key — emit nothing, never everything
+      private val emitOnlyEq: Boolean =
+        part.cdc.exists(_.onlyEqFiles.nonEmpty)
+      private val onlyEqTests: Array[(Array[Int], Set[String])] =
+        eqTestsOf(part.cdc.map(_.onlyEqFiles).getOrElse(Seq.empty))
+      private def eqHit(tests: Array[(Array[Int], Set[String])],
+                        inner: InternalRow): Boolean = {
         var i = 0
-        while (i < eqTests.length) {
-          val (pos, keys) = eqTests(i)
+        while (i < tests.length) {
+          val (pos, keys) = tests(i)
           val values = new Array[Any](pos.length)
           var j = 0
           var nullKey = false
@@ -1788,8 +1782,10 @@ class LakeReaderFactory(projected: StructType,
                 new org.apache.spark.sql.catalyst.expressions
                   .GenericInternalRow(fastAdvance(decode = true))
               else LakeParquet.toInternalRow(recordReader.read(), dec)
-            if (eqTests.nonEmpty && eqDeleted(inner))
+            if (eqTests.nonEmpty && eqHit(eqTests, inner))
               next() // equality-deleted row: skip
+            else if (emitOnlyEq && !eqHit(onlyEqTests, inner))
+              next() // pre-image read: not one of the epoch's keys
             else {
             current =
               if (identityProjection) inner
@@ -3635,6 +3631,43 @@ object LakeTableIO {
     * files' footers), never the table's; manifest stats prune
     * pushed-filter-excluded files before any footer read.
     */
+  /** Attach each planned split's applicable equality deletes —
+    * sequencing rule plus KEY-STATISTICS scoping ([[LakeEq
+    * .scopedApplicable]]: a file whose key-column bounds/blooms
+    * provably contain none of a ref's keys skips decode-and-probe
+    * entirely) — and the resolution refs of every involved key column
+    * (hidden columns the reader decodes without emitting). Shared by
+    * the batch scan, the CDC opening snapshot, and the append-stream
+    * opening snapshot. Key-column resolution is case-insensitive
+    * (pre-canonicalization sidecars carry user spellings).
+    */
+  def attachEq(dir: String, ps: Array[InputPartition],
+               eqs: Seq[LakeEq.EqRef],
+               stats: Map[String, LakeStats.FileStats],
+               schema: StructType): Array[InputPartition] =
+    if (eqs.isEmpty) ps
+    else {
+      val allRefs = columnRefs(schema)
+      ps.map { p =>
+        val lp = p.asInstanceOf[LakeInputPartition]
+        val fstats = stats.get(new Path(lp.path).getName)
+        val addV = fstats.map(_.addV).getOrElse(-1L)
+        val applicable = LakeEq.scopedApplicable(dir, eqs, addV,
+          fstats, allRefs, schema)
+        if (applicable.isEmpty) p
+        else {
+          val keyCols = applicable.flatMap(_.keyCols).distinct
+          val refs = keyCols.map(c =>
+            allRefs.find(_.name.equalsIgnoreCase(c))
+            .getOrElse(throw new IllegalStateException(
+              s"graft_lake $dir: equality-delete key column '$c' is " +
+                "missing from the table schema")))
+          lp.copy(eqFiles = applicable.map(_.name),
+            eqCols = refs.toArray): InputPartition
+        }
+      }
+    }
+
   def planCdcVersion(dir: String, snap: LakeLog.Snapshot,
                      cols: Array[LakeColumnRef], pushed: Array[Filter],
                      initialSnapshot: Boolean): Array[InputPartition] = {
@@ -3652,11 +3685,86 @@ object LakeTableIO {
     def pruned(files: Seq[String]): Seq[Path] =
       LakePartitioning.prune(files.map(new Path(dir, _)), snap.parts,
         specs, pushed)._1
-    if (initialSnapshot)
-      return annotate(planRowGroups(
+    if (initialSnapshot) {
+      // the opening snapshot's complete-state insert events subtract
+      // live equality deletes exactly like the batch scan (the caller
+      // passes the FULL snapshot here, so stats cover every file);
+      // unsequenceable vintages stay loud
+      LakeEq.requireSequenceable(dir, snap.eqs, snap.files, snap.stats)
+      return attachEq(dir, annotate(planRowGroups(
         pruned(snap.files), cols, pushed,
         pruneGroups = true, snap.dvs, snap.stats).parts,
-        LakeCdcInfo("insert", snap.version))
+        LakeCdcInfo("insert", snap.version)),
+        snap.eqs, snap.stats, tableSchema(dir))
+    }
+    // a version that ADDED equality refs — the upsert-epoch shape:
+    // its events ARE reconstructible. The refs' key sets are the
+    // delete side (pre-images read from prior files, scoped by the
+    // sequencing rule + key statistics); the commit's own added files
+    // are the insert side (their addV postdates every live ref).
+    // Checked BEFORE the dataChange gate: added refs are themselves
+    // proof of data change, and trusting a mislabeled flag would
+    // silently drop delete events.
+    val ownRefs = snap.eqs.filter(_.version == snap.version)
+    if (ownRefs.nonEmpty) {
+      if (snap.removed.nonEmpty || snap.dvAdded.nonEmpty)
+        throw new IllegalStateException(
+          s"change feed of $dir: commit v${snap.version} " +
+            s"(${snap.operation}) combines equality deletes with file " +
+            "replaces or deletion-vector changes — row events cannot " +
+            "be derived; CALL system.rewrite_deletes and read across " +
+            "the rewrite")
+      // FULL snapshot: the delete side consults every prior file's
+      // stats — O(table metadata) planning for this one version (the
+      // price of a keyed delete that names no positions); the read
+      // side stays O(candidate files) via key-stat scoping
+      val full = LakeLog.snapshotAt(dir, snap.version)
+      val schema = tableSchema(dir)
+      val tcols = columnRefs(schema)
+      def prunedFull(files: Seq[String]): Seq[Path] =
+        LakePartitioning.prune(files.map(new Path(dir, _)), full.parts,
+          specs, pushed)._1
+      val inserts: Seq[InputPartition] =
+        if (snap.added.isEmpty) Seq.empty
+        else annotate(planRowGroups(prunedFull(snap.added), cols,
+          pushed, pruneGroups = true, Map.empty, full.stats).parts,
+          LakeCdcInfo("insert", snap.version)).toSeq
+      val addedSet = snap.added.toSet
+      val prior = full.files.filterNot(addedSet)
+      LakeEq.requireSequenceable(dir, ownRefs, prior, full.stats)
+      val earlier = full.eqs.filter(_.version < snap.version)
+      def scoped(refs: Seq[LakeEq.EqRef], name: String) = {
+        val st = full.stats.get(name)
+        LakeEq.scopedApplicable(dir, refs,
+          st.map(_.addV).getOrElse(-1L), st, tcols, schema)
+      }
+      val candidates = prunedFull(prior)
+        .filter(p => scoped(ownRefs, p.getName).nonEmpty)
+      val deletes: Seq[InputPartition] =
+        if (candidates.isEmpty) Seq.empty
+        else planRowGroups(candidates, cols, pushed,
+          pruneGroups = true, full.dvs, full.stats).parts.toSeq
+          .map { p =>
+            val lp = p.asInstanceOf[LakeInputPartition]
+            val name = new Path(lp.path).getName
+            // EARLIER refs subtract (those rows were dead before this
+            // commit — no event); the commit's OWN refs are the emit
+            // filter (only their keys' pre-images are this version's
+            // delete events)
+            val sub = scoped(earlier, name)
+            val own = scoped(ownRefs, name)
+            val keyCols = (sub ++ own).flatMap(_.keyCols).distinct
+            val refs = keyCols.map(c =>
+              tcols.find(_.name.equalsIgnoreCase(c)).getOrElse(
+                throw new IllegalStateException(
+                  s"graft_lake $dir: equality-delete key column '$c' " +
+                    "is missing from the table schema")))
+            lp.copy(eqFiles = sub.map(_.name), eqCols = refs.toArray,
+              cdc = Some(LakeCdcInfo("delete", snap.version,
+                onlyEqFiles = own.map(_.name)))): InputPartition
+          }
+      return (inserts ++ deletes).toArray
+    }
     if (!snap.dataChange) return Array.empty
     if (snap.removed.nonEmpty)
       throw new IllegalStateException(

@@ -195,8 +195,9 @@ class LakeEqDeleteSpec extends SparkSpec {
 
   test("LOUD declines under live equality deletes: metadata " +
        "aggregates, LIMIT bounding, compact, zorder, row-level DML, " +
-       "the change feed, streaming reads, and the files inventory all " +
-       "refuse rather than guess — and results stay exact throughout") {
+       "the two-point diff, append streaming reads, and the files " +
+       "inventory all refuse rather than guess — while the CDC feed " +
+       "SERVES the upsert epochs exactly — and results stay exact") {
     withCatalog { (cat, root) =>
       spark.sql(s"CREATE TABLE $cat.db.src " +
         "(k BIGINT, v STRING, op STRING, seq BIGINT)")
@@ -231,13 +232,16 @@ class LakeEqDeleteSpec extends SparkSpec {
         graft.operators.LakeSnapshots.changes(spark, dir, 1, 2).collect()
       }
       assert(exists(eChanges, "equality-delete"), s"$eChanges")
-      // the BATCH change-feed table spelling declines too (review
-      // finding: it planned per version with no eq guard and silently
-      // omitted every tombstone)
-      val eChangesTbl = intercept[Exception] {
-        spark.sql(s"SELECT * FROM $cat.db.dd.changes").collect()
-      }
-      assert(exists(eChangesTbl, "equality deletes"), s"$eChangesTbl")
+      // the BATCH change-feed table SERVES eq-commit versions (r15):
+      // the refs' key sets are the delete side, the epochs' own
+      // post-images the insert side (collapsed insert/delete typing)
+      val events = spark.sql(s"SELECT k, v, _change_type " +
+        s"FROM $cat.db.dd.changes").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(events == Set((1L, "a1", "insert"), (2L, "b1", "insert"),
+        (1L, "a2", "insert"), (1L, "a1", "delete")),
+        s"upsert CDC events wrong: $events")
       // the partitions metadata table's row_count promise declines
       val ePart = intercept[Exception] {
         spark.sql(s"SELECT * FROM $cat.db.dd.partitions").collect()

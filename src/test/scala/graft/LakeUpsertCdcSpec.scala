@@ -1,0 +1,234 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.dsv2.{GraftCatalog, LakeLog}
+
+/** CDC THROUGH EQUALITY DELETES (r15): the upsert sink's own table is
+  * CDC-able onward — the one gap that made lake-to-lake pipelines
+  * dead-end at the flagship feature. An upsert epoch's events are
+  * reconstructed from commit metadata alone: the ref's key set is the
+  * DELETE side (pre-images read from prior files, scoped by the
+  * sequencing rule + key statistics), the epoch's own post-images the
+  * INSERT side (their addV postdates every ref) — collapsed
+  * insert/delete typing, an update being its delete+insert pair.
+  * Soundness pins: earlier-ref subtraction (a row another epoch
+  * already killed is nobody's pre-image), restart-no-replay for the
+  * streaming feed, opening snapshots under carried refs, and the
+  * append-only stream's loud/skip contract.
+  */
+class LakeUpsertCdcSpec extends SparkSpec {
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = Files.createTempDirectory("graft-ucdc").toString
+    n += 1
+    val cat = s"ucdc$n"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  private def freshDir(name: String): String =
+    Files.createTempDirectory(s"graft-ucdc-$name").toString
+
+  private def exists(e: Throwable, s: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+      .exists(t => Option(t.getMessage).exists(_.contains(s)))
+
+  private def runUpsert(cat: String, src: String, dst: String,
+                        ckpt: String): Unit = {
+    val q = spark.readStream.option("maxCommitsPerBatch", 1)
+      .table(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .option("upsert.keys", "k")
+      .option("upsert.order", "seq")
+      .option("upsert.tombstone", "op = 'delete'")
+      .trigger(Trigger.AvailableNow())
+      .toTable(dst)
+    q.awaitTermination()
+  }
+
+  test("batch changes of an upserted table: three epochs (insert, " +
+       "update, delete+reinsert) produce the exact per-key event " +
+       "history — EARLIER-ref subtraction keeps a twice-updated key's " +
+       "second update from re-deleting the already-dead first version") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      // epoch 1: keys 1..4
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1), " +
+        "(3, 'c1', 'insert', 1), (4, 'd1', 'insert', 1)")
+      // epoch 2: update 1 and 2
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2), (2, 'b2', 'update', 2)")
+      // epoch 3: update 1 AGAIN (the earlier-ref pin), delete 3,
+      // and insert a new key 5
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a3', 'update', 3), (3, null, 'delete', 3), " +
+        "(5, 'e3', 'insert', 3)")
+      spark.sql(s"CREATE TABLE $cat.db.dst " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.dst", freshDir("c1"))
+      val events = spark.sql(s"SELECT k, v, _change_type, " +
+        s"_commit_version FROM $cat.db.dst.changes").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val inserts = events.filter(_._3 == "insert").map(e => e._1 -> e._2)
+      val deletes = events.filter(_._3 == "delete").map(e => e._1 -> e._2)
+      assert(inserts.sorted.toSeq == Seq(1L -> "a1", 1L -> "a2",
+        1L -> "a3", 2L -> "b1", 2L -> "b2", 3L -> "c1", 4L -> "d1",
+        5L -> "e3"), s"inserts: ${inserts.toSeq}")
+      // epoch 2 deletes a1/b1; epoch 3 deletes a2 (NOT a1 again — the
+      // earlier ref already killed it) and c1. Key 5 has no pre-image
+      // — its ref entry produces no delete event.
+      assert(deletes.sorted.toSeq == Seq(1L -> "a1", 1L -> "a2",
+        2L -> "b1", 3L -> "c1"), s"deletes: ${deletes.toSeq}")
+      // the feed replays onward: folding ITS events per key
+      // reproduces the table (the lake-to-lake contract)
+      val got = spark.table(s"$cat.db.dst")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a3", 2L -> "b2", 4L -> "d1", 5L -> "e3"))
+    }
+  }
+
+  test("streaming CDC of an upserted table: restart-no-replay — a " +
+       "second AvailableNow run from the same checkpoint appends only " +
+       "the NEW epoch's events, no replays, no gaps") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.dst " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      val upsCkpt = freshDir("ups")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.dst", upsCkpt)
+      // stream the change feed into a parquet sink
+      val out = freshDir("cdcsink")
+      val cdcCkpt = freshDir("cdcckpt")
+      def drain(): Unit = {
+        val q = spark.readStream.option("maxCommitsPerBatch", 1)
+          .table(s"$cat.db.dst.changes")
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", cdcCkpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val first = spark.read.parquet(s"$out/data")
+        .selectExpr("k", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(first.sorted.toSeq == Seq((1L, "a1", "delete"),
+        (1L, "a1", "insert"), (1L, "a2", "insert"),
+        (2L, "b1", "insert")), s"first drain: ${first.toSeq}")
+      // one more epoch lands, the consumer restarts from its checkpoint
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(2, null, 'delete', 3)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.dst", upsCkpt)
+      drain()
+      val second = spark.read.parquet(s"$out/data")
+        .selectExpr("k", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(second.sorted.toSeq == Seq((1L, "a1", "delete"),
+        (1L, "a1", "insert"), (1L, "a2", "insert"),
+        (2L, "b1", "delete"), (2L, "b1", "insert")),
+        s"after restart: ${second.toSeq}")
+    }
+  }
+
+  test("opening snapshot under carried refs: after history expiry the " +
+       "feed (and a fresh append stream) opens with the snapshot's " +
+       "LIVE rows — tombstoned keys subtracted, sequenceability loud") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1), " +
+        "(3, 'c1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(2, null, 'delete', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.dst " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.dst", freshDir("c3"))
+      val dir = s"$root/db/dst"
+      assert(LakeLog.current(dir).get.eqs.nonEmpty)
+      // trim history to the head only: the feed must open with the
+      // snapshot, whose complete-state events need eq subtraction
+      graft.operators.LakeSnapshots.expire(dir, 1, 0L)
+      val events = spark.sql(s"SELECT k, v, _change_type " +
+        s"FROM $cat.db.dst.changes").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(events.sorted.toSeq == Seq((1L, "a1", "insert"),
+        (3L, "c1", "insert")), s"snapshot events: ${events.toSeq}")
+      // the append-only stream opens the same way
+      val out = freshDir("appsink")
+      val q = spark.readStream.table(s"$cat.db.dst")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(s"$out/data")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(streamed == Set(1L -> "a1", 3L -> "c1"), s"$streamed")
+    }
+  }
+
+  test("append-only stream vs eq commits: loud by default at the " +
+       "ref-adding version (with all three remedies named); under " +
+       "skipChangeCommits the post-images flow and deletes are " +
+       "skipped — the merge-on-read treatment") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.dst " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.dst", freshDir("c4"))
+      val e = intercept[Exception] {
+        val out = freshDir("loudsink")
+        val q = spark.readStream.table(s"$cat.db.dst")
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      assert(exists(e, "committed equality deletes") &&
+        exists(e, "skipChangeCommits") && exists(e, "db.t.changes") &&
+        exists(e, "rewrite_deletes"), s"$e")
+      val out = freshDir("skipsink")
+      val q = spark.readStream.option("skipChangeCommits", "true")
+        .table(s"$cat.db.dst")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(s"$out/data")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // every post-image flows (a1 AND its superseding a2 — the
+      // append-only view keeps inserts, never retracts)
+      assert(got.sorted.toSeq == Seq(1L -> "a1", 1L -> "a2",
+        2L -> "b1"), s"${got.toSeq}")
+    }
+  }
+}
