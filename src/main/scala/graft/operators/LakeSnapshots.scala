@@ -194,6 +194,114 @@ object LakeSnapshots {
       : Seq[(Option[Seq[String]], Seq[String])] =
     files.groupBy(parts.get).toSeq.sortBy(_._2.head)
 
+  // ------------------------------------------- shared eq-retirement
+  // machinery for maintenance rewrites (rewrite_deletes, and the r15
+  // retirement FOLDING in compact/zorder: the passes already rewrite
+  // rows, so they apply + retire applicable eq refs in the same
+  // dataChange=false commit instead of declining)
+
+  /** Per-file applicable live refs (the shared sequencing + key-stat
+    * scope, [[graft.sources.dsv2.LakeEq.scopedApplicable]]) plus a
+    * DataFrame-level "this row is eq-deleted" flag over
+    * (`__f`, key columns) — the same canonical-key semantics the
+    * connector reader applies.
+    */
+  private def eqFold(spark: SparkSession, dir: String,
+                     head: graft.sources.dsv2.LakeLog.Snapshot,
+                     schema: org.apache.spark.sql.types.StructType)
+      : (Map[String, Seq[String]], org.apache.spark.sql.Column) = {
+    import graft.sources.dsv2.LakeEq
+    import org.apache.spark.sql.functions.{array, col, concat_ws, datediff, lit, to_date, udf, when}
+    val tcols = LakeTableIO.columnRefs(schema)
+    val applicable: Map[String, Seq[String]] =
+      head.files.iterator.map { f =>
+        f -> LakeEq.scopedApplicable(dir, head.eqs,
+          head.stats.get(f).map(_.addV).getOrElse(-1L),
+          head.stats.get(f), tcols, schema).map(_.name)
+      }.filter(_._2.nonEmpty).toMap
+    // one canonical key column per distinct keyCols shape (encoded
+    // exactly as the reader/writer canon — int/long/string decimal
+    // strings, dates as epoch days; any null key value → null →
+    // never matches)
+    val kcShapes: Seq[Seq[String]] = head.eqs.map(_.keyCols).distinct
+    val shapeOf: Map[String, Int] = head.eqs.map(r =>
+      r.name -> kcShapes.indexOf(r.keyCols)).toMap
+    val keySets: Map[String, Set[String]] =
+      head.eqs.map(r => r.name -> LakeEq.read(dir, r.name)._2).toMap
+    def canonCol(name: String): org.apache.spark.sql.Column = {
+      val f = schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalStateException(
+          s"maintenance rewrite of $dir: eq key column '$name' missing"))
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType => col(f.name)
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(f.name), to_date(lit("1970-01-01"))).cast("string")
+        case _ => col(f.name).cast("string")
+      }
+    }
+    def keyExpr(cols: Seq[String]): org.apache.spark.sql.Column = {
+      val anyNull = cols.map(col(_).isNull).reduce(_ || _)
+      when(anyNull, lit(null: String))
+        .otherwise(concat_ws("\u0000", cols.map(canonCol): _*))
+    }
+    val applicableB = applicable
+    val keySetsB = keySets
+    val shapeOfB = shapeOf
+    val isEqDeleted = udf((f: String, eks: Seq[String]) =>
+      applicableB.getOrElse(f, Seq.empty).exists { n =>
+        val k = eks(shapeOfB(n))
+        k != null && keySetsB(n).contains(k)
+      })
+    (applicable, isEqDeleted(col("__f"), array(kcShapes.map(keyExpr): _*)))
+  }
+
+  /** The eq-set-stability guard every retiring rewrite re-checks
+    * adjacent to each publish attempt (where the version CAS makes it
+    * airtight): a concurrent upsert epoch appending a NEW ref between
+    * the head read and the publish must fail THIS commit — its
+    * eqsOverride would silently wipe the new ref (resurrecting that
+    * epoch's deletes), and its outputs' fresh add versions would
+    * escape it.
+    */
+  private def eqGuard(dir: String,
+                      head: graft.sources.dsv2.LakeLog.Snapshot,
+                      what: String): () => Unit = () => {
+    val now = LakeLog.current(dir).map(_.eqs).getOrElse(Seq.empty)
+    if (now != head.eqs)
+      throw new java.util.ConcurrentModificationException(
+        s"$what of $dir: the equality-delete set changed mid-rewrite " +
+          "(concurrent upsert epoch?) — re-run")
+  }
+
+  /** Physical rows of `files` with maintenance-rewrite bookkeeping:
+    * `__f`/`__p` (file name / parquet row index — the exact position
+    * semantics the connector reader applies), the files' DV positions
+    * anti-joined away, and `__eqd` (true = an applicable live eq ref
+    * deletes the row; constant false without refs).
+    */
+  private def flaggedRows(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String,
+      files: Seq[String], dvs: Map[String, Seq[String]],
+      flag: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val dvRows = files.flatMap(f => dvs.get(f).toSeq.flatMap(vs =>
+      graft.sources.dsv2.LakeDv.positions(dir, vs)).map(p => (f, p)))
+    val dvDf = spark.createDataFrame(
+      if (dvRows.isEmpty) Seq(("", -1L)) else dvRows).toDF("__f", "__p")
+    spark.read.schema(schema)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+      .withColumn("__f", col("_metadata.file_name"))
+      .withColumn("__p", col("_metadata.row_index"))
+      .join(broadcast(dvDf), Seq("__f", "__p"), "left_anti")
+      .withColumn("__eqd", flag.getOrElse(lit(false)))
+  }
+
+  /** Dead (DV'd) position count of `files` at `head`. */
+  private def dvDead(dir: String,
+                     head: graft.sources.dsv2.LakeLog.Snapshot,
+                     files: Seq[String]): Long =
+    files.map(f => head.dvs.get(f).map(vs => graft.sources.dsv2.LakeDv
+      .positions(dir, vs).length.toLong).getOrElse(0L)).sum
+
   /** Rewrite the table clustered by the interleaved z-value of `cols`
     * (numeric), as a `dataChange=false` commit — same rows, new layout
     * with tight per-file/row-group min-max rectangles on EVERY listed
@@ -212,24 +320,30 @@ object LakeSnapshots {
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
     val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
       s"$dir has no snapshot log to cluster"))
-    // the plain parquet rewrite cannot subtract equality deletes, and
-    // its outputs' fresh add versions would detach them from every
-    // live ref — deleted rows would resurrect. Same remedy as DVs.
-    require(head.eqs.isEmpty,
-      s"graft_lake $dir holds live equality deletes — CALL " +
-        "system.rewrite_deletes before zorder")
     if (head.files.isEmpty) return (0, 0)
     val fs = new Path(dir).getFileSystem(new Configuration())
-    // files carrying deletion vectors are excluded — the plain parquet
-    // rewrite below cannot subtract DV positions, and the replace
-    // commit retires a replaced file's DVs, so clustering a DV'd file
-    // would silently RESURRECT its deleted rows (under dataChange=false,
-    // invisible to streams/CDC). Same guard as compact: rewriteDeletes
-    // is the pass that materializes DVs first, after which those files
-    // cluster normally.
-    val zFiles = head.files.filterNot(head.dvs.contains)
+    val schema0 = LakeTableIO.tableSchema(dir)
+    // RETIREMENT FOLDING (r15): zorder rewrites rows anyway, so under
+    // live equality refs it APPLIES and RETIRES them in the same
+    // dataChange=false commit — every output gets a fresh add version
+    // past every ref, and the whole file set (DV'd files included)
+    // joins the rewrite with positions + matching keys subtracted by
+    // the flagged read. Without refs, files carrying deletion vectors
+    // stay excluded: the plain parquet rewrite below cannot subtract
+    // DV positions, and the replace commit retires a replaced file's
+    // DVs, so clustering a DV'd file would silently RESURRECT its
+    // deleted rows — rewriteDeletes materializes those first.
+    val retire = head.eqs.nonEmpty
+    if (retire)
+      graft.sources.dsv2.LakeEq.requireSequenceable(dir, head.eqs,
+        head.files, head.stats)
+    val flag: Option[org.apache.spark.sql.Column] =
+      if (retire) Some(eqFold(spark, dir, head, schema0)._2) else None
+    val zFiles =
+      if (retire) head.files else head.files.filterNot(head.dvs.contains)
     if (zFiles.isEmpty) return (head.files.size, head.files.size)
-    val srcRows = LakeTableIO.footerRows(zFiles.map(new Path(dir, _)))
+    val liveSrcRows = LakeTableIO.footerRows(zFiles.map(new Path(dir, _))) -
+      (if (retire) dvDead(dir, head, zFiles) else 0L)
     // 16 bits/dim caps the z at 2^32 well inside Long; `1L <<` because
     // the single-column case (bits=32 under the old Int math) wrapped
     // (1 << 32) - 1 to 0 and normalized every row to bucket zero
@@ -284,23 +398,38 @@ object LakeSnapshots {
       }).reduce(_ + _)
       n.withColumn(zCol, z)
     }
+    var eqRemoved = 0L
+    // one group's SOURCE rows (live rows when retiring: DV positions +
+    // matching keys subtracted, the eq-removed count action folded
+    // around the use via a spill-safe persist — one scan, not two)
+    def withSource[A](files: Seq[String])(use: DataFrame => A): A =
+      if (!retire) use(spark.read.schema(schema0)
+        .parquet(files.map(f => s"$dir/$f"): _*))
+      else {
+        val raw = flaggedRows(spark, schema0, dir, files, head.dvs, flag)
+        raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          eqRemoved += raw.filter(col("__eqd")).count()
+          use(raw.filter(!col("__eqd")).drop("__f", "__p", "__eqd"))
+        } finally raw.unpersist()
+      }
     try {
       // cluster WITHIN each partition group (min/max normalization per
       // group — tighter rectangles than global bounds anyway); the
       // single-group case is the unpartitioned table
       val stagedByGroup = groups.zipWithIndex.map {
         case ((tuple, files), gi) =>
-          val df = spark.read.schema(LakeTableIO.tableSchema(dir))
-            .parquet(files.map(f => s"$dir/$f"): _*)
-          val nOut = math.max(1, math.round(targetFiles.toDouble *
-            files.map(sizeOf).sum / totalBytes).toInt)
           val gStage = new Path(stage, s"g$gi")
-          withMicrosTimestamps(spark) {
-            withZ(df)
-              .repartitionByRange(nOut, col(zCol))
-              .sortWithinPartitions(zCol)
-              .select(df.columns.map(col): _*)
-              .write.parquet(gStage.toString)
+          withSource(files) { df =>
+            val nOut = math.max(1, math.round(targetFiles.toDouble *
+              files.map(sizeOf).sum / totalBytes).toInt)
+            withMicrosTimestamps(spark) {
+              withZ(df)
+                .repartitionByRange(nOut, col(zCol))
+                .sortWithinPartitions(zCol)
+                .select(df.columns.map(col): _*)
+                .write.parquet(gStage.toString)
+            }
           }
           val staged = fs.listStatus(gStage).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -315,28 +444,28 @@ object LakeSnapshots {
       val stagedMigrated: Seq[(Path, Option[Seq[String]])] =
         if (migrate.isEmpty) Seq.empty
         else {
-          val schema = LakeTableIO.tableSchema(dir)
-          val boundSpec = LakePartitioning.bind(specs.last, schema)
-          val df = spark.read.schema(schema)
-            .parquet(migrate.map(f => s"$dir/$f"): _*)
-          val nOut = math.max(1, math.round(targetFiles.toDouble *
-            migrate.map(sizeOf).sum / totalBytes).toInt)
-          val cl = clusterExprs(boundSpec)
-          val clustered = withZ(df)
-            .repartition(nOut, cl: _*)
-            .sortWithinPartitions(cl :+ col(zCol): _*)
-            .select(df.columns.map(col): _*)
-          withMicrosTimestamps(spark) {
-            LakeTableIO.stageThroughConnector(clustered, dir)
-          }.map(s => (new Path(s.stagedPath), s.tuple))
+          val boundSpec = LakePartitioning.bind(specs.last, schema0)
+          withSource(migrate) { df =>
+            val nOut = math.max(1, math.round(targetFiles.toDouble *
+              migrate.map(sizeOf).sum / totalBytes).toInt)
+            val cl = clusterExprs(boundSpec)
+            val clustered = withZ(df)
+              .repartition(nOut, cl: _*)
+              .sortWithinPartitions(cl :+ col(zCol): _*)
+              .select(df.columns.map(col): _*)
+            withMicrosTimestamps(spark) {
+              LakeTableIO.stageThroughConnector(clustered, dir)
+            }.map(s => (new Path(s.stagedPath), s.tuple))
+          }
         }
       val allStaged: Seq[(Path, Option[Seq[String]])] =
         stagedByGroup.flatMap { case (tuple, staged) =>
           staged.map(p => (p, tuple))
         } ++ stagedMigrated
       val stagedRows = LakeTableIO.footerRows(allStaged.map(_._1))
-      require(stagedRows == srcRows,
-        s"zorder would lose rows: staged $stagedRows != source $srcRows")
+      require(stagedRows == liveSrcRows - eqRemoved,
+        s"zorder would change contents: staged $stagedRows != live " +
+          s"$liveSrcRows - eq-deleted $eqRemoved")
       val published = allStaged.map { case (p, tuple) =>
         val dest = new Path(dir, s"part-${UUID.randomUUID()}.parquet")
         if (!fs.rename(p, dest))
@@ -349,11 +478,17 @@ object LakeSnapshots {
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
         }.toMap,
+        // retiring: the whole ref list goes (every output's fresh add
+        // version postdates every ref; remaining files were rewritten
+        // too — zorder covers the full set)
+        eqsOverride = if (retire) Some(Seq.empty) else None,
         // an eq ref committed mid-zorder would be detached from the
         // rewritten rows (deleted rows resurrect) — re-checked per
-        // publish attempt, the rewrite_deletes eqGuard's twin
-        prePublish = () => graft.sources.dsv2.LakeEq
-          .requireStillNone(dir, None, "zorder"))
+        // publish attempt adjacent to the version CAS
+        prePublish =
+          if (retire) eqGuard(dir, head, "zorder")
+          else () => graft.sources.dsv2.LakeEq
+            .requireStillNone(dir, None, "zorder"))
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
       (head.files.size, head.files.size - zFiles.size + published.size)
@@ -378,13 +513,20 @@ object LakeSnapshots {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
       s"$dir has no snapshot log to compact"))
-    // merged outputs get a fresh add version past every live eq ref —
-    // compacting under live equality deletes would resurrect deleted
-    // rows (and the raw rewrite cannot subtract them). Same guard
-    // class as DV'd files, lifted to the whole pass for sequencing.
-    require(head.eqs.isEmpty,
-      s"graft_lake $dir holds live equality deletes — CALL " +
-        "system.rewrite_deletes before compact")
+    // RETIREMENT FOLDING (r15): under live equality refs, compaction
+    // runs the retirement rewrite (rewrite_deletes' read pipeline)
+    // with the small files folded into the same pass — one
+    // dataChange=false commit that merges, materializes touched DVs,
+    // applies AND retires every eq ref. A continuously-upserted table
+    // is thus maintainable without stopping the stream. Layout
+    // migration is deliberately not folded in (rewritten files keep
+    // their tuple, like rewrite_deletes) — compact again after
+    // retirement for a uniform layout.
+    if (head.eqs.nonEmpty) {
+      val (_, _, before, after) =
+        retireCore(spark, dir, head, Some(targetBytes), "compact")
+      return (before, after)
+    }
     val fs = new Path(dir).getFileSystem(new Configuration())
     val sized = head.files.map(f =>
       f -> fs.getFileStatus(new Path(dir, f)).getLen)
@@ -540,151 +682,137 @@ object LakeSnapshots {
     }
   }
 
-  /** Materialize merge-on-read deletion vectors: every DV'd data file
-    * is rewritten with its dead positions dropped, replacing the file
-    * (and, by [[graft.sources.dsv2.LakeLog.commit]]'s replace
-    * semantics, retiring its DVs) in one `dataChange=false` commit —
-    * live rows are IDENTICAL before and after, verified against the
-    * DV-adjusted footer counts, so streaming consumers skip it like
-    * any compaction. Returns (files rewritten, positions materialized).
-    * This is the read-cost reclamation pass MOR tables run periodically
-    * (Delta's PURGE, Iceberg's rewrite_position_delete_files).
+  /** Materialize merge-on-read deletion vectors AND equality deletes:
+    * every data file a DV or an applicable live eq ref touches is
+    * rewritten with its dead positions and matching keys dropped,
+    * replacing the file (and, by [[graft.sources.dsv2.LakeLog
+    * .commit]]'s replace semantics, retiring its DVs) and RETIRING the
+    * whole eq-ref list in one `dataChange=false` commit — live rows
+    * are IDENTICAL before and after, verified against the DV-adjusted
+    * footer counts minus the counted eq removals, so streaming
+    * consumers skip it like any compaction. Returns (files rewritten,
+    * positions + keys materialized). This is the read-cost reclamation
+    * pass MOR/upsert tables run periodically (Delta's PURGE, Iceberg's
+    * rewrite_position_delete_files / rewrite_data_files).
     */
   def rewriteDeletes(spark: SparkSession, dir: String): (Int, Long) = {
-    import graft.sources.dsv2.LakeEq
     val head = LakeLog.current(dir).getOrElse(throw new IllegalStateException(
       s"$dir has no snapshot log"))
     if (head.dvs.isEmpty && head.eqs.isEmpty) return (0, 0L)
+    val (t, removed, _, _) = retireCore(spark, dir, head, None,
+      "rewrite_deletes")
+    (t, removed)
+  }
+
+  /** The shared retirement rewrite behind [[rewriteDeletes]] and
+    * compact's retirement folding (`binBytes` set): reads targets'
+    * LIVE rows (DV positions anti-joined, eq-deleted keys filtered —
+    * [[flaggedRows]]), per partition GROUP so materialized files
+    * inherit their tuple, optionally BINNED to ~binBytes with the
+    * declared sort order preserved, then publishes one
+    * `dataChange=false` replace commit that retires every eq ref.
+    * Returns (targets rewritten, positions+keys materialized,
+    * files before, files after).
+    *
+    * Layout migration is deliberately NOT folded in (rewritten files
+    * keep their original tuple, exactly like plain rewrite_deletes) —
+    * a post-retirement compact migrates vintages as usual.
+    */
+  private def retireCore(spark: SparkSession, dir: String,
+      head: graft.sources.dsv2.LakeLog.Snapshot,
+      binBytes: Option[Long], what: String): (Int, Long, Int, Int) = {
+    import graft.sources.dsv2.LakeEq
     val fs = new Path(dir).getFileSystem(new Configuration())
     val schema = LakeTableIO.tableSchema(dir)
-    val stage = new Path(dir, s".rewrite-dv-${UUID.randomUUID()}")
     // EQUALITY-DELETE retirement: every file a live ref applies to
-    // (sequencing rule) rewrites with its matching keys subtracted;
-    // the commit then retires the WHOLE ref list — remaining files
-    // provably predate no ref, rewritten files get a fresh add version
-    // past every ref. Sequenceability is a precondition, loud.
+    // (sequencing + key-stat scoping — the same scope the scan
+    // attaches and db.t.deletes advertises) rewrites with its matching
+    // keys subtracted; the commit then retires the WHOLE ref list —
+    // remaining files provably hold none of any ref's keys, rewritten
+    // files get a fresh add version past every ref. Sequenceability is
+    // a precondition, loud.
     LakeEq.requireSequenceable(dir, head.eqs, head.files, head.stats)
-    val eqTableCols = LakeTableIO.columnRefs(schema)
-    val eqApplicable: Map[String, Seq[String]] =
-      if (head.eqs.isEmpty) Map.empty
-      else head.files.iterator.map { f =>
-        // key-statistics scoping ([[LakeEq.scopedApplicable]]): a file
-        // whose key-column bounds/blooms provably hold none of a ref's
-        // keys need not rewrite — retiring the ref cannot resurrect
-        // anything there. Same scope the scan attaches and the
-        // `db.t.deletes` inventory advertises.
-        f -> LakeEq.scopedApplicable(dir, head.eqs,
-          head.stats(f).addV, head.stats.get(f), eqTableCols, schema)
-          .map(_.name)
-      }.filter(_._2.nonEmpty).toMap
-    val targets =
-      (head.dvs.keys ++ eqApplicable.keys).toSeq.distinct.sorted
-    // the eq-set-stability guard: a concurrent upsert epoch appending
-    // a NEW ref between our head read and the publish must fail THIS
-    // commit (our eqsOverride would silently wipe it — resurrecting
-    // that epoch's deletes); re-checked adjacent to every publish
-    // attempt, where the version CAS makes it airtight
-    val eqGuard: () => Unit = () => {
-      val now = LakeLog.current(dir).map(_.eqs).getOrElse(Seq.empty)
-      if (now != head.eqs)
-        throw new java.util.ConcurrentModificationException(
-          s"rewrite_deletes of $dir: the equality-delete set changed " +
-            "mid-rewrite (concurrent upsert epoch?) — re-run")
-    }
-    if (targets.isEmpty) {
-      // refs exist but apply to nothing (every file postdates them):
-      // retire the dead list without touching any bytes
-      if (head.eqs.nonEmpty)
-        LakeLog.commit(dir, "rewrite_deletes", Seq.empty, Seq.empty, 0L,
-          dataChange = false, eqsOverride = Some(Seq.empty),
-          prePublish = eqGuard)
-      return (0, 0L)
-    }
-    val deadByFile = targets.map(f =>
-      f -> head.dvs.get(f).map(vs => graft.sources.dsv2.LakeDv
-        .positions(dir, vs).length.toLong).getOrElse(0L)).toMap
-    val liveRows = LakeTableIO.footerRows(
-      targets.map(new Path(dir, _))) - deadByFile.values.sum
-    // the eq membership machinery, shared by every group's job: one
-    // canonical key column per distinct keyCols shape (encoded exactly
-    // as the reader/writer canon — int/long/string decimal strings,
-    // dates as epoch days; any null key value → null → never matches)
-    import org.apache.spark.sql.functions.{array, col, concat_ws, datediff, lit, to_date, udf, when}
-    val kcShapes: Seq[Seq[String]] = head.eqs.map(_.keyCols).distinct
-    val shapeOf: Map[String, Int] = head.eqs.map(r =>
-      r.name -> kcShapes.indexOf(r.keyCols)).toMap
-    val keySets: Map[String, Set[String]] =
-      head.eqs.map(r => r.name -> LakeEq.read(dir, r.name)._2).toMap
-    def canonCol(name: String): org.apache.spark.sql.Column = {
-      val f = schema.fields.find(_.name.equalsIgnoreCase(name))
-        .getOrElse(throw new IllegalStateException(
-          s"rewrite_deletes of $dir: eq key column '$name' missing"))
-      f.dataType match {
-        case org.apache.spark.sql.types.StringType => col(f.name)
-        case org.apache.spark.sql.types.DateType =>
-          datediff(col(f.name), to_date(lit("1970-01-01"))).cast("string")
-        case _ => col(f.name).cast("string")
+    val (eqApplicable, eqFlag) =
+      if (head.eqs.isEmpty)
+        (Map.empty[String, Seq[String]],
+          None: Option[org.apache.spark.sql.Column])
+      else {
+        val (a, f) = eqFold(spark, dir, head, schema)
+        (a, Some(f))
       }
+    val mustRewrite = (head.dvs.keys ++ eqApplicable.keys).toSeq.distinct
+    // binned mode folds SMALL files into the same pass: a small
+    // current file merges when its tuple group ends up with >= 2
+    // members in this rewrite (plain compact's rule, extended with
+    // the must-rewrite files already paying the pass)
+    val small: Seq[String] = binBytes match {
+      case None => Seq.empty
+      case Some(tb) =>
+        val must = mustRewrite.toSet
+        val sized = head.files.filterNot(must)
+          .map(f => f -> fs.getFileStatus(new Path(dir, f)).getLen)
+          .filter(_._2 < tb).map(_._1)
+        byTuple(head.parts, sized ++ mustRewrite)
+          .filter(_._2.size >= 2).flatMap(_._2)
+          .filterNot(must)
     }
-    def keyExpr(cols: Seq[String]): org.apache.spark.sql.Column = {
-      val anyNull = cols.map(col(_).isNull).reduce(_ || _)
-      when(anyNull, lit(null: String))
-        .otherwise(concat_ws("\u0000", cols.map(canonCol): _*))
+    val targets = (mustRewrite ++ small).distinct.sorted
+    val guard: () => Unit =
+      if (head.eqs.isEmpty) () => () else eqGuard(dir, head, what)
+    if (targets.isEmpty) {
+      // refs exist but apply to nothing (every file postdates them or
+      // provably holds none of their keys): retire the dead list
+      // without touching any bytes
+      if (head.eqs.nonEmpty)
+        LakeLog.commit(dir, what, Seq.empty, Seq.empty, 0L,
+          dataChange = false, eqsOverride = Some(Seq.empty),
+          prePublish = guard)
+      return (0, 0L, head.files.size, head.files.size)
     }
-    val applicableB = eqApplicable
-    val keySetsB = keySets
-    val shapeOfB = shapeOf
-    val isEqDeleted = udf((f: String, eks: Seq[String]) =>
-      applicableB.getOrElse(f, Seq.empty).exists { n =>
-        val k = eks(shapeOfB(n))
-        k != null && keySetsB(n).contains(k)
-      })
+    val deadPositions = dvDead(dir, head, targets)
+    val liveRows = LakeTableIO.footerRows(
+      targets.map(new Path(dir, _))) - deadPositions
+    val sortCols =
+      if (binBytes.isDefined) LakeTableIO.sortColumnsOf(dir)
+      else Seq.empty
+    val stage = new Path(dir, s".rewrite-dv-${UUID.randomUUID()}")
     try {
-      // read THROUGH the stock parquet source with `_metadata
-      // .row_index` and subtract each file's positions — the same
-      // position semantics the connector's reader applies (its _pos IS
-      // the parquet row index) — then the eq membership filter, the
-      // same canonical-key semantics the connector reader applies.
-      // Rewrites run per partition GROUP so the materialized files
-      // inherit their tuple.
+      // rewrites run per partition GROUP so the materialized files
+      // inherit their tuple; the removed-count action and the write
+      // share ONE scan via a spill-safe persist (re-reading the group
+      // twice would double the retirement pass's I/O for a counter)
       val groups = byTuple(head.parts, targets)
       var eqRemoved = 0L
       val stagedByGroup = groups.zipWithIndex.map {
         case ((tuple, files), gi) =>
-          val dvRows = files.flatMap(f =>
-            head.dvs.get(f).toSeq.flatMap(vs =>
-              graft.sources.dsv2.LakeDv.positions(dir, vs))
-              .map(p => (f, p)))
-          val dvDf = spark.createDataFrame(
-            if (dvRows.isEmpty) Seq(("", -1L)) else dvRows)
-            .toDF("__f", "__p")
           val gStage = new Path(stage, s"g$gi")
-          withMicrosTimestamps(spark) {
-            val afterDv = spark.read.schema(schema)
-              .parquet(files.map(f => s"$dir/$f"): _*)
-              .withColumn("__f", col("_metadata.file_name"))
-              .withColumn("__p", col("_metadata.row_index"))
-              .join(org.apache.spark.sql.functions.broadcast(dvDf),
-                Seq("__f", "__p"), "left_anti")
-            val withFlag =
-              if (head.eqs.isEmpty) afterDv.withColumn("__eqd", lit(false))
-              else afterDv.withColumn("__eqd", isEqDeleted(col("__f"),
-                array(kcShapes.map(keyExpr): _*)))
-            // the removed-count action and the write share ONE scan
-            // via a spill-safe persist — re-reading the group (scan +
-            // anti-join + key UDF) twice doubles the retirement pass's
-            // I/O for a consistency counter; the write pipeline itself
-            // is single-sourced across both modes
-            if (head.eqs.nonEmpty) withFlag.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              if (head.eqs.nonEmpty)
-                eqRemoved += withFlag.filter(col("__eqd")).count()
-              withFlag.filter(!col("__eqd"))
-                .drop("__f", "__p", "__eqd")
-                .write.parquet(gStage.toString)
-            } finally if (head.eqs.nonEmpty) withFlag.unpersist()
-          }
+          val withFlag = flaggedRows(spark, schema, dir, files,
+            head.dvs, eqFlag)
+          if (head.eqs.nonEmpty) withFlag.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (head.eqs.nonEmpty)
+              eqRemoved += withFlag.filter(col("__eqd")).count()
+            val clean = withFlag.filter(!col("__eqd"))
+              .drop("__f", "__p", "__eqd")
+            // binned mode: merge to ~binBytes per group; a declared
+            // write sort order is a LAYOUT INVARIANT — merge by range
+            // + within-file sort, exactly like plain compact
+            val shaped = binBytes match {
+              case None => clean
+              case Some(tb) =>
+                val nOut = math.max(1, math.ceil(files.map(f =>
+                  fs.getFileStatus(new Path(dir, f)).getLen)
+                  .sum.toDouble / tb).toInt)
+                if (sortCols.isEmpty) clean.repartition(nOut)
+                else clean
+                  .repartitionByRange(nOut, sortCols.map(col): _*)
+                  .sortWithinPartitions(sortCols.map(col): _*)
+            }
+            withMicrosTimestamps(spark) {
+              shaped.write.parquet(gStage.toString)
+            }
+          } finally if (head.eqs.nonEmpty) withFlag.unpersist()
           val staged = fs.listStatus(gStage).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .map(_.getPath)
@@ -692,7 +820,7 @@ object LakeSnapshots {
       }
       val stagedRows = LakeTableIO.footerRows(stagedByGroup.flatMap(_._2))
       require(stagedRows == liveRows - eqRemoved,
-        s"rewriteDeletes would change contents: staged $stagedRows " +
+        s"$what would change contents: staged $stagedRows " +
           s"!= live $liveRows - eq-deleted $eqRemoved")
       val published = stagedByGroup.flatMap { case (tuple, staged) =>
         staged.map { p =>
@@ -702,17 +830,18 @@ object LakeSnapshots {
           (dest.getName, tuple)
         }
       }
-      try LakeLog.commit(dir, "rewrite_deletes", published.map(_._1),
+      try LakeLog.commit(dir, what, published.map(_._1),
         targets, addedRows = 0L, dataChange = false,
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
         }.toMap,
         eqsOverride =
           if (head.eqs.isEmpty) None else Some(Seq.empty),
-        prePublish = if (head.eqs.isEmpty) () => () else eqGuard)
+        prePublish = guard)
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
-      (targets.size, deadByFile.values.sum + eqRemoved)
+      (targets.size, deadPositions + eqRemoved,
+        head.files.size, head.files.size - targets.size + published.size)
     } finally fs.delete(stage, true)
   }
 }

@@ -571,6 +571,101 @@ object LakeQueries {
         .orderBy("change_type")
     }),
 
+    // MAINTENANCE UNDER LIVE REFS (r15): compact on a live-ref upsert
+    // table FOLDS retirement into the pass — one dataChange=false
+    // commit that merges the epochs' small post-image files,
+    // materializes touched DVs, applies AND retires every eq ref
+    // (LakeSnapshots.retireCore). A continuously-upserted table is
+    // maintainable without stopping the stream. The oracle restates
+    // the fold — retirement must preserve the exact state.
+    "lake_compact_retire" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val src = tableId(dir, "lake_crsrc")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"CREATE TABLE $src (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "o_orderstatus AS status", "o_totalprice AS price",
+        "'insert' AS op", "CAST(1 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_cr_e1")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_cr_e1")
+      previous(s, dir).where(col(key) % 3 === 0).selectExpr(
+        s"$key AS k", "o_orderstatus AS status",
+        "o_totalprice * 2 AS price", "'update' AS op",
+        "CAST(2 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_cr_e2")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_cr_e2")
+      previous(s, dir).where(col(key) % 5 === 2).selectExpr(
+        s"$key AS k", "CAST(null AS STRING) AS status",
+        "CAST(null AS DOUBLE) AS price", "'delete' AS op",
+        "CAST(3 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_cr_e3")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_cr_e3")
+      val dst = tableId(dir, "lake_crdst")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $dst (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      val out = freshDir("compact_retire", dir)
+      val q = s.readStream.option("maxCommitsPerBatch", 1).table(src)
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .option("upsert.tombstone", "op = 'delete'")
+        .trigger(Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+      s.sql(s"CALL ${LakeCatalogs.CatalogName}.system.compact(" +
+        s"'${dst.split('.').drop(1).mkString(".")}', 134217728)")
+      s.table(dst)
+    }),
+
+    // SINK-SIDE AUTO-RETIREMENT (r15): `upsert.retire.maxRefs=1` runs
+    // the retirement rewrite inline between epochs — the stream never
+    // stops, read debt stays bounded by the knob, and the metadata
+    // fast paths come back after every retirement. The oracle is the
+    // same declarative fold: inline retirement must preserve state.
+    "stream_lake_upsert_retire" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val src = tableId(dir, "lake_arsrc")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"CREATE TABLE $src (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "o_orderstatus AS status", "o_totalprice AS price",
+        "'insert' AS op", "CAST(1 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_ar_e1")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_ar_e1")
+      previous(s, dir).where(col(key) % 3 === 0).selectExpr(
+        s"$key AS k", "o_orderstatus AS status",
+        "o_totalprice * 2 AS price", "'update' AS op",
+        "CAST(2 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_ar_e2")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_ar_e2")
+      previous(s, dir).where(col(key) % 5 === 2).selectExpr(
+        s"$key AS k", "CAST(null AS STRING) AS status",
+        "CAST(null AS DOUBLE) AS price", "'delete' AS op",
+        "CAST(3 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_ar_e3")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_ar_e3")
+      val dst = tableId(dir, "lake_ardst")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $dst (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      val out = freshDir("upsert_retire", dir)
+      val q = s.readStream.option("maxCommitsPerBatch", 1).table(src)
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .option("upsert.tombstone", "op = 'delete'")
+        .option("upsert.retire.maxRefs", "1")
+        .trigger(Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+      s.table(dst)
+    }),
+
     // V2 TRANSFORM-PREDICATE PUSHDOWN (r14): an EXPLICITLY-written
     // transform predicate over the catalog's own bound function —
     // `years(d) = 25` — prunes the years-partitioned table to the
@@ -1533,6 +1628,28 @@ object LakeQueries {
          |     + sum(CASE WHEN k % 3 = 0 THEN k ELSE 0 END) AS BIGINT)
          |FROM base
          |ORDER BY change_type""".stripMargin,
+    // retirement preserves the exact fold (same declarative oracle as
+    // the upsert itself — compact/auto-retire must be invisible)
+    "lake_compact_retire" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey AS k, o_orderstatus AS status,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+         |       ELSE o_totalprice END AS price,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN 'update'
+         |       ELSE 'insert' END AS op,
+         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END
+         |       AS BIGINT) AS seq
+         |FROM prev WHERE o_orderkey % 5 <> 2""".stripMargin,
+    "stream_lake_upsert_retire" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey AS k, o_orderstatus AS status,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+         |       ELSE o_totalprice END AS price,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN 'update'
+         |       ELSE 'insert' END AS op,
+         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END
+         |       AS BIGINT) AS seq
+         |FROM prev WHERE o_orderkey % 5 <> 2""".stripMargin,
     // the 1995 year-slice restated declaratively over the source rows
     // (the transform predicate is hidden partitioning's years() — the
     // oracle states the calendar year directly)

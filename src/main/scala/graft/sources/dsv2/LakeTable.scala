@@ -144,11 +144,26 @@ class LakeTable(tableName: String, val dir: String,
             "sequence column) is required — without it the winning " +
             "event per key within an epoch is undefined"))
       val tomb = Option(info.options.get("upsert.tombstone"))
+      // `upsert.retire.maxRefs` — the sink-side auto-retirement knob:
+      // when the live ref count reaches N after an epoch commit, the
+      // sink runs retirement inline (between epochs, where the only
+      // writer of this query is idle), bounding read amplification
+      // without ever stopping the stream
+      val retireMax = Option(info.options.get("upsert.retire.maxRefs"))
+        .map { v =>
+          val n = v.toInt
+          require(n >= 1,
+            s"graft_lake upsert: upsert.retire.maxRefs must be >= 1: $n")
+          require(branch.isEmpty,
+            "graft_lake upsert: upsert.retire.maxRefs operates on MAIN " +
+              "history — WAP branches retire after fast_forward")
+          n
+        }
       return new WriteBuilder {
         override def build(): Write = new LakeUpsertWrite(dir,
           info.schema(),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          order, tomb, info.queryId(), branch)
+          order, tomb, info.queryId(), branch, retireMax)
       }
     }
     new WriteBuilder

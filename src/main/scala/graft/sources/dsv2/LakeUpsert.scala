@@ -56,7 +56,13 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
                       // commits its epochs, post-images, and eq refs
                       // to the BRANCH ref, exactly like the plain
                       // streaming sink
-                      branch: Option[String] = None)
+                      branch: Option[String] = None,
+                      // auto-retirement: when the live ref count
+                      // reaches this after an epoch commit, run
+                      // rewrite_deletes inline (between epochs — this
+                      // query's only writer is idle then); a benign
+                      // cross-writer race retries next epoch
+                      retireMaxRefs: Option[Int] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -189,6 +195,17 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
       catch { case e: Throwable => cleanup(); throw e }
       try LakeLog.recordCommittedEpoch(dir, queryId, epochId)
       catch { case _: Exception => () }
+      // sink-side auto-retirement: between epochs this query's only
+      // writer is idle, so the retirement rewrite can run without
+      // stopping the stream; a ref committed by ANOTHER writer during
+      // the rewrite trips its eq-set-stability guard — benign, the
+      // debt is retried at the next epoch's threshold check
+      retireMaxRefs.foreach { maxRefs =>
+        if (LakeLog.current(dir).map(_.eqs.size).getOrElse(0) >= maxRefs)
+          try graft.operators.LakeSnapshots.rewriteDeletes(
+            org.apache.spark.sql.SparkSession.active, dir)
+          catch { case _: java.util.ConcurrentModificationException => () }
+      }
     }
 
     override def abort(epochId: Long,

@@ -194,7 +194,7 @@ class LakeEqDeleteSpec extends SparkSpec {
   }
 
   test("LOUD declines under live equality deletes: metadata " +
-       "aggregates, LIMIT bounding, compact, zorder, row-level DML, " +
+       "aggregates, LIMIT bounding, row-level DML, " +
        "the two-point diff, append streaming reads, and the files " +
        "inventory all refuse rather than guess — while the CDC feed " +
        "SERVES the upsert epochs exactly — and results stay exact") {
@@ -215,15 +215,8 @@ class LakeEqDeleteSpec extends SparkSpec {
       assert(!lq.queryExecution.executedPlan.toString
         .contains("pushed_limit"))
       assert(lq.collect().length == 2)
-      // maintenance + DML + feeds: loud with the remedy
-      val eCompact = intercept[Exception] {
-        spark.sql(s"CALL $cat.system.compact('db.dd', 134217728)")
-      }
-      assert(exists(eCompact, "rewrite_deletes"), s"$eCompact")
-      val eZorder = intercept[Exception] {
-        spark.sql(s"CALL $cat.system.zorder('db.dd', 'k', 2)")
-      }
-      assert(exists(eZorder, "rewrite_deletes"), s"$eZorder")
+      // DML + feeds: loud with the remedy (compact/zorder no longer
+      // decline — they FOLD retirement in, pinned in their own test)
       val eDml = intercept[Exception] {
         spark.sql(s"DELETE FROM $cat.db.dd WHERE k = 2")
       }
@@ -494,6 +487,104 @@ class LakeEqDeleteSpec extends SparkSpec {
       assert(LakeLog.current(dir).get.eqs.isEmpty)
       val after = spark.table(s"$cat.db.sc").count()
       assert(after == 39L, s"40 keys minus one delete: $after")
+    }
+  }
+
+  test("retirement folds into maintenance (r15): compact on a live-ref " +
+       "table merges, applies, and retires every ref in ONE " +
+       "dataChange=false commit — state exact, fast paths restored; " +
+       "zorder likewise; the race guard still trips on a mid-rewrite " +
+       "ref") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1), " +
+        "(3, 'c1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2), (2, null, 'delete', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.cf " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.cf")
+      val dir = s"$root/db/cf"
+      assert(LakeLog.current(dir).get.eqs.size == 2)
+      // compact WITH live refs: succeeds, retires, exact state
+      spark.sql(s"CALL $cat.system.compact('db.cf', 134217728)")
+      val head = LakeLog.current(dir).get
+      assert(head.eqs.isEmpty, "compact must retire the refs")
+      assert(head.operation == "compact" && !head.dataChange)
+      val got = spark.table(s"$cat.db.cf")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a2", 3L -> "c1"), s"$got")
+      // the epochs' small post-image files merged in the same pass
+      assert(head.files.size < LakeLog.snapshotAt(dir,
+        head.version - 1).files.size,
+        s"small files must merge: ${head.files.size}")
+      // fast paths restored
+      val cq = spark.sql(s"SELECT count(*) FROM $cat.db.cf")
+      assert(cq.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"))
+      assert(cq.collect().head.getLong(0) == 2L)
+
+      // zorder on a second live-ref table: retires + clusters at once
+      spark.sql(s"CREATE TABLE $cat.db.zf " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.zf")
+      val zdir = s"$root/db/zf"
+      assert(LakeLog.current(zdir).get.eqs.nonEmpty)
+      spark.sql(s"CALL $cat.system.zorder('db.zf', 'k', 1)")
+      assert(LakeLog.current(zdir).get.eqs.isEmpty,
+        "zorder must retire the refs")
+      val zgot = spark.table(s"$cat.db.zf")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(zgot == Map(1L -> "a2", 3L -> "c1"), s"$zgot")
+    }
+  }
+
+  test("sink-side auto-retirement: upsert.retire.maxRefs runs the " +
+       "retirement rewrite inline between epochs — the stream never " +
+       "stops, the live ref count stays bounded, state exact") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(2, null, 'delete', 3), (3, 'c3', 'insert', 3)")
+      spark.sql(s"CREATE TABLE $cat.db.ar " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      val out = freshDir("ckpt-ar")
+      val q = spark.readStream.option("maxCommitsPerBatch", 1)
+        .table(s"$cat.db.src")
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .option("upsert.tombstone", "op = 'delete'")
+        .option("upsert.retire.maxRefs", "1")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.ar")
+      q.awaitTermination()
+      val dir = s"$root/db/ar"
+      // every epoch hit the threshold: all refs retired inline
+      assert(LakeLog.current(dir).get.eqs.isEmpty,
+        s"refs must be auto-retired: ${LakeLog.current(dir).get.eqs}")
+      val ops = graft.operators.LakeSnapshots.historyRows(dir)
+        .map(_._2)
+      assert(ops.count(_ == "rewrite_deletes") >= 3, s"$ops")
+      val got = spark.table(s"$cat.db.ar")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a2", 3L -> "c3"), s"$got")
+      // bounded debt is the contract: metadata fast paths live again
+      val cq = spark.sql(s"SELECT count(*) FROM $cat.db.ar")
+      assert(cq.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"))
+      assert(cq.collect().head.getLong(0) == 2L)
     }
   }
 }
