@@ -217,7 +217,8 @@ object LakeSnapshots {
       head.files.iterator.map { f =>
         f -> LakeEq.scopedApplicable(dir, head.eqs,
           head.stats.get(f).map(_.addV).getOrElse(-1L),
-          head.stats.get(f), tcols, schema).map(_.name)
+          head.stats.get(f), tcols, schema,
+          head.parts.get(f)).map(_.name)
       }.filter(_._2.nonEmpty).toMap
     // one canonical key column per distinct keyCols shape (encoded
     // exactly as the reader/writer canon — int/long/string decimal

@@ -44,10 +44,19 @@ object LakeEq {
 
   /** One equality-delete file as the manifest carries it: sidecar name,
     * the snapshot version it committed at (fills in at commit), its key
-    * columns, and the key count (bookkeeping/inventory).
+    * columns, the key count (bookkeeping/inventory), and — when the
+    * key columns functionally determine the partition (every current-
+    * spec source column is a key column) — the PARTITION TUPLE all of
+    * its keys share (versioned slots, [[LakePartitioning]] encoding):
+    * Iceberg v2's partition-scoped delete files. A tupled ref attaches
+    * only to same-spec files with the SAME tuple — any row matching
+    * one of its keys computes that tuple by transform determinism, so
+    * a same-spec different-tuple file provably holds none of them.
+    * Different-spec or tuple-less files attach conservatively.
     */
   final case class EqRef(name: String, version: Long,
-                         keyCols: Seq[String], n: Long)
+                         keyCols: Seq[String], n: Long,
+                         tuple: Option[Seq[String]] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -265,9 +274,17 @@ object LakeEq {
   def scopedApplicable(dir: String, refs: Seq[EqRef], addV: Long,
                        st: Option[LakeStats.FileStats],
                        tableCols: Array[LakeColumnRef],
-                       schema: StructType): Seq[EqRef] =
-    applicable(refs, addV).filter(r =>
-      st.forall(s => mayApply(dir, r, s, tableCols, schema)))
+                       schema: StructType,
+                       fileTuple: Option[Seq[String]] = None): Seq[EqRef] =
+    applicable(refs, addV)
+      // partition scoping: a tupled ref skips a SAME-SPEC file with a
+      // DIFFERENT tuple (the keys' rows cannot live there — transform
+      // determinism); different-spec/tuple-less stays conservative
+      .filter(r => r.tuple.forall(rt => fileTuple.forall(ft =>
+        ft == rt ||
+          LakePartitioning.splitTuple(rt)._1 !=
+            LakePartitioning.splitTuple(ft)._1)))
+      .filter(r => st.forall(s => mayApply(dir, r, s, tableCols, schema)))
 
   /** Fail loud when any current file cannot be SEQUENCED against the
     * eq-delete list (unknown add version) — checked at eq commit time
@@ -323,6 +340,11 @@ object LakeEq {
       r.keyCols.foreach(kc.add)
       m.put("keyCols", kc)
       m.put("n", java.lang.Long.valueOf(r.n))
+      r.tuple.foreach { t =>
+        val tl = new ArrayList[String](t.size)
+        t.foreach(tl.add)
+        m.put("tuple", tl)
+      }
       l.add(m)
     }
     l
@@ -342,8 +364,12 @@ object LakeEq {
         val n = mm.get("n") match {
           case x: Number => x.longValue(); case _ => 0L
         }
+        val tuple = mm.get("tuple") match {
+          case tl: JList[_] => Some(tl.asScala.map(_.toString).toSeq)
+          case _            => None
+        }
         if (ver >= 0 && cols.nonEmpty)
-          Some(EqRef(String.valueOf(mm.get("name")), ver, cols, n))
+          Some(EqRef(String.valueOf(mm.get("name")), ver, cols, n, tuple))
         else None
       case _ => None
     }

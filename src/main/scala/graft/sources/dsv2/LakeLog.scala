@@ -955,6 +955,11 @@ object LakeLog {
              // added files (the upsert's post-images) get addV = the
              // same version and are therefore never affected.
              eqAdded: Seq[(String, Seq[String], Long)] = Seq.empty,
+             // partition tuples of eqAdded sidecars (sidecar name ->
+             // versioned slots) when the key columns determine the
+             // partition — Iceberg's partition-scoped delete files;
+             // absent entries commit table-wide refs
+             eqTuples: Map[String, Seq[String]] = Map.empty,
              // rewrite_deletes retirement / rollback restore: replace
              // the carried eq list verbatim (like dvsOverride)
              eqsOverride: Option[Seq[LakeEq.EqRef]] = None,
@@ -1147,7 +1152,7 @@ object LakeLog {
       val nextEqs = eqsOverride.getOrElse(
         head.map(_.eqs).getOrElse(Seq.empty) ++
           eqAdded.map { case (n, kc, cnt) =>
-            LakeEq.EqRef(n, nextVersion, kc, cnt) })
+            LakeEq.EqRef(n, nextVersion, kc, cnt, eqTuples.get(n)) })
       // partition tuples follow the file set exactly like stats
       val nextParts = (head.map(_.parts).getOrElse(Map.empty) -- removed) ++
         addedParts.view.filterKeys(addedNew.contains)

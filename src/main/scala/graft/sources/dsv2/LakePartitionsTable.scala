@@ -281,7 +281,8 @@ class LakeDeletesTable(tableName: String, dir: String) extends Table
               s.stats.get(f) match {
                 case Some(st) if st.addV >= 0 =>
                   LakeEq.scopedApplicable(dir, Seq(r), st.addV,
-                    Some(st), tableCols, tschema).nonEmpty
+                    Some(st), tableCols, tschema,
+                    s.parts.get(f)).nonEmpty
                 case _ => true // unsequenceable: the rewrite must face it
               })
             Seq[Any](utf8("equality"), utf8(r.name), r.version,

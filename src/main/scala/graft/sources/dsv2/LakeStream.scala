@@ -372,7 +372,7 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     // attach)
     if (openEqs.isEmpty) planned
     else LakeTableIO.attachEq(dir, planned, openEqs, stats.toMap,
-      LakeTableIO.tableSchema(dir))
+      LakeTableIO.tableSchema(dir), parts.toMap)
   }
 
   /** Row path whenever the table holds live equality refs at stream

@@ -1001,7 +1001,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     * decodes without emitting.
     */
   private def withEq(ps: Array[InputPartition]): Array[InputPartition] =
-    LakeTableIO.attachEq(dir, ps, eqs, stats, tableSchema)
+    LakeTableIO.attachEq(dir, ps, eqs, stats, tableSchema, parts)
 
   /** Pushed-LIMIT / TopN FILE bounding ([[LakeLimits]]) — after
     * partition pruning, before row-group planning, manifest metadata
@@ -3659,16 +3659,19 @@ object LakeTableIO {
   def attachEq(dir: String, ps: Array[InputPartition],
                eqs: Seq[LakeEq.EqRef],
                stats: Map[String, LakeStats.FileStats],
-               schema: StructType): Array[InputPartition] =
+               schema: StructType,
+               parts: Map[String, Seq[String]] = Map.empty)
+      : Array[InputPartition] =
     if (eqs.isEmpty) ps
     else {
       val allRefs = columnRefs(schema)
       ps.map { p =>
         val lp = p.asInstanceOf[LakeInputPartition]
-        val fstats = stats.get(new Path(lp.path).getName)
+        val name = new Path(lp.path).getName
+        val fstats = stats.get(name)
         val addV = fstats.map(_.addV).getOrElse(-1L)
         val applicable = LakeEq.scopedApplicable(dir, eqs, addV,
-          fstats, allRefs, schema)
+          fstats, allRefs, schema, parts.get(name))
         if (applicable.isEmpty) p
         else {
           val keyCols = applicable.flatMap(_.keyCols).distinct
@@ -3710,7 +3713,7 @@ object LakeTableIO {
         pruned(snap.files), cols, pushed,
         pruneGroups = true, snap.dvs, snap.stats).parts,
         LakeCdcInfo("insert", snap.version)),
-        snap.eqs, snap.stats, tableSchema(dir))
+        snap.eqs, snap.stats, tableSchema(dir), snap.parts)
     }
     // a version that ADDED equality refs — the upsert-epoch shape:
     // its events ARE reconstructible. The refs' key sets are the
@@ -3751,7 +3754,8 @@ object LakeTableIO {
       def scoped(refs: Seq[LakeEq.EqRef], name: String) = {
         val st = full.stats.get(name)
         LakeEq.scopedApplicable(dir, refs,
-          st.map(_.addV).getOrElse(-1L), st, tcols, schema)
+          st.map(_.addV).getOrElse(-1L), st, tcols, schema,
+          full.parts.get(name))
       }
       val candidates = prunedFull(prior)
         .filter(p => scoped(ownRefs, p.getName).nonEmpty)

@@ -77,6 +77,24 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
   // never become a self-inflicted outage)
   private val canonKeys: Seq[String] =
     keyIdx.map { case (i, _) => rowSchema.fields(i).name }
+  // PARTITION-SCOPED refs (r15 — Iceberg v2's partition-tuple'd delete
+  // files): when every CURRENT-spec source column is a key column,
+  // each key determines its partition tuple (transform determinism
+  // over non-null key values), so the epoch splits its tombstones
+  // into ONE SIDECAR PER TOUCHED PARTITION and readers attach each
+  // only to matching-tuple files — upsert read debt stays local to
+  // the partitions the epoch touched. Otherwise refs stay table-wide.
+  private val eqSpec: Option[(Int, Seq[LakePartitioning.Bound])] = {
+    val specs = LakePartitioning.specsOf(dir)
+    if (specs.isEmpty || specs.last.isEmpty) None
+    else {
+      val canon = canonKeys.map(_.toLowerCase).toSet
+      if (specs.last.forall(t => canon.contains(t.col.toLowerCase)))
+        Some((specs.length - 1,
+          LakePartitioning.bind(specs.last, rowSchema)))
+      else None
+    }
+  }
   private val orderIdx: Int = {
     val i = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(orderCol))
     require(i >= 0,
@@ -118,7 +136,8 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
       new LakeUpsertWriterFactory(dir, rowSchema, keyIdx.toArray,
-        orderIdx, rowSchema.fields(orderIdx).dataType, tombstoneExpr)
+        orderIdx, rowSchema.fields(orderIdx).dataType, tombstoneExpr,
+        eqSpec)
 
     override def commit(epochId: Long,
                         messages: Array[WriterCommitMessage]): Unit = {
@@ -159,14 +178,24 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
             s"failed to publish ${s.stagedPath} -> $dest")
         (dest.getName, s)
       }
-      val sidecar = LakeEq.write(dir, canonKeys, seen)
+      // one sidecar per partition tuple the epoch touched (tasks hold
+      // disjoint keys, so per-tuple key sets merge without overlap);
+      // the unscoped shape is the single None group
+      val grouped: Seq[(Option[Seq[String]], Set[String])] =
+        msgs.flatMap(_.keyGroups).groupBy(_._1).toSeq
+          .map { case (t, gs) => t -> gs.flatMap(_._2).toSet }
+      val sidecars: Seq[(String, Option[Seq[String]], Long)] =
+        grouped.map { case (t, ks) =>
+          (LakeEq.write(dir, canonKeys, ks), t, ks.size.toLong) }
       def cleanup(): Unit = {
         published.foreach { case (n, _) =>
           try fs.delete(new Path(dir, n), false)
           catch { case _: java.io.IOException => () }
         }
-        try fs.delete(new Path(dir, sidecar), false)
-        catch { case _: java.io.IOException => () }
+        sidecars.foreach { case (n, _, _) =>
+          try fs.delete(new Path(dir, n), false)
+          catch { case _: java.io.IOException => () }
+        }
       }
       try LakeLog.commit(dir, LakeLog.epochOp(queryId, epochId),
         published.map(_._1).toSeq, Seq.empty,
@@ -189,7 +218,9 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
         addedHists = published.collect {
           case (n, s) if s.hists.nonEmpty => n -> s.hists
         }.toMap,
-        eqAdded = Seq((sidecar, canonKeys, seen.size.toLong)),
+        eqAdded = sidecars.map { case (n, _, c) => (n, canonKeys, c) },
+        eqTuples = sidecars.collect {
+          case (n, Some(t), _) => n -> t }.toMap,
         prePublish =
           () => LakeChecks.requireUnchangedForWrite(dir, checksAtPlan))
       catch { case e: Throwable => cleanup(); throw e }
@@ -226,13 +257,19 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
   * equality delete).
   */
 case class LakeUpsertMessage(staged: Seq[StagedLakeFile],
-                             keys: Array[String])
+                             keys: Array[String],
+                             // keys grouped by their partition tuple
+                             // (one group with None when the spec's
+                             // sources are not all key columns)
+                             keyGroups: Seq[(Option[Seq[String]],
+                               Array[String])])
     extends WriterCommitMessage
 
 class LakeUpsertWriterFactory(
     dir: String, rowSchema: StructType,
     keyIdx: Array[(Int, DataType)], orderIdx: Int, orderType: DataType,
-    tombstoneExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+    tombstoneExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+    eqSpec: Option[(Int, Seq[LakePartitioning.Bound])] = None)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -279,7 +316,22 @@ class LakeUpsertWriterFactory(
           }
           val m = inner.commit().asInstanceOf[LakeFileMessage]
           ok = true
-          LakeUpsertMessage(m.files, state.keys.toArray)
+          // partition-scoped grouping: the key's winning row (present
+          // even for tombstones) carries the non-null key values the
+          // spec's transforms evaluate over
+          val groups: Seq[(Option[Seq[String]], Array[String])] =
+            eqSpec match {
+              case None => Seq((None, state.keys.toArray))
+              case Some((sid, bound)) =>
+                state.toSeq.groupBy { case (_, (_, row)) =>
+                  LakePartitioning.versionedTuple(sid,
+                    LakePartitioning.encodeTuple(
+                      bound.map(_.evalRow(row, 0))))
+                }.toSeq.map { case (t, kvs) =>
+                  (Some(t): Option[Seq[String]], kvs.map(_._1).toArray)
+                }
+            }
+          LakeUpsertMessage(m.files, state.keys.toArray, groups)
         } finally if (!ok) inner.abort()
       }
 

@@ -587,4 +587,69 @@ class LakeEqDeleteSpec extends SparkSpec {
       assert(cq.collect().head.getLong(0) == 2L)
     }
   }
+
+  test("partition-scoped refs (r15): when the key columns determine " +
+       "the partition, an epoch writes one tuple'd sidecar per touched " +
+       "partition and readers/inventory/rewrite attach it ONLY to " +
+       "matching-tuple files — counterized against a bucket layout " +
+       "whose key RANGES overlap (stats alone cannot prune); a non-key " +
+       "partitioning keeps table-wide refs") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      // epoch 1: keys 1..40 — bucket(2, k) interleaves them, so BOTH
+      // bucket files span ~[1, 40] and min/max cannot discriminate
+      spark.sql(s"INSERT INTO $cat.db.src " +
+        "SELECT id AS k, concat('v', id) AS v, 'insert' AS op, " +
+        "CAST(1 AS BIGINT) AS seq FROM range(1, 41)")
+      // epoch 2: update key 7 only
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(7, 'u7', 'update', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.ps " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT) " +
+        "PARTITIONED BY (bucket(2, k))")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.ps")
+      val dir = s"$root/db/ps"
+      val head = LakeLog.current(dir).get
+      // every ref carries its partition tuple
+      assert(head.eqs.nonEmpty && head.eqs.forall(_.tuple.isDefined),
+        s"refs must be tuple'd: ${head.eqs}")
+      // epoch 1 landed two bucket files whose k ranges both cover 7,
+      // so key-stat scoping keeps both — the TUPLE is what scopes
+      val lastRef = head.eqs.maxBy(_.version)
+      val priorFiles = head.files.filter(f =>
+        head.stats.get(f).exists(st =>
+          st.addV >= 0 && st.addV < lastRef.version))
+      assert(priorFiles.size == 2, s"two bucket files: $priorFiles")
+      val kRanges = priorFiles.map(f =>
+        (head.stats(f).cols("k").min.get.toLong,
+         head.stats(f).cols("k").max.get.toLong))
+      assert(kRanges.forall { case (lo, hi) => lo <= 7 && 7 <= hi },
+        s"both ranges must cover key 7 or the pin proves nothing: " +
+          s"$kRanges")
+      val inv = spark.table(s"$cat.db.ps.deletes")
+        .where(s"ref = '${lastRef.name}'")
+        .selectExpr("applies_to_files").collect().head.getLong(0)
+      assert(inv == 1,
+        s"tuple scoping must cut the 2 stats-kept files to 1: $inv")
+      // results exact despite the scoped attachment
+      val got = spark.table(s"$cat.db.ps")
+        .where("k IN (6, 7, 8)").selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(6L -> "v6", 7L -> "u7", 8L -> "v8"), s"$got")
+      // rewrite honors the same scope; state preserved
+      spark.sql(s"CALL $cat.system.rewrite_deletes('db.ps')")
+      assert(LakeLog.current(dir).get.eqs.isEmpty)
+      assert(spark.table(s"$cat.db.ps").count() == 40L)
+
+      // non-key partitioning: refs stay table-wide (tuple-less)
+      spark.sql(s"CREATE TABLE $cat.db.pu " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT) " +
+        "PARTITIONED BY (bucket(2, seq))")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.pu")
+      val headU = LakeLog.current(s"$root/db/pu").get
+      assert(headU.eqs.nonEmpty && headU.eqs.forall(_.tuple.isEmpty),
+        s"non-key spec sources must keep table-wide refs: ${headU.eqs}")
+    }
+  }
 }
