@@ -652,4 +652,90 @@ class LakeEqDeleteSpec extends SparkSpec {
         s"non-key spec sources must keep table-wide refs: ${headU.eqs}")
     }
   }
+
+  test("upsert x schema evolution matrix (r15): ADD COLUMN between " +
+       "runs back-fills null on old rows and new epochs write it; a " +
+       "ref keyed on the ADDED column can never tombstone pre-ADD " +
+       "rows (their key is physically absent -> null -> no match, and " +
+       "the reader drops unresolvable sidecars per file); widening a " +
+       "key column keeps refs matching (canonical encodings are " +
+       "identical across the widening) — loud or exact, never silent") {
+    withCatalog { (cat, root) =>
+      // --- ADD COLUMN between upsert runs ---
+      spark.sql(s"CREATE TABLE $cat.db.src1 " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src1 VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"CREATE TABLE $cat.db.ev " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src1", s"$cat.db.ev")
+      spark.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN w STRING")
+      // second run writes the widened shape (new source, new run)
+      spark.sql(s"CREATE TABLE $cat.db.src2 " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT, w STRING)")
+      spark.sql(s"INSERT INTO $cat.db.src2 VALUES " +
+        "(2, 'b2', 'update', 2, 'w2'), (3, 'c2', 'insert', 2, 'w3')")
+      val out = freshDir("ckpt-ev2")
+      val q = spark.readStream.option("maxCommitsPerBatch", 1)
+        .table(s"$cat.db.src2")
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .option("upsert.tombstone", "op = 'delete'")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.ev")
+      q.awaitTermination()
+      val got = spark.table(s"$cat.db.ev")
+        .selectExpr("k", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((1L, "a1", null), (2L, "b2", "w2"),
+        (3L, "c2", "w3")), s"$got")
+
+      // --- a ref keyed on the ADDED column: pre-ADD rows untouchable
+      spark.sql(s"CREATE TABLE $cat.db.src3 " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT, w STRING)")
+      spark.sql(s"INSERT INTO $cat.db.src3 VALUES " +
+        "(9, 'z1', 'insert', 3, 'a1')") // w='a1' COLLIDES with k=1's v
+      val out3 = freshDir("ckpt-ev3")
+      val q3 = spark.readStream.option("maxCommitsPerBatch", 1)
+        .table(s"$cat.db.src3")
+        .writeStream
+        .option("checkpointLocation", s"$out3/ckpt")
+        .option("upsert.keys", "w") // keyed on the ADDED column
+        .option("upsert.order", "seq")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.ev")
+      q3.awaitTermination()
+      // pre-ADD rows (k=1 has w=null physically ABSENT) must survive
+      // any w-keyed ref; the new w='a1' row lands
+      val got3 = spark.table(s"$cat.db.ev")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got3 == Map(1L -> "a1", 2L -> "b2", 3L -> "c2",
+        9L -> "z1"), s"$got3")
+
+      // --- widening a key column under LIVE refs ---
+      spark.sql(s"CREATE TABLE $cat.db.wsrc " +
+        "(k INT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.wsrc VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.wsrc VALUES " +
+        "(1, 'a2', 'update', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.wd " +
+        "(k INT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.wsrc", s"$cat.db.wd")
+      assert(LakeLog.current(s"$root/db/wd").get.eqs.nonEmpty)
+      spark.sql(s"ALTER TABLE $cat.db.wd ALTER COLUMN k TYPE BIGINT")
+      // the live refs still subtract: int 1 and bigint 1 share the
+      // canonical encoding "1"
+      val wgot = spark.table(s"$cat.db.wd")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(wgot == Map(1L -> "a2", 2L -> "b1"), s"$wgot")
+      // retirement works across the widening too
+      spark.sql(s"CALL $cat.system.rewrite_deletes('db.wd')")
+      assert(spark.table(s"$cat.db.wd").count() == 2L)
+    }
+  }
 }
