@@ -256,7 +256,8 @@ object Bench {
     // the best of three quiet-start observations; the baseline keeps
     // falling to the quietest measurement the run ever sees
     BenchCalib.measureOnce()
-    calibBaseline = (1 to 3).map(_ => BenchCalib.measureOnce()).min
+    lock.synchronized {
+      calibBaseline = (1 to 3).map(_ => BenchCalib.measureOnce()).min }
     SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -266,13 +267,15 @@ object Bench {
       // one sample = (fixture-build secs, exec secs): fn() runs the
       // eager fixture DML and plan construction; count() executes.
       // A failure in either half leaves sampleErr set for this sample.
-      var calibs = List.empty[Double]
-      def once(): (Double, Double) = {
+      def once(): (Double, Double, Double) = {
         sampleErr = null
-        // contention stamp for this sample — outside the timed region
+        // contention stamp for this sample — outside the timed region;
+        // the running-min baseline is read by the shutdown hook's JSON
+        // writer, so it updates under the same lock (no stale/unseeded
+        // floor in a partial artifact)
         val c = BenchCalib.measureOnce()
-        calibBaseline = math.min(calibBaseline, c)
-        calibs ::= c
+        lock.synchronized {
+          calibBaseline = math.min(calibBaseline, c) }
         // isolation: previous queries' garbage is collected OUTSIDE
         // the timed region, and the query gets a pristine session
         // state (shared SparkContext keeps app-scoped caches)
@@ -288,7 +291,7 @@ object Bench {
           catch { case e: Throwable => sampleErr = e }
         }
         val t2 = System.nanoTime()
-        ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, c)
       }
       // min-of-2 steady-state estimator, but only when the first run
       // (which doubles as this query's warmup) fits the budget — one
@@ -357,7 +360,8 @@ object Bench {
       // number; if it persists, the query reports flagged
       val samplesC =
         if (!failed && samples.size <= 2 &&
-            BenchCalib.flagged(calibs, calibBaseline) && {
+            BenchCalib.flagged(samples.map(_._3),
+              lock.synchronized(calibBaseline)) && {
               val w = samples.map(x => x._1 + x._2).max
               rescueSpent + w <= rescueAllowance && { rescueSpent += w; true }
             }) {
@@ -373,8 +377,10 @@ object Bench {
       val served = CacheRegistry.servedFrom(name)
       lock.synchronized {
         results += (name -> tc)
-        rawRuns += (name -> samplesC)
-        calibByQuery += (name -> calibs.reverse)
+        rawRuns += (name -> samplesC.map(x => (x._1, x._2)))
+        // calibrations of the KEPT samples only — aligned 1:1 with
+        // "runs" (a discarded failed sample's stamp must not flag)
+        calibByQuery += (name -> samplesC.map(_._3).toList)
         if (served.nonEmpty) cacheServed += (name -> served)
       }
       writeFile(partial = true)

@@ -72,7 +72,8 @@ object LakeColumnarReader {
     * eligibility per partition).
     */
   def eligible(part: LakeInputPartition, projected: StructType): Boolean =
-    enabled && part.cdc.isEmpty &&
+    enabled && part.cdc.isEmpty && part.eqFiles.isEmpty &&
+      !part.forceRow &&
       // empty projections (count-only scans where the metadata answer
       // declined) stay on the row path: nothing to decode either way,
       // and the row reader's empty-requested handling is battle-tested

@@ -264,6 +264,9 @@ class LakeDeletesTable(tableName: String, dir: String) extends Table
         def utf8(s: String) =
           org.apache.spark.unsafe.types.UTF8String.fromString(s)
         val head = LakeLog.current(dir)
+        // one schema load for ALL refs (was per-ref x2 — r15 review)
+        lazy val tschema = LakeTableIO.tableSchema(dir)
+        lazy val tableCols = LakeTableIO.columnRefs(tschema)
         val rows: Seq[Seq[Any]] = head.toSeq.flatMap { s =>
           val eqRows = s.eqs.map { r =>
             // a file the ref provably applies to, OR one it cannot be
@@ -274,9 +277,6 @@ class LakeDeletesTable(tableName: String, dir: String) extends Table
             // rewrite_deletes' target set exactly ([[LakeEq
             // .scopedApplicable]]) — the inventory must advertise what
             // a retirement would actually touch, no more, no less
-            lazy val tableCols = LakeTableIO.columnRefs(
-              LakeTableIO.tableSchema(dir))
-            lazy val tschema = LakeTableIO.tableSchema(dir)
             val applies = s.files.count(f =>
               s.stats.get(f) match {
                 case Some(st) if st.addV >= 0 =>

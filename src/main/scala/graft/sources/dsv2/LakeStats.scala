@@ -374,18 +374,25 @@ object LakeStats {
         val nn = vs.filter(_ != null)
         if (nn.isEmpty) false // IN () / IN (NULL): matches nothing
         else refByName.get(c).forall(ref => resolve(ref).forall { cs =>
+          // decode the column's bloom ONCE for the whole value list —
+          // per-value decode made a 1024-key eq-scoping probe O(keys)
+          // Base64 decodes per (file, ref) (r15 review finding)
+          val bits = cs.bloom.map(LakeBloom.decode)
+          def bloomKeepsOne(v: Any): Boolean =
+            bits.forall(b => LakeBloom.hashLiteral(v).forall(h =>
+              LakeBloom.mightContain(b, h)))
           if (cs.min.isEmpty || cs.max.isEmpty)
             // no bounds: all-null excludes; else a bloom (built from the
             // actual values, even bound-unharvestable ones) can still
             // answer membership for every listed value
             (!(cs.nulls >= 0 && cs.nulls == st.rows)) &&
-              nn.exists(v => bloomKeeps(cs, v))
+              nn.exists(bloomKeepsOne)
           else nn.exists(v =>
             ((cmp(cs.kind, cs.min.get, v),
               cmp(cs.kind, cs.max.get, v)) match {
               case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
               case _                    => true
-            }) && bloomKeeps(cs, v))
+            }) && bloomKeepsOne(v))
         })
       case EqualTo(col, v)            => cmpOne(col, v, f)
       case GreaterThan(col, v)        => cmpOne(col, v, f)

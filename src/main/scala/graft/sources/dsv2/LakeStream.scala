@@ -371,8 +371,17 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     // delta files postdate every carried ref, so only snapshot files
     // attach)
     if (openEqs.isEmpty) planned
-    else LakeTableIO.attachEq(dir, planned, openEqs, stats.toMap,
-      LakeTableIO.tableSchema(dir), parts.toMap)
+    else
+      // row-path pin on EVERY split of this batch: attachment is
+      // per-file (key-stat/tuple scoping may leave some splits bare),
+      // but Spark needs a uniform columnar answer per batch — and the
+      // factory's head-derived flag can go stale if a retirement lands
+      // between planning and execution (review finding r15)
+      LakeTableIO.attachEq(dir, planned, openEqs, stats.toMap,
+        LakeTableIO.tableSchema(dir), parts.toMap).map { p =>
+        p.asInstanceOf[LakeInputPartition].copy(forceRow = true)
+          : InputPartition
+      }
   }
 
   /** Row path whenever the table holds live equality refs at stream

@@ -870,7 +870,18 @@ case class LakeInputPartition(path: String, rowGroup: Int,
                               // the reader decodes keys (hidden when
                               // not projected) and skips matching rows
                               eqFiles: Seq[String] = Seq.empty,
-                              eqCols: Array[LakeColumnRef] = Array.empty)
+                              eqCols: Array[LakeColumnRef] = Array.empty,
+                              // batch-level row-path pin: set on EVERY
+                              // split of a micro-batch that attached
+                              // equality deletes to ANY split — Spark
+                              // requires a uniform columnar answer per
+                              // batch, and the factory-level flag is
+                              // computed from the CURRENT head, which a
+                              // concurrent retirement can change between
+                              // planning and execution (the version-
+                              // pinned attachments would then route
+                              // columnar and crash-loop the stream)
+                              forceRow: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Partition key for storage-partitioned-join grouping — decoded

@@ -235,7 +235,18 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
         if (LakeLog.current(dir).map(_.eqs.size).getOrElse(0) >= maxRefs)
           try graft.operators.LakeSnapshots.rewriteDeletes(
             org.apache.spark.sql.SparkSession.active, dir)
-          catch { case _: java.util.ConcurrentModificationException => () }
+          catch {
+            // the EPOCH is already durably committed — a maintenance
+            // hiccup (cross-writer race, transient I/O, an
+            // unsequenceable co-writer file) must not kill the query;
+            // the debt stays visible (db.t.deletes) and the threshold
+            // re-fires next epoch. Logged loud every time: a
+            // persistent failure should be seen, not buried.
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"graft_lake upsert to $dir: inline retirement failed " +
+                  s"(will retry next epoch): ${e.getMessage}")
+          }
       }
     }
 

@@ -231,4 +231,24 @@ class LakeUpsertCdcSpec extends SparkSpec {
         2L -> "b1"), s"${got.toSeq}")
     }
   }
+
+  test("columnar routing guards: a split carrying eq attachments, a " +
+       "CDC annotation, or the batch-level forceRow pin is NEVER " +
+       "columnar-eligible — per-partition facts, immune to the " +
+       "factory flag going stale when a retirement lands between " +
+       "planning and execution") {
+    import graft.sources.dsv2.{LakeColumnarReader, LakeColumnRef, LakeInputPartition}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val proj = StructType(Seq(StructField("k", LongType)))
+    val cols = Array(LakeColumnRef("k", 1, Array("k")))
+    val bare = LakeInputPartition("/tmp/x.parquet", 0, cols)
+    assert(LakeColumnarReader.eligible(bare, proj))
+    assert(!LakeColumnarReader.eligible(
+      bare.copy(eqFiles = Seq("eq-x.json")), proj))
+    assert(!LakeColumnarReader.eligible(
+      bare.copy(cdc = Some(graft.sources.dsv2.LakeCdcInfo(
+        "insert", 1L))), proj))
+    assert(!LakeColumnarReader.eligible(
+      bare.copy(forceRow = true), proj))
+  }
 }
