@@ -15,9 +15,12 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, St
   * foreachBatch MERGE: a join against the TABLE every epoch (O(table)),
   * which is exactly what breaks at 100 TB. With it, each epoch commits
   *
-  *   - ONE equality-delete sidecar tombstoning every key the epoch
+  *   - equality-delete sidecar(s) tombstoning every key the epoch
   *     touched (inserts, updates, and deletes alike — an upsert IS
-  *     "delete my older versions, then add me"), and
+  *     "delete my older versions, then add me"): ONE table-wide
+  *     sidecar, or — when the key columns determine the partition —
+  *     one PER TOUCHED PARTITION, each ref carrying its tuple so
+  *     readers attach it only to matching-tuple files (r15), and
   *   - the epoch's surviving post-image rows as ordinary data files
   *     (addV = the commit version, so the same epoch's own tombstones
   *     never touch them — the [[LakeEq]] sequencing rule).
