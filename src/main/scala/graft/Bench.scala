@@ -358,20 +358,27 @@ object Bench {
       // floor): spend ONE more sample from the rescue allowance — if
       // the load was a passing spike, the extra sample rescues the
       // number; if it persists, the query reports flagged
+      val contRescue = !failed && samples.size <= 2 &&
+        BenchCalib.flagged(samples.map(_._3),
+          lock.synchronized(calibBaseline)) && {
+          val w = samples.map(x => x._1 + x._2).max
+          rescueSpent + w <= rescueAllowance && { rescueSpent += w; true }
+        }
       val samplesC =
-        if (!failed && samples.size <= 2 &&
-            BenchCalib.flagged(samples.map(_._3),
-              lock.synchronized(calibBaseline)) && {
-              val w = samples.map(x => x._1 + x._2).max
-              rescueSpent + w <= rescueAllowance && { rescueSpent += w; true }
-            }) {
+        if (contRescue) {
           System.err.println(s"[bench] $name: all samples contended " +
             "(calibration), taking one more")
           val s3 = once()
           if (sampleErr != null) samples else samples :+ s3
         } else samples
+      // estimator: the SPREAD-rescue path keeps the median (three
+      // honest samples, the middle is the trustworthy one); the
+      // CONTENTION-rescue path reports the MIN — a quiet rescue
+      // sample among contended ones IS the rescue, and a median of
+      // {inflated, inflated, quiet} would ship the inflated number
+      // just as the quiet calibration unflags it (second-pass review)
       val tc =
-        if (samplesC.size == 3)
+        if (!contRescue && samplesC.size == 3)
           (samplesC.map(_._2).sorted.apply(1), samplesC.map(_._1).min)
         else (samplesC.map(_._2).min, samplesC.map(_._1).min)
       val served = CacheRegistry.servedFrom(name)

@@ -277,13 +277,19 @@ object LakeEq {
                        schema: StructType,
                        fileTuple: Option[Seq[String]] = None): Seq[EqRef] =
     applicable(refs, addV)
-      // partition scoping: a tupled ref skips a SAME-SPEC file with a
-      // DIFFERENT tuple (the keys' rows cannot live there — transform
-      // determinism); different-spec/tuple-less stays conservative
-      .filter(r => r.tuple.forall(rt => fileTuple.forall(ft =>
-        ft == rt ||
-          LakePartitioning.splitTuple(rt)._1 !=
-            LakePartitioning.splitTuple(ft)._1)))
+      // partition scoping: a tupled ref skips a SAME-SPEC file with
+      // DIFFERENT slots (the keys' rows cannot live there — transform
+      // determinism); different-spec/tuple-less stays conservative.
+      // Compared in splitTuple-NORMALIZED form: a legacy version-less
+      // tuple reads as spec 0, and raw Seq comparison against a
+      // versioned "s0"-headed ref tuple would wrongly skip a file
+      // that genuinely holds the keys (second-pass review finding —
+      // the resurrection direction)
+      .filter(r => r.tuple.forall(rt => fileTuple.forall { ft =>
+        val (ri, rs) = LakePartitioning.splitTuple(rt)
+        val (fi, fs) = LakePartitioning.splitTuple(ft)
+        ri != fi || rs == fs
+      }))
       .filter(r => st.forall(s => mayApply(dir, r, s, tableCols, schema)))
 
   /** Fail loud when any current file cannot be SEQUENCED against the

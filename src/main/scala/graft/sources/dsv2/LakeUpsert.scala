@@ -156,7 +156,8 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
       // was violated: two tasks may hold CONFLICTING post-images for
       // one key and no sound winner exists — fail loud, publish nothing
       val seen = scala.collection.mutable.HashSet.empty[String]
-      val dup = msgs.iterator.flatMap(_.keys.iterator)
+      val dup = msgs.iterator
+        .flatMap(_.keyGroups.iterator.flatMap(_._2.iterator))
         .find(k => !seen.add(k))
       if (dup.isDefined) {
         dropStaged()
@@ -235,7 +236,13 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
       // the rewrite trips its eq-set-stability guard — benign, the
       // debt is retried at the next epoch's threshold check
       retireMaxRefs.foreach { maxRefs =>
-        if (LakeLog.current(dir).map(_.eqs.size).getOrElse(0) >= maxRefs)
+        // threshold counts ref-ADDING COMMITS, not raw refs: a
+        // partition-scoped epoch commits one ref per touched
+        // partition, and counting refs would trip a full retirement
+        // after every wide epoch (second-pass review finding)
+        if (LakeLog.current(dir)
+            .map(_.eqs.map(_.version).distinct.size).getOrElse(0)
+            >= maxRefs)
           try graft.operators.LakeSnapshots.rewriteDeletes(
             org.apache.spark.sql.SparkSession.active, dir)
           catch {
@@ -271,10 +278,12 @@ class LakeUpsertWrite(dir: String, rowSchema: StructType,
   * equality delete).
   */
 case class LakeUpsertMessage(staged: Seq[StagedLakeFile],
-                             keys: Array[String],
-                             // keys grouped by their partition tuple
-                             // (one group with None when the spec's
-                             // sources are not all key columns)
+                             // every folded key, grouped by its
+                             // partition tuple (ONE group with None
+                             // when the spec's sources are not all key
+                             // columns) — the single source for both
+                             // the driver dup check and the per-tuple
+                             // sidecars
                              keyGroups: Seq[(Option[Seq[String]],
                                Array[String])])
     extends WriterCommitMessage
@@ -345,7 +354,7 @@ class LakeUpsertWriterFactory(
                   (Some(t): Option[Seq[String]], kvs.map(_._1).toArray)
                 }
             }
-          LakeUpsertMessage(m.files, state.keys.toArray, groups)
+          LakeUpsertMessage(m.files, groups)
         } finally if (!ok) inner.abort()
       }
 

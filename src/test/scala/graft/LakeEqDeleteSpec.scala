@@ -738,4 +738,28 @@ class LakeEqDeleteSpec extends SparkSpec {
       assert(spark.table(s"$cat.db.wd").count() == 2L)
     }
   }
+
+  test("tuple scoping compares splitTuple-NORMALIZED forms: a legacy " +
+       "version-less file tuple (reads as spec 0) with the same slots " +
+       "as a versioned s0 ref tuple ATTACHES — raw Seq comparison " +
+       "would skip it and resurrect deleted rows") {
+    import graft.sources.dsv2.{LakeEq, LakeColumnRef}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val cols = Array(LakeColumnRef("k", 1, Array("k")))
+    val ref = LakeEq.EqRef("eq-x.json", 5L, Seq("k"), 1L,
+      tuple = Some(Seq("s0", "v3")))
+    def scoped(ft: Option[Seq[String]]) =
+      LakeEq.scopedApplicable("/nowhere", Seq(ref), 1L, None, cols,
+        schema, ft)
+    // legacy version-less tuple, same slots → MUST attach
+    assert(scoped(Some(Seq("v3"))).nonEmpty)
+    // versioned same tuple → attach; same spec different slots → skip
+    assert(scoped(Some(Seq("s0", "v3"))).nonEmpty)
+    assert(scoped(Some(Seq("s0", "v4"))).isEmpty)
+    assert(scoped(Some(Seq("v4"))).isEmpty) // legacy, different slots
+    // different spec id → conservative attach; tuple-less → attach
+    assert(scoped(Some(Seq("s1", "v4"))).nonEmpty)
+    assert(scoped(None).nonEmpty)
+  }
 }
