@@ -620,6 +620,49 @@ object LakeQueries {
       s.table(dst)
     }),
 
+    // ROW-LEVEL DML UNDER LIVE REFS (r15): DELETE + MERGE run against
+    // the upsert sink's own table WITHOUT retiring first — the COW
+    // rewrite's source scan subtracts eq-deleted rows (they are never
+    // materialized back to life), outputs' fresh add versions
+    // legitimately escape the refs, and refs stay live for untouched
+    // files (the eq-set-stability guard closes the mid-op race). The
+    // oracle composes the fold with the DML declaratively.
+    "lake_dml_under_refs" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val src = tableId(dir, "lake_dmsrc")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"CREATE TABLE $src (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      previous(s, dir).selectExpr(s"$key AS k",
+        "o_orderstatus AS status", "o_totalprice AS price",
+        "'insert' AS op", "CAST(1 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_dm_e1")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_dm_e1")
+      previous(s, dir).where(col(key) % 3 === 0).selectExpr(
+        s"$key AS k", "o_orderstatus AS status",
+        "o_totalprice * 2 AS price", "'update' AS op",
+        "CAST(2 AS BIGINT) AS seq")
+        .createOrReplaceTempView("lake_dm_e2")
+      s.sql(s"INSERT INTO $src SELECT * FROM lake_dm_e2")
+      val dst = tableId(dir, "lake_dmdst")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $dst (k BIGINT, status STRING, " +
+        "price DOUBLE, op STRING, seq BIGINT)")
+      val out = freshDir("dml_refs", dir)
+      val q = s.readStream.option("maxCommitsPerBatch", 1).table(src)
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .trigger(Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+      // refs from both epochs are live; DML runs against them
+      s.sql(s"DELETE FROM $dst WHERE k % 5 = 2")
+      s.sql(s"UPDATE $dst SET status = 'X' WHERE k % 7 = 0")
+      s.table(dst)
+    }),
+
     // SINK-SIDE AUTO-RETIREMENT (r15): `upsert.retire.maxRefs=1` runs
     // the retirement rewrite inline between epochs — the stream never
     // stops, read debt stays bounded by the knob, and the metadata
@@ -1643,6 +1686,21 @@ object LakeQueries {
     "stream_lake_upsert_retire" ->
       s"""$snapshotCte
          |SELECT o_orderkey AS k, o_orderstatus AS status,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+         |       ELSE o_totalprice END AS price,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN 'update'
+         |       ELSE 'insert' END AS op,
+         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END
+         |       AS BIGINT) AS seq
+         |FROM prev WHERE o_orderkey % 5 <> 2""".stripMargin,
+    // the fold composed with the DML, all declarative: last event per
+    // key (updates for k%3=0), then DELETE k%5=2 and the k%7=0 status
+    // rewrite
+    "lake_dml_under_refs" ->
+      s"""$snapshotCte
+         |SELECT o_orderkey AS k,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+         |       ELSE o_orderstatus END AS status,
          |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
          |       ELSE o_totalprice END AS price,
          |  CASE WHEN o_orderkey % 3 = 0 THEN 'update'

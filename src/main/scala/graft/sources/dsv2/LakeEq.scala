@@ -335,6 +335,25 @@ object LakeEq {
           "CALL system.rewrite_deletes")
   }
 
+  /** prePublish guard for REWRITE operations whose plan consumed the
+    * eq state AS OF its snapshot (row-level DML under live refs): the
+    * current ref set must still EQUAL the plan-time set — a ref
+    * committed mid-operation would be silently escaped by the
+    * rewritten rows (fresh add versions) while the operation's scan
+    * never subtracted it. Re-checked adjacent to every publish
+    * attempt, where the version CAS makes it airtight; with an empty
+    * plan-time set this is exactly [[requireStillNone]].
+    */
+  def requireUnchanged(dir: String, branch: Option[String],
+                       atPlan: Seq[EqRef], what: String): Unit = {
+    val now = LakeLog.current(dir, branch).map(_.eqs).getOrElse(Seq.empty)
+    if (now != atPlan)
+      throw new java.util.ConcurrentModificationException(
+        s"graft_lake $dir: the equality-delete set changed while " +
+          s"$what was in flight — its rewritten rows would escape " +
+          "the new deletes (deleted rows would resurrect); re-run")
+  }
+
   /** Manifest encoding of the ref list. */
   def toJson(refs: Seq[EqRef]): ArrayList[Object] = {
     val l = new ArrayList[Object](refs.size)

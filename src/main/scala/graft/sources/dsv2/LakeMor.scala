@@ -49,6 +49,14 @@ class LakeMorOperation(table: LakeTable,
                        cmd: RowLevelOperation.Command)
     extends RowLevelOperation with SupportsDelta {
 
+  // the eq-ref set the plan consumed — captured BEFORE the source
+  // scan builds (a ref landing in between fails the commit guard
+  // conservatively, never passes wrongly). MOR under live refs is
+  // sound: the scan subtracts eq-deleted rows, DV'd files keep their
+  // add versions (refs keep attaching), post-images escape refs with
+  // fresh add versions because their dead ancestors are not in them.
+  @volatile private[dsv2] var eqsAtPlan: Seq[LakeEq.EqRef] = Seq.empty
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def rowId(): Array[NamedReference] =
@@ -60,15 +68,17 @@ class LakeMorOperation(table: LakeTable,
   // place the pre/post pairing the change feed needs can be observed
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    eqsAtPlan = LakeTableIO.snapshotEqs(table.dir, None, table.branch)
     new LakeScanBuilder(table.dir, table.schema, None, branch = table.branch)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new LakeDeltaWrite(table.dir, info.schema(),
           cmd.toString.toLowerCase(java.util.Locale.ROOT) + "_mor",
-          table.branch)
+          table.branch, eqsAtPlan = () => eqsAtPlan)
     }
 }
 
@@ -85,7 +95,9 @@ case class LakeDeltaMessage(staged: Seq[StagedLakeFile],
     extends WriterCommitMessage
 
 class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
-                     branch: Option[String]) extends DeltaWrite {
+                     branch: Option[String],
+                     eqsAtPlan: () => Seq[LakeEq.EqRef] = () => Seq.empty)
+    extends DeltaWrite {
   // mid-write ADD/RE-DECLARE CONSTRAINT guard — same contract as
   // LakeWrite: the commit fails loud (nothing publishes) when a
   // constraint appeared or changed text after this write was planned,
@@ -177,10 +189,11 @@ class LakeDeltaWrite(dir: String, rowSchema: StructType, opName: String,
         }.toMap,
         prePublish = () => {
           LakeChecks.requireUnchangedForWrite(dir, checksAtPlan)
-          // MOR post-images are copies of scanned (pre-eq) rows in
-          // fresh files — an eq ref committed mid-DML would be
-          // detached from them (the plan-time decline's TOCTOU twin)
-          LakeEq.requireStillNone(dir, branch, opName)
+          // MOR post-images are copies of scanned LIVE rows in fresh
+          // files — an eq ref committed mid-DML would be detached
+          // from them while the scan never subtracted it (the TOCTOU
+          // twin); the plan-time ref set must still be current
+          LakeEq.requireUnchanged(dir, branch, eqsAtPlan(), opName)
         })
       catch {
         case e: Throwable =>

@@ -199,13 +199,15 @@ class LakeTable(tableName: String, val dir: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot run DML against time-travel read $name")
-    // both DML paths rewrite or re-scan whole files and would
-    // MATERIALIZE equality-deleted rows back to life (the rewrite's
-    // outputs get a fresh add version past every live ref) — decline
-    // loud with the remedy until the deletes are retired
-    require(LakeTableIO.snapshotEqs(dir, None, branch).isEmpty,
-      s"graft_lake $name holds live equality deletes — row-level DML " +
-        "over them is not supported; CALL system.rewrite_deletes first")
+    // DML under live refs (r15): SOUND — the operation's source and
+    // target scans SUBTRACT eq-deleted rows (a rewrite materializes
+    // live rows only, so copy-on-write outputs' fresh add versions
+    // legitimately escape the refs — their dead rows are gone), MOR
+    // DV'd files keep their add versions so refs keep attaching, and
+    // the eq-set-stability prePublish guard closes the mid-operation
+    // ref race. Only UNSEQUENCEABLE vintages stay loud.
+    LakeLog.current(dir, branch).foreach(h =>
+      LakeEq.requireSequenceable(dir, h.eqs, h.files, h.stats))
     // DML mode is a TABLE property: merge-on-read routes to the
     // delta-based operation (deletion vectors — SupportsDelta), the
     // default stays group-based copy-on-write. Same switch Iceberg
@@ -239,19 +241,30 @@ class LakeRowLevelOperation(table: LakeTable,
   // the live scan: its (possibly runtime-narrowed) covered-file set is
   // the replace-write's delete set, read at commit time
   @volatile private var activeScan: LakeRowLevelScan = _
+  // the eq-ref set the plan consumed — captured BEFORE the scan reads
+  // its snapshot (a ref landing in between makes the commit-time
+  // equality guard fail conservatively, never pass wrongly)
+  @volatile private var eqsAtPlan: Seq[LakeEq.EqRef] = Seq.empty
 
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
-        val (files, dvs, stats, _) =
+        eqsAtPlan = LakeTableIO.snapshotEqs(table.dir, None, table.branch)
+        val (files, dvs, stats, parts) =
           LakeTableIO.snapshotView(table.dir, None, table.branch)
         // DVs apply here too: a copy-on-write rewrite must carry over
         // only LIVE rows; the replace commit then drops the covered
-        // files' DVs with them (they are materialized by the rewrite)
+        // files' DVs with them (they are materialized by the rewrite).
+        // Equality deletes subtract the same way (r15 — this is what
+        // makes DML under live refs sound: the rewrite materializes
+        // live rows only); unsequenceable vintages fail loud.
+        LakeEq.requireSequenceable(table.dir, eqsAtPlan,
+          files.map(_.getName), stats)
         activeScan = new LakeRowLevelScan(table.schema,
-          files.map(_.toString), dvs, stats)
+          files.map(_.toString), dvs, stats,
+          dir = table.dir, eqs = eqsAtPlan, parts = parts)
         activeScan
       }
     }
@@ -262,7 +275,8 @@ class LakeRowLevelOperation(table: LakeTable,
         new LakeWrite(table.dir, info.schema(),
           replaceFiles = () => activeScan.coveredFiles,
           opName = cmd.toString.toLowerCase(java.util.Locale.ROOT),
-          branch = table.branch)
+          branch = table.branch,
+          eqsAtPlan = () => eqsAtPlan)
     }
 }
 
@@ -275,7 +289,10 @@ class LakeRowLevelOperation(table: LakeTable,
   */
 class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String],
                        dvs: Map[String, Seq[String]] = Map.empty,
-                       stats: Map[String, LakeStats.FileStats] = Map.empty)
+                       stats: Map[String, LakeStats.FileStats] = Map.empty,
+                       dir: String = "",
+                       eqs: Seq[LakeEq.EqRef] = Seq.empty,
+                       parts: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -338,12 +355,17 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String],
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    LakeTableIO.planRowGroups(kept.map(new Path(_)),
-      LakeTableIO.columnRefs(tableSchema), Array.empty,
-      pruneGroups = false, dvs).parts
+    // equality deletes attach per file (scoped) so the rewrite reads
+    // LIVE rows only — without this a COW DML would materialize
+    // eq-deleted rows back to life
+    LakeTableIO.attachEq(dir,
+      LakeTableIO.planRowGroups(kept.map(new Path(_)),
+        LakeTableIO.columnRefs(tableSchema), Array.empty,
+        pruneGroups = false, dvs, stats).parts,
+      eqs, stats, tableSchema, parts)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(tableSchema)
+    new LakeReaderFactory(tableSchema, anyEq = eqs.nonEmpty)
 }
 
 /** Streaming admission-control knobs, parsed from source options (see
@@ -1891,7 +1913,13 @@ class LakeWrite(dir: String, writeSchema: StructType,
                 opName: String,
                 branch: Option[String] = None,
                 queryId: String = "",
-                overwrite: LakeOverwrite = LakeOverwrite.Append)
+                overwrite: LakeOverwrite = LakeOverwrite.Append,
+                // the eq-ref set the row-level operation's plan
+                // consumed (subtracted) — the commit guard requires
+                // the CURRENT set to still equal it; empty for plain
+                // appends/overwrites, where it degenerates to the
+                // still-none check
+                eqsAtPlan: () => Seq[LakeEq.EqRef] = () => Seq.empty)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -2186,10 +2214,12 @@ class LakeWrite(dir: String, writeSchema: StructType,
           requireNoNewChecks()
           // copy-on-write DML materializes existing rows into fresh
           // files — an eq ref committed mid-operation would be
-          // detached from them (the plan-time decline's TOCTOU twin);
-          // plain appends/overwrites write only NEW data and skip it
+          // detached from them while the plan's scan never subtracted
+          // it (the TOCTOU twin); the plan-time ref set must still be
+          // the CURRENT one. Plain appends/overwrites write only NEW
+          // data and skip it.
           if (replaceFiles != null)
-            LakeEq.requireStillNone(dir, branch, opName)
+            LakeEq.requireUnchanged(dir, branch, eqsAtPlan(), opName)
         })
       catch {
         case e: Throwable => cleanupPublished(); throw e

@@ -194,7 +194,7 @@ class LakeEqDeleteSpec extends SparkSpec {
   }
 
   test("LOUD declines under live equality deletes: metadata " +
-       "aggregates, LIMIT bounding, row-level DML, " +
+       "aggregates and LIMIT bounding, " +
        "the two-point diff, append streaming reads, and the files " +
        "inventory all refuse rather than guess — while the CDC feed " +
        "SERVES the upsert epochs exactly — and results stay exact") {
@@ -217,10 +217,8 @@ class LakeEqDeleteSpec extends SparkSpec {
       assert(lq.collect().length == 2)
       // DML + feeds: loud with the remedy (compact/zorder no longer
       // decline — they FOLD retirement in, pinned in their own test)
-      val eDml = intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.db.dd WHERE k = 2")
-      }
-      assert(exists(eDml, "rewrite_deletes"), s"$eDml")
+      // row-level DML now runs UNDER live refs (r15, its own test);
+      // the mid-operation eq-set-stability primitive still trips loud
       val eChanges = intercept[Exception] {
         graft.operators.LakeSnapshots.changes(spark, dir, 1, 2).collect()
       }
@@ -761,5 +759,82 @@ class LakeEqDeleteSpec extends SparkSpec {
     // different spec id → conservative attach; tuple-less → attach
     assert(scoped(Some(Seq("s1", "v4"))).nonEmpty)
     assert(scoped(None).nonEmpty)
+  }
+
+  test("row-level DML runs UNDER live refs (r15): COW DELETE/UPDATE " +
+       "and MERGE subtract eq-deleted rows in their rewrite (never " +
+       "materialized back to life), MOR DML keeps refs attaching to " +
+       "DV'd files, refs stay live for untouched files, and the " +
+       "mid-operation guard requires the PLAN-TIME ref set verbatim") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a1', 'insert', 1), (2, 'b1', 'insert', 1), " +
+        "(3, 'c1', 'insert', 1), (4, 'd1', 'insert', 1)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1, 'a2', 'update', 2), (2, null, 'delete', 2)")
+      // ---------- copy-on-write ----------
+      spark.sql(s"CREATE TABLE $cat.db.cw " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.cw")
+      val cwDir = s"$root/db/cw"
+      val refsAtPlan = LakeLog.current(cwDir).get.eqs
+      assert(refsAtPlan.nonEmpty)
+      // state: 1->a2, 3->c1, 4->d1 (2 tombstoned). DELETE one live key:
+      spark.sql(s"DELETE FROM $cat.db.cw WHERE k = 3")
+      // the rewrite must NOT resurrect b1 (same file as c1) or a1
+      var got = spark.table(s"$cat.db.cw")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a2", 4L -> "d1"), s"after DELETE: $got")
+      // refs survive for untouched files
+      assert(LakeLog.current(cwDir).get.eqs == refsAtPlan)
+      // UPDATE through the same machinery
+      spark.sql(s"UPDATE $cat.db.cw SET v = 'dX' WHERE k = 4")
+      got = spark.table(s"$cat.db.cw")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a2", 4L -> "dX"), s"after UPDATE: $got")
+      // MERGE INTO — the batch upsert, now composable with the sink
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW cw_updates AS " +
+        "SELECT * FROM VALUES (1, 'a9'), (5, 'e9') AS t(uk, uv)")
+      spark.sql(s"MERGE INTO $cat.db.cw t USING cw_updates u " +
+        "ON t.k = u.uk " +
+        "WHEN MATCHED THEN UPDATE SET t.v = u.uv " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, op, seq) " +
+        "VALUES (u.uk, u.uv, 'merge', 9)")
+      got = spark.table(s"$cat.db.cw")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a9", 4L -> "dX", 5L -> "e9"),
+        s"after MERGE: $got")
+      // ---------- merge-on-read ----------
+      spark.sql(s"CREATE TABLE $cat.db.mr " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.mr")
+      val mrDir = s"$root/db/mr"
+      assert(LakeLog.current(mrDir).get.eqs.nonEmpty)
+      spark.sql(s"DELETE FROM $cat.db.mr WHERE k = 3")
+      val mrGot = spark.table(s"$cat.db.mr")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(mrGot == Map(1L -> "a2", 4L -> "d1"), s"MOR DELETE: $mrGot")
+      // DV'd file keeps its add version: refs still attach, b1 stays
+      // dead; a fresh read after one more MOR update agrees
+      spark.sql(s"UPDATE $cat.db.mr SET v = 'aU' WHERE k = 1")
+      val mrGot2 = spark.table(s"$cat.db.mr")
+        .selectExpr("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(mrGot2 == Map(1L -> "aU", 4L -> "d1"), s"MOR UPDATE: $mrGot2")
+      // ---------- the mid-operation guard primitive ----------
+      val live = LakeLog.current(mrDir).get.eqs
+      graft.sources.dsv2.LakeEq.requireUnchanged(mrDir, None, live, "t")
+      intercept[java.util.ConcurrentModificationException] {
+        graft.sources.dsv2.LakeEq.requireUnchanged(mrDir, None,
+          live.tail, "t")
+      }
+    }
   }
 }
