@@ -405,10 +405,27 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   private lazy val snapEqs: Seq[LakeEq.EqRef] =
     LakeTableIO.snapshotEqs(dir, pinnedVersion, branch)
   // decline-shaped twin for the bounding paths: any uncertainty reads
-  // as "deletes present" (the offer is declined; merely slower)
+  // as "deletes present" (the offer is declined; merely slower).
+  // REFINED (r15): refs that provably attach to NO current file
+  // (sequencing + key-stat + tuple scoping — the scan's own
+  // attachment scope) cannot stale any live count, so LIMIT/TopN
+  // bounding survives insert-only upsert epochs and refs scoped to
+  // other partitions/key ranges. Judged over the full snapshot (the
+  // offer arrives before planning narrows the file set).
   private def eqFree: Boolean =
-    try snapEqs.isEmpty
-    catch { case scala.util.control.NonFatal(_) => false }
+    try {
+      snapEqs.isEmpty || {
+        val (files, _, stats, parts) =
+          LakeTableIO.snapshotView(dir, pinnedVersion, branch)
+        val tcols = LakeTableIO.columnRefs(tableSchema)
+        files.forall { f =>
+          val st = stats.get(f.getName)
+          st.exists(_.addV >= 0) &&
+            LakeEq.scopedApplicable(dir, snapEqs, st.get.addV, st,
+              tcols, tableSchema, parts.get(f.getName)).isEmpty
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
   // the subset of `pushed` the scan ENFORCES (Spark drops its Filter
   // node for these) — see [[pushFilters]]
   private var consumed: Array[Filter] = Array.empty
@@ -3148,12 +3165,28 @@ object LakeTableIO {
       : Option[SnapView] = {
     // live equality deletes make every physical fact (counts, bounds,
     // sums, live-row arithmetic) potentially stale for the files they
-    // apply to — the metadata fast paths DECLINE rather than guess
-    if ((try snapshotEqs(dir, version, branch)
-         catch { case scala.util.control.NonFatal(_) => return None })
-        .nonEmpty) return None
+    // APPLY to — but a ref that provably attaches to NONE of the
+    // answering file set (sequencing + key statistics + partition
+    // tuples, the scan's own scope) cannot stale anything: the fast
+    // paths survive upserts whose epochs were pure inserts or touched
+    // other partitions/key ranges. Any uncertainty (missing stats,
+    // unknown add version) reads as "attached" — decline, never guess.
+    val eqs =
+      try snapshotEqs(dir, version, branch)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    lazy val eqCols = columnRefs(tableSchema)
+    def eqClean(files: Seq[Path],
+                stats: Map[String, LakeStats.FileStats],
+                parts: Map[String, Seq[String]]): Boolean =
+      eqs.isEmpty || files.forall { f =>
+        val st = stats.get(f.getName)
+        st.exists(_.addV >= 0) &&
+          LakeEq.scopedApplicable(dir, eqs, st.get.addV, st, eqCols,
+            tableSchema, parts.get(f.getName)).isEmpty
+      }
     val v = snapshotViewPruned(dir, version, branch, pushed)
-    if (pushed.isEmpty) return Some(v)
+    if (pushed.isEmpty)
+      return if (eqClean(v._1, v._3, v._4)) Some(v) else None
     val (files, dvs, stats, parts) = v
     val specs =
       try LakePartitioning.bindAll(
@@ -3162,6 +3195,10 @@ object LakeTableIO {
     if (specs.isEmpty ||
         !LakePartitioning.allDecided(files, parts, specs)) return None
     val (kept, _) = LakePartitioning.prune(files, parts, specs, pushed)
+    // the eq scope is judged on the KEPT set: a file the exactly-
+    // enforced partition filters exclude feeds no rows, so a ref
+    // attached to it cannot stale this answer
+    if (!eqClean(kept, stats, parts)) return None
     val names = kept.map(_.getName).toSet
     // restrict the per-file maps too: an excluded file's deletion
     // vectors must not block the DV-free answerability rules

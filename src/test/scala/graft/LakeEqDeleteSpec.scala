@@ -837,4 +837,42 @@ class LakeEqDeleteSpec extends SparkSpec {
       }
     }
   }
+
+  test("scoped survival of the fast paths (r15): refs that provably " +
+       "attach to NO current file (insert-only epochs with disjoint " +
+       "key ranges) keep metadata aggregates and LIMIT bounding live " +
+       "while the refs themselves stay in the manifest") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src " +
+        "SELECT id AS k, concat('v', id) AS v, 'insert' AS op, " +
+        "CAST(1 AS BIGINT) AS seq FROM range(1, 21)")
+      // epoch 2: NEW keys far outside epoch 1's range — its ref
+      // applies to the epoch-1 file by SEQUENCING but key stats prove
+      // none of its keys live there
+      spark.sql(s"INSERT INTO $cat.db.src " +
+        "SELECT id AS k, concat('n', id) AS v, 'insert' AS op, " +
+        "CAST(2 AS BIGINT) AS seq FROM range(100, 111)")
+      spark.sql(s"CREATE TABLE $cat.db.fp " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.fp")
+      val dir = s"$root/db/fp"
+      assert(LakeLog.current(dir).get.eqs.size == 2, "refs live")
+      // metadata COUNT survives: no ref attaches to any file
+      val cq = spark.sql(s"SELECT count(*) FROM $cat.db.fp")
+      assert(cq.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"),
+        cq.queryExecution.executedPlan.toString)
+      assert(cq.collect().head.getLong(0) == 31L)
+      // LIMIT file bounding survives too
+      val lq = spark.sql(s"SELECT k FROM $cat.db.fp LIMIT 5")
+      assert(lq.queryExecution.executedPlan.toString
+        .contains("pushed_limit"),
+        lq.queryExecution.executedPlan.toString)
+      assert(lq.collect().length == 5)
+      // and the read itself stays exact
+      assert(spark.table(s"$cat.db.fp").count() == 31L)
+    }
+  }
 }
