@@ -49,7 +49,9 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
   override lazy val schema: StructType = StructType(
     bound.map(b => StructField(colName(b), b.outType, nullable = true)) ++
       Seq(StructField("file_count", LongType, nullable = false),
-        StructField("row_count", LongType, nullable = false)))
+        // NULL when any file of the partition carries an ATTACHED
+        // live eq ref (same scoped rule as db.t.files.live_rows, r15)
+        StructField("row_count", LongType, nullable = true)))
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -64,12 +66,18 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
 
       override def planInputPartitions(): Array[InputPartition] = {
         // row_count is a PROMISE like the files inventory's live_rows:
-        // equality deletes make it unknowable from metadata — loud
-        require(LakeTableIO.snapshotEqs(dir).isEmpty,
-          s"graft_lake $dir holds live equality deletes — the " +
-            "partitions table's row_count cannot account them; CALL " +
-            "system.rewrite_deletes first")
+        // a partition holding any file an eq ref ATTACHES to (scoped)
+        // reports NULL; untouched partitions keep exact counts (r15)
+        val eqs = LakeTableIO.snapshotEqs(dir)
         val (files, dvs, stats, parts) = LakeTableIO.snapshotView(dir)
+        lazy val tschema = LakeTableIO.tableSchema(dir)
+        lazy val tcols = LakeTableIO.columnRefs(tschema)
+        def eqAttached(n: String): Boolean = eqs.nonEmpty && {
+          val st = stats.get(n)
+          !st.exists(_.addV >= 0) ||
+            LakeEq.scopedApplicable(dir, eqs, st.get.addV, st, tcols,
+              tschema, parts.get(n)).nonEmpty
+        }
         def liveRows(fileName: String, path: org.apache.hadoop.fs.Path)
             : Long = {
           val rows = stats.get(fileName).map(_.rows)
@@ -99,7 +107,8 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
               case None => bound.map(_ => null)
             }
             slots ++ Seq(fs0.size.toLong,
-              fs0.map(f => liveRows(f.getName, f)).sum)
+              if (fs0.exists(f => eqAttached(f.getName))) null
+              else fs0.map(f => liveRows(f.getName, f)).sum)
           }
         Array(LakeMetaRowsPartition(rows))
       }
@@ -145,7 +154,13 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
     StructField("partition", org.apache.spark.sql.types.StringType,
       nullable = true),
     StructField("rows", LongType, nullable = false),
-    StructField("live_rows", LongType, nullable = false),
+    // NULL under live equality refs that ATTACH to the file (scoped
+    // by sequencing + key stats + partition tuples): the physical
+    // facts cannot price the key matches without a scan — the
+    // inventory serves what is provable and NULLs what is not,
+    // instead of declining wholesale (r15); db.t.deletes shows the
+    // debt behind every NULL
+    StructField("live_rows", LongType, nullable = true),
     StructField("dv_count", org.apache.spark.sql.types.IntegerType,
       nullable = false),
     StructField("size_bytes", LongType, nullable = false),
@@ -164,13 +179,21 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
         s"graft_lake files metadata of $dir"
 
       override def planInputPartitions(): Array[InputPartition] = {
-        // live_rows is a PROMISE: equality deletes make it unknowable
-        // from metadata (key matches need a scan) — decline loud
-        require(LakeTableIO.snapshotEqs(dir).isEmpty,
-          s"graft_lake $dir holds live equality deletes — the files " +
-            "inventory's live_rows cannot account them; CALL " +
-            "system.rewrite_deletes first")
+        val eqs = LakeTableIO.snapshotEqs(dir)
         val (files, dvs, stats, parts) = LakeTableIO.snapshotView(dir)
+        lazy val tschema = LakeTableIO.tableSchema(dir)
+        lazy val tcols = LakeTableIO.columnRefs(tschema)
+        // live_rows is a PROMISE: an eq ref ATTACHED to the file
+        // (sequencing + key-stat + tuple scope — exactly what the
+        // scan subtracts and rewrite_deletes would touch) makes it
+        // unknowable from metadata → that file reports NULL; files
+        // the refs provably skip keep their exact counts
+        def eqAttached(n: String): Boolean = eqs.nonEmpty && {
+          val st = stats.get(n)
+          !st.exists(_.addV >= 0) ||
+            LakeEq.scopedApplicable(dir, eqs, st.get.addV, st, tcols,
+              tschema, parts.get(n)).nonEmpty
+        }
         // one listing for every size — O(1) remote calls, not O(files)
         val path = new org.apache.hadoop.fs.Path(dir)
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -193,7 +216,7 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
               org.apache.spark.unsafe.types.UTF8String
                 .fromString(t.mkString("/"))).orNull,
             physical,
-            math.max(0L, physical - dead),
+            if (eqAttached(n)) null else math.max(0L, physical - dead),
             dvFiles.size,
             sizes.getOrElse(n, -1L),
             st.isDefined)

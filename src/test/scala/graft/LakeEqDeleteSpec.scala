@@ -195,9 +195,9 @@ class LakeEqDeleteSpec extends SparkSpec {
 
   test("LOUD declines under live equality deletes: metadata " +
        "aggregates and LIMIT bounding, " +
-       "the two-point diff, append streaming reads, and the files " +
-       "inventory all refuse rather than guess — while the CDC feed " +
-       "SERVES the upsert epochs exactly — and results stay exact") {
+       "and the two-point diff refuse rather than guess; the CDC feed " +
+       "SERVES the epochs, the inventories serve with NULLs where " +
+       "attached refs make counts unknowable — results stay exact") {
     withCatalog { (cat, root) =>
       spark.sql(s"CREATE TABLE $cat.db.src " +
         "(k BIGINT, v STRING, op STRING, seq BIGINT)")
@@ -233,20 +233,25 @@ class LakeEqDeleteSpec extends SparkSpec {
       assert(events == Set((1L, "a1", "insert"), (2L, "b1", "insert"),
         (1L, "a2", "insert"), (1L, "a1", "delete")),
         s"upsert CDC events wrong: $events")
-      // the partitions metadata table's row_count promise declines
-      val ePart = intercept[Exception] {
-        spark.sql(s"SELECT * FROM $cat.db.dd.partitions").collect()
-      }
-      assert(exists(ePart, "rewrite_deletes"), s"$ePart")
+      // the partitions inventory now SERVES with NULL row_count where
+      // an attached ref makes the count unknowable (r15 scoped rule)
+      val partRows = spark.sql(
+        s"SELECT row_count FROM $cat.db.dd.partitions").collect()
+      assert(partRows.length == 1 && partRows.head.isNullAt(0),
+        partRows.mkString(";"))
       // the rewrite-guard primitive: a live ref fails the mid-rewrite
       // re-check loud (compact/zorder/DML pass it as prePublish)
       intercept[java.util.ConcurrentModificationException] {
         LakeEq.requireStillNone(dir, None, "test-rewrite")
       }
-      val eInv = intercept[Exception] {
-        spark.sql(s"SELECT * FROM $cat.db.dd.files").collect()
-      }
-      assert(exists(eInv, "rewrite_deletes"), s"$eInv")
+      // the files inventory serves per FILE: NULL live_rows exactly
+      // where a ref attaches (the epoch-1 file holding k=1's old
+      // version), exact counts everywhere else
+      val invRows = spark.sql(
+        s"SELECT live_rows FROM $cat.db.dd.files").collect()
+      assert(invRows.exists(_.isNullAt(0)) &&
+        invRows.exists(r => !r.isNullAt(0) && r.getLong(0) == 1L),
+        invRows.mkString(";"))
       val eStream = intercept[Exception] {
         val out = freshDir("sread")
         val q = spark.readStream.table(s"$cat.db.dd")
