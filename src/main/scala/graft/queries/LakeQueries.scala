@@ -620,7 +620,7 @@ object LakeQueries {
       s.table(dst)
     }),
 
-    // ROW-LEVEL DML UNDER LIVE REFS (r15): DELETE + MERGE run against
+    // ROW-LEVEL DML UNDER LIVE REFS (r15): DELETE + UPDATE run against
     // the upsert sink's own table WITHOUT retiring first — the COW
     // rewrite's source scan subtracts eq-deleted rows (they are never
     // materialized back to life), outputs' fresh add versions

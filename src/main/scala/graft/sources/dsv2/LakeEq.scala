@@ -292,6 +292,27 @@ object LakeEq {
       }))
       .filter(r => st.forall(s => mayApply(dir, r, s, tableCols, schema)))
 
+  /** Does any of `refs` ATTACH to file `name` under the full scoped
+    * rule (sequencing + key statistics + partition tuples — exactly
+    * what the scan subtracts and rewrite_deletes touches)? Missing
+    * stats or an unknown add version read as ATTACHED (the
+    * conservative direction for every caller: fast paths decline,
+    * inventories report NULL). The ONE predicate the metadata fast
+    * paths, the LIMIT/TopN gate, and both inventories share — a
+    * scoping refinement edited here cannot diverge them.
+    */
+  def attachedTo(dir: String, refs: Seq[EqRef], name: String,
+                 stats: Map[String, LakeStats.FileStats],
+                 parts: Map[String, Seq[String]],
+                 tableCols: Array[LakeColumnRef],
+                 schema: StructType): Boolean =
+    refs.nonEmpty && {
+      val st = stats.get(name)
+      !st.exists(_.addV >= 0) ||
+        scopedApplicable(dir, refs, st.get.addV, st, tableCols,
+          schema, parts.get(name)).nonEmpty
+    }
+
   /** Fail loud when any current file cannot be SEQUENCED against the
     * eq-delete list (unknown add version) — checked at eq commit time
     * (friendly error, with the remedy) and re-checked at scan plan

@@ -68,16 +68,12 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
         // row_count is a PROMISE like the files inventory's live_rows:
         // a partition holding any file an eq ref ATTACHES to (scoped)
         // reports NULL; untouched partitions keep exact counts (r15)
-        val eqs = LakeTableIO.snapshotEqs(dir)
-        val (files, dvs, stats, parts) = LakeTableIO.snapshotView(dir)
+        val ((files, dvs, stats, parts), eqs) =
+          LakeTableIO.snapshotViewEq(dir)
         lazy val tschema = LakeTableIO.tableSchema(dir)
         lazy val tcols = LakeTableIO.columnRefs(tschema)
-        def eqAttached(n: String): Boolean = eqs.nonEmpty && {
-          val st = stats.get(n)
-          !st.exists(_.addV >= 0) ||
-            LakeEq.scopedApplicable(dir, eqs, st.get.addV, st, tcols,
-              tschema, parts.get(n)).nonEmpty
-        }
+        def eqAttached(n: String): Boolean =
+          LakeEq.attachedTo(dir, eqs, n, stats, parts, tcols, tschema)
         def liveRows(fileName: String, path: org.apache.hadoop.fs.Path)
             : Long = {
           val rows = stats.get(fileName).map(_.rows)
@@ -179,21 +175,17 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
         s"graft_lake files metadata of $dir"
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val eqs = LakeTableIO.snapshotEqs(dir)
-        val (files, dvs, stats, parts) = LakeTableIO.snapshotView(dir)
+        val ((files, dvs, stats, parts), eqs) =
+          LakeTableIO.snapshotViewEq(dir)
         lazy val tschema = LakeTableIO.tableSchema(dir)
         lazy val tcols = LakeTableIO.columnRefs(tschema)
         // live_rows is a PROMISE: an eq ref ATTACHED to the file
-        // (sequencing + key-stat + tuple scope — exactly what the
-        // scan subtracts and rewrite_deletes would touch) makes it
+        // (the shared scoped predicate — exactly what the scan
+        // subtracts and rewrite_deletes would touch) makes it
         // unknowable from metadata → that file reports NULL; files
         // the refs provably skip keep their exact counts
-        def eqAttached(n: String): Boolean = eqs.nonEmpty && {
-          val st = stats.get(n)
-          !st.exists(_.addV >= 0) ||
-            LakeEq.scopedApplicable(dir, eqs, st.get.addV, st, tcols,
-              tschema, parts.get(n)).nonEmpty
-        }
+        def eqAttached(n: String): Boolean =
+          LakeEq.attachedTo(dir, eqs, n, stats, parts, tcols, tschema)
         // one listing for every size — O(1) remote calls, not O(files)
         val path = new org.apache.hadoop.fs.Path(dir)
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -207,16 +199,19 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
           val physical = st.map(_.rows)
             .getOrElse(LakeTableIO.footerRows(Seq(f)))
           val dvFiles = dvs.getOrElse(n, Seq.empty)
-          val dead =
-            if (dvFiles.isEmpty) 0L
-            else LakeDv.positions(dir, dvFiles).length.toLong
+          // the NULL arm skips the O(positions) DV read outright
+          val live: Any =
+            if (eqAttached(n)) null
+            else math.max(0L, physical -
+              (if (dvFiles.isEmpty) 0L
+               else LakeDv.positions(dir, dvFiles).length.toLong))
           Seq[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(n),
             parts.get(n).map(t =>
               org.apache.spark.unsafe.types.UTF8String
                 .fromString(t.mkString("/"))).orNull,
             physical,
-            if (eqAttached(n)) null else math.max(0L, physical - dead),
+            live,
             dvFiles.size,
             sizes.getOrElse(n, -1L),
             st.isDefined)
@@ -248,9 +243,9 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
   * files they apply to (the sequencing rule — what a rewrite_deletes
   * would touch); position DVs show their target file and position
   * count. THE ops surface for retirement planning: the files and
-  * partitions inventories decline under live eq refs precisely
-  * because their live-count promises break — this table is how a user
-  * SEES the debt those declines point at. Driver metadata only (eq
+  * partitions inventories report NULL live counts exactly where a
+  * scoped ref attaches (r15) — this table is how a user SEES the
+  * debt behind every NULL. Driver metadata only (eq
   * facts live in the manifest; DV sidecars are O(positions) reads).
   */
 class LakeDeletesTable(tableName: String, dir: String) extends Table

@@ -206,8 +206,11 @@ class LakeTable(tableName: String, val dir: String,
     // DV'd files keep their add versions so refs keep attaching, and
     // the eq-set-stability prePublish guard closes the mid-operation
     // ref race. Only UNSEQUENCEABLE vintages stay loud.
-    LakeLog.current(dir, branch).foreach(h =>
-      LakeEq.requireSequenceable(dir, h.eqs, h.files, h.stats))
+    if (LakeTableIO.snapshotEqs(dir, None, branch).nonEmpty) {
+      val ((files, _, stats, _), eqs) =
+        LakeTableIO.snapshotViewEq(dir, None, branch)
+      LakeEq.requireSequenceable(dir, eqs, files.map(_.getName), stats)
+    }
     // DML mode is a TABLE property: merge-on-read routes to the
     // delta-based operation (deletion vectors — SupportsDelta), the
     // default stays group-based copy-on-write. Same switch Iceberg
@@ -412,18 +415,18 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   // bounding survives insert-only upsert epochs and refs scoped to
   // other partitions/key ranges. Judged over the full snapshot (the
   // offer arrives before planning narrows the file set).
-  private def eqFree: Boolean =
+  private lazy val eqFree: Boolean =
     try {
-      snapEqs.isEmpty || {
-        val (files, _, stats, parts) =
-          LakeTableIO.snapshotView(dir, pinnedVersion, branch)
+      // eqs and the files they are judged against come from ONE
+      // snapshot read (a ref committed between two reads would be
+      // checked against nothing); memoized — pushLimit and pushTopN
+      // both consult it and the judgment is per-builder anyway
+      val ((files, _, stats, parts), eqs) =
+        LakeTableIO.snapshotViewEq(dir, pinnedVersion, branch)
+      eqs.isEmpty || {
         val tcols = LakeTableIO.columnRefs(tableSchema)
-        files.forall { f =>
-          val st = stats.get(f.getName)
-          st.exists(_.addV >= 0) &&
-            LakeEq.scopedApplicable(dir, snapEqs, st.get.addV, st,
-              tcols, tableSchema, parts.get(f.getName)).isEmpty
-        }
+        !files.exists(f => LakeEq.attachedTo(dir, eqs, f.getName,
+          stats, parts, tcols, tableSchema))
       }
     } catch { case scala.util.control.NonFatal(_) => false }
   // the subset of `pushed` the scan ENFORCES (Spark drops its Filter
@@ -2759,6 +2762,45 @@ object LakeTableIO {
                    branch: Option[String] = None): SnapView =
     snapshotViewPruned(dir, version, branch, Array.empty)
 
+  /** [[snapshotView]] PLUS the same snapshot's live eq refs — ONE
+    * manifest read, so the refs judged and the files judged can never
+    * come from different versions (a ref committed between two reads
+    * would be checked against nothing — the r15 scoped fast paths and
+    * inventories all consume this, never two separate reads).
+    */
+  def snapshotViewEq(dir: String, version: Option[Long] = None,
+                     branch: Option[String] = None)
+      : (SnapView, Seq[LakeEq.EqRef]) = {
+    // pending decided-tx files union in exactly like snapshotView's
+    // head reads (atomic cross-table visibility); they carry no stats,
+    // so every eq-aware consumer reads them as ATTACHED → declines/
+    // NULLs conservatively under live refs
+    def withPending(files: Seq[String]): Seq[Path] = {
+      val pending = LakeTx.pendingFor(dir).flatMap(_.added)
+      (if (pending.isEmpty) files
+       else (files ++ pending).distinct.sorted).map(new Path(dir, _))
+    }
+    version match {
+      case Some(v) =>
+        val s = LakeLog.snapshotAt(dir, v, branch)
+        ((s.files.map(new Path(dir, _)), s.dvs, s.stats, s.parts), s.eqs)
+      case None =>
+        LakeLog.current(dir, branch) match {
+          case Some(s) if branch.isEmpty =>
+            ((withPending(s.files), s.dvs, s.stats, s.parts), s.eqs)
+          case Some(s) =>
+            ((s.files.map(new Path(dir, _)), s.dvs, s.stats, s.parts),
+              s.eqs)
+          case None if branch.isDefined =>
+            throw new IllegalStateException(
+              s"branch '${branch.get}' does not exist in $dir")
+          case None =>
+            ((withPending(LakeLog.rawDataFiles(dir).toSeq), Map.empty,
+              Map.empty, Map.empty), Seq.empty)
+        }
+    }
+  }
+
   /** [[snapshotView]] with manifest-SEGMENT pruning: `pushed` filters
     * drop whole segments whose tuple summaries provably exclude them —
     * the per-tuple judgment is EXACTLY [[LakePartitioning.prune]]'s, so
@@ -3171,6 +3213,10 @@ object LakeTableIO {
     // paths survive upserts whose epochs were pure inserts or touched
     // other partitions/key ranges. Any uncertainty (missing stats,
     // unknown add version) reads as "attached" — decline, never guess.
+    // eqs and the view come from ONE snapshot read: segment pruning
+    // is skipped when refs are live (the whole point is judging the
+    // refs against every file they might attach to), kept for the
+    // common eq-free path
     val eqs =
       try snapshotEqs(dir, version, branch)
       catch { case scala.util.control.NonFatal(_) => return None }
@@ -3178,13 +3224,18 @@ object LakeTableIO {
     def eqClean(files: Seq[Path],
                 stats: Map[String, LakeStats.FileStats],
                 parts: Map[String, Seq[String]]): Boolean =
-      eqs.isEmpty || files.forall { f =>
-        val st = stats.get(f.getName)
-        st.exists(_.addV >= 0) &&
-          LakeEq.scopedApplicable(dir, eqs, st.get.addV, st, eqCols,
-            tableSchema, parts.get(f.getName)).isEmpty
+      eqs.isEmpty || !files.exists(f => LakeEq.attachedTo(dir, eqs,
+        f.getName, stats, parts, eqCols, tableSchema))
+    val v =
+      if (eqs.isEmpty) snapshotViewPruned(dir, version, branch, pushed)
+      else {
+        val (view, eqs2) = snapshotViewEq(dir, version, branch)
+        // the single-read refs are authoritative for the view THEY
+        // came with; a set that moved between the two reads above
+        // declines outright (never judge files against foreign refs)
+        if (eqs2 != eqs) return None
+        view
       }
-    val v = snapshotViewPruned(dir, version, branch, pushed)
     if (pushed.isEmpty)
       return if (eqClean(v._1, v._3, v._4)) Some(v) else None
     val (files, dvs, stats, parts) = v
