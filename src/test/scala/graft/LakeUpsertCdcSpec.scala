@@ -251,4 +251,61 @@ class LakeUpsertCdcSpec extends SparkSpec {
     assert(!LakeColumnarReader.eligible(
       bare.copy(forceRow = true), proj))
   }
+
+  test("CDC of a PARTITION-SCOPED upsert (bucket(2,k), keys determine " +
+       "the partition): per-partition tuple'd refs produce the exact " +
+       "event history; and a feed read ACROSS inline retirement " +
+       "(upsert.retire.maxRefs) sees the epochs' events unchanged — " +
+       "retirement is dataChange=false, invisible to the feed") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src " +
+        "SELECT id AS k, concat('v', id) AS v, 'insert' AS op, " +
+        "CAST(1 AS BIGINT) AS seq FROM range(1, 9)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(3, 'u3', 'update', 2), (7, null, 'delete', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.pc " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT) " +
+        "PARTITIONED BY (bucket(2, k))")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.pc", freshDir("c5"))
+      val head = LakeLog.current(s"$root/db/pc").get
+      assert(head.eqs.nonEmpty && head.eqs.forall(_.tuple.isDefined),
+        s"partition-scoped refs expected: ${head.eqs}")
+      val events = spark.sql(s"SELECT k, v, _change_type " +
+        s"FROM $cat.db.pc.changes").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val expectInserts = (1L to 8L).map(i => (i, s"v$i", "insert")) :+
+        ((3L, "u3", "insert"))
+      val expectDeletes = Seq((3L, "v3", "delete"), (7L, "v7", "delete"))
+      assert(events.sorted.toSeq ==
+        (expectInserts ++ expectDeletes).sorted, s"${events.toSeq}")
+      // the folded state agrees
+      val got = spark.table(s"$cat.db.pc").count()
+      assert(got == 7L, s"$got")
+
+      // --- feed across inline retirement ---
+      spark.sql(s"CREATE TABLE $cat.db.rc " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      val out = freshDir("c6")
+      val q = spark.readStream.option("maxCommitsPerBatch", 1)
+        .table(s"$cat.db.src")
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("upsert.keys", "k")
+        .option("upsert.order", "seq")
+        .option("upsert.tombstone", "op = 'delete'")
+        .option("upsert.retire.maxRefs", "1")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.rc")
+      q.awaitTermination()
+      assert(LakeLog.current(s"$root/db/rc").get.eqs.isEmpty,
+        "auto-retired")
+      val events2 = spark.sql(s"SELECT k, v, _change_type " +
+        s"FROM $cat.db.rc.changes").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(events2.sorted.toSeq ==
+        (expectInserts ++ expectDeletes).sorted, s"${events2.toSeq}")
+    }
+  }
 }
