@@ -256,22 +256,30 @@ object LakeSnapshots {
     (applicable, isEqDeleted(col("__f"), array(kcShapes.map(keyExpr): _*)))
   }
 
-  /** The eq-set-stability guard every retiring rewrite re-checks
+  /** The retirement-stability guard every retiring rewrite re-checks
     * adjacent to each publish attempt (where the version CAS makes it
-    * airtight): a concurrent upsert epoch appending a NEW ref between
-    * the head read and the publish must fail THIS commit — its
-    * eqsOverride would silently wipe the new ref (resurrecting that
-    * epoch's deletes), and its outputs' fresh add versions would
-    * escape it.
+    * airtight): every PLANNED ref must still be live — one vanishing
+    * mid-rewrite means a concurrent maintenance pass already retired
+    * it (this plan's fold raced another rewrite of the same debt) and
+    * this publish must not land. Refs ADDED mid-rewrite are FINE
+    * since r16: the rewrite's outputs inherit the PLAN version as
+    * their add version (sequence inheritance —
+    * [[graft.sources.dsv2.LakeLog.commit]] `addedSeqs`), so a
+    * concurrent epoch's ref still attaches to the rewritten rows,
+    * survives the name-scoped retirement (`eqsRetire`), and nothing
+    * resurrects — epochs keep committing while maintenance runs.
     */
-  private def eqGuard(dir: String,
+  private[graft] def eqGuard(dir: String,
                       head: graft.sources.dsv2.LakeLog.Snapshot,
                       what: String): () => Unit = () => {
-    val now = LakeLog.current(dir).map(_.eqs).getOrElse(Seq.empty)
-    if (now != head.eqs)
+    val now =
+      LakeLog.current(dir).map(_.eqs).getOrElse(Seq.empty).toSet
+    val missing = head.eqs.filterNot(now)
+    if (missing.nonEmpty)
       throw new java.util.ConcurrentModificationException(
-        s"$what of $dir: the equality-delete set changed mid-rewrite " +
-          "(concurrent upsert epoch?) — re-run")
+        s"$what of $dir: planned equality refs were retired " +
+          s"mid-rewrite (concurrent maintenance?): " +
+          s"${missing.map(_.name).mkString(", ")} — re-run")
   }
 
   /** Physical rows of `files` with maintenance-rewrite bookkeeping:
@@ -479,17 +487,19 @@ object LakeSnapshots {
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
         }.toMap,
-        // retiring: the whole ref list goes (every output's fresh add
-        // version postdates every ref; remaining files were rewritten
-        // too — zorder covers the full set)
-        eqsOverride = if (retire) Some(Seq.empty) else None,
-        // an eq ref committed mid-zorder would be detached from the
-        // rewritten rows (deleted rows resurrect) — re-checked per
-        // publish attempt adjacent to the version CAS
-        prePublish =
-          if (retire) eqGuard(dir, head, "zorder")
-          else () => graft.sources.dsv2.LakeEq
-            .requireStillNone(dir, None, "zorder"))
+        // retiring BY NAME (r16): exactly the planned refs go; a ref
+        // a concurrent epoch committed mid-rewrite SURVIVES and still
+        // attaches to the outputs via the inherited add version below
+        eqsRetire = if (retire) head.eqs.map(_.name) else Seq.empty,
+        // SEQUENCE INHERITANCE (r16): outputs keep the PLAN version
+        // as their add version, so refs committed while the rewrite
+        // was in flight still attach to the rewritten rows — epochs
+        // keep committing while maintenance runs
+        addedSeqs = published.map(_._1 -> head.version).toMap,
+        // planned refs must still be live (a concurrent maintenance
+        // pass retiring one means this fold raced another rewrite) —
+        // re-checked per publish attempt adjacent to the version CAS
+        prePublish = eqGuard(dir, head, "zorder"))
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
       (head.files.size, head.files.size - zFiles.size + published.size)
@@ -629,11 +639,12 @@ object LakeSnapshots {
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
         }.toMap,
-        // same mid-operation eq guard as zorder/rewrite_deletes: the
-        // merged outputs' fresh add versions would escape a ref
-        // committed during the (long) rewrite window
-        prePublish = () => graft.sources.dsv2.LakeEq
-          .requireStillNone(dir, None, "compact"))
+        // SEQUENCE INHERITANCE (r16): outputs keep the plan version
+        // as their add version, so an eq ref committed during the
+        // (long) rewrite window still attaches to the merged rows —
+        // no mid-operation guard needed, compaction proceeds under a
+        // concurrent upsert epoch
+        addedSeqs = published.map(_._1 -> head.version).toMap)
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }
       (head.files.size, head.files.size - compacted.size + published.size)
@@ -719,6 +730,11 @@ object LakeSnapshots {
     * keep their original tuple, exactly like plain rewrite_deletes) —
     * a post-retirement compact migrates vintages as usual.
     */
+  // test-only race-injection hook: invoked between a retirement's
+  // staging and its publish (the window a live system shares with
+  // concurrent epoch commits); a no-op in production
+  private[graft] var testMidRewrite: () => Unit = () => ()
+
   private def retireCore(spark: SparkSession, dir: String,
       head: graft.sources.dsv2.LakeLog.Snapshot,
       binBytes: Option[Long], what: String): (Int, Long, Int, Int) = {
@@ -758,15 +774,21 @@ object LakeSnapshots {
           .filterNot(must)
     }
     val targets = (mustRewrite ++ small).distinct.sorted
-    val guard: () => Unit =
-      if (head.eqs.isEmpty) () => () else eqGuard(dir, head, what)
+    // unconditional (r16 semantics): planned refs must still be live
+    // at publish; refs ADDED mid-rewrite are tolerated — the outputs'
+    // inherited add version keeps them attached (a DV-only rewrite
+    // racing a concurrent upsert-epoch eq commit is safe for the same
+    // reason, where pre-inheritance it silently resurrected that
+    // epoch's deleted rows)
+    val guard: () => Unit = eqGuard(dir, head, what)
     if (targets.isEmpty) {
       // refs exist but apply to nothing (every file postdates them or
-      // provably holds none of their keys): retire the dead list
-      // without touching any bytes
+      // provably holds none of their keys): retire the dead list —
+      // BY NAME, so a ref a concurrent epoch commits mid-pass
+      // survives — without touching any bytes
       if (head.eqs.nonEmpty)
         LakeLog.commit(dir, what, Seq.empty, Seq.empty, 0L,
-          dataChange = false, eqsOverride = Some(Seq.empty),
+          dataChange = false, eqsRetire = head.eqs.map(_.name),
           prePublish = guard)
       return (0, 0L, head.files.size, head.files.size)
     }
@@ -831,13 +853,20 @@ object LakeSnapshots {
           (dest.getName, tuple)
         }
       }
+      // deterministic race-injection point for the concurrency pins
+      // (LakeEqDeleteSpec): runs between staging and publish, where a
+      // live system would see concurrent epoch commits
+      testMidRewrite()
       try LakeLog.commit(dir, what, published.map(_._1),
         targets, addedRows = 0L, dataChange = false,
         addedParts = published.collect {
           case (n, Some(t)) => n -> t
         }.toMap,
-        eqsOverride =
-          if (head.eqs.isEmpty) None else Some(Seq.empty),
+        // name-scoped retirement + sequence inheritance (r16): the
+        // planned refs retire, a concurrent epoch's ref survives and
+        // attaches to the outputs via their inherited add version
+        eqsRetire = head.eqs.map(_.name),
+        addedSeqs = published.map(_._1 -> head.version).toMap,
         prePublish = guard)
       catch { case e: Throwable =>
         unpublish(fs, dir, published.map(_._1)); throw e }

@@ -796,6 +796,36 @@ object LakeQueries {
         "sum(live_rows) AS live", "sum(dv_count) AS dvs")
     }),
 
+    // EXACT SMALL-REF INVENTORY (r16): the files inventory under a
+    // LIVE equality ref WITHIN the key-scoping cap answers EXACT live
+    // counts — one bounded key-column probe per attached file prices
+    // the key matches ([[graft.sources.dsv2.LakeEq.countMatches]]),
+    // DV-dead rows never double-subtracted — where r15 served NULL.
+    // NULL remains only above the cap (exact or NULL, never wrong).
+    // Fixture: a MOR load with DVs (k % 7 = 3 deleted) plus one
+    // engine-committed 5-key ref; the oracle recounts from rows.
+    "lake_files_inventory_eq" -> ((s, dir) => {
+      LakeCatalogs.register(s)
+      val tbl = tableId(dir, "lake_finv_eq")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      previous(s, dir).selectExpr(s"$key AS k", "o_orderpriority AS pri")
+        .repartition(4)
+        .createOrReplaceTempView("lake_finv_eq_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM lake_finv_eq_src")
+      s.sql(s"DELETE FROM $tbl WHERE k % 7 = 3")
+      val path = tablePath(dir, "lake_finv_eq")
+      val side = graft.sources.dsv2.LakeEq.write(path, Seq("k"),
+        Seq("1", "2", "3", "4", "5"))
+      graft.sources.dsv2.LakeLog.commit(path, "eq_fixture", Seq.empty,
+        Seq.empty, 0L, dataChange = false,
+        eqAdded = Seq((side, Seq("k"), 5L)))
+      s.table(s"$tbl.files").selectExpr(
+        "count(*) AS files", "sum(rows) AS physical",
+        "sum(live_rows) AS live", "sum(dv_count) AS dvs")
+    }),
+
     // DELETE-DEBT INVENTORY (r14): `db.t.deletes` — one row per live
     // delete artifact of BOTH contracts: position DVs (target file +
     // position count) and equality refs (commit version, key columns,
@@ -1738,6 +1768,18 @@ object LakeQueries {
          |       CAST(sum(CASE WHEN o_orderkey % 5 <> 2 THEN 1 ELSE 0
          |                END) AS BIGINT) AS live,
          |       CAST(8 AS BIGINT) AS dvs
+         |FROM prev""".stripMargin,
+    // the r16 exact arm recounted from rows: live = rows neither
+    // DV-deleted (k % 7 = 3) nor matching the 5-key ref — the
+    // inventory's bounded probe must price exactly this
+    "lake_files_inventory_eq" ->
+      s"""$snapshotCte
+         |SELECT CAST(4 AS BIGINT) AS files,
+         |       CAST(count(*) AS BIGINT) AS physical,
+         |       CAST(sum(CASE WHEN o_orderkey % 7 <> 3
+         |                      AND o_orderkey NOT IN (1, 2, 3, 4, 5)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS live,
+         |       CAST(4 AS BIGINT) AS dvs
          |FROM prev""".stripMargin,
     // the debt arithmetic restated: one eq ref (3 keys, applying to
     // all 8 insert-vintage files), 8 DV sidecars holding exactly the

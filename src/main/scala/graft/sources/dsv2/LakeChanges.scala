@@ -144,6 +144,11 @@ class LakeChangesScan(dir: String, projected: StructType,
     require(from <= to,
       s"change-feed range must go forward: $from .. $to")
     val cols = LakeTableIO.columnRefs(projected)
+    // the carried full-metadata view (r16): ref-adding versions need
+    // the FULL prior-file stats; across an N-epoch replay the carry
+    // pays that read once and catches up by O(new segments) per
+    // version — see [[LakeTableIO.CdcCarry.fullFor]]
+    var carry: Option[LakeTableIO.CdcCarry] = None
     (from to to).flatMap { v =>
       // the default start on a trimmed log opens with the snapshot;
       // an EXPLICIT startingVersion is a delta cursor, like the stream's
@@ -165,8 +170,14 @@ class LakeChangesScan(dir: String, projected: StructType,
           ((snap.removed.nonEmpty && snap.dataChange) ||
            snap.eqs.exists(_.version == v)))
         Seq.empty
-      else
-        LakeTableIO.planCdcVersion(dir, snap, cols, pushed, asSnapshot)
+      else {
+        val (c2, fullOpt) = LakeTableIO.CdcCarry.fullFor(carry, dir,
+          None, v, snap, isFull = asSnapshot,
+          needsFull = !asSnapshot && snap.eqs.exists(_.version == v))
+        carry = c2
+        LakeTableIO.planCdcVersion(dir, snap, cols, pushed, asSnapshot,
+          fullOpt)
+      }
     }.toArray
   }
 

@@ -51,9 +51,13 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * projection, no positional (CDC) reads, no synthesized metadata
   * columns. Within that scope everything the row path supports is
   * supported here: merge-on-read deletion vectors (value-level skip),
-  * projection reorder, null back-fill for columns a file predates, and
-  * vintage widening (INT32→LONG, FLOAT→DOUBLE, decimal precision) —
-  * writers decode the file's physical type and emit the TABLE type.
+  * EQUALITY-delete subtraction (r16 — hidden key columns decode into
+  * scratch vectors, matching rows are dropped by inline batch
+  * compaction, so a continuously-upserted table's hottest files keep
+  * the vectorized path), projection reorder, null back-fill for
+  * columns a file predates, and vintage widening (INT32→LONG,
+  * FLOAT→DOUBLE, decimal precision) — writers decode the file's
+  * physical type and emit the TABLE type.
   */
 object LakeColumnarReader {
   /** Rows per emitted batch — Spark's own parquet default. */
@@ -72,7 +76,12 @@ object LakeColumnarReader {
     * eligibility per partition).
     */
   def eligible(part: LakeInputPartition, projected: StructType): Boolean =
-    enabled && part.cdc.isEmpty && part.eqFiles.isEmpty &&
+    enabled && part.cdc.isEmpty &&
+      // eq-attached splits are columnar since r16: hidden key columns
+      // decode into scratch vectors and matching rows are subtracted
+      // batch-side — eligibility therefore no longer consults
+      // part.eqFiles, which keeps the answer UNIFORM across a scan's
+      // partitions even when scoping attaches refs to only some files
       !part.forceRow &&
       // empty projections (count-only scans where the metadata answer
       // declined) stay on the row path: nothing to decode either way,
@@ -382,19 +391,30 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
     extends PartitionReader[ColumnarBatch] {
   import LakeColumnarReader._
 
-  // belt-and-braces: a columnar read of an eq-attached or CDC split
-  // would silently skip the membership/emit tests — the factory's
-  // anyEq flag and `eligible` must have routed those to the row path
-  require(part.eqFiles.isEmpty && part.cdc.isEmpty,
-    s"columnar read planned over an eq/CDC split of ${part.path} — " +
+  // belt-and-braces: a columnar read of a CDC split would silently
+  // skip the positional/eq EMIT tests — `eligible` must have routed
+  // those to the row path (eq-attached SUBTRACTION splits are handled
+  // here since r16)
+  require(part.cdc.isEmpty,
+    s"columnar read planned over a CDC split of ${part.path} — " +
       "row-path routing bug")
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
-  // file column name -> output position
+  // EVALUATION columns (mirrors the row reader): the projection, plus
+  // — when equality deletes apply to this file — any involved key
+  // column the projection lacks, appended HIDDEN (decoded into a
+  // scratch vector for the membership test, never emitted). The
+  // prefix invariant (evalCols starts with part.cols verbatim) keeps
+  // every eval index below part.cols.length an output ordinal.
+  private val evalCols: Array[LakeColumnRef] =
+    if (part.eqFiles.isEmpty) part.cols
+    else part.cols ++ part.eqCols.filter(ec =>
+      !part.cols.exists(_.name == ec.name))
+  // file column name -> eval position
   private val filePos: Map[String, Int] =
-    part.cols.zipWithIndex.flatMap { case (ref, i) =>
+    evalCols.zipWithIndex.flatMap { case (ref, i) =>
       LakeTableIO.resolveInFile(fileSchema, ref).map(_ -> i)
     }.toMap
   private val requested: MessageType = {
@@ -404,9 +424,22 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
   }
   reader.setRequestedSchema(requested)
   private val requestedStruct = LakeParquet.toStructType(requested)
-  // file-projected position -> output position
+  // file-projected position -> eval position (output ordinal when
+  // < part.cols.length, hidden eq-key slot otherwise)
   private val outIndex: Array[Int] =
     requestedStruct.fieldNames.map(filePos)
+  private def hiddenAt(reqPos: Int): Boolean =
+    outIndex(reqPos) >= part.cols.length
+  // the type each sink slot holds: output columns decode in the TABLE
+  // type (widening applied), hidden eq-key columns in the FILE's own
+  // type (identity pair — the canonical key encoding is invariant
+  // across the admitted widenings, mirroring the row path's raw
+  // compare)
+  private val sinkType: Array[DataType] =
+    requestedStruct.fields.zipWithIndex.map { case (f, i) =>
+      if (hiddenAt(i)) f.dataType
+      else projected.fields(outIndex(i)).dataType
+    }
 
   private val groupStart: Long = reader.getFooter.getBlocks.asScala
     .take(part.rowGroup).map(_.getRowCount).sum
@@ -441,7 +474,7 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
           new BulkCursor(d, pages.getPageReader(d),
             vWriterFor(d.getPrimitiveType.getPrimitiveTypeName,
               requestedStruct.fields(i).dataType,
-              projected.fields(outIndex(i)).dataType)): Cursor
+              sinkType(i))): Cursor
         }
       else {
         // any exotic column routes the WHOLE group through the generic
@@ -455,7 +488,7 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
             d.getMaxDefinitionLevel,
             cWriterFor(d.getPrimitiveType.getPrimitiveTypeName,
               requestedStruct.fields(i).dataType,
-              projected.fields(outIndex(i)).dataType)): Cursor
+              sinkType(i))): Cursor
         }
       }
     }
@@ -464,12 +497,90 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
   // column maps to stay all-null (the ADD COLUMN back-fill)
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(BatchRows, projected)
+  // scratch vectors for the hidden eq-key columns (decoded, tested,
+  // never emitted), plus the per-cursor sink routing: cursor i writes
+  // the batch vector its eval ordinal names, or its scratch slot
+  private val sinks: Array[OnHeapColumnVector] = {
+    val hiddenFields = requestedStruct.fields.zipWithIndex
+      .filter { case (_, i) => hiddenAt(i) }
+    val scratch =
+      if (hiddenFields.isEmpty) Array.empty[OnHeapColumnVector]
+      else OnHeapColumnVector.allocateColumns(BatchRows,
+        StructType(hiddenFields.map(_._1)))
+    var h = -1
+    requestedStruct.fields.indices.map { i =>
+      if (hiddenAt(i)) { h += 1; scratch(h) }
+      else vectors(outIndex(i))
+    }.toArray
+  }
   private val backfill: Array[Boolean] = {
-    val covered = outIndex.toSet
+    val covered = outIndex.filter(_ < part.cols.length).toSet
     projected.indices.map(i => !covered.contains(i)).toArray
   }
   private val batch = new ColumnarBatch(vectors.map(v =>
     v: org.apache.spark.sql.vectorized.ColumnVector))
+
+  // equality-delete membership tests (mirrors the row reader's
+  // eqTestsOf): per applicable sidecar, the file-projected positions
+  // of its key columns + the canonical key set. A sidecar whose key
+  // column the FILE cannot resolve is dropped — every row's key value
+  // there is null (the file predates the column), and null never
+  // matches a non-null key.
+  private val eqTests: Array[(Array[Int], Set[String])] =
+    if (part.eqFiles.isEmpty) Array.empty
+    else {
+      val reqPosByEval: Map[Int, Int] =
+        outIndex.zipWithIndex.map { case (e, r) => e -> r }.toMap
+      val tableDir = new Path(part.path).getParent.toString
+      part.eqFiles.flatMap { name =>
+        val (cols, keys) = LakeEq.cached(tableDir, name)
+        val positions = cols.map { c =>
+          val e = evalCols.indexWhere(_.name.equalsIgnoreCase(c))
+          if (e < 0) -1 else reqPosByEval.getOrElse(e, -1)
+        }
+        if (positions.contains(-1)) None
+        else Some((positions.toArray, keys))
+      }.toArray
+    }
+  // typed read-back of one sink slot for the canonical key encoding —
+  // built only for positions a test actually consults; the admitted
+  // key types only, anything else fails loud like the row path's
+  // encodeValue
+  private val keyRead: Array[(OnHeapColumnVector, Int) => Any] =
+    requestedStruct.fields.indices.map { i =>
+      if (!eqTests.exists(_._1.contains(i)))
+        null: (OnHeapColumnVector, Int) => Any
+      else sinkType(i) match {
+        case IntegerType | DateType =>
+          (v: OnHeapColumnVector, r: Int) => v.getInt(r)
+        case LongType =>
+          (v: OnHeapColumnVector, r: Int) => v.getLong(r)
+        case StringType =>
+          (v: OnHeapColumnVector, r: Int) => v.getUTF8String(r)
+        case other => throw new IllegalArgumentException(
+          "graft_lake equality delete: key column type " +
+            s"$other is not an admitted key type")
+      }
+    }.toArray
+  private def eqHitAt(row: Int): Boolean = {
+    var i = 0
+    while (i < eqTests.length) {
+      val (pos, keys) = eqTests(i)
+      val values = new Array[Any](pos.length)
+      var j = 0
+      var nullKey = false
+      while (j < pos.length && !nullKey) {
+        val p = pos(j)
+        if (sinks(p).isNullAt(row)) nullKey = true
+        else values(j) = keyRead(p)(sinks(p), row)
+        j += 1
+      }
+      if (!nullKey && keys.contains(LakeEq.encodeKey(values.toSeq)))
+        return true
+      i += 1
+    }
+    false
+  }
 
   private var pos: Long = groupStart - 1
   private var remaining: Long = pages.getRowCount
@@ -482,7 +593,19 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
       if (backfill(i)) vectors(i).putNulls(0, BatchRows)
       i += 1
     }
+    i = 0
+    while (i < sinks.length) { // scratch slots reset too (key vectors)
+      if (hiddenAt(i)) sinks(i).reset()
+      i += 1
+    }
     var out = 0
+    // a subtracted row leaves slot `out` written; the NEXT row
+    // overwrites it (inline selection compaction) — but put* never
+    // clears a null bit the rejected row set, so a dirty slot's null
+    // flags are reset explicitly before reuse (putNotNull; the
+    // numNulls overcount this leaves only disables the all-non-null
+    // shortcut, never misreads a value)
+    var dirty = false
     while (out < BatchRows && remaining > 0) {
       remaining -= 1
       pos += 1
@@ -492,14 +615,26 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
         while (c < cursors.length) { cursors(c).skip1(); c += 1 }
       } else {
         var c = 0
+        if (dirty) {
+          while (c < cursors.length) {
+            sinks(c).putNotNull(out)
+            c += 1
+          }
+          c = 0
+          dirty = false
+        }
         while (c < cursors.length) {
-          cursors(c).advance(vectors(outIndex(c)), out)
+          cursors(c).advance(sinks(c), out)
           c += 1
         }
-        out += 1
+        // equality-delete subtraction, batch-side (r16): a matching
+        // row is simply not claimed
+        if (eqTests.isEmpty || !eqHitAt(out)) out += 1
+        else dirty = true
       }
     }
-    if (out == 0 && remaining <= 0) return false // tail fully DV'd
+    if (out == 0 && remaining <= 0) return false // tail fully
+      // DV'd / eq-subtracted
     batch.setNumRows(out)
     true
   }

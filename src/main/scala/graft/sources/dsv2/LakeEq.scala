@@ -177,9 +177,24 @@ object LakeEq {
   def scopeValues(dir: String, name: String,
                   types: Seq[DataType]): Option[Seq[Array[Any]]] = {
     if (scopeCache.size > 256) scopeCache.clear()
-    scopeCache.computeIfAbsent(new Path(dir, name).toUri.toString,
-      _ => try {
-        val keys = cached(dir, name)._2
+    // failure classes memoize DIFFERENTLY: a None from a TRANSIENT
+    // sidecar READ failure must not stick (it would silently degrade
+    // key-stat scoping to attach-everywhere for this sidecar for the
+    // driver JVM's lifetime — correct but defeats the scoping for
+    // scans, inventories, and rewrite target selection), while a None
+    // from a DECODE failure (foreign sidecar, drifted schema, key
+    // type outside the allow-list) is deterministic on the immutable
+    // sidecar content and MUST cache — re-throwing per (ref, file)
+    // probe on a 10k-file table is 10k wasted decode attempts per plan
+    val uri = new Path(dir, name).toUri.toString
+    val hit = scopeCache.get(uri)
+    if (hit != null) return hit.asInstanceOf[Option[Seq[Array[Any]]]]
+    val keys =
+      try cached(dir, name)._2
+      catch { case scala.util.control.NonFatal(_) =>
+        return None } // transient read: answer, don't memoize
+    val computed: AnyRef =
+      try {
         val cols = Array.fill(types.size)(
           Array.newBuilder[Any])
         val it = keys.iterator
@@ -203,8 +218,9 @@ object LakeEq {
           }
         }
         Some(cols.map(_.result()).toSeq): AnyRef
-      } catch { case scala.util.control.NonFatal(_) => None: AnyRef })
-      .asInstanceOf[Option[Seq[Array[Any]]]]
+      } catch { case scala.util.control.NonFatal(_) => None: AnyRef }
+    scopeCache.putIfAbsent(uri, computed)
+    computed.asInstanceOf[Option[Seq[Array[Any]]]]
   }
 
   /** Can `file` (judged from its manifest stats) contain ANY of `ref`'s
@@ -313,6 +329,132 @@ object LakeEq {
           schema, parts.get(name)).nonEmpty
     }
 
+  /** EXACT matched-row count of `refs` inside ONE data file (r16 —
+    * the inventories' exact arm, closing the r15 verdict's
+    * "exact small-ref inventories" ask): decode ONLY the involved key
+    * columns, walk the rows with their file positions, skip DV-dead
+    * positions, and count rows whose canonical key matches ANY ref
+    * (each row once, even under overlapping refs). Engaged only when
+    * every ref is within [[ScopeInCap]] keys — the same bound
+    * key-statistics scoping uses — so the probe is one bounded
+    * key-column read per attached file, the cost class of the
+    * stat-less footer fallback the inventories already take. None on
+    * ANY uncertainty (oversized ref, unreadable sidecar, unresolvable
+    * table column, I/O error): callers report NULL, never a wrong
+    * number. A ref whose key column the FILE cannot resolve
+    * contributes no matches (every value there is null — the same
+    * dropped-test rule both readers apply).
+    */
+  def countMatches(dir: String, filePath: Path, refs: Seq[EqRef],
+                   schema: StructType,
+                   deadPositions: Array[Long]): Option[Long] = {
+    if (refs.isEmpty) return Some(0L)
+    if (refs.exists(_.n > ScopeInCap)) return None
+    try {
+      val tcols = LakeTableIO.columnRefs(schema)
+      // per ref: resolution refs of its key columns (case-insensitive,
+      // pre-canonicalization sidecars carry user spellings) + key set
+      val tests: Seq[(Seq[LakeColumnRef], Set[String])] = refs.map { r =>
+        val (cols, keys) = cached(dir, r.name)
+        val colRefs = cols.map { c =>
+          tcols.find(_.name.equalsIgnoreCase(c)) match {
+            case Some(cr) => cr
+            case None     => return None // foreign sidecar: unknowable
+          }
+        }
+        (colRefs, keys)
+      }
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          filePath, new Configuration()))
+      try {
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        val involved = tests.flatMap(_._1).groupBy(_.name)
+          .map(_._2.head).toSeq
+        val filePos: Map[String, String] = involved.flatMap(r =>
+          LakeTableIO.resolveInFile(fileSchema, r).map(r.name -> _))
+          .toMap
+        val keptNames = filePos.values.toSet
+        val kept = fileSchema.getFields.asScala
+          .filter(t => keptNames.contains(t.getName))
+        val requested = new org.apache.parquet.schema.MessageType(
+          fileSchema.getName, kept.asJava)
+        val requestedStruct = LakeParquet.toStructType(requested)
+        val nameToReq: Map[String, Int] =
+          requestedStruct.fieldNames.zipWithIndex.toMap
+        // tests with every key column resolved in THIS file; the rest
+        // drop (null never matches a non-null key)
+        val active: Array[(Array[Int], Set[String])] =
+          tests.flatMap { case (colRefs, keys) =>
+            val pos = colRefs.map(r =>
+              filePos.get(r.name).flatMap(nameToReq.get).getOrElse(-1))
+            if (pos.contains(-1)) None else Some((pos.toArray, keys))
+          }.toArray
+        if (active.isEmpty) return Some(0L)
+        reader.setRequestedSchema(requested)
+        // decoded in the FILE's own types — the canonical key encoding
+        // is invariant across the admitted widenings, so vintages
+        // compare exactly (the same raw-compare rule both readers use)
+        val dec = LakeParquet.columnDecoders(requestedStruct, requested)
+        var count = 0L
+        var pos = -1L
+        var dvCur = 0
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val crs = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
+            pages,
+            new org.apache.parquet.example.data.simple.convert
+              .GroupRecordConverter(requested).getRootConverter,
+            requested, reader.getFooter.getFileMetaData.getCreatedBy)
+          val descs = requested.getColumns.asScala.toArray
+          val crd = descs.map(crs.getColumnReader)
+          val maxDef = descs.map(_.getMaxDefinitionLevel)
+          var i = 0L
+          val n = pages.getRowCount
+          while (i < n) {
+            pos += 1
+            val vals = new Array[Any](crd.length)
+            var c = 0
+            while (c < crd.length) {
+              val cr = crd(c)
+              vals(c) =
+                if (cr.getCurrentDefinitionLevel == maxDef(c)) dec(c)(cr)
+                else null
+              cr.consume()
+              c += 1
+            }
+            while (dvCur < deadPositions.length &&
+                deadPositions(dvCur) < pos) dvCur += 1
+            if (dvCur < deadPositions.length &&
+                deadPositions(dvCur) == pos) dvCur += 1 // DV-dead
+            else {
+              var hit = false
+              var t = 0
+              while (!hit && t < active.length) {
+                val (ps, keys) = active(t)
+                val kv = new Array[Any](ps.length)
+                var j = 0
+                var nul = false
+                while (j < ps.length && !nul) {
+                  val v = vals(ps(j))
+                  if (v == null) nul = true else kv(j) = v
+                  j += 1
+                }
+                if (!nul && keys.contains(encodeKey(kv.toSeq)))
+                  hit = true
+                t += 1
+              }
+              if (hit) count += 1
+            }
+            i += 1
+          }
+          pages = reader.readNextRowGroup()
+        }
+        Some(count)
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Fail loud when any current file cannot be SEQUENCED against the
     * eq-delete list (unknown add version) — checked at eq commit time
     * (friendly error, with the remedy) and re-checked at scan plan
@@ -333,37 +475,20 @@ object LakeEq {
             " / system.compact to rewrite those vintages first")
     }
 
-  /** Commit-time guard for REWRITE operations that MATERIALIZE
-    * existing physical rows into new files (copy-on-write DML, MOR
-    * post-images, compact, zorder): their outputs get a fresh add
-    * version past every eq ref, so an equality delete committed
-    * BETWEEN the operation's plan (which saw no refs — the plan-time
-    * decline) and its publish would be silently detached from the
-    * rewritten rows — deleted rows resurrect. Re-checked inside the
-    * log's commit retry loop adjacent to every publish attempt
-    * (prePublish), where the version CAS makes it airtight: a racing
-    * eq commit takes the contended version, this publish loses, the
-    * retry re-runs the guard and fails loud.
-    */
-  def requireStillNone(dir: String, branch: Option[String] = None,
-                       what: String): Unit = {
-    val now = LakeLog.current(dir, branch).map(_.eqs).getOrElse(Seq.empty)
-    if (now.nonEmpty)
-      throw new java.util.ConcurrentModificationException(
-        s"graft_lake $dir: equality deletes were committed while " +
-          s"$what was in flight — its rewritten rows would escape " +
-          "them (deleted rows would resurrect); re-run after " +
-          "CALL system.rewrite_deletes")
-  }
-
-  /** prePublish guard for REWRITE operations whose plan consumed the
-    * eq state AS OF its snapshot (row-level DML under live refs): the
-    * current ref set must still EQUAL the plan-time set — a ref
-    * committed mid-operation would be silently escaped by the
-    * rewritten rows (fresh add versions) while the operation's scan
-    * never subtracted it. Re-checked adjacent to every publish
-    * attempt, where the version CAS makes it airtight; with an empty
-    * plan-time set this is exactly [[requireStillNone]].
+  /** prePublish guard for row-level DML whose plan consumed the eq
+    * state AS OF its snapshot: the current ref set must still EQUAL
+    * the plan-time set — a ref committed mid-operation targets keys
+    * whose rows the DML may have REWRITTEN to new versions (a genuine
+    * write-write conflict: the ref means "delete the row that key had
+    * at my commit", and after the DML that row is a different one),
+    * so serializable-by-default fails loud like Iceberg's row-level
+    * validation. Maintenance rewrites (dataChange=false) do NOT use
+    * this since r16 — their outputs inherit the plan version
+    * ([[graft.sources.dsv2.LakeLog.commit]] addedSeqs), keeping
+    * concurrent refs attached, so only PLANNED-ref removal aborts
+    * them ([[graft.operators.LakeSnapshots.eqGuard]]). Re-checked
+    * adjacent to every publish attempt, where the version CAS makes
+    * it airtight.
     */
   def requireUnchanged(dir: String, branch: Option[String],
                        atPlan: Seq[EqRef], what: String): Unit = {

@@ -91,7 +91,11 @@ object LakeLog {
         override def removeEldestEntry(
             e: JMap.Entry[String, (Seq[String],
               Map[String, LakeStats.FileStats],
-              Map[String, Seq[String]])]): Boolean = size() > 4096
+              Map[String, Seq[String]])]): Boolean =
+          // overridable so bounded-I/O pins can model the 100 TB
+          // regime (more segments than the cache holds) on small
+          // fixtures; production default 4096
+          size() > Integer.getInteger("graft.lake.segcache.max", 4096)
       })
 
   /** One committed table version. `files` is the complete data-file set
@@ -963,6 +967,23 @@ object LakeLog {
              // rewrite_deletes retirement / rollback restore: replace
              // the carried eq list verbatim (like dvsOverride)
              eqsOverride: Option[Seq[LakeEq.EqRef]] = None,
+             // retirement by NAME (r16): remove exactly these refs
+             // from the carried list, keeping any OTHERS — including
+             // refs committed by a concurrent writer after the
+             // retiring rewrite planned (recomputed per retry attempt
+             // against the current head, so the concurrent ref
+             // survives where a verbatim eqsOverride would silently
+             // wipe it)
+             eqsRetire: Seq[String] = Seq.empty,
+             // SEQUENCE INHERITANCE (r16, Iceberg's data-sequence-
+             // number rule for rewrites): per-added-file ADD-VERSION
+             // override. A dataChange=false rewrite stamps its
+             // outputs with the PLAN-time version instead of the
+             // commit's own, so equality refs committed while the
+             // rewrite was in flight (version > plan version) still
+             // attach to the rewritten rows — maintenance no longer
+             // has to fail on a concurrent upsert epoch
+             addedSeqs: Map[String, Long] = Map.empty,
              // rollback: the TARGET snapshot's per-file stats applied
              // verbatim for files in the next set — facts and the add
              // version are facts of the immutable bytes + the original
@@ -993,6 +1014,9 @@ object LakeLog {
     require(updatePost.forall(added.contains),
       s"updatePost references files outside this commit's added set: " +
         updatePost.filterNot(added.contains).mkString(", "))
+    require(addedSeqs.keySet.subsetOf(added.toSet),
+      "addedSeqs names files outside this commit's added set: " +
+        addedSeqs.keySet.diff(added.toSet).mkString(", "))
     // manifest stats for this commit's files: ONE local footer read per
     // added file, at write time, so no scan ever has to — hoisted out
     // of the retry loop (the added set never changes across attempts).
@@ -1138,7 +1162,9 @@ object LakeLog {
         (base.filterNot(removed.toSet) ++ addedNew).toSet
       val nextStats = (head.map(_.stats).getOrElse(Map.empty) -- removed) ++
         addedStats.view.filterKeys(addedNew.contains)
-          .mapValues(_.copy(addV = nextVersion)) ++ liveAmend ++
+          .map { case (f, st) =>
+            f -> st.copy(addV = addedSeqs.getOrElse(f, nextVersion))
+          } ++ liveAmend ++
         statsRestore.view.filterKeys(nextFileSet)
       // equality deletes: refuse to commit one against a snapshot
       // holding files the delete cannot be SEQUENCED with (unknown add
@@ -1149,8 +1175,10 @@ object LakeLog {
           Seq(LakeEq.EqRef("pending", nextVersion, Seq.empty, 0L)),
           base.filterNot(removed.toSet).filterNot(addedNew.contains),
           head.map(_.stats).getOrElse(Map.empty))
+      val retireSet = eqsRetire.toSet
       val nextEqs = eqsOverride.getOrElse(
-        head.map(_.eqs).getOrElse(Seq.empty) ++
+        head.map(_.eqs).getOrElse(Seq.empty)
+          .filterNot(r => retireSet.contains(r.name)) ++
           eqAdded.map { case (n, kc, cnt) =>
             LakeEq.EqRef(n, nextVersion, kc, cnt, eqTuples.get(n)) })
       // partition tuples follow the file set exactly like stats

@@ -49,8 +49,9 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
   override lazy val schema: StructType = StructType(
     bound.map(b => StructField(colName(b), b.outType, nullable = true)) ++
       Seq(StructField("file_count", LongType, nullable = false),
-        // NULL when any file of the partition carries an ATTACHED
-        // live eq ref (same scoped rule as db.t.files.live_rows, r15)
+        // NULL only when a file of the partition carries an attached
+        // ref ABOVE the key-scoping cap (same exact-or-NULL rule as
+        // db.t.files.live_rows — r16 exact arm for small refs)
         StructField("row_count", LongType, nullable = true)))
 
   override def capabilities(): util.Set[TableCapability] =
@@ -66,21 +67,33 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
 
       override def planInputPartitions(): Array[InputPartition] = {
         // row_count is a PROMISE like the files inventory's live_rows:
-        // a partition holding any file an eq ref ATTACHES to (scoped)
-        // reports NULL; untouched partitions keep exact counts (r15)
+        // a partition holding any file an eq ref ATTACHES to reports
+        // NULL — unless every attached ref is within the key-scoping
+        // cap, where the r16 exact arm ([[LakeEq.countMatches]])
+        // prices the matches per file and the partition keeps an
+        // EXACT count (exact or NULL, never wrong)
         val ((files, dvs, stats, parts), eqs) =
           LakeTableIO.snapshotViewEq(dir)
         lazy val tschema = LakeTableIO.tableSchema(dir)
         lazy val tcols = LakeTableIO.columnRefs(tschema)
-        def eqAttached(n: String): Boolean =
-          LakeEq.attachedTo(dir, eqs, n, stats, parts, tcols, tschema)
         def liveRows(fileName: String, path: org.apache.hadoop.fs.Path)
-            : Long = {
-          val rows = stats.get(fileName).map(_.rows)
-            .getOrElse(LakeTableIO.footerRows(Seq(path)))
-          val dead = dvs.get(fileName)
-            .map(LakeDv.positions(dir, _).length.toLong).getOrElse(0L)
-          math.max(0L, rows - dead)
+            : Option[Long] = {
+          val st = stats.get(fileName)
+          val applicable: Option[Seq[LakeEq.EqRef]] =
+            if (eqs.isEmpty) Some(Seq.empty)
+            else if (!st.exists(_.addV >= 0)) None // unsequenceable
+            else Some(LakeEq.scopedApplicable(dir, eqs, st.get.addV,
+              st, tcols, tschema, parts.get(fileName)))
+          applicable.flatMap { app =>
+            val rows = st.map(_.rows)
+              .getOrElse(LakeTableIO.footerRows(Seq(path)))
+            lazy val dead: Array[Long] = dvs.get(fileName)
+              .map(LakeDv.positions(dir, _)).getOrElse(Array.empty)
+            if (app.isEmpty)
+              Some(math.max(0L, rows - dead.length.toLong))
+            else LakeEq.countMatches(dir, path, app, tschema, dead)
+              .map(m => math.max(0L, rows - dead.length.toLong - m))
+          }
         }
         // current-spec tuples decode into the typed columns; old
         // evolution vintages and tuple-less files group under ONE
@@ -102,9 +115,11 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
               }
               case None => bound.map(_ => null)
             }
-            slots ++ Seq(fs0.size.toLong,
-              if (fs0.exists(f => eqAttached(f.getName))) null
-              else fs0.map(f => liveRows(f.getName, f)).sum)
+            slots ++ Seq(fs0.size.toLong, {
+              val per = fs0.map(f => liveRows(f.getName, f))
+              if (per.exists(_.isEmpty)) null
+              else per.flatten.sum
+            })
           }
         Array(LakeMetaRowsPartition(rows))
       }
@@ -150,12 +165,12 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
     StructField("partition", org.apache.spark.sql.types.StringType,
       nullable = true),
     StructField("rows", LongType, nullable = false),
-    // NULL under live equality refs that ATTACH to the file (scoped
-    // by sequencing + key stats + partition tuples): the physical
-    // facts cannot price the key matches without a scan — the
-    // inventory serves what is provable and NULLs what is not,
-    // instead of declining wholesale (r15); db.t.deletes shows the
-    // debt behind every NULL
+    // EXACT even under live equality refs when every attached ref is
+    // within the key-scoping cap (r16: one bounded key-column probe
+    // prices the matches — [[LakeEq.countMatches]]); NULL only above
+    // the bound or when the probe cannot answer — the inventory
+    // serves what is provable and NULLs the rest; db.t.deletes shows
+    // the debt behind every NULL
     StructField("live_rows", LongType, nullable = true),
     StructField("dv_count", org.apache.spark.sql.types.IntegerType,
       nullable = false),
@@ -181,11 +196,20 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
         lazy val tcols = LakeTableIO.columnRefs(tschema)
         // live_rows is a PROMISE: an eq ref ATTACHED to the file
         // (the shared scoped predicate — exactly what the scan
-        // subtracts and rewrite_deletes would touch) makes it
-        // unknowable from metadata → that file reports NULL; files
-        // the refs provably skip keep their exact counts
-        def eqAttached(n: String): Boolean =
-          LakeEq.attachedTo(dir, eqs, n, stats, parts, tcols, tschema)
+        // subtracts and rewrite_deletes would touch) used to make it
+        // unknowable from metadata. Since r16 SMALL refs (every
+        // attached ref within the key-scoping cap) get an EXACT
+        // answer instead: one bounded key-column probe of the file
+        // ([[LakeEq.countMatches]]) prices the matches; NULL remains
+        // only above the key bound or on any probe uncertainty —
+        // exact or NULL, never wrong
+        def applicableOf(n: String): Option[Seq[LakeEq.EqRef]] = {
+          val st = stats.get(n)
+          if (eqs.isEmpty) Some(Seq.empty)
+          else if (!st.exists(_.addV >= 0)) None // unsequenceable
+          else Some(LakeEq.scopedApplicable(dir, eqs, st.get.addV, st,
+            tcols, tschema, parts.get(n)))
+        }
         // one listing for every size — O(1) remote calls, not O(files)
         val path = new org.apache.hadoop.fs.Path(dir)
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -200,11 +224,20 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
             .getOrElse(LakeTableIO.footerRows(Seq(f)))
           val dvFiles = dvs.getOrElse(n, Seq.empty)
           // the NULL arm skips the O(positions) DV read outright
-          val live: Any =
-            if (eqAttached(n)) null
-            else math.max(0L, physical -
-              (if (dvFiles.isEmpty) 0L
-               else LakeDv.positions(dir, dvFiles).length.toLong))
+          val live: Any = applicableOf(n) match {
+            case None => null // cannot sequence: unknowable
+            case Some(app) =>
+              lazy val dead: Array[Long] =
+                if (dvFiles.isEmpty) Array.empty
+                else LakeDv.positions(dir, dvFiles)
+              if (app.isEmpty)
+                math.max(0L, physical - dead.length.toLong)
+              else LakeEq.countMatches(dir, f, app, tschema, dead) match {
+                case Some(m) =>
+                  math.max(0L, physical - dead.length.toLong - m)
+                case None => null
+              }
+          }
           Seq[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(n),
             parts.get(n).map(t =>

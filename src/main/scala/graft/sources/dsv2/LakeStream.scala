@@ -92,6 +92,14 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
   // more commits mid-run doesn't extend this execution
   @volatile private var target: Option[Long] = None
 
+  // CDC mode's carried full-metadata view ([[LakeTableIO.CdcCarry
+  // .fullFor]]): lives across this stream's micro-batches
+  // (planInputPartitions is driver-side and batches replay versions
+  // in order); maintained LAZILY — ref-free versions cost nothing —
+  // and purely an optimization: dropped and reseeded whenever the
+  // version walk doesn't chain forward
+  private var cdcCarry: Option[LakeTableIO.CdcCarry] = None
+
   private def headVersion: Long =
     LakeLog.current(dir).map(_.version).getOrElse(-1L)
 
@@ -246,13 +254,24 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
         // own post-images; the opening snapshot subtracts carried
         // refs like the batch scan. skipChangeCommits skips
         // ref-adding versions like any other change commit. Same
-        // contract as the batch change feed.
+        // contract as the batch change feed. The carried full view
+        // ([[LakeTableIO.CdcCarry.fullFor]]) spans MICRO-BATCHES (the
+        // instance field): a long upsert-epoch backlog drains at
+        // O(new segments) planning per epoch instead of O(table);
+        // ref-free versions pay nothing, and a re-planned old batch
+        // (recovery) drops the future-dated carry and reseeds.
         if (skipChangeCommits && !asSnapshot &&
             ((snap.removed.nonEmpty && snap.dataChange) ||
              snap.eqs.exists(_.version == v)))
           Seq.empty
-        else
-          LakeTableIO.planCdcVersion(dir, snap, cols, pushed, asSnapshot)
+        else {
+          val (c2, fullOpt) = LakeTableIO.CdcCarry.fullFor(cdcCarry,
+            dir, None, v, snap, isFull = asSnapshot,
+            needsFull = !asSnapshot && snap.eqs.exists(_.version == v))
+          cdcCarry = c2
+          LakeTableIO.planCdcVersion(dir, snap, cols, pushed,
+            asSnapshot, fullOpt)
+        }
       }.toArray
     }
     // manifest stats + partition tuples for each version's files, so
@@ -372,30 +391,18 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
     // attach)
     if (openEqs.isEmpty) planned
     else
-      // row-path pin on EVERY split of this batch: attachment is
-      // per-file (key-stat/tuple scoping may leave some splits bare),
-      // but Spark needs a uniform columnar answer per batch — and the
-      // factory's head-derived flag can go stale if a retirement lands
-      // between planning and execution (review finding r15)
+      // attachment is per-file (key-stat/tuple scoping may leave some
+      // splits bare) — safe since r16: the COLUMNAR reader subtracts
+      // eq-matched rows itself, and eligibility no longer consults
+      // attachment, so the per-batch columnar answer stays uniform
+      // with no forceRow pin and no head-derived factory flag to go
+      // stale under a concurrent retirement
       LakeTableIO.attachEq(dir, planned, openEqs, stats.toMap,
-        LakeTableIO.tableSchema(dir), parts.toMap).map { p =>
-        p.asInstanceOf[LakeInputPartition].copy(forceRow = true)
-          : InputPartition
-      }
+        LakeTableIO.tableSchema(dir), parts.toMap)
   }
 
-  /** Row path whenever the table holds live equality refs at stream
-    * start: the opening-snapshot batch may attach eq subtraction, and
-    * Spark requires a UNIFORM columnar answer across a batch's
-    * partitions — a columnar read of an eq-attached split would skip
-    * the membership test (caught live by LakeUpsertCdcSpec's opening-
-    * snapshot pin). Later eq attachments cannot appear: ref-adding
-    * versions decline/skip in append mode, and CDC-mode eq partitions
-    * carry a cdc annotation, which is columnar-ineligible already.
-    */
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(projected,
-      anyEq = LakeLog.current(dir).exists(_.eqs.nonEmpty))
+    new LakeReaderFactory(projected)
 
   override def commit(offset: Offset): Unit = ()
   override def stop(): Unit = ()

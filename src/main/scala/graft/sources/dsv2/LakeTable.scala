@@ -368,7 +368,7 @@ class LakeRowLevelScan(tableSchema: StructType, allFiles: Seq[String],
       eqs, stats, tableSchema, parts)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(tableSchema, anyEq = eqs.nonEmpty)
+    new LakeReaderFactory(tableSchema)
 }
 
 /** Streaming admission-control knobs, parsed from source options (see
@@ -415,7 +415,15 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
   // bounding survives insert-only upsert epochs and refs scoped to
   // other partitions/key ranges. Judged over the full snapshot (the
   // offer arrives before planning narrows the file set).
-  private lazy val eqFree: Boolean =
+  // Some(judged ref list) when the sweep PROVED no ref attaches to
+  // any snapshot file, None otherwise. The judged list rides to the
+  // scan ([[LakeScan.boundEqSafe]]): bounding stays enabled only
+  // while the scan's own ref set EQUALS the judged one — the proof is
+  // ref-set-scoped, not time-scoped (new files postdate the refs by
+  // the sequencing rule, and stats amendments only sharpen a
+  // disjointness proof), so an unchanged ref set carries it and a
+  // raced eq commit disables bounding without re-sweeping.
+  private lazy val eqFreeJudged: Option[Seq[LakeEq.EqRef]] =
     try {
       // eqs and the files they are judged against come from ONE
       // snapshot read (a ref committed between two reads would be
@@ -423,12 +431,14 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       // both consult it and the judgment is per-builder anyway
       val ((files, _, stats, parts), eqs) =
         LakeTableIO.snapshotViewEq(dir, pinnedVersion, branch)
-      eqs.isEmpty || {
+      val free = eqs.isEmpty || {
         val tcols = LakeTableIO.columnRefs(tableSchema)
         !files.exists(f => LakeEq.attachedTo(dir, eqs, f.getName,
           stats, parts, tcols, tableSchema))
       }
-    } catch { case scala.util.control.NonFatal(_) => false }
+      if (free) Some(eqs) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  private def eqFree: Boolean = eqFreeJudged.isDefined
   // the subset of `pushed` the scan ENFORCES (Spark drops its Filter
   // node for these) — see [[pushFilters]]
   private var consumed: Array[Filter] = Array.empty
@@ -851,7 +861,10 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
           pushed, pruneGroups = true, pinnedVersion, skipChangeCommits,
           startingVersion, branch, pacing, Map.empty, Map.empty,
           Map.empty, consumed, limitN, topN, checkPruned = true,
-          proven = proven, eqs = snapEqs)
+          proven = proven, eqs = snapEqs,
+          boundJudgedEqs =
+            if (limitN.isDefined || topN.isDefined) eqFreeJudged
+            else None)
     }
     // manifest-tree fast path: pushed partition filters prune whole
     // SEGMENTS before their file entries are even read — on a
@@ -863,7 +876,10 @@ class LakeScanBuilder(dir: String, tableSchema: StructType,
       pruneGroups = true, pinnedVersion, skipChangeCommits,
       startingVersion, branch, pacing, dvs, stats, parts, consumed,
       limitN, topN, proven = proven, transformPreds = transformPreds,
-      eqs = snapEqs)
+      eqs = snapEqs,
+      boundJudgedEqs =
+        if (limitN.isDefined || topN.isDefined) eqFreeJudged
+        else None)
   }
 }
 
@@ -913,16 +929,15 @@ case class LakeInputPartition(path: String, rowGroup: Int,
                               // not projected) and skips matching rows
                               eqFiles: Seq[String] = Seq.empty,
                               eqCols: Array[LakeColumnRef] = Array.empty,
-                              // batch-level row-path pin: set on EVERY
-                              // split of a micro-batch that attached
-                              // equality deletes to ANY split — Spark
-                              // requires a uniform columnar answer per
-                              // batch, and the factory-level flag is
-                              // computed from the CURRENT head, which a
-                              // concurrent retirement can change between
-                              // planning and execution (the version-
-                              // pinned attachments would then route
-                              // columnar and crash-loop the stream)
+                              // per-split row-path kill-switch. Since
+                              // r16 the columnar reader subtracts eq
+                              // attachments itself, so no planner sets
+                              // this today; it remains the explicit
+                              // escape hatch for any future split
+                              // shape only the row reader can serve
+                              // (set it on EVERY split of a batch —
+                              // Spark requires a uniform columnar
+                              // answer per batch)
                               forceRow: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
@@ -965,7 +980,11 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
                // snapshot: applied per file by the reader (sequencing
                // rule addV < ref version); plan fails loud on any
                // file it cannot sequence
-               eqs: Seq[LakeEq.EqRef] = Seq.empty)
+               eqs: Seq[LakeEq.EqRef] = Seq.empty,
+               // the ref list the BUILDER's eqFree sweep proved
+               // attach-free before offering LIMIT/TopN bounding
+               // (None when no bound was pushed) — see boundEqSafe
+               boundJudgedEqs: Option[Seq[LakeEq.EqRef]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1070,15 +1089,31 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   private lazy val topNRef: Option[LakeColumnRef] = topN.flatMap(t =>
     LakeTableIO.columnRefs(tableSchema).find(_.name == t.col))
 
+  // re-validation of the builder's eqFree judgment against THIS scan's
+  // own refs: an eq ref committed between pushLimit and build() is
+  // attached by the scan (its keys subtract rows), while the builder's
+  // bounding arithmetic trusted the pre-eq manifest live counts — the
+  // bounded file set could under-deliver rows versus the pushed LIMIT.
+  // The builder's sweep already proved its judged ref list attaches to
+  // NOTHING; that proof is ref-set-scoped (new files postdate the refs
+  // by the sequencing rule, stats amendments only sharpen disjointness
+  // proofs), so an UNCHANGED ref set carries it with no re-sweep and
+  // any drift — a raced eq commit — disables bounding outright.
+  // Unsafe => keep every partition-pruned file and plan unbounded row
+  // groups (merely slower, never short).
+  private lazy val boundEqSafe: Boolean =
+    eqs.isEmpty || boundJudgedEqs.contains(eqs)
+
   private lazy val (boundedFiles: Seq[Path], limitPruned: Int) = {
     val afterTopN = (topN, topNRef) match {
-      case (Some(t), Some(ref)) =>
+      case (Some(t), Some(ref)) if boundEqSafe =>
         LakeLimits.topNBound(partFiles, stats, dvs, ref, t)
       case _ => partFiles
     }
     val bounded = limitN match {
-      case Some(n) => LakeLimits.limitBound(afterTopN, stats, dvs, n)
-      case None    => afterTopN
+      case Some(n) if boundEqSafe =>
+        LakeLimits.limitBound(afterTopN, stats, dvs, n)
+      case _ => afterTopN
     }
     (bounded, partFiles.size - bounded.size)
   }
@@ -1090,7 +1125,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
     LakeTableIO.planRowGroups(boundedFiles,
       LakeTableIO.columnRefs(projected), pushed, pruneGroups, dvs, stats,
       bound =
-        if (limitN.isEmpty && topN.isEmpty) None
+        if ((limitN.isEmpty && topN.isEmpty) || !boundEqSafe) None
         else Some(LakeLimits.ScanBound(limitN,
           topN.flatMap(t => topNRef.map(t -> _)))))
 
@@ -1451,7 +1486,7 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(projected, anyEq = eqs.nonEmpty)
+    new LakeReaderFactory(projected)
 
   // explain-visible evidence: projected columns + planned/total groups
   override def description(): String = {
@@ -1479,25 +1514,20 @@ class LakeScan(dir: String, files: Seq[Path], tableSchema: StructType,
   }
 }
 
-class LakeReaderFactory(projected: StructType,
-                        // live equality deletes anywhere in the scanned
-                        // snapshot: the WHOLE scan stays on the row
-                        // path (Spark requires a uniform columnar
-                        // answer across partitions, and eq membership
-                        // tests over hidden key columns are the row
-                        // reader's job)
-                        anyEq: Boolean = false)
+class LakeReaderFactory(projected: StructType)
     extends PartitionReaderFactory {
 
   /** Columnar when the scan shape admits it (flat primitives, no CDC
     * positions, no synthesized metadata columns) — [[LakeColumnarReader]]
     * holds the eligibility rules and the vectorized decode. Spark
     * requires the answer to be uniform across a scan's partitions;
-    * eligibility therefore consults only scan-shaped facts (the
-    * equality-delete state is scan-level for the same reason).
+    * eligibility therefore consults only facts UNIFORM across the
+    * scan (equality-delete attachments are handled inside the
+    * columnar reader since r16, so per-file attachment never flips
+    * the answer).
     */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    !anyEq && LakeColumnarReader.eligible(
+    LakeColumnarReader.eligible(
       p.asInstanceOf[LakeInputPartition], projected)
 
   override def createColumnarReader(p: InputPartition)
@@ -3815,9 +3845,129 @@ object LakeTableIO {
       }
     }
 
+  /** Running FULL-snapshot metadata view carried across consecutive
+    * CDC-replayed versions (r16, the r15 verdict's top_next). A
+    * ref-adding (upsert-epoch) version's delete side must consult
+    * every PRIOR file's stats — a full snapshot — and a year-long
+    * upsert stream replays tens of thousands of such versions, so
+    * re-materializing the snapshot per version is an O(epochs ×
+    * table-metadata) planning wall (the 4096-entry segment LRU stops
+    * absorbing it past ~4k segments). The carry pays that full read
+    * ONCE (seeded at the first version that needs it, or for free
+    * from the opening snapshot) and then advances per version by
+    * loading ONLY the segments that version created (diffed against
+    * the carried segment list — segments are immutable and content-
+    * addressed, so an unchanged name is an unchanged slice): an
+    * N-epoch replay reads O(table + new-segments-per-epoch) segments
+    * total instead of O(N × table). Counterized in LakeUpsertCdcSpec.
+    *
+    * Purely an optimization: callers drop the carry on any invariant
+    * break (non-consecutive version, advance failure) and reseed via
+    * [[LakeLog.snapshotAt]] — correctness never depends on it.
+    */
+  final class CdcCarry private (dir: String, branch: Option[String],
+      private var v: Long,
+      private var files: Seq[String],
+      private var stats: Map[String, LakeStats.FileStats],
+      private var parts: Map[String, Seq[String]],
+      private var segs: Set[String]) {
+
+    def version: Long = v
+
+    /** Advance the carried view to `nv` (must be `version + 1`): one
+      * manifest read plus only the segments absent from the carried
+      * list. Mirrors the commit's own construction: files =
+      * (files -- removed ++ added).distinct.sorted; per-file maps
+      * merge the fresh segments' entries over the carried ones (an
+      * amended file's rewritten segment is by definition fresh, so
+      * amendments land too) and subtract removed files.
+      */
+    def advance(nv: Long): Unit = {
+      require(nv == v + 1,
+        s"CdcCarry of $dir is at v$v, cannot advance to v$nv")
+      val known = segs
+      val delta = LakeLog.snapshotAtPruned(dir, nv, branch,
+        r => !known.contains(r.name))
+      if (delta.segments.isEmpty) {
+        // flat manifest: the read IS the complete view
+        files = delta.files; stats = delta.stats; parts = delta.parts
+      } else {
+        val removed = delta.removed.toSet
+        files = (files.filterNot(removed) ++ delta.added)
+          .distinct.sorted
+        stats = stats -- removed ++ delta.stats
+        parts = parts -- removed ++ delta.parts
+      }
+      segs = delta.segments.map(_.name).toSet
+      v = nv
+    }
+
+    /** The full-view snapshot at the carried version, shaped like
+      * [[LakeLog.snapshotAt]]: `skel`'s inline fields (added/removed/
+      * dvs/eqs/... are complete in every manifest read) with the
+      * carried complete files/stats/parts.
+      */
+    def fullAt(skel: LakeLog.Snapshot): LakeLog.Snapshot = {
+      require(skel.version == v,
+        s"CdcCarry of $dir is at v$v, asked for v${skel.version}")
+      skel.copy(files = files, stats = stats, parts = parts)
+    }
+  }
+
+  object CdcCarry {
+    def from(dir: String, branch: Option[String],
+             full: LakeLog.Snapshot): CdcCarry =
+      new CdcCarry(dir, branch, full.version, full.files, full.stats,
+        full.parts, full.segments.map(_.name).toSet)
+
+    /** The per-version resolution step both replay loops (the batch
+      * change feed and the CDC micro-batch stream) share. LAZY carry
+      * maintenance: versions that need no full view cost NOTHING (no
+      * manifest read, no segment diff — an append-only replay pays
+      * zero overhead); when a ref-adding version does need one, a live
+      * carry CATCHES UP by reading only the intervening versions'
+      * pruned manifests (each read once per replay, since the carry
+      * then rests at `v`), else it seeds from the one full read
+      * [[planCdcVersion]] would pay anyway. A carry from the future
+      * (re-planned old batch in stream recovery) is dropped — it
+      * cannot rewind; the reseed is the same full read as a cold
+      * start. Returns (carry to keep, full view iff `needsFull`).
+      */
+    def fullFor(carry: Option[CdcCarry], dir: String,
+                branch: Option[String], v: Long,
+                snap: LakeLog.Snapshot, isFull: Boolean,
+                needsFull: Boolean)
+        : (Option[CdcCarry], Option[LakeLog.Snapshot]) =
+      if (isFull) // snap IS the full view here — seed for free
+        (Some(from(dir, branch, snap)),
+          if (needsFull) Some(snap) else None)
+      else {
+        val live = carry.filter(_.version <= v)
+        if (!needsFull) (live, None)
+        else live match {
+          case Some(c) =>
+            try {
+              while (c.version < v) c.advance(c.version + 1)
+              (Some(c), Some(c.fullAt(snap)))
+            } catch { case scala.util.control.NonFatal(_) =>
+              // any advance failure (torn segment, unexpected log
+              // shape): the carry is disposable — reseed from the
+              // authoritative full read
+              val full = LakeLog.snapshotAt(dir, v)
+              (Some(from(dir, branch, full)), Some(full))
+            }
+          case None =>
+            val full = LakeLog.snapshotAt(dir, v)
+            (Some(from(dir, branch, full)), Some(full))
+        }
+      }
+  }
+
   def planCdcVersion(dir: String, snap: LakeLog.Snapshot,
                      cols: Array[LakeColumnRef], pushed: Array[Filter],
-                     initialSnapshot: Boolean): Array[InputPartition] = {
+                     initialSnapshot: Boolean,
+                     carriedFull: Option[LakeLog.Snapshot] = None)
+      : Array[InputPartition] = {
     def annotate(parts: Array[InputPartition],
                  info: LakeCdcInfo): Array[InputPartition] =
       parts.map { p =>
@@ -3862,10 +4012,13 @@ object LakeTableIO {
             "be derived; CALL system.rewrite_deletes and read across " +
             "the rewrite")
       // FULL snapshot: the delete side consults every prior file's
-      // stats — O(table metadata) planning for this one version (the
-      // price of a keyed delete that names no positions); the read
-      // side stays O(candidate files) via key-stat scoping
-      val full = LakeLog.snapshotAt(dir, snap.version)
+      // stats — served by the replay loop's carried view
+      // ([[CdcCarry.fullFor]]: catch-up reads only the intervening
+      // versions' new segments), with a direct snapshotAt fallback
+      // for carry-less callers (the price of a keyed delete that
+      // names no positions)
+      val full = carriedFull.getOrElse(
+        LakeLog.snapshotAt(dir, snap.version))
       val schema = tableSchema(dir)
       val tcols = columnRefs(schema)
       def prunedFull(files: Seq[String]): Seq[Path] =

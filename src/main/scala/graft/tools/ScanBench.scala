@@ -71,6 +71,32 @@ object ScanBench {
     time("columnar")
     System.setProperty("graft.lake.reader.columnar", "false")
     time("row")
+    // EQ-ATTACHED scan (r16 receipt): one equality ref tombstoning
+    // ~1% of keys, committed through the engine's own channel; its
+    // key range spans every file, so the membership test sits in the
+    // decode loop of BOTH paths — this times columnar selection-
+    // vector subtraction against the row reader's per-row test on
+    // the shape a continuously-upserted table's hot files have.
+    val dir = graft.sources.dsv2.LakeCatalogs.tablePath(
+      sfDir, "scanbench_orders")
+    val keys = spark.table(tbl).select("o_orderkey")
+      .where(col("o_orderkey") % 97 === 0)
+      .collect().map(_.getLong(0).toString).toSeq // fixture setup,
+        // outside the timed region (~1% of keys)
+    val side = graft.sources.dsv2.LakeEq.write(
+      dir, Seq("o_orderkey"), keys)
+    graft.sources.dsv2.LakeLog.commit(dir, "eq_bench", Seq.empty,
+      Seq.empty, 0L, dataChange = false,
+      eqAdded = Seq((side, Seq("o_orderkey"), keys.size.toLong)))
+    println(s"SCANB eq ref attached: ${keys.size} keys")
+    System.setProperty("graft.lake.reader.columnar", "true")
+    println("SCANB plan(columnar+eq) " + q.queryExecution.executedPlan
+      .toString.linesIterator
+      .filter(l => l.contains("Scan") || l.contains("ColumnarToRow"))
+      .mkString(" | ").take(300))
+    time("columnar+eq")
+    System.setProperty("graft.lake.reader.columnar", "false")
+    time("row+eq")
     System.clearProperty("graft.lake.reader.columnar")
     spark.stop()
   }

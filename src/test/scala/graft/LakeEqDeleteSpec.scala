@@ -196,8 +196,9 @@ class LakeEqDeleteSpec extends SparkSpec {
   test("LOUD declines under live equality deletes: metadata " +
        "aggregates and LIMIT bounding, " +
        "and the two-point diff refuse rather than guess; the CDC feed " +
-       "SERVES the epochs, the inventories serve with NULLs where " +
-       "attached refs make counts unknowable — results stay exact") {
+       "SERVES the epochs, and the inventories serve EXACT counts " +
+       "under small attached refs (r16 bounded key-column probe) — " +
+       "results stay exact") {
     withCatalog { (cat, root) =>
       spark.sql(s"CREATE TABLE $cat.db.src " +
         "(k BIGINT, v STRING, op STRING, seq BIGINT)")
@@ -233,24 +234,29 @@ class LakeEqDeleteSpec extends SparkSpec {
       assert(events == Set((1L, "a1", "insert"), (2L, "b1", "insert"),
         (1L, "a2", "insert"), (1L, "a1", "delete")),
         s"upsert CDC events wrong: $events")
-      // the partitions inventory now SERVES with NULL row_count where
-      // an attached ref makes the count unknowable (r15 scoped rule)
+      // the partitions inventory (r16 exact arm): the attached ref is
+      // SMALL (within the key-scoping cap), so the bounded key-column
+      // probe prices its matches and row_count is EXACT — 2 live rows
+      // (a1 superseded by the ref, a2 + b1 live)
       val partRows = spark.sql(
         s"SELECT row_count FROM $cat.db.dd.partitions").collect()
-      assert(partRows.length == 1 && partRows.head.isNullAt(0),
-        partRows.mkString(";"))
-      // the rewrite-guard primitive: a live ref fails the mid-rewrite
-      // re-check loud (compact/zorder/DML pass it as prePublish)
+      assert(partRows.length == 1 && !partRows.head.isNullAt(0) &&
+        partRows.head.getLong(0) == 2L, partRows.mkString(";"))
+      // the DML rewrite-guard primitive: a ref landing after a
+      // ref-free plan fails the mid-operation re-check loud (DML
+      // passes it as prePublish; maintenance tolerates additions via
+      // sequence inheritance since r16)
       intercept[java.util.ConcurrentModificationException] {
-        LakeEq.requireStillNone(dir, None, "test-rewrite")
+        LakeEq.requireUnchanged(dir, None, Seq.empty, "test-rewrite")
       }
-      // the files inventory serves per FILE: NULL live_rows exactly
-      // where a ref attaches (the epoch-1 file holding k=1's old
-      // version), exact counts everywhere else
+      // the files inventory serves per FILE (r16 exact arm): the
+      // small ref's matches are PRICED — the epoch-1 file holding
+      // k=1's old version reports 1 live of its 2 physical rows, the
+      // post-image file 1 of 1; no NULL anywhere under a small ref
       val invRows = spark.sql(
         s"SELECT live_rows FROM $cat.db.dd.files").collect()
-      assert(invRows.exists(_.isNullAt(0)) &&
-        invRows.exists(r => !r.isNullAt(0) && r.getLong(0) == 1L),
+      assert(invRows.length == 2 && invRows.forall(!_.isNullAt(0)) &&
+        invRows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L),
         invRows.mkString(";"))
       val eStream = intercept[Exception] {
         val out = freshDir("sread")
@@ -496,8 +502,7 @@ class LakeEqDeleteSpec extends SparkSpec {
   test("retirement folds into maintenance (r15): compact on a live-ref " +
        "table merges, applies, and retires every ref in ONE " +
        "dataChange=false commit — state exact, fast paths restored; " +
-       "zorder likewise; the race guard still trips on a mid-rewrite " +
-       "ref") {
+       "zorder likewise") {
     withCatalog { (cat, root) =>
       spark.sql(s"CREATE TABLE $cat.db.src " +
         "(k BIGINT, v STRING, op STRING, seq BIGINT)")
@@ -879,5 +884,213 @@ class LakeEqDeleteSpec extends SparkSpec {
       // and the read itself stays exact
       assert(spark.table(s"$cat.db.fp").count() == 31L)
     }
+  }
+
+  test("inventory exact-or-NULL boundary (r16): a ref WITHIN the " +
+       "key-scoping cap gets exact live counts (DV-dead rows never " +
+       "double-subtract with matching keys); one ABOVE the cap keeps " +
+       "the NULL promise — exact or NULL, never wrong") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.xb (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $cat.db.xb " +
+        "SELECT id, concat('v', id) FROM range(0, 20, 1, 1)")
+      val dir = s"$root/db/xb"
+      // MOR delete kills k in {4, 6} (DVs); then a small eq ref
+      // tombstones {4, 5}: k=4 is BOTH DV-dead and key-matched — the
+      // probe must skip DV positions so it subtracts once, not twice
+      spark.sql(s"DELETE FROM $cat.db.xb WHERE k IN (4, 6)")
+      val side = LakeEq.write(dir, Seq("k"), Seq("4", "5"))
+      LakeLog.commit(dir, "eq_fixture", Seq.empty, Seq.empty, 0L,
+        dataChange = false, eqAdded = Seq((side, Seq("k"), 2L)))
+      val inv = spark.sql(
+        s"SELECT live_rows FROM $cat.db.xb.files").collect()
+      assert(inv.length == 1 && !inv.head.isNullAt(0) &&
+        inv.head.getLong(0) == 17L, // 20 - 2 DV - 1 eq-only (k=5)
+        inv.mkString(";"))
+      val part = spark.sql(
+        s"SELECT row_count FROM $cat.db.xb.partitions").collect()
+      assert(part.length == 1 && part.head.getLong(0) == 17L,
+        part.mkString(";"))
+      // scan agrees with the inventory's arithmetic
+      assert(spark.table(s"$cat.db.xb").count() == 17L)
+      // ABOVE the cap: the oversized ref's matches are unknowable
+      // without a full scan — NULL, never a guess
+      val bigKeys = (0 until 1025).map(_.toString)
+      val bigSide = LakeEq.write(dir, Seq("k"), bigKeys)
+      LakeLog.commit(dir, "eq_fixture_big", Seq.empty, Seq.empty, 0L,
+        dataChange = false,
+        eqAdded = Seq((bigSide, Seq("k"), bigKeys.size.toLong)))
+      val invBig = spark.sql(
+        s"SELECT live_rows FROM $cat.db.xb.files").collect()
+      assert(invBig.length == 1 && invBig.head.isNullAt(0),
+        invBig.mkString(";"))
+      val partBig = spark.sql(
+        s"SELECT row_count FROM $cat.db.xb.partitions").collect()
+      assert(partBig.length == 1 && partBig.head.isNullAt(0),
+        partBig.mkString(";"))
+    }
+  }
+
+  test("retirement race semantics (r16): eqGuard tolerates refs " +
+       "ADDED mid-rewrite (sequence inheritance keeps them attached " +
+       "to the outputs) but fails loud when a PLANNED ref vanishes " +
+       "(a concurrent maintenance pass already retired the same debt)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.dvg " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.dvg VALUES " +
+        "(1, 'a', 'insert', 1), (2, 'b', 'insert', 1)")
+      val dir = s"$root/db/dvg"
+      val head0 = LakeLog.current(dir).get
+      assert(head0.eqs.isEmpty, "fixture must start ref-free")
+      val guard0 = graft.operators.LakeSnapshots
+        .eqGuard(dir, head0, "rewrite_deletes")
+      guard0() // nothing planned, nothing changed: passes
+      // a concurrent upsert epoch lands an eq ref mid-rewrite: FINE
+      // now (the rewrite's outputs inherit the plan version, so the
+      // new ref attaches to them) — the guard must NOT trip
+      spark.sql(s"CREATE TABLE $cat.db.gsrc " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.gsrc VALUES (1, 'a2', 'update', 2)")
+      runUpsert(cat, s"$cat.db.gsrc", s"$cat.db.dvg")
+      val head1 = LakeLog.current(dir).get
+      assert(head1.eqs.nonEmpty, "ref must be live")
+      guard0() // addition tolerated
+      // but a guard PLANNED over the live ref fails once that ref is
+      // retired by another pass — racing two retirements of the same
+      // debt stays loud
+      val guard1 = graft.operators.LakeSnapshots
+        .eqGuard(dir, head1, "rewrite_deletes")
+      guard1() // planned ref still live: passes
+      graft.operators.LakeSnapshots.rewriteDeletes(spark, dir)
+      assert(LakeLog.current(dir).get.eqs.isEmpty, "retired")
+      intercept[java.util.ConcurrentModificationException] { guard1() }
+    }
+  }
+
+  test("async retirement (r16): an epoch committed DURING a " +
+       "retirement rewrite — between staging and publish — does not " +
+       "abort it; the retirement lands, the epoch's ref SURVIVES the " +
+       "name-scoped retirement, attaches to the rewritten outputs " +
+       "via their inherited add version, and the fold equals the " +
+       "stop-the-world result (no resurrection, no lost updates)") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src " +
+        "SELECT id AS k, concat('v', id) AS v, 'insert' AS op, " +
+        "CAST(1 AS BIGINT) AS seq FROM range(1, 11)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(2, 'u2', 'update', 2), (5, null, 'delete', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.ar " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.ar")
+      val dir = s"$root/db/ar"
+      assert(LakeLog.current(dir).get.eqs.nonEmpty, "refs live")
+      // the racing epoch, injected between the retirement's staging
+      // and its publish (the deterministic version of a live stream
+      // committing while external maintenance runs)
+      spark.sql(s"CREATE TABLE $cat.db.src2 " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src2 VALUES " +
+        "(3, 'u3', 'update', 3), (8, null, 'delete', 3)")
+      var fired = false
+      graft.operators.LakeSnapshots.testMidRewrite = () => {
+        if (!fired) { // the retry loop must not re-run the epoch
+          fired = true
+          runUpsert(cat, s"$cat.db.src2", s"$cat.db.ar")
+        }
+      }
+      try {
+        val (rewritten, _) =
+          graft.operators.LakeSnapshots.rewriteDeletes(spark, dir)
+        assert(rewritten > 0, "retirement must have rewritten files")
+      } finally {
+        graft.operators.LakeSnapshots.testMidRewrite = () => ()
+      }
+      assert(fired, "the race must have fired")
+      val headAfter = LakeLog.current(dir).get
+      // the epoch's ref survived the retirement and still attaches to
+      // at least one current file (the inherited-seq outputs)
+      assert(headAfter.eqs.nonEmpty,
+        s"concurrent epoch's ref must survive: ${headAfter.eqs}")
+      // fold equals the stop-the-world result: all three epochs applied
+      val got = spark.table(s"$cat.db.ar").selectExpr("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+      val expect = (1L to 10L).filterNot(k => k == 5L || k == 8L).map {
+        case 2L => 2L -> "u2"
+        case 3L => 3L -> "u3"
+        case k  => k -> s"v$k"
+      }
+      assert(got == expect, s"$got")
+      // and the surviving debt retires cleanly afterwards, same fold
+      graft.operators.LakeSnapshots.rewriteDeletes(spark, dir)
+      assert(LakeLog.current(dir).get.eqs.isEmpty, "debt cleared")
+      val got2 = spark.table(s"$cat.db.ar").selectExpr("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+      assert(got2 == expect, s"$got2")
+    }
+  }
+
+  test("LIMIT/TopN bounding re-validates against the SCAN's own refs " +
+       "(r16): a ref committed between pushLimit and build() — the " +
+       "builder judged eqFree on a pre-eq snapshot — must disable " +
+       "file bounding, never under-deliver rows") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src " +
+        "SELECT id AS k, concat('v', id) AS v, 'insert' AS op, " +
+        "CAST(1 AS BIGINT) AS seq FROM range(1, 11)")
+      spark.sql(s"INSERT INTO $cat.db.src " +
+        "SELECT id AS k, concat('u', id) AS v, 'update' AS op, " +
+        "CAST(2 AS BIGINT) AS seq FROM range(1, 6)")
+      spark.sql(s"CREATE TABLE $cat.db.rb " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.rb")
+      val dir = s"$root/db/rb"
+      import graft.sources.dsv2.LakeTableIO
+      val ((files, dvs, stats, parts), eqs) =
+        LakeTableIO.snapshotViewEq(dir, None, None)
+      assert(eqs.nonEmpty && files.size >= 2, "fixture: refs + files")
+      val schema = spark.table(s"$cat.db.rb").schema
+      // the race shape, constructed directly: the scan carries the
+      // post-commit eqs while limitN was pushed under the pre-eq
+      // judgment — boundEqSafe must keep EVERY partition-pruned file
+      val raced = new graft.sources.dsv2.LakeScan(dir, files, schema,
+        schema, Array.empty, pruneGroups = true, dvs = dvs,
+        stats = stats, parts = parts, limitN = Some(1), eqs = eqs)
+      assert(raced.description()
+        .contains(s"files_pruned_by_limit=0/${files.size}"),
+        raced.description())
+      // control: the same scan WITHOUT refs does bound — proving the
+      // 0 above is the eq re-validation, not missing stats
+      val clean = new graft.sources.dsv2.LakeScan(dir, files, schema,
+        schema, Array.empty, pruneGroups = true, dvs = dvs,
+        stats = stats, parts = parts, limitN = Some(1), eqs = Seq.empty)
+      assert(!clean.description()
+        .contains(s"files_pruned_by_limit=0/${files.size}"),
+        clean.description())
+    }
+  }
+
+  test("scopeValues (r16): a transient sidecar read failure is NOT " +
+       "memoized — key-stat scoping recovers on the next probe " +
+       "instead of silently degrading to attach-everywhere for the " +
+       "driver JVM's lifetime") {
+    val dir = freshDir("scope")
+    val name = "eq-transient-probe.json"
+    val lt = org.apache.spark.sql.types.LongType
+    // the sidecar does not exist yet: the read fails, scoping answers
+    // None (attach conservatively) — and must NOT cache that answer
+    assert(LakeEq.scopeValues(dir, name, Seq(lt)).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
+    try out.write("""{"keyCols":["k"],"keys":["5"]}""".getBytes("UTF-8"))
+    finally out.close()
+    val got = LakeEq.scopeValues(dir, name, Seq(lt))
+    assert(got.isDefined && got.get.head.toSeq == Seq(5L), s"$got")
   }
 }

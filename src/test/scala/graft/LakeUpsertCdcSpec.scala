@@ -232,24 +232,73 @@ class LakeUpsertCdcSpec extends SparkSpec {
     }
   }
 
-  test("columnar routing guards: a split carrying eq attachments, a " +
-       "CDC annotation, or the batch-level forceRow pin is NEVER " +
-       "columnar-eligible — per-partition facts, immune to the " +
-       "factory flag going stale when a retirement lands between " +
-       "planning and execution") {
+  test("columnar routing (r16): an eq-attached split IS columnar-" +
+       "eligible (the columnar reader subtracts matched rows itself, " +
+       "so eligibility stays uniform across a scan whose scoping " +
+       "attaches refs to only some files); a CDC annotation or the " +
+       "per-split forceRow kill-switch still routes to the row path") {
     import graft.sources.dsv2.{LakeColumnarReader, LakeColumnRef, LakeInputPartition}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val proj = StructType(Seq(StructField("k", LongType)))
     val cols = Array(LakeColumnRef("k", 1, Array("k")))
     val bare = LakeInputPartition("/tmp/x.parquet", 0, cols)
     assert(LakeColumnarReader.eligible(bare, proj))
-    assert(!LakeColumnarReader.eligible(
-      bare.copy(eqFiles = Seq("eq-x.json")), proj))
+    assert(LakeColumnarReader.eligible(
+      bare.copy(eqFiles = Seq("eq-x.json"),
+        eqCols = Array(LakeColumnRef("k", 1, Array("k")))), proj))
     assert(!LakeColumnarReader.eligible(
       bare.copy(cdc = Some(graft.sources.dsv2.LakeCdcInfo(
         "insert", 1L))), proj))
     assert(!LakeColumnarReader.eligible(
       bare.copy(forceRow = true), proj))
+  }
+
+  test("columnar eq subtraction plan pin (r16): a batch read of the " +
+       "upsert sink's own table — live refs attached — reports " +
+       "COLUMNAR (ColumnarToRow in the plan) and still folds to the " +
+       "exact upserted state; the row path (columnar kill-switch) " +
+       "agrees row-for-row") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"CREATE TABLE $cat.db.src " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src " +
+        "SELECT id AS k, concat('v', id) AS v, 'insert' AS op, " +
+        "CAST(1 AS BIGINT) AS seq FROM range(1, 21)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(3, 'u3', 'update', 2), (7, 'u7', 'update', 2), " +
+        "(11, null, 'delete', 2)")
+      spark.sql(s"CREATE TABLE $cat.db.ceq " +
+        "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+      runUpsert(cat, s"$cat.db.src", s"$cat.db.ceq", freshDir("ceq"))
+      val dir = s"$root/db/ceq"
+      assert(LakeLog.current(dir).get.eqs.nonEmpty, "refs must be live")
+      val df = spark.table(s"$cat.db.ceq").selectExpr("k", "v")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"),
+        s"eq-attached scan must stay columnar:\n" +
+          df.queryExecution.executedPlan)
+      val columnar = df.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+      // exact fold: updates replace, the delete tombstones, inserts stay
+      val expect = (1L to 20L).filterNot(_ == 11L).map {
+        case 3L => 3L -> "u3"
+        case 7L => 7L -> "u7"
+        case k  => k -> s"v$k"
+      }
+      assert(columnar == expect, s"$columnar")
+      val prev = System.getProperty("graft.lake.reader.columnar")
+      System.setProperty("graft.lake.reader.columnar", "false")
+      try {
+        val row = spark.table(s"$cat.db.ceq").selectExpr("k", "v")
+          .collect().map(r => r.getLong(0) -> r.getString(1))
+          .sorted.toSeq
+        assert(row == columnar, "row/columnar divergence")
+      } finally {
+        if (prev == null)
+          System.clearProperty("graft.lake.reader.columnar")
+        else System.setProperty("graft.lake.reader.columnar", prev)
+      }
+    }
   }
 
   test("CDC of a PARTITION-SCOPED upsert (bucket(2,k), keys determine " +
@@ -306,6 +355,93 @@ class LakeUpsertCdcSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       assert(events2.sorted.toSeq ==
         (expectInserts ++ expectDeletes).sorted, s"${events2.toSeq}")
+    }
+  }
+
+  test("O(candidates) CDC replay across epoch history (r16): an " +
+       "N-epoch batch replay on a tree table reads each manifest " +
+       "segment O(1) times — the carried view seeds once at the " +
+       "first ref-adding version and advances by the NEW segments " +
+       "per version, instead of re-materializing the full snapshot " +
+       "per epoch (counterized with the segment cache shrunk to " +
+       "model the 100 TB regime, where segments outnumber the LRU)") {
+    withCatalog { (cat, root) =>
+      val prevT = sys.props.get("graft.lake.manifest.inline.threshold")
+      val prevC = sys.props.get("graft.lake.segcache.max")
+      sys.props("graft.lake.manifest.inline.threshold") = "2"
+      try {
+        spark.sql(s"CREATE TABLE $cat.db.src " +
+          "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+        // 12 epochs, each updating two keys
+        (0 until 12).foreach(i => spark.sql(
+          s"INSERT INTO $cat.db.src VALUES " +
+            s"(${i % 8}, 'u$i', 'update', ${i + 2}), " +
+            s"(${(i + 3) % 8}, 'w$i', 'update', ${i + 2})"))
+        spark.sql(s"CREATE TABLE $cat.db.big " +
+          "(k BIGINT, v STRING, op STRING, seq BIGINT)")
+        // base history: 6 append commits × 4 files → a manifest tree
+        (0 until 6).foreach(i => spark.sql(
+          s"INSERT INTO $cat.db.big " +
+            s"SELECT id % 8 AS k, concat('b', id) AS v, 'insert' " +
+            s"AS op, CAST(1 AS BIGINT) AS seq " +
+            s"FROM range(${i * 16}, ${(i + 1) * 16}, 1, 4)"))
+        val dir = s"$root/db/big"
+        val baseSegs = LakeLog.current(dir).get.segments.size
+        assert(baseSegs >= 6, s"tree fixture expected: $baseSegs segs")
+        runUpsert(cat, s"$cat.db.src", s"$cat.db.big", freshDir("c7"))
+        val head = LakeLog.current(dir).get
+        assert(head.eqs.size == 12, s"12 epochs' refs: ${head.eqs.size}")
+        val headSegs = head.segments.size
+        // the 100 TB regime: every repeated segment load is a real
+        // read (the production LRU can't span the table)
+        sys.props("graft.lake.segcache.max") = "1"
+        LakeLog.clearSegmentCache()
+        val s0 = LakeLog.segmentReads.get()
+        val events = spark.sql(s"SELECT k, v, _change_type " +
+          s"FROM $cat.db.big.changes").collect()
+        val reads = LakeLog.segmentReads.get() - s0
+        // pre-r16 shape: each of the 12 epoch versions re-reads the
+        // full snapshot — at least epochs × baseSegs segment loads.
+        // With the carry: one full seed (~headSegs) plus O(new
+        // segments) per version, each counted a small-constant number
+        // of times (the delta read and the carry advance both touch a
+        // version's fresh segments; the cap-1 cache no longer dedupes
+        // them). The bound is the scaling claim, with slack for the
+        // constants — far under the old epochs × table regime.
+        assert(reads < 12L * baseSegs,
+          s"replay read $reads segments — the old O(epochs × table) " +
+            s"regime (bound ${12L * baseSegs})")
+        assert(reads <= 4L * headSegs + 24,
+          s"replay read $reads segments; carried-view bound is " +
+            s"4×$headSegs+24")
+        // and the events themselves are exact: fold equals state
+        val folded = events
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .groupBy(_._1).map { case (k, es) => k -> es }
+        val state = spark.table(s"$cat.db.big")
+          .selectExpr("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getString(1))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+        // per key: inserts minus deletes = live versions
+        val foldedLive = folded.map { case (k, es) =>
+          val ins = es.filter(_._3 == "insert").map(_._2)
+          val del = es.filter(_._3 == "delete").map(_._2)
+          k -> ins.diff(del).sorted.toSeq
+        }.filter(_._2.nonEmpty)
+        assert(foldedLive == state,
+          s"fold/state divergence: $foldedLive vs $state")
+      } finally {
+        prevT match {
+          case Some(v) =>
+            sys.props("graft.lake.manifest.inline.threshold") = v
+          case None =>
+            sys.props.remove("graft.lake.manifest.inline.threshold")
+        }
+        prevC match {
+          case Some(v) => sys.props("graft.lake.segcache.max") = v
+          case None    => sys.props.remove("graft.lake.segcache.max")
+        }
+      }
     }
   }
 }
