@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * javax.imageio's multi-frame containers (animated GIF / multi-page
   * TIFF: genuine frame-directory walks, per-frame pixel folds —
   * [[decodeVideo]]/[[sampleVideoFrames]]/[[videoHash64]]). The JDK
-  * ships no MP4/H.264 decoder, so a production deployment swaps the
-  * container codec for a vectorized one (JNI/FFI) behind the SAME
-  * schema, `mapPartitions` batching, and plan shape; the original
+  * ships no MP4/H.264 decoder; since r16 the swap point is a TESTED
+  * INTERFACE, not a scaladoc promise: every decode path resolves its
+  * codec from [[MediaCodecs]] (a registry keyed by container magic,
+  * JDK codecs as the default registration, the chain captured into
+  * the plan's closures at construction), so a production deployment
+  * registers a vectorized MP4 codec (JNI/FFI) and the SAME schema,
+  * `mapPartitions` batching, and plan shape carry it. The original
   * byte-range stubs (`decodeBatch`/[[sampleFrames]]) remain for
   * virtual-frame workloads. That batching is the point: per-batch
   * amortized codec setup, bounded memory per task, no driver
@@ -197,20 +201,7 @@ object Multimodal {
   private lazy val imageIoInit: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
-  /** Decode any payload to a BufferedImage or null — NEVER a task
-    * failure: null/empty payloads, and the RuntimeExceptions imageio
-    * plugins throw on malformed-but-magic-valid containers
-    * (IllegalArgument, NegativeArraySize, IndexOutOfBounds), all yield
-    * null so the caller's sentinel/pass-through contract holds. One
-    * corrupt upload must not fail a 100 TB decode job.
-    */
-  private def decodeOrNull(p: Array[Byte]): java.awt.image.BufferedImage =
-    if (p == null || p.isEmpty) null
-    else
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-      catch { case scala.util.control.NonFatal(_) => null }
-
-  /** Deterministic REAL image fixture: one true PNG per document, with
+    /** Deterministic REAL image fixture: one true PNG per document, with
     * oracle-computable header facts — width `2 + doc_id % 31`, height
     * `2 + n_chars % 17`, grayscale for odd ids and RGB for even. The
     * first four pixels spell out the doc_id bytes so no two documents
@@ -274,6 +265,9 @@ object Multimodal {
   def decodeImage(media: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val imgChain = MediaCodecs.imageChain
     media
       .select(col("doc_id").cast("long"), col("payload"),
         col("full_len").cast("long"))
@@ -282,7 +276,7 @@ object Multimodal {
         imageIoInit
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, p, len) =>
-            val img = decodeOrNull(p)
+            val img = MediaCodecs.decodeImage(imgChain, p)
             if (img == null) MediaMeta(id, len, 0L, 0L, "invalid")
             else MediaMeta(id, len, img.getWidth.toLong,
               img.getHeight.toLong,
@@ -302,6 +296,9 @@ object Multimodal {
   def transcode(media: DataFrame, format: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val imgChain = MediaCodecs.imageChain
     media
       .select(col("doc_id").cast("long"), col("kind"), col("payload"),
         col("full_len").cast("long"))
@@ -309,7 +306,7 @@ object Multimodal {
       .mapPartitions { it =>
         imageIoInit
         it.map { case (id, kind, p, len) =>
-          val out = decodeOrNull(p) match {
+          val out = MediaCodecs.decodeImage(imgChain, p) match {
             case null => p // undecodable/null payload: pass through
             case img =>
               try {
@@ -335,13 +332,16 @@ object Multimodal {
   def pixelHash64(media: DataFrame): Dataset[MediaHash] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val imgChain = MediaCodecs.imageChain
     media
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         imageIoInit
         it.map { case (id, p) =>
-          val img = decodeOrNull(p)
+          val img = MediaCodecs.decodeImage(imgChain, p)
           if (img == null) MediaHash(id, -1L)
           else {
             val gray = img.getColorModel.getNumComponents == 1
@@ -376,13 +376,16 @@ object Multimodal {
   def ahash64(media: DataFrame): Dataset[MediaHash] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val imgChain = MediaCodecs.imageChain
     media
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         imageIoInit
         it.map { case (id, p) =>
-          val img = decodeOrNull(p)
+          val img = MediaCodecs.decodeImage(imgChain, p)
           if (img == null) MediaHash(id, -1L)
           else {
             val w = img.getWidth; val hh = img.getHeight
@@ -445,21 +448,7 @@ object Multimodal {
                              channels: Long, n_frames: Long, bits: Long,
                              mode: String)
 
-  /** Parse a payload's audio container via javax.sound.sampled (JDK
-    * built-in — WAVE/AIFF/AU) or null; NEVER a task failure: null,
-    * empty, truncated, or magic-valid-but-malformed payloads all
-    * return null (the sampled SPI throws UnsupportedAudioFileException
-    * and raw RuntimeExceptions on hostile headers).
-    */
-  private def audioOrNull(p: Array[Byte])
-      : javax.sound.sampled.AudioInputStream =
-    if (p == null || p.isEmpty) null
-    else
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(p))
-      catch { case scala.util.control.NonFatal(_) => null }
-
-  /** Deterministic REAL audio fixture: one true 16-bit PCM WAV per
+    /** Deterministic REAL audio fixture: one true 16-bit PCM WAV per
     * document, with oracle-computable header facts — sample rate
     * `8000 · (1 + doc_id % 3)`, channels `1 + doc_id % 2`, frames
     * `50 + n_chars % 100`. The first four samples carry the doc_id
@@ -515,13 +504,16 @@ object Multimodal {
       : Dataset[AudioMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val audChain = MediaCodecs.audioChain
     media
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, p) =>
-            val ais = audioOrNull(p)
+            val ais = MediaCodecs.decodeAudio(audChain, p)
             if (ais == null) AudioMeta(id, 0L, 0L, 0L, 0L, "invalid")
             else
               try {
@@ -546,6 +538,9 @@ object Multimodal {
     val tpeName = tpe.toLowerCase // the Type object is not serializable
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val audChain = MediaCodecs.audioChain
     media
       .select(col("doc_id").cast("long"), col("kind"), col("payload"),
         col("full_len").cast("long"))
@@ -557,7 +552,7 @@ object Multimodal {
           case _      => javax.sound.sampled.AudioFileFormat.Type.WAVE
         }
         it.map { case (id, kind, p, len) =>
-          val ais = audioOrNull(p)
+          val ais = MediaCodecs.decodeAudio(audChain, p)
           val out =
             if (ais == null) p
             else
@@ -585,12 +580,15 @@ object Multimodal {
   def sampleHash64(media: DataFrame): Dataset[MediaHash] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val audChain = MediaCodecs.audioChain
     media
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, p) =>
-          val ais = audioOrNull(p)
+          val ais = MediaCodecs.decodeAudio(audChain, p)
           if (ais == null) MediaHash(id, -1L)
           else
             try {
@@ -665,33 +663,7 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** Parse a multi-frame payload into its frames, or null — NEVER a
-    * task failure (same contract as [[decodeOrNull]]): null/empty
-    * bytes, unknown magic, and plugin RuntimeExceptions on hostile
-    * containers all yield null. `getNumImages(true)` walks the
-    * container's own frame directory — the count is decoded fact, not
-    * metadata trust.
-    */
-  private def readFramesOrNull(p: Array[Byte])
-      : Seq[java.awt.image.BufferedImage] =
-    if (p == null || p.isEmpty) null
-    else
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(p))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); null }
-        else {
-          val r = readers.next()
-          try {
-            r.setInput(iis)
-            val n = r.getNumImages(true)
-            (0 until n).map(r.read(_))
-          } finally { r.dispose(); iis.close() }
-        }
-      } catch { case scala.util.control.NonFatal(_) => null }
-
-  /** Deterministic REAL video fixture: one animated GIF per document
+    /** Deterministic REAL video fixture: one animated GIF per document
     * with oracle-computable facts — frames `2 + doc_id % 4`, width
     * `4 + doc_id % 9`, height `4 + n_chars % 7`. Every frame's first
     * four pixels spell the doc_id bytes (no two documents share frame
@@ -745,6 +717,9 @@ object Multimodal {
       : Dataset[VideoMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val vidChain = MediaCodecs.videoChain
     media
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -752,7 +727,7 @@ object Multimodal {
         imageIoInit
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, p) =>
-            val frames = readFramesOrNull(p)
+            val frames = MediaCodecs.decodeFrames(vidChain, p)
             if (frames == null || frames.isEmpty)
               VideoMeta(id, 0L, 0L, 0L, "invalid")
             else VideoMeta(id, frames.length.toLong,
@@ -771,6 +746,9 @@ object Multimodal {
   def videoTranscode(media: DataFrame, format: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val vidChain = MediaCodecs.videoChain
     media
       .select(col("doc_id").cast("long"), col("kind"), col("payload"),
         col("full_len").cast("long"))
@@ -778,7 +756,7 @@ object Multimodal {
       .mapPartitions { it =>
         imageIoInit
         it.map { case (id, kind, p, len) =>
-          val out = readFramesOrNull(p) match {
+          val out = MediaCodecs.decodeFrames(vidChain, p) match {
             case null => p
             case frames =>
               try writeFrames(frames, format)
@@ -818,13 +796,16 @@ object Multimodal {
   def videoHash64(media: DataFrame): Dataset[MediaHash] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val vidChain = MediaCodecs.videoChain
     media
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         imageIoInit
         it.map { case (id, p) =>
-          val frames = readFramesOrNull(p)
+          val frames = MediaCodecs.decodeFrames(vidChain, p)
           if (frames == null || frames.isEmpty) MediaHash(id, -1L)
           else {
             var h = frames.length.toLong
@@ -846,6 +827,9 @@ object Multimodal {
                         batchSize: Int = 64): Dataset[FrameHash] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // codec chain captured at PLAN time: registered
+    // codecs ship to executors inside the closure
+    val vidChain = MediaCodecs.videoChain
     media
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -853,7 +837,7 @@ object Multimodal {
         imageIoInit
         it.grouped(batchSize).flatMap { batch =>
           batch.flatMap { case (id, p) =>
-            readFramesOrNull(p) match {
+            MediaCodecs.decodeFrames(vidChain, p) match {
               case null => Nil
               case frames =>
                 frames.zipWithIndex

@@ -256,4 +256,118 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(1L) == null, "null payload must pass through")
     assert(out(2L).toSeq == Seq[Byte](1, 2, 3))
   }
+
+  test("pluggable codec SPI (r16): a registered codec claims payloads " +
+       "by container magic AHEAD of the JDK defaults, its decoded " +
+       "dims and pixels flow through the SAME decode/hash plans " +
+       "unchanged, unclaimed payloads fall through to the JDK codec, " +
+       "precedence overrides work, and reset() restores the defaults") {
+    import graft.operators.MediaCodecs
+    try {
+      def fake(w: Int, h: Int): Array[Byte] =
+        Array[Byte]('F', 'A', 'K', 'E', w.toByte, h.toByte)
+      val png = Multimodal.syntheticImageMedia(docs.limit(4))
+        .select("doc_id", "payload")
+      val mixed = Seq((1001L, fake(5, 7)), (1002L, fake(5, 7)),
+        (1003L, fake(9, 3)))
+        .toDF("doc_id", "payload")
+        .withColumn("full_len", lit(10L))
+        .unionByName(png.withColumn("full_len", lit(10L)))
+      // BEFORE registration: the JDK chain cannot read the fake
+      // container -> invalid sentinel; the PNGs decode fine
+      val before = Multimodal.decodeImage(mixed).collect()
+        .map(m => m.doc_id -> m).toMap
+      assert(before(1001L).mode == "invalid")
+      assert(before.values.count(_.mode != "invalid") == 4)
+      // register: fake rows decode through the SAME plan shape; PNGs
+      // still fall through to the JDK codec behind it
+      MediaCodecs.register(FakeImageCodec)
+      val after = Multimodal.decodeImage(mixed).collect()
+        .map(m => m.doc_id -> m).toMap
+      assert(after(1001L).width == 5 && after(1001L).height == 7 &&
+        after(1001L).mode == "gray", s"${after(1001L)}")
+      assert(after(1003L).width == 9 && after(1003L).height == 3)
+      png.as[(Long, Array[Byte])].collect().map(_._1).foreach(id =>
+        assert(after(id) == before(id),
+          s"PNG $id must still decode via the JDK codec"))
+      // hashes flow: same fake pixels collide, different dims differ,
+      // and nothing is the -1 undecodable sentinel anymore
+      val hs = Multimodal.pixelHash64(mixed.where(col("doc_id") >= 1000L))
+        .collect().map(h => h.doc_id -> h.phash).toMap
+      assert(hs(1001L) == hs(1002L) && hs(1001L) != hs(1003L) &&
+        hs.values.forall(_ != -1L), s"$hs")
+      // precedence: a codec claiming PNG magic OVERRIDES the JDK one
+      MediaCodecs.register(PngHijackCodec)
+      val hijacked = Multimodal.decodeImage(png
+        .withColumn("full_len", lit(10L))).collect()
+      assert(hijacked.forall(m => m.width == 1 && m.height == 1),
+        hijacked.mkString(", "))
+      // the video chain resolves the same way: a fake multi-frame
+      // codec feeds decodeVideo/videoHash64 through unchanged plans
+      MediaCodecs.register(FakeVideoCodec)
+      val vmeta = Multimodal.decodeVideo(
+        Seq((2001L, fake(6, 2))).toDF("doc_id", "payload")).collect()
+      assert(vmeta.length == 1 && vmeta.head.n_frames == 2L &&
+        vmeta.head.width == 6L && vmeta.head.height == 2L,
+        vmeta.mkString(", "))
+    } finally MediaCodecs.reset()
+    // reset restores the JDK defaults: fake magic is invalid again
+    val post = Multimodal.decodeImage(
+      Seq((1L, Array[Byte]('F', 'A', 'K', 'E', 5, 7)))
+        .toDF("doc_id", "payload").withColumn("full_len", lit(10L)))
+      .collect()
+    assert(post.head.mode == "invalid")
+  }
+}
+
+/** Fake still-image codec for the SPI spec: claims the "FAKE" magic,
+  * dims from header bytes, deterministic gradient pixels. Top-level
+  * (no outer pointer) so the closure-captured chain serializes.
+  */
+private object FakeImageCodec
+    extends graft.operators.MediaCodecs.ImageCodec {
+  def name = "fake-image"
+  def claims(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'F' && p(1) == 'A' && p(2) == 'K' &&
+      p(3) == 'E'
+  def decode(p: Array[Byte]): java.awt.image.BufferedImage = {
+    val w = p(4) & 0xff
+    val h = p(5) & 0xff
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, (x * 3 + y * 5) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+}
+
+/** Precedence probe: claims genuine PNG magic, returns a 1x1 image —
+  * proves a registration shadows the JDK default for the magic it
+  * claims.
+  */
+private object PngHijackCodec
+    extends graft.operators.MediaCodecs.ImageCodec {
+  def name = "png-hijack"
+  def claims(p: Array[Byte]): Boolean =
+    p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G'
+  def decode(p: Array[Byte]): java.awt.image.BufferedImage =
+    new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+}
+
+/** Fake multi-frame codec: two frames at the header dims. */
+private object FakeVideoCodec
+    extends graft.operators.MediaCodecs.VideoCodec {
+  def name = "fake-video"
+  def claims(p: Array[Byte]): Boolean = FakeImageCodec.claims(p)
+  def frames(p: Array[Byte]): Seq[java.awt.image.BufferedImage] =
+    Seq(FakeImageCodec.decode(p), FakeImageCodec.decode(p))
 }
