@@ -112,6 +112,25 @@ object BenchCalib {
   def flagged(calibs: Seq[Double], baseline: Double): Boolean =
     calibs.nonEmpty && baseline > 0 &&
       calibs.forall(_ / baseline > FlagRatio)
+
+  /** Tail-requeue merge (r16): fold one extra (build, exec, calib)
+    * sample — taken in the quiet end-of-suite tail — into a query's
+    * record. The numbers take the MIN (the contention-rescue
+    * estimator: a quiet sample among inflated ones IS the rescue);
+    * the calibration APPENDS, so under the ALL-samples-above flag
+    * rule a quiet requeue unflags the query and a still-loaded one
+    * leaves the honest contended record standing. Returns the merged
+    * ((exec, build) estimate, runs, calibs) — runs and calibs stay
+    * aligned 1:1.
+    */
+  def requeueMerge(est: (Double, Double), runs: List[(Double, Double)],
+                   calibs: List[Double],
+                   sample: (Double, Double, Double))
+      : ((Double, Double), List[(Double, Double)], List[Double]) = {
+    val (b, e, c) = sample
+    ((math.min(est._1, e), math.min(est._2, b)),
+      runs :+ ((b, e)), calibs :+ c)
+  }
 }
 
 object Bench {
@@ -258,6 +277,35 @@ object Bench {
     BenchCalib.measureOnce()
     lock.synchronized {
       calibBaseline = (1 to 3).map(_ => BenchCalib.measureOnce()).min }
+    // one sample of `fn` = (fixture-build secs, exec secs, calib ms,
+    // error): the contention stamp lands outside the timed region,
+    // and the running-min baseline updates under the lock (no stale/
+    // unseeded floor in a partial artifact). Isolation collects
+    // previous queries' garbage OUTSIDE the timed region and gives
+    // the query a pristine session (shared SparkContext keeps
+    // app-scoped caches). Shared by the main loop and the r16
+    // contended-tail requeue below.
+    def sampleOf(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double, Throwable) = {
+      var err: Throwable = null
+      val c = BenchCalib.measureOnce()
+      lock.synchronized {
+        calibBaseline = math.min(calibBaseline, c) }
+      if (isolate) System.gc()
+      val qs = if (isolate) spark.newSession() else spark
+      val t0 = System.nanoTime()
+      val df =
+        try Some(fn(qs, sfDir))
+        catch { case e: Throwable => err = e; None }
+      val t1 = System.nanoTime()
+      df.foreach { d =>
+        try d.count()
+        catch { case e: Throwable => err = e }
+      }
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, c, err)
+    }
     SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -268,30 +316,9 @@ object Bench {
       // eager fixture DML and plan construction; count() executes.
       // A failure in either half leaves sampleErr set for this sample.
       def once(): (Double, Double, Double) = {
-        sampleErr = null
-        // contention stamp for this sample — outside the timed region;
-        // the running-min baseline is read by the shutdown hook's JSON
-        // writer, so it updates under the same lock (no stale/unseeded
-        // floor in a partial artifact)
-        val c = BenchCalib.measureOnce()
-        lock.synchronized {
-          calibBaseline = math.min(calibBaseline, c) }
-        // isolation: previous queries' garbage is collected OUTSIDE
-        // the timed region, and the query gets a pristine session
-        // state (shared SparkContext keeps app-scoped caches)
-        if (isolate) System.gc()
-        val qs = if (isolate) spark.newSession() else spark
-        val t0 = System.nanoTime()
-        val df =
-          try Some(fn(qs, sfDir))
-          catch { case e: Throwable => sampleErr = e; None }
-        val t1 = System.nanoTime()
-        df.foreach { d =>
-          try d.count()
-          catch { case e: Throwable => sampleErr = e }
-        }
-        val t2 = System.nanoTime()
-        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, c)
+        val (b, e, c, err) = sampleOf(fn)
+        sampleErr = err
+        (b, e, c)
       }
       // min-of-2 steady-state estimator, but only when the first run
       // (which doubles as this query's warmup) fits the budget — one
@@ -391,6 +418,47 @@ object Bench {
         if (served.nonEmpty) cacheServed += (name -> served)
       }
       writeFile(partial = true)
+    }
+    // CONTENDED-QUERY TAIL REQUEUE (r16): a query whose every sample
+    // ran above the flag line may simply have overlapped a co-tenant
+    // burst; the end of the suite is the quietest the machine gets
+    // (fixtures built, nothing queued behind). Each still-flagged
+    // query gets ONE more sample here, merged by the min estimator
+    // ([[BenchCalib.requeueMerge]]): a quiet requeue both rescues the
+    // number and unflags the query (the flag rule is ALL-samples-
+    // above), while a still-loaded one leaves the honest contended
+    // record standing. Bills the same rescue allowance.
+    locally {
+      val cbNow = lock.synchronized(calibBaseline)
+      val stillFlagged = lock.synchronized(calibByQuery.toList)
+        .collect { case (k, cs) if BenchCalib.flagged(cs, cbNow) => k }
+      stillFlagged.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          val est = lock.synchronized(results.find(_._1 == name)
+            .map(r => r._2._1 + r._2._2).getOrElse(0.0))
+          if (rescueSpent + est <= rescueAllowance) {
+            rescueSpent += est
+            System.err.println(
+              s"[bench] $name: still contended — quiet-tail requeue")
+            CacheRegistry.setCurrent(name)
+            val (b, e, c, err) = sampleOf(fn)
+            if (err == null) lock.synchronized {
+              val i = results.indexWhere(_._1 == name)
+              val j = rawRuns.indexWhere(_._1 == name)
+              val k2 = calibByQuery.indexWhere(_._1 == name)
+              if (i >= 0 && j >= 0 && k2 >= 0) {
+                val (est2, runs2, calibs2) = BenchCalib.requeueMerge(
+                  results(i)._2, rawRuns(j)._2, calibByQuery(k2)._2,
+                  (b, e, c))
+                results(i) = name -> est2
+                rawRuns(j) = name -> runs2
+                calibByQuery(k2) = name -> calibs2
+              }
+            }
+          }
+        }
+      }
+      if (stillFlagged.nonEmpty) writeFile(partial = true)
     }
     CacheRegistry.setCurrent("")
     done.set(true)

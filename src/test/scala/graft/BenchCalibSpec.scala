@@ -53,4 +53,30 @@ class BenchCalibSpec extends AnyFunSuite {
       threads.foreach(_.join(1000))
     }
   }
+
+  test("tail-requeue merge (r16): a quiet end-of-suite sample both " +
+       "rescues the number (min estimator) and UNFLAGS the query " +
+       "(appended calibration breaks the all-samples-above rule); a " +
+       "still-loaded requeue leaves the contended record standing; " +
+       "runs and calibs stay aligned 1:1") {
+    val baseline = 10.0
+    // a query whose two samples both ran under ~1.8x load
+    val est0 = (2.0, 0.5) // (exec, build) — inflated
+    val runs0 = List((0.5, 2.0), (0.6, 2.1))
+    val calibs0 = List(18.0, 19.0)
+    assert(BenchCalib.flagged(calibs0, baseline))
+    // quiet requeue: calib 10.5 (under the 1.5x line), faster exec
+    val (est1, runs1, calibs1) =
+      BenchCalib.requeueMerge(est0, runs0, calibs0, (0.4, 1.2, 10.5))
+    assert(est1 == (1.2, 0.4), s"$est1") // min exec, min build
+    assert(!BenchCalib.flagged(calibs1, baseline), "quiet sample unflags")
+    assert(runs1.size == calibs1.size && runs1.last == ((0.4, 1.2)))
+    // still-loaded requeue: calib stays above the line -> still flagged,
+    // and the min estimator never worsens the number
+    val (est2, _, calibs2) =
+      BenchCalib.requeueMerge(est0, runs0, calibs0, (0.7, 2.4, 17.0))
+    assert(est2 == (2.0, 0.5), s"$est2")
+    assert(BenchCalib.flagged(calibs2, baseline),
+      "persistent load keeps the honest contended record")
+  }
 }
