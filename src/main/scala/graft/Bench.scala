@@ -430,18 +430,28 @@ object Bench {
     // record standing. Bills the same rescue allowance.
     locally {
       val cbNow = lock.synchronized(calibBaseline)
+      // failed queries are excluded: their "contended" stamps sit on
+      // fast-abort samples, and re-running a broken fixture buys
+      // nothing — the error is the record
+      val failedNames = lock.synchronized(errors)
+        .map(_.takeWhile(_ != ':')).toSet
       val stillFlagged = lock.synchronized(calibByQuery.toList)
-        .collect { case (k, cs) if BenchCalib.flagged(cs, cbNow) => k }
+        .collect { case (k, cs) if BenchCalib.flagged(cs, cbNow) &&
+          !failedNames.contains(k) => k }
       stillFlagged.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           val est = lock.synchronized(results.find(_._1 == name)
             .map(r => r._2._1 + r._2._2).getOrElse(0.0))
           if (rescueSpent + est <= rescueAllowance) {
-            rescueSpent += est
             System.err.println(
               s"[bench] $name: still contended — quiet-tail requeue")
             CacheRegistry.setCurrent(name)
             val (b, e, c, err) = sampleOf(fn)
+            // bill the ACTUAL cost, not the estimate: a requeue that
+            // ran long under persistent load must drain the allowance
+            // at its real rate, or many such requeues overrun the
+            // harness timeout the allowance protects
+            rescueSpent += b + e
             if (err == null) lock.synchronized {
               val i = results.indexWhere(_._1 == name)
               val j = rawRuns.indexWhere(_._1 == name)

@@ -130,20 +130,33 @@ object MediaCodecs {
 
   /** Resolve-and-decode through `chain` — null when no codec claims
     * the payload or the claiming codec finds it malformed (the
-    * sentinel contract every caller already handles).
+    * sentinel contract every caller already handles). The guard here
+    * is STRUCTURAL, not contractual: a registered codec whose
+    * `claims` or `decode` throws on a hostile payload (a 3-byte
+    * truncated upload against a header-reading claims()) must not
+    * fail the task — one corrupt row killing a 100 TB decode job is
+    * exactly what the pre-SPI per-call try/NonFatal wrappers made
+    * impossible, and the registry keeps that guarantee for codecs the
+    * engine does not control.
     */
   def decodeImage(chain: Seq[ImageCodec], p: Array[Byte])
       : java.awt.image.BufferedImage =
     if (p == null || p.isEmpty) null
-    else chain.find(_.claims(p)).map(_.decode(p)).orNull
+    else
+      try chain.find(_.claims(p)).map(_.decode(p)).orNull
+      catch { case scala.util.control.NonFatal(_) => null }
 
   def decodeAudio(chain: Seq[AudioCodec], p: Array[Byte])
       : javax.sound.sampled.AudioInputStream =
     if (p == null || p.isEmpty) null
-    else chain.find(_.claims(p)).map(_.decode(p)).orNull
+    else
+      try chain.find(_.claims(p)).map(_.decode(p)).orNull
+      catch { case scala.util.control.NonFatal(_) => null }
 
   def decodeFrames(chain: Seq[VideoCodec], p: Array[Byte])
       : Seq[java.awt.image.BufferedImage] =
     if (p == null || p.isEmpty) null
-    else chain.find(_.claims(p)).map(_.frames(p)).orNull
+    else
+      try chain.find(_.claims(p)).map(_.frames(p)).orNull
+      catch { case scala.util.control.NonFatal(_) => null }
 }

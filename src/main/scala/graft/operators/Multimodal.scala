@@ -201,7 +201,7 @@ object Multimodal {
   private lazy val imageIoInit: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
-    /** Deterministic REAL image fixture: one true PNG per document, with
+  /** Deterministic REAL image fixture: one true PNG per document, with
     * oracle-computable header facts — width `2 + doc_id % 31`, height
     * `2 + n_chars % 17`, grayscale for odd ids and RGB for even. The
     * first four pixels spell out the doc_id bytes so no two documents
@@ -448,7 +448,7 @@ object Multimodal {
                              channels: Long, n_frames: Long, bits: Long,
                              mode: String)
 
-    /** Deterministic REAL audio fixture: one true 16-bit PCM WAV per
+  /** Deterministic REAL audio fixture: one true 16-bit PCM WAV per
     * document, with oracle-computable header facts — sample rate
     * `8000 · (1 + doc_id % 3)`, channels `1 + doc_id % 2`, frames
     * `50 + n_chars % 100`. The first four samples carry the doc_id
@@ -663,7 +663,7 @@ object Multimodal {
     baos.toByteArray
   }
 
-    /** Deterministic REAL video fixture: one animated GIF per document
+  /** Deterministic REAL video fixture: one animated GIF per document
     * with oracle-computable facts — frames `2 + doc_id % 4`, width
     * `4 + doc_id % 9`, height `4 + n_chars % 7`. Every frame's first
     * four pixels spell the doc_id bytes (no two documents share frame

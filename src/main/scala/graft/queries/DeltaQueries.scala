@@ -123,6 +123,96 @@ object DeltaQueries {
     o.select(cols: _*)
   }
 
+  // ----- skewed wide snapshots (r16, the delta skew receipt) -------------
+  //
+  // One hot pid FAMILY of duplicate-keyed rows — the dirty-data shape a
+  // vendor re-send produces (the R6 dup-key DQ check exists because
+  // this happens): every o_orderkey ≡ 7 (mod 293) collapses onto one
+  // of 4 family pids ('HOT0'..'HOT3'), and a family row's attrs derive
+  // from its PID, not its key, so the family is textually identical on
+  // both sides. The delta OUTPUT is then exactly the wide changed set
+  // restricted to non-family keys (identical pairs fail the change
+  // predicate), while the JOIN must still process the family's
+  // quadratic hot×hot pairs in single hash partitions — the skew
+  // shape whose runtime AQE split is plan-pinned in AqeSkewJoinSpec;
+  // the 10× sweep row tracks its wall-clock.
+
+  private def hotCond: Column = col(key) % 293 === 7
+  private def skewPid: Column =
+    when(hotCond, concat(lit("HOT"), (col(key) % 4).cast("string")))
+      .otherwise(col(key).cast("string"))
+  private def pidHash(name: String): Column =
+    substring(md5(concat(skewPid, lit(":" + name))), 1, 8)
+
+  def wideSkewPrevious(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders").filter(col(key) % 13 =!= 0)
+    val cols = skewPid.as(AbrSchemas.agencyKey) +:
+      AbrSchemas.agencyCompareAttrs.zipWithIndex.map { case (c, ix) =>
+        val i = ix + 1
+        when(hotCond, pidHash(c))
+          .when((col(key) + i) % 11 === 0, lit(null).cast("string"))
+          .otherwise(wideHash(c)).as(c)
+      }
+    o.select(cols: _*)
+  }
+
+  def wideSkewNewest(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders").filter(col(key) % 17 =!= 0)
+    val cols = skewPid.as(AbrSchemas.agencyKey) +:
+      AbrSchemas.agencyCompareAttrs.zipWithIndex.map { case (c, ix) =>
+        val i = ix + 1
+        when(hotCond, pidHash(c))
+          .when((col(key) + i) % 23 === 0, lit(null).cast("string"))
+          .when((col(key) + i) % 11 === 0,
+            when((col(key) + i) % 3 === 0, wideHash(c))
+              .otherwise(lit(null).cast("string")))
+          .when((col(key) + i) % 19 === 0, concat(wideHash(c), lit("X")))
+          .otherwise(wideHash(c)).as(c)
+      }
+    o.select(cols: _*)
+  }
+
+  private def skewPidSql: String =
+    "CASE WHEN o_orderkey % 293 = 7 THEN 'HOT' || " +
+      "CAST(o_orderkey % 4 AS VARCHAR) " +
+      "ELSE CAST(o_orderkey AS VARCHAR) END"
+
+  private def pidHashSql(name: String): String =
+    s"substr(md5(($skewPidSql) || ':$name'), 1, 8)"
+
+  /** Oracle CTEs for the SKEWED wide snapshots — same attribute list,
+    * with the family override applied first in each CASE.
+    */
+  private def wideSkewSnapshotCte: String = {
+    val prevCols = AbrSchemas.agencyCompareAttrs.zipWithIndex.map {
+      case (c, ix) =>
+        val i = ix + 1
+        s"""    CASE WHEN o_orderkey % 293 = 7 THEN ${pidHashSql(c)}
+           |         WHEN (o_orderkey + $i) % 11 = 0 THEN NULL
+           |         ELSE ${wideHashSql(c)} END AS $c""".stripMargin
+    }.mkString(",\n")
+    val newCols = AbrSchemas.agencyCompareAttrs.zipWithIndex.map {
+      case (c, ix) =>
+        val i = ix + 1
+        s"""    CASE WHEN o_orderkey % 293 = 7 THEN ${pidHashSql(c)}
+           |         WHEN (o_orderkey + $i) % 23 = 0 THEN NULL
+           |         WHEN (o_orderkey + $i) % 11 = 0 THEN
+           |           (CASE WHEN (o_orderkey + $i) % 3 = 0
+           |                 THEN ${wideHashSql(c)} ELSE NULL END)
+           |         WHEN (o_orderkey + $i) % 19 = 0 THEN ${wideHashSql(c)} || 'X'
+           |         ELSE ${wideHashSql(c)} END AS $c""".stripMargin
+    }.mkString(",\n")
+    s"""WITH prev AS (
+       |  SELECT $skewPidSql AS pid,
+       |$prevCols
+       |  FROM orders WHERE o_orderkey % 13 <> 0
+       |), newest AS (
+       |  SELECT $skewPidSql AS pid,
+       |$newCols
+       |  FROM orders WHERE o_orderkey % 17 <> 0
+       |)""".stripMargin
+  }
+
   /** Oracle CTEs for the wide snapshots — generated from the same
     * attribute list as the Spark derivations above.
     */
@@ -195,6 +285,25 @@ object DeltaQueries {
       SnapshotDelta.updatedNarrow(
         AgencyLake.wideSnapshot(s, dir, AgencyLake.newestDate),
         AgencyLake.wideSnapshot(s, dir, AgencyLake.previousDate),
+        AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
+        SnapshotDelta.Legacy)),
+    // the SKEW receipt (r16): the reference-width legacy delta over
+    // snapshots carrying a duplicate-keyed hot pid family (the
+    // dirty-data shape the R6 dup-key DQ check exists for), run on
+    // the PRODUCTION plan. Skew defense is two-layer: (1) the narrow
+    // factoring joins only (key, rowhash) — 16-byte rows — so the
+    // family's quadratic hot×hot pair work crosses the shuffle at
+    // ~1/100 the bytes and the identical pairs are dismissed before
+    // any wide column joins; (2) when a hot partition IS oversized,
+    // AQE's runtime skew split parallelizes it — plan-pinned on the
+    // plain wide join at harness thresholds in AqeSkewJoinSpec (the
+    // shape a bucketed or hand-written delta would face). Output
+    // equals the wide changed set restricted to non-family keys
+    // (identical family pairs fail the predicate); the oracle
+    // restates it.
+    "delta_updated_wide_skewed" -> ((s, dir) =>
+      SnapshotDelta.updatedNarrow(
+        wideSkewNewest(s, dir), wideSkewPrevious(s, dir),
         AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
         SnapshotDelta.Legacy)),
     // same width, null-safe mode: NULL transitions across all 33 columns
@@ -604,6 +713,12 @@ object DeltaQueries {
       s"""$wideSnapshotCte
          |SELECT n.* FROM newest n JOIN prev p ON n.pid = p.pid
          |WHERE ${widePredicateSql("IS DISTINCT FROM")}""".stripMargin,
+    // the skewed variant: identical family pairs fail every <>, so the
+    // changed set is the non-family keys' — restated pair-for-pair
+    "delta_updated_wide_skewed" ->
+      s"""$wideSkewSnapshotCte
+         |SELECT n.* FROM newest n JOIN prev p ON n.pid = p.pid
+         |WHERE ${widePredicateSql("<>")}""".stripMargin,
     // bucketed layout changes the plan, not the rows
     "delta_updated_wide_bucketed" ->
       s"""$wideSnapshotCte

@@ -364,10 +364,19 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // baseline: every query vector against the full corpus, one pass
+    // baseline: every query vector against the full corpus, one pass.
+    // |Q| CAP (r16, bench hygiene): the query set is the 100 smallest
+    // qualifying vec_ids — a no-op at every gate scale factor (sf0.1
+    // has exactly 100 qualifiers, smaller SFs fewer), so oracle rows
+    // and round-over-round bench parity are untouched, while 10×+
+    // sweeps stop being dominated by this DOCUMENTED quadratic
+    // reference point (|Q| was corpus/20, so cost grew O(N²); the
+    // production contracts are the bounded/IVF/LSH variants below,
+    // all sub-linear in the sweep table)
     "sim_topk_brute" -> ((s, dir) => {
       val b = base(s, dir)
-      val pairs = b.crossJoin(broadcast(querySet(b)))
+      val q = querySet(b).orderBy(col("qid")).limit(100)
+      val pairs = b.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),
           round(VectorSim.dot(col("qe"), col("e")) /
@@ -933,6 +942,7 @@ object SimilarityQueries {
            |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
            |), q AS (
            |  SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id % 20 = 0
+           |  ORDER BY vec_id LIMIT 100
            |), pairs AS (
            |  SELECT q.qid, b.vec_id AS cand_id,
            |    round(${cos("q.qe", "b.e")}, 6) AS cos6

@@ -329,6 +329,19 @@ object LakeEq {
           schema, parts.get(name)).nonEmpty
     }
 
+  /** Probed-file budget for the inventories' exact arm
+    * ([[countMatches]] callers): when refs attach to MORE files than
+    * this, the probe is declined WHOLESALE — every attached file
+    * reports NULL, uniformly. The exact arm is a driver-side
+    * key-column read per attached file; a broadly-attached ref on a
+    * 5k-file table must not silently turn a metadata query into a
+    * data scan. System property for tests/ops; default 64 attached
+    * files ≈ the cost class of the stat-less footer-fallback sweep
+    * the inventories already tolerate.
+    */
+  def probeMaxFiles: Int =
+    Integer.getInteger("graft.lake.inventory.probeMaxFiles", 64)
+
   /** EXACT matched-row count of `refs` inside ONE data file (r16 —
     * the inventories' exact arm, closing the r15 verdict's
     * "exact small-ref inventories" ask): decode ONLY the involved key

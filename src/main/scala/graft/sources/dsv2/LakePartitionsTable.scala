@@ -76,25 +76,33 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
           LakeTableIO.snapshotViewEq(dir)
         lazy val tschema = LakeTableIO.tableSchema(dir)
         lazy val tcols = LakeTableIO.columnRefs(tschema)
+        def applicableOf(n: String): Option[Seq[LakeEq.EqRef]] = {
+          val st = stats.get(n)
+          if (eqs.isEmpty) Some(Seq.empty)
+          else if (!st.exists(_.addV >= 0)) None // unsequenceable
+          else Some(LakeEq.scopedApplicable(dir, eqs, st.get.addV, st,
+            tcols, tschema, parts.get(n)))
+        }
+        // same probe budget as the files inventory: wholesale decline
+        // over the bound — a metadata query never becomes a data scan
+        val applicableByFile: Map[String, Option[Seq[LakeEq.EqRef]]] =
+          files.map(f => f.getName -> applicableOf(f.getName)).toMap
+        val probeOk = applicableByFile.values
+          .count(_.exists(_.nonEmpty)) <= LakeEq.probeMaxFiles
         def liveRows(fileName: String, path: org.apache.hadoop.fs.Path)
-            : Option[Long] = {
-          val st = stats.get(fileName)
-          val applicable: Option[Seq[LakeEq.EqRef]] =
-            if (eqs.isEmpty) Some(Seq.empty)
-            else if (!st.exists(_.addV >= 0)) None // unsequenceable
-            else Some(LakeEq.scopedApplicable(dir, eqs, st.get.addV,
-              st, tcols, tschema, parts.get(fileName)))
-          applicable.flatMap { app =>
+            : Option[Long] =
+          applicableByFile(fileName).flatMap { app =>
+            val st = stats.get(fileName)
             val rows = st.map(_.rows)
               .getOrElse(LakeTableIO.footerRows(Seq(path)))
             lazy val dead: Array[Long] = dvs.get(fileName)
               .map(LakeDv.positions(dir, _)).getOrElse(Array.empty)
             if (app.isEmpty)
               Some(math.max(0L, rows - dead.length.toLong))
+            else if (!probeOk) None // over budget: the r15 promise
             else LakeEq.countMatches(dir, path, app, tschema, dead)
               .map(m => math.max(0L, rows - dead.length.toLong - m))
           }
-        }
         // current-spec tuples decode into the typed columns; old
         // evolution vintages and tuple-less files group under ONE
         // all-null row (their layout is a different shape)
@@ -210,6 +218,14 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
           else Some(LakeEq.scopedApplicable(dir, eqs, st.get.addV, st,
             tcols, tschema, parts.get(n)))
         }
+        // probe budget: the exact arm declines WHOLESALE (uniform
+        // NULL for every attached file) when refs attach to more
+        // files than the bound — a broadly-attached ref must not
+        // turn this metadata query into a driver-side data scan
+        val applicableByFile: Map[String, Option[Seq[LakeEq.EqRef]]] =
+          files.map(f => f.getName -> applicableOf(f.getName)).toMap
+        val probeOk = applicableByFile.values
+          .count(_.exists(_.nonEmpty)) <= LakeEq.probeMaxFiles
         // one listing for every size — O(1) remote calls, not O(files)
         val path = new org.apache.hadoop.fs.Path(dir)
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -224,7 +240,7 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
             .getOrElse(LakeTableIO.footerRows(Seq(f)))
           val dvFiles = dvs.getOrElse(n, Seq.empty)
           // the NULL arm skips the O(positions) DV read outright
-          val live: Any = applicableOf(n) match {
+          val live: Any = applicableByFile(n) match {
             case None => null // cannot sequence: unknowable
             case Some(app) =>
               lazy val dead: Array[Long] =
@@ -232,6 +248,7 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
                 else LakeDv.positions(dir, dvFiles)
               if (app.isEmpty)
                 math.max(0L, physical - dead.length.toLong)
+              else if (!probeOk) null // over budget: the r15 promise
               else LakeEq.countMatches(dir, f, app, tschema, dead) match {
                 case Some(m) =>
                   math.max(0L, physical - dead.length.toLong - m)

@@ -3952,12 +3952,13 @@ object LakeTableIO {
             } catch { case scala.util.control.NonFatal(_) =>
               // any advance failure (torn segment, unexpected log
               // shape): the carry is disposable — reseed from the
-              // authoritative full read
-              val full = LakeLog.snapshotAt(dir, v)
+              // authoritative full read (on the SAME branch the
+              // carry advances with)
+              val full = LakeLog.snapshotAt(dir, v, branch)
               (Some(from(dir, branch, full)), Some(full))
             }
           case None =>
-            val full = LakeLog.snapshotAt(dir, v)
+            val full = LakeLog.snapshotAt(dir, v, branch)
             (Some(from(dir, branch, full)), Some(full))
         }
       }

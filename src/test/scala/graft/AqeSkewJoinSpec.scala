@@ -66,4 +66,78 @@ class AqeSkewJoinSpec extends SparkSpec {
       case (k, None)    => s.conf.unset(k)
     }
   }
+
+  test("AQE splits the skewed partition of the DELTA shape (r16, the " +
+       "delta_updated_wide_skewed receipt): a duplicate-keyed hot pid " +
+       "family holding ~20% of both snapshots lands its quadratic " +
+       "hot×hot pair work in one hash partition; the runtime skew " +
+       "split parallelizes it, and the delta output is exact — the " +
+       "identical family pairs fail the change predicate") {
+    import graft.operators.SnapshotDelta
+    val s = spark
+    val conf = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // enough shuffle partitions that a NORMAL partition is small —
+      // the skew test is relative (factor × median); at the session
+      // default of a few partitions the family hides inside the noise
+      "spark.sql.shuffle.partitions" -> "32")
+    val saved = conf.keys.map(k => k -> s.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val attrs = Seq("a1", "a2", "a3", "a4")
+      // every id % 5 == 0 collapses onto pid 'HOT' with PID-derived
+      // (identical) COMPARED attrs — a 20% family; non-family rows
+      // change attr a1 when id % 97 == 1. Each row also carries a
+      // high-entropy NON-compared payload (compared attrs ⊂ row
+      // columns is a legitimate delta shape): identical family attrs
+      // would otherwise compress to nothing in the shuffle and hide
+      // the hot partition from AQE's bytes-based skew detection —
+      // per-row entropy is what a real record's uncompared columns
+      // (timestamps, ids, free text) provide
+      def snap(changed: Boolean) = {
+        val pid = when(col("id") % 5 === 0, lit("HOT"))
+          .otherwise(col("id").cast("string"))
+        val payload = concat_ws("", (1 to 8).map(i =>
+          md5(concat(col("id").cast("string"), lit(s"#$i")))): _*)
+        val cols = pid.as("pid") +: payload.as("payload") +:
+          attrs.map { c =>
+            val base = concat_ws("", Seq.fill(2)(
+              md5(concat(pid, lit(":" + c)))): _*)
+            if (changed && c == "a1")
+              when(col("id") % 5 =!= 0 && col("id") % 97 === 1,
+                concat(base, lit("X"))).otherwise(base).as(c)
+            else base.as(c)
+          }
+        s.range(0, 40000).select(cols: _*)
+      }
+      val res = SnapshotDelta.updated(snap(changed = true),
+        snap(changed = false), "pid", attrs, SnapshotDelta.Legacy)
+      val rows = res.collect()
+      // exact: only the non-family %97==1 keys changed (ids 1 mod 97,
+      // excluding multiples of 5)
+      val expect = (0 until 40000)
+        .count(id => id % 5 != 0 && id % 97 == 1)
+      assert(rows.length == expect, s"${rows.length} != $expect")
+      assert(rows.forall(_.getString(0) != "HOT"),
+        "identical family pairs must fail the change predicate")
+      val adaptive = res.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }
+        .getOrElse(fail("expected an adaptive plan root"))
+      val plan = adaptive.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"expected a skew-split sort-merge join in:\n$plan")
+      assert(plan.contains("AQEShuffleRead skewed"),
+        s"expected a skewed AQE shuffle read in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
 }

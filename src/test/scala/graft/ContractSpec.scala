@@ -38,8 +38,8 @@ class ContractSpec extends AnyFunSuite {
     // replacement fail loudly, because a duplicate nets the total one
     // short of what the author expects. Bump this when adding or
     // removing queries; a mismatch means a name collided.
-    assert(names.size == 289,
-      s"query count is ${names.size}, expected 289 — either bump this " +
+    assert(names.size == 290,
+      s"query count is ${names.size}, expected 290 — either bump this " +
         "pin for intentionally added/removed queries, or a duplicate " +
         "key inside a family map silently swallowed one")
   }
