@@ -303,7 +303,8 @@ object DeltaQueries {
     // restates it.
     "delta_updated_wide_skewed" -> ((s, dir) =>
       SnapshotDelta.updatedNarrow(
-        wideSkewNewest(s, dir), wideSkewPrevious(s, dir),
+        AgencyLake.wideSkewSnapshot(s, dir, AgencyLake.newestDate),
+        AgencyLake.wideSkewSnapshot(s, dir, AgencyLake.previousDate),
         AbrSchemas.agencyKey, AbrSchemas.agencyCompareAttrs,
         SnapshotDelta.Legacy)),
     // same width, null-safe mode: NULL transitions across all 33 columns

@@ -118,6 +118,43 @@ object AgencyLake {
       .where(col("importdate") === lit(importdate))
       .drop("importdate")
 
+  private def wideSkewRoot(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-lake-v$DerivationVersion-$key/agency_wide_skew"
+  }
+
+  /** The SKEWED wide snapshots (r16 — hot pid family, DeltaQueries
+    * .wideSkewPrevious/wideSkewNewest) materialized once per sf dir,
+    * same rationale as [[ensureWide]]: the delta queries scan stored
+    * snapshots, they don't re-run the 33-md5 derivation per query.
+    */
+  def ensureWideSkew(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val root = wideSkewRoot(sfDir)
+      val fs = FileSystem.get(
+        new java.net.URI(s"file://$root"),
+        spark.sessionState.newHadoopConf())
+      if (!fs.exists(new Path(root, "_SUCCESS"))) {
+        val prev = DeltaQueries.wideSkewPrevious(spark, sfDir)
+          .withColumn("importdate", lit(previousDate))
+        val newer = DeltaQueries.wideSkewNewest(spark, sfDir)
+          .withColumn("importdate", lit(newestDate))
+        prev.unionByName(newer)
+          .repartition(SnapshotFiles, col("importdate"), col("pid"))
+          .write.mode("overwrite")
+          .partitionBy("importdate")
+          .parquet(root)
+      }
+      root
+    }
+
+  /** One skewed wide snapshot = one pruned `importdate=` partition. */
+  def wideSkewSnapshot(spark: SparkSession, sfDir: String,
+                       importdate: String): DataFrame =
+    spark.read.parquet(ensureWideSkew(spark, sfDir))
+      .where(col("importdate") === lit(importdate))
+      .drop("importdate")
+
   /** Partition values via *metadata* listing — directory names, never a
     * data scan (reference S8: GetDeltaPartitions lists common prefixes and
     * splits on '=', agency-delta.go:97-124). At 100 TB this reads N

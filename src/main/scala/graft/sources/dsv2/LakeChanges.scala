@@ -178,7 +178,9 @@ class LakeChangesScan(dir: String, projected: StructType,
         LakeTableIO.planCdcVersion(dir, snap, cols, pushed, asSnapshot,
           fullOpt)
       }
-    }.toArray
+    // row-path pin when any split is positional — an append-only
+    // replay stays columnar (constant _change_type/_version vectors)
+    }.toArray match { case ps => LakeTableIO.pinRowIfPositionalCdc(ps) }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

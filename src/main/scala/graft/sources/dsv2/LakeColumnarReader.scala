@@ -76,18 +76,34 @@ object LakeColumnarReader {
     * eligibility per partition).
     */
   def eligible(part: LakeInputPartition, projected: StructType): Boolean =
-    enabled && part.cdc.isEmpty &&
-      // eq-attached splits are columnar since r16: hidden key columns
-      // decode into scratch vectors and matching rows are subtracted
-      // batch-side — eligibility therefore no longer consults
-      // part.eqFiles, which keeps the answer UNIFORM across a scan's
-      // partitions even when scoping attaches refs to only some files
+    enabled &&
+      // eq-attached splits are columnar since r16 (hidden key columns
+      // decode into scratch vectors, matched rows subtract batch-side)
+      // and so are WHOLE-FILE CDC event splits (insert /
+      // update_postimage / opening snapshot: _change_type and
+      // _version are per-split CONSTANTS served as constant vectors)
+      // — eligibility consults neither eqFiles nor the annotation's
+      // presence, only whether the split is POSITIONAL (delete /
+      // update_preimage / eq-emit reads, which need the row reader's
+      // page-selected positional machinery). The replay planners
+      // stamp forceRow on EVERY split of a batch that contains any
+      // positional split, keeping Spark's per-batch columnar answer
+      // uniform.
+      part.cdc.forall(c =>
+        c.onlyPositions.isEmpty && c.onlyEqFiles.isEmpty) &&
       !part.forceRow &&
       // empty projections (count-only scans where the metadata answer
       // declined) stay on the row path: nothing to decode either way,
       // and the row reader's empty-requested handling is battle-tested
       projected.fields.nonEmpty &&
-      part.cols.forall(ref => !metaNames.contains(ref.name)) &&
+      part.cols.forall(ref =>
+        ref.name != LakeTableIO.MetaFile &&
+        ref.name != LakeTableIO.MetaPos &&
+        // the CDC metadata columns are constants only under an
+        // annotation; a bare scan projecting them stays row-path
+        (part.cdc.isDefined ||
+          (ref.name != LakeTableIO.CdcChangeType &&
+            ref.name != LakeTableIO.CdcVersion))) &&
       LakeParquet.isFlat(projected) &&
       projected.fields.forall(f => supportedType(f.dataType))
 
@@ -391,13 +407,14 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
     extends PartitionReader[ColumnarBatch] {
   import LakeColumnarReader._
 
-  // belt-and-braces: a columnar read of a CDC split would silently
-  // skip the positional/eq EMIT tests — `eligible` must have routed
-  // those to the row path (eq-attached SUBTRACTION splits are handled
-  // here since r16)
-  require(part.cdc.isEmpty,
-    s"columnar read planned over a CDC split of ${part.path} — " +
-      "row-path routing bug")
+  // belt-and-braces: a columnar read of a POSITIONAL CDC split would
+  // silently skip the emit tests — `eligible` must have routed those
+  // to the row path (eq-attached subtraction splits and whole-file
+  // CDC event splits are handled here since r16)
+  require(part.cdc.forall(c =>
+      c.onlyPositions.isEmpty && c.onlyEqFiles.isEmpty),
+    s"columnar read planned over a positional CDC split of " +
+      s"${part.path} — row-path routing bug")
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
@@ -513,9 +530,24 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
       else vectors(outIndex(i))
     }.toArray
   }
+  // change-data-feed metadata columns: per-split CONSTANTS the file
+  // never carries (the row reader synthesizes them per row; here they
+  // fill their vectors once per batch) — excluded from the null
+  // back-fill below
+  private val ctIdx =
+    if (part.cdc.isEmpty) -1
+    else part.cols.indexWhere(_.name == LakeTableIO.CdcChangeType)
+  private val verIdx =
+    if (part.cdc.isEmpty) -1
+    else part.cols.indexWhere(_.name == LakeTableIO.CdcVersion)
+  private val ctBytes: Array[Byte] =
+    part.cdc.map(_.changeType.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)).orNull
+  private val verValue: Long = part.cdc.map(_.version).getOrElse(-1L)
   private val backfill: Array[Boolean] = {
     val covered = outIndex.filter(_ < part.cols.length).toSet
-    projected.indices.map(i => !covered.contains(i)).toArray
+    projected.indices.map(i => !covered.contains(i) &&
+      i != ctIdx && i != verIdx).toArray
   }
   private val batch = new ColumnarBatch(vectors.map(v =>
     v: org.apache.spark.sql.vectorized.ColumnVector))
@@ -592,6 +624,22 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
       vectors(i).reset()
       if (backfill(i)) vectors(i).putNulls(0, BatchRows)
       i += 1
+    }
+    // CDC constants fill their whole vector per batch (rows beyond
+    // numRows are never read)
+    if (ctIdx >= 0 && ctBytes != null) {
+      var r = 0
+      while (r < BatchRows) {
+        vectors(ctIdx).putByteArray(r, ctBytes, 0, ctBytes.length)
+        r += 1
+      }
+    }
+    if (verIdx >= 0 && part.cdc.isDefined) {
+      var r = 0
+      while (r < BatchRows) {
+        vectors(verIdx).putLong(r, verValue)
+        r += 1
+      }
     }
     i = 0
     while (i < sinks.length) { // scratch slots reset too (key vectors)

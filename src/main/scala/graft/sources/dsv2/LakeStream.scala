@@ -272,7 +272,11 @@ class LakeMicroBatchStream(dir: String, projected: StructType,
           LakeTableIO.planCdcVersion(dir, snap, cols, pushed,
             asSnapshot, fullOpt)
         }
-      }.toArray
+      // per-BATCH row-path pin when any split is positional; an
+      // append-only backlog drains columnar (constant CDC vectors)
+      }.toArray match {
+        case ps => LakeTableIO.pinRowIfPositionalCdc(ps)
+      }
     }
     // manifest stats + partition tuples for each version's files, so
     // the batch's planning prunes pushed-filter-excluded files without

@@ -3964,6 +3964,27 @@ object LakeTableIO {
       }
   }
 
+  /** Spark requires a UNIFORM columnar answer across a batch's
+    * partitions: when any CDC split is POSITIONAL (delete /
+    * update_preimage / eq-emit reads — the row reader's page-selected
+    * machinery), pin EVERY split of the batch to the row path. An
+    * all-whole-file batch (append-only history replays, opening
+    * snapshots, upsert insert sides) flows columnar, with
+    * `_change_type`/`_version` served as constant vectors (r16).
+    */
+  def pinRowIfPositionalCdc(ps: Array[InputPartition])
+      : Array[InputPartition] = {
+    val anyPositional = ps.exists { p =>
+      val lp = p.asInstanceOf[LakeInputPartition]
+      lp.cdc.exists(c =>
+        c.onlyPositions.nonEmpty || c.onlyEqFiles.nonEmpty)
+    }
+    if (!anyPositional) ps
+    else ps.map(p =>
+      p.asInstanceOf[LakeInputPartition].copy(forceRow = true)
+        : InputPartition)
+  }
+
   def planCdcVersion(dir: String, snap: LakeLog.Snapshot,
                      cols: Array[LakeColumnRef], pushed: Array[Filter],
                      initialSnapshot: Boolean,

@@ -134,6 +134,44 @@ class LakeColumnarSpec extends SparkSpec {
     } }
   }
 
+  test("CDC goes COLUMNAR for whole-file event batches (r16): an " +
+       "append-only history's change feed reports ColumnarToRow with " +
+       "_change_type/_version served as constant vectors and exact " +
+       "events; a positional (delete) version in the range pins the " +
+       "WHOLE batch to the row path — Spark's per-batch columnar " +
+       "answer must be uniform") {
+    withColumnar("true") { withCatalog { (cat, _) =>
+      spark.sql(s"CREATE TABLE $cat.db.ap (k BIGINT, s STRING)")
+      spark.sql(s"INSERT INTO $cat.db.ap " +
+        "SELECT id, concat('a', id) FROM range(0, 100)")
+      spark.sql(s"INSERT INTO $cat.db.ap " +
+        "SELECT id, concat('b', id) FROM range(100, 150)")
+      val ch = spark.table(s"$cat.db.ap.changes")
+        .selectExpr("k", "s", "_change_type", "_commit_version")
+      assert(isColumnar(ch), "append-only feed must be columnar")
+      val rows = ch.collect()
+      assert(rows.length == 150)
+      assert(rows.forall(_.getString(2) == "insert"),
+        "constant change-type vectors must serve the annotation")
+      val perVersion = rows.groupBy(_.getLong(3))
+        .map(_._2.length).toSeq.sorted
+      assert(perVersion == Seq(50, 100),
+        s"constant version vectors must split the commits: $perVersion")
+      // values themselves exact through the constant-vector batches
+      assert(rows.map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+        == (0L until 150L).map(k =>
+          k -> s"${if (k < 100) "a" else "b"}$k"))
+      // positional class in the range: the whole batch pins to row
+      spark.sql(s"ALTER TABLE $cat.db.ap " +
+        "SET TBLPROPERTIES ('write.mode'='merge-on-read')")
+      spark.sql(s"DELETE FROM $cat.db.ap WHERE k = 5")
+      val ch2 = spark.table(s"$cat.db.ap.changes")
+        .selectExpr("k", "_change_type")
+      assert(!isColumnar(ch2), "a positional split pins the batch")
+      assert(ch2.where("_change_type = 'delete'").count() == 1)
+    } }
+  }
+
   test("excluded shapes fall back to the row path and stay exact: " +
        "metadata columns (_file/_pos), CDC reads, and nested schemas") {
     withColumnar("true") { withCatalog { (cat, root) =>

@@ -235,8 +235,9 @@ class LakeUpsertCdcSpec extends SparkSpec {
   test("columnar routing (r16): an eq-attached split IS columnar-" +
        "eligible (the columnar reader subtracts matched rows itself, " +
        "so eligibility stays uniform across a scan whose scoping " +
-       "attaches refs to only some files); a CDC annotation or the " +
-       "per-split forceRow kill-switch still routes to the row path") {
+       "attaches refs to only some files); whole-file CDC events are " +
+       "columnar too, while POSITIONAL CDC splits and the per-split " +
+       "forceRow kill-switch route to the row path") {
     import graft.sources.dsv2.{LakeColumnarReader, LakeColumnRef, LakeInputPartition}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val proj = StructType(Seq(StructField("k", LongType)))
@@ -246,9 +247,20 @@ class LakeUpsertCdcSpec extends SparkSpec {
     assert(LakeColumnarReader.eligible(
       bare.copy(eqFiles = Seq("eq-x.json"),
         eqCols = Array(LakeColumnRef("k", 1, Array("k")))), proj))
-    assert(!LakeColumnarReader.eligible(
+    // whole-file CDC event splits are columnar since late r16
+    // (constant _change_type/_commit_version vectors); POSITIONAL
+    // splits — delete positions or eq-emit — still need the row
+    // reader, as does the per-split forceRow kill-switch the replay
+    // planners use to keep a mixed batch uniform
+    assert(LakeColumnarReader.eligible(
       bare.copy(cdc = Some(graft.sources.dsv2.LakeCdcInfo(
         "insert", 1L))), proj))
+    assert(!LakeColumnarReader.eligible(
+      bare.copy(cdc = Some(graft.sources.dsv2.LakeCdcInfo(
+        "delete", 1L, onlyPositions = Some(Array(0L))))), proj))
+    assert(!LakeColumnarReader.eligible(
+      bare.copy(cdc = Some(graft.sources.dsv2.LakeCdcInfo(
+        "delete", 1L, onlyEqFiles = Seq("eq-x.json")))), proj))
     assert(!LakeColumnarReader.eligible(
       bare.copy(forceRow = true), proj))
   }
