@@ -452,7 +452,13 @@ object Bench {
             // at its real rate, or many such requeues overrun the
             // harness timeout the allowance protects
             rescueSpent += b + e
-            if (err == null) lock.synchronized {
+            if (err != null)
+              // visible trace: the allowance was spent, the merge was
+              // skipped, the contended record stands — without this
+              // line the attempt would vanish from every artifact
+              System.err.println(s"[bench] $name: tail requeue FAILED " +
+                s"(${err.getClass.getName}) — contended record stands")
+            else lock.synchronized {
               val i = results.indexWhere(_._1 == name)
               val j = rawRuns.indexWhere(_._1 == name)
               val k2 = calibByQuery.indexWhere(_._1 == name)
@@ -463,6 +469,17 @@ object Bench {
                 results(i) = name -> est2
                 rawRuns(j) = name -> runs2
                 calibByQuery(k2) = name -> calibs2
+              }
+              // the cache-honesty annotation the main loop keeps: a
+              // requeue served from an artifact a LATER query built
+              // must say so, or the rescued number silently reflects
+              // a cache state no main-loop sample had
+              val served = CacheRegistry.servedFrom(name)
+              if (served.nonEmpty) {
+                val ci = cacheServed.indexWhere(_._1 == name)
+                if (ci >= 0)
+                  cacheServed(ci) = name -> (cacheServed(ci)._2 ++ served)
+                else cacheServed += (name -> served)
               }
             }
           }

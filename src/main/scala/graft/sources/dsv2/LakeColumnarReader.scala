@@ -66,9 +66,6 @@ object LakeColumnarReader {
   def enabled: Boolean =
     "false" != System.getProperty("graft.lake.reader.columnar")
 
-  private val metaNames = Set(LakeTableIO.MetaFile, LakeTableIO.MetaPos,
-    LakeTableIO.CdcChangeType, LakeTableIO.CdcVersion)
-
   /** Factory-level eligibility: scan-shaped facts only (identical
     * across a scan's partitions — Spark rejects mixed row/columnar
     * scans), never per-file ones (vintage conversion and per-chunk
@@ -552,6 +549,25 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
   private val batch = new ColumnarBatch(vectors.map(v =>
     v: org.apache.spark.sql.vectorized.ColumnVector))
 
+  // CDC constants fill their vectors ONCE (per-split constants; the
+  // reset loop in next() skips these indices, so the fill survives
+  // every batch — refilling 4096 slots per batch would cost about
+  // two extra data columns of decode for no information)
+  if (ctIdx >= 0 && ctBytes != null) {
+    var r = 0
+    while (r < BatchRows) {
+      vectors(ctIdx).putByteArray(r, ctBytes, 0, ctBytes.length)
+      r += 1
+    }
+  }
+  if (verIdx >= 0 && part.cdc.isDefined) {
+    var r = 0
+    while (r < BatchRows) {
+      vectors(verIdx).putLong(r, verValue)
+      r += 1
+    }
+  }
+
   // equality-delete membership tests (mirrors the row reader's
   // eqTestsOf): per applicable sidecar, the file-projected positions
   // of its key columns + the canonical key set. A sidecar whose key
@@ -621,25 +637,12 @@ class LakeColumnarPartitionReader(part: LakeInputPartition,
     if (remaining <= 0) return false
     var i = 0
     while (i < vectors.length) {
-      vectors(i).reset()
-      if (backfill(i)) vectors(i).putNulls(0, BatchRows)
+      // CDC constant vectors keep their constructor-time fill
+      if (i != ctIdx && i != verIdx) {
+        vectors(i).reset()
+        if (backfill(i)) vectors(i).putNulls(0, BatchRows)
+      }
       i += 1
-    }
-    // CDC constants fill their whole vector per batch (rows beyond
-    // numRows are never read)
-    if (ctIdx >= 0 && ctBytes != null) {
-      var r = 0
-      while (r < BatchRows) {
-        vectors(ctIdx).putByteArray(r, ctBytes, 0, ctBytes.length)
-        r += 1
-      }
-    }
-    if (verIdx >= 0 && part.cdc.isDefined) {
-      var r = 0
-      while (r < BatchRows) {
-        vectors(verIdx).putLong(r, verValue)
-        r += 1
-      }
     }
     i = 0
     while (i < sinks.length) { // scratch slots reset too (key vectors)

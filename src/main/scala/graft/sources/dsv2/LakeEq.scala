@@ -342,6 +342,33 @@ object LakeEq {
   def probeMaxFiles: Int =
     Integer.getInteger("graft.lake.inventory.probeMaxFiles", 64)
 
+  /** The ONE per-file scoping memo + probe-budget judgment both
+    * inventories (`db.t.files`, `db.t.partitions`) share — a budget
+    * rule edited here cannot diverge their exact/NULL promises.
+    * Returns (per-file applicable refs — None for unsequenceable
+    * files, which report NULL always — and whether the exact arm may
+    * run: false when refs attach to more files than [[probeMaxFiles]],
+    * the wholesale-uniform-NULL decline).
+    */
+  def inventoryScope(dir: String, files: Seq[String],
+                     eqs: Seq[EqRef],
+                     stats: Map[String, LakeStats.FileStats],
+                     parts: Map[String, Seq[String]],
+                     tableCols: Array[LakeColumnRef],
+                     schema: StructType)
+      : (Map[String, Option[Seq[EqRef]]], Boolean) = {
+    def applicableOf(n: String): Option[Seq[EqRef]] = {
+      val st = stats.get(n)
+      if (eqs.isEmpty) Some(Seq.empty)
+      else if (!st.exists(_.addV >= 0)) None // unsequenceable
+      else Some(scopedApplicable(dir, eqs, st.get.addV, st, tableCols,
+        schema, parts.get(n)))
+    }
+    val byFile: Map[String, Option[Seq[EqRef]]] =
+      files.map(n => n -> applicableOf(n)).toMap
+    (byFile, byFile.values.count(_.exists(_.nonEmpty)) <= probeMaxFiles)
+  }
+
   /** EXACT matched-row count of `refs` inside ONE data file (r16 —
     * the inventories' exact arm, closing the r15 verdict's
     * "exact small-ref inventories" ask): decode ONLY the involved key

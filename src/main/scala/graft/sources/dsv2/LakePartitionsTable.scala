@@ -76,19 +76,12 @@ class LakePartitionsTable(tableName: String, dir: String) extends Table
           LakeTableIO.snapshotViewEq(dir)
         lazy val tschema = LakeTableIO.tableSchema(dir)
         lazy val tcols = LakeTableIO.columnRefs(tschema)
-        def applicableOf(n: String): Option[Seq[LakeEq.EqRef]] = {
-          val st = stats.get(n)
-          if (eqs.isEmpty) Some(Seq.empty)
-          else if (!st.exists(_.addV >= 0)) None // unsequenceable
-          else Some(LakeEq.scopedApplicable(dir, eqs, st.get.addV, st,
-            tcols, tschema, parts.get(n)))
-        }
-        // same probe budget as the files inventory: wholesale decline
-        // over the bound — a metadata query never becomes a data scan
-        val applicableByFile: Map[String, Option[Seq[LakeEq.EqRef]]] =
-          files.map(f => f.getName -> applicableOf(f.getName)).toMap
-        val probeOk = applicableByFile.values
-          .count(_.exists(_.nonEmpty)) <= LakeEq.probeMaxFiles
+        // the SHARED scoping memo + probe budget ([[LakeEq
+        // .inventoryScope]] — one source of truth with the files
+        // inventory): wholesale decline over the bound, a metadata
+        // query never becomes a data scan
+        val (applicableByFile, probeOk) = LakeEq.inventoryScope(dir,
+          files.map(_.getName), eqs, stats, parts, tcols, tschema)
         def liveRows(fileName: String, path: org.apache.hadoop.fs.Path)
             : Option[Long] =
           applicableByFile(fileName).flatMap { app =>
@@ -211,21 +204,13 @@ class LakeFilesTable(tableName: String, dir: String) extends Table
         // ([[LakeEq.countMatches]]) prices the matches; NULL remains
         // only above the key bound or on any probe uncertainty —
         // exact or NULL, never wrong
-        def applicableOf(n: String): Option[Seq[LakeEq.EqRef]] = {
-          val st = stats.get(n)
-          if (eqs.isEmpty) Some(Seq.empty)
-          else if (!st.exists(_.addV >= 0)) None // unsequenceable
-          else Some(LakeEq.scopedApplicable(dir, eqs, st.get.addV, st,
-            tcols, tschema, parts.get(n)))
-        }
-        // probe budget: the exact arm declines WHOLESALE (uniform
-        // NULL for every attached file) when refs attach to more
-        // files than the bound — a broadly-attached ref must not
-        // turn this metadata query into a driver-side data scan
-        val applicableByFile: Map[String, Option[Seq[LakeEq.EqRef]]] =
-          files.map(f => f.getName -> applicableOf(f.getName)).toMap
-        val probeOk = applicableByFile.values
-          .count(_.exists(_.nonEmpty)) <= LakeEq.probeMaxFiles
+        // the SHARED scoping memo + probe budget ([[LakeEq
+        // .inventoryScope]]): the exact arm declines WHOLESALE
+        // (uniform NULL for every attached file) when refs attach to
+        // more files than the bound — a broadly-attached ref must
+        // not turn this metadata query into a driver-side data scan
+        val (applicableByFile, probeOk) = LakeEq.inventoryScope(dir,
+          files.map(_.getName), eqs, stats, parts, tcols, tschema)
         // one listing for every size — O(1) remote calls, not O(files)
         val path = new org.apache.hadoop.fs.Path(dir)
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
