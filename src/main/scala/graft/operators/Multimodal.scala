@@ -144,6 +144,12 @@ object Multimodal {
   /** One perceptual-hash row (see [[phash16]]). */
   final case class MediaHash(doc_id: Long, phash: Long)
 
+  /** Content hash + container digest from one decode pass (see
+    * [[sampleHashDigest64]] / [[videoHashDigest64]]).
+    */
+  final case class MediaHashDigest(doc_id: Long, phash: Long,
+                                   digest: String)
+
   /** Perceptual-hash stand-in at the decode boundary: a 16-bit
     * signature over the payload's CONTENT bytes (the stub reads the
     * 3-byte header a real pHash would replace with a DCT over decoded
@@ -340,28 +346,54 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         imageIoInit
+        it.map { case (id, p) => MediaHash(id, pixelPhashOf(imgChain, p)) }
+      }
+  }
+
+  /** One row's [[pixelHash64]] fold, factored out so the digest-
+    * combined variant computes the identical value.
+    */
+  private def pixelPhashOf(imgChain: Seq[MediaCodecs.ImageCodec],
+                           p: Array[Byte]): Long = {
+    val img = MediaCodecs.decodeImage(imgChain, p)
+    if (img == null) -1L
+    else {
+      val gray = img.getColorModel.getNumComponents == 1
+      var h = 1125899906842597L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v =
+            if (gray) img.getRaster.getSample(x, y, 0)
+            else img.getRGB(x, y) & 0xffffff
+          h = h * 1000003L + v
+          x += 1
+        }
+        y += 1
+      }
+      h = h * 31L + img.getWidth
+      h = h * 31L + img.getHeight
+      h
+    }
+  }
+
+  /** [[pixelHash64]] + the container md5 digest in the SAME partition
+    * pass — the image twin of [[sampleHashDigest64]]: one synthesize/
+    * transcode/decode of each payload serves both columns instead of
+    * two derivations of the payload table re-joined on doc_id.
+    */
+  def pixelHashDigest64(media: DataFrame): Dataset[MediaHashDigest] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val imgChain = MediaCodecs.imageChain
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoInit
         it.map { case (id, p) =>
-          val img = MediaCodecs.decodeImage(imgChain, p)
-          if (img == null) MediaHash(id, -1L)
-          else {
-            val gray = img.getColorModel.getNumComponents == 1
-            var h = 1125899906842597L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val v =
-                  if (gray) img.getRaster.getSample(x, y, 0)
-                  else img.getRGB(x, y) & 0xffffff
-                h = h * 1000003L + v
-                x += 1
-              }
-              y += 1
-            }
-            h = h * 31L + img.getWidth
-            h = h * 31L + img.getHeight
-            MediaHash(id, h)
-          }
+          MediaHashDigest(id, pixelPhashOf(imgChain, p), md5Hex(p))
         }
       }
   }
@@ -587,35 +619,81 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        it.map { case (id, p) => MediaHash(id, audioPhashOf(audChain, p)) }
+      }
+  }
+
+  /** One row's [[sampleHash64]] fold, factored out so the digest-
+    * combined variant computes the identical value.
+    */
+  private def audioPhashOf(audChain: Seq[MediaCodecs.AudioCodec],
+                           p: Array[Byte]): Long = {
+    val ais = MediaCodecs.decodeAudio(audChain, p)
+    if (ais == null) -1L
+    else
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != javax.sound.sampled
+              .AudioFormat.Encoding.PCM_SIGNED)
+          -2L // out-of-scope encoding sentinel
+        else {
+          val bytes = ais.readAllBytes()
+          val big = f.isBigEndian
+          var h = 1125899906842597L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val v: Int =
+              if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+              else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+            h = h * 1000003L + v
+            i += 2
+          }
+          h = h * 31L + f.getSampleRate.toLong
+          h = h * 31L + f.getChannels
+          h
+        }
+      } finally ais.close()
+  }
+
+  /** [[sampleHash64]] + the container md5 digest in the SAME partition
+    * pass — the dedup consumer needs both (phash groups the transcode
+    * pair, the digest count proves the containers differ), and
+    * computing them in one scan halves the synthesize/transcode/decode
+    * work and removes the doc_id re-join of two derivations of the
+    * same payload table. The digest is bit-identical to Spark's
+    * `md5(payload)` (lowercase hex of the MD5 of the container bytes).
+    */
+  def sampleHashDigest64(media: DataFrame): Dataset[MediaHashDigest] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val audChain = MediaCodecs.audioChain
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
         it.map { case (id, p) =>
-          val ais = MediaCodecs.decodeAudio(audChain, p)
-          if (ais == null) MediaHash(id, -1L)
-          else
-            try {
-              val f = ais.getFormat
-              if (f.getSampleSizeInBits != 16 ||
-                  f.getEncoding != javax.sound.sampled
-                    .AudioFormat.Encoding.PCM_SIGNED)
-                MediaHash(id, -2L) // out-of-scope encoding sentinel
-              else {
-                val bytes = ais.readAllBytes()
-                val big = f.isBigEndian
-                var h = 1125899906842597L
-                var i = 0
-                while (i + 1 < bytes.length) {
-                  val v: Int =
-                    if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
-                    else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
-                  h = h * 1000003L + v
-                  i += 2
-                }
-                h = h * 31L + f.getSampleRate.toLong
-                h = h * 31L + f.getChannels
-                MediaHash(id, h)
-              }
-            } finally ais.close()
+          MediaHashDigest(id, audioPhashOf(audChain, p), md5Hex(p))
         }
       }
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase-hex MD5 of the raw bytes — the executor-side twin of
+    * the `md5()` SQL expression, byte-for-byte (null in, null out).
+    */
+  private def md5Hex(p: Array[Byte]): String = {
+    if (p == null) return null
+    val d = java.security.MessageDigest.getInstance("MD5").digest(p)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   // ---------------------------------------------------------------- video
@@ -804,14 +882,41 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         imageIoInit
+        it.map { case (id, p) => MediaHash(id, videoPhashOf(vidChain, p)) }
+      }
+  }
+
+  /** One row's [[videoHash64]] fold, factored out so the digest-
+    * combined variant computes the identical value.
+    */
+  private def videoPhashOf(vidChain: Seq[MediaCodecs.VideoCodec],
+                           p: Array[Byte]): Long = {
+    val frames = MediaCodecs.decodeFrames(vidChain, p)
+    if (frames == null || frames.isEmpty) -1L
+    else {
+      var h = frames.length.toLong
+      frames.foreach(f => h = h * 1000003L + frameFold(f))
+      h
+    }
+  }
+
+  /** [[videoHash64]] + the container md5 digest in the SAME partition
+    * pass — the video twin of [[sampleHashDigest64]]: one decode of
+    * each payload serves both the content-hash grouping and the
+    * container-digest count, instead of two derivations of the payload
+    * table re-joined on doc_id.
+    */
+  def videoHashDigest64(media: DataFrame): Dataset[MediaHashDigest] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val vidChain = MediaCodecs.videoChain
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoInit
         it.map { case (id, p) =>
-          val frames = MediaCodecs.decodeFrames(vidChain, p)
-          if (frames == null || frames.isEmpty) MediaHash(id, -1L)
-          else {
-            var h = frames.length.toLong
-            frames.foreach(f => h = h * 1000003L + frameFold(f))
-            MediaHash(id, h)
-          }
+          MediaHashDigest(id, videoPhashOf(vidChain, p), md5Hex(p))
         }
       }
   }

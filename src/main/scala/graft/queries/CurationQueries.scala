@@ -440,15 +440,20 @@ object CurationQueries {
           explode(split(TextDedup.normalize(col("text")), " ")).as("term"))
         .withColumn("bucket",
           conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % B)
-      val bg = toks.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
-      val tgt = toks.where(col("lang") === "en")
-        .groupBy("bucket").agg(count(lit(1)).as("tcnt"))
-      val tots = toks.agg(count(lit(1)).as("btot"),
-        count(when(col("lang") === "en", lit(1))).as("ttot"))
-      val lr = bg.join(tgt, Seq("bucket"), "left_outer")
-        .crossJoin(broadcast(tots))
+      // both models + their normalizers from ONE token-stream pass: the
+      // background count and the target count are conditional aggregates
+      // of the same 512-bucket groupBy (count(when) ≡ the filtered
+      // count, 0 where the filter matched nothing ≡ the old left_outer
+      // coalesce), and the totals are exact sums OF the 512-row model
+      // table — the previous form re-ran the explode+md5 scan three
+      // times (background, target, totals) for aggregates one pass
+      // already determines
+      val bt = toks.groupBy("bucket").agg(count(lit(1)).as("bcnt"),
+        count(when(col("lang") === "en", lit(1))).as("tcnt"))
+      val tots = bt.agg(sum("bcnt").as("btot"), sum("tcnt").as("ttot"))
+      val lr = bt.crossJoin(broadcast(tots))
         .select(col("bucket"),
-          (log((coalesce(col("tcnt"), lit(0L)) + 1) / (col("ttot") + B)) -
+          (log((col("tcnt") + 1) / (col("ttot") + B)) -
             log((col("bcnt") + 1) / (col("btot") + B))).as("lr"))
       toks.join(broadcast(lr), "bucket")
         .groupBy("doc_id", "lang")

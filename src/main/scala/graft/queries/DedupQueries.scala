@@ -107,6 +107,32 @@ object DedupQueries {
       })
   }
 
+  /** SimHash signature table over the near-dup corpus, materialized
+    * ONCE per (SparkContext, sfDir) and shared by `doc_dedup_simhash`
+    * (bucket profile) and `doc_dedup_simhash_hamming` (pigeonhole-
+    * banded Hamming join) — the same signature-as-artifact shape as
+    * [[baseMinhash]]: a doc's 16-bit signature depends only on its own
+    * text, the shingle explode + per-(doc,shingle) md5 is by far the
+    * dominant cost of either consumer, and a production pipeline
+    * computes signatures once per corpus snapshot and serves every
+    * dedup job from the table. localCheckpoint'd — ~1 row of 2 longs
+    * per doc, metadata-scale next to the shingle stream it replaces.
+    */
+  private val simhashSigCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheRegistry.read("dedup.simhash_signatures")
+    simhashSigCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        graft.CacheRegistry.built("dedup.simhash_signatures")
+        TextDedup.simhash16(
+          TextDedup.shingles(corpusNear(s, dir), "doc_id", "text",
+            dedup = false))
+          .localCheckpoint()
+      })
+  }
+
   /** Run the banded-LSH pipeline over base docs ∪ `extra` docs, reusing
     * the shared base shingle/signature tables: only the (small) injected
     * side pays explode + signature cost. Returns overlap counts
@@ -364,9 +390,7 @@ object DedupQueries {
     // SimHash bucketing: 16-bit signature from shingle-hash bit votes;
     // buckets with >1 doc are dup candidates (no pair explosion).
     "doc_dedup_simhash" -> ((s, dir) => {
-      val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text",
-        dedup = false)
-      TextDedup.simhash16(sh)
+      simhashSigs(s, dir)
         .groupBy("simhash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
         .where(col("n_docs") > 1)
@@ -385,9 +409,7 @@ object DedupQueries {
     // distinguishes this from minhash banding. Integer-only arithmetic
     // end to end.
     "doc_dedup_simhash_hamming" -> ((s, dir) => {
-      val sh = TextDedup.shingles(corpusNear(s, dir), "doc_id", "text",
-        dedup = false)
-      val sim = TextDedup.simhash16(sh)
+      val sim = simhashSigs(s, dir)
       val banded = sim.select(col("doc_id"), col("simhash"),
         expr("simhash & 63").as("b0"),
         expr("(simhash >> 6) & 31").as("b1"),

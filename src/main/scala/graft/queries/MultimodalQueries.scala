@@ -120,10 +120,9 @@ object MultimodalQueries {
         .select((col("doc_id") + 400000).as("doc_id"), col("kind"),
           col("payload"), col("full_len"))
       val all = media.unionByName(reenc)
-      val hashed = Multimodal.pixelHash64(all).toDF()
-      val digests = all.select(col("doc_id"),
-        md5(col("payload")).as("digest"))
-      hashed.join(digests, "doc_id")
+      // ONE decode pass emits (phash, digest) together — see
+      // mm_audio_dedup; [[Multimodal.pixelHashDigest64]]
+      Multimodal.pixelHashDigest64(all).toDF()
         .groupBy("phash")
         .agg(count(lit(1)).as("n_items"),
           countDistinct("digest").as("n_digests"),
@@ -163,10 +162,12 @@ object MultimodalQueries {
         .select((col("doc_id") + 700000).as("doc_id"), col("kind"),
           col("payload"), col("full_len"))
       val all = media.unionByName(reenc)
-      val hashed = Multimodal.sampleHash64(all).toDF()
-      val digests = all.select(col("doc_id"),
-        md5(col("payload")).as("digest"))
-      hashed.join(digests, "doc_id")
+      // ONE decode pass emits (phash, digest) together
+      // ([[Multimodal.sampleHashDigest64]]): the previous two-
+      // derivations-plus-rejoin shape synthesized and transcoded every
+      // payload twice and shuffled a join to glue columns of the same
+      // row back together
+      Multimodal.sampleHashDigest64(all).toDF()
         .groupBy("phash")
         .agg(count(lit(1)).as("n_items"),
           countDistinct("digest").as("n_digests"),
@@ -213,10 +214,9 @@ object MultimodalQueries {
         .select((col("doc_id") + 800000).as("doc_id"), col("kind"),
           col("payload"), col("full_len"))
       val all = media.unionByName(reenc)
-      val hashed = Multimodal.videoHash64(all).toDF()
-      val digests = all.select(col("doc_id"),
-        md5(col("payload")).as("digest"))
-      hashed.join(digests, "doc_id")
+      // ONE decode pass emits (phash, digest) together — see
+      // mm_audio_dedup; [[Multimodal.videoHashDigest64]]
+      Multimodal.videoHashDigest64(all).toDF()
         .groupBy("phash")
         .agg(count(lit(1)).as("n_items"),
           countDistinct("digest").as("n_digests"),
@@ -281,10 +281,9 @@ object MultimodalQueries {
       s.sql(s"INSERT INTO $tbl SELECT * FROM mm_lakeph_src")
       s.sql(s"DELETE FROM $tbl WHERE doc_id % 5 = 1")
       val all = s.table(tbl)
-      val hashed = Multimodal.pixelHash64(all).toDF()
-      val digests = all.select(col("doc_id"),
-        md5(col("payload")).as("digest"))
-      hashed.join(digests, "doc_id")
+      // ONE lake scan + decode pass emits (phash, digest) together —
+      // see mm_audio_dedup; [[Multimodal.pixelHashDigest64]]
+      Multimodal.pixelHashDigest64(all).toDF()
         .groupBy("phash")
         .agg(count(lit(1)).as("n_items"),
           countDistinct("digest").as("n_digests"),

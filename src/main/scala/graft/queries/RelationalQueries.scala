@@ -85,8 +85,30 @@ object RelationalQueries {
   /** [[tradeEdges]] with the per-pair trade total retained — the weight
     * for `graph_shortest_path` (same above-mean edge set, so the two
     * views of the graph agree).
+    *
+    * Staged once per (app, corpus) like [[custSuppEdges]]: the 4-table
+    * lineitem⋈supplier⋈orders⋈customer fold is the dominant cost of
+    * every consumer (triangles, label_prop, kcore, adamic_adar,
+    * shortest_path — five queries re-derived it), while the edge list
+    * itself is entity-graph sized (≤ |nations|² pairs). Derive the
+    * graph once, run every algorithm on it — the same stage/iterate
+    * split as the pagerank graph. The derivation is deterministic
+    * (exact DECIMAL sums, multiplication-exact threshold), so staging
+    * cannot move a result.
     */
+  private val tradeEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheRegistry.read("graph.trade_edges")
+    tradeEdgeCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      graft.CacheRegistry.built("graph.trade_edges")
+      tradeEdgesWeightedDerive(s, dir).localCheckpoint()
+    })
+  }
+
+  private[graft] def tradeEdgesWeightedDerive(s: SparkSession, dir: String)
+      : DataFrame = {
     val pairs = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
         col("l_extendedprice").cast(DecimalType(18, 2)).as("vl"))
@@ -960,13 +982,21 @@ object RelationalQueries {
       // executor blocks; the recursion then joins a small in-memory
       // table per level. (The oracle inlines the same derivation — one
       // SQL text — because DuckDB plans its CTEs once.)
+      //
+      // The staged tradeEdges frame is bound to the session that BUILT
+      // it, and a temp view registers in its DataFrame's session — so
+      // the view registration and the recursive SQL must both run on
+      // that owning session, or an isolated caller (Bench's fresh
+      // newSession per sample) registers the view where its own
+      // s.sql() cannot see it.
       val edges = tradeEdges(s, dir)
+      val owner = edges.sparkSession
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
         .distinct()
         .localCheckpoint()
         .createOrReplaceTempView("trade_sym")
-      s.sql(
+      owner.sql(
         """WITH RECURSIVE seed AS (SELECT min(src) AS s0 FROM trade_sym),
           |bfs(node, hops) AS (
           |  SELECT s0, 0 FROM seed
@@ -1131,12 +1161,16 @@ object RelationalQueries {
           .otherwise(expr(
             "concat(substring(name, 1, (id % 8) + 1), 'zz', " +
               "substring(name, (id % 8) + 4))")).as("dname"))
-      def grams(src: String) =
-        expr(s"explode(transform(sequence(1, 9), i -> substring($src, i, 4)))")
+      // per-row array_distinct replaces the post-explode .distinct():
+      // each side has ONE row per id, so duplicate (id, name, gram)
+      // rows can only arise WITHIN a row's 9 grams — deduping inside
+      // the array (map-side, codegen) yields the identical row set
+      // without the full gram-stream exchange the old distinct paid
+      // on each side
+      def grams(src: String) = expr(
+        s"explode(array_distinct(transform(sequence(1, 9), i -> substring($src, i, 4))))")
       val dg = dirty.select(col("did"), col("dname"), grams("dname").as("g"))
-        .distinct()
       val cg = base.select(col("id"), col("name"), grams("name").as("g"))
-        .distinct()
       val cand = dg.join(cg, Seq("g"))
         .select("did", "dname", "id", "name").distinct()
       cand

@@ -318,6 +318,44 @@ class MultimodalCodecSpec extends SparkSpec {
       .collect()
     assert(post.head.mode == "invalid")
   }
+
+  test("one-pass hash+digest variants (r16 optimization): " +
+       "sampleHashDigest64 / videoHashDigest64 / pixelHashDigest64 " +
+       "equal the two-derivations shape (phash from the *Hash64 op, " +
+       "digest bit-identical to SQL md5(payload)) — including the " +
+       "sentinel rows for undecodable payloads") {
+    def check(media: org.apache.spark.sql.DataFrame,
+              combined: org.apache.spark.sql.DataFrame,
+              single: org.apache.spark.sql.DataFrame): Unit = {
+      val expect = single.toDF()
+        .join(media.select(col("doc_id"),
+          md5(col("payload")).as("digest")), "doc_id")
+        .select("doc_id", "phash", "digest")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val got = combined.select("doc_id", "phash", "digest")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == expect)
+      assert(got.nonEmpty)
+    }
+    val img = Multimodal.syntheticImageMedia(docs)
+    check(img, Multimodal.pixelHashDigest64(img).toDF(),
+      Multimodal.pixelHash64(img).toDF())
+    val aud = Multimodal.syntheticAudioMedia(docs)
+    check(aud, Multimodal.sampleHashDigest64(aud).toDF(),
+      Multimodal.sampleHash64(aud).toDF())
+    val vid = Multimodal.syntheticVideoMedia(docs)
+    check(vid, Multimodal.videoHashDigest64(vid).toDF(),
+      Multimodal.videoHash64(vid).toDF())
+    // sentinel parity on undecodable payloads: phash -1, digest still
+    // the bytes' md5 (null payload is the one row the SQL md5 nulls —
+    // the combined op must match, so exercise garbage, not null)
+    val bad = Seq((9L, "audio", Array[Byte](1, 2, 3), 3L))
+      .toDF("doc_id", "kind", "payload", "full_len")
+    val badRow = Multimodal.sampleHashDigest64(bad).collect().head
+    assert(badRow.phash == -1L)
+    assert(badRow.digest ==
+      bad.select(md5(col("payload"))).as[String].head())
+  }
 }
 
 /** Fake still-image codec for the SPI spec: claims the "FAKE" magic,
