@@ -678,23 +678,14 @@ object Multimodal {
       }
   }
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
   /** Lowercase-hex MD5 of the raw bytes — the executor-side twin of
-    * the `md5()` SQL expression, byte-for-byte (null in, null out).
+    * the `md5()` SQL expression, byte-for-byte BY CONSTRUCTION: Spark's
+    * `Md5` expression delegates to the same commons-codec call (null
+    * in, null out added here, matching the expression's null handling).
     */
-  private def md5Hex(p: Array[Byte]): String = {
-    if (p == null) return null
-    val d = java.security.MessageDigest.getInstance("MD5").digest(p)
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  private def md5Hex(p: Array[Byte]): String =
+    if (p == null) null
+    else org.apache.commons.codec.digest.DigestUtils.md5Hex(p)
 
   // ---------------------------------------------------------------- video
 

@@ -99,6 +99,9 @@ object RelationalQueries {
   private val tradeEdgeCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Monotonic suffix for sql_recursive_bfs's per-execution temp view. */
+  private val bfsViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
     graft.CacheRegistry.read("graph.trade_edges")
     tradeEdgeCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
@@ -991,18 +994,23 @@ object RelationalQueries {
       // s.sql() cannot see it.
       val edges = tradeEdges(s, dir)
       val owner = edges.sparkSession
+      // per-execution view name: the owner session is shared by every
+      // execution in the app (it belongs to the staged artifact), so a
+      // FIXED name could be clobbered by a concurrent execution between
+      // registration and owner.sql
+      val view = s"trade_sym_${bfsViewSeq.incrementAndGet()}"
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
         .distinct()
         .localCheckpoint()
-        .createOrReplaceTempView("trade_sym")
+        .createOrReplaceTempView(view)
       owner.sql(
-        """WITH RECURSIVE seed AS (SELECT min(src) AS s0 FROM trade_sym),
+        s"""WITH RECURSIVE seed AS (SELECT min(src) AS s0 FROM $view),
           |bfs(node, hops) AS (
           |  SELECT s0, 0 FROM seed
           |  UNION ALL
           |  SELECT s.dst, b.hops + 1
-          |  FROM bfs b JOIN trade_sym s ON s.src = b.node
+          |  FROM bfs b JOIN $view s ON s.src = b.node
           |  WHERE b.hops < 4
           |)
           |SELECT node, CAST(min(hops) AS BIGINT) AS hops

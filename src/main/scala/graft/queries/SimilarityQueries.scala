@@ -64,6 +64,50 @@ object SimilarityQueries {
   private val pqSd = 64 / pqM
   private val pqCand = 100
 
+  /** j-th PQ subvector of a 64-dim vector column (pqM × pqSd layout).
+    * Single-sourced (r16) with the codebook/codes/ADC builders below:
+    * the staged codes table and every per-query ADC table that probes
+    * it MUST agree on the subspace layout, so the expressions live in
+    * one place instead of per-query copies.
+    */
+  private def pqSub(j: Int, c: Column): Column =
+    slice(c, j * pqSd + 1, pqSd)
+
+  /** Literal sub-codevector (codebook entry i, subspace j) of a
+    * codebook given as index → full 64-dim seed vector.
+    */
+  private def pqCvec(seed: Int => Seq[Double])(j: Int, i: Int): Column =
+    typedLit(seed(i).slice(j * pqSd, (j + 1) * pqSd))
+
+  /** PQ code columns over `src`: per subspace the argmin over the k
+    * literal sub-codevectors (sequential L2² folds, code-index
+    * tie-break), named `code<j>`.
+    */
+  private def pqCodeCols(cvec: (Int, Int) => Column, src: Column)
+      : Seq[Column] =
+    (0 until pqM).map { j =>
+      val entries = (0 until pqK).map(i =>
+        struct(VectorSim.l2sq(pqSub(j, src), cvec(j, i)).as("d"),
+          lit(i).as("i")))
+      array_min(array(entries: _*)).getField("i").as(s"code$j")
+    }
+
+  /** Per-query ADC table over `q`: qtab[j·k+i] = l2sq(q_sub_j,
+    * codebook[j][i]) — built once per query row.
+    */
+  private def pqQtab(cvec: (Int, Int) => Column, q: Column): Column =
+    array((for { j <- 0 until pqM; i <- 0 until pqK } yield
+      VectorSim.l2sq(pqSub(j, q), cvec(j, i))): _*)
+
+  /** ADC distance of a candidate row against the broadcast `qtab`:
+    * m table lookups summed as exact DECIMAL(18,9), rounded at 6 —
+    * the engine-portable candidate cut shared by every PQ consumer.
+    */
+  private def pqAdc6: Column =
+    round((0 until pqM).map(j =>
+        element_at(col("qtab"), col(s"code$j") + lit(j * pqK + 1))
+          .cast(DecimalType(18, 9))).reduce(_ + _).cast("double"), 6)
+
   /** Fixed 25-id query set for the bounded-|Q| contract (see
     * `sim_topk_brute_bounded`): the general queries derive
     * |Q| = |C|/20, which grows with the corpus; this set is constant BY
@@ -177,23 +221,14 @@ object SimilarityQueries {
         .withColumn("cell", col("cells").getItem(0).getField("cent_id"))
         .withColumn("r",
           zip_with(col("e"), element_at(centLit, col("cell")), (x, c) => x - c))
-      val m = pqM; val k = pqK; val sd = pqSd
       // codebook = residuals of the 16 md5-chosen seed rows (metadata
       // collect; the subtraction is the same IEEE op both engines run)
       val seeds = withRes
         .withColumn("h",
           md5(concat(lit("rpq|"), col("vec_id").cast("string"))))
-        .orderBy("h", "vec_id").limit(k)
+        .orderBy("h", "vec_id").limit(pqK)
         .select("r").collect().map(_.getSeq[Double](0))
-      def sub(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
-      def rcvec(j: Int, i: Int): Column =
-        typedLit(seeds(i).slice(j * sd, (j + 1) * sd))
-      val codes = (0 until m).map { j =>
-        val entries = (0 until k).map(i =>
-          struct(VectorSim.l2sq(sub(j, col("r")), rcvec(j, i)).as("d"),
-            lit(i).as("i")))
-        array_min(array(entries: _*)).getField("i").as(s"code$j")
-      }
+      val codes = pqCodeCols(pqCvec(seeds(_)), col("r"))
       val enc = withRes.select(col("vec_id") +: col("cell") +: codes: _*)
         .localCheckpoint() // eager — the corpus is encoded exactly once
       (cents, seeds, enc)
@@ -232,17 +267,8 @@ object SimilarityQueries {
         .orderBy("ch").limit(K)
         .select(col("vec_id"), col("e")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      val m = pqM; val k = pqK; val sd = pqSd
-      val seeds = KMeans.seedCentroids(b, k, "pq|")
-      def sub(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
-      def cvec(j: Int, i: Int): Column =
-        typedLit(seeds(i)._2.slice(j * sd, (j + 1) * sd))
-      val codes = (0 until m).map { j =>
-        val entries = (0 until k).map(i =>
-          struct(VectorSim.l2sq(sub(j, col("e")), cvec(j, i)).as("d"),
-            lit(i).as("i")))
-        array_min(array(entries: _*)).getField("i").as(s"code$j")
-      }
+      val seeds = KMeans.seedCentroids(b, pqK, "pq|")
+      val codes = pqCodeCols(pqCvec(seeds(_)._2), col("e"))
       val enc = b
         .withColumn("cells", cellsTop2(cents))
         .select(col("vec_id") +: col("cells") +: codes: _*)
@@ -275,32 +301,28 @@ object SimilarityQueries {
     })
   }
 
-  /** Persisted MIPS LSH index — `sim_topk_mips`'s build artifacts: the
-    * corpus max norm (the norm-augmentation scalar, a driver job per
-    * execution before) and the 65-dim augmented bucket table. Same
-    * artifact/probe split as [[lshBucketIndex]]; queries augment with a
-    * literal 0 and never need the scalar.
+  /** Persisted MIPS LSH index — `sim_topk_mips`'s build artifact: the
+    * 65-dim norm-augmented bucket table (the max-norm augmentation
+    * scalar — a driver job per execution before — is consumed inside
+    * the build; queries augment with a literal 0 and never need it).
+    * Same artifact/probe split as [[lshBucketIndex]].
     */
   private val mipsIndexCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, String), (Double, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def mipsLshIndex(s: SparkSession, dir: String)
-      : (Double, DataFrame) = {
+  private def mipsLshIndex(s: SparkSession, dir: String): DataFrame = {
     graft.CacheRegistry.read("similarity.mips_lsh_index")
     mipsIndexCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       graft.CacheRegistry.built("similarity.mips_lsh_index")
       val b = base(s, dir)
       val m = b.agg(max("nrm")).collect()(0).getDouble(0)
-      val buckets = b
-        .withColumn("ea", concat(col("e"),
+      b.withColumn("ea", concat(col("e"),
           array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm")))))
         .select(col("vec_id"),
           explode(VectorSim.lshTableBuckets(col("ea"), dim = 65)).as("tb"))
         .select(col("vec_id"), col("tb.table").as("t"),
           col("tb.sig").as("sig"))
         .localCheckpoint()
-      (m, buckets)
     })
   }
 
@@ -615,19 +637,13 @@ object SimilarityQueries {
     // handshake as emb_pq_encode's err6) so the candidate cut is
     // order-independent and oracle-portable.
     "sim_topk_pq_rerank" -> ((s, dir) => {
-      val m = pqM; val k = pqK; val sd = pqSd
       val b = base(s, dir)
       // staged index ([[plainPqIndex]]): the corpus codes table is a
       // checkpointed build artifact; this query's plan only PROBES it
       val (_, seeds, encAll) = plainPqIndex(s, dir)
-      def sub(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
-      def cvec(j: Int, i: Int): Column =
-        typedLit(seeds(i)._2.slice(j * sd, (j + 1) * sd))
       val enc = encAll.select(col("vec_id") +:
-        (0 until m).map(j => col(s"code$j")): _*)
-      // per-query ADC table: qtab[j*k+i] = l2sq(q_sub_j, codebook[j][i])
-      val qtab = array((for { j <- 0 until m; i <- 0 until k } yield
-        VectorSim.l2sq(sub(j, col("qe")), cvec(j, i))): _*)
+        (0 until pqM).map(j => col(s"code$j")): _*)
+      val qtab = pqQtab(pqCvec(seeds(_)._2), col("qe"))
       val q = b.filter(col("vec_id").isin(boundedQueryIds: _*))
         .select(col("vec_id").as("qid"), col("e").as("qe"),
           col("nrm").as("qnrm"))
@@ -635,10 +651,7 @@ object SimilarityQueries {
         .crossJoin(broadcast(q.select(col("qid"), qtab.as("qtab"))))
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),
-          round((0 until m).map(j =>
-              element_at(col("qtab"), col(s"code$j") + lit(j * k + 1))
-                .cast(DecimalType(18, 9))).reduce(_ + _).cast("double"), 6)
-            .as("adc6"))
+          pqAdc6.as("adc6"))
       val cand = graft.plans.TopKPerKey
         .topK(adcPairs, "qid", Seq(("adc6", false), ("cand_id", false)), pqCand)
         .select(col("qid"), col("cand_id"))
@@ -670,15 +683,10 @@ object SimilarityQueries {
       // centroid expression on |Q| rows — pushdown keeps it off the
       // corpus), so the corpus is never re-encoded per query
       val (cents, seeds, encAll) = plainPqIndex(s, dir)
-      val m = pqM; val k = pqK; val sd = pqSd
-      def sub(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
-      def cvec(j: Int, i: Int): Column =
-        typedLit(seeds(i)._2.slice(j * sd, (j + 1) * sd))
       val enc = encAll.select(col("vec_id") +:
         col("cells").getItem(0).getField("cent_id").as("cell") +:
-        (0 until m).map(j => col(s"code$j")): _*)
-      val qtab = array((for { j <- 0 until m; i <- 0 until k } yield
-        VectorSim.l2sq(sub(j, col("qe")), cvec(j, i))): _*)
+        (0 until pqM).map(j => col(s"code$j")): _*)
+      val qtab = pqQtab(pqCvec(seeds(_)._2), col("qe"))
       val q = b.filter(col("vec_id").isin(boundedQueryIds: _*))
         .withColumn("cells", cellsTop2(cents))
         .select(col("vec_id").as("qid"), col("e").as("qe"),
@@ -689,10 +697,7 @@ object SimilarityQueries {
       val adcPairs = enc.join(broadcast(probes),
           col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),
-          round((0 until m).map(j =>
-              element_at(col("qtab"), col(s"code$j") + lit(j * k + 1))
-                .cast(DecimalType(18, 9))).reduce(_ + _).cast("double"), 6)
-            .as("adc6"))
+          pqAdc6.as("adc6"))
       val cand = graft.plans.TopKPerKey
         .topK(adcPairs, "qid", Seq(("adc6", false), ("cand_id", false)), pqCand)
         .select(col("qid"), col("cand_id"))
@@ -720,9 +725,9 @@ object SimilarityQueries {
     // reduction is engine-exact.
     "sim_topk_mips" -> ((s, dir) => {
       val b = base(s, dir)
-      // staged index ([[mipsLshIndex]]): max-norm scalar + augmented
-      // bucket table are build artifacts; the query probes them
-      val (_, buckets) = mipsLshIndex(s, dir)
+      // staged index ([[mipsLshIndex]]): the augmented bucket table is
+      // a build artifact; the query probes it
+      val buckets = mipsLshIndex(s, dir)
       val qb = b.filter(col("vec_id").isin(boundedQueryIds: _*))
         .withColumn("ea", concat(col("e"), array(lit(0.0d))))
         .select(col("vec_id").as("qid"),
@@ -767,30 +772,17 @@ object SimilarityQueries {
     "sim_topk_ivfpq_residual" -> ((s, dir) => {
       val b = base(s, dir)
       val (cents, seeds, enc) = residualPqIndex(s, dir)
-      val cellScore = cents.map { case (cid, ce) =>
-        val cnrm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
-        struct(
-          (-round(VectorSim.dot(col("e"), typedLit(ce)) /
-            (col("nrm") * lit(cnrm)), 6)).as("negccos"),
-          lit(cid).as("cent_id"))
-      }
       val centLit = typedLit(cents.toMap)
-      val m = pqM; val k = pqK; val sd = pqSd
-      def sub(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
-      def rcvec(j: Int, i: Int): Column =
-        typedLit(seeds(i).slice(j * sd, (j + 1) * sd))
       // the bounded query rows recompute their own top-2 cells — a
       // pushed-down point filter on vec_id plus the cell expression
       // over |Q| rows, nothing corpus-sized
       val q = b.filter(col("vec_id").isin(boundedQueryIds: _*))
-        .withColumn("cells",
-          slice(array_sort(array(cellScore: _*)), 1, 2))
+        .withColumn("cells", cellsTop2(cents))
         .select(col("vec_id").as("qid"), col("e").as("qe"),
           col("nrm").as("qnrm"), col("cells"))
       // ADC table per (query, probed cell): the query residual is
       // cell-relative, so each probe row carries its own 128-entry table
-      val qtab = array((for { j <- 0 until m; i <- 0 until k } yield
-        VectorSim.l2sq(sub(j, col("qr")), rcvec(j, i))): _*)
+      val qtab = pqQtab(pqCvec(seeds(_)), col("qr"))
       val probes = q
         .select(col("qid"), col("qe"), explode(col("cells")).as("qc"))
         .select(col("qid"), col("qe"), col("qc.cent_id").as("qcell"))
@@ -800,10 +792,7 @@ object SimilarityQueries {
       val adcPairs = enc.join(broadcast(probes),
           col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),
-          round((0 until m).map(j =>
-              element_at(col("qtab"), col(s"code$j") + lit(j * k + 1))
-                .cast(DecimalType(18, 9))).reduce(_ + _).cast("double"), 6)
-            .as("adc6"))
+          pqAdc6.as("adc6"))
       val cand = graft.plans.TopKPerKey
         .topK(adcPairs, "qid", Seq(("adc6", false), ("cand_id", false)), pqCand)
         .select(col("qid"), col("cand_id"))

@@ -23,14 +23,15 @@ object ExplainDump {
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
+    // stop() in finally: a bad query name or a throwing fixture must
+    // not leave non-daemon Spark threads holding the JVM open
+    try names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val s = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(outDir.resolve(s"${name}_$tag.txt"),
         s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"wrote ${name}_$tag.txt (${s.length} chars)")
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

@@ -60,7 +60,9 @@ class GraphScaleSpec extends SparkSpec {
       // unstaged shape: the enumeration joins + the threshold crossJoin
       // have fact lineage on both sides — the pin is that EVERY such
       // join sits above an Aggregate on BOTH sides (the ≤|nations|²
-      // entity graph)
+      // entity graph). NOTE: with tradeEdges staged (r16) this branch
+      // is revert-robustness only — the checkpointed edge frame has no
+      // fact lineage, so the else branch is the live pin.
       assert(factFact.forall(j =>
         hasAggregate(j.left) && hasAggregate(j.right)),
         "a join of raw (un-aggregated) fact rows against fact rows " +
